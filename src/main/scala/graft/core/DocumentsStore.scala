@@ -1,0 +1,62 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Documents-table IO — SURVEY.md §2.1 (S2/S10/S11) and versioned snapshots.
+  *
+  * Parquet is the system of record (partition-friendly, predicate-pushdown);
+  * header CSV is kept as the RFC-interop codec (documents.csv,
+  * ftm_datalake/archive/documents.py:32,45-50,107-117). Snapshot layout:
+  * `<root>/documents.parquet` plus `<root>/versions/<iso-ts>/` per version
+  * and `<root>/versions/<iso-ts>.diff/` for the diff lines.
+  */
+object DocumentsStore {
+
+  /** CSV scan with the fixed documents schema; a missing path yields an
+    * empty frame with the right schema (reference: empty-DF-with-header,
+    * documents.py:45-50). */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    if (!exists(spark, path))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Model.documentsSchema)
+    else
+      spark.read.schema(Model.documentsSchema).option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").csv(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    if (!exists(spark, path))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Model.documentsSchema)
+    else spark.read.parquet(path)
+
+  /** Write a snapshot: parquet system-of-record + single-file CSV for RFC
+    * interop (coalesce(1) only at this small metadata boundary — the
+    * documents table of one dataset, never the data plane). */
+  def writeSnapshot(df: DataFrame, root: String, versionTs: String): Unit = {
+    val ordered = df.orderBy("key")
+    ordered.write.mode("overwrite").parquet(s"$root/documents.parquet")
+    ordered.coalesce(1).write.mode("overwrite").option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .csv(s"$root/versions/$versionTs")
+  }
+
+  def writeDiff(diffLines: DataFrame, root: String, versionTs: String): Unit =
+    diffLines.coalesce(1).write.mode("overwrite")
+      .text(s"$root/versions/$versionTs.diff")
+
+  /** Sorted version timestamps present under `<root>/versions` (O2/A5). */
+  def versions(spark: SparkSession, root: String): Seq[String] = {
+    val dir = new java.io.File(s"$root/versions")
+    if (!dir.isDirectory) Nil
+    else dir.listFiles().map(_.getName).filterNot(_.endsWith(".diff")).sorted.toSeq
+  }
+
+  def currentVersion(spark: SparkSession, root: String): Option[String] =
+    versions(spark, root).lastOption
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}

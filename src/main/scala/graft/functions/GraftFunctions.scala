@@ -1,0 +1,190 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar column functions of the engine — SURVEY.md §2.7 (F1–F11).
+  *
+  * All are pure `Column` expressions built from `org.apache.spark.sql.functions`
+  * so they stay inside whole-stage codegen; no UDFs in the hot path. Each cites
+  * the reference behavior it re-expresses (ftm-datalake v0.0.4).
+  */
+object GraftFunctions {
+
+  // ---------------------------------------------------------------- F1
+  /** Content checksum with pluggable algorithm.
+    * Reference: sha1 over file bytes is the identity primitive
+    * (ftm_datalake/model.py:28, worker.py:86-88); algorithm is configurable.
+    */
+  def checksum(content: Column, algorithm: String = "sha1"): Column =
+    algorithm match {
+      case "sha1"     => sha1(content)
+      case "md5"      => md5(content)
+      case "sha256"   => sha2(content, 256)
+      case "sha512"   => sha2(content, 512)
+      case "xxhash64" => hex(xxhash64(content))
+      case other      => throw new IllegalArgumentException(s"unknown checksum algorithm: $other")
+    }
+
+  // ---------------------------------------------------------------- F2
+  /** Content-hash sharded path `ab/cd/ef/abcdef…` — first three byte-pairs as
+    * directory levels. Reference: make_ch_key (ftm_datalake/util.py:8-11,
+    * docs/rfc.md:38-46).
+    */
+  def shardedChecksumKey(ch: Column): Column =
+    concat_ws("/",
+      substring(ch, 1, 2), substring(ch, 3, 2), substring(ch, 5, 2), ch)
+
+  // ---------------------------------------------------------------- F3
+  /** File-entity id `{dataset}-file-{checksum(key, content_hash)}`.
+    * Reference: AbstractFileModel.id via make_data_checksum
+    * (ftm_datalake/model.py:49-52). The upstream tuple serialization lives in
+    * the non-vendored anystore dependency and is not reproducible offline
+    * (checked against the tests/test_model.py:12 vector); we pin a canonical
+    * JSON-array serialization `["key","hash"]` instead and document the
+    * divergence.
+    */
+  def fileEntityId(dataset: Column, key: Column, contentHash: Column,
+                   algorithm: String = "sha1"): Column =
+    concat(dataset, lit("-file-"),
+      checksum(to_json(array(key, contentHash)), algorithm))
+
+  // ---------------------------------------------------------------- F4
+  /** Mimetype → FollowTheMoney schema name.
+    * Reference: MIME_SCHEMAS / mime_to_schema (ftm_datalake/util.py:19-38).
+    * Later mapping entries win on overlap, mirroring the reference's
+    * last-match-wins dict iteration; expressed as a reversed when-chain.
+    */
+  private val mimeSchemaMap: Seq[(Seq[String], String)] = Seq(
+    Seq("application/pdf",
+        "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+        "application/msword") -> "Pages",
+    Seq("text/html", "text/xml") -> "HyperText",
+    Seq("text/csv", "application/vnd.ms-excel",
+        "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+        "application/xls", "application/excel") -> "Table",
+    Seq("image/png", "image/gif", "image/jpeg", "image/tiff",
+        "image/vnd.djvu", "image/vnd.adobe.photoshop") -> "Image",
+    Seq("application/vnd.ms-outlook", "application/vnd.oasis.opendocument.formula",
+        "message/rfc822") -> "Email",
+    Seq("text/plain", "application/rtf", "text/rtf") -> "PlainText"
+  )
+
+  def mimeToSchema(mimetype: Column): Column =
+    mimeSchemaMap.reverse.foldLeft(lit("Document")) {
+      case (acc, (mimes, schema)) =>
+        when(mimetype.isin(mimes: _*), lit(schema)).otherwise(acc)
+    }
+
+  // ---------------------------------------------------------------- F5
+  /** Basename of a `/`-separated key. Reference: Document.name via
+    * name_from_uri (ftm_datalake/model.py:102-104). */
+  def basename(key: Column): Column = element_at(split(key, "/"), -1)
+
+  /** All proper ancestor prefixes of a `/`-separated key, shallowest first.
+    * Reference: parent-folder chain creation in aleph sync
+    * (ftm_datalake/sync/aleph.py:95-107) — re-expressed set-at-a-time (J6).
+    */
+  def pathAncestors(key: Column): Column = {
+    val parts = split(key, "/")
+    transform(sequence(lit(1), size(parts) - 1),
+      i => array_join(slice(parts, lit(1), i), "/"))
+  }
+
+  // ---------------------------------------------------------------- F7
+  /** Default a possibly-null timestamp column (created_at/updated_at
+    * defaulting, ftm_datalake/model.py:88-91,106-114). */
+  def defaultedTimestamp(ts: Column, fallback: Column): Column =
+    coalesce(ts, fallback)
+
+  // ---------------------------------------------------------------- F9
+  /** Shell-style glob (fnmatch) → anchored Java regex, usable with rlike.
+    * Reference: include/exclude glob predicates (ftm_datalake/crawl.py:58-61,
+    * sync/aleph_entities.py:121-125).
+    */
+  def globToRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    glob.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c if "\\.[]{}()+-^$|".contains(c) => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    sb.append('$').toString
+  }
+
+  def globMatch(c: Column, glob: String): Column = c.rlike(globToRegex(glob))
+
+  /** Include/exclude glob filter over a key column; None = no constraint. */
+  def globFilter(key: Column, include: Option[String], exclude: Option[String]): Column = {
+    val inc = include.map(globMatch(key, _)).getOrElse(lit(true))
+    val exc = exclude.map(g => !globMatch(key, g)).getOrElse(lit(true))
+    inc && exc
+  }
+
+  // ---------------------------------------------------------------- F11
+  /** First non-null of several source-url candidates
+    * (ftm_datalake/sync/aleph.py:44-51). */
+  def coalesceSourceUrl(candidates: Column*): Column = coalesce(candidates: _*)
+
+  // ---------------------------------------------------------------- F8
+  /** Key-derivation strategies for crawler imports
+    * (ftm_datalake/sync/memorious.py:125-149, util.py:14-16).
+    * The three builtins are pure column expressions; the template variant is
+    * the engine's one genuine UDF (see [[TemplateKey]]).
+    */
+  object KeyFunc {
+    /** Path component of a URL (scheme/host stripped, query dropped). */
+    def urlPath(url: Column): Column =
+      regexp_replace(
+        regexp_replace(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://", ""),
+        "[?#].*$", "")
+
+    /** Just the final name component of the URL path. */
+    def nameOnly(url: Column): Column = basename(urlPath(url))
+
+    /** URL path with a fixed prefix removed. */
+    def stripPrefix(url: Column, prefix: String): Column =
+      regexp_replace(urlPath(url), "^" + java.util.regex.Pattern.quote(prefix), "")
+  }
+
+  /** Minimal `{{ field }}` template renderer over a metadata map — the
+    * Jinja-template key function (ftm_datalake/sync/memorious.py:95-122).
+    * Supports `{{name}}` placeholders with optional surrounding whitespace;
+    * unknown fields render empty. Registered as a Scala UDF (the one UDF in
+    * the engine surface; everything else is codegen'd).
+    */
+  val renderTemplate: (String, Map[String, String]) => String = (tmpl, data) => {
+    val p = java.util.regex.Pattern.compile("\\{\\{\\s*([a-zA-Z0-9_.]+)\\s*\\}\\}")
+    val m = p.matcher(tmpl)
+    val sb = new StringBuffer
+    while (m.find()) {
+      val v = Option(data).flatMap(_.get(m.group(1))).getOrElse("")
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(v))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  def templateKeyUdf = udf(renderTemplate)
+}
+
+/** Decimal-exact aggregation helpers.
+  *
+  * Double summation is order-dependent; at 32+ shuffle partitions two engines
+  * (or two runs) can disagree in the last ulp. Aggregating in decimal is exact
+  * and associative, so results are bit-stable across engines, partitionings,
+  * and cluster sizes — then cast back to double for a portable output schema.
+  */
+object Exact {
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  /** Exact sum of a product of two 2dp quantities (e.g. price * (1-disc)). */
+  def dsumProduct(a: Column, b: Column): Column =
+    sum(a.cast(DecimalType(18, 2)) * b.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  def davg(c: Column, scale: Int = 2): Column =
+    dsum(c, scale) / count(lit(1)).cast(DoubleType)
+}

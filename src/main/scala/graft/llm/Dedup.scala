@@ -1,0 +1,190 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Four tiers, all shuffle-architected for 100 TB:
+  *  - exact: hash → groupBy (one shuffle of (hash, id), never text)
+  *  - n-gram Jaccard: inverted-index self-join (shuffle on shingle), exact
+  *  - MinHash+LSH: signature → band buckets → candidate pairs (the scale
+  *    path: cost linear in corpus + band-bucket collisions)
+  *  - SimHash: 64-bit signatures, hamming-ball candidates via chunk banding
+  */
+object Dedup {
+
+  /** Word n-gram shingles, distinct, as an array column. Documents shorter
+    * than `n` words contribute their whole token sequence as one shingle. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val words = split(trim(text), "\\s+")
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => array_join(slice(words, i + 1, lit(n)), " ")))
+  }
+
+  // ------------------------------------------------------------ exact
+  /** Exact dedup: keep the smallest id per content hash. One row per
+    * surviving document plus the group size. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__h")).orderBy(col(idCol))
+    df.withColumn("__h", md5(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("dup_count", count(lit(1)).over(Window.partitionBy(col("__h"))))
+      .filter(col("__rn") === 1)
+      .drop("__rn").withColumnRenamed("__h", "content_hash")
+  }
+
+  // ------------------------------------------------------------ exact jaccard
+  /** All pairs (i < j) with shingle-set Jaccard ≥ threshold, via an
+    * inverted-index self-join: pairs are only generated for documents
+    * sharing ≥1 shingle, so cost is Σ_shingle C(freq,2) instead of C(N,2).
+    * Hot shingles (stop-shingles) can be capped with `maxShingleFreq`.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxShingleFreq: Option[Int] = None): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .withColumn("sh_size", size(col("sh")))
+    val inv0 = sh.select(col("id"), col("sh_size"), explode(col("sh")).as("shingle"))
+    val inv = maxShingleFreq match {
+      case Some(cap) =>
+        val freq = inv0.groupBy("shingle").agg(count(lit(1)).as("f"))
+          .filter(col("f") <= cap).select("shingle")
+        inv0.join(freq, Seq("shingle"), "left_semi")
+      case None => inv0
+    }
+    val a = inv.select(col("shingle"), col("id").as("i"), col("sh_size").as("si"))
+    val b = inv.select(col("shingle"), col("id").as("j"), col("sh_size").as("sj"))
+    a.join(b, Seq("shingle"))
+      .filter(col("i") < col("j"))
+      .groupBy("i", "j", "si", "sj")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("si") + col("sj") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Greedy cluster-to-representative reduction of a pair list: every doc
+    * connected to a smaller id is dropped (one pass — for full transitive
+    * closure iterate [[connectedComponents]]). */
+  def dropDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("j").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /** Connected components over dup pairs via iterative label propagation
+    * (small iteration count; each step one shuffle). Returns (id, component)
+    * where component = min id reachable. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("i"), col("j"))
+      .unionByName(pairs.select(col("j").as("i"), col("i").as("j")))
+    var labels = edges.select(col("i").as("id"))
+      .union(edges.select(col("j").as("id"))).distinct()
+      .withColumn("comp", col("id"))
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      val prop = edges.join(labels, edges("j") === labels("id"))
+        .select(edges("i").as("id"), col("comp"))
+      val next = labels.select(col("id"), col("comp")).unionByName(prop)
+        .groupBy("id").agg(min("comp").as("comp"))
+      val diff = next.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
+        .filter(col("comp") =!= col("old")).limit(1).count()
+      changed = diff > 0
+      labels = next.localCheckpoint(eager = true)
+      iter += 1
+    }
+    labels
+  }
+
+  // ------------------------------------------------------------ minhash
+  /** Deterministic seed list for the signature hash family. */
+  private def seeds(k: Int): Seq[Int] = (0 until k).map(i => 0x9e3779b9 + i * 0x85ebca6b)
+
+  /** MinHash signatures: k permutation-mins per document, computed from one
+    * explode of the shingle sets (k mins aggregated per doc — one shuffle
+    * of (id, k·8 bytes), independent of document length). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, k: Int = 64): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("shingle"))
+    val minCols = seeds(k).zipWithIndex.map { case (s, i) =>
+      min(xxhash64(col("shingle"), lit(s))).as(s"h$i")
+    }
+    exploded.groupBy("id").agg(minCols.head, minCols.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("signature"))
+  }
+
+  /** LSH banding: (band, hash-of-band-rows) buckets; docs sharing a bucket
+    * are candidate pairs. bands×rows must equal the signature length. */
+  def lshCandidates(signatures: DataFrame, bands: Int = 16, rows: Int = 4): DataFrame = {
+    val banded = signatures.select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(array_join(
+            transform(slice(col("signature"), b * rows + 1, lit(rows)),
+              h => h.cast("string")), ",")))
+      ).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("i"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("j"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+  }
+
+  /** Estimated Jaccard from signature agreement, for candidate filtering. */
+  def estimateJaccard(signatures: DataFrame, candidates: DataFrame): DataFrame = {
+    val s1 = signatures.select(col("id").as("i"), col("signature").as("sig_i"))
+    val s2 = signatures.select(col("id").as("j"), col("signature").as("sig_j"))
+    candidates.join(s1, "i").join(s2, "j")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_i"), col("sig_j"), (x, y) => x === y),
+          (eq: Column) => eq)).cast("double") / size(col("sig_i")))
+      .select("i", "j", "est_jaccard")
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signatures → bucket candidates →
+    * signature-estimated Jaccard ≥ threshold. */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+                 k: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, n, k)
+    val cands = lshCandidates(sigs, bands, k / bands)
+    estimateJaccard(sigs, cands).filter(col("est_jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------------ simhash
+  /** 64-bit SimHash over shingle hashes: bit i of the signature is the sign
+    * of Σ_shingles (±1 per shingle depending on bit i of its hash). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      xxhash64(explode(shingles(col(textCol), n))).as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1)).as(s"b$i")
+    }
+    exploded.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 64).foldLeft[Column](lit(0L)) { (acc, i) =>
+          acc.bitwiseOR(when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        }.as("simhash"))
+  }
+
+  /** Candidate pairs within `maxHamming` bits, using 4×16-bit chunk banding
+    * (pigeonhole: any pair within hamming ≤ 3 shares at least one exact
+    * 16-bit chunk). */
+  def simhashNearPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = sigs.select(col("id"), col("simhash"), posexplode(
+        array((0 until 4).map(c =>
+          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      .as(Seq("chunk", "val")))
+    val a = chunks.select(col("chunk"), col("val"), col("id").as("i"), col("simhash").as("sh_i"))
+    val b = chunks.select(col("chunk"), col("val"), col("id").as("j"), col("simhash").as("sh_j"))
+    a.join(b, Seq("chunk", "val"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"),
+        bit_count(col("sh_i").bitwiseXOR(col("sh_j"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

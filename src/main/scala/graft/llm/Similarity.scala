@@ -1,0 +1,121 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k (exact; one broadcast of the query
+  * set, no corpus shuffle). Scale paths: IVF coarse quantization (probe a
+  * fraction of the corpus) and random-hyperplane LSH bucketing — both keep
+  * the corpus partition-local and shuffle only (id, bucket) assignments.
+  */
+object Similarity {
+
+  /** Elementwise dot product of two double-array columns (codegen'd). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k neighbors for each query vector, by cosine similarity.
+    * The query side should be small (it is broadcast); the corpus is
+    * scanned once with no shuffle except the final per-query top-k.
+    * Ties broken by ascending corpus id for determinism.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("cv"), col("qv")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  // ------------------------------------------------------------ IVF
+  /** Deterministic coarse centroids: the first `nlist` corpus vectors by id
+    * (a stand-in for k-means training — the partition/probe machinery is
+    * what matters to the engine; swap in trained centroids at will). */
+  def centroids(corpus: DataFrame, nlist: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.orderBy(col(idCol)).limit(nlist)
+      .select(monotonically_increasing_id().as("centroid_id"),
+        asDouble(col(vecCol)).as("centroid"))
+
+  /** Assign every corpus vector to its nearest centroid (broadcast the
+    * centroid table; corpus stays partition-local). */
+  def ivfAssign(corpus: DataFrame, cents: DataFrame,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(broadcast(cents))
+      .select(col("corpus_id"), col("cv"), col("centroid_id"),
+        cosine(col("cv"), col("centroid")).as("csim"))
+    val w = Window.partitionBy("corpus_id").orderBy(col("csim").desc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("corpus_id"), col("cv"), col("centroid_id"))
+  }
+
+  /** IVF search: probe the `nprobe` nearest centroids per query, then exact
+    * cosine within the probed cells only. Approximate; recall grows with
+    * nprobe. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 16,
+              nprobe: Int = 4, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val cents = centroids(corpus, nlist, idCol, vecCol).cache()
+    val assigned = ivfAssign(corpus, cents, idCol, vecCol)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val qprobe = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("centroid_id"),
+        cosine(col("qv"), col("centroid")).as("csim"))
+    val wq = Window.partitionBy("query_id").orderBy(col("csim").desc, col("centroid_id"))
+    val probes = qprobe.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe).select("query_id", "qv", "centroid_id")
+    val scored = assigned.join(probes, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), cosine(col("cv"), col("qv")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  // ------------------------------------------------------------ LSH
+  /** Random-hyperplane signature: bit h = sign(v · r_h) with deterministic
+    * pseudo-random hyperplanes derived from (dim, plane) hashes. Cosine-
+    * similar vectors agree on most bits. */
+  def hyperplaneSignature(vec: Column, nPlanes: Int = 16): Column = {
+    val planes = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(asDouble(vec), sequence(lit(0), size(vec) - 1),
+          // deterministic pseudo-random weight in [-1,1) per (plane, dim)
+          (x, i) => x * (pmod(xxhash64(lit(p), i), lit(2000001L)).cast("double")
+            / 1000000.0 - 1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    planes.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Bucketed approximate neighbor candidates: vectors sharing a signature
+    * band. Used as the pre-filter in front of exact re-ranking. */
+  def lshBucketCandidates(corpus: DataFrame, nPlanes: Int = 16,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val sigs = corpus.select(col(idCol).as("id"),
+      hyperplaneSignature(col(vecCol), nPlanes).as("sig"))
+    val a = sigs.select(col("sig"), col("id").as("i"))
+    val b = sigs.select(col("sig"), col("id").as("j"))
+    a.join(b, Seq("sig")).filter(col("i") < col("j")).select("i", "j")
+  }
+}

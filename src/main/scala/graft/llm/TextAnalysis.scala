@@ -1,0 +1,118 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis columns for training-data pipelines.
+  *
+  * Everything here is a pure `Column` expression (codegen'd, no UDF): at
+  * 100 TB these run inside the parquet scan stage with zero shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization; empty/blank text → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: word-boundary pieces + long-word
+    * splits (a deterministic proxy for tokenizer cost, no vocab needed). */
+  def subwordCountEstimate(text: Column, pieceLen: Int = 4): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, w) => acc + ceil(length(w).cast("double") / pieceLen).cast("long"))
+
+  // ------------------------------------------------------------ quality
+  def charCount(text: Column): Column = length(text)
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
+        .cast("double") / length(text))
+
+  /** Fraction of characters that are uppercase letters. */
+  def upperRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[A-Z]", "")))
+        .cast("double") / length(text))
+
+  /** Fraction of alphabetic characters. */
+  def alphaRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[A-Za-z]", "")))
+        .cast("double") / length(text))
+
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "this")
+
+  /** Fraction of tokens that are stopwords — a classic fluency signal. */
+  def stopwordRatio(text: Column, stops: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => lower(t).isin(stops: _*))).cast("double")
+        / size(toks))
+  }
+
+  def meanWordLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double")
+        / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: length, stopword presence, casing and
+    * punctuation sanity. Deterministic, documented, tunable weights. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punctOk = when(punctRatio(text) < 0.2, 1.0).otherwise(0.0)
+    val upperOk = when(upperRatio(text) < 0.3, 1.0).otherwise(0.0)
+    round((lenScore * 0.4 + stopScore * 0.3 + punctOk * 0.15 + upperOk * 0.15), 6)
+  }
+
+  // ------------------------------------------------------------ lang id
+  /** Marker stopwords per language for the n-gram-free heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "and", "is", "of", "to", "in", "that", "it"),
+    "es" -> Seq("el", "la", "los", "que", "y", "es", "en", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "des", "une"))
+
+  /** Heuristic language ID: count marker-word hits per language, argmax with
+    * alphabetical-first tie-break; no hits at all → "und" (undetermined).
+    * A real system swaps in fastText/CLD — the engine surface (a derived
+    * column over the documents table) is identical.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => lower(t).isin(markers: _*)))
+    }
+    val best = scores.foldLeft[Column](lit(null).cast("string")) {
+      case (acc, (lang, score)) =>
+        // earlier (alphabetically-first) languages win ties: strict > later
+        val beatsAll = scores.filter(_._1 != lang).map {
+          case (other, oscore) =>
+            if (other < lang) score > oscore else score >= oscore
+        }.reduce(_ && _)
+        when(acc.isNull && beatsAll && score > 0, lit(lang)).otherwise(acc)
+    }
+    coalesce(best, lit("und"))
+  }
+
+  // ------------------------------------------------------------ fingerprint
+  /** Canonical content fingerprint: md5 over the sorted distinct token bag.
+    * Robust to word order and repetition — the standard "fingerprint"
+    * normalization for entity/document matching. */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " "))
+
+  /** Polynomial rolling hash over the token stream (order-sensitive
+    * complement to [[fingerprint]]); base 31, 64-bit wraparound. */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, w) => acc * lit(31L) + xxhash64(w))
+}

@@ -1,0 +1,140 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Crawl pipeline — ingest a source tree into a dataset (SURVEY.md §3.1).
+  *
+  * Reference lifecycle (ftm_datalake/crawl.py): key listing (S1) + glob
+  * predicates (P2) → skip-existing (I2, a per-key existence RPC) → per-file
+  * staging + sha1 + archive (S9) → documents rebuild + index.
+  *
+  * Spark shape: ONE declarative plan — `binaryFile` scan → glob filter →
+  * anti-join against the existing documents table (set-at-a-time instead of
+  * per-key RPCs) → checksum + metadata projection. The blob-copy stage is the
+  * only imperative part and runs `foreachPartition` on executors.
+  *
+  * Scale: the binaryFile source distributes file reads across executors;
+  * the anti-join on `key` is a shuffle of metadata only (never content);
+  * prefix-shaped globs prune at the listing. At 100 TB of blobs the content
+  * column flows scan→sha1→(copy) within one stage and is never shuffled.
+  */
+object Crawl {
+
+  /** S1: recursive listing of a source tree as (key, size, modificationTime),
+    * excluding the metadata subtree (P5). Content is NOT read here —
+    * binaryFile pushes `path/length/modificationTime` down to the listing.
+    */
+  def listKeys(spark: SparkSession, sourceUri: String,
+               metadataPrefix: String = ".ftm_datalake"): DataFrame = {
+    val base = sourceUri.stripSuffix("/")
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(base)
+      .select(
+        regexp_replace(col("path"), "^.*?" + java.util.regex.Pattern.quote(base) + "/", "")
+          .as("key"),
+        col("length").as("size"),
+        col("modificationTime").as("updated_at"))
+      .filter(!col("key").startsWith(metadataPrefix))
+  }
+
+  /** P2: include/exclude glob filter on keys. */
+  def applyGlobs(keys: DataFrame, include: Option[String],
+                 exclude: Option[String]): DataFrame =
+    keys.filter(GraftFunctions.globFilter(col("key"), include, exclude))
+
+  /** J2: drop candidates whose key is already archived (skip_existing). */
+  def skipExisting(candidates: DataFrame, existing: DataFrame): DataFrame =
+    candidates.join(existing.select("key"), Seq("key"), "left_anti")
+
+  /** Read content and derive the new documents rows: checksum (F1), mimetype
+    * guess, timestamps (F7). This is the data-plane stage — content bytes
+    * stay within the scan stage and only the metadata projection survives.
+    */
+  def hashAndDescribe(spark: SparkSession, sourceUri: String, keys: DataFrame,
+                      algorithm: String = "sha1"): DataFrame = {
+    val base = sourceUri.stripSuffix("/")
+    val blobs = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(base)
+      .select(
+        regexp_replace(col("path"), "^.*?" + java.util.regex.Pattern.quote(base) + "/", "")
+          .as("key"),
+        col("content"), col("length").as("size"),
+        col("modificationTime").as("mtime"))
+    blobs
+      .join(keys.select("key"), Seq("key"), "left_semi")
+      .select(
+        col("key"),
+        GraftFunctions.checksum(col("content"), algorithm).as("content_hash"),
+        col("size"),
+        guessMimetype(col("key")).as("mimetype"),
+        col("mtime").as("created_at"),
+        col("mtime").as("updated_at"))
+  }
+
+  /** Extension-based mimetype guess (the reference delegates to libmagic /
+    * anystore Stats; extension mapping is the deterministic core we need for
+    * schema stats). */
+  def guessMimetype(key: Column): Column = {
+    val ext = lower(element_at(split(GraftFunctions.basename(key), "\\."), -1))
+    val m = Map(
+      "pdf" -> "application/pdf",
+      "doc" -> "application/msword",
+      "docx" -> "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+      "html" -> "text/html", "htm" -> "text/html", "xml" -> "text/xml",
+      "csv" -> "text/csv", "xls" -> "application/vnd.ms-excel",
+      "xlsx" -> "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+      "png" -> "image/png", "gif" -> "image/gif", "jpg" -> "image/jpeg",
+      "jpeg" -> "image/jpeg", "tif" -> "image/tiff", "tiff" -> "image/tiff",
+      "eml" -> "message/rfc822", "msg" -> "application/vnd.ms-outlook",
+      "txt" -> "text/plain", "rtf" -> "application/rtf")
+    m.foldLeft(lit("application/octet-stream")) { case (acc, (e, mt)) =>
+      when(ext === e, lit(mt)).otherwise(acc)
+    }
+  }
+
+  /** End-to-end crawl: candidates → new document rows (no blob copy — the
+    * archive-copy stage is [[ArchiveCopy.copyBlobs]]). */
+  def crawl(spark: SparkSession, sourceUri: String, existing: DataFrame,
+            include: Option[String] = None, exclude: Option[String] = None): DataFrame = {
+    val keys = applyGlobs(listKeys(spark, sourceUri), include, exclude)
+    val fresh = skipExisting(keys, existing)
+    hashAndDescribe(spark, sourceUri, fresh)
+  }
+}
+
+/** The blob-copy stage of archiving (S9): executor-side Hadoop FS copy into
+  * the content-addressed layout `<lake>/<dataset>/<ab/cd/ef/hash>` (F2).
+  * Kept out of the DataFrame plane — it is IO, not relational work.
+  */
+object ArchiveCopy {
+  def copyBlobs(spark: SparkSession, rows: DataFrame, sourceBase: String,
+                lakeBase: String): Long = {
+    val base = sourceBase.stripSuffix("/")
+    val lake = lakeBase.stripSuffix("/")
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val copied = spark.sparkContext.longAccumulator("blobs_copied")
+    rows.select("key", "content_hash").foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        val conf = confBc.value.value
+        it.foreach { r =>
+          val key = r.getString(0); val ch = r.getString(1)
+          val src = new org.apache.hadoop.fs.Path(s"$base/$key")
+          val shard = s"${ch.substring(0, 2)}/${ch.substring(2, 4)}/${ch.substring(4, 6)}/$ch"
+          val dst = new org.apache.hadoop.fs.Path(s"$lake/$shard")
+          val sfs = src.getFileSystem(conf); val dfs = dst.getFileSystem(conf)
+          if (!dfs.exists(dst)) {
+            org.apache.hadoop.fs.FileUtil.copy(sfs, src, dfs, dst, false, true, conf)
+            copied.add(1)
+          }
+        }
+    }
+    copied.value
+  }
+}
