@@ -28,10 +28,23 @@ object GraftSession {
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md). */
 object Tables {
+  import org.apache.spark.sql.functions._
+
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects; read it as a long and convert ns → µs with integer division
+    * (ns epoch values exceed 2^53, so a double-valued `/` would corrupt
+    * them — `div` stays integral). The generator emits µs-precision values,
+    * so the truncation is lossless and matches DuckDB's reading exactly.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 }

@@ -1,13 +1,623 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Diff, Rebuild}
+import graft.functions.{Exact, GraftFunctions => F}
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.pipelines.{Crawl, Entities, Ledger, Make}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the LLM-pipeline extensions), each with a DuckDB oracle
+  * where SQL-expressible.
+  *
+  * Cross-engine determinism rules used throughout (so Spark and DuckDB
+  * hash-match bit-for-bit):
+  *  - double aggregation goes through decimal (exact, associative) and is
+  *    cast back to double — see [[graft.functions.Exact]];
+  *  - every window/top-k has a total order (explicit tie-break columns);
+  *  - floating-point formulas are written with the same operation order on
+  *    both sides and only rounded at the output boundary.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** documents + synthesized archive key `source/lang/<doc_id>.txt` and
+    * lang-derived mimetype — maps the testdata documents table onto the
+    * reference's file-metadata shape so every ftm-datalake operator has a
+    * concrete input. */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("key",
+        concat_ws("/", col("source"), col("lang"),
+          concat(col("doc_id").cast("string"), lit(".txt"))))
+      .withColumn("mimetype",
+        when(col("lang") === "en", "application/pdf")
+          .when(col("lang") === "de", "text/html")
+          .when(col("lang") === "es", "text/csv")
+          .when(col("lang") === "fr", "image/png")
+          .otherwise("text/plain"))
+
+  private val docsKeySql =
+    "source || '/' || lang || '/' || CAST(doc_id AS VARCHAR) || '.txt'"
+  private val docsMimeSql =
+    """CASE WHEN lang = 'en' THEN 'application/pdf'
+      |     WHEN lang = 'de' THEN 'text/html'
+      |     WHEN lang = 'es' THEN 'text/csv'
+      |     WHEN lang = 'fr' THEN 'image/png'
+      |     ELSE 'text/plain' END""".stripMargin
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q5_region_revenue")(spark, "/root/testdata/sf0.001")
+
+  // =====================================================================
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ----------------------------------------------------- TPC-H-ish core
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Exact.dsum(col("l_quantity")).as("sum_qty"),
+          Exact.dsum(col("l_extendedprice")).as("sum_base_price"),
+          Exact.dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount"))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q3_shipping_priority" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        .agg(Exact.dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount"))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q5_region_revenue" -> ((s, dir) => {
+      val r = t(s, dir, "region")
+      val n = t(s, dir, "nation")
+      val cu = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cu, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(Exact.dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount"))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // ------------------------------------------- projections & predicates
+    "p1_project_keys" -> ((s, dir) =>
+      // P1/F5: single-column-style projection of derived key + basename
+      docs(s, dir).select(col("doc_id"), col("key"),
+        F.basename(col("key")).as("name"))),
+
+    "p2_glob_include_exclude" -> ((s, dir) =>
+      // P2/F9: fnmatch-style include/exclude globs compiled to rlike
+      docs(s, dir)
+        .filter(F.globFilter(col("key"), Some("src1*"), Some("*/zh/*")))
+        .select("doc_id", "key")),
+
+    // ------------------------------------------------------------- joins
+    "j1_anti_deletions" -> ((s, dir) => {
+      // J1: drop rows whose key appears in a deletions set
+      val cu = t(s, dir, "customer")
+      val deleted = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey").as("c_custkey"))
+      cu.join(deleted, Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    "j2_semi_existing" -> ((s, dir) => {
+      // J2/P7: set-at-a-time existence check (skip_existing)
+      val cu = t(s, dir, "customer")
+      val open = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("c_custkey"))
+      cu.join(open, Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_acctbal")
+    }),
+
+    "j3_make_reconcile" -> ((s, dir) => {
+      // J3/A4 + §3.2: full-outer source-vs-metadata reconcile with
+      // add/delete/verify/integrity-error dispatch, via Make.reconcile.
+      val d = docs(s, dir)
+      val ts = to_timestamp(lit("2024-01-01"))
+      val source = d.filter(col("doc_id") % 13 =!= 0).select(
+        col("key"),
+        when(col("doc_id") % 11 === 0, md5(concat(col("text"), lit("x"))))
+          .otherwise(md5(col("text"))).as("content_hash"),
+        col("n_chars").as("size"), col("mimetype"),
+        ts.as("created_at"), ts.as("updated_at"))
+      val meta = d.filter(col("doc_id") % 7 =!= 0).select(
+        col("key"), md5(col("text")).as("content_hash"),
+        col("n_chars").as("size"), col("mimetype"),
+        ts.as("created_at"), ts.as("updated_at"))
+      Make.status(Make.reconcile(source, meta))
+    }),
+
+    "j5_point_lookup" -> ((s, dir) =>
+      // J5: point read; the filter is pushed down to the parquet scan
+      t(s, dir, "lineitem").filter(col("l_orderkey") === 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")),
+
+    "j6_path_ancestors" -> ((s, dir) =>
+      // J6: distinct ancestor folders, shallowest first (replaces per-key
+      // recursion+lock in the reference with one dataframe pass)
+      Entities.ancestorFolders(docs(s, dir))
+        .withColumn("depth", col("depth").cast("long"))),
+
+    "j7_entity_blob_join" -> ((s, dir) => {
+      // J7: entity↔blob equi-join on checksum-like key
+      val e = t(s, dir, "embeddings")
+      val d = t(s, dir, "documents")
+      e.join(d, e("vec_id") === d("doc_id"))
+        .groupBy("label", "lang").agg(count(lit(1)).as("n"))
+    }),
+
+    // ------------------------------------------------------ aggregations
+    "a1_total_size" -> ((s, dir) =>
+      // A1: total byte size of a dataset
+      t(s, dir, "documents")
+        .agg(sum("n_chars").cast("long").as("total_file_size"))),
+
+    "a2_schema_counts" -> ((s, dir) =>
+      // A2/F4: per-FTM-schema counts derived from mimetype
+      docs(s, dir)
+        .withColumn("doc_schema", F.mimeToSchema(col("mimetype")))
+        .groupBy("doc_schema").agg(count(lit(1)).as("n"))),
+
+    "a3_distinct_users" -> ((s, dir) =>
+      // A3: exact count-distinct per group
+      t(s, dir, "events").groupBy("event_type")
+        .agg(countDistinct("user_id").as("users"))),
+
+    "a5_latest_version" -> ((s, dir) =>
+      // A5/O2: max version timestamp
+      t(s, dir, "events").agg(
+        date_format(max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("max_ts"))),
+
+    "a6_keep_latest" -> ((s, dir) =>
+      // A6/W1: last-writer-wins dedup per key (the rebuild kernel's heart)
+      Rebuild.keepLatest(t(s, dir, "events"), Seq("user_id"), "ts",
+          tieBreak = Seq("event_id"))
+        .select("user_id", "event_id", "event_type", "value")),
+
+    "a7_catalog_rollup" -> ((s, dir) =>
+      // A7: per-dataset index rollup
+      t(s, dir, "documents").groupBy("source").agg(
+        count(lit(1)).as("file_count"),
+        sum("n_chars").cast("long").as("total_chars"),
+        countDistinct("lang").as("n_langs"))),
+
+    // ----------------------------------------------------------- set ops
+    "u1_union_rebuild" -> ((s, dir) => {
+      // U1: current ∪ added (documents rebuild first stage)
+      val o = t(s, dir, "orders")
+      val lo = o.filter(col("o_totalprice") < 100000)
+      val hi = o.filter(col("o_totalprice") >= 100000)
+      lo.unionByName(hi).groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    }),
+
+    "u2_snapshot_diff" -> ((s, dir) => {
+      // U2/I3: relational snapshot diff (+/- rows) between two rebuilt
+      // states — the reference's unified-diff change feed, set-at-a-time.
+      val ev = t(s, dir, "events")
+      val cut = ev.agg(floor(max("event_id") / lit(2.0)).cast("long").as("cut"))
+      def state(df: DataFrame): DataFrame =
+        Rebuild.keepLatest(df, Seq("user_id"), "ts", tieBreak = Seq("event_id"))
+          .select("user_id", "event_type", "value")
+      val old = state(ev.crossJoin(broadcast(cut))
+        .filter(col("event_id") <= col("cut")).drop("cut"))
+      val next = state(ev)
+      Diff.snapshotDiff(old, next)
+    }),
+
+    // --------------------------------------------------- scalar functions
+    "f1_checksum_shard" -> ((s, dir) =>
+      // F1/F2: content checksums + content-addressed shard path
+      docs(s, dir).select(
+        col("doc_id"),
+        md5(col("text")).as("content_hash"),
+        sha2(col("text"), 256).as("sha256_hash"),
+        F.shardedChecksumKey(md5(col("text"))).as("shard_path"))),
+
+    "f6_entity_projection" -> ((s, dir) => {
+      // F3/F4/F5/F6: file rows → FollowTheMoney entities (flat variant)
+      val d = docs(s, dir)
+        .withColumn("content_hash", md5(col("text")))
+        .withColumn("size", col("n_chars"))
+      Entities.fromDocumentsFlat(d, "testdata", algorithm = "md5")
+    }),
+
+    "f7_f11_json_coalesce" -> ((s, dir) =>
+      // F7/F11: JSON field extraction + null-coalescing defaults
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        coalesce(nullif(get_json_object(col("props"), "$.k").cast("long"), lit(0)),
+          col("user_id")).as("k_or_user"))),
+
+    // ------------------------------------------------ incremental / ledger
+    "i1_ledger_pending" -> ((s, dir) => {
+      // I1/I2: candidates anti-joined against the completed-task ledger
+      val ev = t(s, dir, "events")
+      val candidates = ev.select(col("event_id").as("key"), col("event_type"))
+      val ledger = ev.filter(col("event_id") % 3 === 0).select(
+        col("event_id").cast("string").as("task_key"),
+        lit("testdata").as("dataset"), lit("ingest").as("action"),
+        col("ts").as("completed_at"))
+      Ledger.pending(
+          candidates.withColumn("key", col("key").cast("string")),
+          ledger, "testdata", "ingest")
+        .groupBy("event_type").agg(count(lit(1)).as("pending"))
+    }),
+
+    // ------------------------------------------------- streaming analog
+    "st_hourly_window" -> ((s, dir) =>
+      // Tumbling event-time window aggregation (same plan Structured
+      // Streaming produces for readStream+window; see StreamingSpec)
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("total_value"))
+        .select(date_format(col("ws"), "yyyy-MM-dd HH").as("window_start"),
+          col("event_type"), col("n"), col("total_value"))),
+
+    // ------------------------------------------------------ dedup family
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "content_hash", "dup_count")),
+
+    "dedup_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      // no SQL oracle (hash-family specific); recall vs exact Jaccard is
+      // asserted in DedupSpec
+      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, k = 64, bands = 16, threshold = 0.5)
+        .select(col("i"), col("j"), round(col("est_jaccard"), 6).as("est_jaccard"))),
+
+    "dedup_simhash" -> ((s, dir) =>
+      // no SQL oracle; behavior asserted in DedupSpec
+      Dedup.simhashNearPairs(
+        Dedup.simhashSignatures(t(s, dir, "documents"), "doc_id", "text"),
+        maxHamming = 3)),
+
+    // ------------------------------------------------- similarity search
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .withColumnRenamed("rank", "rk")
+    }),
+
+    "ann_ivf_topk" -> ((s, dir) => {
+      // approximate variant — recall vs brute force asserted in
+      // SimilaritySpec; no SQL oracle
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+          nlist = 16, nprobe = 4)
+        .withColumnRenamed("rank", "rk")
+    }),
+
+    // ------------------------------------------------------ text analysis
+    "text_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TA.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TA.subwordCountEstimate(col("text")).cast("long").as("n_subwords"),
+        TA.fingerprint(col("text")).as("fingerprint"))),
+
+    "text_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        round(TA.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TA.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(TA.meanWordLength(col("text")), 6).as("mean_word_len"),
+        TA.qualityScore(col("text")).as("quality"))),
+
+    "text_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TA.langId(col("text")).as("lang_pred"))),
+
+    // --------------------------------------------------------- multimodal
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.asMedia(
+          t(s, dir, "documents").withColumn("bin", col("text").cast("binary")),
+          "doc_id", "bin", "image", "image/png")
+        .select("media_id", "modality", "mime_type", "byte_size")),
+
+    "multimodal_frames" -> ((s, dir) =>
+      // frame-sampling explode over binary media; stub-derived frame count
+      // (no SQL oracle — xxhash64-keyed stub; plumbing tested in
+      // MultimodalSpec)
+      Multimodal.sampleFramesStub(
+        Multimodal.asMedia(
+          t(s, dir, "documents").withColumn("bin", col("text").cast("binary")),
+          "doc_id", "bin", "video", "video/mp4"), n = 4))
+  )
+
+  // =====================================================================
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1998-01-01'
+        | AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "p1_project_keys" ->
+      s"""SELECT doc_id, $docsKeySql AS key,
+         | CAST(doc_id AS VARCHAR) || '.txt' AS name
+         |FROM documents""".stripMargin,
+
+    "p2_glob_include_exclude" ->
+      s"""SELECT doc_id, $docsKeySql AS key FROM documents
+         |WHERE ($docsKeySql) LIKE 'src1%'
+         |  AND ($docsKeySql) NOT LIKE '%/zh/%'""".stripMargin,
+
+    "j1_anti_deletions" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""".stripMargin,
+
+    "j2_semi_existing" ->
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')""".stripMargin,
+
+    "j3_make_reconcile" ->
+      s"""WITH src AS (
+         |  SELECT $docsKeySql AS key,
+         |    CASE WHEN doc_id % 11 = 0 THEN md5(text || 'x') ELSE md5(text) END AS h
+         |  FROM documents WHERE doc_id % 13 <> 0),
+         |meta AS (
+         |  SELECT $docsKeySql AS key, md5(text) AS h
+         |  FROM documents WHERE doc_id % 7 <> 0)
+         |SELECT CASE WHEN m.key IS NULL THEN 'added'
+         |            WHEN s.key IS NULL THEN 'deleted'
+         |            WHEN s.h <> m.h THEN 'integrity_error'
+         |            ELSE 'verify' END AS action,
+         |       count(*) AS n
+         |FROM src s FULL OUTER JOIN meta m ON s.key = m.key
+         |GROUP BY 1""".stripMargin,
+
+    "j5_point_lookup" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem WHERE l_orderkey = 1""".stripMargin,
+
+    "j6_path_ancestors" ->
+      s"""WITH k AS (SELECT $docsKeySql AS key FROM documents),
+         |a AS (SELECT unnest([string_split(key, '/')[1],
+         |                     string_split(key, '/')[1] || '/' || string_split(key, '/')[2]]) AS folder
+         |      FROM k)
+         |SELECT DISTINCT folder,
+         |       CAST(len(string_split(folder, '/')) AS BIGINT) AS depth
+         |FROM a""".stripMargin,
+
+    "j7_entity_blob_join" ->
+      """SELECT label, lang, count(*) AS n
+        |FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        |GROUP BY label, lang""".stripMargin,
+
+    "a1_total_size" ->
+      "SELECT CAST(sum(n_chars) AS BIGINT) AS total_file_size FROM documents",
+
+    "a2_schema_counts" ->
+      s"""SELECT CASE WHEN lang = 'en' THEN 'Pages'
+         |            WHEN lang = 'de' THEN 'HyperText'
+         |            WHEN lang = 'es' THEN 'Table'
+         |            WHEN lang = 'fr' THEN 'Image'
+         |            ELSE 'PlainText' END AS doc_schema,
+         |       count(*) AS n
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "a3_distinct_users" ->
+      "SELECT event_type, count(DISTINCT user_id) AS users FROM events GROUP BY event_type",
+
+    "a5_latest_version" ->
+      "SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts FROM events",
+
+    "a6_keep_latest" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT e.*, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events e) s
+        |WHERE rn = 1""".stripMargin,
+
+    "a7_catalog_rollup" ->
+      """SELECT source, count(*) AS file_count,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | count(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "u1_union_rebuild" ->
+      """SELECT o_orderstatus, count(*) AS n FROM (
+        |  SELECT * FROM orders WHERE o_totalprice < 100000
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_totalprice >= 100000) u
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "u2_snapshot_diff" ->
+      """WITH cut AS (SELECT CAST(floor(max(event_id) / 2.0) AS BIGINT) AS c FROM events),
+        |old AS (SELECT user_id, event_type, value FROM (
+        |  SELECT e.*, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events e, cut WHERE event_id <= c) s WHERE rn = 1),
+        |nxt AS (SELECT user_id, event_type, value FROM (
+        |  SELECT e.*, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events e) s WHERE rn = 1)
+        |SELECT user_id, event_type, value, '+' AS diff_op
+        |  FROM (SELECT * FROM nxt EXCEPT ALL SELECT * FROM old) a
+        |UNION ALL
+        |SELECT user_id, event_type, value, '-' AS diff_op
+        |  FROM (SELECT * FROM old EXCEPT ALL SELECT * FROM nxt) d""".stripMargin,
+
+    "f1_checksum_shard" ->
+      """SELECT doc_id, md5(text) AS content_hash, sha256(text) AS sha256_hash,
+        | substr(md5(text),1,2) || '/' || substr(md5(text),3,2) || '/' ||
+        | substr(md5(text),5,2) || '/' || md5(text) AS shard_path
+        |FROM documents""".stripMargin,
+
+    "f6_entity_projection" ->
+      s"""SELECT 'testdata-file-' || md5('["' || ($docsKeySql) || '","' || md5(text) || '"]') AS id,
+         | CASE WHEN lang = 'en' THEN 'Pages'
+         |      WHEN lang = 'de' THEN 'HyperText'
+         |      WHEN lang = 'es' THEN 'Table'
+         |      WHEN lang = 'fr' THEN 'Image'
+         |      ELSE 'PlainText' END AS "schema",
+         | md5(text) AS contentHash,
+         | CAST(doc_id AS VARCHAR) || '.txt' AS fileName,
+         | CAST(n_chars AS VARCHAR) AS fileSize,
+         | $docsMimeSql AS mimeType
+         |FROM documents""".stripMargin,
+
+    "f7_f11_json_coalesce" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        | coalesce(nullif(CAST(json_extract_string(props, '$.k') AS BIGINT), 0), user_id) AS k_or_user
+        |FROM events""".stripMargin,
+
+    "i1_ledger_pending" ->
+      """SELECT event_type, count(*) AS pending FROM events e
+        |WHERE NOT (event_id % 3 = 0)
+        |GROUP BY event_type""".stripMargin,
+
+    "st_hourly_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS window_start,
+        | event_type, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
+        | count(*) AS dup_count
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_jaccard_pairs" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(words[i:i+2], ' ')
+        |                 for i in range(1, greatest(len(words) - 2, 1) + 1)]) AS s
+        |  FROM w),
+        |inv AS (SELECT doc_id, len(s) AS ssize, unnest(s) AS shingle FROM sh),
+        |p AS (SELECT a.doc_id AS i, b.doc_id AS j, a.ssize AS si, b.ssize AS sj,
+        |        count(*) AS inter
+        |      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT i, j,
+        |  round(CAST(inter AS DOUBLE) / CAST(si + sj - inter AS DOUBLE), 6) AS jaccard
+        |FROM p
+        |WHERE CAST(inter AS DOUBLE) / CAST(si + sj - inter AS DOUBLE) >= 0.5""".stripMargin,
+
+    "ann_cosine_topk" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, v FROM c WHERE vec_id < 5),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |        list_sum([q.v[i] * c.v[i] for i in range(1, 65)]) /
+        |        (sqrt(list_sum([q.v[i] * q.v[i] for i in range(1, 65)])) *
+        |         sqrt(list_sum([c.v[i] * c.v[i] for i in range(1, 65)]))) AS sim
+        |      FROM c CROSS JOIN q WHERE q.vec_id <> c.vec_id),
+        |r AS (SELECT query_id, corpus_id, sim,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY sim DESC, corpus_id) AS rk FROM s)
+        |SELECT query_id, rk, corpus_id, round(sim, 6) AS sim
+        |FROM r WHERE rk <= 10""".stripMargin,
+
+    "text_tokens" ->
+      """WITH w AS (SELECT doc_id, text,
+        |  string_split_regex(trim(text), '\s+') AS words FROM documents)
+        |SELECT doc_id,
+        | CAST(len(words) AS BIGINT) AS n_tokens,
+        | CAST(list_sum([CAST(ceil(length(x) / 4.0) AS BIGINT) for x in words]) AS BIGINT) AS n_subwords,
+        | md5(array_to_string(list_sort(list_distinct(
+        |   string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fingerprint
+        |FROM w""".stripMargin,
+
+    "text_quality" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  string_split_regex(trim(text), '\s+') AS words,
+        |  CAST(length(text) AS DOUBLE) AS n FROM documents),
+        |m AS (SELECT doc_id, text, words, n,
+        |  CAST(len(words) AS DOUBLE) AS nw,
+        |  CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / n AS punct_ratio,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / n AS upper_ratio,
+        |  CAST(len(list_filter(words, x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this'))) AS DOUBLE) / CAST(len(words) AS DOUBLE) AS stop_ratio,
+        |  CAST(list_sum([length(x) for x in words]) AS DOUBLE) / CAST(len(words) AS DOUBLE) AS mean_wl
+        |  FROM b)
+        |SELECT doc_id,
+        | round(punct_ratio, 6) AS punct_ratio,
+        | round(stop_ratio, 6) AS stopword_ratio,
+        | round(mean_wl, 6) AS mean_word_len,
+        | round(least(nw / 100.0, 1.0) * 0.4 + least(stop_ratio * 4.0, 1.0) * 0.3 +
+        |   (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END) * 0.15 +
+        |   (CASE WHEN upper_ratio < 0.3 THEN 1.0 ELSE 0.0 END) * 0.15, 6) AS quality
+        |FROM m""".stripMargin,
+
+    "text_langid" ->
+      """WITH w AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(words, x -> lower(x) IN ('der','die','das','und','ist','nicht','ein','mit'))) AS sde,
+        |  len(list_filter(words, x -> lower(x) IN ('the','and','is','of','to','in','that','it'))) AS sen,
+        |  len(list_filter(words, x -> lower(x) IN ('el','la','los','que','y','es','en','un'))) AS ses,
+        |  len(list_filter(words, x -> lower(x) IN ('le','la','les','et','est','que','des','une'))) AS sfr
+        |  FROM w)
+        |SELECT doc_id,
+        | CASE WHEN sde > 0 AND sde >= sen AND sde >= ses AND sde >= sfr THEN 'de'
+        |      WHEN sen > 0 AND sen >= sde AND sen >= ses AND sen >= sfr THEN 'en'
+        |      WHEN ses > 0 AND ses >= sde AND ses >= sen AND ses >= sfr THEN 'es'
+        |      WHEN sfr > 0 AND sfr >= sde AND sfr >= sen AND sfr >= ses THEN 'fr'
+        |      ELSE 'und' END AS lang_pred
+        |FROM sc""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'image' AS modality, 'image/png' AS mime_type,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS byte_size
+        |FROM documents""".stripMargin
+  )
 }

@@ -158,8 +158,9 @@ object Dedup {
     * of Σ_shingles (±1 per shingle depending on bit i of its hash). */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3): DataFrame = {
-    val exploded = df.select(col(idCol).as("id"),
-      xxhash64(explode(shingles(col(textCol), n))).as("h"))
+    val exploded = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("h"))
     val bitSums = (0 until 64).map { i =>
       sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1)).as(s"b$i")
     }
