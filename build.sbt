@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The container shell runs a POSIX locale, which makes the JVM native layer
+// mangle non-ASCII filenames (File.list → '?'), breaking archive-key parity.
+// -Dsun.jnu.encoding is ignored (cached before property parsing); only the
+// environment works, so set it for every forked JVM.
+Test / envVars ++= Map("LANG" -> "C.UTF-8", "LC_ALL" -> "C.UTF-8")
+run / envVars ++= Map("LANG" -> "C.UTF-8", "LC_ALL" -> "C.UTF-8")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +32,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // the container runs a POSIX locale; without these the JVM mangles
+  // non-ASCII filenames (sun.jnu.encoding drives File.list decoding)
+  "-Dfile.encoding=UTF-8",
+  "-Dsun.jnu.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -88,8 +88,11 @@ object GraftFunctions {
     */
   def pathAncestors(key: Column): Column = {
     val parts = split(key, "/")
-    transform(sequence(lit(1), size(parts) - 1),
-      i => array_join(slice(parts, lit(1), i), "/"))
+    // guard: sequence(1, 0) would count DOWN; single-component keys have no
+    // ancestors
+    when(size(parts) <= 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(parts) - 1),
+        i => array_join(slice(parts, lit(1), i), "/")))
   }
 
   // ---------------------------------------------------------------- F7

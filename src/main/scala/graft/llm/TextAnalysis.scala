@@ -110,9 +110,13 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " "))
 
-  /** Polynomial rolling hash over the token stream (order-sensitive
-    * complement to [[fingerprint]]); base 31, 64-bit wraparound. */
+  /** Rolling hash over the token stream (order-sensitive complement to
+    * [[fingerprint]]): rotate-left-5 ⊕ tokenhash per step. Pure bitwise ops
+    * — no arithmetic overflow under ANSI mode, deterministic at any scale. */
   def rollingHash(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
-      (acc, w) => acc * lit(31L) + xxhash64(w))
+    aggregate(tokens(text), lit(0L), (acc, w) => {
+      val rot = call_function("shiftleft", acc, lit(5))
+        .bitwiseOR(call_function("shiftrightunsigned", acc, lit(59)))
+      rot.bitwiseXOR(xxhash64(w))
+    })
 }

@@ -24,20 +24,30 @@ import graft.functions.GraftFunctions
 object Crawl {
 
   /** S1: recursive listing of a source tree as (key, size, modificationTime),
-    * excluding the metadata subtree (P5). Content is NOT read here —
-    * binaryFile pushes `path/length/modificationTime` down to the listing.
+    * excluding the metadata subtree (P5). Content is NOT read here.
+    *
+    * Uses the Hadoop FileSystem listing directly instead of the `binaryFile`
+    * source: Spark file sources silently skip zero-length files and
+    * glob-special filenames, both of which are legitimate archive keys (the
+    * reference corpus contains `empty.pdf`). Listing is driver-side (pure
+    * metadata); at 100 TB/millions of keys, fan the listing out by top-level
+    * prefix into [[hashAndDescribe]]-style executor tasks.
     */
   def listKeys(spark: SparkSession, sourceUri: String,
                metadataPrefix: String = ".ftm_datalake"): DataFrame = {
+    import spark.implicits._
     val base = sourceUri.stripSuffix("/")
-    spark.read.format("binaryFile")
-      .option("recursiveFileLookup", "true")
-      .load(base)
-      .select(
-        regexp_replace(col("path"), "^.*?" + java.util.regex.Pattern.quote(base) + "/", "")
-          .as("key"),
-        col("length").as("size"),
-        col("modificationTime").as("updated_at"))
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(basePath, true)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Long, java.sql.Timestamp)]
+    val prefix = fs.makeQualified(basePath).toString + "/"
+    while (it.hasNext) {
+      val st = it.next()
+      val key = st.getPath.toString.stripPrefix(prefix)
+      rows += ((key, st.getLen, new java.sql.Timestamp(st.getModificationTime)))
+    }
+    rows.toSeq.toDF("key", "size", "updated_at")
       .filter(!col("key").startsWith(metadataPrefix))
   }
 
@@ -51,29 +61,49 @@ object Crawl {
     candidates.join(existing.select("key"), Seq("key"), "left_anti")
 
   /** Read content and derive the new documents rows: checksum (F1), mimetype
-    * guess, timestamps (F7). This is the data-plane stage — content bytes
-    * stay within the scan stage and only the metadata projection survives.
-    */
+    * guess, timestamps (F7). Executor-side streaming digest over Hadoop FS
+    * (X3: bytes flow through a 64 KiB buffer into the digest and are never
+    * materialized as a column, row, or shuffle payload — the reference's
+    * chunked-IO invariant, dataset.py:47-48, at Spark scale). */
   def hashAndDescribe(spark: SparkSession, sourceUri: String, keys: DataFrame,
                       algorithm: String = "sha1"): DataFrame = {
+    import spark.implicits._
     val base = sourceUri.stripSuffix("/")
-    val blobs = spark.read.format("binaryFile")
-      .option("recursiveFileLookup", "true")
-      .load(base)
-      .select(
-        regexp_replace(col("path"), "^.*?" + java.util.regex.Pattern.quote(base) + "/", "")
-          .as("key"),
-        col("content"), col("length").as("size"),
-        col("modificationTime").as("mtime"))
-    blobs
-      .join(keys.select("key"), Seq("key"), "left_semi")
-      .select(
-        col("key"),
-        GraftFunctions.checksum(col("content"), algorithm).as("content_hash"),
-        col("size"),
-        guessMimetype(col("key")).as("mimetype"),
-        col("mtime").as("created_at"),
-        col("mtime").as("updated_at"))
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val algoName = algorithm match {
+      case "sha1" => "SHA-1"
+      case "md5" => "MD5"
+      case "sha256" => "SHA-256"
+      case "sha512" => "SHA-512"
+      case other => throw new IllegalArgumentException(s"unknown checksum algorithm: $other")
+    }
+    val hashed = keys
+      .select(col("key"), col("size").cast("long"), col("updated_at"))
+      .as[(String, Long, java.sql.Timestamp)]
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.map { case (key, size, mtime) =>
+          val p = new org.apache.hadoop.fs.Path(s"$base/$key")
+          val fs = p.getFileSystem(conf)
+          val md = java.security.MessageDigest.getInstance(algoName)
+          val in = fs.open(p)
+          try {
+            val buf = new Array[Byte](65536)
+            var n = in.read(buf)
+            while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+          } finally in.close()
+          val hex = md.digest().map("%02x".format(_)).mkString
+          (key, hex, size, mtime)
+        }
+      }
+      .toDF("key", "content_hash", "size", "mtime")
+    hashed.select(
+      col("key"), col("content_hash"), col("size"),
+      guessMimetype(col("key")).as("mimetype"),
+      col("mtime").as("created_at"),
+      col("mtime").as("updated_at"))
   }
 
   /** Extension-based mimetype guess (the reference delegates to libmagic /

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Stats
+import graft.pipelines.{Crawl, Export, Make, PointLookup}
+
+/** End-to-end crawl of the reference's golden fixture corpus
+  * (tests/fixtures/src, read in place as test data). Assertions are pinned
+  * to the published oracle vectors where the on-disk corpus matches them
+  * (the two known sha1s) and to filesystem ground truth for counts (the
+  * checked-out corpus has 71 files vs the README's historical 74).
+  */
+class CrawlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val srcDir = "/root/reference/tests/fixtures/src"
+
+  private def fsFiles(): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(srcDir))
+  }
+
+  lazy val crawled = Crawl.crawl(spark, srcDir,
+    existing = spark.emptyDataFrame.select(lit("").as("key")).limit(0)).cache()
+
+  test("crawl lists and hashes every file in the corpus") {
+    assert(crawled.count() == fsFiles().size.toLong)
+  }
+
+  test("content checksums match the published sha1 oracle vectors") {
+    // tests/test_archive.py:22, tests/test_crawl.py:24-27
+    val hashes = crawled.filter($"key".isin("utf.txt", "testdir/test.txt"))
+      .select("key", "content_hash").as[(String, String)].collect().toMap
+    assert(hashes("utf.txt") == "5a6acf229ba576d9a40b09292595658bbb74ef56")
+    assert(hashes("testdir/test.txt") == "2aae6c35c94fcfb415dbe95f408b9ce91ee846ed")
+  }
+
+  test("crawl total size matches filesystem ground truth") {
+    val want = fsFiles().map(_.length()).sum
+    val got = crawled.agg(sum("size")).as[Long].head()
+    assert(got == want)
+  }
+
+  test("include/exclude globs partition the corpus (tests/test_crawl.py:30-35)") {
+    val nPdf = fsFiles().count(_.getName.endsWith(".pdf")).toLong
+    val incl = Crawl.crawl(spark, srcDir,
+      existing = crawled.limit(0), include = Some("*.pdf"))
+    val excl = Crawl.crawl(spark, srcDir,
+      existing = crawled.limit(0), exclude = Some("*.pdf"))
+    assert(incl.count() == nPdf)
+    assert(excl.count() == crawled.count() - nPdf)
+    assert(incl.count() + excl.count() == crawled.count())
+  }
+
+  test("skip_existing drops already-archived keys (J2)") {
+    val second = Crawl.crawl(spark, srcDir, existing = crawled.select("key"))
+    assert(second.isEmpty)
+  }
+
+  test("byte content round-trips through the binaryFile source") {
+    // tests/test_archive.py:30-33: utf.txt content
+    val content = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true").load(srcDir)
+      .filter($"path".endsWith("/utf.txt"))
+      .select("content").as[Array[Byte]].head()
+    assert(new String(content, "UTF-8") == "Îș unî©ođ€.\n")
+  }
+
+  test("dataset stats: schema counts + total size (make_index shape)") {
+    val withSchema = Stats.schemaCounts(crawled)
+    val total = withSchema.agg(sum("count")).as[Long].head()
+    assert(total == crawled.count())
+    assert(Stats.totalFileSize(crawled) == fsFiles().map(_.length()).sum)
+    // extension-derived mimetypes must produce >1 FTM schema on this corpus
+    assert(withSchema.count() > 3)
+  }
+
+  test("make reconcile over a freshly crawled corpus is all-verify") {
+    val st = Make.status(Make.reconcile(crawled, crawled))
+      .as[(String, Long)].collect().toMap
+    assert(st == Map("verify" -> crawled.count()))
+  }
+
+  test("export→reimport round-trip preserves keys and bytes (S12)") {
+    val sub = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true").load(srcDir)
+      .filter($"path".endsWith(".txt"))
+      .select(regexp_replace($"path", s"^.*?$srcDir/", "").as("key"), $"content")
+    val zipPath = java.nio.file.Files.createTempDirectory("graft").toString + "/ds.zip"
+    val n = Export.exportZip(sub, "test_dataset", zipPath)
+    assert(n == sub.count())
+    val back = Export.readZip(spark, zipPath, "test_dataset")
+    assert(back.select("key").as[String].collect().toSet
+      == sub.select("key").as[String].collect().toSet)
+    val origHash = sub.select(sha1($"content")).as[String].collect().toSet
+    val backHash = back.select(sha1($"content")).as[String].collect().toSet
+    assert(origHash == backHash)
+  }
+
+  test("point lookup returns metadata headers; missing key → None (J5/API)") {
+    val hdrs = PointLookup.lookupHeaders(crawled, "test_dataset", "utf.txt")
+    assert(hdrs.isDefined)
+    assert(hdrs.get("x-graft-sha1") == "5a6acf229ba576d9a40b09292595658bbb74ef56")
+    assert(hdrs.get("x-graft-name") == "utf.txt")
+    assert(PointLookup.lookupHeaders(crawled, "test_dataset", "nope.txt").isEmpty)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.load(spark, sf0, "documents").cache()
+
+  test("exact dedup keeps the smallest id per hash and counts groups") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text")
+      .select("doc_id", "dup_count").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("shingles produce distinct word n-grams") {
+    val sh = Seq("a b c d").toDF("t")
+      .select(Dedup.shingles(col("t"), 3)).as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(Dedup.shingles(col("t"), 3)).as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
+
+  test("jaccardPairs finds the planted near-duplicates and nothing else") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .cache()
+    val n = pairs.count()
+    // sf0.001 documents: 25-28 planted near-dup pairs (verified against an
+    // exact all-pairs computation in DuckDB); the gap to the next-highest
+    // Jaccard is wide, so the exact count is stable
+    assert(n > 10 && n < 100, s"got $n pairs")
+    assert(pairs.filter($"jaccard" < 0.5 || $"jaccard" > 1.0).isEmpty)
+    // symmetric-dedup invariant: i < j always
+    assert(pairs.filter($"i" >= $"j").isEmpty)
+  }
+
+  test("minhash LSH candidates achieve high recall of exact pairs") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.6)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", n = 3, k = 64,
+        bands = 16, threshold = 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("minhash signature estimate approximates true Jaccard") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    assert(sigs.select(size($"signature")).distinct().as[Int].head() == 64)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7)
+    val est = Dedup.estimateJaccard(sigs,
+      exact.select("i", "j")).as[(Long, Long, Double)].collect()
+    est.foreach { case (_, _, e) => assert(e > 0.4, s"estimate $e too low") }
+  }
+
+  test("simhash: identical docs collide at hamming 0, unrelated do not") {
+    val base = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val far = (1 to 100).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearPairs(
+        Dedup.simhashSignatures(df, "doc_id", "text"), maxHamming = 3)
+      .select("i", "j", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("simhash finds the planted near-dups in the documents table") {
+    val pairs = Dedup.simhashNearPairs(
+      Dedup.simhashSignatures(docs, "doc_id", "text"), maxHamming = 3)
+    assert(pairs.count() > 0)
+    // every simhash pair within hamming 3 should be a genuinely similar pair
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val sh = pairs.select("i", "j").as[(Long, Long)].collect().toSet
+    val precision = sh.count(exact.contains).toDouble / math.max(sh.size, 1)
+    assert(precision >= 0.8, s"precision $precision over ${sh.size} pairs")
+  }
+
+  test("connectedComponents labels dup clusters with their min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("i", "j")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("dropDuplicates removes the higher-id side of each pair") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("i", "j")
+    val out = Dedup.dropDuplicates(df, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L))
+  }
+}

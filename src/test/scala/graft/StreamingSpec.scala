@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streaming
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming hourly window equals the batch plan (availableNow)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-st").toString
+    // the file stream source needs a directory; stage the single-file table
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$dir/events"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events/part-0.parquet"))
+    val stream = Streaming.hourlyCounts(
+      Streaming.readEvents(spark, s"$dir/events"))
+    val got = Streaming.runAvailableNow(stream, "st_test", s"$dir/ckpt")
+      .select("window_start", "event_type", "n", "total_value")
+    val want = SparkEntry.queries("st_hourly_window")(spark, sf0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("stateful per-user totals match a batch aggregate") {
+    val ev = Tables.load(spark, sf0, "events")
+    val out = Streaming.statefulUserTotals(ev)
+      .select("user_id", "events").as[(Long, Long)].collect().toMap
+    val want = ev.groupBy("user_id").agg(count(lit(1)))
+      .as[(Long, Long)].collect().toMap
+    assert(out == want)
+  }
+
+  test("ledger-based incremental processing skips completed work (I1/I4)") {
+    import graft.pipelines.Ledger
+    val dir = java.nio.file.Files.createTempDirectory("graft-ledger").toString
+    val path = s"$dir/ledger.parquet"
+    val candidates = Seq("k1", "k2", "k3").toDF("key")
+    // first run: everything pending; complete k1, k2
+    val p1 = Ledger.pending(candidates, Ledger.read(spark, path), "ds", "crawl")
+    assert(p1.count() == 3)
+    Ledger.append(Seq("k1", "k2").toDF("key"), path, "ds", "crawl")
+    // second run: only k3 pending
+    val p2 = Ledger.pending(candidates, Ledger.read(spark, path), "ds", "crawl")
+    assert(p2.select("key").as[String].collect().toSeq == Seq("k3"))
+    // CACHE=0 mode: ledger ignored on read
+    val p3 = Ledger.pending(candidates, Ledger.read(spark, path), "ds", "crawl",
+      respectCache = false)
+    assert(p3.count() == 3)
+    // a different action's ledger does not mask this action
+    val p4 = Ledger.pending(candidates, Ledger.read(spark, path), "ds", "make")
+    assert(p4.count() == 3)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{TextAnalysis => TA}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): T =
+    Seq(text).toDF("t").select(c).as[T].head()
+
+  test("token counting") {
+    assert(one[Int](TA.tokenCount(col("t")), "a b  c") == 3)
+    assert(one[Int](TA.tokenCount(col("t")), "   ") == 0)
+    assert(one[Int](TA.tokenCount(col("t")), "") == 0)
+    assert(one[Int](TA.tokenCount(col("t")), "single") == 1)
+  }
+
+  test("subword estimate: ceil(len/4) per token") {
+    // "hello"(2) + "hi"(1) + "tokenizers"(3)
+    assert(one[Long](TA.subwordCountEstimate(col("t")), "hello hi tokenizers") == 6L)
+  }
+
+  test("character-class ratios") {
+    assert(one[Double](TA.punctRatio(col("t")), "ab!?") == 0.5)
+    assert(one[Double](TA.upperRatio(col("t")), "AbCd") == 0.5)
+    assert(one[Double](TA.alphaRatio(col("t")), "ab12") == 0.5)
+    assert(one[Double](TA.punctRatio(col("t")), "") == 0.0)
+  }
+
+  test("stopword ratio and mean word length") {
+    assert(one[Double](TA.stopwordRatio(col("t")), "the cat sat on a mat") == 0.5)
+    assert(one[Double](TA.meanWordLength(col("t")), "ab abcd") == 3.0)
+  }
+
+  test("quality score is bounded and monotone in fluency") {
+    val fluent = "the quick brown fox jumps over the lazy dog and runs on to the hills"
+    val junk = "XQZT!!! ###% ZZKW!!!! @@@@@ PQRST!!!"
+    val qf = one[Double](TA.qualityScore(col("t")), fluent)
+    val qj = one[Double](TA.qualityScore(col("t")), junk)
+    assert(qf > qj)
+    assert(qf <= 1.0 && qj >= 0.0)
+  }
+
+  test("langId picks marker language, und on no hits") {
+    assert(one[String](TA.langId(col("t")),
+      "the cat is of the house and it is fine") == "en")
+    assert(one[String](TA.langId(col("t")),
+      "der hund ist nicht das problem und die katze") == "de")
+    assert(one[String](TA.langId(col("t")),
+      "le chat est dans les jardins et une maison") == "fr")
+    assert(one[String](TA.langId(col("t")),
+      "el perro y la casa que es un gato") == "es")
+    assert(one[String](TA.langId(col("t")), "xyzzy plugh") == "und")
+  }
+
+  test("fingerprint is invariant under word order and repetition") {
+    val a = one[String](TA.fingerprint(col("t")), "alpha beta gamma")
+    val b = one[String](TA.fingerprint(col("t")), "gamma alpha beta beta")
+    val c = one[String](TA.fingerprint(col("t")), "alpha beta delta")
+    assert(a == b)
+    assert(a != c)
+  }
+
+  test("rollingHash is order-sensitive (complement of fingerprint)") {
+    val a = one[Long](TA.rollingHash(col("t")), "alpha beta gamma")
+    val b = one[Long](TA.rollingHash(col("t")), "gamma beta alpha")
+    assert(a != b)
+    val a2 = one[Long](TA.rollingHash(col("t")), "alpha beta gamma")
+    assert(a == a2)
+  }
+}
