@@ -1,0 +1,173 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the operator hot paths that Spark's
+  * built-in surface only reaches via interpreted higher-order functions
+  * (`transform`/`aggregate` evaluate their lambda per element through the
+  * interpreter — measured 10-50× slower than a compiled loop on the dedup
+  * and ANN kernels).
+  *
+  * Each is a single-pass compiled loop over `ArrayData`, preserving exactly
+  * the documented floating-point/hash semantics of the Column-level
+  * formulations they replace.
+  */
+object GraftExpressions {
+
+  /** 64-bit SimHash over an array of shingle strings: bit i of the result is
+    * the sign of Σ_shingles ±1 (depending on bit i of the shingle's
+    * xxhash64). Single pass, no shuffle — pairs with chunk-banding for
+    * near-dup candidate generation.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          counts(b) += (if (((h >>> b) & 1L) != 0L) 1 else -1)
+          b += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        if (counts(b) > 0) sig |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+    override def prettyName: String = "graft_simhash64"
+  }
+
+  /** MinHash signature: k permutation-minima over the shingle set, using the
+    * Kirsch–Mitzenmacher construction h_j = h1 + j·h2 (two xxhash64 base
+    * hashes per shingle, k derived values) — one compiled pass per row,
+    * no explode, no shuffle.
+    */
+  case class MinHashSignature(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k > 0 && k <= 1024, s"signature length $k out of range")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val mins = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 1337L) | 1L
+        var j = 0
+        var hj = h1
+        while (j < k) {
+          if (hj < mins(j)) mins(j) = hj
+          hj += h2 // wrapping add — deterministic derived hash family
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSignature =
+      copy(child = c)
+    override def prettyName: String = "graft_minhash"
+  }
+
+  /** Cosine similarity of two double arrays in ONE pass, with the exact
+    * left-to-right accumulation order of the Column/SQL formulation
+    * Σab / (√Σa² · √Σb²) — bit-identical to the DuckDB oracle. */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0
+      var nx = 0.0
+      var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = x.getDouble(i)
+        val yi = y.getDouble(i)
+        dot += xi * yi
+        nx += xi * xi
+        ny += yi * yi
+        i += 1
+      }
+      java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def prettyName: String = "graft_cosine"
+  }
+
+  /** Exact Jaccard similarity of two string arrays (sorted-merge free:
+    * hash-set intersection in one pass). */
+  case class JaccardSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val set = new java.util.HashSet[String]()
+      var i = 0
+      while (i < x.numElements()) { set.add(x.getUTF8String(i).toString); i += 1 }
+      var inter = 0
+      val seen = new java.util.HashSet[String]()
+      i = 0
+      while (i < y.numElements()) {
+        val s = y.getUTF8String(i).toString
+        if (seen.add(s) && set.contains(s)) inter += 1
+        i += 1
+      }
+      val union = set.size + seen.size - inter
+      java.lang.Double.valueOf(if (union == 0) 0.0 else inter.toDouble / union)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def prettyName: String = "graft_jaccard"
+  }
+
+  // ------------------------------------------------------- Column surface
+  private def expr(c: Column): Expression =
+    org.apache.spark.sql.graft.ColumnShim.expression(c)
+  private def toCol(e: Expression): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(e)
+
+  def simhash64(shingles: Column): Column = toCol(SimHash64(expr(shingles)))
+  def minhashSignature(shingles: Column, k: Int): Column =
+    toCol(MinHashSignature(expr(shingles), k))
+  def cosineSimilarity(a: Column, b: Column): Column =
+    toCol(CosineSimilarity(expr(a), expr(b)))
+  def jaccardSimilarity(a: Column, b: Column): Column =
+    toCol(JaccardSimilarity(expr(a), expr(b)))
+
+  /** Register all graft expressions for SQL use. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_simhash64",
+      es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      es => MinHashSignature(es.head, 64), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      es => CosineSimilarity(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_jaccard",
+      es => JaccardSimilarity(es(0), es(1)), "scala_udf")
+  }
+}

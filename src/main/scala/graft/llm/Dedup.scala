@@ -107,24 +107,16 @@ object Dedup {
   /** Deterministic seed list for the signature hash family. */
   private def seeds(k: Int): Seq[Int] = (0 until k).map(i => 0x9e3779b9 + i * 0x85ebca6b)
 
-  /** MinHash signatures: k permutation-mins per document via explode +
-    * k codegen'd min-aggregates. One shuffle of (id, k·8 bytes) per doc —
-    * independent of document length, so it scales linearly with corpus
-    * size. (A per-row fold would avoid the shuffle but Spark evaluates
-    * higher-order functions interpreted, re-computing the shingle array per
-    * seed — measured 50× slower; the flat explode stays in whole-stage
-    * codegen end-to-end, and the aggregate doubles as the materialization
-    * boundary the downstream banding needs.) */
+  /** MinHash signatures: k permutation-mins per document, computed by the
+    * native [[graft.expressions.GraftExpressions.MinHashSignature]] Catalyst
+    * expression — one compiled pass per row, ZERO shuffle, cost independent
+    * of k·|shingles| interpretation overhead. At 100 TB this runs entirely
+    * inside the scan stage. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, k: Int = 64): DataFrame = {
-    val exploded = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), n)).as("shingle"))
-    val minCols = seeds(k).zipWithIndex.map { case (s, i) =>
-      min(xxhash64(col("shingle"), lit(s))).as(s"h$i")
-    }
-    exploded.groupBy("id").agg(minCols.head, minCols.tail: _*)
-      .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("signature"))
-  }
+                        n: Int = 3, k: Int = 64): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.expressions.GraftExpressions
+        .minhashSignature(shingles(col(textCol), n), k).as("signature"))
 
   /** LSH banding: (band, hash-of-band-rows) buckets; docs sharing a bucket
     * are candidate pairs. bands×rows must equal the signature length.
@@ -162,10 +154,12 @@ object Dedup {
     * signature-estimated Jaccard ≥ threshold. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
                  k: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
-    // the signature groupBy is the materialization boundary: its exchange is
-    // identical under the banding and both estimate-join sides, so
-    // ReusedExchange computes signatures exactly once
-    val sigs = minhashSignatures(df, idCol, textCol, n, k)
+    // repartition = deliberate materialization boundary: the banding and
+    // both estimate-join sides reference the signature column; without a
+    // boundary Catalyst would inline (= recompute) the signature expression
+    // per reference, and with one the single exchange is deduplicated by
+    // ReusedExchange across all three consumers
+    val sigs = minhashSignatures(df, idCol, textCol, n, k).repartition(col("id"))
     val cands = lshCandidates(sigs, bands, k / bands)
     estimateJaccard(sigs, cands).filter(col("est_jaccard") >= threshold)
   }
@@ -173,27 +167,14 @@ object Dedup {
   // ------------------------------------------------------------ simhash
   /** 64-bit SimHash over shingle hashes: bit i of the signature is the sign
     * of Σ_shingles (±1 per shingle depending on bit i of its hash).
-    * Computed as a pure per-row projection: fold the shingle array into a
-    * 64-slot count vector with zip_with, then collapse signs to bits — ZERO
-    * shuffle, runs inside the scan stage at any scale. */
+    * Native [[graft.expressions.GraftExpressions.SimHash64]] expression —
+    * one compiled pass per row, ZERO shuffle, runs inside the scan stage at
+    * any scale. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3): DataFrame = {
-    val sh = shingles(col(textCol), n)
-    val bitIdx = sequence(lit(0), lit(63))
-    val counts = aggregate(sh,
-      array_repeat(lit(0), 64),
-      (acc, w) => {
-        val h = xxhash64(w)
-        zip_with(acc, bitIdx,
-          (c, i) => c + when(call_function("shiftright", h, i)
-            .bitwiseAND(lit(1L)) =!= 0L, 1).otherwise(-1))
-      })
-    val sig = aggregate(zip_with(counts, bitIdx,
-        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i))
-          .otherwise(lit(0L))),
-      lit(0L), (acc, b) => acc.bitwiseOR(b))
-    df.select(col(idCol).as("id"), sig.as("simhash"))
-  }
+                        n: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.expressions.GraftExpressions
+        .simhash64(shingles(col(textCol), n)).as("simhash"))
 
   /** Candidate pairs within `maxHamming` bits, using 4×16-bit chunk banding
     * (pigeonhole: any pair within hamming ≤ 3 shares at least one exact

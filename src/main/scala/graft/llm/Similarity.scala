@@ -13,13 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise dot product of two double-array columns (codegen'd). */
+  /** Elementwise dot product of two double-array columns (column-level
+    * formulation; kept for composability — the hot path below uses the
+    * native single-pass expression). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine via the native Catalyst expression: one compiled pass computing
+    * Σab, Σa², Σb² with identical left-to-right accumulation order to the
+    * SQL formulation (bit-stable vs the DuckDB oracle). */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.GraftExpressions.cosineSimilarity(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
