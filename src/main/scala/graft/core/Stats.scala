@@ -31,18 +31,34 @@ object Stats {
       .agg(count(lit(1)).as("count"))
       .orderBy("schema")
 
-  /** One index row per dataset: file count, entity count, total size,
-    * per-schema counts as a map (A2+A1 rollup → index.json shape). */
+  /** One index row: entity count, total size, per-schema counts as a sorted
+    * map (A2+A1 rollup → the index.json `things.schemata` shape,
+    * dataset.py:177-190, golden fixture tests/fixtures/.../index.json). */
   def datasetIndex(documents: DataFrame): DataFrame =
     documents
       .withColumn("schema", GraftFunctions.mimeToSchema(col("mimetype")))
+      .groupBy("schema")
+      .agg(count(lit(1)).as("cnt"), sum("size").as("sz"))
       .agg(
-        count(lit(1)).as("entity_count"),
-        sum("size").as("total_file_size"),
-        map_from_entries(collect_list(struct(col("schema"), lit(1L))))
-          .as("_ignore")
-      )
-      .drop("_ignore")
+        sum("cnt").as("entity_count"),
+        sum("sz").as("total_file_size"),
+        map_from_entries(sort_array(collect_list(struct(col("schema"), col("cnt")))))
+          .as("schemata"))
+
+  /** Serialize the index row to the RFC `index.json` shape (driver-side —
+    * it is one small object, not a data-plane write). */
+  def writeIndexJson(documents: DataFrame, name: String, path: String): Unit = {
+    val row = datasetIndex(documents).collect()(0)
+    val schemata = row.getMap[String, Long](2).toSeq.sortBy(_._1)
+      .map { case (s, c) => s"""{"name":"$s","count":$c}""" }
+      .mkString("[", ",", "]")
+    val json =
+      s"""{"name":"$name","updated_at":"${java.time.Instant.now()}",""" +
+        s""""things":{"total":${row.getLong(0)},"schemata":$schemata},""" +
+        s""""entity_count":${row.getLong(0)},""" +
+        s""""total_file_size":${row.getLong(1)}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+  }
 
   /** Catalog rollup (A7): per-dataset aggregate row over a multi-dataset
     * documents table carrying a `dataset` column. */

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.GraftExpressions
+import graft.llm.{Dedup, Similarity}
+
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CosineSimilarity matches the column-level formulation bit-for-bit") {
+    val df = Tables.load(spark, sf0, "embeddings").limit(50)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val a = df.select($"vec_id".as("i"), $"v".as("va"))
+    val b = df.select($"vec_id".as("j"), $"v".as("vb"))
+    val pairs = a.crossJoin(b).filter($"i" < $"j")
+    val viaExpr = pairs.select($"i", $"j",
+      GraftExpressions.cosineSimilarity($"va", $"vb").as("sim"))
+    val viaCols = pairs.select($"i", $"j",
+      (Similarity.dot($"va", $"vb") /
+        (Similarity.l2Norm($"va") * Similarity.l2Norm($"vb"))).as("sim"))
+    // bit-identical doubles required (exceptAll compares exact values)
+    assert(viaExpr.exceptAll(viaCols).isEmpty)
+  }
+
+  test("CosineSimilarity basic identities") {
+    val df = Seq((Array(1.0, 0.0), Array(1.0, 0.0), 1.0),
+      (Array(1.0, 0.0), Array(0.0, 2.0), 0.0),
+      (Array(1.0, 1.0), Array(-1.0, -1.0), -1.0)).toDF("a", "b", "want")
+    val got = df.select(GraftExpressions.cosineSimilarity($"a", $"b"), $"want")
+      .as[(Double, Double)].collect()
+    got.foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
+  }
+
+  test("MinHashSignature: identical sets → identical signatures, similarity ∝ overlap") {
+    val df = Seq(
+      (1L, (1 to 50).map(i => s"s$i")),
+      (2L, (1 to 50).map(i => s"s$i")),
+      (3L, (1 to 50).map(i => s"s${i + 5}")), // 45/55 overlap
+      (4L, (1 to 50).map(i => s"t$i")) // disjoint
+    ).toDF("id", "sh")
+    val sig = df.select($"id",
+      GraftExpressions.minhashSignature($"sh", 64).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sig(1L) == sig(2L))
+    def agree(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.size
+    assert(agree(sig(1L), sig(3L)) > 0.6)
+    assert(agree(sig(1L), sig(4L)) < 0.2)
+  }
+
+  test("SimHash64: identical → equal, disjoint → distant") {
+    val df = Seq(
+      (1L, (1 to 100).map(i => s"s$i")),
+      (2L, (1 to 100).map(i => s"s$i")),
+      (3L, (1 to 100).map(i => s"z$i"))
+    ).toDF("id", "sh")
+    val sigs = df.select($"id", GraftExpressions.simhash64($"sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 16)
+  }
+
+  test("JaccardSimilarity computes exact set Jaccard") {
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d"), 0.5),
+      (Seq("a"), Seq("a"), 1.0),
+      (Seq("a"), Seq("b"), 0.0),
+      (Seq.empty[String], Seq.empty[String], 0.0)
+    ).toDF("a", "b", "want")
+    df.select(GraftExpressions.jaccardSimilarity($"a", $"b"), $"want")
+      .as[(Double, Double)].collect()
+      .foreach { case (g, w) => assert(g == w) }
+  }
+
+  test("expressions are SQL-registered (graft_* functions)") {
+    GraftExpressions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) c,
+        |       graft_jaccard(array('a','b'), array('b','c')) j,
+        |       graft_simhash64(array('x','y')) s,
+        |       size(graft_minhash(array('x','y'))) m""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(math.abs(r.getDouble(1) - 1.0 / 3) < 1e-12)
+    assert(r.getLong(2) != 0L)
+    assert(r.getInt(3) == 64)
+  }
+
+  test("jaccardPairs (relational) agrees with JaccardSimilarity (expression)") {
+    val docs = Tables.load(spark, sf0, "documents").limit(200)
+    val rel = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select($"i", $"j", $"jaccard").as[(Long, Long, Double)].collect().toMap2
+    val sh = docs.select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+    val a = sh.select($"doc_id".as("i"), $"sh".as("sa"))
+    val b = sh.select($"doc_id".as("j"), $"sh".as("sb"))
+    val brute = a.crossJoin(b).filter($"i" < $"j")
+      .select($"i", $"j",
+        round(GraftExpressions.jaccardSimilarity($"sa", $"sb"), 6).as("jc"))
+      .filter($"jc" >= 0.5)
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(rel == brute)
+  }
+
+  implicit class Tup3Ops[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[(A, B), C] = rows.map(t => ((t._1, t._2), t._3)).toMap
+  }
+}
