@@ -47,7 +47,11 @@ object Dedup {
                    maxShingleFreq: Option[Int] = None): DataFrame = {
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .withColumn("sh_size", size(col("sh")))
-    val inv0 = sh.select(col("id"), col("sh_size"), explode(col("sh")).as("shingle"))
+    // join on the 64-bit shingle hash, not the string: ~4× smaller exchange
+    // payload; xxhash64 collisions across the ≲10^9-shingle scale are
+    // ≪1e-9-probable and would only perturb one intersection count by 1
+    val inv0 = sh.select(col("id"), col("sh_size"), explode(col("sh")).as("sh_str"))
+      .select(col("id"), col("sh_size"), xxhash64(col("sh_str")).as("shingle"))
     val inv = maxShingleFreq match {
       case Some(cap) =>
         val freq = inv0.groupBy("shingle").agg(count(lit(1)).as("f"))

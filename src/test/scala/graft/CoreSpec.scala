@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Config, Diff, DocumentsStore, Rebuild, Stats}
+
+class CoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docRows(rows: (String, String, Long)*) =
+    rows.toSeq.map { case (k, h, sz) =>
+      (k, h, sz, "text/plain",
+        Timestamp.valueOf("2024-01-01 00:00:00"),
+        Timestamp.valueOf("2024-01-02 03:04:05.123456"))
+    }.toDF("key", "content_hash", "size", "mimetype", "created_at", "updated_at")
+
+  test("documents CSV round-trip preserves schema and microsecond timestamps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val df = docRows("a.txt" -> ("h1", 1L) match { case (k, (h, s)) => (k, h, s) },
+      ("b/c.txt", "h2", 2L))
+    DocumentsStore.writeSnapshot(df, dir, "2024-01-02T00:00:00")
+    val back = DocumentsStore.readCsv(spark, s"$dir/versions/2024-01-02T00:00:00")
+    // CSV readers report all columns nullable; compare names + types
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      == graft.core.Model.documentsSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    // parquet system of record too
+    val pq = DocumentsStore.readParquet(spark, s"$dir/documents.parquet")
+    assert(pq.exceptAll(df).isEmpty)
+  }
+
+  test("missing documents table reads as an empty frame with schema (S2)") {
+    val df = DocumentsStore.readCsv(spark, "/tmp/graft-definitely-missing.csv")
+    assert(df.isEmpty && df.schema == graft.core.Model.documentsSchema)
+  }
+
+  test("versions are listed sorted; diffs excluded; current = max (A5/O2)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vers").toString
+    val df = docRows(("a", "h", 1L))
+    DocumentsStore.writeSnapshot(df, dir, "2024-01-01T00:00:00")
+    DocumentsStore.writeSnapshot(df, dir, "2024-02-01T00:00:00")
+    DocumentsStore.writeDiff(
+      Diff.toDiffLines(Diff.snapshotDiff(df.limit(0), df)),
+      dir, "2024-02-01T00:00:00")
+    assert(DocumentsStore.versions(spark, dir)
+      == Seq("2024-01-01T00:00:00", "2024-02-01T00:00:00"))
+    assert(DocumentsStore.currentVersion(spark, dir).contains("2024-02-01T00:00:00"))
+  }
+
+  test("datasetIndex aggregates entity_count/size/schemata (index.json shape)") {
+    val df = docRows(("a.pdf", "h1", 10L), ("b.pdf", "h2", 20L), ("c.txt", "h3", 5L))
+      .withColumn("mimetype",
+        when($"key".endsWith(".pdf"), "application/pdf").otherwise("text/plain"))
+    val row = Stats.datasetIndex(df).collect()(0)
+    assert(row.getLong(0) == 3L)
+    assert(row.getLong(1) == 35L)
+    assert(row.getMap[String, Long](2).toMap == Map("Pages" -> 2L, "PlainText" -> 1L))
+  }
+
+  test("writeIndexJson emits the RFC index shape") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    val df = docRows(("a.pdf", "h1", 10L))
+      .withColumn("mimetype", lit("application/pdf"))
+    Stats.writeIndexJson(df, "test_dataset", s"$dir/index.json")
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/index.json"))
+    assert(json.contains(""""name":"test_dataset""""))
+    assert(json.contains(""""entity_count":1"""))
+    assert(json.contains(""""total_file_size":10"""))
+    assert(json.contains(""""schemata":[{"name":"Pages","count":1}]"""))
+  }
+
+  test("catalog rollup aggregates per dataset (A7)") {
+    val df = docRows(("a", "h1", 10L), ("b", "h2", 20L))
+      .withColumn("dataset", when($"key" === "a", "ds1").otherwise("ds2"))
+    val cat = Stats.catalog(df)
+    assert(cat.select("dataset").as[String].collect().toSeq == Seq("ds1", "ds2"))
+    assert(cat.filter($"dataset" === "ds1").select("total_file_size")
+      .as[Long].head() == 10L)
+  }
+
+  test("config.yml parsing: flat keys, nested sections, legacy leakrfc name") {
+    val yml =
+      """name: test_dataset          # foreign_id
+        |title: Test_Dataset
+        |prefix: test-dataset
+        |content_type: structured
+        |leakrfc:
+        |  metadata_prefix: .leakrfc
+        |  checksum_algorithm: sha1
+        |  public_url: https://example.org/test_dataset/
+        |storage:
+        |  uri: "s3://bucket/path"
+        |""".stripMargin
+    val cfg = Config.datasetConfig(yml)
+    assert(cfg.name == "test_dataset")
+    assert(cfg.title.contains("Test_Dataset"))
+    assert(cfg.metadataPrefix == ".leakrfc")
+    assert(cfg.checksumAlgorithm == "sha1")
+    assert(cfg.publicUrl.contains("https://example.org/test_dataset/"))
+    assert(cfg.storageUri.contains("s3://bucket/path"))
+  }
+
+  test("config.yml of the reference fixture parses (read in place)") {
+    val cfg = Config.loadDatasetConfig(
+      "/root/reference/tests/fixtures/archive/test_dataset/.leakrfc/config.yml")
+    assert(cfg.name == "test_dataset")
+  }
+}
