@@ -304,6 +304,11 @@ object SparkEntry {
         Dedup.simhashSignatures(t(s, dir, "documents"), "doc_id", "text"),
         maxHamming = 3)),
 
+    "dedup_embedding_pairs" -> ((s, dir) =>
+      // embedding-cosine near-dup (exact mode; LSH pre-filter is the scale
+      // path, recall-tested in DedupSpec)
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.5)),
+
     // ------------------------------------------------- similarity search
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -553,6 +558,15 @@ object SparkEntry {
         |  round(CAST(inter AS DOUBLE) / CAST(si + sj - inter AS DOUBLE), 6) AS jaccard
         |FROM p
         |WHERE CAST(inter AS DOUBLE) / CAST(si + sj - inter AS DOUBLE) >= 0.5""".stripMargin,
+
+    "dedup_embedding_pairs" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT a.vec_id AS i, b.vec_id AS j,
+        |        list_sum([a.v[k] * b.v[k] for k in range(1, 65)]) /
+        |        (sqrt(list_sum([a.v[k] * a.v[k] for k in range(1, 65)])) *
+        |         sqrt(list_sum([b.v[k] * b.v[k] for k in range(1, 65)]))) AS sim
+        |      FROM c a CROSS JOIN c b WHERE a.vec_id < b.vec_id)
+        |SELECT i, j, round(sim, 6) AS sim FROM s WHERE sim >= 0.5""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -180,6 +180,35 @@ object Dedup {
       graft.expressions.GraftExpressions
         .simhash64(shingles(col(textCol), n)).as("simhash"))
 
+  // ------------------------------------------------------------ embeddings
+  /** Embedding-cosine near-duplicate pairs: all (i<j) with cosine ≥
+    * threshold. Exact mode scores every pair (the corpus side broadcasts
+    * only if small — callers at 100 TB set `useLsh=true` to pre-filter
+    * candidates with random-hyperplane buckets and score only collisions).
+    */
+  def embeddingNearDup(df: DataFrame, idCol: String = "vec_id",
+                       vecCol: String = "embedding", threshold: Double = 0.9,
+                       useLsh: Boolean = false, nPlanes: Int = 12,
+                       nTables: Int = 8): DataFrame = {
+    import graft.expressions.GraftExpressions.cosineSimilarity
+    val vecs = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val pairs = if (useLsh) {
+      graft.llm.Similarity.lshBucketCandidates(df, nPlanes, nTables,
+        idCol, vecCol)
+    } else {
+      val a = vecs.select(col("id").as("i"))
+      val b = vecs.select(col("id").as("j"))
+      a.crossJoin(b).filter(col("i") < col("j"))
+    }
+    val va = vecs.select(col("id").as("i"), col("v").as("va"))
+    val vb = vecs.select(col("id").as("j"), col("v").as("vb"))
+    pairs.join(va, "i").join(vb, "j")
+      .select(col("i"), col("j"), cosineSimilarity(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("i"), col("j"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Candidate pairs within `maxHamming` bits, using 4×16-bit chunk banding
     * (pigeonhole: any pair within hamming ≤ 3 shares at least one exact
     * 16-bit chunk). */

@@ -97,31 +97,40 @@ object Similarity {
   }
 
   // ------------------------------------------------------------ LSH
-  /** Random-hyperplane signature: bit h = sign(v · r_h) with deterministic
-    * pseudo-random hyperplanes derived from (dim, plane) hashes. Cosine-
-    * similar vectors agree on most bits. */
-  def hyperplaneSignature(vec: Column, nPlanes: Int = 16): Column = {
+  /** Random-hyperplane signature for one LSH table: bit h = sign(v · r_h)
+    * with deterministic pseudo-random hyperplanes derived from
+    * (table, plane, dim) hashes. Cosine-similar vectors agree on most bits.
+    */
+  def hyperplaneSignature(vec: Column, nPlanes: Int = 16, table: Int = 0): Column = {
     val planes = (0 until nPlanes).map { p =>
       val proj = aggregate(
         zip_with(asDouble(vec), sequence(lit(0), size(vec) - 1),
-          // deterministic pseudo-random weight in [-1,1) per (plane, dim)
-          (x, i) => x * (pmod(xxhash64(lit(p), i), lit(2000001L)).cast("double")
-            / 1000000.0 - 1.0)),
+          // deterministic pseudo-random weight in [-1,1) per (table, plane, dim)
+          (x, i) => x * (pmod(xxhash64(lit(table * 4096 + p), i), lit(2000001L))
+            .cast("double") / 1000000.0 - 1.0)),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     planes.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Bucketed approximate neighbor candidates: vectors sharing a signature
-    * band. Used as the pre-filter in front of exact re-ranking. */
+  /** Multi-table bucketed neighbor candidates: vectors are candidates when
+    * they share a full signature in ANY of `nTables` independent tables —
+    * the standard OR-construction (per-table recall p^nPlanes, overall
+    * 1-(1-p^nPlanes)^nTables). Used as the pre-filter in front of exact
+    * re-ranking; shuffle cost is (id, table, sig) rows, never vectors. */
   def lshBucketCandidates(corpus: DataFrame, nPlanes: Int = 16,
+                          nTables: Int = 8,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding"): DataFrame = {
-    val sigs = corpus.select(col(idCol).as("id"),
-      hyperplaneSignature(col(vecCol), nPlanes).as("sig"))
-    val a = sigs.select(col("sig"), col("id").as("i"))
-    val b = sigs.select(col("sig"), col("id").as("j"))
-    a.join(b, Seq("sig")).filter(col("i") < col("j")).select("i", "j")
+    val sigArray = array((0 until nTables).map(t =>
+      hyperplaneSignature(col(vecCol), nPlanes, t)): _*)
+    val sigs = corpus
+      .select(col(idCol).as("id"), posexplode(sigArray).as(Seq("table", "sig")))
+      .repartition(col("id")) // materialization boundary (see Dedup.lshCandidates)
+    val a = sigs.select(col("table"), col("sig"), col("id").as("i"))
+    val b = sigs.select(col("table"), col("sig"), col("id").as("j"))
+    a.join(b, Seq("table", "sig")).filter(col("i") < col("j"))
+      .select("i", "j").distinct()
   }
 }

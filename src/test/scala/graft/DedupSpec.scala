@@ -81,6 +81,20 @@ class DedupSpec extends SparkSpec {
     assert(precision >= 0.8, s"precision $precision over ${sh.size} pairs")
   }
 
+  test("embedding near-dup: exact and LSH-prefiltered agree on high-sim pairs") {
+    val emb = Tables.load(spark, sf0, "embeddings")
+    val exact = Dedup.embeddingNearDup(emb, threshold = 0.4)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // LSH with few planes must recover a reasonable share of true pairs
+    val lsh = Dedup.embeddingNearDup(emb, threshold = 0.4, useLsh = true,
+        nPlanes = 6)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // same verification threshold ⇒ no false pairs
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.2, s"recall $recall over ${exact.size}")
+  }
+
   test("connectedComponents labels dup clusters with their min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("i", "j")
     val comp = Dedup.connectedComponents(pairs)
