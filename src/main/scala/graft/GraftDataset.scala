@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Diff, DocumentsStore, Rebuild, Stats}
+import graft.pipelines.{ArchiveCopy, Crawl, Entities, Export, Make, PointLookup}
+
+/** The user-facing dataset lifecycle — what `ftm-datalake -d <ds> crawl/make/
+  * export` does, as one Spark-native API (SURVEY.md §3).
+  *
+  * Lake layout per dataset under `<root>/<name>/`:
+  * {{{
+  *   blobs/ab/cd/ef/<sha1>          content-addressed blob store (F2)
+  *   .graft/documents.parquet       documents table (system of record)
+  *   .graft/versions/<ts>/          CSV snapshot per publish (RFC interop)
+  *   .graft/versions/<ts>.diff/     +/- diff lines vs previous snapshot
+  *   .graft/index.json              dataset stats index
+  *   .graft/entities.ftm.json/      FTM entities (JSON lines)
+  * }}}
+  */
+final class GraftDataset(val spark: SparkSession, val root: String,
+                         val name: String,
+                         val checksumAlgorithm: String = "sha1") {
+
+  val datasetRoot = s"${root.stripSuffix("/")}/$name"
+  val metaRoot = s"$datasetRoot/.graft"
+  val blobRoot = s"$datasetRoot/blobs"
+
+  def documents: DataFrame =
+    DocumentsStore.readParquet(spark, s"$metaRoot/documents.parquet")
+
+  /** Crawl a source tree: list → globs → skip-existing → hash → copy blobs
+    * → rebuild → publish snapshot+diff+index. Returns the action counts. */
+  def crawl(sourceUri: String, include: Option[String] = None,
+            exclude: Option[String] = None,
+            versionTs: String = GraftDataset.nowTs()): Map[String, Long] = {
+    val existing = documents
+    val fresh = Crawl.crawl(spark, sourceUri, existing, include, exclude)
+      .cache()
+    val copied = ArchiveCopy.copyBlobs(spark, fresh, sourceUri, blobRoot)
+    val added = fresh.count()
+    publish(Rebuild.rebuild(existing, fresh, fresh.limit(0)), versionTs)
+    Map("added" -> added, "blobs_copied" -> copied)
+  }
+
+  /** Reconcile a source tree against the current documents table (make):
+    * full-outer join → add/verify/heal/delete → publish. */
+  def make(sourceUri: String,
+           versionTs: String = GraftDataset.nowTs()): Map[String, Long] = {
+    val source = Crawl.hashAndDescribe(spark, sourceUri,
+      Crawl.listKeys(spark, sourceUri), checksumAlgorithm)
+    val rec = Make.reconcile(source, documents).cache()
+    val status = Make.status(rec).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    publish(Make.healed(rec), versionTs)
+    status
+  }
+
+  /** Publish a new documents state: snapshot + diff vs previous + index. */
+  def publish(next: DataFrame, versionTs: String = GraftDataset.nowTs()): Unit = {
+    val prev = documents.cache()
+    val nextOrdered = next.orderBy("key").cache()
+    val diff = Diff.snapshotDiff(
+      prev.select("key", "content_hash", "size"),
+      nextOrdered.select("key", "content_hash", "size"))
+    DocumentsStore.writeSnapshot(nextOrdered, metaRoot, versionTs)
+    DocumentsStore.writeDiff(Diff.toDiffLines(diff), metaRoot, versionTs)
+    Stats.writeIndexJson(nextOrdered, name, s"$metaRoot/index.json")
+    prev.unpersist(); nextOrdered.unpersist()
+  }
+
+  def entities: DataFrame = Entities.fromDocuments(documents, name,
+    checksumAlgorithm)
+
+  def writeEntities(): Unit =
+    entities.write.mode("overwrite").json(s"$metaRoot/entities.ftm.json")
+
+  def versions: Seq[String] = DocumentsStore.versions(spark, metaRoot)
+
+  def lookup(key: String): Option[Map[String, String]] =
+    PointLookup.lookupHeaders(documents, name, key)
+
+  /** Open one blob by key via its content-addressed path. */
+  def openBlob(key: String): Option[Array[Byte]] =
+    documents.filter(col("key") === key).select("content_hash").limit(1)
+      .collect().headOption.map { r =>
+        val ch = r.getString(0)
+        val shard = s"${ch.substring(0, 2)}/${ch.substring(2, 4)}/${ch.substring(4, 6)}/$ch"
+        val p = new org.apache.hadoop.fs.Path(s"$blobRoot/$shard")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val in = fs.open(p)
+        try in.readAllBytes() finally in.close()
+      }
+
+  def exportZip(zipPath: String): Long = {
+    import spark.implicits._
+    val rows = documents.select("key", "content_hash")
+      .as[(String, String)].collect()
+    val out = new java.util.zip.ZipOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(zipPath)))
+    try rows.sortBy(_._1).foreach { case (key, ch) =>
+      out.putNextEntry(new java.util.zip.ZipEntry(s"$name/$key"))
+      openBlob(key).foreach(out.write)
+      out.closeEntry()
+    } finally out.close()
+    rows.length.toLong
+  }
+}
+
+/** Archive root: a collection of datasets + the catalog rollup
+  * (SURVEY §1 Archive/Catalog; archive/base.py:48-83). */
+final class GraftArchive(val spark: SparkSession, val root: String) {
+
+  def dataset(name: String): GraftDataset = new GraftDataset(spark, root, name)
+
+  def datasetNames: Seq[String] = {
+    val dir = new java.io.File(root)
+    if (!dir.isDirectory) Nil
+    else dir.listFiles().filter(f => f.isDirectory &&
+      new java.io.File(f, ".graft").isDirectory).map(_.getName).sorted.toSeq
+  }
+
+  /** Catalog rollup (A7): one row per dataset, plus catalog.json. */
+  def makeCatalog(): DataFrame = {
+    val perDs = datasetNames.map { n =>
+      dataset(n).documents.withColumn("dataset", lit(n))
+    }
+    if (perDs.isEmpty)
+      spark.emptyDataFrame
+    else {
+      val cat = Stats.catalog(perDs.reduce(_ unionByName _))
+      val rows = cat.collect().map { r =>
+        s"""{"name":"${r.getString(0)}","file_count":${r.getLong(1)},""" +
+          s""""total_file_size":${r.getLong(2)}}"""
+      }.mkString("[", ",", "]")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/catalog.json"),
+        s"""{"datasets":$rows}""")
+      cat
+    }
+  }
+}
+
+object GraftDataset {
+  def nowTs(): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH-mm-ss.SSS")
+      .format(java.time.LocalDateTime.now(java.time.ZoneOffset.UTC))
+}

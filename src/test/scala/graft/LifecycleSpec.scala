@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end dataset lifecycle over the golden corpus: crawl → layout →
+  * re-crawl skip → make heal → entities → catalog → export — the full
+  * `ftm-datalake crawl/make/export` story in one lake (SURVEY §3). */
+class LifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val srcDir = "/root/reference/tests/fixtures/src"
+  private lazy val lake = java.nio.file.Files.createTempDirectory("graft-lake").toString
+  private lazy val archive = new GraftArchive(spark, lake)
+  private lazy val ds = archive.dataset("test_dataset")
+
+  test("crawl populates the full lake layout") {
+    val status = ds.crawl(srcDir, versionTs = "v1")
+    assert(status("added") > 60L)
+    assert(status("blobs_copied") > 0L)
+    // layout
+    assert(new java.io.File(s"${ds.metaRoot}/documents.parquet").isDirectory)
+    assert(new java.io.File(s"${ds.metaRoot}/index.json").isFile)
+    assert(ds.versions == Seq("v1"))
+    val docs = ds.documents
+    assert(docs.count() == status("added"))
+    // documents are the snapshot-ordered core relation, unique per key
+    assert(docs.select("key").distinct().count() == docs.count())
+  }
+
+  test("blob store is content-addressed and byte-faithful") {
+    val utf = ds.openBlob("utf.txt")
+    assert(utf.isDefined)
+    assert(new String(utf.get, "UTF-8") == "Îș unî©ođ€.\n")
+    val hash = ds.documents.filter($"key" === "utf.txt")
+      .select("content_hash").as[String].head()
+    assert(hash == "5a6acf229ba576d9a40b09292595658bbb74ef56")
+  }
+
+  test("re-crawl is incremental: nothing added, no new blobs") {
+    val before = ds.documents.count()
+    val status = ds.crawl(srcDir, versionTs = "v2")
+    assert(status("added") == 0L)
+    assert(status("blobs_copied") == 0L)
+    assert(ds.documents.count() == before)
+  }
+
+  test("make over an unchanged source is all-verify; diffs recorded") {
+    val status = ds.make(srcDir, versionTs = "v3")
+    assert(status.keySet == Set("verify"))
+    assert(ds.versions.contains("v3"))
+  }
+
+  test("entities project one FTM entity per document") {
+    val e = ds.entities
+    assert(e.count() == ds.documents.count())
+    assert(e.select("schema").distinct().count() > 3)
+    ds.writeEntities()
+    val back = spark.read.json(s"${ds.metaRoot}/entities.ftm.json")
+    assert(back.count() == e.count())
+  }
+
+  test("index.json carries entity_count and total_file_size") {
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"${ds.metaRoot}/index.json"))
+    assert(json.contains(s""""entity_count":${ds.documents.count()}"""))
+    assert(json.contains(""""schemata":["""))
+  }
+
+  test("archive catalog rolls up datasets and writes catalog.json") {
+    val cat = archive.makeCatalog()
+    assert(archive.datasetNames == Seq("test_dataset"))
+    assert(cat.count() == 1)
+    assert(new java.io.File(s"$lake/catalog.json").isFile)
+  }
+
+  test("export zip re-keys blobs under the dataset name") {
+    val zip = s"$lake/export.zip"
+    val n = ds.exportZip(zip)
+    assert(n == ds.documents.count())
+    val zf = new java.util.zip.ZipFile(zip)
+    try {
+      import scala.jdk.CollectionConverters._
+      val names = zf.entries().asScala.map(_.getName).toSeq
+      assert(names.forall(_.startsWith("test_dataset/")))
+      assert(names.contains("test_dataset/utf.txt"))
+    } finally zf.close()
+  }
+
+  test("version diff of an unchanged publish is empty") {
+    val diffDir = new java.io.File(s"${ds.metaRoot}/versions/v2.diff")
+    assert(diffDir.isDirectory)
+    val lines = spark.read.text(s"${ds.metaRoot}/versions/v2.diff")
+    assert(lines.isEmpty)
+  }
+}
