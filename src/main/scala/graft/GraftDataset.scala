@@ -31,17 +31,77 @@ final class GraftDataset(val spark: SparkSession, val root: String,
     DocumentsStore.readParquet(spark, s"$metaRoot/documents.parquet")
 
   /** Crawl a source tree: list → globs → skip-existing → hash → copy blobs
-    * → rebuild → publish snapshot+diff+index. Returns the action counts. */
+    * → rebuild → publish snapshot+diff+index. Returns the action counts.
+    *
+    * With `extract=true`, archive members replace their archives
+    * (docs/crawl.md "Extract" semantics; see [[graft.pipelines.Extract]]) —
+    * extracted blobs are written content-addressed from their bytes.
+    */
   def crawl(sourceUri: String, include: Option[String] = None,
-            exclude: Option[String] = None,
+            exclude: Option[String] = None, extract: Boolean = false,
             versionTs: String = GraftDataset.nowTs()): Map[String, Long] = {
     val existing = documents
-    val fresh = Crawl.crawl(spark, sourceUri, existing, include, exclude)
-      .cache()
-    val copied = ArchiveCopy.copyBlobs(spark, fresh, sourceUri, blobRoot)
+    val fresh0 = Crawl.crawl(spark, sourceUri, existing, include, exclude)
+    val (fresh, copied) =
+      if (!extract) {
+        val f = fresh0.cache()
+        (f, ArchiveCopy.copyBlobs(spark, f, sourceUri, blobRoot))
+      } else {
+        val base = sourceUri.stripSuffix("/")
+        val withBytes = spark.read.format("binaryFile")
+          .option("recursiveFileLookup", "true").load(base)
+          .select(regexp_replace(col("path"),
+            "^.*?" + java.util.regex.Pattern.quote(base) + "/", "").as("key"),
+            col("content"))
+          .join(fresh0.select("key"), Seq("key"), "left_semi")
+        val extracted = graft.pipelines.Extract.extractArchives(withBytes).cache()
+        val described = extracted.select(
+          col("key"),
+          graft.functions.GraftFunctions
+            .checksum(col("content"), checksumAlgorithm).as("content_hash"),
+          col("size"),
+          Crawl.guessMimetype(col("key")).as("mimetype"),
+          current_timestamp().as("created_at"),
+          current_timestamp().as("updated_at")).cache()
+        val copied = writeBlobsFromBytes(extracted)
+        (described, copied)
+      }
     val added = fresh.count()
     publish(Rebuild.rebuild(existing, fresh, fresh.limit(0)), versionTs)
     Map("added" -> added, "blobs_copied" -> copied)
+  }
+
+  /** Write (key, content) rows content-addressed from in-memory bytes
+    * (extraction path — members have no source file to copy from). */
+  private def writeBlobsFromBytes(rows: DataFrame): Long = {
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val algo = checksumAlgorithm match {
+      case "sha1" => "SHA-1"
+      case "md5" => "MD5"
+      case other => other.toUpperCase
+    }
+    val lake = blobRoot
+    val written = spark.sparkContext.longAccumulator("blobs_written")
+    rows.select("content").foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        val conf = confBc.value.value
+        it.foreach { r =>
+          val bytes = r.getAs[Array[Byte]](0)
+          val md = java.security.MessageDigest.getInstance(algo)
+          val ch = md.digest(bytes).map("%02x".format(_)).mkString
+          val shard = s"${ch.substring(0, 2)}/${ch.substring(2, 4)}/${ch.substring(4, 6)}/$ch"
+          val dst = new org.apache.hadoop.fs.Path(s"$lake/$shard")
+          val fs = dst.getFileSystem(conf)
+          if (!fs.exists(dst)) {
+            val out = fs.create(dst)
+            try out.write(bytes) finally out.close()
+            written.add(1)
+          }
+        }
+    }
+    written.value
   }
 
   /** Reconcile a source tree against the current documents table (make):

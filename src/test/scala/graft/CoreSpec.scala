@@ -102,6 +102,24 @@ class CoreSpec extends SparkSpec {
     assert(cfg.storageUri.contains("s3://bucket/path"))
   }
 
+  test("reference fixture documents.csv parses with the documents schema") {
+    // the golden CSV written by the reference round-trips through our codec
+    val df = DocumentsStore.readCsv(spark,
+      "/root/reference/tests/fixtures/archive/test_dataset/.leakrfc/documents.csv")
+    assert(df.count() > 60)
+    assert(df.filter($"key".isNull || $"content_hash".isNull || $"size".isNull).isEmpty)
+    // microsecond timestamps survive ("2024-09-29 22:52:24.613038")
+    val ts = df.select(max(date_format($"updated_at", "yyyy-MM-dd HH:mm:ss.SSSSSS")))
+      .as[String].head()
+    assert(ts.matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{6}"""))
+    // keys unique per rebuild invariant; sizes positive
+    assert(df.select("key").distinct().count() == df.count())
+    // golden total size from the sidecar `size` file
+    val want = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      "/root/reference/tests/fixtures/archive/test_dataset/.leakrfc/size")).trim.toLong
+    assert(df.agg(sum("size")).as[Long].head() == want)
+  }
+
   test("config.yml of the reference fixture parses (read in place)") {
     val cfg = Config.loadDatasetConfig(
       "/root/reference/tests/fixtures/archive/test_dataset/.leakrfc/config.yml")

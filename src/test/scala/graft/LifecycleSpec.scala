@@ -86,6 +86,24 @@ class LifecycleSpec extends SparkSpec {
     } finally zf.close()
   }
 
+  test("crawl with extract=true stores archive members, not archives") {
+    val lake2 = java.nio.file.Files.createTempDirectory("graft-lake2").toString
+    // source: one zip + one plain file
+    val src = java.nio.file.Files.createTempDirectory("graft-src").toString
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    z.putNextEntry(new java.util.zip.ZipEntry("inner/a.txt"))
+    z.write("alpha".getBytes("UTF-8")); z.closeEntry(); z.close()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/bundle.zip"), bos.toByteArray)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$src/plain.txt"), "beta")
+    val ds2 = new GraftArchive(spark, lake2).dataset("ex")
+    val st = ds2.crawl(src, extract = true, versionTs = "v1")
+    assert(st("added") == 2L)
+    val keys = ds2.documents.select("key").as[String].collect().toSet
+    assert(keys == Set("inner/a.txt", "plain.txt"))
+    assert(new String(ds2.openBlob("inner/a.txt").get, "UTF-8") == "alpha")
+  }
+
   test("version diff of an unchanged publish is empty") {
     val diffDir = new java.io.File(s"${ds.metaRoot}/versions/v2.diff")
     assert(diffDir.isDirectory)
