@@ -45,6 +45,24 @@ object DocumentsStore {
     diffLines.coalesce(1).write.mode("overwrite")
       .text(s"$root/versions/$versionTs.diff")
 
+  /** Write the documents table bucketed+sorted by `key` as a catalog table:
+    * the 100 TB layout. Rebuild-kernel anti-joins, reconcile full-outers and
+    * ledger anti-joins between two key-bucketed tables run with NO exchange
+    * (verified in CoreSpec) — the co-location the reference's per-key task
+    * model can't express. */
+  def writeBucketed(df: DataFrame, tableName: String, buckets: Int = 64): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, "key").sortBy("key")
+      .format("parquet")
+      .saveAsTable(tableName)
+
+  /** Typed view of a documents table (Dataset[DocumentRow]) for call sites
+    * where compile-time field checks pay (SURVEY §1.3). */
+  def readTyped(spark: SparkSession, path: String): org.apache.spark.sql.Dataset[Model.DocumentRow] = {
+    import spark.implicits._
+    readParquet(spark, path).as[Model.DocumentRow]
+  }
+
   /** Sorted version timestamps present under `<root>/versions` (O2/A5). */
   def versions(spark: SparkSession, root: String): Seq[String] = {
     val dir = new java.io.File(s"$root/versions")

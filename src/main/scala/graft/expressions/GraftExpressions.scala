@@ -90,10 +90,37 @@ object GraftExpressions {
 
   /** Cosine similarity of two double arrays in ONE pass, with the exact
     * left-to-right accumulation order of the Column/SQL formulation
-    * Σab / (√Σa² · √Σb²) — bit-identical to the DuckDB oracle. */
+    * Σab / (√Σa² · √Σb²) — bit-identical to the DuckDB oracle.
+    *
+    * Implements `doGenCode`, so it participates in whole-stage codegen: the
+    * brute-force scoring loop (scan → cosine → top-k) compiles into one
+    * generated function with no interpreter boundary. */
   case class CosineSimilarity(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val nx = ctx.freshName("nx")
+        val ny = ctx.freshName("ny")
+        val xi = ctx.freshName("xi")
+        val yi = ctx.freshName("yi")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xi = $a.getDouble($i);
+           |  double $yi = $b.getDouble($i);
+           |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+           |}
+           |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+           |""".stripMargin
+      })
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
