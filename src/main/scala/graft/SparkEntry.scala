@@ -317,8 +317,9 @@ object SparkEntry {
     }),
 
     "ann_ivf_topk" -> ((s, dir) => {
-      // approximate variant — recall vs brute force asserted in
-      // SimilaritySpec; no SQL oracle
+      // approximate variant (deterministic: centroids = first-16 vectors,
+      // explicit tie-breaks throughout → fully oracle-checkable); recall vs
+      // brute force additionally asserted in SimilaritySpec
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
           nlist = 16, nprobe = 4)
@@ -353,14 +354,22 @@ object SparkEntry {
         .select("media_id", "modality", "mime_type", "byte_size")),
 
     "multimodal_frames" -> ((s, dir) =>
-      // frame-sampling explode over binary media; stub-derived frame count
-      // (no SQL oracle — xxhash64-keyed stub; plumbing tested in
-      // MultimodalSpec)
+      // frame-sampling explode over binary media (generator-shaped op;
+      // stub frame count derives from byte size → fully oracle-checkable)
       Multimodal.sampleFramesStub(
         Multimodal.asMedia(
           t(s, dir, "documents").withColumn("bin", col("text").cast("binary")),
-          "doc_id", "bin", "video", "video/mp4"), n = 4))
+          "doc_id", "bin", "video", "video/mp4"), n = 4)
+        .withColumn("frame_count", col("frame_count").cast("long"))
+        .withColumn("frame_index", col("frame_index").cast("long")))
   )
+
+  /** DuckDB cosine formula matching the CosineSimilarity expression's
+    * accumulation order exactly (64-dim embeddings). */
+  private def cosSql(a: String, b: String): String =
+    s"list_sum([$a[k] * $b[k] for k in range(1, 65)]) / " +
+      s"(sqrt(list_sum([$a[k] * $a[k] for k in range(1, 65)])) * " +
+      s"sqrt(list_sum([$b[k] * $b[k] for k in range(1, 65)])))"
 
   // =====================================================================
   def oracleSql: Map[String, String] = Map(
@@ -582,6 +591,31 @@ object SparkEntry {
         |SELECT query_id, rk, corpus_id, round(sim, 6) AS sim
         |FROM r WHERE rk <= 10""".stripMargin,
 
+    "ann_ivf_topk" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM c ORDER BY vec_id LIMIT 16),
+         |asg AS (SELECT corpus_id, centroid_id FROM (
+         |  SELECT a.vec_id AS corpus_id, ce.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${cosSql("a.v", "ce.cv")} DESC, ce.centroid_id) AS rn
+         |  FROM c a CROSS JOIN cents ce) t WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+         |probes AS (SELECT query_id, centroid_id FROM (
+         |  SELECT q.query_id, ce.centroid_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${cosSql("q.qv", "ce.cv")} DESC, ce.centroid_id) AS rn
+         |  FROM q CROSS JOIN cents ce) t WHERE rn <= 4),
+         |s AS (SELECT p.query_id, a.corpus_id, ${cosSql("cv2.v", "q2.qv")} AS sim
+         |      FROM asg a JOIN probes p USING (centroid_id)
+         |      JOIN q q2 ON q2.query_id = p.query_id
+         |      JOIN c cv2 ON cv2.vec_id = a.corpus_id
+         |      WHERE p.query_id <> a.corpus_id)
+         |SELECT query_id, rk, corpus_id, round(sim, 6) AS sim FROM (
+         |  SELECT query_id, corpus_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, corpus_id) AS rk FROM s) t
+         |WHERE rk <= 10""".stripMargin,
+
     "text_tokens" ->
       """WITH w AS (SELECT doc_id, text,
         |  string_split_regex(trim(text), '\s+') AS words FROM documents)
@@ -632,6 +666,14 @@ object SparkEntry {
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, 'image' AS modality, 'image/png' AS mime_type,
         | CAST(octet_length(encode(text)) AS BIGINT) AS byte_size
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "multimodal_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_size FROM documents),
+        |f AS (SELECT media_id, byte_size % 500 + 10 AS frame_count FROM m)
+        |SELECT media_id, frame_count,
+        |  CAST(floor(i * frame_count / 4.0) AS BIGINT) AS frame_index
+        |FROM f CROSS JOIN (SELECT unnest(range(0, 4)) AS i) idx""".stripMargin
   )
 }

@@ -80,13 +80,16 @@ object Multimodal {
 
   /** Deterministic frame sampling for video rows: emit `n` evenly-spaced
     * frame indices per media item given a (stub-derived) frame count. The
-    * explode IS the real operator — a decoder only fills in pixels. */
+    * explode IS the real operator — a decoder only fills in pixels.
+    * The stub frame count derives from the byte size (portable arithmetic,
+    * so the operator is oracle-checkable end to end). */
   def sampleFramesStub(media: DataFrame, n: Int = 4): DataFrame = {
-    val frameCount = (pmod(xxhash64(col("content")), lit(500L)) + 10).cast("int")
+    val frameCount = (pmod(col("byte_size"), lit(500L)) + 10).cast("int")
     media
       .withColumn("frame_count", frameCount)
       .select(col("media_id"), col("frame_count"),
         explode(transform(sequence(lit(0), lit(n - 1)),
-          i => (i * col("frame_count") / n).cast("int"))).as("frame_index"))
+          i => floor(i * col("frame_count") / lit(n.toDouble)).cast("int")))
+          .as("frame_index"))
   }
 }

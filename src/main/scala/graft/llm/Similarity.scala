@@ -53,11 +53,13 @@ object Similarity {
   // ------------------------------------------------------------ IVF
   /** Deterministic coarse centroids: the first `nlist` corpus vectors by id
     * (a stand-in for k-means training — the partition/probe machinery is
-    * what matters to the engine; swap in trained centroids at will). */
+    * what matters to the engine; swap in trained centroids at will). The
+    * centroid id IS the source vector id, so the whole IVF pipeline is
+    * deterministic and oracle-checkable. */
   def centroids(corpus: DataFrame, nlist: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     corpus.orderBy(col(idCol)).limit(nlist)
-      .select(monotonically_increasing_id().as("centroid_id"),
+      .select(col(idCol).as("centroid_id"),
         asDouble(col(vecCol)).as("centroid"))
 
   /** Assign every corpus vector to its nearest centroid (broadcast the

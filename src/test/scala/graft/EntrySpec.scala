@@ -11,9 +11,9 @@ class EntrySpec extends SparkSpec {
 
   test("every query has an oracle or a documented rows-only exemption") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // hash-family / stub-keyed ops can't be expressed in portable SQL:
-    assert(noOracle == Set("dedup_minhash_lsh", "dedup_simhash",
-      "ann_ivf_topk", "multimodal_frames"))
+    // hash-family ops (xxhash64 has no DuckDB equivalent) can't be
+    // expressed in portable SQL:
+    assert(noOracle == Set("dedup_minhash_lsh", "dedup_simhash"))
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
 
