@@ -171,6 +171,91 @@ object GraftExpressions {
     override def prettyName: String = "graft_jaccard"
   }
 
+  /** Distinct word n-gram shingles of a text column — compiled single pass
+    * (split → sliding join → insertion-ordered dedupe). Replaces the
+    * equivalent transform/slice/array_join/array_distinct column stack,
+    * whose interpreted evaluation dominated the whole exact-Jaccard
+    * pipeline (measured ~55% of total runtime). Semantics are identical:
+    * whitespace-regex split of the trimmed text; texts shorter than n words
+    * contribute their whole token sequence as one shingle. */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n > 0)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    private val ws = java.util.regex.Pattern.compile("\\s+")
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .trim().toString
+      val words = ws.split(text, -1)
+      val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+      val last = math.max(words.length - n, 0)
+      var i = 0
+      while (i <= last) {
+        val sb = new java.lang.StringBuilder()
+        var j = i
+        val end = math.min(i + n, words.length)
+        while (j < end) {
+          if (j > i) sb.append(' ')
+          sb.append(words(j))
+          j += 1
+        }
+        out.add(org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+        i += 1
+      }
+      new GenericArrayData(out.toArray[AnyRef](new Array[AnyRef](out.size)))
+    }
+    override protected def withNewChildInternal(c: Expression): WordShingles =
+      copy(child = c)
+    override def prettyName: String = "graft_shingles"
+  }
+
+  /** All ordered pairs (i<j) from one inverted-index bucket: input
+    * `array<struct<id long, sz int|long>>`, output
+    * `array<struct<i,j,si,sj>>`. Compiled combination loop — replaces a
+    * shuffle self-join in the exact-Jaccard pipeline (the bucket array
+    * arrives from one groupBy; pair generation is then pure map work). */
+  case class PairCombinations(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("i", LongType, nullable = false),
+      StructField("j", LongType, nullable = false),
+      StructField("si", LongType, nullable = false),
+      StructField("sj", LongType, nullable = false))), containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val ids = new Array[Long](n)
+      val szs = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val row = arr.getStruct(i, 2)
+        ids(i) = row.getLong(0)
+        szs(i) = row.getLong(1)
+        i += 1
+      }
+      // sort by id so emitted pairs are (smaller, larger)
+      val order = (0 until n).sortBy(ids(_)).toArray
+      val out = new Array[Any](n * (n - 1) / 2)
+      var k = 0
+      var a = 0
+      while (a < n) {
+        var b = a + 1
+        while (b < n) {
+          val x = order(a); val y = order(b)
+          out(k) = org.apache.spark.sql.catalyst.InternalRow(
+            ids(x), ids(y), szs(x), szs(y))
+          k += 1
+          b += 1
+        }
+        a += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): PairCombinations =
+      copy(c)
+    override def prettyName: String = "graft_pair_combinations"
+  }
+
   // ------------------------------------------------------- Column surface
   private def expr(c: Column): Expression =
     org.apache.spark.sql.graft.ColumnShim.expression(c)
@@ -184,6 +269,10 @@ object GraftExpressions {
     toCol(CosineSimilarity(expr(a), expr(b)))
   def jaccardSimilarity(a: Column, b: Column): Column =
     toCol(JaccardSimilarity(expr(a), expr(b)))
+  def pairCombinations(bucket: Column): Column =
+    toCol(PairCombinations(expr(bucket)))
+  def wordShingles(text: Column, n: Int): Column =
+    toCol(WordShingles(expr(text), n))
 
   /** Register all graft expressions for SQL use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -16,13 +16,13 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Word n-gram shingles, distinct, as an array column. Documents shorter
-    * than `n` words contribute their whole token sequence as one shingle. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val words = split(trim(text), "\\s+")
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
-        i => array_join(slice(words, i + 1, lit(n)), " ")))
-  }
+    * than `n` words contribute their whole token sequence as one shingle.
+    * Backed by the compiled [[graft.expressions.GraftExpressions.WordShingles]]
+    * kernel (the column-stack formulation
+    * `array_distinct(transform(sequence…, i => array_join(slice(words,i+1,n))))`
+    * is semantically identical but interpreter-bound). */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.expressions.GraftExpressions.wordShingles(text, n)
 
   // ------------------------------------------------------------ exact
   /** Exact dedup: keep the smallest id per content hash. One row per
@@ -46,27 +46,28 @@ object Dedup {
                    n: Int = 3, threshold: Double = 0.5,
                    maxShingleFreq: Option[Int] = None): DataFrame = {
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .withColumn("sh_size", size(col("sh")))
-    // join on the 64-bit shingle hash, not the string: ~4× smaller exchange
-    // payload; xxhash64 collisions across the ≲10^9-shingle scale are
-    // ≪1e-9-probable and would only perturb one intersection count by 1
-    val inv0 = sh.select(col("id"), col("sh_size"), explode(col("sh")).as("sh_str"))
+      .withColumn("sh_size", size(col("sh")).cast("long"))
+    // invert on the 64-bit shingle hash, not the string: ~4× smaller
+    // exchange payload; xxhash64 collisions across the ≲10^9-shingle scale
+    // are ≪1e-9-probable and would only perturb one intersection count by 1
+    val inv = sh.select(col("id"), col("sh_size"), explode(col("sh")).as("sh_str"))
       .select(col("id"), col("sh_size"), xxhash64(col("sh_str")).as("shingle"))
-    val inv = maxShingleFreq match {
-      case Some(cap) =>
-        val freq = inv0.groupBy("shingle").agg(count(lit(1)).as("f"))
-          .filter(col("f") <= cap).select("shingle")
-        inv0.join(freq, Seq("shingle"), "left_semi")
-      case None => inv0
+    // bucket per shingle (ONE exchange), then generate each bucket's (i<j)
+    // pairs with the compiled PairCombinations kernel — no shuffle
+    // self-join. Hot-shingle buckets ("stop shingles") are droppable via
+    // maxShingleFreq, which also bounds the per-bucket pair blowup.
+    val buckets0 = inv.groupBy("shingle")
+      .agg(collect_list(struct(col("id"), col("sh_size"))).as("docs"))
+    val buckets = maxShingleFreq match {
+      case Some(cap) => buckets0.filter(size(col("docs")) <= cap)
+      case None => buckets0
     }
-    // repartition on shingle: one exchange computes the exploded inverted
-    // index exactly once (ReusedExchange on the self-join), and the join
-    // inherits the hash distribution so no further shuffle is needed.
-    val invR = inv.repartition(col("shingle"))
-    val a = invR.select(col("shingle"), col("id").as("i"), col("sh_size").as("si"))
-    val b = invR.select(col("shingle"), col("id").as("j"), col("sh_size").as("sj"))
-    a.join(b, Seq("shingle"))
-      .filter(col("i") < col("j"))
+    val pairs = buckets
+      .filter(size(col("docs")) > 1)
+      .select(explode(graft.expressions.GraftExpressions
+        .pairCombinations(col("docs"))).as("p"))
+      .select(col("p.i"), col("p.j"), col("p.si"), col("p.sj"))
+    pairs
       .groupBy("i", "j", "si", "sj")
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
