@@ -117,7 +117,26 @@ object GraftFunctions {
     sb.append('$').toString
   }
 
-  def globMatch(c: Column, glob: String): Column = c.rlike(globToRegex(glob))
+  /** Glob predicate, compiled to the most pushdown-friendly Column form:
+    * prefix globs (`abc*`) → `startsWith`, suffix globs (`*.pdf`) →
+    * `endsWith`, infix (`*abc*`) → `contains` — all of which reach the
+    * parquet scan as Pushed­Filters (StringStartsWith/EndsWith/Contains) —
+    * and only genuinely structured patterns fall back to `rlike`. */
+  def globMatch(c: Column, glob: String): Column = {
+    val meta = "*?[]{}\\"
+    def plain(s: String): Boolean = !s.exists(meta.contains(_))
+    glob match {
+      case g if plain(g) => c === lit(g)
+      case g if g.endsWith("*") && plain(g.dropRight(1)) =>
+        c.startsWith(g.dropRight(1))
+      case g if g.startsWith("*") && plain(g.drop(1)) =>
+        c.endsWith(g.drop(1))
+      case g if g.startsWith("*") && g.endsWith("*") && g.length > 2 &&
+        plain(g.substring(1, g.length - 1)) =>
+        c.contains(g.substring(1, g.length - 1))
+      case g => c.rlike(globToRegex(g))
+    }
+  }
 
   /** Include/exclude glob filter over a key column; None = no constraint. */
   def globFilter(key: Column, include: Option[String], exclude: Option[String]): Column = {

@@ -53,6 +53,23 @@ class FunctionsSpec extends SparkSpec {
     assert(anc(1) == Seq.empty)
   }
 
+  test("globMatch compiles to pushdown-friendly predicates with fnmatch semantics") {
+    import graft.functions.GraftFunctions.globMatch
+    val df = Seq("src1/a.pdf", "src12/b.txt", "other/c.pdf", "exact").toDF("k")
+    def matches(glob: String): Set[String] =
+      df.filter(globMatch(col("k"), glob)).as[String].collect().toSet
+    assert(matches("src1*") == Set("src1/a.pdf", "src12/b.txt"))
+    assert(matches("*.pdf") == Set("src1/a.pdf", "other/c.pdf"))
+    assert(matches("*pdf*") == Set("src1/a.pdf", "other/c.pdf"))
+    assert(matches("exact") == Set("exact"))
+    assert(matches("src?2*") == Set("src12/b.txt")) // structured → regex path
+    // prefix form must surface as a pushable StartsWith, not RLike
+    val plan = df.filter(globMatch(col("k"), "src1*"))
+      .queryExecution.analyzed.toString
+    assert(plan.toLowerCase.contains("startswith"), s"got $plan")
+    assert(!plan.toLowerCase.contains("rlike"))
+  }
+
   test("globToRegex implements fnmatch semantics") {
     val cases = Seq(
       ("*.pdf", "doc.pdf", true), ("*.pdf", "doc.pdfx", false),
