@@ -75,6 +75,15 @@ object Diff {
   def deletedKeys(prev: DataFrame, next: DataFrame): DataFrame =
     snapshotDiff(prev, next).filter(col("diff_op") === "-").select("key").distinct()
 
+  /** Replay a diff onto a base snapshot: base − deletions + additions.
+    * Invariant (property-tested): `applyDiff(prev, snapshotDiff(prev, next))
+    * ≡ next` — the change-feed consumer's contract (I3). */
+  def applyDiff(base: DataFrame, diff: DataFrame): DataFrame = {
+    val adds = diff.filter(col("diff_op") === "+").drop("diff_op")
+    val dels = diff.filter(col("diff_op") === "-").drop("diff_op")
+    base.exceptAll(dels).unionByName(adds)
+  }
+
   /** RFC-interop serializer: one unified-diff-style text line per row
     * (`+key,hash,...` / `-key,hash,...`), ordered deterministically.
     * This is a format boundary, not a data-plane operator.

@@ -108,6 +108,27 @@ object Dedup {
     labels
   }
 
+  /** Full near-dup corpus dedup: find pairs (exact Jaccard below
+    * `exactCorpusLimit` rows, MinHash-LSH above), cluster them transitively,
+    * keep each cluster's min-id representative. Returns (cleanedDf, stats).
+    */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                  threshold: Double = 0.8, n: Int = 3,
+                  exactCorpusLimit: Long = 100000): (DataFrame, Map[String, Long]) = {
+    val total = df.count()
+    val pairs =
+      if (total <= exactCorpusLimit)
+        jaccardPairs(df, idCol, textCol, n, threshold).select("i", "j")
+      else
+        minhashLsh(df, idCol, textCol, n, threshold = threshold).select("i", "j")
+    val comps = connectedComponents(pairs)
+    val losers = comps.filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    val cleaned = df.join(losers, Seq(idCol), "left_anti")
+    val kept = cleaned.count()
+    (cleaned, Map("total" -> total, "kept" -> kept, "removed" -> (total - kept)))
+  }
+
   // ------------------------------------------------------------ minhash
   /** Deterministic seed list for the signature hash family. */
   private def seeds(k: Int): Seq[Int] = (0 until k).map(i => 0x9e3779b9 + i * 0x85ebca6b)

@@ -102,6 +102,17 @@ class DedupSpec extends SparkSpec {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("dedupCorpus removes transitive near-dup clusters, keeps representatives") {
+    val (cleaned, stats) = Dedup.dedupCorpus(docs, "doc_id", "text",
+      threshold = 0.5)
+    assert(stats("total") == 500L)
+    assert(stats("removed") > 0L && stats("removed") < 100L)
+    assert(cleaned.count() == stats("kept"))
+    // no surviving pair above the threshold
+    val residual = Dedup.jaccardPairs(cleaned, "doc_id", "text", 3, 0.5)
+    assert(residual.isEmpty)
+  }
+
   test("dropDuplicates removes the higher-id side of each pair") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L)).toDF("i", "j")

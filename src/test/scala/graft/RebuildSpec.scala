@@ -63,10 +63,8 @@ class RebuildSpec extends SparkSpec {
       == Set("b.txt", "d.txt"))
     assert(Diff.deletedKeys(current, next).as[String].collect().toSet
       == Set("b.txt", "c.txt"))
-    // replay: old − deletions + additions == new
-    val adds = diff.filter($"diff_op" === "+").drop("diff_op")
-    val dels = diff.filter($"diff_op" === "-").drop("diff_op")
-    val replayed = current.exceptAll(dels).unionByName(adds)
+    // replay contract: applyDiff(old, diff(old, new)) == new
+    val replayed = Diff.applyDiff(current, diff)
     assert(replayed.exceptAll(next).isEmpty && next.exceptAll(replayed).isEmpty)
   }
 
@@ -75,6 +73,18 @@ class RebuildSpec extends SparkSpec {
     val lines = Diff.toDiffLines(Diff.snapshotDiff(current, next))
       .as[String].collect()
     assert(lines.length == 1 && lines(0).startsWith("-b.txt,h2,20"))
+  }
+
+  test("property: diff/replay round-trips on random snapshot pairs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { _ =>
+      def snap() = List.fill(1 + rnd.nextInt(50))(
+        (s"k${rnd.nextInt(20)}", rnd.nextInt(3).toLong)).distinct
+        .toDF("key", "v")
+      val a = snap(); val b = snap()
+      val replayed = Diff.applyDiff(a, Diff.snapshotDiff(a, b))
+      assert(replayed.exceptAll(b).isEmpty && b.exceptAll(replayed).isEmpty)
+    }
   }
 
   test("property: keepLatest is idempotent and keeps one row per key") {
