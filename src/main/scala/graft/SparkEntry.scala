@@ -282,6 +282,13 @@ object SparkEntry {
         .select(date_format(col("ws"), "yyyy-MM-dd HH").as("window_start"),
           col("event_type"), col("n"), col("total_value"))),
 
+    "st_sessionize" -> ((s, dir) =>
+      // gap-based sessionization (lag + cumulative sum over the per-user
+      // window; 30-minute gap)
+      graft.operators.Sessionize.sessions(
+        t(s, dir, "events"), "user_id", "ts", gapSeconds = 1800, "value",
+        tieBreak = Seq("event_id"))),
+
     // ------------------------------------------------------ dedup family
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
@@ -546,6 +553,26 @@ object SparkEntry {
         | event_type, count(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "st_sessionize" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT) -
+        |              CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM tagged)
+        |SELECT user_id, session_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
