@@ -71,10 +71,12 @@ class ZipTable(paths: Seq[String]) extends Table with SupportsRead {
         // listing — metadata only)
         val conf = org.apache.spark.sql.SparkSession.active
           .sparkContext.hadoopConfiguration
-        paths.flatMap { p =>
+        val resolved = paths.flatMap { p =>
           val path = new org.apache.hadoop.fs.Path(p)
           val fs = path.getFileSystem(conf)
           val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Nil)
+          if (matched.isEmpty)
+            throw new java.io.FileNotFoundException(s"graft-zip: no files match $p")
           matched.flatMap { st =>
             if (st.isDirectory)
               fs.listStatus(st.getPath).toSeq
@@ -82,7 +84,8 @@ class ZipTable(paths: Seq[String]) extends Table with SupportsRead {
                 .map(_.getPath.toString)
             else Seq(st.getPath.toString)
           }
-        }.map(ZipFilePartition(_): InputPartition).toArray
+        }
+        resolved.map(ZipFilePartition(_): InputPartition).toArray
       }
 
       override def createReaderFactory(): PartitionReaderFactory =
