@@ -105,6 +105,18 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    "q6_forecast_revenue" -> ((s, dir) =>
+      // classic filter-scan-aggregate: every predicate reaches the parquet
+      // scan as a PushedFilter; single partial+final agg, no join
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(Exact.dsumProduct(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"),
+          count(lit(1)).as("n"))),
+
     // ------------------------------------------- projections & predicates
     "p1_project_keys" -> ((s, dir) =>
       // P1/F5: single-column-style projection of derived key + basename
@@ -411,6 +423,16 @@ object SparkEntry {
         | JOIN nation ON s_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "p1_project_keys" ->
       s"""SELECT doc_id, $docsKeySql AS key,

@@ -40,6 +40,19 @@ object Streaming {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Event-time session windows (gap-based) — the streaming counterpart of
+    * the batch [[graft.operators.Sessionize]]: a session extends while
+    * events arrive within `gap` of the previous one. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("total_value"))
+
   /** Run a streaming query to completion over the current backlog
     * (batch-incremental, `Trigger.AvailableNow`) into an in-memory table;
     * returns the result. Used by tests and local verification. */

@@ -22,6 +22,20 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("session_window agrees with the batch sessionization kernel") {
+    val ev = Tables.load(spark, sf0, "events")
+    // batch session_window (same logical op the streaming variant runs)
+    val viaWindow = Streaming.sessionCounts(ev)
+      .select("user_id", "n_events").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val viaKernel = graft.operators.Sessionize
+      .sessions(ev, "user_id", "ts", gapSeconds = 1800, "value",
+        tieBreak = Seq("event_id"))
+      .select("user_id", "n_events").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(viaWindow == viaKernel)
+  }
+
   test("stateful per-user totals match a batch aggregate") {
     val ev = Tables.load(spark, sf0, "events")
     val out = Streaming.statefulUserTotals(ev)
