@@ -324,8 +324,10 @@ object SparkEntry {
         maxHamming = 3)),
 
     "dedup_embedding_pairs" -> ((s, dir) =>
-      // embedding-cosine near-dup (exact mode; LSH pre-filter is the scale
-      // path, recall-tested in DedupSpec)
+      // embedding-cosine near-dup. Auto mode: ≤20k rows (this SF) scores
+      // exactly (oracle-checkable); larger corpora auto-switch to the
+      // hyperplane-LSH pre-filter (the 100 TB default, recall-tested in
+      // DedupSpec)
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.5)),
 
     // ------------------------------------------------- similarity search

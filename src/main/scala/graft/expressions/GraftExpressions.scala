@@ -256,6 +256,103 @@ object GraftExpressions {
     override def prettyName: String = "graft_pair_combinations"
   }
 
+  /** Fraction of positions where two equal-length long-array signatures
+    * agree — the MinHash Jaccard estimator. Implements `doGenCode`, so the
+    * candidate-verification join stage stays inside whole-stage codegen
+    * (replaces the interpreted `size(filter(zip_with(...)))/size(...)`
+    * column stack, the last interpreted HOF on the dedup hot path).
+    * Semantics match that stack exactly for equal-length signatures:
+    * matches over the overlap, divided by the LEFT signature's length. */
+  case class SignatureAgreement(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val m = ctx.freshName("m")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $m = 0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.getLong($i) == $b.getLong($i)) $m++;
+           |}
+           |${ev.value} = (double) $m / $a.numElements();
+           |""".stripMargin
+      })
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var m = 0
+      var i = 0
+      while (i < n) {
+        if (x.getLong(i) == y.getLong(i)) m += 1
+        i += 1
+      }
+      java.lang.Double.valueOf(m.toDouble / x.numElements())
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def prettyName: String = "graft_signature_agreement"
+  }
+
+  /** All `nTables` random-hyperplane LSH signatures of a double vector in
+    * ONE compiled pass (replaces the interpreted `aggregate`×`zip_with`
+    * column stack evaluated per plane × per table — the pattern measured
+    * 10-50× slower elsewhere). Bit-identical to the column formulation in
+    * [[graft.llm.Similarity.hyperplaneSignature]] (parity-tested in
+    * ExpressionsSpec): plane weights are deterministic pseudo-random values
+    * in [-1,1) derived as
+    * `pmod(xxhash64(table*4096+plane, dim), 2000001)/1e6 - 1`, projections
+    * accumulate left-to-right per plane, bit p = (projection >= 0).
+    * Per-plane base hashes are hoisted out of the dim loop; the dim loop is
+    * the inner loop so each vector element is read once per plane. */
+  case class HyperplaneSignatures(child: Expression, nPlanes: Int, nTables: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(nPlanes > 0 && nPlanes <= 63, s"nPlanes $nPlanes out of range")
+    require(nTables > 0 && nTables <= 1024, s"nTables $nTables out of range")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    // base hash per (table, plane): XxHash64(seed=42) folds the int literal
+    // table*4096+plane first, then the dim index
+    @transient private lazy val baseHashes: Array[Array[Long]] =
+      Array.tabulate(nTables, nPlanes)((t, p) => XXH64.hashInt(t * 4096 + p, 42L))
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      val out = new Array[Long](nTables)
+      var t = 0
+      while (t < nTables) {
+        val hp = baseHashes(t)
+        var sig = 0L
+        var p = 0
+        while (p < nPlanes) {
+          val base = hp(p)
+          var acc = 0.0
+          var i = 0
+          while (i < n) {
+            val h = XXH64.hashInt(i, base)
+            val m = h % 2000001L
+            val pm = if (m < 0) m + 2000001L else m
+            acc += v.getDouble(i) * (pm.toDouble / 1000000.0 - 1.0)
+            i += 1
+          }
+          if (acc >= 0) sig |= (1L << p)
+          p += 1
+        }
+        out(t) = sig
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): HyperplaneSignatures =
+      copy(child = c)
+    override def prettyName: String = "graft_hyperplane_signatures"
+  }
+
   // ------------------------------------------------------- Column surface
   private def expr(c: Column): Expression =
     org.apache.spark.sql.graft.ColumnShim.expression(c)
@@ -273,6 +370,10 @@ object GraftExpressions {
     toCol(PairCombinations(expr(bucket)))
   def wordShingles(text: Column, n: Int): Column =
     toCol(WordShingles(expr(text), n))
+  def signatureAgreement(a: Column, b: Column): Column =
+    toCol(SignatureAgreement(expr(a), expr(b)))
+  def hyperplaneSignatures(vec: Column, nPlanes: Int, nTables: Int): Column =
+    toCol(HyperplaneSignatures(expr(vec.cast("array<double>")), nPlanes, nTables))
 
   /** Register all graft expressions for SQL use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -40,11 +40,22 @@ object Dedup {
   /** All pairs (i < j) with shingle-set Jaccard ≥ threshold, via an
     * inverted-index self-join: pairs are only generated for documents
     * sharing ≥1 shingle, so cost is Σ_shingle C(freq,2) instead of C(N,2).
-    * Hot shingles (stop-shingles) can be capped with `maxShingleFreq`.
+    *
+    * Hot shingles ("stop shingles" shared by more than `maxShingleFreq`
+    * documents) are dropped — ON BY DEFAULT, because at corpus scale one
+    * uncapped stop-shingle bucket materializes every sharing doc in a
+    * single row and emits C(freq,2) pairs. The cap only lowers the
+    * intersection count of pairs that share extremely common shingles
+    * (standard stop-shingle pruning); corpora smaller than the cap are
+    * unaffected. Dropped-bucket counts are published through
+    * `Dataset.observe` under metric name `graft_jaccard_buckets`
+    * (column `dropped_hot_buckets`) — zero extra jobs, readable via a
+    * `QueryExecutionListener`. Pass `maxShingleFreq = None` only for
+    * small-corpus exact runs.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
-                   maxShingleFreq: Option[Int] = None): DataFrame = {
+                   maxShingleFreq: Option[Int] = Some(1000)): DataFrame = {
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .withColumn("sh_size", size(col("sh")).cast("long"))
     // invert on the 64-bit shingle hash, not the string: ~4× smaller
@@ -59,7 +70,11 @@ object Dedup {
     val buckets0 = inv.groupBy("shingle")
       .agg(collect_list(struct(col("id"), col("sh_size"))).as("docs"))
     val buckets = maxShingleFreq match {
-      case Some(cap) => buckets0.filter(size(col("docs")) <= cap)
+      case Some(cap) => buckets0
+        .observe("graft_jaccard_buckets",
+          sum(when(size(col("docs")) > cap, lit(1L)).otherwise(lit(0L)))
+            .as("dropped_hot_buckets"))
+        .filter(size(col("docs")) <= cap)
       case None => buckets0
     }
     val pairs = buckets
@@ -165,14 +180,18 @@ object Dedup {
       .select("i", "j").distinct()
   }
 
-  /** Estimated Jaccard from signature agreement, for candidate filtering. */
+  /** Estimated Jaccard from signature agreement, for candidate filtering.
+    * The agreement fraction is the compiled
+    * [[graft.expressions.GraftExpressions.SignatureAgreement]] expression
+    * (participates in whole-stage codegen) — semantically identical to the
+    * interpreted `size(filter(zip_with(..)))/size(..)` column stack it
+    * replaced (parity-tested in ExpressionsSpec). */
   def estimateJaccard(signatures: DataFrame, candidates: DataFrame): DataFrame = {
     val s1 = signatures.select(col("id").as("i"), col("signature").as("sig_i"))
     val s2 = signatures.select(col("id").as("j"), col("signature").as("sig_j"))
     candidates.join(s1, "i").join(s2, "j")
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_i"), col("sig_j"), (x, y) => x === y),
-          (eq: Column) => eq)).cast("double") / size(col("sig_i")))
+      .withColumn("est_jaccard", graft.expressions.GraftExpressions
+        .signatureAgreement(col("sig_i"), col("sig_j")))
       .select("i", "j", "est_jaccard")
   }
 
@@ -204,18 +223,27 @@ object Dedup {
 
   // ------------------------------------------------------------ embeddings
   /** Embedding-cosine near-duplicate pairs: all (i<j) with cosine ≥
-    * threshold. Exact mode scores every pair (the corpus side broadcasts
-    * only if small — callers at 100 TB set `useLsh=true` to pre-filter
-    * candidates with random-hyperplane buckets and score only collisions).
+    * threshold.
+    *
+    * MODE SELECTION DEFAULTS TO AUTO: corpora up to `autoLshMinRows` rows
+    * are scored exactly (all-pairs — quadratic but cheap at that size and
+    * oracle-exact); anything larger automatically switches to the
+    * random-hyperplane LSH pre-filter, which buckets candidates and scores
+    * only collisions — the 100 TB path, where all-pairs is not runnable.
+    * The auto `count()` is one cheap metadata-backed job on parquet
+    * sources; pass `useLsh = Some(..)` to skip it and force a mode
+    * (mirrors [[dedupCorpus]]'s exact/LSH cutover for Jaccard).
     */
   def embeddingNearDup(df: DataFrame, idCol: String = "vec_id",
                        vecCol: String = "embedding", threshold: Double = 0.9,
-                       useLsh: Boolean = false, nPlanes: Int = 12,
-                       nTables: Int = 8): DataFrame = {
+                       useLsh: Option[Boolean] = None, nPlanes: Int = 12,
+                       nTables: Int = 8,
+                       autoLshMinRows: Long = 20000L): DataFrame = {
     import graft.expressions.GraftExpressions.cosineSimilarity
     val vecs = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val pairs = if (useLsh) {
+    val lsh = useLsh.getOrElse(df.count() > autoLshMinRows)
+    val pairs = if (lsh) {
       graft.llm.Similarity.lshBucketCandidates(df, nPlanes, nTables,
         idCol, vecCol)
     } else {

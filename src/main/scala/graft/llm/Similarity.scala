@@ -102,6 +102,14 @@ object Similarity {
   /** Random-hyperplane signature for one LSH table: bit h = sign(v · r_h)
     * with deterministic pseudo-random hyperplanes derived from
     * (table, plane, dim) hashes. Cosine-similar vectors agree on most bits.
+    *
+    * This is the REFERENCE column formulation, kept as the executable spec
+    * for the compiled
+    * [[graft.expressions.GraftExpressions.HyperplaneSignatures]] kernel
+    * (bit-parity asserted in ExpressionsSpec). The hot path below uses the
+    * compiled expression — the interpreted `aggregate`×`zip_with` stack
+    * here evaluates its lambdas per element × plane × table through the
+    * interpreter, the known 10-50× penalty.
     */
   def hyperplaneSignature(vec: Column, nPlanes: Int = 16, table: Int = 0): Column = {
     val planes = (0 until nPlanes).map { p =>
@@ -125,8 +133,10 @@ object Similarity {
                           nTables: Int = 8,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding"): DataFrame = {
-    val sigArray = array((0 until nTables).map(t =>
-      hyperplaneSignature(col(vecCol), nPlanes, t)): _*)
+    // ONE compiled pass computes all nTables signatures (vs the column
+    // formulation's nTables×nPlanes interpreted folds over the vector)
+    val sigArray = graft.expressions.GraftExpressions
+      .hyperplaneSignatures(col(vecCol), nPlanes, nTables)
     val sigs = corpus
       .select(col(idCol).as("id"), posexplode(sigArray).as(Seq("table", "sig")))
       .repartition(col("id")) // materialization boundary (see Dedup.lshCandidates)

@@ -87,12 +87,40 @@ class DedupSpec extends SparkSpec {
       .select("i", "j").as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty)
     // LSH with few planes must recover a reasonable share of true pairs
-    val lsh = Dedup.embeddingNearDup(emb, threshold = 0.4, useLsh = true,
+    val lsh = Dedup.embeddingNearDup(emb, threshold = 0.4, useLsh = Some(true),
         nPlanes = 6)
       .select("i", "j").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(exact)) // same verification threshold ⇒ no false pairs
     val recall = exact.count(lsh.contains).toDouble / exact.size
     assert(recall >= 0.2, s"recall $recall over ${exact.size}")
+  }
+
+  test("embedding near-dup auto mode switches to LSH above the row cutover") {
+    val emb = Tables.load(spark, sf0, "embeddings")
+    val exact = Dedup.embeddingNearDup(emb, threshold = 0.4, useLsh = Some(false))
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    // cutover of 0 forces the auto path onto LSH for this 500-row corpus
+    val auto = Dedup.embeddingNearDup(emb, threshold = 0.4, autoLshMinRows = 0L)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(auto.subsetOf(exact)) // LSH pre-filter + same verify threshold
+    assert(auto.nonEmpty)
+  }
+
+  test("jaccardPairs caps hot-shingle buckets (scale-safe default)") {
+    // 20 identical docs share one stop-shingle; with the cap below 20 the
+    // bucket is dropped and the pipeline completes with zero pairs instead
+    // of materializing one 20-doc row and emitting C(20,2) pairs
+    val hot = (1L to 20L).map(i => (i, "aaa bbb ccc")).toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(hot, "doc_id", "text", n = 3,
+      threshold = 0.5, maxShingleFreq = Some(5))
+    assert(capped.isEmpty)
+    val uncapped = Dedup.jaccardPairs(hot, "doc_id", "text", n = 3,
+      threshold = 0.5, maxShingleFreq = None)
+    assert(uncapped.count() == 190L) // C(20,2)
+    // default cap (1000) leaves small corpora untouched
+    val defaulted = Dedup.jaccardPairs(hot, "doc_id", "text", n = 3,
+      threshold = 0.5)
+    assert(defaulted.count() == 190L)
   }
 
   test("connectedComponents labels dup clusters with their min id") {

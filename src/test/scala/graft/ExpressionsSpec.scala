@@ -86,6 +86,37 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.getInt(3) == 64)
   }
 
+  test("SignatureAgreement matches the zip_with/filter column stack bit-for-bit") {
+    val sigs = Dedup.minhashSignatures(
+      Tables.load(spark, sf0, "documents").limit(100), "doc_id", "text")
+      .repartition($"id")
+    val a = sigs.select($"id".as("i"), $"signature".as("sig_i"))
+    val b = sigs.select($"id".as("j"), $"signature".as("sig_j"))
+    val pairs = a.crossJoin(b).filter($"i" < $"j").limit(2000)
+    val viaExpr = pairs.select($"i", $"j",
+      GraftExpressions.signatureAgreement($"sig_i", $"sig_j").as("est"))
+    val viaCols = pairs.select($"i", $"j",
+      (size(filter(zip_with($"sig_i", $"sig_j", (x, y) => x === y),
+        (eq: org.apache.spark.sql.Column) => eq)).cast("double") /
+        size($"sig_i")).as("est"))
+    assert(viaExpr.exceptAll(viaCols).isEmpty)
+  }
+
+  test("HyperplaneSignatures matches the column formulation bit-for-bit") {
+    val emb = Tables.load(spark, sf0, "embeddings").limit(100)
+    val nPlanes = 12
+    val nTables = 4
+    val viaExpr = emb.select($"vec_id",
+      GraftExpressions.hyperplaneSignatures($"embedding", nPlanes, nTables).as("sigs"))
+    val viaCols = emb.select($"vec_id",
+      array((0 until nTables).map(t =>
+        Similarity.hyperplaneSignature($"embedding", nPlanes, t)): _*).as("sigs"))
+    assert(viaExpr.exceptAll(viaCols).isEmpty)
+    // signatures discriminate: not all vectors land in one bucket
+    val distinct = viaExpr.select(explode($"sigs")).distinct().count()
+    assert(distinct > 1)
+  }
+
   test("jaccardPairs (relational) agrees with JaccardSimilarity (expression)") {
     val docs = Tables.load(spark, sf0, "documents").limit(200)
     val rel = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
