@@ -141,27 +141,40 @@ final class GraftDataset(val spark: SparkSession, val root: String,
   def lookup(key: String): Option[Map[String, String]] =
     PointLookup.lookupHeaders(documents, name, key)
 
-  /** Open one blob by key via its content-addressed path. */
+  /** Read one blob's bytes straight from its content-addressed shard path —
+    * pure FS IO, no Spark job. */
+  private def blobBytes(contentHash: String): Array[Byte] = {
+    val ch = contentHash
+    val shard = s"${ch.substring(0, 2)}/${ch.substring(2, 4)}/${ch.substring(4, 6)}/$ch"
+    val p = new org.apache.hadoop.fs.Path(s"$blobRoot/$shard")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** Open one blob by key: one pushed-filter metadata lookup resolves the
+    * content hash, then the bytes stream from the FS (no second job). */
   def openBlob(key: String): Option[Array[Byte]] =
     documents.filter(col("key") === key).select("content_hash").limit(1)
-      .collect().headOption.map { r =>
-        val ch = r.getString(0)
-        val shard = s"${ch.substring(0, 2)}/${ch.substring(2, 4)}/${ch.substring(4, 6)}/$ch"
-        val p = new org.apache.hadoop.fs.Path(s"$blobRoot/$shard")
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val in = fs.open(p)
-        try in.readAllBytes() finally in.close()
-      }
+      .collect().headOption.map(r => blobBytes(r.getString(0)))
 
+  /** Zip export: EXACTLY ONE Spark job (the metadata collect); every blob
+    * then streams FS→zip via its shard path derived from the collected
+    * content_hash. (The earlier per-key `openBlob` loop ran a full
+    * scan-job per blob — 1M files meant 1M jobs.) Zip bytes go through the
+    * Hadoop FS so `zipPath` may be on any supported scheme. Single-writer
+    * semantics mirror reference export.py:13-36. */
   def exportZip(zipPath: String): Long = {
     import spark.implicits._
     val rows = documents.select("key", "content_hash")
       .as[(String, String)].collect()
+    val outPath = new org.apache.hadoop.fs.Path(zipPath)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = new java.util.zip.ZipOutputStream(
-      new java.io.BufferedOutputStream(new java.io.FileOutputStream(zipPath)))
+      new java.io.BufferedOutputStream(fs.create(outPath, true)))
     try rows.sortBy(_._1).foreach { case (key, ch) =>
       out.putNextEntry(new java.util.zip.ZipEntry(s"$name/$key"))
-      openBlob(key).foreach(out.write)
+      out.write(blobBytes(ch))
       out.closeEntry()
     } finally out.close()
     rows.length.toLong
@@ -174,11 +187,18 @@ final class GraftArchive(val spark: SparkSession, val root: String) {
 
   def dataset(name: String): GraftDataset = new GraftDataset(spark, root, name)
 
+  /** Dataset names = child dirs containing a `.graft` marker. Hadoop FS
+    * listing (works on s3a://hdfs:// lake roots, where java.io.File would
+    * silently see nothing). */
   def datasetNames: Seq[String] = {
-    val dir = new java.io.File(root)
-    if (!dir.isDirectory) Nil
-    else dir.listFiles().filter(f => f.isDirectory &&
-      new java.io.File(f, ".graft").isDirectory).map(_.getName).sorted.toSeq
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(root)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, ".graft")))
+      .map(_.getPath.getName).sorted
   }
 
   /** Catalog rollup (A7): one row per dataset, plus catalog.json. */
@@ -194,9 +214,7 @@ final class GraftArchive(val spark: SparkSession, val root: String) {
         s"""{"name":"${r.getString(0)}","file_count":${r.getLong(1)},""" +
           s""""total_file_size":${r.getLong(2)}}"""
       }.mkString("[", ",", "]")
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$root/catalog.json"),
-        s"""{"datasets":$rows}""")
+      Stats.writeString(spark, s"$root/catalog.json", s"""{"datasets":$rows}""")
       cat
     }
   }

@@ -63,11 +63,15 @@ object DocumentsStore {
     readParquet(spark, path).as[Model.DocumentRow]
   }
 
-  /** Sorted version timestamps present under `<root>/versions` (O2/A5). */
+  /** Sorted version timestamps present under `<root>/versions` (O2/A5).
+    * Hadoop FS listing, so versioned lakes on s3a://hdfs:// resolve the
+    * same as local ones. */
   def versions(spark: SparkSession, root: String): Seq[String] = {
-    val dir = new java.io.File(s"$root/versions")
-    if (!dir.isDirectory) Nil
-    else dir.listFiles().map(_.getName).filterNot(_.endsWith(".diff")).sorted.toSeq
+    val dir = new org.apache.hadoop.fs.Path(s"$root/versions")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filterNot(_.endsWith(".diff")).sorted.toSeq
   }
 
   def currentVersion(spark: SparkSession, root: String): Option[String] =

@@ -57,7 +57,16 @@ object Stats {
         s""""things":{"total":${row.getLong(0)},"schemata":$schemata},""" +
         s""""entity_count":${row.getLong(0)},""" +
         s""""total_file_size":${row.getLong(1)}}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+    writeString(documents.sparkSession, path, json)
+  }
+
+  /** Small-object write through the Hadoop FS (so index/catalog JSON land
+    * on s3a://hdfs:// lakes the same as local ones). */
+  def writeString(spark: SparkSession, path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
   /** Catalog rollup (A7): per-dataset aggregate row over a multi-dataset

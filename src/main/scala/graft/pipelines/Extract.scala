@@ -22,6 +22,20 @@ import org.apache.spark.sql.types._
   */
 object Extract {
 
+  /** Hard cap on a single extracted member's bytes (512 MiB). Archives are
+    * extracted in executor memory (the whole-archive byte[] is how they
+    * arrive from binaryFile / the crawl path), so an unbounded member is an
+    * executor OOM; beyond the cap we fail loudly rather than corrupt or
+    * OOM. Members ≥2 GiB could not be held in a byte[] at all (the earlier
+    * `getSize.toInt` cast silently overflowed). */
+  val MaxMemberBytes: Long = 512L * 1024 * 1024
+
+  private def checkMemberSize(name: String, size: Long, cap: Long): Unit =
+    if (size > cap)
+      throw new IllegalArgumentException(
+        s"archive member '$name' is $size bytes, above the " +
+          s"$cap-byte extraction limit (Extract.MaxMemberBytes)")
+
   val outputSchema: StructType = StructType(Seq(
     StructField("key", StringType, nullable = false),
     StructField("content", BinaryType),
@@ -35,8 +49,26 @@ object Extract {
       k.endsWith(".tgz") || k.endsWith(".7z")
   }
 
-  /** Extract members of one archive as (memberPath, bytes). */
-  def extractBytes(key: String, bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+  /** Read a member stream fully, failing once it exceeds
+    * [[MaxMemberBytes]] (instead of buffering without bound). */
+  private def readBounded(in: java.io.InputStream, name: String,
+                          cap: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n > 0) {
+      out.write(buf, 0, n)
+      checkMemberSize(name, out.size().toLong, cap)
+      n = in.read(buf)
+    }
+    out.toByteArray
+  }
+
+  /** Extract members of one archive as (memberPath, bytes). Member sizes
+    * are bounded by [[MaxMemberBytes]]; a member stream ending before its
+    * declared size is an error (not silently zero-padded). */
+  def extractBytes(key: String, bytes: Array[Byte],
+                   maxMemberBytes: Long = MaxMemberBytes): Seq[(String, Array[Byte])] = {
     val k = key.toLowerCase
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
     if (k.endsWith(".zip")) {
@@ -44,7 +76,7 @@ object Extract {
       try {
         var e = in.getNextEntry
         while (e != null) {
-          if (!e.isDirectory) out += ((e.getName, in.readAllBytes()))
+          if (!e.isDirectory) out += ((e.getName, readBounded(in, e.getName, maxMemberBytes)))
           e = in.getNextEntry
         }
       } finally in.close()
@@ -56,7 +88,7 @@ object Extract {
       try {
         var e = in.getNextEntry
         while (e != null) {
-          if (!e.isDirectory) out += ((e.getName, in.readAllBytes()))
+          if (!e.isDirectory) out += ((e.getName, readBounded(in, e.getName, maxMemberBytes)))
           e = in.getNextEntry
         }
       } finally in.close()
@@ -66,11 +98,14 @@ object Extract {
         var e = sz.getNextEntry
         while (e != null) {
           if (!e.isDirectory) {
+            checkMemberSize(e.getName, e.getSize, maxMemberBytes) // 7z declares exact sizes
             val buf = new Array[Byte](e.getSize.toInt)
             var off = 0
             while (off < buf.length) {
               val n = sz.read(buf, off, buf.length - off)
-              if (n <= 0) off = buf.length else off += n
+              if (n <= 0) throw new java.io.EOFException(
+                s"archive member '${e.getName}' ended at $off of ${buf.length} bytes")
+              off += n
             }
             out += ((e.getName, buf))
           }

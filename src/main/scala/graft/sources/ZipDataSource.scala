@@ -89,18 +89,23 @@ class ZipTable(paths: Seq[String]) extends Table with SupportsRead {
       }
 
       override def createReaderFactory(): PartitionReaderFactory =
-        new ZipReaderFactory
+        // serialize the session's Hadoop conf into the factory so executor
+        // readers see the same FS credentials/endpoints (s3a etc.) as the
+        // driver — a bare `new Configuration()` on the executor would not
+        new ZipReaderFactory(new org.apache.spark.util.SerializableConfiguration(
+          org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
     }
 }
 
 case class ZipFilePartition(path: String) extends InputPartition
 
-class ZipReaderFactory extends PartitionReaderFactory {
+class ZipReaderFactory(conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[ZipFilePartition].path
     new PartitionReader[InternalRow] {
       private val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        .getFileSystem(conf.value)
       private val in = new java.util.zip.ZipInputStream(
         fs.open(new org.apache.hadoop.fs.Path(path)))
       private var current: InternalRow = _

@@ -70,6 +70,19 @@ class ExtractSpec extends SparkSpec {
       == Seq("extracted"))
   }
 
+  test("members above the extraction size cap are rejected, not truncated") {
+    val big = "x" * 1000
+    val ex = intercept[IllegalArgumentException] {
+      Extract.extractBytes("a.zip", zipBytes("big.txt" -> big),
+        maxMemberBytes = 100L)
+    }
+    assert(ex.getMessage.contains("big.txt"))
+    // same member under the cap extracts fully
+    val ok = Extract.extractBytes("a.zip", zipBytes("big.txt" -> big),
+      maxMemberBytes = 10000L)
+    assert(ok.head._2.length == 1000)
+  }
+
   test("7z from the golden corpus extracts (commons-compress path)") {
     val archives = spark.read.format("binaryFile")
       .load("/root/reference/tests/fixtures/src")

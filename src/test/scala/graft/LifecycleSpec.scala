@@ -104,6 +104,25 @@ class LifecycleSpec extends SparkSpec {
     assert(new String(ds2.openBlob("inner/a.txt").get, "UTF-8") == "alpha")
   }
 
+  test("lake on a file:-qualified URI root: catalog, versions, export all resolve") {
+    // everything below must go through the Hadoop FS API — java.io.File
+    // cannot see a URI-qualified root (this is the s3a://-portability proxy)
+    val lake3 = "file://" + java.nio.file.Files.createTempDirectory("graft-uri").toString
+    val src = java.nio.file.Files.createTempDirectory("graft-uri-src").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$src/a.txt"), "alpha")
+    val arch = new GraftArchive(spark, lake3)
+    val d = arch.dataset("uri_ds")
+    val st = d.crawl(src, versionTs = "v1")
+    assert(st("added") == 1L)
+    assert(arch.datasetNames == Seq("uri_ds"))
+    assert(d.versions == Seq("v1"))
+    val zip = java.nio.file.Files.createTempDirectory("graft-uri-zip").toString + "/e.zip"
+    assert(d.exportZip("file://" + zip) == 1L)
+    val zf = new java.util.zip.ZipFile(zip)
+    try assert(zf.entries().nextElement().getName == "uri_ds/a.txt")
+    finally zf.close()
+  }
+
   test("version diff of an unchanged publish is empty") {
     val diffDir = new java.io.File(s"${ds.metaRoot}/versions/v2.diff")
     assert(diffDir.isDirectory)
