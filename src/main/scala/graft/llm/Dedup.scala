@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Per-invocation suffix for `Dataset.observe` metric names — Spark
+    * requires observed-metric names to be unique within one query plan. */
+  private val observeId = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Word n-gram shingles, distinct, as an array column. Documents shorter
     * than `n` words contribute their whole token sequence as one shingle.
     * Backed by the compiled [[graft.expressions.GraftExpressions.WordShingles]]
@@ -48,10 +52,13 @@ object Dedup {
     * intersection count of pairs that share extremely common shingles
     * (standard stop-shingle pruning); corpora smaller than the cap are
     * unaffected. Dropped-bucket counts are published through
-    * `Dataset.observe` under metric name `graft_jaccard_buckets`
-    * (column `dropped_hot_buckets`) — zero extra jobs, readable via a
-    * `QueryExecutionListener`. Pass `maxShingleFreq = None` only for
-    * small-corpus exact runs.
+    * `Dataset.observe` under a per-invocation metric name
+    * `graft_jaccard_buckets_<n>` (column `dropped_hot_buckets`) — zero
+    * extra jobs, readable via a `QueryExecutionListener`. The suffix keeps
+    * observed-metric names unique when one query plan combines several
+    * jaccardPairs outputs (Spark's CheckAnalysis rejects duplicate metric
+    * names in a plan). Pass `maxShingleFreq = None` only for small-corpus
+    * exact runs.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
@@ -71,7 +78,7 @@ object Dedup {
       .agg(collect_list(struct(col("id"), col("sh_size"))).as("docs"))
     val buckets = maxShingleFreq match {
       case Some(cap) => buckets0
-        .observe("graft_jaccard_buckets",
+        .observe(s"graft_jaccard_buckets_${Dedup.observeId.getAndIncrement()}",
           sum(when(size(col("docs")) > cap, lit(1L)).otherwise(lit(0L)))
             .as("dropped_hot_buckets"))
         .filter(size(col("docs")) <= cap)
@@ -230,9 +237,12 @@ object Dedup {
     * oracle-exact); anything larger automatically switches to the
     * random-hyperplane LSH pre-filter, which buckets candidates and scores
     * only collisions — the 100 TB path, where all-pairs is not runnable.
-    * The auto `count()` is one cheap metadata-backed job on parquet
-    * sources; pass `useLsh = Some(..)` to skip it and force a mode
-    * (mirrors [[dedupCorpus]]'s exact/LSH cutover for Jaccard).
+    * The auto probe is `limit(autoLshMinRows+1).count()`, which
+    * short-circuits as soon as the threshold row count is seen — bounded
+    * work even when `df` is an expensive derived pipeline (a full
+    * `count()` would recompute the whole upstream plan). Pass
+    * `useLsh = Some(..)` to skip the probe and force a mode (mirrors
+    * [[dedupCorpus]]'s exact/LSH cutover for Jaccard).
     */
   def embeddingNearDup(df: DataFrame, idCol: String = "vec_id",
                        vecCol: String = "embedding", threshold: Double = 0.9,
@@ -242,7 +252,10 @@ object Dedup {
     import graft.expressions.GraftExpressions.cosineSimilarity
     val vecs = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val lsh = useLsh.getOrElse(df.count() > autoLshMinRows)
+    val lsh = useLsh.getOrElse {
+      val probe = math.min(autoLshMinRows + 1, Int.MaxValue.toLong).toInt
+      df.limit(probe).count() > autoLshMinRows
+    }
     val pairs = if (lsh) {
       graft.llm.Similarity.lshBucketCandidates(df, nPlanes, nTables,
         idCol, vecCol)
