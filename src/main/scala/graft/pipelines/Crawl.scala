@@ -29,25 +29,56 @@ object Crawl {
     * Uses the Hadoop FileSystem listing directly instead of the `binaryFile`
     * source: Spark file sources silently skip zero-length files and
     * glob-special filenames, both of which are legitimate archive keys (the
-    * reference corpus contains `empty.pdf`). Listing is driver-side (pure
-    * metadata); at 100 TB/millions of keys, fan the listing out by top-level
-    * prefix into [[hashAndDescribe]]-style executor tasks.
+    * reference corpus contains `empty.pdf`).
+    *
+    * Scale shape: the driver issues exactly ONE `listStatus` on the root;
+    * top-level files become rows directly, and each top-level directory
+    * becomes a listing task fanned out across executors, where the recursive
+    * `listFiles` iterator streams (on S3, pages of 1000 keys) straight into
+    * the partition iterator — no per-key state ever accumulates on the
+    * driver. At millions of keys the driver holds only the top-level entries.
     */
   def listKeys(spark: SparkSession, sourceUri: String,
-               metadataPrefix: String = ".ftm_datalake"): DataFrame = {
+               metadataPrefix: String = ".ftm_datalake",
+               listingParallelism: Int = 64): DataFrame = {
     import spark.implicits._
     val base = sourceUri.stripSuffix("/")
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(basePath, true)
-    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Long, java.sql.Timestamp)]
     val prefix = fs.makeQualified(basePath).toString + "/"
-    while (it.hasNext) {
-      val st = it.next()
-      val key = st.getPath.toString.stripPrefix(prefix)
-      rows += ((key, st.getLen, new java.sql.Timestamp(st.getModificationTime)))
-    }
-    rows.toSeq.toDF("key", "size", "updated_at")
+    val top = fs.listStatus(basePath)
+    val topFiles = top.filter(_.isFile).map { st =>
+      (st.getPath.toString.stripPrefix(prefix), st.getLen,
+        new java.sql.Timestamp(st.getModificationTime))
+    }.toSeq
+    val dirUris = top.filter(_.isDirectory).map(_.getPath.toString).toSeq
+    val fanned: DataFrame =
+      if (dirUris.isEmpty) topFiles.toDF("key", "size", "updated_at").limit(0)
+      else {
+        val confBc = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sparkContext.hadoopConfiguration))
+        val slices = math.max(1, math.min(dirUris.length, listingParallelism))
+        spark.sparkContext.parallelize(dirUris, slices)
+          .mapPartitions { dirs =>
+            val conf = confBc.value.value
+            dirs.flatMap { dir =>
+              val p = new org.apache.hadoop.fs.Path(dir)
+              val dfs = p.getFileSystem(conf)
+              val it = dfs.listFiles(p, true)
+              new Iterator[(String, Long, java.sql.Timestamp)] {
+                def hasNext: Boolean = it.hasNext
+                def next(): (String, Long, java.sql.Timestamp) = {
+                  val st = it.next()
+                  (st.getPath.toString.stripPrefix(prefix), st.getLen,
+                    new java.sql.Timestamp(st.getModificationTime))
+                }
+              }
+            }
+          }
+          .toDF("key", "size", "updated_at")
+      }
+    topFiles.toDF("key", "size", "updated_at").union(fanned)
       .filter(!col("key").startsWith(metadataPrefix))
   }
 

@@ -99,6 +99,37 @@ class CrawlSpec extends SparkSpec {
     assert(origHash == backHash)
   }
 
+  test("fan-out listing matches ground truth over >1 top-level prefix (S1 scale path)") {
+    // Distributed listing must agree with a plain local recursive walk on a
+    // tree with multiple top-level directories, nested dirs, top-level files,
+    // a zero-byte file, and non-ASCII names.
+    val root = java.nio.file.Files.createTempDirectory("graft-listing")
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val p = root.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, bytes)
+    }
+    put("top.txt", "hello".getBytes)
+    put("empty.pdf", Array.emptyByteArray)
+    put("a/one.txt", "1".getBytes)
+    put("a/deep/two.txt", "22".getBytes)
+    put("b/three.txt", "333".getBytes)
+    put("c/Îș unî©ođ€.txt", "üñï".getBytes("UTF-8"))
+    put(".ftm_datalake/state.json", "{}".getBytes)
+
+    val listed = Crawl.listKeys(spark, root.toString, listingParallelism = 3)
+      .select("key", "size").as[(String, Long)].collect().toMap
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val want = walk(root.toFile)
+      .map(f => (root.relativize(f.toPath).toString, f.length()))
+      .filterNot(_._1.startsWith(".ftm_datalake"))
+      .toMap
+    assert(listed == want)
+    assert(listed.contains("empty.pdf") && listed("empty.pdf") == 0L)
+    assert(listed.keySet.exists(_.contains("unî©ođ€")))
+  }
+
   test("point lookup returns metadata headers; missing key → None (J5/API)") {
     val hdrs = PointLookup.lookupHeaders(crawled, "test_dataset", "utf.txt")
     assert(hdrs.isDefined)
