@@ -1,0 +1,173 @@
+package graft.pipelines
+
+import java.net.{HttpURLConnection, URI, URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S7: crawl a remote HTTP location that supports directory listing
+  * (an index-page server — the reference's `crawl https://…` path,
+  * ftm_datalake/crawl.py:109-151; `docs/crawl.md` leads with it).
+  *
+  * The reference mounts an fsspec HTTP filesystem and forces a 24 h client
+  * timeout (crawl.py:132-140) so very large single files survive. Spark
+  * shape mirrors [[Crawl.listKeys]]: the driver fetches ONE index page (the
+  * root); file links become rows, directory links fan out across executors,
+  * each of which walks its subtree's index pages iteratively and streams
+  * file bytes through a digest without ever materializing them
+  * (X3 invariant). Read timeout on content fetches is 24 h to match the
+  * reference's long-timeout concern; index pages use a short timeout.
+  */
+object HttpCrawl {
+
+  private val IndexTimeoutMs = 60 * 1000
+  private val ContentTimeoutMs = 24 * 3600 * 1000 // crawl.py:132-140
+
+  /** Extract relative hrefs from an HTML index page: skips parent links,
+    * absolute URLs, other hosts, and query/fragment links. Directory links
+    * keep their trailing slash. */
+  private[graft] def parseIndexLinks(html: String): Seq[String] = {
+    val href = """(?i)href\s*=\s*"([^"]+)"""".r
+    href.findAllMatchIn(html).map(_.group(1)).toSeq
+      .filterNot(h => h.startsWith("?") || h.startsWith("#"))
+      .filterNot(h => h.contains("://") || h.startsWith("//"))
+      .filterNot(h => h == ".." || h == "../" || h.startsWith("/"))
+  }
+
+  /** Percent-encode one path segment (space → %20, not +). */
+  private[graft] def encodeSegment(s: String): String =
+    URLEncoder.encode(s, StandardCharsets.UTF_8.name)
+      .replace("+", "%20").replace("%2F", "/")
+
+  /** Encode a slash-separated relative key for use in a URL path. */
+  private[graft] def encodeKey(key: String): String =
+    key.split("/", -1).map(encodeSegment).mkString("/")
+
+  private def decodeSegment(s: String): String =
+    URLDecoder.decode(s, StandardCharsets.UTF_8.name)
+
+  private def openConn(url: String, readTimeoutMs: Int): HttpURLConnection = {
+    val conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(IndexTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    conn.setInstanceFollowRedirects(true)
+    conn
+  }
+
+  private def fetchIndex(url: String): String = {
+    val conn = openConn(url, IndexTimeoutMs)
+    try {
+      val code = conn.getResponseCode
+      if (code != 200)
+        throw new java.io.IOException(s"HTTP $code listing $url")
+      val in = conn.getInputStream
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    } finally conn.disconnect()
+  }
+
+  /** Iteratively walk index pages under `base/prefix`, yielding decoded
+    * relative keys. Runs on executors; the work-list holds directory
+    * prefixes only, never file keys. */
+  private def walkPrefix(base: String, prefix: String): Iterator[String] = {
+    val stack = scala.collection.mutable.Stack[String](prefix)
+    new Iterator[String] {
+      private var pending: List[String] = Nil
+      private def refill(): Unit = {
+        while (pending.isEmpty && stack.nonEmpty) {
+          val dir = stack.pop()
+          val url = if (dir.isEmpty) s"$base/" else s"$base/${encodeKey(dir)}/"
+          val links = parseIndexLinks(fetchIndex(url))
+          val (dirs, files) = links.partition(_.endsWith("/"))
+          dirs.foreach { d =>
+            val name = decodeSegment(d.stripSuffix("/"))
+            stack.push(if (dir.isEmpty) name else s"$dir/$name")
+          }
+          pending = files.map { f =>
+            val name = decodeSegment(f)
+            if (dir.isEmpty) name else s"$dir/$name"
+          }.toList
+        }
+      }
+      def hasNext: Boolean = { refill(); pending.nonEmpty }
+      def next(): String = { refill(); val h = pending.head; pending = pending.tail; h }
+    }
+  }
+
+  /** S1-over-HTTP: list all keys below `baseUrl`. The driver touches only
+    * the root index page; subdirectory walks run on executors. */
+  def listKeys(spark: SparkSession, baseUrl: String,
+               metadataPrefix: String = ".ftm_datalake",
+               listingParallelism: Int = 64): DataFrame = {
+    import spark.implicits._
+    val base = baseUrl.stripSuffix("/")
+    val rootLinks = parseIndexLinks(fetchIndex(base + "/"))
+    val (dirs, files) = rootLinks.partition(_.endsWith("/"))
+    val topFiles = files.map(decodeSegment)
+    val dirPrefixes = dirs.map(d => decodeSegment(d.stripSuffix("/")))
+    val fanned =
+      if (dirPrefixes.isEmpty) spark.emptyDataset[String]
+      else {
+        val slices = math.max(1, math.min(dirPrefixes.length, listingParallelism))
+        spark.sparkContext.parallelize(dirPrefixes, slices)
+          .mapPartitions(_.flatMap(p => walkPrefix(base, p)))
+          .toDS()
+      }
+    (topFiles.toDS() union fanned).toDF("key")
+      .filter(!col("key").startsWith(metadataPrefix))
+  }
+
+  /** Fetch each key's bytes on executors, streaming them through a digest
+    * (64 KiB buffer, never materialized); size is counted from the stream
+    * and mtime taken from the Last-Modified header (epoch default 0 when
+    * the server omits it, matching filesystem-less sources). */
+  def fetchAndDescribe(spark: SparkSession, baseUrl: String, keys: DataFrame,
+                       algorithm: String = "sha1"): DataFrame = {
+    import spark.implicits._
+    val base = baseUrl.stripSuffix("/")
+    val algoName = algorithm match {
+      case "sha1" => "SHA-1"
+      case "md5" => "MD5"
+      case "sha256" => "SHA-256"
+      case "sha512" => "SHA-512"
+      case other => throw new IllegalArgumentException(s"unknown checksum algorithm: $other")
+    }
+    val fetched = keys.select("key").as[String].mapPartitions { it =>
+      it.map { key =>
+        val conn = openConn(s"$base/${encodeKey(key)}", ContentTimeoutMs)
+        try {
+          val code = conn.getResponseCode
+          if (code != 200)
+            throw new java.io.IOException(s"HTTP $code fetching $base/$key")
+          val mtime = new java.sql.Timestamp(conn.getLastModified)
+          val md = java.security.MessageDigest.getInstance(algoName)
+          var size = 0L
+          val in = conn.getInputStream
+          try {
+            val buf = new Array[Byte](65536)
+            var n = in.read(buf)
+            while (n >= 0) { md.update(buf, 0, n); size += n; n = in.read(buf) }
+          } finally in.close()
+          val hex = md.digest().map("%02x".format(_)).mkString
+          (key, hex, size, mtime)
+        } finally conn.disconnect()
+      }
+    }.toDF("key", "content_hash", "size", "mtime")
+    fetched.select(
+      col("key"), col("content_hash"), col("size"),
+      Crawl.guessMimetype(col("key")).as("mimetype"),
+      col("mtime").as("created_at"),
+      col("mtime").as("updated_at"))
+  }
+
+  /** End-to-end remote crawl: same contract as [[Crawl.crawl]] but over an
+    * HTTP index listing (tests/test_crawl.py:5-22 remote-vs-local parity). */
+  def crawl(spark: SparkSession, baseUrl: String, existing: DataFrame,
+            include: Option[String] = None,
+            exclude: Option[String] = None): DataFrame = {
+    val keys = Crawl.applyGlobs(listKeys(spark, baseUrl), include, exclude)
+    val fresh = Crawl.skipExisting(keys, existing)
+    fetchAndDescribe(spark, baseUrl, fresh)
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+import graft.pipelines.{Crawl, HttpCrawl}
+
+/** Remote-vs-local crawl parity over a directory-index HTTP server — the
+  * analog of tests/test_crawl.py:5-22 (which crawls `http://localhost:8000/
+  * src` and the same fixture dir locally, asserting identical key sets and
+  * the pinned testdir/test.txt sha1).
+  */
+class HttpCrawlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val srcDir = Paths.get("/root/reference/tests/fixtures/src")
+
+  /** Minimal index-page file server (the shape `python -m http.server`
+    * presents): directories render percent-encoded href listings with
+    * trailing slashes on subdirectories; files stream bytes. */
+  private def startServer(root: Path): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val rel = java.net.URLDecoder.decode(
+          ex.getRequestURI.getRawPath.stripPrefix("/"), "UTF-8")
+        val target = if (rel.isEmpty) root else root.resolve(rel)
+        if (!Files.exists(target)) {
+          ex.sendResponseHeaders(404, -1); ex.close()
+        } else if (Files.isDirectory(target)) {
+          val entries = Files.list(target).iterator()
+          val sb = new StringBuilder("<html><body><a href=\"../\">..</a>\n")
+          while (entries.hasNext) {
+            val p = entries.next()
+            val name = p.getFileName.toString
+            val enc = HttpCrawl.encodeSegment(name)
+            if (Files.isDirectory(p)) sb.append(s"""<a href="$enc/">$name/</a>\n""")
+            else sb.append(s"""<a href="$enc">$name</a>\n""")
+          }
+          val body = sb.append("</body></html>").toString.getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+          ex.sendResponseHeaders(200, body.length)
+          ex.getResponseBody.write(body); ex.close()
+        } else {
+          val bytes = Files.readAllBytes(target)
+          ex.sendResponseHeaders(200, if (bytes.isEmpty) -1 else bytes.length)
+          if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+          ex.close()
+        }
+      }
+    })
+    server.start()
+    server
+  }
+
+  test("remote HTTP crawl matches local crawl on the golden corpus (S7)") {
+    val server = startServer(srcDir)
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val none = spark.emptyDataFrame.select(
+        org.apache.spark.sql.functions.lit("").as("key")).limit(0)
+      val remote = HttpCrawl.crawl(spark, base, existing = none).cache()
+      val local = Crawl.crawl(spark, srcDir.toString, existing = none).cache()
+
+      val rKeys = remote.select("key").as[String].collect().toSet
+      val lKeys = local.select("key").as[String].collect().toSet
+      assert((rKeys diff lKeys).isEmpty, s"remote-only: ${rKeys diff lKeys}")
+      assert((lKeys diff rKeys).isEmpty, s"local-only: ${lKeys diff rKeys}")
+
+      val rHash = remote.select("key", "content_hash").as[(String, String)].collect().toMap
+      val lHash = local.select("key", "content_hash").as[(String, String)].collect().toMap
+      assert(rHash == lHash)
+      assert(rHash("testdir/test.txt") == "2aae6c35c94fcfb415dbe95f408b9ce91ee846ed")
+
+      // sizes counted from the HTTP stream must match filesystem sizes
+      val rSize = remote.select("key", "size").as[(String, Long)].collect().toMap
+      val lSize = local.select("key", "size").as[(String, Long)].collect().toMap
+      assert(rSize == lSize)
+    } finally server.stop(0)
+  }
+
+  test("HTTP crawl respects globs and skip-existing (P2/J2 over S7)") {
+    val server = startServer(srcDir)
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val none = spark.emptyDataFrame.select(
+        org.apache.spark.sql.functions.lit("").as("key")).limit(0)
+      val pdf = HttpCrawl.crawl(spark, base, existing = none, include = Some("*.pdf"))
+      val pdfKeys = pdf.select("key").as[String].collect()
+      assert(pdfKeys.nonEmpty && pdfKeys.forall(_.endsWith(".pdf")))
+      assert(pdfKeys.contains("empty.pdf")) // zero-byte file survives HTTP fetch
+      val again = HttpCrawl.crawl(spark, base, existing = pdf.select("key"),
+        include = Some("*.pdf"))
+      assert(again.isEmpty)
+    } finally server.stop(0)
+  }
+
+  test("index-link parsing keeps relative links only") {
+    val html = """<a href="../">..</a><a href="sub/">sub/</a>
+      |<a href="a%20b.txt">a b.txt</a><a href="?C=N;O=D">sort</a>
+      |<a href="http://evil.example/x">x</a><a href="/abs">abs</a>""".stripMargin
+    assert(HttpCrawl.parseIndexLinks(html) == Seq("sub/", "a%20b.txt"))
+  }
+}
