@@ -158,26 +158,41 @@ final class GraftDataset(val spark: SparkSession, val root: String,
     documents.filter(col("key") === key).select("content_hash").limit(1)
       .collect().headOption.map(r => blobBytes(r.getString(0)))
 
-  /** Zip export: EXACTLY ONE Spark job (the metadata collect); every blob
-    * then streams FS→zip via its shard path derived from the collected
-    * content_hash. (The earlier per-key `openBlob` loop ran a full
-    * scan-job per blob — 1M files meant 1M jobs.) Zip bytes go through the
-    * Hadoop FS so `zipPath` may be on any supported scheme. Single-writer
-    * semantics mirror reference export.py:13-36. */
+  /** Zip export: EXACTLY ONE Spark job (the sorted metadata scan, streamed
+    * through the driver with `toLocalIterator` — at no point do all keys,
+    * let alone blobs, sit in driver memory); each blob then streams
+    * FS→zip through a 64 KiB buffer via its content-addressed shard path.
+    * Zip bytes go through the Hadoop FS so `zipPath` may be on any
+    * supported scheme. Single-writer semantics mirror reference
+    * export.py:13-36 (the zip format itself forces one writer). */
   def exportZip(zipPath: String): Long = {
-    import spark.implicits._
-    val rows = documents.select("key", "content_hash")
-      .as[(String, String)].collect()
+    val conf = spark.sparkContext.hadoopConfiguration
     val outPath = new org.apache.hadoop.fs.Path(zipPath)
-    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = outPath.getFileSystem(conf)
     val out = new java.util.zip.ZipOutputStream(
       new java.io.BufferedOutputStream(fs.create(outPath, true)))
-    try rows.sortBy(_._1).foreach { case (key, ch) =>
-      out.putNextEntry(new java.util.zip.ZipEntry(s"$name/$key"))
-      out.write(blobBytes(ch))
-      out.closeEntry()
+    var n = 0L
+    val buf = new Array[Byte](65536)
+    try {
+      val it = documents.select("key", "content_hash")
+        .orderBy("key").toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val key = r.getString(0); val ch = r.getString(1)
+        val shard = s"${ch.substring(0, 2)}/${ch.substring(2, 4)}/${ch.substring(4, 6)}/$ch"
+        val bp = new org.apache.hadoop.fs.Path(s"$blobRoot/$shard")
+        val bfs = bp.getFileSystem(conf)
+        out.putNextEntry(new java.util.zip.ZipEntry(s"$name/$key"))
+        val in = bfs.open(bp)
+        try {
+          var read = in.read(buf)
+          while (read >= 0) { out.write(buf, 0, read); read = in.read(buf) }
+        } finally in.close()
+        out.closeEntry()
+        n += 1
+      }
     } finally out.close()
-    rows.length.toLong
+    n
   }
 }
 
@@ -187,17 +202,22 @@ final class GraftArchive(val spark: SparkSession, val root: String) {
 
   def dataset(name: String): GraftDataset = new GraftDataset(spark, root, name)
 
-  /** Dataset names = child dirs containing a `.graft` marker. Hadoop FS
-    * listing (works on s3a://hdfs:// lake roots, where java.io.File would
-    * silently see nothing). */
+  /** Dataset names = child dirs containing a `.graft` marker DIRECTORY
+    * (the metadata root). Hadoop FS listing (works on s3a://hdfs:// lake
+    * roots, where java.io.File would silently see nothing). A stray
+    * `.graft` *file* does not make a directory a dataset, and the
+    * getFileStatus probe is one RPC per child (same as exists). */
   def datasetNames: Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(root)
     val fs = dir.getFileSystem(conf)
+    def isMarkerDir(p: org.apache.hadoop.fs.Path): Boolean =
+      try fs.getFileStatus(p).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).toSeq
       .filter(st => st.isDirectory &&
-        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, ".graft")))
+        isMarkerDir(new org.apache.hadoop.fs.Path(st.getPath, ".graft")))
       .map(_.getPath.getName).sorted
   }
 

@@ -262,10 +262,13 @@ object GraftExpressions {
     * (replaces the interpreted `size(filter(zip_with(...)))/size(...)`
     * column stack, the last interpreted HOF on the dedup hot path).
     * Semantics match that stack exactly for equal-length signatures:
-    * matches over the overlap, divided by the LEFT signature's length. */
+    * matches over the overlap, divided by the LEFT signature's length. An
+    * empty left signature (empty-text document → empty shingle set) yields
+    * NULL, as the replaced column stack did — never NaN. */
   case class SignatureAgreement(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override protected def doGenCode(
         ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
         ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
@@ -275,17 +278,22 @@ object GraftExpressions {
         val n = ctx.freshName("n")
         val m = ctx.freshName("m")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |int $m = 0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  if ($a.getLong($i) == $b.getLong($i)) $m++;
+           |if ($a.numElements() == 0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |  int $m = 0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.getLong($i) == $b.getLong($i)) $m++;
+           |  }
+           |  ${ev.value} = (double) $m / $a.numElements();
            |}
-           |${ev.value} = (double) $m / $a.numElements();
            |""".stripMargin
       })
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
+      if (x.numElements() == 0) return null
       val n = math.min(x.numElements(), y.numElements())
       var m = 0
       var i = 0

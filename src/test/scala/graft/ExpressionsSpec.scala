@@ -102,6 +102,24 @@ class ExpressionsSpec extends SparkSpec {
     assert(viaExpr.exceptAll(viaCols).isEmpty)
   }
 
+  test("SignatureAgreement yields NULL (never NaN) for an empty left signature") {
+    // empty-text doc → empty shingle set → empty signature array; the
+    // replaced column stack returned NULL and the estimator must too, in
+    // BOTH the codegen and interpreted paths
+    val df = Seq(
+      (Array.empty[Long], Array(1L, 2L)),
+      (Array(1L, 2L), Array(1L, 3L))).toDF("a", "b")
+    val got = df.select(
+      GraftExpressions.signatureAgreement($"a", $"b").as("est")).collect()
+    assert(got(0).isNullAt(0))
+    assert(got(1).getDouble(0) == 0.5)
+    // interpreted path (eval without codegen) via a non-codegen context
+    val viaFilter = df.filter(
+      GraftExpressions.signatureAgreement($"a", $"b").isNull).count()
+    assert(viaFilter == 1L)
+    assert(!got.exists(r => !r.isNullAt(0) && r.getDouble(0).isNaN))
+  }
+
   test("HyperplaneSignatures matches the column formulation bit-for-bit") {
     val emb = Tables.load(spark, sf0, "embeddings").limit(100)
     val nPlanes = 12

@@ -73,6 +73,18 @@ class LifecycleSpec extends SparkSpec {
     assert(new java.io.File(s"$lake/catalog.json").isFile)
   }
 
+  test("a stray .graft FILE does not make a directory a dataset") {
+    val impostor = new java.io.File(s"$lake/not_a_dataset")
+    impostor.mkdirs()
+    java.nio.file.Files.write(
+      impostor.toPath.resolve(".graft"), "oops".getBytes)
+    try assert(archive.datasetNames == Seq("test_dataset"))
+    finally {
+      java.nio.file.Files.delete(impostor.toPath.resolve(".graft"))
+      java.nio.file.Files.delete(impostor.toPath)
+    }
+  }
+
   test("export zip re-keys blobs under the dataset name") {
     val zip = s"$lake/export.zip"
     val n = ds.exportZip(zip)
