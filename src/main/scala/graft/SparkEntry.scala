@@ -311,14 +311,15 @@ object SparkEntry {
         n = 3, threshold = 0.5)),
 
     "dedup_minhash_lsh" -> ((s, dir) =>
-      // no SQL oracle (hash-family specific); recall vs exact Jaccard is
-      // asserted in DedupSpec
+      // oracle = reviewed golden-pair parquet (golden/README.md); recall vs
+      // exact Jaccard additionally asserted in DedupSpec
       Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
           n = 3, k = 64, bands = 16, threshold = 0.5)
         .select(col("i"), col("j"), round(col("est_jaccard"), 6).as("est_jaccard"))),
 
     "dedup_simhash" -> ((s, dir) =>
-      // no SQL oracle; behavior asserted in DedupSpec
+      // oracle = reviewed golden-pair parquet (golden/README.md); behavior
+      // additionally asserted in DedupSpec
       Dedup.simhashNearPairs(
         Dedup.simhashSignatures(t(s, dir, "documents"), "doc_id", "text"),
         maxHamming = 3)),
@@ -618,6 +619,20 @@ object SparkEntry {
         |  round(CAST(inter AS DOUBLE) / CAST(si + sj - inter AS DOUBLE), 6) AS jaccard
         |FROM p
         |WHERE CAST(inter AS DOUBLE) / CAST(si + sj - inter AS DOUBLE) >= 0.5""".stripMargin,
+
+    // Hash-family ops: the oracle is a reviewed golden-pair parquet checked
+    // into the repo, generated once at sf0.01 by the spec-tested kernels
+    // (see golden/README.md — the review asserts the MinHash pair set equals
+    // the exact-Jaccard-0.5 set and every SimHash pair has exact
+    // Jaccard ≥ 0.96). Regenerate with tools/regen_golden.sh if the
+    // kernels or sf0.01 testdata change.
+    "dedup_minhash_lsh" ->
+      """SELECT i, j, est_jaccard
+        |FROM read_parquet('/root/repo/golden/dedup_minhash_lsh.parquet')""".stripMargin,
+
+    "dedup_simhash" ->
+      """SELECT i, j, hamming
+        |FROM read_parquet('/root/repo/golden/dedup_simhash.parquet')""".stripMargin,
 
     "dedup_embedding_pairs" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
