@@ -1,0 +1,224 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Diff, DocumentsStore}
+import graft.functions.GraftFunctions
+
+/** Pluggable endpoint for the Aleph sync pipelines. Production wires an
+  * HTTP client; specs wire a recorder. Must be get-or-create idempotent
+  * (the reference's `make_folders`/`ingest_upload` are,
+  * connectors/aleph.py:62-74). Serializable because document uploads run
+  * from executor partitions.
+  */
+trait AlephConnector extends Serializable {
+
+  /** Create (or resolve) one folder; `parentId` chains nesting. Returns the
+    * folder id. */
+  def createFolder(path: String, parentId: Option[String]): String
+
+  /** Upload one document; returns the remote id
+    * (sync/aleph.py:109-141). */
+  def uploadDocument(key: String, contentHash: String,
+                     metadata: Map[String, String]): String
+
+  /** Write one batch of FTM entity lines
+    * (sync/aleph_entities.py:78-80). */
+  def writeEntities(batch: Seq[String]): Unit
+}
+
+/** Counters mirroring the reference's WorkerStatus models
+  * (sync/aleph.py:54-56, sync/aleph_entities.py:32-34). */
+final case class AlephSyncStatus(versionsReplayed: Long, uploaded: Long,
+                                 foldersCreated: Long)
+final case class AlephEntitiesStatus(resources: Long, entities: Long)
+
+/** Aleph synchronisation — the reference's main downstream publisher
+  * (ftm_datalake/sync/aleph.py:40-141, sync/aleph_entities.py:36-133),
+  * recomposed from the repo's set-oriented primitives:
+  *
+  *   - per-version change feed: [[graft.core.Diff.addedKeys]] over the CSV
+  *     snapshots (I3), replacing `get_keys_added`'s diff-line parsing;
+  *   - upload/version/folder memoization: the [[Ledger]] anti-join (I1),
+  *     replacing anycache's per-task KV lookups;
+  *   - folder creation: [[Entities.ancestorFolders]]' depth-ordered distinct
+  *     set (J6), replacing the per-key recursion under a lock
+  *     (sync/aleph.py:95-107) — folders are directory-cardinality, so the
+  *     driver-side create loop is bounded by the tree shape, not file count;
+  *   - uploads: executor partitions push to the connector, with the
+  *     folder→id map broadcast (file-cardinality work never serializes
+  *     through the driver).
+  */
+object AlephSync {
+
+  /** rigour.mime.types.FTM — the resource filter for entity loads
+    * (sync/aleph_entities.py:85). */
+  val FtmMimeType = "application/json+ftm"
+
+  private val VersionAction = "aleph_version"
+  private val UploadAction = "aleph_upload"
+  private val FolderAction = "aleph_folder"
+  private val ResourceAction = "aleph_resource"
+
+  /** Replay every unsynced snapshot version's ADDED keys as uploads
+    * (sync/aleph.py:73-93): for each version in order, diff against the
+    * previous snapshot, resolve ancestor folders depth-first, upload
+    * pending documents, and record everything in the ledger so a re-run
+    * uploads nothing.
+    *
+    * @param prefix   optional remote folder prefix (sync/aleph.py:60-62)
+    * @return per-run counters (versions replayed, docs uploaded, folders
+    *         newly created)
+    */
+  def syncDocuments(spark: SparkSession, metaRoot: String, ledgerPath: String,
+                    dataset: String, connector: AlephConnector,
+                    prefix: Option[String] = None): AlephSyncStatus = {
+    import spark.implicits._
+    val versions = DocumentsStore.versions(spark, metaRoot)
+    val doneVersions = Ledger.read(spark, ledgerPath)
+      .filter(col("dataset") === dataset && col("action") === VersionAction)
+      .select("task_key").as[String].collect().toSet
+
+    var replayed = 0L
+    var uploadedTotal = 0L
+    var foldersTotal = 0L
+    versions.zipWithIndex.foreach { case (version, ix) =>
+      if (!doneVersions.contains(version)) {
+        val prev =
+          if (ix == 0)
+            DocumentsStore.readCsv(spark, s"$metaRoot/versions/__none__")
+          else DocumentsStore.readCsv(spark, s"$metaRoot/versions/${versions(ix - 1)}")
+        val next = DocumentsStore.readCsv(spark, s"$metaRoot/versions/$version")
+        val added = Diff.addedKeys(prev, next)
+          .join(next, Seq("key"), "inner")
+        val (up, fc) = uploadBatch(spark, added, ledgerPath, dataset,
+          connector, prefix)
+        uploadedTotal += up
+        foldersTotal += fc
+        Ledger.append(Seq(version).toDF("key"), ledgerPath, dataset, VersionAction)
+        replayed += 1
+      }
+    }
+    AlephSyncStatus(replayed, uploadedTotal, foldersTotal)
+  }
+
+  /** Upload one batch of document rows: ledger anti-join → depth-ordered
+    * folder creation (driver, directory-cardinality) → executor-side
+    * uploads with the folder→id map broadcast → ledger append. */
+  private def uploadBatch(spark: SparkSession, docs: DataFrame,
+                          ledgerPath: String, dataset: String,
+                          connector: AlephConnector,
+                          prefix: Option[String]): (Long, Long) = {
+    import spark.implicits._
+    val ledger = Ledger.read(spark, ledgerPath)
+    val pending = Ledger.pending(docs, ledger, dataset, UploadAction).cache()
+
+    // Remote folder path per key: parent of (prefix?/key).
+    val prefixed = prefix.fold(col("key"))(p => concat(lit(p + "/"), col("key")))
+    val withFolder = pending.withColumn("__folder",
+      when(col("key").contains("/") || lit(prefix.isDefined),
+        regexp_replace(prefixed, "/[^/]*$", "")))
+
+    // Depth-ordered ancestor set of every prefixed pending key (J6):
+    // pathAncestors of `prefix?/a/b/file` is exactly the folder chain
+    // `[prefix, prefix/a, prefix/a/b]`, prefix included.
+    val allFolders = Entities.ancestorFolders(
+        pending.select(prefixed.as("key")))
+      .select("folder").as[String].collect().toSeq
+    val createdBefore = ledger
+      .filter(col("dataset") === dataset && col("action") === FolderAction)
+      .select("task_key").as[String].collect().toSet
+    val folderIds = scala.collection.mutable.Map.empty[String, String]
+    var newFolders = 0L
+    allFolders.foreach { f =>
+      val parent = if (f.contains("/")) Some(f.substring(0, f.lastIndexOf('/'))) else None
+      folderIds(f) = connector.createFolder(f, parent.flatMap(folderIds.get))
+      if (!createdBefore.contains(f)) newFolders += 1
+    }
+    if (allFolders.nonEmpty) {
+      val fresh = allFolders.filterNot(createdBefore.contains)
+      if (fresh.nonEmpty)
+        Ledger.append(fresh.toDF("key"), ledgerPath, dataset, FolderAction)
+    }
+
+    // Executor-side uploads: metadata columns are the reference's
+    // (file_name, foreign_id, source_url coalesce — sync/aleph.py:119-125),
+    // parent resolved from the broadcast folder→id map.
+    val folderIdMap = spark.sparkContext.broadcast(folderIds.toMap)
+    val uploadCount = spark.sparkContext.longAccumulator("aleph_uploaded")
+    val cols = pending.columns.toSet
+    val sourceUrl = GraftFunctions.coalesceSourceUrl(
+      (Seq("source_url", "url").filter(cols.contains).map(col) :+
+        lit(null).cast("string")): _*)
+    withFolder.select(
+        col("key"), col("content_hash"),
+        GraftFunctions.basename(col("key")).as("__name"),
+        sourceUrl.as("__source_url"), col("__folder"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          val meta = Map(
+            "file_name" -> r.getString(2),
+            "foreign_id" -> r.getString(0)) ++
+            Option(r.getString(3)).map("source_url" -> _) ++
+            Option(r.getString(4)).flatMap(folderIdMap.value.get)
+              .map("parent_id" -> _)
+          connector.uploadDocument(r.getString(0), r.getString(1), meta)
+          uploadCount.add(1)
+        }
+      }
+    Ledger.append(pending.select("key"), ledgerPath, dataset, UploadAction)
+    pending.unpersist()
+    (uploadCount.value, newFolders)
+  }
+
+  /** Entities sync (sync/aleph_entities.py:36-133): select catalog resources
+    * by dataset-name glob (P3, fnmatch semantics: exclude first, then
+    * include — aleph_entities.py:118-125) and FTM mime (P4), skip resources
+    * already loaded (checksum-keyed memoization → ledger anti-join), and
+    * push each resource's entity lines in batches of ≤`batchSize` from
+    * executor partitions (aleph_entities.py:58-76's 1000-batching, but
+    * partition-parallel instead of a single reader).
+    *
+    * `resources` schema: (dataset, url, mime_type, checksum).
+    * `readEntities` maps a resource url to its entity-line Dataset —
+    * normally `spark.read.textFile(url)` over the S4 JSON-lines sink.
+    */
+  def syncEntities(spark: SparkSession, resources: DataFrame,
+                   ledgerPath: String, connector: AlephConnector,
+                   readEntities: String => DataFrame,
+                   includeDataset: Option[String] = None,
+                   excludeDataset: Option[String] = None,
+                   batchSize: Int = 1000): AlephEntitiesStatus = {
+    import spark.implicits._
+    val selected = resources
+      .filter(col("mime_type") === FtmMimeType)
+      .filter(GraftFunctions.globFilter(col("dataset"), includeDataset,
+        excludeDataset))
+      .select("dataset", "url", "checksum")
+      .as[(String, String, String)].collect()
+
+    val ledger = Ledger.read(spark, ledgerPath)
+    var nResources = 0L
+    var nEntities = 0L
+    selected.foreach { case (dataset, url, checksum) =>
+      val done = ledger
+        .filter(col("dataset") === dataset && col("action") === ResourceAction &&
+          col("task_key") === checksum)
+        .limit(1).count() > 0
+      if (!done) {
+        val lines = readEntities(url)
+        val sent = spark.sparkContext.longAccumulator(s"aleph_entities_$checksum")
+        Entities.foreachBatch(lines.toDF(), batchSize) { batch =>
+          connector.writeEntities(batch.map(_.getString(0)))
+          sent.add(batch.size)
+        }
+        Ledger.append(Seq(checksum).toDF("key"), ledgerPath, dataset,
+          ResourceAction)
+        nEntities += sent.value
+        nResources += 1
+      }
+    }
+    AlephEntitiesStatus(nResources, nEntities)
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.core.{DocumentsStore, Model}
+import graft.pipelines.{AlephConnector, AlephSync}
+
+/** Single-JVM (local[*]) recording sink: executor-side connector calls land
+  * in these shared buffers. Top-level so the connector closure serializes
+  * without capturing the spec instance. */
+object AlephRecorder {
+  val folders = new java.util.concurrent.CopyOnWriteArrayList[(String, Option[String])]
+  val uploads = new java.util.concurrent.CopyOnWriteArrayList[(String, Map[String, String])]
+  val batches = new java.util.concurrent.CopyOnWriteArrayList[Seq[String]]
+  def reset(): Unit = { folders.clear(); uploads.clear(); batches.clear() }
+  def folderCalls: Seq[(String, Option[String])] =
+    folders.toArray.map(_.asInstanceOf[(String, Option[String])]).toSeq
+  def uploadCalls: Seq[(String, Map[String, String])] =
+    uploads.toArray.map(_.asInstanceOf[(String, Map[String, String])]).toSeq
+  def batchSizes: Seq[Int] =
+    batches.toArray.map(_.asInstanceOf[Seq[String]].size).toSeq
+}
+
+class RecordingAlephConnector extends AlephConnector {
+  def createFolder(path: String, parentId: Option[String]): String = {
+    AlephRecorder.folders.add((path, parentId)); s"folder:$path"
+  }
+  def uploadDocument(key: String, contentHash: String,
+                     metadata: Map[String, String]): String = {
+    AlephRecorder.uploads.add((key, metadata)); s"doc:$key"
+  }
+  def writeEntities(batch: Seq[String]): Unit =
+    AlephRecorder.batches.add(batch)
+}
+
+/** Aleph sync replay semantics — the analog of the reference's
+  * sync/aleph.py version replay (versions → added keys → folders → uploads,
+  * all memoized) and sync/aleph_entities.py (FTM-mime + dataset-glob
+  * resource selection, ≤1000 batching).
+  */
+class AlephSyncSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(keys: String*): DataFrame = {
+    val ts = Timestamp.valueOf("2026-01-01 00:00:00")
+    val rows = keys.map(k => Row(k, s"hash-$k", 1L, "text/plain", ts, ts))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Model.documentsSchema)
+  }
+
+  test("document sync replays two publishes with correct added-key sets (I3+J6+I1)") {
+    AlephRecorder.reset()
+    val root = java.nio.file.Files.createTempDirectory("aleph").toString
+    val metaRoot = s"$root/meta"
+    val ledger = s"$root/ledger"
+    DocumentsStore.writeSnapshot(docs("top.txt", "a/b/one.txt"), metaRoot, "v1")
+    val st1 = AlephSync.syncDocuments(spark, metaRoot, ledger, "ds1",
+      new RecordingAlephConnector)
+    assert(st1 == graft.pipelines.AlephSyncStatus(1, 2, 2))
+    assert(AlephRecorder.uploadCalls.map(_._1).toSet == Set("top.txt", "a/b/one.txt"))
+    // depth-ordered folder creation with parent chaining
+    assert(AlephRecorder.folderCalls == Seq(("a", None), ("a/b", Some("folder:a"))))
+
+    // second publish adds two keys under one new and one existing folder
+    DocumentsStore.writeSnapshot(
+      docs("top.txt", "a/b/one.txt", "a/b/two.txt", "c/three.txt"), metaRoot, "v2")
+    AlephRecorder.reset()
+    val st2 = AlephSync.syncDocuments(spark, metaRoot, ledger, "ds1",
+      new RecordingAlephConnector)
+    assert(st2.versionsReplayed == 1)
+    assert(st2.uploaded == 2)
+    assert(st2.foldersCreated == 1) // only c is new
+    assert(AlephRecorder.uploadCalls.map(_._1).toSet ==
+      Set("a/b/two.txt", "c/three.txt"))
+
+    // full re-run: everything memoized, nothing replayed or uploaded
+    AlephRecorder.reset()
+    val st3 = AlephSync.syncDocuments(spark, metaRoot, ledger, "ds1",
+      new RecordingAlephConnector)
+    assert(st3 == graft.pipelines.AlephSyncStatus(0, 0, 0))
+    assert(AlephRecorder.uploadCalls.isEmpty)
+  }
+
+  test("upload metadata carries file_name, foreign_id, and parent folder id") {
+    AlephRecorder.reset()
+    val root = java.nio.file.Files.createTempDirectory("aleph").toString
+    DocumentsStore.writeSnapshot(docs("x/y/doc.pdf"), s"$root/meta", "v1")
+    AlephSync.syncDocuments(spark, s"$root/meta", s"$root/ledger", "ds2",
+      new RecordingAlephConnector)
+    val (key, meta) = AlephRecorder.uploadCalls.head
+    assert(key == "x/y/doc.pdf")
+    assert(meta("file_name") == "doc.pdf")
+    assert(meta("foreign_id") == "x/y/doc.pdf")
+    assert(meta("parent_id") == "folder:x/y")
+  }
+
+  test("prefix prepends a remote folder level (sync/aleph.py:60-62)") {
+    AlephRecorder.reset()
+    val root = java.nio.file.Files.createTempDirectory("aleph").toString
+    DocumentsStore.writeSnapshot(docs("top.txt", "a/one.txt"), s"$root/meta", "v1")
+    AlephSync.syncDocuments(spark, s"$root/meta", s"$root/ledger", "ds3",
+      new RecordingAlephConnector, prefix = Some("imports"))
+    assert(AlephRecorder.folderCalls ==
+      Seq(("imports", None), ("imports/a", Some("folder:imports"))))
+    val metas = AlephRecorder.uploadCalls.toMap
+    assert(metas("top.txt")("parent_id") == "folder:imports")
+    assert(metas("a/one.txt")("parent_id") == "folder:imports/a")
+  }
+
+  test("entities sync: FTM-mime + dataset-glob selection, ≤1000 batching, memoized") {
+    AlephRecorder.reset()
+    val root = java.nio.file.Files.createTempDirectory("aleph").toString
+    val lines = (1 to 2345).map(i => s"""{"id":"e$i"}""")
+    val entPath = s"$root/entities.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(entPath),
+      lines.mkString("\n").getBytes)
+    val resources = Seq(
+      ("good_ds", entPath, AlephSync.FtmMimeType, "chk1"),
+      ("good_ds", entPath, "text/csv", "chk2"), // wrong mime → skipped
+      ("excluded_ds", entPath, AlephSync.FtmMimeType, "chk3") // glob-excluded
+    ).toDF("dataset", "url", "mime_type", "checksum")
+    val st = AlephSync.syncEntities(spark, resources, s"$root/ledger",
+      new RecordingAlephConnector, url => spark.read.text(url).coalesce(1),
+      excludeDataset = Some("excluded_*"))
+    assert(st == graft.pipelines.AlephEntitiesStatus(1, 2345))
+    val sizes = AlephRecorder.batchSizes
+    assert(sizes.forall(_ <= 1000))
+    assert(sizes.sum == 2345)
+    assert(sizes.count(_ == 1000) >= 2) // single partition → exact 1000-chunks
+    // re-run: resource memoized by checksum
+    AlephRecorder.reset()
+    val st2 = AlephSync.syncEntities(spark, resources, s"$root/ledger",
+      new RecordingAlephConnector, url => spark.read.text(url),
+      excludeDataset = Some("excluded_*"))
+    assert(st2 == graft.pipelines.AlephEntitiesStatus(0, 0))
+    assert(AlephRecorder.batchSizes.isEmpty)
+  }
+}
