@@ -8,7 +8,11 @@ import org.apache.spark.sql.SparkSession
   * A short warm-up pass (the same plans at sf0.001) runs before timing so
   * the measured numbers reflect steady-state execution rather than JIT /
   * classloading of Spark internals — the standard JVM benchmarking
-  * discipline. Queries are timed in sorted name order, one action each.
+  * discipline. Each query is then timed `SPARK_GRAFT_BENCH_PASSES` times
+  * (default 3) and the per-query MEDIAN reported: single-pass timing on a
+  * shared container produced two rounds of ghost regressions (±30%+
+  * contention spikes) that medians suppress. Queries run in sorted name
+  * order, one action per pass.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,11 +36,15 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
