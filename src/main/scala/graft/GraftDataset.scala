@@ -21,14 +21,23 @@ import graft.pipelines.{ArchiveCopy, Crawl, Entities, Export, Make, PointLookup}
   */
 final class GraftDataset(val spark: SparkSession, val root: String,
                          val name: String,
-                         val checksumAlgorithm: String = "sha1") {
+                         val checksumAlgorithm: String = "sha1",
+                         val bucketedLayout: Boolean = false,
+                         val buckets: Int = 64) {
 
   val datasetRoot = s"${root.stripSuffix("/")}/$name"
   val metaRoot = s"$datasetRoot/.graft"
   val blobRoot = s"$datasetRoot/blobs"
 
+  /** Catalog name of the bucketed documents table (bucketed layout only). */
+  val bucketedTableName: String =
+    "graft_" + name.toLowerCase.replaceAll("[^a-z0-9_]", "_") + "_documents"
+
   def documents: DataFrame =
-    DocumentsStore.readParquet(spark, s"$metaRoot/documents.parquet")
+    if (bucketedLayout && spark.catalog.tableExists(bucketedTableName))
+      spark.table(bucketedTableName)
+    else
+      DocumentsStore.readParquet(spark, s"$metaRoot/documents.parquet")
 
   /** Crawl a source tree: list → globs → skip-existing → hash → copy blobs
     * → rebuild → publish snapshot+diff+index. Returns the action counts.
@@ -117,17 +126,33 @@ final class GraftDataset(val spark: SparkSession, val root: String,
     status
   }
 
-  /** Publish a new documents state: snapshot + diff vs previous + index. */
+  /** Publish a new documents state: snapshot + diff vs previous + index.
+    * With `bucketedLayout`, the parquet system of record is an external
+    * key-bucketed table rooted in the lake, so every later lifecycle join
+    * against `documents` (rebuild anti-join, reconcile full-outer,
+    * skip-existing) reads pre-partitioned data and shuffles only the
+    * incoming side. CSV snapshot / diff / index are layout-independent. */
   def publish(next: DataFrame, versionTs: String = GraftDataset.nowTs()): Unit = {
-    val prev = documents.cache()
-    val nextOrdered = next.orderBy("key").cache()
-    val diff = Diff.snapshotDiff(
+    // Eager localCheckpoints BEFORE any write: they materialize the new
+    // state and the diff distributed across executors AND cut the lineage
+    // back to the current table — the bucketed path drops and recreates
+    // that table, which uncaches (cascade) every plan still referencing
+    // it, so anything lazy here would recompute from deleted files.
+    val prev = documents
+    val nextOrdered = next.orderBy("key").localCheckpoint()
+    val diffLines = Diff.toDiffLines(Diff.snapshotDiff(
       prev.select("key", "content_hash", "size"),
-      nextOrdered.select("key", "content_hash", "size"))
-    DocumentsStore.writeSnapshot(nextOrdered, metaRoot, versionTs)
-    DocumentsStore.writeDiff(Diff.toDiffLines(diff), metaRoot, versionTs)
+      nextOrdered.select("key", "content_hash", "size"))).localCheckpoint()
+    if (bucketedLayout) {
+      DocumentsStore.writeBucketedAt(nextOrdered, bucketedTableName,
+        s"$metaRoot/documents.parquet", buckets)
+      DocumentsStore.writeVersionCsv(nextOrdered, metaRoot, versionTs)
+    } else {
+      DocumentsStore.writeSnapshot(nextOrdered, metaRoot, versionTs)
+    }
+    DocumentsStore.writeDiff(diffLines, metaRoot, versionTs)
     Stats.writeIndexJson(nextOrdered, name, s"$metaRoot/index.json")
-    prev.unpersist(); nextOrdered.unpersist()
+    nextOrdered.unpersist(); diffLines.unpersist()
   }
 
   def entities: DataFrame = Entities.fromDocuments(documents, name,
@@ -200,7 +225,8 @@ final class GraftDataset(val spark: SparkSession, val root: String,
   * (SURVEY §1 Archive/Catalog; archive/base.py:48-83). */
 final class GraftArchive(val spark: SparkSession, val root: String) {
 
-  def dataset(name: String): GraftDataset = new GraftDataset(spark, root, name)
+  def dataset(name: String, bucketedLayout: Boolean = false): GraftDataset =
+    new GraftDataset(spark, root, name, bucketedLayout = bucketedLayout)
 
   /** Dataset names = child dirs containing a `.graft` marker DIRECTORY
     * (the metadata root). Hadoop FS listing (works on s3a://hdfs:// lake

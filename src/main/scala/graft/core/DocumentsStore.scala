@@ -36,10 +36,15 @@ object DocumentsStore {
   def writeSnapshot(df: DataFrame, root: String, versionTs: String): Unit = {
     val ordered = df.orderBy("key")
     ordered.write.mode("overwrite").parquet(s"$root/documents.parquet")
-    ordered.coalesce(1).write.mode("overwrite").option("header", "true")
+    writeVersionCsv(ordered, root, versionTs)
+  }
+
+  /** The CSV half of a snapshot (RFC interop), layout-independent. */
+  def writeVersionCsv(df: DataFrame, root: String, versionTs: String): Unit =
+    df.orderBy("key").coalesce(1).write.mode("overwrite")
+      .option("header", "true")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .csv(s"$root/versions/$versionTs")
-  }
 
   def writeDiff(diffLines: DataFrame, root: String, versionTs: String): Unit =
     diffLines.coalesce(1).write.mode("overwrite")
@@ -55,6 +60,27 @@ object DocumentsStore {
       .bucketBy(buckets, "key").sortBy("key")
       .format("parquet")
       .saveAsTable(tableName)
+
+  /** Bucketed layout variant rooted IN the lake: an external bucketed table
+    * whose files live at `path` (so the dataset directory stays
+    * self-contained) registered under `tableName`. Joins against the table
+    * skip the documents-side exchange entirely — at 100 TB the rebuild /
+    * reconcile / skip-existing joins shuffle only the (small) incoming
+    * side. */
+  def writeBucketedAt(df: DataFrame, tableName: String, path: String,
+                      buckets: Int = 64): Unit = {
+    val spark = df.sparkSession
+    // overwrite of an external table: drop the catalog entry, clear the dir
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    df.write
+      .bucketBy(buckets, "key").sortBy("key")
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(tableName)
+  }
 
   /** Typed view of a documents table (Dataset[DocumentRow]) for call sites
     * where compile-time field checks pay (SURVEY §1.3). */

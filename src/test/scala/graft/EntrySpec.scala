@@ -9,11 +9,8 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has an oracle or a documented rows-only exemption") {
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // hash-family ops (xxhash64 has no DuckDB equivalent) can't be
-    // expressed in portable SQL:
-    assert(noOracle == Set("dedup_minhash_lsh", "dedup_simhash"))
+  test("every query has an oracle (hash-family ops use golden-pair parquets)") {
+    assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).isEmpty)
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
 

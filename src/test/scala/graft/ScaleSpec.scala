@@ -67,6 +67,51 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("e2e make over a bucketed lake: documents side of reconcile has no exchange") {
+    // Build the same source tree into a plain and a bucketed dataset, then
+    // compare the reconcile (full-outer) plans: the bucketed documents side
+    // must read pre-partitioned (no Exchange above its scan), so the whole
+    // join carries exactly one Exchange (the incoming source side) vs two
+    // on the plain layout.
+    val src = java.nio.file.Files.createTempDirectory("bucketed-src")
+    (1 to 50).foreach { i =>
+      val p = src.resolve(s"dir${i % 5}/f$i.txt")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, s"content $i".getBytes)
+    }
+    val lake = java.nio.file.Files.createTempDirectory("bucketed-lake").toString
+    val arch = new GraftArchive(spark, lake)
+    val plainDs = arch.dataset("plain_ds")
+    val bucketedDs = arch.dataset("bucketed_ds", bucketedLayout = true)
+    plainDs.crawl(src.toString)
+    bucketedDs.crawl(src.toString)
+    assert(bucketedDs.documents.count() == 50)
+    assert(spark.catalog.tableExists(bucketedDs.bucketedTableName))
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val source = graft.pipelines.Crawl.hashAndDescribe(spark, src.toString,
+        graft.pipelines.Crawl.listKeys(spark, src.toString))
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+      val plainRec = graft.pipelines.Make.reconcile(source, plainDs.documents)
+      val bucketedRec = graft.pipelines.Make.reconcile(source, bucketedDs.documents)
+      assert(exchanges(bucketedRec) == exchanges(plainRec) - 1,
+        s"bucketed=${exchanges(bucketedRec)} plain=${exchanges(plainRec)}")
+      // identical reconcile results across layouts
+      val st = graft.pipelines.Make.status(bucketedRec)
+        .as[(String, Long)].collect().toMap
+      assert(st == Map("verify" -> 50L))
+      // second publish keeps the bucketed layout (make → publish → re-read)
+      bucketedDs.make(src.toString)
+      assert(bucketedDs.documents.count() == 50)
+      assert(graft.pipelines.Make.status(
+        graft.pipelines.Make.reconcile(source, bucketedDs.documents))
+        .as[(String, Long)].collect().toMap == Map("verify" -> 50L))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("typed Dataset[DocumentRow] view round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("graft-typed").toString
     val ts0 = Timestamp.valueOf("2024-01-01 00:00:00")
