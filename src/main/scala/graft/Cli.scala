@@ -1,0 +1,193 @@
+package graft
+
+import java.io.{OutputStream, PrintStream}
+
+import org.apache.spark.sql.SparkSession
+
+/** Thin command-line surface over the library API — the analog of the
+  * reference's `ftm-datalake` typer CLI (ftm_datalake/cli.py:213-292):
+  *
+  * {{{
+  *   graft.Cli --archive <root> -d <dataset> ls [--keys|--checksums]
+  *   graft.Cli --archive <root> -d <dataset> crawl <uri> [--include G] [--exclude G] [--extract]
+  *   graft.Cli --archive <root> -d <dataset> make <uri>
+  *   graft.Cli --archive <root> -d <dataset> export <zipPath>
+  *   graft.Cli --archive <root> -d <dataset> head <key>
+  *   graft.Cli --archive <root> -d <dataset> get <key> [-o <path>]
+  *   graft.Cli --archive <root> -d <dataset> versions
+  *   graft.Cli --archive <root>              catalog
+  * }}}
+  *
+  * All data-plane work happens in the library; the CLI only parses
+  * arguments and serializes results (metadata JSON lines to stdout,
+  * blob bytes for `get`), mirroring cli.py's write_obj/smart_open layer.
+  */
+object Cli {
+
+  private val Usage =
+    """usage: graft.Cli --archive <root> [-d <dataset>] <command> [args]
+      |
+      |commands:
+      |  ls [--keys|--checksums]          list files (JSON lines / keys / hashes)
+      |  crawl <uri> [--include G] [--exclude G] [--extract]
+      |  make <uri>                       reconcile a source tree
+      |  export <zipPath>                 zip-export the dataset
+      |  head <key>                       metadata headers for one key
+      |  get <key> [-o <path>]            blob bytes (stdout or file)
+      |  versions                         sorted snapshot versions
+      |  catalog                          archive-wide catalog rollup
+      |""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val code = try run(spark, args.toSeq, System.out)
+    finally spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+
+  /** Parse and dispatch; returns a process exit code. Separated from
+    * [[main]] so specs can drive the full surface in-process. */
+  def run(spark: SparkSession, args: Seq[String], out: PrintStream): Int = {
+    var archive: Option[String] = None
+    var dataset: Option[String] = None
+    val rest = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--archive" if i + 1 < args.length => archive = Some(args(i + 1)); i += 2
+        case "-d" | "--dataset" if i + 1 < args.length => dataset = Some(args(i + 1)); i += 2
+        case a => rest += a; i += 1
+      }
+    }
+    (archive, rest.toList) match {
+      case (None, _) | (_, Nil) =>
+        out.println(Usage); 2
+      case (Some(root), cmd :: cmdArgs) =>
+        val arch = new GraftArchive(spark, root)
+        def ds: GraftDataset = dataset match {
+          case Some(n) => arch.dataset(n)
+          case None =>
+            throw new IllegalArgumentException(
+              "Specify dataset foreign_id with `-d` option!") // cli.py:73
+        }
+        try dispatch(arch, () => ds, cmd, cmdArgs, out)
+        catch {
+          case e: IllegalArgumentException =>
+            out.println(s"error: ${e.getMessage}"); 2
+          case e: Exception =>
+            out.println(s"error: ${e.getMessage}"); 1
+        }
+    }
+  }
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    }
+
+  private def dispatch(arch: GraftArchive, ds: () => GraftDataset,
+                       cmd: String, args: List[String],
+                       out: PrintStream): Int = cmd match {
+    case "ls" =>
+      val docs = ds().documents.orderBy("key")
+      val it = docs.toLocalIterator()
+      args match {
+        case List("--keys") =>
+          while (it.hasNext) out.println(it.next().getString(0))
+        case List("--checksums") =>
+          while (it.hasNext) out.println(it.next().getString(1))
+        case Nil =>
+          while (it.hasNext) {
+            val r = it.next()
+            out.println(
+              s"""{"key":"${jsonEscape(r.getString(0))}","content_hash":"${r.getString(1)}","size":${r.getLong(2)},"mimetype":"${jsonEscape(r.getString(3))}"}""")
+          }
+        case other =>
+          throw new IllegalArgumentException(s"ls: unknown options $other")
+      }
+      0
+
+    case "crawl" =>
+      val (flags, pos) = args.partition(_.startsWith("--"))
+      val uri = pos.headOption.getOrElse(
+        throw new IllegalArgumentException("crawl: missing <uri>"))
+      def flagVal(name: String): Option[String] = {
+        val ix = args.indexOf(name)
+        if (ix >= 0 && ix + 1 < args.length) Some(args(ix + 1)) else None
+      }
+      val counts = ds().crawl(uri,
+        include = flagVal("--include"), exclude = flagVal("--exclude"),
+        extract = flags.contains("--extract"))
+      out.println(counts.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
+      0
+
+    case "make" =>
+      val uri = args.headOption.getOrElse(
+        throw new IllegalArgumentException("make: missing <uri>"))
+      val status = ds().make(uri)
+      out.println(status.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
+      0
+
+    case "export" =>
+      val zip = args.headOption.getOrElse(
+        throw new IllegalArgumentException("export: missing <zipPath>"))
+      val n = ds().exportZip(zip)
+      out.println(s"""{"files":$n,"path":"${jsonEscape(zip)}"}""")
+      0
+
+    case "head" =>
+      val key = args.headOption.getOrElse(
+        throw new IllegalArgumentException("head: missing <key>"))
+      ds().lookup(key) match {
+        case Some(h) =>
+          out.println(h.toSeq.sortBy(_._1)
+            .map { case (k, v) => s""""$k":"${jsonEscape(v)}"""" }
+            .mkString("{", ",", "}"))
+          0
+        case None => out.println(s"error: key not found: $key"); 1
+      }
+
+    case "get" =>
+      val key = args.headOption.getOrElse(
+        throw new IllegalArgumentException("get: missing <key>"))
+      ds().openBlob(key) match {
+        case Some(bytes) =>
+          val target: OutputStream = args.indexOf("-o") match {
+            case ix if ix >= 0 && ix + 1 < args.length =>
+              new java.io.FileOutputStream(args(ix + 1))
+            case _ => out
+          }
+          try target.write(bytes)
+          finally if (!(target eq out)) target.close()
+          0
+        case None => out.println(s"error: key not found: $key"); 1
+      }
+
+    case "versions" =>
+      ds().versions.foreach(out.println)
+      0
+
+    case "catalog" =>
+      val it = arch.makeCatalog().toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        out.println(s"""{"name":"${jsonEscape(r.getString(0))}","file_count":${r.getLong(1)},"total_file_size":${r.getLong(2)}}""")
+      }
+      0
+
+    case other =>
+      throw new IllegalArgumentException(s"unknown command: $other")
+  }
+}

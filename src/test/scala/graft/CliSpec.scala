@@ -1,0 +1,73 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+
+/** CLI smoke test over the golden corpus — the analog of driving
+  * `ftm-datalake -d <ds> ls/crawl/export/head/get/versions`
+  * (ftm_datalake/cli.py:213-292) end-to-end. */
+class CliSpec extends SparkSpec {
+
+  private val srcDir = "/root/reference/tests/fixtures/src"
+
+  private def cli(args: String*): (Int, String) = {
+    val buf = new ByteArrayOutputStream()
+    val code = Cli.run(spark, args.toSeq, new PrintStream(buf, true, "UTF-8"))
+    (code, new String(buf.toByteArray, "UTF-8"))
+  }
+
+  test("crawl → ls → head → get → versions → export drive the full lifecycle") {
+    val lake = java.nio.file.Files.createTempDirectory("cli-lake").toString
+    val base = Seq("--archive", lake, "-d", "cli_ds")
+
+    val (c1, crawlOut) = cli(base ++ Seq("crawl", srcDir): _*)
+    assert(c1 == 0 && crawlOut.contains("\"added\":"))
+
+    val (c2, keys) = cli(base ++ Seq("ls", "--keys"): _*)
+    assert(c2 == 0)
+    val keySet = keys.linesIterator.toSet
+    assert(keySet.contains("utf.txt") && keySet.contains("testdir/test.txt"))
+
+    val (c3, sums) = cli(base ++ Seq("ls", "--checksums"): _*)
+    assert(c3 == 0)
+    assert(sums.linesIterator.toSet
+      .contains("2aae6c35c94fcfb415dbe95f408b9ce91ee846ed"))
+
+    val (c4, jsonl) = cli(base ++ Seq("ls"): _*)
+    assert(c4 == 0)
+    assert(jsonl.linesIterator.forall(_.startsWith("{\"key\":")))
+    assert(jsonl.linesIterator.size == keySet.size)
+
+    val (c5, head) = cli(base ++ Seq("head", "utf.txt"): _*)
+    assert(c5 == 0)
+    assert(head.contains("5a6acf229ba576d9a40b09292595658bbb74ef56"))
+    val (c5b, _) = cli(base ++ Seq("head", "nope.txt"): _*)
+    assert(c5b == 1)
+
+    val outFile = java.nio.file.Files.createTempFile("cli-get", ".bin")
+    val (c6, _) = cli(base ++ Seq("get", "utf.txt", "-o", outFile.toString): _*)
+    assert(c6 == 0)
+    assert(new String(java.nio.file.Files.readAllBytes(outFile), "UTF-8")
+      == "Îș unî©ođ€.\n")
+
+    val (c7, versions) = cli(base ++ Seq("versions"): _*)
+    assert(c7 == 0 && versions.trim.linesIterator.size == 1)
+
+    val zipPath = s"$lake/out.zip"
+    val (c8, expOut) = cli(base ++ Seq("export", zipPath): _*)
+    assert(c8 == 0 && expOut.contains("\"files\":"))
+    assert(new java.io.File(zipPath).isFile)
+
+    val (c9, cat) = cli(Seq("--archive", lake, "catalog"): _*)
+    assert(c9 == 0 && cat.contains("\"name\":\"cli_ds\""))
+  }
+
+  test("usage and error paths return non-zero codes") {
+    assert(cli()._1 == 2)
+    assert(cli("--archive", "/tmp/nowhere")._1 == 2) // no command
+    val (cUnknown, msg) = cli("--archive", "/tmp/nowhere", "frobnicate")
+    assert(cUnknown == 2 && msg.contains("unknown command"))
+    // dataset-requiring command without -d mirrors cli.py:73
+    val (cNoDs, msg2) = cli("--archive", "/tmp/nowhere", "ls")
+    assert(cNoDs == 2 && msg2.contains("-d"))
+  }
+}
