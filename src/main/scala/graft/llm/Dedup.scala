@@ -62,7 +62,8 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
-                   maxShingleFreq: Option[Int] = Some(1000)): DataFrame = {
+                   maxShingleFreq: Option[Int] = Some(1000),
+                   observeName: Option[String] = None): DataFrame = {
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .withColumn("sh_size", size(col("sh")).cast("long"))
     // invert on the 64-bit shingle hash, not the string: ~4× smaller
@@ -77,8 +78,12 @@ object Dedup {
     val buckets0 = inv.groupBy("shingle")
       .agg(collect_list(struct(col("id"), col("sh_size"))).as("docs"))
     val buckets = maxShingleFreq match {
+      // metric name: explicit via observeName for pipelines whose listeners
+      // key on an exact name; otherwise a per-invocation counter suffix
+      // (observe() names must be unique within a session)
       case Some(cap) => buckets0
-        .observe(s"graft_jaccard_buckets_${Dedup.observeId.getAndIncrement()}",
+        .observe(observeName.getOrElse(
+            s"graft_jaccard_buckets_${Dedup.observeId.getAndIncrement()}"),
           sum(when(size(col("docs")) > cap, lit(1L)).otherwise(lit(0L)))
             .as("dropped_hot_buckets"))
         .filter(size(col("docs")) <= cap)
@@ -237,12 +242,18 @@ object Dedup {
     * oracle-exact); anything larger automatically switches to the
     * random-hyperplane LSH pre-filter, which buckets candidates and scores
     * only collisions — the 100 TB path, where all-pairs is not runnable.
-    * The auto probe is `limit(autoLshMinRows+1).count()`, which
-    * short-circuits as soon as the threshold row count is seen — bounded
-    * work even when `df` is an expensive derived pipeline (a full
-    * `count()` would recompute the whole upstream plan). Pass
-    * `useLsh = Some(..)` to skip the probe and force a mode (mirrors
-    * [[dedupCorpus]]'s exact/LSH cutover for Jaccard).
+    * The auto probe is `limit(autoLshMinRows+1).count()`: per-partition
+    * work is bounded at the limit (LocalLimit caps each partition's scan;
+    * there is no cross-partition short-circuit), which is the right
+    * trade-off when `df` is an expensive derived pipeline. Callers passing
+    * a RAW parquet-backed frame may prefer `useLsh = Some(..)`: for those,
+    * a plain `count()` is a metadata-only job that the limit-probe
+    * forgoes. When `autoLshMinRows + 1` exceeds Int.MaxValue (limit()'s
+    * domain), the probe falls back to a full `count()` rather than
+    * silently capping — the exact mode must never be auto-selected for an
+    * arbitrarily large corpus. Pass `useLsh = Some(..)` to skip the probe
+    * and force a mode (mirrors [[dedupCorpus]]'s exact/LSH cutover for
+    * Jaccard).
     */
   def embeddingNearDup(df: DataFrame, idCol: String = "vec_id",
                        vecCol: String = "embedding", threshold: Double = 0.9,
@@ -253,8 +264,8 @@ object Dedup {
     val vecs = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val lsh = useLsh.getOrElse {
-      val probe = math.min(autoLshMinRows + 1, Int.MaxValue.toLong).toInt
-      df.limit(probe).count() > autoLshMinRows
+      if (autoLshMinRows + 1 > Int.MaxValue.toLong) df.count() > autoLshMinRows
+      else df.limit((autoLshMinRows + 1).toInt).count() > autoLshMinRows
     }
     val pairs = if (lsh) {
       graft.llm.Similarity.lshBucketCandidates(df, nPlanes, nTables,

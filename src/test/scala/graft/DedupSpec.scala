@@ -39,6 +39,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs.filter($"i" >= $"j").isEmpty)
   }
 
+  test("jaccardPairs honors an explicit observe-metric name") {
+    var seen: Option[String] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        if (qe.observedMetrics.contains("pinned_metric"))
+          seen = Some("pinned_metric")
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5,
+        observeName = Some("pinned_metric")).count()
+      // listener delivery is async; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (seen.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(seen.contains("pinned_metric"))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("minhash LSH candidates achieve high recall of exact pairs") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.6)
       .select("i", "j").as[(Long, Long)].collect().toSet
