@@ -23,7 +23,8 @@ final class GraftDataset(val spark: SparkSession, val root: String,
                          val name: String,
                          val checksumAlgorithm: String = "sha1",
                          val bucketedLayout: Boolean = false,
-                         val buckets: Int = 64) {
+                         val buckets: Int = 64,
+                         val mirrorFileInfo: Boolean = false) {
 
   val datasetRoot = s"${root.stripSuffix("/")}/$name"
   val metaRoot = s"$datasetRoot/.graft"
@@ -140,9 +141,20 @@ final class GraftDataset(val spark: SparkSession, val root: String,
     // it, so anything lazy here would recompute from deleted files.
     val prev = documents
     val nextOrdered = next.orderBy("key").localCheckpoint()
-    val diffLines = Diff.toDiffLines(Diff.snapshotDiff(
+    val diff = Diff.snapshotDiff(
       prev.select("key", "content_hash", "size"),
-      nextOrdered.select("key", "content_hash", "size"))).localCheckpoint()
+      nextOrdered.select("key", "content_hash", "size")).localCheckpoint()
+    val diffLines = Diff.toDiffLines(diff)
+    if (mirrorFileInfo) {
+      // RFC-interop per-file info.json mirror, diff-driven: only changed
+      // keys write, removed keys (in "-" but not "+") delete
+      val addedKeys = diff.filter(col("diff_op") === "+").select("key")
+      graft.core.FileInfoMirror.write(
+        nextOrdered.join(addedKeys, Seq("key"), "left_semi"), metaRoot, name)
+      val removedKeys = diff.filter(col("diff_op") === "-").select("key")
+        .except(addedKeys)
+      graft.core.FileInfoMirror.delete(removedKeys, metaRoot)
+    }
     if (bucketedLayout) {
       DocumentsStore.writeBucketedAt(nextOrdered, bucketedTableName,
         s"$metaRoot/documents.parquet", buckets)
@@ -152,7 +164,7 @@ final class GraftDataset(val spark: SparkSession, val root: String,
     }
     DocumentsStore.writeDiff(diffLines, metaRoot, versionTs)
     Stats.writeIndexJson(nextOrdered, name, s"$metaRoot/index.json")
-    nextOrdered.unpersist(); diffLines.unpersist()
+    nextOrdered.unpersist(); diff.unpersist()
   }
 
   def entities: DataFrame = Entities.fromDocuments(documents, name,

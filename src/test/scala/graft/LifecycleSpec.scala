@@ -73,6 +73,34 @@ class LifecycleSpec extends SparkSpec {
     assert(new java.io.File(s"$lake/catalog.json").isFile)
   }
 
+  test("info.json mirror: diff-driven writes, deletes, and scan-back (RFC interop)") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.Row
+    val lake2 = java.nio.file.Files.createTempDirectory("mirror-lake").toString
+    val ds2 = new GraftDataset(spark, lake2, "mirror_ds", mirrorFileInfo = true)
+    val ts = Timestamp.valueOf("2026-01-01 00:00:00")
+    def docs(keys: String*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(keys.map(k =>
+        Row(k, s"hash-$k", 3L, "text/plain", ts, ts))),
+      graft.core.Model.documentsSchema)
+    ds2.publish(docs("a/one.txt", "two.txt"), "v1")
+    val p1 = new java.io.File(s"${ds2.metaRoot}/meta/a/one.txt/info.json")
+    assert(p1.isFile)
+    val json = new String(java.nio.file.Files.readAllBytes(p1.toPath), "UTF-8")
+    assert(json.contains(""""key":"a/one.txt"""") && json.contains(""""name":"one.txt""""))
+    assert(json.contains(""""dataset":"mirror_ds"""") && json.contains(""""content_hash":"hash-a/one.txt""""))
+    // second publish: drop two.txt, add three.txt → mirror follows the diff
+    ds2.publish(docs("a/one.txt", "three.txt"), "v2")
+    assert(!new java.io.File(s"${ds2.metaRoot}/meta/two.txt/info.json").exists)
+    assert(new java.io.File(s"${ds2.metaRoot}/meta/three.txt/info.json").isFile)
+    assert(p1.isFile) // unchanged key untouched
+    // the S3-style scan reads the mirror back with the documents fields
+    val back = graft.core.FileInfoMirror.read(spark, ds2.metaRoot)
+    assert(back.count() == 2)
+    assert(back.select("key").as[String].collect().toSet ==
+      Set("a/one.txt", "three.txt"))
+  }
+
   test("a stray .graft FILE does not make a directory a dataset") {
     val impostor = new java.io.File(s"$lake/not_a_dataset")
     impostor.mkdirs()
