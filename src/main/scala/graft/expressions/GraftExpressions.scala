@@ -256,6 +256,57 @@ object GraftExpressions {
     override def prettyName: String = "graft_pair_combinations"
   }
 
+  /** Streaming variant of [[PairCombinations]]: a Catalyst `Generator`
+    * (explode-analog) that yields each bucket's (i<j) pairs ONE AT A TIME
+    * instead of materializing the full d·(d−1)/2 struct array in a single
+    * row first. At the hot-shingle cap of 1000 docs the array form holds
+    * ~500k structs (~16 MB) per bucket row before explode; the generator
+    * keeps per-row memory at O(d). Pair order and values are identical
+    * (parity-tested in ExpressionsSpec).
+    */
+  case class PairGenerator(child: Expression)
+      extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.Generator
+      with CodegenFallback {
+    override def elementSchema: StructType = StructType(Seq(
+      StructField("i", LongType, nullable = false),
+      StructField("j", LongType, nullable = false),
+      StructField("si", LongType, nullable = false),
+      StructField("sj", LongType, nullable = false)))
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val value = child.eval(input)
+      if (value == null) return Iterator.empty
+      val arr = value.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n < 2) return Iterator.empty
+      val ids = new Array[Long](n)
+      val szs = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val row = arr.getStruct(i, 2)
+        ids(i) = row.getLong(0)
+        szs(i) = row.getLong(1)
+        i += 1
+      }
+      // same (smaller-id, larger-id) emission order as PairCombinations
+      val order = (0 until n).sortBy(ids(_)).toArray
+      new Iterator[InternalRow] {
+        private var a = 0
+        private var b = 1
+        def hasNext: Boolean = a < n - 1
+        def next(): InternalRow = {
+          val x = order(a); val y = order(b)
+          val out = InternalRow(ids(x), ids(y), szs(x), szs(y))
+          b += 1
+          if (b >= n) { a += 1; b = a + 1 }
+          out
+        }
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): PairGenerator =
+      copy(c)
+    override def prettyName: String = "graft_pair_generator"
+  }
+
   /** Fraction of positions where two equal-length long-array signatures
     * agree — the MinHash Jaccard estimator. Implements `doGenCode`, so the
     * candidate-verification join stage stays inside whole-stage codegen
@@ -376,6 +427,8 @@ object GraftExpressions {
     toCol(JaccardSimilarity(expr(a), expr(b)))
   def pairCombinations(bucket: Column): Column =
     toCol(PairCombinations(expr(bucket)))
+  def pairGenerator(bucket: Column): Column =
+    toCol(PairGenerator(expr(bucket)))
   def wordShingles(text: Column, n: Int): Column =
     toCol(WordShingles(expr(text), n))
   def signatureAgreement(a: Column, b: Column): Column =

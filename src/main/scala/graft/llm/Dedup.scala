@@ -89,11 +89,14 @@ object Dedup {
         .filter(size(col("docs")) <= cap)
       case None => buckets0
     }
+    // PairGenerator streams each bucket's (i<j) pairs row-at-a-time (an
+    // explode-analog Generator): per-bucket memory stays O(docs), not
+    // O(docs²) — at the 1000-doc cap the materialized-array form held
+    // ~500k structs in one row
     val pairs = buckets
       .filter(size(col("docs")) > 1)
-      .select(explode(graft.expressions.GraftExpressions
-        .pairCombinations(col("docs"))).as("p"))
-      .select(col("p.i"), col("p.j"), col("p.si"), col("p.sj"))
+      .select(graft.expressions.GraftExpressions.pairGenerator(col("docs")))
+      .toDF("i", "j", "si", "sj")
     pairs
       .groupBy("i", "j", "si", "sj")
       .agg(count(lit(1)).as("inter"))

@@ -102,6 +102,24 @@ class ExpressionsSpec extends SparkSpec {
     assert(viaExpr.exceptAll(viaCols).isEmpty)
   }
 
+  test("PairGenerator streams the same pairs as explode(PairCombinations)") {
+    val buckets = Seq(
+      Seq((5L, 10L), (2L, 20L), (9L, 30L), (1L, 40L)),
+      Seq((7L, 7L), (3L, 3L)),
+      Seq((42L, 1L))) // single-doc bucket → no pairs
+      .map(b => Tuple1(b)).toDF("docs")
+      .select($"docs".cast("array<struct<id:bigint,sh_size:bigint>>").as("docs"))
+    val viaGen = buckets
+      .select(GraftExpressions.pairGenerator($"docs")).toDF("i", "j", "si", "sj")
+    val viaArray = buckets.filter(size($"docs") > 1)
+      .select(explode(GraftExpressions.pairCombinations($"docs")).as("p"))
+      .select($"p.i", $"p.j", $"p.si", $"p.sj")
+    assert(viaGen.exceptAll(viaArray).isEmpty && viaArray.exceptAll(viaGen).isEmpty)
+    assert(viaGen.count() == 4 * 3 / 2 + 1)
+    // i < j invariant straight from the generator
+    assert(viaGen.filter($"i" >= $"j").isEmpty)
+  }
+
   test("SignatureAgreement yields NULL (never NaN) for an empty left signature") {
     // empty-text doc → empty shingle set → empty signature array; the
     // replaced column stack returned NULL and the estimator must too, in
