@@ -51,11 +51,19 @@ final class GraftDataset(val spark: SparkSession, val root: String,
             exclude: Option[String] = None, extract: Boolean = false,
             versionTs: String = GraftDataset.nowTs()): Map[String, Long] = {
     val existing = documents
+    val isHttp = sourceUri.startsWith("http://") || sourceUri.startsWith("https://")
+    if (extract && isHttp)
+      throw new IllegalArgumentException(
+        "crawl(extract = true) over an http(s) source is not supported; " +
+          "crawl without extract, or stage the tree onto a Hadoop-visible FS")
     val fresh0 = Crawl.crawl(spark, sourceUri, existing, include, exclude)
     val (fresh, copied) =
       if (!extract) {
         val f = fresh0.cache()
-        (f, ArchiveCopy.copyBlobs(spark, f, sourceUri, blobRoot))
+        val n =
+          if (isHttp) graft.pipelines.HttpCrawl.copyBlobs(spark, f, sourceUri, blobRoot)
+          else ArchiveCopy.copyBlobs(spark, f, sourceUri, blobRoot)
+        (f, n)
       } else {
         val base = sourceUri.stripSuffix("/")
         val withBytes = spark.read.format("binaryFile")

@@ -159,13 +159,20 @@ object Crawl {
   }
 
   /** End-to-end crawl: candidates → new document rows (no blob copy — the
-    * archive-copy stage is [[ArchiveCopy.copyBlobs]]). */
+    * archive-copy stage is [[ArchiveCopy.copyBlobs]]). An `http(s)://`
+    * source dispatches to [[HttpCrawl]] (index-page listing + streaming
+    * fetch), mirroring the reference's scheme-transparent `crawl(uri)`
+    * (ftm_datalake/crawl.py:108-151); everything else goes through the
+    * Hadoop FS (file://, s3a://, hdfs://, …). */
   def crawl(spark: SparkSession, sourceUri: String, existing: DataFrame,
-            include: Option[String] = None, exclude: Option[String] = None): DataFrame = {
-    val keys = applyGlobs(listKeys(spark, sourceUri), include, exclude)
-    val fresh = skipExisting(keys, existing)
-    hashAndDescribe(spark, sourceUri, fresh)
-  }
+            include: Option[String] = None, exclude: Option[String] = None): DataFrame =
+    if (sourceUri.startsWith("http://") || sourceUri.startsWith("https://"))
+      HttpCrawl.crawl(spark, sourceUri, existing, include, exclude)
+    else {
+      val keys = applyGlobs(listKeys(spark, sourceUri), include, exclude)
+      val fresh = skipExisting(keys, existing)
+      hashAndDescribe(spark, sourceUri, fresh)
+    }
 }
 
 /** The blob-copy stage of archiving (S9): executor-side Hadoop FS copy into

@@ -55,7 +55,27 @@ object HttpCrawl {
     conn
   }
 
-  private def fetchIndex(url: String): String = {
+  /** Bounded retry with linear backoff for transient HTTP/IO failures
+    * (the reference's worker layer retries tasks; per-request retry is the
+    * equivalent at this granularity). Everything inside `f` must be
+    * restartable — digests and sinks are constructed within it. */
+  private def withRetries[T](what: => String, attempts: Int = 3,
+                             backoffMs: Long = 500)(f: => T): T = {
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return f
+      catch {
+        case e: java.io.IOException =>
+          last = e; i += 1
+          if (i < attempts) Thread.sleep(backoffMs * i)
+      }
+    }
+    throw new java.io.IOException(s"giving up after $attempts attempts: $what",
+      last)
+  }
+
+  private def fetchIndex(url: String): String = withRetries(s"list $url") {
     val conn = openConn(url, IndexTimeoutMs)
     try {
       val code = conn.getResponseCode
@@ -135,23 +155,25 @@ object HttpCrawl {
     }
     val fetched = keys.select("key").as[String].mapPartitions { it =>
       it.map { key =>
-        val conn = openConn(s"$base/${encodeKey(key)}", ContentTimeoutMs)
-        try {
-          val code = conn.getResponseCode
-          if (code != 200)
-            throw new java.io.IOException(s"HTTP $code fetching $base/$key")
-          val mtime = new java.sql.Timestamp(conn.getLastModified)
-          val md = java.security.MessageDigest.getInstance(algoName)
-          var size = 0L
-          val in = conn.getInputStream
+        withRetries(s"fetch $base/$key") {
+          val conn = openConn(s"$base/${encodeKey(key)}", ContentTimeoutMs)
           try {
-            val buf = new Array[Byte](65536)
-            var n = in.read(buf)
-            while (n >= 0) { md.update(buf, 0, n); size += n; n = in.read(buf) }
-          } finally in.close()
-          val hex = md.digest().map("%02x".format(_)).mkString
-          (key, hex, size, mtime)
-        } finally conn.disconnect()
+            val code = conn.getResponseCode
+            if (code != 200)
+              throw new java.io.IOException(s"HTTP $code fetching $base/$key")
+            val mtime = new java.sql.Timestamp(conn.getLastModified)
+            val md = java.security.MessageDigest.getInstance(algoName)
+            var size = 0L
+            val in = conn.getInputStream
+            try {
+              val buf = new Array[Byte](65536)
+              var n = in.read(buf)
+              while (n >= 0) { md.update(buf, 0, n); size += n; n = in.read(buf) }
+            } finally in.close()
+            val hex = md.digest().map("%02x".format(_)).mkString
+            (key, hex, size, mtime)
+          } finally conn.disconnect()
+        }
       }
     }.toDF("key", "content_hash", "size", "mtime")
     fetched.select(
@@ -169,5 +191,50 @@ object HttpCrawl {
     val keys = Crawl.applyGlobs(listKeys(spark, baseUrl), include, exclude)
     val fresh = Crawl.skipExisting(keys, existing)
     fetchAndDescribe(spark, baseUrl, fresh)
+  }
+
+  /** S9 over HTTP: executor-side streaming copy of each key's bytes into
+    * the content-addressed lake layout (the HTTP analog of
+    * [[ArchiveCopy.copyBlobs]] — Hadoop ships no http:// FileSystem, so
+    * the fetch side speaks HTTP and only the sink side goes through the
+    * FS). Bytes stream through a 64 KiB buffer; existing blobs are
+    * skipped. */
+  def copyBlobs(spark: SparkSession, rows: DataFrame, baseUrl: String,
+                lakeBase: String): Long = {
+    val base = baseUrl.stripSuffix("/")
+    val lake = lakeBase.stripSuffix("/")
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val copied = spark.sparkContext.longAccumulator("http_blobs_copied")
+    rows.select("key", "content_hash").foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        val conf = confBc.value.value
+        it.foreach { r =>
+          val key = r.getString(0); val ch = r.getString(1)
+          val shard = s"${ch.substring(0, 2)}/${ch.substring(2, 4)}/${ch.substring(4, 6)}/$ch"
+          val dst = new org.apache.hadoop.fs.Path(s"$lake/$shard")
+          val dfs = dst.getFileSystem(conf)
+          if (!dfs.exists(dst)) {
+            withRetries(s"copy $base/$key") {
+              val conn = openConn(s"$base/${encodeKey(key)}", ContentTimeoutMs)
+              try {
+                if (conn.getResponseCode != 200)
+                  throw new java.io.IOException(
+                    s"HTTP ${conn.getResponseCode} fetching $base/$key")
+                val in = conn.getInputStream
+                val out = dfs.create(dst, true) // overwrite a failed partial
+                try {
+                  val buf = new Array[Byte](65536)
+                  var n = in.read(buf)
+                  while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+                } finally { in.close(); out.close() }
+              } finally conn.disconnect()
+            }
+            copied.add(1)
+          }
+        }
+    }
+    copied.value
   }
 }

@@ -98,6 +98,59 @@ class HttpCrawlSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("full dataset lifecycle over an HTTP source (facade dispatch + blob copy)") {
+    val server = startServer(srcDir)
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val lake = java.nio.file.Files.createTempDirectory("http-lake").toString
+      val arch = new GraftArchive(spark, lake)
+      val remote = arch.dataset("remote_ds")
+      val counts = remote.crawl(base, include = Some("*.txt"))
+      assert(counts("added") > 0 && counts("blobs_copied") == counts("added"))
+      // blob bytes round-trip through the content-addressed store
+      val bytes = remote.openBlob("utf.txt").get
+      assert(new String(bytes, "UTF-8") == "Îș unî©ođ€.\n")
+      // re-crawl is incremental over HTTP too
+      val again = remote.crawl(base, include = Some("*.txt"))
+      assert(again("added") == 0 && again("blobs_copied") == 0)
+      // extract over HTTP is an explicit unsupported error, not silence
+      intercept[IllegalArgumentException] {
+        remote.crawl(base, extract = true)
+      }
+    } finally server.stop(0)
+  }
+
+  test("transient HTTP failures are retried (bounded backoff)") {
+    // server fails the FIRST request for every path with 503, then serves
+    val failedOnce = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val path = ex.getRequestURI.getRawPath
+        if (failedOnce.add(path)) {
+          ex.sendResponseHeaders(503, -1); ex.close()
+        } else if (path == "/") {
+          val body = """<a href="a.txt">a.txt</a>""".getBytes("UTF-8")
+          ex.sendResponseHeaders(200, body.length)
+          ex.getResponseBody.write(body); ex.close()
+        } else {
+          val body = "payload".getBytes("UTF-8")
+          ex.sendResponseHeaders(200, body.length)
+          ex.getResponseBody.write(body); ex.close()
+        }
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val none = spark.emptyDataFrame.select(
+        org.apache.spark.sql.functions.lit("").as("key")).limit(0)
+      val crawled = HttpCrawl.crawl(spark, base, existing = none)
+      val rows = crawled.select("key", "size").as[(String, Long)].collect()
+      assert(rows.toSeq == Seq(("a.txt", 7L)))
+    } finally server.stop(0)
+  }
+
   test("index-link parsing keeps relative links only") {
     val html = """<a href="../">..</a><a href="sub/">sub/</a>
       |<a href="a%20b.txt">a b.txt</a><a href="?C=N;O=D">sort</a>
