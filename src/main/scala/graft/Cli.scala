@@ -15,6 +15,9 @@ import org.apache.spark.sql.SparkSession
   *   graft.Cli --archive <root> -d <dataset> head <key>
   *   graft.Cli --archive <root> -d <dataset> get <key> [-o <path>]
   *   graft.Cli --archive <root> -d <dataset> versions
+  *   graft.Cli --archive <root> -d <dataset> diff -v <version>
+  *   graft.Cli --archive <root> -d <dataset> memorious-sync -i <dir>
+  *                [--name-only | --strip-prefix P | --key-template T]
   *   graft.Cli --archive <root>              catalog
   * }}}
   *
@@ -35,6 +38,8 @@ object Cli {
       |  head <key>                       metadata headers for one key
       |  get <key> [-o <path>]            blob bytes (stdout or file)
       |  versions                         sorted snapshot versions
+      |  diff -v <version>                +/- diff lines of one version
+      |  memorious-sync -i <dir> [--name-only|--strip-prefix P|--key-template T]
       |  catalog                          archive-wide catalog rollup
       |""".stripMargin
 
@@ -177,6 +182,39 @@ object Cli {
 
     case "versions" =>
       ds().versions.foreach(out.println)
+      0
+
+    case "diff" =>
+      // cli.py:145-156: `diff -v <version>` prints the +/- lines
+      val version = args.indexOf("-v") match {
+        case ix if ix >= 0 && ix + 1 < args.length => args(ix + 1)
+        case _ => throw new IllegalArgumentException("diff: missing -v <version>")
+      }
+      val lines = ds().versionDiff(version)
+      if (lines.isEmpty && !ds().versions.contains(version)) {
+        out.println(s"error: unknown version: $version"); 1
+      } else { lines.foreach(out.println); 0 }
+
+    case "memorious-sync" =>
+      // cli.py:295-317: key strategy flags mirror the reference's key_funcs
+      import graft.pipelines.Memorious
+      val dir = args.indexOf("-i") match {
+        case ix if ix >= 0 && ix + 1 < args.length => args(ix + 1)
+        case _ => throw new IllegalArgumentException("memorious-sync: missing -i <dir>")
+      }
+      def flagVal(name: String): Option[String] = {
+        val ix = args.indexOf(name)
+        if (ix >= 0 && ix + 1 < args.length) Some(args(ix + 1)) else None
+      }
+      val strategy: Memorious.KeyStrategy =
+        if (args.contains("--name-only")) Memorious.NameOnly
+        else flagVal("--strip-prefix").map(Memorious.StripPrefix)
+          .orElse(flagVal("--key-template").map(t =>
+            Memorious.Template(t, Seq("url", "content_hash"))))
+          .getOrElse(Memorious.UrlPath)
+      val counts = ds().importMemorious(dir, strategy)
+      out.println(counts.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
       0
 
     case "catalog" =>

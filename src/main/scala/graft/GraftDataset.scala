@@ -122,6 +122,39 @@ final class GraftDataset(val spark: SparkSession, val root: String,
     written.value
   }
 
+  /** Import a memorious crawler store (sync/memorious.py): scan json⋈blob
+    * records, derive keys by the chosen strategy, skip already-archived
+    * keys, copy blobs content-addressed from their store paths, publish. */
+  def importMemorious(dir: String,
+                      strategy: graft.pipelines.Memorious.KeyStrategy =
+                        graft.pipelines.Memorious.UrlPath,
+                      versionTs: String = GraftDataset.nowTs()): Map[String, Long] = {
+    val existing = documents
+    val scanned = graft.pipelines.Memorious.deriveKey(
+      graft.pipelines.Memorious.scan(spark, dir), strategy)
+    val fresh = Crawl.skipExisting(scanned, existing).cache()
+    val records = fresh.select(
+      col("key"), col("content_hash"), col("size"),
+      Crawl.guessMimetype(col("key")).as("mimetype"),
+      current_timestamp().as("created_at"),
+      current_timestamp().as("updated_at"))
+    val copied = ArchiveCopy.copyBlobPaths(spark,
+      fresh.select(col("blob_path").as("src_path"), col("content_hash")),
+      blobRoot)
+    val added = records.count()
+    publish(Rebuild.rebuild(existing, records, records.limit(0)), versionTs)
+    fresh.unpersist()
+    Map("added" -> added, "blobs_copied" -> copied)
+  }
+
+  /** Diff lines (`+`/`-` text) recorded for one published version. */
+  def versionDiff(versionTs: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$metaRoot/versions/$versionTs.diff")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Nil
+    else spark.read.textFile(dir.toString).collect().toSeq.sorted
+  }
+
   /** Reconcile a source tree against the current documents table (make):
     * full-outer join → add/verify/heal/delete → publish. */
   def make(sourceUri: String,

@@ -183,17 +183,27 @@ object ArchiveCopy {
   def copyBlobs(spark: SparkSession, rows: DataFrame, sourceBase: String,
                 lakeBase: String): Long = {
     val base = sourceBase.stripSuffix("/")
+    copyBlobPaths(spark,
+      rows.select(concat(lit(base + "/"), col("key")).as("src_path"),
+        col("content_hash")),
+      lakeBase)
+  }
+
+  /** Same copy stage but with explicit source paths per row (memorious
+    * imports, staged trees) instead of `<base>/<key>` derivation. */
+  def copyBlobPaths(spark: SparkSession, rows: DataFrame,
+                    lakeBase: String): Long = {
     val lake = lakeBase.stripSuffix("/")
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
     val copied = spark.sparkContext.longAccumulator("blobs_copied")
-    rows.select("key", "content_hash").foreachPartition {
+    rows.select("src_path", "content_hash").foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         val conf = confBc.value.value
         it.foreach { r =>
-          val key = r.getString(0); val ch = r.getString(1)
-          val src = new org.apache.hadoop.fs.Path(s"$base/$key")
+          val ch = r.getString(1)
+          val src = new org.apache.hadoop.fs.Path(r.getString(0))
           val shard = s"${ch.substring(0, 2)}/${ch.substring(2, 4)}/${ch.substring(4, 6)}/$ch"
           val dst = new org.apache.hadoop.fs.Path(s"$lake/$shard")
           val sfs = src.getFileSystem(conf); val dfs = dst.getFileSystem(conf)

@@ -61,6 +61,37 @@ class CliSpec extends SparkSpec {
     assert(c9 == 0 && cat.contains("\"name\":\"cli_ds\""))
   }
 
+  test("diff and memorious-sync commands (cli.py:145,295 analogs)") {
+    val lake = java.nio.file.Files.createTempDirectory("cli-mem-lake").toString
+    val base = Seq("--archive", lake, "-d", "mem_ds")
+    // memorious store fixture: {sha1}.json + sibling blob
+    val store = java.nio.file.Files.createTempDirectory("cli-mem-store")
+    val h1 = "2aae6c35c94fcfb415dbe95f408b9ce91ee846ed"
+    java.nio.file.Files.writeString(store.resolve(s"$h1.json"),
+      s"""{"url": "https://example.org/docs/hello.txt", "content_hash": "$h1",
+         | "_file_name": "$h1.data.txt"}""".stripMargin)
+    java.nio.file.Files.writeString(store.resolve(s"$h1.data.txt"), "hello world")
+
+    val (c1, syncOut) = cli(base ++ Seq("memorious-sync", "-i", store.toString,
+      "--name-only"): _*)
+    assert(c1 == 0 && syncOut.contains("\"added\":1") &&
+      syncOut.contains("\"blobs_copied\":1"), syncOut)
+    val (_, keys) = cli(base ++ Seq("ls", "--keys"): _*)
+    assert(keys.trim == "hello.txt")
+    // blob landed content-addressed and byte-faithful
+    val out = java.nio.file.Files.createTempFile("cli-mem-get", ".bin")
+    assert(cli(base ++ Seq("get", "hello.txt", "-o", out.toString): _*)._1 == 0)
+    assert(new String(java.nio.file.Files.readAllBytes(out), "UTF-8") == "hello world")
+
+    // diff of the first (only) version: one "+" line per added key
+    val (_, versionsOut) = cli(base ++ Seq("versions"): _*)
+    val v = versionsOut.trim
+    val (c2, diffOut) = cli(base ++ Seq("diff", "-v", v): _*)
+    assert(c2 == 0)
+    assert(diffOut.linesIterator.toSeq.count(_.startsWith("+")) == 1)
+    assert(cli(base ++ Seq("diff", "-v", "nope"): _*)._1 == 1)
+  }
+
   test("usage and error paths return non-zero codes") {
     assert(cli()._1 == 2)
     assert(cli("--archive", "/tmp/nowhere")._1 == 2) // no command
