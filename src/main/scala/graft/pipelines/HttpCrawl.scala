@@ -24,15 +24,28 @@ object HttpCrawl {
   private val IndexTimeoutMs = 60 * 1000
   private val ContentTimeoutMs = 24 * 3600 * 1000 // crawl.py:132-140
 
-  /** Extract relative hrefs from an HTML index page: skips parent links,
-    * absolute URLs, other hosts, and query/fragment links. Directory links
-    * keep their trailing slash. */
-  private[graft] def parseIndexLinks(html: String): Seq[String] = {
+  /** Extract child hrefs from an HTML index page: skips parent links,
+    * absolute URLs to other hosts, and query/fragment links. Directory
+    * links keep their trailing slash. Absolute-PATH hrefs (Apache-style
+    * indexes emit `/base/child` instead of `child`) are accepted when they
+    * extend `pagePath` and are rebased to relative. */
+  private[graft] def parseIndexLinks(html: String,
+                                     pagePath: String = ""): Seq[String] = {
     val href = """(?i)href\s*=\s*"([^"]+)"""".r
+    val prefix = if (pagePath.isEmpty) "/" else s"/${pagePath.stripSuffix("/")}/"
     href.findAllMatchIn(html).map(_.group(1)).toSeq
       .filterNot(h => h.startsWith("?") || h.startsWith("#"))
       .filterNot(h => h.contains("://") || h.startsWith("//"))
-      .filterNot(h => h == ".." || h == "../" || h.startsWith("/"))
+      .flatMap {
+        case h if h.startsWith("/") =>
+          // absolute path: keep only same-tree children, rebased relative
+          if (h.startsWith(prefix) && h.length > prefix.length)
+            Some(h.substring(prefix.length))
+          else None
+        case h => Some(h)
+      }
+      .filterNot(h => h == ".." || h == "../" || h.isEmpty)
+      .filterNot(_.dropRight(1).contains("/")) // direct children only
   }
 
   /** Percent-encode one path segment (space → %20, not +). */
@@ -87,10 +100,17 @@ object HttpCrawl {
     } finally conn.disconnect()
   }
 
+  /** URL path component of a base URL, RAW (percent-encoded, matching how
+    * hrefs appear in index pages), no surrounding slashes — the page-path
+    * context for rebasing absolute hrefs. */
+  private def basePathOf(base: String): String =
+    new URI(base).getRawPath.stripPrefix("/").stripSuffix("/")
+
   /** Iteratively walk index pages under `base/prefix`, yielding decoded
     * relative keys. Runs on executors; the work-list holds directory
     * prefixes only, never file keys. */
   private def walkPrefix(base: String, prefix: String): Iterator[String] = {
+    val basePath = basePathOf(base)
     val stack = scala.collection.mutable.Stack[String](prefix)
     new Iterator[String] {
       private var pending: List[String] = Nil
@@ -98,7 +118,9 @@ object HttpCrawl {
         while (pending.isEmpty && stack.nonEmpty) {
           val dir = stack.pop()
           val url = if (dir.isEmpty) s"$base/" else s"$base/${encodeKey(dir)}/"
-          val links = parseIndexLinks(fetchIndex(url))
+          val pagePath =
+            Seq(basePath, encodeKey(dir)).filter(_.nonEmpty).mkString("/")
+          val links = parseIndexLinks(fetchIndex(url), pagePath)
           val (dirs, files) = links.partition(_.endsWith("/"))
           dirs.foreach { d =>
             val name = decodeSegment(d.stripSuffix("/"))
@@ -122,7 +144,7 @@ object HttpCrawl {
                listingParallelism: Int = 64): DataFrame = {
     import spark.implicits._
     val base = baseUrl.stripSuffix("/")
-    val rootLinks = parseIndexLinks(fetchIndex(base + "/"))
+    val rootLinks = parseIndexLinks(fetchIndex(base + "/"), basePathOf(base))
     val (dirs, files) = rootLinks.partition(_.endsWith("/"))
     val topFiles = files.map(decodeSegment)
     val dirPrefixes = dirs.map(d => decodeSegment(d.stripSuffix("/")))

@@ -151,10 +151,56 @@ class HttpCrawlSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
-  test("index-link parsing keeps relative links only") {
+  test("index-link parsing: relative + same-tree absolute hrefs, nothing else") {
     val html = """<a href="../">..</a><a href="sub/">sub/</a>
       |<a href="a%20b.txt">a b.txt</a><a href="?C=N;O=D">sort</a>
-      |<a href="http://evil.example/x">x</a><a href="/abs">abs</a>""".stripMargin
-    assert(HttpCrawl.parseIndexLinks(html) == Seq("sub/", "a%20b.txt"))
+      |<a href="http://evil.example/x">x</a><a href="/other/y.txt">y</a>
+      |<a href="/src/abs.txt">abs</a><a href="/src/absdir/">absdir</a>""".stripMargin
+    // Apache-style absolute hrefs under the page's own path are rebased;
+    // other-tree absolutes, parent links, queries, and full URLs drop
+    assert(HttpCrawl.parseIndexLinks(html, "src") ==
+      Seq("sub/", "a%20b.txt", "abs.txt", "absdir/"))
+    // root page: any single-segment absolute path is a child
+    assert(HttpCrawl.parseIndexLinks("""<a href="/top.txt">t</a>""", "") ==
+      Seq("top.txt"))
+  }
+
+  test("apache-style absolute-href index crawls identically (S7 robustness)") {
+    // same tree, but the server emits absolute-path hrefs like Apache autoindex
+    val root = java.nio.file.Files.createTempDirectory("apache-src")
+    java.nio.file.Files.write(root.resolve("top.txt"), "t".getBytes)
+    java.nio.file.Files.createDirectories(root.resolve("d"))
+    java.nio.file.Files.write(root.resolve("d/in.txt"), "in".getBytes)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val rel = java.net.URLDecoder.decode(
+          ex.getRequestURI.getRawPath.stripPrefix("/"), "UTF-8")
+        val target = if (rel.isEmpty) root else root.resolve(rel)
+        if (!java.nio.file.Files.exists(target)) { ex.sendResponseHeaders(404, -1); ex.close() }
+        else if (java.nio.file.Files.isDirectory(target)) {
+          val sb = new StringBuilder("<html><a href=\"/\">parent</a>\n")
+          java.nio.file.Files.list(target).forEach { p =>
+            val abs = "/" + root.relativize(p).toString +
+              (if (java.nio.file.Files.isDirectory(p)) "/" else "")
+            sb.append(s"""<a href="$abs">${p.getFileName}</a>\n""")
+          }
+          val body = sb.toString.getBytes("UTF-8")
+          ex.sendResponseHeaders(200, body.length)
+          ex.getResponseBody.write(body); ex.close()
+        } else {
+          val bytes = java.nio.file.Files.readAllBytes(target)
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes); ex.close()
+        }
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val keys = HttpCrawl.listKeys(spark, base)
+        .select("key").as[String].collect().toSet
+      assert(keys == Set("top.txt", "d/in.txt"))
+    } finally server.stop(0)
   }
 }
