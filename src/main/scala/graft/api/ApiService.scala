@@ -94,7 +94,7 @@ object Jwt {
   */
 final class ApiService(archive: GraftArchive, secret: String,
                        debug: Boolean = false,
-                       tokenTtlSeconds: Long = 3600) {
+                       tokenTtlSeconds: Long = 300) { // 5 min, settings.py:58-59
 
   private var server: HttpServer = _
 

@@ -73,7 +73,8 @@ object AlephSync {
     */
   def syncDocuments(spark: SparkSession, metaRoot: String, ledgerPath: String,
                     dataset: String, connector: AlephConnector,
-                    prefix: Option[String] = None): AlephSyncStatus = {
+                    prefix: Option[String] = None,
+                    uploadParallelism: Int = 10): AlephSyncStatus = {
     import spark.implicits._
     val versions = DocumentsStore.versions(spark, metaRoot)
     val doneVersions = Ledger.read(spark, ledgerPath)
@@ -93,7 +94,7 @@ object AlephSync {
         val added = Diff.addedKeys(prev, next)
           .join(next, Seq("key"), "inner")
         val (up, fc) = uploadBatch(spark, added, ledgerPath, dataset,
-          connector, prefix)
+          connector, prefix, uploadParallelism)
         uploadedTotal += up
         foldersTotal += fc
         Ledger.append(Seq(version).toDF("key"), ledgerPath, dataset, VersionAction)
@@ -109,7 +110,8 @@ object AlephSync {
   private def uploadBatch(spark: SparkSession, docs: DataFrame,
                           ledgerPath: String, dataset: String,
                           connector: AlephConnector,
-                          prefix: Option[String]): (Long, Long) = {
+                          prefix: Option[String],
+                          uploadParallelism: Int = 10): (Long, Long) = {
     import spark.implicits._
     val ledger = Ledger.read(spark, ledgerPath)
     val pending = Ledger.pending(docs, ledger, dataset, UploadAction).cache()
@@ -151,10 +153,14 @@ object AlephSync {
     val sourceUrl = GraftFunctions.coalesceSourceUrl(
       (Seq("source_url", "url").filter(cols.contains).map(col) :+
         lit(null).cast("string")): _*)
+    // concurrency capped at `uploadParallelism` partitions — the reference
+    // bounds its Aleph HTTP pool to 10 consumers (connectors/aleph.py:120);
+    // one remote endpoint is not a 1000-executor sink
     withFolder.select(
         col("key"), col("content_hash"),
         GraftFunctions.basename(col("key")).as("__name"),
         sourceUrl.as("__source_url"), col("__folder"))
+      .repartition(math.max(1, uploadParallelism))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         it.foreach { r =>
           val meta = Map(
