@@ -20,6 +20,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // runtime skew-join splitting: invisible at test SF, load-bearing at
+      // 100 TB when a hot join key (popular content_hash, shared shingle)
+      // would otherwise pin one reducer
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 
