@@ -64,8 +64,13 @@ object GraftFunctions {
     Seq("text/csv", "application/vnd.ms-excel",
         "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
         "application/xls", "application/excel") -> "Table",
+    // NOTE: "image/vnd.djvu" intentionally absent — the reference's
+    // rigour DJVU constant is a different string, so a stored
+    // image/vnd.djvu classifies as Document (pinned by the shipped
+    // fixture archive's index.json: Image 5, Document 33 with one
+    // image/vnd.djvu row; ReferenceArchiveSpec)
     Seq("image/png", "image/gif", "image/jpeg", "image/tiff",
-        "image/vnd.djvu", "image/vnd.adobe.photoshop") -> "Image",
+        "image/x-djvu", "image/vnd.adobe.photoshop") -> "Image",
     Seq("application/vnd.ms-outlook", "application/vnd.oasis.opendocument.formula",
         "message/rfc822") -> "Email",
     Seq("text/plain", "application/rtf", "text/rtf") -> "PlainText"

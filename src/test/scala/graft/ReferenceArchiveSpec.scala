@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{DocumentsStore, Stats}
+
+/** RFC interop against the reference's OWN shipped archive fixture
+  * (tests/fixtures/archive/test_dataset/.leakrfc, read in place): our CSV
+  * reader, stats rollups, and schema mapping must reproduce the numbers
+  * the reference published in that fixture's index.json
+  * (BASELINE.md "Quantitative facts"). */
+class ReferenceArchiveSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val metaDir =
+    "/root/reference/tests/fixtures/archive/test_dataset/.leakrfc"
+
+  private lazy val docs =
+    DocumentsStore.readCsv(spark, s"$metaDir/documents.csv").cache()
+
+  test("documents.csv parses with the documents schema, all rows valid") {
+    // the shipped archive fixture carries 75 keys (index.json
+    // entity_count/things.total = 75; the 74 of test_crawl.py is the
+    // src/ tree, a different fixture)
+    assert(docs.count() == 75)
+    assert(docs.filter($"key".isNull || $"content_hash".isNull).isEmpty)
+    // timestamps parse (reference format: yyyy-MM-dd HH:mm:ss.SSSSSS)
+    assert(docs.filter($"created_at".isNull).isEmpty)
+  }
+
+  test("published sha1 oracle vectors are present") {
+    val hashes = docs.filter($"key".isin("utf.txt", "testdir/test.txt"))
+      .select("key", "content_hash").as[(String, String)].collect().toMap
+    assert(hashes("utf.txt") == "5a6acf229ba576d9a40b09292595658bbb74ef56")
+    assert(hashes("testdir/test.txt") == "2aae6c35c94fcfb415dbe95f408b9ce91ee846ed")
+  }
+
+  test("total file size matches the fixture's published rollup (A1)") {
+    // index.json total_file_size + the .leakrfc/size file
+    assert(Stats.totalFileSize(docs) == 22385367L)
+    val sizeFile = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$metaDir/size")), "UTF-8").trim
+    assert(sizeFile.toLong == 22385367L)
+  }
+
+  test("schema counts reproduce the fixture's published index stats (A2/F4)") {
+    // index.json things.schemata: Pages 13, Document 33, HyperText 3,
+    // Table 6, Email 10, PlainText 5, Image 5 — derived here from the
+    // STORED mimetypes through our mimeToSchema mapping
+    val got = Stats.schemaCounts(docs)
+      .select("schema", "count").as[(String, Long)].collect().toMap
+    val want = Map(
+      "Pages" -> 13L, "Document" -> 33L, "HyperText" -> 3L,
+      "Table" -> 6L, "Email" -> 10L, "PlainText" -> 5L, "Image" -> 5L)
+    assert(got == want, s"got $got")
+  }
+
+  test("keep-latest over the fixture is a no-op (already one row per key)") {
+    assert(graft.core.Rebuild.keepLatest(
+      docs, Seq("key"), "updated_at").count() == docs.count())
+  }
+}
