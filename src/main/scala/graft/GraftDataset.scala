@@ -219,6 +219,42 @@ final class GraftDataset(val spark: SparkSession, val root: String,
   def lookup(key: String): Option[Map[String, String]] =
     PointLookup.lookupHeaders(documents, name, key)
 
+  /** Complete archive export (reference export.py:13-36: ZipStore over
+    * EVERY storage key — metadata tree AND blob store — so the zip is a
+    * re-mountable archive, tests/test_export.py:5-16). Listing fans out
+    * across executors; the zip sink itself is the one sequential stage
+    * (the reference pins it to 1 consumer thread for the same reason).
+    * Entries are `<dataset>/<relative path>`; bytes stream through a
+    * 64 KiB buffer. */
+  def exportArchiveZip(zipPath: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val outPath = new org.apache.hadoop.fs.Path(zipPath)
+    val fs = outPath.getFileSystem(conf)
+    val out = new java.util.zip.ZipOutputStream(
+      new java.io.BufferedOutputStream(fs.create(outPath, true)))
+    var n = 0L
+    val buf = new Array[Byte](65536)
+    try {
+      // " " prefix matches no real key → metadata tree included
+      val it = Crawl.listKeys(spark, datasetRoot, metadataPrefix = " ")
+        .orderBy("key").toLocalIterator()
+      while (it.hasNext) {
+        val rel = it.next().getString(0)
+        val src = new org.apache.hadoop.fs.Path(s"$datasetRoot/$rel")
+        val sfs = src.getFileSystem(conf)
+        out.putNextEntry(new java.util.zip.ZipEntry(s"$name/$rel"))
+        val in = sfs.open(src)
+        try {
+          var read = in.read(buf)
+          while (read >= 0) { out.write(buf, 0, read); read = in.read(buf) }
+        } finally in.close()
+        out.closeEntry()
+        n += 1
+      }
+    } finally out.close()
+    n
+  }
+
   /** Read one blob's bytes straight from its content-addressed shard path —
     * pure FS IO, no Spark job. */
   private def blobBytes(contentHash: String): Array[Byte] = {

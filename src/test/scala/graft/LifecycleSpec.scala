@@ -126,6 +126,43 @@ class LifecycleSpec extends SparkSpec {
     } finally zf.close()
   }
 
+  test("archive export zip is a complete re-mountable mirror (test_export.py analog)") {
+    val zip = s"$lake/full_export.zip"
+    val n = ds.exportArchiveZip(zip)
+    val zf = new java.util.zip.ZipFile(zip)
+    try {
+      import scala.jdk.CollectionConverters._
+      val entries = zf.entries().asScala.map(_.getName).toSet
+      assert(n == entries.size)
+      // metadata tree travels with the data
+      assert(entries.contains("test_dataset/.graft/index.json"))
+      assert(entries.exists(_.startsWith("test_dataset/.graft/versions/")))
+      // every document's blob is present at its content-addressed path,
+      // and its bytes hash back to the recorded content_hash
+      val docs = ds.documents.select("content_hash").as[String].collect().toSet
+      docs.foreach { ch =>
+        val shard = s"${ch.substring(0, 2)}/${ch.substring(2, 4)}/${ch.substring(4, 6)}/$ch"
+        val e = zf.getEntry(s"test_dataset/blobs/$shard")
+        assert(e != null, s"missing blob $shard")
+        val md = java.security.MessageDigest.getInstance("SHA-1")
+        val in = zf.getInputStream(e)
+        val bytes = try in.readAllBytes() finally in.close()
+        assert(md.digest(bytes).map("%02x".format(_)).mkString == ch)
+      }
+      // the exported metadata re-reads as the same documents table
+      val tmpMeta = java.nio.file.Files.createTempDirectory("remount")
+      val parts = entries.filter(e =>
+        e.startsWith("test_dataset/.graft/documents.parquet/") && e.endsWith(".parquet"))
+      parts.foreach { p =>
+        val dst = tmpMeta.resolve(p.split("/").last)
+        val in = zf.getInputStream(zf.getEntry(p))
+        try java.nio.file.Files.write(dst, in.readAllBytes()) finally in.close()
+      }
+      val back = spark.read.parquet(tmpMeta.toString)
+      assert(back.select("content_hash").as[String].collect().toSet == docs)
+    } finally zf.close()
+  }
+
   test("crawl with extract=true stores archive members, not archives") {
     val lake2 = java.nio.file.Files.createTempDirectory("graft-lake2").toString
     // source: one zip + one plain file
