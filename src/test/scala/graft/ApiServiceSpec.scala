@@ -50,6 +50,9 @@ class ApiServiceSpec extends SparkSpec {
       val (gc, gh, body) = request(svc.port, "GET", "/api_ds/testdir/test.txt")
       assert(gc == 200)
       assert(gh("x-graft-key") == "testdir/test.txt")
+      // tests/test_api.py:15-22 header contract: size + content type
+      assert(gh("x-graft-size") == "11")
+      assert(gh("content-type").startsWith("text/plain"))
       assert(new String(body, "UTF-8") == "hello world")
 
       assert(request(svc.port, "GET", "/api_ds/nope.txt")._1 == 404)
