@@ -113,11 +113,30 @@ object GraftFunctions {
     */
   def globToRegex(glob: String): String = {
     val sb = new StringBuilder("^")
-    glob.foreach {
-      case '*' => sb.append(".*")
-      case '?' => sb.append('.')
-      case c if "\\.[]{}()+-^$|".contains(c) => sb.append('\\').append(c)
-      case c => sb.append(c)
+    var i = 0
+    val n = glob.length
+    while (i < n) {
+      glob(i) match {
+        case '*' => sb.append(".*"); i += 1
+        case '?' => sb.append('.'); i += 1
+        case '[' =>
+          // fnmatch character class: [seq] / [!seq]; an unterminated '['
+          // is a literal (fnmatch.translate semantics)
+          var j = i + 1
+          if (j < n && glob(j) == '!') j += 1
+          if (j < n && glob(j) == ']') j += 1
+          while (j < n && glob(j) != ']') j += 1
+          if (j >= n) { sb.append("\\["); i += 1 }
+          else {
+            val inner0 = glob.substring(i + 1, j)
+            val inner = if (inner0.startsWith("!")) "^" + inner0.substring(1)
+                        else inner0
+            sb.append('[').append(inner.replace("\\", "\\\\")).append(']')
+            i = j + 1
+          }
+        case c if "\\.]{}()+-^$|".contains(c) => sb.append('\\').append(c); i += 1
+        case c => sb.append(c); i += 1
+      }
     }
     sb.append('$').toString
   }

@@ -70,6 +70,16 @@ class FunctionsSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("rlike"))
   }
 
+  test("character classes: [seq], [!seq], unterminated [ is literal (fnmatch)") {
+    import graft.functions.GraftFunctions.globToRegex
+    assert("abc".matches(globToRegex("[ab]*")))
+    assert(!"xbc".matches(globToRegex("[ab]*")))
+    assert("xbc".matches(globToRegex("[!ab]*")))
+    assert(!"abc".matches(globToRegex("[!ab]*")))
+    assert("a-c".matches(globToRegex("[a-b]-c"))) // range kept
+    assert("[ab".matches(globToRegex("[ab")))     // unterminated → literal
+  }
+
   test("globToRegex implements fnmatch semantics") {
     val cases = Seq(
       ("*.pdf", "doc.pdf", true), ("*.pdf", "doc.pdfx", false),

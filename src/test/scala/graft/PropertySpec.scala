@@ -1,0 +1,141 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.api.Jwt
+import graft.core.{Diff, Rebuild}
+import graft.functions.GraftFunctions
+
+/** Randomized invariants over the core kernels — the properties the
+  * example-based specs assert at single points, checked across generated
+  * inputs. Sampling is seed-pinned (deterministic) because the offline
+  * cache carries raw ScalaCheck without the scalatest bridge, and pinned
+  * seeds keep CI stable anyway. Dataframe-valued properties use fewer,
+  * larger samples (each check runs Spark jobs); pure codec properties
+  * sample wider.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val keyGen: Gen[String] = for {
+    depth <- Gen.choose(1, 4)
+    parts <- Gen.listOfN(depth, Gen.oneOf(
+      Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(8)),
+      Gen.oneOf("data", "ünî©ođé", "a b", "x.y.z")))
+  } yield parts.mkString("/")
+
+  test("JWT round-trips any dataset/key and never verifies under a wrong secret") {
+    val cases = samples(for {
+      ds <- Gen.alphaNumStr.suchThat(_.nonEmpty)
+      key <- keyGen
+      secret <- Gen.alphaNumStr.suchThat(_.nonEmpty)
+    } yield (ds, key, secret), 100)
+    assert(cases.size >= 50)
+    cases.foreach { case (dataset, key, secret) =>
+      val now = 1000000L
+      val tok = Jwt.create(dataset, key, now + 60, secret)
+      assert(Jwt.verify(tok, secret, now).contains((dataset, key)),
+        s"round-trip failed for ($dataset, $key)")
+      assert(Jwt.verify(tok, secret + "x", now).isEmpty)
+      assert(Jwt.verify(tok, secret, now + 61).isEmpty) // expired
+    }
+  }
+
+  test("pathAncestors: every ancestor is a proper prefix, ordered shallow-first") {
+    val keys = samples(keyGen, 60).distinct
+    val got = keys.toDF("key")
+      .select($"key", GraftFunctions.pathAncestors($"key").as("anc"))
+      .as[(String, Seq[String])].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (key, anc) =>
+      assert(anc.length == key.count(_ == '/'), s"key=$key anc=$anc")
+      anc.foreach(a => assert(key.startsWith(a + "/"), s"key=$key a=$a"))
+      assert(anc == anc.sortBy(_.count(_ == '/')))
+    }
+  }
+
+  test("globFilter agrees with its documented regex semantics on random paths") {
+    val globs = Seq("*.txt", "a/*", "*", "a?c", "[ab]*", "*/deep/*.pdf")
+    val keys = samples(keyGen, 40).distinct
+    val df = keys.toDF("key").cache()
+    globs.foreach { glob =>
+      val matched = df.filter(GraftFunctions.globFilter($"key", Some(glob), None))
+        .as[String].collect().toSet
+      val re = ("^" + glob.flatMap {
+        case '*' => ".*"
+        case '?' => "."
+        case '[' => "["
+        case ']' => "]"
+        case c if "\\.^$+{}()|".contains(c) => "\\" + c
+        case c => c.toString
+      } + "$").r
+      val want = keys.filter(k => re.findFirstIn(k).isDefined).toSet
+      assert(matched == want, s"glob=$glob matched=$matched want=$want")
+    }
+    df.unpersist()
+  }
+
+  test("keepLatest is idempotent, keeps one row per key, and keeps the max version") {
+    val rowsGen = Gen.listOfN(30, for {
+      k <- Gen.oneOf("a", "b", "c", "d/e")
+      v <- Gen.choose(0L, 5L)
+      h <- Gen.oneOf("h1", "h2", "h3")
+    } yield (k, new java.sql.Timestamp(v * 1000), h))
+    samples(rowsGen, 5).filter(_.nonEmpty).foreach { rows =>
+      val df = rows.toDF("key", "updated_at", "content_hash")
+      val once = Rebuild.keepLatest(df, Seq("key"), "updated_at",
+        tieBreak = Seq("content_hash"))
+      val twice = Rebuild.keepLatest(once, Seq("key"), "updated_at",
+        tieBreak = Seq("content_hash"))
+      val got = once.select("key").as[String].collect()
+      assert(got.toSet == rows.map(_._1).toSet)
+      assert(got.length == got.toSet.size)
+      assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+      val kept = once.as[(String, java.sql.Timestamp, String)].collect()
+        .map(r => r._1 -> r._2.getTime).toMap
+      rows.groupBy(_._1).foreach { case (k, grp) =>
+        assert(kept(k) == grp.map(_._2.getTime).max)
+      }
+    }
+  }
+
+  test("snapshotDiff/applyDiff reconstruct any target snapshot") {
+    val snapGen = Gen.listOfN(12, for {
+      k <- Gen.oneOf("a", "b", "c", "d", "e/f")
+      h <- Gen.oneOf("h1", "h2")
+    } yield (k, h, 1L)).map(_.distinct)
+    val cases = samples(Gen.zip(snapGen, snapGen), 5)
+    cases.foreach { case (prevRows, nextRows) =>
+      val prev = prevRows.toDF("key", "content_hash", "size")
+      val next = nextRows.toDF("key", "content_hash", "size")
+      val rebuilt = Diff.applyDiff(prev, Diff.snapshotDiff(prev, next))
+      assert(rebuilt.exceptAll(next).isEmpty && next.exceptAll(rebuilt).isEmpty,
+        s"prev=$prevRows next=$nextRows")
+    }
+  }
+
+  test("PairGenerator emits exactly n*(n-1)/2 ordered pairs for any bucket") {
+    val bucketGen = Gen.listOfN(6, Gen.zip(Gen.choose(0L, 100L), Gen.choose(1L, 50L)))
+      .map(_.distinctBy(_._1))
+    samples(bucketGen, 8).filter(_.size >= 2).foreach { docs =>
+      val df = Seq(Tuple1(docs)).toDF("docs")
+        .select($"docs".cast("array<struct<id:bigint,sh_size:bigint>>").as("docs"))
+      val pairs = df.select(
+        graft.expressions.GraftExpressions.pairGenerator($"docs"))
+        .toDF("i", "j", "si", "sj")
+        .as[(Long, Long, Long, Long)].collect()
+      val n = docs.size
+      assert(pairs.length == n * (n - 1) / 2, s"docs=$docs")
+      assert(pairs.forall { case (i, j, _, _) => i < j })
+      assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
+      val sizes = docs.toMap
+      pairs.foreach { case (i, j, si, sj) =>
+        assert(sizes(i) == si && sizes(j) == sj)
+      }
+    }
+  }
+}
