@@ -138,21 +138,36 @@ object Crawl {
   }
 
   /** Extension-based mimetype guess (the reference delegates to libmagic /
-    * anystore Stats; extension mapping is the deterministic core we need for
-    * schema stats). */
+    * anystore Stats; extension mapping is the deterministic core we need
+    * for schema stats). The per-extension values are pinned to what the
+    * reference's detector actually produced on its shipped archive fixture
+    * (`.leakrfc/documents.csv` — e.g. `.doc` → `application/vnd.ms-word`,
+    * not `application/msword`), so schema rollups agree on real corpora
+    * (ReferenceArchiveSpec). */
   def guessMimetype(key: Column): Column = {
     val ext = lower(element_at(split(GraftFunctions.basename(key), "\\."), -1))
     val m = Map(
       "pdf" -> "application/pdf",
-      "doc" -> "application/msword",
+      "doc" -> "application/vnd.ms-word",
       "docx" -> "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+      "odt" -> "application/vnd.oasis.opendocument.text",
+      "ods" -> "application/vnd.oasis.opendocument.spreadsheet",
+      "ppt" -> "application/vnd.ms-powerpoint",
       "html" -> "text/html", "htm" -> "text/html", "xml" -> "text/xml",
       "csv" -> "text/csv", "xls" -> "application/vnd.ms-excel",
       "xlsx" -> "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
       "png" -> "image/png", "gif" -> "image/gif", "jpg" -> "image/jpeg",
       "jpeg" -> "image/jpeg", "tif" -> "image/tiff", "tiff" -> "image/tiff",
-      "eml" -> "message/rfc822", "msg" -> "application/vnd.ms-outlook",
-      "txt" -> "text/plain", "rtf" -> "application/rtf")
+      "jp2" -> "image/jp2", "svg" -> "image/svg+xml", "webp" -> "image/webp",
+      "djvu" -> "image/vnd.djvu",
+      "eml" -> "message/rfc822", "mbox" -> "application/mbox",
+      "txt" -> "text/plain", "rtf" -> "application/rtf",
+      "json" -> "application/json", "ics" -> "text/calendar",
+      "vcf" -> "text/vcard", "dbf" -> "application/vnd.dbf",
+      "mdb" -> "application/msaccess",
+      "zip" -> "application/zip", "tar" -> "application/x-tar",
+      "7z" -> "application/x-7z-compressed", "rar" -> "application/vnd.rar",
+      "mp4" -> "video/mp4", "m4a" -> "audio/mp4")
     m.foldLeft(lit("application/octet-stream")) { case (acc, (e, mt)) =>
       when(ext === e, lit(mt)).otherwise(acc)
     }

@@ -55,6 +55,18 @@ class ReferenceArchiveSpec extends SparkSpec {
     assert(got == want, s"got $got")
   }
 
+  test("extension mimetype guess reproduces the fixture's stored mimetypes (F4 input)") {
+    // every one of the 75 keys: our extension-based guess == what the
+    // reference's detector recorded (including the octet-stream defaults
+    // for .msg/.pst/.olm/.emlx/.ical/.001)
+    val mismatches = docs
+      .select($"key", $"mimetype",
+        graft.pipelines.Crawl.guessMimetype($"key").as("guessed"))
+      .filter($"mimetype" =!= $"guessed")
+      .as[(String, String, String)].collect()
+    assert(mismatches.isEmpty, s"mismatches: ${mismatches.toSeq}")
+  }
+
   test("keep-latest over the fixture is a no-op (already one row per key)") {
     assert(graft.core.Rebuild.keepLatest(
       docs, Seq("key"), "updated_at").count() == docs.count())
