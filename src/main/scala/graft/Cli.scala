@@ -40,6 +40,8 @@ object Cli {
       |  versions                         sorted snapshot versions
       |  diff -v <version>                +/- diff lines of one version
       |  memorious-sync -i <dir> [--name-only|--strip-prefix P|--key-template T]
+      |  migrate-reference -i <refLakeRoot> [--meta-prefix P]
+      |                                   migrate a reference-layout dataset in
       |  catalog                          archive-wide catalog rollup
       |""".stripMargin
 
@@ -213,6 +215,28 @@ object Cli {
             Memorious.Template(t, Seq("url", "content_hash"))))
           .getOrElse(Memorious.UrlPath)
       val counts = ds().importMemorious(dir, strategy)
+      out.println(counts.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
+      0
+
+    case "migrate-reference" =>
+      // bridge an existing reference-layout lake into this archive
+      val src = args.indexOf("-i") match {
+        case ix if ix >= 0 && ix + 1 < args.length => args(ix + 1)
+        case _ => throw new IllegalArgumentException(
+          "migrate-reference: missing -i <refLakeRoot>")
+      }
+      val metaPrefix = args.indexOf("--meta-prefix") match {
+        case ix if ix >= 0 && ix + 1 < args.length => args(ix + 1)
+        case _ => ".leakrfc"
+      }
+      val d = ds() // requires -d: which dataset of the source lake to migrate
+      val reader = new graft.core.ReferenceLakeReader(arch.spark, src, metaPrefix)
+      if (!reader.datasetNames.contains(d.name))
+        throw new IllegalArgumentException(
+          s"migrate-reference: dataset '${d.name}' not found in $src " +
+            s"(has: ${reader.datasetNames.mkString(", ")})")
+      val counts = reader.migrateTo(d.name, arch)
       out.println(counts.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
       0

@@ -92,6 +92,19 @@ class CliSpec extends SparkSpec {
     assert(cli(base ++ Seq("diff", "-v", "nope"): _*)._1 == 1)
   }
 
+  test("migrate-reference brings a reference-layout dataset into the archive") {
+    val lake = java.nio.file.Files.createTempDirectory("cli-mig-lake").toString
+    val (c, outStr) = cli("--archive", lake, "-d", "test_dataset",
+      "migrate-reference", "-i", "/root/reference/tests/fixtures/archive")
+    assert(c == 0 && outStr.contains("\"added\":"), outStr)
+    val (_, keys) = cli("--archive", lake, "-d", "test_dataset", "ls", "--keys")
+    assert(keys.linesIterator.toSet.contains("utf.txt"))
+    // unknown dataset in the source lake errors clearly
+    val (c2, msg) = cli("--archive", lake, "-d", "nope",
+      "migrate-reference", "-i", "/root/reference/tests/fixtures/archive")
+    assert(c2 == 2 && msg.contains("not found"), msg)
+  }
+
   test("usage and error paths return non-zero codes") {
     assert(cli()._1 == 2)
     assert(cli("--archive", "/tmp/nowhere")._1 == 2) // no command
