@@ -91,7 +91,7 @@ final class GraftDataset(val spark: SparkSession, val root: String,
 
   /** Write (key, content) rows content-addressed from in-memory bytes
     * (extraction path — members have no source file to copy from). */
-  private def writeBlobsFromBytes(rows: DataFrame): Long = {
+  private[graft] def writeBlobsFromBytes(rows: DataFrame): Long = {
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))

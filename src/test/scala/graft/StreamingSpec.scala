@@ -7,6 +7,38 @@ import graft.streaming.Streaming
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("incremental streaming crawl: drop-dir files publish exactly once") {
+    val drop = java.nio.file.Files.createTempDirectory("graft-drop")
+    def put(rel: String, content: String): Unit = {
+      val p = drop.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+    }
+    put("a/one.txt", "hello world")
+    put("two.txt", "second")
+    val lake = java.nio.file.Files.createTempDirectory("graft-stream-lake").toString
+    val ds = new GraftDataset(spark, lake, "stream_ds")
+
+    val q1 = graft.streaming.Streaming.incrementalCrawl(ds, drop.toString)
+    q1.awaitTermination()
+    val round1 = ds.documents.select("key", "content_hash")
+      .as[(String, String)].collect().toMap
+    assert(round1.keySet == Set("a/one.txt", "two.txt"))
+    assert(round1("a/one.txt") == "2aae6c35c94fcfb415dbe95f408b9ce91ee846ed")
+    // blob landed content-addressed
+    assert(ds.openBlob("a/one.txt").map(new String(_, "UTF-8")).contains("hello world"))
+
+    // a second AvailableNow run with a new file processes ONLY the delta
+    // (stream checkpoint = the exactly-once ledger)
+    put("three.txt", "third")
+    val q2 = graft.streaming.Streaming.incrementalCrawl(ds, drop.toString)
+    q2.awaitTermination()
+    assert(ds.documents.count() == 3)
+    assert(ds.versions.size == 2) // one publish per non-empty batch run
+    val diffLines = ds.versionDiff(ds.versions.last)
+    assert(diffLines.count(_.startsWith("+")) == 1) // only three.txt added
+  }
+
   test("streaming hourly window equals the batch plan (availableNow)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-st").toString
     // the file stream source needs a directory; stage the single-file table
