@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus decode / feature-extract / resize / frame-sample
   * stages.
   *
-  * The decode kernels are STUBS (this container ships no image/audio codecs):
-  * each is a clearly-marked deterministic fake keyed on the content bytes, so
-  * the Spark-side contract — schema, batch shape, partitioning, executor-side
-  * iteration — is real and testable, and a production build swaps only the
-  * kernel body (e.g. JNI to libjpeg / a Python `mapInPandas` worker).
+  * [[decodeImages]] is a REAL decoder for the formats the JDK ships codecs
+  * for (PNG, JPEG, GIF, BMP, WBMP, and TIFF since JDK 9) via `javax.imageio`
+  * — zero extra dependencies. Formats the JDK cannot decode (webp, heic,
+  * audio, video) fall through to the deterministic stub kernel so the
+  * pipeline never throws on mixed corpora; `decode_ok` records which path
+  * each row took. [[decodeImagesStub]] remains available as the fully
+  * deterministic, oracle-checkable variant (and is what the hash-keyed
+  * correctness oracles pin against).
   */
 object Multimodal {
 
@@ -40,6 +43,83 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("n_channels", IntegerType),
     StructField("feature", ArrayType(FloatType))))
+
+  val decodedImageSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_channels", IntegerType),
+    StructField("decode_ok", BooleanType),
+    StructField("feature", ArrayType(FloatType))))
+
+  /** REAL image decode + feature extraction via `javax.imageio` (PNG, JPEG,
+    * GIF, BMP, WBMP, TIFF — every codec the JDK ships). Rows whose bytes no
+    * JDK reader accepts fall through to the deterministic stub kernel with
+    * `decode_ok = false`, so mixed/corrupt corpora flow instead of failing.
+    *
+    * Runs `mapPartitions` so per-partition codec setup (`ImageIO` cache off,
+    * reader discovery) is amortized — the same batch shape a `mapInPandas`
+    * worker would see. The feature is a mean-luminance band profile sampled
+    * on a bounded 32×32 grid: content-derived and O(1) per image regardless
+    * of resolution, so one 50-megapixel scan cannot stall a partition.
+    */
+  def decodeImages(media: DataFrame, featureDim: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    val dim = featureDim
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // keep decode off executor disk
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val img =
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+          catch { case _: Exception => None }
+        img match {
+          case Some(im) =>
+            Row(id, im.getWidth, im.getHeight,
+              im.getColorModel.getNumComponents, true,
+              meanLuminanceBands(im, dim).toSeq)
+          case None =>
+            // >>> STUB fallback — only for codecs the JDK lacks (webp/heic/…)
+            val h = java.util.Arrays.hashCode(bytes)
+            val w = 64 + math.abs(h % 512)
+            val ht = 64 + math.abs((h / 512) % 512)
+            val feat = Array.tabulate(dim)(i =>
+              (((h.toLong * 2654435761L + i * 40503L) % 1000L) / 1000.0f))
+            Row(id, w, ht, 3, false, feat.toSeq)
+          // <<< STUB fallback
+        }
+      }
+    }
+    spark.createDataFrame(rdd, decodedImageSchema)
+  }
+
+  /** Mean luminance over `n` horizontal bands, sampled on a fixed 32×32
+    * pixel grid (Rec. 601 weights). Bounded work per image by construction. */
+  private def meanLuminanceBands(im: java.awt.image.BufferedImage, n: Int): Array[Float] = {
+    val grid = 32
+    val w = im.getWidth
+    val h = im.getHeight
+    val sums = new Array[Double](n)
+    val counts = new Array[Int](n)
+    var gy = 0
+    while (gy < grid) {
+      val y = (gy.toLong * h / grid).toInt
+      val band = math.min(n - 1, gy * n / grid)
+      var gx = 0
+      while (gx < grid) {
+        val x = (gx.toLong * w / grid).toInt
+        val rgb = im.getRGB(x, y)
+        val lum = 0.299 * ((rgb >> 16) & 0xFF) +
+          0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+        sums(band) += lum / 255.0
+        counts(band) += 1
+        gx += 1
+      }
+      gy += 1
+    }
+    Array.tabulate(n)(i => if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
+  }
 
   /** STUB image decode + feature extraction.
     *

@@ -37,6 +37,66 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.exceptAll(f2).isEmpty)
   }
 
+  // ------------------------------------------------------- real decode
+  // Real images from the reference's shipped fixture corpus; expected
+  // dimensions parsed independently from the JPEG SOF / GIF LSD / TIFF IFD
+  // headers (reference: tests/fixtures/src).
+  private val fixtureImages = Seq(
+    // (path, width, height)
+    ("/root/reference/tests/fixtures/src/regression_jpg.jpg", 1350, 282),
+    ("/root/reference/tests/fixtures/src/regression_gif.gif", 320, 180),
+    ("/root/reference/tests/fixtures/src/regression_tiff.tiff", 1350, 282),
+    ("/root/reference/tests/fixtures/src/hello_world_tiff.tif", 819, 460))
+
+  test("decodeImages decodes real fixture images to their true geometry") {
+    val rows = fixtureImages.zipWithIndex.map { case ((p, _, _), i) =>
+      (i.toLong, java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+    }
+    val media = Multimodal.asMedia(
+      rows.toDF("id", "bin"), "id", "bin", "image", "application/octet-stream")
+    val out = Multimodal.decodeImages(media, featureDim = 8)
+      .collect().sortBy(_.getLong(0))
+    assert(out.length == fixtureImages.length)
+    out.zip(fixtureImages).foreach { case (r, (p, w, h)) =>
+      assert(r.getBoolean(4), s"decode_ok should be true for $p")
+      assert(r.getInt(1) == w, s"width of $p")
+      assert(r.getInt(2) == h, s"height of $p")
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 4, s"channels of $p")
+      val feat = r.getSeq[Float](5)
+      assert(feat.size == 8)
+      // real luminance profile: every band in [0,1], not all identical
+      assert(feat.forall(f => f >= 0f && f <= 1f))
+      assert(feat.distinct.size > 1, s"feature of $p should vary by band")
+    }
+  }
+
+  test("decodeImages is deterministic and falls back on non-image bytes") {
+    val junk = Seq(
+      (0L, "not an image at all".getBytes("UTF-8")),
+      (1L, Array.fill[Byte](64)(0x7F)))
+    val media = Multimodal.asMedia(
+      junk.toDF("id", "bin"), "id", "bin", "image", "application/octet-stream")
+    val out = Multimodal.decodeImages(media, featureDim = 8)
+    assert(out.filter($"decode_ok").isEmpty)
+    // fallback keeps the stub contract: fixed shape, deterministic
+    val again = Multimodal.decodeImages(media, featureDim = 8)
+    assert(out.exceptAll(again).isEmpty)
+    out.collect().foreach { r =>
+      assert(r.getInt(1) >= 64 && r.getInt(2) >= 64)
+      assert(r.getSeq[Float](5).size == 8)
+    }
+  }
+
+  test("decodeImages twice on the same real image agrees bit-for-bit") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fixtureImages.head._1))
+    val media = Multimodal.asMedia(
+      Seq((7L, bytes)).toDF("id", "bin"), "id", "bin", "image", "image/jpeg")
+    val a = Multimodal.decodeImages(media).collect().head
+    val b = Multimodal.decodeImages(media).collect().head
+    assert(a == b)
+  }
+
   test("resize stub clamps the longer side and preserves aspect floor") {
     val out = Multimodal.resizeStub(
       Multimodal.decodeImagesStub(media), maxSide = 128)
