@@ -235,8 +235,8 @@ final class GraftDataset(val spark: SparkSession, val root: String,
     var n = 0L
     val buf = new Array[Byte](65536)
     try {
-      // " " prefix matches no real key → metadata tree included
-      val it = Crawl.listKeys(spark, datasetRoot, metadataPrefix = " ")
+      // a NUL (U+0000) prefix matches no real key → metadata tree included
+      val it = Crawl.listKeys(spark, datasetRoot, metadataPrefix = "\u0000")
         .orderBy("key").toLocalIterator()
       while (it.hasNext) {
         val rel = it.next().getString(0)

@@ -177,12 +177,21 @@ object Dedup {
   /** LSH banding: (band, hash-of-band-rows) buckets; docs sharing a bucket
     * are candidate pairs. bands×rows must equal the signature length.
     *
-    * The caller should pass signatures behind a materialization boundary
-    * (e.g. `.repartition(col("id"))`) — the band expressions reference the
-    * signature column `bands` times, and without a boundary Catalyst inlines
-    * (= recomputes) the whole signature fold per reference. */
+    * The signature column is referenced by the banding lambda (per band)
+    * AND by both sides of the candidate self-join; without a
+    * materialization boundary Catalyst inlines (= recomputes) the whole
+    * signature fold per reference. The boundary is therefore enforced HERE,
+    * idempotently: if the incoming plan already ends in a repartition (as
+    * [[minhashLsh]]'s does), it is reused — no second exchange — otherwise
+    * a `repartition(id)` is inserted so direct callers get the
+    * compute-once plan too (the self-join then shows ReusedExchange). */
   def lshCandidates(signatures: DataFrame, bands: Int = 16, rows: Int = 4): DataFrame = {
-    val banded = signatures.select(col("id"), posexplode(
+    val bounded = signatures.queryExecution.logical match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation =>
+        signatures
+      case _ => signatures.repartition(col("id"))
+    }
+    val banded = bounded.select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(array_join(
             transform(slice(col("signature"), b * rows + 1, lit(rows)),

@@ -72,6 +72,39 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall over ${exact.size} exact pairs")
   }
 
+  test("lshCandidates enforces the compute-once boundary for direct callers") {
+    // a DIRECT call on un-repartitioned signatures: the function must insert
+    // the materialization boundary itself, so the signature fold appears
+    // exactly once in the physical plan and the banding self-join reuses the
+    // exchange rather than recomputing signatures per side. Plain (uncached)
+    // scan: a .cache() would wrap the input in TableCacheQueryStage nodes,
+    // which defeat AQE's exchange-stage cache (Spark-internal; production
+    // dedup runs over parquet scans, the uncached shape). Reading a temp
+    // COPY of the parquet keeps the CacheManager from substituting this
+    // suite's cached `docs` plan into the scan.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-plan").toString
+    val src = java.nio.file.Paths.get(sf0, "documents.parquet")
+    java.nio.file.Files.copy(src,
+      java.nio.file.Paths.get(tmp, "documents.parquet"))
+    val plainDocs = spark.read.parquet(s"$tmp/documents.parquet")
+    val direct = Dedup.lshCandidates(
+      Dedup.minhashSignatures(plainDocs, "doc_id", "text"), bands = 16, rows = 4)
+    direct.collect() // AQE reuses identical exchanges at runtime → final plan
+    val plan = direct.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"self-join did not reuse the signature exchange:\n$plan")
+    // idempotence: a caller that already repartitioned gets NO second
+    // exchange stacked on top — shuffle count identical to the direct call
+    val pre = Dedup.minhashSignatures(plainDocs, "doc_id", "text")
+      .repartition(col("id"))
+    val viaPre = Dedup.lshCandidates(pre, bands = 16, rows = 4)
+    viaPre.collect()
+    val prePlan = viaPre.queryExecution.executedPlan.toString
+    def shuffles(p: String) = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles(plan) == shuffles(prePlan),
+      s"direct=${shuffles(plan)} pre-bounded=${shuffles(prePlan)}")
+  }
+
   test("minhash signature estimate approximates true Jaccard") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
     assert(sigs.select(size($"signature")).distinct().as[Int].head() == 64)
