@@ -119,20 +119,33 @@ object Crawl {
           val p = new org.apache.hadoop.fs.Path(s"$base/$key")
           val fs = p.getFileSystem(conf)
           val md = java.security.MessageDigest.getInstance(algoName)
+          // retain the head for magic-byte sniffing — the digest already
+          // streams every byte, so this adds no IO
+          val head = new Array[Byte](MagicBytes.HeaderLen)
+          var headLen = 0
           val in = fs.open(p)
           try {
             val buf = new Array[Byte](65536)
             var n = in.read(buf)
-            while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+            while (n >= 0) {
+              md.update(buf, 0, n)
+              if (headLen < head.length && n > 0) {
+                val c = math.min(n, head.length - headLen)
+                System.arraycopy(buf, 0, head, headLen, c)
+                headLen += c
+              }
+              n = in.read(buf)
+            }
           } finally in.close()
           val hex = md.digest().map("%02x".format(_)).mkString
-          (key, hex, size, mtime)
+          (key, hex, size, mtime, MagicBytes.sniff(head, headLen).orNull)
         }
       }
-      .toDF("key", "content_hash", "size", "mtime")
+      .toDF("key", "content_hash", "size", "mtime", "sniffed")
     hashed.select(
       col("key"), col("content_hash"), col("size"),
-      guessMimetype(col("key")).as("mimetype"),
+      coalesce(extMimetype(col("key")), col("sniffed"),
+        lit("application/octet-stream")).as("mimetype"),
       col("mtime").as("created_at"),
       col("mtime").as("updated_at"))
   }
@@ -143,8 +156,15 @@ object Crawl {
     * reference's detector actually produced on its shipped archive fixture
     * (`.leakrfc/documents.csv` — e.g. `.doc` → `application/vnd.ms-word`,
     * not `application/msword`), so schema rollups agree on real corpora
-    * (ReferenceArchiveSpec). */
-  def guessMimetype(key: Column): Column = {
+    * (ReferenceArchiveSpec). The crawl pipeline composes this with the
+    * [[MagicBytes]] content sniff: extension first (the pinned behavior),
+    * sniffed signature for keys the map cannot place, octet-stream last. */
+  def guessMimetype(key: Column): Column =
+    coalesce(extMimetype(key), lit("application/octet-stream"))
+
+  /** The extension map alone: NULL for unknown/missing extensions, so
+    * callers can layer content-based fallbacks ([[MagicBytes.sniff]]). */
+  def extMimetype(key: Column): Column = {
     val ext = lower(element_at(split(GraftFunctions.basename(key), "\\."), -1))
     val m = Map(
       "pdf" -> "application/pdf",
@@ -168,7 +188,7 @@ object Crawl {
       "zip" -> "application/zip", "tar" -> "application/x-tar",
       "7z" -> "application/x-7z-compressed", "rar" -> "application/vnd.rar",
       "mp4" -> "video/mp4", "m4a" -> "audio/mp4")
-    m.foldLeft(lit("application/octet-stream")) { case (acc, (e, mt)) =>
+    m.foldLeft(lit(null).cast("string")) { case (acc, (e, mt)) =>
       when(ext === e, lit(mt)).otherwise(acc)
     }
   }

@@ -186,21 +186,34 @@ object HttpCrawl {
             val mtime = new java.sql.Timestamp(conn.getLastModified)
             val md = java.security.MessageDigest.getInstance(algoName)
             var size = 0L
+            // retain the head for magic-byte sniffing (same contract as
+            // Crawl.hashAndDescribe — the digest streams every byte anyway)
+            val head = new Array[Byte](MagicBytes.HeaderLen)
+            var headLen = 0
             val in = conn.getInputStream
             try {
               val buf = new Array[Byte](65536)
               var n = in.read(buf)
-              while (n >= 0) { md.update(buf, 0, n); size += n; n = in.read(buf) }
+              while (n >= 0) {
+                md.update(buf, 0, n); size += n
+                if (headLen < head.length && n > 0) {
+                  val c = math.min(n, head.length - headLen)
+                  System.arraycopy(buf, 0, head, headLen, c)
+                  headLen += c
+                }
+                n = in.read(buf)
+              }
             } finally in.close()
             val hex = md.digest().map("%02x".format(_)).mkString
-            (key, hex, size, mtime)
+            (key, hex, size, mtime, MagicBytes.sniff(head, headLen).orNull)
           } finally conn.disconnect()
         }
       }
-    }.toDF("key", "content_hash", "size", "mtime")
+    }.toDF("key", "content_hash", "size", "mtime", "sniffed")
     fetched.select(
       col("key"), col("content_hash"), col("size"),
-      Crawl.guessMimetype(col("key")).as("mimetype"),
+      coalesce(Crawl.extMimetype(col("key")), col("sniffed"),
+        lit("application/octet-stream")).as("mimetype"),
       col("mtime").as("created_at"),
       col("mtime").as("updated_at"))
   }
