@@ -117,6 +117,85 @@ object SparkEntry {
           .as("revenue"),
           count(lit(1)).as("n"))),
 
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      // TPC-H q2's correlated-min-subquery shape (this schema has no
+      // partsupp, so lineitem is the part↔supplier price bridge): for each
+      // small part, the supplier rows achieving that part's minimum price.
+      // Spark-first decorrelation: a window MIN over l_partkey — ONE
+      // shuffle, reused by the equality filter — instead of the
+      // groupBy+self-join a literal translation would run (two shuffles of
+      // the same data). The part filter commutes with the per-part min, so
+      // it is applied before the window to shrink the partitioned set.
+      val p = t(s, dir, "part").filter(col("p_size") <= 10)
+        .select("p_partkey", "p_brand")
+      val l = t(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+      val su = t(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+      val n = t(s, dir, "nation")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .withColumn("min_price", min(col("l_extendedprice")).over(w))
+        .filter(col("l_extendedprice") === col("min_price"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("p_partkey"), col("p_brand"), col("s_name"),
+          col("n_name"), col("min_price"))
+        .distinct()
+    }),
+
+    "q4_order_priority" -> ((s, dir) => {
+      // TPC-H q4's EXISTS shape (no l_commitdate here, so "late" = shipped
+      // more than 90 days after the order date): a left-semi join with the
+      // correlated predicate in the join condition — exactly Catalyst's
+      // decorrelation of EXISTS, expressed directly. The quarter filter
+      // reaches the orders scan as a PushedFilter.
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1997-07-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-10-01")))
+      val l = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    "q7_volume_shipping" -> ((s, dir) => {
+      // TPC-H q7: bilateral shipping volume between two nations by year.
+      // The 2-of-25 nation filter is pushed into BOTH dimension sides
+      // BEFORE the fact joins (supplier and customer shrink to ~8% each,
+      // and the supplier side broadcasts), so lineitem is semi-reduced by
+      // the very first join instead of carrying all nations to the end;
+      // only the cross-pair OR remains post-join.
+      val nations = Seq("NATION_1", "NATION_2")
+      val n1 = t(s, dir, "nation")
+        .filter(col("n_name").isin(nations: _*))
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .filter(col("n_name").isin(nations: _*))
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      val suF = t(s, dir, "supplier")
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cuF = t(s, dir, "customer")
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      l.join(broadcast(suF), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(cuF, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          date_format(col("l_shipdate"), "yyyy").as("l_year"))
+        .agg(Exact.dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount"))
+          .as("revenue"))
+    }),
+
     // ------------------------------------------- projections & predicates
     "p1_project_keys" -> ((s, dir) =>
       // P1/F5: single-column-style projection of derived key + basename
@@ -436,6 +515,47 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """SELECT DISTINCT p_partkey, p_brand, s_name, n_name,
+        | l_extendedprice AS min_price
+        |FROM part
+        | JOIN lineitem ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_size <= 10
+        | AND l_extendedprice = (
+        |   SELECT min(l2.l_extendedprice) FROM lineitem l2
+        |   WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    strftime(l_shipdate, '%Y') AS l_year, l_extendedprice, l_discount
+        |  FROM lineitem
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01')
+        |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
 
     "p1_project_keys" ->
       s"""SELECT doc_id, $docsKeySql AS key,
