@@ -4,6 +4,8 @@ import java.io.{OutputStream, PrintStream}
 
 import org.apache.spark.sql.SparkSession
 
+import graft.pipelines.AlephHttpConnector
+
 /** Thin command-line surface over the library API — the analog of the
   * reference's `ftm-datalake` typer CLI (ftm_datalake/cli.py:213-292):
   *
@@ -239,6 +241,31 @@ object Cli {
       val counts = reader.migrateTo(d.name, arch)
       out.println(counts.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
+      0
+
+    case "aleph-sync" =>
+      // cli.py:324-350 (`ftm-datalake aleph sync`): push a dataset's
+      // version history to an Aleph instance over HTTP, memoized in the
+      // dataset's ledger. --no-blobs uploads metadata-only (spec/mocks).
+      def flagVal(name: String): Option[String] = {
+        val ix = args.indexOf(name)
+        if (ix >= 0 && ix + 1 < args.length) Some(args(ix + 1)) else None
+      }
+      val host = flagVal("--host").getOrElse(
+        throw new IllegalArgumentException("aleph-sync: missing --host"))
+      val apiKey = flagVal("--api-key")
+        .orElse(sys.env.get("ALEPH_API_KEY")).getOrElse("")
+      val d = ds()
+      val foreignId = flagVal("--foreign-id").getOrElse(d.name)
+      val openBlob: (String, String) => Option[Array[Byte]] =
+        if (args.contains("--no-blobs")) AlephHttpConnector.NoBlobs
+        else AlephHttpConnector.contentAddressedBlobs(d.blobRoot)
+      val conn = new AlephHttpConnector(host, apiKey, foreignId, openBlob)
+      val st = graft.pipelines.AlephSync.syncDocuments(arch.spark, d.metaRoot,
+        s"${d.metaRoot}/aleph_ledger", d.name, conn,
+        prefix = flagVal("--prefix"))
+      out.println(s"""{"versions":${st.versionsReplayed},""" +
+        s""""uploaded":${st.uploaded},"folders":${st.foldersCreated}}""")
       0
 
     case "catalog" =>
