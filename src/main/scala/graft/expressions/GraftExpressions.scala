@@ -2,8 +2,8 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, CollectionGenerator, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -13,43 +13,29 @@ import org.apache.spark.sql.types._
   * interpreter — measured 10-50× slower than a compiled loop on the dedup
   * and ANN kernels).
   *
-  * Each is a single-pass compiled loop over `ArrayData`, preserving exactly
-  * the documented floating-point/hash semantics of the Column-level
-  * formulations they replace.
+  * Every expression implements BOTH paths over one shared loop body in
+  * [[Kernels]]: `nullSafeEval` for interpreted evaluation and `doGenCode`
+  * for whole-stage codegen (a static `Kernels` call per row — the
+  * `CodegenFallback` marker would exclude the entire enclosing operator
+  * from whole-stage codegen, fracturing the dedup scan stages). Parity of
+  * the two paths holds by construction and is additionally pinned by
+  * ExpressionsSpec's vectors.
   */
 object GraftExpressions {
+
+  private val K = "graft.expressions.Kernels"
 
   /** 64-bit SimHash over an array of shingle strings: bit i of the result is
     * the sign of Σ_shingles ±1 (depending on bit i of the shingle's
     * xxhash64). Single pass, no shuffle — pairs with chunk-banding for
     * near-dup candidate generation.
     */
-  case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val counts = new Array[Int](64)
-      var i = 0
-      val n = arr.numElements()
-      while (i < n) {
-        val s = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-        var b = 0
-        while (b < 64) {
-          counts(b) += (if (((h >>> b) & 1L) != 0L) 1 else -1)
-          b += 1
-        }
-        i += 1
-      }
-      var sig = 0L
-      var b = 0
-      while (b < 64) {
-        if (counts(b) > 0) sig |= (1L << b)
-        b += 1
-      }
-      java.lang.Long.valueOf(sig)
-    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(Kernels.simhash64(input.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.simhash64($c)")
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
     override def prettyName: String = "graft_simhash64"
   }
@@ -59,30 +45,13 @@ object GraftExpressions {
     * hashes per shingle, k derived values) — one compiled pass per row,
     * no explode, no shuffle.
     */
-  case class MinHashSignature(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
     require(k > 0 && k <= 1024, s"signature length $k out of range")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val mins = Array.fill(k)(Long.MaxValue)
-      var i = 0
-      val n = arr.numElements()
-      while (i < n) {
-        val s = arr.getUTF8String(i)
-        val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-        val h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 1337L) | 1L
-        var j = 0
-        var hj = h1
-        while (j < k) {
-          if (hj < mins(j)) mins(j) = hj
-          hj += h2 // wrapping add — deterministic derived hash family
-          j += 1
-        }
-        i += 1
-      }
-      new GenericArrayData(mins)
-    }
+    override def nullSafeEval(input: Any): Any =
+      Kernels.minhashSignature(input.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.minhashSignature($c, $k)")
     override protected def withNewChildInternal(c: Expression): MinHashSignature =
       copy(child = c)
     override def prettyName: String = "graft_minhash"
@@ -90,18 +59,12 @@ object GraftExpressions {
 
   /** Cosine similarity of two double arrays in ONE pass, with the exact
     * left-to-right accumulation order of the Column/SQL formulation
-    * Σab / (√Σa² · √Σb²) — bit-identical to the DuckDB oracle.
-    *
-    * Implements `doGenCode`, so it participates in whole-stage codegen: the
-    * brute-force scoring loop (scan → cosine → top-k) compiles into one
-    * generated function with no interpreter boundary. */
+    * Σab / (√Σa² · √Σb²) — bit-identical to the DuckDB oracle. The loop is
+    * generated inline (no call at all) — it is the ANN scoring hot path. */
   case class CosineSimilarity(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
-    override protected def doGenCode(
-        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
         val i = ctx.freshName("i")
         val n = ctx.freshName("n")
@@ -147,25 +110,13 @@ object GraftExpressions {
   /** Exact Jaccard similarity of two string arrays (sorted-merge free:
     * hash-set intersection in one pass). */
   case class JaccardSimilarity(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
-    override def nullSafeEval(a: Any, b: Any): Any = {
-      val x = a.asInstanceOf[ArrayData]
-      val y = b.asInstanceOf[ArrayData]
-      val set = new java.util.HashSet[String]()
-      var i = 0
-      while (i < x.numElements()) { set.add(x.getUTF8String(i).toString); i += 1 }
-      var inter = 0
-      val seen = new java.util.HashSet[String]()
-      i = 0
-      while (i < y.numElements()) {
-        val s = y.getUTF8String(i).toString
-        if (seen.add(s) && set.contains(s)) inter += 1
-        i += 1
-      }
-      val union = set.size + seen.size - inter
-      java.lang.Double.valueOf(if (union == 0) 0.0 else inter.toDouble / union)
-    }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Double.valueOf(Kernels.jaccard(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$K.jaccard($a, $b)")
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(left = l, right = r)
     override def prettyName: String = "graft_jaccard"
@@ -178,32 +129,14 @@ object GraftExpressions {
     * pipeline (measured ~55% of total runtime). Semantics are identical:
     * whitespace-regex split of the trimmed text; texts shorter than n words
     * contribute their whole token sequence as one shingle. */
-  case class WordShingles(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     require(n > 0)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
-    private val ws = java.util.regex.Pattern.compile("\\s+")
-    override def nullSafeEval(input: Any): Any = {
-      val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-        .trim().toString
-      val words = ws.split(text, -1)
-      val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
-      val last = math.max(words.length - n, 0)
-      var i = 0
-      while (i <= last) {
-        val sb = new java.lang.StringBuilder()
-        var j = i
-        val end = math.min(i + n, words.length)
-        while (j < end) {
-          if (j > i) sb.append(' ')
-          sb.append(words(j))
-          j += 1
-        }
-        out.add(org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
-        i += 1
-      }
-      new GenericArrayData(out.toArray[AnyRef](new Array[AnyRef](out.size)))
-    }
+    override def nullSafeEval(input: Any): Any =
+      Kernels.wordShingles(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.wordShingles($c, $n)")
     override protected def withNewChildInternal(c: Expression): WordShingles =
       copy(child = c)
     override def prettyName: String = "graft_shingles"
@@ -214,64 +147,42 @@ object GraftExpressions {
     * `array<struct<i,j,si,sj>>`. Compiled combination loop — replaces a
     * shuffle self-join in the exact-Jaccard pipeline (the bucket array
     * arrives from one groupBy; pair generation is then pure map work). */
-  case class PairCombinations(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class PairCombinations(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StructType(Seq(
       StructField("i", LongType, nullable = false),
       StructField("j", LongType, nullable = false),
       StructField("si", LongType, nullable = false),
       StructField("sj", LongType, nullable = false))), containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val ids = new Array[Long](n)
-      val szs = new Array[Long](n)
-      var i = 0
-      while (i < n) {
-        val row = arr.getStruct(i, 2)
-        ids(i) = row.getLong(0)
-        szs(i) = row.getLong(1)
-        i += 1
-      }
-      // sort by id so emitted pairs are (smaller, larger)
-      val order = (0 until n).sortBy(ids(_)).toArray
-      val out = new Array[Any](n * (n - 1) / 2)
-      var k = 0
-      var a = 0
-      while (a < n) {
-        var b = a + 1
-        while (b < n) {
-          val x = order(a); val y = order(b)
-          out(k) = org.apache.spark.sql.catalyst.InternalRow(
-            ids(x), ids(y), szs(x), szs(y))
-          k += 1
-          b += 1
-        }
-        a += 1
-      }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      Kernels.pairCombinations(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.pairCombinations($c)")
     override protected def withNewChildInternal(c: Expression): PairCombinations =
       copy(c)
     override def prettyName: String = "graft_pair_combinations"
   }
 
-  /** Streaming variant of [[PairCombinations]]: a Catalyst `Generator`
-    * (explode-analog) that yields each bucket's (i<j) pairs ONE AT A TIME
-    * instead of materializing the full d·(d−1)/2 struct array in a single
-    * row first. At the hot-shingle cap of 1000 docs the array form holds
-    * ~500k structs (~16 MB) per bucket row before explode; the generator
-    * keeps per-row memory at O(d). Pair order and values are identical
+  /** Streaming variant of [[PairCombinations]]: a Catalyst generator
+    * (explode-analog) whose INTERPRETED path yields each bucket's (i<j)
+    * pairs one at a time — per-row memory O(d) instead of the full
+    * d·(d−1)/2 struct array. Its CODEGEN path is a [[CollectionGenerator]]
+    * (the same machinery as explode/inline): the generated loop iterates a
+    * [[Kernels.pairCombinations]] array whose size the hot-shingle cap
+    * bounds (≤1000 docs → ≤~500k structs, a transient per-row buffer), in
+    * exchange for keeping the whole Generate stage inside whole-stage
+    * codegen. Pair order and values are identical on both paths
     * (parity-tested in ExpressionsSpec).
     */
   case class PairGenerator(child: Expression)
-      extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.Generator
-      with CodegenFallback {
+      extends UnaryExpression with CollectionGenerator {
     override def elementSchema: StructType = StructType(Seq(
       StructField("i", LongType, nullable = false),
       StructField("j", LongType, nullable = false),
       StructField("si", LongType, nullable = false),
       StructField("sj", LongType, nullable = false)))
+    override val inline: Boolean = true
+    override val position: Boolean = false
+    override def collectionType: DataType = dataType
     override def eval(input: InternalRow): IterableOnce[InternalRow] = {
       val value = child.eval(input)
       if (value == null) return Iterator.empty
@@ -302,6 +213,8 @@ object GraftExpressions {
         }
       }
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.pairCombinations($c)")
     override protected def withNewChildInternal(c: Expression): PairGenerator =
       copy(c)
     override def prettyName: String = "graft_pair_generator"
@@ -320,10 +233,7 @@ object GraftExpressions {
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
-    override protected def doGenCode(
-        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
         val i = ctx.freshName("i")
         val n = ctx.freshName("n")
@@ -368,10 +278,12 @@ object GraftExpressions {
     * in [-1,1) derived as
     * `pmod(xxhash64(table*4096+plane, dim), 2000001)/1e6 - 1`, projections
     * accumulate left-to-right per plane, bit p = (projection >= 0).
-    * Per-plane base hashes are hoisted out of the dim loop; the dim loop is
-    * the inner loop so each vector element is read once per plane. */
+    * Per-plane base hashes are hoisted out of the dim loop AND out of the
+    * per-row path entirely (computed once per expression instance); codegen
+    * calls [[computeSignatures]] through a plan reference — a virtual call
+    * per row, but the operator stays inside whole-stage codegen. */
   case class HyperplaneSignatures(child: Expression, nPlanes: Int, nTables: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(nPlanes > 0 && nPlanes <= 63, s"nPlanes $nPlanes out of range")
     require(nTables > 0 && nTables <= 1024, s"nTables $nTables out of range")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -379,8 +291,7 @@ object GraftExpressions {
     // table*4096+plane first, then the dim index
     @transient private lazy val baseHashes: Array[Array[Long]] =
       Array.tabulate(nTables, nPlanes)((t, p) => XXH64.hashInt(t * 4096 + p, 42L))
-    override def nullSafeEval(input: Any): Any = {
-      val v = input.asInstanceOf[ArrayData]
+    def computeSignatures(v: ArrayData): ArrayData = {
       val n = v.numElements()
       val out = new Array[Long](nTables)
       var t = 0
@@ -406,6 +317,12 @@ object GraftExpressions {
         t += 1
       }
       new GenericArrayData(out)
+    }
+    override def nullSafeEval(input: Any): Any =
+      computeSignatures(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("hyperplanes", this)
+      defineCodeGen(ctx, ev, c => s"$ref.computeSignatures($c)")
     }
     override protected def withNewChildInternal(c: Expression): HyperplaneSignatures =
       copy(child = c)

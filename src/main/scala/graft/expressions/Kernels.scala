@@ -1,0 +1,137 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled loop bodies shared by the graft expressions' interpreted
+  * (`nullSafeEval`) and generated (`doGenCode`) paths. A top-level object
+  * gets Java static forwarders, so whole-stage-generated code can call
+  * `graft.expressions.Kernels.simhash64(arr)` directly — one static call
+  * per row, JIT-inlined, with NO `CodegenFallback` marker on the
+  * expressions (the marker excludes the whole enclosing operator from
+  * whole-stage codegen, which was the r4/r5 "fractured codegen" defect).
+  * Sharing one body between both paths makes eval↔codegen parity hold by
+  * construction.
+  */
+object Kernels {
+
+  /** [[GraftExpressions.SimHash64]] body. */
+  def simhash64(arr: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var b = 0
+      while (b < 64) {
+        counts(b) += (if (((h >>> b) & 1L) != 0L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** [[GraftExpressions.MinHashSignature]] body (Kirsch–Mitzenmacher
+    * h_j = h1 + j·h2 derived family). */
+  def minhashSignature(arr: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 1337L) | 1L
+      var j = 0
+      var hj = h1
+      while (j < k) {
+        if (hj < mins(j)) mins(j) = hj
+        hj += h2 // wrapping add — deterministic derived hash family
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** [[GraftExpressions.JaccardSimilarity]] body (hash-set intersection). */
+  def jaccard(x: ArrayData, y: ArrayData): Double = {
+    val set = new java.util.HashSet[String]()
+    var i = 0
+    while (i < x.numElements()) { set.add(x.getUTF8String(i).toString); i += 1 }
+    var inter = 0
+    val seen = new java.util.HashSet[String]()
+    i = 0
+    while (i < y.numElements()) {
+      val s = y.getUTF8String(i).toString
+      if (seen.add(s) && set.contains(s)) inter += 1
+      i += 1
+    }
+    val union = set.size + seen.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** [[GraftExpressions.WordShingles]] body (split → sliding join →
+    * insertion-ordered dedupe). */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val words = ws.split(text.trim().toString, -1)
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    val last = math.max(words.length - n, 0)
+    var i = 0
+    while (i <= last) {
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      val end = math.min(i + n, words.length)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      out.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(out.toArray[AnyRef](new Array[AnyRef](out.size)))
+  }
+
+  /** [[GraftExpressions.PairCombinations]] body — also the codegen path of
+    * [[GraftExpressions.PairGenerator]] (same pair order and values). */
+  def pairCombinations(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    val szs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      szs(i) = row.getLong(1)
+      i += 1
+    }
+    // sort by id so emitted pairs are (smaller, larger)
+    val order = (0 until n).sortBy(ids(_)).toArray
+    val out = new Array[Any](if (n < 2) 0 else n * (n - 1) / 2)
+    var k = 0
+    var a = 0
+    while (a < n) {
+      var b = a + 1
+      while (b < n) {
+        val x = order(a); val y = order(b)
+        out(k) = InternalRow(ids(x), ids(y), szs(x), szs(y))
+        k += 1
+        b += 1
+      }
+      a += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -168,6 +168,55 @@ class ExpressionsSpec extends SparkSpec {
     assert(rel == brute)
   }
 
+  test("kernel expressions run INSIDE whole-stage codegen, with fallback disabled") {
+    // spark.sql.codegen.fallback=false turns any janino compile failure in
+    // these plans into a hard error — a silently-interpreted fallback
+    // cannot fake this test green. Plan lines prefixed `*(n)` are inside a
+    // WholeStageCodegen span.
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val docs = Tables.load(spark, sf0, "documents").limit(200)
+      def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.executedPlan.toString.linesIterator
+          .takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+      def codegenLine(df: org.apache.spark.sql.DataFrame, marker: String): Unit = {
+        df.collect() // throws on codegen failure with fallback off
+        val plan = finalPlan(df)
+        val lines = plan.linesIterator.filter(_.contains(marker)).toSeq
+        assert(lines.nonEmpty, s"no '$marker' in plan:\n$plan")
+        assert(lines.forall(_.contains("*(")),
+          s"'$marker' outside WholeStageCodegen:\n${lines.mkString("\n")}")
+      }
+      // scalar kernels: one fused project over the scan
+      codegenLine(docs.select(
+        GraftExpressions.simhash64(Dedup.shingles($"text", 3)).as("sh"),
+        GraftExpressions.minhashSignature(Dedup.shingles($"text", 3), 64).as("mh")),
+        "graft_simhash64")
+      codegenLine(docs.select(GraftExpressions.wordShingles($"text", 3).as("w")),
+        "graft_shingles")
+      val withSh = docs.select($"doc_id",
+        GraftExpressions.wordShingles($"text", 3).as("sh"))
+      codegenLine(withSh.as("a").crossJoin(withSh.as("b")).limit(50).select(
+        GraftExpressions.jaccardSimilarity($"a.sh", $"b.sh").as("j")),
+        "graft_jaccard(")
+      val emb = Tables.load(spark, sf0, "embeddings").limit(100)
+      codegenLine(emb.select(GraftExpressions.hyperplaneSignatures(
+        $"embedding", 12, 8).as("hp")), "graft_hyperplane")
+      // the generator: the Generate node itself carries the codegen star
+      // (CollectionGenerator path — same machinery as explode/inline)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.5)
+      pairs.collect()
+      val pplan = finalPlan(pairs)
+      val gen = pplan.linesIterator
+        .filter(_.contains("Generate graft_pair_generator")).toSeq
+      assert(gen.nonEmpty, s"no PairGenerator Generate node:\n$pplan")
+      assert(gen.forall(_.contains("*(")),
+        s"Generate outside WholeStageCodegen:\n${gen.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   implicit class Tup3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(t => ((t._1, t._2), t._3)).toMap
   }
