@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
@@ -52,15 +53,70 @@ object Similarity {
 
   // ------------------------------------------------------------ IVF
   /** Deterministic coarse centroids: the first `nlist` corpus vectors by id
-    * (a stand-in for k-means training — the partition/probe machinery is
-    * what matters to the engine; swap in trained centroids at will). The
-    * centroid id IS the source vector id, so the whole IVF pipeline is
-    * deterministic and oracle-checkable. */
+    * (the oracle-mode quantizer AND the Lloyd seed). The centroid id IS
+    * the source vector id, so the untrained pipeline is deterministic and
+    * oracle-checkable; [[trainCentroids]] refines these seeds when recall
+    * matters more than a SQL-expressible oracle. */
   def centroids(corpus: DataFrame, nlist: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     corpus.orderBy(col(idCol)).limit(nlist)
       .select(col(idCol).as("centroid_id"),
         asDouble(col(vecCol)).as("centroid"))
+
+  /** Deterministic Lloyd refinement of the first-N seed: a FIXED number of
+    * assign→mean iterations, no RNG anywhere, so two runs (on any
+    * partitioning) produce bit-identical centroids:
+    *
+    *   - assignment reuses [[ivfAssign]] (broadcast centroids, corpus
+    *     stays partition-local, deterministic cosine tie-break);
+    *   - per-dimension means aggregate through DECIMAL (exact and
+    *     associative, the [[graft.functions.Exact]] discipline), so the
+    *     shuffle order can't wiggle the last ulp;
+    *   - an emptied cell keeps its previous centroid (standard Lloyd
+    *     guard, deterministic here).
+    *
+    * Driver traffic per iteration is nlist×dim mean rows (KB at any
+    * corpus scale); the heavy work — assignment and partial dimension
+    * sums — is executor-side with one shuffle per iteration. At 100 TB
+    * one would train on a sample; the machinery is identical.
+    */
+  def trainCentroids(corpus: DataFrame, nlist: Int, iters: Int = 3,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seed = centroids(corpus, nlist, idCol, vecCol)
+      .select("centroid_id", "centroid").as[(Long, Seq[Double])].collect()
+      .sortBy(_._1)
+    // re-id the seeds 0..nlist-1: trained centroids are means, not corpus
+    // vectors, so source-vector ids would be misleading downstream
+    var current: Array[(Long, Seq[Double])] =
+      seed.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    val c = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    var it = 0
+    while (it < iters) {
+      val centsDf = current.toSeq.toDF("centroid_id", "centroid")
+      val assigned = ivfAssign(c, centsDf, "vid", "v")
+      // exact per-dimension means: posexplode → decimal sums per
+      // (cell, dim) — one shuffle, ~nlist×dim result rows
+      val sums = assigned
+        .select(col("centroid_id"), posexplode(col("cv")).as(Seq("dim", "x")))
+        .groupBy("centroid_id", "dim")
+        .agg(sum(col("x").cast(DecimalType(38, 18))).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("centroid_id"), col("dim"),
+          (col("s") / col("n")).cast("double").as("mean"))
+        .as[(Long, Int, Double)].collect()
+      val means = sums.groupBy(_._1).map { case (cid, rows) =>
+        cid -> rows.sortBy(_._2).map(_._3).toSeq
+      }
+      current = current.map { case (cid, old) =>
+        (cid, means.getOrElse(cid, old)) // empty cell keeps its centroid
+      }
+      it += 1
+    }
+    current.toSeq.toDF("centroid_id", "centroid")
+  }
 
   /** Assign every corpus vector to its nearest centroid (broadcast the
     * centroid table; corpus stays partition-local). */
@@ -77,11 +133,15 @@ object Similarity {
 
   /** IVF search: probe the `nprobe` nearest centroids per query, then exact
     * cosine within the probed cells only. Approximate; recall grows with
-    * nprobe. */
+    * nprobe (and with `trainIters`: 0 = the first-N quantizer, the
+    * deterministic oracle mode; >0 = Lloyd-refined centroids via
+    * [[trainCentroids]], strictly better cell shapes). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 16,
               nprobe: Int = 4, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    val cents = centroids(corpus, nlist, idCol, vecCol).cache()
+              vecCol: String = "embedding", trainIters: Int = 0): DataFrame = {
+    val cents = (if (trainIters > 0)
+        trainCentroids(corpus, nlist, trainIters, idCol, vecCol)
+      else centroids(corpus, nlist, idCol, vecCol)).cache()
     val assigned = ivfAssign(corpus, cents, idCol, vecCol)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val qprobe = q.crossJoin(broadcast(cents))
