@@ -70,6 +70,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeImages matches the reviewed golden parquet bit-for-bit") {
+    // golden/decode_images.parquet pins the decoder over the reference
+    // fixture images (geometry independently header-parsed; JPEG↔TIFF
+    // luminance cross-validated — see golden/README.md). Regressions in
+    // the codec path, band profile, or fallback shape surface as an
+    // artifact diff here, not just as geometry assertions.
+    val recomputed = graft.tools.GoldenDecode.decodeFixtures(spark)
+    val golden = spark.read.parquet("golden/decode_images.parquet")
+    assert(golden.count() == graft.tools.GoldenDecode.FixtureFiles.size.toLong)
+    assert(recomputed.exceptAll(golden).isEmpty &&
+      golden.exceptAll(recomputed).isEmpty,
+      s"decoder drifted from golden:\n recomputed=${recomputed.collect().toSeq}" +
+        s"\n golden=${golden.collect().toSeq}")
+  }
+
   test("decodeImages is deterministic and falls back on non-image bytes") {
     val junk = Seq(
       (0L, "not an image at all".getBytes("UTF-8")),
