@@ -1,0 +1,164 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured scale evidence behind "designed for 100 TB": run the
+  * dedup/LSH/text/rebuild/scan-agg query family at sf0.1 and at a
+  * synthesized ~10× copy of it, and report the time ratios. A linear-path
+  * query should cost ≤~12× at 10× data (linear work + scheduling
+  * overhead); anything super-linear is a scale bug, not noise.
+  *
+  * The 10× corpus is NOT naive replication — that would be a trap, not a
+  * probe: 10 verbatim copies of every document give each doc 10 exact
+  * duplicates, so near-dup PAIR OUTPUT (and the inverted-index bucket
+  * work behind it) grows quadratically in the copy count and the probe
+  * would measure output explosion, not engine scaling. Instead each copy
+  * k shifts ids by k·10⁷ and mutates content deterministically:
+  *
+  *   - documents: per-copy consonant/vowel rotation (`translate`) — the
+  *     planted intra-copy near-dups survive untouched, while cross-copy
+  *     shingle overlap drops below every dedup threshold;
+  *   - embeddings: per-copy circular dimension rotation + hash-derived
+  *     sign flips (deterministic, no RNG; norms and intra-copy geometry
+  *     exactly preserved) — cross-copy cosine decorrelates (pure scaling
+  *     would NOT work: cosine is scale-invariant);
+  *   - lineitem: key shift only (scan-agg queries group by flags, so the
+  *     group count is scale-free, as at real scale).
+  *
+  * Usage: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.ScaleBench
+  * [srcDir] [workDir] [copies]"` — prints one JSON line; see
+  * SCALEPROBE.md for reviewed results.
+  */
+object ScaleBench {
+
+  val Offset = 10000000L
+
+  /** The probe family: every linear-path query whose input tables the
+    * synthesizer scales (documents / embeddings / lineitem). */
+  val ProbeQueries: Seq[String] = Seq(
+    "q1_pricing_summary", "q6_forecast_revenue",
+    "dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_embedding_pairs", "ann_cosine_topk",
+    "text_tokens", "text_quality", "text_langid",
+    "a6_keep_latest", "u2_snapshot_diff")
+
+  private def rotate(s: String, k: Int): String = {
+    val n = ((k % s.length) + s.length) % s.length
+    s.drop(n) + s.take(n)
+  }
+
+  def synthesize(spark: SparkSession, srcDir: String, outDir: String,
+                 copies: Int): Unit = {
+    // events.parquet stores TIMESTAMP(NANOS); read ts as a raw long (same
+    // contract as Tables.load) and write it back as a plain long — the
+    // loader's ns→µs conversion handles both encodings
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val alpha = "aeioustnrl"
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    (0 until copies).map { k =>
+      docs.select(
+        (col("doc_id") + lit(k * Offset)).as("doc_id"),
+        (if (k == 0) col("text")
+         else translate(col("text"), alpha, rotate(alpha, k))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    // per-copy circular dimension rotation + deterministic per-copy sign
+    // flips: both preserve every norm and all INTRA-copy geometry exactly
+    // (planted near-dup pairs survive, pair counts scale linearly), while
+    // cross-copy vectors decorrelate. Rotation alone aliases (copies k,j
+    // differ by the same relative shift, so any periodic structure leaks
+    // cross-copy pairs); the hash-derived sign pattern breaks that. An
+    // additive per-copy drift would be worse — a shared offset makes ALL
+    // intra-copy pairs similar (measured: 14 pairs → 18M), i.e. output
+    // explosion, not scale signal.
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    (0 until copies).map { k =>
+      val shift = k * 7 % 64
+      val rotated =
+        if (shift == 0) col("embedding")
+        else concat(slice(col("embedding"), shift + 1, 64 - shift),
+          slice(col("embedding"), 1, shift))
+      val flipped =
+        if (k == 0) rotated
+        else transform(rotated, (x, i) =>
+          when(pmod(xxhash64(lit(k), i), lit(2)) === 0, x).otherwise(-x)
+            .cast("float"))
+      emb.select((col("vec_id") + lit(k * Offset)).as("vec_id"),
+        flipped.as("embedding"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    (0 until copies).map { k =>
+      // user_id shifts per copy: keep-latest/diff group counts scale
+      // linearly with the corpus (each copy is a disjoint user universe)
+      ev.withColumn("event_id", col("event_id") + lit(k * Offset))
+        .withColumn("user_id", col("user_id") + lit(k * Offset))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    (0 until copies).map { k =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(k * Offset))
+        .withColumn("l_partkey", col("l_partkey") + lit(k * Offset))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(k * Offset))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+  }
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Mode-pinned extras beyond the SparkEntry queries: the embedding
+    * near-dup AUTO query switches exact→LSH at the 20k-row cutover, so
+    * its 1×/10× ratio compares two algorithms; this pins LSH at both
+    * scales for an apples-to-apples read. */
+  private val pinned: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map("dedup_embedding_lsh_pinned" -> ((s, dir) =>
+      graft.llm.Dedup.embeddingNearDup(graft.Tables.load(s, dir, "embeddings"),
+        threshold = 0.5, useLsh = Some(true))))
+
+  def allProbes: Seq[String] = ProbeQueries ++ pinned.keys.toSeq.sorted
+
+  /** Best-of-`runs` wall time (and result rows) per probe query. */
+  def measure(spark: SparkSession, dir: String,
+              runs: Int): Map[String, (Double, Long)] =
+    allProbes.map { name =>
+      val fn = pinned.getOrElse(name, graft.SparkEntry.queries(name))
+      var rows = 0L
+      val ts = (1 to runs).map { _ =>
+        time { rows = fn(spark, dir).count() }
+      }
+      name -> ((ts.min, rows))
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val workDir = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("scaleprobe").toString)
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = graft.GraftSession.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val tSynth = time(synthesize(spark, srcDir, workDir, copies))
+    // warmup pass (codegen + JIT) at 1× before any measurement
+    measure(spark, srcDir, runs = 1)
+    val t1 = measure(spark, srcDir, runs = 2)
+    val t10 = measure(spark, workDir, runs = 2)
+
+    val items = allProbes.map { q =>
+      val ((s1, r1), (s10, r10)) = (t1(q), t10(q))
+      val ratio = s10 / s1
+      s""""$q":{"t1":${f"$s1%.3f"},"t${copies}x":${f"$s10%.3f"},"ratio":${f"$ratio%.2f"},"rows1":$r1,"rows${copies}x":$r10}"""
+    }
+    println(s"""{"metric":"scaleprobe","copies":$copies,"synth_sec":${f"$tSynth%.1f"},""" +
+      s""""queries":{${items.mkString(",")}}}""")
+    spark.stop()
+  }
+}
