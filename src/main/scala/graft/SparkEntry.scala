@@ -389,6 +389,24 @@ object SparkEntry {
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5)),
 
+    "dedup_exact_incremental" -> ((s, dir) => {
+      // cross-corpus exact dedup: which "new batch" docs (doc_id % 7 == 0)
+      // already exist in the corpus (the rest)? Corpus reduces to one row
+      // per distinct hash BEFORE the join; corpus×corpus never pairs.
+      val docs = t(s, dir, "documents")
+      Dedup.exactAgainst(docs.filter(col("doc_id") % 7 === 0),
+        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text")
+    }),
+
+    "dedup_jaccard_incremental" -> ((s, dir) => {
+      // cross-corpus near-dup via the bipartite inverted index (new docs
+      // probe corpus shingle postings; candidate space = new×corpus only)
+      val docs = t(s, dir, "documents")
+      Dedup.jaccardPairsAgainst(docs.filter(col("doc_id") % 7 === 0),
+        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+        n = 3, threshold = 0.5)
+    }),
+
     "dedup_minhash_lsh" -> ((s, dir) =>
       // oracle = reviewed golden-pair parquet (golden/README.md); recall vs
       // exact Jaccard additionally asserted in DedupSpec
@@ -734,6 +752,30 @@ object SparkEntry {
         |p AS (SELECT a.doc_id AS i, b.doc_id AS j, a.ssize AS si, b.ssize AS sj,
         |        count(*) AS inter
         |      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT i, j,
+        |  round(CAST(inter AS DOUBLE) / CAST(si + sj - inter AS DOUBLE), 6) AS jaccard
+        |FROM p
+        |WHERE CAST(inter AS DOUBLE) / CAST(si + sj - inter AS DOUBLE) >= 0.5""".stripMargin,
+
+    "dedup_exact_incremental" ->
+      """SELECT n.doc_id AS i, min(c.doc_id) AS j,
+        | count(*) AS n_corpus_matches
+        |FROM documents n JOIN documents c ON md5(n.text) = md5(c.text)
+        |WHERE n.doc_id % 7 = 0 AND c.doc_id % 7 != 0
+        |GROUP BY n.doc_id""".stripMargin,
+
+    "dedup_jaccard_incremental" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(words[i:i+2], ' ')
+        |                 for i in range(1, greatest(len(words) - 2, 1) + 1)]) AS s
+        |  FROM w),
+        |inv AS (SELECT doc_id, len(s) AS ssize, unnest(s) AS shingle FROM sh),
+        |p AS (SELECT a.doc_id AS i, b.doc_id AS j, a.ssize AS si, b.ssize AS sj,
+        |        count(*) AS inter
+        |      FROM inv a JOIN inv b ON a.shingle = b.shingle
+        |      WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 != 0
         |      GROUP BY 1, 2, 3, 4)
         |SELECT i, j,
         |  round(CAST(inter AS DOUBLE) / CAST(si + sj - inter AS DOUBLE), 6) AS jaccard

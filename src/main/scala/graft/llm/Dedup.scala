@@ -107,6 +107,115 @@ object Dedup {
       .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  // ------------------------------------------- cross-corpus (incremental)
+  /** Exact dedup of a NEW batch against an EXISTING corpus — the everyday
+    * training-pipeline operation: "which of today's documents already
+    * exist in the lake?". One row per new document that has at least one
+    * exact corpus match: (i = new id, j = smallest matching corpus id,
+    * n_corpus_matches).
+    *
+    * 100 TB shape: the corpus reduces to one (hash → min id, count) row
+    * per DISTINCT text before the join — a hash-only aggregate shuffle,
+    * never text — and the (typically much smaller) new batch joins that;
+    * AQE broadcasts the reduced side when it fits. Corpus×corpus pairs
+    * are never formed. */
+  def exactAgainst(newDf: DataFrame, corpus: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val nh = newDf.select(col(idCol).as("i"), md5(col(textCol)).as("__h"))
+    val ch = corpus.select(col(idCol).as("__cid"), md5(col(textCol)).as("__h"))
+      .groupBy("__h")
+      .agg(min("__cid").as("j"), count(lit(1)).as("n_corpus_matches"))
+    nh.join(ch, "__h").select("i", "j", "n_corpus_matches")
+  }
+
+  /** n-gram Jaccard of each NEW document against an EXISTING corpus via a
+    * BIPARTITE inverted index: corpus documents post their hashed shingles
+    * once, new documents probe the postings — the candidate space is
+    * new×corpus only (cost Σ_shingle newFreq·corpusFreq), and corpus
+    * self-pairs never exist. Returns (i = new id, j = corpus id, jaccard)
+    * for every cross pair ≥ threshold.
+    *
+    * The hot-shingle cap prunes stop-shingle POSTING LISTS on the corpus
+    * side (same rationale and `Dataset.observe` contract as
+    * [[jaccardPairs]]: a shingle shared by more than `maxShingleFreq`
+    * corpus docs is dropped, bounding the per-shingle probe fan-out at any
+    * corpus size); the per-list count rides the SAME shuffle the probe
+    * join needs (a partition-local window over `shingle`), so the cap
+    * costs no extra exchange. */
+  def jaccardPairsAgainst(newDf: DataFrame, corpus: DataFrame, idCol: String,
+                          textCol: String, n: Int = 3,
+                          threshold: Double = 0.5,
+                          maxShingleFreq: Option[Int] = Some(1000),
+                          observeName: Option[String] = None): DataFrame = {
+    def inverted(df: DataFrame): DataFrame = {
+      val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+        .withColumn("sh_size", size(col("sh")).cast("long"))
+      sh.select(col("id"), col("sh_size"), explode(col("sh")).as("s"))
+        .select(col("id"), col("sh_size"), xxhash64(col("s")).as("shingle"))
+    }
+    val probe = inverted(newDf)
+      .select(col("shingle"), col("id").as("i"), col("sh_size").as("si"))
+    val post0 = inverted(corpus)
+      .select(col("shingle"), col("id").as("j"), col("sh_size").as("sj"))
+    val postings = maxShingleFreq match {
+      case Some(cap) =>
+        val w = Window.partitionBy("shingle")
+        post0.withColumn("__f", count(lit(1)).over(w))
+          .observe(observeName.getOrElse(
+              s"graft_jaccard_postings_${Dedup.observeId.getAndIncrement()}"),
+            sum(when(col("__f") > cap, lit(1L)).otherwise(lit(0L)))
+              .as("dropped_hot_postings"))
+          .filter(col("__f") <= cap).drop("__f")
+      case None => post0
+    }
+    probe.join(postings, "shingle")
+      .groupBy("i", "j", "si", "sj")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("si") + col("sj") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash-LSH near-dup of a NEW batch against an EXISTING corpus:
+    * band-bucket join between the two signature sets (new×corpus
+    * candidate space only), then signature-estimated Jaccard ≥ threshold.
+    * The corpus side's signatures are a pure function of its text — at
+    * scale, persist [[minhashSignatures]]' (id, signature) table once and
+    * pass it as `corpus` with `precomputedSignatures = true` (idCol/
+    * textCol then only describe the NEW batch). */
+  def minhashLshAgainst(newDf: DataFrame, corpus: DataFrame, idCol: String,
+                        textCol: String, n: Int = 3, k: Int = 64,
+                        bands: Int = 16, threshold: Double = 0.5,
+                        precomputedSignatures: Boolean = false): DataFrame = {
+    val rows = k / bands
+    val newSigs = minhashSignatures(newDf, idCol, textCol, n, k)
+      .repartition(col("id"))
+    val corpusSigs = (if (precomputedSignatures)
+        corpus.select(col("id"), col("signature"))
+      else minhashSignatures(corpus, idCol, textCol, n, k))
+      .repartition(col("id"))
+    def banded(sigs: DataFrame): DataFrame =
+      sigs.select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(array_join(
+            transform(slice(col("signature"), b * rows + 1, lit(rows)),
+              h => h.cast("string")), ",")))
+      ).as(Seq("band", "bucket")))
+    val cands = banded(newSigs).select(col("band"), col("bucket"), col("id").as("i"))
+      .join(banded(corpusSigs).select(col("band"), col("bucket"), col("id").as("j")),
+        Seq("band", "bucket"))
+      .select("i", "j").distinct()
+    val s1 = newSigs.select(col("id").as("i"), col("signature").as("sig_i"))
+    val s2 = corpusSigs.select(col("id").as("j"), col("signature").as("sig_j"))
+    cands.join(s1, "i").join(s2, "j")
+      .withColumn("est_jaccard", graft.expressions.GraftExpressions
+        .signatureAgreement(col("sig_i"), col("sig_j")))
+      .filter(col("est_jaccard") >= threshold)
+      .select("i", "j", "est_jaccard")
+  }
+
   /** Greedy cluster-to-representative reduction of a pair list: every doc
     * connected to a smaller id is dropped (one pass — for full transitive
     * closure iterate [[connectedComponents]]). */

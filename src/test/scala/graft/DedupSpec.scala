@@ -105,6 +105,55 @@ class DedupSpec extends SparkSpec {
       s"direct=${shuffles(plan)} pre-bounded=${shuffles(prePlan)}")
   }
 
+  test("cross-corpus exact dedup matches only new-vs-corpus, never corpus pairs") {
+    val df = Seq(
+      (7L, "same text"), (14L, "other text"),   // "new" batch (ids % 7 == 0)
+      (1L, "same text"), (2L, "same text"), (3L, "unrelated")).toDF("doc_id", "text")
+    val out = Dedup.exactAgainst(df.filter($"doc_id" % 7 === 0),
+        df.filter($"doc_id" % 7 =!= 0), "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    // 7 matches corpus docs {1,2} → (i=7, j=min=1, 2 matches); 14 matches none
+    assert(out == Set((7L, 1L, 2L)))
+  }
+
+  test("cross-corpus jaccard equals the self-join pairs restricted to the split") {
+    val newDocs = docs.filter($"doc_id" % 7 === 0)
+    val corpus = docs.filter($"doc_id" % 7 =!= 0)
+    val cross = Dedup.jaccardPairsAgainst(newDocs, corpus, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    // ground truth: the full self-join pair set, re-oriented to (new, corpus)
+    val full = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("i", "j").as[(Long, Long)].collect()
+    val expected = full.flatMap { case (a, b) =>
+      Seq((a, b), (b, a))
+    }.filter { case (i, j) => i % 7 == 0 && j % 7 != 0 }.toSet
+    assert(cross == expected, s"cross=$cross expected=$expected")
+    // orientation invariant: i always from the new batch, j from the corpus
+    assert(cross.forall { case (i, j) => i % 7 == 0 && j % 7 != 0 })
+  }
+
+  test("cross-corpus minhash LSH recalls the exact cross pairs") {
+    val newDocs = docs.filter($"doc_id" % 7 === 0)
+    val corpus = docs.filter($"doc_id" % 7 =!= 0)
+    val exact = Dedup.jaccardPairsAgainst(newDocs, corpus, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshAgainst(newDocs, corpus, "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    if (exact.nonEmpty) {
+      val recall = exact.count(lsh.contains).toDouble / exact.size
+      assert(recall >= 0.9, s"recall $recall over ${exact.size}")
+    }
+    // precomputed-signature path returns the identical pair set
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text")
+    val viaPre = Dedup.minhashLshAgainst(newDocs, sigs, "doc_id", "text",
+        precomputedSignatures = true)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(viaPre == lsh)
+  }
+
   test("minhash signature estimate approximates true Jaccard") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
     assert(sigs.select(size($"signature")).distinct().as[Int].head() == 64)
