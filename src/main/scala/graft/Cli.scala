@@ -45,6 +45,12 @@ object Cli {
       |  migrate-reference -i <refLakeRoot> [--meta-prefix P]
       |                                   migrate a reference-layout dataset in
       |  catalog                          archive-wide catalog rollup
+      |  aleph-sync --host H [--api-key K] [--prefix P] [--foreign-id F] [--no-blobs]
+      |                                   upload version history to Aleph
+      |  aleph-load-dataset --host H [--api-key K] [--foreign-id F]
+      |                                   push the dataset's FTM entities
+      |  aleph-load-catalog --host H [--api-key K] [--include G] [--exclude G]
+      |                                   push every published entity sink
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -266,6 +272,42 @@ object Cli {
         prefix = flagVal("--prefix"))
       out.println(s"""{"versions":${st.versionsReplayed},""" +
         s""""uploaded":${st.uploaded},"folders":${st.foldersCreated}}""")
+      0
+
+    case "aleph-load-dataset" | "aleph-load-catalog" =>
+      // cli.py:351-390 (`aleph load-dataset` / `aleph load-catalog`): push
+      // published FTM entity sinks to an Aleph collection over HTTP,
+      // checksum-memoized in the archive ledger. load-dataset targets one
+      // dataset (publishing its entities sink first if absent);
+      // load-catalog sweeps every dataset that has published one, with
+      // --include/--exclude dataset globs (aleph_entities.py:118-125).
+      def flagVal2(name: String): Option[String] = {
+        val ix = args.indexOf(name)
+        if (ix >= 0 && ix + 1 < args.length) Some(args(ix + 1)) else None
+      }
+      val host = flagVal2("--host").getOrElse(
+        throw new IllegalArgumentException(s"$cmd: missing --host"))
+      val apiKey = flagVal2("--api-key")
+        .orElse(sys.env.get("ALEPH_API_KEY")).getOrElse("")
+      val targets: Seq[GraftDataset] =
+        if (cmd == "aleph-load-dataset") {
+          val d = ds()
+          val sink = new org.apache.hadoop.fs.Path(s"${d.metaRoot}/entities.ftm.json")
+          val fs = sink.getFileSystem(arch.spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(sink)) d.writeEntities()
+          Seq(d)
+        } else arch.datasetNames.map(arch.dataset(_))
+      val resources = graft.pipelines.AlephSync.entityResources(arch.spark,
+        targets.map(d => d.name -> s"${d.metaRoot}/entities.ftm.json"))
+      val foreignId = flagVal2("--foreign-id")
+        .getOrElse(targets.headOption.map(_.name).getOrElse("catalog"))
+      val conn = new AlephHttpConnector(host, apiKey, foreignId)
+      val st = graft.pipelines.AlephSync.syncEntities(arch.spark, resources,
+        s"${arch.root}/.graft_aleph_ledger", conn,
+        url => arch.spark.read.textFile(url).toDF(),
+        includeDataset = flagVal2("--include"),
+        excludeDataset = flagVal2("--exclude"))
+      out.println(s"""{"resources":${st.resources},"entities":${st.entities}}""")
       0
 
     case "catalog" =>

@@ -178,6 +178,31 @@ object AlephSync {
     (uploadCount.value, newFolders)
   }
 
+  /** Build the FTM resource table for published entity sinks — the analog
+    * of iterating a catalog's resources (aleph_entities.py:83-88): one row
+    * per (dataset, entities-sink path) that exists, with an
+    * ORDER-INDEPENDENT content checksum (bit_xor of per-line xxhash64)
+    * keying the ledger memoization, so re-publishing identical entities
+    * (in any partition order) stays a no-op while any content change
+    * invalidates the resource. */
+  def entityResources(spark: SparkSession,
+                      sinks: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val rows = sinks.flatMap { case (dataset, path) =>
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val chk = spark.read.textFile(path).toDF("line")
+          .filter(length(trim(col("line"))) > 0)
+          .agg(coalesce(expr("bit_xor(xxhash64(line))"), lit(0L)))
+          .as[Long].head()
+        Some((dataset, path, FtmMimeType, f"$chk%016x"))
+      }
+    }
+    rows.toDF("dataset", "url", "mime_type", "checksum")
+  }
+
   /** Entities sync (sync/aleph_entities.py:36-133): select catalog resources
     * by dataset-name glob (P3, fnmatch semantics: exclude first, then
     * include — aleph_entities.py:118-125) and FTM mime (P4), skip resources

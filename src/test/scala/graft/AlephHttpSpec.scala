@@ -257,6 +257,38 @@ class AlephHttpSpec extends SparkSpec {
     }
   }
 
+  test("CLI aleph-load-dataset / load-catalog push entity sinks over HTTP") {
+    withServer { host =>
+      val lake = java.nio.file.Files.createTempDirectory("aleph-load").toString
+      val src = java.nio.file.Files.createTempDirectory("aleph-load-src")
+      java.nio.file.Files.write(src.resolve("a.txt"), "alpha".getBytes("UTF-8"))
+      java.nio.file.Files.write(src.resolve("b.txt"), "beta".getBytes("UTF-8"))
+      def cli(args: String*): (Int, String) = {
+        val buf = new java.io.ByteArrayOutputStream()
+        val code = Cli.run(spark, args.toSeq,
+          new java.io.PrintStream(buf, true, "UTF-8"))
+        (code, new String(buf.toByteArray, "UTF-8"))
+      }
+      assert(cli("--archive", lake, "-d", "ds_a", "crawl", src.toString)._1 == 0)
+      // load-dataset publishes the entities sink when absent, then pushes
+      val (c1, o1) = cli("--archive", lake, "-d", "ds_a",
+        "aleph-load-dataset", "--host", host, "--api-key", "k1")
+      assert(c1 == 0, o1)
+      assert(o1.contains("\"resources\":1"))
+      val sent = MockAleph.bulks.toArray
+        .map(_.asInstanceOf[(String, List[Any])]).flatMap(_._2)
+      assert(sent.size == 2) // one FTM entity per crawled file
+      // memoized: identical content re-pushes nothing
+      val (c2, o2) = cli("--archive", lake, "-d", "ds_a",
+        "aleph-load-dataset", "--host", host, "--api-key", "k1")
+      assert(c2 == 0 && o2.contains("\"resources\":0"), o2)
+      // catalog sweep honors the exclude glob
+      val (c3, o3) = cli("--archive", lake, "aleph-load-catalog",
+        "--host", host, "--api-key", "k1", "--exclude", "ds_*")
+      assert(c3 == 0 && o3.contains("\"resources\":0"), o3)
+    }
+  }
+
   test("syncEntities pushes FTM batches over the bulk endpoint") {
     withServer { host =>
       val root = java.nio.file.Files.createTempDirectory("alephent").toString
