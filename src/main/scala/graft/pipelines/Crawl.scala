@@ -91,6 +91,47 @@ object Crawl {
   def skipExisting(candidates: DataFrame, existing: DataFrame): DataFrame =
     candidates.join(existing.select("key"), Seq("key"), "left_anti")
 
+  /** [[skipExisting]] with a broadcast Bloom pre-filter — the incremental
+    * re-crawl shape at lake scale, where the anti-join would shuffle EVERY
+    * candidate AND every archived key on every run. The existing key set
+    * aggregates once into a Bloom filter (Spark's native
+    * `BloomFilterAggregate`, tree-aggregated, driver holds only the bit
+    * array); candidates the filter rejects are DEFINITELY new and bypass
+    * the join entirely with zero shuffle, and only the `fpp` fraction of
+    * false-positive residue (plus true existing keys) goes through the
+    * exact anti-join. Result is IDENTICAL to [[skipExisting]] for any
+    * `fpp` — the filter only routes rows, it never decides membership.
+    *
+    * Everything stays native/codegen (`BloomFilterMightContain` over
+    * `xxhash64(key)` — the same machinery Spark's runtime row-level
+    * filtering injects; no UDF). Size the filter honestly: ~1.2 bytes/key
+    * at fpp=0.01, so 10⁸ archived keys broadcast ~120 MB; beyond that
+    * raise `fpp` (the residue join stays exact) or fall back to
+    * [[skipExisting]]. */
+  def skipExistingBloom(candidates: DataFrame, existing: DataFrame,
+                        expectedKeys: Long = 10000000L,
+                        fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val shim = org.apache.spark.sql.graft.ColumnShim
+    require(expectedKeys > 0 && fpp > 0 && fpp < 1)
+    // standard bits formula m = -n·ln(p)/ln(2)², clamped to [64 bits, 1 GiB]
+    val numBits = math.max(64L, math.min(
+      (-expectedKeys * math.log(fpp) / (math.log(2) * math.log(2))).toLong,
+      8L * 1024 * 1024 * 1024))
+    def keyHash = XxHash64(Seq(shim.expression(col("key"))), 42L)
+    val agg = new BloomFilterAggregate(keyHash,
+      Literal(expectedKeys), Literal(numBits)).toAggregateExpression()
+    val bytes = existing.select(shim.column(agg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (bytes == null) return candidates // empty existing set: all pass
+    val might = shim.column(new BloomFilterMightContain(
+      Literal(bytes, org.apache.spark.sql.types.BinaryType), keyHash))
+    candidates.filter(!might) // definitely new — never shuffles
+      .unionByName(candidates.filter(might)
+        .join(existing.select("key"), Seq("key"), "left_anti"))
+  }
+
   /** Read content and derive the new documents rows: checksum (F1), mimetype
     * guess, timestamps (F7). Executor-side streaming digest over Hadoop FS
     * (X3: bytes flow through a 64 KiB buffer into the digest and are never

@@ -59,6 +59,27 @@ class CrawlSpec extends SparkSpec {
     assert(second.isEmpty)
   }
 
+  test("skipExistingBloom is exactly skipExisting at any fpp (J2 at scale)") {
+    val keys = Crawl.listKeys(spark, srcDir)
+    // existing = every other key (sorted order), so both branches carry rows
+    val existing = keys.orderBy("key").limit(keys.count().toInt / 2)
+      .select("key")
+    val exact = Crawl.skipExisting(keys, existing)
+      .select("key").as[String].collect().toSet
+    // tight filter AND a deliberately terrible one (fpp=0.5: half the
+    // definitely-new keys routed through the residue join) — identical
+    // results; the filter routes rows, it never decides membership
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloom = Crawl.skipExistingBloom(keys, existing,
+          expectedKeys = 1000L, fpp = fpp)
+        .select("key").as[String].collect().toSet
+      assert(bloom == exact, s"fpp=$fpp")
+    }
+    // empty existing set: everything passes, no join at all
+    val none = Crawl.skipExistingBloom(keys, existing.limit(0))
+    assert(none.count() == keys.count())
+  }
+
   test("byte content round-trips through the binaryFile source") {
     // tests/test_archive.py:30-33: utf.txt content
     val content = spark.read.format("binaryFile")
