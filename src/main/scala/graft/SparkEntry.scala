@@ -465,6 +465,28 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"), TA.langId(col("text")).as("lang_pred"))),
 
+    "text_normalize" -> ((s, dir) =>
+      // canonical dedup-front-end normalization (lowercase → ascii class →
+      // whitespace collapse) — engine-portable regexes, full oracle
+      t(s, dir, "documents").select(
+        col("doc_id"), TA.normalizeText(col("text")).as("norm"))),
+
+    "text_mask_pii" -> ((s, dir) =>
+      // PII masking over synthesized-in-query contact strings (the corpus
+      // itself carries no emails/IPs): email → IP → long-number order
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TA.maskPii(concat(lit("contact u"), col("doc_id"),
+          lit("@ex.org ip 10.0.0.1 acct 12345678 t: "), col("text")))
+          .as("masked"))),
+
+    "corpus_sample_hash" -> ((s, dir) =>
+      // deterministic content-hash sample (corpus mixing): md5-threshold
+      // predicate, reproducible across engines/partitionings/runs
+      t(s, dir, "documents")
+        .filter(TA.sampleByHash(col("text"), 0.25))
+        .select("doc_id")),
+
     // --------------------------------------------------------- multimodal
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.asMedia(
@@ -853,6 +875,30 @@ object SparkEntry {
         | md5(array_to_string(list_sort(list_distinct(
         |   string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fingerprint
         |FROM w""".stripMargin,
+
+    "text_normalize" ->
+      """SELECT doc_id,
+        | trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |   '\s+', ' ', 'g')) AS norm
+        |FROM documents""".stripMargin,
+
+    "text_mask_pii" ->
+      """WITH t AS (SELECT doc_id,
+        |  'contact u' || CAST(doc_id AS VARCHAR) ||
+        |  '@ex.org ip 10.0.0.1 acct 12345678 t: ' || text AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        | regexp_replace(
+        |   regexp_replace(
+        |     regexp_replace(raw,
+        |       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |   '\b\d{7,}\b', '<NUM>', 'g') AS masked
+        |FROM t""".stripMargin,
+
+    "corpus_sample_hash" ->
+      """SELECT doc_id FROM documents
+        |WHERE substring(md5(text), 1, 8) < '40000000'""".stripMargin,
 
     "text_quality" ->
       """WITH b AS (SELECT doc_id, text,

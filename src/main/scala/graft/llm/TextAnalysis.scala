@@ -119,4 +119,43 @@ object TextAnalysis {
         .bitwiseOR(call_function("shiftrightunsigned", acc, lit(59)))
       rot.bitwiseXOR(xxhash64(w))
     })
+
+  // --------------------------------------------------------- normalization
+  /** Canonical text normalization for dedup/fingerprint front-ends:
+    * lowercase → strip everything outside `[a-z0-9 ]` → collapse runs of
+    * whitespace → trim. Pure built-in column ops (codegen'd, engine-
+    * portable regexes), deterministic at any scale. Aggressive by design —
+    * accented characters drop rather than fold, which is the documented
+    * trade-off of the ASCII-class approach. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** PII masking for training corpora: emails → `<EMAIL>`, dotted-quad
+    * IPs → `<IP>`, standalone runs of ≥7 digits (phone/account numbers) →
+    * `<NUM>`, applied in that order so an IP's octets are not re-masked
+    * as numbers. The patterns are the common-denominator RE2/Java subset,
+    * so the DuckDB oracle runs the identical expressions. */
+  def maskPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\b\\d{7,}\\b", "<NUM>")
+  }
+
+  // ------------------------------------------------------------- sampling
+  /** Deterministic content-hash sampling predicate for corpus mixing:
+    * keep a row iff the first 8 hex chars of `md5(key)` sort below the
+    * rate's hex threshold. Reproducible across engines, partitionings,
+    * and runs (no RNG, no per-partition seeds); sampling is by CONTENT,
+    * so identical documents land on the same side of the cut — the
+    * behavior corpus-mixing pipelines want. Lexicographic hex comparison
+    * is exactly uniform, and the same predicate is one line of ANSI SQL
+    * for the oracle. */
+  def sampleByHash(key: Column, rate: Double): Column = {
+    require(rate >= 0 && rate <= 1, s"rate $rate out of [0,1]")
+    val threshold = f"${math.round(rate * 0xffffffffL)}%08x"
+    substring(md5(key), 1, 8) < lit(threshold)
+  }
 }

@@ -71,4 +71,39 @@ class TextAnalysisSpec extends SparkSpec {
     val a2 = one[Long](TA.rollingHash(col("t")), "alpha beta gamma")
     assert(a == a2)
   }
+
+  test("normalizeText lowercases, strips non-alphanumerics, collapses space") {
+    assert(one[String](TA.normalizeText(col("t")),
+      "  Hello,   World! (v2.0) ") == "hello world v2 0")
+    assert(one[String](TA.normalizeText(col("t")), "Café—ole") == "caf ole")
+    assert(one[String](TA.normalizeText(col("t")), "...") == "")
+  }
+
+  test("maskPii masks emails, IPs, and long digit runs in the right order") {
+    assert(one[String](TA.maskPii(col("t")),
+      "mail jane.doe+x@corp.example.org now") == "mail <EMAIL> now")
+    assert(one[String](TA.maskPii(col("t")),
+      "from 192.168.10.1 port 8080") == "from <IP> port 8080")
+    assert(one[String](TA.maskPii(col("t")),
+      "acct 123456789 ok, pin 1234 kept") == "acct <NUM> ok, pin 1234 kept")
+    // the IP's octets must not be re-masked as numbers
+    assert(one[String](TA.maskPii(col("t")),
+      "a@b.co 10.0.0.1 99999999") == "<EMAIL> <IP> <NUM>")
+  }
+
+  test("sampleByHash is deterministic, content-keyed, and ~rate-sized") {
+    val docs = Tables.load(spark, sf0, "documents")
+    val n = docs.count().toDouble
+    val s1 = docs.filter(TA.sampleByHash(col("text"), 0.25))
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = docs.repartition(13).filter(TA.sampleByHash(col("text"), 0.25))
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2) // partitioning-independent
+    assert(math.abs(s1.size / n - 0.25) < 0.08, s"rate ${s1.size / n}")
+    // monotone: a larger rate strictly contains a smaller one
+    val s3 = docs.filter(TA.sampleByHash(col("text"), 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1.subsetOf(s3))
+    assert(docs.filter(TA.sampleByHash(col("text"), 0.0)).isEmpty)
+  }
 }
