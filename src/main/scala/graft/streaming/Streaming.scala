@@ -109,6 +109,28 @@ object Streaming {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup (first-writer-wins): pass each document through
+    * only on the FIRST occurrence of its content hash — across
+    * micro-batches AND restarts, because the seen-hash set lives in the
+    * state store under the query's checkpoint. Built on the engine's own
+    * streaming `dropDuplicates` (hash-keyed state, never content), the
+    * Spark-first counterpart of [[graft.llm.Dedup.exactAgainst]] for
+    * continuously-arriving corpora.
+    *
+    * Unbounded retention keeps every hash forever (exact dedup against
+    * all history — state is one small row per DISTINCT document). At
+    * 100 TB with high-churn streams, pass `watermark = Some((tsCol,
+    * delay))` to switch to `dropDuplicatesWithinWatermark`, which expires
+    * state once late data can no longer arrive — the standard
+    * bounded-state trade. */
+  def dedupStream(docs: DataFrame, hashCols: Seq[String] = Seq("content_hash"),
+                  watermark: Option[(String, String)] = None): DataFrame =
+    watermark match {
+      case Some((tsCol, delay)) =>
+        docs.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(hashCols)
+      case None => docs.dropDuplicates(hashCols)
+    }
+
   /** Run a streaming query to completion over the current backlog
     * (batch-incremental, `Trigger.AvailableNow`) into an in-memory table;
     * returns the result. Used by tests and local verification. */

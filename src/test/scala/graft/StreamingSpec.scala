@@ -39,6 +39,45 @@ class StreamingSpec extends SparkSpec {
     assert(diffLines.count(_.startsWith("+")) == 1) // only three.txt added
   }
 
+  test("streaming dedup emits each content hash exactly once across runs") {
+    val drop = java.nio.file.Files.createTempDirectory("graft-dedup-drop")
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-dedup-ck").toString
+    def put(name: String, content: String): Unit =
+      java.nio.file.Files.write(drop.resolve(name), content.getBytes("UTF-8"))
+    val outDir = java.nio.file.Files.createTempDirectory("graft-dedup-out").toString
+    def run(): Set[(String, String)] = {
+      val stream = spark.readStream.format("binaryFile")
+        .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+        .load(drop.toString)
+        .select(regexp_replace(col("path"), "^.*/", "").as("name"),
+          sha1(col("content")).as("content_hash"))
+      val q = Streaming.dedupStream(stream)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).select("name", "content_hash")
+        .as[(String, String)].collect().toSet
+    }
+    put("a.txt", "same bytes")
+    put("b.txt", "same bytes") // intra-batch duplicate
+    put("c.txt", "unique")
+    val round1 = run()
+    assert(round1.map(_._2).size == 2, s"round1=$round1") // one per hash
+    assert(round1.map(_._1).subsetOf(Set("a.txt", "b.txt", "c.txt")))
+
+    // new files: one duplicates round 1's content — the state store
+    // remembers it across the restart; only the genuinely new one passes
+    put("d.txt", "same bytes")
+    put("e.txt", "brand new")
+    val round2 = run()
+    assert((round2 -- round1).map(_._1) == Set("e.txt"),
+      s"delta=${round2 -- round1}")
+  }
+
   test("streaming hourly window equals the batch plan (availableNow)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-st").toString
     // the file stream source needs a directory; stage the single-file table
