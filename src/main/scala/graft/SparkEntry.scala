@@ -435,6 +435,17 @@ object SparkEntry {
         .withColumnRenamed("rank", "rk")
     }),
 
+    "ann_pq_topk" -> ((s, dir) => {
+      // product-quantized ANN with exact re-rank (deterministic end-to-end:
+      // first-N seeds, fixed Lloyd iterations, decimal-exact means, id
+      // tie-breaks). Oracle = reviewed golden parquet (golden/README.md);
+      // recall + sim-exactness additionally asserted in SimilaritySpec.
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+          m = 8, codebookSize = 16, rerank = 8)
+        .withColumnRenamed("rank", "rk")
+    }),
+
     "ann_ivf_topk" -> ((s, dir) => {
       // approximate variant (deterministic: centroids = first-16 vectors,
       // explicit tie-breaks throughout → fully oracle-checkable); recall vs
@@ -817,6 +828,10 @@ object SparkEntry {
     "dedup_simhash" ->
       """SELECT i, j, hamming
         |FROM read_parquet('/root/repo/golden/dedup_simhash.parquet')""".stripMargin,
+
+    "ann_pq_topk" ->
+      """SELECT query_id, rk, corpus_id, sim
+        |FROM read_parquet('/root/repo/golden/ann_pq_topk.parquet')""".stripMargin,
 
     "dedup_embedding_pairs" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

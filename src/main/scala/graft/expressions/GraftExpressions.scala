@@ -107,6 +107,47 @@ object GraftExpressions {
     override def prettyName: String = "graft_cosine"
   }
 
+  /** Squared L2 distance of two double arrays in one pass (the product-
+    * quantization training/assignment metric — cosine is wrong for
+    * SUBvectors, whose per-subspace norms carry real information). Same
+    * inline-codegen treatment as [[CosineSimilarity]]. */
+  case class L2DistanceSq(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = $a.getDouble($i) - $b.getDouble($i);
+           |  $acc += $d * $d;
+           |}
+           |${ev.value} = $acc;
+           |""".stripMargin
+      })
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = x.getDouble(i) - y.getDouble(i)
+        acc += d * d
+        i += 1
+      }
+      java.lang.Double.valueOf(acc)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def prettyName: String = "graft_l2sq"
+  }
+
   /** Exact Jaccard similarity of two string arrays (sorted-merge free:
     * hash-set intersection in one pass). */
   case class JaccardSimilarity(left: Expression, right: Expression)
@@ -340,6 +381,8 @@ object GraftExpressions {
     toCol(MinHashSignature(expr(shingles), k))
   def cosineSimilarity(a: Column, b: Column): Column =
     toCol(CosineSimilarity(expr(a), expr(b)))
+  def l2DistanceSq(a: Column, b: Column): Column =
+    toCol(L2DistanceSq(expr(a), expr(b)))
   def jaccardSimilarity(a: Column, b: Column): Column =
     toCol(JaccardSimilarity(expr(a), expr(b)))
   def pairCombinations(bucket: Column): Column =

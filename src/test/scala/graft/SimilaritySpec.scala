@@ -109,6 +109,40 @@ class SimilaritySpec extends SparkSpec {
     assert(a.map(_._1).toSeq == (0L until 16L))
   }
 
+  test("PQ: codes compress to m small ids and encoding is deterministic") {
+    val books = Similarity.pqTrain(emb, m = 8, k = 16, iters = 2)
+    assert(books.count() == 8 * 16)
+    val codes = Similarity.pqEncode(emb, books)
+      .orderBy("id").as[(Long, Seq[Long])].collect()
+    assert(codes.length == emb.count())
+    assert(codes.forall(_._2.length == 8)) // 64 floats → 8 codes
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < 16)))
+    val again = Similarity.pqEncode(emb.repartition(5), books)
+      .orderBy("id").as[(Long, Seq[Long])].collect()
+    assert(codes.toSeq == again.toSeq) // partitioning-independent
+  }
+
+  test("PQ top-k with exact re-rank recalls most true neighbors") {
+    val queries = emb.filter($"vec_id" < 15)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(emb, queries, k = 10, m = 8,
+        codebookSize = 16, rerank = 8)
+      .select("query_id", "rank", "corpus_id", "sim")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(pq.length == 150) // k rows per query
+    val recall = exact.count(pq.map(r => (r._1, r._3)).toSet.contains)
+      .toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+    // re-ranked sims are EXACT cosines: spot-check one against brute force
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "corpus_id", "sim")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    pq.foreach { case (q, _, c, s) =>
+      bf.get((q, c)).foreach(exactSim => assert(exactSim == s)) }
+  }
+
   test("hyperplane LSH buckets group cosine-similar vectors") {
     val df = Seq(
       (1L, Array.fill(8)(1.0f)),
