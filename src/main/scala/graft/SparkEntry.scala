@@ -407,6 +407,14 @@ object SparkEntry {
         n = 3, threshold = 0.5)
     }),
 
+    "dedup_embedding_incremental" -> ((s, dir) => {
+      // cross-corpus embedding near-dup (auto mode: exact small-side cross
+      // at this SF, bipartite hyperplane-LSH above the cutover)
+      val emb = t(s, dir, "embeddings")
+      Dedup.embeddingNearDupAgainst(emb.filter(col("vec_id") % 7 === 0),
+        emb.filter(col("vec_id") % 7 =!= 0), threshold = 0.4)
+    }),
+
     "dedup_minhash_lsh" -> ((s, dir) =>
       // oracle = reviewed golden-pair parquet (golden/README.md); recall vs
       // exact Jaccard additionally asserted in DedupSpec
@@ -841,6 +849,16 @@ object SparkEntry {
         |         sqrt(list_sum([b.v[k] * b.v[k] for k in range(1, 65)]))) AS sim
         |      FROM c a CROSS JOIN c b WHERE a.vec_id < b.vec_id)
         |SELECT i, j, round(sim, 6) AS sim FROM s WHERE sim >= 0.5""".stripMargin,
+
+    "dedup_embedding_incremental" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT a.vec_id AS i, b.vec_id AS j,
+        |        list_sum([a.v[k] * b.v[k] for k in range(1, 65)]) /
+        |        (sqrt(list_sum([a.v[k] * a.v[k] for k in range(1, 65)])) *
+        |         sqrt(list_sum([b.v[k] * b.v[k] for k in range(1, 65)]))) AS sim
+        |      FROM c a CROSS JOIN c b
+        |      WHERE a.vec_id % 7 = 0 AND b.vec_id % 7 != 0)
+        |SELECT i, j, round(sim, 6) AS sim FROM s WHERE sim >= 0.4""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

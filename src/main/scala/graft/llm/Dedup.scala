@@ -216,6 +216,49 @@ object Dedup {
       .select("i", "j", "est_jaccard")
   }
 
+  /** Embedding-cosine near-dup of a NEW batch against an EXISTING corpus
+    * (the vector counterpart of [[jaccardPairsAgainst]]): candidate pairs
+    * come from a BIPARTITE hyperplane-LSH bucket join — both sides sign
+    * with the same deterministic hyperplanes, buckets join new×corpus
+    * only — then exact cosine verifies ≥ threshold, so there are never
+    * false pairs and corpus self-pairs never exist. Corpora up to
+    * `autoLshMinRows` skip LSH and verify the full new×corpus cross
+    * directly (exact small-side mode, same auto contract as
+    * [[embeddingNearDup]]). Returns (i = new id, j = corpus id, sim). */
+  def embeddingNearDupAgainst(newDf: DataFrame, corpus: DataFrame,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding",
+                              threshold: Double = 0.9,
+                              useLsh: Option[Boolean] = None,
+                              nPlanes: Int = 12, nTables: Int = 8,
+                              autoLshMinRows: Long = 20000L): DataFrame = {
+    import graft.expressions.GraftExpressions.cosineSimilarity
+    val nv = newDf.select(col(idCol).as("i"),
+      col(vecCol).cast("array<double>").as("va"))
+    val cv = corpus.select(col(idCol).as("j"),
+      col(vecCol).cast("array<double>").as("vb"))
+    val lsh = useLsh.getOrElse {
+      if (autoLshMinRows + 1 > Int.MaxValue.toLong)
+        corpus.count() > autoLshMinRows
+      else corpus.limit((autoLshMinRows + 1).toInt).count() > autoLshMinRows
+    }
+    val cands =
+      if (!lsh) nv.select("i").crossJoin(cv.select("j"))
+      else {
+        def signed(df: DataFrame, out: String) = df.select(col(out), posexplode(
+            graft.expressions.GraftExpressions.hyperplaneSignatures(
+              col(if (out == "i") "va" else "vb"), nPlanes, nTables))
+          .as(Seq("table", "sig")))
+        signed(nv, "i").join(signed(cv, "j"), Seq("table", "sig"))
+          .select("i", "j").distinct()
+      }
+    cands.filter(col("i") =!= col("j"))
+      .join(nv, "i").join(cv, "j")
+      .select(col("i"), col("j"), cosineSimilarity(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("i"), col("j"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Greedy cluster-to-representative reduction of a pair list: every doc
     * connected to a smaller id is dropped (one pass — for full transitive
     * closure iterate [[connectedComponents]]). */

@@ -154,6 +154,26 @@ class DedupSpec extends SparkSpec {
     assert(viaPre == lsh)
   }
 
+  test("cross-corpus embedding near-dup: exact split-equivalence, LSH subset") {
+    val emb = Tables.load(spark, sf0, "embeddings")
+    val newV = emb.filter($"vec_id" % 7 === 0)
+    val corpus = emb.filter($"vec_id" % 7 =!= 0)
+    // exact cross mode equals the full self-pairs restricted to the split
+    val cross = Dedup.embeddingNearDupAgainst(newV, corpus, threshold = 0.4,
+        useLsh = Some(false))
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val full = Dedup.embeddingNearDup(emb, threshold = 0.4)
+      .select("i", "j").as[(Long, Long)].collect()
+    val expected = full.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (i, j) => i % 7 == 0 && j % 7 != 0 }.toSet
+    assert(cross == expected)
+    // bipartite LSH verifies with the same exact cosine ⇒ subset, no false pairs
+    val lsh = Dedup.embeddingNearDupAgainst(newV, corpus, threshold = 0.4,
+        useLsh = Some(true), nPlanes = 6)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(cross))
+  }
+
   test("minhash signature estimate approximates true Jaccard") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
     assert(sigs.select(size($"signature")).distinct().as[Int].head() == 64)
