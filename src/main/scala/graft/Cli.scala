@@ -299,11 +299,23 @@ object Cli {
         } else arch.datasetNames.map(arch.dataset(_))
       val resources = graft.pipelines.AlephSync.entityResources(arch.spark,
         targets.map(d => d.name -> s"${d.metaRoot}/entities.ftm.json"))
-      val foreignId = flagVal2("--foreign-id")
-        .getOrElse(targets.headOption.map(_.name).getOrElse("catalog"))
-      val conn = new AlephHttpConnector(host, apiKey, foreignId)
-      val st = graft.pipelines.AlephSync.syncEntities(arch.spark, resources,
-        s"${arch.root}/.graft_aleph_ledger", conn,
+      // one Aleph collection PER DATASET by default — the reference's
+      // load_catalog creates a per-dataset worker whose foreign_id
+      // defaults to that dataset's own name (connectors/aleph.py:117);
+      // --foreign-id forces everything into one named collection instead
+      val connectorFor: String => graft.pipelines.AlephConnector =
+        flagVal2("--foreign-id") match {
+          case Some(fid) =>
+            val shared = new AlephHttpConnector(host, apiKey, fid)
+            _ => shared
+          case None =>
+            val cache =
+              scala.collection.mutable.Map.empty[String, AlephHttpConnector]
+            name => cache.getOrElseUpdate(name,
+              new AlephHttpConnector(host, apiKey, name))
+        }
+      val st = graft.pipelines.AlephSync.syncEntitiesEach(arch.spark, resources,
+        s"${arch.root}/.graft_aleph_ledger", connectorFor,
         url => arch.spark.read.textFile(url).toDF(),
         includeDataset = flagVal2("--include"),
         excludeDataset = flagVal2("--exclude"))

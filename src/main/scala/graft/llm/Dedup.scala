@@ -252,7 +252,11 @@ object Dedup {
         signed(nv, "i").join(signed(cv, "j"), Seq("table", "sig"))
           .select("i", "j").distinct()
       }
-    cands.filter(col("i") =!= col("j"))
+    // no i =!= j filter: newDf and corpus are independent tables, so equal
+    // ids across them are legitimate cross pairs (e.g. a re-ingested doc
+    // keyed by a stable id) — matching exactAgainst/jaccardPairsAgainst/
+    // minhashLshAgainst; the bipartite join already prevents self-pairs
+    cands
       .join(nv, "i").join(cv, "j")
       .select(col("i"), col("j"), cosineSimilarity(col("va"), col("vb")).as("sim"))
       .filter(col("sim") >= threshold)

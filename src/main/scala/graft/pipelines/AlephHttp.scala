@@ -176,14 +176,16 @@ final class AlephHttpConnector(
             Thread.sleep(if (retryAfter >= 0) retryAfter
               else backoffMs << (attempt - 1))
         } else {
-          throw new java.io.IOException(
+          throw new AlephHttpConnector.ClientError(
             s"HTTP $code from $url: ${resp.body().take(500)}")
         }
       } catch {
-        case e: java.io.IOException if !e.getMessage.startsWith("HTTP 4") =>
+        case e: AlephHttpConnector.ClientError => throw e
+        case e: InterruptedException => throw e
+        case e: java.io.IOException =>
+          // transient (connect/socket-level errors may carry null messages)
           lastErr = e
           if (attempt < maxAttempts) Thread.sleep(backoffMs << (attempt - 1))
-        case e: InterruptedException => throw e
       }
     }
     throw new java.io.IOException(
@@ -192,6 +194,12 @@ final class AlephHttpConnector(
 }
 
 object AlephHttpConnector {
+  /** Non-retryable request failure (4xx other than 429): the server
+    * understood and rejected the request, so retrying cannot help —
+    * distinguished by type, not by message prefix, because transient
+    * IOExceptions (connect/socket) may carry null messages. */
+  final class ClientError(msg: String) extends java.io.IOException(msg)
+
   /** Default blob opener: metadata-only uploads. */
   val NoBlobs: (String, String) => Option[Array[Byte]] =
     new ((String, String) => Option[Array[Byte]]) with Serializable {

@@ -181,10 +181,14 @@ object AlephSync {
   /** Build the FTM resource table for published entity sinks — the analog
     * of iterating a catalog's resources (aleph_entities.py:83-88): one row
     * per (dataset, entities-sink path) that exists, with an
-    * ORDER-INDEPENDENT content checksum (bit_xor of per-line xxhash64)
-    * keying the ledger memoization, so re-publishing identical entities
-    * (in any partition order) stays a no-op while any content change
-    * invalidates the resource. */
+    * ORDER-INDEPENDENT but DUPLICATE-SENSITIVE content checksum
+    * (2^64-wrapping sum of per-line xxhash64, plus the line count) keying
+    * the ledger memoization, so re-publishing identical entities (in any
+    * partition order) stays a no-op while any content change invalidates
+    * the resource. Sum, not xor: xor cancels pairwise, so adding/removing
+    * an even number of identical lines (duplicate FTM fragments are
+    * realistic) would leave an xor checksum unchanged — {A,A,B} must not
+    * checksum equal to {B}. */
   def entityResources(spark: SparkSession,
                       sinks: Seq[(String, String)]): DataFrame = {
     import spark.implicits._
@@ -193,11 +197,18 @@ object AlephSync {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) None
       else {
-        val chk = spark.read.textFile(path).toDF("line")
+        // decimal(38,0) sum cannot overflow below ~1e18 lines and keeps
+        // the aggregate ANSI-safe; wrap to 64 bits driver-side
+        val agg = spark.read.textFile(path).toDF("line")
           .filter(length(trim(col("line"))) > 0)
-          .agg(coalesce(expr("bit_xor(xxhash64(line))"), lit(0L)))
-          .as[Long].head()
-        Some((dataset, path, FtmMimeType, f"$chk%016x"))
+          .agg(
+            coalesce(sum(xxhash64(col("line")).cast("decimal(38,0)")),
+              lit(0).cast("decimal(38,0)")).as("s"),
+            count(lit(1)).as("n"))
+          .head()
+        val wrapped = agg.getDecimal(0).toBigInteger
+          .mod(java.math.BigInteger.ONE.shiftLeft(64)).longValue()
+        Some((dataset, path, FtmMimeType, f"$wrapped%016x-${agg.getLong(1)}%x"))
       }
     }
     rows.toDF("dataset", "url", "mime_type", "checksum")
@@ -220,7 +231,22 @@ object AlephSync {
                    readEntities: String => DataFrame,
                    includeDataset: Option[String] = None,
                    excludeDataset: Option[String] = None,
-                   batchSize: Int = 1000): AlephEntitiesStatus = {
+                   batchSize: Int = 1000): AlephEntitiesStatus =
+    syncEntitiesEach(spark, resources, ledgerPath, _ => connector,
+      readEntities, includeDataset, excludeDataset, batchSize)
+
+  /** [[syncEntities]] with a dataset→connector factory: the reference's
+    * `load_catalog` creates one worker PER DATASET whose foreign_id
+    * defaults to that dataset's own name (connectors/aleph.py:117), i.e.
+    * one Aleph collection per dataset — so a catalog sweep must be able
+    * to route each dataset's entities through its own connector. */
+  def syncEntitiesEach(spark: SparkSession, resources: DataFrame,
+                       ledgerPath: String,
+                       connectorFor: String => AlephConnector,
+                       readEntities: String => DataFrame,
+                       includeDataset: Option[String] = None,
+                       excludeDataset: Option[String] = None,
+                       batchSize: Int = 1000): AlephEntitiesStatus = {
     import spark.implicits._
     val selected = resources
       .filter(col("mime_type") === FtmMimeType)
@@ -238,6 +264,7 @@ object AlephSync {
           col("task_key") === checksum)
         .limit(1).count() > 0
       if (!done) {
+        val connector = connectorFor(dataset)
         val lines = readEntities(url)
         val sent = spark.sparkContext.longAccumulator(s"aleph_entities_$checksum")
         Entities.foreachBatch(lines.toDF(), batchSize) { batch =>

@@ -228,7 +228,16 @@ object Crawl {
       "mdb" -> "application/msaccess",
       "zip" -> "application/zip", "tar" -> "application/x-tar",
       "7z" -> "application/x-7z-compressed", "rar" -> "application/vnd.rar",
-      "mp4" -> "video/mp4", "m4a" -> "audio/mp4")
+      "mp4" -> "video/mp4", "m4a" -> "audio/mp4",
+      // deliberate octet-stream pins (reference-fixture parity,
+      // .leakrfc/documents.csv): these extensions must NOT fall through to
+      // the content sniff — e.g. the first chunk of a split 7z (`.001`)
+      // carries the 7z magic, and `.ical` text would sniff as calendar.
+      "msg" -> "application/octet-stream",
+      "pst" -> "application/octet-stream",
+      "ical" -> "application/octet-stream",
+      "emlx" -> "application/octet-stream",
+      "001" -> "application/octet-stream")
     m.foldLeft(lit(null).cast("string")) { case (acc, (e, mt)) =>
       when(ext === e, lit(mt)).otherwise(acc)
     }

@@ -289,6 +289,92 @@ class AlephHttpSpec extends SparkSpec {
     }
   }
 
+  test("load-catalog routes each dataset to its own collection (aleph.py:117)") {
+    withServer { host =>
+      val lake = java.nio.file.Files.createTempDirectory("aleph-cat").toString
+      def cli(args: String*): (Int, String) = {
+        val buf = new java.io.ByteArrayOutputStream()
+        val code = Cli.run(spark, args.toSeq,
+          new java.io.PrintStream(buf, true, "UTF-8"))
+        (code, new String(buf.toByteArray, "UTF-8"))
+      }
+      for (ds <- Seq("cat_a", "cat_b")) {
+        val src = java.nio.file.Files.createTempDirectory(s"src-$ds")
+        java.nio.file.Files.write(src.resolve(s"$ds.txt"),
+          ds.getBytes("UTF-8"))
+        assert(cli("--archive", lake, "-d", ds, "crawl", src.toString)._1 == 0)
+        assert(cli("--archive", lake, "-d", ds,
+          "aleph-load-dataset", "--host", host, "--api-key", "k1")._1 == 0)
+      }
+      // one collection PER DATASET, foreign_id = dataset name — the
+      // reference's load_catalog default (connectors/aleph.py:117)
+      assert(MockAleph.collections.containsKey("cat_a"), "no cat_a collection")
+      assert(MockAleph.collections.containsKey("cat_b"), "no cat_b collection")
+      val colOf = Map(
+        "cat_a" -> MockAleph.collections.get("cat_a"),
+        "cat_b" -> MockAleph.collections.get("cat_b"))
+      assert(colOf("cat_a") != colOf("cat_b"))
+      // catalog sweep (fresh ledger root) without --foreign-id keeps the
+      // per-dataset routing: each dataset's entities hit its own collection
+      val lake2 = java.nio.file.Files.createTempDirectory("aleph-cat2").toString
+      for (ds <- Seq("cat_a", "cat_b")) {
+        val src = java.nio.file.Files.createTempDirectory(s"src2-$ds")
+        java.nio.file.Files.write(src.resolve(s"$ds.txt"), ds.getBytes("UTF-8"))
+        assert(cli("--archive", lake2, "-d", ds, "crawl", src.toString)._1 == 0)
+        new graft.GraftArchive(spark, lake2).dataset(ds).writeEntities()
+      }
+      MockAleph.bulks.clear()
+      val (cc, oc) = cli("--archive", lake2, "aleph-load-catalog",
+        "--host", host, "--api-key", "k1")
+      assert(cc == 0 && oc.contains("\"resources\":2"), oc)
+      val hit = MockAleph.bulks.toArray
+        .map(_.asInstanceOf[(String, List[Any])]._1).toSet
+      assert(hit == Set(colOf("cat_a"), colOf("cat_b")),
+        s"bulk writes hit $hit, expected per-dataset collections $colOf")
+      // forcing --foreign-id still funnels everything into one collection
+      val lake3 = java.nio.file.Files.createTempDirectory("aleph-cat3").toString
+      for (ds <- Seq("cat_a", "cat_b")) {
+        val src = java.nio.file.Files.createTempDirectory(s"src3-$ds")
+        java.nio.file.Files.write(src.resolve(s"$ds.txt"), ds.getBytes("UTF-8"))
+        assert(cli("--archive", lake3, "-d", ds, "crawl", src.toString)._1 == 0)
+        new graft.GraftArchive(spark, lake3).dataset(ds).writeEntities()
+      }
+      MockAleph.bulks.clear()
+      val (cf, of) = cli("--archive", lake3, "aleph-load-catalog",
+        "--host", host, "--api-key", "k1", "--foreign-id", "one_pot")
+      assert(cf == 0 && of.contains("\"resources\":2"), of)
+      val hitF = MockAleph.bulks.toArray
+        .map(_.asInstanceOf[(String, List[Any])]._1).toSet
+      assert(hitF == Set(MockAleph.collections.get("one_pot")), s"$hitF")
+    }
+  }
+
+  test("connect-level failures (possibly null-message IOExceptions) retry, not NPE") {
+    // a raw socket that accepts and immediately resets produces low-level
+    // IOExceptions from java.net.http; the retry loop must classify them
+    // as transient by TYPE (not by message prefix — messages can be null)
+    val srv = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val killer = new Thread(() => {
+      try while (true) srv.accept().close()
+      catch { case _: java.io.IOException => () }
+    })
+    killer.setDaemon(true); killer.start()
+    try {
+      val conn = new AlephHttpConnector(
+        s"http://127.0.0.1:${srv.getLocalPort}", "k1", "ds_reset",
+        maxAttempts = 3, backoffMs = 1)
+      val e = intercept[java.io.IOException] {
+        conn.createFolder("f", None)
+      }
+      // exhausted retries: the wrapper carries the transient cause — the
+      // old message-prefix guard NPE'd here when getMessage was null
+      assert(e.getMessage.contains("failed after 3 attempts"), e.toString)
+      assert(e.getCause != null)
+      assert(!e.getCause.isInstanceOf[NullPointerException])
+    } finally srv.close()
+  }
+
   test("syncEntities pushes FTM batches over the bulk endpoint") {
     withServer { host =>
       val root = java.nio.file.Files.createTempDirectory("alephent").toString

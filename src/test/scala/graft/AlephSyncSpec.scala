@@ -137,4 +137,27 @@ class AlephSyncSpec extends SparkSpec {
     assert(st2 == graft.pipelines.AlephEntitiesStatus(0, 0))
     assert(AlephRecorder.batchSizes.isEmpty)
   }
+
+  test("resource checksum is order-independent but duplicate-sensitive") {
+    // xor-of-hashes cancels pairwise ({A,A,B} == {B}); the wrapping-sum
+    // + count checksum must distinguish those while staying invariant to
+    // partition/line order (ledger memoization keys on it)
+    val root = java.nio.file.Files.createTempDirectory("alephchk")
+    def sink(name: String, lines: String*): (String, String) = {
+      val p = root.resolve(name)
+      java.nio.file.Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+      (name, p.toString)
+    }
+    val sinks = Seq(
+      sink("just_b.json", """{"id":"B"}"""),
+      sink("aab.json", """{"id":"A"}""", """{"id":"A"}""", """{"id":"B"}"""),
+      sink("baa.json", """{"id":"B"}""", """{"id":"A"}""", """{"id":"A"}"""),
+      sink("ab.json", """{"id":"A"}""", """{"id":"B"}"""))
+    val chk = AlephSync.entityResources(spark, sinks)
+      .select("dataset", "checksum").as[(String, String)].collect().toMap
+    assert(chk("aab.json") == chk("baa.json"), "order must not matter")
+    assert(chk("aab.json") != chk("just_b.json"),
+      "duplicate pair must not cancel out of the checksum")
+    assert(chk("aab.json") != chk("ab.json"), "multiplicity must count")
+  }
 }

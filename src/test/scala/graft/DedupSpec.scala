@@ -174,6 +174,18 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(cross))
   }
 
+  test("cross-corpus embedding near-dup keeps equal-id cross pairs") {
+    // newDf and corpus are independent tables: a re-ingested doc keyed by a
+    // stable id is a legitimate cross pair and must not be dropped (the
+    // against-family contract — exactAgainst/jaccardPairsAgainst keep them)
+    val emb = Tables.load(spark, sf0, "embeddings")
+    val one = emb.filter($"vec_id" === 0)
+    val sameId = Dedup.embeddingNearDupAgainst(one, one, threshold = 0.99,
+        useLsh = Some(false))
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(sameId == Set((0L, 0L)), s"equal-id cross pair dropped: $sameId")
+  }
+
   test("minhash signature estimate approximates true Jaccard") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
     assert(sigs.select(size($"signature")).distinct().as[Int].head() == 64)

@@ -67,6 +67,25 @@ class ReferenceArchiveSpec extends SparkSpec {
     assert(mismatches.isEmpty, s"mismatches: ${mismatches.toSeq}")
   }
 
+  test("CRAWL path keeps the octet-stream pins — sniff must not override them") {
+    // the full crawl mimetype is coalesce(extension, sniff, octet-stream);
+    // these extensions are deliberate octet-stream pins in the extension
+    // map, because a pure content sniff WOULD classify some of them
+    // (event.ical is calendar text; 500_pages.7z.001 carries the 7z
+    // magic) and diverge from the reference-pinned documents.csv values
+    val srcDir = "/root/reference/tests/fixtures/src"
+    val pinned = Set("event.ical", "500_pages.7z.001", "fnf.msg",
+      "piste.msg", "plaintext.emlx", "richtext.emlx", "testPST.pst")
+    val keys = graft.pipelines.Crawl.listKeys(spark, srcDir)
+      .filter($"key".isin(pinned.toSeq: _*))
+    val crawled = graft.pipelines.Crawl
+      .hashAndDescribe(spark, srcDir, keys)
+      .select("key", "mimetype").as[(String, String)].collect().toMap
+    assert(crawled.keySet == pinned, s"missing fixtures: $crawled")
+    val wrong = crawled.filter(_._2 != "application/octet-stream")
+    assert(wrong.isEmpty, s"sniff overrode pinned octet-stream: $wrong")
+  }
+
   test("ReferenceLakeReader reads the reference lake in place (keys, blobs, lookup)") {
     val reader = new graft.core.ReferenceLakeReader(spark,
       "/root/reference/tests/fixtures/archive")
