@@ -370,6 +370,72 @@ object GraftExpressions {
     override def prettyName: String = "graft_hyperplane_signatures"
   }
 
+  /** All `m` per-subspace nearest-codeword ids of a product-quantized
+    * vector in ONE compiled pass: subspace s covers dims [s·w, (s+1)·w);
+    * its assignment is the codeword minimizing squared L2 distance over
+    * that slice, ties to the LOWEST centroid id. The codebooks are a
+    * driver-side constant baked into the expression (m·k·w doubles —
+    * trivially small at any corpus scale), so PQ encode is a map-only
+    * projection: no explode, join, window, or shuffle touches the corpus.
+    * An expression-level unrolling of the same argmin (m·k inlined
+    * distance subtrees) overflowed janino's method limit inside the fused
+    * aggregate stage; this runtime loop keeps the generated code one call.
+    * Distance accumulation order matches [[L2DistanceSq]] exactly.
+    */
+  case class PqAssign(child: Expression, books: Seq[(Int, Long, Seq[Double])])
+      extends UnaryExpression {
+    require(books.nonEmpty, "empty codebooks")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    // [sub][codeword] parallel id/vector arrays, codewords in ascending
+    // centroid-id order so first-strict-minimum == lowest-id tie-break
+    @transient private lazy val bySub: Array[(Array[Long], Array[Array[Double]])] = {
+      val m = books.map(_._1).max + 1
+      Array.tabulate(m) { s =>
+        val rows = books.filter(_._1 == s).sortBy(_._2)
+        require(rows.nonEmpty, s"no codewords for subspace $s")
+        (rows.map(_._2).toArray, rows.map(_._3.toArray).toArray)
+      }
+    }
+    def assign(v: ArrayData): ArrayData = {
+      val m = bySub.length
+      val out = new Array[Long](m)
+      var s = 0
+      while (s < m) {
+        val (cids, words) = bySub(s)
+        val w = words(0).length
+        val off = s * w
+        val n = math.min(w, math.max(0, v.numElements() - off))
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < words.length) {
+          val cw = words(c)
+          var acc = 0.0
+          var i = 0
+          while (i < n) {
+            val d = v.getDouble(off + i) - cw(i)
+            acc += d * d
+            i += 1
+          }
+          if (acc < bestD) { bestD = acc; best = c }
+          c += 1
+        }
+        out(s) = cids(best)
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+    override def nullSafeEval(input: Any): Any =
+      assign(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqBooks", this)
+      defineCodeGen(ctx, ev, c => s"$ref.assign($c)")
+    }
+    override protected def withNewChildInternal(c: Expression): PqAssign =
+      copy(child = c)
+    override def prettyName: String = "graft_pq_assign"
+  }
+
   // ------------------------------------------------------- Column surface
   private def expr(c: Column): Expression =
     org.apache.spark.sql.graft.ColumnShim.expression(c)
@@ -395,6 +461,8 @@ object GraftExpressions {
     toCol(SignatureAgreement(expr(a), expr(b)))
   def hyperplaneSignatures(vec: Column, nPlanes: Int, nTables: Int): Column =
     toCol(HyperplaneSignatures(expr(vec.cast("array<double>")), nPlanes, nTables))
+  def pqAssign(vec: Column, books: Seq[(Int, Long, Seq[Double])]): Column =
+    toCol(PqAssign(expr(vec), books))
 
   /** Register all graft expressions for SQL use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

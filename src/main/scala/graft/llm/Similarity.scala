@@ -192,42 +192,46 @@ object Similarity {
               vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val dim = corpus.select(size(asDouble(col(vecCol)))).limit(1)
-      .collect()(0).getInt(0)
+    pqTrainArrays(corpus, m, k, iters, idCol, vecCol)._2.toSeq
+      .toDF("sub", "centroid_id", "centroid")
+  }
+
+  /** Joint Lloyd training of all m sub-codebooks, returning (subspace
+    * width, rows). Semantics per subspace are identical to
+    * trainCentroids(metric="l2"): first-N seeds, decimal-exact means, id
+    * tie-breaks, empty cells persist — bit-stable across partitionings.
+    * Each iteration is ONE map-only assignment pass (the compiled
+    * [[graft.expressions.GraftExpressions.PqAssign]] argmin — codebooks
+    * are a broadcast-by-construction driver constant) feeding a
+    * partially-aggregated (sub, centroid, dim) mean — the per-(id,sub)
+    * row_number window the first formulation used shuffled the whole
+    * exploded corpus every iteration. */
+  private def pqTrainArrays(corpus: DataFrame, m: Int, k: Int, iters: Int,
+                            idCol: String, vecCol: String)
+      : (Int, Array[(Int, Long, Seq[Double])]) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val dim = c.select(size(col("v"))).limit(1).collect()(0).getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val w = dim / m
-    // ALL subspaces train jointly — one assignment pass and one mean pass
-    // per Lloyd iteration over the exploded (id, sub, subvector) table,
-    // instead of m independent trainings (which would serialize m×iters
-    // driver round-trips; measured 5× slower end-to-end). Semantics per
-    // subspace are identical to trainCentroids(metric="l2"): first-N
-    // seeds, decimal-exact means, id tie-breaks, empty cells persist.
-    val subs = corpus.select(col(idCol).as("id"), posexplode(
-        array((0 until m).map(s =>
-          slice(asDouble(col(vecCol)), s * w + 1, w)): _*))
-      .as(Seq("sub", "sv")))
-    val seedRows = corpus.orderBy(col(idCol)).limit(k)
-      .select(asDouble(col(vecCol))).as[Seq[Double]].collect()
+    val seedRows = c.orderBy(col("id")).limit(k)
+      .select(col("v")).as[Seq[Double]].collect()
     var current: Array[(Int, Long, Seq[Double])] =
       (for (sub <- 0 until m; (v, i) <- seedRows.zipWithIndex)
         yield (sub, i.toLong, v.slice(sub * w, sub * w + w): Seq[Double])).toArray
     var it = 0
     while (it < iters) {
-      val centsDf = current.toSeq.toDF("sub", "centroid_id", "centroid")
-      val scored = subs.join(broadcast(centsDf), "sub")
-        .select(col("id"), col("sub"), col("sv"), col("centroid_id"),
-          graft.expressions.GraftExpressions.l2DistanceSq(col("sv"), col("centroid"))
-            .as("d2"))
-      val win = Window.partitionBy("id", "sub")
-        .orderBy(col("d2").asc, col("centroid_id"))
-      val assigned = scored.withColumn("rn", row_number().over(win))
-        .filter(col("rn") === 1)
-      val sums = assigned
-        .select(col("sub"), col("centroid_id"), posexplode(col("sv")).as(Seq("dim", "x")))
-        .groupBy("sub", "centroid_id", "dim")
+      val codes = graft.expressions.GraftExpressions
+        .pqAssign(col("v"), current.toSeq)
+      val sums = c.select(col("v"), posexplode(codes).as(Seq("sub", "cid")))
+        .select(col("sub"), col("cid"),
+          posexplode(slice(col("v"), col("sub") * w + 1, lit(w)))
+            .as(Seq("dim", "x")))
+        .groupBy("sub", "cid", "dim")
         .agg(sum(col("x").cast(DecimalType(38, 18))).as("s"),
           count(lit(1)).as("n"))
-        .select(col("sub"), col("centroid_id"), col("dim"),
+        .select(col("sub"), col("cid"), col("dim"),
           (col("s") / col("n")).cast("double").as("mean"))
         .as[(Int, Long, Int, Double)].collect()
       val means = sums.groupBy(r => (r._1, r._2)).map { case (key, rows) =>
@@ -238,35 +242,32 @@ object Similarity {
       }
       it += 1
     }
-    current.toSeq.toDF("sub", "centroid_id", "centroid")
+    (w, current)
   }
 
   /** Encode each corpus vector as its per-subspace nearest-codeword ids:
-    * (id, codes array — position = subspace). One explode to
-    * (id, sub, subvector) rows, a broadcast join against the codebooks,
-    * and a partition-local window argmin; the corpus never shuffles on
-    * anything but its own id. */
+    * (id, codes array — position = subspace). A pure map-only projection —
+    * the codebooks are collected driver-side (m·k·w doubles, trivially
+    * small at any corpus scale) and baked into the compiled
+    * [[graft.expressions.GraftExpressions.PqAssign]] kernel, so the corpus
+    * is scanned once with NO explode, join, window, or shuffle. At 100 TB
+    * this is the difference between a map-only encode pass and m·k-way
+    * shuffled assignment. */
   def pqEncode(corpus: DataFrame, codebooks: DataFrame,
                idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
-    val m = codebooks.agg(max("sub")).collect()(0).getInt(0) + 1
-    val dim = corpus.select(size(asDouble(col(vecCol)))).limit(1)
-      .collect()(0).getInt(0)
-    val w = dim / m
-    val subs = corpus.select(col(idCol).as("id"), posexplode(
-        array((0 until m).map(s =>
-          slice(asDouble(col(vecCol)), s * w + 1, w)): _*))
-      .as(Seq("sub", "sv")))
-    val scored = subs.join(broadcast(codebooks), "sub")
-      .select(col("id"), col("sub"), col("centroid_id"),
-        graft.expressions.GraftExpressions.l2DistanceSq(col("sv"), col("centroid"))
-          .as("d2"))
-    val win = Window.partitionBy("id", "sub").orderBy(col("d2").asc, col("centroid_id"))
-    scored.withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
-      .groupBy("id")
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("centroid_id")))),
-        e => e.getField("centroid_id")).as("codes"))
+    import corpus.sparkSession.implicits._
+    val books = codebooks.select(col("sub").cast("int"), col("centroid_id"),
+      col("centroid")).as[(Int, Long, Seq[Double])].collect()
+    pqEncodeWith(corpus, books, idCol, vecCol)
   }
+
+  private def pqEncodeWith(corpus: DataFrame,
+                           books: Array[(Int, Long, Seq[Double])],
+                           idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      graft.expressions.GraftExpressions
+        .pqAssign(asDouble(col(vecCol)), books.toSeq).as("codes"))
 
   /** PQ top-k search with exact re-ranking: ADC-score every encoded
     * corpus vector against each query's lookup tables, keep the
@@ -279,11 +280,11 @@ object Similarity {
              codebookSize: Int = 16, iters: Int = 3, rerank: Int = 4,
              idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
-    val books = pqTrain(corpus, m, codebookSize, iters, idCol, vecCol).cache()
-    val encoded = pqEncode(corpus, books, idCol, vecCol)
-    val dim = corpus.select(size(asDouble(col(vecCol)))).limit(1)
-      .collect()(0).getInt(0)
-    val w = dim / m
+    import corpus.sparkSession.implicits._
+    val (w, trained) =
+      pqTrainArrays(corpus, m, codebookSize, iters, idCol, vecCol)
+    val books = trained.toSeq.toDF("sub", "centroid_id", "centroid")
+    val encoded = pqEncodeWith(corpus, trained, idCol, vecCol)
     // per-query ADC tables: dot(query subvector, codeword) per (sub, code)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val luts = q.select(col("query_id"), col("qv"), posexplode(

@@ -153,6 +153,34 @@ class ExpressionsSpec extends SparkSpec {
     assert(distinct > 1)
   }
 
+  test("PqAssign matches the struct-min column formulation bit-for-bit") {
+    val emb = Tables.load(spark, sf0, "embeddings").limit(100)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val dim = emb.select(size($"v")).head().getInt(0)
+    val m = 4
+    val w = dim / m
+    // codebooks: subspace slices of the first k vectors, ids 0..k-1
+    val seeds = emb.orderBy($"vec_id").limit(5)
+      .select($"v").as[Seq[Double]].collect()
+    val books = for {
+      s <- 0 until m; (sv, i) <- seeds.zipWithIndex
+    } yield (s, i.toLong, sv.slice(s * w, s * w + w): Seq[Double])
+    val viaExpr = emb.select($"vec_id",
+      GraftExpressions.pqAssign($"v", books).as("codes"))
+    // independent formulation: per-subspace array_min over (d2, cid)
+    // structs — struct ordering reproduces the (d2 asc, cid asc) tie-break
+    val viaCols = emb.select($"vec_id", array((0 until m).map { s =>
+      val sv = slice($"v", s * w + 1, w)
+      array_min(array(books.filter(_._1 == s).map { case (_, cid, cvec) =>
+        struct(GraftExpressions.l2DistanceSq(sv, typedLit(cvec)).as("d2"),
+          lit(cid).as("cid"))
+      }: _*)).getField("cid")
+    }: _*).as("codes"))
+    assert(viaExpr.exceptAll(viaCols).isEmpty)
+    // codes discriminate: more than one distinct codeword assigned
+    assert(viaExpr.select(explode($"codes")).distinct().count() > 1)
+  }
+
   test("jaccardPairs (relational) agrees with JaccardSimilarity (expression)") {
     val docs = Tables.load(spark, sf0, "documents").limit(200)
     val rel = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
@@ -203,6 +231,15 @@ class ExpressionsSpec extends SparkSpec {
       val emb = Tables.load(spark, sf0, "embeddings").limit(100)
       codegenLine(emb.select(GraftExpressions.hyperplaneSignatures(
         $"embedding", 12, 8).as("hp")), "graft_hyperplane")
+      val embD = emb.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val pqSeeds = embD.orderBy($"vec_id").limit(4)
+        .select($"v").as[Seq[Double]].collect()
+      val pqDim = pqSeeds.head.size
+      val pqBooks = for {
+        s <- 0 until 4; (sv, i) <- pqSeeds.zipWithIndex
+      } yield (s, i.toLong, sv.slice(s * (pqDim / 4), (s + 1) * (pqDim / 4)): Seq[Double])
+      codegenLine(embD.select(
+        GraftExpressions.pqAssign($"v", pqBooks).as("codes")), "graft_pq_assign")
       // the generator: the Generate node itself carries the codegen star
       // (CollectionGenerator path — same machinery as explode/inline)
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
