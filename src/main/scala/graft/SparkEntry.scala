@@ -506,6 +506,26 @@ object SparkEntry {
         .filter(TA.sampleByHash(col("text"), 0.25))
         .select("doc_id")),
 
+    "text_repetition" -> ((s, dir) => {
+      // Gopher-style repetition signals: ONE compiled pass per document
+      // (zero shuffle); the oracle is the relational unnest/groupBy
+      // formulation of the same six fractions
+      val r = TA.repetitionStats(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+        r.getField("dup_unigram_frac").as("dup_unigram_frac"),
+        r.getField("top_unigram_frac").as("top_unigram_frac"),
+        r.getField("dup_bigram_frac").as("dup_bigram_frac"),
+        r.getField("top_bigram_frac").as("top_bigram_frac"),
+        r.getField("dup_trigram_frac").as("dup_trigram_frac"),
+        r.getField("top_trigram_frac").as("top_trigram_frac"))
+    }),
+
+    "dedup_spans" -> ((s, dir) =>
+      // repeated-span (boilerplate) detection: compiled window generation,
+      // one exchange on the span, aggregate-small output
+      Dedup.boilerplateSpans(t(s, dir, "documents"), "doc_id", "text",
+        w = 8, minDocs = 3)),
+
     // --------------------------------------------------------- multimodal
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.asMedia(
@@ -932,6 +952,54 @@ object SparkEntry {
     "corpus_sample_hash" ->
       """SELECT doc_id FROM documents
         |WHERE substring(md5(text), 1, 8) < '40000000'""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |t2 AS (
+        |  SELECT doc_id, toks,
+        |    [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS bi,
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |     for i in range(1, len(toks)-1)] AS tri
+        |  FROM t),
+        |g1 AS (SELECT doc_id, tok, count(*) AS c FROM
+        |  (SELECT doc_id, unnest(toks) AS tok FROM t2) GROUP BY doc_id, tok),
+        |a1 AS (SELECT doc_id, sum(c) AS total, max(c) AS top, count(*) AS uniq
+        |  FROM g1 GROUP BY doc_id),
+        |g2 AS (SELECT doc_id, tok, count(*) AS c FROM
+        |  (SELECT doc_id, unnest(bi) AS tok FROM t2) GROUP BY doc_id, tok),
+        |a2 AS (SELECT doc_id, sum(c) AS total, max(c) AS top, count(*) AS uniq
+        |  FROM g2 GROUP BY doc_id),
+        |g3 AS (SELECT doc_id, tok, count(*) AS c FROM
+        |  (SELECT doc_id, unnest(tri) AS tok FROM t2) GROUP BY doc_id, tok),
+        |a3 AS (SELECT doc_id, sum(c) AS total, max(c) AS top, count(*) AS uniq
+        |  FROM g3 GROUP BY doc_id)
+        |SELECT t2.doc_id,
+        |  coalesce((a1.total - a1.uniq) / CAST(a1.total AS DOUBLE), 0.0) AS dup_unigram_frac,
+        |  coalesce(a1.top / CAST(a1.total AS DOUBLE), 0.0) AS top_unigram_frac,
+        |  coalesce((a2.total - a2.uniq) / CAST(a2.total AS DOUBLE), 0.0) AS dup_bigram_frac,
+        |  coalesce(a2.top / CAST(a2.total AS DOUBLE), 0.0) AS top_bigram_frac,
+        |  coalesce((a3.total - a3.uniq) / CAST(a3.total AS DOUBLE), 0.0) AS dup_trigram_frac,
+        |  coalesce(a3.top / CAST(a3.total AS DOUBLE), 0.0) AS top_trigram_frac
+        |FROM t2 LEFT JOIN a1 USING(doc_id) LEFT JOIN a2 USING(doc_id)
+        |  LEFT JOIN a3 USING(doc_id)""".stripMargin,
+
+    "dedup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, unnest(
+        |    [array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks) - 6)])
+        |    AS span
+        |  FROM t)
+        |SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+        |FROM s GROUP BY span HAVING count(DISTINCT doc_id) >= 3""".stripMargin,
 
     "text_quality" ->
       """WITH b AS (SELECT doc_id, text,

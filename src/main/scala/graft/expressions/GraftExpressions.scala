@@ -370,6 +370,46 @@ object GraftExpressions {
     override def prettyName: String = "graft_hyperplane_signatures"
   }
 
+  /** Gopher-style repetition signals over the token stream, ONE compiled
+    * pass per document (per-doc state is document-local, so the signal
+    * column computes inside the scan stage with ZERO shuffle — the
+    * relational explode/groupBy formulation is the ORACLE, not the
+    * engine): struct of duplicate-n-gram fraction and top-n-gram fraction
+    * for n ∈ {1,2,3}. */
+  case class RepetitionStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("dup_unigram_frac", DoubleType, nullable = false),
+      StructField("top_unigram_frac", DoubleType, nullable = false),
+      StructField("dup_bigram_frac", DoubleType, nullable = false),
+      StructField("top_bigram_frac", DoubleType, nullable = false),
+      StructField("dup_trigram_frac", DoubleType, nullable = false),
+      StructField("top_trigram_frac", DoubleType, nullable = false)))
+    override def nullSafeEval(input: Any): Any =
+      Kernels.repetitionStats(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.repetitionStats($c)")
+    override protected def withNewChildInternal(c: Expression): RepetitionStats =
+      copy(c)
+    override def prettyName: String = "graft_repetition_stats"
+  }
+
+  /** All word n-grams WITH multiplicity (span counting; [[WordShingles]]
+    * dedupes for set-Jaccard). Compiled single pass; shorter-than-n texts
+    * yield an empty array. */
+  case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
+    require(n > 0)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      Kernels.wordNGrams(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.wordNGrams($c, $n)")
+    override protected def withNewChildInternal(c: Expression): WordNGrams =
+      copy(child = c)
+    override def prettyName: String = "graft_word_ngrams"
+  }
+
   /** All `m` per-subspace nearest-codeword ids of a product-quantized
     * vector in ONE compiled pass: subspace s covers dims [s·w, (s+1)·w);
     * its assignment is the codeword minimizing squared L2 distance over
@@ -463,6 +503,10 @@ object GraftExpressions {
     toCol(HyperplaneSignatures(expr(vec.cast("array<double>")), nPlanes, nTables))
   def pqAssign(vec: Column, books: Seq[(Int, Long, Seq[Double])]): Column =
     toCol(PqAssign(expr(vec), books))
+  def repetitionStats(text: Column): Column =
+    toCol(RepetitionStats(expr(text)))
+  def wordNGrams(text: Column, n: Int): Column =
+    toCol(WordNGrams(expr(text), n))
 
   /** Register all graft expressions for SQL use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

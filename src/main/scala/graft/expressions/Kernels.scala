@@ -104,6 +104,69 @@ object Kernels {
     new GenericArrayData(out.toArray[AnyRef](new Array[AnyRef](out.size)))
   }
 
+  /** [[GraftExpressions.RepetitionStats]] body: Gopher-style repetition
+    * signals over the token stream in ONE pass — for n ∈ {1,2,3}, the
+    * duplicate-n-gram fraction `(total − distinct) / total` and the
+    * top-n-gram fraction `max_count / total` (0.0 when the text has fewer
+    * than n tokens). Counting is by exact n-gram STRING (not hash), so the
+    * relational unnest/groupBy oracle formulation agrees bit-for-bit:
+    * both sides divide the same two integers. */
+  def repetitionStats(text: UTF8String): InternalRow = {
+    val trimmed = text.trim().toString
+    val words: Array[String] =
+      if (trimmed.isEmpty) Array.empty else ws.split(trimmed, -1)
+    val out = new Array[Any](6)
+    var n = 1
+    while (n <= 3) {
+      val total = words.length - n + 1
+      if (total <= 0) {
+        out((n - 1) * 2) = 0.0
+        out((n - 1) * 2 + 1) = 0.0
+      } else {
+        val counts = new java.util.HashMap[String, Int]()
+        var max = 0
+        var i = 0
+        while (i < total) {
+          val gram = if (n == 1) words(i) else {
+            val sb = new java.lang.StringBuilder(words(i))
+            var j = 1
+            while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+            sb.toString
+          }
+          val c = counts.merge(gram, 1, Integer.sum)
+          if (c > max) max = c
+          i += 1
+        }
+        out((n - 1) * 2) = (total - counts.size).toDouble / total.toDouble
+        out((n - 1) * 2 + 1) = max.toDouble / total.toDouble
+      }
+      n += 1
+    }
+    InternalRow.fromSeq(out.toIndexedSeq)
+  }
+
+  /** [[GraftExpressions.WordNGrams]] body: ALL word n-grams in order WITH
+    * multiplicity (the span-counting complement of [[wordShingles]], which
+    * dedupes for set-Jaccard). Texts shorter than n words yield an EMPTY
+    * array — a partial span is not a span. */
+  def wordNGrams(text: UTF8String, n: Int): ArrayData = {
+    val trimmed = text.trim().toString
+    val words: Array[String] =
+      if (trimmed.isEmpty) Array.empty else ws.split(trimmed, -1)
+    val total = words.length - n + 1
+    if (total <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](total)
+    var i = 0
+    while (i < total) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** [[GraftExpressions.PairCombinations]] body — also the codegen path of
     * [[GraftExpressions.PairGenerator]] (same pair order and values). */
   def pairCombinations(arr: ArrayData): ArrayData = {

@@ -40,6 +40,48 @@ object Dedup {
       .drop("__rn").withColumnRenamed("__h", "content_hash")
   }
 
+  // ---------------------------------------------------------- span dedup
+  /** Repeated-span (boilerplate) detection: every `w`-token window of
+    * every document, counted corpus-wide — spans appearing in at least
+    * `minDocs` DISTINCT documents are boilerplate candidates (headers,
+    * footers, license blocks, templated text). Returns
+    * (span, n_docs, n_occurrences).
+    *
+    * 100 TB shape: window generation is a compiled map-side pass
+    * ([[graft.expressions.GraftExpressions.WordNGrams]] — no interpreted
+    * HOF, no per-window shuffle), followed by ONE exchange on the span for
+    * the count aggregate (partial map-side combine applies). The output is
+    * aggregate-small (only spans clearing `minDocs`). Spans shorter than
+    * `w` tokens are not emitted — a partial span is not a span. */
+  def boilerplateSpans(df: DataFrame, idCol: String, textCol: String,
+                       w: Int = 8, minDocs: Int = 3): DataFrame = {
+    require(w > 0 && minDocs > 0)
+    df.select(col(idCol).as("doc_id"),
+        explode(graft.expressions.GraftExpressions.wordNGrams(col(textCol), w))
+          .as("span"))
+      .groupBy("span")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** Strip boilerplate DOCUMENTS: drop any document containing at least
+    * `maxSpans` of the given boilerplate spans (the document-level
+    * consumer of [[boilerplateSpans]]; span-level surgical removal is a
+    * text-rewrite concern, not a relational one). The span table is
+    * broadcast — it is aggregate-small by construction. */
+  def dropBoilerplateDocs(df: DataFrame, spans: DataFrame, idCol: String,
+                          textCol: String, w: Int = 8,
+                          maxSpans: Int = 1): DataFrame = {
+    val hits = df.select(col(idCol).as("__id"),
+        explode(graft.expressions.GraftExpressions.wordNGrams(col(textCol), w))
+          .as("span"))
+      .join(broadcast(spans.select("span")), "span")
+      .groupBy("__id").agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") >= maxSpans)
+    df.join(hits, df(idCol) === hits("__id"), "left_anti")
+  }
+
   // ------------------------------------------------------------ exact jaccard
   /** All pairs (i < j) with shingle-set Jaccard ≥ threshold, via an
     * inverted-index self-join: pairs are only generated for documents

@@ -103,6 +103,28 @@ object TextAnalysis {
     coalesce(best, lit("und"))
   }
 
+  // ----------------------------------------------------------- repetition
+  /** Gopher-style repetition signals (the MassiveText quality-filter
+    * family): a struct of duplicate-n-gram fraction `(total−distinct)/
+    * total` and top-n-gram fraction `max_count/total` for n ∈ {1,2,3}
+    * over the whitespace token stream. ONE compiled pass per document
+    * ([[graft.expressions.GraftExpressions.RepetitionStats]]) — per-doc
+    * state is document-local, so at 100 TB this computes inside the scan
+    * stage with zero shuffle; the relational explode/groupBy formulation
+    * is the correctness oracle, not the engine. Texts with fewer than n
+    * tokens score 0.0 for that n. */
+  def repetitionStats(text: Column): Column =
+    graft.expressions.GraftExpressions.repetitionStats(text)
+
+  /** High-repetition filter predicate: true when every repetition signal
+    * is at or below its threshold (Gopher rejects above). */
+  def repetitionOk(text: Column, maxDupUnigram: Double = 0.6,
+                   maxTopBigram: Double = 0.4): Column = {
+    val r = repetitionStats(text)
+    r.getField("dup_unigram_frac") <= maxDupUnigram &&
+      r.getField("top_bigram_frac") <= maxTopBigram
+  }
+
   // ------------------------------------------------------------ fingerprint
   /** Canonical content fingerprint: md5 over the sorted distinct token bag.
     * Robust to word order and repetition — the standard "fingerprint"

@@ -284,4 +284,40 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(out == Set(1L, 3L))
   }
+
+  test("boilerplateSpans finds windows shared across documents, with counts") {
+    val footer = "generated by acme corp all rights reserved contact legal dept"
+    val df = Seq(
+      (1L, s"unique alpha words one $footer"),
+      (2L, s"other beta content two $footer"),
+      (3L, s"third gamma text three $footer and a tail"),
+      (4L, "completely unrelated text with no shared spans at all here"),
+      (5L, "short")).toDF("doc_id", "text")
+    val spans = Dedup.boilerplateSpans(df, "doc_id", "text", w = 10, minDocs = 3)
+      .as[(String, Long, Long)].collect()
+    // the 10-token footer appears once in each of docs 1-3
+    assert(spans.exists(s => s._1 == footer && s._2 == 3L && s._3 == 3L))
+    // nothing from the unrelated or too-short docs
+    assert(spans.forall(s => s._1.split(" ").length == 10))
+    // doc-repeated span does not inflate n_docs: "x y "*12 in ONE doc
+    val rep = Seq((9L, Array.fill(24)("x y").mkString(" ")))
+      .toDF("doc_id", "text")
+    val repSpans = Dedup.boilerplateSpans(rep, "doc_id", "text",
+      w = 4, minDocs = 2)
+    assert(repSpans.isEmpty) // 1 distinct doc < minDocs, however many hits
+  }
+
+  test("dropBoilerplateDocs strips documents carrying flagged spans") {
+    val footer = "generated by acme corp all rights reserved contact legal dept"
+    val df = Seq(
+      (1L, s"unique alpha words one $footer"),
+      (2L, s"other beta content two $footer"),
+      (3L, s"third gamma text three $footer"),
+      (4L, "completely unrelated text with no shared spans at all here"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.boilerplateSpans(df, "doc_id", "text", w = 10, minDocs = 3)
+    val kept = Dedup.dropBoilerplateDocs(df, spans, "doc_id", "text", w = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(4L))
+  }
 }

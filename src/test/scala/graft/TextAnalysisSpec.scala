@@ -91,6 +91,33 @@ class TextAnalysisSpec extends SparkSpec {
       "a@b.co 10.0.0.1 99999999") == "<EMAIL> <IP> <NUM>")
   }
 
+  test("repetitionStats computes Gopher-style n-gram fractions") {
+    def stats(text: String): (Double, Double, Double, Double, Double, Double) =
+      Seq(text).toDF("t").select(TA.repetitionStats(col("t")).as("r"))
+        .select("r.*")
+        .as[(Double, Double, Double, Double, Double, Double)].head()
+    // "a a b": unigrams {a:2,b:1} total 3 → dup 1/3, top 2/3;
+    // bigrams {"a a","a b"} total 2 → dup 0, top 1/2;
+    // trigrams {"a a b"} total 1 → dup 0, top 1
+    assert(stats("a a b") ==
+      (1.0 / 3, 2.0 / 3, 0.0, 0.5, 0.0, 1.0))
+    // repeated bigram: "x y x y" bigrams = {x y:2, y x:1} total 3
+    val (_, _, db, tb, _, _) = stats("x y x y")
+    assert(db == 1.0 / 3 && tb == 2.0 / 3)
+    assert(stats("") == (0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    assert(stats("solo") == (0.0, 1.0, 0.0, 0.0, 0.0, 0.0))
+    // whitespace-only behaves as empty, not one empty token
+    assert(stats("   ") == (0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("repetitionOk rejects degenerate repeated text, keeps normal prose") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near a river bank"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam")).toDF("id", "t")
+    val kept = df.filter(TA.repetitionOk(col("t"))).select("id").as[Long].collect()
+    assert(kept.toSeq == Seq(1L))
+  }
+
   test("sampleByHash is deterministic, content-keyed, and ~rate-sized") {
     val docs = Tables.load(spark, sf0, "documents")
     val n = docs.count().toDouble
