@@ -196,6 +196,95 @@ object SparkEntry {
           .as("revenue"))
     }),
 
+    "q8_market_share" -> ((s, dir) => {
+      // TPC-H q8: NATION_2's share of ECONOMY-part revenue in the ASIA
+      // market, by order year. Shape notes for 100 TB: the region filter
+      // collapses nation→customer BEFORE the fact joins (customer shrinks
+      // ~80%); part (type-filtered) and supplier⋈nation broadcast; the two
+      // big joins (lineitem⋈orders, orders⋈customer) stay sort-merge on
+      // their natural keys. Numerator and denominator aggregate in ONE
+      // pass as conditional decimal sums — not two scans.
+      val asiaNations = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val cu = t(s, dir, "customer")
+        .join(broadcast(asiaNations), col("c_nationkey") === col("cn_key"))
+        .select("c_custkey")
+      val p = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+        .select("p_partkey")
+      val supNation = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val vol = col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1) - col("l_discount")).cast(DecimalType(18, 4))
+      t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cu, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(date_format(col("o_orderdate"), "yyyy").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_2", vol).otherwise(lit(0)))
+            .cast("double") /
+          sum(vol).cast("double"), 6).as("mkt_share"))
+    }),
+
+    "q9_product_profit" -> ((s, dir) => {
+      // TPC-H q9's shape (no partsupp here, so cost = p_retailprice ×
+      // quantity): profit on red parts by supplier nation and order year.
+      // part (name-filtered) and supplier⋈nation broadcast; lineitem⋈orders
+      // sort-merge; amount sums in exact decimal.
+      val p = t(s, dir, "part").filter(col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+      val supNation = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val amount = col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1) - col("l_discount")).cast(DecimalType(18, 4)) -
+        col("p_retailprice").cast(DecimalType(18, 2)) *
+        col("l_quantity").cast(DecimalType(18, 2))
+      t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("nation"),
+          date_format(col("o_orderdate"), "yyyy").as("o_year"))
+        .agg(sum(amount).cast("double").as("profit"))
+    }),
+
+    "q10_returned_items" -> ((s, dir) => {
+      // TPC-H q10: top-20 customers by returned-item revenue in one
+      // quarter. Quarter filter reaches the orders scan; lineitem's
+      // returnflag filter reaches its scan; customer joins AFTER the
+      // per-customer aggregate (aggregate-small side), nation broadcasts;
+      // total-ordered top-k with explicit tie-break.
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-04-01")))
+        .select("o_orderkey", "o_custkey")
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val perCust = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(Exact.dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount"))
+          .as("revenue"))
+      perCust
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // ------------------------------------------- projections & predicates
     "p1_project_keys" -> ((s, dir) =>
       // P1/F5: single-column-style projection of derived key + basename
@@ -635,6 +724,54 @@ object SparkEntry {
         |    AND l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate < TIMESTAMP '1998-01-01')
         |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT o_year,
+        | round(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN vol ELSE 0 END) AS DOUBLE)
+        |   / CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share
+        |FROM (
+        |  SELECT strftime(o_orderdate, '%Y') AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4)) AS vol,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |    JOIN part ON l_partkey = p_partkey
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |    JOIN region ON n1.n_regionkey = r_regionkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |GROUP BY o_year""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS profit
+        |FROM (
+        |  SELECT n_name AS nation, strftime(o_orderdate, '%Y') AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))
+        |      - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+        |  FROM lineitem
+        |    JOIN part ON l_partkey = p_partkey
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%red%')
+        |GROUP BY nation, o_year""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "p1_project_keys" ->
       s"""SELECT doc_id, $docsKeySql AS key,
