@@ -543,6 +543,17 @@ object SparkEntry {
         .withColumnRenamed("rank", "rk")
     }),
 
+    "ann_ivf_pq_topk" -> ((s, dir) => {
+      // composed IVF-PQ (coarse inverted lists × PQ codes, exact re-rank):
+      // deterministic end-to-end, oracle = reviewed golden parquet
+      // (golden/README.md); recall + sim-exactness + partitioning-
+      // determinism additionally asserted in SimilaritySpec
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+          nlist = 16, nprobe = 8, m = 8, codebookSize = 16, rerank = 8)
+        .withColumnRenamed("rank", "rk")
+    }),
+
     "ann_ivf_topk" -> ((s, dir) => {
       // approximate variant (deterministic: centroids = first-16 vectors,
       // explicit tie-breaks throughout → fully oracle-checkable); recall vs
@@ -997,6 +1008,10 @@ object SparkEntry {
     "ann_pq_topk" ->
       """SELECT query_id, rk, corpus_id, sim
         |FROM read_parquet('/root/repo/golden/ann_pq_topk.parquet')""".stripMargin,
+
+    "ann_ivf_pq_topk" ->
+      """SELECT query_id, rk, corpus_id, sim
+        |FROM read_parquet('/root/repo/golden/ann_ivf_pq_topk.parquet')""".stripMargin,
 
     "dedup_embedding_pairs" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -303,7 +303,82 @@ object Similarity {
       .orderBy(col("approx_dot").desc, col("corpus_id"))
     val cands = approx.withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= k * rerank).select("query_id", "corpus_id")
-    // exact re-rank of the pruned candidate set
+    exactRerank(cands, corpus, q, k, idCol, vecCol)
+  }
+
+  /** IVF-PQ composed index — the standard billion-vector ANN layout
+    * (coarse inverted lists × product-quantized residual-free codes):
+    *
+    *  1. coarse quantizer: `nlist` deterministic first-N centroids, L2
+    *     metric (the conventional IVF-PQ coarse assignment; the
+    *     cosine-metric [[ivfTopK]] remains the oracle-mode variant);
+    *  2. PQ codebooks trained on the full corpus ([[pqTrainArrays]]);
+    *  3. index build: ONE map-only projection computes BOTH the cell and
+    *     the m codes per vector (two [[graft.expressions.GraftExpressions.PqAssign]]
+    *     kernels over driver-constant tables — the corpus is scanned once
+    *     and never shuffled);
+    *  4. search: each query probes its `nprobe` nearest cells, ADC-scores
+    *     only vectors in those cells against broadcast lookup tables,
+    *     keeps `rerank·k` candidates, and re-scores those exactly by
+    *     cosine — output sims are exact, the index only prunes.
+    *
+    * Everything is deterministic (first-N seeds, fixed iterations,
+    * decimal-exact means, id tie-breaks): bit-stable across runs and
+    * partitionings, hence golden-parquet oracle-able. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
+                codebookSize: Int = 16, iters: Int = 3, rerank: Int = 4,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Seq[Double])] =
+      corpus.orderBy(col(idCol)).limit(nlist)
+        .select(asDouble(col(vecCol))).as[Seq[Double]].collect()
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val coarseBooks = cents.map { case (cid, v) => (0, cid, v) }.toSeq
+    val (w, trained) = pqTrainArrays(corpus, m, codebookSize, iters, idCol, vecCol)
+    val ge = graft.expressions.GraftExpressions
+    val index = corpus.select(col(idCol).as("corpus_id"),
+      ge.pqAssign(asDouble(col(vecCol)), coarseBooks).getItem(0).as("cell"),
+      ge.pqAssign(asDouble(col(vecCol)), trained.toSeq).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    // nprobe nearest cells per query, same L2 coarse metric, id tie-break
+    val centsDf = cents.toSeq.toDF("cell", "centroid")
+    val wq = Window.partitionBy("query_id").orderBy(col("d2").asc, col("cell"))
+    val probes = q.crossJoin(broadcast(centsDf))
+      .select(col("query_id"), col("cell"),
+        ge.l2DistanceSq(col("qv"), col("centroid")).as("d2"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
+      .select("query_id", "cell")
+    // per-query ADC tables: dot(query subvector, codeword) per (sub, code)
+    val books = trained.toSeq.toDF("sub", "centroid_id", "centroid")
+    val luts = q.select(col("query_id"), posexplode(
+        array((0 until m).map(s => slice(col("qv"), s * w + 1, w)): _*))
+      .as(Seq("sub", "qsv")))
+      .join(broadcast(books), "sub")
+      .select(col("query_id"), col("sub"), col("centroid_id").as("code"),
+        dot(col("qsv"), col("centroid")).as("part"))
+    // probed cells only: the inverted-list prune BEFORE any scoring work
+    val approx = index.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(luts), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "corpus_id")
+      .agg(sum("part").as("approx_dot"))
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("approx_dot").desc, col("corpus_id"))
+    val cands = approx.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k * rerank).select("query_id", "corpus_id")
+    exactRerank(cands, corpus, q, k, idCol, vecCol)
+  }
+
+  /** Exact cosine re-rank of a pruned (query_id, corpus_id) candidate
+    * set: the shared tail of [[pqTopK]] and [[ivfPqTopK]] — corpus floats
+    * are only touched for candidates. */
+  private def exactRerank(cands: DataFrame, corpus: DataFrame, q: DataFrame,
+                          k: Int, idCol: String, vecCol: String): DataFrame = {
     val cv = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
     val rescored = cands.join(cv, "corpus_id").join(broadcast(q), "query_id")
       .select(col("query_id"), col("corpus_id"),

@@ -143,6 +143,33 @@ class SimilaritySpec extends SparkSpec {
       bf.get((q, c)).foreach(exactSim => assert(exactSim == s)) }
   }
 
+  test("IVF-PQ composed index prunes by cell, ADC-scores, re-ranks exactly") {
+    val queries = emb.filter($"vec_id" < 15)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "corpus_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    val exactSet = exact.map(r => (r._1, r._2)).toSet
+    val ivfpq = Similarity.ivfPqTopK(emb, queries, k = 10,
+        nlist = 8, nprobe = 6, m = 8, codebookSize = 16, rerank = 8)
+      .select("query_id", "rank", "corpus_id", "sim")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(ivfpq.length == 150) // k rows per query, ranks complete
+    assert(ivfpq.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq == (1 to 10)))
+    val recall = exactSet.count(ivfpq.map(r => (r._1, r._3)).toSet.contains)
+      .toDouble / exactSet.size
+    assert(recall >= 0.4, s"recall $recall") // prunes cells AND codes
+    // output sims are EXACT cosines wherever they overlap brute force
+    val bf = exact.map(r => (r._1, r._2) -> r._3).toMap
+    ivfpq.foreach { case (q, _, c, s) =>
+      bf.get((q, c)).foreach(exactSim => assert(exactSim == s)) }
+    // determinism: a repartitioned corpus yields the identical result set
+    val again = Similarity.ivfPqTopK(emb.repartition(13), queries, k = 10,
+        nlist = 8, nprobe = 6, m = 8, codebookSize = 16, rerank = 8)
+      .select("query_id", "rank", "corpus_id", "sim")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(again.toSet == ivfpq.toSet)
+  }
+
   test("hyperplane LSH buckets group cosine-similar vectors") {
     val df = Seq(
       (1L, Array.fill(8)(1.0f)),
