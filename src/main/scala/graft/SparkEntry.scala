@@ -626,6 +626,19 @@ object SparkEntry {
       Dedup.boilerplateSpans(t(s, dir, "documents"), "doc_id", "text",
         w = 8, minDocs = 3)),
 
+    "decontam_hits" -> ((s, dir) => {
+      // benchmark decontamination (13-gram collision, GPT-3/Llama
+      // discipline): benchmark = every 5th doc, training = the rest; the
+      // exchange carries (hash, id) pairs, never text. The oracle counts
+      // by n-gram TEXT — equal because 64-bit collisions are absent at
+      // this scale (and ~absent at any: p ≈ windows²/2⁶⁴).
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationHits(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 13)
+    }),
+
     // --------------------------------------------------------- multimodal
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.asMedia(
@@ -1138,6 +1151,23 @@ object SparkEntry {
         |  coalesce(a3.top / CAST(a3.total AS DOUBLE), 0.0) AS top_trigram_frac
         |FROM t2 LEFT JOIN a1 USING(doc_id) LEFT JOIN a2 USING(doc_id)
         |  LEFT JOIN a3 USING(doc_id)""".stripMargin,
+
+    "decontam_hits" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest(
+        |    [array_to_string(toks[i:i+12], ' ') for i in range(1, len(toks) - 11)])
+        |    AS w
+        |  FROM t),
+        |d AS (SELECT * FROM w WHERE doc_id % 5 <> 0),
+        |b AS (SELECT DISTINCT doc_id AS bench_id, w FROM w WHERE doc_id % 5 = 0)
+        |SELECT d.doc_id, count(*) AS n_collisions,
+        |  count(DISTINCT b.bench_id) AS n_benchmark_docs
+        |FROM d JOIN b USING (w) GROUP BY d.doc_id""".stripMargin,
 
     "dedup_spans" ->
       """WITH t AS (

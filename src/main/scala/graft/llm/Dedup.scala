@@ -82,6 +82,44 @@ object Dedup {
     df.join(hits, df(idCol) === hits("__id"), "left_anti")
   }
 
+  // ------------------------------------------------------- decontamination
+  /** Benchmark decontamination (the GPT-3/Llama discipline): a training
+    * document is CONTAMINATED when it shares at least one `n`-token
+    * window with any benchmark document. Returns (doc_id, n_collisions,
+    * n_benchmark_docs) per contaminated training document —
+    * [[decontaminate]] strips them.
+    *
+    * 100 TB shape: both sides emit (xxhash64(window), id) — the exchange
+    * carries 16 bytes per window, never text. The benchmark side is
+    * DISTINCT-collapsed per (hash, bench doc) and is small by nature
+    * (benchmarks are MBs); Spark broadcasts it under AQE when it fits,
+    * and the join degrades gracefully to shuffle when a giant benchmark
+    * set doesn't. Counting collisions by hash (not text) is the standard
+    * trade: a 64-bit collision mislabels ~nothing (p ≈ windows²/2⁶⁴). */
+  def contaminationHits(docs: DataFrame, benchmark: DataFrame, idCol: String,
+                        textCol: String, n: Int = 13): DataFrame = {
+    val ngrams = graft.expressions.GraftExpressions.wordNGrams(col(textCol), n)
+    val docSide = docs.select(col(idCol).as("doc_id"),
+        explode(ngrams).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val benchSide = benchmark.select(col(idCol).as("bench_id"),
+        explode(ngrams).as("w"))
+      .select(col("bench_id"), xxhash64(col("w")).as("h"))
+      .distinct()
+    docSide.join(benchSide, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_collisions"),
+        countDistinct("bench_id").as("n_benchmark_docs"))
+  }
+
+  /** Strip contaminated documents: anti-join [[contaminationHits]] back
+    * onto the corpus. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int = 13): DataFrame = {
+    val hits = contaminationHits(docs, benchmark, idCol, textCol, n)
+    docs.join(hits, docs(idCol) === hits("doc_id"), "left_anti")
+  }
+
   // ------------------------------------------------------------ exact jaccard
   /** All pairs (i < j) with shingle-set Jaccard ≥ threshold, via an
     * inverted-index self-join: pairs are only generated for documents

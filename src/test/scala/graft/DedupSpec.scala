@@ -307,6 +307,28 @@ class DedupSpec extends SparkSpec {
     assert(repSpans.isEmpty) // 1 distinct doc < minDocs, however many hits
   }
 
+  test("contaminationHits flags only true 13-gram overlaps; decontaminate strips them") {
+    val leak = (1 to 13).map(i => s"tok$i").mkString(" ")
+    val train = Seq(
+      (1L, s"clean document with its own words and nothing shared at all $leak"),
+      (2L, "another clean document with completely different content here"),
+      (3L, (1 to 12).map(i => s"tok$i").mkString(" "))) // only 12 shared → no hit
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, s"benchmark question stem $leak answer choices"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.contaminationHits(train, bench, "doc_id", "text", n = 13)
+      .as[(Long, Long, Long)].collect()
+    assert(hits.toSeq == Seq((1L, 1L, 1L)))
+    val kept = Dedup.decontaminate(train, bench, "doc_id", "text", n = 13)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+    // a doc repeating the leaked window counts each occurrence once per window
+    val rep = Seq((7L, s"$leak padding words $leak")).toDF("doc_id", "text")
+    val repHits = Dedup.contaminationHits(rep, bench, "doc_id", "text", n = 13)
+      .as[(Long, Long, Long)].collect()
+    assert(repHits.toSeq == Seq((7L, 2L, 1L)))
+  }
+
   test("dropBoilerplateDocs strips documents carrying flagged spans") {
     val footer = "generated by acme corp all rights reserved contact legal dept"
     val df = Seq(
