@@ -40,7 +40,8 @@ object ScaleBench {
     "q1_pricing_summary", "q6_forecast_revenue",
     "dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_embedding_pairs", "ann_cosine_topk",
-    "text_tokens", "text_quality", "text_langid",
+    "text_tokens", "text_quality", "text_langid", "text_repetition",
+    "dedup_spans", "decontam_hits", "ann_ivf_pq_topk",
     "a6_keep_latest", "u2_snapshot_diff")
 
   private def rotate(s: String, k: Int): String = {
