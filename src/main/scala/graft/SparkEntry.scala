@@ -285,6 +285,84 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "q12_late_shipments" -> ((s, dir) => {
+      // TPC-H q12's conditional-count shape (no l_shipmode/commitdate in
+      // this schema: "late" = shipped >60 days after the order date,
+      // grouped by linestatus): the date-window filter reaches the
+      // lineitem scan; the priority CASE folds into ONE aggregation pass.
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate",
+        "o_orderpriority")
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .select("l_orderkey", "l_shipdate", "l_linestatus")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+    }),
+
+    "q13_order_distribution" -> ((s, dir) => {
+      // TPC-H q13: customer count by order count — the double-aggregation
+      // + LEFT OUTER shape (customers with zero qualifying orders must
+      // surface as the c_count=0 bucket). The orders-side filter
+      // (non-urgent, the q13 comment-exclusion analog) applies BEFORE the
+      // outer join; both aggregations are partial-combinable.
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      val c = t(s, dir, "customer").select("c_custkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips nulls
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    "q14_promo_revenue" -> ((s, dir) => {
+      // TPC-H q14: promo revenue share in one month — broadcast part join,
+      // numerator and denominator as conditional decimal sums in ONE pass
+      // (same discipline as q8).
+      val p = t(s, dir, "part").select("p_partkey", "p_type")
+      val vol = col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1) - col("l_discount")).cast(DecimalType(18, 4))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-06-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-07-01")))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          lit(100.0) *
+            sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0)))
+              .cast("double") /
+            sum(vol).cast("double"), 6).as("promo_revenue_pct"))
+    }),
+
+    "q18_large_orders" -> ((s, dir) => {
+      // TPC-H q18: orders whose total quantity clears a threshold — the
+      // group-HAVING semi shape. lineitem aggregates FIRST (one shuffle on
+      // orderkey, partial combine); only the ~1% surviving keys join
+      // orders and customer; total-ordered top-100 with explicit
+      // tie-break.
+      val bigOrders = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(Exact.dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val c = t(s, dir, "customer").select("c_custkey", "c_name")
+      bigOrders.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // ------------------------------------------- projections & predicates
     "p1_project_keys" -> ((s, dir) =>
       // P1/F5: single-column-style projection of derived key + basename
@@ -796,6 +874,48 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-04-01'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q12_late_shipments" ->
+      """SELECT l_linestatus,
+        | SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        | SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_linestatus""".stripMargin,
+
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT round(100.0 *
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))
+        |    ELSE 0 END) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 6)
+        |  AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+        |  AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        | o_totalprice, total_qty
+        |FROM (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250)
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "p1_project_keys" ->
       s"""SELECT doc_id, $docsKeySql AS key,
