@@ -684,6 +684,16 @@ object SparkEntry {
         .filter(TA.sampleByHash(col("text"), 0.25))
         .select("doc_id")),
 
+    "corpus_mix" -> ((s, dir) =>
+      // weighted corpus mixing: per-source down-sampling rates applied as
+      // content-hash predicates inside the scan — zero shuffle, exact
+      // SQL-oracle equivalence
+      t(s, dir, "documents")
+        .filter(TA.mixCorpus(col("source"), col("text"),
+          Map("src0" -> 0.0, "src1" -> 0.25, "src2" -> 0.5),
+          defaultRate = 0.75))
+        .select("doc_id", "source")),
+
     "text_repetition" -> ((s, dir) => {
       // Gopher-style repetition signals: ONE compiled pass per document
       // (zero shuffle); the oracle is the relational unnest/groupBy
@@ -1237,6 +1247,14 @@ object SparkEntry {
     "corpus_sample_hash" ->
       """SELECT doc_id FROM documents
         |WHERE substring(md5(text), 1, 8) < '40000000'""".stripMargin,
+
+    "corpus_mix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CASE
+        |  WHEN source = 'src0' THEN substring(md5(text), 1, 8) < '00000000'
+        |  WHEN source = 'src1' THEN substring(md5(text), 1, 8) < '40000000'
+        |  WHEN source = 'src2' THEN substring(md5(text), 1, 8) < '80000000'
+        |  ELSE substring(md5(text), 1, 8) < 'bfffffff' END""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (

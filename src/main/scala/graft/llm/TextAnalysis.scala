@@ -180,4 +180,20 @@ object TextAnalysis {
     val threshold = f"${math.round(rate * 0xffffffffL)}%08x"
     substring(md5(key), 1, 8) < lit(threshold)
   }
+
+  /** Weighted corpus-mixing predicate: a per-stratum [[sampleByHash]]
+    * rate (training-data "mixture weights" as DOWN-sampling; up-weighting
+    * is replication, a different op). Strata not named in `rates` keep
+    * `defaultRate`. Pure column expression — the mixture applies inside
+    * the scan with zero shuffle, deterministically by content, so
+    * identical documents land on the same side of every cut and the
+    * same predicate is plain ANSI SQL for the oracle. Rates nest: a
+    * stratum's 0.5 sample strictly contains its 0.25 sample (same
+    * monotone property as [[sampleByHash]]). */
+  def mixCorpus(stratum: Column, key: Column, rates: Map[String, Double],
+                defaultRate: Double = 1.0): Column =
+    rates.toSeq.sortBy(_._1).foldLeft(sampleByHash(key, defaultRate)) {
+      case (acc, (name, rate)) =>
+        when(stratum === name, sampleByHash(key, rate)).otherwise(acc)
+    }
 }

@@ -118,6 +118,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L))
   }
 
+  test("mixCorpus applies per-stratum rates, default elsewhere") {
+    val docs = Tables.load(spark, sf0, "documents")
+    val mixed = docs.filter(TA.mixCorpus(col("source"), col("text"),
+        Map("src0" -> 0.0, "src1" -> 1.0), defaultRate = 0.5))
+      .groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(!mixed.contains("src0"))              // rate 0 → stratum dropped
+    assert(mixed("src1") == 25L)                 // rate 1 → stratum intact
+    // default strata sample at ~0.5 (content-hash, exact per sampleByHash)
+    val rest = mixed.view.filterKeys(k => k != "src0" && k != "src1").values.sum
+    assert(math.abs(rest / 450.0 - 0.5) < 0.1, s"rest $rest")
+    // stratum rate nests within a larger rate of the same stratum
+    val small = docs.filter(TA.mixCorpus(col("source"), col("text"),
+      Map("src2" -> 0.25), 0.0)).select("doc_id").as[Long].collect().toSet
+    val big = docs.filter(TA.mixCorpus(col("source"), col("text"),
+      Map("src2" -> 0.75), 0.0)).select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(big))
+  }
+
   test("sampleByHash is deterministic, content-keyed, and ~rate-sized") {
     val docs = Tables.load(spark, sf0, "documents")
     val n = docs.count().toDouble
