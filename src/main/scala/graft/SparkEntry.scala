@@ -363,6 +363,86 @@ object SparkEntry {
         .limit(100)
     }),
 
+    "q15_top_supplier" -> ((s, dir) => {
+      // TPC-H q15: the revenue-view + global-max shape. Per-supplier
+      // revenue aggregates once (one shuffle); the max is a broadcast
+      // SCALAR join against the aggregate-small view — not an
+      // unpartitioned window, which would funnel every row through one
+      // task at scale.
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-04-01")))
+        .groupBy("l_suppkey")
+        .agg(Exact.dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount"))
+          .as("total_revenue"))
+      val top = rev.agg(max("total_revenue").as("max_revenue"))
+      t(s, dir, "supplier")
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(top), col("total_revenue") === col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    }),
+
+    "q17_small_quantity" -> ((s, dir) => {
+      // TPC-H q17: correlated per-part AVG subquery, decorrelated as a
+      // window over l_partkey (ONE shuffle, reused by the filter). The
+      // "qty < 0.2·avg(qty)" compare is rewritten in exact integer-decimal
+      // form (5·qty·n < Σqty) so no engine-specific float division can
+      // wiggle boundary rows.
+      val p = t(s, dir, "part").filter(col("p_brand") === "Brand#2")
+        .select("p_partkey")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+      t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .withColumn("sum_qty",
+          sum(col("l_quantity").cast(DecimalType(18, 2))).over(w))
+        .withColumn("n_qty", count(lit(1)).over(w))
+        .filter(col("l_quantity").cast(DecimalType(18, 2)) * 5 * col("n_qty")
+          < col("sum_qty"))
+        .agg(Exact.dsum(col("l_extendedprice")).as("total_price"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    "q19_disjunctive_join" -> ((s, dir) => {
+      // TPC-H q19: the disjunctive (OR-of-ANDs) join predicate. The
+      // shared conjunct (the part join key) stays the equi-join; the
+      // disjunction evaluates post-join on the broadcast dimension — the
+      // OR never degrades the join to a cartesian.
+      val p = t(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+      t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#17" && col("p_size").between(5, 20) &&
+            col("l_quantity").between(10, 40)) ||
+          (col("p_brand") === "Brand#25" && col("p_size").between(10, 40) &&
+            col("l_quantity").between(20, 60)))
+        .agg(Exact.dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount"))
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    "q22_idle_customers" -> ((s, dir) => {
+      // TPC-H q22's shape on this schema: customers with above-average
+      // account balance and NO orders in a window — scalar-subquery
+      // average (broadcast), anti-join against the windowed orders, per
+      // segment rollup. The average is decimal-exact (same division on
+      // both engines).
+      val c = t(s, dir, "customer")
+      val avgBal = c.filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_bal"))
+      val recentOrders = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1999-01-01")))
+        .select("o_custkey")
+      c.join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recentOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"),
+          Exact.dsum(col("c_acctbal")).as("totacctbal"))
+    }),
+
     // ------------------------------------------- projections & predicates
     "p1_project_keys" -> ((s, dir) =>
       // P1/F5: single-column-style projection of derived key + basename
@@ -926,6 +1006,54 @@ object SparkEntry {
         | JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+
+    "q17_small_quantity" ->
+      """WITH l AS (
+        |  SELECT l_extendedprice, CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_partkey) AS sum_qty,
+        |    COUNT(*) OVER (PARTITION BY l_partkey) AS n_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#2')
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  count(*) AS n_lines
+        |FROM l WHERE qty * 5 * n_qty < sum_qty""".stripMargin,
+
+    "q19_disjunctive_join" ->
+      """SELECT
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#17' AND p_size BETWEEN 5 AND 20
+        |    AND l_quantity BETWEEN 10 AND 40)
+        |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 10 AND 40
+        |    AND l_quantity BETWEEN 20 AND 60)""".stripMargin,
+
+    "q22_idle_customers" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "p1_project_keys" ->
       s"""SELECT doc_id, $docsKeySql AS key,
