@@ -410,6 +410,33 @@ object GraftExpressions {
     override def prettyName: String = "graft_word_ngrams"
   }
 
+  /** True iff ANY word n-gram of the text is in a driver-resident sorted
+    * hash set — the stateless per-row form of benchmark decontamination
+    * (no explode, no join, stream-safe). Membership is EXACT (binary
+    * search over xxhash64 values), not a Bloom probe: a false positive
+    * here would silently drop a clean training document. The set is baked
+    * into the expression (plan-shipped once per executor); at ~8 bytes per
+    * benchmark window that bounds practical benchmark size to memory —
+    * the relational [[graft.llm.Dedup.contaminationHits]] join is the
+    * path for benchmark sets beyond that. */
+  case class WindowSetContains(child: Expression, n: Int, hashes: Array[Long])
+      extends UnaryExpression {
+    require(n > 0)
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(input: Any): Any =
+      Kernels.anyWindowInSet(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, hashes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("windowSet", this)
+      defineCodeGen(ctx, ev, c => s"$ref.contains($c)")
+    }
+    def contains(text: org.apache.spark.unsafe.types.UTF8String): Boolean =
+      Kernels.anyWindowInSet(text, n, hashes)
+    override protected def withNewChildInternal(c: Expression): WindowSetContains =
+      copy(child = c)
+    override def prettyName: String = "graft_window_set_contains"
+  }
+
   /** All `m` per-subspace nearest-codeword ids of a product-quantized
     * vector in ONE compiled pass: subspace s covers dims [s·w, (s+1)·w);
     * its assignment is the codeword minimizing squared L2 distance over
@@ -505,6 +532,8 @@ object GraftExpressions {
     toCol(PqAssign(expr(vec), books))
   def repetitionStats(text: Column): Column =
     toCol(RepetitionStats(expr(text)))
+  def windowSetContains(text: Column, n: Int, hashes: Array[Long]): Column =
+    toCol(WindowSetContains(expr(text), n, hashes))
   def wordNGrams(text: Column, n: Int): Column =
     toCol(WordNGrams(expr(text), n))
 

@@ -167,6 +167,30 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** [[GraftExpressions.WindowSetContains]] body: true iff ANY word
+    * n-gram of `text` hashes (xxhash64, seed 42 — identical to the SQL
+    * `xxhash64` over the joined string) into the SORTED `hashes` set.
+    * One pass, no window materialization, early exit on first hit;
+    * membership is exact (binary search), never probabilistic. */
+  def anyWindowInSet(text: UTF8String, n: Int, hashes: Array[Long]): Boolean = {
+    if (hashes.isEmpty) return false
+    val trimmed = text.trim().toString
+    if (trimmed.isEmpty) return false
+    val words = ws.split(trimmed, -1)
+    val total = words.length - n + 1
+    var i = 0
+    while (i < total) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+      val s = UTF8String.fromString(sb.toString)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      if (java.util.Arrays.binarySearch(hashes, h) >= 0) return true
+      i += 1
+    }
+    false
+  }
+
   /** [[GraftExpressions.PairCombinations]] body — also the codegen path of
     * [[GraftExpressions.PairGenerator]] (same pair order and values). */
   def pairCombinations(arr: ArrayData): ArrayData = {

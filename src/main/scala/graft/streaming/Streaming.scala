@@ -131,6 +131,34 @@ object Streaming {
       case None => docs.dropDuplicates(hashCols)
     }
 
+  /** Streaming decontamination: drop any arriving document that shares an
+    * `n`-token window with the STATIC benchmark table — the streaming
+    * counterpart of [[graft.llm.Dedup.decontaminate]] for
+    * continuously-arriving corpora. The benchmark collapses ONCE to a
+    * sorted xxhash64 window set (benchmarks are MBs — ~8 bytes per
+    * window, collected driver-side and plan-shipped once per executor);
+    * each arriving document is then tested by the compiled
+    * `WindowSetContains` kernel — one pass over its own tokens, EXACT
+    * binary-search membership (a Bloom probe would silently drop clean
+    * documents on false positives), no explode, no join, NO STATE. A
+    * per-document aggregation of exploded windows would be a stateful
+    * stream-stream self-join; this is a pure map filter, so it composes
+    * freely with [[dedupStream]] downstream and needs no watermark.
+    * Exactly the batch `contaminationHits` semantics (doc-level verdict;
+    * hash equality stands in for text equality at p ≈ windows²/2⁻⁶⁴). */
+  def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
+                          textCol: String, n: Int = 13): DataFrame = {
+    val spark = benchmark.sparkSession
+    import spark.implicits._
+    val hashes = benchmark
+      .select(explode(graft.expressions.GraftExpressions
+        .wordNGrams(col(textCol), n)).as("w"))
+      .select(xxhash64(col("w")).as("h")).distinct()
+      .as[Long].collect().sorted
+    docs.filter(!graft.expressions.GraftExpressions
+      .windowSetContains(col(textCol), n, hashes))
+  }
+
   /** Run a streaming query to completion over the current backlog
     * (batch-incremental, `Trigger.AvailableNow`) into an in-memory table;
     * returns the result. Used by tests and local verification. */

@@ -78,6 +78,44 @@ class StreamingSpec extends SparkSpec {
       s"delta=${round2 -- round1}")
   }
 
+  test("streaming decontamination drops benchmark-overlapping docs, stateless") {
+    val leak = (1 to 13).map(i => s"w$i").mkString(" ")
+    val bench = Seq(s"benchmark stem $leak choices").toDF("text")
+    val drop = java.nio.file.Files.createTempDirectory("graft-dc-drop")
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-dc-ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-dc-out").toString
+    def put(name: String, content: String): Unit =
+      java.nio.file.Files.write(drop.resolve(name), content.getBytes("UTF-8"))
+    put("clean.txt", "a perfectly clean training document with original words")
+    put("dirty.txt", s"scraped page containing $leak verbatim")
+    put("near.txt", (1 to 12).map(i => s"w$i").mkString(" ")) // 12 < n: keep
+    val stream = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(drop.toString)
+      .select(regexp_replace(col("path"), "^.*/", "").as("name"),
+        col("content").cast("string").as("text"))
+    val q = Streaming.decontaminateStream(stream, bench, "text", n = 13)
+      .writeStream.format("parquet")
+      .outputMode("append")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.read.parquet(outDir).select("name").as[String].collect().toSet
+    assert(out == Set("clean.txt", "near.txt"), s"got $out")
+    // parity with the batch operator on the same data
+    val docs = Seq(
+      (1L, "a perfectly clean training document with original words"),
+      (2L, s"scraped page containing $leak verbatim"),
+      (3L, (1 to 12).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val batchKept = graft.llm.Dedup.decontaminate(
+        docs, Seq((9L, s"benchmark stem $leak choices")).toDF("doc_id", "text"),
+        "doc_id", "text", n = 13)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchKept == Set(1L, 3L)) // same verdicts as the stream path
+  }
+
   test("streaming hourly window equals the batch plan (availableNow)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-st").toString
     // the file stream source needs a directory; stage the single-file table
