@@ -774,6 +774,13 @@ object SparkEntry {
           defaultRate = 0.75))
         .select("doc_id", "source")),
 
+    "text_chunks" -> ((s, dir) =>
+      // overlap chunker (size 32, overlap 8 — small enough that the ~54-
+      // token synthetic docs actually split): chunk rows are generated
+      // inside the scan stage, no shuffle
+      TA.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+        size = 32, overlap = 8)),
+
     "text_repetition" -> ((s, dir) => {
       // Gopher-style repetition signals: ONE compiled pass per document
       // (zero shuffle); the oracle is the relational unnest/groupBy
@@ -1383,6 +1390,27 @@ object SparkEntry {
         |  WHEN source = 'src1' THEN substring(md5(text), 1, 8) < '40000000'
         |  WHEN source = 'src2' THEN substring(md5(text), 1, 8) < '80000000'
         |  ELSE substring(md5(text), 1, 8) < 'bfffffff' END""".stripMargin,
+
+    "text_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) = 0 THEN 0
+        |         WHEN len(toks) <= 32 THEN 1
+        |         ELSE 1 + CAST(ceil((len(toks) - 32) / 24.0) AS INT) END AS nchunks
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    CAST(unnest(range(0, nchunks)) AS INT) AS chunk_index
+        |  FROM n)
+        |SELECT doc_id, chunk_index,
+        |  array_to_string(toks[chunk_index*24+1 : chunk_index*24+32], ' ') AS chunk,
+        |  CAST(least(chunk_index*24+32, len(toks)) - chunk_index*24 AS BIGINT) AS n_tokens
+        |FROM c""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (

@@ -410,6 +410,25 @@ object GraftExpressions {
     override def prettyName: String = "graft_word_ngrams"
   }
 
+  /** Overlapping fixed-size token chunks of a text column — the
+    * embedding/training-pipeline chunker, compiled single pass (see
+    * [[Kernels.wordChunks]] for the boundary semantics). */
+  case class WordChunks(child: Expression, size: Int, overlap: Int)
+      extends UnaryExpression {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap $overlap < size $size")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      Kernels.wordChunks(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        size, size - overlap)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.wordChunks($c, $size, ${size - overlap})")
+    override protected def withNewChildInternal(c: Expression): WordChunks =
+      copy(child = c)
+    override def prettyName: String = "graft_word_chunks"
+  }
+
   /** True iff ANY word n-gram of the text is in a driver-resident sorted
     * hash set — the stateless per-row form of benchmark decontamination
     * (no explode, no join, stream-safe). Membership is EXACT (binary
@@ -536,6 +555,8 @@ object GraftExpressions {
     toCol(WindowSetContains(expr(text), n, hashes))
   def wordNGrams(text: Column, n: Int): Column =
     toCol(WordNGrams(expr(text), n))
+  def wordChunks(text: Column, size: Int, overlap: Int): Column =
+    toCol(WordChunks(expr(text), size, overlap))
 
   /** Register all graft expressions for SQL use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -167,6 +167,33 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** [[GraftExpressions.WordChunks]] body: split the token stream into
+    * `size`-token chunks advancing by `step = size − overlap`, the
+    * standard overlap chunker for embedding/training pipelines. A chunk
+    * starts at every multiple of `step` until a chunk has reached the
+    * end: nchunks = 1 + ⌈(len − size)/step⌉ (0 for empty text) — the
+    * final chunk may be short, but a chunk fully contained in its
+    * predecessor is never emitted. */
+  def wordChunks(text: UTF8String, size: Int, step: Int): ArrayData = {
+    val trimmed = text.trim().toString
+    if (trimmed.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val words = ws.split(trimmed, -1)
+    val len = words.length
+    val extra = if (len <= size) 0 else (len - size + step - 1) / step
+    val out = new Array[Any](1 + extra)
+    var c = 0
+    while (c <= extra) {
+      val start = c * step
+      val end = math.min(start + size, len)
+      val sb = new java.lang.StringBuilder(words(start))
+      var j = start + 1
+      while (j < end) { sb.append(' ').append(words(j)); j += 1 }
+      out(c) = UTF8String.fromString(sb.toString)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** [[GraftExpressions.WindowSetContains]] body: true iff ANY word
     * n-gram of `text` hashes (xxhash64, seed 42 — identical to the SQL
     * `xxhash64` over the joined string) into the SORTED `hashes` set.

@@ -125,6 +125,23 @@ object TextAnalysis {
       r.getField("top_bigram_frac") <= maxTopBigram
   }
 
+  // -------------------------------------------------------------- chunking
+  /** Split documents into overlapping fixed-size token chunks — the
+    * standard embedding/training chunker: chunks of `size` tokens
+    * advancing by `size − overlap`, the final chunk possibly short, a
+    * chunk fully contained in its predecessor never emitted. Compiled
+    * single-pass kernel + generator explode: at 100 TB the chunk rows are
+    * born inside the scan stage partition-locally — no shuffle until
+    * whatever consumes them. Returns (id, chunk_index, chunk, n_tokens). */
+  def chunkDocuments(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, size: Int = 512,
+                     overlap: Int = 64): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol),
+        posexplode(graft.expressions.GraftExpressions
+          .wordChunks(col(textCol), size, overlap))
+          .as(Seq("chunk_index", "chunk")))
+      .withColumn("n_tokens", tokenCount(col("chunk")).cast("long"))
+
   // ------------------------------------------------------------ fingerprint
   /** Canonical content fingerprint: md5 over the sorted distinct token bag.
     * Robust to word order and repetition — the standard "fingerprint"

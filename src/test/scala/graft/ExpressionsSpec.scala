@@ -223,6 +223,14 @@ class ExpressionsSpec extends SparkSpec {
         "graft_simhash64")
       codegenLine(docs.select(GraftExpressions.wordShingles($"text", 3).as("w")),
         "graft_shingles")
+      codegenLine(docs.select(GraftExpressions.wordNGrams($"text", 8).as("g")),
+        "graft_word_ngrams")
+      codegenLine(docs.select(GraftExpressions.wordChunks($"text", 32, 8).as("c")),
+        "graft_word_chunks")
+      codegenLine(docs.select(GraftExpressions.repetitionStats($"text").as("r")),
+        "graft_repetition_stats")
+      codegenLine(docs.select(GraftExpressions.windowSetContains(
+        $"text", 13, Array(1L, 2L, 3L)).as("b")), "graft_window_set_contains")
       val withSh = docs.select($"doc_id",
         GraftExpressions.wordShingles($"text", 3).as("sh"))
       codegenLine(withSh.as("a").crossJoin(withSh.as("b")).limit(50).select(

@@ -137,6 +137,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(small.subsetOf(big))
   }
 
+  test("chunkDocuments splits with overlap, short tail, no contained chunk") {
+    def chunks(text: String, size: Int, overlap: Int): Seq[(Int, String, Long)] =
+      TA.chunkDocuments(Seq((1L, text)).toDF("doc_id", "text"), "doc_id",
+          "text", size, overlap)
+        .select("chunk_index", "chunk", "n_tokens")
+        .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    val ws = (1 to 10).map(i => s"w$i")
+    // len 10, size 8, overlap 4 → starts 0 and 4 ONLY (a start-8 chunk
+    // would be fully contained in the start-4 chunk)
+    assert(chunks(ws.mkString(" "), 8, 4) == Seq(
+      (0, ws.take(8).mkString(" "), 8L),
+      (1, ws.drop(4).mkString(" "), 6L)))
+    // exact fit → one chunk; shorter than size → one chunk; empty → none
+    assert(chunks(ws.take(8).mkString(" "), 8, 4).map(_._3) == Seq(8L))
+    assert(chunks("a b", 8, 4) == Seq((0, "a b", 2L)))
+    assert(chunks("", 8, 4).isEmpty)
+    // zero overlap partitions the tokens exactly
+    val parts = chunks(ws.mkString(" "), 4, 0)
+    assert(parts.map(_._3).sum == 10L && parts.size == 3)
+  }
+
   test("sampleByHash is deterministic, content-keyed, and ~rate-sized") {
     val docs = Tables.load(spark, sf0, "documents")
     val n = docs.count().toDouble
