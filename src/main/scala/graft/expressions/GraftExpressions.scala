@@ -569,5 +569,20 @@ object GraftExpressions {
       es => CosineSimilarity(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_jaccard",
       es => JaccardSimilarity(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_repetition_stats",
+      es => RepetitionStats(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_word_ngrams",
+      es => WordNGrams(es(0), intLit(es(1), "graft_word_ngrams", "n")),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("graft_word_chunks",
+      es => WordChunks(es(0), intLit(es(1), "graft_word_chunks", "size"),
+        intLit(es(2), "graft_word_chunks", "overlap")), "scala_udf")
+  }
+
+  /** Fold a literal int argument of a SQL-registered graft function. */
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT for $arg, got $other")
   }
 }

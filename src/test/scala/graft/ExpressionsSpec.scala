@@ -84,6 +84,13 @@ class ExpressionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 1.0 / 3) < 1e-12)
     assert(r.getLong(2) != 0L)
     assert(r.getInt(3) == 64)
+    val r2 = spark.sql(
+      """SELECT graft_repetition_stats('a a b').dup_unigram_frac d,
+        |       graft_word_ngrams('a b c', 2) g,
+        |       graft_word_chunks('a b c d', 2, 0) k""".stripMargin).collect()(0)
+    assert(r2.getDouble(0) == 1.0 / 3)
+    assert(r2.getSeq[String](1) == Seq("a b", "b c"))
+    assert(r2.getSeq[String](2) == Seq("a b", "c d"))
   }
 
   test("SignatureAgreement matches the zip_with/filter column stack bit-for-bit") {
