@@ -54,15 +54,36 @@ object Dedup {
     * aggregate-small (only spans clearing `minDocs`). Spans shorter than
     * `w` tokens are not emitted — a partial span is not a span. */
   def boilerplateSpans(df: DataFrame, idCol: String, textCol: String,
-                       w: Int = 8, minDocs: Int = 3): DataFrame = {
+                       w: Int = 8, minDocs: Int = 3,
+                       hashExchange: Boolean = false): DataFrame = {
     require(w > 0 && minDocs > 0)
-    df.select(col(idCol).as("doc_id"),
-        explode(graft.expressions.GraftExpressions.wordNGrams(col(textCol), w))
-          .as("span"))
-      .groupBy("span")
-      .agg(countDistinct("doc_id").as("n_docs"),
-        count(lit(1)).as("n_occurrences"))
-      .filter(col("n_docs") >= minDocs)
+    val spans = df.select(col(idCol).as("doc_id"),
+      explode(graft.expressions.GraftExpressions.wordNGrams(col(textCol), w))
+        .as("span"))
+    if (!hashExchange)
+      spans.groupBy("span")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .filter(col("n_docs") >= minDocs)
+    else {
+      // 100 TB mode: the corpus-wide exchange carries (xxhash64, doc_id)
+      // — 16 bytes/row instead of the w-token span text. Flagged hashes
+      // are aggregate-small; a SECOND map-only scan resolves their text
+      // through a broadcast join (min(span) per hash makes a collision,
+      // p ≈ spans²/2⁻⁶⁴, deterministic rather than run-dependent). Same
+      // output contract as the default mode.
+      val flagged = spans
+        .select(col("doc_id"), xxhash64(col("span")).as("h"))
+        .groupBy("h")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .filter(col("n_docs") >= minDocs)
+      spans.select(xxhash64(col("span")).as("h"), col("span"))
+        .join(broadcast(flagged), "h")
+        .groupBy("h", "n_docs", "n_occurrences")
+        .agg(min("span").as("span"))
+        .select("span", "n_docs", "n_occurrences")
+    }
   }
 
   /** Strip boilerplate DOCUMENTS: drop any document containing at least

@@ -329,6 +329,16 @@ class DedupSpec extends SparkSpec {
     assert(repHits.toSeq == Seq((7L, 2L, 1L)))
   }
 
+  test("boilerplateSpans hashExchange mode returns the identical span set") {
+    val default = Dedup.boilerplateSpans(docs, "doc_id", "text",
+        w = 8, minDocs = 3)
+      .as[(String, Long, Long)].collect().toSet
+    val hashed = Dedup.boilerplateSpans(docs, "doc_id", "text",
+        w = 8, minDocs = 3, hashExchange = true)
+      .as[(String, Long, Long)].collect().toSet
+    assert(default.nonEmpty && hashed == default)
+  }
+
   test("dropBoilerplateDocs strips documents carrying flagged spans") {
     val footer = "generated by acme corp all rights reserved contact legal dept"
     val df = Seq(
