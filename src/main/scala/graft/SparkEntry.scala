@@ -774,6 +774,34 @@ object SparkEntry {
           defaultRate = 0.75))
         .select("doc_id", "source")),
 
+    "corpus_split" -> ((s, dir) =>
+      // deterministic train/val/test assignment: the split label is a
+      // pure md5-threshold column evaluated inside the scan (zero
+      // shuffle); the per-(lang, split) rollup is the checkable surface
+      t(s, dir, "documents")
+        .select(col("lang"), graft.llm.Corpus.splitAssign(col("doc_id"),
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).as("split"))
+        .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))),
+
+    "pack_sequences" -> ((s, dir) =>
+      // concat-split sequence packing: 16 md5-nibble shards packed
+      // independently (the per-shard running sum is the only wide op),
+      // each document mapped to its training-window span
+      graft.llm.Corpus.packSequences(
+        t(s, dir, "documents"), "doc_id", "n_chars", budget = 4096L)),
+
+    "vocab_top" -> ((s, dir) =>
+      // global token vocabulary: one partial-agg shuffle, TakeOrdered
+      // over the aggregated vocabulary with a unique (freq, token) order
+      graft.llm.Corpus.vocabulary(t(s, dir, "documents"), "text", topN = 20)),
+
+    "tfidf_keywords" -> ((s, dir) =>
+      // per-doc keywords by tf·rarity (integer-exact idf surrogate);
+      // tf/df partial-agg shuffles + one token-keyed join + top-3 window
+      graft.llm.Corpus.tfidfKeywords(
+        t(s, dir, "documents").filter(col("doc_id") < 50),
+        "doc_id", "text", perDoc = 3)),
+
     "text_chunks" -> ((s, dir) =>
       // overlap chunker (size 32, overlap 8 — small enough that the ~54-
       // token synthetic docs actually split): chunk rows are generated
@@ -1390,6 +1418,56 @@ object SparkEntry {
         |  WHEN source = 'src1' THEN substring(md5(text), 1, 8) < '40000000'
         |  WHEN source = 'src2' THEN substring(md5(text), 1, 8) < '80000000'
         |  ELSE substring(md5(text), 1, 8) < 'bfffffff' END""".stripMargin,
+
+    "corpus_split" ->
+      """SELECT lang, CASE
+        |  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+        |  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333332' THEN 'val'
+        |  ELSE 'test' END AS split,
+        | count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS len,
+        |         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |pos AS (
+        |  SELECT id, shard, len,
+        |         CAST(sum(len) OVER (PARTITION BY shard ORDER BY h, id
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS endpos
+        |  FROM base)
+        |SELECT id, shard, endpos - len AS start,
+        |       (endpos - len) // 4096 AS seq_first,
+        |       CASE WHEN len = 0 THEN (endpos - len) // 4096
+        |            ELSE (endpos - 1) // 4096 END AS seq_last,
+        |       (endpos - len) % 4096 AS offset
+        |FROM pos""".stripMargin,
+
+    "vocab_top" ->
+      """WITH norm AS (SELECT trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM documents),
+        |tok AS (SELECT unnest(string_split(t, ' ')) AS token FROM norm)
+        |SELECT token, count(*) AS freq FROM tok WHERE length(token) > 0
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
+
+    "tfidf_keywords" ->
+      """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+        |norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM sub),
+        |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM norm),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |       WHERE length(token) > 0 GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS docfreq FROM tf GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n FROM sub)
+        |SELECT id, token, score FROM (
+        |  SELECT tf.doc_id AS id, tf.token,
+        |         tf.tf * (nd.n + 1 - dfq.docfreq) AS score,
+        |         row_number() OVER (PARTITION BY tf.doc_id
+        |           ORDER BY tf.tf * (nd.n + 1 - dfq.docfreq) DESC, tf.token) AS rn
+        |  FROM tf JOIN dfq ON tf.token = dfq.token CROSS JOIN nd)
+        |WHERE rn <= 3""".stripMargin,
 
     "text_chunks" ->
       """WITH t AS (

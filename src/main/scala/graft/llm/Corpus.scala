@@ -1,0 +1,139 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators for training-data pipelines: deterministic
+  * train/val/test splits, sequence packing, vocabulary statistics, and
+  * keyword extraction.
+  *
+  * Everything here follows the same engine-portable discipline as
+  * [[TextAnalysis.sampleByHash]]: decisions are made by comparing md5 hex
+  * prefixes or exact integer arithmetic, never by RNG or floating-point
+  * transcendentals, so identical inputs produce bit-identical outputs on
+  * any partitioning and the same expression is plain ANSI SQL for the
+  * DuckDB oracle.
+  */
+object Corpus {
+
+  /** Deterministic split assignment (train/val/test/...) by content hash.
+    *
+    * `fractions` lists (label, fraction) in priority order; fractions must
+    * sum to 1. A row's md5-hex prefix is compared against the cumulative
+    * thresholds, so the assignment is a pure column expression evaluated
+    * inside the scan — zero shuffle, stable under repartitioning, and a
+    * given key always lands in the same split even across corpus versions
+    * (the property that keeps val contamination out of train when the
+    * corpus grows). Hex thresholds come from [[splitThresholds]] so oracle
+    * SQL can embed the identical literals. */
+  def splitAssign(key: Column, fractions: Seq[(String, Double)]): Column = {
+    val thr = splitThresholds(fractions)
+    val h = substring(md5(key.cast("string")), 1, 8)
+    thr.init.foldRight(lit(thr.last._1): Column) {
+      case ((name, t), els) => when(h < lit(t), lit(name)).otherwise(els)
+    }
+  }
+
+  /** Cumulative 8-hex-digit thresholds for [[splitAssign]] — exposed so
+    * callers (and oracle SQL) can reproduce the exact cut points. */
+  def splitThresholds(fractions: Seq[(String, Double)]): Seq[(String, String)] = {
+    require(fractions.nonEmpty, "need at least one split")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    fractions.map(_._1).zip(cum.map { c =>
+      f"${math.min(math.round(c * 0xffffffffL), 0xffffffffL)}%08x"
+    })
+  }
+
+  /** Concat-and-split sequence packing (the GPT-style training layout):
+    * documents are laid out in a deterministic pseudo-random order and the
+    * concatenation is sliced into fixed-`budget` windows. Returns one row
+    * per document with its placement:
+    *
+    *   (id, shard, start, seq_first, seq_last, offset)
+    *
+    * where `start` is the document's byte/token offset inside its shard's
+    * concatenation, `seq_first`/`seq_last` the first/last window it
+    * occupies (a document longer than the remaining window capacity spans
+    * windows — that is the point of concat-split packing) and `offset` its
+    * position inside `seq_first`.
+    *
+    * Scale design: a single global running sum would be one giant window
+    * partition, so the corpus is first sharded by the leading md5 hex
+    * nibble of the id (16 independent shards — at 100 TB raise shards by
+    * widening the prefix and pack each shard independently; training
+    * shards are independent files anyway). Within a shard the order is
+    * (md5 hex, id): content-deterministic shuffle with a unique
+    * tie-break. The only wide operation is the per-shard running sum.
+    *
+    * `lenCol` is whatever length accounting the caller wants to pack by
+    * (token counts, byte counts, `n_chars`). Zero-length rows occupy no
+    * space: they get `seq_last = seq_first` at their start position. */
+  def packSequences(df: DataFrame, idCol: String, lenCol: String,
+                    budget: Long, shardPrefix: Int = 1): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val h = md5(col(idCol).cast("string"))
+    val w = Window.partitionBy("shard").orderBy(col("h"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol).as("id"), col(lenCol).cast("long").as("len"),
+        substring(h, 1, shardPrefix).as("shard"), h.as("h"))
+      .withColumn("endpos", sum(col("len")).over(w))
+      .select(col("id"), col("shard"),
+        (col("endpos") - col("len")).as("start"), col("len"), col("endpos"))
+      .select(col("id"), col("shard"), col("start"),
+        floor(col("start") / budget).cast("long").as("seq_first"),
+        when(col("len") === 0, floor(col("start") / budget))
+          .otherwise(floor((col("endpos") - 1) / budget))
+          .cast("long").as("seq_last"),
+        pmod(col("start"), lit(budget)).as("offset"))
+  }
+
+  /** Global token vocabulary: the `topN` most frequent tokens of the
+    * [[TextAnalysis.normalizeText]]-normalized corpus with an exact
+    * (freq desc, token) total order, so the LIMIT boundary is
+    * deterministic. One shuffle (the token groupBy) with map-side partial
+    * aggregation; the top-N is a TakeOrdered over the aggregated
+    * vocabulary, never over token instances. */
+  def vocabulary(df: DataFrame, textCol: String, topN: Int = 1000): DataFrame =
+    df.select(explode(split(TextAnalysis.normalizeText(col(textCol)), " "))
+        .as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(topN)
+
+  /** Per-document keyword extraction by tf·rarity, integer-exact.
+    *
+    * The classic tf·idf weight multiplies tf by a log — a transcendental
+    * whose last-ulp behavior differs across engines, which would poison
+    * hash-exact oracles. Rarity here is the integer surrogate
+    * `N + 1 - df` (documents NOT containing the token, plus one), which
+    * preserves the "frequent in this doc, rare in the corpus" ordering
+    * with pure int64 arithmetic. Document frequency is computed over the
+    * passed `df` (pre-filter to score against a sub-corpus).
+    *
+    * Plan shape: tokenize → (id, token) partial-agg groupBy → token-keyed
+    * df counts joined back (plain shuffle join — vocabulary can be huge at
+    * scale, so no forced broadcast; AQE may still choose one) → per-doc
+    * top-`perDoc` window with a unique (score desc, token) tie-break. */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+                    perDoc: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(TextAnalysis.normalizeText(col(textCol)), " "))
+          .as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("docfreq"))
+    val ndocs = df.agg(countDistinct(col(idCol)).as("n"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(ndocs))
+      .select(col("id"), col("token"),
+        (col("tf") * (col("n") + 1 - col("docfreq"))).as("score"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("score").desc, col("token"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perDoc)
+      .select(col("id"), col("token"), col("score"))
+  }
+}

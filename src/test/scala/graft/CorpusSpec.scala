@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Corpus
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("splitThresholds: cumulative 8-hex cut points, sum-to-1 enforced") {
+    val t = Corpus.splitThresholds(
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    assert(t.map(_._1) == Seq("train", "val", "test"))
+    assert(t(0)._2 == "e6666666" && t(1)._2 == "f3333332")
+    assert(t(2)._2 == "ffffffff")
+    assert(t.forall(_._2.matches("[0-9a-f]{8}")))
+    intercept[IllegalArgumentException] {
+      Corpus.splitThresholds(Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("splitAssign: exhaustive, deterministic, fraction-accurate") {
+    val df = spark.range(0, 10000).toDF("id")
+    val split = Corpus.splitAssign(col("id"),
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val counts = df.select(split.as("s")).groupBy("s").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 10000L)
+    // md5 is uniform: 9000/500/500 expected, allow ±5 sigma-ish slack
+    assert(math.abs(counts("train") - 9000L) < 150,
+      s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 500L) < 110 &&
+      math.abs(counts("test") - 500L) < 110)
+    // same key → same split regardless of partitioning
+    val again = df.repartition(13).select(col("id"), split.as("s"))
+    val first = df.select(col("id"), split.as("s"))
+    assert(first.except(again).count() == 0 && again.except(first).count() == 0)
+  }
+
+  test("packSequences: contiguous per-shard layout, window math exact") {
+    val docs = spark.range(0, 200)
+      .select(col("id").as("doc_id"), (col("id") % 7 * 50).as("n_chars"))
+    val packed = Corpus.packSequences(docs, "doc_id", "n_chars", budget = 256L)
+    val rows = packed.collect()
+    assert(rows.length == 200)
+    // per shard: sorted by start, documents tile the concatenation exactly
+    val byShard = rows.groupBy(_.getAs[String]("shard"))
+    assert(byShard.keys.forall(_.matches("[0-9a-f]")))
+    val lens = docs.as[(Long, Long)].collect().toMap
+    for ((_, rs) <- byShard) {
+      val sorted = rs.sortBy(_.getAs[Long]("start"))
+      sorted.foldLeft(0L) { (expected, r) =>
+        assert(r.getAs[Long]("start") == expected)
+        expected + lens(r.getAs[Long]("id"))
+      }
+    }
+    // offset/seq arithmetic
+    for (r <- rows) {
+      val start = r.getAs[Long]("start")
+      val len = lens(r.getAs[Long]("id"))
+      assert(r.getAs[Long]("offset") == start % 256)
+      assert(r.getAs[Long]("seq_first") == start / 256)
+      val expLast = if (len == 0) start / 256 else (start + len - 1) / 256
+      assert(r.getAs[Long]("seq_last") == expLast)
+      assert(r.getAs[Long]("seq_last") >= r.getAs[Long]("seq_first"))
+    }
+    // long docs span windows; zero-length docs occupy none
+    assert(rows.exists(r =>
+      r.getAs[Long]("seq_last") > r.getAs[Long]("seq_first")))
+    assert(rows.filter(r => lens(r.getAs[Long]("id")) == 0L)
+      .forall(r => r.getAs[Long]("seq_last") == r.getAs[Long]("seq_first")))
+  }
+
+  test("packSequences: deterministic under repartitioning") {
+    val docs = spark.range(0, 500)
+      .select(col("id").as("doc_id"), (col("id") % 11 * 30 + 5).as("n_chars"))
+    val a = Corpus.packSequences(docs, "doc_id", "n_chars", 512L)
+    val b = Corpus.packSequences(docs.repartition(17), "doc_id", "n_chars", 512L)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
+  test("vocabulary: frequency order with token tie-break, normalized") {
+    val df = Seq("The cat sat", "a CAT! sat.", "dog").toDF("text")
+    val v = Corpus.vocabulary(df, "text", topN = 3)
+      .as[(String, Long)].collect().toSeq
+    // cat=2 sat=2, then 1-freq tokens alphabetical: a, dog, the
+    assert(v == Seq(("cat", 2L), ("sat", 2L), ("a", 1L)))
+    val all = Corpus.vocabulary(df, "text", topN = 100)
+      .as[(String, Long)].collect().toSeq
+    assert(all == Seq(("cat", 2L), ("sat", 2L), ("a", 1L),
+      ("dog", 1L), ("the", 1L)))
+  }
+
+  test("vocabulary: blank and empty docs contribute nothing") {
+    val df = Seq("", "   ", "!!!", "x").toDF("text")
+    val v = Corpus.vocabulary(df, "text", 10).as[(String, Long)].collect()
+    assert(v.toSeq == Seq(("x", 1L)))
+  }
+
+  test("tfidfKeywords: tf·(N+1-df) integer scoring, top-k per doc") {
+    // 3 docs; "common" in all (rarity 1), "rare" only in doc 1 (rarity 3)
+    val df = Seq(
+      (1L, "common rare rare"),
+      (2L, "common common other"),
+      (3L, "common")).toDF("doc_id", "text")
+    val kw = Corpus.tfidfKeywords(df, "doc_id", "text", perDoc = 2)
+      .as[(Long, String, Long)].collect().toSet
+    // doc1: rare tf=2·(4-1)=6 > common 1·1=1
+    // doc2: other 1·3=3 > common 2·1=2; doc3: common 1
+    assert(kw == Set((1L, "rare", 6L), (1L, "common", 1L),
+      (2L, "other", 3L), (2L, "common", 2L), (3L, "common", 1L)))
+  }
+}
