@@ -93,7 +93,10 @@ object Similarity {
     // vectors, so source-vector ids would be misleading downstream
     var current: Array[(Long, Seq[Double])] =
       seed.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    // one scan pass per iteration hits this cached projection instead of
+    // re-reading the source (dropped before returning)
     val c = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+      .cache()
     var it = 0
     while (it < iters) {
       val centsDf = current.toSeq.toDF("centroid_id", "centroid")
@@ -116,6 +119,7 @@ object Similarity {
       }
       it += 1
     }
+    c.unpersist(blocking = false)
     current.toSeq.toDF("centroid_id", "centroid")
   }
 
@@ -211,7 +215,15 @@ object Similarity {
       : (Int, Array[(Int, Long, Seq[Double])]) = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // The Lloyd loop takes iters+2 passes over the projected corpus (dim
+    // probe, seeds, one assignment/mean pass per iteration) — cache the
+    // projection for the duration of training instead of re-running the
+    // scan each pass. At 100 TB you would pass a hash-sampled corpus to
+    // train on (the codebooks converge on a sample); the pinned oracle
+    // defaults train on the full corpus, so the cache is scoped to this
+    // method and dropped before returning.
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .cache()
     val dim = c.select(size(col("v"))).limit(1).collect()(0).getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val w = dim / m
@@ -242,6 +254,7 @@ object Similarity {
       }
       it += 1
     }
+    c.unpersist(blocking = false)
     (w, current)
   }
 
