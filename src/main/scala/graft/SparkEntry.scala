@@ -627,6 +627,35 @@ object SparkEntry {
         t(s, dir, "events"), "user_id", "ts", gapSeconds = 1800, "value",
         tieBreak = Seq("event_id"))),
 
+    "ev_asof_join" -> ((s, dir) => {
+      // as-of join (latest click at or before each purchase, per user):
+      // one window exchange over the merged streams — no per-row probe,
+      // no range explosion; DuckDB's native ASOF JOIN is the oracle
+      val ev = t(s, dir, "events")
+      graft.operators.TemporalJoins.asofJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts"),
+        ev.filter(col("event_type") === "click"),
+        on = Seq("user_id"), leftTsCol = "ts", rightTsCol = "ts",
+        carry = Map("event_id" -> "click_id", "value" -> "click_value"))
+    }),
+
+    "ev_range_join" -> ((s, dir) => {
+      // bounded range join (purchases within 1h after a view, per user):
+      // bin-bucketed equi-join — each left row meets ≤2 right bins, so
+      // the shuffle is bounded by temporal density, not key cardinality
+      val ev = t(s, dir, "events")
+      graft.operators.TemporalJoins.rangeJoin(
+        ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"),
+            unix_micros(col("ts")).as("view_us")),
+        ev.filter(col("event_type") === "purchase")
+          .withColumn("purchase_us", unix_micros(col("ts"))),
+        on = Seq("user_id"), leftUsCol = "view_us", rightUsCol = "purchase_us",
+        loUs = 0L, hiUs = 3600000000L,
+        carry = Map("event_id" -> "purchase_id"))
+    }),
+
     // ------------------------------------------------------ dedup family
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
@@ -1418,6 +1447,24 @@ object SparkEntry {
         |  WHEN source = 'src1' THEN substring(md5(text), 1, 8) < '40000000'
         |  WHEN source = 'src2' THEN substring(md5(text), 1, 8) < '80000000'
         |  ELSE substring(md5(text), 1, 8) < 'bfffffff' END""".stripMargin,
+
+    "ev_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
+        |      FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |                      ORDER BY event_id DESC) AS rn
+        |            FROM events WHERE event_type = 'click') WHERE rn = 1)
+        |SELECT l.event_id, l.user_id, l.ts, r.click_id, r.click_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "ev_range_join" ->
+      """SELECT a.event_id AS view_id, a.user_id, epoch_us(a.ts) AS view_us,
+        |       b.event_id AS purchase_id,
+        |       epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+        |  AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 3600000000""".stripMargin,
 
     "corpus_split" ->
       """SELECT lang, CASE

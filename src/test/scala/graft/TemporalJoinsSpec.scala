@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TemporalJoins
+
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin: greatest right ts <= left ts, inclusive, null when none") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:05")),
+      (2L, 10L, ts("2024-01-01 00:00:10")), // equal-ts right must match
+      (3L, 10L, ts("2024-01-01 00:00:01")), // before any right -> null
+      (4L, 20L, ts("2024-01-01 00:00:30"))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 00:00:03"), 1.5),
+      (101L, 10L, ts("2024-01-01 00:00:10"), 2.5),
+      (102L, 20L, ts("2024-01-01 00:00:29"), 3.5),
+      (103L, 30L, ts("2024-01-01 00:00:00"), 9.9) // other user, never used
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = TemporalJoins.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+        Map("event_id" -> "rid", "value" -> "rval"))
+      .select("event_id", "rid", "rval")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    assert(out == Set(
+      (1L, Some(100L), Some(1.5)),
+      (2L, Some(101L), Some(2.5)),
+      (3L, None, None),
+      (4L, Some(102L), Some(3.5))))
+  }
+
+  test("asofJoin: right ties on (key, ts) reduce to the max struct") {
+    val left = Seq((1L, 10L, ts("2024-01-01 00:00:10"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 00:00:05"), 1.0),
+      (105L, 10L, ts("2024-01-01 00:00:05"), 2.0) // same ts: max event_id wins
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = TemporalJoins.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+        Map("event_id" -> "rid", "value" -> "rval"))
+      .select("rid", "rval").as[(Long, Double)].head()
+    assert(out == ((105L, 2.0)))
+  }
+
+  test("asofJoin: deterministic under repartitioning") {
+    val ev = Tables.load(spark, sf0, "events")
+    val l = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val r = ev.filter(col("event_type") === "click")
+    val a = TemporalJoins.asofJoin(l, r, Seq("user_id"), "ts", "ts",
+      Map("event_id" -> "rid"))
+    val b = TemporalJoins.asofJoin(l.repartition(7), r.repartition(5),
+      Seq("user_id"), "ts", "ts", Map("event_id" -> "rid"))
+    assert(a.count() == l.count())
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
+  test("rangeJoin: inclusive bounds, bin-crossing matches, keyed") {
+    val left = Seq(
+      (1L, 10L, 1000000L),
+      (2L, 20L, 1000000L)
+    ).toDF("lid", "user_id", "lus")
+    val right = Seq(
+      (100L, 10L, 1000000L), // dt = 0, boundary
+      (101L, 10L, 1000100L), // dt = 100, boundary (hi)
+      (102L, 10L, 1000101L), // dt = 101, outside
+      (103L, 10L, 999999L),  // dt = -1, outside
+      (104L, 20L, 1000050L)  // other key
+    ).toDF("rid", "user_id", "rus")
+    val out = TemporalJoins.rangeJoin(left, right, Seq("user_id"),
+        "lus", "rus", loUs = 0L, hiUs = 100L, carry = Map("rid" -> "rid"))
+      .select("lid", "rid", "dt_us").as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 100L, 0L), (1L, 101L, 100L), (2L, 104L, 50L)))
+  }
+
+  test("rangeJoin: equals the naive theta join on real events") {
+    val ev = Tables.load(spark, sf0, "events")
+    val a = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("lid"), col("user_id"),
+        unix_micros(col("ts")).as("lus"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("rid"), col("user_id").as("u2"),
+        unix_micros(col("ts")).as("rus"))
+    val fast = TemporalJoins.rangeJoin(a,
+        b.withColumnRenamed("u2", "user_id"), Seq("user_id"),
+        "lus", "rus", 0L, 3600000000L, Map("rid" -> "rid"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val naive = a.join(b, a("user_id") === b("u2") &&
+        (b("rus") - a("lus")).between(0L, 3600000000L))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(fast == naive && fast.nonEmpty)
+  }
+}
