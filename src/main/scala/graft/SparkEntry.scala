@@ -819,6 +819,11 @@ object SparkEntry {
       graft.llm.Corpus.packSequences(
         t(s, dir, "documents"), "doc_id", "n_chars", budget = 4096L)),
 
+    "doc_length_hist" -> ((s, dir) =>
+      // power-of-two length profile: integer bucket math (binary digit
+      // count), one ≤64-group partial-agg shuffle
+      graft.llm.Corpus.lengthHistogram(t(s, dir, "documents"), "n_chars")),
+
     "vocab_top" -> ((s, dir) =>
       // global token vocabulary: one partial-agg shuffle, TakeOrdered
       // over the aggregated vocabulary with a unique (freq, token) order
@@ -1491,6 +1496,11 @@ object SparkEntry {
         |            ELSE (endpos - 1) // 4096 END AS seq_last,
         |       (endpos - len) % 4096 AS offset
         |FROM pos""".stripMargin,
+
+    "doc_length_hist" ->
+      """SELECT CAST(length(bin(CAST(n_chars AS BIGINT))) AS INTEGER) AS bucket,
+        |       count(*) AS n_docs, min(n_chars) AS min_len, max(n_chars) AS max_len
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "vocab_top" ->
       """WITH norm AS (SELECT trim(regexp_replace(regexp_replace(lower(text),

@@ -103,6 +103,18 @@ object Corpus {
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token")).limit(topN)
 
+  /** Power-of-two length histogram — the standard corpus length profile
+    * (training pipelines gate on doc-length distributions before and
+    * after filtering). The bucket is the binary digit count of the
+    * length (floor(log2)+1 for positive lengths, 1 for zero): pure
+    * integer/string ops with identical semantics in Spark and DuckDB,
+    * unlike float log2. One partial-agg shuffle of ≤64 groups. */
+  def lengthHistogram(df: DataFrame, lenCol: String): DataFrame =
+    df.select(length(bin(col(lenCol).cast("long"))).as("bucket"),
+        col(lenCol).cast("long").as("len"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"),
+        min("len").as("min_len"), max("len").as("max_len"))
+
   /** Per-document keyword extraction by tf·rarity, integer-exact.
     *
     * The classic tf·idf weight multiplies tf by a log — a transcendental

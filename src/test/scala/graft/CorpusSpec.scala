@@ -98,6 +98,14 @@ class CorpusSpec extends SparkSpec {
     assert(v.toSeq == Seq(("x", 1L)))
   }
 
+  test("lengthHistogram: binary-digit buckets, zero maps to bucket 1") {
+    val df = Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L).toDF("len")
+    val h = Corpus.lengthHistogram(df, "len")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(h == Seq((1, 2L, 0L, 1L), (2, 2L, 2L, 3L), (3, 2L, 4L, 7L),
+      (4, 1L, 8L, 8L), (10, 1L, 1023L, 1023L), (11, 1L, 1024L, 1024L)))
+  }
+
   test("tfidfKeywords: tf·(N+1-df) integer scoring, top-k per doc") {
     // 3 docs; "common" in all (rarity 1), "rare" only in doc 1 (rarity 3)
     val df = Seq(

@@ -78,6 +78,36 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out == Set((1L, 100L, 0L), (1L, 101L, 100L), (2L, 104L, 50L)))
   }
 
+  test("asofJoin plan: window exchange on the key, no join operator") {
+    val ev = Tables.load(spark, sf0, "events")
+    val out = TemporalJoins.asofJoin(
+      ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts"),
+      ev.filter(col("event_type") === "click"),
+      Seq("user_id"), "ts", "ts", Map("event_id" -> "rid"))
+    val plan = out.queryExecution.executedPlan.toString
+    // the merge-streams layout has NO join node — per-row probing never
+    // appears; matching is a single window pass
+    assert(!plan.contains("Join"), s"expected join-free plan, got:\n$plan")
+    assert(plan.contains("Window"), "expected a window pass")
+  }
+
+  test("rangeJoin plan: equi-join on (key, bin), never a cross product") {
+    val ev = Tables.load(spark, sf0, "events")
+    val a = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("lid"), col("user_id"),
+        unix_micros(col("ts")).as("lus"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("rid"), col("user_id"),
+        unix_micros(col("ts")).as("rus"))
+    val out = TemporalJoins.rangeJoin(a, b, Seq("user_id"), "lus", "rus",
+      0L, 3600000000L, Map("rid" -> "rid"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must stay an equi-join, got:\n$plan")
+  }
+
   test("rangeJoin: equals the naive theta join on real events") {
     val ev = Tables.load(spark, sf0, "events")
     val a = ev.filter(col("event_type") === "view")
