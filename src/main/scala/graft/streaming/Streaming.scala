@@ -159,15 +159,52 @@ object Streaming {
       .windowSetContains(col(textCol), n, hashes))
   }
 
+  /** Stateless stream-to-static as-of enrichment: each arriving row picks
+    * up the carried columns of the LATEST static row with
+    * `staticTsCol <= streamTsCol` in its `on` group (dimension-snapshot
+    * enrichment — prices, configs, model versions — the streaming
+    * counterpart of [[graft.operators.TemporalJoins.asofJoin]]).
+    *
+    * The static side is transformed ONCE into validity intervals
+    * `[ts, next_ts)` via a lead window (ties reduced to the same
+    * lexicographic-max representative as the batch operator), then the
+    * stream joins it with a plain stream-static broadcast equi-join on
+    * the keys plus the interval filter — each stream row matches exactly
+    * one interval, left-outer keeps never-enriched rows. NO STATE, no
+    * watermark, no window over the stream: Structured Streaming treats
+    * stream-static joins as stateless per-batch joins, so this composes
+    * freely with [[dedupStream]]/[[decontaminateStream]]. The static
+    * side is a dimension snapshot (broadcast-sized by construction);
+    * re-plan after snapshot updates to pick up new intervals. */
+  def enrichAsOf(stream: DataFrame, static: DataFrame, on: Seq[String],
+                 streamTsCol: String, staticTsCol: String,
+                 carry: Map[String, String]): DataFrame = {
+    require(on.nonEmpty, "enrichAsOf needs at least one equality key")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(on.map(col): _*).orderBy(col("__ts"))
+    val iv = static.groupBy(
+        (on.map(col) :+ col(staticTsCol).as("__ts")): _*)
+      .agg(max(struct(carry.toSeq.sortBy(_._1).map { case (c, out) =>
+        col(c).as(out) }: _*)).as("__carry"))
+      .withColumn("__end", lead(col("__ts"), 1).over(w))
+    val keyCond = on.map(k => stream(k) === iv(k)).reduce(_ && _)
+    val cond = keyCond && stream(streamTsCol) >= iv("__ts") &&
+      (iv("__end").isNull || stream(streamTsCol) < iv("__end"))
+    stream.join(broadcast(iv), cond, "left_outer")
+      .select(stream.columns.map(stream(_)).toSeq ++
+        carry.values.toSeq.sorted.map(n => col(s"__carry.$n").as(n)): _*)
+  }
+
   /** Run a streaming query to completion over the current backlog
     * (batch-incremental, `Trigger.AvailableNow`) into an in-memory table;
     * returns the result. Used by tests and local verification. */
   def runAvailableNow(df: DataFrame, queryName: String,
-                      checkpoint: String): DataFrame = {
+                      checkpoint: String,
+                      outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q = df.writeStream
       .format("memory")
       .queryName(queryName)
-      .outputMode(OutputMode.Complete())
+      .outputMode(outputMode)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -42,7 +42,9 @@ object ScaleBench {
     "dedup_simhash", "dedup_embedding_pairs", "ann_cosine_topk",
     "text_tokens", "text_quality", "text_langid", "text_repetition",
     "dedup_spans", "decontam_hits", "ann_ivf_pq_topk",
-    "a6_keep_latest", "u2_snapshot_diff")
+    "a6_keep_latest", "u2_snapshot_diff",
+    "pack_sequences", "vocab_top", "corpus_split", "doc_length_hist",
+    "tfidf_keywords", "ev_asof_join", "ev_range_join")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

@@ -116,6 +116,32 @@ class StreamingSpec extends SparkSpec {
     assert(batchKept == Set(1L, 3L)) // same verdicts as the stream path
   }
 
+  test("enrichAsOf: stream-static as-of enrichment equals the batch asofJoin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$dir/events"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events/part-0.parquet"))
+    val static = Tables.load(spark, sf0, "events")
+      .filter(col("event_type") === "click")
+    val stream = Streaming.enrichAsOf(
+      Streaming.readEvents(spark, s"$dir/events")
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts"),
+      static, Seq("user_id"), "ts", "ts",
+      Map("event_id" -> "click_id", "value" -> "click_value"))
+    val got = Streaming.runAvailableNow(stream, "st_asof", s"$dir/ckpt",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val want = graft.operators.TemporalJoins.asofJoin(
+      Tables.load(spark, sf0, "events")
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts"),
+      static, Seq("user_id"), "ts", "ts",
+      Map("event_id" -> "click_id", "value" -> "click_value"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming hourly window equals the batch plan (availableNow)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-st").toString
     // the file stream source needs a directory; stage the single-file table
