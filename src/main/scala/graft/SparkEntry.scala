@@ -819,6 +819,23 @@ object SparkEntry {
       graft.llm.Corpus.packSequences(
         t(s, dir, "documents"), "doc_id", "n_chars", budget = 4096L)),
 
+    "corpus_upsample" -> ((s, dir) =>
+      // weighted replication (the up-sampling half of mixture weights):
+      // per-stratum copy counts decided by content hash, copies emitted
+      // by a generator inside the scan — zero shuffle
+      graft.llm.Corpus.replicateByWeight(
+          t(s, dir, "documents").select("doc_id", "source", "text"),
+          col("source"), col("text"),
+          Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 1.0),
+          defaultWeight = 1.5)
+        .select("doc_id", "source", "copy")),
+
+    "doc_len_quantiles" -> ((s, dir) =>
+      // percentile_disc with rational thresholds: integer math end to
+      // end (a float q·n ceil sits on an engine-dependent ulp edge);
+      // cumulative window runs over DISTINCT lengths, not documents
+      graft.llm.Corpus.lengthQuantiles(t(s, dir, "documents"), "n_chars")),
+
     "doc_length_hist" -> ((s, dir) =>
       // power-of-two length profile: integer bucket math (binary digit
       // count), one ≤64-group partial-agg shuffle
@@ -1496,6 +1513,31 @@ object SparkEntry {
         |            ELSE (endpos - 1) // 4096 END AS seq_last,
         |       (endpos - len) % 4096 AS offset
         |FROM pos""".stripMargin,
+
+    "corpus_upsample" ->
+      """WITH w AS (SELECT doc_id, source,
+        |  CASE source
+        |    WHEN 'src0' THEN 2 + CASE WHEN substring(md5(text), 1, 8) < '80000000'
+        |                             THEN 1 ELSE 0 END
+        |    WHEN 'src1' THEN CASE WHEN substring(md5(text), 1, 8) < '40000000'
+        |                          THEN 1 ELSE 0 END
+        |    WHEN 'src2' THEN 1
+        |    ELSE 1 + CASE WHEN substring(md5(text), 1, 8) < '80000000'
+        |                  THEN 1 ELSE 0 END
+        |  END AS n FROM documents)
+        |SELECT doc_id, source,
+        |       unnest(range(1, CAST(n AS BIGINT) + 1)) AS copy FROM w""".stripMargin,
+
+    "doc_len_quantiles" ->
+      """WITH c AS (SELECT CAST(n_chars AS BIGINT) AS len, count(*) AS cnt
+        |           FROM documents GROUP BY 1),
+        |cum AS (SELECT len, CAST(sum(cnt) OVER (ORDER BY len
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM c),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |qs(q, num, den) AS (VALUES ('p10', 1, 10), ('p25', 1, 4),
+        |  ('p50', 1, 2), ('p75', 3, 4), ('p90', 9, 10))
+        |SELECT q, min(len) AS value FROM qs, cum, tot
+        |WHERE cum >= (num * n + den - 1) // den GROUP BY q""".stripMargin,
 
     "doc_length_hist" ->
       """SELECT CAST(length(bin(CAST(n_chars AS BIGINT))) AS INTEGER) AS bucket,

@@ -103,6 +103,70 @@ object Corpus {
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token")).limit(topN)
 
+  /** Weighted replication — the UP-sampling half of corpus mixing
+    * ([[TextAnalysis.mixCorpus]] is the down-sampling half; a weight
+    * > 1 cannot be expressed as a keep-predicate). A stratum with
+    * weight w emits ⌊w⌋ copies of every row plus one more for the
+    * hash-selected `w − ⌊w⌋` fraction, so expected multiplicity is
+    * exactly w, decided by content hash — deterministic, partitioning-
+    * independent, and plain ANSI SQL. Weights < 1 degenerate to
+    * down-sampling (0 base copies + fractional keep), so one operator
+    * covers the whole mixture-weight range. Copies are emitted by a
+    * generator inside the scan stage (`copy` = 1..n disambiguates
+    * replicas downstream); zero shuffle. */
+  def replicateByWeight(df: DataFrame, stratum: Column, key: Column,
+                        weights: Map[String, Double],
+                        defaultWeight: Double = 1.0): DataFrame = {
+    def copies(w: Double): Column = {
+      require(w >= 0, s"negative weight $w")
+      val base = math.floor(w).toLong
+      val frac = w - base
+      if (frac == 0) lit(base)
+      else lit(base) + when(TextAnalysis.sampleByHash(key, frac), 1L)
+        .otherwise(0L)
+    }
+    val n = weights.toSeq.sortBy(_._1)
+      .foldLeft(copies(defaultWeight)) { case (acc, (name, w)) =>
+        when(stratum === name, copies(w)).otherwise(acc)
+      }
+    df.withColumn("__n", n)
+      .withColumn("copy",
+        explode(when(col("__n") >= 1,
+          sequence(lit(1L), col("__n"), lit(1L)))
+          .otherwise(array().cast("array<bigint>"))))
+      .drop("__n")
+  }
+
+  /** Engine-exact length quantiles (percentile_disc semantics: the
+    * smallest value whose cumulative count reaches ⌈q·n⌉). Quantiles
+    * are passed as RATIONALS (label, num, den) because `0.9 * n` in
+    * binary floating point differs between engines at the ulp and a
+    * ceil sits right on that edge — `(num·n + den − 1) DIV den` is the
+    * same threshold in pure integer math.
+    *
+    * Scale shape: one partial-agg shuffle to per-length counts, then a
+    * single-partition cumulative window over the DISTINCT lengths only
+    * (bounded domain — document lengths, not documents), a broadcast
+    * total, and a tiny quantile×length filter. The corpus itself is
+    * never globally sorted. */
+  def lengthQuantiles(df: DataFrame, lenCol: String,
+                      qs: Seq[(String, Int, Int)] = Seq(
+                        ("p10", 1, 10), ("p25", 1, 4), ("p50", 1, 2),
+                        ("p75", 3, 4), ("p90", 9, 10))): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(lenCol).cast("long").as("len"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = counts.withColumn("cum",
+      sum("cnt").over(Window.orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = df.agg(count(lit(1)).as("n"))
+    qs.toDF("q", "num", "den")
+      .crossJoin(cum).crossJoin(broadcast(total))
+      .filter(col("cum") >= expr("(num * n + den - 1) DIV den"))
+      .groupBy("q").agg(min("len").as("value"))
+  }
+
   /** Power-of-two length histogram — the standard corpus length profile
     * (training pipelines gate on doc-length distributions before and
     * after filtering). The bucket is the binary digit count of the

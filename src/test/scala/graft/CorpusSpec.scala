@@ -98,6 +98,48 @@ class CorpusSpec extends SparkSpec {
     assert(v.toSeq == Seq(("x", 1L)))
   }
 
+  test("replicateByWeight: expected multiplicity per stratum, deterministic") {
+    val df = spark.range(0, 4000)
+      .select(col("id").as("doc_id"),
+        concat(lit("s"), (col("id") % 3).cast("string")).as("source"),
+        concat(lit("text-"), col("id").cast("string")).as("text"))
+    val out = graft.llm.Corpus.replicateByWeight(df, col("source"),
+      col("text"), Map("s0" -> 2.5, "s1" -> 0.25), defaultWeight = 1.0)
+    val counts = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // ~1334 docs per stratum; expected 2.5x, 0.25x, 1.0x
+    assert(math.abs(counts("s0") - 2.5 * 1334) < 180, s"s0=${counts("s0")}")
+    assert(math.abs(counts("s1") - 0.25 * 1333) < 120, s"s1=${counts("s1")}")
+    assert(counts("s2") == 1333)
+    // copy index disambiguates replicas: (doc_id, copy) unique
+    assert(out.select("doc_id", "copy").distinct().count() == out.count())
+    // integer weight -> exactly floor(w) copies for every row
+    val whole = graft.llm.Corpus.replicateByWeight(df, col("source"),
+      col("text"), Map("s0" -> 3.0), defaultWeight = 0.0)
+    assert(whole.count() == 3 * 1334)
+    assert(whole.select("source").distinct().as[String].collect().toSeq
+      == Seq("s0"))
+    // deterministic under repartitioning
+    val again = graft.llm.Corpus.replicateByWeight(df.repartition(11),
+      col("source"), col("text"), Map("s0" -> 2.5, "s1" -> 0.25), 1.0)
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+  }
+
+  test("lengthQuantiles: percentile_disc semantics, integer thresholds") {
+    // 10 rows of lengths 1..10: p50 -> 5th value = 5, p90 -> 9, p25 -> ceil(2.5)=3
+    val df = spark.range(1, 11).select(col("id").as("len"))
+    val q = graft.llm.Corpus.lengthQuantiles(df, "len")
+      .as[(String, Long)].collect().toMap
+    assert(q == Map("p10" -> 1L, "p25" -> 3L, "p50" -> 5L,
+      "p75" -> 8L, "p90" -> 9L))
+    // duplicated values: quantile picks the smallest value reaching the rank
+    val dup = Seq(1L, 1L, 1L, 9L).toDF("len")
+    val q2 = graft.llm.Corpus.lengthQuantiles(dup, "len",
+      Seq(("p50", 1, 2), ("p75", 3, 4), ("p100", 1, 1)))
+      .as[(String, Long)].collect().toMap
+    assert(q2 == Map("p50" -> 1L, "p75" -> 1L, "p100" -> 9L))
+  }
+
   test("lengthHistogram: binary-digit buckets, zero maps to bucket 1") {
     val df = Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L).toDF("len")
     val h = Corpus.lengthHistogram(df, "len")
