@@ -179,6 +179,82 @@ object Corpus {
       .groupBy("bucket").agg(count(lit(1)).as("n_docs"),
         min("len").as("min_len"), max("len").as("max_len"))
 
+  /** End-to-end training-set construction — the composed pipeline a
+    * 100 TB pretraining run needs, each stage one of this library's
+    * operators in its documented scale shape:
+    *
+    *  1. quality gate: [[TextAnalysis.qualityScore]] ≥ `minQuality` and
+    *     [[TextAnalysis.repetitionOk]] (Gopher discipline) — scan-side
+    *     compiled predicates, zero shuffle;
+    *  2. language gate: [[TextAnalysis.langId]] ∈ `langs` (skip if empty);
+    *  3. deduplication: [[Dedup.dedupCorpus]] (exact-Jaccard below the
+    *     cutover, MinHash-LSH above; transitive clusters, min-id
+    *     representative);
+    *  4. decontamination: [[Dedup.decontaminate]] against the benchmark
+    *     table (13-gram collision, hash-only exchange);
+    *  5. mixture weights: [[replicateByWeight]] per `stratumCol`
+    *     (up- AND down-sampling, content-hash determinism);
+    *  6. split + packing: [[splitAssign]] labels train/val/test, then
+    *     each split is [[packSequences]]-packed independently.
+    *
+    * Returns the packed layout (id, copy, split, shard, start,
+    * seq_first, seq_last, offset) plus per-stage row counts. Every
+    * stage is deterministic, so the whole pipeline is: identical inputs
+    * give bit-identical training layouts on any partitioning — the
+    * property that makes a 1000-executor re-run reproducible. */
+  def buildTrainingSet(docs: DataFrame, benchmark: DataFrame,
+                       idCol: String, textCol: String, stratumCol: String,
+                       weights: Map[String, Double] = Map.empty,
+                       defaultWeight: Double = 1.0,
+                       langs: Set[String] = Set.empty,
+                       minQuality: Double = 0.0,
+                       splits: Seq[(String, Double)] =
+                         Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+                       budget: Long = 4096L,
+                       lenCol: Option[String] = None)
+      : (DataFrame, Map[String, Long]) = {
+    val gated = docs
+      .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+      .filter(TextAnalysis.repetitionOk(col(textCol)))
+    val inLang =
+      if (langs.isEmpty) gated
+      else gated.filter(TextAnalysis.langId(col(textCol)).isin(langs.toSeq: _*))
+    val (deduped, dedupStats) = Dedup.dedupCorpus(inLang, idCol, textCol)
+    // decontamination keys the benchmark by idCol; synthesize a
+    // content-deterministic one when the table ships text only
+    val bench =
+      if (benchmark.columns.contains(idCol)) benchmark
+      else benchmark.withColumn(idCol, xxhash64(col(textCol)))
+    val clean = Dedup.decontaminate(deduped, bench, idCol, textCol)
+    val mixed =
+      if (weights.isEmpty && defaultWeight == 1.0)
+        clean.withColumn("copy", lit(1L))
+      else replicateByWeight(clean, col(stratumCol), col(textCol),
+        weights, defaultWeight)
+    val len = lenCol.map(col).getOrElse(
+      TextAnalysis.tokenCount(col(textCol)).cast("long"))
+    val labeled = mixed
+      .withColumn("split", splitAssign(col(idCol), splits))
+      .withColumn("__len", len)
+      // replicas pack as distinct items: unique packing id = (id, copy)
+      .withColumn("__pid",
+        concat(col(idCol).cast("string"), lit("#"), col("copy")))
+    val packed = labeled.select(col("__pid"), col(idCol), col("copy"),
+      col("split"), col("__len"))
+    val out = splits.map(_._1).map { s =>
+      packSequences(packed.filter(col("split") === s), "__pid", "__len",
+          budget)
+        .join(packed.select(col("__pid").as("id"), col(idCol), col("copy"),
+          col("split")), "id")
+        .drop("id")
+    }.reduce(_ unionByName _)
+    val stats = Map(
+      "input" -> docs.count(), "gated" -> inLang.count(),
+      "deduped" -> dedupStats("kept"), "clean" -> clean.count(),
+      "mixed" -> mixed.count())
+    (out, stats)
+  }
+
   /** Per-document keyword extraction by tf·rarity, integer-exact.
     *
     * The classic tf·idf weight multiplies tf by a log — a transcendental

@@ -148,6 +148,40 @@ class CorpusSpec extends SparkSpec {
       (4, 1L, 8L, 8L), (10, 1L, 1023L, 1023L), (11, 1L, 1024L, 1024L)))
   }
 
+  test("buildTrainingSet: stages compose, layout deterministic") {
+    def words(seed: Int, n: Int): String =
+      (0 until n).map(i => s"tok${(seed * 31 + i * 7) % 97}x$i").mkString(" ")
+    val leak = (1 to 13).map(i => s"leak$i").mkString(" ")
+    val docs = (
+      (0 until 40).map(i => (i.toLong, words(i, 20), "web")) ++
+      Seq((100L, words(3, 20), "books"),        // exact dup of doc 3's text
+          (101L, s"intro $leak outro", "web"))  // contaminated
+    ).toDF("doc_id", "text", "source")
+    val bench = Seq(s"benchmark $leak tail").toDF("text")
+    val (packed, stats) = graft.llm.Corpus.buildTrainingSet(
+      docs, bench, "doc_id", "text", "source",
+      weights = Map("books" -> 3.0), budget = 64L)
+    assert(stats("input") == 42 && stats("gated") == 42)
+    // dedup removes one of {3, 100}; decontamination removes 101
+    assert(stats("deduped") == 41 && stats("clean") == 40)
+    // books stratum (if doc 100 survived dedup) triples; web stays 1x
+    val perCopy = packed.groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perCopy.values.forall(c => c == 1 || c == 3))
+    assert(stats("mixed") == perCopy.values.sum)
+    // every row placed: split label + window span present and coherent
+    val rows = packed.collect()
+    assert(rows.forall(_.getAs[String]("split") != null))
+    assert(rows.forall(r =>
+      r.getAs[Long]("seq_last") >= r.getAs[Long]("seq_first")))
+    // bit-identical layout under repartitioning
+    val (again, _) = graft.llm.Corpus.buildTrainingSet(
+      docs.repartition(7), bench, "doc_id", "text", "source",
+      weights = Map("books" -> 3.0), budget = 64L)
+    assert(packed.except(again).count() == 0 &&
+      again.except(packed).count() == 0)
+  }
+
   test("tfidfKeywords: tf·(N+1-df) integer scoring, top-k per doc") {
     // 3 docs; "common" in all (rarity 1), "rare" only in doc 1 (rarity 3)
     val df = Seq(
