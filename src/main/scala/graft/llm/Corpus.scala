@@ -255,6 +255,21 @@ object Corpus {
     (out, stats)
   }
 
+  /** Materialize a [[buildTrainingSet]] layout as training shards:
+    * parquet partitioned by (split, shard), each shard one sorted file
+    * in (seq_first, start) order — the layout a data loader streams
+    * sequentially without a shuffle or sort of its own.
+    *
+    * The exchange is a hash repartition on (split, shard) — every
+    * shard group lands whole in exactly one task, so each directory
+    * holds ONE file written in sorted order (sortWithinPartitions is a
+    * local sort, never a global one). At 100 TB raise the shard count
+    * at pack time ([[packSequences]] `shardPrefix`), not here. */
+  def writeTrainingShards(packed: DataFrame, outDir: String): Unit =
+    packed.repartition(col("split"), col("shard"))
+      .sortWithinPartitions("split", "shard", "seq_first", "start")
+      .write.partitionBy("split", "shard").mode("overwrite").parquet(outDir)
+
   /** Per-document keyword extraction by tf·rarity, integer-exact.
     *
     * The classic tf·idf weight multiplies tf by a log — a transcendental

@@ -182,6 +182,53 @@ class CorpusSpec extends SparkSpec {
       again.except(packed).count() == 0)
   }
 
+  test("writeTrainingShards: one sorted file per (split, shard)") {
+    val docs = (0 until 60).map(i =>
+      (i.toLong, (0 until 15).map(j => s"w${i}t$j").mkString(" "), "web"))
+      .toDF("doc_id", "text", "source")
+    val bench = Seq("unrelated benchmark words only").toDF("text")
+    val (packed, _) = graft.llm.Corpus.buildTrainingSet(
+      docs, bench, "doc_id", "text", "source", budget = 64L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    graft.llm.Corpus.writeTrainingShards(packed, dir)
+    // every (split, shard) directory holds exactly one data file
+    val root = new java.io.File(dir)
+    val shardDirs = root.listFiles().filter(_.isDirectory).flatMap(
+      _.listFiles().filter(_.isDirectory))
+    assert(shardDirs.nonEmpty)
+    assert(shardDirs.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) == 1))
+    // read-back: all rows survive; each file is (seq_first, start)-sorted
+    val back = spark.read.parquet(dir)
+    assert(back.count() == packed.count())
+    for (d <- shardDirs) {
+      val rows = spark.read.parquet(d.getAbsolutePath)
+        .select("seq_first", "start").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.sameElements(rows.sortBy(identity)),
+        s"unsorted shard ${d.getAbsolutePath}")
+    }
+  }
+
+  test("plan shapes: scan-side ops shuffle-free, packing exactly once") {
+    val docs = Tables.load(spark, sf0, "documents")
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    // split label + replication are pure scan-stage column/generator ops
+    assert(exchanges(docs.select(graft.llm.Corpus.splitAssign(col("doc_id"),
+      Seq("train" -> 0.9, "val" -> 0.1)).as("s"))) == 0)
+    assert(exchanges(graft.llm.Corpus.replicateByWeight(
+      docs.select("doc_id", "source", "text"), col("source"), col("text"),
+      Map("src1" -> 2.5))) == 0)
+    // packing: the per-shard window is the ONLY exchange
+    assert(exchanges(graft.llm.Corpus.packSequences(
+      docs, "doc_id", "n_chars", 4096L)) == 1)
+    // vocabulary: one partial-agg exchange; top-N is a TakeOrdered, not a sort
+    val v = graft.llm.Corpus.vocabulary(docs, "text", 20)
+    assert(exchanges(v) == 1)
+    assert(v.queryExecution.executedPlan.toString.contains("TakeOrdered"))
+  }
+
   test("tfidfKeywords: tf·(N+1-df) integer scoring, top-k per doc") {
     // 3 docs; "common" in all (rarity 1), "rare" only in doc 1 (rarity 3)
     val df = Seq(
