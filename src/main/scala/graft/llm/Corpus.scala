@@ -155,12 +155,15 @@ object Corpus {
                         ("p75", 3, 4), ("p90", 9, 10))): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val counts = df.groupBy(col(lenCol).cast("long").as("len"))
+    // percentile_disc ignores NULLs: they must enter neither the counts
+    // (they'd sort first and inflate every cum) nor the total rank base
+    val nonNull = df.filter(col(lenCol).isNotNull)
+    val counts = nonNull.groupBy(col(lenCol).cast("long").as("len"))
       .agg(count(lit(1)).as("cnt"))
     val cum = counts.withColumn("cum",
       sum("cnt").over(Window.orderBy("len")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val total = df.agg(count(lit(1)).as("n"))
+    val total = nonNull.agg(count(lit(1)).as("n"))
     qs.toDF("q", "num", "den")
       .crossJoin(cum).crossJoin(broadcast(total))
       .filter(col("cum") >= expr("(num * n + den - 1) DIV den"))
@@ -225,7 +228,12 @@ object Corpus {
     val bench =
       if (benchmark.columns.contains(idCol)) benchmark
       else benchmark.withColumn(idCol, xxhash64(col(textCol)))
+    // the gate→dedup→decontaminate head is the expensive part and is
+    // re-read by the stats counts and every per-split packing branch —
+    // materialize it ONCE (lineage-truncating, same discipline as
+    // core.Rebuild); everything downstream is scan-side column work
     val clean = Dedup.decontaminate(deduped, bench, idCol, textCol)
+      .localCheckpoint(eager = true)
     val mixed =
       if (weights.isEmpty && defaultWeight == 1.0)
         clean.withColumn("copy", lit(1L))
@@ -242,11 +250,14 @@ object Corpus {
     val packed = labeled.select(col("__pid"), col(idCol), col("copy"),
       col("split"), col("__len"))
     val out = splits.map(_._1).map { s =>
+      // rename the packer's "id" back to the reserved "__pid" before the
+      // join — a caller idCol of "id" (the common case) must not collide
       packSequences(packed.filter(col("split") === s), "__pid", "__len",
           budget)
-        .join(packed.select(col("__pid").as("id"), col(idCol), col("copy"),
-          col("split")), "id")
-        .drop("id")
+        .withColumnRenamed("id", "__pid")
+        .join(packed.select(col("__pid"), col(idCol), col("copy"),
+          col("split")), "__pid")
+        .drop("__pid")
     }.reduce(_ unionByName _)
     val stats = Map(
       "input" -> docs.count(), "gated" -> inLang.count(),

@@ -98,7 +98,9 @@ object Dedup {
         explode(graft.expressions.GraftExpressions.wordNGrams(col(textCol), w))
           .as("span"))
       .join(broadcast(spans.select("span")), "span")
-      .groupBy("__id").agg(count(lit(1)).as("__hits"))
+      // DISTINCT spans: a doc repeating one flagged span is one hit —
+      // the contract counts how many of the GIVEN spans it contains
+      .groupBy("__id").agg(countDistinct(col("span")).as("__hits"))
       .filter(col("__hits") >= maxSpans)
     df.join(hits, df(idCol) === hits("__id"), "left_anti")
   }

@@ -298,25 +298,36 @@ object Similarity {
       pqTrainArrays(corpus, m, codebookSize, iters, idCol, vecCol)
     val books = trained.toSeq.toDF("sub", "centroid_id", "centroid")
     val encoded = pqEncodeWith(corpus, trained, idCol, vecCol)
-    // per-query ADC tables: dot(query subvector, codeword) per (sub, code)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    val luts = q.select(col("query_id"), col("qv"), posexplode(
-        array((0 until m).map(s => slice(col("qv"), s * w + 1, w)): _*))
-      .as(Seq("sub", "qsv")))
-      .join(broadcast(books), "sub")
-      .select(col("query_id"), col("sub"), col("centroid_id").as("code"),
-        dot(col("qsv"), col("centroid")).as("part"))
+    val luts = adcLuts(q, books, m, w)
     val corpusCodes = encoded.select(col("id").as("corpus_id"),
       posexplode(col("codes")).as(Seq("sub", "code")))
     val approx = corpusCodes.join(broadcast(luts), Seq("sub", "code"))
       .filter(col("query_id") =!= col("corpus_id"))
       .groupBy("query_id", "corpus_id")
       .agg(sum("part").as("approx_dot"))
+    exactRerank(topApprox(approx, k, rerank), corpus, q, k, idCol, vecCol)
+  }
+
+  /** Per-query ADC lookup tables — dot(query subvector, codeword) per
+    * (sub, code); the shared head of [[pqTopK]] and [[ivfPqTopK]]. */
+  private def adcLuts(q: DataFrame, books: DataFrame,
+                      m: Int, w: Int): DataFrame =
+    q.select(col("query_id"), posexplode(
+        array((0 until m).map(s => slice(col("qv"), s * w + 1, w)): _*))
+      .as(Seq("sub", "qsv")))
+      .join(broadcast(books), "sub")
+      .select(col("query_id"), col("sub"), col("centroid_id").as("code"),
+        dot(col("qsv"), col("centroid")).as("part"))
+
+  /** The `rerank·k` best approximate candidates per query with the
+    * deterministic (approx_dot desc, corpus_id) tie-break — the shared
+    * pruning step of [[pqTopK]] and [[ivfPqTopK]]. */
+  private def topApprox(approx: DataFrame, k: Int, rerank: Int): DataFrame = {
     val wTop = Window.partitionBy("query_id")
       .orderBy(col("approx_dot").desc, col("corpus_id"))
-    val cands = approx.withColumn("rn", row_number().over(wTop))
+    approx.withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= k * rerank).select("query_id", "corpus_id")
-    exactRerank(cands, corpus, q, k, idCol, vecCol)
   }
 
   /** IVF-PQ composed index — the standard billion-vector ANN layout
@@ -364,14 +375,8 @@ object Similarity {
         ge.l2DistanceSq(col("qv"), col("centroid")).as("d2"))
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
       .select("query_id", "cell")
-    // per-query ADC tables: dot(query subvector, codeword) per (sub, code)
     val books = trained.toSeq.toDF("sub", "centroid_id", "centroid")
-    val luts = q.select(col("query_id"), posexplode(
-        array((0 until m).map(s => slice(col("qv"), s * w + 1, w)): _*))
-      .as(Seq("sub", "qsv")))
-      .join(broadcast(books), "sub")
-      .select(col("query_id"), col("sub"), col("centroid_id").as("code"),
-        dot(col("qsv"), col("centroid")).as("part"))
+    val luts = adcLuts(q, books, m, w)
     // probed cells only: the inverted-list prune BEFORE any scoring work
     val approx = index.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
@@ -380,11 +385,7 @@ object Similarity {
       .join(broadcast(luts), Seq("query_id", "sub", "code"))
       .groupBy("query_id", "corpus_id")
       .agg(sum("part").as("approx_dot"))
-    val wTop = Window.partitionBy("query_id")
-      .orderBy(col("approx_dot").desc, col("corpus_id"))
-    val cands = approx.withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= k * rerank).select("query_id", "corpus_id")
-    exactRerank(cands, corpus, q, k, idCol, vecCol)
+    exactRerank(topApprox(approx, k, rerank), corpus, q, k, idCol, vecCol)
   }
 
   /** Exact cosine re-rank of a pruned (query_id, corpus_id) candidate

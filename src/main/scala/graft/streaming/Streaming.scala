@@ -155,8 +155,11 @@ object Streaming {
         .wordNGrams(col(textCol), n)).as("w"))
       .select(xxhash64(col("w")).as("h")).distinct()
       .as[Long].collect().sorted
-    docs.filter(!graft.expressions.GraftExpressions
-      .windowSetContains(col(textCol), n, hashes))
+    // coalesce: a null-text row yields NULL from the kernel and must be
+    // KEPT (batch decontaminate keeps it — no windows, no collisions),
+    // not silently dropped by filter(NULL)
+    docs.filter(!coalesce(graft.expressions.GraftExpressions
+      .windowSetContains(col(textCol), n, hashes), lit(false)))
   }
 
   /** Stateless stream-to-static as-of enrichment: each arriving row picks

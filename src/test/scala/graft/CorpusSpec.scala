@@ -140,6 +140,27 @@ class CorpusSpec extends SparkSpec {
     assert(q2 == Map("p50" -> 1L, "p75" -> 1L, "p100" -> 9L))
   }
 
+  test("lengthQuantiles ignores NULL lengths (percentile_disc semantics)") {
+    val df = (Seq.fill(40)(None: Option[Long]) ++
+      (1L to 60L).map(Some(_))).toDF("len")
+    val q = graft.llm.Corpus.lengthQuantiles(df, "len",
+      Seq(("p50", 1, 2), ("p100", 1, 1)))
+      .as[(String, Long)].collect().toMap
+    // ranks over the 60 non-null rows only: p50 -> 30, p100 -> 60
+    assert(q == Map("p50" -> 30L, "p100" -> 60L))
+  }
+
+  test("buildTrainingSet accepts idCol named \"id\"") {
+    val docs = (0 until 20).map(i =>
+      (i.toLong, (0 until 15).map(j => s"w${i}v$j").mkString(" "), "web"))
+      .toDF("id", "text", "source")
+    val bench = Seq("nothing shared here").toDF("text")
+    val (packed, stats) = graft.llm.Corpus.buildTrainingSet(
+      docs, bench, "id", "text", "source", budget = 64L)
+    assert(stats("clean") == 20 && packed.count() == 20)
+    assert(packed.columns.contains("id"))
+  }
+
   test("lengthHistogram: binary-digit buckets, zero maps to bucket 1") {
     val df = Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L).toDF("len")
     val h = Corpus.lengthHistogram(df, "len")

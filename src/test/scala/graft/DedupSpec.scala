@@ -352,4 +352,19 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(4L))
   }
+
+  test("dropBoilerplateDocs maxSpans counts DISTINCT spans, not repeats") {
+    val s1 = "one two three four"
+    val s2 = "five six seven eight"
+    val df = Seq(
+      (1L, s"$s1 x $s1 y"),   // span s1 twice, ONE distinct flagged span
+      (2L, s"$s1 z $s2 w"))   // two distinct flagged spans
+      .toDF("doc_id", "text")
+    val spans = Seq(s1, s2).toDF("span")
+    val kept = Dedup.dropBoilerplateDocs(df, spans, "doc_id", "text",
+        w = 4, maxSpans = 2)
+      .select("doc_id").as[Long].collect().toSet
+    // only doc 2 contains >= 2 of the GIVEN spans
+    assert(kept == Set(1L))
+  }
 }

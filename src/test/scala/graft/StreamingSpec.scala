@@ -116,6 +116,22 @@ class StreamingSpec extends SparkSpec {
     assert(batchKept == Set(1L, 3L)) // same verdicts as the stream path
   }
 
+  test("decontaminateStream keeps null-text rows (batch-parity)") {
+    val leak = (1 to 13).map(i => s"n$i").mkString(" ")
+    val bench = Seq(s"head $leak tail").toDF("text")
+    val docs = Seq((1L, Some("totally clean words")),
+      (2L, Some(s"bad $leak doc")), (3L, None))
+      .toDF("doc_id", "text")
+    // the filter is a pure column predicate - same semantics on batch
+    val kept = Streaming.decontaminateStream(docs, bench, "text", n = 13)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L)) // null text kept, like batch decontaminate
+    val batch = graft.llm.Dedup.decontaminate(docs, bench
+        .withColumn("doc_id", lit(9L)), "doc_id", "text", n = 13)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch == kept)
+  }
+
   test("enrichAsOf: stream-static as-of enrichment equals the batch asofJoin") {
     val dir = java.nio.file.Files.createTempDirectory("graft-asof").toString
     java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$dir/events"))
