@@ -880,6 +880,22 @@ object SparkEntry {
       Dedup.boilerplateSpans(t(s, dir, "documents"), "doc_id", "text",
         w = 8, minDocs = 3)),
 
+    "dedup_strip_spans" -> ((s, dir) =>
+      // C4-style surgical boilerplate REMOVAL: hash-only counting
+      // exchange, flagged set rides inside the compiled rewrite
+      // expression, rewrite pass is map-only (no reassembly shuffle).
+      // The oracle is the relational explode→join→reassemble twin.
+      Dedup.stripBoilerplate(t(s, dir, "documents"), "doc_id", "text",
+          w = 8, minDocs = 3)
+        .select("doc_id", "clean_text")),
+
+    "text_surprisal" -> ((s, dir) =>
+      // CCNet-style unigram-LM rarity: integer inverse-probability
+      // surrogate (n_total DIV freq) keeps the score hash-exact across
+      // engines
+      graft.llm.Corpus.unigramSurprisal(
+        t(s, dir, "documents"), "doc_id", "text")),
+
     "decontam_hits" -> ((s, dir) => {
       // benchmark decontamination (13-gram collision, GPT-3/Llama
       // discipline): benchmark = every 5th doc, training = the rest; the
@@ -1653,6 +1669,51 @@ object SparkEntry {
         |  FROM t)
         |SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
         |FROM s GROUP BY span HAVING count(DISTINCT doc_id) >= 3""".stripMargin,
+
+    // relational twin of the map-only compiled rewrite: flag spans in ≥3
+    // docs, union covered positions, reassemble surviving tokens in order
+    "dedup_strip_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, unnest(
+        |    [{'start': i, 'span': array_to_string(toks[i:i+7], ' ')}
+        |     for i in range(1, len(toks) - 6)], recursive := true)
+        |  FROM t),
+        |f AS (
+        |  SELECT span FROM s GROUP BY span HAVING count(DISTINCT doc_id) >= 3),
+        |c AS (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT s.doc_id, unnest(range(s.start, s.start + 8)) AS pos
+        |    FROM s JOIN f USING (span))),
+        |k AS (
+        |  SELECT doc_id, unnest(toks) AS word,
+        |         unnest(range(1, len(toks) + 1)) AS pos
+        |  FROM t),
+        |r AS (
+        |  SELECT k.doc_id, string_agg(k.word, ' ' ORDER BY k.pos) AS ct
+        |  FROM k ANTI JOIN c USING (doc_id, pos)
+        |  GROUP BY k.doc_id)
+        |SELECT d.doc_id, coalesce(r.ct, '') AS clean_text
+        |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin,
+
+    "text_surprisal" ->
+      """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM norm),
+        |tk AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+        |freq AS (SELECT token, count(*) AS freq FROM tk GROUP BY token),
+        |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n_total FROM freq),
+        |agg AS (
+        |  SELECT tk.doc_id, count(*) AS n_tokens,
+        |    CAST(sum(n_total // freq) AS BIGINT) AS sum_info
+        |  FROM tk JOIN freq USING (token) CROSS JOIN tot
+        |  GROUP BY tk.doc_id)
+        |SELECT doc_id, n_tokens, sum_info,
+        |  CAST(sum_info AS DOUBLE) / n_tokens AS mean_info FROM agg""".stripMargin,
 
     "text_quality" ->
       """WITH b AS (SELECT doc_id, text,

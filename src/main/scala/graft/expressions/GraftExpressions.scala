@@ -456,6 +456,35 @@ object GraftExpressions {
     override def prettyName: String = "graft_window_set_contains"
   }
 
+  /** The token stream with every corpus-flagged n-token window REMOVED —
+    * the rewrite half of boilerplate handling (where
+    * [[WindowSetContains]] is the detect half): C4-style surgical span
+    * removal that keeps the document. Same conventions as the detect
+    * kernel — whitespace split, space-joined window text, exact xxhash64
+    * membership over a sorted driver-resident set (never a Bloom probe:
+    * a false positive here would silently delete clean training text).
+    * Output is the single-space re-joined stream of uncovered tokens, so
+    * the rewrite is a MAP-ONLY projection — no explode, join, or
+    * reassembly shuffle touches the corpus. */
+  case class StripWindowsInSet(child: Expression, n: Int, hashes: Array[Long])
+      extends UnaryExpression {
+    require(n > 0)
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any =
+      Kernels.stripWindowsInSet(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, hashes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("stripSet", this)
+      defineCodeGen(ctx, ev, c => s"$ref.strip($c)")
+    }
+    def strip(text: org.apache.spark.unsafe.types.UTF8String)
+        : org.apache.spark.unsafe.types.UTF8String =
+      Kernels.stripWindowsInSet(text, n, hashes)
+    override protected def withNewChildInternal(c: Expression): StripWindowsInSet =
+      copy(child = c)
+    override def prettyName: String = "graft_strip_windows"
+  }
+
   /** All `m` per-subspace nearest-codeword ids of a product-quantized
     * vector in ONE compiled pass: subspace s covers dims [s·w, (s+1)·w);
     * its assignment is the codeword minimizing squared L2 distance over
@@ -553,6 +582,8 @@ object GraftExpressions {
     toCol(RepetitionStats(expr(text)))
   def windowSetContains(text: Column, n: Int, hashes: Array[Long]): Column =
     toCol(WindowSetContains(expr(text), n, hashes))
+  def stripWindowsInSet(text: Column, n: Int, hashes: Array[Long]): Column =
+    toCol(StripWindowsInSet(expr(text), n, hashes))
   def wordNGrams(text: Column, n: Int): Column =
     toCol(WordNGrams(expr(text), n))
   def wordChunks(text: Column, size: Int, overlap: Int): Column =

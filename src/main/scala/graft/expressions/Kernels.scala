@@ -218,6 +218,50 @@ object Kernels {
     false
   }
 
+  /** [[GraftExpressions.StripWindowsInSet]] body: the whitespace-split
+    * token stream re-joined with single spaces, with every token covered
+    * by a FLAGGED n-token window removed. A window is flagged when its
+    * space-joined text hashes (xxhash64, seed 42 — identical to SQL
+    * `xxhash64`) into the SORTED `hashes` set; overlapping flagged
+    * windows union their covered positions. One pass over the windows +
+    * one pass over the tokens, no window materialization; the covered
+    * bitmap allocates only on the first hit, so unflagged documents
+    * (the overwhelming majority) pay a rejoin and nothing else. */
+  def stripWindowsInSet(text: UTF8String, n: Int, hashes: Array[Long]): UTF8String = {
+    val trimmed = text.trim().toString
+    if (trimmed.isEmpty) return UTF8String.EMPTY_UTF8
+    val words = ws.split(trimmed, -1)
+    val len = words.length
+    var covered: Array[Boolean] = null
+    if (hashes.length > 0) {
+      val total = len - n + 1
+      var i = 0
+      while (i < total) {
+        val sb = new java.lang.StringBuilder(words(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+        val s = UTF8String.fromString(sb.toString)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        if (java.util.Arrays.binarySearch(hashes, h) >= 0) {
+          if (covered == null) covered = new Array[Boolean](len)
+          var p = i
+          while (p < i + n) { covered(p) = true; p += 1 }
+        }
+        i += 1
+      }
+    }
+    val out = new java.lang.StringBuilder
+    var i = 0
+    while (i < len) {
+      if (covered == null || !covered(i)) {
+        if (out.length > 0) out.append(' ')
+        out.append(words(i))
+      }
+      i += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+
   /** [[GraftExpressions.PairCombinations]] body — also the codegen path of
     * [[GraftExpressions.PairGenerator]] (same pair order and values). */
   def pairCombinations(arr: ArrayData): ArrayData = {

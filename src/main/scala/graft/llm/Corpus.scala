@@ -103,6 +103,38 @@ object Corpus {
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token")).limit(topN)
 
+  /** Unigram-LM rarity per document — the CCNet-style quality signal
+    * (CCNet ranks documents by language-model perplexity; the degenerate
+    * but shuffle-cheap LM is the corpus's own unigram distribution).
+    * Each token's information content is the INTEGER inverse-probability
+    * surrogate `n_total DIV freq(token)` — the same log-free discipline
+    * as [[tfidfKeywords]]'s `N+1−df` idf (a float `log(p)` differs
+    * across engines at the ulp and would break hash-exact oracles, and a
+    * binary-digit log2 is too coarse to discriminate). A document of
+    * rare tokens scores high, boilerplate of corpus-dominant tokens
+    * scores low; `mean_info` = sum_info / n_tokens is one exact integer
+    * division in IEEE double (bit-stable across engines).
+    *
+    * Scale shape: token frequencies are one partial-agg exchange (the
+    * [[vocabulary]] shuffle, unlimited); the token→freq join is
+    * token-keyed with no forced broadcast (a 100 TB corpus's vocabulary
+    * can exceed broadcast limits — AQE broadcasts when it fits); the
+    * per-doc rollup is one more keyed exchange. Documents with zero
+    * normalized tokens carry no signal and are absent from the output. */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+        explode(split(TextAnalysis.normalizeText(col(textCol)), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val freq = tok.groupBy("token").agg(count(lit(1)).as("freq"))
+    val total = freq.agg(sum("freq").as("n_total"))
+    tok.join(freq, "token")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), expr("n_total DIV freq").as("info"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("info").as("sum_info"))
+      .withColumn("mean_info", col("sum_info").cast("double") / col("n_tokens"))
+  }
+
   /** Weighted replication — the UP-sampling half of corpus mixing
     * ([[TextAnalysis.mixCorpus]] is the down-sampling half; a weight
     * > 1 cannot be expressed as a keep-predicate). A stratum with

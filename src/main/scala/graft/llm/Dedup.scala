@@ -88,9 +88,9 @@ object Dedup {
 
   /** Strip boilerplate DOCUMENTS: drop any document containing at least
     * `maxSpans` of the given boilerplate spans (the document-level
-    * consumer of [[boilerplateSpans]]; span-level surgical removal is a
-    * text-rewrite concern, not a relational one). The span table is
-    * broadcast — it is aggregate-small by construction. */
+    * consumer of [[boilerplateSpans]]; [[stripBoilerplate]] is the
+    * span-level surgical alternative that keeps the document). The span
+    * table is broadcast — it is aggregate-small by construction. */
   def dropBoilerplateDocs(df: DataFrame, spans: DataFrame, idCol: String,
                           textCol: String, w: Int = 8,
                           maxSpans: Int = 1): DataFrame = {
@@ -103,6 +103,76 @@ object Dedup {
       .groupBy("__id").agg(countDistinct(col("span")).as("__hits"))
       .filter(col("__hits") >= maxSpans)
     df.join(hits, df(idCol) === hits("__id"), "left_anti")
+  }
+
+  /** SURGICAL boilerplate removal (the C4/RefinedWeb discipline): rewrite
+    * every document with each corpus-repeated `w`-token span removed,
+    * KEEPING the document — headers, cookie banners, and license
+    * blocks vanish while the unique prose stays. A span is flagged when
+    * it appears in ≥ `minDocs` distinct documents; overlapping flagged
+    * spans union their covered token positions. Returns the input
+    * columns plus `clean_text`: the whitespace-normalized (single-space
+    * joined) stream of surviving tokens — empty when every token was
+    * covered.
+    *
+    * 100 TB shape (default mode): the one corpus-wide exchange carries
+    * (xxhash64(span), doc_id) — 16 bytes/row, never text. Flagged hashes
+    * are aggregate-small by construction (spans repeated across ≥
+    * `minDocs` documents) and ship to executors inside the compiled
+    * [[graft.expressions.GraftExpressions.StripWindowsInSet]] rewrite
+    * expression, so the rewrite pass is MAP-ONLY: no explode, join,
+    * window, or reassembly shuffle touches the corpus on the way back.
+    * Membership is exact (sorted-array binary search), never a Bloom
+    * probe — a false positive would silently delete clean training
+    * text. Flagging by 64-bit hash instead of text mislabels ~nothing
+    * (p ≈ spans²/2⁻⁶⁴).
+    *
+    * `relational = true` runs the identical semantics as explode → span
+    * count → covered-position join → ordered reassembly (flagging by
+    * span TEXT): the oracle formulation, parity-asserted in DedupSpec,
+    * and the fallback if a degenerate corpus ever outgrows the
+    * driver-resident flagged set. */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       w: Int = 8, minDocs: Int = 3,
+                       relational: Boolean = false): DataFrame = {
+    require(w > 0 && minDocs > 0)
+    val X = graft.expressions.GraftExpressions
+    if (!relational) {
+      val hashes: Array[Long] = df
+        .select(col(idCol).as("doc_id"),
+          explode(X.wordNGrams(col(textCol), w)).as("span"))
+        .select(col("doc_id"), xxhash64(col("span")).as("h"))
+        .groupBy("h").agg(countDistinct("doc_id").as("n_docs"))
+        .filter(col("n_docs") >= minDocs)
+        .select("h").collect().map(_.getLong(0)).sorted
+      df.withColumn("clean_text",
+        X.stripWindowsInSet(col(textCol), w, hashes))
+    } else {
+      val wins = df.select(col(idCol).as("doc_id"),
+        posexplode(X.wordNGrams(col(textCol), w)).as(Seq("start", "span")))
+      val flagged = wins.groupBy("span")
+        .agg(countDistinct("doc_id").as("n_docs"))
+        .filter(col("n_docs") >= minDocs)
+        .select("span")
+      val covered = wins.join(flagged, "span")
+        .select(col("doc_id"),
+          explode(sequence(col("start"), col("start") + lit(w - 1))).as("pos"))
+        .distinct()
+      val toks = df.select(col(idCol).as("doc_id"),
+        posexplode(
+          when(trim(col(textCol)) === "", array().cast("array<string>"))
+            .otherwise(split(trim(col(textCol)), "\\s+")))
+          .as(Seq("pos", "word")))
+      val clean = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy("doc_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+            x => x("word")), " ").as("clean_text"))
+        .withColumnRenamed("doc_id", "__sb_id")
+      df.join(clean, df(idCol) === col("__sb_id"), "left")
+        .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+        .drop("__sb_id")
+    }
   }
 
   // ------------------------------------------------------- decontamination

@@ -250,6 +250,22 @@ class CorpusSpec extends SparkSpec {
     assert(v.queryExecution.executedPlan.toString.contains("TakeOrdered"))
   }
 
+  test("unigramSurprisal: integer inverse-frequency scoring, hand-computed") {
+    // freqs: a→2, b→2, c→1, total 5; info = total DIV freq: a,b→2, c→5
+    val df = Seq((1L, "A! a b"), (2L, "b c"), (3L, "..."))
+      .toDF("doc_id", "text")
+    val out = Corpus.unigramSurprisal(df, "doc_id", "text")
+      .select("doc_id", "n_tokens", "sum_info", "mean_info")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((3L, 6L, 2.0)))   // 2+2+2 over "a a b"
+    assert(out(2L) == ((2L, 7L, 3.5)))   // 2+5 over "b c"
+    // doc 3 normalizes to zero tokens → absent (carries no signal)
+    assert(!out.contains(3L))
+    // rare-token docs score strictly higher than common-token docs
+    assert(out(2L)._3 > out(1L)._3)
+  }
+
   test("tfidfKeywords: tf·(N+1-df) integer scoring, top-k per doc") {
     // 3 docs; "common" in all (rarity 1), "rare" only in doc 1 (rarity 3)
     val df = Seq(

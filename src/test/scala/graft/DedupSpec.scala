@@ -339,6 +339,60 @@ class DedupSpec extends SparkSpec {
     assert(default.nonEmpty && hashed == default)
   }
 
+  test("stripBoilerplate removes flagged spans surgically and keeps the docs") {
+    val footer = "generated by acme corp all rights reserved contact legal dept"
+    val df = Seq(
+      (1L, s"unique alpha words one $footer"),
+      (2L, s"other beta content two $footer"),
+      (3L, s"third gamma text three $footer and a tail"),
+      (4L, "completely unrelated text with no shared spans at all here"),
+      (5L, "short")).toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplate(df, "doc_id", "text", w = 10, minDocs = 3)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    // the footer's 10 tokens vanish; each doc's own prose survives
+    assert(out(1L) == "unique alpha words one")
+    assert(out(2L) == "other beta content two")
+    assert(out(3L) == "third gamma text three and a tail")
+    // untouched docs come back whitespace-normalized but otherwise intact
+    assert(out(4L) == "completely unrelated text with no shared spans at all here")
+    assert(out(5L) == "short")
+  }
+
+  test("stripBoilerplate unions overlapping flagged windows and empties covered docs") {
+    // w=2, minDocs=3: both "a b" and "b c" flagged → doc of "a b c" loses
+    // all three tokens (overlap unions), not just one window
+    val df = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b c"),
+      (4L, "x a b y"), (5L, "")).toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplate(df, "doc_id", "text", w = 2, minDocs = 3)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(out(1L) == "" && out(2L) == "" && out(3L) == "")
+    assert(out(4L) == "x y") // only the flagged "a b" window is covered
+    assert(out(5L) == "")
+  }
+
+  test("stripBoilerplate relational mode matches the compiled kernel mode") {
+    val kernel = Dedup.stripBoilerplate(docs, "doc_id", "text",
+        w = 8, minDocs = 3)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    val relational = Dedup.stripBoilerplate(docs, "doc_id", "text",
+        w = 8, minDocs = 3, relational = true)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(kernel.nonEmpty && kernel == relational)
+    // at least one doc actually changed on the golden corpus data
+    val changed = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .count { case (id, text) =>
+        kernel(id) != text.trim.replaceAll("\\s+", " ") }
+    assert(changed > 0, "no doc was rewritten — fixture lost its planted spans")
+  }
+
+  test("stripBoilerplate rewrite pass is map-only (no reassembly shuffle)") {
+    val out = Dedup.stripBoilerplate(docs, "doc_id", "text", w = 8, minDocs = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"rewrite plan must be a pure projection over the scan:\n$plan")
+  }
+
   test("dropBoilerplateDocs strips documents carrying flagged spans") {
     val footer = "generated by acme corp all rights reserved contact legal dept"
     val df = Seq(
