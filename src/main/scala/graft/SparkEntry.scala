@@ -896,6 +896,20 @@ object SparkEntry {
       graft.llm.Corpus.unigramSurprisal(
         t(s, dir, "documents"), "doc_id", "text")),
 
+    "bpe_tokens" -> ((s, dir) => {
+      // BPE tokenizer trained to CONVERGENCE on this corpus's (small)
+      // vocabulary: at the fixed point every word is one piece, so the
+      // oracle is the whitespace word count — a real end-to-end pin on
+      // train (word-freq reduce + greedy merges) and encode (compiled
+      // map-only rewrite): any wrong tie-break, missed merge, or
+      // cross-word merge leaves some doc off the fixed point.
+      // Partial-merge behavior is hand-vector-pinned in BpeSpec.
+      val docs = t(s, dir, "documents")
+      val model = graft.llm.Bpe.train(docs, "text", numMerges = 2000)
+      graft.llm.Bpe.tokenCount(docs, "text", model)
+        .select("doc_id", "n_bpe_tokens")
+    }),
+
     "decontam_hits" -> ((s, dir) => {
       // benchmark decontamination (13-gram collision, GPT-3/Llama
       // discipline): benchmark = every 5th doc, training = the rest; the
@@ -1714,6 +1728,14 @@ object SparkEntry {
         |  GROUP BY tk.doc_id)
         |SELECT doc_id, n_tokens, sum_info,
         |  CAST(sum_info AS DOUBLE) / n_tokens AS mean_info FROM agg""".stripMargin,
+
+    // converged-BPE fixed point: one piece per whitespace word
+    "bpe_tokens" ->
+      """SELECT doc_id,
+        |  CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |  END AS n_bpe_tokens
+        |FROM documents""".stripMargin,
 
     "text_quality" ->
       """WITH b AS (SELECT doc_id, text,

@@ -485,6 +485,35 @@ object GraftExpressions {
     override def prettyName: String = "graft_strip_windows"
   }
 
+  /** BPE subword pieces of a text column — the trained merge table rides
+    * inside the expression (merge tables are ≤ ~100k short string pairs,
+    * trivially plan-shippable), so encoding is a MAP-ONLY projection in
+    * the scan stage: no join against a vocabulary table, no shuffle.
+    * Merge application order matches training's rewrite exactly (see
+    * [[Kernels.bpeEncode]]). */
+  case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](merges.size * 2)
+      merges.zipWithIndex.foreach { case ((a, b), i) =>
+        m.putIfAbsent(a + " " + b, Integer.valueOf(i))
+      }
+      m
+    }
+    def encode(text: org.apache.spark.unsafe.types.UTF8String): ArrayData =
+      Kernels.bpeEncode(text, ranks)
+    override def nullSafeEval(input: Any): Any =
+      encode(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeRanks", this)
+      defineCodeGen(ctx, ev, c => s"$ref.encode($c)")
+    }
+    override protected def withNewChildInternal(c: Expression): BpeEncode =
+      copy(child = c)
+    override def prettyName: String = "graft_bpe_encode"
+  }
+
   /** All `m` per-subspace nearest-codeword ids of a product-quantized
     * vector in ONE compiled pass: subspace s covers dims [s·w, (s+1)·w);
     * its assignment is the codeword minimizing squared L2 distance over
@@ -584,6 +613,8 @@ object GraftExpressions {
     toCol(WindowSetContains(expr(text), n, hashes))
   def stripWindowsInSet(text: Column, n: Int, hashes: Array[Long]): Column =
     toCol(StripWindowsInSet(expr(text), n, hashes))
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    toCol(BpeEncode(expr(text), merges))
   def wordNGrams(text: Column, n: Int): Column =
     toCol(WordNGrams(expr(text), n))
   def wordChunks(text: Column, size: Int, overlap: Int): Column =

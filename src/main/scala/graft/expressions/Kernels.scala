@@ -262,6 +262,64 @@ object Kernels {
     UTF8String.fromString(out.toString)
   }
 
+  /** [[GraftExpressions.BpeEncode]] body: BPE pieces of the whitespace-
+    * split text. Each word becomes its code-point symbols plus `</w>`,
+    * then the lowest-rank applicable merge is applied to ALL its
+    * occurrences left-to-right, repeatedly, until no merge applies —
+    * exactly the rewrite order [[graft.llm.Bpe.trainFromWordCounts]]
+    * uses, so encoding a training word reproduces its trained
+    * decomposition. `ranks` keys are "left right" (symbols never
+    * contain whitespace — words are whitespace-split and merges only
+    * concatenate). */
+  def bpeEncode(text: UTF8String,
+                ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val trimmed = text.trim().toString
+    if (trimmed.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val words = ws.split(trimmed, -1)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](words.length * 2)
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      var syms = new scala.collection.mutable.ArrayBuffer[String](w.length + 1)
+      var idx = 0
+      while (idx < w.length) {
+        val cc = Character.charCount(w.codePointAt(idx))
+        syms += w.substring(idx, idx + cc)
+        idx += cc
+      }
+      syms += "</w>"
+      var more = !ranks.isEmpty
+      while (more && syms.length > 1) {
+        var bestRank = Int.MaxValue
+        var bestA: String = null
+        var bestB: String = null
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = ranks.get(syms(i) + " " + syms(i + 1))
+          if (r != null && r < bestRank) {
+            bestRank = r; bestA = syms(i); bestB = syms(i + 1)
+          }
+          i += 1
+        }
+        if (bestA == null) more = false
+        else {
+          val merged = bestA + bestB
+          val next = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == bestA && syms(j + 1) == bestB) {
+              next += merged; j += 2
+            } else { next += syms(j); j += 1 }
+          }
+          syms = next
+        }
+      }
+      syms.foreach(s => out += UTF8String.fromString(s))
+      wi += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** [[GraftExpressions.PairCombinations]] body — also the codegen path of
     * [[GraftExpressions.PairGenerator]] (same pair order and values). */
   def pairCombinations(arr: ArrayData): ArrayData = {

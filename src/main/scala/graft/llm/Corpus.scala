@@ -299,19 +299,27 @@ object Corpus {
   }
 
   /** Materialize a [[buildTrainingSet]] layout as training shards:
-    * parquet partitioned by (split, shard), each shard one sorted file
-    * in (seq_first, start) order — the layout a data loader streams
-    * sequentially without a shuffle or sort of its own.
+    * one file per (split, shard) directory, rows in (seq_first, start)
+    * order — the layout a data loader streams sequentially without a
+    * shuffle or sort of its own. `format` is "parquet" (default) or
+    * "json" (JSON-lines — the interchange format most training loaders
+    * and inspection tools read directly; same sorted one-file-per-shard
+    * contract, just row-encoded as JSON objects).
     *
     * The exchange is a hash repartition on (split, shard) — every
     * shard group lands whole in exactly one task, so each directory
     * holds ONE file written in sorted order (sortWithinPartitions is a
     * local sort, never a global one). At 100 TB raise the shard count
     * at pack time ([[packSequences]] `shardPrefix`), not here. */
-  def writeTrainingShards(packed: DataFrame, outDir: String): Unit =
+  def writeTrainingShards(packed: DataFrame, outDir: String,
+                          format: String = "parquet"): Unit = {
+    require(format == "parquet" || format == "json",
+      s"unsupported shard format: $format")
     packed.repartition(col("split"), col("shard"))
       .sortWithinPartitions("split", "shard", "seq_first", "start")
-      .write.partitionBy("split", "shard").mode("overwrite").parquet(outDir)
+      .write.partitionBy("split", "shard").mode("overwrite")
+      .format(format).save(outDir)
+  }
 
   /** Per-document keyword extraction by tf·rarity, integer-exact.
     *

@@ -229,6 +229,31 @@ class CorpusSpec extends SparkSpec {
       assert(rows.sameElements(rows.sortBy(identity)),
         s"unsorted shard ${d.getAbsolutePath}")
     }
+    // JSON-lines mode: same one-file-per-shard contract, line order
+    // preserved on disk (loaders stream the file as-is)
+    val jdir = java.nio.file.Files.createTempDirectory("graft-shards-json")
+      .toString
+    graft.llm.Corpus.writeTrainingShards(packed, jdir, format = "json")
+    val jshardDirs = new java.io.File(jdir).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles().filter(_.isDirectory))
+    assert(jshardDirs.nonEmpty)
+    assert(jshardDirs.forall(
+      _.listFiles().count(_.getName.endsWith(".json")) == 1))
+    assert(spark.read.json(jdir).count() == packed.count())
+    for (d <- jshardDirs) {
+      val f = d.listFiles().filter(_.getName.endsWith(".json")).head
+      val keys = scala.io.Source.fromFile(f).getLines().map { line =>
+        def field(name: String): Long =
+          ("\"" + name + "\":(\\d+)").r.findFirstMatchIn(line).get
+            .group(1).toLong
+        (field("seq_first"), field("start"))
+      }.toArray
+      assert(keys.sameElements(keys.sortBy(identity)),
+        s"unsorted JSON shard ${f.getAbsolutePath}")
+    }
+    intercept[IllegalArgumentException] {
+      graft.llm.Corpus.writeTrainingShards(packed, jdir, format = "csv")
+    }
   }
 
   test("plan shapes: scan-side ops shuffle-free, packing exactly once") {
