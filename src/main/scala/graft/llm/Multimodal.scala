@@ -10,12 +10,15 @@ import org.apache.spark.sql.types._
   *
   * [[decodeImages]] is a REAL decoder for the formats the JDK ships codecs
   * for (PNG, JPEG, GIF, BMP, WBMP, and TIFF since JDK 9) via `javax.imageio`
-  * — zero extra dependencies. Formats the JDK cannot decode (webp, heic,
-  * audio, video) fall through to the deterministic stub kernel so the
-  * pipeline never throws on mixed corpora; `decode_ok` records which path
-  * each row took. [[decodeImagesStub]] remains available as the fully
-  * deterministic, oracle-checkable variant (and is what the hash-keyed
-  * correctness oracles pin against).
+  * — zero extra dependencies; [[decodeAudio]] likewise for WAV/AIFF/AU
+  * containers with PCM / µ-law / a-law codecs via `javax.sound.sampled`.
+  * Formats the JDK cannot decode (webp, heic, mp3, ogg, video) fall
+  * through to the deterministic stub kernel so the pipeline never throws
+  * on mixed corpora; `decode_ok` records which path each row took.
+  * [[decodeImagesStub]] remains available as the fully deterministic,
+  * oracle-checkable variant (and is what the hash-keyed correctness
+  * oracles pin against). Video remains the one honest stub boundary —
+  * the JDK ships no video codec.
   */
 object Multimodal {
 
@@ -119,6 +122,139 @@ object Multimodal {
       gy += 1
     }
     Array.tabulate(n)(i => if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
+  }
+
+  val decodedAudioSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("decode_ok", BooleanType),
+    StructField("feature", ArrayType(FloatType))))
+
+  /** REAL audio decode + feature extraction via `javax.sound.sampled` —
+    * the audio analog of [[decodeImages]], zero extra dependencies: the
+    * JDK ships WAV/AIFF/AU container parsing and PCM / µ-law / a-law
+    * codecs. Bytes no JDK reader accepts (mp3, ogg, flac, …) fall
+    * through to the deterministic stub with `decode_ok = false`, so
+    * mixed corpora flow instead of failing.
+    *
+    * The feature is an RMS amplitude profile over `featureDim` temporal
+    * bands, computed from ≤ `featureDim`·32 frames skip-sampled evenly
+    * across the stream — bounded work AND bounded memory per row
+    * regardless of clip length (an hour-long WAV costs the same as a
+    * jingle; frames between sample points are `skip`ped, never
+    * buffered). Everything is integer/PCM-exact: frames decode to
+    * 16-bit signed PCM through the JDK's converter, normalized by
+    * 1/32768, channel-averaged, then per-band RMS. */
+  def decodeAudio(media: DataFrame, featureDim: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    val dim = featureDim
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        decodeOneAudio(bytes, dim) match {
+          case Some((rate, ch, frames, feat)) =>
+            Row(id, rate, ch, frames, true, feat.toSeq)
+          case None =>
+            // >>> STUB fallback — only for codecs the JDK lacks (mp3/ogg/…)
+            val h = java.util.Arrays.hashCode(bytes)
+            val rate = 8000 + math.abs(h % 40000)
+            val ch = 1 + math.abs((h / 7) % 2)
+            val frames = bytes.length.toLong.max(1L)
+            val feat = Array.tabulate(dim)(i =>
+              (((h.toLong * 2654435761L + i * 40503L) % 1000L) / 1000.0f))
+            Row(id, rate, ch, frames, false, feat.toSeq)
+          // <<< STUB fallback
+        }
+      }
+    }
+    spark.createDataFrame(rdd, decodedAudioSchema)
+  }
+
+  /** Decode one audio byte array: (rate, channels, frames, band RMS),
+    * or None when no JDK reader accepts the bytes. */
+  private def decodeOneAudio(bytes: Array[Byte],
+                             n: Int): Option[(Int, Int, Long, Array[Float])] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val base = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = base.getFormat
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, fmt.getChannels,
+          2 * fmt.getChannels, fmt.getSampleRate, false)
+        val pcm =
+          if (fmt.matches(target)) base
+          else AudioSystem.getAudioInputStream(target, base)
+        val ch = target.getChannels
+        val frameSize = target.getFrameSize
+        val frames = pcm.getFrameLength
+        val sums = new Array[Double](n)
+        val counts = new Array[Int](n)
+        val buf = new Array[Byte](frameSize)
+        def addFrame(band: Int): Unit = {
+          // channel-mean of normalized 16-bit little-endian samples
+          var c = 0
+          var mean = 0.0
+          while (c < ch) {
+            val lo = buf(2 * c) & 0xFF
+            val hi = buf(2 * c + 1).toInt
+            mean += ((hi << 8) | lo) / 32768.0
+            c += 1
+          }
+          mean /= ch
+          sums(band) += mean * mean
+          counts(band) += 1
+        }
+        def readFully(): Boolean = {
+          var off = 0
+          while (off < frameSize) {
+            val k = pcm.read(buf, off, frameSize - off)
+            if (k < 0) return false
+            off += k
+          }
+          true
+        }
+        if (frames > 0) {
+          // evenly skip-sample ≤ n·32 frames; sequential forward skips only
+          val samples = math.min(frames, n.toLong * 32).toInt
+          var cur = 0L
+          var i = 0
+          var eof = false
+          while (i < samples && !eof) {
+            val pos = i.toLong * frames / samples
+            var toSkip = (pos - cur) * frameSize
+            while (toSkip > 0) {
+              val k = pcm.skip(toSkip)
+              if (k <= 0) toSkip = 0 else toSkip -= k
+            }
+            cur = pos
+            if (readFully()) {
+              addFrame(math.min(n - 1, (i * n / samples)))
+              cur += 1
+            } else eof = true
+            i += 1
+          }
+        } else {
+          // frame count unknown after conversion (rare): read the first
+          // n·32 frames sequentially — still bounded
+          var i = 0
+          var eof = false
+          while (i < n * 32 && !eof) {
+            if (readFully()) addFrame(math.min(n - 1, i * n / (n * 32)))
+            else eof = true
+            i += 1
+          }
+        }
+        val feat = Array.tabulate(n)(i =>
+          if (counts(i) == 0) 0f
+          else math.sqrt(sums(i) / counts(i)).toFloat)
+        Some((math.round(target.getSampleRate), ch, frames, feat))
+      } finally base.close()
+    } catch { case _: Exception => None }
   }
 
   /** STUB image decode + feature extraction.

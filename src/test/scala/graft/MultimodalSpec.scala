@@ -112,6 +112,68 @@ class MultimodalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  /** Synthesize a 16-bit mono WAV whose PCM samples are `samples`. */
+  private def wavBytes(samples: Array[Short], rate: Float = 8000f,
+                       channels: Int = 1): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16,
+      channels, 2 * channels, rate, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt,
+      samples.length / channels), AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("decodeAudio decodes a real WAV: geometry exact, band RMS from the PCM") {
+    // 800 frames: first half silence, second half constant ±16384 (=0.5
+    // amplitude square wave → RMS exactly 0.5 in every covered band)
+    val samples = Array.tabulate(800)(i =>
+      if (i < 400) 0.toShort
+      else (if (i % 2 == 0) 16384 else -16384).toShort)
+    val df = Seq((1L, wavBytes(samples))).toDF("doc_id", "bin")
+    val media = Multimodal.asMedia(df, "doc_id", "bin", "audio", "audio/wav")
+    val row = Multimodal.decodeAudio(media, featureDim = 8).head()
+    assert(row.getInt(1) == 8000 && row.getInt(2) == 1)
+    assert(row.getLong(3) == 800L && row.getBoolean(4))
+    val feat = row.getSeq[Float](5)
+    assert(feat.length == 8)
+    // bands 0-3 cover the silent half, bands 4-7 the square wave
+    assert(feat.take(4).forall(math.abs(_) < 1e-4), s"silent bands: $feat")
+    assert(feat.drop(4).forall(f => math.abs(f - 0.5f) < 1e-3),
+      s"square-wave bands: $feat")
+  }
+
+  test("decodeAudio handles stereo and is deterministic across runs") {
+    // L channel constant +8192, R channel constant -8192: channel mean 0
+    val inter = Array.tabulate(400)(i =>
+      (if (i % 2 == 0) 8192 else -8192).toShort)
+    val df = Seq((7L, wavBytes(inter, rate = 16000f, channels = 2)))
+      .toDF("doc_id", "bin")
+    val media = Multimodal.asMedia(df, "doc_id", "bin", "audio", "audio/wav")
+    val a = Multimodal.decodeAudio(media).head()
+    val b = Multimodal.decodeAudio(media).head()
+    assert(a == b)
+    assert(a.getInt(1) == 16000 && a.getInt(2) == 2 && a.getLong(3) == 200L)
+    assert(a.getSeq[Float](5).forall(math.abs(_) < 1e-4)) // channels cancel
+  }
+
+  test("decodeAudio falls back deterministically on non-audio bytes") {
+    val df = Seq((9L, "definitely not audio content".getBytes("UTF-8")))
+      .toDF("doc_id", "bin")
+    val media = Multimodal.asMedia(df, "doc_id", "bin", "audio", "audio/mpeg")
+    val a = Multimodal.decodeAudio(media).head()
+    val b = Multimodal.decodeAudio(media).head()
+    assert(a == b)
+    assert(!a.getBoolean(4)) // decode_ok = false, stub path
+    assert(a.getSeq[Float](5).length == 8)
+  }
+
   test("resize stub clamps the longer side and preserves aspect floor") {
     val out = Multimodal.resizeStub(
       Multimodal.decodeImagesStub(media), maxSide = 128)
