@@ -222,14 +222,19 @@ object Corpus {
     *     [[TextAnalysis.repetitionOk]] (Gopher discipline) — scan-side
     *     compiled predicates, zero shuffle;
     *  2. language gate: [[TextAnalysis.langId]] ∈ `langs` (skip if empty);
-    *  3. deduplication: [[Dedup.dedupCorpus]] (exact-Jaccard below the
+    *  3. optional boilerplate strip (`stripSpans = true`):
+    *     [[Dedup.stripBoilerplate]] rewrites `textCol` with corpus-
+    *     repeated `stripW`-token spans removed BEFORE dedup (the C4
+    *     order — shared boilerplate otherwise glues unrelated documents
+    *     into near-dup clusters); hash-only exchange + map-only rewrite;
+    *  4. deduplication: [[Dedup.dedupCorpus]] (exact-Jaccard below the
     *     cutover, MinHash-LSH above; transitive clusters, min-id
     *     representative);
-    *  4. decontamination: [[Dedup.decontaminate]] against the benchmark
+    *  5. decontamination: [[Dedup.decontaminate]] against the benchmark
     *     table (13-gram collision, hash-only exchange);
-    *  5. mixture weights: [[replicateByWeight]] per `stratumCol`
+    *  6. mixture weights: [[replicateByWeight]] per `stratumCol`
     *     (up- AND down-sampling, content-hash determinism);
-    *  6. split + packing: [[splitAssign]] labels train/val/test, then
+    *  7. split + packing: [[splitAssign]] labels train/val/test, then
     *     each split is [[packSequences]]-packed independently.
     *
     * Returns the packed layout (id, copy, split, shard, start,
@@ -246,7 +251,9 @@ object Corpus {
                        splits: Seq[(String, Double)] =
                          Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
                        budget: Long = 4096L,
-                       lenCol: Option[String] = None)
+                       lenCol: Option[String] = None,
+                       stripSpans: Boolean = false,
+                       stripW: Int = 8, stripMinDocs: Int = 3)
       : (DataFrame, Map[String, Long]) = {
     val gated = docs
       .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
@@ -254,7 +261,11 @@ object Corpus {
     val inLang =
       if (langs.isEmpty) gated
       else gated.filter(TextAnalysis.langId(col(textCol)).isin(langs.toSeq: _*))
-    val (deduped, dedupStats) = Dedup.dedupCorpus(inLang, idCol, textCol)
+    val stripped =
+      if (!stripSpans) inLang
+      else Dedup.stripBoilerplate(inLang, idCol, textCol, stripW, stripMinDocs)
+        .withColumn(textCol, col("clean_text")).drop("clean_text")
+    val (deduped, dedupStats) = Dedup.dedupCorpus(stripped, idCol, textCol)
     // decontamination keys the benchmark by idCol; synthesize a
     // content-deterministic one when the table ships text only
     val bench =

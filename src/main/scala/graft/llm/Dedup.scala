@@ -138,15 +138,11 @@ object Dedup {
     require(w > 0 && minDocs > 0)
     val X = graft.expressions.GraftExpressions
     if (!relational) {
-      val hashes: Array[Long] = df
-        .select(col(idCol).as("doc_id"),
-          explode(X.wordNGrams(col(textCol), w)).as("span"))
-        .select(col("doc_id"), xxhash64(col("span")).as("h"))
-        .groupBy("h").agg(countDistinct("doc_id").as("n_docs"))
-        .filter(col("n_docs") >= minDocs)
-        .select("h").collect().map(_.getLong(0)).sorted
+      val hashes = boilerplateHashes(df, idCol, textCol, w, minDocs)
+      // coalesce: null text strips to '' (matching the relational mode's
+      // reassembly, where a null doc contributes no token rows)
       df.withColumn("clean_text",
-        X.stripWindowsInSet(col(textCol), w, hashes))
+        coalesce(X.stripWindowsInSet(col(textCol), w, hashes), lit("")))
     } else {
       val wins = df.select(col(idCol).as("doc_id"),
         posexplode(X.wordNGrams(col(textCol), w)).as(Seq("start", "span")))
@@ -173,6 +169,24 @@ object Dedup {
         .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
         .drop("__sb_id")
     }
+  }
+
+  /** The SORTED xxhash64 set of spans appearing in ≥ `minDocs` distinct
+    * documents — the driver-resident flagged-span artifact
+    * [[stripBoilerplate]] and the streaming
+    * [[graft.streaming.Streaming.stripBoilerplateStream]] share. The
+    * corpus-wide exchange carries (hash, doc_id) 16-byte rows; the
+    * result is aggregate-small by construction. */
+  def boilerplateHashes(df: DataFrame, idCol: String, textCol: String,
+                        w: Int = 8, minDocs: Int = 3): Array[Long] = {
+    require(w > 0 && minDocs > 0)
+    df.select(col(idCol).as("doc_id"),
+        explode(graft.expressions.GraftExpressions
+          .wordNGrams(col(textCol), w)).as("span"))
+      .select(col("doc_id"), xxhash64(col("span")).as("h"))
+      .groupBy("h").agg(countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("h").collect().map(_.getLong(0)).sorted
   }
 
   // ------------------------------------------------------- decontamination

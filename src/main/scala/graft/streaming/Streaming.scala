@@ -162,6 +162,26 @@ object Streaming {
       .windowSetContains(col(textCol), n, hashes), lit(false)))
   }
 
+  /** Stateless streaming form of
+    * [[graft.llm.Dedup.stripBoilerplate]]: boilerplate is CORPUS-level
+    * context a single stream element cannot see, so the flagged-span
+    * hash set is computed ONCE from a static reference corpus (e.g. the
+    * current lake snapshot) and baked into the compiled rewrite kernel;
+    * each arriving document then gains `clean_text` as a pure map-only
+    * projection — NO STATE, no stream-side shuffle, composes with
+    * [[dedupStream]] and [[decontaminateStream]] in one pipeline.
+    * Rewrite semantics are identical to the batch operator (same
+    * kernel, same flagged set — parity asserted in StreamingSpec). */
+  def stripBoilerplateStream(docs: DataFrame, reference: DataFrame,
+                             idCol: String, textCol: String,
+                             w: Int = 8, minDocs: Int = 3): DataFrame = {
+    val hashes = graft.llm.Dedup.boilerplateHashes(
+      reference, idCol, textCol, w, minDocs)
+    docs.withColumn("clean_text",
+      coalesce(graft.expressions.GraftExpressions
+        .stripWindowsInSet(col(textCol), w, hashes), lit("")))
+  }
+
   /** Stateless stream-to-static as-of enrichment: each arriving row picks
     * up the carried columns of the LATEST static row with
     * `staticTsCol <= streamTsCol` in its `on` group (dimension-snapshot

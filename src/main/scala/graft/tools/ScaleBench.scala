@@ -44,7 +44,8 @@ object ScaleBench {
     "dedup_spans", "decontam_hits", "ann_ivf_pq_topk",
     "a6_keep_latest", "u2_snapshot_diff",
     "pack_sequences", "vocab_top", "corpus_split", "doc_length_hist",
-    "tfidf_keywords", "ev_asof_join", "ev_range_join")
+    "tfidf_keywords", "ev_asof_join", "ev_range_join",
+    "dedup_strip_spans", "text_surprisal", "bpe_tokens")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

@@ -275,6 +275,31 @@ class CorpusSpec extends SparkSpec {
     assert(v.queryExecution.executedPlan.toString.contains("TakeOrdered"))
   }
 
+  test("buildTrainingSet stripSpans stage equals a manual pre-strip") {
+    val footer = "generated by acme corp all rights reserved contact legal dept"
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"document $i body w${i}a w${i}b w${i}c $footer", "web"))
+      .toDF("doc_id", "text", "source")
+    val bench = Seq("unrelated benchmark words only").toDF("text")
+    val (a, _) = Corpus.buildTrainingSet(docs, bench,
+      "doc_id", "text", "source", budget = 64L,
+      stripSpans = true, stripW = 10, stripMinDocs = 3)
+    val pre = graft.llm.Dedup.stripBoilerplate(docs, "doc_id", "text",
+        w = 10, minDocs = 3)
+      .withColumn("text", col("clean_text")).drop("clean_text")
+    val (b, _) = Corpus.buildTrainingSet(pre, bench,
+      "doc_id", "text", "source", budget = 64L)
+    assert(a.collect().map(_.toString).sorted
+      .sameElements(b.collect().map(_.toString).sorted))
+    // and the strip actually bit: the packed layout differs from the
+    // unstripped run (every doc lost the footer's 10 tokens)
+    val (c, _) = Corpus.buildTrainingSet(docs, bench,
+      "doc_id", "text", "source", budget = 64L)
+    assert(a.count() == c.count())
+    assert(!a.collect().map(_.toString).sorted
+      .sameElements(c.collect().map(_.toString).sorted))
+  }
+
   test("unigramSurprisal: integer inverse-frequency scoring, hand-computed") {
     // freqs: a→2, b→2, c→1, total 5; info = total DIV freq: a,b→2, c→5
     val df = Seq((1L, "A! a b"), (2L, "b c"), (3L, "..."))

@@ -116,6 +116,53 @@ class StreamingSpec extends SparkSpec {
     assert(batchKept == Set(1L, 3L)) // same verdicts as the stream path
   }
 
+  test("stripBoilerplateStream rewrites arriving docs with the reference corpus's spans") {
+    val footer = "generated by acme corp all rights reserved contact legal dept"
+    val reference = Seq(
+      (1L, s"unique alpha words one $footer"),
+      (2L, s"other beta content two $footer"),
+      (3L, s"third gamma text three $footer")).toDF("doc_id", "text")
+    val drop = java.nio.file.Files.createTempDirectory("graft-sb-drop")
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-sb-ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sb-out").toString
+    def put(name: String, content: String): Unit =
+      java.nio.file.Files.write(drop.resolve(name), content.getBytes("UTF-8"))
+    put("hit.txt", s"fresh arriving page $footer and more prose")
+    put("clean.txt", "an arriving page with entirely original content")
+    val stream = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(drop.toString)
+      .select(regexp_replace(col("path"), "^.*/", "").as("name"),
+        col("content").cast("string").as("text"))
+    val q = Streaming.stripBoilerplateStream(stream, reference,
+        "doc_id", "text", w = 10, minDocs = 3)
+      .select("name", "clean_text")
+      .writeStream.format("parquet")
+      .outputMode("append")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.read.parquet(outDir)
+      .as[(String, String)].collect().toMap
+    assert(out("hit.txt") == "fresh arriving page and more prose")
+    assert(out("clean.txt") == "an arriving page with entirely original content")
+    // parity with the batch operator given the same reference spans:
+    // the batch op flags within ITS input, so run it over reference ∪
+    // the arrivals and compare the arrivals' rewrites
+    val arrivals = Seq(
+      (10L, s"fresh arriving page $footer and more prose"),
+      (11L, "an arriving page with entirely original content"))
+      .toDF("doc_id", "text")
+    val batch = graft.llm.Dedup.stripBoilerplate(
+        reference.unionByName(arrivals), "doc_id", "text",
+        w = 10, minDocs = 3)
+      .filter(col("doc_id") >= 10L)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(batch(10L) == out("hit.txt") && batch(11L) == out("clean.txt"))
+  }
+
   test("decontaminateStream keeps null-text rows (batch-parity)") {
     val leak = (1 to 13).map(i => s"n$i").mkString(" ")
     val bench = Seq(s"head $leak tail").toDF("text")
