@@ -491,16 +491,19 @@ object GraftExpressions {
     * the scan stage: no join against a vocabulary table, no shuffle.
     * Merge application order matches training's rewrite exactly (see
     * [[Kernels.bpeEncode]]). */
+  private def bpeRanks(merges: Seq[(String, String)])
+      : java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.putIfAbsent(a + " " + b, Integer.valueOf(i))
+    }
+    m
+  }
+
   case class BpeEncode(child: Expression, merges: Seq[(String, String)])
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
-    @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
-      val m = new java.util.HashMap[String, Integer](merges.size * 2)
-      merges.zipWithIndex.foreach { case ((a, b), i) =>
-        m.putIfAbsent(a + " " + b, Integer.valueOf(i))
-      }
-      m
-    }
+    @transient private lazy val ranks = bpeRanks(merges)
     def encode(text: org.apache.spark.unsafe.types.UTF8String): ArrayData =
       Kernels.bpeEncode(text, ranks)
     override def nullSafeEval(input: Any): Any =
@@ -512,6 +515,27 @@ object GraftExpressions {
     override protected def withNewChildInternal(c: Expression): BpeEncode =
       copy(child = c)
     override def prettyName: String = "graft_bpe_encode"
+  }
+
+  /** Piece COUNT of [[BpeEncode]] without materializing the pieces —
+    * token-budget accounting over a corpus should not allocate one
+    * UTF8String per subword just to count them. */
+  case class BpeCount(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    @transient private lazy val ranks = bpeRanks(merges)
+    def count(text: org.apache.spark.unsafe.types.UTF8String): Long =
+      Kernels.bpeCount(text, ranks)
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(
+        count(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeRanks", this)
+      defineCodeGen(ctx, ev, c => s"$ref.count($c)")
+    }
+    override protected def withNewChildInternal(c: Expression): BpeCount =
+      copy(child = c)
+    override def prettyName: String = "graft_bpe_count"
   }
 
   /** All `m` per-subspace nearest-codeword ids of a product-quantized
@@ -615,6 +639,8 @@ object GraftExpressions {
     toCol(StripWindowsInSet(expr(text), n, hashes))
   def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
     toCol(BpeEncode(expr(text), merges))
+  def bpeCount(text: Column, merges: Seq[(String, String)]): Column =
+    toCol(BpeCount(expr(text), merges))
   def wordNGrams(text: Column, n: Int): Column =
     toCol(WordNGrams(expr(text), n))
   def wordChunks(text: Column, size: Int, overlap: Int): Column =

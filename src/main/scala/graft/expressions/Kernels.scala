@@ -207,15 +207,23 @@ object Kernels {
     val total = words.length - n + 1
     var i = 0
     while (i < total) {
-      val sb = new java.lang.StringBuilder(words(i))
-      var j = 1
-      while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
-      val s = UTF8String.fromString(sb.toString)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-      if (java.util.Arrays.binarySearch(hashes, h) >= 0) return true
+      if (java.util.Arrays.binarySearch(hashes, windowHash(words, i, n)) >= 0)
+        return true
       i += 1
     }
     false
+  }
+
+  /** THE window convention shared by the detect ([[anyWindowInSet]]) and
+    * strip ([[stripWindowsInSet]]) kernels: xxhash64 (seed 42, identical
+    * to SQL `xxhash64`) of the space-joined n-token window starting at
+    * word `i`. One definition so the two kernels cannot drift. */
+  private def windowHash(words: Array[String], i: Int, n: Int): Long = {
+    val sb = new java.lang.StringBuilder(words(i))
+    var j = 1
+    while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+    val s = UTF8String.fromString(sb.toString)
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
   }
 
   /** [[GraftExpressions.StripWindowsInSet]] body: the whitespace-split
@@ -237,12 +245,7 @@ object Kernels {
       val total = len - n + 1
       var i = 0
       while (i < total) {
-        val sb = new java.lang.StringBuilder(words(i))
-        var j = 1
-        while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
-        val s = UTF8String.fromString(sb.toString)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-        if (java.util.Arrays.binarySearch(hashes, h) >= 0) {
+        if (java.util.Arrays.binarySearch(hashes, windowHash(words, i, n)) >= 0) {
           if (covered == null) covered = new Array[Boolean](len)
           var p = i
           while (p < i + n) { covered(p) = true; p += 1 }
@@ -279,45 +282,83 @@ object Kernels {
     val out = new scala.collection.mutable.ArrayBuffer[Any](words.length * 2)
     var wi = 0
     while (wi < words.length) {
-      val w = words(wi)
-      var syms = new scala.collection.mutable.ArrayBuffer[String](w.length + 1)
-      var idx = 0
-      while (idx < w.length) {
-        val cc = Character.charCount(w.codePointAt(idx))
-        syms += w.substring(idx, idx + cc)
-        idx += cc
-      }
-      syms += "</w>"
-      var more = !ranks.isEmpty
-      while (more && syms.length > 1) {
-        var bestRank = Int.MaxValue
-        var bestA: String = null
-        var bestB: String = null
-        var i = 0
-        while (i < syms.length - 1) {
-          val r = ranks.get(syms(i) + " " + syms(i + 1))
-          if (r != null && r < bestRank) {
-            bestRank = r; bestA = syms(i); bestB = syms(i + 1)
-          }
-          i += 1
-        }
-        if (bestA == null) more = false
-        else {
-          val merged = bestA + bestB
-          val next = new scala.collection.mutable.ArrayBuffer[String](syms.length)
-          var j = 0
-          while (j < syms.length) {
-            if (j < syms.length - 1 && syms(j) == bestA && syms(j + 1) == bestB) {
-              next += merged; j += 2
-            } else { next += syms(j); j += 1 }
-          }
-          syms = next
-        }
-      }
-      syms.foreach(s => out += UTF8String.fromString(s))
+      bpeMerge(bpeWordSymbols(words(wi)), ranks)
+        .foreach(s => out += UTF8String.fromString(s))
       wi += 1
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** [[GraftExpressions.BpeCount]] body: the PIECE COUNT of
+    * [[bpeEncode]] without materializing the piece array — the token-
+    * budget accounting hot path allocates no per-piece UTF8Strings and
+    * no output ArrayData. */
+  def bpeCount(text: UTF8String,
+               ranks: java.util.HashMap[String, Integer]): Long = {
+    val trimmed = text.trim().toString
+    if (trimmed.isEmpty) return 0L
+    val words = ws.split(trimmed, -1)
+    var total = 0L
+    var wi = 0
+    while (wi < words.length) {
+      total += bpeMerge(bpeWordSymbols(words(wi)), ranks).length
+      wi += 1
+    }
+    total
+  }
+
+  /** THE word→symbols convention shared by encode/count AND training
+    * ([[graft.llm.Bpe.trainFromWordCounts]]): code-point symbols (a
+    * non-BMP character is ONE symbol, never two lone surrogates) plus
+    * the `</w>` end-of-word symbol. One definition so a trained model
+    * always reproduces its decomposition at encode time. */
+  def bpeWordSymbols(w: String): scala.collection.mutable.ArrayBuffer[String] = {
+    val syms = new scala.collection.mutable.ArrayBuffer[String](w.length + 1)
+    var idx = 0
+    while (idx < w.length) {
+      val cc = Character.charCount(w.codePointAt(idx))
+      syms += w.substring(idx, idx + cc)
+      idx += cc
+    }
+    syms += "</w>"
+    syms
+  }
+
+  /** Apply the lowest-rank applicable merge to ALL its occurrences
+    * left-to-right, repeatedly, until none applies — the rewrite order
+    * training uses. */
+  private def bpeMerge(
+      symsIn: scala.collection.mutable.ArrayBuffer[String],
+      ranks: java.util.HashMap[String, Integer])
+      : scala.collection.mutable.ArrayBuffer[String] = {
+    var syms = symsIn
+    var more = !ranks.isEmpty
+    while (more && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestA: String = null
+      var bestB: String = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.get(syms(i) + " " + syms(i + 1))
+        if (r != null && r < bestRank) {
+          bestRank = r; bestA = syms(i); bestB = syms(i + 1)
+        }
+        i += 1
+      }
+      if (bestA == null) more = false
+      else {
+        val merged = bestA + bestB
+        val next = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == bestA && syms(j + 1) == bestB) {
+            next += merged; j += 2
+          } else { next += syms(j); j += 1 }
+        }
+        syms = next
+      }
+    }
+    syms
   }
 
   /** [[GraftExpressions.PairCombinations]] body — also the codegen path of

@@ -68,21 +68,11 @@ object Bpe {
   def trainFromWordCounts(wordFreq: Seq[(String, Long)],
                           numMerges: Int): Model = {
     // each word as a mutable symbol buffer; frequency carried alongside.
-    // Code-point symbols (not chars) — a non-BMP character must be one
-    // symbol, not two lone surrogates; matches Kernels.bpeEncode.
-    def symbols(w: String): Array[String] = {
-      val out = new scala.collection.mutable.ArrayBuffer[String](w.length + 1)
-      var i = 0
-      while (i < w.length) {
-        val cc = Character.charCount(w.codePointAt(i))
-        out += w.substring(i, i + cc)
-        i += cc
-      }
-      out += EndOfWord
-      out.toArray
-    }
-    var vocab: Array[(Array[String], Long)] =
-      wordFreq.map { case (w, f) => (symbols(w), f) }.toArray
+    // Kernels.bpeWordSymbols is THE shared word→symbols convention, so a
+    // trained model always reproduces its decomposition at encode time.
+    var vocab: Array[(Array[String], Long)] = wordFreq.map { case (w, f) =>
+      (graft.expressions.Kernels.bpeWordSymbols(w).toArray, f)
+    }.toArray
     val merges = Seq.newBuilder[(String, String)]
     var r = 0
     var done = false
@@ -147,12 +137,13 @@ object Bpe {
 
   /** Add `outCol` = the subword token COUNT of `textCol` under the
     * model — the real-token-budget upgrade over
-    * [[TextAnalysis.subwordCountEstimate]]. */
+    * [[TextAnalysis.subwordCountEstimate]]. Count-only kernel: the
+    * merge loop runs but no piece array or per-piece strings are
+    * materialized (the corpus-accounting hot path). */
   def tokenCount(df: DataFrame, textCol: String, model: Model,
                  outCol: String = "n_bpe_tokens"): DataFrame =
-    encode(df, textCol, model, "__bpe_pieces")
-      .withColumn(outCol, size(col("__bpe_pieces")).cast("long"))
-      .drop("__bpe_pieces")
+    df.withColumn(outCol,
+      graft.expressions.GraftExpressions.bpeCount(col(textCol), model.merges))
 
   /** Persist a model as a DataFrame (rank, left, right) — write it as
     * parquet next to the corpus it was trained on. */

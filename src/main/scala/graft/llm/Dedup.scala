@@ -70,7 +70,7 @@ object Dedup {
       // — 16 bytes/row instead of the w-token span text. Flagged hashes
       // are aggregate-small; a SECOND map-only scan resolves their text
       // through a broadcast join (min(span) per hash makes a collision,
-      // p ≈ spans²/2⁻⁶⁴, deterministic rather than run-dependent). Same
+      // p ≈ spans²/2⁶⁴, deterministic rather than run-dependent). Same
       // output contract as the default mode.
       val flagged = spans
         .select(col("doc_id"), xxhash64(col("span")).as("h"))
@@ -125,7 +125,7 @@ object Dedup {
     * Membership is exact (sorted-array binary search), never a Bloom
     * probe — a false positive would silently delete clean training
     * text. Flagging by 64-bit hash instead of text mislabels ~nothing
-    * (p ≈ spans²/2⁻⁶⁴).
+    * (p ≈ spans²/2⁶⁴).
     *
     * `relational = true` runs the identical semantics as explode → span
     * count → covered-position join → ordered reassembly (flagging by

@@ -218,41 +218,61 @@ object Multimodal {
           }
           true
         }
+        var framesOut = frames
         if (frames > 0) {
-          // evenly skip-sample ≤ n·32 frames; sequential forward skips only
+          // evenly skip-sample ≤ n·32 frames; sequential forward skips
+          // only. `skip` may legally return 0 before EOF (conversion
+          // streams skip whole internal buffers) — fall back to
+          // read-and-discard so the tracked position stays EXACT; a
+          // silently under-skipped stream would attribute RMS energy to
+          // the wrong temporal bands with decode_ok still true.
           val samples = math.min(frames, n.toLong * 32).toInt
-          var cur = 0L
+          var curBytes = 0L
           var i = 0
           var eof = false
           while (i < samples && !eof) {
-            val pos = i.toLong * frames / samples
-            var toSkip = (pos - cur) * frameSize
-            while (toSkip > 0) {
-              val k = pcm.skip(toSkip)
-              if (k <= 0) toSkip = 0 else toSkip -= k
+            val targetBytes = (i.toLong * frames / samples) * frameSize
+            var stalled = false
+            while (curBytes < targetBytes && !eof) {
+              if (!stalled) {
+                val k = pcm.skip(targetBytes - curBytes)
+                if (k > 0) curBytes += k else stalled = true
+              } else {
+                // skip() stalled short of target: discard by reading
+                val want = math.min(frameSize.toLong, targetBytes - curBytes).toInt
+                val k = pcm.read(buf, 0, want)
+                if (k > 0) { curBytes += k; stalled = false } else eof = true
+              }
             }
-            cur = pos
-            if (readFully()) {
-              addFrame(math.min(n - 1, (i * n / samples)))
-              cur += 1
-            } else eof = true
+            if (!eof) {
+              if (readFully()) {
+                addFrame(math.min(n - 1, i * n / samples))
+                curBytes += frameSize
+              } else eof = true
+            }
             i += 1
           }
         } else {
           // frame count unknown after conversion (rare): read the first
-          // n·32 frames sequentially — still bounded
+          // n·32 frames sequentially — still bounded — and report the
+          // frames actually read (never the NOT_SPECIFIED sentinel,
+          // which would surface as n_frames = -1 with decode_ok = true)
           var i = 0
           var eof = false
+          var read = 0L
           while (i < n * 32 && !eof) {
-            if (readFully()) addFrame(math.min(n - 1, i * n / (n * 32)))
-            else eof = true
+            if (readFully()) {
+              addFrame(math.min(n - 1, i * n / (n * 32)))
+              read += 1
+            } else eof = true
             i += 1
           }
+          framesOut = read
         }
         val feat = Array.tabulate(n)(i =>
           if (counts(i) == 0) 0f
           else math.sqrt(sums(i) / counts(i)).toFloat)
-        Some((math.round(target.getSampleRate), ch, frames, feat))
+        Some((math.round(target.getSampleRate), ch, framesOut, feat))
       } finally base.close()
     } catch { case _: Exception => None }
   }

@@ -145,7 +145,7 @@ object Streaming {
     * stream-stream self-join; this is a pure map filter, so it composes
     * freely with [[dedupStream]] downstream and needs no watermark.
     * Exactly the batch `contaminationHits` semantics (doc-level verdict;
-    * hash equality stands in for text equality at p ≈ windows²/2⁻⁶⁴). */
+    * hash equality stands in for text equality at p ≈ windows²/2⁶⁴). */
   def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
                           textCol: String, n: Int = 13): DataFrame = {
     val spark = benchmark.sparkSession
