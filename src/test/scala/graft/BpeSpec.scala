@@ -93,6 +93,14 @@ class BpeSpec extends SparkSpec {
     assert(back == a)
   }
 
+  test("train reproduces the reviewed golden merge sequence at sf0.01") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val trained = Bpe.train(docs, "text", numMerges = 2000)
+    val golden = Bpe.modelFromDF(spark.read.parquet("golden/bpe_merges.parquet"))
+    assert(trained == golden,
+      s"merge sequence drifted: trained ${trained.size} vs golden ${golden.size}")
+  }
+
   test("encode is a map-only projection (merge table rides in the expression)") {
     val docs = Tables.load(spark, sf0, "documents")
     val model = Bpe.trainFromWordCounts(handCounts, 5)
