@@ -116,7 +116,11 @@ object Corpus {
     * division in IEEE double (bit-stable across engines).
     *
     * Scale shape: token frequencies are one partial-agg exchange (the
-    * [[vocabulary]] shuffle, unlimited); the token→freq join is
+    * [[vocabulary]] shuffle, unlimited); `n_total` rides the freq table
+    * via an unpartitioned window over the VOCABULARY only (aggregate-
+    * small, the [[lengthQuantiles]] discipline) — a separate `agg(sum)`
+    * branch would re-execute the whole tokenize+count subplan, i.e. one
+    * more full corpus scan (plan-verified); the token→freq join is
     * token-keyed with no forced broadcast (a 100 TB corpus's vocabulary
     * can exceed broadcast limits — AQE broadcasts when it fits); the
     * per-doc rollup is one more keyed exchange. Documents with zero
@@ -126,9 +130,9 @@ object Corpus {
         explode(split(TextAnalysis.normalizeText(col(textCol)), " ")).as("token"))
       .filter(length(col("token")) > 0)
     val freq = tok.groupBy("token").agg(count(lit(1)).as("freq"))
-    val total = freq.agg(sum("freq").as("n_total"))
+      .withColumn("n_total",
+        sum("freq").over(Window.partitionBy(lit(1))))
     tok.join(freq, "token")
-      .crossJoin(broadcast(total))
       .select(col("doc_id"), expr("n_total DIV freq").as("info"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("info").as("sum_info"))
