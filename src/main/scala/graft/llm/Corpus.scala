@@ -346,10 +346,17 @@ object Corpus {
     * with pure int64 arithmetic. Document frequency is computed over the
     * passed `df` (pre-filter to score against a sub-corpus).
     *
-    * Plan shape: tokenize → (id, token) partial-agg groupBy → token-keyed
-    * df counts joined back (plain shuffle join — vocabulary can be huge at
-    * scale, so no forced broadcast; AQE may still choose one) → per-doc
-    * top-`perDoc` window with a unique (score desc, token) tie-break. */
+    * Plan shape: tokenize → (id, token) partial-agg groupBy → docfreq as
+    * `count over (partition by token)` on the COMPACT tf table (tf rows
+    * are unique per (id, token), so the partition count IS the document
+    * frequency) → per-doc top-`perDoc` window with a unique (score desc,
+    * token) tie-break. The window formulation replaces a separate
+    * `tf.groupBy(token)` aggregate + join back — which Spark executed as
+    * a SECOND full tokenize scan of the corpus (no exchange reuse fired;
+    * runtime-plan-verified) — with one exchange of the compact tf pairs:
+    * at corpus scale, re-tokenizing everything costs far more than
+    * shuffling (id, token, count) triples. The `n` scalar reads only the
+    * pruned id column. */
   def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
                     perDoc: Int = 3): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
@@ -357,10 +364,9 @@ object Corpus {
           .as("token"))
       .filter(length(col("token")) > 0)
     val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("docfreq"))
+      .withColumn("docfreq", count(lit(1)).over(Window.partitionBy("token")))
     val ndocs = df.agg(countDistinct(col(idCol)).as("n"))
-    val scored = tf.join(dfreq, "token")
-      .crossJoin(broadcast(ndocs))
+    val scored = tf.crossJoin(broadcast(ndocs))
       .select(col("id"), col("token"),
         (col("tf") * (col("n") + 1 - col("docfreq"))).as("score"))
     val w = Window.partitionBy("id")

@@ -1,5 +1,11 @@
 package graft.tools
 import graft._
+
+/** Print query plans for audit. First arg: comma-separated query names
+  * (default: a representative set). Second arg `exec` additionally RUNS
+  * each query and prints the final adaptive plan — the only way to see
+  * whether AQE's stage reuse (ReusedExchange / table-cache hits) fired,
+  * which the static `explain` cannot show. */
 object ExplainAudit extends App {
   val spark = GraftSession.builder(master = "local[8]", shufflePartitions = 8).getOrCreate()
   spark.sparkContext.setLogLevel("ERROR")
@@ -7,9 +13,14 @@ object ExplainAudit extends App {
   val targets = args.headOption.map(_.split(",").toSeq)
     .getOrElse(Seq("q5_region_revenue", "q3_shipping_priority", "j5_point_lookup",
       "p1_project_keys", "a6_keep_latest", "dedup_jaccard_pairs", "ann_cosine_topk"))
+  val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")
-    SparkEntry.queries(n)(spark, dir).explain("formatted")
+    val df = SparkEntry.queries(n)(spark, dir)
+    if (exec) {
+      df.count()
+      println(df.queryExecution.executedPlan.toString)
+    } else df.explain("formatted")
   }
   spark.stop()
 }
