@@ -367,14 +367,19 @@ object SparkEntry {
       // TPC-H q15: the revenue-view + global-max shape. Per-supplier
       // revenue aggregates once (one shuffle); the max is a broadcast
       // SCALAR join against the aggregate-small view — not an
-      // unpartitioned window, which would funnel every row through one
-      // task at scale.
+      // unpartitioned window, which would funnel every supplier row
+      // through one task at scale (the max stays a parallel partial
+      // aggregate). The view is lazily checkpointed because BOTH
+      // consumers (max branch, join branch) otherwise re-execute its
+      // subplan — a second full lineitem scan + aggregation
+      // (runtime-plan-verified: exchange reuse does not fire here).
       val rev = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
           col("l_shipdate") < to_timestamp(lit("1997-04-01")))
         .groupBy("l_suppkey")
         .agg(Exact.dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount"))
           .as("total_revenue"))
+        .localCheckpoint(false)
       val top = rev.agg(max("total_revenue").as("max_revenue"))
       t(s, dir, "supplier")
         .join(rev, col("s_suppkey") === col("l_suppkey"))

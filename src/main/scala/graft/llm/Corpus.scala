@@ -196,12 +196,15 @@ object Corpus {
     val nonNull = df.filter(col(lenCol).isNotNull)
     val counts = nonNull.groupBy(col(lenCol).cast("long").as("len"))
       .agg(count(lit(1)).as("cnt"))
+    // both the cumulative counts and the total ride the DISTINCT-length
+    // table's windows — a separate count() branch would re-execute the
+    // whole scan+aggregate subplan as a second corpus pass
     val cum = counts.withColumn("cum",
       sum("cnt").over(Window.orderBy("len")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val total = nonNull.agg(count(lit(1)).as("n"))
+      .withColumn("n", sum("cnt").over(Window.partitionBy(lit(1))))
     qs.toDF("q", "num", "den")
-      .crossJoin(cum).crossJoin(broadcast(total))
+      .crossJoin(cum)
       .filter(col("cum") >= expr("(num * n + den - 1) DIV den"))
       .groupBy("q").agg(min("len").as("value"))
   }
