@@ -369,17 +369,20 @@ object SparkEntry {
       // SCALAR join against the aggregate-small view — not an
       // unpartitioned window, which would funnel every supplier row
       // through one task at scale (the max stays a parallel partial
-      // aggregate). The view is lazily checkpointed because BOTH
-      // consumers (max branch, join branch) otherwise re-execute its
-      // subplan — a second full lineitem scan + aggregation
-      // (runtime-plan-verified: exchange reuse does not fire here).
+      // aggregate). The explicit isNotNull(l_suppkey) makes the two
+      // consumers' subtrees CANONICALLY IDENTICAL: without it the
+      // supplier equi-join pushes that filter into its side only, the
+      // plans stop matching, and AQE stage reuse cannot fire — lineitem
+      // would be scanned and aggregated twice (final-adaptive-plan
+      // verified via ExplainAudit exec; with the filter, the max branch
+      // reads the join branch's shuffle as a ReusedExchange).
       val rev = t(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        .filter(col("l_suppkey").isNotNull &&
+          col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
           col("l_shipdate") < to_timestamp(lit("1997-04-01")))
         .groupBy("l_suppkey")
         .agg(Exact.dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount"))
           .as("total_revenue"))
-        .localCheckpoint(false)
       val top = rev.agg(max("total_revenue").as("max_revenue"))
       t(s, dir, "supplier")
         .join(rev, col("s_suppkey") === col("l_suppkey"))

@@ -59,13 +59,29 @@ object Rebuild {
   */
 object Diff {
 
-  /** Rows present in `next` but not `prev` (op `+`) and vice versa (op `-`).
-    * Uses exceptAll so duplicate-row multiplicity is respected.
-    */
+  /** Rows present in `next` but not `prev` (op `+`) and vice versa (op `-`),
+    * with exceptAll's multiset semantics: a row appearing n× in `next`
+    * and p× in `prev` emits (n−p)⁺ `+` rows and (p−n)⁺ `-` rows
+    * (null-safe equality, like EXCEPT ALL).
+    *
+    * Computed as ONE pass: tag each side ±1, union, group by the full
+    * row, emit the signed multiplicity difference via array_repeat +
+    * explode. The naive `next.exceptAll(prev) ∪ prev.exceptAll(next)`
+    * executes BOTH input subplans twice (each exceptAll re-runs both
+    * sides — runtime-plan-verified, no exchange reuse) — for diffing two
+    * rebuilt snapshots that means running every upstream window/exchange
+    * twice. This shape scans each side once and carries one exchange. */
   def snapshotDiff(prev: DataFrame, next: DataFrame): DataFrame = {
-    val added = next.exceptAll(prev).withColumn("diff_op", lit("+"))
-    val deleted = prev.exceptAll(next).withColumn("diff_op", lit("-"))
-    added.unionByName(deleted)
+    val cols = next.columns.toSeq
+    val tagged = next.select(cols.map(col): _*).withColumn("__d", lit(1L))
+      .unionByName(prev.select(cols.map(col): _*).withColumn("__d", lit(-1L)))
+    tagged.groupBy(cols.map(col): _*)
+      .agg(sum(when(col("__d") > 0, 1L).otherwise(0L)).as("__n"),
+        sum(when(col("__d") < 0, 1L).otherwise(0L)).as("__p"))
+      .withColumn("diff_op", explode(concat(
+        array_repeat(lit("+"), greatest(col("__n") - col("__p"), lit(0L)).cast("int")),
+        array_repeat(lit("-"), greatest(col("__p") - col("__n"), lit(0L)).cast("int")))))
+      .drop("__n", "__p")
   }
 
   /** Keys added in `next` (consumers: aleph sync change feed, I3). */

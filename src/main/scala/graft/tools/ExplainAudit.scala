@@ -18,7 +18,10 @@ object ExplainAudit extends App {
     println(s"=== $n ===")
     val df = SparkEntry.queries(n)(spark, dir)
     if (exec) {
-      df.count()
+      // action on THIS dataframe so its own AdaptiveSparkPlan finalizes
+      // (df.count() would plan a separate query and leave this one's
+      // plan un-executed, hiding AQE stage reuse)
+      df.collect()
       println(df.queryExecution.executedPlan.toString)
     } else df.explain("formatted")
   }
