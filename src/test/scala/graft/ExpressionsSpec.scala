@@ -238,6 +238,12 @@ class ExpressionsSpec extends SparkSpec {
         "graft_repetition_stats")
       codegenLine(docs.select(GraftExpressions.windowSetContains(
         $"text", 13, Array(1L, 2L, 3L)).as("b")), "graft_window_set_contains")
+      codegenLine(docs.select(GraftExpressions.stripWindowsInSet(
+        $"text", 8, Array(1L, 2L, 3L)).as("ct")), "graft_strip_windows")
+      codegenLine(docs.select(GraftExpressions.bpeEncode(
+        $"text", Seq(("a", "b"), ("ab", "</w>"))).as("p")), "graft_bpe_encode")
+      codegenLine(docs.select(GraftExpressions.bpeCount(
+        $"text", Seq(("a", "b"))).as("n")), "graft_bpe_count")
       val withSh = docs.select($"doc_id",
         GraftExpressions.wordShingles($"text", 3).as("sh"))
       codegenLine(withSh.as("a").crossJoin(withSh.as("b")).limit(50).select(
