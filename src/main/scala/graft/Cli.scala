@@ -51,6 +51,13 @@ object Cli {
       |                                   push the dataset's FTM entities
       |  aleph-load-catalog --host H [--api-key K] [--include G] [--exclude G]
       |                                   push every published entity sink
+      |
+      |archive-independent:
+      |  corpus-build --docs <parquet> --benchmark <parquet> -o <outDir>
+      |               [--id C] [--text C] [--stratum C] [--min-quality Q]
+      |               [--langs a,b] [--strip-spans] [--budget N]
+      |               [--format parquet|json]
+      |                                   build + shard a training corpus
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -82,6 +89,15 @@ object Cli {
       }
     }
     (archive, rest.toList) match {
+      case (_, "corpus-build" :: cmdArgs) =>
+        // archive-independent: reads/writes parquet paths directly
+        try corpusBuild(spark, cmdArgs, out)
+        catch {
+          case e: IllegalArgumentException =>
+            out.println(s"error: ${e.getMessage}"); 2
+          case e: Exception =>
+            out.println(s"error: ${e.getMessage}"); 1
+        }
       case (None, _) | (_, Nil) =>
         out.println(Usage); 2
       case (Some(root), cmd :: cmdArgs) =>
@@ -100,6 +116,54 @@ object Cli {
             out.println(s"error: ${e.getMessage}"); 1
         }
     }
+  }
+
+  /** The training-corpus pipeline as a runnable artifact:
+    * [[graft.llm.Corpus.buildTrainingSet]] (quality/repetition gate →
+    * language gate → optional boilerplate strip → dedup → decontaminate
+    * → split → pack) over a documents parquet, sharded to disk via
+    * [[graft.llm.Corpus.writeTrainingShards]]; per-stage row counts as
+    * one JSON line on stdout. */
+  private def corpusBuild(spark: SparkSession, args: List[String],
+                          out: PrintStream): Int = {
+    val kv = scala.collection.mutable.Map.empty[String, String]
+    val flags = scala.collection.mutable.Set.empty[String]
+    var i = 0
+    val a = args.toArray
+    while (i < a.length) {
+      a(i) match {
+        case f @ "--strip-spans" => flags += f; i += 1
+        case k if k.startsWith("-") && i + 1 < a.length =>
+          kv(k) = a(i + 1); i += 2
+        case other =>
+          throw new IllegalArgumentException(s"unexpected argument: $other")
+      }
+      ()
+    }
+    val docsPath = kv.getOrElse("--docs",
+      throw new IllegalArgumentException("corpus-build requires --docs"))
+    val benchPath = kv.getOrElse("--benchmark",
+      throw new IllegalArgumentException("corpus-build requires --benchmark"))
+    val outDir = kv.getOrElse("-o", kv.getOrElse("--out",
+      throw new IllegalArgumentException("corpus-build requires -o <outDir>")))
+    val idCol = kv.getOrElse("--id", "doc_id")
+    val textCol = kv.getOrElse("--text", "text")
+    val stratumCol = kv.getOrElse("--stratum", "source")
+    val format = kv.getOrElse("--format", "parquet")
+    val (packed, stats) = graft.llm.Corpus.buildTrainingSet(
+      spark.read.parquet(docsPath),
+      spark.read.parquet(benchPath),
+      idCol, textCol, stratumCol,
+      langs = kv.get("--langs").map(_.split(",").toSet).getOrElse(Set.empty),
+      minQuality = kv.get("--min-quality").map(_.toDouble).getOrElse(0.0),
+      budget = kv.get("--budget").map(_.toLong).getOrElse(4096L),
+      stripSpans = flags.contains("--strip-spans"))
+    graft.llm.Corpus.writeTrainingShards(packed, outDir, format)
+    val packedRows = packed.count()
+    val statsJson = stats.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${jsonEscape(k)}":$v""" }.mkString(",")
+    out.println(s"""{$statsJson,"packed":$packedRows,"out":"${jsonEscape(outDir)}"}""")
+    0
   }
 
   private def jsonEscape(s: String): String =

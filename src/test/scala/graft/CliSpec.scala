@@ -105,6 +105,34 @@ class CliSpec extends SparkSpec {
     assert(c2 == 2 && msg.contains("not found"), msg)
   }
 
+  test("corpus-build shards a training corpus end-to-end (archive-independent)") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("cli-corpus")
+    val docsPath = s"$work/docs.parquet"
+    val benchPath = s"$work/bench.parquet"
+    val outDir = s"$work/shards"
+    (0 until 60).map(i =>
+      (i.toLong, (0 until 15).map(j => s"w${i}t$j").mkString(" "), "web"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(docsPath)
+    Seq((999L, "unrelated benchmark words only", "bench"))
+      .toDF("doc_id", "text", "source").write.parquet(benchPath)
+
+    val (code, outStr) = cli("corpus-build", "--docs", docsPath,
+      "--benchmark", benchPath, "-o", outDir, "--budget", "64",
+      "--format", "json")
+    assert(code == 0, outStr)
+    assert(outStr.contains("\"input\":60") && outStr.contains("\"packed\":"))
+    // shards landed and read back whole
+    val back = spark.read.json(outDir)
+    assert(back.count() == 60)
+    assert(back.columns.contains("start") && back.columns.contains("seq_first"))
+
+    // missing required flag → usage error, exit 2
+    val (bad, err) = cli("corpus-build", "--docs", docsPath)
+    assert(bad == 2 && err.contains("error:"))
+  }
+
   test("usage and error paths return non-zero codes") {
     assert(cli()._1 == 2)
     assert(cli("--archive", "/tmp/nowhere")._1 == 2) // no command
