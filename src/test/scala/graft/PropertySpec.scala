@@ -118,6 +118,61 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("stripBoilerplate kernel ≡ relational on random multi-whitespace corpora") {
+    // random corpora with planted shared spans, ragged whitespace, empty
+    // and unicode docs — the kernel rewrite must equal the relational
+    // explode→join→reassemble twin row-for-row
+    val wordGen = Gen.oneOf("alpha", "beta", "γάμμα", "d-1", "e", "ff")
+    val docGen: Gen[String] = for {
+      n <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(n, wordGen)
+      sep <- Gen.oneOf(" ", "  ", "\t", " \n ")
+      planted <- Gen.oneOf(true, false)
+    } yield {
+      val base = ws.mkString(sep)
+      if (planted) s"$base shared span one two$sep$base" else base
+    }
+    val corpora = samples(Gen.listOfN(8, docGen), 6)
+    corpora.foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val kernel = graft.llm.Dedup.stripBoilerplate(df, "doc_id", "text",
+          w = 4, minDocs = 2)
+        .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+      val relational = graft.llm.Dedup.stripBoilerplate(df, "doc_id", "text",
+          w = 4, minDocs = 2, relational = true)
+        .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+      assert(kernel == relational, s"diverged on corpus: $texts")
+    }
+  }
+
+  test("BPE pieces always concatenate back to the token stream, count monotone") {
+    val textGen: Gen[String] = for {
+      n <- Gen.choose(0, 10)
+      ws <- Gen.listOfN(n, Gen.oneOf("low", "lower", "lowest", "newest",
+        "wide", "😀x", "a"))
+    } yield ws.mkString(" ")
+    val corpora = samples(Gen.listOfN(10, textGen), 5)
+    corpora.foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val m = graft.llm.Bpe.train(df, "text", numMerges = 30)
+      val rows = graft.llm.Bpe.encode(df, "text", m)
+        .select($"text", org.apache.spark.sql.functions
+          .array_join($"pieces", "").as("glued"),
+          org.apache.spark.sql.functions.size($"pieces").as("np"))
+        .as[(String, String, Int)].collect()
+      rows.foreach { case (text, glued, np) =>
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+        assert(glued == toks.map(_ + "</w>").mkString(""),
+          s"round-trip broke on '$text'")
+        // fully-merged floor: ≥1 piece per word; ceiling: chars + markers
+        assert(np >= toks.length)
+        assert(np <= toks.map(w => w.codePointCount(0, w.length) + 1).sum)
+      }
+    }
+  }
+
   test("PairGenerator emits exactly n*(n-1)/2 ordered pairs for any bucket") {
     val bucketGen = Gen.listOfN(6, Gen.zip(Gen.choose(0L, 100L), Gen.choose(1L, 50L)))
       .map(_.distinctBy(_._1))
