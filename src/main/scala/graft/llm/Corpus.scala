@@ -339,6 +339,73 @@ object Corpus {
       .format(format).save(outDir)
   }
 
+  /** WebDataset-style tar shards — the multimodal-training interchange
+    * format (one tar per shard; each sample's files are adjacent
+    * entries `<key>.<ext>`, which loaders stream sequentially without
+    * an index). `entryCols` maps binary/string columns to entry
+    * extensions, e.g. `Seq("image" -> "png", "caption" -> "txt")`; null
+    * columns skip their entry.
+    *
+    * Scale shape: shard = `pmod(xxhash64(key), nShards)` (content-
+    * deterministic, partitioning-independent); ONE hash exchange on the
+    * shard id, a LOCAL sort by (shard, key), then executor-side
+    * streaming tar writes through the Hadoop FS (s3a-compatible, the
+    * ArchiveCopy discipline — bytes never pass the driver). A partition
+    * may carry several shard ids (hash-partitioning is not a
+    * bijection), so the writer switches tar files on shard boundaries
+    * — each shard is still written exactly once, by exactly one task.
+    * Entry order (sorted keys) and zeroed mtimes make shard bytes
+    * REPRODUCIBLE: re-running the job yields bit-identical tars. */
+  def writeWebDatasetShards(df: DataFrame, outDir: String, keyCol: String,
+                            entryCols: Seq[(String, String)],
+                            nShards: Int = 16): Unit = {
+    require(entryCols.nonEmpty, "need at least one entry column")
+    require(nShards > 0)
+    val spark = df.sparkSession
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val exts = entryCols.map(_._2)
+    val cols = col(keyCol).cast("string").as("__key") +:
+      pmod(xxhash64(col(keyCol).cast("string")), lit(nShards.toLong))
+        .as("__shard") +:
+      entryCols.map { case (c, _) => col(c).cast("binary").as(c) }
+    df.select(cols: _*)
+      .repartition(nShards, col("__shard"))
+      .sortWithinPartitions("__shard", "__key")
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+        var curShard = -1L
+        var tar: TarArchiveOutputStream = null
+        def close(): Unit = if (tar != null) { tar.close(); tar = null }
+        try {
+          it.foreach { r =>
+            val shard = r.getLong(1)
+            if (shard != curShard) {
+              close()
+              val p = new org.apache.hadoop.fs.Path(
+                f"$outDir/shard-$shard%05d.tar")
+              tar = new TarArchiveOutputStream(
+                p.getFileSystem(conf.value).create(p, true))
+              tar.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+              curShard = shard
+            }
+            val key = r.getString(0)
+            exts.zipWithIndex.foreach { case (ext, i) =>
+              val bytes = r.getAs[Array[Byte]](2 + i)
+              if (bytes != null) {
+                val e = new TarArchiveEntry(s"$key.$ext")
+                e.setSize(bytes.length)
+                e.setModTime(0L) // reproducible shard bytes
+                tar.putArchiveEntry(e)
+                tar.write(bytes)
+                tar.closeArchiveEntry()
+              }
+            }
+          }
+        } finally close()
+      }
+  }
+
   /** Per-document keyword extraction by tf·rarity, integer-exact.
     *
     * The classic tf·idf weight multiplies tf by a log — a transcendental

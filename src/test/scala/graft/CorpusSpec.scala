@@ -256,6 +256,54 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("writeWebDatasetShards: reproducible tars, complete samples, Extract re-ingest") {
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"caption for sample $i".getBytes("UTF-8"),
+        Array.tabulate(16)(b => (i * 31 + b).toByte)))
+      .toDF("doc_id", "caption", "image")
+    val dir1 = java.nio.file.Files.createTempDirectory("wds1").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("wds2").toString
+    Corpus.writeWebDatasetShards(docs, dir1, "doc_id",
+      Seq("image" -> "png", "caption" -> "txt"), nShards = 4)
+    Corpus.writeWebDatasetShards(docs.repartition(7), dir2, "doc_id",
+      Seq("image" -> "png", "caption" -> "txt"), nShards = 4)
+    val tars1 = new java.io.File(dir1).listFiles().filter(
+      _.getName.endsWith(".tar")).sortBy(_.getName)
+    assert(tars1.nonEmpty && tars1.length <= 4)
+    // bit-reproducible across input partitionings
+    for (t <- tars1) {
+      val twin = java.nio.file.Paths.get(dir2, t.getName)
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(t.toPath),
+        java.nio.file.Files.readAllBytes(twin)), s"${t.getName} differs")
+    }
+    // every sample's two entries present, adjacent, keys sorted per shard
+    val entries = tars1.flatMap { t =>
+      val in = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
+        new java.io.FileInputStream(t))
+      val names = Iterator.continually(in.getNextEntry)
+        .takeWhile(_ != null).map { e =>
+          val bytes = in.readAllBytes()
+          (e.getName, bytes)
+        }.toList
+      in.close()
+      // keys are the STRING sort order (the cast key column)
+      val keys = names.map(_._1.split("\\.").head)
+      assert(keys == keys.sorted, s"unsorted shard ${t.getName}")
+      names
+    }
+    assert(entries.length == 80)
+    val byName = entries.toMap
+    assert(new String(byName("7.txt"), "UTF-8") == "caption for sample 7")
+    assert(byName("7.png").sameElements(Array.tabulate(16)(b => (7 * 31 + b).toByte)))
+    // the shards re-ingest through the existing archive extractor
+    import spark.implicits._
+    val tarDf = tars1.map(t => (t.getName,
+      java.nio.file.Files.readAllBytes(t.toPath))).toSeq.toDF("key", "content")
+    val members = graft.pipelines.Extract.extractArchives(tarDf)
+    assert(members.count() == 80)
+  }
+
   test("plan shapes: scan-side ops shuffle-free, packing exactly once") {
     val docs = Tables.load(spark, sf0, "documents")
     def exchanges(df: org.apache.spark.sql.DataFrame): Int =
