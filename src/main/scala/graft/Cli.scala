@@ -126,6 +126,9 @@ object Cli {
     * one JSON line on stdout. */
   private def corpusBuild(spark: SparkSession, args: List[String],
                           out: PrintStream): Int = {
+    val valueOpts = Set("--docs", "--benchmark", "-o", "--out", "--id",
+      "--text", "--stratum", "--min-quality", "--langs", "--budget",
+      "--format")
     val kv = scala.collection.mutable.Map.empty[String, String]
     val flags = scala.collection.mutable.Set.empty[String]
     var i = 0
@@ -133,10 +136,14 @@ object Cli {
     while (i < a.length) {
       a(i) match {
         case f @ "--strip-spans" => flags += f; i += 1
-        case k if k.startsWith("-") && i + 1 < a.length =>
+        case k if valueOpts(k) && i + 1 < a.length =>
           kv(k) = a(i + 1); i += 2
+        case k if valueOpts(k) =>
+          throw new IllegalArgumentException(s"missing value for $k")
         case other =>
-          throw new IllegalArgumentException(s"unexpected argument: $other")
+          // reject typos loudly — a silently-defaulted flag would run a
+          // multi-hour build with the wrong parameters
+          throw new IllegalArgumentException(s"unknown option: $other")
       }
       ()
     }
@@ -158,8 +165,13 @@ object Cli {
       minQuality = kv.get("--min-quality").map(_.toDouble).getOrElse(0.0),
       budget = kv.get("--budget").map(_.toLong).getOrElse(4096L),
       stripSpans = flags.contains("--strip-spans"))
+    // persist before the two actions: the write and the count would each
+    // re-run the packing windows otherwise (the recompute class the
+    // operator audit eliminated from the library paths)
+    packed.persist()
     graft.llm.Corpus.writeTrainingShards(packed, outDir, format)
     val packedRows = packed.count()
+    packed.unpersist()
     val statsJson = stats.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${jsonEscape(k)}":$v""" }.mkString(",")
     out.println(s"""{$statsJson,"packed":$packedRows,"out":"${jsonEscape(outDir)}"}""")

@@ -70,8 +70,18 @@ object Diff {
     * executes BOTH input subplans twice (each exceptAll re-runs both
     * sides — runtime-plan-verified, no exchange reuse) — for diffing two
     * rebuilt snapshots that means running every upstream window/exchange
-    * twice. This shape scans each side once and carries one exchange. */
+    * twice. This shape scans each side once and carries one exchange.
+    *
+    * Boundary: the per-group repeat count materializes as an array, so
+    * a single IDENTICAL full row whose multiplicity differs by millions
+    * would buffer that many elements — irrelevant for snapshots, whose
+    * rows carry a unique `key` (multiplicity ≈ 1); and the int cast is
+    * overflow-checked under ANSI mode (Spark 4 default), never
+    * wrapping. Schemas must agree — a silent column drop would diff
+    * blind on the dropped column. */
   def snapshotDiff(prev: DataFrame, next: DataFrame): DataFrame = {
+    require(prev.columns.toSet == next.columns.toSet,
+      s"snapshot schemas differ: prev ${prev.columns.toSeq} vs next ${next.columns.toSeq}")
     val cols = next.columns.toSeq
     val tagged = next.select(cols.map(col): _*).withColumn("__d", lit(1L))
       .unionByName(prev.select(cols.map(col): _*).withColumn("__d", lit(-1L)))

@@ -116,23 +116,29 @@ object Corpus {
     * division in IEEE double (bit-stable across engines).
     *
     * Scale shape: token frequencies are one partial-agg exchange (the
-    * [[vocabulary]] shuffle, unlimited); `n_total` rides the freq table
-    * via an unpartitioned window over the VOCABULARY only (aggregate-
-    * small, the [[lengthQuantiles]] discipline) — a separate `agg(sum)`
-    * branch would re-execute the whole tokenize+count subplan, i.e. one
-    * more full corpus scan (plan-verified); the token→freq join is
-    * token-keyed with no forced broadcast (a 100 TB corpus's vocabulary
-    * can exceed broadcast limits — AQE broadcasts when it fits); the
-    * per-doc rollup is one more keyed exchange. Documents with zero
-    * normalized tokens carry no signal and are absent from the output. */
+    * [[vocabulary]] shuffle, unlimited); `n_total` is a parallel scalar
+    * aggregate OVER the freq table, broadcast back — never a single-
+    * task window (the vocabulary is unbounded at corpus scale, unlike
+    * [[lengthQuantiles]]' length domain). The explicit
+    * `isNotNull(token)` mirrors the q15 canonical-filter discipline:
+    * the token join pushes that filter into its freq subtree only,
+    * which would break canonical plan equality between the join's and
+    * the total's freq subplans and force a SECOND tokenize scan of the
+    * corpus; declaring it keeps the subtrees identical so AQE stage
+    * reuse computes freq once (final-adaptive-plan verified). The
+    * token→freq join is token-keyed with no forced broadcast (a 100 TB
+    * vocabulary can exceed broadcast limits — AQE broadcasts when it
+    * fits); the per-doc rollup is one more keyed exchange. Documents
+    * with zero normalized tokens carry no signal and are absent from
+    * the output. */
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("doc_id"),
         explode(split(TextAnalysis.normalizeText(col(textCol)), " ")).as("token"))
-      .filter(length(col("token")) > 0)
+      .filter(length(col("token")) > 0 && col("token").isNotNull)
     val freq = tok.groupBy("token").agg(count(lit(1)).as("freq"))
-      .withColumn("n_total",
-        sum("freq").over(Window.partitionBy(lit(1))))
+    val total = freq.agg(sum("freq").as("n_total"))
     tok.join(freq, "token")
+      .crossJoin(broadcast(total))
       .select(col("doc_id"), expr("n_total DIV freq").as("info"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("info").as("sum_info"))
@@ -348,14 +354,24 @@ object Corpus {
     *
     * Scale shape: shard = `pmod(xxhash64(key), nShards)` (content-
     * deterministic, partitioning-independent); ONE hash exchange on the
-    * shard id, a LOCAL sort by (shard, key), then executor-side
-    * streaming tar writes through the Hadoop FS (s3a-compatible, the
-    * ArchiveCopy discipline — bytes never pass the driver). A partition
-    * may carry several shard ids (hash-partitioning is not a
-    * bijection), so the writer switches tar files on shard boundaries
-    * — each shard is still written exactly once, by exactly one task.
-    * Entry order (sorted keys) and zeroed mtimes make shard bytes
-    * REPRODUCIBLE: re-running the job yields bit-identical tars. */
+    * shard id, a LOCAL sort by (shard, key, entry bytes — the byte
+    * tie-break keeps duplicate-key corpora deterministic too), then
+    * executor-side streaming tar writes through the Hadoop FS
+    * (s3a-compatible, the ArchiveCopy discipline — bytes never pass the
+    * driver). A partition may carry several shard ids
+    * (hash-partitioning is not a bijection), so the writer switches tar
+    * files on shard boundaries — each shard is still written exactly
+    * once, by exactly one task. Entry order and zeroed mtimes make
+    * shard bytes REPRODUCIBLE: re-running the job yields bit-identical
+    * tars. A null key raises (a sample must have a name); duplicate
+    * keys produce duplicate entry names — deterministic bytes, but fix
+    * the keys if your loader groups by name.
+    *
+    * Commit protocol: each shard writes to a `_tmp-` name and renames
+    * into place on completion, and a `_SUCCESS` marker is written after
+    * the job finishes — readers that filter `_tmp-*` / require
+    * `_SUCCESS` never observe partial shards. Like the other direct-FS
+    * sinks, run with speculative execution off. */
   def writeWebDatasetShards(df: DataFrame, outDir: String, keyCol: String,
                             entryCols: Seq[(String, String)],
                             nShards: Int = 16): Unit = {
@@ -365,27 +381,49 @@ object Corpus {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val exts = entryCols.map(_._2)
-    val cols = col(keyCol).cast("string").as("__key") +:
+    val keyStr = when(col(keyCol).isNull, raise_error(
+        lit("writeWebDatasetShards: null key — every sample needs a name")))
+      .otherwise(col(keyCol).cast("string"))
+    val cols = keyStr.as("__key") +:
       pmod(xxhash64(col(keyCol).cast("string")), lit(nShards.toLong))
         .as("__shard") +:
       entryCols.map { case (c, _) => col(c).cast("binary").as(c) }
+    val sortCols = Seq(col("__shard"), col("__key")) ++
+      entryCols.map { case (c, _) => col(c) }
     df.select(cols: _*)
       .repartition(nShards, col("__shard"))
-      .sortWithinPartitions("__shard", "__key")
+      .sortWithinPartitions(sortCols: _*)
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
         var curShard = -1L
         var tar: TarArchiveOutputStream = null
-        def close(): Unit = if (tar != null) { tar.close(); tar = null }
+        var tmp: org.apache.hadoop.fs.Path = null
+        var fin: org.apache.hadoop.fs.Path = null
+        var fs: org.apache.hadoop.fs.FileSystem = null
+        // rename into place ONLY on a completed shard group; a failure
+        // aborts the tmp file so a partial tar never gets a final name
+        def finish(): Unit = if (tar != null) {
+          tar.close(); tar = null
+          fs.delete(fin, false)
+          if (!fs.rename(tmp, fin))
+            throw new java.io.IOException(s"rename $tmp -> $fin failed")
+        }
+        def abort(): Unit = if (tar != null) {
+          try tar.close() catch { case _: Exception => () }
+          try fs.delete(tmp, false) catch { case _: Exception => () }
+          tar = null
+        }
         try {
           it.foreach { r =>
             val shard = r.getLong(1)
             if (shard != curShard) {
-              close()
-              val p = new org.apache.hadoop.fs.Path(
+              finish()
+              fin = new org.apache.hadoop.fs.Path(
                 f"$outDir/shard-$shard%05d.tar")
-              tar = new TarArchiveOutputStream(
-                p.getFileSystem(conf.value).create(p, true))
+              tmp = new org.apache.hadoop.fs.Path(
+                f"$outDir/_tmp-shard-$shard%05d.tar")
+              fs = fin.getFileSystem(conf.value)
+              tar = new TarArchiveOutputStream(fs.create(tmp, true))
               tar.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
               curShard = shard
             }
@@ -402,8 +440,12 @@ object Corpus {
               }
             }
           }
-        } finally close()
+          finish()
+        } catch { case e: Throwable => abort(); throw e }
       }
+    val success = new org.apache.hadoop.fs.Path(s"$outDir/_SUCCESS")
+    success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(success, true).close()
   }
 
   /** Per-document keyword extraction by tf·rarity, integer-exact.

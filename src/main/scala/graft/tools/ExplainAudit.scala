@@ -18,10 +18,12 @@ object ExplainAudit extends App {
     println(s"=== $n ===")
     val df = SparkEntry.queries(n)(spark, dir)
     if (exec) {
-      // action on THIS dataframe so its own AdaptiveSparkPlan finalizes
-      // (df.count() would plan a separate query and leave this one's
-      // plan un-executed, hiding AQE stage reuse)
-      df.collect()
+      // execute THIS dataframe's own physical plan so its
+      // AdaptiveSparkPlan finalizes (df.count() or a noop write would
+      // plan a separate query and leave this one's plan un-executed,
+      // hiding AQE stage reuse); rows are consumed on executors, never
+      // collected to the driver
+      df.queryExecution.toRdd.foreach(_ => ())
       println(df.queryExecution.executedPlan.toString)
     } else df.explain("formatted")
   }

@@ -131,6 +131,14 @@ class CliSpec extends SparkSpec {
     // missing required flag → usage error, exit 2
     val (bad, err) = cli("corpus-build", "--docs", docsPath)
     assert(bad == 2 && err.contains("error:"))
+    // a typo'd option must fail loudly, never run with silent defaults
+    val (typo, terr) = cli("corpus-build", "--docs", docsPath,
+      "--benchmark", benchPath, "-o", outDir, "--buget", "100")
+    assert(typo == 2 && terr.contains("unknown option: --buget"))
+    // an option with no value gets the right diagnostic
+    val (noval, nerr) = cli("corpus-build", "--docs", docsPath,
+      "--benchmark", benchPath, "-o", outDir, "--format")
+    assert(noval == 2 && nerr.contains("missing value for --format"))
   }
 
   test("usage and error paths return non-zero codes") {

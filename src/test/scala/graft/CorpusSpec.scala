@@ -270,6 +270,9 @@ class CorpusSpec extends SparkSpec {
     val tars1 = new java.io.File(dir1).listFiles().filter(
       _.getName.endsWith(".tar")).sortBy(_.getName)
     assert(tars1.nonEmpty && tars1.length <= 4)
+    // commit protocol: no tmp leftovers, job-level success marker
+    assert(!tars1.exists(_.getName.startsWith("_tmp-")))
+    assert(new java.io.File(dir1, "_SUCCESS").exists())
     // bit-reproducible across input partitionings
     for (t <- tars1) {
       val twin = java.nio.file.Paths.get(dir2, t.getName)
