@@ -157,6 +157,11 @@ object Cli {
     val textCol = kv.getOrElse("--text", "text")
     val stratumCol = kv.getOrElse("--stratum", "source")
     val format = kv.getOrElse("--format", "parquet")
+    // validate BEFORE launching the pipeline — the sink's own check
+    // would fire only after hours of gate/dedup/pack work
+    if (format != "parquet" && format != "json")
+      throw new IllegalArgumentException(
+        s"unsupported --format: $format (parquet|json)")
     val (packed, stats) = graft.llm.Corpus.buildTrainingSet(
       spark.read.parquet(docsPath),
       spark.read.parquet(benchPath),

@@ -82,6 +82,10 @@ object Diff {
   def snapshotDiff(prev: DataFrame, next: DataFrame): DataFrame = {
     require(prev.columns.toSet == next.columns.toSet,
       s"snapshot schemas differ: prev ${prev.columns.toSeq} vs next ${next.columns.toSeq}")
+    val reserved = Seq("__d", "__n", "__p", "diff_op")
+    require(!next.columns.exists(reserved.contains),
+      s"snapshot columns collide with diff internals: " +
+        next.columns.filter(reserved.contains).mkString(", "))
     val cols = next.columns.toSeq
     val tagged = next.select(cols.map(col): _*).withColumn("__d", lit(1L))
       .unionByName(prev.select(cols.map(col): _*).withColumn("__d", lit(-1L)))

@@ -363,15 +363,20 @@ object Corpus {
     * files on shard boundaries — each shard is still written exactly
     * once, by exactly one task. Entry order and zeroed mtimes make
     * shard bytes REPRODUCIBLE: re-running the job yields bit-identical
-    * tars. A null key raises (a sample must have a name); duplicate
-    * keys produce duplicate entry names — deterministic bytes, but fix
-    * the keys if your loader groups by name.
+    * tars. A null or dotted key raises (a sample must have a name, and
+    * WebDataset loaders split it at the FIRST dot — dotted keys would
+    * silently merge samples); duplicate keys produce duplicate entry
+    * names — deterministic bytes, but fix the keys if your loader
+    * groups by name.
     *
-    * Commit protocol: each shard writes to a `_tmp-` name and renames
-    * into place on completion, and a `_SUCCESS` marker is written after
-    * the job finishes — readers that filter `_tmp-*` / require
-    * `_SUCCESS` never observe partial shards. Like the other direct-FS
-    * sinks, run with speculative execution off. */
+    * Commit protocol: re-running into the same directory first
+    * truncates the previous run's tars and marker (a shrunken shard
+    * set must not leave stale samples behind); each shard then writes
+    * to a `_tmp-` name and renames into place on completion, and a
+    * `_SUCCESS` marker is written after the job finishes — readers
+    * that filter `_tmp-*` / require `_SUCCESS` never observe partial
+    * shards. Like the other direct-FS sinks, run with speculative
+    * execution off. */
   def writeWebDatasetShards(df: DataFrame, outDir: String, keyCol: String,
                             entryCols: Seq[(String, String)],
                             nShards: Int = 16): Unit = {
@@ -380,9 +385,24 @@ object Corpus {
     val spark = df.sparkSession
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
+    // truncate any previous run's output first — a removed shard id
+    // would otherwise survive as a stale tar under a fresh _SUCCESS
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val outFs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (outFs.exists(outPath)) {
+      outFs.listStatus(outPath).foreach { st =>
+        val n = st.getPath.getName
+        if (n.endsWith(".tar") || n == "_SUCCESS")
+          outFs.delete(st.getPath, false)
+      }
+    }
     val exts = entryCols.map(_._2)
     val keyStr = when(col(keyCol).isNull, raise_error(
         lit("writeWebDatasetShards: null key — every sample needs a name")))
+      .when(col(keyCol).cast("string").contains("."), raise_error(
+        lit("writeWebDatasetShards: key contains '.' — WebDataset loaders " +
+          "group entries by the name up to the FIRST dot, so dotted keys " +
+          "silently merge samples")))
       .otherwise(col(keyCol).cast("string"))
     val cols = keyStr.as("__key") +:
       pmod(xxhash64(col(keyCol).cast("string")), lit(nShards.toLong))
@@ -458,17 +478,20 @@ object Corpus {
     * with pure int64 arithmetic. Document frequency is computed over the
     * passed `df` (pre-filter to score against a sub-corpus).
     *
-    * Plan shape: tokenize → (id, token) partial-agg groupBy → docfreq as
-    * `count over (partition by token)` on the COMPACT tf table (tf rows
-    * are unique per (id, token), so the partition count IS the document
-    * frequency) → per-doc top-`perDoc` window with a unique (score desc,
-    * token) tie-break. The window formulation replaces a separate
-    * `tf.groupBy(token)` aggregate + join back — which Spark executed as
-    * a SECOND full tokenize scan of the corpus (no exchange reuse fired;
-    * runtime-plan-verified) — with one exchange of the compact tf pairs:
-    * at corpus scale, re-tokenizing everything costs far more than
-    * shuffling (id, token, count) triples. The `n` scalar reads only the
-    * pruned id column. */
+    * Plan shape: tokenize → (id, token) partial-agg groupBy → docfreq
+    * as `tf.groupBy(token)` partial-agg counts joined back on token
+    * (map-side combine, and AQE can split a skewed join — a
+    * `count over (partition by token)` window would buffer a stop-word
+    * token's entire corpus-wide group in ONE task, which no skew
+    * mitigation can split) → per-doc top-`perDoc` window with a unique
+    * (score desc, token) tie-break. The docfreq branch re-tokenizes
+    * the corpus DELIBERATELY: Catalyst prunes it to distinct
+    * (id, token) keys with no counts, so its exchange is narrower than
+    * the probe's — the two subplans are legitimately different (AQE
+    * reuse cannot and should not unify them; final-adaptive-plan
+    * verified), and a forced shared materialization would trade a
+    * cheap columnar re-scan for a full tf spill to storage. The `n`
+    * scalar reads only the pruned id column. */
   def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
                     perDoc: Int = 3): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
@@ -476,9 +499,10 @@ object Corpus {
           .as("token"))
       .filter(length(col("token")) > 0)
     val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
-      .withColumn("docfreq", count(lit(1)).over(Window.partitionBy("token")))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("docfreq"))
     val ndocs = df.agg(countDistinct(col(idCol)).as("n"))
-    val scored = tf.crossJoin(broadcast(ndocs))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(ndocs))
       .select(col("id"), col("token"),
         (col("tf") * (col("n") + 1 - col("docfreq"))).as("score"))
     val w = Window.partitionBy("id")

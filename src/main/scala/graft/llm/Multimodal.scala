@@ -252,6 +252,10 @@ object Multimodal {
             }
             i += 1
           }
+          // a header may DECLARE more frames than the data chunk holds
+          // (truncated file): report the frames confirmed to exist
+          // (bytes successfully skipped or read), not the header claim
+          if (eof) framesOut = curBytes / frameSize
         } else {
           // frame count unknown after conversion (rare): read the first
           // n·32 frames sequentially — still bounded — and report the

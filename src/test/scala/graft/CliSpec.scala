@@ -139,6 +139,10 @@ class CliSpec extends SparkSpec {
     val (noval, nerr) = cli("corpus-build", "--docs", docsPath,
       "--benchmark", benchPath, "-o", outDir, "--format")
     assert(noval == 2 && nerr.contains("missing value for --format"))
+    // a bad format value fails BEFORE the pipeline runs
+    val (badfmt, ferr) = cli("corpus-build", "--docs", docsPath,
+      "--benchmark", benchPath, "-o", outDir, "--format", "csv")
+    assert(badfmt == 2 && ferr.contains("unsupported --format"))
   }
 
   test("usage and error paths return non-zero codes") {

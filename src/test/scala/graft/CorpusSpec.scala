@@ -305,6 +305,20 @@ class CorpusSpec extends SparkSpec {
       java.nio.file.Files.readAllBytes(t.toPath))).toSeq.toDF("key", "content")
     val members = graft.pipelines.Extract.extractArchives(tarDf)
     assert(members.count() == 80)
+    // re-running into the same dir with FEWER samples truncates stale tars
+    Corpus.writeWebDatasetShards(docs.filter($"doc_id" === 0L), dir1,
+      "doc_id", Seq("caption" -> "txt"), nShards = 4)
+    val after = new java.io.File(dir1).listFiles()
+      .filter(_.getName.endsWith(".tar"))
+    assert(after.length == 1, s"stale shards survived: ${after.toSeq}")
+    // dotted keys would silently merge WebDataset samples → loud error
+    val dotted = Seq(("img.001", "x".getBytes("UTF-8")))
+      .toDF("doc_id", "caption")
+    intercept[Exception] {
+      Corpus.writeWebDatasetShards(dotted,
+        java.nio.file.Files.createTempDirectory("wds3").toString,
+        "doc_id", Seq("caption" -> "txt"), nShards = 2)
+    }
   }
 
   test("plan shapes: scan-side ops shuffle-free, packing exactly once") {

@@ -163,6 +163,18 @@ class MultimodalSpec extends SparkSpec {
     assert(a.getSeq[Float](5).forall(math.abs(_) < 1e-4)) // channels cancel
   }
 
+  test("decodeAudio reports confirmed frames, not the header claim, on truncation") {
+    val full = wavBytes(Array.fill(800)(8192.toShort))
+    // chop the data chunk: header still declares 800 frames
+    val cut = full.take(full.length - 1200)
+    val df = Seq((3L, cut)).toDF("doc_id", "bin")
+    val row = Multimodal.decodeAudio(
+      Multimodal.asMedia(df, "doc_id", "bin", "audio", "audio/wav")).head()
+    assert(row.getBoolean(4)) // decodes what exists
+    assert(row.getLong(3) < 800L && row.getLong(3) >= 100L,
+      s"frames ${row.getLong(3)} should reflect the truncated data chunk")
+  }
+
   test("decodeAudio falls back deterministically on non-audio bytes") {
     val df = Seq((9L, "definitely not audio content".getBytes("UTF-8")))
       .toDF("doc_id", "bin")
