@@ -720,6 +720,15 @@ object SparkEntry {
       // DedupSpec)
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.5)),
 
+    "dedup_semantic_pairs" -> ((s, dir) =>
+      // SemDeDup (Abbas et al. 2023): within-cluster-only near-dup
+      // pairs — candidate space Σ_c C(|c|,2), never corpus². First-N
+      // centroid mode keeps the whole pipeline relational for the
+      // oracle; Lloyd-trained mode is spec-covered.
+      Similarity.semanticNearDupPairs(t(s, dir, "embeddings"),
+          nClusters = 16, threshold = 0.3, trainIters = 0)
+        .withColumn("sim", round(col("sim"), 6))),
+
     // ------------------------------------------------- similarity search
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1440,6 +1449,22 @@ object SparkEntry {
         |          ORDER BY sim DESC, corpus_id) AS rk FROM s)
         |SELECT query_id, rk, corpus_id, round(sim, 6) AS sim
         |FROM r WHERE rk <= 10""".stripMargin,
+
+    "dedup_semantic_pairs" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM c ORDER BY vec_id LIMIT 16),
+         |asg AS (SELECT corpus_id, centroid_id FROM (
+         |  SELECT a.vec_id AS corpus_id, ce.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${cosSql("a.v", "ce.cv")} DESC, ce.centroid_id) AS rn
+         |  FROM c a CROSS JOIN cents ce) t WHERE rn = 1)
+         |SELECT a1.corpus_id AS i, a2.corpus_id AS j,
+         |  round(${cosSql("c1.v", "c2.v")}, 6) AS sim
+         |FROM asg a1 JOIN asg a2 USING (centroid_id)
+         |JOIN c c1 ON c1.vec_id = a1.corpus_id
+         |JOIN c c2 ON c2.vec_id = a2.corpus_id
+         |WHERE a1.corpus_id < a2.corpus_id
+         |  AND ${cosSql("c1.v", "c2.v")} >= 0.3""".stripMargin,
 
     "ann_ivf_topk" ->
       s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -418,6 +418,59 @@ object Similarity {
     * here evaluates its lambdas per element × plane × table through the
     * interpreter, the known 10-50× penalty.
     */
+  /** SemDeDup-style semantic near-duplicate PAIRS (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embedding space, then compare pairs
+    * WITHIN each cluster only — candidate space Σ_c C(|c|, 2), never
+    * corpus², and every cluster's pairs generate independently after
+    * one exchange on the cluster id. Returns (i, j, sim) with i < j
+    * and cosine ≥ `threshold`.
+    *
+    * `trainIters = 0` seeds centroids first-N (fully relational — the
+    * DuckDB oracle mode); > 0 runs the deterministic Lloyd refinement
+    * for better cluster balance. A near-dup pair split across cluster
+    * boundaries is not compared — exactly the paper's recall trade;
+    * raise `nClusters` for speed, lower it for recall.
+    *
+    * 100 TB note: within-cluster pairing is quadratic in CLUSTER size,
+    * so `nClusters` must scale with the corpus to keep clusters
+    * bounded (the paper runs ~100k clusters at web scale — expected
+    * cluster size, not cluster count, is the knob that fixes per-task
+    * work). */
+  def semanticNearDupPairs(corpus: DataFrame, nClusters: Int = 16,
+                           threshold: Double = 0.9, trainIters: Int = 0,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val cents =
+      if (trainIters == 0) centroids(corpus, nClusters, idCol, vecCol)
+      else trainCentroids(corpus, nClusters, trainIters, idCol, vecCol)
+    val asg = ivfAssign(corpus, cents, idCol, vecCol)
+    val a = asg.select(col("centroid_id"), col("corpus_id").as("i"),
+      col("cv").as("vi"))
+    val b = asg.select(col("centroid_id"), col("corpus_id").as("j"),
+      col("cv").as("vj"))
+    a.join(b, "centroid_id")
+      .filter(col("i") < col("j"))
+      .withColumn("sim", cosine(col("vi"), col("vj")))
+      .filter(col("sim") >= threshold)
+      .select("i", "j", "sim")
+  }
+
+  /** SemDeDup facade: drop every embedding whose semantic near-dup
+    * component (transitive closure over [[semanticNearDupPairs]])
+    * contains a smaller id — one survivor per semantic group, the
+    * [[graft.llm.Dedup.dedupCorpus]] representative discipline. */
+  def semanticDedup(corpus: DataFrame, nClusters: Int = 16,
+                    threshold: Double = 0.9, trainIters: Int = 0,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val pairs = semanticNearDupPairs(corpus, nClusters, threshold,
+      trainIters, idCol, vecCol)
+    val drop = graft.llm.Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("comp")).select("id")
+    corpus.join(drop, corpus(idCol) === drop("id"), "left_anti")
+  }
+
   def hyperplaneSignature(vec: Column, nPlanes: Int = 16, table: Int = 0): Column = {
     val planes = (0 until nPlanes).map { p =>
       val proj = aggregate(

@@ -170,6 +170,35 @@ class SimilaritySpec extends SparkSpec {
     assert(again.toSet == ivfpq.toSet)
   }
 
+  test("semanticNearDupPairs finds within-cluster duplicates; semanticDedup keeps one per group") {
+    // 3 semantic groups of 3 near-identical vectors each; ids 0..2 are
+    // one member per group, so the first-N centroid seed covers all
+    // groups and every member assigns to its own group's cluster
+    val rows = (0 until 9).map { i =>
+      val g = i % 3
+      val v = Array.fill(8)(0.0f)
+      v(g) = 1.0f
+      v(3 + i % 5) = v(3 + i % 5) + 0.01f // tiny member-specific wiggle
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticNearDupPairs(df, nClusters = 3,
+        threshold = 0.95, trainIters = 0)
+      .as[(Long, Long, Double)].collect()
+    // every pair is intra-group (ids ≡ mod 3), each group has C(3,2)=3
+    assert(pairs.length == 9, s"got ${pairs.toSeq}")
+    assert(pairs.forall { case (i, j, s) => i % 3 == j % 3 && s >= 0.95 })
+    val kept = Similarity.semanticDedup(df, nClusters = 3,
+        threshold = 0.95, trainIters = 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 2L)) // min id per semantic group
+    // trained mode agrees on this well-separated data
+    val keptTrained = Similarity.semanticDedup(df, nClusters = 3,
+        threshold = 0.95, trainIters = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptTrained == kept)
+  }
+
   test("hyperplane LSH buckets group cosine-similar vectors") {
     val df = Seq(
       (1L, Array.fill(8)(1.0f)),
