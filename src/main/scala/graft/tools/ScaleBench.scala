@@ -122,11 +122,23 @@ object ScaleBench {
   /** Mode-pinned extras beyond the SparkEntry queries: the embedding
     * near-dup AUTO query switches exact→LSH at the 20k-row cutover, so
     * its 1×/10× ratio compares two algorithms; this pins LSH at both
-    * scales for an apples-to-apples read. */
+    * scales for an apples-to-apples read. The SemDeDup probe scales
+    * nClusters WITH the corpus (cluster SIZE is the knob that bounds
+    * per-task work — the fixed-nClusters oracle query would be
+    * quadratic at 10× by construction, measuring the documented
+    * anti-pattern rather than the engine). */
   private val pinned: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-    Map("dedup_embedding_lsh_pinned" -> ((s, dir) =>
-      graft.llm.Dedup.embeddingNearDup(graft.Tables.load(s, dir, "embeddings"),
-        threshold = 0.5, useLsh = Some(true))))
+    Map(
+      "dedup_embedding_lsh_pinned" -> ((s, dir) =>
+        graft.llm.Dedup.embeddingNearDup(graft.Tables.load(s, dir, "embeddings"),
+          threshold = 0.5, useLsh = Some(true))),
+      "dedup_semantic_scaled" -> ((s, dir) => {
+        val emb = graft.Tables.load(s, dir, "embeddings")
+        // hold expected cluster size at ~300 vectors regardless of scale
+        val n = math.max(16, (emb.count() / 300L).toInt)
+        graft.llm.Similarity.semanticNearDupPairs(emb,
+          nClusters = n, threshold = 0.3, trainIters = 0)
+      }))
 
   def allProbes: Seq[String] = ProbeQueries ++ pinned.keys.toSeq.sorted
 
