@@ -101,6 +101,39 @@ class BpeSpec extends SparkSpec {
       s"merge sequence drifted: trained ${trained.size} vs golden ${golden.size}")
   }
 
+  test("tokenCount composes: BPE-budgeted packing and streaming counting") {
+    // the real-world contract: pack sequences by TRAINED-TOKENIZER
+    // length, not whitespace estimate — tokenCount feeds lenCol
+    val docs = Tables.load(spark, sf0, "documents")
+    val model = Bpe.train(docs, "text", numMerges = 40)
+    val withLen = Bpe.tokenCount(docs, "text", model)
+    val bench = Seq("unrelated benchmark words only").toDF("text")
+    val (packed, _) = graft.llm.Corpus.buildTrainingSet(
+      withLen, bench, "doc_id", "text", "source",
+      budget = 512L, lenCol = Some("n_bpe_tokens"))
+    assert(packed.count() > 0)
+    // pure projection ⇒ works unchanged on a stream (no state, no shuffle)
+    val drop = java.nio.file.Files.createTempDirectory("bpe-stream")
+    java.nio.file.Files.write(drop.resolve("d.txt"),
+      "low lowest lower".getBytes("UTF-8"))
+    val stream = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(drop.toString)
+      .select(col("content").cast("string").as("text"))
+    val outDir = java.nio.file.Files.createTempDirectory("bpe-out").toString
+    val ck = java.nio.file.Files.createTempDirectory("bpe-ck").toString
+    val m5 = Bpe.trainFromWordCounts(handCounts, 5)
+    val q = Bpe.tokenCount(stream, "text", m5)
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", outDir).option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val n = spark.read.parquet(outDir).select("n_bpe_tokens")
+      .as[Long].head()
+    assert(n == 8L) // low</w> | low,est,</w> | low,e,r,</w>
+  }
+
   test("encode is a map-only projection (merge table rides in the expression)") {
     val docs = Tables.load(spark, sf0, "documents")
     val model = Bpe.trainFromWordCounts(handCounts, 5)
