@@ -182,6 +182,68 @@ object Streaming {
         .stripWindowsInSet(col(textCol), w, hashes), lit("")))
   }
 
+  /** Stateless streaming SemDeDup: drop arriving embeddings that
+    * semantically duplicate the STATIC reference corpus — the streaming
+    * counterpart of [[graft.llm.Similarity.semanticDedup]] for
+    * continuously-arriving vectors (intra-stream duplicates are
+    * [[dedupStream]]'s hash-exact job or a batch pass).
+    *
+    * Cluster structure computes ONCE from the reference (first-N seed
+    * or Lloyd-trained centroids + member assignments). The stream side
+    * must stay window- and state-free, so each arrival's cluster is
+    * assigned by the compiled [[graft.expressions.GraftExpressions.PqAssign]]
+    * kernel over NORMALIZED vectors with the normalized centroids baked
+    * in as one m=1 "codebook" — after normalization, L2-argmin equals
+    * cosine-argmax (‖a−b‖² = 2 − 2·cosine for unit vectors) with the
+    * same lowest-id tie-break as the batch `ivfAssign`, so stream and
+    * batch agree on cluster membership. The arrival then stream-static
+    * joins ONLY its own cluster's reference members and is dropped on
+    * any cosine ≥ `threshold`: a map-only assign + one keyed
+    * stream-static join, NO STATE. */
+  def semanticDedupStream(stream: DataFrame, reference: DataFrame,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          nClusters: Int = 16, threshold: Double = 0.9,
+                          trainIters: Int = 0): DataFrame = {
+    import org.apache.spark.sql.functions.{sqrt => fsqrt}
+    val S = graft.llm.Similarity
+    val cents =
+      if (trainIters == 0) S.centroids(reference, nClusters, idCol, vecCol)
+      else S.trainCentroids(reference, nClusters, trainIters, idCol, vecCol)
+    // normalized centroids as one full-width codebook: PqAssign's
+    // subspace-0 argmin-L2 over unit vectors IS argmax-cosine, ties to
+    // the lowest centroid id — identical to ivfAssign("cosine")
+    val books: Seq[(Int, Long, Seq[Double])] = cents
+      .select(col("centroid_id"), col("centroid")).collect().map { r =>
+        val v = r.getSeq[Double](1)
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (0, r.getLong(0), if (n == 0) v else v.map(_ / n))
+      }.toIndexedSeq
+    val members = S.ivfAssign(reference, cents, idCol, vecCol)
+      .select(col("centroid_id"), col("corpus_id").as("ref_id"),
+        col("cv").as("ref_v"))
+    val norm = fsqrt(aggregate(col("__v"),
+      lit(0.0), (acc, x) => acc + x * x))
+    val assigned = stream
+      .withColumn("__v", col(vecCol).cast("array<double>"))
+      .withColumn("__nv", transform(col("__v"), x => x / norm))
+      .withColumn("__cell",
+        graft.expressions.GraftExpressions.pqAssign(col("__nv"), books)(0))
+      .drop("__nv")
+    // anti semantics without a (stream-unsupported) anti join: LEFT
+    // OUTER against the cluster's members with the threshold IN the
+    // join condition — an arrival with no duplicate yields exactly one
+    // all-null right side, a duplicated arrival only non-null rows —
+    // then keep the null rows. Stateless: stream-static outer joins
+    // need no watermark.
+    assigned.join(members,
+        assigned("__cell") === members("centroid_id") &&
+          S.cosine(col("__v"), col("ref_v")) >= threshold,
+        "left_outer")
+      .filter(col("ref_id").isNull)
+      .drop("centroid_id", "ref_id", "ref_v", "__v", "__cell")
+  }
+
   /** Stateless stream-to-static as-of enrichment: each arriving row picks
     * up the carried columns of the LATEST static row with
     * `staticTsCol <= streamTsCol` in its `on` group (dimension-snapshot

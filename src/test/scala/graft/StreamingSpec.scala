@@ -163,6 +163,53 @@ class StreamingSpec extends SparkSpec {
     assert(batch(10L) == out("hit.txt") && batch(11L) == out("clean.txt"))
   }
 
+  test("semanticDedupStream drops arrivals duplicating the reference corpus, stateless") {
+    // reference: 3 semantic groups of 3 members (the SimilaritySpec
+    // geometry — ids 0..2 seed one cluster per group)
+    val reference = (0 until 9).map { i =>
+      val g = i % 3
+      val v = Array.fill(8)(0.0f)
+      v(g) = 1.0f
+      v(3 + i % 5) = v(3 + i % 5) + 0.01f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    // arrivals: one near-duplicate of group 1, one novel direction
+    val dupV = { val v = Array.fill(8)(0.0f); v(1) = 1.0f; v(7) = 0.02f; v }
+    val novelV = { val v = Array.fill(8)(0.0f); v(6) = 1.0f; v }
+    val drop = java.nio.file.Files.createTempDirectory("sem-drop")
+    Seq((100L, dupV), (101L, novelV)).toDF("vec_id", "embedding")
+      .write.parquet(s"$drop/batch0")
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .parquet(s"$drop/*")
+    val outDir = java.nio.file.Files.createTempDirectory("sem-out").toString
+    val ck = java.nio.file.Files.createTempDirectory("sem-ck").toString
+    val q = Streaming.semanticDedupStream(stream, reference,
+        nClusters = 3, threshold = 0.9, trainIters = 0)
+      .select("vec_id")
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", outDir).option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val kept = spark.read.parquet(outDir).as[Long].collect().toSet
+    assert(kept == Set(101L), s"got $kept") // dup dropped, novel kept
+    // batch parity: the same arrivals against the same reference via
+    // the batch cluster assignment + member join
+    val cents = graft.llm.Similarity.centroids(reference, 3)
+    val arrivals = Seq((100L, dupV), (101L, novelV))
+      .toDF("vec_id", "embedding")
+    val batchKept = graft.llm.Similarity.ivfAssign(arrivals, cents)
+      .join(graft.llm.Similarity.ivfAssign(reference, cents)
+        .select(col("centroid_id"), col("cv").as("ref_v")),
+        Seq("centroid_id"), "left_outer")
+      .withColumn("sim", graft.llm.Similarity.cosine(col("cv"), col("ref_v")))
+      .groupBy("corpus_id")
+      .agg(max(when(col("sim") >= 0.9, 1).otherwise(0)).as("dup"))
+      .filter(col("dup") === 0).select("corpus_id").as[Long].collect().toSet
+    assert(batchKept == kept)
+  }
+
   test("decontaminateStream keeps null-text rows (batch-parity)") {
     val leak = (1 to 13).map(i => s"n$i").mkString(" ")
     val bench = Seq(s"head $leak tail").toDF("text")
