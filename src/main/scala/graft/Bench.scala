@@ -9,12 +9,40 @@ import org.apache.spark.sql.SparkSession
   * the measured numbers reflect steady-state execution rather than JIT /
   * classloading of Spark internals — the standard JVM benchmarking
   * discipline. Each query is then timed `SPARK_GRAFT_BENCH_PASSES` times
-  * (default 3) and the per-query MEDIAN reported: single-pass timing on a
+  * (default 5) and the per-query MEDIAN reported: single-pass timing on a
   * shared container produced two rounds of ghost regressions (±30%+
   * contention spikes) that medians suppress. Queries run in sorted name
   * order, one action per pass.
-  */
+  *
+  * CONTENTION GUARD: a fixed CPU-bound calibration probe (hash-reduce over
+  * `spark.range`, no IO, no data dependence) runs before and after the
+  * timed passes. Its healthy median on the reference container is pinned
+  * in [[CalibrationHealthySec]]; when either probe exceeds
+  * [[CalibrationContendedFactor]]× that, the emitted JSON carries
+  * `"contended":true` plus the measured probe times — a recorded run
+  * whose numbers regress while `contended` is set is measuring the
+  * neighbourhood, not the engine (the r7 lesson: 3-8× phantom
+  * regressions on unchanged code, absent on re-run). */
 object Bench {
+  /** Median calibration-probe seconds on a healthy (uncontended)
+    * local[32] container — measured on the round-8 reference machine. */
+  val CalibrationHealthySec = 0.30
+  /** Probe slowdown factor beyond which the run is flagged contended. */
+  val CalibrationContendedFactor = 2.5
+
+  /** Fixed CPU-bound probe: 2²⁸ xxhash64 evaluations reduced to one
+    * value (bit_xor — full-range hashes overflow an ANSI-mode sum).
+    * Whole-stage-codegen'd, zero IO, zero shuffle beyond the final
+    * single-row aggregate — its wall time tracks available CPU only. */
+  def calibrate(spark: SparkSession, reps: Int = 3): Double = {
+    val ts = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1L << 28).selectExpr("bit_xor(xxhash64(id))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    ts(ts.length / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -36,7 +64,8 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val calBefore = calibrate(spark)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
     val results = names.map { name =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
@@ -46,10 +75,18 @@ object Bench {
       }.sorted
       name -> times(times.length / 2)
     }
+    val calAfter = calibrate(spark)
+    val contended = math.max(calBefore, calAfter) >
+      CalibrationHealthySec * CalibrationContendedFactor
+    if (contended)
+      System.err.println(
+        f"WARNING: calibration probe $calBefore%.2fs/$calAfter%.2fs vs " +
+          f"healthy $CalibrationHealthySec%.2fs — container contended; " +
+          "timings below overstate the engine's cost")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sec":[$calBefore,$calAfter],"contended":$contended}""")
     spark.stop()
   }
 }

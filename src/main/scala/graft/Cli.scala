@@ -54,9 +54,10 @@ object Cli {
       |
       |archive-independent:
       |  corpus-build --docs <parquet> --benchmark <parquet> -o <outDir>
-      |               [--id C] [--text C] [--stratum C] [--min-quality Q]
-      |               [--langs a,b] [--strip-spans] [--budget N]
-      |               [--format parquet|json]
+      |               [--id C] [--text C] [--stratum C]
+      |               [--weights s=w,s2=w2] [--default-weight W]
+      |               [--min-quality Q] [--langs a,b] [--strip-spans]
+      |               [--budget N] [--format parquet|json]
       |                                   build + shard a training corpus
       |""".stripMargin
 
@@ -127,8 +128,8 @@ object Cli {
   private def corpusBuild(spark: SparkSession, args: List[String],
                           out: PrintStream): Int = {
     val valueOpts = Set("--docs", "--benchmark", "-o", "--out", "--id",
-      "--text", "--stratum", "--min-quality", "--langs", "--budget",
-      "--format")
+      "--text", "--stratum", "--weights", "--default-weight",
+      "--min-quality", "--langs", "--budget", "--format")
     val kv = scala.collection.mutable.Map.empty[String, String]
     val flags = scala.collection.mutable.Set.empty[String]
     var i = 0
@@ -162,10 +163,30 @@ object Cli {
     if (format != "parquet" && format != "json")
       throw new IllegalArgumentException(
         s"unsupported --format: $format (parquet|json)")
+    // mixture weights: "--weights web=1.0,books=2.5" per stratum value;
+    // parsed (and rejected) here so a malformed spec fails before the
+    // pipeline launches, like every other option
+    val weights: Map[String, Double] =
+      kv.get("--weights").map(_.split(",").toSeq.map { entry =>
+        entry.split("=", 2) match {
+          case Array(k, v) if k.nonEmpty =>
+            k -> (try v.toDouble catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"bad --weights value for '$k': $v")
+            })
+          case _ =>
+            throw new IllegalArgumentException(
+              s"bad --weights entry: '$entry' (want stratum=weight)")
+        }
+      }.toMap).getOrElse(Map.empty)
     val (packed, stats) = graft.llm.Corpus.buildTrainingSet(
       spark.read.parquet(docsPath),
       spark.read.parquet(benchPath),
       idCol, textCol, stratumCol,
+      weights = weights,
+      defaultWeight =
+        kv.get("--default-weight").map(_.toDouble).getOrElse(1.0),
       langs = kv.get("--langs").map(_.split(",").toSet).getOrElse(Set.empty),
       minQuality = kv.get("--min-quality").map(_.toDouble).getOrElse(0.0),
       budget = kv.get("--budget").map(_.toLong).getOrElse(4096L),

@@ -115,7 +115,19 @@ object Bpe {
         r += 1
       }
     }
-    Model(merges.result())
+    val out = merges.result()
+    // The encode kernel's rank table is putIfAbsent, so a DUPLICATE merge
+    // pair would replay at its earliest rank while training applied it
+    // again at the later round — encode could then diverge from the
+    // trained decomposition. A pair can only re-form when a later merge
+    // of multi-char symbols reconstructs it (e.g. 'a'+'bc' reachable
+    // after 'ab'+'c' was merged away) — a pathological vocabulary. Fail
+    // loudly instead of silently assuming train/encode equivalence.
+    require(out.distinct.length == out.length,
+      s"BPE training emitted a duplicate merge pair: " +
+        out.groupBy(identity).collectFirst {
+          case (p, occ) if occ.length > 1 => p }.get)
+    Model(out)
   }
 
   private def hasPair(syms: Array[String], p: (String, String)): Boolean = {

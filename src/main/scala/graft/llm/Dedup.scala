@@ -127,22 +127,44 @@ object Dedup {
     * text. Flagging by 64-bit hash instead of text mislabels ~nothing
     * (p ≈ spans²/2⁶⁴).
     *
-    * `relational = true` runs the identical semantics as explode → span
-    * count → covered-position join → ordered reassembly (flagging by
-    * span TEXT): the oracle formulation, parity-asserted in DedupSpec,
-    * and the fallback if a degenerate corpus ever outgrows the
-    * driver-resident flagged set. */
+    * `relational = Some(true)` runs the identical semantics as explode →
+    * span count → covered-position join → ordered reassembly (flagging
+    * by span TEXT): the oracle formulation, parity-asserted in DedupSpec
+    * and PropertySpec, and the path that never materializes the flagged
+    * set anywhere. `Some(false)` pins the driver-hash kernel mode.
+    *
+    * The default `None` AUTO-SELECTS: the flagged-hash aggregation runs
+    * with a `relationalCutover + 1` cap — when the flagged set fits the
+    * cap, the capped collect IS the kernel's hash set (one aggregation
+    * job decides the mode and feeds the rewrite); when a degenerate
+    * high-duplication corpus overflows it, the mode cuts over to the
+    * relational rewrite, which keeps the span set distributed. Same
+    * contract either way (the modes are parity-asserted), so the
+    * cutover changes memory placement, never the answer. */
   def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
                        w: Int = 8, minDocs: Int = 3,
-                       relational: Boolean = false): DataFrame = {
+                       relational: Option[Boolean] = None,
+                       relationalCutover: Long = StripRelationalCutover): DataFrame = {
     require(w > 0 && minDocs > 0)
+    require(relationalCutover > 0 && relationalCutover < Int.MaxValue.toLong)
     val X = graft.expressions.GraftExpressions
-    if (!relational) {
-      val hashes = boilerplateHashes(df, idCol, textCol, w, minDocs)
+    val pinnedHashes: Option[Array[Long]] = relational match {
+      case Some(true)  => None
+      case Some(false) =>
+        Some(boilerplateHashes(df, idCol, textCol, w, minDocs))
+      case None =>
+        val capped = flaggedSpanHashes(df, idCol, textCol, w, minDocs)
+          .limit(relationalCutover.toInt + 1)
+          .collect().map(_.getLong(0))
+        if (capped.length > relationalCutover) None // overflow → relational
+        else Some(capped.sorted)
+    }
+    if (pinnedHashes.isDefined) {
       // coalesce: null text strips to '' (matching the relational mode's
       // reassembly, where a null doc contributes no token rows)
       df.withColumn("clean_text",
-        coalesce(X.stripWindowsInSet(col(textCol), w, hashes), lit("")))
+        coalesce(X.stripWindowsInSet(col(textCol), w, pinnedHashes.get),
+          lit("")))
     } else {
       val wins = df.select(col(idCol).as("doc_id"),
         posexplode(X.wordNGrams(col(textCol), w)).as(Seq("start", "span")))
@@ -178,7 +200,24 @@ object Dedup {
     * corpus-wide exchange carries (hash, doc_id) 16-byte rows; the
     * result is aggregate-small by construction. */
   def boilerplateHashes(df: DataFrame, idCol: String, textCol: String,
-                        w: Int = 8, minDocs: Int = 3): Array[Long] = {
+                        w: Int = 8, minDocs: Int = 3): Array[Long] =
+    flaggedSpanHashes(df, idCol, textCol, w, minDocs)
+      .collect().map(_.getLong(0)).sorted
+
+  /** Flagged-span count above which [[stripBoilerplate]]'s auto mode
+    * abandons the driver-resident hash set for the fully relational
+    * rewrite. 1M hashes = 8 MB on the driver plus the same broadcast to
+    * every executor — comfortably fine; far beyond it the collect itself
+    * becomes the scale hazard the relational mode exists to avoid. */
+  val StripRelationalCutover: Long = 1000000L
+
+  /** The single-column (`h`) frame of xxhash64 span hashes appearing in
+    * ≥ `minDocs` distinct documents — the shared aggregation behind
+    * [[boilerplateHashes]] and [[stripBoilerplate]]'s auto probe. The
+    * corpus-wide exchange carries (hash, doc_id) 16-byte rows. */
+  private def flaggedSpanHashes(df: DataFrame, idCol: String,
+                                textCol: String, w: Int,
+                                minDocs: Int): DataFrame = {
     require(w > 0 && minDocs > 0)
     df.select(col(idCol).as("doc_id"),
         explode(graft.expressions.GraftExpressions
@@ -186,7 +225,7 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("span")).as("h"))
       .groupBy("h").agg(countDistinct("doc_id").as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-      .select("h").collect().map(_.getLong(0)).sorted
+      .select("h")
   }
 
   // ------------------------------------------------------- decontamination

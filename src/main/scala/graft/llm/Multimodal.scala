@@ -318,11 +318,100 @@ object Multimodal {
       .withColumn("out_height", ceil(col("height") * scale).cast("int"))
   }
 
+  val sampledFrameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("frame_count", IntegerType),
+    StructField("frame_index", IntegerType),
+    StructField("decode_ok", BooleanType),
+    StructField("frame_luminance", FloatType)))
+
+  /** REAL frame sampling for multi-frame `javax.imageio` containers —
+    * animated GIF foremost (the one animation format the JDK decodes;
+    * still images count as 1-frame containers): real frame count from the
+    * reader's image index, `n` evenly-spaced frames decoded, and each
+    * sampled frame's mean luminance (same bounded 32×32 grid as
+    * [[decodeImages]]) emitted as a per-frame feature. Bytes no JDK
+    * reader accepts — true video containers (mp4/webm/…), for which the
+    * JDK ships no codec — fall through to [[sampleFramesStub]]'s
+    * byte-size frame-count arithmetic with `decode_ok = false` and a
+    * hash-derived luminance, so mixed corpora flow instead of failing.
+    *
+    * Same `n`-rows-per-item cardinality contract as the stub (duplicate
+    * indices when the container has fewer than `n` frames, exactly like
+    * the stub's floor arithmetic). GIF note: frames decode as stored —
+    * a delta frame's luminance is measured over its own raster, not a
+    * composited canvas (feature extraction, not playback).
+    *
+    * `mapPartitions` amortizes reader discovery per partition; work per
+    * row is bounded by `n` decoded frames × the fixed sampling grid. */
+  def sampleFrames(media: DataFrame, n: Int = 4): DataFrame = {
+    require(n > 0)
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content", "byte_size").rdd
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes =
+            Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+          val size = if (r.isNullAt(2)) bytes.length.toLong else r.getLong(2)
+          decodeContainerFrames(bytes, n) match {
+            case Some(frames) =>
+              frames.map { case (fc, fi, lum) => Row(id, fc, fi, true, lum) }
+            case None =>
+              // >>> STUB fallback — true video containers (no JDK codec):
+              // the stub's byte-size frame count + hash luminance
+              val fc = (java.lang.Math.floorMod(size, 500L) + 10L).toInt
+              val h = java.util.Arrays.hashCode(bytes)
+              (0 until n).map { i =>
+                val fi = (i.toLong * fc / n).toInt
+                val lum = java.lang.Math.floorMod(
+                  h.toLong * 2654435761L + fi * 40503L, 1000L) / 1000.0f
+                Row(id, fc, fi, false, lum)
+              }
+            // <<< STUB fallback
+          }
+        }
+      }
+    spark.createDataFrame(rdd, sampledFrameSchema)
+  }
+
+  /** Decode `n` evenly-spaced frames of an imageio-readable container:
+    * Some((frameCount, frameIndex, meanLuminance) × n) or None when no
+    * JDK reader accepts the bytes. `getNumImages(true)` walks the whole
+    * container once (bounded by the byte array already in memory);
+    * random-access reads then decode only the sampled frames. */
+  private def decodeContainerFrames(bytes: Array[Byte],
+                                    n: Int): Option[Seq[(Int, Int, Float)]] = {
+    if (bytes.isEmpty) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, true)
+          val fc = reader.getNumImages(true)
+          if (fc <= 0) return None
+          Some((0 until n).map { i =>
+            val fi = (i.toLong * fc / n).toInt
+            val lum = meanLuminanceBands(reader.read(fi), 1)(0)
+            (fc, fi, lum)
+          })
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case _: Exception => None }
+  }
+
   /** Deterministic frame sampling for video rows: emit `n` evenly-spaced
     * frame indices per media item given a (stub-derived) frame count. The
     * explode IS the real operator — a decoder only fills in pixels.
     * The stub frame count derives from the byte size (portable arithmetic,
-    * so the operator is oracle-checkable end to end). */
+    * so the operator is oracle-checkable end to end). [[sampleFrames]] is
+    * the real-decode superset (GIF frames actually decoded); this stays
+    * the fully deterministic, engine-portable oracle formulation. */
   def sampleFramesStub(media: DataFrame, n: Int = 4): DataFrame = {
     val frameCount = (pmod(col("byte_size"), lit(500L)) + 10).cast("int")
     media

@@ -418,6 +418,24 @@ object Similarity {
     * here evaluates its lambdas per element × plane × table through the
     * interpreter, the known 10-50× penalty.
     */
+  /** Expected cluster size the SemDeDup auto mode targets. Within-cluster
+    * pairing does O(size²) cosine work per cluster, so holding SIZE
+    * constant (by growing cluster COUNT with the corpus) is what keeps
+    * per-task work flat at 100 TB — ~300² ≈ 45k comparisons per task. */
+  val SemDeDupTargetClusterSize = 300L
+
+  /** Auto-derived SemDeDup cluster count: one `count()` job, then
+    * `ceil(count / SemDeDupTargetClusterSize)`, floored at 16 so tiny
+    * corpora still partition. Deterministic — same corpus, same answer. */
+  def semanticAutoClusters(corpus: DataFrame): Int = {
+    val n = corpus.count()
+    math.max(16L, (n + SemDeDupTargetClusterSize - 1) /
+      SemDeDupTargetClusterSize).toInt
+  }
+
+  private def resolveClusters(corpus: DataFrame, nClusters: Int): Int =
+    if (nClusters > 0) nClusters else semanticAutoClusters(corpus)
+
   /** SemDeDup-style semantic near-duplicate PAIRS (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication"): cluster the embedding space, then compare pairs
@@ -436,14 +454,19 @@ object Similarity {
     * so `nClusters` must scale with the corpus to keep clusters
     * bounded (the paper runs ~100k clusters at web scale — expected
     * cluster size, not cluster count, is the knob that fixes per-task
-    * work). */
-  def semanticNearDupPairs(corpus: DataFrame, nClusters: Int = 16,
+    * work). The default `nClusters = 0` therefore AUTO-SIZES from the
+    * corpus: `ceil(count / SemDeDupTargetClusterSize)` clusters, which
+    * holds expected cluster size — and so per-task pairing work — flat
+    * as the corpus grows. Pass an explicit positive `nClusters` to pin
+    * the cluster count (the sf-pinned oracle query does). */
+  def semanticNearDupPairs(corpus: DataFrame, nClusters: Int = 0,
                            threshold: Double = 0.9, trainIters: Int = 0,
                            idCol: String = "vec_id",
                            vecCol: String = "embedding"): DataFrame = {
+    val k = resolveClusters(corpus, nClusters)
     val cents =
-      if (trainIters == 0) centroids(corpus, nClusters, idCol, vecCol)
-      else trainCentroids(corpus, nClusters, trainIters, idCol, vecCol)
+      if (trainIters == 0) centroids(corpus, k, idCol, vecCol)
+      else trainCentroids(corpus, k, trainIters, idCol, vecCol)
     val asg = ivfAssign(corpus, cents, idCol, vecCol)
     val a = asg.select(col("centroid_id"), col("corpus_id").as("i"),
       col("cv").as("vi"))
@@ -468,7 +491,7 @@ object Similarity {
     * DIAMETER of a duplicate chain it can close (10 covers realistic
     * near-dup chains; raise it for slowly-drifting boilerplate chains
     * longer than that). */
-  def semanticDedup(corpus: DataFrame, nClusters: Int = 16,
+  def semanticDedup(corpus: DataFrame, nClusters: Int = 0,
                     threshold: Double = 0.9, trainIters: Int = 0,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding",

@@ -39,8 +39,13 @@ object TemporalJoins {
                carry: Map[String, String]): DataFrame = {
     require(on.nonEmpty, "asofJoin needs at least one equality key")
     val outNames = carry.values.toSeq.sorted
+    // null join keys never match (SQL ASOF/equi-join semantics — and
+    // parity with the streaming enrichAsOf, whose === condition drops
+    // them): without this filter the window's partitionBy would group
+    // null-keyed left and right rows TOGETHER and "match" them
+    val rightNonNull = right.filter(on.map(col(_).isNotNull).reduce(_ && _))
     // one right representative per (keys, ts): lexicographic-max struct
-    val rightAgg = right.groupBy(
+    val rightAgg = rightNonNull.groupBy(
         (on.map(col) :+ col(rightTsCol).as("__ts")): _*)
       .agg(max(struct(carry.toSeq.sortBy(_._1).map { case (c, out) =>
         col(c).as(out) }: _*)).as("__carry"))
@@ -79,8 +84,13 @@ object TemporalJoins {
     require(hiUs >= loUs, s"empty range [$loUs, $hiUs]")
     val binUs = math.max(hiUs - loUs, 1L)
     // integral DIV, not double floor-division: epoch-µs values approach
-    // 2^51 where float quotients can misround a bin boundary. Operands
-    // are non-negative in the epoch-µs domain, so truncation == floor.
+    // 2^51 where float quotients can misround a bin boundary. With a
+    // negative loUs (look-back range) `ts + loUs` CAN go negative, where
+    // truncating DIV ≠ floor — correctness does not rest on that: BOTH
+    // sides bucket with the identical monotone truncating DIV, so every
+    // in-range (left, right) pair still lands within one bin of each
+    // other and the exact range filter below decides membership. Do not
+    // "simplify" one side to a different division.
     val l = left.withColumn("__bin",
       explode(sequence(expr(s"(`$leftUsCol` + $loUs) DIV $binUs"),
         expr(s"(`$leftUsCol` + $hiUs) DIV $binUs"))))

@@ -203,13 +203,17 @@ object Streaming {
   def semanticDedupStream(stream: DataFrame, reference: DataFrame,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding",
-                          nClusters: Int = 16, threshold: Double = 0.9,
+                          nClusters: Int = 0, threshold: Double = 0.9,
                           trainIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.functions.{sqrt => fsqrt}
     val S = graft.llm.Similarity
+    // nClusters = 0 auto-sizes from the STATIC reference (one count at
+    // query-build time, not per micro-batch) — same knob as the batch op
+    val k =
+      if (nClusters > 0) nClusters else S.semanticAutoClusters(reference)
     val cents =
-      if (trainIters == 0) S.centroids(reference, nClusters, idCol, vecCol)
-      else S.trainCentroids(reference, nClusters, trainIters, idCol, vecCol)
+      if (trainIters == 0) S.centroids(reference, k, idCol, vecCol)
+      else S.trainCentroids(reference, k, trainIters, idCol, vecCol)
     // normalized centroids as one full-width codebook: PqAssign's
     // subspace-0 argmin-L2 over unit vectors IS argmax-cosine, ties to
     // the lowest centroid id — identical to ivfAssign("cosine")

@@ -122,29 +122,24 @@ object ScaleBench {
   /** Mode-pinned extras beyond the SparkEntry queries: the embedding
     * near-dup AUTO query switches exact→LSH at the 20k-row cutover, so
     * its 1×/10× ratio compares two algorithms; this pins LSH at both
-    * scales for an apples-to-apples read. The SemDeDup probe scales
-    * nClusters WITH the corpus (cluster SIZE is the knob that bounds
-    * per-task work — the fixed-nClusters oracle query would be
-    * quadratic at 10× by construction, measuring the documented
-    * anti-pattern rather than the engine). */
+    * scales for an apples-to-apples read. The SemDeDup probe runs the
+    * library's AUTO cluster sizing (nClusters = 0 default → cluster
+    * SIZE held at ~[[graft.llm.Similarity.SemDeDupTargetClusterSize]]
+    * regardless of corpus scale) — no hand-scaling here; the timed ratio
+    * includes the auto mode's own sizing count() job, so the probe
+    * measures exactly what a default-parameter caller gets. The
+    * fixed-nClusters oracle query would be quadratic at 10× by
+    * construction, measuring the documented anti-pattern rather than
+    * the engine. */
   private val pinned: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
     Map(
       "dedup_embedding_lsh_pinned" -> ((s, dir) =>
         graft.llm.Dedup.embeddingNearDup(graft.Tables.load(s, dir, "embeddings"),
           threshold = 0.5, useLsh = Some(true))),
-      "dedup_semantic_scaled" -> ((s, dir) => {
-        val emb = graft.Tables.load(s, dir, "embeddings")
-        // hold expected cluster size at ~300 vectors regardless of
-        // scale; the sizing count is memoized per directory so the
-        // WARMUP pass pays it once and the timed runs measure only the
-        // operator, not a corpus-count job
-        val n = math.max(16, (embCount.getOrElseUpdate(dir, emb.count())
-          / 300L).toInt)
-        graft.llm.Similarity.semanticNearDupPairs(emb,
-          nClusters = n, threshold = 0.3, trainIters = 0)
-      }))
-
-  private val embCount = scala.collection.mutable.Map.empty[String, Long]
+      "dedup_semantic_scaled" -> ((s, dir) =>
+        graft.llm.Similarity.semanticNearDupPairs(
+          graft.Tables.load(s, dir, "embeddings"),
+          threshold = 0.3, trainIters = 0)))
 
   def allProbes: Seq[String] = ProbeQueries ++ pinned.keys.toSeq.sorted
 

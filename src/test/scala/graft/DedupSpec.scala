@@ -376,7 +376,7 @@ class DedupSpec extends SparkSpec {
         w = 8, minDocs = 3)
       .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
     val relational = Dedup.stripBoilerplate(docs, "doc_id", "text",
-        w = 8, minDocs = 3, relational = true)
+        w = 8, minDocs = 3, relational = Some(true))
       .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
     assert(kernel.nonEmpty && kernel == relational)
     // at least one doc actually changed on the golden corpus data
@@ -384,6 +384,32 @@ class DedupSpec extends SparkSpec {
       .count { case (id, text) =>
         kernel(id) != text.trim.replaceAll("\\s+", " ") }
     assert(changed > 0, "no doc was rewritten — fixture lost its planted spans")
+  }
+
+  test("stripBoilerplate auto mode cuts over to relational when the flagged set overflows") {
+    // high-duplication corpus: every doc shares a 10-token footer, so
+    // w=4/minDocs=3 flags 12 windows; relationalCutover=3 forces the
+    // overflow path without needing a >1M-span corpus in a unit test
+    val footer = "shared footer tokens one two three four five six seven"
+    val df = (0 until 8).map(i =>
+      (i.toLong, s"doc $i unique words here $footer")).toDF("doc_id", "text")
+    val auto = Dedup.stripBoilerplate(df, "doc_id", "text",
+      w = 4, minDocs = 3, relationalCutover = 3L)
+    // overflow ⇒ the auto plan is the relational rewrite (it shuffles);
+    // the kernel mode is plan-asserted Exchange-free in the map-only test
+    assert(auto.queryExecution.executedPlan.toString.contains("Exchange"),
+      "auto mode did not cut over to the relational rewrite")
+    // ... and the two modes agree on the answer (memory placement only)
+    val kernel = Dedup.stripBoilerplate(df, "doc_id", "text",
+        w = 4, minDocs = 3, relational = Some(false))
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    val out = auto.select("doc_id", "clean_text")
+      .as[(Long, String)].collect().toMap
+    assert(out == kernel && out.values.forall(!_.contains("footer")))
+    // under the default roomy cutover the same corpus stays map-only
+    val roomy = Dedup.stripBoilerplate(df, "doc_id", "text",
+      w = 4, minDocs = 3)
+    assert(!roomy.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
   test("stripBoilerplate rewrite pass is map-only (no reassembly shuffle)") {

@@ -199,4 +199,78 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter($"frame_index" < 0 ||
       $"frame_index" >= $"frame_count").isEmpty)
   }
+
+  /** Independent GIF frame count: walk the GIF89a/87a block structure
+    * directly (logical screen descriptor → color tables → extension /
+    * image-descriptor blocks with their LZW sub-blocks) and count 0x2C
+    * image descriptors — no `javax.imageio` anywhere, so it cannot agree
+    * with [[Multimodal.sampleFrames]] by construction. */
+  private def gifFrameCount(bytes: Array[Byte]): Int = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    require(new String(bytes, 0, 3, "US-ASCII") == "GIF")
+    var i = 6 // past header
+    val packed = u8(i + 4)
+    i += 7 // logical screen descriptor
+    if ((packed & 0x80) != 0) i += 3 * (2 << (packed & 7)) // global palette
+    var frames = 0
+    var done = false
+    while (!done && i < bytes.length) {
+      u8(i) match {
+        case 0x3B => done = true // trailer
+        case 0x21 => // extension: label byte, then length-prefixed sub-blocks
+          i += 2
+          while (u8(i) != 0) i += 1 + u8(i)
+          i += 1
+        case 0x2C => // image descriptor
+          frames += 1
+          i += 9
+          val lp = u8(i); i += 1
+          if ((lp & 0x80) != 0) i += 3 * (2 << (lp & 7)) // local palette
+          i += 1 // LZW minimum code size
+          while (u8(i) != 0) i += 1 + u8(i)
+          i += 1
+        case b => fail(s"unexpected GIF block 0x${b.toHexString} at $i")
+      }
+    }
+    frames
+  }
+
+  test("sampleFrames really decodes animated-GIF frames; stub only for true video") {
+    val gifPath = "/root/reference/tests/fixtures/src/regression_gif.gif"
+    val gif = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(gifPath))
+    val expectFrames = gifFrameCount(gif)
+    assert(expectFrames > 1, "fixture must be a genuinely animated GIF")
+    val fakeVideo = Array.tabulate[Byte](777)(i => (i * 31 + 7).toByte)
+    val mm = Multimodal.asMedia(
+      Seq((1L, gif), (2L, fakeVideo)).toDF("id", "bin"),
+      "id", "bin", "video", "application/octet-stream")
+    val out = Multimodal.sampleFrames(mm, n = 4)
+    assert(out.schema == Multimodal.sampledFrameSchema)
+    val gifRows = out.filter($"media_id" === 1L)
+      .orderBy("frame_index").collect()
+    // real path: true frame count from the container, evenly spaced
+    // indices, luminance measured from actually-decoded pixels
+    assert(gifRows.length == 4)
+    assert(gifRows.forall(_.getInt(1) == expectFrames))
+    assert(gifRows.forall(_.getBoolean(3)))
+    assert(gifRows.map(_.getInt(2)).toSeq ==
+      (0 until 4).map(i => i * expectFrames / 4))
+    assert(gifRows.forall { r =>
+      val l = r.getFloat(4); l >= 0f && l <= 1f })
+    // the frames differ, so at least two sampled luminances must differ
+    assert(gifRows.map(_.getFloat(4)).distinct.length > 1)
+    // fallback path: no JDK codec for the fake video container → stub
+    // frame-count arithmetic, decode_ok = false, same cardinality
+    val vidRows = out.filter($"media_id" === 2L).collect()
+    assert(vidRows.length == 4 && vidRows.forall(!_.getBoolean(3)))
+    assert(vidRows.forall(_.getInt(1) == 777 % 500 + 10))
+    val stub = Multimodal.sampleFramesStub(
+        mm.filter($"media_id" === 2L), n = 4)
+      .select("media_id", "frame_count", "frame_index").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._3)
+    assert(vidRows.map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .sortBy(_._3).toSeq == stub.toSeq)
+    // determinism: the whole thing twice agrees bit-for-bit
+    assert(out.exceptAll(Multimodal.sampleFrames(mm, n = 4)).isEmpty)
+  }
 }

@@ -137,10 +137,10 @@ class PropertySpec extends SparkSpec {
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("doc_id", "text")
       val kernel = graft.llm.Dedup.stripBoilerplate(df, "doc_id", "text",
-          w = 4, minDocs = 2)
+          w = 4, minDocs = 2, relational = Some(false))
         .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
       val relational = graft.llm.Dedup.stripBoilerplate(df, "doc_id", "text",
-          w = 4, minDocs = 2, relational = true)
+          w = 4, minDocs = 2, relational = Some(true))
         .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
       assert(kernel == relational, s"diverged on corpus: $texts")
     }

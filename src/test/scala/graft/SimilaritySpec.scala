@@ -199,6 +199,37 @@ class SimilaritySpec extends SparkSpec {
     assert(keptTrained == kept)
   }
 
+  test("SemDeDup auto mode sizes clusters from the corpus and matches the explicit call") {
+    // sizing formula: ceil(n / target) floored at 16, deterministic
+    val target = Similarity.SemDeDupTargetClusterSize
+    assert(target == 300L)
+    val tiny = (0 until 9).map { i =>
+      val v = Array.fill(8)(0.0f); v(i % 3) = 1.0f; (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    assert(Similarity.semanticAutoClusters(tiny) == 16) // floor
+    // 10k vectors, each direction appearing exactly twice (id % 5000):
+    // hash-valued dims make cross-direction cosines land well below the
+    // 0.9999 bar, so the expected pair set is the 5000 exact-dup twins
+    // plus at most a handful of hash coincidences — small enough to
+    // collect, big enough that auto sizing (34 clusters) really engages
+    val big = spark.range(10000).select(col("id").as("vec_id"),
+      array(Seq.tabulate(8)(d =>
+        pmod(xxhash64(col("id") % 5000, lit(d)), lit(1000L)).cast("float")): _*)
+        .as("embedding"))
+    assert(Similarity.semanticAutoClusters(big) == 34) // ceil(10000/300)
+    // default-arg call == explicit call at the auto-derived count, so the
+    // auto path changes WHO picks the knob, not the operator's answer
+    val auto = Similarity.semanticNearDupPairs(big, threshold = 0.9999)
+      .as[(Long, Long, Double)].collect().toSet
+    val explicit = Similarity.semanticNearDupPairs(big, nClusters = 34,
+      threshold = 0.9999).as[(Long, Long, Double)].collect().toSet
+    assert(auto == explicit)
+    // every twin pair (i, i+5000) is an exact duplicate: same vector ⇒
+    // same cluster ⇒ the within-cluster scan must surface all of them
+    val twins = auto.filter { case (i, j, _) => j == i + 5000L }
+    assert(twins.size == 5000, s"got ${twins.size} twin pairs")
+  }
+
   test("hyperplane LSH buckets group cosine-similar vectors") {
     val df = Seq(
       (1L, Array.fill(8)(1.0f)),

@@ -35,6 +35,25 @@ class TemporalJoinsSpec extends SparkSpec {
       (4L, Some(102L), Some(3.5))))
   }
 
+  test("asofJoin: null join keys never match (equi-join semantics)") {
+    // without the right-side null filter, Window.partitionBy would group
+    // null-keyed left and right rows together and "match" them — unlike
+    // an equi-join and unlike the streaming enrichAsOf's === condition
+    val left = Seq(
+      (1L, Option(10L), ts("2024-01-01 00:00:05")),
+      (2L, Option.empty[Long], ts("2024-01-01 00:00:05"))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, Option(10L), ts("2024-01-01 00:00:03"), 1.5),
+      (101L, Option.empty[Long], ts("2024-01-01 00:00:03"), 6.6)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = TemporalJoins.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+        Map("value" -> "rval"))
+      .select("event_id", "rval")
+      .as[(Long, Option[Double])].collect().toSet
+    assert(out == Set((1L, Some(1.5)), (2L, None)))
+  }
+
   test("asofJoin: right ties on (key, ts) reduce to the max struct") {
     val left = Seq((1L, 10L, ts("2024-01-01 00:00:10"))).toDF("event_id", "user_id", "ts")
     val right = Seq(

@@ -61,6 +61,22 @@ def main():
             print(f"  [FAIL-cols] {name}: spark={list(s.columns)} duck={list(d.columns)}")
             failures += 1
             continue
+        # Dtype lint: the driver hashes VALUES, so an int64 Spark column vs a
+        # float64 DuckDB column (e.g. HUGEINT sum -> float) hash-mismatches
+        # even when every value compares equal numerically (the r7 q12 bug).
+        # Flag any kind mismatch (int vs float vs object) with the column name
+        # so the oracle SQL gets its CAST before the driver sees it.
+        dtype_bad = [
+            (c, str(s[c].dtype), str(d[c].dtype))
+            for c in s.columns
+            if s[c].dtype.kind != d[c].dtype.kind
+        ]
+        if dtype_bad:
+            c, sk, dk = dtype_bad[0]
+            print(f"  [FAIL-type] {name}: col={c} spark_dtype={sk} duck_dtype={dk}"
+                  f" (add CAST in the oracle SQL)")
+            failures += 1
+            continue
         if len(s) != len(d):
             print(f"  [FAIL-rows] {name}: spark={len(s)} duck={len(d)}")
             failures += 1
