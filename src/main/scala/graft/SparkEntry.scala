@@ -784,6 +784,51 @@ object SparkEntry {
         round(TA.meanWordLength(col("text")), 6).as("mean_word_len"),
         TA.qualityScore(col("text")).as("quality"))),
 
+    "text_gopher_gate" -> ((s, dir) => {
+      // Gopher §A1.1 document gate: per-rule booleans + composite keep,
+      // pure scan-stage column work, boolean-only output (no float
+      // formatting can ever diverge between engines)
+      val g = TA.gopherFlags(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"), g.getField("wordcount_ok").as("wordcount_ok"),
+        g.getField("mean_len_ok").as("mean_len_ok"),
+        g.getField("symbol_ok").as("symbol_ok"),
+        g.getField("bullet_ok").as("bullet_ok"),
+        g.getField("ellipsis_ok").as("ellipsis_ok"),
+        g.getField("alpha_ok").as("alpha_ok"),
+        g.getField("stopword_ok").as("stopword_ok"),
+        g.getField("keep").as("keep"))
+    }),
+
+    "text_c4_clean" -> ((s, dir) => {
+      // C4 §2.2 line rules over line structure synthesized in-query (the
+      // corpus is single-line word streams — same precedent as the
+      // text_mask_pii synthesized contacts): terminal-punctuation +
+      // min-words line keep, ≥3-kept-lines / no-brace / no-lorem-ipsum
+      // page keep. Deterministic slices, engine-portable.
+      val words = TA.tokens(col("text"))
+      val base = concat_ws("\n",
+        concat(array_join(slice(words, 1, 7), " "), lit(" end.")),
+        array_join(slice(words, 8, 3), " "),
+        concat(array_join(slice(words, 11, 5), " "), lit(" stop!")),
+        lit("tiny line."),
+        concat(array_join(slice(words, 16, 6), " "), lit(" really?")))
+      val synth =
+        when(col("doc_id") % 17 === 0,
+          concat(base, lit("\nlorem ipsum dolor sit amet.")))
+          .otherwise(base)
+      val synth2 =
+        when(col("doc_id") % 23 === 0,
+          concat(synth, lit("\nif (x) { return y; }")))
+          .otherwise(synth)
+      TA.c4Clean(
+          t(s, dir, "documents").select(col("doc_id"),
+            synth2.as("page_text")),
+          "page_text")
+        .select(col("doc_id"), col("n_lines_kept").cast("long")
+          .as("n_lines_kept"), col("keep"), col("clean_text"))
+    }),
+
     "text_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"), TA.langId(col("text")).as("lang_pred"))),
@@ -1789,6 +1834,74 @@ object SparkEntry {
         |   (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END) * 0.15 +
         |   (CASE WHEN upper_ratio < 0.3 THEN 1.0 ELSE 0.0 END) * 0.15, 6) AS quality
         |FROM m""".stripMargin,
+
+    "text_gopher_gate" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  string_split_regex(trim(text), '\s+') AS words,
+        |  string_split(text, chr(10)) AS lines FROM documents),
+        |m AS (SELECT doc_id, text, words, lines,
+        |  CASE WHEN trim(text) = '' THEN 0 ELSE len(words) END AS nw,
+        |  CAST(len(lines) AS DOUBLE) AS nl,
+        |  CASE WHEN trim(text) = '' THEN 0.0
+        |       ELSE CAST(list_sum([length(x) for x in words]) AS DOUBLE) / len(words) END AS mwl,
+        |  length(text) - length(replace(text, '#', '')) AS hashes,
+        |  (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3 AS dots,
+        |  length(text) - length(replace(text, '…', '')) AS uniell,
+        |  len(list_filter(lines, x -> regexp_matches(ltrim(x), '^[•*-]'))) AS bullets,
+        |  len(list_filter(lines, x -> regexp_matches(rtrim(x), '(\.\.\.|…)$'))) AS ells,
+        |  len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS alphaw,
+        |  (CASE WHEN len(list_filter(words, x -> lower(x) = 'the')) > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN len(list_filter(words, x -> lower(x) = 'be')) > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN len(list_filter(words, x -> lower(x) = 'to')) > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN len(list_filter(words, x -> lower(x) = 'of')) > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN len(list_filter(words, x -> lower(x) = 'and')) > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN len(list_filter(words, x -> lower(x) = 'that')) > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN len(list_filter(words, x -> lower(x) = 'have')) > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN len(list_filter(words, x -> lower(x) = 'with')) > 0 THEN 1 ELSE 0 END) AS stophits
+        | FROM b),
+        |f AS (SELECT doc_id,
+        |  (nw >= 50 AND nw <= 100000) AS wordcount_ok,
+        |  (nw > 0 AND mwl >= 3.0 AND mwl <= 10.0) AS mean_len_ok,
+        |  (nw > 0 AND CAST(hashes + dots + uniell AS DOUBLE) / nw <= 0.1) AS symbol_ok,
+        |  (CAST(bullets AS DOUBLE) / nl < 0.9) AS bullet_ok,
+        |  (CAST(ells AS DOUBLE) / nl <= 0.3) AS ellipsis_ok,
+        |  (nw > 0 AND CAST(alphaw AS DOUBLE) / nw >= 0.8) AS alpha_ok,
+        |  (stophits >= 2) AS stopword_ok FROM m)
+        |SELECT doc_id, wordcount_ok, mean_len_ok, symbol_ok, bullet_ok,
+        |  ellipsis_ok, alpha_ok, stopword_ok,
+        |  (wordcount_ok AND mean_len_ok AND symbol_ok AND bullet_ok
+        |   AND ellipsis_ok AND alpha_ok AND stopword_ok) AS keep
+        |FROM f""".stripMargin,
+
+    "text_c4_clean" ->
+      """WITH b AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |s AS (SELECT doc_id, concat_ws(chr(10),
+        |  array_to_string(list_slice(words, 1, 7), ' ') || ' end.',
+        |  array_to_string(list_slice(words, 8, 10), ' '),
+        |  array_to_string(list_slice(words, 11, 15), ' ') || ' stop!',
+        |  'tiny line.',
+        |  array_to_string(list_slice(words, 16, 21), ' ') || ' really?') AS base
+        | FROM b),
+        |s2 AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 17 = 0
+        |       THEN base || chr(10) || 'lorem ipsum dolor sit amet.'
+        |       ELSE base END AS s1 FROM s),
+        |p AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 23 = 0
+        |       THEN s1 || chr(10) || 'if (x) { return y; }'
+        |       ELSE s1 END AS page_text FROM s2),
+        |k AS (SELECT doc_id, page_text,
+        |  list_filter(string_split(page_text, chr(10)), x ->
+        |    regexp_matches(rtrim(x), '[.!?"]$')
+        |    AND (CASE WHEN trim(x) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(x), '\s+')) END) >= 5) AS kept
+        | FROM p)
+        |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_lines_kept,
+        |  (len(kept) >= 3 AND NOT contains(page_text, '{')
+        |   AND NOT contains(lower(page_text), 'lorem ipsum')) AS keep,
+        |  array_to_string(kept, chr(10)) AS clean_text
+        |FROM k""".stripMargin,
 
     "text_langid" ->
       """WITH w AS (SELECT doc_id,

@@ -73,6 +73,111 @@ object TextAnalysis {
     round((lenScore * 0.4 + stopScore * 0.3 + punctOk * 0.15 + upperOk * 0.15), 6)
   }
 
+  // ----------------------------------------------- Gopher document gate
+  /** The 8 "required words" of the Gopher stop-word rule. */
+  val gopherRequiredStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher/MassiveText document-level quality rules (Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher", §A1.1) as a struct of per-rule booleans plus the
+    * composite `keep`:
+    *
+    *  - `wordcount_ok`: 50 ≤ words ≤ 100 000 (whitespace tokens)
+    *  - `mean_len_ok`:  3 ≤ mean word length ≤ 10
+    *  - `symbol_ok`:    (hash + ellipsis) / words ≤ 0.1
+    *  - `bullet_ok`:    < 90% of lines start with a bullet (•, -, *)
+    *  - `ellipsis_ok`:  ≤ 30% of lines end with an ellipsis (... or …)
+    *  - `alpha_ok`:     ≥ 80% of words contain an alphabetic character
+    *  - `stopword_ok`:  ≥ 2 distinct of the 8 required stop words occur
+    *  - `keep`:         all of the above
+    *
+    * Pure column expressions over the token and line arrays — zero
+    * shuffle, scan-stage work, and boolean-only output so cross-engine
+    * comparison never touches float formatting. Empty/blank text fails
+    * `wordcount_ok` (and every ratio rule is defined false at 0 words
+    * rather than dividing by zero). */
+  def gopherFlags(text: Column,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  maxBulletFrac: Double = 0.9,
+                  maxEllipsisFrac: Double = 0.3,
+                  minAlphaFrac: Double = 0.8,
+                  minStopHits: Int = 2): Column = {
+    val toks = tokens(text)
+    val nw = size(toks)
+    val nwD = nw.cast("double")
+    val lines = split(text, "\n")
+    val nlD = size(lines).cast("double")
+    val wordcountOk = nw >= minWords && nw <= maxWords
+    val mwl = meanWordLength(text)
+    val meanLenOk = nw > 0 && mwl >= minMeanLen && mwl <= maxMeanLen
+    // '#' count + non-overlapping '...' count + '…' count, per the
+    // paper's "symbol-to-word ratio" (hash or ellipsis)
+    val hashes = length(text) - length(translate(text, "#", ""))
+    val dots = (length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val uniEll = length(text) - length(translate(text, "…", ""))
+    val symbolOk = nw > 0 &&
+      (hashes + dots + uniEll).cast("double") / nwD <= maxSymbolRatio
+    val bulletFrac = size(filter(lines,
+      l => ltrim(l).rlike("^[•*-]"))).cast("double") / nlD
+    val bulletOk = bulletFrac < maxBulletFrac
+    val ellipsisFrac = size(filter(lines,
+      l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nlD
+    val ellipsisOk = ellipsisFrac <= maxEllipsisFrac
+    val alphaOk = nw > 0 &&
+      size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("double") / nwD >=
+        minAlphaFrac
+    val stopHits = gopherRequiredStops.map(sw =>
+      when(exists(toks, t => lower(t) === sw), 1).otherwise(0))
+      .reduce(_ + _)
+    val stopwordOk = stopHits >= minStopHits
+    struct(
+      wordcountOk.as("wordcount_ok"), meanLenOk.as("mean_len_ok"),
+      symbolOk.as("symbol_ok"), bulletOk.as("bullet_ok"),
+      ellipsisOk.as("ellipsis_ok"), alphaOk.as("alpha_ok"),
+      stopwordOk.as("stopword_ok"),
+      (wordcountOk && meanLenOk && symbolOk && bulletOk && ellipsisOk &&
+        alphaOk && stopwordOk).as("keep"))
+  }
+
+  /** Filter facade: rows passing every Gopher rule. */
+  def gopherGate(df: org.apache.spark.sql.DataFrame,
+                 textCol: String): org.apache.spark.sql.DataFrame =
+    df.filter(gopherFlags(col(textCol)).getField("keep"))
+
+  // ------------------------------------------------- C4 line-level clean
+  /** C4-style line-level cleaning (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning with a Unified Text-to-Text
+    * Transformer", §2.2): keep only lines that end in terminal
+    * punctuation (. ! ? ") AND carry at least `minLineWords` words;
+    * drop the whole page when it has fewer than `minKeptLines`
+    * surviving lines, contains a curly brace (code), or contains the
+    * "lorem ipsum" placeholder. Returns the input columns plus
+    * `n_lines_kept`, `keep`, and `clean_text` (surviving lines joined
+    * with newlines — empty when none survive).
+    *
+    * Scan-stage column work only: the line split, the per-line word
+    * count, and the joins all happen inside one projection — no
+    * explode, no shuffle, nothing leaves the row. */
+  def c4Clean(df: org.apache.spark.sql.DataFrame, textCol: String,
+              minLineWords: Int = 5,
+              minKeptLines: Int = 3): org.apache.spark.sql.DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l =>
+      rtrim(l).rlike("[.!?\"]$") &&
+        size(when(length(trim(l)) === 0, array().cast("array<string>"))
+          .otherwise(split(trim(l), "\\s+"))) >= minLineWords)
+    df.withColumn("n_lines_kept", size(kept))
+      .withColumn("keep",
+        col("n_lines_kept") >= minKeptLines &&
+          !col(textCol).contains("{") &&
+          !lower(col(textCol)).contains("lorem ipsum"))
+      .withColumn("clean_text", array_join(kept, "\n"))
+  }
+
   // ------------------------------------------------------------ lang id
   /** Marker stopwords per language for the n-gram-free heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(

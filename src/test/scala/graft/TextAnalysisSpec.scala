@@ -173,4 +173,72 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s1.subsetOf(s3))
     assert(docs.filter(TA.sampleByHash(col("text"), 0.0)).isEmpty)
   }
+
+  test("gopherFlags applies each §A1.1 rule on hand-built documents") {
+    val good = (("the quick brown fox jumps over and over with plenty " * 6)
+      + "of that have words be here now").trim // >50 words, sane lengths
+    val docs = Seq(
+      (1L, good),                                  // passes everything
+      (2L, "too short to pass the count rule"),    // wordcount fails
+      (3L, ("a " * 60).trim),                      // mean word len 1 < 3
+      (4L, good + (" ###" * 20)),                  // symbol ratio > 0.1
+      (5L, good.split(" ").map("- " + _).mkString("\n")), // all bullets
+      (6L, good.split(" ").grouped(8).map(_.mkString(" ") + " ...")
+        .mkString("\n")),                          // every line ends ...
+      (7L, ("12345 " * 60).trim),                  // no alphabetic words
+      (8L, ("zork blap fizz " * 20).trim)          // no required stopwords
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TA.gopherFlags(col("text")).as("g")).select("doc_id", "g.*")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(8), "doc 1 must pass the full gate")
+    assert(!out(2L).getBoolean(1), "wordcount_ok")       // field 1
+    assert(!out(3L).getBoolean(2), "mean_len_ok")
+    assert(!out(4L).getBoolean(3), "symbol_ok")
+    assert(!out(5L).getBoolean(4), "bullet_ok")
+    assert(!out(6L).getBoolean(5), "ellipsis_ok")
+    assert(!out(7L).getBoolean(6), "alpha_ok")
+    assert(!out(8L).getBoolean(7), "stopword_ok")
+    assert((2L to 8L).forall(i => !out(i).getBoolean(8)), "composite keep")
+    // facade filters to exactly the passing rows
+    assert(TA.gopherGate(docs, "text").select("doc_id")
+      .as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("c4Clean keeps punctuated >=minWords lines and drops code/lorem pages") {
+    val page =
+      """this line has exactly six words.
+        |no terminal punctuation on this line
+        |short one.
+        |another fully valid sentence sits right here!
+        |does this question have enough words too?""".stripMargin
+    val docs = Seq(
+      (1L, page),                                    // 3 kept lines → keep
+      (2L, page + "\nlorem ipsum dolor sit amet."),  // lorem → drop
+      (3L, page + "\nif (x) { return y; }"),         // brace → drop
+      (4L, "one good sentence is not enough here.")  // <3 kept → drop
+    ).toDF("doc_id", "text")
+    val out = TA.c4Clean(docs, "text")
+      .select("doc_id", "n_lines_kept", "keep", "clean_text")
+      .as[(Long, Int, Boolean, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 3 && out(1L)._3)
+    assert(out(1L)._4 ==
+      """this line has exactly six words.
+        |another fully valid sentence sits right here!
+        |does this question have enough words too?""".stripMargin)
+    assert(out(2L)._2 == 4 && !out(2L)._3) // lorem line kept, page dropped
+    assert(out(3L)._2 == 3 && !out(3L)._3)
+    assert(out(4L)._2 == 1 && !out(4L)._3)
+  }
+
+  test("gopher gate and c4 clean run scan-side (zero exchanges)") {
+    // both are pure projections: at 100 TB they ride the parquet scan
+    // stage — any Exchange here would be a plan regression
+    for (q <- Seq("text_gopher_gate", "text_c4_clean")) {
+      val plan = SparkEntry.queries(q)(spark, sf0)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$q plan shuffles:\n$plan")
+    }
+  }
 }
