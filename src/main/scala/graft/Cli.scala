@@ -57,7 +57,7 @@ object Cli {
       |               [--id C] [--text C] [--stratum C]
       |               [--weights s=w,s2=w2] [--default-weight W]
       |               [--min-quality Q] [--langs a,b] [--strip-spans]
-      |               [--budget N] [--format parquet|json]
+      |               [--gopher] [--budget N] [--format parquet|json]
       |                                   build + shard a training corpus
       |""".stripMargin
 
@@ -136,7 +136,7 @@ object Cli {
     val a = args.toArray
     while (i < a.length) {
       a(i) match {
-        case f @ "--strip-spans" => flags += f; i += 1
+        case f @ ("--strip-spans" | "--gopher") => flags += f; i += 1
         case k if valueOpts(k) && i + 1 < a.length =>
           kv(k) = a(i + 1); i += 2
         case k if valueOpts(k) =>
@@ -190,7 +190,8 @@ object Cli {
       langs = kv.get("--langs").map(_.split(",").toSet).getOrElse(Set.empty),
       minQuality = kv.get("--min-quality").map(_.toDouble).getOrElse(0.0),
       budget = kv.get("--budget").map(_.toLong).getOrElse(4096L),
-      stripSpans = flags.contains("--strip-spans"))
+      stripSpans = flags.contains("--strip-spans"),
+      gopher = flags.contains("--gopher"))
     // persist before the two actions: the write and the count would each
     // re-run the packing windows otherwise (the recompute class the
     // operator audit eliminated from the library paths)

@@ -713,6 +713,20 @@ object SparkEntry {
         Dedup.simhashSignatures(t(s, dir, "documents"), "doc_id", "text"),
         maxHamming = 3)),
 
+    "dedup_simhash_incremental" -> ((s, dir) => {
+      // cross-corpus SimHash near-dup: new batch probes the corpus's
+      // chunk bands bipartitely (candidate space new×corpus only).
+      // Oracle = reviewed golden-pair parquet (golden/README.md);
+      // batch-restriction parity additionally asserted in DedupSpec.
+      val docs = t(s, dir, "documents")
+      Dedup.simhashNearPairsAgainst(
+        Dedup.simhashSignatures(docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text"),
+        Dedup.simhashSignatures(docs.filter(col("doc_id") % 7 =!= 0),
+          "doc_id", "text"),
+        maxHamming = 3)
+    }),
+
     "dedup_embedding_pairs" -> ((s, dir) =>
       // embedding-cosine near-dup. Auto mode: ≤20k rows (this SF) scores
       // exactly (oracle-checkable); larger corpora auto-switch to the
@@ -1453,6 +1467,10 @@ object SparkEntry {
     "dedup_simhash" ->
       """SELECT i, j, hamming
         |FROM read_parquet('/root/repo/golden/dedup_simhash.parquet')""".stripMargin,
+
+    "dedup_simhash_incremental" ->
+      """SELECT i, j, hamming
+        |FROM read_parquet('/root/repo/golden/dedup_simhash_incremental.parquet')""".stripMargin,
 
     "ann_pq_topk" ->
       """SELECT query_id, rk, corpus_id, sim

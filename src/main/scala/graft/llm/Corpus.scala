@@ -232,8 +232,9 @@ object Corpus {
     * operators in its documented scale shape:
     *
     *  1. quality gate: [[TextAnalysis.qualityScore]] ≥ `minQuality` and
-    *     [[TextAnalysis.repetitionOk]] (Gopher discipline) — scan-side
-    *     compiled predicates, zero shuffle;
+    *     [[TextAnalysis.repetitionOk]], plus the full
+    *     [[TextAnalysis.gopherFlags]] document gate when `gopher = true`
+    *     — scan-side compiled predicates, zero shuffle;
     *  2. language gate: [[TextAnalysis.langId]] ∈ `langs` (skip if empty);
     *  3. optional boilerplate strip (`stripSpans = true`):
     *     [[Dedup.stripBoilerplate]] rewrites `textCol` with corpus-
@@ -266,11 +267,19 @@ object Corpus {
                        budget: Long = 4096L,
                        lenCol: Option[String] = None,
                        stripSpans: Boolean = false,
-                       stripW: Int = 8, stripMinDocs: Int = 3)
+                       stripW: Int = 8, stripMinDocs: Int = 3,
+                       gopher: Boolean = false)
       : (DataFrame, Map[String, Long]) = {
-    val gated = docs
+    // `gopher = true` adds the MassiveText document gate (all 7 §A1.1
+    // rules) in the same scan-side filter stage as the score/repetition
+    // gates — one projection, still zero shuffle before dedup
+    val gated0 = docs
       .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
       .filter(TextAnalysis.repetitionOk(col(textCol)))
+    val gated =
+      if (!gopher) gated0
+      else gated0.filter(
+        TextAnalysis.gopherFlags(col(textCol)).getField("keep"))
     val inLang =
       if (langs.isEmpty) gated
       else gated.filter(TextAnalysis.langId(col(textCol)).isin(langs.toSeq: _*))

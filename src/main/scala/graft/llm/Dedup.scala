@@ -677,6 +677,38 @@ object Dedup {
       .select(col("i"), col("j"), round(col("sim"), 6).as("sim"))
   }
 
+  /** SimHash near-dup of a NEW batch against an EXISTING corpus — the
+    * signature-domain counterpart of [[jaccardPairsAgainst]] /
+    * [[minhashLshAgainst]]: bipartite 16-bit chunk-band join
+    * (pigeonhole-complete for hamming ≤ 3 with 4 chunks), then the exact
+    * hamming filter. Candidate space is new×corpus band collisions only —
+    * never either side squared. Both inputs are (id, simhash) tables from
+    * [[simhashSignatures]]; the corpus side's signatures are a pure
+    * function of its text, so at scale persist them once and reuse across
+    * arriving batches. Returns (i = new id, j = corpus id, hamming).
+    * Sides are distinct corpora by contract (callers key by a stable id);
+    * an id appearing on both sides is a legitimate cross-corpus pair,
+    * matching the *Against family's discipline. */
+  def simhashNearPairsAgainst(newSigs0: DataFrame, corpusSigs0: DataFrame,
+                              maxHamming: Int = 3): DataFrame = {
+    def chunksOf(sigs0: DataFrame, idOut: String,
+                 shOut: String): DataFrame =
+      // materialization boundary, as in simhashNearPairs: the 4 chunk
+      // expressions would otherwise each recompute the signature fold
+      sigs0.repartition(col("id")).select(col("id"), col("simhash"),
+          posexplode(array((0 until 4).map(c =>
+            shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+            .as(Seq("chunk", "val")))
+        .select(col("chunk"), col("val"), col("id").as(idOut),
+          col("simhash").as(shOut))
+    chunksOf(newSigs0, "i", "sh_i")
+      .join(chunksOf(corpusSigs0, "j", "sh_j"), Seq("chunk", "val"))
+      .select(col("i"), col("j"),
+        bit_count(col("sh_i").bitwiseXOR(col("sh_j"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Candidate pairs within `maxHamming` bits, using 4×16-bit chunk banding
     * (pigeonhole: any pair within hamming ≤ 3 shares at least one exact
     * 16-bit chunk). */

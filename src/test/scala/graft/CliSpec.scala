@@ -143,6 +143,29 @@ class CliSpec extends SparkSpec {
     val (badfmt, ferr) = cli("corpus-build", "--docs", docsPath,
       "--benchmark", benchPath, "-o", outDir, "--format", "csv")
     assert(badfmt == 2 && ferr.contains("unsupported --format"))
+    // mixture weights reach the pipeline: web stratum doubled → more
+    // packed rows than the unweighted run
+    val out2 = s"$work/shards2"
+    val (wcode, wout) = cli("corpus-build", "--docs", docsPath,
+      "--benchmark", benchPath, "-o", out2, "--budget", "64",
+      "--weights", "web=2.0", "--format", "json")
+    assert(wcode == 0, wout)
+    assert(spark.read.json(out2).count() == 120)
+    // malformed weight specs fail loudly before the pipeline runs
+    val (badw, werr) = cli("corpus-build", "--docs", docsPath,
+      "--benchmark", benchPath, "-o", out2, "--weights", "web=heavy")
+    assert(badw == 2 && werr.contains("bad --weights value"))
+    val (badw2, werr2) = cli("corpus-build", "--docs", docsPath,
+      "--benchmark", benchPath, "-o", out2, "--weights", "just-a-name")
+    assert(badw2 == 2 && werr2.contains("bad --weights entry"))
+    // --gopher gates documents through the MassiveText rules: the tiny
+    // 15-word synthetic docs all fail the 50-word floor → empty corpus
+    val out3 = s"$work/shards3"
+    val (gcode, gout) = cli("corpus-build", "--docs", docsPath,
+      "--benchmark", benchPath, "-o", out3, "--budget", "64",
+      "--gopher", "--format", "json")
+    assert(gcode == 0, gout)
+    assert(gout.contains("\"input\":60") && gout.contains("\"packed\":0"))
   }
 
   test("usage and error paths return non-zero codes") {

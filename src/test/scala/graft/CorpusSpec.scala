@@ -161,6 +161,28 @@ class CorpusSpec extends SparkSpec {
     assert(packed.columns.contains("id"))
   }
 
+  test("buildTrainingSet gopher flag gates documents through the MassiveText rules") {
+    // doc 1 clears every §A1.1 rule (68 distinct words incl. required
+    // stop words, sane lengths, no symbols/bullets); doc 2 fails the
+    // 50-word floor. Both clear the default score/repetition gates, so
+    // the delta is attributable to the gopher gate alone.
+    val good = ((1 to 60).map(i => s"word$i") ++
+      Seq("the", "of", "and", "that", "have", "with", "be", "to"))
+      .mkString(" ")
+    val docs = Seq((1L, good, "web"),
+      (2L, "way too short for the gopher floor", "web"))
+      .toDF("doc_id", "text", "source")
+    val bench = Seq("nothing shared here").toDF("text")
+    val (offP, offS) = Corpus.buildTrainingSet(
+      docs, bench, "doc_id", "text", "source", budget = 512L)
+    val (onP, onS) = Corpus.buildTrainingSet(
+      docs, bench, "doc_id", "text", "source", budget = 512L,
+      gopher = true)
+    assert(offS("clean") == 2 && offP.count() == 2)
+    assert(onS("clean") == 1 && onP.count() == 1)
+    assert(onP.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("lengthHistogram: binary-digit buckets, zero maps to bucket 1") {
     val df = Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L).toDF("len")
     val h = Corpus.lengthHistogram(df, "len")

@@ -217,6 +217,31 @@ class DedupSpec extends SparkSpec {
     assert(precision >= 0.8, s"precision $precision over ${sh.size} pairs")
   }
 
+  test("simhashNearPairsAgainst equals the batch pairs restricted to the bipartition") {
+    // the against variant must surface EXACTLY the cross-corpus subset of
+    // the batch operator's pairs (same bands, same hamming bar) — as
+    // unordered pairs, since the batch emits i<j while against emits
+    // (new, corpus)
+    val isNew = (id: Long) => id % 7 == 0
+    val newSigs = Dedup.simhashSignatures(
+      docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+    val refSigs = Dedup.simhashSignatures(
+      docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text")
+    val against = Dedup.simhashNearPairsAgainst(newSigs, refSigs,
+        maxHamming = 3)
+      .select("i", "j", "hamming").as[(Long, Long, Int)].collect()
+    // i always from the new side, j from the corpus side
+    assert(against.forall { case (i, j, _) => isNew(i) && !isNew(j) })
+    val batchCross = Dedup.simhashNearPairs(
+        Dedup.simhashSignatures(docs, "doc_id", "text"), maxHamming = 3)
+      .select("i", "j", "hamming").as[(Long, Long, Int)].collect()
+      .filter { case (i, j, _) => isNew(i) != isNew(j) }
+    def unordered(ps: Seq[(Long, Long, Int)]) =
+      ps.map { case (i, j, h) => (math.min(i, j), math.max(i, j), h) }.toSet
+    assert(unordered(against.toSeq) == unordered(batchCross.toSeq))
+    assert(against.nonEmpty, "fixture lost its planted cross-corpus dups")
+  }
+
   test("embedding near-dup: exact and LSH-prefiltered agree on high-sim pairs") {
     val emb = Tables.load(spark, sf0, "embeddings")
     val exact = Dedup.embeddingNearDup(emb, threshold = 0.4)

@@ -163,6 +163,42 @@ class StreamingSpec extends SparkSpec {
     assert(batch(10L) == out("hit.txt") && batch(11L) == out("clean.txt"))
   }
 
+  test("gopher and c4 gates apply to streams unchanged (stateless projections)") {
+    // the quality gates are pure column work — no state, no watermark —
+    // so the BATCH operators apply to a stream verbatim; this pins that
+    // contract (and that nothing in them smuggles in a batch-only op)
+    val good = ((1 to 60).map(i => s"word$i") ++
+      Seq("the", "of", "and", "that", "have", "with")).mkString(" ")
+    val drop = java.nio.file.Files.createTempDirectory("graft-gate-drop")
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-gate-ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-gate-out").toString
+    java.nio.file.Files.write(drop.resolve("pass.txt"),
+      (good + " one full closing sentence with six words.").getBytes("UTF-8"))
+    java.nio.file.Files.write(drop.resolve("fail.txt"),
+      "too short to pass anything".getBytes("UTF-8"))
+    val stream = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(drop.toString)
+      .select(regexp_replace(col("path"), "^.*/", "").as("name"),
+        col("content").cast("string").as("text"))
+    val gated = graft.llm.TextAnalysis.gopherGate(stream, "text")
+    val q = graft.llm.TextAnalysis.c4Clean(gated, "text")
+      .select("name", "keep", "clean_text")
+      .writeStream.format("parquet")
+      .outputMode("append")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.read.parquet(outDir)
+      .as[(String, Boolean, String)].collect()
+    // the gopher gate dropped fail.txt inside the stream; c4's columns
+    // computed for the survivor (its single line ends '.', 60+ words)
+    assert(out.map(_._1).toSeq == Seq("pass.txt"))
+    assert(out.head._3.endsWith("six words."))
+  }
+
   test("semanticDedupStream drops arrivals duplicating the reference corpus, stateless") {
     // reference: 3 semantic groups of 3 members (the SimilaritySpec
     // geometry — ids 0..2 seed one cluster per group)
