@@ -743,6 +743,18 @@ object SparkEntry {
           nClusters = 16, threshold = 0.3, trainIters = 0)
         .withColumn("sim", round(col("sim"), 6))),
 
+    "dedup_semantic_incremental" -> ((s, dir) => {
+      // cross-corpus SemDeDup: cluster structure from the REFERENCE
+      // (first-N centroid mode keeps it relational for the oracle), new
+      // vectors compare within their assigned cell only
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticNearDupPairsAgainst(
+          emb.filter(col("vec_id") % 7 === 0),
+          emb.filter(col("vec_id") % 7 =!= 0),
+          nClusters = 16, threshold = 0.3, trainIters = 0)
+        .withColumn("sim", round(col("sim"), 6))
+    }),
+
     // ------------------------------------------------- similarity search
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -841,6 +853,23 @@ object SparkEntry {
           "page_text")
         .select(col("doc_id"), col("n_lines_kept").cast("long")
           .as("n_lines_kept"), col("keep"), col("clean_text"))
+    }),
+
+    "text_line_stats" -> ((s, dir) => {
+      // Gopher line-repetition signals over line structure synthesized
+      // in-query (the corpus is single-line): line 3 repeats line 1, so
+      // duplicate-line/char fractions are non-trivial and deterministic
+      val words = TA.tokens(col("text"))
+      val l1 = array_join(slice(words, 1, 6), " ")
+      val page = concat_ws("\n", l1,
+        array_join(slice(words, 7, 5), " "), l1,
+        array_join(slice(words, 12, 4), " "))
+      val ls = TA.lineStats(col("page_text"))
+      t(s, dir, "documents").select(col("doc_id"), page.as("page_text"))
+        .select(col("doc_id"),
+          ls.getField("n_lines").cast("long").as("n_lines"),
+          ls.getField("dup_line_frac").as("dup_line_frac"),
+          ls.getField("dup_char_frac").as("dup_char_frac"))
     }),
 
     "text_langid" -> ((s, dir) =>
@@ -1529,6 +1558,27 @@ object SparkEntry {
          |WHERE a1.corpus_id < a2.corpus_id
          |  AND ${cosSql("c1.v", "c2.v")} >= 0.3""".stripMargin,
 
+    "dedup_semantic_incremental" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM c
+         |          WHERE vec_id % 7 != 0 ORDER BY vec_id LIMIT 16),
+         |asgn AS (SELECT corpus_id, centroid_id FROM (
+         |  SELECT a.vec_id AS corpus_id, ce.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${cosSql("a.v", "ce.cv")} DESC, ce.centroid_id) AS rn
+         |  FROM c a CROSS JOIN cents ce WHERE a.vec_id % 7 = 0) t WHERE rn = 1),
+         |asgr AS (SELECT corpus_id, centroid_id FROM (
+         |  SELECT a.vec_id AS corpus_id, ce.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${cosSql("a.v", "ce.cv")} DESC, ce.centroid_id) AS rn
+         |  FROM c a CROSS JOIN cents ce WHERE a.vec_id % 7 != 0) t WHERE rn = 1)
+         |SELECT a1.corpus_id AS i, a2.corpus_id AS j,
+         |  round(${cosSql("c1.v", "c2.v")}, 6) AS sim
+         |FROM asgn a1 JOIN asgr a2 USING (centroid_id)
+         |JOIN c c1 ON c1.vec_id = a1.corpus_id
+         |JOIN c c2 ON c2.vec_id = a2.corpus_id
+         |WHERE ${cosSql("c1.v", "c2.v")} >= 0.3""".stripMargin,
+
     "ann_ivf_topk" ->
       s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM c ORDER BY vec_id LIMIT 16),
@@ -1895,11 +1945,11 @@ object SparkEntry {
       """WITH b AS (SELECT doc_id,
         |  string_split_regex(trim(text), '\s+') AS words FROM documents),
         |s AS (SELECT doc_id, concat_ws(chr(10),
-        |  array_to_string(list_slice(words, 1, 7), ' ') || ' end.',
-        |  array_to_string(list_slice(words, 8, 10), ' '),
-        |  array_to_string(list_slice(words, 11, 15), ' ') || ' stop!',
+        |  coalesce(array_to_string(list_slice(words, 1, 7), ' '), '') || ' end.',
+        |  coalesce(array_to_string(list_slice(words, 8, 10), ' '), ''),
+        |  coalesce(array_to_string(list_slice(words, 11, 15), ' '), '') || ' stop!',
         |  'tiny line.',
-        |  array_to_string(list_slice(words, 16, 21), ' ') || ' really?') AS base
+        |  coalesce(array_to_string(list_slice(words, 16, 21), ' '), '') || ' really?') AS base
         | FROM b),
         |s2 AS (SELECT doc_id,
         |  CASE WHEN doc_id % 17 = 0
@@ -1920,6 +1970,29 @@ object SparkEntry {
         |   AND NOT contains(lower(page_text), 'lorem ipsum')) AS keep,
         |  array_to_string(kept, chr(10)) AS clean_text
         |FROM k""".stripMargin,
+
+    "text_line_stats" ->
+      """WITH b AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |p AS (SELECT doc_id, concat_ws(chr(10),
+        |  coalesce(array_to_string(list_slice(words, 1, 6), ' '), ''),
+        |  coalesce(array_to_string(list_slice(words, 7, 11), ' '), ''),
+        |  coalesce(array_to_string(list_slice(words, 1, 6), ' '), ''),
+        |  coalesce(array_to_string(list_slice(words, 12, 15), ' '), '')) AS page_text
+        | FROM b),
+        |m AS (SELECT doc_id,
+        |  string_split(page_text, chr(10)) AS lines FROM p),
+        |s AS (SELECT doc_id, len(lines) AS nl,
+        |  len(list_distinct(lines)) AS dl,
+        |  list_sum([length(x) for x in lines]) AS chars,
+        |  list_sum([length(x) for x in list_distinct(lines)]) AS dchars
+        | FROM m)
+        |SELECT doc_id, CAST(nl AS BIGINT) AS n_lines,
+        |  round(CAST(nl - dl AS DOUBLE) / nl, 6) AS dup_line_frac,
+        |  CASE WHEN chars = 0 THEN 0.0
+        |       ELSE round(CAST(chars - dchars AS DOUBLE) / chars, 6)
+        |  END AS dup_char_frac
+        |FROM s""".stripMargin,
 
     "text_langid" ->
       """WITH w AS (SELECT doc_id,

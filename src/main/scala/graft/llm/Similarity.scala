@@ -479,6 +479,49 @@ object Similarity {
       .select("i", "j", "sim")
   }
 
+  /** SemDeDup of a NEW batch against an EXISTING reference corpus — the
+    * batch counterpart of
+    * [[graft.streaming.Streaming.semanticDedupStream]] and the semantic
+    * member of the *Against family: cluster structure (centroids AND the
+    * auto cluster count) comes from the REFERENCE, both sides assign to
+    * those cells, and each new vector compares against reference members
+    * of ITS cell only — candidate space new×(reference∩cell), never a
+    * full cross. Returns (i = new id, j = reference id, sim ≥
+    * threshold). An id on both sides is a legitimate cross-corpus pair,
+    * matching the family's discipline. */
+  def semanticNearDupPairsAgainst(newDf: DataFrame, reference: DataFrame,
+                                  nClusters: Int = 0,
+                                  threshold: Double = 0.9,
+                                  trainIters: Int = 0,
+                                  idCol: String = "vec_id",
+                                  vecCol: String = "embedding"): DataFrame = {
+    val k = resolveClusters(reference, nClusters)
+    val cents =
+      if (trainIters == 0) centroids(reference, k, idCol, vecCol)
+      else trainCentroids(reference, k, trainIters, idCol, vecCol)
+    val a = ivfAssign(newDf, cents, idCol, vecCol)
+      .select(col("centroid_id"), col("corpus_id").as("i"),
+        col("cv").as("vi"))
+    val b = ivfAssign(reference, cents, idCol, vecCol)
+      .select(col("centroid_id"), col("corpus_id").as("j"),
+        col("cv").as("vj"))
+    a.join(b, "centroid_id")
+      .withColumn("sim", cosine(col("vi"), col("vj")))
+      .filter(col("sim") >= threshold)
+      .select("i", "j", "sim")
+  }
+
+  /** Incremental-dedup facade over [[semanticNearDupPairsAgainst]]: keep
+    * only new rows with NO semantic near-dup in the reference. */
+  def semanticDedupAgainst(newDf: DataFrame, reference: DataFrame,
+                           nClusters: Int = 0, threshold: Double = 0.9,
+                           trainIters: Int = 0, idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val dup = semanticNearDupPairsAgainst(newDf, reference, nClusters,
+      threshold, trainIters, idCol, vecCol).select("i").distinct()
+    newDf.join(dup, newDf(idCol) === dup("i"), "left_anti")
+  }
+
   /** SemDeDup facade: drop every embedding whose semantic near-dup
     * component (transitive closure over [[semanticNearDupPairs]])
     * contains a smaller id — one survivor per semantic group, the

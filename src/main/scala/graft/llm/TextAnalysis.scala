@@ -73,6 +73,33 @@ object TextAnalysis {
     round((lenScore * 0.4 + stopScore * 0.3 + punctOk * 0.15 + upperOk * 0.15), 6)
   }
 
+  // ------------------------------------------------ line-level repetition
+  /** Gopher-style LINE repetition signals (the line-granular complement
+    * of [[repetitionStats]]' n-gram fractions): a struct of
+    *
+    *  - `n_lines`: newline-split line count (≥ 1 by split semantics),
+    *  - `dup_line_frac`: fraction of lines that repeat an earlier line
+    *    (`(n − distinct) / n`),
+    *  - `dup_char_frac`: fraction of line characters belonging to
+    *    repeat occurrences (`(Σ chars − Σ distinct-line chars) / Σ`).
+    *
+    * Pure column work over the line array — scan-stage, zero shuffle,
+    * rounded to 6 places for cross-engine stability. */
+  def lineStats(text: Column): Column = {
+    val lines = split(text, "\n")
+    val distinctLines = array_distinct(lines)
+    val nl = size(lines)
+    val chars = aggregate(lines, lit(0L), (a, x) => a + length(x))
+    val dchars = aggregate(distinctLines, lit(0L), (a, x) => a + length(x))
+    struct(
+      nl.as("n_lines"),
+      round((nl - size(distinctLines)).cast("double") / nl, 6)
+        .as("dup_line_frac"),
+      when(chars === 0, lit(0.0))
+        .otherwise(round((chars - dchars).cast("double") / chars, 6))
+        .as("dup_char_frac"))
+  }
+
   // ----------------------------------------------- Gopher document gate
   /** The 8 "required words" of the Gopher stop-word rule. */
   val gopherRequiredStops: Seq[String] =

@@ -199,6 +199,38 @@ class SimilaritySpec extends SparkSpec {
     assert(keptTrained == kept)
   }
 
+  test("semanticNearDupPairsAgainst matches new vectors to reference cells only") {
+    // reference: 3 well-separated groups of 2; new batch: one near-dup
+    // of group 1, one near-dup of group 2, one novel direction
+    def vec(axis: Int, wiggle: Int): Array[Float] = {
+      val v = Array.fill(8)(0.0f); v(axis) = 1.0f
+      v(4 + wiggle % 4) = v(4 + wiggle % 4) + 0.01f; v
+    }
+    val reference = Seq(
+      (10L, vec(0, 0)), (11L, vec(0, 1)),
+      (20L, vec(1, 0)), (21L, vec(1, 1)),
+      (30L, vec(2, 0)), (31L, vec(2, 1))).toDF("vec_id", "embedding")
+    val novel = Array.fill(8)(0.0f); novel(3) = 1.0f
+    val newBatch = Seq(
+      (100L, vec(0, 2)), (200L, vec(1, 3)), (300L, novel))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticNearDupPairsAgainst(
+        newBatch, reference, nClusters = 6, threshold = 0.95)
+      .as[(Long, Long, Double)].collect()
+    // every pair maps a new id to ITS group's reference members, and the
+    // novel vector pairs with nothing
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (i, j, s) =>
+      (i == 100L && Set(10L, 11L)(j) || i == 200L && Set(20L, 21L)(j)) &&
+        s >= 0.95 })
+    assert(pairs.map(_._1).toSet == Set(100L, 200L))
+    // the dedup facade keeps exactly the novel arrival
+    val kept = Similarity.semanticDedupAgainst(
+        newBatch, reference, nClusters = 6, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(300L))
+  }
+
   test("SemDeDup auto mode sizes clusters from the corpus and matches the explicit call") {
     // sizing formula: ceil(n / target) floored at 16, deterministic
     val target = Similarity.SemDeDupTargetClusterSize

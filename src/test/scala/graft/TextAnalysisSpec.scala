@@ -232,6 +232,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L)._2 == 1 && !out(4L)._3)
   }
 
+  test("lineStats measures duplicate-line and duplicate-char fractions") {
+    val docs = Seq(
+      (1L, "alpha beta\ngamma\nalpha beta\ndelta"), // line 3 = line 1
+      (2L, "all\nlines\nunique"),
+      (3L, "same\nsame\nsame\nsame"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TA.lineStats(col("text")).as("s")).select("doc_id", "s.*")
+      .as[(Long, Int, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 4, 0.25, 0.333333))) // 10 dup chars of 30
+    assert(out(2L) == ((2L, 3, 0.0, 0.0)))
+    assert(out(3L) == ((3L, 4, 0.75, 0.75)))
+    assert(out(4L) == ((4L, 1, 0.0, 0.0))) // empty text → one empty line
+  }
+
   test("gopher gate and c4 clean run scan-side (zero exchanges)") {
     // both are pure projections: at 100 TB they ride the parquet scan
     // stage — any Exchange here would be a plan regression
