@@ -45,7 +45,9 @@ object ScaleBench {
     "a6_keep_latest", "u2_snapshot_diff",
     "pack_sequences", "vocab_top", "corpus_split", "doc_length_hist",
     "tfidf_keywords", "ev_asof_join", "ev_range_join",
-    "dedup_strip_spans", "text_surprisal", "bpe_tokens")
+    "dedup_strip_spans", "text_surprisal", "bpe_tokens",
+    "text_gopher_gate", "text_line_stats", "text_c4_clean",
+    "dedup_simhash_incremental")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length
@@ -139,7 +141,17 @@ object ScaleBench {
       "dedup_semantic_scaled" -> ((s, dir) =>
         graft.llm.Similarity.semanticNearDupPairs(
           graft.Tables.load(s, dir, "embeddings"),
-          threshold = 0.3, trainIters = 0)))
+          threshold = 0.3, trainIters = 0)),
+      // cross-corpus SemDeDup under the same auto sizing (the sf-pinned
+      // oracle query fixes nClusters = 16, which at 10× would measure
+      // the documented anti-pattern, not the operator)
+      "dedup_semantic_against_scaled" -> ((s, dir) => {
+        val emb = graft.Tables.load(s, dir, "embeddings")
+        graft.llm.Similarity.semanticNearDupPairsAgainst(
+          emb.filter(org.apache.spark.sql.functions.col("vec_id") % 7 === 0),
+          emb.filter(org.apache.spark.sql.functions.col("vec_id") % 7 =!= 0),
+          threshold = 0.3, trainIters = 0)
+      }))
 
   def allProbes: Seq[String] = ProbeQueries ++ pinned.keys.toSeq.sorted
 
