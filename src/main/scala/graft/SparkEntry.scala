@@ -958,6 +958,12 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") < 50),
         "doc_id", "text", perDoc = 3)),
 
+    "text_bigram_surprisal" -> ((s, dir) =>
+      // conditional 2-gram LM rarity (CCNet surface, integer-rational
+      // math): compiled window kernel in the scan, two count exchanges
+      graft.llm.Corpus.bigramSurprisal(t(s, dir, "documents"),
+        "doc_id", "text")),
+
     "text_chunks" -> ((s, dir) =>
       // overlap chunker (size 32, overlap 8 — small enough that the ~54-
       // token synthetic docs actually split): chunk rows are generated
@@ -1874,6 +1880,25 @@ object SparkEntry {
         |  GROUP BY tk.doc_id)
         |SELECT doc_id, n_tokens, sum_info,
         |  CAST(sum_info AS DOUBLE) / n_tokens AS mean_info FROM agg""".stripMargin,
+
+    "text_bigram_surprisal" ->
+      """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM documents),
+        |tk AS (SELECT doc_id,
+        |  CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+        |       ELSE string_split(t, ' ') END AS toks FROM norm),
+        |bg AS (SELECT doc_id, unnest(
+        |    [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))])
+        |    AS bigram FROM tk),
+        |b2 AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS prev FROM bg),
+        |bf AS (SELECT bigram, count(*) AS bfreq FROM b2 GROUP BY bigram),
+        |pf AS (SELECT prev, count(*) AS pfreq FROM b2 GROUP BY prev),
+        |agg AS (SELECT b2.doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(pfreq // bfreq) AS BIGINT) AS sum_info
+        |  FROM b2 JOIN bf USING (bigram) JOIN pf USING (prev)
+        |  GROUP BY b2.doc_id)
+        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, sum_info,
+        |  CAST(sum_info AS DOUBLE) / n_bigrams AS mean_info FROM agg""".stripMargin,
 
     // converged-BPE fixed point: one piece per whitespace word
     "bpe_tokens" ->

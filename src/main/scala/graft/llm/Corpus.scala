@@ -145,6 +145,39 @@ object Corpus {
       .withColumn("mean_info", col("sum_info").cast("double") / col("n_tokens"))
   }
 
+  /** CCNet-style CONDITIONAL bigram surprisal — the 2-gram extension of
+    * [[unigramSurprisal]]'s log-free integer-rational discipline. Per
+    * adjacent normalized-token pair, `info = c(prev,·) DIV c(prev,cur)`
+    * — the integer inverse of the conditional probability p(cur | prev),
+    * with the context count taken over bigram STARTS so the distribution
+    * conditions exactly on "prev has a next token". Per doc:
+    * (n_bigrams, sum_info, mean_info). Docs with fewer than 2 normalized
+    * tokens contribute no bigrams and drop from the output, matching the
+    * unigram operator's empty-doc discipline. Rare continuations score
+    * high (the filter signal CCNet reads from its 5-gram KenLM — same
+    * engine surface, engine-exact arithmetic instead of logs).
+    *
+    * 100 TB shape: window generation is the compiled
+    * [[graft.expressions.GraftExpressions.WordNGrams]] kernel inside the
+    * scan; two count exchanges (bigram, context) with map-side partial
+    * aggregation, then bigram-keyed joins back — the same exchange
+    * pattern as the unigram operator, one extra aggregate. */
+  def bigramSurprisal(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val bg = df.select(col(idCol).as("doc_id"),
+        explode(graft.expressions.GraftExpressions.wordNGrams(
+          TextAnalysis.normalizeText(col(textCol)), 2)).as("bigram"))
+      .withColumn("prev", substring_index(col("bigram"), " ", 1))
+    val bfreq = bg.groupBy("bigram").agg(count(lit(1)).as("bfreq"))
+    val pfreq = bg.groupBy("prev").agg(count(lit(1)).as("pfreq"))
+    bg.join(bfreq, "bigram").join(pfreq, "prev")
+      .select(col("doc_id"), expr("pfreq DIV bfreq").as("info"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("info").as("sum_info"))
+      .withColumn("mean_info",
+        col("sum_info").cast("double") / col("n_bigrams"))
+  }
+
   /** Weighted replication — the UP-sampling half of corpus mixing
     * ([[TextAnalysis.mixCorpus]] is the down-sampling half; a weight
     * > 1 cannot be expressed as a keep-predicate). A stratum with

@@ -47,7 +47,7 @@ object ScaleBench {
     "tfidf_keywords", "ev_asof_join", "ev_range_join",
     "dedup_strip_spans", "text_surprisal", "bpe_tokens",
     "text_gopher_gate", "text_line_stats", "text_c4_clean",
-    "dedup_simhash_incremental")
+    "text_bigram_surprisal", "dedup_simhash_incremental")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

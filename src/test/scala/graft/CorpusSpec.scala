@@ -278,6 +278,39 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("graft-wds source round-trips writeWebDatasetShards samples exactly") {
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"caption for sample $i".getBytes("UTF-8"),
+        Array.tabulate(16)(b => (i * 31 + b).toByte)))
+      .toDF("doc_id", "caption", "image")
+    val dir = java.nio.file.Files.createTempDirectory("wds-rt").toString
+    Corpus.writeWebDatasetShards(docs, dir, "doc_id",
+      Seq("image" -> "png", "caption" -> "txt"), nShards = 4)
+    val back = spark.read.format("graft-wds").load(dir)
+      .select(col("key"), col("entries"))
+      .as[(String, Map[String, Array[Byte]])].collect()
+    assert(back.length == 40)
+    // one row per sample, both extensions grouped, payloads bit-exact
+    val byKey = back.map { case (k, m) => k.toLong -> m }.toMap
+    (0 until 40).foreach { i =>
+      val m = byKey(i.toLong)
+      assert(m.keySet == Set("png", "txt"), s"sample $i exts ${m.keySet}")
+      assert(new String(m("txt"), "UTF-8") == s"caption for sample $i")
+      assert(java.util.Arrays.equals(m("png"),
+        Array.tabulate(16)(b => (i * 31 + b).toByte)))
+    }
+    // parallelism contract: one partition per shard tar
+    val parts = spark.read.format("graft-wds").load(dir)
+      .rdd.getNumPartitions
+    val nTars = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".tar"))
+    assert(parts == nTars && nTars >= 1)
+    // a single tar file path (not just a directory) loads too
+    val one = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar")).head
+    assert(spark.read.format("graft-wds").load(one.toString).count() > 0)
+  }
+
   test("writeWebDatasetShards: reproducible tars, complete samples, Extract re-ingest") {
     val docs = (0 until 40).map(i =>
       (i.toLong, s"caption for sample $i".getBytes("UTF-8"),
@@ -401,6 +434,22 @@ class CorpusSpec extends SparkSpec {
     assert(!out.contains(3L))
     // rare-token docs score strictly higher than common-token docs
     assert(out(2L)._3 > out(1L)._3)
+  }
+
+  test("bigramSurprisal: conditional inverse-probability scoring, hand-computed") {
+    // bigrams: "a b"×2 (docs 1,2), "a c"×1 (doc 3); context "a"×3.
+    // info = c(prev,·) DIV c(prev,cur): "a b" → 3 DIV 2 = 1, "a c" → 3
+    val df = Seq((1L, "A! b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Corpus.bigramSurprisal(df, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "sum_info", "mean_info")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((1L, 1L, 1.0)))
+    assert(out(2L) == ((1L, 1L, 1.0)))
+    assert(out(3L) == ((1L, 3L, 3.0))) // rare continuation scores higher
+    // a single-token doc has no bigrams → absent, like unigram's empties
+    assert(!out.contains(4L))
   }
 
   test("tfidfKeywords: tf·(N+1-df) integer scoring, top-k per doc") {
