@@ -182,6 +182,58 @@ object Streaming {
         .stripWindowsInSet(col(textCol), w, hashes), lit("")))
   }
 
+  /** Stateless streaming SimHash dedup: drop arriving documents whose
+    * SimHash is within `maxHamming` bits of ANY document in the STATIC
+    * reference corpus — the streaming counterpart of
+    * [[graft.llm.Dedup.simhashNearPairsAgainst]] for continuously-
+    * arriving text (intra-stream duplicates are [[dedupStream]]'s job).
+    *
+    * The stream side must stay window- and state-free, so the usual
+    * band-join + per-arrival collapse (a stateful aggregation on a
+    * stream) is re-shaped: the reference collapses ONCE per 16-bit
+    * chunk band into at most one row per band VALUE — `(value,
+    * distinct signatures sharing it)` — and each arrival equi-joins
+    * each of its 4 band values against that collapsed table
+    * (`left_outer`, ≤ 1 matching row per band by construction, so row
+    * cardinality never multiplies), then checks
+    * `∃ sig: popcount(sig ⊕ arrival) ≤ maxHamming` in a projection.
+    * Four stream-static equi-joins + map work, NO STATE, no watermark.
+    * Pigeonhole-complete for maxHamming ≤ 3 with 4 chunks — identical
+    * verdicts to the batch operator. A pathologically hot band value
+    * concentrates its signatures into one array row (the streaming
+    * analog of the batch hot-bucket concern); the array holds DISTINCT
+    * signatures only. For many-batch streams, persist the reference
+    * signatures up front — the static side re-evaluates per
+    * micro-batch otherwise. */
+  def simhashDedupStream(stream: DataFrame, reference: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         n: Int = 3, maxHamming: Int = 3): DataFrame = {
+    val D = graft.llm.Dedup
+    val refSigs = D.simhashSignatures(reference, idCol, textCol)
+    def bandTable(c: Int): DataFrame =
+      refSigs.select(
+          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))
+            .as(s"__v$c"),
+          col("simhash"))
+        .groupBy(s"__v$c")
+        .agg(collect_set(col("simhash")).as(s"__sigs$c"))
+    var out = stream.withColumn("__sig",
+      graft.expressions.GraftExpressions.simhash64(
+        D.shingles(col(textCol), n)))
+    for (c <- 0 until 4) {
+      out = out
+        .withColumn(s"__v$c",
+          shiftright(col("__sig"), c * 16).bitwiseAND(lit(0xFFFFL)))
+        .join(bandTable(c), Seq(s"__v$c"), "left_outer")
+        .withColumn(s"__m$c",
+          exists(coalesce(col(s"__sigs$c"), array().cast("array<bigint>")),
+            s => bit_count(s.bitwiseXOR(col("__sig"))) <= maxHamming))
+        .drop(s"__v$c", s"__sigs$c")
+    }
+    out.filter(!col("__m0") && !col("__m1") && !col("__m2") && !col("__m3"))
+      .drop("__sig", "__m0", "__m1", "__m2", "__m3")
+  }
+
   /** Stateless streaming SemDeDup: drop arriving embeddings that
     * semantically duplicate the STATIC reference corpus — the streaming
     * counterpart of [[graft.llm.Similarity.semanticDedup]] for

@@ -199,6 +199,47 @@ class StreamingSpec extends SparkSpec {
     assert(out.head._3.endsWith("six words."))
   }
 
+  test("simhashDedupStream drops arrivals near-duplicating the reference, stateless") {
+    val base = (1 to 120).map(i => s"tok$i").mkString(" ")
+    val reference = Seq(
+      (1L, base),
+      (2L, (1 to 120).map(i => s"ref$i").mkString(" "))).toDF("doc_id", "text")
+    val drop = java.nio.file.Files.createTempDirectory("graft-sh-drop")
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-sh-ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sh-out").toString
+    // near-dup of reference doc 1 (one token changed out of 120) and a
+    // fully novel arrival
+    val nearDup = base.replace("tok60", "changed")
+    java.nio.file.Files.write(drop.resolve("dup.txt"), nearDup.getBytes("UTF-8"))
+    java.nio.file.Files.write(drop.resolve("novel.txt"),
+      (1 to 120).map(i => s"new$i").mkString(" ").getBytes("UTF-8"))
+    val stream = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(drop.toString)
+      .select(regexp_replace(col("path"), "^.*/", "").as("name"),
+        col("content").cast("string").as("text"))
+    val q = Streaming.simhashDedupStream(stream, reference,
+        "doc_id", "text")
+      .select("name")
+      .writeStream.format("parquet")
+      .outputMode("append")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val kept = spark.read.parquet(outDir).as[String].collect().toSet
+    assert(kept == Set("novel.txt"), s"kept $kept")
+    // verdict parity with the batch against-operator on the same inputs
+    val arrivals = Seq((10L, nearDup),
+      (11L, (1 to 120).map(i => s"new$i").mkString(" "))).toDF("doc_id", "text")
+    val batchDropped = graft.llm.Dedup.simhashNearPairsAgainst(
+        graft.llm.Dedup.simhashSignatures(arrivals, "doc_id", "text"),
+        graft.llm.Dedup.simhashSignatures(reference, "doc_id", "text"))
+      .select("i").distinct().as[Long].collect().toSet
+    assert(batchDropped == Set(10L)) // same verdicts: 10 dropped, 11 kept
+  }
+
   test("semanticDedupStream drops arrivals duplicating the reference corpus, stateless") {
     // reference: 3 semantic groups of 3 members (the SimilaritySpec
     // geometry — ids 0..2 seed one cluster per group)
