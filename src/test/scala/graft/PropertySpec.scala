@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -143,6 +144,101 @@ class PropertySpec extends SparkSpec {
           w = 4, minDocs = 2, relational = Some(true))
         .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
       assert(kernel == relational, s"diverged on corpus: $texts")
+    }
+  }
+
+  // ---- plain-Scala reference implementations of the text gates: same
+  // rule definitions, zero Spark machinery — divergence means a plan or
+  // codegen bug in the column formulation, which is what these properties
+  // exist to catch. Spark's trim/ltrim/rtrim strip SPACES only (not \t\n),
+  // so the references replicate that precisely.
+  private def spTrim(s: String, left: Boolean = true, right: Boolean = true): String = {
+    var a = 0; var b = s.length
+    if (left) while (a < b && s(a) == ' ') a += 1
+    if (right) while (b > a && s(b - 1) == ' ') b -= 1
+    s.substring(a, b)
+  }
+  // Spark's split() calls Pattern.split(str, -1), KEEPING trailing empty
+  // strings — java.lang.String#split(regex) (limit 0) drops them, so a
+  // doc ending in whitespace would token-count differently
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+  private def refTokens(s: String): Seq[String] = {
+    val t = spTrim(s)
+    if (t.isEmpty) Seq.empty else wsPattern.split(t, -1).toSeq
+  }
+  private def refGopher(text: String): Seq[Boolean] = {
+    val toks = refTokens(text)
+    val nw = toks.length
+    val lines = text.split("\n", -1).toSeq
+    val nl = lines.length.toDouble
+    val wordcountOk = nw >= 50 && nw <= 100000
+    val mwl = if (nw == 0) 0.0 else toks.map(_.length).sum.toDouble / nw
+    val meanLenOk = nw > 0 && mwl >= 3.0 && mwl <= 10.0
+    val symbols = text.count(_ == '#') +
+      (text.length - text.replace("...", "").length) / 3 +
+      text.count(_ == '…')
+    val symbolOk = nw > 0 && symbols.toDouble / nw <= 0.1
+    val bulletOk =
+      lines.count(l => spTrim(l, right = false)
+        .headOption.exists("•*-".contains(_))) / nl < 0.9
+    val ellipsisOk = lines.count { l =>
+      val r = spTrim(l, left = false)
+      r.endsWith("...") || r.endsWith("…")
+    } / nl <= 0.3
+    val alphaOk = nw > 0 &&
+      toks.count(_.exists(c =>
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toDouble / nw >= 0.8
+    val stopOk = graft.llm.TextAnalysis.gopherRequiredStops
+      .count(sw => toks.exists(_.toLowerCase == sw)) >= 2
+    val all = Seq(wordcountOk, meanLenOk, symbolOk, bulletOk, ellipsisOk,
+      alphaOk, stopOk)
+    all :+ all.forall(identity)
+  }
+  private def refC4(text: String): (Int, Boolean, String) = {
+    val kept = text.split("\n", -1).toSeq.filter { l =>
+      val r = spTrim(l, left = false)
+      r.nonEmpty && ".!?\"".contains(r.last) && refTokens(l).length >= 5
+    }
+    (kept.length,
+      kept.length >= 3 && !text.contains("{") &&
+        !text.toLowerCase.contains("lorem ipsum"),
+      kept.mkString("\n"))
+  }
+
+  test("gopherFlags and c4Clean match plain-Scala reference implementations") {
+    val lineGen: Gen[String] = Gen.oneOf(
+      Gen.listOfN(6, Gen.oneOf("the", "word", "of", "##", "be", "longer",
+        "x", "and")).map(_.mkString(" ") + "."),
+      Gen.listOfN(3, Gen.alphaLowerStr.map(_.take(5))).map(_.mkString(" ")),
+      Gen.const("- bullet item"),
+      Gen.const("trailing ellipsis line ..."),
+      Gen.const("unicode ellipsis …"),
+      Gen.const(""),
+      Gen.const("   "),
+      Gen.const("if (x) { y }"),
+      Gen.const("lorem ipsum dolor sit amet."),
+      Gen.listOfN(60, Gen.oneOf("the", "of", "and", "that", "have",
+        "with", "words", "plenty")).map(_.mkString(" ") + " end."))
+    val docGen: Gen[String] = for {
+      n <- Gen.choose(1, 8)
+      ls <- Gen.listOfN(n, lineGen)
+    } yield ls.mkString("\n")
+    val corpora = samples(Gen.listOfN(10, docGen), 5)
+    corpora.foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val g = df.select(col("doc_id"),
+          graft.llm.TextAnalysis.gopherFlags(col("text")).as("g"))
+        .select("doc_id", "g.*").collect()
+        .map(r => r.getLong(0) -> (1 to 8).map(r.getBoolean)).toMap
+      val c = graft.llm.TextAnalysis.c4Clean(df, "text")
+        .select("doc_id", "n_lines_kept", "keep", "clean_text")
+        .as[(Long, Int, Boolean, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(g(i.toLong) == refGopher(t), s"gopher diverged on: ${t.take(120)}")
+        assert(c(i.toLong) == refC4(t), s"c4 diverged on: ${t.take(120)}")
+      }
     }
   }
 
