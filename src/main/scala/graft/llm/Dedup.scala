@@ -541,6 +541,35 @@ object Dedup {
     (cleaned, Map("total" -> total, "kept" -> kept, "removed" -> (total - kept)))
   }
 
+  /** Incremental corpus-dedup facade — drop NEW documents that
+    * near-duplicate the EXISTING corpus: the text-level counterpart of
+    * [[graft.llm.Similarity.semanticDedupAgainst]], composing the
+    * *Against pair operators the way [[dedupCorpus]] composes the
+    * self-dedup ones. Exact bipartite inverted-index Jaccard while the
+    * corpus fits `exactCorpusLimit`, MinHash-LSH banding above it. No
+    * transitive closure is needed — corpus membership IS the verdict,
+    * so the decision is per-new-row (one anti-join). Returns the
+    * cleaned new batch plus the same stats map as [[dedupCorpus]]. */
+  def dedupCorpusAgainst(newDf: DataFrame, corpus: DataFrame,
+                         idCol: String, textCol: String,
+                         threshold: Double = 0.8, n: Int = 3,
+                         exactCorpusLimit: Long = 100000)
+      : (DataFrame, Map[String, Long]) = {
+    val corpusRows = corpus.count()
+    val pairs =
+      if (corpusRows <= exactCorpusLimit)
+        jaccardPairsAgainst(newDf, corpus, idCol, textCol, n, threshold)
+      else
+        minhashLshAgainst(newDf, corpus, idCol, textCol, n,
+          threshold = threshold)
+    val dup = pairs.select(col("i").as(idCol)).distinct()
+    val total = newDf.count()
+    val cleaned = newDf.join(dup, Seq(idCol), "left_anti")
+    val kept = cleaned.count()
+    (cleaned,
+      Map("total" -> total, "kept" -> kept, "removed" -> (total - kept)))
+  }
+
   // ------------------------------------------------------------ minhash
   /** Deterministic seed list for the signature hash family. */
   private def seeds(k: Int): Seq[Int] = (0 until k).map(i => 0x9e3779b9 + i * 0x85ebca6b)

@@ -242,6 +242,26 @@ class DedupSpec extends SparkSpec {
     assert(against.nonEmpty, "fixture lost its planted cross-corpus dups")
   }
 
+  test("dedupCorpusAgainst drops near-dups of the corpus, keeps novel docs, both modes agree") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq((1L, base),
+      (2L, (1 to 60).map(i => s"ref$i").mkString(" "))).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, base.replace("tok30", "edited")),        // near-dup of corpus 1
+      (11L, (1 to 60).map(i => s"new$i").mkString(" "))) // novel
+      .toDF("doc_id", "text")
+    val (cleanExact, statsE) = Dedup.dedupCorpusAgainst(
+      fresh, corpus, "doc_id", "text", threshold = 0.5)
+    assert(cleanExact.select("doc_id").as[Long].collect().toSeq == Seq(11L))
+    assert(statsE == Map("total" -> 2L, "kept" -> 1L, "removed" -> 1L))
+    // forcing the LSH path (corpus over the exact limit) agrees
+    val (cleanLsh, statsL) = Dedup.dedupCorpusAgainst(
+      fresh, corpus, "doc_id", "text", threshold = 0.5,
+      exactCorpusLimit = 1L)
+    assert(cleanLsh.select("doc_id").as[Long].collect().toSeq == Seq(11L))
+    assert(statsL("removed") == 1L)
+  }
+
   test("embedding near-dup: exact and LSH-prefiltered agree on high-sim pairs") {
     val emb = Tables.load(spark, sf0, "embeddings")
     val exact = Dedup.embeddingNearDup(emb, threshold = 0.4)
