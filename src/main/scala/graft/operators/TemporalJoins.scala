@@ -23,7 +23,10 @@ object TemporalJoins {
   /** As-of join: for each left row, the single right row with the
     * greatest `rightTsCol <= leftTsCol` in the same `on` group (inclusive
     * match at equal timestamps — the conventional ASOF `>=` semantics).
-    * Left rows with no prior right row keep NULL carried columns.
+    * Left rows with no prior right row keep NULL carried columns. NULL
+    * join keys never match (SQL ASOF/equi-join semantics; a null-keyed
+    * left row always carries NULLs), matching the streaming
+    * [[graft.streaming.Streaming.enrichAsOf]].
     *
     * `carry` maps right-side column → output name. Right rows that tie on
     * (keys, timestamp) are reduced to one deterministic representative —
