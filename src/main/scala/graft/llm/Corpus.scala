@@ -159,9 +159,16 @@ object Corpus {
     *
     * 100 TB shape: window generation is the compiled
     * [[graft.expressions.GraftExpressions.WordNGrams]] kernel inside the
-    * scan; two count exchanges (bigram, context) with map-side partial
-    * aggregation, then bigram-keyed joins back — the same exchange
-    * pattern as the unigram operator, one extra aggregate. */
+    * scan; the context count is DERIVED from the bigram count —
+    * contexts are counted over bigram starts, so
+    * `c(prev,·) = Σ_cur c(prev,cur)` is arithmetic identity, and
+    * `pfreq` rolls up the (already aggregated, vocabulary-sized)
+    * `bfreq` table instead of re-exploding the corpus. The two `bfreq`
+    * subtrees (join branch and pfreq rollup) are canonically identical,
+    * so AQE stage reuse computes the bigram-count exchange once
+    * (ReusedExchange, executed-plan asserted in PlanShapeSpec): exactly
+    * TWO corpus scans — the doc-keyed explode and the count subtree —
+    * the same floor as the unigram operator's join-back shape. */
   def bigramSurprisal(df: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
     val bg = df.select(col(idCol).as("doc_id"),
@@ -169,7 +176,9 @@ object Corpus {
           TextAnalysis.normalizeText(col(textCol)), 2)).as("bigram"))
       .withColumn("prev", substring_index(col("bigram"), " ", 1))
     val bfreq = bg.groupBy("bigram").agg(count(lit(1)).as("bfreq"))
-    val pfreq = bg.groupBy("prev").agg(count(lit(1)).as("pfreq"))
+    val pfreq = bfreq
+      .groupBy(substring_index(col("bigram"), " ", 1).as("prev"))
+      .agg(sum("bfreq").as("pfreq"))
     bg.join(bfreq, "bigram").join(pfreq, "prev")
       .select(col("doc_id"), expr("pfreq DIV bfreq").as("info"))
       .groupBy("doc_id")
@@ -526,14 +535,22 @@ object Corpus {
     * `count over (partition by token)` window would buffer a stop-word
     * token's entire corpus-wide group in ONE task, which no skew
     * mitigation can split) → per-doc top-`perDoc` window with a unique
-    * (score desc, token) tie-break. The docfreq branch re-tokenizes
-    * the corpus DELIBERATELY: Catalyst prunes it to distinct
-    * (id, token) keys with no counts, so its exchange is narrower than
-    * the probe's — the two subplans are legitimately different (AQE
-    * reuse cannot and should not unify them; final-adaptive-plan
-    * verified), and a forced shared materialization would trade a
-    * cheap columnar re-scan for a full tf spill to storage. The `n`
-    * scalar reads only the pruned id column. */
+    * (score desc, token) tie-break. The docfreq aggregate counts
+    * `count(when(tf > 0, 1))` — semantically `count(1)`, since tf ≥ 1
+    * by construction — DELIBERATELY: with a literal count, Catalyst
+    * prunes the tf column out of the docfreq subtree (and rewrites
+    * `count(tf)` over the provably-non-null tf back to `count(1)`),
+    * which breaks canonical equality with the join branch's tf subplan
+    * and forces a SECOND tokenize scan + exchange of the corpus. The
+    * conditional reference pins tf, keeping the two subtrees identical
+    * so AQE stage reuse computes the (id, token) exchange ONCE
+    * (ReusedExchange, final-adaptive-plan asserted in PlanShapeSpec) —
+    * and that exchange must carry the partial count for the join
+    * branch anyway, so the un-pruned column is zero marginal bytes.
+    * Same discipline as [[unigramSurprisal]]'s isNotNull declaration;
+    * the pruned formulation is optimizer myopia, not a saving. The `n`
+    * scalar reads only the pruned id column — a genuinely narrow
+    * third scan that must see zero-token documents, which tf cannot. */
   def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
                     perDoc: Int = 3): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
@@ -541,7 +558,8 @@ object Corpus {
           .as("token"))
       .filter(length(col("token")) > 0)
     val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("docfreq"))
+    val dfreq = tf.groupBy("token")
+      .agg(count(when(col("tf") > 0, lit(1))).as("docfreq"))
     val ndocs = df.agg(countDistinct(col(idCol)).as("n"))
     val scored = tf.join(dfreq, "token")
       .crossJoin(broadcast(ndocs))

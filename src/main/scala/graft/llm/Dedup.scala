@@ -138,9 +138,16 @@ object Dedup {
     * cap, the capped collect IS the kernel's hash set (one aggregation
     * job decides the mode and feeds the rewrite); when a degenerate
     * high-duplication corpus overflows it, the mode cuts over to the
-    * relational rewrite, which keeps the span set distributed. Same
-    * contract either way (the modes are parity-asserted), so the
-    * cutover changes memory placement, never the answer. */
+    * relational rewrite, which keeps the span set distributed — and the
+    * probe's aggregation is NOT discarded: the flagged-hash frame is
+    * persisted (MEMORY_AND_DISK) before the capped collect, so the
+    * relational branch joins the cached hash frame instead of
+    * recomputing the heaviest aggregation from scratch in exactly the
+    * high-duplication case the cutover exists for. (The cache lives
+    * until session eviction — overflow-path only, spillable, and far
+    * smaller than the corpus by the `minDocs` filter.) Same contract
+    * either way (the modes are parity-asserted), so the cutover changes
+    * memory placement, never the answer. */
   def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
                        w: Int = 8, minDocs: Int = 3,
                        relational: Option[Boolean] = None,
@@ -148,31 +155,46 @@ object Dedup {
     require(w > 0 && minDocs > 0)
     require(relationalCutover > 0 && relationalCutover < Int.MaxValue.toLong)
     val X = graft.expressions.GraftExpressions
-    val pinnedHashes: Option[Array[Long]] = relational match {
-      case Some(true)  => None
+    // Right(hashes) = kernel mode; Left(Some(fh)) = relational mode reusing
+    // the persisted flagged-HASH frame from the auto probe; Left(None) =
+    // relational mode computing the flagged set by span TEXT (the oracle
+    // formulation `Some(true)` pins — hash and text flagging differ only
+    // on 64-bit collisions, p ≈ spans²/2⁶⁴, parity-asserted in DedupSpec).
+    val mode: Either[Option[DataFrame], Array[Long]] = relational match {
+      case Some(true)  => Left(None)
       case Some(false) =>
-        Some(boilerplateHashes(df, idCol, textCol, w, minDocs))
+        Right(boilerplateHashes(df, idCol, textCol, w, minDocs,
+          maxHashes = relationalCutover))
       case None =>
-        val capped = flaggedSpanHashes(df, idCol, textCol, w, minDocs)
-          .limit(relationalCutover.toInt + 1)
+        val fh = flaggedSpanHashes(df, idCol, textCol, w, minDocs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val capped = fh.limit(relationalCutover.toInt + 1)
           .collect().map(_.getLong(0))
-        if (capped.length > relationalCutover) None // overflow → relational
-        else Some(capped.sorted)
+        if (capped.length > relationalCutover) Left(Some(fh)) // overflow
+        else { fh.unpersist(blocking = false); Right(capped.sorted) }
     }
-    if (pinnedHashes.isDefined) {
-      // coalesce: null text strips to '' (matching the relational mode's
-      // reassembly, where a null doc contributes no token rows)
-      df.withColumn("clean_text",
-        coalesce(X.stripWindowsInSet(col(textCol), w, pinnedHashes.get),
-          lit("")))
-    } else {
+    mode match {
+      case Right(hashes) =>
+        // coalesce: null text strips to '' (matching the relational mode's
+        // reassembly, where a null doc contributes no token rows)
+        df.withColumn("clean_text",
+          coalesce(X.stripWindowsInSet(col(textCol), w, hashes), lit("")))
+      case Left(flaggedHashFrame) =>
       val wins = df.select(col(idCol).as("doc_id"),
         posexplode(X.wordNGrams(col(textCol), w)).as(Seq("start", "span")))
-      val flagged = wins.groupBy("span")
-        .agg(countDistinct("doc_id").as("n_docs"))
-        .filter(col("n_docs") >= minDocs)
-        .select("span")
-      val covered = wins.join(flagged, "span")
+      val flaggedWins = flaggedHashFrame match {
+        case Some(fh) =>
+          wins.withColumn("__h", xxhash64(col("span")))
+            .join(fh.withColumnRenamed("h", "__h"), "__h")
+            .drop("__h")
+        case None =>
+          val flagged = wins.groupBy("span")
+            .agg(countDistinct("doc_id").as("n_docs"))
+            .filter(col("n_docs") >= minDocs)
+            .select("span")
+          wins.join(flagged, "span")
+      }
+      val covered = flaggedWins
         .select(col("doc_id"),
           explode(sequence(col("start"), col("start") + lit(w - 1))).as("pos"))
         .distinct()
@@ -198,11 +220,32 @@ object Dedup {
     * [[stripBoilerplate]] and the streaming
     * [[graft.streaming.Streaming.stripBoilerplateStream]] share. The
     * corpus-wide exchange carries (hash, doc_id) 16-byte rows; the
-    * result is aggregate-small by construction. */
+    * result is aggregate-small by construction — and GUARDED: the
+    * collect is capped at `maxHashes` (default
+    * [[StripRelationalCutover]], 1M ≈ 8 MB) with a loud `require`
+    * instead of a silent driver OOM, because this array is baked into
+    * map-only kernels (batch pinned mode, streaming projections) where
+    * an unbounded driver set is the one scale hazard left. An overflow
+    * means the flagged set should stay DISTRIBUTED: use
+    * `stripBoilerplate(relational = Some(true))` in batch, or persist
+    * the flagged spans and batch-join them instead of a stream-side
+    * bake. */
   def boilerplateHashes(df: DataFrame, idCol: String, textCol: String,
-                        w: Int = 8, minDocs: Int = 3): Array[Long] =
-    flaggedSpanHashes(df, idCol, textCol, w, minDocs)
-      .collect().map(_.getLong(0)).sorted
+                        w: Int = 8, minDocs: Int = 3,
+                        maxHashes: Long = StripRelationalCutover): Array[Long] = {
+    require(maxHashes > 0 && maxHashes < Int.MaxValue.toLong,
+      s"maxHashes must be in (0, Int.MaxValue), got $maxHashes")
+    val capped = flaggedSpanHashes(df, idCol, textCol, w, minDocs)
+      .limit(maxHashes.toInt + 1)
+      .collect().map(_.getLong(0))
+    require(capped.length <= maxHashes,
+      s"boilerplateHashes: flagged-span set exceeds maxHashes=$maxHashes — " +
+        "a set this large must stay distributed, not driver-resident. Use " +
+        "stripBoilerplate(relational = Some(true)) (batch, fully relational), " +
+        "or persist boilerplateSpans and batch-join the flagged spans instead " +
+        "of baking the set into a stream projection.")
+    capped.sorted
+  }
 
   /** Flagged-span count above which [[stripBoilerplate]]'s auto mode
     * abandons the driver-resident hash set for the fully relational
@@ -520,17 +563,20 @@ object Dedup {
     labels
   }
 
-  /** Full near-dup corpus dedup: find pairs (exact Jaccard below
-    * `exactCorpusLimit` rows, MinHash-LSH above), cluster them transitively,
+  /** Full near-dup corpus dedup: find pairs (EXACT Jaccard below
+    * `exactCorpusLimit` rows — the hot-shingle cap is disabled there, so
+    * "exact" means exact; MinHash-LSH above), cluster them transitively,
     * keep each cluster's min-id representative. Returns (cleanedDf, stats).
-    */
+    * The full `df.count()` is not a probe overhead: the stats contract
+    * needs `total` regardless, and mode selection rides the same number. */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
                   threshold: Double = 0.8, n: Int = 3,
                   exactCorpusLimit: Long = 100000): (DataFrame, Map[String, Long]) = {
     val total = df.count()
     val pairs =
       if (total <= exactCorpusLimit)
-        jaccardPairs(df, idCol, textCol, n, threshold).select("i", "j")
+        jaccardPairs(df, idCol, textCol, n, threshold,
+          maxShingleFreq = None).select("i", "j")
       else
         minhashLsh(df, idCol, textCol, n, threshold = threshold).select("i", "j")
     val comps = connectedComponents(pairs)
@@ -545,20 +591,30 @@ object Dedup {
     * near-duplicate the EXISTING corpus: the text-level counterpart of
     * [[graft.llm.Similarity.semanticDedupAgainst]], composing the
     * *Against pair operators the way [[dedupCorpus]] composes the
-    * self-dedup ones. Exact bipartite inverted-index Jaccard while the
-    * corpus fits `exactCorpusLimit`, MinHash-LSH banding above it. No
-    * transitive closure is needed — corpus membership IS the verdict,
-    * so the decision is per-new-row (one anti-join). Returns the
-    * cleaned new batch plus the same stats map as [[dedupCorpus]]. */
+    * self-dedup ones. EXACT bipartite inverted-index Jaccard while the
+    * corpus fits `exactCorpusLimit` — the hot-shingle posting cap is
+    * disabled in that branch (a capped posting list undercounts `inter`
+    * while `si`/`sj` stay full-size, which can let near-duplicates
+    * dominated by corpus-hot shingles survive), so "exact" means exact —
+    * MinHash-LSH banding above it. Mode selection probes the corpus with
+    * `limit(exactCorpusLimit + 1).count()` (the
+    * [[embeddingNearDupAgainst]] discipline): at the scale where the
+    * answer is "use LSH", a full corpus count just to learn that is a
+    * wasted scan. No transitive closure is needed — corpus membership IS
+    * the verdict, so the decision is per-new-row (one anti-join). Returns
+    * the cleaned new batch plus the same stats map as [[dedupCorpus]]. */
   def dedupCorpusAgainst(newDf: DataFrame, corpus: DataFrame,
                          idCol: String, textCol: String,
                          threshold: Double = 0.8, n: Int = 3,
                          exactCorpusLimit: Long = 100000)
       : (DataFrame, Map[String, Long]) = {
-    val corpusRows = corpus.count()
+    require(exactCorpusLimit < Int.MaxValue.toLong, "exactCorpusLimit must fit an Int")
+    val corpusSmall =
+      corpus.limit(exactCorpusLimit.toInt + 1).count() <= exactCorpusLimit
     val pairs =
-      if (corpusRows <= exactCorpusLimit)
-        jaccardPairsAgainst(newDf, corpus, idCol, textCol, n, threshold)
+      if (corpusSmall)
+        jaccardPairsAgainst(newDf, corpus, idCol, textCol, n, threshold,
+          maxShingleFreq = None)
       else
         minhashLshAgainst(newDf, corpus, idCol, textCol, n,
           threshold = threshold)

@@ -1,0 +1,43 @@
+package graft.llm
+
+/** SPI for true-video frame decoding. The JDK ships no video codec, so
+  * [[Multimodal.sampleFrames]] decodes any `javax.imageio` container
+  * (animated GIF foremost) and falls back to a deterministic stub for
+  * mp4/webm — a DEPLOYMENT closes that gap by implementing this trait
+  * over a real codec (JCodec, an ffmpeg binding, …) and listing the
+  * class in `META-INF/services/graft.llm.FrameDecoder`: the frames then
+  * flow through the exact same output schema with `decode_ok = true`,
+  * no graft change required (the library itself stays dependency-free).
+  *
+  * Contract: sniff the container (magic bytes) and return `None` when
+  * the bytes are not yours — registered decoders are consulted IN
+  * `ServiceLoader` ORDER and take precedence over the built-in imageio
+  * path, so a deployment can also override GIF handling (e.g. full
+  * canvas compositing instead of per-raster luminance). Implementations
+  * need a public no-arg constructor; they are instantiated per executor
+  * JVM (never serialized from the driver) and must be thread-safe
+  * across Spark's task threads. */
+trait FrameDecoder {
+
+  /** Decode up to `n` evenly-spaced frames of `bytes`, or `None` when
+    * this decoder does not handle the container. */
+  def decodeFrames(bytes: Array[Byte], n: Int): Option[Seq[FrameDecoder.Frame]]
+}
+
+object FrameDecoder {
+
+  /** One sampled frame: the container's total frame count, this frame's
+    * index, and its mean luminance in [0, 1]. */
+  final case class Frame(frameCount: Int, frameIndex: Int, luminance: Float)
+
+  /** Registered decoders, loaded once per JVM (executor-side — the
+    * object is re-initialized there, never shipped). */
+  private[llm] lazy val registered: Seq[FrameDecoder] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[FrameDecoder], classOf[FrameDecoder].getClassLoader)
+      .iterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[FrameDecoder]
+    while (it.hasNext) buf += it.next()
+    buf.toSeq
+  }
+}

@@ -335,6 +335,10 @@ object Multimodal {
     * JDK ships no codec — fall through to [[sampleFramesStub]]'s
     * byte-size frame-count arithmetic with `decode_ok = false` and a
     * hash-derived luminance, so mixed corpora flow instead of failing.
+    * Deployments plug real video codecs in through the [[FrameDecoder]]
+    * `ServiceLoader` SPI — registered decoders are consulted FIRST (so
+    * they can also override the built-in GIF handling) and their frames
+    * flow through this same schema with `decode_ok = true`.
     *
     * Same `n`-rows-per-item cardinality contract as the stub (duplicate
     * indices when the container has fewer than `n` frames, exactly like
@@ -350,12 +354,18 @@ object Multimodal {
     val rdd = media.select("media_id", "content", "byte_size").rdd
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
+        val spi = FrameDecoder.registered
         it.flatMap { r =>
           val id = r.getLong(0)
           val bytes =
             Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
           val size = if (r.isNullAt(2)) bytes.length.toLong else r.getLong(2)
-          decodeContainerFrames(bytes, n) match {
+          val viaSpi =
+            if (spi.isEmpty || bytes.isEmpty) None
+            else spi.iterator.map(_.decodeFrames(bytes, n))
+              .collectFirst { case Some(f) =>
+                f.map(fr => (fr.frameCount, fr.frameIndex, fr.luminance)) }
+          viaSpi.orElse(decodeContainerFrames(bytes, n)) match {
             case Some(frames) =>
               frames.map { case (fc, fi, lum) => Row(id, fc, fi, true, lum) }
             case None =>

@@ -44,8 +44,9 @@ final case class AlephEntitiesStatus(resources: Long, entities: Long)
   *     replacing anycache's per-task KV lookups;
   *   - folder creation: [[Entities.ancestorFolders]]' depth-ordered distinct
   *     set (J6), replacing the per-key recursion under a lock
-  *     (sync/aleph.py:95-107) — folders are directory-cardinality, so the
-  *     driver-side create loop is bounded by the tree shape, not file count;
+  *     (sync/aleph.py:95-107) — folders are directory-cardinality, created
+  *     depth-level-parallel (≤10 concurrent, the reference's own pool cap)
+  *     with a barrier per level so parents always precede children;
   *   - uploads: executor partitions push to the connector, with the
   *     folder→id map broadcast (file-cardinality work never serializes
   *     through the driver).
@@ -104,9 +105,10 @@ object AlephSync {
     AlephSyncStatus(replayed, uploadedTotal, foldersTotal)
   }
 
-  /** Upload one batch of document rows: ledger anti-join → depth-ordered
-    * folder creation (driver, directory-cardinality) → executor-side
-    * uploads with the folder→id map broadcast → ledger append. */
+  /** Upload one batch of document rows: ledger anti-join → depth-LEVEL
+    * parallel folder creation (driver, directory-cardinality, ≤10
+    * concurrent per level) → executor-side uploads with the folder→id
+    * map broadcast → ledger append. */
   private def uploadBatch(spark: SparkSession, docs: DataFrame,
                           ledgerPath: String, dataset: String,
                           connector: AlephConnector,
@@ -131,13 +133,34 @@ object AlephSync {
     val createdBefore = ledger
       .filter(col("dataset") === dataset && col("action") === FolderAction)
       .select("task_key").as[String].collect().toSet
-    val folderIds = scala.collection.mutable.Map.empty[String, String]
-    var newFolders = 0L
-    allFolders.foreach { f =>
-      val parent = if (f.contains("/")) Some(f.substring(0, f.lastIndexOf('/'))) else None
-      folderIds(f) = connector.createFolder(f, parent.flatMap(folderIds.get))
-      if (!createdBefore.contains(f)) newFolders += 1
-    }
+    // Depth-LEVEL batched creation: the external API requires a folder's
+    // parent to exist first, but folders at the SAME depth are
+    // independent — each level runs with bounded parallelism (≤10,
+    // the reference's own Aleph pool cap, connectors/aleph.py:120) and
+    // barriers before the next, so parent-before-child ordering holds
+    // while million-directory trees stop serializing one call at a time.
+    val folderIds = scala.collection.concurrent.TrieMap.empty[String, String]
+    val folderConcurrency = math.max(1, math.min(uploadParallelism, 10))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(folderConcurrency)
+    try {
+      allFolders.groupBy(_.count(_ == '/')).toSeq.sortBy(_._1)
+        .foreach { case (_, level) =>
+          level.map { f =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              override def call(): Unit = {
+                val parent = if (f.contains("/"))
+                  Some(f.substring(0, f.lastIndexOf('/'))) else None
+                folderIds(f) = connector.createFolder(f, parent.flatMap(folderIds.get))
+              }
+            })
+          }.foreach { fut => // barrier: depth d completes before depth d+1
+            try fut.get()
+            catch { case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause }
+          }
+        }
+    } finally pool.shutdown()
+    val newFolders = allFolders.count(!createdBefore.contains(_)).toLong
     if (allFolders.nonEmpty) {
       val fresh = allFolders.filterNot(createdBefore.contains)
       if (fresh.nonEmpty)

@@ -34,11 +34,9 @@ class ZipDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
+    SourceOptions.requireSchema(ZipTable.schema, schema, "graft-zip")
     val paths = Option(properties.get("paths"))
-      .map { p => // multi-path load() passes a JSON array
-        p.stripPrefix("[").stripSuffix("]").split(",")
-          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
-      }
+      .map(SourceOptions.parseJsonStringArray) // multi-path load() → JSON array
       .orElse(Option(properties.get("path")).map(Seq(_)))
       .getOrElse(throw new IllegalArgumentException("graft-zip: path required"))
     new ZipTable(paths)

@@ -145,16 +145,37 @@ object Streaming {
     * stream-stream self-join; this is a pure map filter, so it composes
     * freely with [[dedupStream]] downstream and needs no watermark.
     * Exactly the batch `contaminationHits` semantics (doc-level verdict;
-    * hash equality stands in for text equality at p ≈ windows²/2⁶⁴). */
+    * hash equality stands in for text equality at p ≈ windows²/2⁶⁴).
+    *
+    * The benchmark-side collect is GUARDED at `maxWindowHashes` (default
+    * [[graft.llm.Dedup.StripRelationalCutover]], 1M ≈ 8 MB): benchmarks
+    * are MBs by nature, so a set past the cap means the "benchmark" is
+    * really a corpus — `require` fails loudly with guidance instead of
+    * OOMing the driver mid-stream. Persist the window-hash set and
+    * decontaminate in BATCH ([[graft.llm.Dedup.decontaminate]]'s
+    * hash-join shape) in that regime, or raise the cap deliberately. */
   def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
-                          textCol: String, n: Int = 13): DataFrame = {
+                          textCol: String, n: Int = 13,
+                          maxWindowHashes: Long =
+                            graft.llm.Dedup.StripRelationalCutover): DataFrame = {
+    require(maxWindowHashes > 0 && maxWindowHashes < Int.MaxValue.toLong,
+      s"maxWindowHashes must be in (0, Int.MaxValue), got $maxWindowHashes")
     val spark = benchmark.sparkSession
     import spark.implicits._
-    val hashes = benchmark
+    val capped = benchmark
       .select(explode(graft.expressions.GraftExpressions
         .wordNGrams(col(textCol), n)).as("w"))
       .select(xxhash64(col("w")).as("h")).distinct()
-      .as[Long].collect().sorted
+      .limit(maxWindowHashes.toInt + 1)
+      .as[Long].collect()
+    require(capped.length <= maxWindowHashes,
+      s"decontaminateStream: benchmark window-hash set exceeds " +
+        s"maxWindowHashes=$maxWindowHashes — a reference set this large " +
+        "must stay distributed, not baked into a stream projection. " +
+        "Persist the window hashes and decontaminate in batch " +
+        "(Dedup.decontaminate, hash-join shape), or raise maxWindowHashes " +
+        "deliberately if driver and executor memory genuinely allow.")
+    val hashes = capped.sorted
     // coalesce: a null-text row yields NULL from the kernel and must be
     // KEPT (batch decontaminate keeps it — no windows, no collisions),
     // not silently dropped by filter(NULL)

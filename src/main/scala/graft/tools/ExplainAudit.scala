@@ -12,7 +12,14 @@ object ExplainAudit extends App {
   val dir = "/root/testdata/sf0.01"
   val targets = args.headOption.map(_.split(",").toSeq)
     .getOrElse(Seq("q5_region_revenue", "q3_shipping_priority", "j5_point_lookup",
-      "p1_project_keys", "a6_keep_latest", "dedup_jaccard_pairs", "ann_cosine_topk"))
+      "p1_project_keys", "a6_keep_latest", "dedup_jaccard_pairs", "ann_cosine_topk",
+      // round-8 additions + the recompute-class family (plan-guarded in
+      // PlanShapeSpec; audited here by default so regressions are visible
+      // without arguments)
+      "text_gopher_gate", "text_c4_clean", "text_line_stats",
+      "dedup_simhash_incremental", "dedup_semantic_incremental",
+      "text_bigram_surprisal", "text_surprisal", "tfidf_keywords",
+      "ann_ivf_pq_topk"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

@@ -83,6 +83,47 @@ class AlephSyncSpec extends SparkSpec {
     assert(AlephRecorder.uploadCalls.isEmpty)
   }
 
+  test("folder creation is depth-level parallel: parents first, ≤10 concurrent") {
+    AlephRecorder.reset()
+    val root = java.nio.file.Files.createTempDirectory("aleph").toString
+    // a wide 3-level tree: 20 siblings at depth 0, each with a child and
+    // a grandchild file → 60 folders total across 3 depth levels
+    val keys = (0 until 20).flatMap(i =>
+      Seq(s"d$i/doc.txt", s"d$i/c$i/doc.txt", s"d$i/c$i/g$i/doc.txt"))
+    DocumentsStore.writeSnapshot(docs(keys: _*), s"$root/meta", "v1")
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val connector = new RecordingAlephConnector {
+      override def createFolder(path: String, parentId: Option[String]): String = {
+        val now = inFlight.incrementAndGet()
+        maxInFlight.getAndUpdate(m => math.max(m, now))
+        try { Thread.sleep(5); super.createFolder(path, parentId) }
+        finally inFlight.decrementAndGet()
+      }
+    }
+    AlephSync.syncDocuments(spark, s"$root/meta", s"$root/ledger", "dsp",
+      connector)
+    val calls = AlephRecorder.folderCalls
+    assert(calls.size == 60)
+    // parent-before-child: every non-root folder's parent id was already
+    // resolved when the child was created (no null parent chaining)
+    val byPath = calls.toMap
+    calls.foreach { case (path, parentId) =>
+      if (path.contains("/"))
+        assert(parentId.contains(s"folder:${path.substring(0, path.lastIndexOf('/'))}"),
+          s"$path created before its parent resolved (got $parentId)")
+      else assert(parentId.isEmpty)
+    }
+    // ...and creation order respects depth levels globally
+    val depths = calls.map(_._1.count(_ == '/'))
+    assert(depths == depths.sorted, "a deeper folder was created before a shallower one")
+    // bounded parallelism: more than 1 in flight (it actually parallelizes
+    // on a 20-wide level), never more than the reference's 10-cap
+    assert(maxInFlight.get() > 1, "folder creation never ran concurrently")
+    assert(maxInFlight.get() <= 10, s"saw ${maxInFlight.get()} concurrent creates")
+    assert(byPath.size == 60)
+  }
+
   test("upload metadata carries file_name, foreign_id, and parent folder id") {
     AlephRecorder.reset()
     val root = java.nio.file.Files.createTempDirectory("aleph").toString

@@ -309,6 +309,12 @@ class CorpusSpec extends SparkSpec {
     val one = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".tar")).head
     assert(spark.read.format("graft-wds").load(one.toString).count() > 0)
+    // a mismatched user schema is rejected, not silently replaced
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-wds")
+        .schema("key STRING, wrong INT").load(dir)
+    }
+    assert(e.getMessage.contains("does not match the source schema"))
   }
 
   test("writeWebDatasetShards: reproducible tars, complete samples, Extract re-ingest") {

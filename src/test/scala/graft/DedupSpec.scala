@@ -457,6 +457,29 @@ class DedupSpec extends SparkSpec {
     assert(!roomy.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("boilerplateHashes overflow fails loudly with distributed-path guidance") {
+    val footer = "shared footer tokens one two three four five six seven"
+    val df = (0 until 8).map(i =>
+      (i.toLong, s"doc $i unique words here $footer")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.boilerplateHashes(df, "doc_id", "text", w = 4, minDocs = 3,
+        maxHashes = 3L)
+    }
+    assert(e.getMessage.contains("stay distributed"),
+      s"overflow message must carry guidance, got: ${e.getMessage}")
+    // the pinned kernel mode surfaces the same loud failure (no driver OOM)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.stripBoilerplate(df, "doc_id", "text", w = 4, minDocs = 3,
+        relational = Some(false), relationalCutover = 3L)
+    }
+    assert(e2.getMessage.contains("stay distributed"))
+    // in-bounds behavior is unchanged: the full sorted flagged set
+    val hashes = Dedup.boilerplateHashes(df, "doc_id", "text",
+      w = 4, minDocs = 3)
+    assert(hashes.nonEmpty && hashes.toSeq == hashes.toSeq.sorted
+      && hashes.distinct.length == hashes.length)
+  }
+
   test("stripBoilerplate rewrite pass is map-only (no reassembly shuffle)") {
     val out = Dedup.stripBoilerplate(docs, "doc_id", "text", w = 8, minDocs = 3)
     val plan = out.queryExecution.executedPlan.toString

@@ -273,4 +273,27 @@ class MultimodalSpec extends SparkSpec {
     // determinism: the whole thing twice agrees bit-for-bit
     assert(out.exceptAll(Multimodal.sampleFrames(mm, n = 4)).isEmpty)
   }
+
+  test("FrameDecoder SPI: a registered codec plugin's frames flow with decode_ok=true") {
+    // FakeVideoDecoder is registered via META-INF/services in the test
+    // resources — exactly how a deployment plugs a real video codec in
+    val vid = "GRAFTVID".getBytes("US-ASCII") ++
+      Array[Byte](12) ++ Array.fill[Byte](100)(3)
+    val other = Array.tabulate[Byte](777)(i => (i * 31 + 7).toByte)
+    val mm = Multimodal.asMedia(
+      Seq((1L, vid), (2L, other)).toDF("id", "bin"),
+      "id", "bin", "video", "video/x-graft")
+    val out = Multimodal.sampleFrames(mm, n = 4)
+    assert(out.schema == Multimodal.sampledFrameSchema)
+    // the SPI-handled container decodes for real: its frame count, its
+    // evenly spaced indices, its luminances, decode_ok = true
+    val spiRows = out.filter($"media_id" === 1L).orderBy("frame_index").collect()
+    assert(spiRows.length == 4 && spiRows.forall(_.getBoolean(3)))
+    assert(spiRows.forall(_.getInt(1) == 12))
+    assert(spiRows.map(_.getInt(2)).toSeq == Seq(0, 3, 6, 9))
+    assert(spiRows.map(_.getFloat(4)).toSeq == Seq(0f, 3f / 12, 6f / 12, 9f / 12))
+    // unhandled bytes still fall through to the labeled stub
+    val stubRows = out.filter($"media_id" === 2L).collect()
+    assert(stubRows.length == 4 && stubRows.forall(!_.getBoolean(3)))
+  }
 }

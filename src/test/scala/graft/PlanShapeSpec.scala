@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Regression guards for the RECOMPUTE bug class: an operator whose
+  * executed plan rescans the corpus more times than its join-back shape
+  * requires. The unigram-surprisal fix (round 7, ReusedExchange for the
+  * token-count subtree) and the bigram-surprisal fix (round 9, context
+  * count derived from the bigram count) are the same bug twice — these
+  * assertions count `documents`-table FileScan nodes in the FINAL
+  * adaptive plans so a third reintroduction fails the suite instead of
+  * the bench.
+  *
+  * Counting is string-based over the executed plan, final-plan section
+  * only (the `== Initial Plan ==` tail AQE appends shows the
+  * pre-stage-reuse shape, where a ReusedExchange still appears as its
+  * full subtree). A ReusedExchange in the final plan does NOT contain
+  * its child scan, so the count reflects scans that actually run. */
+class PlanShapeSpec extends SparkSpec {
+
+  /** Executes `df`'s own physical plan (so AQE finalizes and stage reuse
+    * fires), then counts FileScan lines over `table` in the final plan.
+    * Other suites cache the sf0.001 tables on the shared session, which
+    * would swap these scans for InMemoryTableScan and hide the shape
+    * under test — clear the cache first (cache substitution happens at
+    * first queryExecution access, so this is race-free here; evicted
+    * suites merely recompute). */
+  private def finalScans(df: DataFrame, table: String): Int = {
+    spark.catalog.clearCache()
+    df.queryExecution.toRdd.foreach(_ => ())
+    val plan = df.queryExecution.executedPlan.toString
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    finalSection.linesIterator
+      .count(l => l.contains("FileScan") && l.contains(s"$table.parquet"))
+  }
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf0)
+
+  test("text_surprisal holds the 2-scan join-back floor (ReusedExchange)") {
+    assert(finalScans(q("text_surprisal"), "documents") == 2)
+  }
+
+  test("text_bigram_surprisal holds the 2-scan floor (pfreq derived from bfreq)") {
+    assert(finalScans(q("text_bigram_surprisal"), "documents") == 2)
+  }
+
+  test("tfidf_keywords holds the 2-scan floor (docfreq reuses the tf exchange)") {
+    // one text-tokenizing scan (tf; docfreq reuses its exchange) plus
+    // the id-only ndocs scan — the count(tf) column reference keeps the
+    // two tf subtrees canonically identical (see tfidfKeywords scaladoc)
+    assert(finalScans(q("tfidf_keywords"), "documents") == 2)
+  }
+
+  test("doc_len_quantiles and doc_length_hist are single-scan") {
+    assert(finalScans(q("doc_len_quantiles"), "documents") == 1)
+    assert(finalScans(q("doc_length_hist"), "documents") == 1)
+  }
+
+  test("vocab_top is single-scan") {
+    assert(finalScans(q("vocab_top"), "documents") == 1)
+  }
+
+  test("a deliberate recompute shape IS caught by the counter") {
+    // sanity-check the guard itself: the pre-fix bigram formulation
+    // (context count re-exploded from the corpus) must count 3 scans
+    import org.apache.spark.sql.functions._
+    val df = Tables.load(spark, sf0, "documents")
+    val bg = df.select(col("doc_id"),
+        explode(graft.expressions.GraftExpressions.wordNGrams(
+          graft.llm.TextAnalysis.normalizeText(col("text")), 2)).as("bigram"))
+      .withColumn("prev", substring_index(col("bigram"), " ", 1))
+    val bfreq = bg.groupBy("bigram").agg(count(lit(1)).as("bfreq"))
+    val pfreq = bg.groupBy("prev").agg(count(lit(1)).as("pfreq"))
+    val relapse = bg.join(bfreq, "bigram").join(pfreq, "prev")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    assert(finalScans(relapse, "documents") == 3,
+      "the guard's counter no longer detects the recompute shape")
+  }
+}

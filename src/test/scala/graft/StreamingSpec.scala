@@ -303,6 +303,28 @@ class StreamingSpec extends SparkSpec {
     assert(batch == kept)
   }
 
+  test("decontaminateStream refuses an oversized benchmark window set, loudly") {
+    // a "benchmark" with many distinct 13-gram windows vs a tiny cap:
+    // the guard must throw with batch-path guidance, not bake the set
+    val big = (0 until 6).map(i =>
+      Tuple1((0 until 30).map(j => s"b${i}_$j").mkString(" "))).toDF("text")
+    val docs = Seq((1L, "some arriving text")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Streaming.decontaminateStream(docs, big, "text", n = 13,
+        maxWindowHashes = 5L)
+    }
+    assert(e.getMessage.contains("Dedup.decontaminate"),
+      s"overflow message must point at the batch path, got: ${e.getMessage}")
+    // in-bounds behavior unchanged (default cap): same verdicts as before
+    val leak = (1 to 13).map(i => s"v$i").mkString(" ")
+    val bench = Seq(s"head $leak tail").toDF("text")
+    val mixed = Seq((1L, "clean words"), (2L, s"bad $leak doc"))
+      .toDF("doc_id", "text")
+    val kept = Streaming.decontaminateStream(mixed, bench, "text", n = 13)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
   test("enrichAsOf: stream-static as-of enrichment equals the batch asofJoin") {
     val dir = java.nio.file.Files.createTempDirectory("graft-asof").toString
     java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$dir/events"))

@@ -51,4 +51,41 @@ class ZipSourceSpec extends SparkSpec {
     assert(hashes("test_dataset/testdir/test.txt")
       == "2aae6c35c94fcfb415dbe95f408b9ce91ee846ed")
   }
+
+  test("paths option parses as real JSON: commas and quotes in paths survive") {
+    import graft.sources.SourceOptions.parseJsonStringArray
+    assert(parseJsonStringArray("""["/a/b.zip","/c/d.zip"]""")
+      == Seq("/a/b.zip", "/c/d.zip"))
+    assert(parseJsonStringArray("""[ "/with, comma/x.zip" , "/q\"uote.zip" ]""")
+      == Seq("/with, comma/x.zip", "/q\"uote.zip"))
+    assert(parseJsonStringArray("""["/unié.zip"]""") == Seq("/unié.zip"))
+    assert(parseJsonStringArray("[]").isEmpty)
+    intercept[IllegalArgumentException](parseJsonStringArray("not an array"))
+    intercept[IllegalArgumentException](parseJsonStringArray("""["unclosed"""))
+    // end-to-end: a multi-path load where one directory name contains a
+    // comma — the old bracket-strip/comma-split mis-parsed exactly this
+    val dir = java.nio.file.Files.createTempDirectory("graft-zipsrc4").toString
+    val commaDir = java.nio.file.Files
+      .createDirectory(java.nio.file.Paths.get(s"$dir/with, comma")).toString
+    writeZip(s"$commaDir/a.zip", "one.txt" -> "1")
+    writeZip(s"$dir/b.zip", "two.txt" -> "22")
+    val df = spark.read.format("graft-zip")
+      .load(s"$commaDir/a.zip", s"$dir/b.zip")
+    assert(df.select("key").as[String].collect().toSet
+      == Set("one.txt", "two.txt"))
+  }
+
+  test("a mismatched user schema is rejected, not silently replaced") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zipsrc5").toString
+    writeZip(s"$dir/a.zip", "one.txt" -> "1")
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-zip")
+        .schema("key STRING, wrong INT").load(s"$dir/a.zip")
+    }
+    assert(e.getMessage.contains("does not match the source schema"))
+    // the exact source schema (or a nullability-relaxed one) is accepted
+    val ok = spark.read.format("graft-zip")
+      .schema("key STRING, size BIGINT, content BINARY").load(s"$dir/a.zip")
+    assert(ok.count() == 1L)
+  }
 }
