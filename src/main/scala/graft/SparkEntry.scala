@@ -971,6 +971,26 @@ object SparkEntry {
       TA.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
         size = 32, overlap = 8)),
 
+    "corpus_budget_select" -> ((s, dir) =>
+      // greedy token-budget selection ordered by (quality desc, id):
+      // per-score aggregation + DISTINCT-score cumulative window + one
+      // join back — the corpus is never globally sorted; the oracle is
+      // the naive global SUM OVER (ORDER BY) formulation
+      graft.llm.Corpus.selectToTokenBudget(
+        t(s, dir, "documents").select(col("doc_id"),
+          TA.qualityScore(col("text")).as("quality"),
+          TA.tokenCount(col("text")).as("n_toks")),
+        "doc_id", "quality", "n_toks", budget = 12000L)),
+
+    "text_importance" -> ((s, dir) => {
+      // DSIR-style importance weighting of the whole corpus against the
+      // zh-language slice as the target domain: integer-exact
+      // sign-of-likelihood-ratio lean counts, token-keyed joins
+      val docs = t(s, dir, "documents")
+      graft.llm.Corpus.importanceWeights(
+        docs, docs.filter(col("lang") === "zh"), "doc_id", "text")
+    }),
+
     "text_repetition" -> ((s, dir) => {
       // Gopher-style repetition signals: ONE compiled pass per document
       // (zero shuffle); the oracle is the relational unnest/groupBy
@@ -1899,6 +1919,57 @@ object SparkEntry {
         |  GROUP BY b2.doc_id)
         |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, sum_info,
         |  CAST(sum_info AS DOUBLE) / n_bigrams AS mean_info FROM agg""".stripMargin,
+
+    // greedy token-budget selection: the oracle is the naive global
+    // running-sum formulation (SUM OVER (ORDER BY quality DESC, id));
+    // the Spark plan computes the identical cum via per-score offsets
+    "corpus_budget_select" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  string_split_regex(trim(text), '\s+') AS words,
+        |  CAST(length(text) AS DOUBLE) AS n FROM documents),
+        |m AS (SELECT doc_id,
+        |  CASE WHEN trim(text) = '' THEN 0 ELSE len(words) END AS ntok,
+        |  CAST(len(words) AS DOUBLE) AS nw,
+        |  CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / n AS punct_ratio,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / n AS upper_ratio,
+        |  CAST(len(list_filter(words, x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this'))) AS DOUBLE) / CAST(len(words) AS DOUBLE) AS stop_ratio
+        |  FROM b),
+        |s AS (SELECT doc_id,
+        |  round(least(nw / 100.0, 1.0) * 0.4 + least(stop_ratio * 4.0, 1.0) * 0.3 +
+        |    (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END) * 0.15 +
+        |    (CASE WHEN upper_ratio < 0.3 THEN 1.0 ELSE 0.0 END) * 0.15, 6) AS quality,
+        |  ntok FROM m),
+        |c AS (SELECT doc_id, quality, ntok,
+        |  SUM(ntok) OVER (ORDER BY quality DESC, doc_id) AS cum FROM s)
+        |SELECT doc_id, quality, CAST(ntok AS BIGINT) AS n_tokens,
+        |  CAST(cum AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum <= 12000""".stripMargin,
+
+    // DSIR-lite importance lean counts vs the zh-slice target corpus
+    "text_importance" ->
+      """WITH norm AS (SELECT doc_id, lang, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM documents),
+        |tkraw AS (SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM norm)
+        |  WHERE length(token) > 0),
+        |tktgt AS (SELECT token FROM (
+        |    SELECT unnest(string_split(t, ' ')) AS token FROM norm WHERE lang = 'zh')
+        |  WHERE length(token) > 0),
+        |rf AS (SELECT token, count(*) AS rf FROM tkraw GROUP BY token),
+        |tfq AS (SELECT token, count(*) AS tf_t FROM tktgt GROUP BY token),
+        |nr AS (SELECT sum(rf) AS n_raw FROM rf),
+        |nt AS (SELECT sum(tf_t) AS n_tgt FROM tfq),
+        |j AS (SELECT k.doc_id,
+        |    CASE WHEN (coalesce(tf_t, 0) + 1) * (n_raw + 1) > (rf + 1) * (n_tgt + 1) THEN 1
+        |         WHEN (coalesce(tf_t, 0) + 1) * (n_raw + 1) < (rf + 1) * (n_tgt + 1) THEN -1
+        |         ELSE 0 END AS lean
+        |  FROM tkraw k JOIN rf USING (token) LEFT JOIN tfq USING (token)
+        |  CROSS JOIN nr CROSS JOIN nt)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN lean = 1 THEN 1 ELSE 0 END) AS BIGINT) AS target_leaning,
+        |  CAST(sum(CASE WHEN lean = -1 THEN 1 ELSE 0 END) AS BIGINT) AS raw_leaning,
+        |  CAST(sum(lean) AS BIGINT) AS score
+        |FROM j GROUP BY doc_id""".stripMargin,
 
     // converged-BPE fixed point: one piece per whitespace word
     "bpe_tokens" ->

@@ -257,6 +257,117 @@ object Corpus {
       .groupBy("q").agg(min("len").as("value"))
   }
 
+  /** Greedy token-budget corpus selection — "take the best documents
+    * until the budget is spent", the step between scoring and packing in
+    * a compute-bounded pretraining run: documents ordered by
+    * (`scoreCol` desc, `idCol` asc) are selected while the running token
+    * total stays ≤ `budget`. Returns the selected rows as
+    * (id, score, n_tokens, cum_tokens) with `cum_tokens` the global
+    * running total — exactly `SUM(n_tokens) OVER (ORDER BY score DESC,
+    * id)` — so the output is deterministic, engine-exact (integer sums;
+    * the score only ORDERS), and reproducible under any partitioning.
+    * Null scores/token counts cannot rank and are excluded.
+    *
+    * Scale shape — the corpus is never globally sorted and no window
+    * ever spans it: per-SCORE totals are one partial-agg exchange; the
+    * cumulative-before-each-score table rides a single-partition window
+    * over the DISTINCT score domain only (the [[lengthQuantiles]]
+    * discipline — quality scores in this library are rounded rationals,
+    * a bounded domain, not raw floats); docs join their score's
+    * cumulative offset back (aggregate-small side, AQE broadcasts) and
+    * only groups whose offset is still under budget reach the per-score
+    * intra-group window that settles the boundary group's id-ordered
+    * tie-break. Degenerate corpora where most documents share one score
+    * concentrate that group in one window partition — score with a
+    * discriminating signal (that is the operator's premise). */
+  def selectToTokenBudget(df: DataFrame, idCol: String, scoreCol: String,
+                          tokensCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val base = df.select(col(idCol).as("id"), col(scoreCol).as("score"),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .filter(col("score").isNotNull && col("n_tokens").isNotNull)
+    val groups = base.groupBy("score").agg(sum("n_tokens").as("__gtot"))
+    val before = groups.withColumn("__before",
+      coalesce(sum("__gtot").over(Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("score", "__before")
+    val localW = Window.partitionBy("score").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(before, "score")
+      .filter(col("__before") < budget) // fully-over groups never reach the window
+      .withColumn("cum_tokens", col("__before") + sum("n_tokens").over(localW))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("id").as(idCol), col("score").as(scoreCol),
+        col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each RAW
+    * document by how strongly its unigrams lean toward a TARGET corpus's
+    * distribution — the relational core of domain-matched data
+    * selection. DSIR sums log-likelihood ratios of hashed n-gram
+    * features; transcendental logs differ across engines at the ulp, so
+    * this uses the same integer-rational discipline as
+    * [[unigramSurprisal]]: a token LEANS target when its add-one-
+    * smoothed target rate beats its raw rate by cross-multiplication,
+    *
+    *   (tf_target + 1) · (n_raw + 1)  vs  (tf_raw + 1) · (n_target + 1)
+    *
+    * (decimal(38,0) products — at 100 TB the int64 cross product would
+    * overflow), and the document's score is
+    * `target_leaning − raw_leaning` (the sign-of-log-ratio sum: an
+    * integer-exact monotone surrogate of DSIR's importance weight).
+    * Returns (doc_id, n_tokens, target_leaning, raw_leaning, score);
+    * rank/filter/sample on `score` downstream — e.g. feed
+    * [[selectToTokenBudget]] for a budgeted domain-matched subset.
+    *
+    * Scale shape: the raw token stream is scanned once for the probe and
+    * once for its frequency aggregate (the [[unigramSurprisal]] 2-scan
+    * join-back floor; the totals ride their freq tables' exchanges as
+    * broadcast scalars, never extra corpus scans — plan-asserted in
+    * PlanShapeSpec); the target corpus — typically the small curated
+    * side — contributes one scan and one token-keyed aggregate, and its
+    * freq table left-joins the raw vocabulary (unseen tokens smooth to
+    * tf_target = 0). Both joins are token-keyed with no forced
+    * broadcast; AQE broadcasts when a side fits. */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+                        idCol: String, textCol: String): DataFrame = {
+    def toks(df: DataFrame, withId: Boolean): DataFrame = {
+      val cols =
+        if (withId) Seq(col(idCol).as("doc_id")) else Seq.empty
+      df.select(cols :+ explode(split(
+          TextAnalysis.normalizeText(col(textCol)), " ")).as("token"): _*)
+        .filter(length(col("token")) > 0 && col("token").isNotNull)
+    }
+    val rawToks = toks(raw, withId = true)
+    val rawFreq = rawToks.groupBy("token").agg(count(lit(1)).as("rf"))
+    val tgtFreq = toks(target, withId = false)
+      .groupBy("token").agg(count(lit(1)).as("tf_t"))
+    // coalesce: an empty side must total 0, not NULL (a NULL total would
+    // null every comparison and silently zero all leans); with n_tgt = 0
+    // add-one smoothing degenerates to a uniform target, which leans
+    // toward rare raw tokens — consistent, if meaningless, semantics
+    val nRaw = rawFreq.agg(coalesce(sum("rf"), lit(0L)).as("n_raw"))
+    val nTgt = tgtFreq.agg(coalesce(sum("tf_t"), lit(0L)).as("n_tgt"))
+    val dec = "decimal(38,0)"
+    rawToks.join(rawFreq, "token")
+      .join(tgtFreq, Seq("token"), "left")
+      .na.fill(0L, Seq("tf_t"))
+      .crossJoin(broadcast(nRaw))
+      .crossJoin(broadcast(nTgt))
+      .withColumn("__lean",
+        when((col("tf_t") + 1).cast(dec) * (col("n_raw") + 1).cast(dec) >
+             (col("rf") + 1).cast(dec) * (col("n_tgt") + 1).cast(dec), 1)
+          .when((col("tf_t") + 1).cast(dec) * (col("n_raw") + 1).cast(dec) <
+                (col("rf") + 1).cast(dec) * (col("n_tgt") + 1).cast(dec), -1)
+          .otherwise(0))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__lean") === 1, 1L).otherwise(0L)).as("target_leaning"),
+        sum(when(col("__lean") === -1, 1L).otherwise(0L)).as("raw_leaning"))
+      .withColumn("score", col("target_leaning") - col("raw_leaning"))
+  }
+
   /** Power-of-two length histogram — the standard corpus length profile
     * (training pipelines gate on doc-length distributions before and
     * after filtering). The bucket is the binary digit count of the

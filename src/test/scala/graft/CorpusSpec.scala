@@ -278,6 +278,65 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("selectToTokenBudget: greedy fill equals the global running-sum semantics") {
+    // scores force the order (3,2,2,2,1); ties inside score 2 break by id
+    val df = Seq(
+      (10L, 3.0, 100L), // cum 100
+      (21L, 2.0, 200L), // cum 300
+      (22L, 2.0, 200L), // cum 500
+      (23L, 2.0, 200L), // cum 700 > 600 → out
+      (30L, 1.0, 50L)   // lower score, budget already crossed → out
+    ).toDF("doc_id", "score", "toks")
+    val out = Corpus.selectToTokenBudget(df, "doc_id", "score", "toks", 600L)
+      .orderBy("cum_tokens")
+      .as[(Long, Double, Long, Long)].collect().toSeq
+    assert(out == Seq((10L, 3.0, 100L, 100L), (21L, 2.0, 200L, 300L),
+      (22L, 2.0, 200L, 500L)))
+    // exact-fit boundary is included; zero budget selects nothing
+    val exact = Corpus.selectToTokenBudget(df, "doc_id", "score", "toks", 700L)
+    assert(exact.count() == 4L)
+    assert(Corpus.selectToTokenBudget(df, "doc_id", "score", "toks", 0L).count() == 0L)
+    // null score / null tokens cannot rank
+    val withNulls = Seq((1L, Some(5.0), Some(10L)), (2L, None, Some(10L)),
+      (3L, Some(4.0), None)).toDF("doc_id", "score", "toks")
+    assert(Corpus.selectToTokenBudget(withNulls, "doc_id", "score", "toks", 100L)
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // partitioning invariance: same selection at any parallelism
+    val repart = Corpus.selectToTokenBudget(df.repartition(7), "doc_id",
+      "score", "toks", 600L)
+    assert(repart.orderBy("cum_tokens").as[(Long, Double, Long, Long)]
+      .collect().toSeq == out)
+  }
+
+  test("importanceWeights: integer sign-of-ratio leans match hand computation") {
+    // target is pure "ml ml data"; raw docs differ in how target-like
+    // their tokens are
+    val raw = Seq(
+      (1L, "ml data ml"),      // tokens lean target
+      (2L, "tax law tax law"), // tokens absent from target → raw-leaning
+      (3L, "ml tax")           // split
+    ).toDF("doc_id", "text")
+    val target = Seq((9L, "ml ml data")).toDF("doc_id", "text")
+    val out = Corpus.importanceWeights(raw, target, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // n_raw = 9, n_tgt = 3; lean(t) = sign((tf_t+1)*10 - (rf+1)*4)
+    // ml: tf_t=2, rf=3 → 30 > 16 → +1 ; data: tf_t=1, rf=2 → 20 > 12 → +1
+    // tax: tf_t=0, rf=3 → 10 < 16 → −1 ; law: tf_t=0, rf=2 → 10 < 12 → −1
+    assert(out(1L) == ((3L, 3L, 0L, 3L)))   // ml ml data: all target-leaning
+    assert(out(2L) == ((4L, 0L, 4L, -4L)))  // tax law ×2: all raw-leaning
+    assert(out(3L) == ((2L, 1L, 1L, 0L)))   // ml + tax: net zero
+    // ranking by score orders docs by domain match, the DSIR read
+    val ranked = out.toSeq.sortBy(-_._2._4).map(_._1)
+    assert(ranked == Seq(1L, 3L, 2L))
+    // empty target: totals coalesce to 0 (uniform-smoothing degenerate),
+    // no nulls anywhere
+    val empty = Corpus.importanceWeights(raw,
+      target.filter(col("doc_id") < 0L), "doc_id", "text")
+    assert(empty.count() == 3L)
+    assert(empty.filter(col("score").isNull).count() == 0L)
+  }
+
   test("graft-wds source round-trips writeWebDatasetShards samples exactly") {
     val docs = (0 until 40).map(i =>
       (i.toLong, s"caption for sample $i".getBytes("UTF-8"),

@@ -61,6 +61,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(finalScans(q("vocab_top"), "documents") == 1)
   }
 
+  test("corpus_budget_select holds the 2-scan floor (per-score offsets, no global sort)") {
+    assert(finalScans(q("corpus_budget_select"), "documents") == 2)
+  }
+
+  test("text_importance holds the 3-scan floor (totals ride the freq exchanges)") {
+    // raw probe + raw freq + filtered target; nRaw/nTgt must appear as
+    // ReusedExchange over the freq subtrees, not extra corpus scans
+    val df = q("text_importance")
+    assert(finalScans(df, "documents") == 3)
+    val finalSection = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalSection.linesIterator.count(_.contains("ReusedExchange")) >= 2)
+  }
+
   test("a deliberate recompute shape IS caught by the counter") {
     // sanity-check the guard itself: the pre-fix bigram formulation
     // (context count re-exploded from the corpus) must count 3 scans
