@@ -328,11 +328,20 @@ object Dedup {
     * jaccardPairs outputs (Spark's CheckAnalysis rejects duplicate metric
     * names in a plan). Pass `maxShingleFreq = None` only for small-corpus
     * exact runs.
+    *
+    * Even exact mode is not unguarded: a single corpus-wide stop shingle
+    * at 100k rows would build one collect_list bucket of 100k entries and
+    * stream C(100k,2) ≈ 5·10^9 pairs through ONE task. The `None` path
+    * therefore carries a hard `exactBucketCeiling`: any bucket larger than
+    * it THROWS at runtime (scan-side `assert_true`, no extra job) with
+    * guidance, so the worst case is a loud failure, never an OOM-shaped
+    * runaway task. Exactness below the ceiling is untouched.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxShingleFreq: Option[Int] = Some(1000),
-                   observeName: Option[String] = None): DataFrame = {
+                   observeName: Option[String] = None,
+                   exactBucketCeiling: Int = 10000): DataFrame = {
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .withColumn("sh_size", size(col("sh")).cast("long"))
     // invert on the 64-bit shingle hash, not the string: ~4× smaller
@@ -357,6 +366,15 @@ object Dedup {
             .as("dropped_hot_buckets"))
         .filter(size(col("docs")) <= cap)
       case None => buckets0
+        .withColumn("__guard", assert_true(
+          size(col("docs")) <= exactBucketCeiling,
+          concat(lit("graft exact-Jaccard bucket overflow: a shingle is " +
+              "shared by "), size(col("docs")),
+            lit(s" documents (> exactBucketCeiling=$exactBucketCeiling); " +
+              "exact all-pairs would emit C(f,2) pairs in one task. Use " +
+              "the maxShingleFreq stop-shingle cap, MinHash-LSH, or raise " +
+              "exactBucketCeiling deliberately."))))
+        .filter(col("__guard").isNull).drop("__guard")
     }
     // PairGenerator streams each bucket's (i<j) pairs row-at-a-time (an
     // explode-analog Generator): per-bucket memory stays O(docs), not
@@ -410,12 +428,18 @@ object Dedup {
     * corpus docs is dropped, bounding the per-shingle probe fan-out at any
     * corpus size); the per-list count rides the SAME shuffle the probe
     * join needs (a partition-local window over `shingle`), so the cap
-    * costs no extra exchange. */
+    * costs no extra exchange.
+    *
+    * The exact (`maxShingleFreq = None`) path carries the same hard
+    * `exactBucketCeiling` as [[jaccardPairs]]: a posting list longer than
+    * the ceiling THROWS with guidance instead of fanning every probe out
+    * against an unbounded stop-shingle list. */
   def jaccardPairsAgainst(newDf: DataFrame, corpus: DataFrame, idCol: String,
                           textCol: String, n: Int = 3,
                           threshold: Double = 0.5,
                           maxShingleFreq: Option[Int] = Some(1000),
-                          observeName: Option[String] = None): DataFrame = {
+                          observeName: Option[String] = None,
+                          exactBucketCeiling: Int = 10000): DataFrame = {
     def inverted(df: DataFrame): DataFrame = {
       val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
         .withColumn("sh_size", size(col("sh")).cast("long"))
@@ -435,7 +459,19 @@ object Dedup {
             sum(when(col("__f") > cap, lit(1L)).otherwise(lit(0L)))
               .as("dropped_hot_postings"))
           .filter(col("__f") <= cap).drop("__f")
-      case None => post0
+      case None =>
+        val w = Window.partitionBy("shingle")
+        post0.withColumn("__f", count(lit(1)).over(w))
+          .withColumn("__guard", assert_true(
+            col("__f") <= exactBucketCeiling,
+            concat(lit("graft exact-Jaccard posting overflow: a shingle " +
+                "posts "), col("__f"),
+              lit(s" corpus documents (> exactBucketCeiling=" +
+                s"$exactBucketCeiling); every probe would fan out against " +
+                "the full list. Use the maxShingleFreq stop-shingle cap, " +
+                "minhashLshAgainst, or raise exactBucketCeiling " +
+                "deliberately."))))
+          .filter(col("__guard").isNull).drop("__guard", "__f")
     }
     probe.join(postings, "shingle")
       .groupBy("i", "j", "si", "sj")
@@ -538,34 +574,70 @@ object Dedup {
   def dropDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("j").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
-  /** Connected components over dup pairs via iterative label propagation
-    * (small iteration count; each step one shuffle). Returns (id, component)
-    * where component = min id reachable. */
+  /** Connected components over dup pairs via min-label propagation with
+    * pointer doubling. Returns (id, component) where component = min id
+    * reachable.
+    *
+    * Each round does (a) a one-hop neighbor min and (b) a pointer jump
+    * `comp := comp(comp)` — the label a node holds is itself a node id, so
+    * looking up THAT node's label shortcuts the chain. The reachable
+    * distance covered grows as d' = 2d + 2 per round, so a duplicate chain
+    * of diameter D converges in O(log D) rounds (diameter 62 in 5), where
+    * plain one-hop propagation needs D rounds — the difference between a
+    * bounded loop and silent truncation on the >10-hop drifting-template
+    * chains web corpora produce at 100 TB.
+    *
+    * An unconverged exit can never return silently: if labels still moved
+    * at `maxIter`, this THROWS with the iteration budget in the message.
+    * With pointer doubling the default budget covers diameters past 2^10,
+    * so hitting it means something is genuinely wrong with the input, and
+    * truncated closures must not masquerade as a clean dedup. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val edges = pairs.select(col("i"), col("j"))
       .unionByName(pairs.select(col("j").as("i"), col("i").as("j")))
     var labels = edges.select(col("i").as("id"))
       .union(edges.select(col("j").as("id"))).distinct()
       .withColumn("comp", col("id"))
+      .localCheckpoint(eager = true)
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
-      val prop = edges.join(labels, edges("j") === labels("id"))
-        .select(edges("i").as("id"), col("comp"))
-      val next = labels.select(col("id"), col("comp")).unionByName(prop)
+      // (a) one-hop: take the min label across self and all neighbors.
+      // Checkpointed BEFORE the self-join below: a leaf plan keeps the
+      // per-round lineage constant-depth and sidesteps Union-constraint
+      // attribute dedup in the analyzer on self-joined union plans.
+      val oneHop = labels.select(col("id"), col("comp"))
+        .unionByName(edges.join(labels, edges("j") === labels("id"))
+          .select(edges("i").as("id"), col("comp")))
         .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint(eager = true)
+      // (b) pointer jump: comp is itself a node id with a row in oneHop
+      // (labels only ever hold reachable node ids), so an inner self-join
+      // resolves comp -> comp(comp); least() keeps min-monotonicity explicit
+      val next = oneHop
+        .join(oneHop.select(col("id").as("hid"), col("comp").as("hcomp")),
+          col("comp") === col("hid"))
+        .select(col("id"), least(col("comp"), col("hcomp")).as("comp"))
       val diff = next.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
         .filter(col("comp") =!= col("old")).limit(1).count()
       changed = diff > 0
-      labels = next.localCheckpoint(eager = true)
+      labels = next
       iter += 1
     }
+    require(!changed,
+      s"connectedComponents did not converge within maxIter=$maxIter " +
+        "iterations: labels were still moving, so the returned components " +
+        "would be silently truncated. Raise maxIter (pointer doubling " +
+        "covers diameter ~2^maxIter) or inspect the pair list for " +
+        "pathological structure.")
     labels
   }
 
   /** Full near-dup corpus dedup: find pairs (EXACT Jaccard below
     * `exactCorpusLimit` rows — the hot-shingle cap is disabled there, so
-    * "exact" means exact; MinHash-LSH above), cluster them transitively,
+    * "exact" means exact, while [[jaccardPairs]]' `exactBucketCeiling`
+    * still turns a corpus-wide stop shingle into a loud error rather than
+    * a C(f,2) runaway task; MinHash-LSH above), cluster them transitively,
     * keep each cluster's min-id representative. Returns (cleanedDf, stats).
     * The full `df.count()` is not a probe overhead: the stats contract
     * needs `total` regardless, and mode selection rides the same number. */

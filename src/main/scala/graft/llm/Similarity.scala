@@ -529,11 +529,11 @@ object Similarity {
     *
     * The pairs are checkpointed ONCE before label propagation — the
     * iterative closure would otherwise re-execute the whole
-    * cluster-assign + pairwise-cosine plan on every iteration. Min-id
-    * propagation moves one hop per iteration, so `maxIter` bounds the
-    * DIAMETER of a duplicate chain it can close (10 covers realistic
-    * near-dup chains; raise it for slowly-drifting boilerplate chains
-    * longer than that). */
+    * cluster-assign + pairwise-cosine plan on every iteration. Label
+    * propagation pointer-doubles (see
+    * [[graft.llm.Dedup.connectedComponents]]), so `maxIter` bounds a
+    * duplicate-chain DIAMETER of roughly 2^maxIter and an unconverged
+    * closure throws instead of returning truncated components. */
   def semanticDedup(corpus: DataFrame, nClusters: Int = 0,
                     threshold: Double = 0.9, trainIters: Int = 0,
                     idCol: String = "vec_id",

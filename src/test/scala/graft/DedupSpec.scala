@@ -304,11 +304,68 @@ class DedupSpec extends SparkSpec {
     assert(defaulted.count() == 190L)
   }
 
+  test("exact-mode jaccardPairs fails loudly past exactBucketCeiling") {
+    // every doc shares one stop shingle -> one bucket holding all 20 docs;
+    // with the ceiling below the bucket size the exact path must THROW,
+    // never stream C(f,2) pairs from a single task
+    val footer = "alpha beta gamma"
+    val hot = (0 until 20).map(i => (i.toLong, s"unique$i token$i $footer"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.jaccardPairs(hot, "doc_id", "text", n = 3, threshold = 0.9,
+        maxShingleFreq = None, exactBucketCeiling = 10).count()
+    }
+    assert(exceptionChain(e).exists(_.getMessage != null) &&
+      exceptionChain(e).exists(m => Option(m.getMessage)
+        .exists(_.contains("bucket overflow"))),
+      s"expected bucket-overflow guidance, got: ${e.getMessage}")
+    // below the ceiling the exact path is untouched
+    val ok = Dedup.jaccardPairs(hot, "doc_id", "text", n = 3, threshold = 0.01,
+      maxShingleFreq = None, exactBucketCeiling = 25)
+    assert(ok.count() == 190L) // C(20,2)
+  }
+
+  test("exact-mode jaccardPairsAgainst fails loudly past exactBucketCeiling") {
+    val footer = "alpha beta gamma"
+    val corpus = (0 until 20).map(i => (i.toLong, s"unique$i token$i $footer"))
+      .toDF("doc_id", "text")
+    val fresh = Seq((100L, s"new words entirely $footer")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.jaccardPairsAgainst(fresh, corpus, "doc_id", "text", n = 3,
+        threshold = 0.9, maxShingleFreq = None, exactBucketCeiling = 10).count()
+    }
+    assert(exceptionChain(e).exists(m => Option(m.getMessage)
+      .exists(_.contains("posting overflow"))),
+      s"expected posting-overflow guidance, got: ${e.getMessage}")
+  }
+
+  private def exceptionChain(e: Throwable): List[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toList
+
   test("connectedComponents labels dup clusters with their min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("i", "j")
     val comp = Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("connectedComponents closes a 50-hop chain in <= 7 iterations") {
+    // a -> b -> c -> ... drifting-template chain: 50 docs, each a near-dup
+    // of the next; one-hop propagation needs 49 rounds, pointer doubling
+    // must close it within the 7-round budget (d' = 2d + 2 per round)
+    val pairs = (0L until 49L).map(i => (i, i + 1)).toDF("i", "j")
+    val comp = Dedup.connectedComponents(pairs, maxIter = 7)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.size == 50)
+    assert(comp.values.toSet == Set(0L))
+  }
+
+  test("connectedComponents throws loudly when unconverged at maxIter") {
+    val pairs = (0L until 49L).map(i => (i, i + 1)).toDF("i", "j")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, maxIter = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
   }
 
   test("dedupCorpus removes transitive near-dup clusters, keeps representatives") {
