@@ -1957,8 +1957,8 @@ object SparkEntry {
         |  WHERE length(token) > 0),
         |rf AS (SELECT token, count(*) AS rf FROM tkraw GROUP BY token),
         |tfq AS (SELECT token, count(*) AS tf_t FROM tktgt GROUP BY token),
-        |nr AS (SELECT sum(rf) AS n_raw FROM rf),
-        |nt AS (SELECT sum(tf_t) AS n_tgt FROM tfq),
+        |nr AS (SELECT coalesce(sum(rf), 0) AS n_raw FROM rf),
+        |nt AS (SELECT coalesce(sum(tf_t), 0) AS n_tgt FROM tfq),
         |j AS (SELECT k.doc_id,
         |    CASE WHEN (coalesce(tf_t, 0) + 1) * (n_raw + 1) > (rf + 1) * (n_tgt + 1) THEN 1
         |         WHEN (coalesce(tf_t, 0) + 1) * (n_raw + 1) < (rf + 1) * (n_tgt + 1) THEN -1

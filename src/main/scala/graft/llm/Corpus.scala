@@ -232,11 +232,18 @@ object Corpus {
     * single-partition cumulative window over the DISTINCT lengths only
     * (bounded domain — document lengths, not documents), a broadcast
     * total, and a tiny quantile×length filter. The corpus itself is
-    * never globally sorted. */
+    * never globally sorted.
+    *
+    * The bounded-domain premise is ENFORCED, not assumed: the distinct
+    * cardinality is counted on the same single-partition window exchange
+    * the totals already ride (zero extra jobs or corpus passes) and a
+    * domain past `maxDomain` THROWS with guidance instead of silently
+    * grinding a corpus-sized single-task window. */
   def lengthQuantiles(df: DataFrame, lenCol: String,
                       qs: Seq[(String, Int, Int)] = Seq(
                         ("p10", 1, 10), ("p25", 1, 4), ("p50", 1, 2),
-                        ("p75", 3, 4), ("p90", 9, 10))): DataFrame = {
+                        ("p75", 3, 4), ("p90", 9, 10)),
+                      maxDomain: Long = 10000000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // percentile_disc ignores NULLs: they must enter neither the counts
@@ -251,6 +258,14 @@ object Corpus {
       sum("cnt").over(Window.orderBy("len")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("n", sum("cnt").over(Window.partitionBy(lit(1))))
+      .withColumn("__dom", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("__guard", assert_true(col("__dom") <= maxDomain,
+        concat(lit("graft lengthQuantiles domain overflow: "), col("__dom"),
+          lit(s" distinct values exceed maxDomain=$maxDomain — the " +
+            "single-partition cumulative window assumes a bounded value " +
+            "domain. Bucket/round the length column, or raise maxDomain " +
+            "deliberately."))))
+      .filter(col("__guard").isNull).drop("__guard", "__dom")
     qs.toDF("q", "num", "den")
       .crossJoin(cum)
       .filter(col("cum") >= expr("(num * n + den - 1) DIV den"))
@@ -275,26 +290,56 @@ object Corpus {
     * discipline — quality scores in this library are rounded rationals,
     * a bounded domain, not raw floats); docs join their score's
     * cumulative offset back (aggregate-small side, AQE broadcasts) and
-    * only groups whose offset is still under budget reach the per-score
+    * only groups whose offset is still within budget reach the per-score
     * intra-group window that settles the boundary group's id-ordered
     * tie-break. Degenerate corpora where most documents share one score
     * concentrate that group in one window partition — score with a
-    * discriminating signal (that is the operator's premise). */
+    * discriminating signal (that is the operator's premise).
+    *
+    * The caller's projection typically carries the EXPENSIVE part — a
+    * regex-heavy quality score and a token count — and the per-score
+    * aggregate and the join-back would each evaluate it once. The narrow
+    * scored base (id, score, n_tokens — three columns, whatever the
+    * corpus width) is therefore materialized ONCE via `localCheckpoint`
+    * (the [[buildTrainingSet]] discipline) and both subtrees read the
+    * cheap materialization: one scoring pass, not two.
+    *
+    * Like [[lengthQuantiles]], the bounded-score-domain premise is
+    * ENFORCED: the distinct-score cardinality rides the cumulative
+    * window's own single-partition exchange and a domain past
+    * `maxDomain` THROWS with guidance (round scores to rationals — raw
+    * floats make the domain corpus-sized) instead of logging a
+    * `WindowExec: No Partition Defined` warning and grinding on. */
   def selectToTokenBudget(df: DataFrame, idCol: String, scoreCol: String,
-                          tokensCol: String, budget: Long): DataFrame = {
+                          tokensCol: String, budget: Long,
+                          maxDomain: Long = 10000000L): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     val base = df.select(col(idCol).as("id"), col(scoreCol).as("score"),
         col(tokensCol).cast("long").as("n_tokens"))
       .filter(col("score").isNotNull && col("n_tokens").isNotNull)
+      .localCheckpoint(eager = true)
     val groups = base.groupBy("score").agg(sum("n_tokens").as("__gtot"))
     val before = groups.withColumn("__before",
       coalesce(sum("__gtot").over(Window.orderBy(col("score").desc)
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__dom", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("__guard", assert_true(col("__dom") <= maxDomain,
+        concat(lit("graft selectToTokenBudget domain overflow: "),
+          col("__dom"),
+          lit(s" distinct scores exceed maxDomain=$maxDomain — the " +
+            "per-score cumulative window assumes a bounded score domain. " +
+            "Round scores to rationals (raw floats make the domain " +
+            "corpus-sized), or raise maxDomain deliberately."))))
+      .filter(col("__guard").isNull)
       .select("score", "__before")
     val localW = Window.partitionBy("score").orderBy("id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base.join(before, "score")
-      .filter(col("__before") < budget) // fully-over groups never reach the window
+      // fully-over groups never reach the window; <= (not <) so a group
+      // whose offset lands EXACTLY on the budget still surfaces its
+      // zero-token head docs, matching the running-sum oracle's
+      // cum <= budget semantics at the boundary
+      .filter(col("__before") <= budget)
       .withColumn("cum_tokens", col("__before") + sum("n_tokens").over(localW))
       .filter(col("cum_tokens") <= budget)
       .select(col("id").as(idCol), col("score").as(scoreCol),

@@ -31,10 +31,19 @@ object FrameDecoder {
   final case class Frame(frameCount: Int, frameIndex: Int, luminance: Float)
 
   /** Registered decoders, loaded once per JVM (executor-side — the
-    * object is re-initialized there, never shipped). */
+    * object is re-initialized there, never shipped).
+    *
+    * Loaded through the task thread's context classloader: a deployment
+    * codec jar added via `--jars`/`addJar` lands in Spark's child
+    * (mutable user) classloader, which the executor sets as the context
+    * loader for task threads — `classOf[FrameDecoder].getClassLoader`
+    * would miss those registrations whenever graft itself sits on the
+    * system classpath, silently falling back to the stub. */
   private[llm] lazy val registered: Seq[FrameDecoder] = {
+    val loader = Option(Thread.currentThread().getContextClassLoader)
+      .getOrElse(classOf[FrameDecoder].getClassLoader)
     val it = java.util.ServiceLoader
-      .load(classOf[FrameDecoder], classOf[FrameDecoder].getClassLoader)
+      .load(classOf[FrameDecoder], loader)
       .iterator()
     val buf = scala.collection.mutable.ArrayBuffer.empty[FrameDecoder]
     while (it.hasNext) buf += it.next()

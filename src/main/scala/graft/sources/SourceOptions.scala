@@ -42,8 +42,13 @@ object SourceOptions {
             case 'r'  => sb += '\r'
             case 't'  => sb += '\t'
             case 'u' =>
-              if (i + 4 >= end + 1) fail("4 hex digits")
-              sb += Integer.parseInt(t.substring(i + 1, i + 5), 16).toChar
+              // all four digits must precede the closing ']' (index `end`)
+              if (i + 4 >= end) fail("4 hex digits")
+              val hex = t.substring(i + 1, i + 5)
+              if (!hex.forall(c => c.isDigit ||
+                  ('a' <= c && c <= 'f') || ('A' <= c && c <= 'F')))
+                fail("4 hex digits")
+              sb += Integer.parseInt(hex, 16).toChar
               i += 4
             case c => fail(s"valid escape (got \\$c)")
           }

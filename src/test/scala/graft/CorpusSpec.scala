@@ -308,6 +308,44 @@ class CorpusSpec extends SparkSpec {
       .collect().toSeq == out)
   }
 
+  test("selectToTokenBudget keeps zero-token heads of a group landing exactly on budget") {
+    // group score=2 starts at __before == budget (300): the oracle's
+    // running sum keeps its zero-token head docs (cum == budget)
+    val df = Seq(
+      (1L, 3.0, 300L), // cum 300 == budget
+      (2L, 2.0, 0L),   // cum 300 == budget -> kept
+      (3L, 2.0, 50L)   // cum 350 -> out
+    ).toDF("doc_id", "score", "toks")
+    val out = Corpus.selectToTokenBudget(df, "doc_id", "score", "toks", 300L)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(out == Seq(1L, 2L))
+  }
+
+  test("distinct-domain windows fail loudly past maxDomain") {
+    // 5 distinct lengths over a bound of 3: the bounded-domain premise is
+    // enforced on the window's own exchange, not just warned about
+    val lens = spark.range(1, 6).select(col("id").as("len"))
+    val e = intercept[Exception] {
+      graft.llm.Corpus.lengthQuantiles(lens, "len", maxDomain = 3L).count()
+    }
+    assert(chain(e).exists(t => Option(t.getMessage)
+      .exists(_.contains("domain overflow"))), s"got: ${e.getMessage}")
+    val scored = Seq((1L, 1.0, 10L), (2L, 2.0, 10L), (3L, 3.0, 10L),
+      (4L, 4.0, 10L)).toDF("doc_id", "score", "toks")
+    val e2 = intercept[Exception] {
+      Corpus.selectToTokenBudget(scored, "doc_id", "score", "toks", 100L,
+        maxDomain = 2L).count()
+    }
+    assert(chain(e2).exists(t => Option(t.getMessage)
+      .exists(_.contains("domain overflow"))), s"got: ${e2.getMessage}")
+    // under the bound, results are untouched
+    assert(Corpus.selectToTokenBudget(scored, "doc_id", "score", "toks", 100L,
+      maxDomain = 10L).count() > 0)
+  }
+
+  private def chain(e: Throwable): List[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toList
+
   test("importanceWeights: integer sign-of-ratio leans match hand computation") {
     // target is pure "ml ml data"; raw docs differ in how target-like
     // their tokens are

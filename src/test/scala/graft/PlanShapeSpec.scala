@@ -61,8 +61,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(finalScans(q("vocab_top"), "documents") == 1)
   }
 
-  test("corpus_budget_select holds the 2-scan floor (per-score offsets, no global sort)") {
-    assert(finalScans(q("corpus_budget_select"), "documents") == 2)
+  test("corpus_budget_select scores once: both subtrees read the checkpointed base") {
+    // the regex-heavy scoring projection runs in the eager localCheckpoint
+    // job; the returned plan must read ONLY the materialized narrow base
+    // (zero corpus rescans — the r10 fix for the double-scoring pass)
+    val df = q("corpus_budget_select")
+    assert(finalScans(df, "documents") == 0)
+    val finalSection = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalSection.contains("ExistingRDD") ||
+      finalSection.contains("Scan ExistingRDD"),
+      s"expected the checkpointed base as the leaf, got:\n$finalSection")
   }
 
   test("text_importance holds the 3-scan floor (totals ride the freq exchanges)") {

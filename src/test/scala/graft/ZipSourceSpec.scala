@@ -62,6 +62,15 @@ class ZipSourceSpec extends SparkSpec {
     assert(parseJsonStringArray("[]").isEmpty)
     intercept[IllegalArgumentException](parseJsonStringArray("not an array"))
     intercept[IllegalArgumentException](parseJsonStringArray("""["unclosed"""))
+    // \uXXXX escapes: valid ones decode; truncated-at-bracket and non-hex
+    // ones surface the parser's own error, not NumberFormatException
+    assert(parseJsonStringArray("[\"\\u0041.zip\"]") == Seq("A.zip"))
+    val truncated = intercept[IllegalArgumentException](
+      parseJsonStringArray("[\"\\u00\"]"))
+    assert(truncated.getMessage.contains("4 hex digits"))
+    val nonHex = intercept[IllegalArgumentException](
+      parseJsonStringArray("[\"\\u00zz.zip\"]"))
+    assert(nonHex.getMessage.contains("4 hex digits"))
     // end-to-end: a multi-path load where one directory name contains a
     // comma — the old bracket-strip/comma-split mis-parsed exactly this
     val dir = java.nio.file.Files.createTempDirectory("graft-zipsrc4").toString
