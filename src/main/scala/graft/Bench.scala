@@ -11,8 +11,10 @@ import org.apache.spark.sql.SparkSession
   * discipline. Each query is then timed `SPARK_GRAFT_BENCH_PASSES` times
   * (default 5) and the per-query MEDIAN reported: single-pass timing on a
   * shared container produced two rounds of ghost regressions (±30%+
-  * contention spikes) that medians suppress. Queries run in sorted name
-  * order, one action per pass.
+  * contention spikes) that medians suppress. The JSON also carries a
+  * parallel `spread` map (max−min seconds over the passes per query) so a
+  * recorded number can be read against its own run-internal dispersion.
+  * Queries run in sorted name order, one action per pass.
   *
   * CONTENTION GUARD: a fixed CPU-bound calibration probe (hash-reduce over
   * `spark.range`, no IO, no data dependence) runs before and after the
@@ -72,6 +74,11 @@ object Bench {
 
     val calBefore = calibrate(spark)
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
+    // per query: (median, spread = max - min over the passes). The spread
+    // rides along in the JSON so a recorded regression can be read against
+    // the run's own dispersion instead of a cross-round guess — ±17%
+    // judge-to-judge total swings with healthy calibration were the r9
+    // round signal's largest error bar.
     val results = names.map { name =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
@@ -79,7 +86,7 @@ object Bench {
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.length / 2)
+      (name, times(times.length / 2), times.last - times.head)
     }
     val calAfter = calibrate(spark)
     val contended = math.max(calBefore, calAfter) >
@@ -89,11 +96,15 @@ object Bench {
         f"WARNING: calibration probe $calBefore%.2fs/$calAfter%.2fs vs " +
           f"healthy $CalibrationHealthySec%.2fs — container contended; " +
           "timings below overstate the engine's cost")
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // "queries" stays a flat name->seconds map (the driver contract);
+    // per-query dispersion is a SEPARATE parallel map
+    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
+      .mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, sp) => "\"" + k + "\":" + sp }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_sec":[$calBefore,$calAfter],"contended":$contended}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"passes":$passes,"sf":"$sfDir","calibration_sec":[$calBefore,$calAfter],"contended":$contended}"""
     println(json)
     // Also self-record to a file: the driver captures a bounded stdout
     // tail, and an 84-query JSON line can outgrow it (the r8 artifact

@@ -41,6 +41,7 @@ object Cli {
       |  get <key> [-o <path>]            blob bytes (stdout or file)
       |  versions                         sorted snapshot versions
       |  diff -v <version>                +/- diff lines of one version
+      |  config                           print archive (and dataset) config
       |  memorious-sync -i <dir> [--name-only|--strip-prefix P|--key-template T]
       |  migrate-reference -i <refLakeRoot> [--meta-prefix P]
       |                                   migrate a reference-layout dataset in
@@ -101,6 +102,11 @@ object Cli {
         }
       case (None, _) | (_, Nil) =>
         out.println(Usage); 2
+      case (Some(root), "config" :: Nil) =>
+        // cli.py:97-108: print the runtime configuration for the archive
+        // and, when one is selected with -d, the dataset — one JSON line
+        // per object, the write_obj(-) analog
+        printConfig(spark, root, dataset, out)
       case (Some(root), cmd :: cmdArgs) =>
         val arch = new GraftArchive(spark, root)
         def ds: GraftDataset = dataset match {
@@ -202,6 +208,43 @@ object Cli {
     val statsJson = stats.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${jsonEscape(k)}":$v""" }.mkString(",")
     out.println(s"""{$statsJson,"packed":$packedRows,"out":"${jsonEscape(outDir)}"}""")
+    0
+  }
+
+  /** `config` (cli.py:97-108): archive config as one JSON line; with a
+    * dataset selected, its `config.yml` — searched under the current
+    * `.graft` metadata prefix and the reference-layout `.ftm_datalake` /
+    * legacy `.leakrfc` prefixes (the same set the migration path reads) —
+    * parsed via [[graft.core.Config]] and printed as a second line.
+    * A dataset without a config file prints its defaults (the reference
+    * serializes the in-memory model the same way). */
+  private def printConfig(spark: SparkSession, root: String,
+                          dataset: Option[String], out: PrintStream): Int = {
+    val r = root.stripSuffix("/")
+    out.println(s"""{"archive":{"root":"${jsonEscape(r)}"}}""")
+    dataset.foreach { name =>
+      val conf = spark.sparkContext.hadoopConfiguration
+      val candidates = Seq(".graft", ".ftm_datalake", ".leakrfc")
+        .map(p => new org.apache.hadoop.fs.Path(s"$r/$name/$p/config.yml"))
+      val cfg = candidates.find(p => p.getFileSystem(conf).exists(p))
+        .map { p =>
+          val in = p.getFileSystem(conf).open(p)
+          val text = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+          graft.core.Config.datasetConfig(text)
+        }
+        .getOrElse(graft.core.Config.DatasetConfig(name = name))
+      def j(v: Option[String]): String =
+        v.map(s => s""""${jsonEscape(s)}"""").getOrElse("null")
+      out.println(
+        s"""{"dataset":{"name":"${jsonEscape(cfg.name)}"""" +
+          s""","title":${j(cfg.title)},"prefix":${j(cfg.prefix)}""" +
+          s""","metadata_prefix":"${jsonEscape(cfg.metadataPrefix)}"""" +
+          s""","checksum_algorithm":"${jsonEscape(cfg.checksumAlgorithm)}"""" +
+          s""","public_url":${j(cfg.publicUrl)}""" +
+          s""","storage_uri":${j(cfg.storageUri)}}}""")
+    }
     0
   }
 

@@ -19,7 +19,10 @@ object ExplainAudit extends App {
       "text_gopher_gate", "text_c4_clean", "text_line_stats",
       "dedup_simhash_incremental", "dedup_semantic_incremental",
       "text_bigram_surprisal", "text_surprisal", "tfidf_keywords",
-      "ann_ivf_pq_topk"))
+      "ann_ivf_pq_topk",
+      // round-9 additions (r10: plan-guarded single-scoring-pass /
+      // 3-scan-floor shapes)
+      "corpus_budget_select", "text_importance"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

@@ -168,6 +168,33 @@ class CliSpec extends SparkSpec {
     assert(gout.contains("\"input\":60") && gout.contains("\"packed\":0"))
   }
 
+  test("config prints archive and dataset configuration (cli.py:97-108)") {
+    // golden output against the reference fixture's own config.yml
+    val archive = "/root/reference/tests/fixtures/archive"
+    val (c1, archOnly) = cli("--archive", archive, "config")
+    assert(c1 == 0)
+    assert(archOnly.trim ==
+      s"""{"archive":{"root":"$archive"}}""")
+    val (c2, withDs) =
+      cli("--archive", archive, "-d", "test_dataset", "config")
+    assert(c2 == 0)
+    val lines = withDs.trim.linesIterator.toSeq
+    assert(lines.size == 2)
+    assert(lines(0) == s"""{"archive":{"root":"$archive"}}""")
+    assert(lines(1) ==
+      """{"dataset":{"name":"test_dataset","title":"Test_Dataset",""" +
+        """"prefix":"test-dataset","metadata_prefix":".leakrfc",""" +
+        """"checksum_algorithm":"sha1",""" +
+        """"public_url":"https://example.org/test_dataset/",""" +
+        """"storage_uri":null}}""")
+    // a dataset with no config.yml prints its defaults
+    val lake = java.nio.file.Files.createTempDirectory("cli-cfg").toString
+    val (c3, defaults) = cli("--archive", lake, "-d", "fresh_ds", "config")
+    assert(c3 == 0)
+    assert(defaults.contains(""""name":"fresh_ds""""))
+    assert(defaults.contains(""""metadata_prefix":".ftm_datalake""""))
+  }
+
   test("usage and error paths return non-zero codes") {
     assert(cli()._1 == 2)
     assert(cli("--archive", "/tmp/nowhere")._1 == 2) // no command
