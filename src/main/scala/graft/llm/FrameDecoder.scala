@@ -39,7 +39,7 @@ object FrameDecoder {
     * loader for task threads — `classOf[FrameDecoder].getClassLoader`
     * would miss those registrations whenever graft itself sits on the
     * system classpath, silently falling back to the stub. */
-  private[llm] lazy val registered: Seq[FrameDecoder] = {
+  private[graft] lazy val registered: Seq[FrameDecoder] = {
     val loader = Option(Thread.currentThread().getContextClassLoader)
       .getOrElse(classOf[FrameDecoder].getClassLoader)
     val it = java.util.ServiceLoader

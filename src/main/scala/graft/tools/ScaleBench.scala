@@ -47,7 +47,8 @@ object ScaleBench {
     "tfidf_keywords", "ev_asof_join", "ev_range_join",
     "dedup_strip_spans", "text_surprisal", "bpe_tokens",
     "text_gopher_gate", "text_line_stats", "text_c4_clean",
-    "text_bigram_surprisal", "dedup_simhash_incremental")
+    "text_bigram_surprisal", "dedup_simhash_incremental",
+    "corpus_budget_select", "text_importance")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length
@@ -156,9 +157,9 @@ object ScaleBench {
   def allProbes: Seq[String] = ProbeQueries ++ pinned.keys.toSeq.sorted
 
   /** Best-of-`runs` wall time (and result rows) per probe query. */
-  def measure(spark: SparkSession, dir: String,
-              runs: Int): Map[String, (Double, Long)] =
-    allProbes.map { name =>
+  def measure(spark: SparkSession, dir: String, runs: Int,
+              probes: Seq[String] = allProbes): Map[String, (Double, Long)] =
+    probes.map { name =>
       val fn = pinned.getOrElse(name, graft.SparkEntry.queries(name))
       var rows = 0L
       val ts = (1 to runs).map { _ =>
@@ -172,16 +173,23 @@ object ScaleBench {
     val workDir = args.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("scaleprobe").toString)
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional 4th arg: comma-separated probe subset (targeted re-probes
+    // skip re-timing the whole family; the synthesized corpus is reused
+    // when workDir already holds one)
+    val probes = args.lift(3).map(_.split(",").toSeq).getOrElse(allProbes)
     val spark = graft.GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val tSynth = time(synthesize(spark, srcDir, workDir, copies))
+    val alreadySynth = new java.io.File(s"$workDir/documents.parquet").exists()
+    val tSynth =
+      if (alreadySynth) 0.0
+      else time(synthesize(spark, srcDir, workDir, copies))
     // warmup pass (codegen + JIT) at 1× before any measurement
-    measure(spark, srcDir, runs = 1)
-    val t1 = measure(spark, srcDir, runs = 2)
-    val t10 = measure(spark, workDir, runs = 2)
+    measure(spark, srcDir, runs = 1, probes)
+    val t1 = measure(spark, srcDir, runs = 2, probes)
+    val t10 = measure(spark, workDir, runs = 2, probes)
 
-    val items = allProbes.map { q =>
+    val items = probes.map { q =>
       val ((s1, r1), (s10, r10)) = (t1(q), t10(q))
       val ratio = s10 / s1
       s""""$q":{"t1":${f"$s1%.3f"},"t${copies}x":${f"$s10%.3f"},"ratio":${f"$ratio%.2f"},"rows1":$r1,"rows${copies}x":$r10}"""
