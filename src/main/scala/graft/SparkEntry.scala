@@ -1020,6 +1020,15 @@ object SparkEntry {
           w = 8, minDocs = 3)
         .select("doc_id", "clean_text")),
 
+    "dedup_substring" -> ((s, dir) =>
+      // Lee-et-al exact-substring dup coverage at window granularity:
+      // 50-char windows at 25-char stride, (64-bit hash, doc) exchange
+      // reused by the frequency aggregate and the join probe. The oracle
+      // groups by the window TEXT — equal because 64-bit collisions are
+      // absent at this scale.
+      Dedup.substringDupStats(t(s, dir, "documents"), "doc_id", "text",
+        w = 50, stride = 25, minDocs = 2)),
+
     "text_surprisal" -> ((s, dir) =>
       // CCNet-style unigram-LM rarity: integer inverse-probability
       // surrogate (n_total DIV freq) keeps the score hash-exact across
@@ -1855,6 +1864,24 @@ object SparkEntry {
         |  FROM t)
         |SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
         |FROM s GROUP BY span HAVING count(DISTINCT doc_id) >= 3""".stripMargin,
+
+    "dedup_substring" ->
+      """WITH wins AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 50) AS win
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, len(text) - 49, 25)) AS i
+        |        FROM documents WHERE len(text) >= 50)),
+        |per AS (SELECT win, doc_id, count(*) AS c FROM wins GROUP BY 1, 2),
+        |f AS (SELECT win, count(*) AS nd FROM per GROUP BY 1
+        |      HAVING count(*) >= 2)
+        |SELECT p.doc_id,
+        |  CAST(sum(p.c) AS BIGINT) AS n_windows,
+        |  CAST(sum(CASE WHEN f.nd IS NOT NULL THEN p.c ELSE 0 END) AS BIGINT)
+        |    AS n_dup_windows,
+        |  round(CAST(sum(CASE WHEN f.nd IS NOT NULL THEN p.c ELSE 0 END)
+        |          AS DOUBLE) / CAST(sum(p.c) AS DOUBLE), 6) AS dup_frac
+        |FROM per p LEFT JOIN f USING (win)
+        |GROUP BY 1""".stripMargin,
 
     // relational twin of the map-only compiled rewrite: flag spans in ≥3
     // docs, union covered positions, reassemble surviving tokens in order

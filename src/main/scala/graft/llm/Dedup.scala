@@ -309,6 +309,82 @@ object Dedup {
     docs.join(hits, docs(idCol) === hits("doc_id"), "left_anti")
   }
 
+  // ------------------------------------------------ exact substring dedup
+  /** Cross-document duplicated-substring statistics — the "exact substring
+    * dedup" signal of Lee et al. 2022 (arXiv:2107.06499), computed at
+    * window granularity instead of via a suffix array: every `w`-char
+    * window taken at `stride`-char steps, a window is DUPLICATED when at
+    * least `minDocs` DISTINCT documents contain it. Returns per document
+    * `(doc_id, n_windows, n_dup_windows, dup_frac)` — the standard
+    * "how much of this page is copied text" measure. Complements
+    * [[boilerplateSpans]] (which returns the spans themselves, word-based):
+    * this one scores each DOCUMENT by its duplicated-character coverage.
+    *
+    * 100 TB shape: windows are generated scan-side (explode of an index
+    * sequence + substring + xxhash64, all codegen'd built-ins) and emitted
+    * as (64-bit hash, doc) — ONE full-data exchange, 16 bytes per window,
+    * never text. The explicit hash-partitioning on the window hash serves
+    * all three per-hash steps without re-exchange: the (hash, doc)
+    * aggregate (co-located because hash(h) clusters every (h, doc) group)
+    * and the doc-frequency window (a local sort on the same partitioning).
+    * Only the final per-doc rollup exchanges again — over rows already
+    * collapsed to one per (window, doc). A join-back formulation was
+    * rejected: its duplicated-window build side is corpus-shaped in the
+    * worst case, so AQE would degrade the broadcast to a shuffle join and
+    * re-exchange the probe — the window form never grows a second
+    * full-data exchange (plan-asserted in PlanShapeSpec). A hot window
+    * (shared by millions of docs) lands its (hash, doc) rows in one
+    * window partition — count-only, spillable, and exactly the skew any
+    * h-grouped formulation carries. Documents shorter than `w` chars emit
+    * no windows and are absent from the output (a partial window is not a
+    * window; score short docs with the quality gates). A 64-bit hash
+    * collision perturbs one window's doc-frequency by one — the standard
+    * trade, as in [[contaminationHits]]. */
+  def substringDupStats(df: DataFrame, idCol: String, textCol: String,
+                        w: Int = 50, stride: Int = 25,
+                        minDocs: Int = 2): DataFrame = {
+    require(w > 0 && stride > 0, s"window/stride must be positive ($w/$stride)")
+    require(minDocs >= 2, s"minDocs=$minDocs: a window needs >=2 distinct docs to be a duplicate")
+    val wins = df
+      .filter(length(col(textCol)) >= w)
+      .select(col(idCol).as("doc_id"),
+        col(textCol).as("__t"),
+        explode(sequence(lit(1), length(col(textCol)) - (w - 1), lit(stride)))
+          .as("__i"))
+      .select(col("doc_id"),
+        xxhash64(col("__t").substr(col("__i"), lit(w))).as("__h"))
+    // ONE full-data exchange: hash(h) co-locates every (h, doc) group, so
+    // the aggregate runs exchange-free on top of it
+    val perHashDoc = wins.repartition(col("__h"))
+      .groupBy("__h", "doc_id").agg(count(lit(1)).as("__c"))
+    // rows of perHashDoc are distinct per (hash, doc), so a count over the
+    // hash partition IS the distinct-document frequency — the window needs
+    // only a local sort on the partitioning already in place
+    val withFreq = perHashDoc.withColumn("__nd",
+      count(lit(1)).over(Window.partitionBy(col("__h"))))
+    withFreq.groupBy("doc_id")
+      .agg(sum(col("__c")).as("n_windows"),
+        sum(when(col("__nd") >= minDocs, col("__c")).otherwise(lit(0L)))
+          .as("n_dup_windows"))
+      .withColumn("dup_frac",
+        round(col("n_dup_windows").cast("double") /
+          col("n_windows").cast("double"), 6))
+  }
+
+  /** Strip documents whose duplicated-window fraction exceeds `maxFrac`:
+    * the filter form of [[substringDupStats]]. Documents shorter than `w`
+    * chars have no windows, hence no dup evidence — they are KEPT (gate
+    * short docs with the quality/Gopher filters, not this one). */
+  def dropSubstringDups(df: DataFrame, idCol: String, textCol: String,
+                        maxFrac: Double = 0.5, w: Int = 50, stride: Int = 25,
+                        minDocs: Int = 2): DataFrame = {
+    require(maxFrac >= 0.0 && maxFrac <= 1.0, s"maxFrac=$maxFrac out of [0,1]")
+    val flagged = substringDupStats(df, idCol, textCol, w, stride, minDocs)
+      .filter(col("dup_frac") > maxFrac)
+      .select(col("doc_id").as("__drop_id"))
+    df.join(flagged, df(idCol) === col("__drop_id"), "left_anti")
+  }
+
   // ------------------------------------------------------------ exact jaccard
   /** All pairs (i < j) with shingle-set Jaccard ≥ threshold, via an
     * inverted-index self-join: pairs are only generated for documents

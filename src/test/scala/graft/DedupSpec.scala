@@ -572,4 +572,52 @@ class DedupSpec extends SparkSpec {
     // only doc 2 contains >= 2 of the GIVEN spans
     assert(kept == Set(1L))
   }
+
+  // ------------------------------------------------ exact substring dedup
+  test("substringDupStats measures cross-document window duplication") {
+    // shared passage is aperiodic vs the 25-char stride, so its three
+    // windows (rel 0/25/50) are pairwise distinct strings; doc-unique
+    // parts come from disjoint alphabets so no accidental cross-matches
+    val shared = (0 until 100).map(_ % 7).mkString
+    val docA = shared + "a" * 100    // shared at chars 1..100
+    val docB = "b" * 100 + shared    // shared at chars 101..200 (25-aligned)
+    val docC = "c" * 200             // no cross-doc content
+    val docD = "short"               // < w: no windows, absent from output
+    val df = Seq((1L, docA), (2L, docB), (3L, docC), (4L, docD))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDupStats(df, "doc_id", "text", w = 50, stride = 25)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // 200 chars -> window starts 1,26,...,151 = 7; the 3 fully-shared
+    // windows are duplicated in both carriers
+    assert(out(1L) == ((7L, 3L, 0.428571)))
+    assert(out(2L) == ((7L, 3L, 0.428571)))
+    assert(out(3L) == ((7L, 0L, 0.0)))
+  }
+
+  test("substringDupStats ignores intra-document repeats (minDocs counts DISTINCT docs)") {
+    val p = (0 until 50).map(_ % 7).mkString
+    val df = Seq((1L, p + p), (2L, "z" * 80)).toDF("doc_id", "text")
+    // both docs repeat a window INTERNALLY; no window crosses documents
+    val out = Dedup.substringDupStats(df, "doc_id", "text", w = 50, stride = 25)
+    assert(out.filter(col("n_dup_windows") > 0).isEmpty)
+  }
+
+  test("dropSubstringDups strips docs over the threshold and keeps short docs") {
+    val shared = (0 until 100).map(_ % 7).mkString
+    val df = Seq(
+      (1L, shared + "a" * 100),   // dup_frac 3/7 ~ 0.43
+      (2L, "b" * 100 + shared),
+      (3L, "c" * 200),            // 0.0
+      (4L, "short"))              // windowless: always kept
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropSubstringDups(df, "doc_id", "text", maxFrac = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L))
+    val keptAll = Dedup.dropSubstringDups(df, "doc_id", "text", maxFrac = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptAll == Set(1L, 2L, 3L, 4L))
+  }
 }

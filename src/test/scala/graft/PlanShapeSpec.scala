@@ -84,6 +84,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(finalSection.linesIterator.count(_.contains("ReusedExchange")) >= 2)
   }
 
+  test("dedup_substring is single-scan with one full-data exchange") {
+    // the explicit hash(h) partitioning serves the (h, doc) aggregate AND
+    // the doc-frequency window (local sort only); the only other exchange
+    // is the per-doc rollup over already-collapsed rows. A join-back
+    // relapse would show a second corpus scan or a third exchange.
+    val df = q("dedup_substring")
+    assert(finalScans(df, "documents") == 1)
+    val finalSection = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val exchanges = finalSection.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$finalSection")
+  }
+
   test("a deliberate recompute shape IS caught by the counter") {
     // sanity-check the guard itself: the pre-fix bigram formulation
     // (context count re-exploded from the corpus) must count 3 scans
