@@ -898,6 +898,13 @@ object SparkEntry {
         .filter(TA.sampleByHash(col("text"), 0.25))
         .select("doc_id")),
 
+    "corpus_stratified_sample" -> ((s, dir) =>
+      // exact-k per-stratum sample on the bounded TopKByKey aggregate
+      // (map-side combining, O(k·strata) exchange); the oracle is the
+      // window row_number twin that sorts every stratum in full
+      graft.llm.Corpus.stratifiedSample(t(s, dir, "documents"),
+        "lang", "doc_id", k = 20)),
+
     "corpus_mix" -> ((s, dir) =>
       // weighted corpus mixing: per-source down-sampling rates applied as
       // content-hash predicates inside the scan — zero shuffle, exact
@@ -1672,6 +1679,14 @@ object SparkEntry {
     "corpus_sample_hash" ->
       """SELECT doc_id FROM documents
         |WHERE substring(md5(text), 1, 8) < '40000000'""".stripMargin,
+
+    "corpus_stratified_sample" ->
+      """SELECT lang, rk, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20""".stripMargin,
 
     "corpus_mix" ->
       """SELECT doc_id, source FROM documents

@@ -645,6 +645,12 @@ object GraftExpressions {
     toCol(WordNGrams(expr(text), n))
   def wordChunks(text: Column, size: Int, overlap: Int): Column =
     toCol(WordChunks(expr(text), size, overlap))
+  /** Bounded top-k-per-group: see [[TopKByKey]]. Use inside
+    * `groupBy(...).agg(...)`; returns `array<struct<key, payload>>`
+    * sorted best-first. */
+  def topKByKey(key: Column, payload: Column, k: Int,
+                asc: Boolean = true): Column =
+    toCol(TopKByKey(expr(key), expr(payload), k, asc).toAggregateExpression())
 
   /** Register all graft expressions for SQL use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -221,6 +221,36 @@ object Corpus {
       .drop("__n")
   }
 
+  /** Exact-k deterministic stratified sample: per stratum, the `k`
+    * documents with the smallest `md5(seed + ":" + id)` — a fixed-size
+    * per-group sample (vs [[TextAnalysis.sampleByHash]]'s Bernoulli
+    * FRACTION), reproducible across engines, partitionings, and runs.
+    * Returns `(stratum, rk, id)` with `rk` = 1..k in hash order — the
+    * standard "n examples per language/source" eval-set and
+    * inspection-sample builder.
+    *
+    * 100 TB shape: built on the bounded
+    * [[graft.expressions.TopKByKey]] aggregate — map-side combining,
+    * every partition contributes ≤ k entries per stratum, the exchange
+    * carries O(k·strata) rows. The equivalent
+    * `row_number().over(Window.partitionBy(stratum).orderBy(hash))`
+    * formulation (the SQL oracle's form) sorts every stratum in full —
+    * one corpus-sized task per language at scale. The (hash, id)
+    * composite key makes ranking collision-proof and deterministic. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       k: Int, seed: String = "strat"): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val hkey = struct(
+      md5(concat(lit(s"$seed:"), col(idCol).cast("string"))).as("h"),
+      col(idCol).as("id"))
+    df.groupBy(col(stratumCol))
+      .agg(graft.expressions.GraftExpressions.topKByKey(hkey, col(idCol), k)
+        .as("__top"))
+      .select(col(stratumCol), posexplode(col("__top")))
+      .select(col(stratumCol), (col("pos") + 1).as("rk"),
+        col("col.payload").as(idCol))
+  }
+
   /** Engine-exact length quantiles (percentile_disc semantics: the
     * smallest value whose cumulative count reaches ⌈q·n⌉). Quantiles
     * are passed as RATIONALS (label, num, den) because `0.9 * n` in

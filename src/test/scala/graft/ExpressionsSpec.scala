@@ -275,6 +275,52 @@ class ExpressionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  // ------------------------------------------------------------- topKByKey
+  test("topKByKey matches the window row_number formulation on real data") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sf0, "documents")
+    // composite unique key (hash, id) makes both formulations deterministic
+    val hkey = struct(md5(concat(lit("tk:"), $"doc_id".cast("string"))), $"doc_id")
+    val viaAgg = docs.groupBy($"lang")
+      .agg(GraftExpressions.topKByKey(hkey, $"doc_id", 7).as("top"))
+      .select($"lang", posexplode($"top"))
+      .select($"lang", ($"pos" + 1).as("rk"), $"col.payload".as("doc_id"))
+      .as[(String, Int, Long)].collect().toSet
+    val viaWindow = docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"lang").orderBy(
+          md5(concat(lit("tk:"), $"doc_id".cast("string"))), $"doc_id")))
+      .filter($"rk" <= 7).select($"lang", $"rk", $"doc_id")
+      .as[(String, Int, Long)].collect().toSet
+    assert(viaAgg == viaWindow)
+    assert(viaAgg.nonEmpty)
+  }
+
+  test("topKByKey keeps largest keys when asc=false, skips null keys, handles small groups") {
+    val df = Seq(
+      ("a", Some(3L), 30L), ("a", Some(1L), 10L), ("a", Some(2L), 20L),
+      ("a", None, 99L),    // null key: skipped
+      ("b", Some(5L), 50L) // group smaller than k
+    ).toDF("g", "key", "p")
+    val out = df.groupBy($"g")
+      .agg(GraftExpressions.topKByKey($"key", $"p", 2, asc = false).as("top"))
+      .select($"g", $"top.payload".as("ps"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(out("a") == Seq(30L, 20L))  // best-first (largest keys)
+    assert(out("b") == Seq(50L))
+  }
+
+  test("topKByKey runs under ObjectHashAggregate (map-side combining, no window sort)") {
+    val docs = Tables.load(spark, sf0, "documents")
+    val df = docs.groupBy($"lang")
+      .agg(GraftExpressions.topKByKey($"doc_id", $"doc_id", 3).as("top"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("ObjectHashAggregate"), s"plan:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window sort:\n$plan")
+  }
+
   implicit class Tup3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(t => ((t._1, t._2), t._3)).toMap
   }
