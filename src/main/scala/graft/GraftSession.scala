@@ -38,17 +38,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as a long and convert ns → µs with integer division
-    * (ns epoch values exceed 2^53, so a double-valued `/` would corrupt
-    * them — `div` stays integral). The generator emits µs-precision values,
-    * so the truncation is lossless and matches DuckDB's reading exactly.
-    */
+  /** events.parquet's `ts` encoding has varied across testdata
+    * generations — TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects; `nanosAsLong` reads it as int64 ns, converted ns → µs with
+    * integer `div`: ns epoch values exceed 2^53, a double-valued `/`
+    * would corrupt them) and plain TIMESTAMP(MICROS) without UTC
+    * adjustment (read natively as TIMESTAMP_NTZ). Normalize BOTH to the
+    * session-zone TIMESTAMP the queries expect — sessions here pin UTC,
+    * so the NTZ cast preserves the wall-clock instant DuckDB reads. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     else df
   }
 }

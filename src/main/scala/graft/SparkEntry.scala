@@ -673,6 +673,15 @@ object SparkEntry {
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5)),
 
+    "dedup_components" -> ((s, dir) =>
+      // transitive closure of the near-dup pair list (pointer-doubling
+      // min-label propagation, one observe-metered job per round); the
+      // oracle is a recursive-CTE reachability twin over the same pairs
+      Dedup.connectedComponents(
+          Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+            n = 3, threshold = 0.5))
+        .withColumnRenamed("id", "doc_id")),
+
     "dedup_exact_incremental" -> ((s, dir) => {
       // cross-corpus exact dedup: which "new batch" docs (doc_id % 7 == 0)
       // already exist in the corpus (the rest)? Corpus reduces to one row
@@ -905,6 +914,27 @@ object SparkEntry {
       graft.llm.Corpus.stratifiedSample(t(s, dir, "documents"),
         "lang", "doc_id", k = 20)),
 
+    "corpus_temperature_mix" -> ((s, dir) =>
+      // T=0.5 temperature rebalancing with DATA-DERIVED rates (mT5-style
+      // sqrt flattening): one bounded stratum-count aggregate, then the
+      // zero-shuffle content-hash predicate
+      graft.llm.Corpus.temperatureMix(t(s, dir, "documents"),
+          "source", "text")
+        .select("doc_id", "source")),
+
+    "text_collocations" -> ((s, dir) =>
+      // PMI-lift top bigram collocations; marginals and the total derive
+      // from the one bigram-count table (single corpus scan)
+      graft.llm.Corpus.collocations(t(s, dir, "documents"),
+        "doc_id", "text", minCount = 20, k = 25)),
+
+    "emb_label_margin" -> ((s, dir) => {
+      // embedding-space label coherence: best same-label vs other-label
+      // cosine per query vector (broadcast queries, corpus unshuffled)
+      val emb = t(s, dir, "embeddings")
+      Similarity.labelMargin(emb, emb.filter(col("vec_id") < 200))
+    }),
+
     "corpus_mix" -> ((s, dir) =>
       // weighted corpus mixing: per-source down-sampling rates applied as
       // content-hash predicates inside the scan — zero shuffle, exact
@@ -1035,6 +1065,16 @@ object SparkEntry {
       // absent at this scale.
       Dedup.substringDupStats(t(s, dir, "documents"), "doc_id", "text",
         w = 50, stride = 25, minDocs = 2)),
+
+    "dedup_substring_incremental" -> ((s, dir) => {
+      // crawl-batch substring scoring against the existing lake: new docs
+      // (doc_id % 7 == 0) probe the corpus's distinct window-hash index;
+      // the new side keeps the single-exchange (hash, doc) discipline
+      val docs = t(s, dir, "documents")
+      Dedup.substringDupStatsAgainst(docs.filter(col("doc_id") % 7 === 0),
+        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+        w = 50, stride = 25)
+    }),
 
     "text_surprisal" -> ((s, dir) =>
       // CCNet-style unigram-LM rarity: integer inverse-probability
@@ -1501,6 +1541,29 @@ object SparkEntry {
         |FROM p
         |WHERE CAST(inter AS DOUBLE) / CAST(si + sj - inter AS DOUBLE) >= 0.5""".stripMargin,
 
+    // recursive-CTE reachability twin of the pointer-doubling engine op:
+    // same pair list (the dedup_jaccard_pairs CTEs), comp = min reachable id
+    "dedup_components" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(words[i:i+2], ' ')
+        |                 for i in range(1, greatest(len(words) - 2, 1) + 1)]) AS s
+        |  FROM w),
+        |inv AS (SELECT doc_id, len(s) AS ssize, unnest(s) AS shingle FROM sh),
+        |p AS (SELECT a.doc_id AS i, b.doc_id AS j, a.ssize AS si, b.ssize AS sj,
+        |        count(*) AS inter
+        |      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2, 3, 4),
+        |pr AS (SELECT i, j FROM p
+        |       WHERE CAST(inter AS DOUBLE) / CAST(si + sj - inter AS DOUBLE) >= 0.5),
+        |e AS (SELECT i, j FROM pr UNION SELECT j AS i, i AS j FROM pr),
+        |nodes AS (SELECT DISTINCT i AS id FROM e),
+        |walk(id, comp) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.i, walk.comp FROM e JOIN walk ON e.j = walk.id)
+        |SELECT id AS doc_id, min(comp) AS comp FROM walk GROUP BY id""".stripMargin,
+
     "dedup_exact_incremental" ->
       """SELECT n.doc_id AS i, min(c.doc_id) AS j,
         | count(*) AS n_corpus_matches
@@ -1687,6 +1750,61 @@ object SparkEntry {
         |    ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 20""".stripMargin,
+
+    // rates derive from the data in IEEE-exact steps (count → divide →
+    // sqrt), then floor-quantize to a 32-bit hex cutoff — both engines
+    // compute the identical double and the identical threshold string
+    "corpus_temperature_mix" ->
+      """WITH n AS (SELECT source, count(*) AS ns FROM documents GROUP BY 1),
+        |m AS (SELECT min(ns) AS nmin FROM n),
+        |r AS (SELECT source,
+        |        sqrt(CAST(nmin AS DOUBLE) / CAST(ns AS DOUBLE)) AS rate
+        |      FROM n, m)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN r USING (source)
+        |WHERE substring(md5(d.text), 1, 8) <
+        |  lower(lpad(to_hex(CAST(floor(rate * 4294967295.0) AS BIGINT)), 8, '0'))""".stripMargin,
+
+    // marginals and the total are position sums over the bigram counts —
+    // the engine's derived-marginal identity, restated relationally
+    "text_collocations" ->
+      """WITH norm AS (SELECT trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM documents),
+        |bg AS (SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bigram
+        |       FROM (SELECT string_split(t, ' ') AS ws FROM norm WHERE t <> '')),
+        |bf AS (SELECT bigram, count(*) AS c_xy FROM bg GROUP BY 1),
+        |xf AS (SELECT split_part(bigram, ' ', 1) AS x, sum(c_xy) AS c_x
+        |       FROM bf GROUP BY 1),
+        |yf AS (SELECT split_part(bigram, ' ', 2) AS y, sum(c_xy) AS c_y
+        |       FROM bf GROUP BY 1),
+        |tot AS (SELECT sum(c_xy) AS n FROM bf),
+        |sc AS (SELECT bigram, c_xy,
+        |         CAST(round(1000000.0 * c_xy * n / (c_x * c_y)) AS BIGINT) AS lift_ppm
+        |       FROM bf JOIN xf ON split_part(bigram, ' ', 1) = x
+        |                JOIN yf ON split_part(bigram, ' ', 2) = y, tot
+        |       WHERE c_xy >= 20)
+        |SELECT rk, bigram, c_xy, lift_ppm FROM (
+        |  SELECT bigram, c_xy, lift_ppm,
+        |    row_number() OVER (ORDER BY lift_ppm DESC, bigram) AS rk FROM sc)
+        |WHERE rk <= 25""".stripMargin,
+
+    // the maxes and the winner verdict are decided on UNROUNDED doubles
+    // computed in the ann_cosine_topk dot-product convention
+    "emb_label_margin" ->
+      """WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, label, v FROM c WHERE vec_id < 200),
+        |s AS (SELECT q.vec_id AS query_id, q.label AS label,
+        |        (c.label = q.label) AS same,
+        |        list_sum([q.v[i] * c.v[i] for i in range(1, 65)]) /
+        |        (sqrt(list_sum([q.v[i] * q.v[i] for i in range(1, 65)])) *
+        |         sqrt(list_sum([c.v[i] * c.v[i] for i in range(1, 65)]))) AS sim
+        |      FROM c CROSS JOIN q WHERE q.vec_id <> c.vec_id)
+        |SELECT query_id, label,
+        |  round(max(CASE WHEN same THEN sim END), 6) AS best_same,
+        |  round(max(CASE WHEN NOT same THEN sim END), 6) AS best_other,
+        |  max(CASE WHEN same THEN sim END) >
+        |    max(CASE WHEN NOT same THEN sim END) AS same_wins
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "corpus_mix" ->
       """SELECT doc_id, source FROM documents
@@ -1896,6 +2014,30 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN f.nd IS NOT NULL THEN p.c ELSE 0 END)
         |          AS DOUBLE) / CAST(sum(p.c) AS DOUBLE), 6) AS dup_frac
         |FROM per p LEFT JOIN f USING (win)
+        |GROUP BY 1""".stripMargin,
+
+    // the engine groups by 64-bit window hash, the oracle by the window
+    // TEXT — equal because collisions are absent at this scale (same
+    // rationale as dedup_substring)
+    "dedup_substring_incremental" ->
+      """WITH nw AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 50) AS win
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, len(text) - 49, 25)) AS i
+        |        FROM documents WHERE doc_id % 7 = 0 AND len(text) >= 50)),
+        |cw AS (
+        |  SELECT DISTINCT substr(text, CAST(i AS INTEGER), 50) AS win
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, len(text) - 49, 25)) AS i
+        |        FROM documents WHERE doc_id % 7 <> 0 AND len(text) >= 50)),
+        |per AS (SELECT win, doc_id, count(*) AS c FROM nw GROUP BY 1, 2)
+        |SELECT p.doc_id,
+        |  CAST(sum(p.c) AS BIGINT) AS n_windows,
+        |  CAST(sum(CASE WHEN cw.win IS NOT NULL THEN p.c ELSE 0 END)
+        |    AS BIGINT) AS n_dup_windows,
+        |  round(CAST(sum(CASE WHEN cw.win IS NOT NULL THEN p.c ELSE 0 END)
+        |          AS DOUBLE) / CAST(sum(p.c) AS DOUBLE), 6) AS dup_frac
+        |FROM per p LEFT JOIN cw USING (win)
         |GROUP BY 1""".stripMargin,
 
     // relational twin of the map-only compiled rewrite: flag spans in ≥3

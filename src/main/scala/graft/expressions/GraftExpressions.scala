@@ -394,6 +394,34 @@ object GraftExpressions {
     override def prettyName: String = "graft_repetition_stats"
   }
 
+  /** Per-document exact-substring dup counts against a baked corpus
+    * window-hash set — the map-only streaming half of
+    * [[graft.llm.Dedup.substringDupStatsAgainst]] (same window
+    * convention: `w`-char windows at `stride` steps, xxhash64 seed 42
+    * over the window's UTF-8 bytes, exact sorted-set membership — never a
+    * Bloom probe, a false positive would silently score clean text as
+    * copied). Returns `struct<n_windows, n_dup_windows>`. */
+  case class CharWindowDupStats(child: Expression, w: Int, stride: Int,
+                                hashes: Array[Long]) extends UnaryExpression {
+    require(w > 0 && stride > 0)
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_windows", LongType, nullable = false),
+      StructField("n_dup_windows", LongType, nullable = false)))
+    override def nullSafeEval(input: Any): Any =
+      Kernels.charWindowDupStats(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        w, stride, hashes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("dupSet", this)
+      defineCodeGen(ctx, ev, c => s"$ref.stats($c)")
+    }
+    def stats(text: org.apache.spark.unsafe.types.UTF8String): InternalRow =
+      Kernels.charWindowDupStats(text, w, stride, hashes)
+    override protected def withNewChildInternal(c: Expression): CharWindowDupStats =
+      copy(child = c)
+    override def prettyName: String = "graft_char_window_dup_stats"
+  }
+
   /** All word n-grams WITH multiplicity (span counting; [[WordShingles]]
     * dedupes for set-Jaccard). Compiled single pass; shorter-than-n texts
     * yield an empty array. */
@@ -635,6 +663,9 @@ object GraftExpressions {
     toCol(RepetitionStats(expr(text)))
   def windowSetContains(text: Column, n: Int, hashes: Array[Long]): Column =
     toCol(WindowSetContains(expr(text), n, hashes))
+  def charWindowDupStats(text: Column, w: Int, stride: Int,
+                         hashes: Array[Long]): Column =
+    toCol(CharWindowDupStats(expr(text), w, stride, hashes))
   def stripWindowsInSet(text: Column, n: Int, hashes: Array[Long]): Column =
     toCol(StripWindowsInSet(expr(text), n, hashes))
   def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =

@@ -145,6 +145,34 @@ object Kernels {
     InternalRow.fromSeq(out.toIndexedSeq)
   }
 
+  /** [[GraftExpressions.CharWindowDupStats]] body: the per-document half
+    * of the exact-substring dup signal against a baked corpus window set —
+    * (n_windows, n_dup_windows) over every `w`-CHAR window at `stride`
+    * steps, a window counting as duplicated when its xxhash64 (seed 42,
+    * identical to SQL `xxhash64(substr(text, i, w))` — substr counts
+    * CHARACTERS, hashing the window's UTF-8 bytes) binary-searches into
+    * the SORTED `hashes` set. Texts shorter than `w` chars have zero
+    * windows (callers filter them out for batch-output parity). One pass,
+    * no window materialization beyond the probe string. */
+  def charWindowDupStats(text: UTF8String, w: Int, stride: Int,
+                         hashes: Array[Long]): InternalRow = {
+    val chars = text.numChars()
+    if (chars < w) return InternalRow(0L, 0L)
+    var i = 1
+    var total = 0L
+    var dup = 0L
+    while (i <= chars - w + 1) {
+      val s = text.substringSQL(i, w)
+      total += 1
+      if (hashes.length > 0 && java.util.Arrays.binarySearch(hashes,
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+            s.numBytes, 42L)) >= 0)
+        dup += 1
+      i += stride
+    }
+    InternalRow(total, dup)
+  }
+
   /** [[GraftExpressions.WordNGrams]] body: ALL word n-grams in order WITH
     * multiplicity (the span-counting complement of [[wordShingles]], which
     * dedupes for set-Jaccard). Texts shorter than n words yield an EMPTY

@@ -169,6 +169,92 @@ object Corpus {
     * (ReusedExchange, executed-plan asserted in PlanShapeSpec): exactly
     * TWO corpus scans — the doc-keyed explode and the count subtree —
     * the same floor as the unigram operator's join-back shape. */
+  /** Top-`k` bigram collocations ranked by PMI lift — the corpus-analysis
+    * standard for "which word pairs co-occur far above chance" (Church &
+    * Hanks 1990), used to mine multiword expressions / boilerplate
+    * phrases worth tokenizing as units. Lift is kept cross-engine
+    * deterministic as parts-per-million of the independence ratio,
+    * `round(1e6 · c(x,y) · N / (c(x,·) · c(·,y)))` — IEEE doubles in one
+    * fixed association order, then one correctly-rounded `round`, so the
+    * oracle divides the same integers the same way (a log-PMI would rank
+    * identically: log is monotone).
+    *
+    * 100 TB shape: ONE corpus scan. Both unigram marginals and the total
+    * are DERIVED from the aggregated, vocabulary-sized bigram-count
+    * table (position sums — arithmetic identity, the
+    * [[bigramSurprisal]] discipline), never by re-exploding the corpus;
+    * the three derived tables join back vocabulary-to-vocabulary and the
+    * final top-k is a single ordered limit. */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+                   minCount: Int = 5, k: Int = 20): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"minCount=$minCount k=$k out of range")
+    val bg = df.select(
+      explode(graft.expressions.GraftExpressions.wordNGrams(
+        TextAnalysis.normalizeText(col(textCol)), 2)).as("bigram"))
+    val bfreq = bg.groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+    val xfreq = bfreq
+      .groupBy(substring_index(col("bigram"), " ", 1).as("__x"))
+      .agg(sum("c_xy").as("c_x"))
+    val yfreq = bfreq
+      .groupBy(substring_index(col("bigram"), " ", -1).as("__y"))
+      .agg(sum("c_xy").as("c_y"))
+    val total = bfreq.agg(sum("c_xy").as("n_bigrams"))
+    val scored = bfreq.filter(col("c_xy") >= minCount)
+      .withColumn("__x", substring_index(col("bigram"), " ", 1))
+      .withColumn("__y", substring_index(col("bigram"), " ", -1))
+      .join(xfreq, "__x").join(yfreq, "__y")
+      .crossJoin(broadcast(total))
+      .withColumn("lift_ppm",
+        round(lit(1000000.0) * col("c_xy") * col("n_bigrams") /
+          (col("c_x") * col("c_y"))).cast("long"))
+    // distributed top-k first (TakeOrderedAndProject — no global-window
+    // single-partition sort of the whole scored vocabulary), then rank
+    // the k survivors; the final window runs over k rows by construction
+    scored
+      .orderBy(col("lift_ppm").desc, col("bigram").asc).limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("lift_ppm").desc, col("bigram").asc)))
+      .select("rk", "bigram", "c_xy", "lift_ppm")
+  }
+
+  /** Temperature-flattened corpus mixing at T = 0.5 — the multilingual /
+    * multi-source rebalancing standard (mT5: sample stratum s with
+    * probability ∝ n_s^T): every stratum keeps the hash-deterministic
+    * fraction `sqrt(n_min / n_s)`, so the SMALLEST stratum survives
+    * whole and over-represented strata flatten toward the sqrt law.
+    * Rates are DERIVED from the data (one tiny stratum-count aggregate,
+    * driver-bounded by `maxStrata` with a loud failure past it — the
+    * bounded-domain discipline), then applied as a pure content-hash
+    * scan predicate: [[TextAnalysis.mixCorpus]]'s zero-shuffle shape
+    * with computed weights. sqrt and division are IEEE-correctly-rounded,
+    * and the hex threshold is floor-quantized to 32 bits, so engine and
+    * SQL oracle cut identically. Rates nest across runs the way
+    * [[TextAnalysis.sampleByHash]] rates do. */
+  def temperatureMix(df: DataFrame, stratumCol: String, keyCol: String,
+                     maxStrata: Int = 100000): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .limit(maxStrata + 1)
+      .collect().map(r => (r.get(0), r.getLong(1)))
+    require(counts.length <= maxStrata,
+      s"temperatureMix: stratum domain exceeds maxStrata=$maxStrata — a " +
+        "mixture over an unbounded stratum column must not collect to " +
+        "the driver. Bucket the stratum column, or raise maxStrata " +
+        "deliberately if the domain is genuinely this large.")
+    // null strata are dropped (the oracle's inner rate-join shape): a
+    // mixture weight for "unlabeled" must be an explicit caller choice
+    val named = counts.filter(_._1 != null)
+    require(named.nonEmpty, "temperatureMix: empty input")
+    val nMin = named.map(_._2).min
+    val pred = named.sortBy(_._2).foldLeft(lit(false)) {
+      case (acc, (stratum, n)) =>
+        val rate = math.sqrt(nMin.toDouble / n.toDouble)
+        val threshold = f"${math.floor(rate * 4294967295.0).toLong}%08x"
+        when(col(stratumCol) <=> lit(stratum),
+          substring(md5(col(keyCol)), 1, 8) < lit(threshold)).otherwise(acc)
+    }
+    df.filter(pred)
+  }
+
   def bigramSurprisal(df: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
     val bg = df.select(col(idCol).as("doc_id"),

@@ -340,19 +340,25 @@ object Dedup {
     * window; score short docs with the quality gates). A 64-bit hash
     * collision perturbs one window's doc-frequency by one — the standard
     * trade, as in [[contaminationHits]]. */
-  def substringDupStats(df: DataFrame, idCol: String, textCol: String,
-                        w: Int = 50, stride: Int = 25,
-                        minDocs: Int = 2): DataFrame = {
-    require(w > 0 && stride > 0, s"window/stride must be positive ($w/$stride)")
-    require(minDocs >= 2, s"minDocs=$minDocs: a window needs >=2 distinct docs to be a duplicate")
-    val wins = df
-      .filter(length(col(textCol)) >= w)
+  /** Char-window generation shared by the substring-dup family: every
+    * `w`-char window at `stride` steps, emitted scan-side as
+    * (doc_id, 64-bit hash) — 16 bytes per window, never text. */
+  private def charWindows(df: DataFrame, idCol: String, textCol: String,
+                          w: Int, stride: Int): DataFrame =
+    df.filter(length(col(textCol)) >= w)
       .select(col(idCol).as("doc_id"),
         col(textCol).as("__t"),
         explode(sequence(lit(1), length(col(textCol)) - (w - 1), lit(stride)))
           .as("__i"))
       .select(col("doc_id"),
         xxhash64(col("__t").substr(col("__i"), lit(w))).as("__h"))
+
+  def substringDupStats(df: DataFrame, idCol: String, textCol: String,
+                        w: Int = 50, stride: Int = 25,
+                        minDocs: Int = 2): DataFrame = {
+    require(w > 0 && stride > 0, s"window/stride must be positive ($w/$stride)")
+    require(minDocs >= 2, s"minDocs=$minDocs: a window needs >=2 distinct docs to be a duplicate")
+    val wins = charWindows(df, idCol, textCol, w, stride)
     // ONE full-data exchange: hash(h) co-locates every (h, doc) group, so
     // the aggregate runs exchange-free on top of it
     val perHashDoc = wins.repartition(col("__h"))
@@ -383,6 +389,105 @@ object Dedup {
       .filter(col("dup_frac") > maxFrac)
       .select(col("doc_id").as("__drop_id"))
     df.join(flagged, df(idCol) === col("__drop_id"), "left_anti")
+  }
+
+  /** Incremental form of [[substringDupStats]] — the signal's practical
+    * deployment: score each NEW document's duplicated-window coverage
+    * against an EXISTING corpus's window set (crawl batch vs lake), the
+    * way [[exactAgainst]]/[[jaccardPairsAgainst]] incrementalize their
+    * batch twins. A new doc's window counts as duplicated when at least
+    * `minCorpusDocs` DISTINCT corpus documents contain it (default 1:
+    * "seen anywhere in the corpus"). Returns the same
+    * `(doc_id, n_windows, n_dup_windows, dup_frac)` schema over the NEW
+    * side only; new×new duplication is deliberately not counted — run
+    * [[substringDupStats]] on the batch for that.
+    *
+    * 100 TB shape: the new side keeps the batch operator's discipline —
+    * windows emitted scan-side as (hash, doc), ONE full-data exchange
+    * (`repartition` on the hash), the (hash, doc) aggregate and the index
+    * probe both riding that partitioning without re-exchange; only the
+    * final per-doc rollup (rows already collapsed to one per (window,
+    * doc)) exchanges again. The corpus index collapses to one row per
+    * distinct window hash BEFORE the join (corpus text never crosses the
+    * wire twice), and at real scale it is precomputable and reusable
+    * across batches. Unlike [[decontaminateStream]]'s baked-set kernel,
+    * the index here stays DISTRIBUTED — a 100 TB lake's window set does
+    * not fit a broadcast, and the hash-partitioned join never asks it to. */
+  def substringDupStatsAgainst(newDf: DataFrame, corpus: DataFrame,
+                               idCol: String, textCol: String,
+                               w: Int = 50, stride: Int = 25,
+                               minCorpusDocs: Int = 1): DataFrame = {
+    require(w > 0 && stride > 0, s"window/stride must be positive ($w/$stride)")
+    require(minCorpusDocs >= 1,
+      s"minCorpusDocs=$minCorpusDocs: membership needs >=1 corpus doc")
+    // one row per distinct corpus window hash. minCorpusDocs == 1 needs no
+    // per-doc counting at all; above it, collapse to (hash, doc) first so
+    // the frequency count is over distinct docs without a distinct-agg
+    // double exchange.
+    val index =
+      if (minCorpusDocs == 1)
+        charWindows(corpus, idCol, textCol, w, stride)
+          .select("__h").distinct()
+      else
+        charWindows(corpus, idCol, textCol, w, stride)
+          .select("__h", "doc_id").distinct()
+          .groupBy("__h").agg(count(lit(1)).as("__nd"))
+          .filter(col("__nd") >= minCorpusDocs)
+          .select("__h")
+    val perHashDoc = charWindows(newDf, idCol, textCol, w, stride)
+      .repartition(col("__h"))
+      .groupBy("__h", "doc_id").agg(count(lit(1)).as("__c"))
+    perHashDoc
+      .join(index.withColumn("__dup", lit(1)), Seq("__h"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("__c")).as("n_windows"),
+        sum(when(col("__dup").isNotNull, col("__c")).otherwise(lit(0L)))
+          .as("n_dup_windows"))
+      .withColumn("dup_frac",
+        round(col("n_dup_windows").cast("double") /
+          col("n_windows").cast("double"), 6))
+  }
+
+  /** Driver-resident SORTED distinct window-hash set of a reference
+    * corpus — the baked-set input of the streaming substring scorer
+    * ([[graft.streaming.Streaming.substringDupStream]]), guarded like
+    * [[boilerplateHashes]]: a set past `maxHashes` must stay distributed
+    * (use [[substringDupStatsAgainst]], hash-partitioned join shape), so
+    * the collect fails loudly instead of ballooning the driver. */
+  def substringWindowHashes(corpus: DataFrame, idCol: String,
+                            textCol: String, w: Int = 50, stride: Int = 25,
+                            maxHashes: Long = StripRelationalCutover): Array[Long] = {
+    require(w > 0 && stride > 0, s"window/stride must be positive ($w/$stride)")
+    require(maxHashes > 0 && maxHashes < Int.MaxValue.toLong,
+      s"maxHashes must be in (0, Int.MaxValue), got $maxHashes")
+    val capped = charWindows(corpus, idCol, textCol, w, stride)
+      .select("__h").distinct()
+      .limit(maxHashes.toInt + 1)
+      .collect().map(_.getLong(0))
+    require(capped.length <= maxHashes,
+      s"substringWindowHashes: corpus window set exceeds maxHashes=$maxHashes " +
+        "— a reference set this large must stay distributed, not baked " +
+        "into a stream projection. Score batches with " +
+        "substringDupStatsAgainst (hash-partitioned join shape), or raise " +
+        "maxHashes deliberately if driver and executor memory allow.")
+    capped.sorted
+  }
+
+  /** Strip new-batch documents whose corpus-duplicated-window fraction
+    * exceeds `maxFrac`: the filter form of [[substringDupStatsAgainst]].
+    * New docs shorter than `w` chars have no windows, hence no dup
+    * evidence — KEPT, as in [[dropSubstringDups]]. */
+  def dropSubstringDupsAgainst(newDf: DataFrame, corpus: DataFrame,
+                               idCol: String, textCol: String,
+                               maxFrac: Double = 0.5, w: Int = 50,
+                               stride: Int = 25,
+                               minCorpusDocs: Int = 1): DataFrame = {
+    require(maxFrac >= 0.0 && maxFrac <= 1.0, s"maxFrac=$maxFrac out of [0,1]")
+    val flagged = substringDupStatsAgainst(newDf, corpus, idCol, textCol,
+        w, stride, minCorpusDocs)
+      .filter(col("dup_frac") > maxFrac)
+      .select(col("doc_id").as("__drop_id"))
+    newDf.join(flagged, newDf(idCol) === col("__drop_id"), "left_anti")
   }
 
   // ------------------------------------------------------------ exact jaccard
@@ -667,10 +772,21 @@ object Dedup {
     * at `maxIter`, this THROWS with the iteration budget in the message.
     * With pointer doubling the default budget covers diameters past 2^10,
     * so hitting it means something is genuinely wrong with the input, and
-    * truncated closures must not masquerade as a clean dedup. */
+    * truncated closures must not masquerade as a clean dedup.
+    *
+    * One Spark job per round: the changed-label count rides the round's
+    * own checkpoint materialization as a `Dataset.observe` metric (the
+    * old label is carried through the jump join and compared in-flight),
+    * instead of a separate join-and-count convergence job. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // materialize the (often expensive) pair-producing subtree ONCE: every
+    // round references `edges` from inside its join, so an unmaterialized
+    // plan would re-run LSH/inverted-index pair generation per round —
+    // the recompute bug class PlanShapeSpec polices, measured at ~4× on
+    // dedup_components before this checkpoint
     val edges = pairs.select(col("i"), col("j"))
       .unionByName(pairs.select(col("j").as("i"), col("i").as("j")))
+      .localCheckpoint(eager = true)
     var labels = edges.select(col("i").as("id"))
       .union(edges.select(col("j").as("id"))).distinct()
       .withColumn("comp", col("id"))
@@ -678,26 +794,39 @@ object Dedup {
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
-      // (a) one-hop: take the min label across self and all neighbors.
-      // Checkpointed BEFORE the self-join below: a leaf plan keeps the
-      // per-round lineage constant-depth and sidesteps Union-constraint
-      // attribute dedup in the analyzer on self-joined union plans.
-      val oneHop = labels.select(col("id"), col("comp"))
+      // (a) one-hop: take the min label across self and all neighbors,
+      // keeping the pre-round label alongside (only the self row carries
+      // it; min() skips the neighbor rows' nulls) so convergence is
+      // decided without a second pass over `labels`.
+      def oneHop() = labels.select(col("id"), col("comp"), col("comp").as("old"))
         .unionByName(edges.join(labels, edges("j") === labels("id"))
-          .select(edges("i").as("id"), col("comp")))
-        .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint(eager = true)
+          .select(edges("i").as("id"), col("comp"),
+            lit(null).cast("long").as("old")))
+        .groupBy("id").agg(min("comp").as("comp"), min("old").as("old"))
       // (b) pointer jump: comp is itself a node id with a row in oneHop
       // (labels only ever hold reachable node ids), so an inner self-join
-      // resolves comp -> comp(comp); least() keeps min-monotonicity explicit
-      val next = oneHop
-        .join(oneHop.select(col("id").as("hid"), col("comp").as("hcomp")),
+      // resolves comp -> comp(comp); least() keeps min-monotonicity
+      // explicit. The join's build side is a FRESH oneHop() plan instance
+      // (not the same Dataset object): both sides still read the one
+      // checkpointed `labels` leaf, but distinct attribute ids sidestep
+      // the analyzer's self-join dedup on unioned-grouped plans.
+      //
+      // ONE Spark job per round: the changed-row count rides this round's
+      // own checkpoint materialization as a `Dataset.observe` metric (min
+      // labels only ever decrease, so comp < old IS "this row moved") —
+      // no separate join-and-count convergence job, and the eager
+      // checkpoint keeps per-round lineage constant-depth.
+      val obs = org.apache.spark.sql.Observation()
+      val next = oneHop()
+        .join(oneHop().select(col("id").as("hid"), col("comp").as("hcomp")),
           col("comp") === col("hid"))
-        .select(col("id"), least(col("comp"), col("hcomp")).as("comp"))
-      val diff = next.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
-        .filter(col("comp") =!= col("old")).limit(1).count()
-      changed = diff > 0
-      labels = next
+        .select(col("id"), least(col("comp"), col("hcomp")).as("comp"),
+          col("old"))
+        .observe(obs, sum(when(col("comp") < col("old"), 1L).otherwise(0L))
+          .as("moved"))
+        .localCheckpoint(eager = true)
+      changed = obs.get("moved").asInstanceOf[Long] > 0L
+      labels = next.select(col("id"), col("comp"))
       iter += 1
     }
     require(!changed,

@@ -51,6 +51,43 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Embedding-space label coherence — for each query vector, its best
+    * same-label and best other-label cosine over the corpus and whether
+    * the same-label side wins: the margin diagnostic behind k-NN label
+    * audits / mislabeled-example mining on training sets (a query whose
+    * nearest neighbors are another class is a labeling or embedding
+    * problem). `same_wins` is NULL when a side is empty (a singleton
+    * label has no same-label neighbor) — the comparison, like the maxes
+    * it compares, is decided on unrounded values so engine and oracle
+    * agree bit-for-bit; the published maxes are rounded for display.
+    *
+    * 100 TB shape: queries broadcast, the corpus never shuffles (the
+    * per-query maxes aggregate map-side before one query-keyed
+    * exchange of 2 doubles per query). Corpus-×-corpus margin audits
+    * should route candidate generation through the LSH/IVF machinery
+    * ([[semanticNearDupPairs]]' bucketing) rather than this broadcast
+    * form. */
+  def labelMargin(corpus: DataFrame, queries: DataFrame,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(labelCol).as("__cl"), asDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("label"), asDouble(col(vecCol)).as("qv"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("label"),
+        cosine(col("cv"), col("qv")).as("sim"),
+        (col("__cl") === col("label")).as("__same"))
+      .groupBy("query_id", "label")
+      .agg(max(when(col("__same"), col("sim"))).as("__bs"),
+        max(when(!col("__same"), col("sim"))).as("__bo"))
+      .select(col("query_id"), col("label"),
+        round(col("__bs"), 6).as("best_same"),
+        round(col("__bo"), 6).as("best_other"),
+        (col("__bs") > col("__bo")).as("same_wins"))
+  }
+
   // ------------------------------------------------------------ IVF
   /** Deterministic coarse centroids: the first `nlist` corpus vectors by id
     * (the oracle-mode quantizer AND the Lloyd seed). The centroid id IS

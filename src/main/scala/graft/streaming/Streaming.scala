@@ -72,16 +72,23 @@ object Streaming {
       .start()
   }
 
-  /** Streaming view of an events directory (ns timestamps normalized to µs,
-    * matching [[graft.Tables.load]]). */
+  /** Streaming view of an events directory, `ts` normalized to the
+    * session-zone TIMESTAMP exactly as [[graft.Tables.load]] does for
+    * batch (int64-ns, µs-NTZ, and already-normalized encodings all
+    * accepted). `readStream` needs the schema up front, so one batch
+    * read infers it from the files already present — the stream then
+    * picks up later arrivals under the same schema. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Watermarked tumbling-window aggregation — the canonical streaming agg.
@@ -201,6 +208,39 @@ object Streaming {
     docs.withColumn("clean_text",
       coalesce(graft.expressions.GraftExpressions
         .stripWindowsInSet(col(textCol), w, hashes), lit("")))
+  }
+
+  /** Stateless streaming form of
+    * [[graft.llm.Dedup.substringDupStatsAgainst]]: each arriving
+    * document gains `(n_windows, n_dup_windows, dup_frac)` against a
+    * STATIC reference corpus whose distinct window-hash set is computed
+    * once ([[graft.llm.Dedup.substringWindowHashes]] — capped with a
+    * loud failure past `maxWindowHashes`, because an over-cap reference
+    * must stay distributed in the batch join shape) and baked into ONE
+    * compiled kernel projection — NO STATE, no stream-side shuffle,
+    * composes with [[dedupStream]]/[[decontaminateStream]] in a single
+    * pipeline. Batch parity: windowless rows (shorter than `w` chars,
+    * or null text) keep NULL stats rather than being dropped — a stream
+    * operator must not swallow rows, so the batch operator's
+    * absent-from-output convention maps to null columns here (parity
+    * modulo that mapping is asserted in StreamingSpec). */
+  def substringDupStream(docs: DataFrame, reference: DataFrame,
+                         idCol: String, textCol: String,
+                         w: Int = 50, stride: Int = 25,
+                         maxWindowHashes: Long =
+                           graft.llm.Dedup.StripRelationalCutover): DataFrame = {
+    val hashes = graft.llm.Dedup.substringWindowHashes(
+      reference, idCol, textCol, w, stride, maxWindowHashes)
+    val stats = graft.expressions.GraftExpressions
+      .charWindowDupStats(col(textCol), w, stride, hashes)
+    docs
+      .withColumn("__s", when(length(col(textCol)) >= w, stats))
+      .withColumn("n_windows", col("__s.n_windows"))
+      .withColumn("n_dup_windows", col("__s.n_dup_windows"))
+      .withColumn("dup_frac",
+        round(col("n_dup_windows").cast("double") /
+          col("n_windows").cast("double"), 6))
+      .drop("__s")
   }
 
   /** Stateless streaming SimHash dedup: drop arriving documents whose

@@ -22,7 +22,10 @@ object ExplainAudit extends App {
       "ann_ivf_pq_topk",
       // round-9 additions (r10: plan-guarded single-scoring-pass /
       // 3-scan-floor shapes)
-      "corpus_budget_select", "text_importance"))
+      "corpus_budget_select", "text_importance",
+      // round-10 operators (single-exchange substring windows; bounded
+      // TopKByKey ObjectHashAggregate)
+      "dedup_substring", "corpus_stratified_sample"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

@@ -48,7 +48,12 @@ object ScaleBench {
     "dedup_strip_spans", "text_surprisal", "bpe_tokens",
     "text_gopher_gate", "text_line_stats", "text_c4_clean",
     "text_bigram_surprisal", "dedup_simhash_incremental",
-    "corpus_budget_select", "text_importance")
+    "corpus_budget_select", "text_importance",
+    // round-10 additions: the substring-window exchange is the heaviest
+    // new shuffle shape in the tree (hot windows concentrate by design),
+    // the stratified sample must show O(k·strata) — not stratum-sorted —
+    // growth; both were PlanShape-asserted but unprobed until round 11
+    "dedup_substring", "corpus_stratified_sample")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length
@@ -57,9 +62,9 @@ object ScaleBench {
 
   def synthesize(spark: SparkSession, srcDir: String, outDir: String,
                  copies: Int): Unit = {
-    // events.parquet stores TIMESTAMP(NANOS); read ts as a raw long (same
-    // contract as Tables.load) and write it back as a plain long — the
-    // loader's ns→µs conversion handles both encodings
+    // events.parquet's ts encoding varies by testdata generation (int64
+    // ns / µs NTZ); copy it through unchanged — Tables.load normalizes
+    // every encoding it can produce
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val alpha = "aeioustnrl"
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")

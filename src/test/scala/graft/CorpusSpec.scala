@@ -568,4 +568,64 @@ class CorpusSpec extends SparkSpec {
     assert(kw == Set((1L, "rare", 6L), (1L, "common", 1L),
       (2L, "other", 3L), (2L, "common", 2L), (3L, "common", 1L)))
   }
+
+  test("collocations: lift ranks the planted pair over high-frequency glue") {
+    // "strong glue" always co-occurs; "sep" is corpus-wide noise whose
+    // fat marginals dilute every pair it joins (the PMI point)
+    val text = ("strong glue sep " * 5) +
+      (0 until 5).map(i => s"sep w$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val out = graft.llm.Corpus.collocations(df, "doc_id", "text",
+      minCount = 2, k = 5).collect()
+    assert(out.head.getString(1) == "strong glue",
+      s"planted collocation must rank first: ${out.toSeq.mkString(", ")}")
+    val top = out.head
+    assert(top.getInt(0) == 1 && top.getLong(2) == 5L)
+    // hand-recompute lift = round(1e6 · c_xy · N / (c_x · c_y)) over the
+    // bigram-position marginals of the token stream
+    val toks = text.trim.split("\\s+")
+    val n = toks.length - 1
+    val cx = toks.dropRight(1).count(_ == "strong")
+    val cy = toks.drop(1).count(_ == "glue")
+    assert(top.getLong(3) ==
+      math.round(1000000.0 * 5 * n / (cx.toLong * cy)))
+  }
+
+  test("collocations: minCount prunes rare pairs before ranking") {
+    val df = Seq((1L, "a b " * 3 + "x y")).toDF("doc_id", "text")
+    val out = graft.llm.Corpus.collocations(df, "doc_id", "text",
+      minCount = 3, k = 10).collect()
+    assert(out.map(_.getString(1)).toSet.contains("a b"))
+    assert(!out.map(_.getString(1)).toSet.contains("x y"))
+  }
+
+  test("temperatureMix keeps the smallest stratum whole, flattens the rest") {
+    val rows = (0 until 400).map(i => (i.toLong, s"document number $i", "big")) ++
+      (400 until 425).map(i => (i.toLong, s"document number $i", "small"))
+    val df = rows.toDF("doc_id", "text", "source")
+    val kept = graft.llm.Corpus.temperatureMix(df, "source", "text")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // smallest stratum: rate 1.0 (only an md5 prefix of ffffffff drops)
+    assert(kept("small") == 25L)
+    // big stratum flattens toward sqrt(25/400) = 1/4 of 400 = ~100;
+    // the hash cut is deterministic, so pin the exact observed count
+    // bounds rather than the expectation: binomial(400, .25) stays
+    // far from these rails
+    assert(kept("big") > 60L && kept("big") < 140L, kept.toString)
+    // determinism: the same cut twice
+    val again = graft.llm.Corpus.temperatureMix(df, "source", "text")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+  }
+
+  test("temperatureMix refuses an unbounded stratum domain, loudly") {
+    val df = (0 until 50).map(i => (i.toLong, s"t$i", s"s$i"))
+      .toDF("doc_id", "text", "source")
+    val e = intercept[IllegalArgumentException] {
+      graft.llm.Corpus.temperatureMix(df, "source", "text", maxStrata = 10)
+    }
+    assert(e.getMessage.contains("maxStrata"))
+  }
 }

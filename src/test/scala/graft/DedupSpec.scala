@@ -620,4 +620,61 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(keptAll == Set(1L, 2L, 3L, 4L))
   }
+
+  test("substringDupStatsAgainst scores new docs against the corpus only") {
+    val shared = (0 until 100).map(_ % 7).mkString          // digits 0-6
+    val newOnly = (0 until 100).map(i => ('g' + i % 7).toChar).mkString
+    val corpus = Seq((100L, shared + "x" * 50)).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, shared + "a" * 100),    // 3 of 7 windows in the corpus
+      (2L, "b" * 100 + shared),    // shared 25-aligned at the tail: 3 of 7
+      (3L, "c" * 200),             // nothing shared: 0 of 7
+      (4L, "short"),               // < w: no windows, absent from output
+      (5L, newOnly + "d" * 100),   // new×new duplication must NOT count
+      (6L, "e" * 100 + newOnly))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDupStatsAgainst(batch, corpus, "doc_id", "text",
+        w = 50, stride = 25)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 5L, 6L))
+    assert(out(1L) == ((7L, 3L, 0.428571)))
+    assert(out(2L) == ((7L, 3L, 0.428571)))
+    assert(out(3L) == ((7L, 0L, 0.0)))
+    assert(out(5L) == ((7L, 0L, 0.0)))
+    assert(out(6L) == ((7L, 0L, 0.0)))
+  }
+
+  test("substringDupStatsAgainst minCorpusDocs counts DISTINCT corpus docs") {
+    val common = (0 until 100).map(_ % 7).mkString     // in 2 corpus docs
+    val rare = (0 until 100).map(i => ('g' + i % 7).toChar).mkString // in 1
+    val corpus = Seq(
+      (100L, common + "x" * 50),
+      (101L, "y" * 50 + common),   // distinct doc, same windows (aligned)
+      (102L, rare + rare)          // ONE doc repeating rare internally
+    ).toDF("doc_id", "text")
+    // 150 chars of payload: windows at 1,26,51 from the leading passage
+    val probe = Seq((1L, common + "a" * 100), (2L, rare + "a" * 100))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDupStatsAgainst(probe, corpus, "doc_id", "text",
+        w = 50, stride = 25, minCorpusDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == 3L)   // common: 2 distinct corpus carriers
+    assert(out(2L) == 0L)   // rare: 1 corpus doc (intra-doc repeat ignored)
+  }
+
+  test("dropSubstringDupsAgainst strips corpus-covered docs, keeps short ones") {
+    val shared = (0 until 100).map(_ % 7).mkString
+    val corpus = Seq((100L, shared + "x" * 50)).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, shared + "a" * 100),    // 3/7 ~ 0.43 against the corpus
+      (3L, "c" * 200),
+      (4L, "short"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropSubstringDupsAgainst(batch, corpus, "doc_id", "text",
+        maxFrac = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L))
+  }
 }

@@ -98,6 +98,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$finalSection")
   }
 
+  test("dedup_substring_incremental: one full-data exchange on the new side") {
+    // the new-batch windows shuffle ONCE (REPARTITION_BY_COL on the hash);
+    // the (h, doc) aggregate and the index probe both ride it, so the only
+    // other hash exchanges are the corpus index's distinct and the per-doc
+    // rollup over already-collapsed rows — 3 total, whether the index probe
+    // broadcasts (test scale) or sort-merges on the shared partitioning
+    val df = q("dedup_substring_incremental")
+    assert(finalScans(df, "documents") == 2)
+    val finalSection = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val exchanges = finalSection.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 3, s"expected 3 exchanges, got $exchanges:\n$finalSection")
+  }
+
   test("a deliberate recompute shape IS caught by the counter") {
     // sanity-check the guard itself: the pre-fix bigram formulation
     // (context count re-exploded from the corpus) must count 3 scans

@@ -272,4 +272,27 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(cands.contains((1L, 2L)))
   }
+
+  test("labelMargin: best same/other-label cosine, NULL for singleton labels") {
+    // axis-aligned plants: 1 and 2 share label 0 and direction (cos 1.0);
+    // 3 (label 1) is oblique to both; 4 is label 2's only vector
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(2f, 0f, 0f, 0f), 0),
+      (3L, Array(1f, 1f, 0f, 0f), 1),
+      (4L, Array(0f, 0f, 1f, 0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelMargin(vecs, vecs)
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(2)), Option(r.get(3)),
+        Option(r.get(4))))).toMap
+    // 1: same-label best = cos(1,2) = 1.0; other best = cos(1,3) = √2/2
+    assert(out(1L) == ((Some(1.0), Some(0.707107), Some(true))))
+    assert(out(2L) == ((Some(1.0), Some(0.707107), Some(true))))
+    // 3: no same-label partner → NULL same side, NULL verdict
+    assert(out(3L)._1.isEmpty && out(3L)._3.isEmpty)
+    assert(out(3L)._2 == Some(0.707107))
+    // 4: orthogonal to everything → other best is 0, loses by NULL
+    assert(out(4L) == ((None, Some(0.0), None)))
+  }
 }

@@ -163,6 +163,67 @@ class StreamingSpec extends SparkSpec {
     assert(batch(10L) == out("hit.txt") && batch(11L) == out("clean.txt"))
   }
 
+  test("substringDupStream scores arrivals against the reference, batch-parity") {
+    val shared = (0 until 100).map(_ % 7).mkString
+    val reference = Seq((100L, shared + "x" * 50)).toDF("doc_id", "text")
+    val drop = java.nio.file.Files.createTempDirectory("graft-ss-drop")
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-ss-ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ss-out").toString
+    def put(name: String, content: String): Unit =
+      java.nio.file.Files.write(drop.resolve(name), content.getBytes("UTF-8"))
+    put("hit.txt", shared + "a" * 100)     // 3 of 7 windows in the corpus
+    put("clean.txt", "c" * 200)            // 0 of 7
+    put("short.txt", "tiny")               // windowless: kept, NULL stats
+    val stream = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(drop.toString)
+      .select(regexp_replace(col("path"), "^.*/", "").as("name"),
+        col("content").cast("string").as("text"))
+    val q = Streaming.substringDupStream(stream, reference,
+        "doc_id", "text", w = 50, stride = 25)
+      .select("name", "n_windows", "n_dup_windows", "dup_frac")
+      .writeStream.format("parquet")
+      .outputMode("append")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("hit.txt", "clean.txt", "short.txt"))
+    assert(out("hit.txt").getLong(1) == 7L &&
+      out("hit.txt").getLong(2) == 3L &&
+      out("hit.txt").getDouble(3) == 0.428571)
+    assert(out("clean.txt").getLong(1) == 7L &&
+      out("clean.txt").getLong(2) == 0L)
+    assert(out("short.txt").isNullAt(1) && out("short.txt").isNullAt(3))
+    // batch parity on the windowed rows: same reference, same arrivals
+    val arrivals = Seq((10L, shared + "a" * 100), (11L, "c" * 200),
+      (12L, "tiny")).toDF("doc_id", "text")
+    val batch = graft.llm.Dedup.substringDupStatsAgainst(
+        arrivals, reference, "doc_id", "text", w = 50, stride = 25)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(batch.keySet == Set(10L, 11L))  // batch drops windowless rows
+    assert(batch(10L) == ((out("hit.txt").getLong(1),
+      out("hit.txt").getLong(2), out("hit.txt").getDouble(3))))
+    assert(batch(11L) == ((out("clean.txt").getLong(1),
+      out("clean.txt").getLong(2), out("clean.txt").getDouble(3))))
+  }
+
+  test("substringDupStream refuses an oversized reference window set, loudly") {
+    val reference = Seq((1L, ('a' to 'z').mkString * 10)).toDF("doc_id", "text")
+    val stream = spark.readStream.format("rate").load()
+      .withColumn("text", lit("x")).withColumn("doc_id", col("value"))
+    val e = intercept[IllegalArgumentException] {
+      Streaming.substringDupStream(stream, reference, "doc_id", "text",
+        w = 10, stride = 1, maxWindowHashes = 5)
+    }
+    assert(e.getMessage.contains("substringDupStatsAgainst"))
+  }
+
   test("gopher and c4 gates apply to streams unchanged (stateless projections)") {
     // the quality gates are pure column work — no state, no watermark —
     // so the BATCH operators apply to a stream verbatim; this pins that
