@@ -917,10 +917,12 @@ object SparkEntry {
     "corpus_temperature_mix" -> ((s, dir) =>
       // T=0.5 temperature rebalancing with DATA-DERIVED rates (mT5-style
       // sqrt flattening): one bounded stratum-count aggregate, then the
-      // zero-shuffle content-hash predicate
+      // zero-shuffle content-hash predicate. Stratified by lang — the
+      // testdata's skewed stratum (en ~3.4× fr), so the rates genuinely
+      // differ (`source` is uniform by construction: every rate 1.0)
       graft.llm.Corpus.temperatureMix(t(s, dir, "documents"),
-          "source", "text")
-        .select("doc_id", "source")),
+          "lang", "text")
+        .select("doc_id", "lang")),
 
     "text_collocations" -> ((s, dir) =>
       // PMI-lift top bigram collocations; marginals and the total derive
@@ -1056,6 +1058,17 @@ object SparkEntry {
       Dedup.stripBoilerplate(t(s, dir, "documents"), "doc_id", "text",
           w = 8, minDocs = 3)
         .select("doc_id", "clean_text")),
+
+    "dedup_strip_spans_incremental" -> ((s, dir) => {
+      // rewrite a crawl batch with the LAKE's flagged spans (reference =
+      // the other 6/7 of the corpus); auto mode bakes the set into the
+      // map-only kernel at this scale, staying distributed past the cap
+      val docs = t(s, dir, "documents")
+      Dedup.stripBoilerplateAgainst(docs.filter(col("doc_id") % 7 === 0),
+          docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+          w = 8, minDocs = 3)
+        .select("doc_id", "clean_text")
+    }),
 
     "dedup_substring" -> ((s, dir) =>
       // Lee-et-al exact-substring dup coverage at window granularity:
@@ -1755,13 +1768,13 @@ object SparkEntry {
     // sqrt), then floor-quantize to a 32-bit hex cutoff — both engines
     // compute the identical double and the identical threshold string
     "corpus_temperature_mix" ->
-      """WITH n AS (SELECT source, count(*) AS ns FROM documents GROUP BY 1),
+      """WITH n AS (SELECT lang, count(*) AS ns FROM documents GROUP BY 1),
         |m AS (SELECT min(ns) AS nmin FROM n),
-        |r AS (SELECT source,
+        |r AS (SELECT lang,
         |        sqrt(CAST(nmin AS DOUBLE) / CAST(ns AS DOUBLE)) AS rate
         |      FROM n, m)
-        |SELECT d.doc_id, d.source
-        |FROM documents d JOIN r USING (source)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r USING (lang)
         |WHERE substring(md5(d.text), 1, 8) <
         |  lower(lpad(to_hex(CAST(floor(rate * 4294967295.0) AS BIGINT)), 8, '0'))""".stripMargin,
 
@@ -2015,6 +2028,47 @@ object SparkEntry {
         |          AS DOUBLE) / CAST(sum(p.c) AS DOUBLE), 6) AS dup_frac
         |FROM per p LEFT JOIN f USING (win)
         |GROUP BY 1""".stripMargin,
+
+    // the against twin of dedup_strip_spans: the flagged set comes from
+    // the REFERENCE partition only; the rewrite applies to the batch
+    "dedup_strip_spans_incremental" ->
+      """WITH tb AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |tr AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |sr AS (
+        |  SELECT doc_id, unnest(
+        |    [array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks) - 6)])
+        |    AS span
+        |  FROM tr),
+        |f AS (
+        |  SELECT span FROM sr GROUP BY span HAVING count(DISTINCT doc_id) >= 3),
+        |sb AS (
+        |  SELECT doc_id, unnest(
+        |    [{'start': i, 'span': array_to_string(toks[i:i+7], ' ')}
+        |     for i in range(1, len(toks) - 6)], recursive := true)
+        |  FROM tb),
+        |c AS (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT sb.doc_id, unnest(range(sb.start, sb.start + 8)) AS pos
+        |    FROM sb JOIN f USING (span))),
+        |k AS (
+        |  SELECT doc_id, unnest(toks) AS word,
+        |         unnest(range(1, len(toks) + 1)) AS pos
+        |  FROM tb),
+        |r AS (
+        |  SELECT k.doc_id, string_agg(k.word, ' ' ORDER BY k.pos) AS ct
+        |  FROM k ANTI JOIN c USING (doc_id, pos)
+        |  GROUP BY k.doc_id)
+        |SELECT d.doc_id, coalesce(r.ct, '') AS clean_text
+        |FROM documents d LEFT JOIN r USING (doc_id)
+        |WHERE d.doc_id % 7 = 0""".stripMargin,
 
     // the engine groups by 64-bit window hash, the oracle by the window
     // TEXT — equal because collisions are absent at this scale (same

@@ -180,38 +180,96 @@ object Dedup {
         df.withColumn("clean_text",
           coalesce(X.stripWindowsInSet(col(textCol), w, hashes), lit("")))
       case Left(flaggedHashFrame) =>
-      val wins = df.select(col(idCol).as("doc_id"),
-        posexplode(X.wordNGrams(col(textCol), w)).as(Seq("start", "span")))
-      val flaggedWins = flaggedHashFrame match {
-        case Some(fh) =>
-          wins.withColumn("__h", xxhash64(col("span")))
-            .join(fh.withColumnRenamed("h", "__h"), "__h")
-            .drop("__h")
-        case None =>
-          val flagged = wins.groupBy("span")
-            .agg(countDistinct("doc_id").as("n_docs"))
-            .filter(col("n_docs") >= minDocs)
-            .select("span")
-          wins.join(flagged, "span")
-      }
-      val covered = flaggedWins
-        .select(col("doc_id"),
-          explode(sequence(col("start"), col("start") + lit(w - 1))).as("pos"))
-        .distinct()
-      val toks = df.select(col(idCol).as("doc_id"),
-        posexplode(
-          when(trim(col(textCol)) === "", array().cast("array<string>"))
-            .otherwise(split(trim(col(textCol)), "\\s+")))
-          .as(Seq("pos", "word")))
-      val clean = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
-        .groupBy("doc_id")
-        .agg(array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
-            x => x("word")), " ").as("clean_text"))
-        .withColumnRenamed("doc_id", "__sb_id")
-      df.join(clean, df(idCol) === col("__sb_id"), "left")
-        .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
-        .drop("__sb_id")
+        val wins = df.select(col(idCol).as("doc_id"),
+          posexplode(X.wordNGrams(col(textCol), w)).as(Seq("start", "span")))
+        val flaggedWins = flaggedHashFrame match {
+          case Some(fh) =>
+            wins.withColumn("__h", xxhash64(col("span")))
+              .join(fh.withColumnRenamed("h", "__h"), "__h")
+              .drop("__h")
+          case None =>
+            val flagged = wins.groupBy("span")
+              .agg(countDistinct("doc_id").as("n_docs"))
+              .filter(col("n_docs") >= minDocs)
+              .select("span")
+            wins.join(flagged, "span")
+        }
+        stripReassemble(df, idCol, textCol, w, flaggedWins)
+    }
+  }
+
+  /** Shared relational rewrite tail: union each flagged window's covered
+    * token positions, reassemble every document's surviving tokens in
+    * order. `flaggedWins` carries (doc_id, start) of the windows to cut. */
+  private def stripReassemble(df: DataFrame, idCol: String, textCol: String,
+                              w: Int, flaggedWins: DataFrame): DataFrame = {
+    val covered = flaggedWins
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + lit(w - 1))).as("pos"))
+      .distinct()
+    val toks = df.select(col(idCol).as("doc_id"),
+      posexplode(
+        when(trim(col(textCol)) === "", array().cast("array<string>"))
+          .otherwise(split(trim(col(textCol)), "\\s+")))
+        .as(Seq("pos", "word")))
+    val clean = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x("word")), " ").as("clean_text"))
+      .withColumnRenamed("doc_id", "__sb_id")
+    df.join(clean, df(idCol) === col("__sb_id"), "left")
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+      .drop("__sb_id")
+  }
+
+  /** Batch incremental form of [[stripBoilerplate]]: rewrite NEW documents
+    * using a REFERENCE corpus's flagged spans (spans in ≥ `minDocs`
+    * distinct reference docs), completing the family —
+    * [[stripBoilerplate]] is the self-corpus batch op and
+    * [[graft.streaming.Streaming.stripBoilerplateStream]] the stream
+    * form, which is this operator with the flagged set pinned small.
+    * Same auto mode selection: the flagged set bakes into the compiled
+    * map-only rewrite kernel when it fits ([[StripRelationalCutover]]),
+    * and past the cutover it STAYS DISTRIBUTED — flagged hashes join the
+    * batch's windows hash-keyed (16-byte rows), then the relational
+    * reassembly; never a driver OOM, never a second silent path. New-side
+    * spans play no part in flagging: a phrase must be reference
+    * boilerplate to be cut, so a batch-internal template survives until
+    * the lake snapshot that contains it becomes the reference. */
+  def stripBoilerplateAgainst(docs: DataFrame, reference: DataFrame,
+                              idCol: String, textCol: String,
+                              w: Int = 8, minDocs: Int = 3,
+                              relational: Option[Boolean] = None,
+                              relationalCutover: Long = StripRelationalCutover): DataFrame = {
+    require(w > 0 && minDocs > 0)
+    require(relationalCutover > 0 && relationalCutover < Int.MaxValue.toLong)
+    val X = graft.expressions.GraftExpressions
+    val mode: Either[DataFrame, Array[Long]] = relational match {
+      case Some(true) =>
+        Left(flaggedSpanHashes(reference, idCol, textCol, w, minDocs))
+      case Some(false) =>
+        Right(boilerplateHashes(reference, idCol, textCol, w, minDocs,
+          maxHashes = relationalCutover))
+      case None =>
+        val fh = flaggedSpanHashes(reference, idCol, textCol, w, minDocs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val capped = fh.limit(relationalCutover.toInt + 1)
+          .collect().map(_.getLong(0))
+        if (capped.length > relationalCutover) Left(fh)
+        else { fh.unpersist(blocking = false); Right(capped.sorted) }
+    }
+    mode match {
+      case Right(hashes) =>
+        docs.withColumn("clean_text",
+          coalesce(X.stripWindowsInSet(col(textCol), w, hashes), lit("")))
+      case Left(fh) =>
+        val wins = docs.select(col(idCol).as("doc_id"),
+          posexplode(X.wordNGrams(col(textCol), w)).as(Seq("start", "span")))
+        val flaggedWins = wins.withColumn("__h", xxhash64(col("span")))
+          .join(fh.withColumnRenamed("h", "__h"), "__h")
+          .drop("__h")
+        stripReassemble(docs, idCol, textCol, w, flaggedWins)
     }
   }
 

@@ -25,7 +25,13 @@ object ExplainAudit extends App {
       "corpus_budget_select", "text_importance",
       // round-10 operators (single-exchange substring windows; bounded
       // TopKByKey ObjectHashAggregate)
-      "dedup_substring", "corpus_stratified_sample"))
+      "dedup_substring", "corpus_stratified_sample",
+      // round-11 operators (against-index probe, derived-marginal
+      // collocations, scan-side temperature cut, broadcast label margin,
+      // reference-set strip)
+      "dedup_substring_incremental", "text_collocations",
+      "corpus_temperature_mix", "emb_label_margin",
+      "dedup_strip_spans_incremental"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

@@ -53,7 +53,13 @@ object ScaleBench {
     // new shuffle shape in the tree (hot windows concentrate by design),
     // the stratified sample must show O(k·strata) — not stratum-sorted —
     // growth; both were PlanShape-asserted but unprobed until round 11
-    "dedup_substring", "corpus_stratified_sample")
+    "dedup_substring", "corpus_stratified_sample",
+    // round-11 additions: the against-index probe, the iterative-closure
+    // operator (checkpointed pair list + O(log D) rounds), the
+    // derived-marginal collocation scan, the data-derived mixture cut,
+    // and the broadcast label-margin sweep
+    "dedup_substring_incremental", "dedup_components", "text_collocations",
+    "corpus_temperature_mix", "emb_label_margin")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length
@@ -99,7 +105,11 @@ object ScaleBench {
           when(pmod(xxhash64(lit(k), i), lit(2)) === 0, x).otherwise(-x)
             .cast("float"))
       emb.select((col("vec_id") + lit(k * Offset)).as("vec_id"),
-        flipped.as("embedding"))
+        flipped.as("embedding"),
+        // labels carry through unchanged: copies stay geometrically
+        // decorrelated, so per-copy label structure scales the margin
+        // sweep's work linearly without inventing new classes
+        col("label"))
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 

@@ -621,6 +621,37 @@ class DedupSpec extends SparkSpec {
     assert(keptAll == Set(1L, 2L, 3L, 4L))
   }
 
+  test("stripBoilerplateAgainst cuts reference spans only, kernel ≡ relational") {
+    val footer = "generated by acme corp all rights reserved contact legal dept"
+    val reference = Seq(
+      (1L, s"unique alpha words one $footer"),
+      (2L, s"other beta content two $footer"),
+      (3L, s"third gamma text three $footer")).toDF("doc_id", "text")
+    // a batch-internal template repeated across the batch must SURVIVE:
+    // only reference boilerplate is flagged
+    val tmpl = "batch internal template phrase repeated across the fresh batch"
+    val batch = Seq(
+      (10L, s"fresh arriving page $footer and more prose"),
+      (11L, s"$tmpl with trailing one"),
+      (12L, s"$tmpl with trailing two"),
+      (13L, s"$tmpl with trailing three"))
+      .toDF("doc_id", "text")
+    val kernel = Dedup.stripBoilerplateAgainst(batch, reference,
+        "doc_id", "text", w = 10, minDocs = 3)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(kernel(10L) == "fresh arriving page and more prose")
+    assert(kernel(11L) == s"$tmpl with trailing one")
+    val relational = Dedup.stripBoilerplateAgainst(batch, reference,
+        "doc_id", "text", w = 10, minDocs = 3, relational = Some(true))
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(relational == kernel)
+    // and forced-kernel mode agrees too
+    val forced = Dedup.stripBoilerplateAgainst(batch, reference,
+        "doc_id", "text", w = 10, minDocs = 3, relational = Some(false))
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(forced == kernel)
+  }
+
   test("substringDupStatsAgainst scores new docs against the corpus only") {
     val shared = (0 until 100).map(_ % 7).mkString          // digits 0-6
     val newOnly = (0 until 100).map(i => ('g' + i % 7).toChar).mkString

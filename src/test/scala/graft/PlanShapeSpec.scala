@@ -113,6 +113,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 3, s"expected 3 exchanges, got $exchanges:\n$finalSection")
   }
 
+  test("text_collocations is single-scan: marginals and total reuse the bigram exchange") {
+    // xfreq, yfreq AND the scalar total must all be position sums over
+    // the one aggregated bigram-count exchange — a re-explode relapse
+    // would show a second corpus scan; a lost reuse shows <3 ReusedExchange
+    val df = q("text_collocations")
+    assert(finalScans(df, "documents") == 1)
+    val finalSection = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalSection.linesIterator.count(_.contains("ReusedExchange")) >= 3,
+      s"expected >=3 ReusedExchange over the bigram count:\n$finalSection")
+    assert(finalSection.contains("TakeOrderedAndProject"),
+      "top-k must be a distributed TakeOrdered, not a global-window sort")
+  }
+
+  test("corpus_temperature_mix applies the mixture as a scan-side predicate") {
+    // the rate computation is a bounded driver-side aggregate at build
+    // time; the RETURNED plan must be a pure scan+filter — zero exchanges
+    val df = q("corpus_temperature_mix")
+    assert(finalScans(df, "documents") == 1)
+    val finalSection = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!finalSection.contains("Exchange"),
+      s"mixture predicate must not shuffle:\n$finalSection")
+  }
+
   test("a deliberate recompute shape IS caught by the counter") {
     // sanity-check the guard itself: the pre-fix bigram formulation
     // (context count re-exploded from the corpus) must count 3 scans
