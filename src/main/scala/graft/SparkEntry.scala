@@ -937,6 +937,13 @@ object SparkEntry {
       Similarity.labelMargin(emb, emb.filter(col("vec_id") < 200))
     }),
 
+    "emb_knn_vote" -> ((s, dir) => {
+      // kNN-probe evaluation: 5-NN majority label vote with the
+      // deterministic (votes desc, label asc) tie-break
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnLabelVote(emb, emb.filter(col("vec_id") < 200), k = 5)
+    }),
+
     "corpus_mix" -> ((s, dir) =>
       // weighted corpus mixing: per-source down-sampling rates applied as
       // content-hash predicates inside the scan — zero shuffle, exact
@@ -1818,6 +1825,29 @@ object SparkEntry {
         |  max(CASE WHEN same THEN sim END) >
         |    max(CASE WHEN NOT same THEN sim END) AS same_wins
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // neighbor ranking in the ann_cosine_topk convention; the vote winner
+    // is elected by the same (votes DESC, label ASC) total order
+    "emb_knn_vote" ->
+      """WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, label, v FROM c WHERE vec_id < 200),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |        c.label AS nl,
+        |        list_sum([q.v[i] * c.v[i] for i in range(1, 65)]) /
+        |        (sqrt(list_sum([q.v[i] * q.v[i] for i in range(1, 65)])) *
+        |         sqrt(list_sum([c.v[i] * c.v[i] for i in range(1, 65)]))) AS sim
+        |      FROM c CROSS JOIN q WHERE q.vec_id <> c.vec_id),
+        |r AS (SELECT query_id, nl,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY sim DESC, corpus_id) AS rk FROM s),
+        |v AS (SELECT query_id, nl, count(*) AS votes
+        |      FROM r WHERE rk <= 5 GROUP BY 1, 2),
+        |p AS (SELECT query_id, nl AS predicted,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY votes DESC, nl) AS vr FROM v)
+        |SELECT q.vec_id AS query_id, q.label AS label, p.predicted,
+        |  p.predicted = q.label AS correct
+        |FROM q JOIN p ON p.query_id = q.vec_id AND p.vr = 1""".stripMargin,
 
     "corpus_mix" ->
       """SELECT doc_id, source FROM documents

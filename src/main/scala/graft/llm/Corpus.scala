@@ -231,8 +231,18 @@ object Corpus {
     * SQL oracle cut identically. Rates nest across runs the way
     * [[TextAnalysis.sampleByHash]] rates do. */
   def temperatureMix(df: DataFrame, stratumCol: String, keyCol: String,
-                     maxStrata: Int = 100000): DataFrame = {
-    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+                     maxStrata: Int = 100000): DataFrame =
+    temperatureMixWithReference(df, df, stratumCol, keyCol, maxStrata)
+
+  /** [[temperatureMix]] with the stratum counts taken from a separate
+    * REFERENCE corpus — the batch core of
+    * [[graft.streaming.Streaming.temperatureMixStream]], and the batch
+    * incremental form (rebalance a crawl batch by the lake's stratum
+    * proportions). Strata absent from the reference are dropped. */
+  def temperatureMixWithReference(df: DataFrame, reference: DataFrame,
+                                  stratumCol: String, keyCol: String,
+                                  maxStrata: Int = 100000): DataFrame = {
+    val counts = reference.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
       .limit(maxStrata + 1)
       .collect().map(r => (r.get(0), r.getLong(1)))
     require(counts.length <= maxStrata,

@@ -88,6 +88,36 @@ object Similarity {
         (col("__bs") > col("__bo")).as("same_wins"))
   }
 
+  /** k-NN majority-vote label prediction with the quality rollup — the
+    * standard embedding-quality probe over a labeled corpus (kNN-probe
+    * evaluation): each query's k nearest corpus vectors by cosine vote;
+    * ties break deterministically (highest vote count, then smallest
+    * label), so engine and oracle elect the same winner bit-for-bit.
+    * Returns per query `(query_id, label, predicted, correct)`.
+    *
+    * 100 TB shape: neighbor generation is [[bruteForceTopK]]'s broadcast
+    * sweep (corpus unshuffled) — swap in [[ivfTopK]]/[[ivfPqTopK]]
+    * candidates for billion-vector corpora; the vote itself aggregates
+    * k·queries rows, negligible at any scale. */
+  def knnLabelVote(corpus: DataFrame, queries: DataFrame, k: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   labelCol: String = "label"): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val neighbors = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+    val corpusLabels = corpus.select(col(idCol).as("corpus_id"),
+      col(labelCol).as("__nl"))
+    val votes = neighbors.join(corpusLabels, "corpus_id")
+      .groupBy("query_id", "__nl").agg(count(lit(1)).as("__votes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__votes").desc, col("__nl").asc)
+    val predicted = votes.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("query_id"), col("__nl").as("predicted"))
+    queries.select(col(idCol).as("query_id"), col(labelCol).as("label"))
+      .join(predicted, "query_id")
+      .withColumn("correct", col("predicted") === col("label"))
+  }
+
   // ------------------------------------------------------------ IVF
   /** Deterministic coarse centroids: the first `nlist` corpus vectors by id
     * (the oracle-mode quantizer AND the Lloyd seed). The centroid id IS

@@ -243,6 +243,21 @@ object Streaming {
       .drop("__s")
   }
 
+  /** Stateless streaming form of
+    * [[graft.llm.Corpus.temperatureMix]]: a stream cannot count its own
+    * strata (the rates are corpus-level context), so the sqrt-flattening
+    * rates derive ONCE from a static reference corpus (e.g. the current
+    * lake snapshot) and the arriving documents pass through the same
+    * zero-shuffle content-hash predicate — NO STATE, composes with
+    * [[dedupStream]]/[[decontaminateStream]]. Strata absent from the
+    * reference are DROPPED (an unknown stratum has no defensible rate;
+    * route novel strata to a side output before mixing). */
+  def temperatureMixStream(docs: DataFrame, reference: DataFrame,
+                           stratumCol: String, keyCol: String,
+                           maxStrata: Int = 100000): DataFrame =
+    graft.llm.Corpus.temperatureMixWithReference(
+      docs, reference, stratumCol, keyCol, maxStrata)
+
   /** Stateless streaming SimHash dedup: drop arriving documents whose
     * SimHash is within `maxHamming` bits of ANY document in the STATIC
     * reference corpus — the streaming counterpart of

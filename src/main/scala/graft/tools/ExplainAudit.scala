@@ -30,7 +30,7 @@ object ExplainAudit extends App {
       // collocations, scan-side temperature cut, broadcast label margin,
       // reference-set strip)
       "dedup_substring_incremental", "text_collocations",
-      "corpus_temperature_mix", "emb_label_margin",
+      "corpus_temperature_mix", "emb_label_margin", "emb_knn_vote",
       "dedup_strip_spans_incremental"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>

@@ -273,6 +273,29 @@ class SimilaritySpec extends SparkSpec {
     assert(cands.contains((1L, 2L)))
   }
 
+  test("knnLabelVote predicts by majority with the deterministic tie-break") {
+    // query 1 (label 0) has 3 class-0 neighbors clustered around it and
+    // 2 class-1 vectors further off: 5-NN vote 3:2 → predicted 0.
+    // query 10 (label 9, mislabeled on purpose) sits IN the class-1
+    // cluster → predicted 1, correct = false.
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (3L, Array(0.9f, -0.1f, 0f, 0f), 0),
+      (4L, Array(1f, 0.05f, 0f, 0f), 0),
+      (5L, Array(0f, 1f, 0f, 0f), 1),
+      (6L, Array(0.1f, 1f, 0f, 0f), 1),
+      (7L, Array(-0.1f, 1f, 0f, 0f), 1),
+      (10L, Array(0.05f, 1f, 0f, 0f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelVote(vecs,
+        vecs.filter(col("vec_id") === 1L || col("vec_id") === 10L), k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2),
+        r.getBoolean(3)))).toMap
+    assert(out(1L) == ((0, 0, true)))
+    assert(out(10L) == ((9, 1, false)))
+  }
+
   test("labelMargin: best same/other-label cosine, NULL for singleton labels") {
     // axis-aligned plants: 1 and 2 share label 0 and direction (cos 1.0);
     // 3 (label 1) is oblique to both; 4 is label 2's only vector

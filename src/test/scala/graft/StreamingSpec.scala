@@ -213,6 +213,60 @@ class StreamingSpec extends SparkSpec {
       out("clean.txt").getLong(2), out("clean.txt").getDouble(3))))
   }
 
+  test("temperatureMixStream applies reference-derived rates, batch-parity") {
+    // reference: 'big' 64 docs vs 'small' 4 → rate(big) = sqrt(4/64) = 1/4
+    val reference = ((0 until 64).map(i => (i.toLong, s"ref doc $i", "big")) ++
+      (64 until 68).map(i => (i.toLong, s"ref doc $i", "small")))
+      .toDF("doc_id", "text", "source")
+    val drop = java.nio.file.Files.createTempDirectory("graft-tm-drop")
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-tm-ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-tm-out").toString
+    (0 until 40).foreach { i =>
+      java.nio.file.Files.write(drop.resolve(f"big-$i%02d.txt"),
+        s"arriving big doc $i".getBytes("UTF-8"))
+    }
+    java.nio.file.Files.write(drop.resolve("small-0.txt"),
+      "arriving small doc".getBytes("UTF-8"))
+    java.nio.file.Files.write(drop.resolve("novel-0.txt"),
+      "arriving novel-stratum doc".getBytes("UTF-8"))
+    val stream = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(drop.toString)
+      .select(regexp_replace(col("path"), "^.*/", "").as("name"),
+        col("content").cast("string").as("text"))
+      .withColumn("source",
+        regexp_replace(regexp_replace(col("name"), "-.*$", ""), "\\d+", ""))
+    val q = Streaming.temperatureMixStream(stream, reference, "source", "text")
+      .select("name", "source")
+      .writeStream.format("parquet")
+      .outputMode("append")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val kept = spark.read.parquet(outDir).collect()
+      .map(r => r.getString(0)).toSet
+    // small survives whole; novel stratum (absent from reference) dropped;
+    // big flattens to ~1/4
+    assert(kept.contains("small-0.txt"))
+    assert(!kept.contains("novel-0.txt"))
+    val bigKept = kept.count(_.startsWith("big-"))
+    assert(bigKept > 2 && bigKept < 20, s"big kept $bigKept of 40")
+    // parity: the batch operator with the same reference keeps exactly
+    // the same rows
+    val arrivals = ((0 until 40).map(i =>
+        (f"big-$i%02d", s"arriving big doc $i", "big")) ++
+      Seq(("small-0", "arriving small doc", "small"),
+        ("novel-0", "arriving novel-stratum doc", "novel")))
+      .toDF("name", "text", "source")
+    val batchKept = graft.llm.Corpus.temperatureMixWithReference(
+        arrivals, reference, "source", "text")
+      .select("text").as[String].collect().toSet
+    val streamTexts = spark.read.parquet(outDir).count()
+    assert(batchKept.size == streamTexts.toInt)
+  }
+
   test("substringDupStream refuses an oversized reference window set, loudly") {
     val reference = Seq((1L, ('a' to 'z').mkString * 10)).toDF("doc_id", "text")
     val stream = spark.readStream.format("rate").load()
