@@ -900,6 +900,30 @@ object SparkEntry {
           lit("@ex.org ip 10.0.0.1 acct 12345678 t: "), col("text")))
           .as("masked"))),
 
+    "text_strip_html" -> ((s, dir) =>
+      // C4-style HTML→text over markup synthesized around the corpus
+      // text (script/style subtrees, comments, tags, entities)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TA.stripHtml(concat(
+          lit("<html><head><style>body{color:red}</style>" +
+            "<script>var x=1;</script></head><body><!-- id --><p class=\"a\">"),
+          col("text"),
+          lit(" &amp; <b>bold</b> &lt;tag&gt; &#39;q&#39;</p></body></html>")))
+          .as("clean"))),
+
+    "text_url_canonical" -> ((s, dir) =>
+      // URL canonicalization over per-doc synthesized messy URLs: mixed
+      // case, www, default port, tracking params, fragment, the lot —
+      // path/query case must survive while the authority lowers
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TA.canonicalizeUrl(concat(
+          lit("HTTPS://WWW.ExAmple"), col("doc_id") % 7,
+          lit(".COM:443/Path/"), col("doc_id"),
+          lit("/?utm_source=feed&ref="), col("doc_id"),
+          lit("&utm_campaign=x#sec"))).as("url"))),
+
     "corpus_sample_hash" -> ((s, dir) =>
       // deterministic content-hash sample (corpus mixing): md5-threshold
       // predicate, reproducible across engines/partitionings/runs
@@ -1744,6 +1768,50 @@ object SparkEntry {
         | trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
         |   '\s+', ' ', 'g')) AS norm
         |FROM documents""".stripMargin,
+
+    // same regex chain as the engine; DuckDB needs the explicit 'g' flag
+    // (Spark's regexp_replace is always global) and literal replace()
+    // for the entities
+    "text_strip_html" ->
+      """WITH t AS (SELECT doc_id,
+        |  '<html><head><style>body{color:red}</style><script>var x=1;</script></head><body><!-- id --><p class="a">'
+        |  || text || ' &amp; <b>bold</b> &lt;tag&gt; &#39;q&#39;</p></body></html>' AS h
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(h,
+        |  '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS h FROM t),
+        |s2 AS (SELECT doc_id, regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(h, '<[^>]+>', ' ', 'g') AS h FROM s2),
+        |s4 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(h,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&apos;', ''''), '&nbsp;', ' ') AS h FROM s3),
+        |s5 AS (SELECT doc_id, replace(h, '&amp;', '&') AS h FROM s4)
+        |SELECT doc_id, trim(regexp_replace(h, '\s+', ' ', 'g')) AS clean
+        |FROM s5""".stripMargin,
+
+    // group references: $n on the Spark side, \n here — the two engines'
+    // replacement syntaxes for the same RE2/Java-common patterns
+    "text_url_canonical" ->
+      """WITH t AS (SELECT doc_id,
+        |  'HTTPS://WWW.ExAmple' || CAST(doc_id % 7 AS VARCHAR) ||
+        |  '.COM:443/Path/' || CAST(doc_id AS VARCHAR) ||
+        |  '/?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR) ||
+        |  '&utm_campaign=x#sec' AS u FROM documents),
+        |c1 AS (SELECT doc_id,
+        |  lower(regexp_extract(u, '(?i)^(https?://[^/?#]*)', 1)) ||
+        |  regexp_replace(u, '(?i)^https?://[^/?#]*', '') AS u FROM t),
+        |c2 AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM c1),
+        |c3 AS (SELECT doc_id,
+        |  regexp_replace(u, '^(https?://)www\.', '\1') AS u FROM c2),
+        |c4 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+        |  '^(https://[^/:?#]*):443([/?#]|$)', '\1\2'),
+        |  '^(http://[^/:?#]*):80([/?#]|$)', '\1\2') AS u FROM c3),
+        |c5 AS (SELECT doc_id, regexp_replace(u,
+        |  '([?&])(utm_[a-z]+|fbclid)=[^&#]*', '\1', 'g') AS u FROM c4),
+        |c6 AS (SELECT doc_id, regexp_replace(u, '\?&', '?', 'g') AS u FROM c5),
+        |c7 AS (SELECT doc_id, regexp_replace(u, '&&+', '&', 'g') AS u FROM c6),
+        |c8 AS (SELECT doc_id, regexp_replace(u, '[?&]+$', '') AS u FROM c7)
+        |SELECT doc_id, regexp_replace(u, '/+$', '') AS url FROM c8""".stripMargin,
 
     "text_mask_pii" ->
       """WITH t AS (SELECT doc_id,

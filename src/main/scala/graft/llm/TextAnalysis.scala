@@ -302,6 +302,56 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  /** C4-style HTML-to-text for crawled corpora: drop script/style
+    * subtrees, comments, then every remaining tag; decode the six
+    * entities that actually occur at scale (`&lt; &gt; &quot; &#39;
+    * &apos; &nbsp;`, with `&amp;` LAST so `&amp;lt;` correctly decodes
+    * to the literal text `&lt;`); collapse whitespace. A heuristic
+    * regex pass, not a parser — the standard trade for web-scale
+    * preprocessing (malformed markup degrades to extra whitespace, and
+    * numeric entities beyond `&#39;` pass through). Pure codegen'd
+    * column ops in the RE2/Java common subset, zero shuffle, identical
+    * expressions in the DuckDB oracle. */
+  def stripHtml(text: Column): Column = {
+    val noScript = regexp_replace(text,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    val amp = regexp_replace(entities, "&amp;", "&")
+    trim(regexp_replace(amp, "\\s+", " "))
+  }
+
+  /** URL canonicalization for URL-level dedup / domain rollups:
+    * lowercase the scheme+authority (path and query case preserved),
+    * strip the fragment, a leading `www.`, default ports (`:80` on
+    * http, `:443` on https), and tracking parameters (`utm_*`,
+    * `fbclid`), then repair the separators those removals orphan and
+    * trim trailing slashes. One fixed sequence of RE2/Java-common
+    * regex rewrites — no lookarounds (RE2 has none), group references
+    * written `$n` here and `\n` in the DuckDB oracle (the two engines'
+    * replacement syntaxes) — scan-side, zero shuffle. Non-URL input
+    * passes through with only the generic cleanups. */
+  def canonicalizeUrl(url: Column): Column = {
+    val t = trim(url)
+    val lowered = concat(
+      lower(regexp_extract(t, "(?i)^(https?://[^/?#]*)", 1)),
+      regexp_replace(t, "(?i)^https?://[^/?#]*", ""))
+    val noFrag = regexp_replace(lowered, "#.*$", "")
+    val noWww = regexp_replace(noFrag, "^(https?://)www\\.", "$1")
+    val noPort = regexp_replace(
+      regexp_replace(noWww, "^(https://[^/:?#]*):443([/?#]|$)", "$1$2"),
+      "^(http://[^/:?#]*):80([/?#]|$)", "$1$2")
+    val noTrack = regexp_replace(noPort,
+      "([?&])(utm_[a-z]+|fbclid)=[^&#]*", "$1")
+    val sep1 = regexp_replace(noTrack, "\\?&", "?")
+    val sep2 = regexp_replace(sep1, "&&+", "&")
+    val sep3 = regexp_replace(sep2, "[?&]+$", "")
+    regexp_replace(sep3, "/+$", "")
+  }
+
   /** PII masking for training corpora: emails → `<EMAIL>`, dotted-quad
     * IPs → `<IP>`, standalone runs of ≥7 digits (phone/account numbers) →
     * `<NUM>`, applied in that order so an IP's octets are not re-masked

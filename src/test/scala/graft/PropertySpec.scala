@@ -119,6 +119,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CharWindowDupStats kernel ≡ the relational substring scorer on random docs") {
+    // the streaming kernel (substringSQL + xxhash64 over UTF-8 bytes,
+    // binary-searched baked set) must agree with the batch operator's
+    // SQL-function formulation — including multi-byte unicode, where a
+    // CHAR-indexed substr over BYTE-hashed windows is exactly the
+    // convention drift this property exists to catch
+    val wordGen = Gen.oneOf("alpha", "beta", "γάμμα", "ñandú", "x1", "zz")
+    val docGen: Gen[String] = for {
+      n <- Gen.choose(0, 14)
+      ws <- Gen.listOfN(n, wordGen)
+      planted <- Gen.oneOf(true, false)
+    } yield {
+      val base = ws.mkString(" ")
+      if (planted) s"shared reference passage copied verbatim $base" else base
+    }
+    val (w, stride) = (12, 5)
+    samples(Gen.listOfN(6, docGen), 5).foreach { texts =>
+      val corpus = texts.zipWithIndex.map { case (t, i) => (100L + i, t) }
+        .toDF("doc_id", "text")
+      val batchDf = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val batch = graft.llm.Dedup.substringDupStatsAgainst(
+          batchDf, corpus, "doc_id", "text", w = w, stride = stride)
+        .select("doc_id", "n_windows", "n_dup_windows")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val hashes = graft.llm.Dedup.substringWindowHashes(
+        corpus, "doc_id", "text", w = w, stride = stride)
+      val kernel = batchDf.select(col("doc_id"),
+          graft.expressions.GraftExpressions
+            .charWindowDupStats(col("text"), w, stride, hashes).as("s"))
+        .select(col("doc_id"), col("s.n_windows"), col("s.n_dup_windows"))
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // batch drops windowless docs; the kernel reports (0, 0) for them
+      kernel.foreach { case (id, (nw, nd)) =>
+        if (nw == 0L) assert(!batch.contains(id), s"doc $id: $nw/$nd")
+        else assert(batch(id) == ((nw, nd)), s"doc $id")
+      }
+      assert(batch.keySet == kernel.filter(_._2._1 > 0L).keySet)
+    }
+  }
+
   test("stripBoilerplate kernel ≡ relational on random multi-whitespace corpora") {
     // random corpora with planted shared spans, ragged whitespace, empty
     // and unicode docs — the kernel rewrite must equal the relational

@@ -250,10 +250,52 @@ class TextAnalysisSpec extends SparkSpec {
   test("gopher gate and c4 clean run scan-side (zero exchanges)") {
     // both are pure projections: at 100 TB they ride the parquet scan
     // stage — any Exchange here would be a plan regression
-    for (q <- Seq("text_gopher_gate", "text_c4_clean")) {
+    for (q <- Seq("text_gopher_gate", "text_c4_clean",
+        "text_strip_html", "text_url_canonical")) {
       val plan = SparkEntry.queries(q)(spark, sf0)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"$q plan shuffles:\n$plan")
     }
+  }
+
+  test("stripHtml: tags, script/style subtrees, comments, entity decoding") {
+    def strip(s: String): String =
+      Seq(s).toDF("t").select(TA.stripHtml(col("t"))).as[String].head()
+    assert(strip("<html><body><p>hello <b>world</b></p></body></html>") ==
+      "hello world")
+    assert(strip("<style>p{a:1}</style>keep<script>drop();</script>me") ==
+      "keep me")
+    // script content with tags inside a string must still vanish (lazy
+    // match to the CLOSING tag)
+    assert(strip("<script>var s = '<p>x</p>';</script>after") == "after")
+    assert(strip("a <!-- <b>gone</b> --> b") == "a b")
+    assert(strip("x &lt;tag&gt; &amp; &quot;q&quot; &#39;a&#39;&nbsp;y") ==
+      "x <tag> & \"q\" 'a' y")
+    // double-escaped: &amp;lt; is the literal TEXT '&lt;'
+    assert(strip("&amp;lt;") == "&lt;")
+    // malformed markup degrades, never throws: an unclosed tag (no '>')
+    // is not a tag — its text survives rather than swallowing the rest
+    assert(strip("<p unclosed attr») text") == "<p unclosed attr») text")
+    // the documented heuristic trade: a '<…>' spanning prose is eaten
+    // (regex pass, not a parser) — pinned so the behavior is deliberate
+    assert(strip("a < b and c > d") == "a d")
+  }
+
+  test("canonicalizeUrl: authority lowering, ports, tracking params, fragments") {
+    def canon(s: String): String =
+      Seq(s).toDF("u").select(TA.canonicalizeUrl(col("u"))).as[String].head()
+    assert(canon("HTTPS://WWW.Example.COM:443/KeepCase/?utm_source=x&id=5#frag")
+      == "https://example.com/KeepCase/?id=5")
+    assert(canon("http://Host.org:80/a/b/") == "http://host.org/a/b")
+    // non-default port survives
+    assert(canon("https://h.io:8443/x") == "https://h.io:8443/x")
+    // tracking-only query collapses entirely
+    assert(canon("https://a.b/p?utm_campaign=z&fbclid=abc") == "https://a.b/p")
+    // interior utm between kept params repairs the separators
+    assert(canon("https://a.b/p?x=1&utm_a=2&y=3") == "https://a.b/p?x=1&y=3")
+    // path/query case preserved; only scheme+authority lower
+    assert(canon("HTTP://A.B/QueryCase?Q=V") == "http://a.b/QueryCase?Q=V")
+    // non-URL input: only generic cleanups apply
+    assert(canon("  not a url  ") == "not a url")
   }
 }
