@@ -938,6 +938,20 @@ object SparkEntry {
       graft.llm.Corpus.stratifiedSample(t(s, dir, "documents"),
         "lang", "doc_id", k = 20)),
 
+    "corpus_report" -> ((s, dir) =>
+      // data-card rollup per (source, lang): doc/token/char totals and
+      // the langid-agreement count — one partial-agg exchange over a
+      // bounded group domain, every measure integer-exact (a double
+      // quality mean would be addition-order-dependent across engines)
+      t(s, dir, "documents")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TA.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          max(length(col("text")).cast("long")).as("max_chars"),
+          sum(when(TA.langId(col("text")) === col("lang"), 1L)
+            .otherwise(0L)).as("n_langid_agree"))),
+
     "corpus_temperature_mix" -> ((s, dir) =>
       // T=0.5 temperature rebalancing with DATA-DERIVED rates (mT5-style
       // sqrt flattening): one bounded stratum-count aggregate, then the
@@ -1838,6 +1852,34 @@ object SparkEntry {
         |    ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 20""".stripMargin,
+
+    // the langid CASE is text_langid's oracle verbatim; every rolled-up
+    // measure is integer-exact
+    "corpus_report" ->
+      """WITH w AS (SELECT source, lang, text,
+        |  string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |sc AS (SELECT source, lang, text, words,
+        |  len(list_filter(words, x -> lower(x) IN ('der','die','das','und','ist','nicht','ein','mit'))) AS sde,
+        |  len(list_filter(words, x -> lower(x) IN ('the','and','is','of','to','in','that','it'))) AS sen,
+        |  len(list_filter(words, x -> lower(x) IN ('el','la','los','que','y','es','en','un'))) AS ses,
+        |  len(list_filter(words, x -> lower(x) IN ('le','la','les','et','est','que','des','une'))) AS sfr
+        |  FROM w),
+        |p AS (SELECT source, lang, len(words) AS ntok,
+        |  length(text) AS nchars,
+        |  CASE WHEN sde > 0 AND sde >= sen AND sde >= ses AND sde >= sfr THEN 'de'
+        |       WHEN sen > 0 AND sen >= sde AND sen >= ses AND sen >= sfr THEN 'en'
+        |       WHEN ses > 0 AND ses >= sde AND ses >= sen AND ses >= sfr THEN 'es'
+        |       WHEN sfr > 0 AND sfr >= sde AND sfr >= sen AND sfr >= ses THEN 'fr'
+        |       ELSE 'und' END AS lang_pred
+        |  FROM sc)
+        |SELECT source, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(nchars) AS BIGINT) AS n_chars,
+        |  CAST(max(nchars) AS BIGINT) AS max_chars,
+        |  CAST(sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_langid_agree
+        |FROM p GROUP BY 1, 2""".stripMargin,
 
     // rates derive from the data in IEEE-exact steps (count → divide →
     // sqrt), then floor-quantize to a 32-bit hex cutoff — both engines

@@ -59,7 +59,8 @@ object ScaleBench {
     // derived-marginal collocation scan, the data-derived mixture cut,
     // and the broadcast label-margin sweep
     "dedup_substring_incremental", "dedup_components", "text_collocations",
-    "corpus_temperature_mix", "emb_label_margin", "emb_knn_vote")
+    "corpus_temperature_mix", "emb_label_margin", "emb_knn_vote",
+    "text_strip_html", "text_url_canonical", "corpus_report")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length
