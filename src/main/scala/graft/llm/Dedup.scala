@@ -883,7 +883,13 @@ object Dedup {
         .observe(obs, sum(when(col("comp") < col("old"), 1L).otherwise(0L))
           .as("moved"))
         .localCheckpoint(eager = true)
-      changed = obs.get("moved").asInstanceOf[Long] > 0L
+      // the eager checkpoint has already run the job, so the metric
+      // arrives with the (asynchronous) query-completion event moments
+      // later; a bounded Await turns a lost listener event into a loud
+      // TimeoutException instead of an unbounded obs.get() hang
+      changed = scala.concurrent.Await
+        .result(obs.future, scala.concurrent.duration.Duration(300, "s"))
+        .getAs[Long]("moved") > 0L
       labels = next.select(col("id"), col("comp"))
       iter += 1
     }
