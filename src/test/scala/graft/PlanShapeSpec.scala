@@ -138,6 +138,19 @@ class PlanShapeSpec extends SparkSpec {
       s"mixture predicate must not shuffle:\n$finalSection")
   }
 
+  test("emb_knn_vote prunes to top-k BEFORE the exchange (WindowGroupLimit)") {
+    // Spark's rank-limit pushdown must keep partial WindowGroupLimit on
+    // the map side of the neighbor exchange — losing it would shuffle
+    // every scored pair (queries × corpus rows) instead of k per query
+    val df = q("emb_knn_vote")
+    df.queryExecution.toRdd.foreach(_ => ())
+    val finalSection = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalSection.linesIterator
+      .exists(l => l.contains("WindowGroupLimit") && l.contains("Partial")),
+      s"expected a map-side (Partial) WindowGroupLimit:\n$finalSection")
+  }
+
   test("a deliberate recompute shape IS caught by the counter") {
     // sanity-check the guard itself: the pre-fix bigram formulation
     // (context count re-exploded from the corpus) must count 3 scans
