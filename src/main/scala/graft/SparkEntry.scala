@@ -1864,7 +1864,8 @@ object SparkEntry {
         |  len(list_filter(words, x -> lower(x) IN ('el','la','los','que','y','es','en','un'))) AS ses,
         |  len(list_filter(words, x -> lower(x) IN ('le','la','les','et','est','que','des','une'))) AS sfr
         |  FROM w),
-        |p AS (SELECT source, lang, len(words) AS ntok,
+        |p AS (SELECT source, lang,
+        |  CASE WHEN trim(text) = '' THEN 0 ELSE len(words) END AS ntok,
         |  length(text) AS nchars,
         |  CASE WHEN sde > 0 AND sde >= sen AND sde >= ses AND sde >= sfr THEN 'de'
         |       WHEN sen > 0 AND sen >= sde AND sen >= ses AND sen >= sfr THEN 'en'
@@ -1885,7 +1886,8 @@ object SparkEntry {
     // sqrt), then floor-quantize to a 32-bit hex cutoff — both engines
     // compute the identical double and the identical threshold string
     "corpus_temperature_mix" ->
-      """WITH n AS (SELECT lang, count(*) AS ns FROM documents GROUP BY 1),
+      """WITH n AS (SELECT lang, count(*) AS ns FROM documents
+        |           WHERE lang IS NOT NULL GROUP BY 1),
         |m AS (SELECT min(ns) AS nmin FROM n),
         |r AS (SELECT lang,
         |        sqrt(CAST(nmin AS DOUBLE) / CAST(ns AS DOUBLE)) AS rate

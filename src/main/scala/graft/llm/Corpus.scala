@@ -242,7 +242,11 @@ object Corpus {
   def temperatureMixWithReference(df: DataFrame, reference: DataFrame,
                                   stratumCol: String, keyCol: String,
                                   maxStrata: Int = 100000): DataFrame = {
-    val counts = reference.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    // null strata are dropped BEFORE the cap (the oracle's inner
+    // rate-join shape — a mixture weight for "unlabeled" must be an
+    // explicit caller choice), so a null group cannot consume a slot
+    val counts = reference.filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
       .limit(maxStrata + 1)
       .collect().map(r => (r.get(0), r.getLong(1)))
     require(counts.length <= maxStrata,
@@ -250,19 +254,21 @@ object Corpus {
         "mixture over an unbounded stratum column must not collect to " +
         "the driver. Bucket the stratum column, or raise maxStrata " +
         "deliberately if the domain is genuinely this large.")
-    // null strata are dropped (the oracle's inner rate-join shape): a
-    // mixture weight for "unlabeled" must be an explicit caller choice
-    val named = counts.filter(_._1 != null)
-    require(named.nonEmpty, "temperatureMix: empty input")
-    val nMin = named.map(_._2).min
-    val pred = named.sortBy(_._2).foldLeft(lit(false)) {
-      case (acc, (stratum, n)) =>
-        val rate = math.sqrt(nMin.toDouble / n.toDouble)
-        val threshold = f"${math.floor(rate * 4294967295.0).toLong}%08x"
-        when(col(stratumCol) <=> lit(stratum),
-          substring(md5(col(keyCol)), 1, 8) < lit(threshold)).otherwise(acc)
+    require(counts.nonEmpty, "temperatureMix: empty input")
+    val nMin = counts.map(_._2).min
+    // stratum → threshold as ONE flat map literal probed per row: a
+    // nested when/otherwise chain would recurse maxStrata deep through
+    // analyzer/codegen (StackOverflowError far below the advertised
+    // bound); element_at stays O(1)-depth at any domain size, yields
+    // NULL for reference-absent strata (filter drops them), and keeps
+    // the mixture a pure scan-side predicate — no join, no shuffle
+    val pairs = counts.flatMap { case (stratum, n) =>
+      val rate = math.sqrt(nMin.toDouble / n.toDouble)
+      Seq(lit(stratum), lit(f"${math.floor(rate * 4294967295.0).toLong}%08x"))
     }
-    df.filter(pred)
+    val thresholds = map(pairs: _*)
+    df.filter(substring(md5(col(keyCol)), 1, 8) <
+      element_at(thresholds, col(stratumCol)))
   }
 
   def bigramSurprisal(df: DataFrame, idCol: String,

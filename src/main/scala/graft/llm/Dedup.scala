@@ -245,9 +245,11 @@ object Dedup {
     require(w > 0 && minDocs > 0)
     require(relationalCutover > 0 && relationalCutover < Int.MaxValue.toLong)
     val X = graft.expressions.GraftExpressions
-    val mode: Either[DataFrame, Array[Long]] = relational match {
-      case Some(true) =>
-        Left(flaggedSpanHashes(reference, idCol, textCol, w, minDocs))
+    // same mode contract as [[stripBoilerplate]]: Some(true) flags by
+    // span TEXT (the collision-free oracle formulation), the auto
+    // overflow path by hash frame, Some(false)/auto-fit by baked kernel
+    val mode: Either[Option[DataFrame], Array[Long]] = relational match {
+      case Some(true)  => Left(None)
       case Some(false) =>
         Right(boilerplateHashes(reference, idCol, textCol, w, minDocs,
           maxHashes = relationalCutover))
@@ -256,19 +258,30 @@ object Dedup {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val capped = fh.limit(relationalCutover.toInt + 1)
           .collect().map(_.getLong(0))
-        if (capped.length > relationalCutover) Left(fh)
+        if (capped.length > relationalCutover) Left(Some(fh))
         else { fh.unpersist(blocking = false); Right(capped.sorted) }
     }
     mode match {
       case Right(hashes) =>
         docs.withColumn("clean_text",
           coalesce(X.stripWindowsInSet(col(textCol), w, hashes), lit("")))
-      case Left(fh) =>
+      case Left(flaggedHashFrame) =>
         val wins = docs.select(col(idCol).as("doc_id"),
           posexplode(X.wordNGrams(col(textCol), w)).as(Seq("start", "span")))
-        val flaggedWins = wins.withColumn("__h", xxhash64(col("span")))
-          .join(fh.withColumnRenamed("h", "__h"), "__h")
-          .drop("__h")
+        val flaggedWins = flaggedHashFrame match {
+          case Some(fh) =>
+            wins.withColumn("__h", xxhash64(col("span")))
+              .join(fh.withColumnRenamed("h", "__h"), "__h")
+              .drop("__h")
+          case None =>
+            val flagged = reference.select(col(idCol).as("doc_id"),
+                explode(X.wordNGrams(col(textCol), w)).as("span"))
+              .groupBy("span")
+              .agg(countDistinct("doc_id").as("n_docs"))
+              .filter(col("n_docs") >= minDocs)
+              .select("span")
+            wins.join(flagged, "span")
+        }
         stripReassemble(docs, idCol, textCol, w, flaggedWins)
     }
   }
@@ -835,7 +848,11 @@ object Dedup {
     * One Spark job per round: the changed-label count rides the round's
     * own checkpoint materialization as a `Dataset.observe` metric (the
     * old label is carried through the jump join and compared in-flight),
-    * instead of a separate join-and-count convergence job. */
+    * instead of a separate join-and-count convergence job. Superseded
+    * per-round checkpoint blocks (and the edge list's, once the result
+    * is consumed) are reclaimed by the ContextCleaner as their RDDs go
+    * out of reference — Dataset exposes no direct unpersist handle for
+    * localCheckpoint storage. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     // materialize the (often expensive) pair-producing subtree ONCE: every
     // round references `edges` from inside its join, so an unmaterialized

@@ -76,11 +76,21 @@ object Streaming {
     * session-zone TIMESTAMP exactly as [[graft.Tables.load]] does for
     * batch (int64-ns, µs-NTZ, and already-normalized encodings all
     * accepted). `readStream` needs the schema up front, so one batch
-    * read infers it from the files already present — the stream then
-    * picks up later arrivals under the same schema. */
+    * read infers it from the files already present; a still-EMPTY drop
+    * directory (the standard create-stream-before-producer setup) falls
+    * back to the current generator's µs-NTZ schema rather than failing
+    * schema inference — later arrivals are read under it. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(dir).schema
+    val schema =
+      try spark.read.parquet(dir).schema
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          StructType(Seq(
+            StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+            StructField("user_id", LongType), StructField("event_type", StringType),
+            StructField("value", DoubleType), StructField("props", StringType)))
+      }
     val raw = spark.readStream.schema(schema).parquet(dir)
     schema("ts").dataType match {
       case LongType =>

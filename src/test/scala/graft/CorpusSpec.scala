@@ -620,6 +620,18 @@ class CorpusSpec extends SparkSpec {
     assert(again == kept)
   }
 
+  test("temperatureMix survives a wide stratum domain (flat map literal)") {
+    // 2000 distinct strata: the former nested when/otherwise chain
+    // recursed once per stratum through analyzer+codegen and blew the
+    // stack long before maxStrata; the map-literal predicate is
+    // O(1)-depth at any width
+    val df = (0 until 4000).map(i => (i.toLong, s"text $i", s"s${i % 2000}"))
+      .toDF("doc_id", "text", "source")
+    val kept = graft.llm.Corpus.temperatureMix(df, "source", "text")
+    // every stratum has count 2 = nMin → rate 1.0 → all kept
+    assert(kept.count() == 4000L)
+  }
+
   test("temperatureMix refuses an unbounded stratum domain, loudly") {
     val df = (0 until 50).map(i => (i.toLong, s"t$i", s"s$i"))
       .toDF("doc_id", "text", "source")

@@ -267,6 +267,38 @@ class StreamingSpec extends SparkSpec {
     assert(batchKept.size == streamTexts.toInt)
   }
 
+  test("readEvents starts on an EMPTY directory and reads later arrivals") {
+    // create-stream-before-producer: schema inference has no files yet,
+    // so readEvents must fall back to the pinned current-generation
+    // schema instead of failing, then pick up arrivals under it
+    val drop = java.nio.file.Files.createTempDirectory("graft-ev-drop")
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-ev-ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ev-out").toString
+    val stream = Streaming.readEvents(spark, drop.toString) // empty NOW
+    // producer writes afterwards, in the same µs-NTZ encoding
+    Seq((1L, "2024-05-01 10:00:00", 7L, "click", 1.5, "{}"),
+      (2L, "2024-05-01 11:30:00", 8L, "view", 2.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.mode("append").parquet(drop.toString)
+    val q = stream.select("event_id", "ts", "event_type")
+      .writeStream.format("parquet")
+      .outputMode("append")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 2)
+    // ts normalized to session-zone TIMESTAMP, instants preserved
+    assert(out.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(out.filter(col("event_id") === 1L)
+      .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+      .as[String].head() == "2024-05-01 10:00:00")
+  }
+
   test("substringDupStream refuses an oversized reference window set, loudly") {
     val reference = Seq((1L, ('a' to 'z').mkString * 10)).toDF("doc_id", "text")
     val stream = spark.readStream.format("rate").load()
