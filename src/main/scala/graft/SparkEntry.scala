@@ -938,6 +938,15 @@ object SparkEntry {
       graft.llm.Corpus.stratifiedSample(t(s, dir, "documents"),
         "lang", "doc_id", k = 20)),
 
+    "corpus_stratified_weighted" -> ((s, dir) =>
+      // per-stratum k from a weights map on the per-group-k TopKByKey
+      // (exchange O(Σk), not O(k_max·strata)); the oracle is the window
+      // row_number twin with a CASE'd rank cutoff
+      graft.llm.Corpus.stratifiedSampleWeighted(t(s, dir, "documents"),
+        "lang", "doc_id",
+        ks = Map("en" -> 25, "de" -> 10, "fr" -> 5),
+        defaultK = 3, seed = "wstrat")),
+
     "corpus_report" -> ((s, dir) =>
       // data-card rollup per (source, lang): doc/token/char totals and
       // the langid-agreement count — one partial-agg exchange over a
@@ -1818,8 +1827,8 @@ object SparkEntry {
         |c3 AS (SELECT doc_id,
         |  regexp_replace(u, '^(https?://)www\.', '\1') AS u FROM c2),
         |c4 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
-        |  '^(https://[^/:?#]*):443([/?#]|$)', '\1\2'),
-        |  '^(http://[^/:?#]*):80([/?#]|$)', '\1\2') AS u FROM c3),
+        |  '^(https://(?:[^/@?#]*@)?[^/:?#]*):443([/?#]|$)', '\1\2'),
+        |  '^(http://(?:[^/@?#]*@)?[^/:?#]*):80([/?#]|$)', '\1\2') AS u FROM c3),
         |c5 AS (SELECT doc_id, regexp_replace(u,
         |  '([?&])(utm_[a-z]+|fbclid)=[^&#]*', '\1', 'g') AS u FROM c4),
         |c6 AS (SELECT doc_id, regexp_replace(u, '\?&', '?', 'g') AS u FROM c5),
@@ -1852,6 +1861,15 @@ object SparkEntry {
         |    ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 20""".stripMargin,
+
+    "corpus_stratified_weighted" ->
+      """SELECT lang, rk, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5('wstrat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 10
+        |                      WHEN 'fr' THEN 5 ELSE 3 END""".stripMargin,
 
     // the langid CASE is text_langid's oracle verbatim; every rolled-up
     // measure is integer-exact

@@ -683,6 +683,14 @@ object GraftExpressions {
                 asc: Boolean = true): Column =
     toCol(TopKByKey(expr(key), expr(payload), k, asc).toAggregateExpression())
 
+  /** Per-group-k bounded top-k: see [[TopKByKeyPerGroup]]. `k` is a
+    * per-row INT column that must be constant within each group
+    * (typically a map-literal lookup on the grouping column). */
+  def topKByKeyPerGroup(key: Column, payload: Column, k: Column,
+                        asc: Boolean = true): Column =
+    toCol(TopKByKeyPerGroup(expr(key), expr(payload), expr(k), asc)
+      .toAggregateExpression())
+
   /** Register all graft expressions for SQL use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -353,6 +353,56 @@ object Corpus {
         col("col.payload").as(idCol))
   }
 
+  /** WEIGHTED exact-k stratified sample: per-stratum k comes from a
+    * weights map — the eval-set builder's real contract ("200 en docs,
+    * 50 de, 20 of everything else"), where [[stratifiedSample]] is the
+    * uniform special case. Same deterministic `md5(seed + ":" + id)`
+    * ranking, same `(stratum, rk, id)` output.
+    *
+    * 100 TB shape: built on [[graft.expressions.TopKByKeyPerGroup]] —
+    * the bound rides each row as a map-literal lookup on the stratum, so
+    * every partition contributes ≤ k_s entries for stratum s and the
+    * exchange carries O(Σ k_s) rows. Aggregating everything at
+    * `max(k_s)` and filtering ranks afterwards would carry
+    * O(k_max · strata): one "keep 1M of en" stratum would inflate every
+    * small stratum's partial buffers 1M-deep. Strata whose k resolves
+    * to 0 (and, when `defaultK = 0`, strata absent from the map) leave
+    * at the SCAN — they cannot contribute to the exchange at all.
+    *
+    * The lookup is one flat map literal probed with `try_element_at`
+    * (NULL on absent key in both ANSI modes) coalesced to `defaultK` —
+    * O(1) expression depth at any stratum count; a nested
+    * when/otherwise chain stack-overflows the analyzer far below
+    * realistic domain sizes. */
+  def stratifiedSampleWeighted(df: DataFrame, stratumCol: String,
+                               idCol: String, ks: Map[String, Int],
+                               defaultK: Int = 0,
+                               seed: String = "strat"): DataFrame = {
+    require(ks.nonEmpty, "stratifiedSampleWeighted: empty weights map")
+    ks.foreach { case (s0, kv) =>
+      require(kv >= 0, s"stratifiedSampleWeighted: negative k=$kv for " +
+        s"stratum '$s0'")
+    }
+    require(defaultK >= 0,
+      s"stratifiedSampleWeighted: negative defaultK=$defaultK")
+    val entries = ks.toSeq.sortBy(_._1)
+      .flatMap { case (name, kv) => Seq(lit(name), lit(kv)) }
+    val kCol = coalesce(
+      try_element_at(map(entries: _*), col(stratumCol)),
+      lit(defaultK))
+    val hkey = struct(
+      md5(concat(lit(s"$seed:"), col(idCol).cast("string"))).as("h"),
+      col(idCol).as("id"))
+    df.withColumn("__k", kCol)
+      .filter(col("__k") >= 1)
+      .groupBy(col(stratumCol))
+      .agg(graft.expressions.GraftExpressions
+        .topKByKeyPerGroup(hkey, col(idCol), col("__k")).as("__top"))
+      .select(col(stratumCol), posexplode(col("__top")))
+      .select(col(stratumCol), (col("pos") + 1).as("rk"),
+        col("col.payload").as(idCol))
+  }
+
   /** Engine-exact length quantiles (percentile_disc semantics: the
     * smallest value whose cumulative count reaches ⌈q·n⌉). Quantiles
     * are passed as RATIONALS (label, num, den) because `0.9 * n` in

@@ -143,11 +143,11 @@ object Dedup {
     * persisted (MEMORY_AND_DISK) before the capped collect, so the
     * relational branch joins the cached hash frame instead of
     * recomputing the heaviest aggregation from scratch in exactly the
-    * high-duplication case the cutover exists for. (The cache lives
-    * until session eviction — overflow-path only, spillable, and far
-    * smaller than the corpus by the `minDocs` filter.) Same contract
-    * either way (the modes are parity-asserted), so the cutover changes
-    * memory placement, never the answer. */
+    * high-duplication case the cutover exists for. (Overflow-path
+    * caches live until session eviction or an explicit
+    * [[releaseStripCaches]] — the lifecycle contract is documented
+    * there.) Same contract either way (the modes are parity-asserted),
+    * so the cutover changes memory placement, never the answer. */
   def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
                        w: Int = 8, minDocs: Int = 3,
                        relational: Option[Boolean] = None,
@@ -155,24 +155,8 @@ object Dedup {
     require(w > 0 && minDocs > 0)
     require(relationalCutover > 0 && relationalCutover < Int.MaxValue.toLong)
     val X = graft.expressions.GraftExpressions
-    // Right(hashes) = kernel mode; Left(Some(fh)) = relational mode reusing
-    // the persisted flagged-HASH frame from the auto probe; Left(None) =
-    // relational mode computing the flagged set by span TEXT (the oracle
-    // formulation `Some(true)` pins — hash and text flagging differ only
-    // on 64-bit collisions, p ≈ spans²/2⁶⁴, parity-asserted in DedupSpec).
-    val mode: Either[Option[DataFrame], Array[Long]] = relational match {
-      case Some(true)  => Left(None)
-      case Some(false) =>
-        Right(boilerplateHashes(df, idCol, textCol, w, minDocs,
-          maxHashes = relationalCutover))
-      case None =>
-        val fh = flaggedSpanHashes(df, idCol, textCol, w, minDocs)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val capped = fh.limit(relationalCutover.toInt + 1)
-          .collect().map(_.getLong(0))
-        if (capped.length > relationalCutover) Left(Some(fh)) // overflow
-        else { fh.unpersist(blocking = false); Right(capped.sorted) }
-    }
+    val mode = stripFlagMode(df, idCol, textCol, w, minDocs, relational,
+      relationalCutover)
     mode match {
       case Right(hashes) =>
         // coalesce: null text strips to '' (matching the relational mode's
@@ -245,22 +229,9 @@ object Dedup {
     require(w > 0 && minDocs > 0)
     require(relationalCutover > 0 && relationalCutover < Int.MaxValue.toLong)
     val X = graft.expressions.GraftExpressions
-    // same mode contract as [[stripBoilerplate]]: Some(true) flags by
-    // span TEXT (the collision-free oracle formulation), the auto
-    // overflow path by hash frame, Some(false)/auto-fit by baked kernel
-    val mode: Either[Option[DataFrame], Array[Long]] = relational match {
-      case Some(true)  => Left(None)
-      case Some(false) =>
-        Right(boilerplateHashes(reference, idCol, textCol, w, minDocs,
-          maxHashes = relationalCutover))
-      case None =>
-        val fh = flaggedSpanHashes(reference, idCol, textCol, w, minDocs)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val capped = fh.limit(relationalCutover.toInt + 1)
-          .collect().map(_.getLong(0))
-        if (capped.length > relationalCutover) Left(Some(fh))
-        else { fh.unpersist(blocking = false); Right(capped.sorted) }
-    }
+    // same mode contract as [[stripBoilerplate]], flag source = reference
+    val mode = stripFlagMode(reference, idCol, textCol, w, minDocs,
+      relational, relationalCutover)
     mode match {
       case Right(hashes) =>
         docs.withColumn("clean_text",
@@ -324,6 +295,74 @@ object Dedup {
     * every executor — comfortably fine; far beyond it the collect itself
     * becomes the scale hazard the relational mode exists to avoid. */
   val StripRelationalCutover: Long = 1000000L
+
+  /** Flagged-hash frames PERSISTED by the auto mode's overflow path,
+    * tracked so callers can release them: see [[releaseStripCaches]]. */
+  private val stripCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Release the flagged-hash frames the strip operators' AUTO mode
+    * persisted on its overflow path. THE CACHING CONTRACT: when the
+    * flagged-span set overflows `relationalCutover`, the auto probe's
+    * aggregation is kept persisted (MEMORY_AND_DISK, spillable, far
+    * smaller than the corpus by the `minDocs` filter) so the relational
+    * rewrite joins it instead of recomputing the heaviest aggregation —
+    * and it stays cached until session eviction, because the operator
+    * returns a LAZY DataFrame still referencing it and cannot know when
+    * the caller is done. A long-lived session that has consumed its
+    * strip results calls this to hand the blocks back eagerly;
+    * otherwise Spark's normal cache eviction reclaims them under
+    * pressure. Safe to call while earlier results are still unconsumed
+    * only in the sense Spark defines: unpersisted frames recompute. */
+  def releaseStripCaches(blocking: Boolean = false): Unit = {
+    var df = stripCaches.poll()
+    while (df != null) {
+      df.unpersist(blocking)
+      df = stripCaches.poll()
+    }
+  }
+
+  /** The ONE flag-mode selector behind [[stripBoilerplate]] and
+    * [[stripBoilerplateAgainst]] (the flag source differs — self corpus
+    * vs reference — the machinery must not).
+    *
+    * Right(hashes) = kernel mode; Left(Some(fh)) = relational mode
+    * reusing the persisted flagged-HASH frame from the auto probe;
+    * Left(None) = relational mode flagging by span TEXT (the oracle
+    * formulation `Some(true)` pins — hash and text flagging differ only
+    * on 64-bit collisions, p ≈ spans²/2⁶⁴, parity-asserted in
+    * DedupSpec). Auto (`None`): the flagged-hash aggregation runs with a
+    * `relationalCutover + 1` cap — when it fits, the capped collect IS
+    * the kernel's hash set; on overflow the mode cuts over to the
+    * relational rewrite and the persisted probe frame is registered in
+    * [[stripCaches]] for [[releaseStripCaches]] (the cache-lifecycle
+    * contract lives there). */
+  private def stripFlagMode(flagSource: DataFrame, idCol: String,
+                            textCol: String, w: Int, minDocs: Int,
+                            relational: Option[Boolean],
+                            relationalCutover: Long)
+      : Either[Option[DataFrame], Array[Long]] = {
+    require(w > 0 && minDocs > 0)
+    require(relationalCutover > 0 && relationalCutover < Int.MaxValue.toLong)
+    relational match {
+      case Some(true)  => Left(None)
+      case Some(false) =>
+        Right(boilerplateHashes(flagSource, idCol, textCol, w, minDocs,
+          maxHashes = relationalCutover))
+      case None =>
+        val fh = flaggedSpanHashes(flagSource, idCol, textCol, w, minDocs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val capped = fh.limit(relationalCutover.toInt + 1)
+          .collect().map(_.getLong(0))
+        if (capped.length > relationalCutover) {
+          stripCaches.add(fh)
+          Left(Some(fh)) // overflow: flagged set stays distributed
+        } else {
+          fh.unpersist(blocking = false)
+          Right(capped.sorted)
+        }
+    }
+  }
 
   /** The single-column (`h`) frame of xxhash64 span hashes appearing in
     * ≥ `minDocs` distinct documents — the shared aggregation behind
@@ -859,9 +898,7 @@ object Dedup {
     // plan would re-run LSH/inverted-index pair generation per round —
     // the recompute bug class PlanShapeSpec polices, measured at ~4× on
     // dedup_components before this checkpoint
-    val edges = pairs.select(col("i"), col("j"))
-      .unionByName(pairs.select(col("j").as("i"), col("i").as("j")))
-      .localCheckpoint(eager = true)
+    val edges = ccEdges(pairs).localCheckpoint(eager = true)
     var labels = edges.select(col("i").as("id"))
       .union(edges.select(col("j").as("id"))).distinct()
       .withColumn("comp", col("id"))
@@ -869,37 +906,8 @@ object Dedup {
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
-      // (a) one-hop: take the min label across self and all neighbors,
-      // keeping the pre-round label alongside (only the self row carries
-      // it; min() skips the neighbor rows' nulls) so convergence is
-      // decided without a second pass over `labels`.
-      def oneHop() = labels.select(col("id"), col("comp"), col("comp").as("old"))
-        .unionByName(edges.join(labels, edges("j") === labels("id"))
-          .select(edges("i").as("id"), col("comp"),
-            lit(null).cast("long").as("old")))
-        .groupBy("id").agg(min("comp").as("comp"), min("old").as("old"))
-      // (b) pointer jump: comp is itself a node id with a row in oneHop
-      // (labels only ever hold reachable node ids), so an inner self-join
-      // resolves comp -> comp(comp); least() keeps min-monotonicity
-      // explicit. The join's build side is a FRESH oneHop() plan instance
-      // (not the same Dataset object): both sides still read the one
-      // checkpointed `labels` leaf, but distinct attribute ids sidestep
-      // the analyzer's self-join dedup on unioned-grouped plans.
-      //
-      // ONE Spark job per round: the changed-row count rides this round's
-      // own checkpoint materialization as a `Dataset.observe` metric (min
-      // labels only ever decrease, so comp < old IS "this row moved") —
-      // no separate join-and-count convergence job, and the eager
-      // checkpoint keeps per-round lineage constant-depth.
       val obs = org.apache.spark.sql.Observation()
-      val next = oneHop()
-        .join(oneHop().select(col("id").as("hid"), col("comp").as("hcomp")),
-          col("comp") === col("hid"))
-        .select(col("id"), least(col("comp"), col("hcomp")).as("comp"),
-          col("old"))
-        .observe(obs, sum(when(col("comp") < col("old"), 1L).otherwise(0L))
-          .as("moved"))
-        .localCheckpoint(eager = true)
+      val next = ccRound(labels, edges, obs).localCheckpoint(eager = true)
       // the eager checkpoint has already run the job, so the metric
       // arrives with the (asynchronous) query-completion event moments
       // later; a bounded Await turns a lost listener event into a loud
@@ -917,6 +925,58 @@ object Dedup {
         "covers diameter ~2^maxIter) or inspect the pair list for " +
         "pathological structure.")
     labels
+  }
+
+  /** Undirected edge list for [[connectedComponents]] (both orientations
+    * of every pair) — factored so the per-round plan-shape guard builds
+    * the exact production shape. */
+  private[graft] def ccEdges(pairs: DataFrame): DataFrame =
+    pairs.select(col("i"), col("j"))
+      .unionByName(pairs.select(col("j").as("i"), col("i").as("j")))
+
+  /** ONE pointer-doubling round of [[connectedComponents]], pre-
+    * checkpoint — factored out so PlanShapeSpec asserts the round's
+    * executed plan (the duplicated one-hop aggregate must come back as
+    * a ReusedExchange, not run twice) against the exact plan production
+    * runs.
+    *
+    * (a) one-hop: take the min label across self and all neighbors,
+    * keeping the pre-round label alongside (only the self row carries
+    * it; min() skips the neighbor rows' nulls) so convergence is decided
+    * without a second pass over `labels`.
+    *
+    * (b) pointer jump: comp is itself a node id with a row in oneHop
+    * (labels only ever hold reachable node ids), so an inner self-join
+    * resolves comp -> comp(comp); least() keeps min-monotonicity
+    * explicit. The join's build side is a FRESH oneHop() plan instance
+    * (not the same Dataset object): both sides still read the one
+    * checkpointed `labels` leaf, but distinct attribute ids sidestep the
+    * analyzer's self-join dedup on unioned-grouped plans. The two
+    * instances canonicalize identically, so the aggregate's exchange
+    * executes once and the second read is an AQE ReusedExchange — the
+    * plan-guarded property; without it every round pays the heaviest
+    * aggregate twice.
+    *
+    * ONE Spark job per round: the changed-row count rides the round's
+    * checkpoint materialization as a `Dataset.observe` metric (min
+    * labels only ever decrease, so comp < old IS "this row moved") — no
+    * separate join-and-count convergence job, and the eager checkpoint
+    * keeps per-round lineage constant-depth. */
+  private[graft] def ccRound(labels: DataFrame, edges: DataFrame,
+                             obs: org.apache.spark.sql.Observation)
+      : DataFrame = {
+    def oneHop() = labels.select(col("id"), col("comp"), col("comp").as("old"))
+      .unionByName(edges.join(labels, edges("j") === labels("id"))
+        .select(edges("i").as("id"), col("comp"),
+          lit(null).cast("long").as("old")))
+      .groupBy("id").agg(min("comp").as("comp"), min("old").as("old"))
+    oneHop()
+      .join(oneHop().select(col("id").as("hid"), col("comp").as("hcomp")),
+        col("comp") === col("hid"))
+      .select(col("id"), least(col("comp"), col("hcomp")).as("comp"),
+        col("old"))
+      .observe(obs, sum(when(col("comp") < col("old"), 1L).otherwise(0L))
+        .as("moved"))
   }
 
   /** Full near-dup corpus dedup: find pairs (EXACT Jaccard below

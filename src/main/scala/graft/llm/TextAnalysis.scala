@@ -333,7 +333,16 @@ object TextAnalysis {
     * regex rewrites — no lookarounds (RE2 has none), group references
     * written `$n` here and `\n` in the DuckDB oracle (the two engines'
     * replacement syntaxes) — scan-side, zero shuffle. Non-URL input
-    * passes through with only the generic cleanups. */
+    * passes through with only the generic cleanups.
+    *
+    * Userinfo (`user:pass@host`) is rare in corpus URLs and gets the
+    * heuristic treatment: the port-strip patterns skip over it (an
+    * optional `[^/@?#]*@` prefix, so `u:p@host:443` and `u:p@host`
+    * canonicalize together), but the authority lowering folds its case
+    * along with the host's — technically lossy (userinfo is
+    * case-sensitive per RFC 3986) and accepted here like the other
+    * documented trades: for dedup keys, folding two case-variant
+    * spellings of the same credential is the useful direction. */
   def canonicalizeUrl(url: Column): Column = {
     val t = trim(url)
     val lowered = concat(
@@ -342,8 +351,9 @@ object TextAnalysis {
     val noFrag = regexp_replace(lowered, "#.*$", "")
     val noWww = regexp_replace(noFrag, "^(https?://)www\\.", "$1")
     val noPort = regexp_replace(
-      regexp_replace(noWww, "^(https://[^/:?#]*):443([/?#]|$)", "$1$2"),
-      "^(http://[^/:?#]*):80([/?#]|$)", "$1$2")
+      regexp_replace(noWww,
+        "^(https://(?:[^/@?#]*@)?[^/:?#]*):443([/?#]|$)", "$1$2"),
+      "^(http://(?:[^/@?#]*@)?[^/:?#]*):80([/?#]|$)", "$1$2")
     val noTrack = regexp_replace(noPort,
       "([?&])(utm_[a-z]+|fbclid)=[^&#]*", "$1")
     val sep1 = regexp_replace(noTrack, "\\?&", "?")

@@ -72,24 +72,93 @@ object Streaming {
       .start()
   }
 
+  /** The schema [[readEvents]] pins when the events directory is still
+    * EMPTY at stream-creation time: the CURRENT testdata generator's
+    * µs-NTZ encoding. A pinned guess, not an inference — see
+    * [[eventsEncodingMismatch]] for what happens when the producer's
+    * first files turn out to carry a different generation. */
+  val EventsFallbackSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Directories whose stream schema was PINNED (empty at creation) and
+    * is therefore a guess to be checked against the first real files. */
+  private val pinnedFallbackDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val mismatchListenerInstalled =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Diagnose an encoding-generation mismatch for an events directory
+    * whose stream was created while it was still empty: compares the
+    * `ts` type the files on disk NOW carry against the pinned
+    * [[EventsFallbackSchema]]. `None` = no files yet, no `ts` column to
+    * compare, or encodings agree. The streaming scan itself fails on
+    * such a mismatch with a generic parquet conversion error — this
+    * helper (and the listener [[readEvents]] installs) turn that into
+    * an actionable diagnosis. */
+  def eventsEncodingMismatch(spark: SparkSession, dir: String): Option[String] = {
+    try {
+      val disk = spark.read.parquet(dir).schema
+      if (!disk.fieldNames.contains("ts")) None
+      else {
+        val got = disk("ts").dataType
+        val pinned = EventsFallbackSchema("ts").dataType
+        if (got == pinned) None
+        else Some(s"events encoding generation mismatch at $dir: the " +
+          s"stream was created on an empty directory and pinned " +
+          s"ts=${pinned.simpleString}, but the files now present carry " +
+          s"ts=${got.simpleString}. Recreate the stream — readEvents " +
+          "re-infers the schema from files when any exist.")
+      }
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
+  /** One session-wide listener: when any streaming query dies, probe the
+    * registered pinned-fallback dirs and print the precise diagnosis next
+    * to Spark's generic conversion error (once per dir). */
+  private def installMismatchListener(spark: SparkSession): Unit =
+    if (mismatchListenerInstalled.compareAndSet(false, true)) {
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+            if (e.exception.isDefined) {
+              val it = pinnedFallbackDirs.iterator()
+              while (it.hasNext) {
+                val d = it.next()
+                eventsEncodingMismatch(spark, d).foreach { msg =>
+                  System.err.println(s"[graft.streaming] $msg")
+                  pinnedFallbackDirs.remove(d)
+                }
+              }
+            }
+        })
+    }
+
   /** Streaming view of an events directory, `ts` normalized to the
     * session-zone TIMESTAMP exactly as [[graft.Tables.load]] does for
     * batch (int64-ns, µs-NTZ, and already-normalized encodings all
     * accepted). `readStream` needs the schema up front, so one batch
     * read infers it from the files already present; a still-EMPTY drop
     * directory (the standard create-stream-before-producer setup) falls
-    * back to the current generator's µs-NTZ schema rather than failing
-    * schema inference — later arrivals are read under it. */
+    * back to [[EventsFallbackSchema]] rather than failing schema
+    * inference — later arrivals are read under it. If those arrivals
+    * turn out to be a DIFFERENT encoding generation, the scan fails (by
+    * Spark's parquet conversion check) and the installed listener prints
+    * the explicit [[eventsEncodingMismatch]] diagnosis — recreate the
+    * stream; silent wrong-schema reads cannot happen. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema =
       try spark.read.parquet(dir).schema
       catch {
         case _: org.apache.spark.sql.AnalysisException =>
-          StructType(Seq(
-            StructField("event_id", LongType), StructField("ts", TimestampNTZType),
-            StructField("user_id", LongType), StructField("event_type", StringType),
-            StructField("value", DoubleType), StructField("props", StringType)))
+          pinnedFallbackDirs.add(dir)
+          installMismatchListener(spark)
+          EventsFallbackSchema
       }
     val raw = spark.readStream.schema(schema).parquet(dir)
     schema("ts").dataType match {

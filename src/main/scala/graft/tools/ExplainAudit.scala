@@ -31,7 +31,14 @@ object ExplainAudit extends App {
       // reference-set strip)
       "dedup_substring_incremental", "text_collocations",
       "corpus_temperature_mix", "emb_label_margin", "emb_knn_vote",
-      "dedup_strip_spans_incremental"))
+      "dedup_strip_spans_incremental",
+      // round-12: the r11 audit stragglers — dedup_components' whole
+      // design story is plan shape (checkpointed pair leaf, no per-round
+      // recompute), the scan-side three prove they stay exchange-free —
+      // plus the per-group-k weighted sampler (ObjectHashAggregate, no
+      // window sort)
+      "dedup_components", "text_strip_html", "text_url_canonical",
+      "corpus_report", "corpus_stratified_weighted"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

@@ -60,7 +60,12 @@ object ScaleBench {
     // and the broadcast label-margin sweep
     "dedup_substring_incremental", "dedup_components", "text_collocations",
     "corpus_temperature_mix", "emb_label_margin", "emb_knn_vote",
-    "text_strip_html", "text_url_canonical", "corpus_report")
+    "text_strip_html", "text_url_canonical", "corpus_report",
+    // round-12 additions: the r11 probe straggler (its relational
+    // span-text overflow join is the shape that most wants a probe) and
+    // the per-group-k weighted sampler (must show O(Σk) — not
+    // stratum-sorted — growth like its uniform sibling)
+    "dedup_strip_spans_incremental", "corpus_stratified_weighted")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

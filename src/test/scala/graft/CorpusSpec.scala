@@ -479,6 +479,38 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("stratifiedSampleWeighted: window-twin parity, per-stratum ks, defaultK=0 drops") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sf0, "documents")
+    val ks = Map("en" -> 9, "de" -> 4)
+    val out = Corpus.stratifiedSampleWeighted(docs, "lang", "doc_id",
+      ks, defaultK = 2, seed = "wtest")
+    val got = out.as[(String, Int, Long)].collect().toSet
+    val viaWindow = docs
+      .withColumn("rk", row_number().over(Window.partitionBy($"lang")
+        .orderBy(md5(concat(lit("wtest:"), $"doc_id".cast("string"))),
+          $"doc_id")))
+      .filter($"rk" <= when($"lang" === "en", 9)
+        .when($"lang" === "de", 4).otherwise(2))
+      .select($"lang", $"rk", $"doc_id")
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == viaWindow)
+    val perLang = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perLang("en") == 9 && perLang("de") == 4)
+    assert(perLang.filterNot(p => ks.contains(p._1)).values.forall(_ == 2))
+    // defaultK = 0: strata absent from the map leave at the scan
+    val dropped = Corpus.stratifiedSampleWeighted(docs, "lang", "doc_id",
+      Map("en" -> 3), defaultK = 0, seed = "wtest")
+    assert(dropped.select("lang").distinct().as[String].collect()
+      .toSeq == Seq("en"))
+    assert(dropped.count() == 3)
+    // scale shape: bounded aggregate, not a window sort
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("ObjectHashAggregate"), s"plan:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window sort:\n$plan")
+  }
+
   test("plan shapes: scan-side ops shuffle-free, packing exactly once") {
     val docs = Tables.load(spark, sf0, "documents")
     def exchanges(df: org.apache.spark.sql.DataFrame): Int =

@@ -514,6 +514,33 @@ class DedupSpec extends SparkSpec {
     assert(!roomy.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("releaseStripCaches hands back the auto overflow path's persisted frames") {
+    val footer = "shared footer tokens one two three four five six seven"
+    val df = (0 until 8).map(i =>
+      (i.toLong, s"doc $i unique words here $footer")).toDF("doc_id", "text")
+    // a DIFFERENT reference frame for the Against form: the CacheManager
+    // dedups identical canonicalized plans, so flagging from the same df
+    // would share one cache entry and hide the second registration
+    val ref = ((0 until 8).map(i =>
+      (i.toLong, s"doc $i unique words here $footer")) :+
+      (99L, s"extra reference doc $footer")).toDF("doc_id", "text")
+    def cachedCount() = spark.sparkContext.getPersistentRDDs.size
+    Dedup.releaseStripCaches(blocking = true) // clean slate
+    val before = cachedCount()
+    // overflow on BOTH operators: each registers one persisted probe frame
+    Dedup.stripBoilerplate(df, "doc_id", "text",
+      w = 4, minDocs = 3, relationalCutover = 3L).count()
+    Dedup.stripBoilerplateAgainst(df, ref, "doc_id", "text",
+      w = 4, minDocs = 3, relationalCutover = 3L).count()
+    assert(cachedCount() >= before + 2,
+      s"expected 2 new persisted frames, before=$before now=${cachedCount()}")
+    Dedup.releaseStripCaches(blocking = true)
+    assert(cachedCount() <= before,
+      s"release left cached RDDs: before=$before now=${cachedCount()}")
+    // idempotent on an empty registry
+    Dedup.releaseStripCaches()
+  }
+
   test("boilerplateHashes overflow fails loudly with distributed-path guidance") {
     val footer = "shared footer tokens one two three four five six seven"
     val df = (0 until 8).map(i =>

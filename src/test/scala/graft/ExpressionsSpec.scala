@@ -321,6 +321,50 @@ class ExpressionsSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected window sort:\n$plan")
   }
 
+  test("topKByKeyPerGroup: parity with fixed-k form at constant k") {
+    val docs = Tables.load(spark, sf0, "documents")
+    val hkey = struct(md5(concat(lit("pg:"), $"doc_id".cast("string"))), $"doc_id")
+    def explode3(df: org.apache.spark.sql.DataFrame) = df
+      .select($"lang", posexplode($"top"))
+      .select($"lang", ($"pos" + 1).as("rk"), $"col.payload".as("doc_id"))
+      .as[(String, Int, Long)].collect().toSet
+    val fixed = explode3(docs.groupBy($"lang")
+      .agg(GraftExpressions.topKByKey(hkey, $"doc_id", 5).as("top")))
+    val perGroup = explode3(docs.groupBy($"lang")
+      .agg(GraftExpressions.topKByKeyPerGroup(hkey, $"doc_id", lit(5))
+        .as("top")))
+    assert(perGroup == fixed && perGroup.nonEmpty)
+  }
+
+  test("topKByKeyPerGroup: loud contract failures (varying k, null k, k<1)") {
+    def rootMsgs(t: Throwable): String = {
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    }
+    val varying = Seq(("a", 1L, 3), ("a", 2L, 4)).toDF("g", "id", "k")
+    val e1 = intercept[Throwable] {
+      varying.coalesce(1).groupBy($"g")
+        .agg(GraftExpressions.topKByKeyPerGroup(struct($"id"), $"id", $"k"))
+        .collect()
+    }
+    assert(rootMsgs(e1).contains("k changed within one group"), rootMsgs(e1))
+    val nullK = Seq(("a", 1L)).toDF("g", "id")
+      .withColumn("k", lit(null).cast("int"))
+    val e2 = intercept[Throwable] {
+      nullK.groupBy($"g")
+        .agg(GraftExpressions.topKByKeyPerGroup(struct($"id"), $"id", $"k"))
+        .collect()
+    }
+    assert(rootMsgs(e2).contains("NULL k"), rootMsgs(e2))
+    val zeroK = Seq(("a", 1L, 0)).toDF("g", "id", "k")
+    val e3 = intercept[Throwable] {
+      zeroK.groupBy($"g")
+        .agg(GraftExpressions.topKByKeyPerGroup(struct($"id"), $"id", $"k"))
+        .collect()
+    }
+    assert(rootMsgs(e3).contains("outside [1,"), rootMsgs(e3))
+  }
+
   implicit class Tup3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(t => ((t._1, t._2), t._3)).toMap
   }

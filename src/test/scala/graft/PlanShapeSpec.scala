@@ -151,6 +151,39 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a map-side (Partial) WindowGroupLimit:\n$finalSection")
   }
 
+  test("connectedComponents round: the duplicated one-hop aggregate is a ReusedExchange") {
+    // ccRound builds the one-hop union+aggregate subtree TWICE (fresh
+    // plan instance per join side, to sidestep the analyzer's self-join
+    // dedup); both instances canonicalize identically, so the aggregate's
+    // exchange must execute ONCE and come back as an AQE ReusedExchange.
+    // A lost reuse silently doubles the heaviest per-round work.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
+      .toDF("i", "j")
+    val edges = graft.llm.Dedup.ccEdges(pairs).localCheckpoint(eager = true)
+    val labels = edges.select(col("i").as("id"))
+      .union(edges.select(col("j").as("id"))).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(eager = true)
+    val obs = org.apache.spark.sql.Observation()
+    val round = graft.llm.Dedup.ccRound(labels, edges, obs)
+    // materialize EXACTLY the way production does: the eager checkpoint
+    // runs the round as a Dataset action, which both finalizes the
+    // adaptive plan and fires the execution-end event the Observation
+    // listens for (a raw toRdd job would do neither)
+    round.localCheckpoint(eager = true)
+    val finalSection = round.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalSection.linesIterator.exists(_.contains("ReusedExchange")),
+      s"one-hop duplicate must reuse its exchange:\n$finalSection")
+    // and the round's convergence metric still rides the same job
+    val moved = scala.concurrent.Await
+      .result(obs.future, scala.concurrent.duration.Duration(60, "s"))
+      .getAs[Long]("moved")
+    assert(moved > 0L)
+  }
+
   test("a deliberate recompute shape IS caught by the counter") {
     // sanity-check the guard itself: the pre-fix bigram formulation
     // (context count re-exploded from the corpus) must count 3 scans

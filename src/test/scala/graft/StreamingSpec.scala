@@ -299,6 +299,36 @@ class StreamingSpec extends SparkSpec {
       .as[String].head() == "2024-05-01 10:00:00")
   }
 
+  test("readEvents empty-dir fallback: wrong-generation arrivals fail with a diagnosis, not nulls") {
+    val drop = java.nio.file.Files.createTempDirectory("graft-evmm-drop")
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-evmm-ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-evmm-out").toString
+    val stream = Streaming.readEvents(spark, drop.toString) // empty → pinned
+    assert(Streaming.eventsEncodingMismatch(spark, drop.toString).isEmpty)
+    // the producer turns out to be the OLDER int64 generation (plain
+    // long ts — what the ns encoding surfaces as under nanosAsLong)
+    Seq((1L, 1714557600000000000L, 7L, "click", 1.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(drop.toString)
+    val q = stream.select("event_id", "ts")
+      .writeStream.format("parquet")
+      .outputMode("append")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // the scan must FAIL (no silent wrong-schema read) …
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(e.getMessage != null)
+    // … and the library diagnoses the cause explicitly
+    val diag = Streaming.eventsEncodingMismatch(spark, drop.toString)
+    assert(diag.isDefined && diag.get.contains("generation mismatch"),
+      s"diag=$diag")
+    assert(diag.get.contains("Recreate the stream"))
+  }
+
   test("substringDupStream refuses an oversized reference window set, loudly") {
     val reference = Seq((1L, ('a' to 'z').mkString * 10)).toDF("doc_id", "text")
     val stream = spark.readStream.format("rate").load()

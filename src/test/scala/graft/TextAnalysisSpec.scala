@@ -297,5 +297,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(canon("HTTP://A.B/QueryCase?Q=V") == "http://a.b/QueryCase?Q=V")
     // non-URL input: only generic cleanups apply
     assert(canon("  not a url  ") == "not a url")
+    // userinfo: default port strips through `user:pass@` (the ':' in the
+    // userinfo must not break the port match) — with and without
+    // credentials canonicalize to the same key shape
+    assert(canon("https://u:p@Host.COM:443/x") == "https://u:p@host.com/x")
+    assert(canon("https://u:p@Host.COM/x") == "https://u:p@host.com/x")
+    assert(canon("http://alice@h.org:80/") == "http://alice@h.org")
+    // non-default port with userinfo survives
+    assert(canon("https://u:p@h.io:8443/x") == "https://u:p@h.io:8443/x")
+    // an '@' later in the path does not fake a userinfo
+    assert(canon("https://h.io:443/a@b") == "https://h.io/a@b")
   }
 }
