@@ -971,6 +971,30 @@ object SparkEntry {
           "lang", "text")
         .select("doc_id", "lang")),
 
+    "corpus_temperature_mix_stream" -> ((s, dir) => {
+      // the ACTUAL streaming path under the oracle gate (not a batch
+      // twin): AvailableNow over the same parquet, rates derived once
+      // from the static reference, memory sink drained to a DataFrame.
+      // The operator itself is the zero-shuffle scan predicate — the
+      // memory sink is oracle harness, not the 100 TB shape (production
+      // streams write files/Kafka)
+      val reference = t(s, dir, "documents")
+      // the file stream source lists a DIRECTORY; documents.parquet is a
+      // single file inside the sf dir, so filter the listing to it
+      val stream = s.readStream.schema(reference.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val mixed = graft.streaming.Streaming.temperatureMixStream(
+        stream, reference, "lang", "text").select("doc_id", "lang")
+      val qn = "graft_tmix_stream_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = mixed.writeStream.format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn)
+    }),
+
     "text_collocations" -> ((s, dir) =>
       // PMI-lift top bigram collocations; marginals and the total derive
       // from the one bigram-count table (single corpus scan)
@@ -1904,6 +1928,19 @@ object SparkEntry {
     // sqrt), then floor-quantize to a 32-bit hex cutoff — both engines
     // compute the identical double and the identical threshold string
     "corpus_temperature_mix" ->
+      """WITH n AS (SELECT lang, count(*) AS ns FROM documents
+        |           WHERE lang IS NOT NULL GROUP BY 1),
+        |m AS (SELECT min(ns) AS nmin FROM n),
+        |r AS (SELECT lang,
+        |        sqrt(CAST(nmin AS DOUBLE) / CAST(ns AS DOUBLE)) AS rate
+        |      FROM n, m)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r USING (lang)
+        |WHERE substring(md5(d.text), 1, 8) <
+        |  lower(lpad(to_hex(CAST(floor(rate * 4294967295.0) AS BIGINT)), 8, '0'))""".stripMargin,
+
+    // the streaming path must land on the identical cut: same twin
+    "corpus_temperature_mix_stream" ->
       """WITH n AS (SELECT lang, count(*) AS ns FROM documents
         |           WHERE lang IS NOT NULL GROUP BY 1),
         |m AS (SELECT min(ns) AS nmin FROM n),

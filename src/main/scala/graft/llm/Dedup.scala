@@ -924,8 +924,15 @@ object Dedup {
         "would be silently truncated. Raise maxIter (pointer doubling " +
         "covers diameter ~2^maxIter) or inspect the pair list for " +
         "pathological structure.")
+    lastRounds = iter
     labels
   }
+
+  /** Diagnostic: pointer-doubling rounds the LAST [[connectedComponents]]
+    * call on this JVM ran (driver-side loop, so a plain var suffices for
+    * the scale probe's O(log D) round-count evidence; not part of the
+    * operator contract). */
+  @volatile private[graft] var lastRounds: Int = 0
 
   /** Undirected edge list for [[connectedComponents]] (both orientations
     * of every pair) — factored so the per-round plan-shape guard builds

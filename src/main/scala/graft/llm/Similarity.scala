@@ -95,15 +95,30 @@ object Similarity {
     * label), so engine and oracle elect the same winner bit-for-bit.
     * Returns per query `(query_id, label, predicted, correct)`.
     *
-    * 100 TB shape: neighbor generation is [[bruteForceTopK]]'s broadcast
-    * sweep (corpus unshuffled) — swap in [[ivfTopK]]/[[ivfPqTopK]]
-    * candidates for billion-vector corpora; the vote itself aggregates
-    * k·queries rows, negligible at any scale. */
+    * 100 TB shape: neighbor generation is pluggable — `strategy` picks
+    * [[bruteForceTopK]] (default: exact, corpus unshuffled, right for
+    * eval-sized query sets), [[ivfTopK]] (`"ivf"`) or [[ivfPqTopK]]
+    * (`"ivfpq"`) at their default index parameters for billion-vector
+    * corpora, and `candidates` overrides with ANY pre-computed neighbor
+    * frame carrying `(query_id, corpus_id)` (e.g. an `ivfTopK` call with
+    * tuned nlist/nprobe) — so the scale swap is an argument, not a code
+    * edit. The vote itself aggregates k·queries rows, negligible at any
+    * scale. */
   def knnLabelVote(corpus: DataFrame, queries: DataFrame, k: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding",
-                   labelCol: String = "label"): DataFrame = {
+                   labelCol: String = "label",
+                   strategy: String = "brute",
+                   candidates: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k=$k")
-    val neighbors = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+    val neighbors = candidates.getOrElse(strategy match {
+      case "brute" => bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      case "ivf"   => ivfTopK(corpus, queries, k, idCol = idCol, vecCol = vecCol)
+      case "ivfpq" => ivfPqTopK(corpus, queries, k, idCol = idCol, vecCol = vecCol)
+      case other => throw new IllegalArgumentException(
+        s"knnLabelVote: unknown neighbor strategy '$other' — use " +
+          "brute | ivf | ivfpq, or pass candidates = Some(df) with " +
+          "(query_id, corpus_id) from any top-k call")
+    })
     val corpusLabels = corpus.select(col(idCol).as("corpus_id"),
       col(labelCol).as("__nl"))
     val votes = neighbors.join(corpusLabels, "corpus_id")

@@ -78,13 +78,24 @@ object ScaleBench {
     // ns / µs NTZ); copy it through unchanged — Tables.load normalizes
     // every encoding it can produce
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // TWO independent rotation axes so copy mutations stay distinct past
+    // 10 copies: axis 1 rotates by k mod 10, axis 2 (disjoint consonant
+    // set, identity when k < 10 — 10-copy probes reproduce the historic
+    // numbers exactly) rotates by k div 10. A single 10-char alphabet
+    // would make copies k and k+10 IDENTICAL text — every doc would gain
+    // exact cross-copy duplicates and a 100× probe would measure pair
+    // explosion, the exact trap the mutation scheme exists to avoid.
     val alpha = "aeioustnrl"
+    val alpha2 = "bcdfghjkmp"
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     (0 until copies).map { k =>
+      val m1 = if (k % 10 == 0) col("text")
+        else translate(col("text"), alpha, rotate(alpha, k % 10))
+      val m2 = if (k / 10 % 10 == 0) m1
+        else translate(m1, alpha2, rotate(alpha2, k / 10 % 10))
       docs.select(
         (col("doc_id") + lit(k * Offset)).as("doc_id"),
-        (if (k == 0) col("text")
-         else translate(col("text"), alpha, rotate(alpha, k))).as("text"),
+        m2.as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
@@ -208,14 +219,21 @@ object ScaleBench {
     // warmup pass (codegen + JIT) at 1× before any measurement
     measure(spark, srcDir, runs = 1, probes)
     val t1 = measure(spark, srcDir, runs = 2, probes)
+    val rounds1 = graft.llm.Dedup.lastRounds
     val t10 = measure(spark, workDir, runs = 2, probes)
+    val rounds10 = graft.llm.Dedup.lastRounds
 
     val items = probes.map { q =>
       val ((s1, r1), (s10, r10)) = (t1(q), t10(q))
       val ratio = s10 / s1
       s""""$q":{"t1":${f"$s1%.3f"},"t${copies}x":${f"$s10%.3f"},"ratio":${f"$ratio%.2f"},"rows1":$r1,"rows${copies}x":$r10}"""
     }
-    println(s"""{"metric":"scaleprobe","copies":$copies,"synth_sec":${f"$tSynth%.1f"},""" +
+    // closure round counts ride along when the components query was
+    // probed: the O(log D) claim wants measured rounds, not argument
+    val rounds = if (probes.contains("dedup_components"))
+      s""","cc_rounds_1x":$rounds1,"cc_rounds_${copies}x":$rounds10"""
+    else ""
+    println(s"""{"metric":"scaleprobe","copies":$copies,"synth_sec":${f"$tSynth%.1f"}$rounds,""" +
       s""""queries":{${items.mkString(",")}}}""")
     spark.stop()
   }

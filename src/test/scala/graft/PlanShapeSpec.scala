@@ -151,6 +151,25 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a map-side (Partial) WindowGroupLimit:\n$finalSection")
   }
 
+  test("every window-top-k site keeps the map-side WindowGroupLimit rank pruning") {
+    // the row_number+filter → WindowGroupLimit pushdown is Spark-version-
+    // sensitive; a silent fallback to a full-window sort would shuffle
+    // every candidate row instead of k per group. Guard EVERY query built
+    // on the idiom the way emb_knn_vote already is: each must execute
+    // with at least one map-side (Partial) WindowGroupLimit.
+    val windowTopK = Seq("tfidf_keywords", "ann_cosine_topk",
+      "ann_ivf_topk", "ann_pq_topk", "ann_ivf_pq_topk", "a6_keep_latest")
+    windowTopK.foreach { name =>
+      val df = q(name)
+      df.queryExecution.toRdd.foreach(_ => ())
+      val finalSection = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(finalSection.linesIterator
+        .exists(l => l.contains("WindowGroupLimit") && l.contains("Partial")),
+        s"$name lost its map-side (Partial) WindowGroupLimit:\n$finalSection")
+    }
+  }
+
   test("connectedComponents round: the duplicated one-hop aggregate is a ReusedExchange") {
     // ccRound builds the one-hop union+aggregate subtree TWICE (fresh
     // plan instance per join side, to sidestep the analyzer's self-join

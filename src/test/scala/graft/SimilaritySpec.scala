@@ -296,6 +296,32 @@ class SimilaritySpec extends SparkSpec {
     assert(out(10L) == ((9, 1, false)))
   }
 
+  test("knnLabelVote neighbor source is pluggable: brute ≡ ivf candidates at recall=1") {
+    // at nprobe == nlist every cell is probed, so IVF candidate
+    // generation is exhaustive (recall 1) and the votes must elect the
+    // same winners as the brute-force sweep — the documented
+    // billion-vector swap, now an argument instead of a code edit
+    val emb = Tables.load(spark, sf0, "embeddings")
+    val queries = emb.filter(col("vec_id") < 40)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getBoolean(3)))).toMap
+    val brute = asMap(Similarity.knnLabelVote(emb, queries, k = 5))
+    val viaCandidates = asMap(Similarity.knnLabelVote(emb, queries, k = 5,
+      candidates = Some(Similarity.ivfTopK(emb, queries, k = 5,
+        nlist = 4, nprobe = 4))))
+    assert(brute == viaCandidates && brute.nonEmpty)
+    // the strategy flag routes to the same machinery (defaults differ in
+    // recall, so just assert it runs and covers every query)
+    val viaIvf = asMap(Similarity.knnLabelVote(emb, queries, k = 5,
+      strategy = "ivf"))
+    assert(viaIvf.keySet == brute.keySet)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnLabelVote(emb, queries, k = 5, strategy = "annoy")
+    }
+    assert(e.getMessage.contains("unknown neighbor strategy"))
+  }
+
   test("labelMargin: best same/other-label cosine, NULL for singleton labels") {
     // axis-aligned plants: 1 and 2 share label 0 and direction (cos 1.0);
     // 3 (label 1) is oblique to both; 4 is label 2's only vector

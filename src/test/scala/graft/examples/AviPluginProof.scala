@@ -29,11 +29,19 @@ object AviPluginProof {
       // CONTEXT loader — the exact lookup the library performs. If this
       // fails, the environment never delivered the jar and the
       // decode_ok assertion below would misdiagnose the classloader fix.
+      // count only registrations naming THIS plugin's decoder: the test
+      // resources ship a static services file (FakeVideoDecoder + the
+      // mp4 example) that rides the forked classpath, so a bare
+      // resource count would pass without the addJar'd jar
       val services = spark.sparkContext.parallelize(Seq(1), 1).map { _ =>
         val res = Thread.currentThread().getContextClassLoader
           .getResources("META-INF/services/graft.llm.FrameDecoder")
         var n = 0
-        while (res.hasMoreElements) { res.nextElement(); n += 1 }
+        while (res.hasMoreElements) {
+          val s = new String(res.nextElement().openStream().readAllBytes(),
+            "UTF-8")
+          if (s.contains("AviMjpegFrameDecoder")) n += 1
+        }
         n
       }.collect().head
       assert(services >= 1,
