@@ -979,11 +979,19 @@ object SparkEntry {
       // memory sink is oracle harness, not the 100 TB shape (production
       // streams write files/Kafka)
       val reference = t(s, dir, "documents")
-      // the file stream source lists a DIRECTORY; documents.parquet is a
-      // single file inside the sf dir, so filter the listing to it
-      val stream = s.readStream.schema(reference.schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
+      // the file stream source lists a DIRECTORY: when documents.parquet
+      // IS one (a Spark-written table, e.g. the scale probe's synthesized
+      // corpus) stream it directly; when it is the generator's single
+      // FILE, list the sf dir filtered to that name (a glob filter
+      // matches leaf file names only — it would see nothing inside a
+      // directory-shaped table)
+      val docsPath = new java.io.File(s"$dir/documents.parquet")
+      val stream =
+        if (docsPath.isDirectory)
+          s.readStream.schema(reference.schema).parquet(docsPath.toString)
+        else s.readStream.schema(reference.schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
       val mixed = graft.streaming.Streaming.temperatureMixStream(
         stream, reference, "lang", "text").select("doc_id", "lang")
       val qn = "graft_tmix_stream_" +
