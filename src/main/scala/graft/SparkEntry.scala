@@ -1209,6 +1209,25 @@ object SparkEntry {
         "doc_id", "text", n = 13)
     }),
 
+    // ------------------------------------------------------ record linkage
+    "link_fuzzy_pairs" -> ((s, dir) =>
+      // entity-resolution self-match (xref discipline): ALL name pairs
+      // within Levenshtein 1, candidates via FastSS deletion-neighborhood
+      // blocking (complete — so the brute-force oracle is a genuinely
+      // independent formulation, and it also checks the completeness claim)
+      graft.llm.Linkage.fuzzyPairs(
+        t(s, dir, "customer"), "c_custkey", "c_name")),
+
+    "link_fuzzy_against" -> ((s, dir) => {
+      // cross-corpus form: new batch (every 10th customer) against the
+      // reference dictionary (the rest) through the variant-hash index
+      val cust = t(s, dir, "customer")
+      graft.llm.Linkage.fuzzyMatchAgainst(
+        cust.filter(col("c_custkey") % 10 === 0),
+        cust.filter(col("c_custkey") % 10 =!= 0),
+        "c_custkey", "c_name")
+    }),
+
     // --------------------------------------------------------- multimodal
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.asMedia(
@@ -2201,6 +2220,25 @@ object SparkEntry {
         |SELECT d.doc_id, count(*) AS n_collisions,
         |  count(DISTINCT b.bench_id) AS n_benchmark_docs
         |FROM d JOIN b USING (w) GROUP BY d.doc_id""".stripMargin,
+
+    "link_fuzzy_pairs" ->
+      """WITH n AS (SELECT c_custkey AS id,
+        |  trim(regexp_replace(lower(c_name), '\s+', ' ', 'g')) AS nm
+        |  FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.id < b.id
+        |WHERE levenshtein(a.nm, b.nm) <= 1""".stripMargin,
+
+    "link_fuzzy_against" ->
+      """WITH n AS (SELECT c_custkey AS id,
+        |  trim(regexp_replace(lower(c_name), '\s+', ' ', 'g')) AS nm
+        |  FROM customer),
+        |nw AS (SELECT * FROM n WHERE id % 10 = 0),
+        |rf AS (SELECT * FROM n WHERE id % 10 <> 0)
+        |SELECT nw.id AS new_id, rf.id AS ref_id,
+        |  CAST(levenshtein(nw.nm, rf.nm) AS BIGINT) AS dist
+        |FROM nw JOIN rf ON levenshtein(nw.nm, rf.nm) <= 1""".stripMargin,
 
     "dedup_spans" ->
       """WITH t AS (
