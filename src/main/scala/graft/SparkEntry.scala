@@ -26,6 +26,34 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** AvailableNow parquet stream over the sf dir's documents table. The
+    * file stream source lists a DIRECTORY: when `documents.parquet` IS
+    * one (a Spark-written table, e.g. the scale probe's synthesized
+    * corpus) stream it directly; when it is the generator's single FILE,
+    * list the sf dir filtered to that name (a glob filter matches leaf
+    * file names only — it would see nothing inside a directory table). */
+  private def streamDocs(s: SparkSession, dir: String,
+                         schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val docsPath = new java.io.File(s"$dir/documents.parquet")
+    if (docsPath.isDirectory)
+      s.readStream.schema(schema).parquet(docsPath.toString)
+    else s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
+  /** Drain an AvailableNow stream through a uniquely-named memory sink
+    * and return the collected table — the oracle-gate harness for
+    * streaming queries (production streams write files/Kafka). */
+  private def drainStream(df: DataFrame, prefix: String): DataFrame = {
+    val qn = prefix + "_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(qn)
+  }
+
   /** documents + synthesized archive key `source/lang/<doc_id>.txt` and
     * lang-derived mimetype — maps the testdata documents table onto the
     * reference's file-metadata shape so every ftm-datalake operator has a
@@ -979,28 +1007,10 @@ object SparkEntry {
       // memory sink is oracle harness, not the 100 TB shape (production
       // streams write files/Kafka)
       val reference = t(s, dir, "documents")
-      // the file stream source lists a DIRECTORY: when documents.parquet
-      // IS one (a Spark-written table, e.g. the scale probe's synthesized
-      // corpus) stream it directly; when it is the generator's single
-      // FILE, list the sf dir filtered to that name (a glob filter
-      // matches leaf file names only — it would see nothing inside a
-      // directory-shaped table)
-      val docsPath = new java.io.File(s"$dir/documents.parquet")
-      val stream =
-        if (docsPath.isDirectory)
-          s.readStream.schema(reference.schema).parquet(docsPath.toString)
-        else s.readStream.schema(reference.schema)
-          .option("pathGlobFilter", "documents.parquet")
-          .parquet(dir)
       val mixed = graft.streaming.Streaming.temperatureMixStream(
-        stream, reference, "lang", "text").select("doc_id", "lang")
-      val qn = "graft_tmix_stream_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = mixed.writeStream.format("memory").queryName(qn)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(qn)
+        streamDocs(s, dir, reference.schema), reference, "lang", "text")
+        .select("doc_id", "lang")
+      drainStream(mixed, "graft_tmix_stream")
     }),
 
     "text_collocations" -> ((s, dir) =>
@@ -1207,6 +1217,49 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 =!= 0),
         docs.filter(col("doc_id") % 5 === 0),
         "doc_id", "text", n = 13)
+    }),
+
+    "decontam_overlap" -> ((s, dir) => {
+      // graded contamination coverage: every training doc with its
+      // window total, collision count, and exact int64-quotient fraction
+      // (zero-hit docs included — a decontam report says "clean", not
+      // nothing). Same (hash, id) exchange shape as decontam_hits.
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationOverlap(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 13)
+    }),
+
+    "decontam_stream" -> ((s, dir) => {
+      // the ACTUAL streaming decontamination path under the oracle gate:
+      // AvailableNow over the documents parquet, benchmark baked once
+      // into the WindowSetContains kernel, memory sink drained. Stateless
+      // map-only filter — the memory sink is oracle harness, not the
+      // 100 TB shape (production streams write files/Kafka)
+      val docs = t(s, dir, "documents")
+      val stream = streamDocs(s, dir, docs.schema)
+        .filter(col("doc_id") % 5 =!= 0)
+      val survivors = graft.streaming.Streaming.decontaminateStream(
+        stream, docs.filter(col("doc_id") % 5 === 0), "text", n = 13)
+        .select("doc_id")
+      drainStream(survivors, "graft_decontam_stream")
+    }),
+
+    "text_nb_classify" -> ((s, dir) => {
+      // fasttext-analog corpus classifier: multinomial NB trained
+      // relationally on the 80% labeled split (labels via the embeddings
+      // table), argmax-scored over the held-out 20%. Integer micro-log
+      // weights make every score an exact int64 sum — order-independent,
+      // so the oracle can demand value equality
+      val docs = t(s, dir, "documents")
+      val labeled = docs.join(
+        t(s, dir, "embeddings").select(col("vec_id"), col("label")),
+        col("doc_id") === col("vec_id"))
+      val model = graft.llm.Classify.nbTrain(
+        labeled.filter(col("doc_id") % 5 =!= 0), "label", "text")
+      graft.llm.Classify.nbClassify(
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", model)
     }),
 
     // ------------------------------------------------------ record linkage
@@ -2220,6 +2273,96 @@ object SparkEntry {
         |SELECT d.doc_id, count(*) AS n_collisions,
         |  count(DISTINCT b.bench_id) AS n_benchmark_docs
         |FROM d JOIN b USING (w) GROUP BY d.doc_id""".stripMargin,
+
+    "decontam_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |tw AS (
+        |  SELECT doc_id, greatest(len(toks) - 12, 0) AS n_windows
+        |  FROM t WHERE doc_id % 5 <> 0),
+        |w AS (
+        |  SELECT doc_id, unnest(
+        |    [array_to_string(toks[i:i+12], ' ') for i in range(1, len(toks) - 11)])
+        |    AS w
+        |  FROM t),
+        |b AS (SELECT DISTINCT w FROM w WHERE doc_id % 5 = 0),
+        |h AS (
+        |  SELECT w.doc_id, count(*) AS n_hits
+        |  FROM w JOIN b USING (w) WHERE w.doc_id % 5 <> 0
+        |  GROUP BY w.doc_id)
+        |SELECT tw.doc_id, CAST(tw.n_windows AS BIGINT) AS n_windows,
+        |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CASE WHEN tw.n_windows = 0 THEN 0.0
+        |       ELSE CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / tw.n_windows
+        |  END AS overlap_frac
+        |FROM tw LEFT JOIN h USING (doc_id)""".stripMargin,
+
+    "decontam_stream" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest(
+        |    [array_to_string(toks[i:i+12], ' ') for i in range(1, len(toks) - 11)])
+        |    AS w
+        |  FROM t),
+        |b AS (SELECT DISTINCT w FROM w WHERE doc_id % 5 = 0),
+        |bad AS (
+        |  SELECT DISTINCT doc_id FROM w
+        |  WHERE doc_id % 5 <> 0 AND w IN (SELECT w FROM b))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 5 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    "text_nb_classify" ->
+      """WITH lab AS (
+        |  SELECT doc_id, label, text FROM documents
+        |  JOIN embeddings ON doc_id = vec_id WHERE doc_id % 5 <> 0),
+        |ttok AS (
+        |  SELECT label, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '')) AS tok
+        |  FROM lab),
+        |w AS (
+        |  SELECT label, tok, CAST(round(ln(count(*) + 1) * 10000) AS BIGINT) AS w
+        |  FROM ttok GROUP BY label, tok),
+        |stats AS (
+        |  SELECT p.label,
+        |    CAST(round(ln(CAST(p.n_docs AS DOUBLE)
+        |      / (SELECT count(*) FROM lab)) * 10000) AS BIGINT) AS prior_q,
+        |    -CAST(round(ln(c.tot + (SELECT count(DISTINCT tok) FROM ttok))
+        |      * 10000) AS BIGINT) AS oov_q
+        |  FROM (SELECT label, count(*) AS n_docs FROM lab GROUP BY label) p
+        |  JOIN (SELECT label, count(*) AS tot FROM ttok GROUP BY label) c
+        |    USING (label)),
+        |test AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |base AS (
+        |  SELECT t.doc_id, s.label, s.prior_q + len(t.toks) * s.oov_q AS base_q
+        |  FROM test t CROSS JOIN stats s),
+        |dtok AS (SELECT doc_id, unnest(toks) AS tok FROM test),
+        |delta AS (
+        |  SELECT d.doc_id, w.label, SUM(w.w) AS delta_q
+        |  FROM dtok d JOIN w ON d.tok = w.tok GROUP BY d.doc_id, w.label),
+        |score AS (
+        |  SELECT b.doc_id, b.label, b.base_q + COALESCE(dl.delta_q, 0) AS score_q
+        |  FROM base b LEFT JOIN delta dl
+        |    ON b.doc_id = dl.doc_id AND b.label = dl.label),
+        |ranked AS (
+        |  SELECT doc_id, label, score_q, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score_q DESC, label ASC) AS rn
+        |  FROM score)
+        |SELECT doc_id, CAST(label AS BIGINT) AS pred_label,
+        |  CAST(score_q AS BIGINT) AS score
+        |FROM ranked WHERE rn = 1""".stripMargin,
 
     "link_fuzzy_pairs" ->
       """WITH n AS (SELECT c_custkey AS id,

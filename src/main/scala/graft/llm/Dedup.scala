@@ -419,6 +419,43 @@ object Dedup {
     docs.join(hits, docs(idCol) === hits("doc_id"), "left_anti")
   }
 
+  /** Per-document contamination COVERAGE — the graded companion to
+    * [[contaminationHits]]' binary verdict: for EVERY training document,
+    * how many of its `n`-token window positions collide with the
+    * benchmark set, as `(doc_id, n_windows, n_hits, overlap_frac)`. The
+    * fractional form is what threshold-based policies consume (drop at
+    * frac > 0.8, flag at > 0.1 — the partial-overlap discipline of
+    * Llama/FineWeb decontam reports, where a single shared window on a
+    * 10k-token page is noise but 80% coverage is a leaked benchmark).
+    *
+    * Zero-hit documents ARE rows here (a decontam report must say "clean",
+    * not omit) — totals come from a scan-side `size(windows)` projection,
+    * hits from the hash join, stitched with one left join on doc id.
+    * `overlap_frac` is the exact quotient of two engine-identical int64s
+    * (0.0 when a short document has no windows) — one IEEE division per
+    * row, order-independent, so the oracle can demand value equality.
+    * Same 100 TB shape as [[contaminationHits]]: (hash, id) exchanges
+    * only, DISTINCT-collapsed benchmark side, AQE broadcast when it fits. */
+  def contaminationOverlap(docs: DataFrame, benchmark: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int = 13): DataFrame = {
+    val ngrams = graft.expressions.GraftExpressions.wordNGrams(col(textCol), n)
+    val totals = docs.select(col(idCol).as("doc_id"),
+      size(ngrams).cast("long").as("n_windows"))
+    val docSide = docs.select(col(idCol).as("doc_id"), explode(ngrams).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val benchSide = benchmark.select(explode(ngrams).as("w"))
+      .select(xxhash64(col("w")).as("h")).distinct()
+    val hits = docSide.join(benchSide, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(col("n_windows") === 0, lit(0.0d))
+          .otherwise(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_windows")).as("overlap_frac"))
+  }
+
   // ------------------------------------------------ exact substring dedup
   /** Cross-document duplicated-substring statistics — the "exact substring
     * dedup" signal of Lee et al. 2022 (arXiv:2107.06499), computed at

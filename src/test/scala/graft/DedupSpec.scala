@@ -431,6 +431,28 @@ class DedupSpec extends SparkSpec {
     assert(repHits.toSeq == Seq((7L, 2L, 1L)))
   }
 
+  test("contaminationOverlap grades coverage and reports clean docs as rows") {
+    val leak = (1 to 13).map(i => s"tok$i").mkString(" ")
+    val train = Seq(
+      (1L, s"one clean lead-in $leak"),            // 3 lead + 13 → 4 windows, 1 hit
+      (2L, "totally clean words that never appear in any benchmark doc x y z a b"),
+      (3L, "short doc"),                           // < 13 tokens → 0 windows
+      (4L, leak))                                  // exactly the window → frac 1.0
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, s"stem $leak tail")).toDF("doc_id", "text")
+    val got = Dedup.contaminationOverlap(train, bench, "doc_id", "text", n = 13)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), "every training doc is a row")
+    assert(got(1L) == ((1L, 4L, 1L, 0.25)))
+    assert(got(2L)._3 == 0L && got(2L)._4 == 0.0)
+    assert(got(3L) == ((3L, 0L, 0L, 0.0)))
+    assert(got(4L) == ((4L, 1L, 1L, 1.0)))
+    // the binary verdict agrees: hit docs here == docs contaminationHits flags
+    val flagged = Dedup.contaminationHits(train, bench, "doc_id", "text", n = 13)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.filter(_._2._3 > 0).keySet == flagged)
+  }
+
   test("boilerplateSpans hashExchange mode returns the identical span set") {
     val default = Dedup.boilerplateSpans(docs, "doc_id", "text",
         w = 8, minDocs = 3)
