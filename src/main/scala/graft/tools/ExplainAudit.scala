@@ -38,7 +38,13 @@ object ExplainAudit extends App {
       // plus the per-group-k weighted sampler (ObjectHashAggregate, no
       // window sort)
       "dedup_components", "text_strip_html", "text_url_canonical",
-      "corpus_report", "corpus_stratified_weighted"))
+      "corpus_report", "corpus_stratified_weighted",
+      // round-12 session-2 operators: the deletion-variant linkage family
+      // (one exchange per side + local pair generation), the relational
+      // NB classifier (sparse-model join + one argmax aggregate), and the
+      // graded decontam coverage (scan-side totals + hash join)
+      "link_fuzzy_pairs", "link_fuzzy_against", "text_nb_classify",
+      "decontam_overlap"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

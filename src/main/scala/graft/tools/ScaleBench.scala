@@ -65,7 +65,15 @@ object ScaleBench {
     // span-text overflow join is the shape that most wants a probe) and
     // the per-group-k weighted sampler (must show O(Σk) — not
     // stratum-sorted — growth like its uniform sibling)
-    "dedup_strip_spans_incremental", "corpus_stratified_weighted")
+    "dedup_strip_spans_incremental", "corpus_stratified_weighted",
+    // round-12 session-2 additions: the linkage family's candidate volume
+    // tracks (len+1)·rows with near-unique buckets (the probe must show
+    // pair output and wall both ~linear — customer ids shift per copy so
+    // cross-copy names differ in >2 digits and stay unmatched), the NB
+    // classifier is two agg exchanges + a sparse join, and the decontam
+    // coverage join is the decontam_hits shape plus a scan-side total
+    "link_fuzzy_pairs", "link_fuzzy_against", "text_nb_classify",
+    "decontam_overlap")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length
@@ -138,6 +146,26 @@ object ScaleBench {
         .withColumn("user_id", col("user_id") + lit(k * Offset))
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    // customer: per-copy id shift + a DOUBLED-letter copy tag prepended
+    // to the name. Prepending the same string to both members of any
+    // intra-copy pair leaves their edit distance unchanged (linkage pair
+    // structure scales exactly linearly); between two copies the tags
+    // differ in ≥2 positions (each tag letter is written TWICE, so even
+    // adjacent copy numbers cost 2 edits), keeping every cross-copy pair
+    // beyond maxDist=1. A bare one-letter tag would put adjacent copies
+    // at distance 1 and manufacture quadratic cross-copy matches — the
+    // linkage analog of the verbatim-copy trap documented above.
+    val az = "abcdefghijklmnopqrstuvwxyz"
+    val cust = spark.read.parquet(s"$srcDir/customer.parquet")
+    (0 until copies).map { k =>
+      val tag =
+        if (k == 0) ""
+        else s"${az(k % 26)}${az(k % 26)}${az(k / 26 % 26)}${az(k / 26 % 26)} "
+      cust.withColumn("c_custkey", col("c_custkey") + lit(k * Offset))
+        .withColumn("c_name", concat(lit(tag), col("c_name")))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
 
     val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
     (0 until copies).map { k =>
@@ -212,7 +240,10 @@ object ScaleBench {
     val spark = graft.GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val alreadySynth = new java.io.File(s"$workDir/documents.parquet").exists()
+    // customer.parquet is checked too: a workDir synthesized before the
+    // linkage probes existed must be re-synthesized, not half-reused
+    val alreadySynth = new java.io.File(s"$workDir/documents.parquet").exists() &&
+      new java.io.File(s"$workDir/customer.parquet").exists()
     val tSynth =
       if (alreadySynth) 0.0
       else time(synthesize(spark, srcDir, workDir, copies))

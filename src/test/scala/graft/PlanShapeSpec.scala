@@ -203,6 +203,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(moved > 0L)
   }
 
+  test("link_fuzzy_pairs: one variant exchange, local pair generation, one distinct") {
+    // the deletion-variant rows shuffle ONCE into the bucket aggregate;
+    // pair generation must stay local (two Generates over the collected
+    // bucket — a shuffle self-join relapse would add a third exchange and
+    // a second customer scan), and the only other exchange is the
+    // verified-pair distinct
+    val df = q("link_fuzzy_pairs")
+    assert(finalScans(df, "customer") == 1)
+    val finalSection = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val exchanges = finalSection.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$finalSection")
+    assert(finalSection.linesIterator.count(_.contains("Generate")) >= 2,
+      s"pair generation must be two local Generates (posexplode twice), " +
+        s"not a join:\n$finalSection")
+  }
+
   test("a deliberate recompute shape IS caught by the counter") {
     // sanity-check the guard itself: the pre-fix bigram formulation
     // (context count re-exploded from the corpus) must count 3 scans
