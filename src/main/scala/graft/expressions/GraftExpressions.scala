@@ -632,6 +632,69 @@ object GraftExpressions {
     override def prettyName: String = "graft_pq_assign"
   }
 
+  /** Nearest-centroid assignment with the centroid table baked in as a
+    * literal — the IVF analog of [[PqAssign]]: one compiled scan over the
+    * corpus replaces the crossJoin(broadcast)+window formulation (which
+    * shuffles corpus×nlist scored rows into a per-vector row_number just
+    * to keep one). Scores accumulate in EXACTLY the order of
+    * [[CosineSimilarity]] / [[L2DistanceSq]] and ties keep the smallest
+    * centroid id (centroids must arrive id-ascending; strict improvement
+    * keeps the earlier id), so assignments bit-agree with the window
+    * formulation. Cosine NaNs (zero-norm degenerates) mirror Spark's
+    * sort order, where NaN ranks above every double. */
+  case class NearestCentroid(child: Expression, cents: Seq[(Long, Seq[Double])],
+                             metric: String)
+      extends UnaryExpression {
+    require(cents.nonEmpty, "NearestCentroid: empty centroid set")
+    require(metric == "cosine" || metric == "l2",
+      s"NearestCentroid: unknown metric $metric")
+    require(cents.map(_._1) == cents.map(_._1).sorted,
+      "NearestCentroid: centroids must be id-ascending (tie-break contract)")
+    override def dataType: DataType = LongType
+    @transient private lazy val ids: Array[Long] = cents.map(_._1).toArray
+    @transient private lazy val vecs: Array[Array[Double]] =
+      cents.map(_._2.toArray).toArray
+    private val useCosine = metric == "cosine"
+    def assign(v: ArrayData): Long = {
+      var best = 0
+      var bestS = if (useCosine) Double.NegativeInfinity else Double.PositiveInfinity
+      var c = 0
+      while (c < vecs.length) {
+        val w = vecs(c)
+        val n = math.min(v.numElements(), w.length)
+        if (useCosine) {
+          var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+          while (i < n) {
+            val xi = v.getDouble(i); val yi = w(i)
+            dot += xi * yi; nx += xi * xi; ny += yi * yi
+            i += 1
+          }
+          val s = dot / (math.sqrt(nx) * math.sqrt(ny))
+          // NaN outranks every double in Spark's desc sort — mirror it
+          if (s > bestS || (s.isNaN && !bestS.isNaN)) { bestS = s; best = c }
+        } else {
+          var acc = 0.0; var i = 0
+          while (i < n) {
+            val d = v.getDouble(i) - w(i); acc += d * d; i += 1
+          }
+          // asc sort: NaN ranks last and can never win
+          if (acc < bestS) { bestS = acc; best = c }
+        }
+        c += 1
+      }
+      ids(best)
+    }
+    override def nullSafeEval(input: Any): Any =
+      assign(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("nearestCentroid", this)
+      defineCodeGen(ctx, ev, c => s"$ref.assign($c)")
+    }
+    override protected def withNewChildInternal(c: Expression): NearestCentroid =
+      copy(child = c)
+    override def prettyName: String = "graft_nearest_centroid"
+  }
+
   // ------------------------------------------------------- Column surface
   private def expr(c: Column): Expression =
     org.apache.spark.sql.graft.ColumnShim.expression(c)
@@ -659,6 +722,9 @@ object GraftExpressions {
     toCol(HyperplaneSignatures(expr(vec.cast("array<double>")), nPlanes, nTables))
   def pqAssign(vec: Column, books: Seq[(Int, Long, Seq[Double])]): Column =
     toCol(PqAssign(expr(vec), books))
+  def nearestCentroid(vec: Column, cents: Seq[(Long, Seq[Double])],
+                      metric: String): Column =
+    toCol(NearestCentroid(expr(vec), cents, metric))
   def repetitionStats(text: Column): Column =
     toCol(RepetitionStats(expr(text)))
   def windowSetContains(text: Column, n: Int, hashes: Array[Long]): Column =

@@ -205,28 +205,38 @@ object Similarity {
     current.toSeq.toDF("centroid_id", "centroid")
   }
 
-  /** Assign every corpus vector to its nearest centroid (broadcast the
-    * centroid table; corpus stays partition-local). `metric` is "cosine"
-    * (IVF over unit-ish vectors) or "l2" (subspace quantization, where
-    * per-subvector norms carry information cosine would discard). */
+  /** Assign every corpus vector to its nearest centroid as a MAP-ONLY
+    * projection: the centroid table is collected driver-side (nlist×dim
+    * doubles — KB at any corpus scale, nlist is bounded by design) and
+    * baked into the compiled
+    * [[graft.expressions.GraftExpressions.NearestCentroid]] kernel, the
+    * same discipline as [[pqEncode]]'s PqAssign. The previous
+    * crossJoin(broadcast)+row_number formulation shuffled corpus×nlist
+    * scored rows into a per-vector window just to keep one — at 100 TB
+    * that exchange IS the assignment cost; the kernel removes it from
+    * every Lloyd iteration and every IVF query. Scores, tie-breaks, and
+    * NaN ordering bit-match the window formulation (asserted in
+    * SimilaritySpec). `metric` is "cosine" (IVF over unit-ish vectors)
+    * or "l2" (subspace quantization, where per-subvector norms carry
+    * information cosine would discard). */
   def ivfAssign(corpus: DataFrame, cents: DataFrame,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 metric: String = "cosine"): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
-    val (scoreCol, order) = metric match {
-      case "cosine" =>
-        (cosine(col("cv"), col("centroid")), (s: Column) => s.desc)
-      case "l2" =>
-        (graft.expressions.GraftExpressions.l2DistanceSq(col("cv"), col("centroid")),
-          (s: Column) => s.asc)
-      case other => throw new IllegalArgumentException(s"unknown metric: $other")
-    }
-    val scored = c.crossJoin(broadcast(cents))
-      .select(col("corpus_id"), col("cv"), col("centroid_id"),
-        scoreCol.as("csim"))
-    val w = Window.partitionBy("corpus_id")
-      .orderBy(order(col("csim")), col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    require(metric == "cosine" || metric == "l2",
+      s"unknown metric: $metric")
+    val spark = cents.sparkSession
+    import spark.implicits._
+    val centArr = cents
+      .select(col("centroid_id").cast("long"), asDouble(col("centroid")))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val base = corpus.select(col(idCol).as("corpus_id"),
+      asDouble(col(vecCol)).as("cv"))
+    // empty centroid set (empty corpus seed) assigns nothing — the
+    // crossJoin formulation's behavior, kept rather than made an error
+    if (centArr.isEmpty)
+      base.withColumn("centroid_id", lit(null).cast("long")).limit(0)
+    else base.withColumn("centroid_id", graft.expressions.GraftExpressions
+        .nearestCentroid(col("cv"), centArr, metric))
       .select(col("corpus_id"), col("cv"), col("centroid_id"))
   }
 

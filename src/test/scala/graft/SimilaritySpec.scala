@@ -95,6 +95,28 @@ class SimilaritySpec extends SparkSpec {
       s"objective $trained !>> $untrained")
   }
 
+  test("ivfAssign kernel bit-matches the crossJoin+window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val cents = Similarity.trainCentroids(emb, nlist = 16, iters = 1)
+    for (metric <- Seq("cosine", "l2")) {
+      val kernel = Similarity.ivfAssign(emb, cents, metric = metric)
+        .select("corpus_id", "centroid_id").as[(Long, Long)].collect().toMap
+      val c = emb.select($"vec_id".as("corpus_id"),
+        $"embedding".cast("array<double>").as("cv"))
+      val (scoreCol, ord) =
+        if (metric == "cosine")
+          (Similarity.cosine($"cv", $"centroid"), $"csim".desc)
+        else (graft.expressions.GraftExpressions
+          .l2DistanceSq($"cv", $"centroid"), $"csim".asc)
+      val w = Window.partitionBy("corpus_id").orderBy(ord, $"centroid_id")
+      val windowed = c.crossJoin(broadcast(cents))
+        .select($"corpus_id", $"centroid_id", scoreCol.as("csim"))
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select("corpus_id", "centroid_id").as[(Long, Long)].collect().toMap
+      assert(kernel == windowed, s"metric=$metric")
+    }
+  }
+
   test("Lloyd training is bit-deterministic and keeps empty cells alive") {
     val a = Similarity.trainCentroids(emb, nlist = 16, iters = 3)
       .orderBy("centroid_id").as[(Long, Seq[Double])].collect()
