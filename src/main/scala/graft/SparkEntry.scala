@@ -1086,6 +1086,26 @@ object SparkEntry {
       // over the aggregated vocabulary with a unique (freq, token) order
       graft.llm.Corpus.vocabulary(t(s, dir, "documents"), "text", topN = 20)),
 
+    "vocab_heavy_hitters" -> ((s, dir) =>
+      // exact top-N via the 2-pass Misra–Gries plan: pass 1 never
+      // shuffles the token domain (bounded-sketch exchange), pass 2
+      // counts only the ≤ capacity candidates; exact-or-raise_error
+      graft.llm.Corpus.heavyHitters(t(s, dir, "documents"), "text",
+        topN = 15, capacity = 2048)),
+
+    "corpus_drift" -> ((s, dir) =>
+      // top drifted tokens between the en and de slices: one scan, one
+      // token-domain exchange with both group counts as conditional
+      // sums; DECIMAL(38,0) cross-product ranking (exact at any scale)
+      graft.llm.Corpus.corpusDrift(t(s, dir, "documents"), "text",
+        "lang", "en", "de", topN = 20)),
+
+    "text_ngram_diversity" -> ((s, dir) =>
+      // distinct-n corpus diversity: all n orders explode from one scan
+      // as tagged (n, gram) pairs; one exact two-level count-distinct
+      graft.llm.Corpus.ngramDiversity(t(s, dir, "documents"), "text",
+        maxN = 3)),
+
     "tfidf_keywords" -> ((s, dir) =>
       // per-doc keywords by tf·rarity (integer-exact idf surrogate);
       // tf/df partial-agg shuffles + one token-keyed join + top-3 window
@@ -2184,6 +2204,51 @@ object SparkEntry {
         |tok AS (SELECT unnest(string_split(t, ' ')) AS token FROM norm)
         |SELECT token, count(*) AS freq FROM tok WHERE length(token) > 0
         |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
+
+    // the sketch path is exact-or-throw, so its oracle is the plain
+    // exact top-N — identical formulation to vocab_top at N=15
+    "vocab_heavy_hitters" ->
+      """WITH norm AS (SELECT trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM documents),
+        |tok AS (SELECT unnest(string_split(t, ' ')) AS token FROM norm)
+        |SELECT token, count(*) AS freq FROM tok WHERE length(token) > 0
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 15""".stripMargin,
+
+    // exact-integer cross-product ranking |freq_a*n_b - freq_b*n_a| in
+    // HUGEINT (the decimal's value-equal twin; the rank key is not
+    // output so only the order must agree)
+    "corpus_drift" ->
+      """WITH norm AS (SELECT lang, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents WHERE lang IN ('en', 'de')),
+        |tok AS (SELECT lang, unnest(string_split(t, ' ')) AS token FROM norm),
+        |fr AS (SELECT token,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS freq_a,
+        |    sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS freq_b
+        |  FROM tok WHERE length(token) > 0 GROUP BY token),
+        |tot AS (SELECT sum(freq_a) AS n_a, sum(freq_b) AS n_b FROM fr)
+        |SELECT token, CAST(freq_a AS BIGINT) AS freq_a,
+        |       CAST(freq_b AS BIGINT) AS freq_b
+        |FROM fr, tot
+        |ORDER BY abs(CAST(freq_a AS HUGEINT) * n_b
+        |           - CAST(freq_b AS HUGEINT) * n_a) DESC, token
+        |LIMIT 20""".stripMargin,
+
+    // n-grams per order n via the same slice comprehension as the
+    // bigram oracle, generalized with a small n-table cross join
+    "text_ngram_diversity" ->
+      """WITH norm AS (SELECT trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM documents),
+        |tk AS (SELECT CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+        |              ELSE string_split(t, ' ') END AS toks FROM norm),
+        |ns(n) AS (VALUES (1), (2), (3)),
+        |ng AS (SELECT n, unnest(
+        |    [array_to_string(toks[i:i+n-1], ' ')
+        |     for i in range(1, len(toks) - n + 2)]) AS gram
+        |  FROM tk, ns)
+        |SELECT CAST(n AS INTEGER) AS n, count(*) AS total_ngrams,
+        |       count(DISTINCT gram) AS distinct_ngrams
+        |FROM ng GROUP BY n ORDER BY n""".stripMargin,
 
     "tfidf_keywords" ->
       """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),

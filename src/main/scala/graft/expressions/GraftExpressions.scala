@@ -757,6 +757,12 @@ object GraftExpressions {
     toCol(TopKByKeyPerGroup(expr(key), expr(payload), expr(k), asc)
       .toAggregateExpression())
 
+  /** Misra–Gries heavy-hitter sketch: see [[MisraGries]]. Returns
+    * `array<struct<item, count_lb>>` sorted (count desc, item asc);
+    * every item with frequency > N/(capacity+1) is guaranteed present. */
+  def misraGries(item: Column, capacity: Int): Column =
+    toCol(MisraGries(expr(item), capacity).toAggregateExpression())
+
   /** Register all graft expressions for SQL use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

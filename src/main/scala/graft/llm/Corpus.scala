@@ -103,6 +103,162 @@ object Corpus {
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token")).limit(topN)
 
+  /** EXACT top-`topN` tokens without ever shuffling the token domain:
+    * the classic two-pass heavy-hitter plan over a
+    * [[graft.expressions.MisraGries]] sketch.
+    *
+    * Pass 1 (one corpus scan): a single global MG aggregate whose
+    * exchange carries one ≤ `capacity`-entry sketch per map-side
+    * partial — compare [[vocabulary]], whose `groupBy(token)` exchange
+    * carries the FULL token domain (at 100 TB, billions of distinct
+    * tokens through one shuffle just to keep 20). The sketch plus the
+    * exact token total ride the same aggregate, and both are collected
+    * to the driver — a bounded ≤ capacity-entry collect, same class as
+    * the BPE merge table and the IVF centroid set.
+    *
+    * Pass 2 (second corpus scan): tokens are filtered against the
+    * candidate set INSIDE the scan (an `isin` literal set — no join, no
+    * broadcast machinery) and only candidates are counted, so the pass-2
+    * exchange carries ≤ capacity groups.
+    *
+    * Exact-or-loud: MG guarantees every token with true frequency
+    * > N/(capacity+1) is a candidate. The result is therefore the exact
+    * top-N iff the N-th exact frequency clears that threshold, and the
+    * returned plan CHECKS it — `freq·(capacity+1) > N_total` in pure
+    * integer math over the ≤ topN output rows (plus the ambiguous
+    * short-result case when a full sketch still yielded < topN
+    * candidates) — and `raise_error`s with "raise capacity" guidance
+    * instead of silently returning a near-miss. The check rides the
+    * output `freq` column itself so column pruning cannot drop it.
+    *
+    * Output matches [[vocabulary]]: (token, freq) in (freq desc, token)
+    * order, deterministic at the LIMIT boundary. */
+  def heavyHitters(df: DataFrame, textCol: String, topN: Int = 20,
+                   capacity: Int = 4096): DataFrame = {
+    require(topN > 0, s"topN=$topN must be positive")
+    require(capacity >= topN,
+      s"capacity=$capacity must be at least topN=$topN")
+    val tok = df.select(
+        explode(split(TextAnalysis.normalizeText(col(textCol)), " "))
+          .as("token"))
+      .filter(length(col("token")) > 0)
+    // pass 1: bounded sketch + exact total in ONE aggregate (eager,
+    // bounded driver collect — ≤ capacity entries)
+    val p1 = tok.agg(
+        graft.expressions.GraftExpressions
+          .misraGries(col("token"), capacity).as("sk"),
+        count(lit(1)).as("n_total"))
+      .select(col("sk.item").as("cands"), col("n_total"))
+      .head()
+    val cands = p1.getSeq[String](0)
+    val nTotal = p1.getLong(1)
+    val sketchFull = cands.length == capacity
+    // pass 2: exact counts of candidates only; the IN-set literal is
+    // evaluated inside the scan, so the exchange carries ≤ capacity
+    // groups
+    val exact = tok
+      .filter(col("token").isin(cands: _*))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(topN)
+    // exactness guard over the ≤ topN output rows (bounded unpartitioned
+    // window by construction); violation throws rather than returning a
+    // silently-approximate top-N
+    val w = Window.orderBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val minf = min(col("freq")).over(w)
+    val nOut = count(lit(1)).over(w)
+    val thresholdMiss =
+      (nOut === topN && minf * (capacity + 1) <= nTotal) ||
+        (nOut < topN && lit(sketchFull))
+    exact.select(
+      col("token"),
+      when(thresholdMiss, raise_error(concat(
+          lit(s"heavyHitters: top-$topN not certifiable at capacity=" +
+            s"$capacity (N=$nTotal, boundary freq "),
+          minf.cast("string"),
+          lit(s" ≤ N/${capacity + 1}) — raise capacity")))
+          .cast("long"))
+        .otherwise(col("freq")).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+  }
+
+  /** Distribution drift between two sub-corpora: the `topN` tokens whose
+    * unigram frequency differs most between group `a` and group `b` of
+    * `groupCol` — the data-mixing diagnostic ("what words make the web
+    * slice differ from the books slice") that pairs with
+    * [[importanceWeights]]' DSIR machinery.
+    *
+    * Ranking is by the CROSS-PRODUCT difference |freq_a·n_b − freq_b·n_a|
+    * — exactly |p_a − p_b| scaled by the integer n_a·n_b — computed in
+    * DECIMAL(38,0), so the order is exact at any corpus size (two 2.5e13-
+    * token corpora peak at ~6e26, far under 38 digits; a float
+    * p_a − p_b would tie-break on ulps and break cross-engine parity).
+    * The decimal rides only the ORDER BY and is not output, so the
+    * result stays (token, freq_a, freq_b) bigints.
+    *
+    * Scale shape: one corpus scan; the token groupBy is a single
+    * partial-agg exchange carrying the (shared) token domain with both
+    * group counts as conditional sums — not one exchange per group; the
+    * totals are a second tiny aggregate OVER the freq table (vocabulary-
+    * sized, not corpus-sized) broadcast back as a scalar row; the top-N
+    * is a TakeOrdered over the freq table, never a global sort. */
+  def corpusDrift(df: DataFrame, textCol: String, groupCol: String,
+                  a: String, b: String, topN: Int = 20): DataFrame = {
+    require(a != b, s"corpusDrift: groups must differ, got '$a' twice")
+    val tok = df.filter(col(groupCol).isin(a, b))
+      .select(col(groupCol).as("grp"),
+        explode(split(TextAnalysis.normalizeText(col(textCol)), " "))
+          .as("token"))
+      .filter(length(col("token")) > 0)
+    val freqs = tok.groupBy("token").agg(
+      sum(when(col("grp") === a, 1L).otherwise(0L)).as("freq_a"),
+      sum(when(col("grp") === b, 1L).otherwise(0L)).as("freq_b"))
+    val totals = freqs.agg(sum(col("freq_a")).as("n_a"),
+      sum(col("freq_b")).as("n_b"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d = abs(col("freq_a").cast(dec) * col("n_b").cast(dec) -
+      col("freq_b").cast(dec) * col("n_a").cast(dec))
+    freqs.crossJoin(broadcast(totals))
+      .orderBy(d.desc, col("token"))
+      .limit(topN)
+      .select(col("token"), col("freq_a"), col("freq_b"))
+  }
+
+  /** Corpus-level n-gram diversity (the "distinct-n" generation/corpus
+    * diversity metric): for each n in 1..`maxN`, the total and distinct
+    * n-gram counts over the whole corpus. A corpus of templated
+    * near-duplicates shows a collapsing distinct/total ratio as n grows;
+    * fresh text keeps it high — the cheap corpus-health check run before
+    * expensive pairwise dedup.
+    *
+    * Scale shape: ONE corpus scan — all n orders explode from the same
+    * row as (n, gram) pairs (a concat of the per-n
+    * [[graft.expressions.GraftExpressions.wordNGrams]] arrays, each
+    * tagged with its n) — then a single two-level exact count-distinct:
+    * partial agg on (n, gram) collapses duplicates map-side, the
+    * exchange carries the distinct n-gram domain once (the same price
+    * [[vocabulary]] pays — exact distinct cannot shuffle less), and the
+    * ≤ maxN result rows fall out of the final regroup on n, with the
+    * totals as a sum over the per-gram counts — no second scan. */
+  def ngramDiversity(df: DataFrame, textCol: String,
+                     maxN: Int = 3): DataFrame = {
+    require(maxN >= 1 && maxN <= 8,
+      s"ngramDiversity: maxN=$maxN outside [1, 8]")
+    val norm = TextAnalysis.normalizeText(col(textCol))
+    val tagged = (1 to maxN).map { n =>
+      transform(
+        graft.expressions.GraftExpressions.wordNGrams(norm, n),
+        g => struct(lit(n).as("n"), g.as("gram")))
+    }
+    df.select(explode(concat(tagged: _*)).as("ng"))
+      .select(col("ng.n").as("n"), col("ng.gram").as("gram"))
+      .groupBy("n", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("n").agg(
+        sum(col("cnt")).as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"))
+      .orderBy("n")
+  }
+
   /** Unigram-LM rarity per document — the CCNet-style quality signal
     * (CCNet ranks documents by language-model perplexity; the degenerate
     * but shuffle-cheap LM is the corpus's own unigram distribution).

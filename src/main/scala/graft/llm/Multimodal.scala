@@ -97,6 +97,95 @@ object Multimodal {
     spark.createDataFrame(rdd, decodedImageSchema)
   }
 
+  val imageHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("ahash", LongType, nullable = false),
+    StructField("decode_ok", BooleanType, nullable = false)))
+
+  /** 64-bit perceptual average-hash (aHash) per image: decode, sample
+    * luminance on the bounded 32×32 grid (Rec. 601 weights, same
+    * discipline as [[decodeImages]] — O(1) work per image regardless of
+    * resolution), pool to 8×8 cells, set bit i when cell i's mean
+    * clears the global mean. Re-encodes, resizes, and mild
+    * brightness/noise edits move few bits; distinct images differ in
+    * ~32. Rows no JDK codec accepts return `decode_ok = false` with
+    * `ahash = 0` so corrupt corpora flow instead of failing (and
+    * [[imageNearDupPairs]] excludes them rather than pairing every
+    * corrupt file with every other at hamming 0). */
+  def imageHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes =
+          Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes)))
+          catch { case _: Exception => None }
+        img match {
+          case Some(im) => Row(id, aHash64(im), true)
+          case None => Row(id, 0L, false)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, imageHashSchema)
+  }
+
+  /** Image near-duplicate candidate pairs within `maxHamming` aHash bits
+    * — the multimodal member of the dedup family (CSAM-scale image
+    * corpora dedup on perceptual hashes exactly this way). Pairing is
+    * [[Dedup.simhashNearPairs]]' 4×16-bit chunk banding: pigeonhole-
+    * complete for hamming ≤ 3 and NEVER all-pairs, so the join work is
+    * band-collision volume, not |images|². The hash pass itself is
+    * scan-side bounded work per image. Undecodable rows are excluded
+    * (see [[imageHashes]]). */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.simhashNearPairs(
+      imageHashes(media).filter(col("decode_ok"))
+        .select(col("media_id").as("id"), col("ahash").as("simhash")),
+      maxHamming)
+
+  /** [[imageHashes]] kernel: 8×8 cell luminance means over the bounded
+    * 32×32 sample grid (16 samples per cell), thresholded at the global
+    * mean — bit i (row-major cell order) set when cell i is at least as
+    * bright as the image average. */
+  private def aHash64(im: java.awt.image.BufferedImage): Long = {
+    val grid = 32
+    val w = im.getWidth
+    val h = im.getHeight
+    val sums = new Array[Double](64)
+    val counts = new Array[Int](64)
+    var gy = 0
+    while (gy < grid) {
+      val y = (gy.toLong * h / grid).toInt
+      val cy = gy * 8 / grid
+      var gx = 0
+      while (gx < grid) {
+        val x = (gx.toLong * w / grid).toInt
+        val rgb = im.getRGB(x, y)
+        val lum = 0.299 * ((rgb >> 16) & 0xFF) +
+          0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+        val cell = cy * 8 + gx * 8 / grid
+        sums(cell) += lum
+        counts(cell) += 1
+        gx += 1
+      }
+      gy += 1
+    }
+    val means = Array.tabulate(64)(i =>
+      if (counts(i) == 0) 0.0 else sums(i) / counts(i))
+    val globalMean = means.sum / 64.0
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (means(i) >= globalMean) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
   /** Mean luminance over `n` horizontal bands, sampled on a fixed 32×32
     * pixel grid (Rec. 601 weights). Bounded work per image by construction. */
   private def meanLuminanceBands(im: java.awt.image.BufferedImage, n: Int): Array[Float] = {

@@ -44,7 +44,12 @@ object ExplainAudit extends App {
       // NB classifier (sparse-model join + one argmax aggregate), and the
       // graded decontam coverage (scan-side totals + hash join)
       "link_fuzzy_pairs", "link_fuzzy_against", "text_nb_classify",
-      "decontam_overlap"))
+      "decontam_overlap",
+      // round-12 session-3 operators: the MG heavy-hitter 2-pass plan
+      // (bounded-sketch pass ran eagerly; audited plan is the candidate-
+      // filtered pass 2), the drift ranking (one token exchange, totals
+      // as ReusedExchange), and the tagged-ngram diversity single scan
+      "vocab_heavy_hitters", "corpus_drift", "text_ngram_diversity"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

@@ -73,7 +73,14 @@ object ScaleBench {
     // classifier is two agg exchanges + a sparse join, and the decontam
     // coverage join is the decontam_hits shape plus a scan-side total
     "link_fuzzy_pairs", "link_fuzzy_against", "text_nb_classify",
-    "decontam_overlap")
+    "decontam_overlap",
+    // round-12 session-3 additions: heavy hitters must show the bounded-
+    // sketch exchange staying flat while the corpus grows (its whole
+    // reason to exist vs vocab_top), drift rides one token-domain
+    // exchange, and the ngram diversity exchange tracks the distinct
+    // n-gram domain (sublinear in a real corpus, translate-inflated in
+    // this probe like text_collocations)
+    "vocab_heavy_hitters", "corpus_drift", "text_ngram_diversity")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

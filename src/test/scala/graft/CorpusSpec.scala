@@ -511,6 +511,75 @@ class CorpusSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected window sort:\n$plan")
   }
 
+  test("heavyHitters: matches the exact vocabulary top-N; certifiability " +
+      "violations throw; pass-2 filters candidates inside the scan") {
+    val docs = Tables.load(spark, sf0, "documents")
+    val viaSketch = Corpus.heavyHitters(docs, "text", topN = 10,
+      capacity = 512)
+    val viaExact = Corpus.vocabulary(docs, "text", topN = 10)
+    assert(viaSketch.as[(String, Long)].collect().toSeq ==
+      viaExact.as[(String, Long)].collect().toSeq)
+    // pass 2 carries the candidate IN-set into the scan, and the plan
+    // aggregates candidates only — never the full token domain
+    val plan = viaSketch.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    // an uncertifiable request (capacity too small for the corpus) must
+    // raise, not silently return an approximate top-N
+    val tiny = Corpus.heavyHitters(docs, "text", topN = 10, capacity = 12)
+    val e = intercept[Exception] { tiny.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("raise capacity")),
+      s"wrong error: ${e.getMessage}")
+  }
+
+  test("corpusDrift: matches a plain-Scala reference on real data") {
+    val docs = Tables.load(spark, sf0, "documents")
+    val out = Corpus.corpusDrift(docs, "text", "lang", "en", "de",
+      topN = 12).as[(String, Long, Long)].collect()
+    // independent reference: collect raw docs, re-tokenize in Scala
+    def toks(s: String): Seq[String] =
+      s.toLowerCase.replaceAll("[^a-z0-9\\s]", " ").trim
+        .split("\\s+").toSeq.filter(_.nonEmpty)
+    val raw = docs.filter($"lang".isin("en", "de"))
+      .select("lang", "text").as[(String, String)].collect()
+    val fa = scala.collection.mutable.Map.empty[String, Long]
+    val fb = scala.collection.mutable.Map.empty[String, Long]
+    raw.foreach { case (lang, text) =>
+      val m = if (lang == "en") fa else fb
+      toks(text).foreach(t => m.update(t, m.getOrElse(t, 0L) + 1L))
+    }
+    val na = fa.values.sum; val nb = fb.values.sum
+    val expected = (fa.keySet ++ fb.keySet).toSeq.map { t =>
+      val a = fa.getOrElse(t, 0L); val b = fb.getOrElse(t, 0L)
+      (t, a, b, (BigInt(a) * nb - BigInt(b) * na).abs)
+    }.sortBy { case (t, _, _, d) => (-d, t) }.take(12)
+      .map { case (t, a, b, _) => (t, a, b) }
+    assert(out.toSeq == expected)
+  }
+
+  test("ngramDiversity: matches a plain-Scala reference; single corpus " +
+      "scan") {
+    val docs = Tables.load(spark, sf0, "documents")
+    val out = Corpus.ngramDiversity(docs, "text", maxN = 3)
+      .as[(Int, Long, Long)].collect().toSeq
+    def toks(s: String): Seq[String] =
+      s.toLowerCase.replaceAll("[^a-z0-9\\s]", " ").trim
+        .split("\\s+").toSeq.filter(_.nonEmpty)
+    val texts = docs.select("text").as[String].collect().toSeq
+    val expected = (1 to 3).map { n =>
+      val grams = texts.flatMap(t => toks(t).sliding(n).filter(_.size == n)
+        .map(_.mkString(" ")))
+      (n, grams.size.toLong, grams.distinct.size.toLong)
+    }
+    assert(out == expected)
+    // one scan: all n orders explode from the same rows
+    val scans = "Scan parquet".r
+      .findAllIn(Corpus.ngramDiversity(docs, "text", maxN = 3)
+        .queryExecution.executedPlan.toString).length
+    assert(scans == 1, s"expected 1 scan, got $scans")
+  }
+
   test("plan shapes: scan-side ops shuffle-free, packing exactly once") {
     val docs = Tables.load(spark, sf0, "documents")
     def exchanges(df: org.apache.spark.sql.DataFrame): Int =

@@ -365,6 +365,48 @@ class ExpressionsSpec extends SparkSpec {
     assert(rootMsgs(e3).contains("outside [1,"), rootMsgs(e3))
   }
 
+  test("misraGries: heavy-hitter guarantee and count lower bounds hold " +
+      "under arbitrary partitioning") {
+    // Zipf-ish stream: item k appears ~1000/k times; plus a long unique
+    // tail that forces constant evictions
+    val heavy = (1 to 40).flatMap(k => Seq.fill(1000 / k)(s"item$k"))
+    val tail = (1 to 3000).map(i => s"rare$i")
+    val stream = new scala.util.Random(42).shuffle(heavy ++ tail)
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+    val cap = 64
+    for (parts <- Seq(1, 7)) {
+      val sk = stream.toDF("token").repartition(parts)
+        .agg(GraftExpressions.misraGries($"token", cap).as("sk"))
+        .select(explode($"sk").as("e"))
+        .select($"e.item".as("item"), $"e.count_lb".as("lb"))
+        .as[(String, Long)].collect().toMap
+      assert(sk.size <= cap)
+      val bound = n / (cap + 1)
+      // every item with freq > N/(cap+1) must be present
+      exact.filter(_._2 > bound).keys.foreach { k =>
+        assert(sk.contains(k), s"lost heavy hitter $k (parts=$parts)")
+      }
+      // counts are lower bounds, short by at most the bound
+      sk.foreach { case (k, lb) =>
+        assert(lb <= exact(k), s"$k overcounted: $lb > ${exact(k)}")
+        assert(exact(k) - lb <= bound,
+          s"$k deficit ${exact(k) - lb} > $bound")
+      }
+    }
+  }
+
+  test("misraGries: small-vocab sketch is exact; output sorted " +
+      "(count desc, item); nulls skipped") {
+    val df = Seq(Some("b"), Some("a"), Some("b"), None, Some("c"),
+      Some("b"), Some("a")).toDF("t")
+    val out = df.agg(GraftExpressions.misraGries($"t", 10).as("sk"))
+      .select(explode($"sk").as("e"))
+      .select($"e.item", $"e.count_lb").as[(String, Long)].collect()
+    // vocab ≤ capacity → no eviction ever → exact counts
+    assert(out.toSeq == Seq(("b", 3L), ("a", 2L), ("c", 1L)))
+  }
+
   implicit class Tup3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(t => ((t._1, t._2), t._3)).toMap
   }

@@ -296,4 +296,104 @@ class MultimodalSpec extends SparkSpec {
     val stubRows = out.filter($"media_id" === 2L).collect()
     assert(stubRows.length == 4 && stubRows.forall(!_.getBoolean(3)))
   }
+
+  // ------------------------------------------- perceptual image dedup
+  private def png(im: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic 8×8-cell block pattern (each cell uniformly dark or
+    * bright by a hash of its cell index) — the content class aHash is
+    * built for: cell means sit FAR from the global-mean threshold, so
+    * re-encode/resize/brightness edits flip ~0 bits while inversion
+    * flips ~all. (A smooth gradient is the adversarial case — half its
+    * cells ride the threshold — and is deliberately not used here.) */
+  private def blocks(w: Int, h: Int, invert: Boolean = false,
+                     brightness: Int = 0): java.awt.image.BufferedImage = {
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val cell = (y * 8 / h) * 8 + (x * 8 / w)
+        val bright = (cell * 2654435761L % 97) < 48
+        var v = if (bright ^ invert) 215 else 40
+        v = (v + brightness).max(0).min(255)
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    im
+  }
+
+  test("imageHashes: aHash is stable under re-encode/resize/brightness, " +
+      "far for distinct content, decode_ok=false for junk") {
+    val rows = Seq(
+      (1L, png(blocks(64, 64))),
+      (2L, png(blocks(64, 64, brightness = 12))), // uniform shift
+      (3L, png(blocks(96, 96))), // same content, other resolution
+      (4L, png(blocks(64, 64, invert = true))), // different image
+      (5L, "definitely not an image".getBytes("UTF-8")))
+    val mm = Multimodal.asMedia(rows.toDF("id", "bin"),
+      "id", "bin", "image", "image/png")
+    val hs = Multimodal.imageHashes(mm).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hs(5L)._2 == false && hs(5L)._1 == 0L)
+    assert((1L to 4L).forall(hs(_)._2))
+    // aHash thresholds at the image's own mean → brightness-invariant;
+    // the 32×32 sample grid → resolution-robust
+    assert(ham(hs(1L)._1, hs(2L)._1) <= 3,
+      s"brightness shift moved ${ham(hs(1L)._1, hs(2L)._1)} bits")
+    assert(ham(hs(1L)._1, hs(3L)._1) <= 3,
+      s"resize moved ${ham(hs(1L)._1, hs(3L)._1)} bits")
+    // inverted gradient flips (nearly) every threshold decision
+    assert(ham(hs(1L)._1, hs(4L)._1) >= 32,
+      s"distinct images only ${ham(hs(1L)._1, hs(4L)._1)} bits apart")
+  }
+
+  test("imageNearDupPairs finds planted perceptual dups, excludes " +
+      "undecodable rows, never pairs distinct content") {
+    val rows = Seq(
+      (1L, png(blocks(64, 64))),
+      (2L, png(blocks(96, 96, brightness = 6))), // near-dup of 1
+      (3L, png(blocks(64, 64, invert = true))), // unrelated
+      (4L, "junk one".getBytes("UTF-8")), // would all collide at ahash=0
+      (5L, "junk two".getBytes("UTF-8")))
+    val mm = Multimodal.asMedia(rows.toDF("id", "bin"),
+      "id", "bin", "image", "image/png")
+    val pairs = Multimodal.imageNearDupPairs(mm, maxHamming = 3)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"missed planted near-dup: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated image paired: $pairs")
+    assert(!pairs.exists(p => p._1 >= 4L || p._2 >= 4L),
+      s"undecodable rows paired: $pairs")
+  }
+
+  test("imageHashes on the real fixture corpus: deterministic, " +
+      "re-encode-stable") {
+    val bytes = fixtureImages.map { case (p, _, _) =>
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    }
+    val rows = bytes.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+    val mm = Multimodal.asMedia(rows.toDF("id", "bin"),
+      "id", "bin", "image", "application/octet-stream")
+    val h1 = Multimodal.imageHashes(mm).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // all four fixtures decode and hash deterministically
+    val h2 = Multimodal.imageHashes(mm).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1 == h2)
+    // jpg (idx 0) and tiff (idx 2) are the SAME picture in two codecs
+    // (see decodeImages golden notes) → perceptually near-identical
+    val ham = java.lang.Long.bitCount(h1(0L) ^ h1(2L))
+    assert(ham <= 3, s"jpg↔tiff of the same picture $ham bits apart")
+    // different pictures stay far
+    assert(java.lang.Long.bitCount(h1(0L) ^ h1(3L)) > 10)
+  }
 }

@@ -74,6 +74,35 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the checkpointed base as the leaf, got:\n$finalSection")
   }
 
+  test("corpus_drift is single-scan: totals reuse the token-freq exchange") {
+    // the freq subtree feeds BOTH the totals aggregate and the ranking
+    // join; canonical-plan equality must collapse them to one scan +
+    // one token exchange with the totals branch as a ReusedExchange —
+    // a lost reuse doubles the corpus tokenization work
+    val df = q("corpus_drift")
+    assert(finalScans(df, "documents") == 1)
+    val finalSection = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalSection.linesIterator.exists(_.contains("ReusedExchange")),
+      s"totals branch recomputes the freq exchange:\n$finalSection")
+  }
+
+  test("text_ngram_diversity is single-scan (all n orders from one explode)") {
+    assert(finalScans(q("text_ngram_diversity"), "documents") == 1)
+  }
+
+  test("vocab_heavy_hitters pass 2 is a bounded-candidate aggregate") {
+    // the returned (pass-2) plan re-scans the corpus once with the
+    // candidate IN-set applied before the aggregate; pass 1 already ran
+    // eagerly at build time and is not part of this plan
+    val df = q("vocab_heavy_hitters")
+    assert(finalScans(df, "documents") == 1)
+    val finalSection = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalSection.contains("TakeOrderedAndProject"),
+      s"top-N must be TakeOrdered, not a global sort:\n$finalSection")
+  }
+
   test("text_importance holds the 3-scan floor (totals ride the freq exchanges)") {
     // raw probe + raw freq + filtered target; nRaw/nTgt must appear as
     // ReusedExchange over the freq subtrees, not extra corpus scans
