@@ -913,6 +913,15 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"), TA.langId(col("text")).as("lang_pred"))),
 
+    "text_script_profile" -> ((s, dir) =>
+      // character-class / writing-system profile: codegen'd counting
+      // classes inside the scan, zero shuffle
+      t(s, dir, "documents").select(col("doc_id"),
+        TA.scriptProfile(col("text")).as("p"))
+        .select(col("doc_id"), col("p.n_latin"), col("p.n_digit"),
+          col("p.n_space"), col("p.n_han"), col("p.n_other_nonascii"),
+          col("p.script"))),
+
     "text_normalize" -> ((s, dir) =>
       // canonical dedup-front-end normalization (lowercase → ascii class →
       // whitespace collapse) — engine-portable regexes, full oracle
@@ -1025,6 +1034,12 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.labelMargin(emb, emb.filter(col("vec_id") < 200))
     }),
+
+    "emb_random_projection" -> ((s, dir) =>
+      // JL ±1-sign compression 64→16: md5-derived sign matrix baked as
+      // plan literals (zero per-row hashing), pure scan-side projection
+      Similarity.randomProjection(t(s, dir, "embeddings"),
+        inDim = 64, outDim = 16)),
 
     "emb_knn_vote" -> ((s, dir) => {
       // kNN-probe evaluation: 5-NN majority label vote with the
@@ -2093,6 +2108,20 @@ object SparkEntry {
         |    max(CASE WHEN NOT same THEN sim END) AS same_wins
         |FROM s GROUP BY 1, 2""".stripMargin,
 
+    // the ±1 sign matrix re-derived in pure SQL from the same md5
+    // convention; left-fold list_sum matches the engine's aggregate
+    // accumulation order bit-for-bit (the cosSql discipline)
+    "emb_random_projection" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ks(k) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7),
+        |                 (8),(9),(10),(11),(12),(13),(14),(15))
+        |SELECT vec_id, CAST(k AS INTEGER) AS k,
+        |  list_sum([CASE WHEN substring(md5('rp:' || CAST(k AS VARCHAR)
+        |      || ':' || CAST(j - 1 AS VARCHAR)), 1, 1) < '8'
+        |    THEN v[j] ELSE -v[j] END
+        |    for j in range(1, 65)]) / sqrt(16.0) AS value
+        |FROM e, ks""".stripMargin,
+
     // neighbor ranking in the ann_cosine_topk convention; the vote winner
     // is elected by the same (votes DESC, label ASC) total order
     "emb_knn_vote" ->
@@ -2795,6 +2824,28 @@ object SparkEntry {
         |      WHEN sfr > 0 AND sfr >= sde AND sfr >= sen AND sfr >= ses THEN 'fr'
         |      ELSE 'und' END AS lang_pred
         |FROM sc""".stripMargin,
+
+    // RE2's \p{Han} ≡ Java's \p{IsHan}; counts by remove-and-diff in
+    // code points (both engines' length/regexp_replace are
+    // code-point-aware)
+    "text_script_profile" ->
+      """WITH c AS (SELECT doc_id,
+        |  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin,
+        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+        |  length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_space,
+        |  length(text) - length(regexp_replace(text, '\p{Han}', '', 'g')) AS n_han,
+        |  length(regexp_replace(text, '[\x00-\x7f]', '', 'g')) AS n_nonascii
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_latin AS INTEGER) AS n_latin,
+        |  CAST(n_digit AS INTEGER) AS n_digit,
+        |  CAST(n_space AS INTEGER) AS n_space,
+        |  CAST(n_han AS INTEGER) AS n_han,
+        |  CAST(n_nonascii - n_han AS INTEGER) AS n_other_nonascii,
+        |  CASE WHEN n_han > n_latin THEN 'han'
+        |       WHEN n_latin > 0 THEN 'latin'
+        |       WHEN n_nonascii - n_han > 0 THEN 'other'
+        |       ELSE 'none' END AS script
+        |FROM c""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, 'image' AS modality, 'image/png' AS mime_type,

@@ -639,6 +639,55 @@ object Similarity {
     corpus.join(drop, corpus(idCol) === drop("id"), "left_anti")
   }
 
+  /** Deterministic ±1 sign matrix for [[randomProjection]]: entry (k, j)
+    * is +1 when the first hex digit of `md5("<seed>:<k>:<j>")` is below
+    * '8'. md5 is the ONE hash every engine in the gate computes
+    * identically (Spark `md5`, DuckDB `md5`, JVM `MessageDigest`), so
+    * the oracle can re-derive the identical matrix in pure SQL instead
+    * of trusting a shipped literal. */
+  def projectionSigns(seed: String, outDim: Int,
+                      inDim: Int): Array[Array[Double]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim, inDim) { (k, j) =>
+      digest.reset()
+      val h = digest.digest(s"$seed:$k:$j".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xF) < 8) 1.0 else -1.0
+    }
+  }
+
+  /** Johnson–Lindenstrauss random projection `inDim → outDim` with ±1
+    * (Achlioptas) signs and 1/√outDim scaling — the embedding-compression
+    * step of a training pipeline (store/cluster/search 16 dims instead
+    * of 64+ while approximately preserving pairwise distances).
+    *
+    * Engine-portable determinism: the sign matrix derives from md5 (see
+    * [[projectionSigns]]), is computed ONCE driver-side, and rides the
+    * plan as literal arrays — per row the projection is outDim·inDim
+    * fused multiply-adds with ZERO hashing and zero shuffle (a pure
+    * scan-stage projection; compare [[hyperplaneSignature]], which pays
+    * an xxhash per (plane, dim) per row for its weights). The left-fold
+    * accumulation order (j = 0..inDim−1 per component) matches DuckDB's
+    * `list_sum`, so output doubles are bit-identical cross-engine.
+    *
+    * Output is EXPLODED to (id, k, value) rows — scalar columns, the
+    * driver compare's native shape. */
+  def randomProjection(df: DataFrame, idCol: String = "vec_id",
+                       vecCol: String = "embedding", inDim: Int = 64,
+                       outDim: Int = 16,
+                       seed: String = "rp"): DataFrame = {
+    require(outDim > 0 && inDim > 0, s"bad dims $inDim -> $outDim")
+    val signs = projectionSigns(seed, outDim, inDim)
+    val v = asDouble(col(vecCol))
+    val scale = math.sqrt(outDim.toDouble)
+    val comps = signs.map { row =>
+      aggregate(
+        zip_with(v, array(row.map(lit).toIndexedSeq: _*), (x, s) => x * s),
+        lit(0.0), (acc, x) => acc + x) / lit(scale)
+    }
+    df.select(col(idCol), posexplode(array(comps.toIndexedSeq: _*))
+        .as(Seq("k", "value")))
+  }
+
   def hyperplaneSignature(vec: Column, nPlanes: Int = 16, table: Int = 0): Column = {
     val planes = (0 until nPlanes).map { p =>
       val proj = aggregate(

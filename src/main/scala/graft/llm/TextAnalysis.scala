@@ -235,6 +235,41 @@ object TextAnalysis {
     coalesce(best, lit("und"))
   }
 
+  /** Count of characters matching a regex character class (chars, not
+    * bytes — both engines' `length`/`regexp_replace` are code-point
+    * aware): `len(text) − len(text with the class removed)`. */
+  def charClassCount(text: Column, classPattern: String): Column =
+    length(text) - length(regexp_replace(text, classPattern, ""))
+
+  /** Per-document character-class / writing-system profile — the script
+    * companion to the marker-word [[langId]] (which only speaks Latin
+    * languages): counts of Latin letters, digits, whitespace, Han
+    * ideographs, and other non-ASCII, plus a dominant-`script` label by
+    * integer count comparison (han > latin → "han"; any latin →
+    * "latin"; any non-ASCII remainder → "other"; else "none" — blank/
+    * numeric-only docs). Mixed-script documents are a quality signal
+    * (mojibake, spam) and a routing key for per-script tokenizers.
+    *
+    * Pure codegen'd column ops over each row — zero shuffle at any
+    * scale. The character classes are in the Java-regex/RE2 common
+    * subset (`\p{IsHan}` here ≡ `\p{Han}` in RE2 — oracle-checked on
+    * real zh documents). */
+  def scriptProfile(text: Column): Column = {
+    val latin = charClassCount(text, "[A-Za-z]")
+    val digit = charClassCount(text, "[0-9]")
+    val space = charClassCount(text, "\\s")
+    val han = charClassCount(text, "\\p{IsHan}")
+    val ascii = charClassCount(text, "[\\x00-\\x7f]")
+    val otherNonAscii = length(text) - ascii - han
+    val script = when(han > latin, lit("han"))
+      .when(latin > 0, lit("latin"))
+      .when(otherNonAscii > 0, lit("other"))
+      .otherwise(lit("none"))
+    struct(latin.as("n_latin"), digit.as("n_digit"), space.as("n_space"),
+      han.as("n_han"), otherNonAscii.as("n_other_nonascii"),
+      script.as("script"))
+  }
+
   // ----------------------------------------------------------- repetition
   /** Gopher-style repetition signals (the MassiveText quality-filter
     * family): a struct of duplicate-n-gram fraction `(total−distinct)/

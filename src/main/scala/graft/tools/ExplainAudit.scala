@@ -49,7 +49,10 @@ object ExplainAudit extends App {
       // (bounded-sketch pass ran eagerly; audited plan is the candidate-
       // filtered pass 2), the drift ranking (one token exchange, totals
       // as ReusedExchange), and the tagged-ngram diversity single scan
-      "vocab_heavy_hitters", "corpus_drift", "text_ngram_diversity"))
+      "vocab_heavy_hitters", "corpus_drift", "text_ngram_diversity",
+      // the two scan-side projections: literal-sign JL compression and
+      // the char-class script profile (both must stay exchange-free)
+      "emb_random_projection", "text_script_profile"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

@@ -80,7 +80,9 @@ object ScaleBench {
     // exchange, and the ngram diversity exchange tracks the distinct
     // n-gram domain (sublinear in a real corpus, translate-inflated in
     // this probe like text_collocations)
-    "vocab_heavy_hitters", "corpus_drift", "text_ngram_diversity")
+    "vocab_heavy_hitters", "corpus_drift", "text_ngram_diversity",
+    // scan-side projections — expected ~linear wall, zero exchange
+    "emb_random_projection", "text_script_profile")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

@@ -366,4 +366,61 @@ class SimilaritySpec extends SparkSpec {
     // 4: orthogonal to everything → other best is 0, loses by NULL
     assert(out(4L) == ((None, Some(0.0), None)))
   }
+
+  test("randomProjection matches the driver-side reference bit-for-bit " +
+      "and is partitioning-invariant") {
+    val out = Similarity.randomProjection(emb, inDim = 64, outDim = 16)
+      .as[(Long, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // independent reference: same sign derivation, plain Scala left fold
+    val signs = Similarity.projectionSigns("rp", 16, 64)
+    val raw = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    assert(raw.nonEmpty)
+    raw.foreach { case (id, v) =>
+      (0 until 16).foreach { k =>
+        var acc = 0.0
+        var j = 0
+        while (j < 64) { acc += v(j) * signs(k)(j); j += 1 }
+        val expected = acc / math.sqrt(16.0)
+        assert(out((id, k)) == expected,
+          s"vec $id comp $k: ${out((id, k))} != $expected")
+      }
+    }
+    // stable under repartitioning (pure projection, no shuffle state)
+    val again = Similarity.randomProjection(emb.repartition(7),
+      inDim = 64, outDim = 16).as[(Long, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(again == out)
+  }
+
+  test("randomProjection approximately preserves pairwise distance " +
+      "ordering (JL property) and is zero-shuffle") {
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L)
+    val vecs = emb.filter($"vec_id".isin(ids: _*))
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val proj = Similarity.randomProjection(
+        emb.filter($"vec_id".isin(ids: _*)), inDim = 64, outDim = 16)
+      .as[(Long, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // JL at 16 dims is loose per pair (squared-distance ratio ~
+    // chi²₁₆/16, σ≈0.35) — bound individual pairs at 6× and require the
+    // MEAN ratio near 1 (the unbiasedness that makes the projection
+    // usable for clustering/ANN)
+    val ratios = for (i <- ids; j <- ids if i < j) yield {
+      val orig = d2(vecs(i), vecs(j))
+      val low = d2(proj(i), proj(j))
+      assert(low < orig * 6 && low > orig / 6,
+        s"pair ($i,$j): $orig -> $low distorted beyond 6x")
+      low / orig
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.6 && mean < 1.6, s"mean distortion $mean off unit")
+    val plan = Similarity.randomProjection(emb, inDim = 64, outDim = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection shuffled:\n$plan")
+  }
 }

@@ -308,4 +308,31 @@ class TextAnalysisSpec extends SparkSpec {
     // an '@' later in the path does not fake a userinfo
     assert(canon("https://h.io:443/a@b") == "https://h.io/a@b")
   }
+
+  test("scriptProfile: hand vectors across scripts; zero-shuffle plan") {
+    import graft.llm.TextAnalysis
+    val docs = Seq(
+      (1L, "Hello 123"),
+      (2L, "你好世界"), // 你好世界 — 4 Han chars
+      (3L, "привет"), // привет — Cyrillic
+      (4L, "1234 !?"),
+      (5L, "mixed 中文 words here"), // latin-dominant + 2 Han
+      (6L, "")).toDF("doc_id", "text")
+    val out = docs.select($"doc_id",
+        TextAnalysis.scriptProfile($"text").as("p"))
+      .select($"doc_id", $"p.n_latin", $"p.n_digit", $"p.n_space",
+        $"p.n_han", $"p.n_other_nonascii", $"p.script")
+      .as[(Long, Int, Int, Int, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(out(1L) == ((5, 3, 1, 0, 0, "latin")))
+    assert(out(2L) == ((0, 0, 0, 4, 0, "han")))
+    assert(out(3L) == ((0, 0, 0, 0, 6, "other")))
+    assert(out(4L) == ((0, 4, 1, 0, 0, "none")))
+    assert(out(5L) == ((14, 0, 3, 2, 0, "latin")))
+    assert(out(6L) == ((0, 0, 0, 0, 0, "none")))
+    // pure scan-side projection
+    val plan = docs.select(TextAnalysis.scriptProfile($"text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"profile shuffled:\n$plan")
+  }
 }
