@@ -1041,6 +1041,13 @@ object SparkEntry {
       Similarity.randomProjection(t(s, dir, "embeddings"),
         inDim = 64, outDim = 16)),
 
+    "emb_hard_negatives" -> ((s, dir) => {
+      // contrastive-training negative mining: top-5 nearest OTHER-label
+      // corpus vectors per query (broadcast queries, map-side rank prune)
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 100), k = 5)
+    }),
+
     "emb_knn_vote" -> ((s, dir) => {
       // kNN-probe evaluation: 5-NN majority label vote with the
       // deterministic (votes desc, label asc) tie-break
@@ -2144,6 +2151,24 @@ object SparkEntry {
         |SELECT q.vec_id AS query_id, q.label AS label, p.predicted,
         |  p.predicted = q.label AS correct
         |FROM q JOIN p ON p.query_id = q.vec_id AND p.vr = 1""".stripMargin,
+
+    // ranking on unrounded sims in the ann_cosine_topk convention;
+    // (sim DESC, corpus_id) total order matches the engine's window
+    "emb_hard_negatives" ->
+      """WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, label, v FROM c WHERE vec_id < 100),
+        |s AS (SELECT q.vec_id AS query_id, q.label AS label,
+        |        c.vec_id AS corpus_id, c.label AS neg_label,
+        |        list_sum([q.v[i] * c.v[i] for i in range(1, 65)]) /
+        |        (sqrt(list_sum([q.v[i] * q.v[i] for i in range(1, 65)])) *
+        |         sqrt(list_sum([c.v[i] * c.v[i] for i in range(1, 65)]))) AS sim
+        |      FROM c CROSS JOIN q
+        |      WHERE q.vec_id <> c.vec_id AND c.label <> q.label),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |          ORDER BY sim DESC, corpus_id) AS rank FROM s)
+        |SELECT query_id, label, CAST(rank AS INTEGER) AS rank, corpus_id,
+        |  neg_label, round(sim, 6) AS sim
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     "corpus_mix" ->
       """SELECT doc_id, source FROM documents

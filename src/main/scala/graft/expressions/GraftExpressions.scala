@@ -782,6 +782,10 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("graft_word_chunks",
       es => WordChunks(es(0), intLit(es(1), "graft_word_chunks", "size"),
         intLit(es(2), "graft_word_chunks", "overlap")), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_misra_gries",
+      es => MisraGries(es(0),
+        intLit(es(1), "graft_misra_gries", "capacity"))
+        .toAggregateExpression(), "scala_udf")
   }
 
   /** Fold a literal int argument of a SQL-registered graft function. */

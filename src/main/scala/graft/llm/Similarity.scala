@@ -88,6 +88,39 @@ object Similarity {
         (col("__bs") > col("__bo")).as("same_wins"))
   }
 
+  /** Hard-negative mining for contrastive / metric-learning training
+    * sets: for each query vector, its `k` NEAREST corpus vectors with a
+    * DIFFERENT label — the highest-similarity wrong-class examples that
+    * make the strongest triplet/InfoNCE negatives (easy random negatives
+    * teach nothing; the near-boundary ones carry the gradient). Ties
+    * break by ascending corpus id, so engine and oracle rank
+    * identically.
+    *
+    * 100 TB shape: same contract as [[bruteForceTopK]] — queries
+    * broadcast, corpus scanned once unshuffled, per-query top-k pruned
+    * map-side (WindowGroupLimit) before the single query-keyed
+    * exchange; route candidate generation through [[ivfTopK]]-style
+    * indexing for corpus-×-corpus mining. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(labelCol).as("__cl"), asDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("label"), asDouble(col(vecCol)).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id") &&
+        col("__cl") =!= col("label"))
+      .select(col("query_id"), col("label"), col("corpus_id"),
+        col("__cl").as("neg_label"), cosine(col("cv"), col("qv")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("label"), col("rank"), col("corpus_id"),
+        col("neg_label"), round(col("sim"), 6).as("sim"))
+  }
+
   /** k-NN majority-vote label prediction with the quality rollup — the
     * standard embedding-quality probe over a labeled corpus (kNN-probe
     * evaluation): each query's k nearest corpus vectors by cosine vote;

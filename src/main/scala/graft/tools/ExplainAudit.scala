@@ -52,7 +52,10 @@ object ExplainAudit extends App {
       "vocab_heavy_hitters", "corpus_drift", "text_ngram_diversity",
       // the two scan-side projections: literal-sign JL compression and
       // the char-class script profile (both must stay exchange-free)
-      "emb_random_projection", "text_script_profile"))
+      "emb_random_projection", "text_script_profile",
+      // broadcast-query top-k with the other-label filter: must keep
+      // the map-side WindowGroupLimit prune
+      "emb_hard_negatives"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

@@ -82,7 +82,10 @@ object ScaleBench {
     // this probe like text_collocations)
     "vocab_heavy_hitters", "corpus_drift", "text_ngram_diversity",
     // scan-side projections — expected ~linear wall, zero exchange
-    "emb_random_projection", "text_script_profile")
+    "emb_random_projection", "text_script_profile",
+    // broadcast-query scored scan: wall tracks corpus×queries; queries
+    // held fixed (vec_id < 100 spans only copy 0), so expected ~linear
+    "emb_hard_negatives")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

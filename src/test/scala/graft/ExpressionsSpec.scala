@@ -91,6 +91,12 @@ class ExpressionsSpec extends SparkSpec {
     assert(r2.getDouble(0) == 1.0 / 3)
     assert(r2.getSeq[String](1) == Seq("a b", "b c"))
     assert(r2.getSeq[String](2) == Seq("a b", "c d"))
+    // the sketch aggregate registers too (small vocab → exact counts)
+    val r3 = spark.sql(
+      """SELECT graft_misra_gries(t, 8) sk
+        |FROM VALUES ('a'), ('b'), ('a') AS v(t)""".stripMargin).collect()(0)
+    assert(r3.getSeq[org.apache.spark.sql.Row](0)
+      .map(e => (e.getString(0), e.getLong(1))) == Seq(("a", 2L), ("b", 1L)))
   }
 
   test("SignatureAgreement matches the zip_with/filter column stack bit-for-bit") {

@@ -187,7 +187,8 @@ class PlanShapeSpec extends SparkSpec {
     // on the idiom the way emb_knn_vote already is: each must execute
     // with at least one map-side (Partial) WindowGroupLimit.
     val windowTopK = Seq("tfidf_keywords", "ann_cosine_topk",
-      "ann_ivf_topk", "ann_pq_topk", "ann_ivf_pq_topk", "a6_keep_latest")
+      "ann_ivf_topk", "ann_pq_topk", "ann_ivf_pq_topk", "a6_keep_latest",
+      "emb_hard_negatives")
     windowTopK.foreach { name =>
       val df = q(name)
       df.queryExecution.toRdd.foreach(_ => ())

@@ -367,6 +367,45 @@ class SimilaritySpec extends SparkSpec {
     assert(out(4L) == ((None, Some(0.0), None)))
   }
 
+  test("hardNegatives: other-label only, ranked by cosine, matches a " +
+      "plain-Scala reference") {
+    val out = Similarity.hardNegatives(emb,
+        emb.filter($"vec_id" < 20), k = 3)
+      .as[(Long, String, Int, Long, String, Double)].collect()
+    assert(out.nonEmpty)
+    // never the query's own label, never itself
+    out.foreach { case (qid, ql, _, cid, nl, _) =>
+      assert(ql != nl, s"query $qid got same-label negative $cid")
+      assert(qid != cid)
+    }
+    // per query: ranks are 1..k with non-increasing sims
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      val byRank = rows.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == (1 to byRank.size))
+      assert(byRank.map(_._6).toSeq.sliding(2).forall {
+        case Seq(a, b) => a >= b; case _ => true
+      }, s"query $qid sims not ranked")
+    }
+    // top-1 parity with an independent Scala argmax on unrounded sims
+    val vecs = emb.select($"vec_id", $"label",
+        $"embedding".cast("array<double>"))
+      .as[(Long, String, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.size) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val top1 = out.filter(_._3 == 1).map(r => r._1 -> r._4).toMap
+    vecs.filter(_._1 < 20).foreach { case (qid, ql, qv) =>
+      val best = vecs.filter(v => v._1 != qid && v._2 != ql)
+        .map(v => (v._1, cos(v._3, qv)))
+        .minBy { case (id, s) => (-s, id) }._1
+      assert(top1(qid) == best, s"query $qid: top-1 ${top1(qid)} != $best")
+    }
+  }
+
   test("randomProjection matches the driver-side reference bit-for-bit " +
       "and is partitioning-invariant") {
     val out = Similarity.randomProjection(emb, inDim = 64, outDim = 16)
