@@ -1115,6 +1115,13 @@ object SparkEntry {
       graft.llm.Corpus.heavyHitters(t(s, dir, "documents"), "text",
         topN = 15, capacity = 2048)),
 
+    "vocab_heavy_bigrams" -> ((s, dir) =>
+      // phrase mining: the same exact-or-loud 2-pass sketch over the
+      // (much larger) bigram domain — where bounded pass-1 state
+      // matters most vs a full-domain groupBy
+      graft.llm.Corpus.heavyHitters(t(s, dir, "documents"), "text",
+        topN = 10, capacity = 4096, ngram = 2)),
+
     "corpus_drift" -> ((s, dir) =>
       // top drifted tokens between the en and de slices: one scan, one
       // token-domain exchange with both group counts as conditional
@@ -2267,6 +2274,19 @@ object SparkEntry {
         |tok AS (SELECT unnest(string_split(t, ' ')) AS token FROM norm)
         |SELECT token, count(*) AS freq FROM tok WHERE length(token) > 0
         |GROUP BY token ORDER BY freq DESC, token LIMIT 15""".stripMargin,
+
+    // phrase form: exact bigram top-N (the bigram comprehension of the
+    // text_bigram_surprisal oracle)
+    "vocab_heavy_bigrams" ->
+      """WITH norm AS (SELECT trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM documents),
+        |tk AS (SELECT CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+        |              ELSE string_split(t, ' ') END AS toks FROM norm),
+        |bg AS (SELECT unnest(
+        |    [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))])
+        |    AS token FROM tk)
+        |SELECT token, count(*) AS freq FROM bg
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 10""".stripMargin,
 
     // exact-integer cross-product ranking |freq_a*n_b - freq_b*n_a| in
     // HUGEINT (the decimal's value-equal twin; the rank key is not

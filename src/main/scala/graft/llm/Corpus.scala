@@ -134,14 +134,18 @@ object Corpus {
     * Output matches [[vocabulary]]: (token, freq) in (freq desc, token)
     * order, deterministic at the LIMIT boundary. */
   def heavyHitters(df: DataFrame, textCol: String, topN: Int = 20,
-                   capacity: Int = 4096): DataFrame = {
+                   capacity: Int = 4096, ngram: Int = 1): DataFrame = {
     require(topN > 0, s"topN=$topN must be positive")
     require(capacity >= topN,
       s"capacity=$capacity must be at least topN=$topN")
+    require(ngram >= 1, s"ngram=$ngram must be >= 1")
+    // ngram > 1 = phrase mining: the identical 2-pass plan over word
+    // n-grams of the normalized text (the n-gram domain is far larger
+    // than the token domain, which is exactly when the bounded sketch
+    // pays off most vs a full-domain groupBy)
     val tok = df.select(
-        explode(split(TextAnalysis.normalizeText(col(textCol)), " "))
-          .as("token"))
-      .filter(length(col("token")) > 0)
+        explode(graft.expressions.GraftExpressions.wordNGrams(
+          TextAnalysis.normalizeText(col(textCol)), ngram)).as("token"))
     // pass 1: bounded sketch + exact total in ONE aggregate (eager,
     // bounded driver collect — ≤ capacity entries)
     val p1 = tok.agg(

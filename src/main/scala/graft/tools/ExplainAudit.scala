@@ -55,7 +55,7 @@ object ExplainAudit extends App {
       "emb_random_projection", "text_script_profile",
       // broadcast-query top-k with the other-label filter: must keep
       // the map-side WindowGroupLimit prune
-      "emb_hard_negatives"))
+      "emb_hard_negatives", "vocab_heavy_bigrams"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

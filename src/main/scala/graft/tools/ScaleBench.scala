@@ -85,7 +85,10 @@ object ScaleBench {
     "emb_random_projection", "text_script_profile",
     // broadcast-query scored scan: wall tracks corpus×queries; queries
     // held fixed (vec_id < 100 spans only copy 0), so expected ~linear
-    "emb_hard_negatives")
+    "emb_hard_negatives",
+    // the phrase-mining sketch works the larger bigram domain — eviction
+    // churn grows with unique-gram arrivals, amortized O(1)/row
+    "vocab_heavy_bigrams")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

@@ -523,6 +523,16 @@ class CorpusSpec extends SparkSpec {
     // aggregates candidates only — never the full token domain
     val plan = viaSketch.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    // phrase (bigram) form: parity with the exact full-domain groupBy
+    val bigSketch = Corpus.heavyHitters(docs, "text", topN = 8,
+      capacity = 1024, ngram = 2).as[(String, Long)].collect().toSeq
+    val bigExact = docs.select(explode(
+        graft.expressions.GraftExpressions.wordNGrams(
+          graft.llm.TextAnalysis.normalizeText(col("text")), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("g")).limit(8)
+      .as[(String, Long)].collect().toSeq
+    assert(bigSketch == bigExact)
     // an uncertifiable request (capacity too small for the corpus) must
     // raise, not silently return an approximate top-N
     val tiny = Corpus.heavyHitters(docs, "text", topN = 10, capacity = 12)
