@@ -1122,6 +1122,19 @@ object SparkEntry {
       graft.llm.Corpus.heavyHitters(t(s, dir, "documents"), "text",
         topN = 10, capacity = 4096, ngram = 2)),
 
+    "vocab_sketch_merge" -> ((s, dir) => {
+      // incremental corpus stats: per-split sketches merged with the
+      // relational Agarwal rule; capacity ≥ vocabulary here, so the
+      // merge runs in its exact regime and the hash gate checks it
+      val docs = t(s, dir, "documents")
+      val tagged = (0 until 3).map(i =>
+        graft.llm.Corpus.heavyHittersSketch(
+            docs.filter(col("doc_id") % 3 === i), "text", capacity = 2048)
+          .withColumn("sketch_id", lit(i)))
+      graft.llm.Corpus.mergeHeavyHitterSketches(
+        tagged.reduce(_ unionByName _), capacity = 2048)
+    }),
+
     "corpus_drift" -> ((s, dir) =>
       // top drifted tokens between the en and de slices: one scan, one
       // token-domain exchange with both group counts as conditional
@@ -2287,6 +2300,17 @@ object SparkEntry {
         |    AS token FROM tk)
         |SELECT token, count(*) AS freq FROM bg
         |GROUP BY token ORDER BY freq DESC, token LIMIT 10""".stripMargin,
+
+    // the merge's exact regime (capacity ≥ vocabulary): merged counters
+    // ARE the exact corpus counts and n_part is the exact token total
+    "vocab_sketch_merge" ->
+      """WITH norm AS (SELECT trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM documents),
+        |tok AS (SELECT unnest(string_split(t, ' ')) AS token FROM norm),
+        |tk AS (SELECT token FROM tok WHERE length(token) > 0),
+        |tot AS (SELECT count(*) AS n FROM tk)
+        |SELECT token, count(*) AS count_lb, tot.n AS n_part
+        |FROM tk, tot GROUP BY token, tot.n""".stripMargin,
 
     // exact-integer cross-product ranking |freq_a*n_b - freq_b*n_a| in
     // HUGEINT (the decimal's value-equal twin; the rank key is not

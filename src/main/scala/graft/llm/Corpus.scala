@@ -186,6 +186,74 @@ object Corpus {
       .orderBy(col("freq").desc, col("token"))
   }
 
+  /** The pass-1 sketch of [[heavyHitters]] AS DATA: one row per retained
+    * counter `(token, count_lb, n_part)` (`n_part` = the summarized
+    * token total, constant across rows) — the persistable half of an
+    * INCREMENTAL corpus-stats pipeline. Summarize each day/shard/
+    * snapshot once (one scan, bounded state), store the ≤ capacity-row
+    * sketch, and fold new arrivals in with [[mergeHeavyHitterSketches]]
+    * — no historical rescan, ever.
+    *
+    * Guarantee carried by the rows: every token with frequency
+    * > n_part/(capacity+1) in the summarized slice is present, and
+    * `count_lb` undercounts by at most that bound. */
+  def heavyHittersSketch(df: DataFrame, textCol: String,
+                         capacity: Int = 4096, ngram: Int = 1): DataFrame = {
+    require(capacity >= 1 && ngram >= 1, s"bad capacity/ngram")
+    val tok = df.select(
+      explode(graft.expressions.GraftExpressions.wordNGrams(
+        TextAnalysis.normalizeText(col(textCol)), ngram)).as("token"))
+    tok.agg(
+        graft.expressions.GraftExpressions
+          .misraGries(col("token"), capacity).as("sk"),
+        count(lit(1)).as("n_part"))
+      .select(explode(col("sk")).as("e"), col("n_part"))
+      .select(col("e.item").as("token"), col("e.count_lb").as("count_lb"),
+        col("n_part"))
+  }
+
+  /** Merge [[heavyHittersSketch]] outputs RELATIONALLY with the exact
+    * Agarwal et al. 2013 mergeable-summaries rule — the same math
+    * [[graft.expressions.MisraGries.merge]] runs inside the aggregate,
+    * expressed over DataFrames so it composes with persisted sketches:
+    * sum counters per token across sketches; if more than `capacity`
+    * tokens survive, subtract the (capacity+1)-th largest total from
+    * every counter and keep the strictly-positive remainder. The result
+    * is a valid MG summary of the CONCATENATED corpora: every token with
+    * combined frequency > N/(capacity+1) (N = Σ n_part) is present, with
+    * the same lower-bound semantics.
+    *
+    * Scale shape: the input is s·capacity rows for s sketches — already
+    * tiny relative to any corpus — so the one token groupBy and the
+    * single-partition rank window over ≤ s·capacity aggregated counters
+    * are bounded by construction (the [[lengthQuantiles]] discipline,
+    * enforced domain). `n_part` totals are summed from one
+    * representative row per sketch via `sketchIdCol`, the column that
+    * distinguishes the source sketches (tag each with a literal before
+    * unioning). */
+  def mergeHeavyHitterSketches(sketches: DataFrame, capacity: Int,
+                               sketchIdCol: String = "sketch_id"): DataFrame = {
+    require(capacity >= 1, s"capacity=$capacity must be positive")
+    val summed = sketches.groupBy("token")
+      .agg(sum(col("count_lb")).as("count_lb"))
+    // N = Σ n_part over DISTINCT sketches (n_part is constant per sketch)
+    val totals = sketches.groupBy(col(sketchIdCol))
+      .agg(first(col("n_part")).as("np"))
+      .agg(sum(col("np")).as("n_part"))
+    // the (capacity+1)-th largest summed counter (0 when ≤ capacity
+    // survive): a rank window over the bounded counter set
+    val w = Window.orderBy(col("count_lb").desc, col("token"))
+    val ranked = summed.withColumn("__rk", row_number().over(w))
+    val sub = ranked.agg(
+      max(when(col("__rk") === capacity + 1, col("count_lb")))
+        .as("__sub"))
+    ranked.crossJoin(broadcast(sub)).crossJoin(broadcast(totals))
+      .select(col("token"),
+        (col("count_lb") - coalesce(col("__sub"), lit(0L))).as("count_lb"),
+        col("n_part"))
+      .filter(col("count_lb") > 0)
+  }
+
   /** Distribution drift between two sub-corpora: the `topN` tokens whose
     * unigram frequency differs most between group `a` and group `b` of
     * `groupCol` — the data-mixing diagnostic ("what words make the web

@@ -55,7 +55,10 @@ object ExplainAudit extends App {
       "emb_random_projection", "text_script_profile",
       // broadcast-query top-k with the other-label filter: must keep
       // the map-side WindowGroupLimit prune
-      "emb_hard_negatives", "vocab_heavy_bigrams"))
+      "emb_hard_negatives", "vocab_heavy_bigrams",
+      // per-split sketch union + bounded merge (groupBy over ≤ s·cap
+      // counter rows, rank window on the aggregated counter set only)
+      "vocab_sketch_merge"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

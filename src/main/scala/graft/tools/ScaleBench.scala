@@ -88,7 +88,10 @@ object ScaleBench {
     "emb_hard_negatives",
     // the phrase-mining sketch works the larger bigram domain — eviction
     // churn grows with unique-gram arrivals, amortized O(1)/row
-    "vocab_heavy_bigrams")
+    "vocab_heavy_bigrams",
+    // three sketch scans + a counter-set merge whose input is ≤ 3·cap
+    // rows at ANY corpus size — the merge cost must stay flat
+    "vocab_sketch_merge")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

@@ -543,6 +543,45 @@ class CorpusSpec extends SparkSpec {
       s"wrong error: ${e.getMessage}")
   }
 
+  test("heavyHittersSketch + relational merge keep the MG guarantee " +
+      "across splits (incremental corpus stats)") {
+    val docs = Tables.load(spark, sf0, "documents")
+    val cap = 256
+    val parts = (0 until 3).map(i => docs.filter($"doc_id" % 3 === i))
+    val tagged = parts.zipWithIndex.map { case (p, i) =>
+      Corpus.heavyHittersSketch(p, "text", capacity = cap)
+        .withColumn("sketch_id", lit(i))
+    }
+    val merged = Corpus
+      .mergeHeavyHitterSketches(tagged.reduce(_ unionByName _), cap)
+      .as[(String, Long, Long)].collect()
+    // exact truth over the whole corpus
+    val exact = docs.select(explode(
+        graft.expressions.GraftExpressions.wordNGrams(
+          graft.llm.TextAnalysis.normalizeText(col("text")), 1)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("f"))
+      .as[(String, Long)].collect().toMap
+    val n = exact.values.sum
+    val bound = n / (cap + 1)
+    assert(merged.length <= cap)
+    assert(merged.forall(_._3 == n), "merged n_part must be the total")
+    val got = merged.map(r => r._1 -> r._2).toMap
+    exact.filter(_._2 > bound).keys.foreach { t =>
+      assert(got.contains(t), s"merged sketch lost heavy hitter '$t'")
+    }
+    got.foreach { case (t, lb) =>
+      assert(lb <= exact(t), s"'$t' overcounted: $lb > ${exact(t)}")
+      assert(exact(t) - lb <= bound,
+        s"'$t' deficit ${exact(t) - lb} > $bound")
+    }
+    // single-sketch merge is the identity (no subtract when ≤ capacity)
+    val one = Corpus.mergeHeavyHitterSketches(tagged.head, cap)
+      .as[(String, Long, Long)].collect().toSet
+    val direct = tagged.head.select($"token", $"count_lb", $"n_part")
+      .as[(String, Long, Long)].collect().toSet
+    assert(one == direct)
+  }
+
   test("corpusDrift: matches a plain-Scala reference on real data") {
     val docs = Tables.load(spark, sf0, "documents")
     val out = Corpus.corpusDrift(docs, "text", "lang", "en", "de",
