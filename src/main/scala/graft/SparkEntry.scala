@@ -2901,7 +2901,7 @@ object SparkEntry {
       """WITH c AS (SELECT doc_id,
         |  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin,
         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
-        |  length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_space,
+        |  length(text) - length(regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g')) AS n_space,
         |  length(text) - length(regexp_replace(text, '\p{Han}', '', 'g')) AS n_han,
         |  length(regexp_replace(text, '[\x00-\x7f]', '', 'g')) AS n_nonascii
         |  FROM documents)

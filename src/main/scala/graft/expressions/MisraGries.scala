@@ -38,6 +38,20 @@ import org.apache.spark.sql.types._
   *
   * Null items are skipped (SQL aggregate convention).
   */
+object MisraGries {
+  /** Types whose EVALUATED values have value-based equals/hashCode —
+    * safe as hash-map counter keys. Structs (reference-equal rows),
+    * binary (Array[Byte]), arrays/maps (mixed Generic/Unsafe
+    * representations) are not. */
+  def hashableKey(dt: DataType): Boolean = dt match {
+    case StringType | BooleanType | ByteType | ShortType | IntegerType |
+         LongType | FloatType | DoubleType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+}
+
 case class MisraGries(
     item: Expression,
     capacity: Int,
@@ -60,9 +74,17 @@ case class MisraGries(
     if (capacity <= 0) {
       TypeCheckResult.TypeCheckFailure(
         s"capacity must be positive, got $capacity")
+    } else if (!MisraGries.hashableKey(item.dataType)) {
+      // the buffer is a hash map keyed on evaluated values: these types
+      // (UTF8String, boxed numerics, Decimal, …) carry value-based
+      // equals/hashCode, but struct rows compare by reference, binary is
+      // Array[Byte] (reference equality), and arrays can arrive in mixed
+      // Generic/Unsafe representations — any of those would silently
+      // split or churn counters instead of counting
+      TypeCheckResult.TypeCheckFailure(
+        s"item type ${item.dataType.catalogString} is not atomic — " +
+          "sketch a single atomic column (e.g. concat struct fields)")
     } else if (!RowOrdering.isOrderable(item.dataType)) {
-      // orderable ⇒ well-defined equals/hashCode for the buffer map and
-      // a deterministic output tie-break
       TypeCheckResult.TypeCheckFailure(
         s"item type ${item.dataType.catalogString} is not orderable")
     } else {

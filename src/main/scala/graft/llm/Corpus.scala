@@ -156,25 +156,56 @@ object Corpus {
       .head()
     val cands = p1.getSeq[String](0)
     val nTotal = p1.getLong(1)
-    val sketchFull = cands.length == capacity
+    // a zero-candidate sketch over a non-empty corpus is ALWAYS a loss
+    // (adversarial arrival order can evict every counter) — and it would
+    // return zero rows, which carry no in-plan raise_error to fire; so
+    // this case must refuse eagerly at the driver
+    require(cands.nonEmpty || nTotal == 0L,
+      s"heavyHitters: sketch retained no candidates for a non-empty " +
+        s"corpus (N=$nTotal) — raise capacity=$capacity")
+    if (cands.isEmpty) { // empty corpus: a typed empty (token, freq) frame
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("token", StringType),
+          StructField("freq", LongType))))
+    }
     // pass 2: exact counts of candidates only; the IN-set literal is
     // evaluated inside the scan, so the exchange carries ≤ capacity
-    // groups
-    val exact = tok
+    // groups. The aggregate is consumed twice — the top-N and the
+    // no-loss total — from the same plan instance, so AQE stage reuse
+    // computes it once (the corpus_drift ReusedExchange discipline).
+    val candFreq = tok
       .filter(col("token").isin(cands: _*))
       .groupBy("token").agg(count(lit(1)).as("freq"))
+    val candTotal = candFreq.agg(sum(col("freq")).as("cand_sum"))
+    val exact = candFreq
       .orderBy(col("freq").desc, col("token")).limit(topN)
     // exactness guard over the ≤ topN output rows (bounded unpartitioned
     // window by construction); violation throws rather than returning a
-    // silently-approximate top-N
+    // silently-approximate top-N. Two cases:
+    //  - full top-N: sound iff the boundary frequency strictly clears
+    //    N/(capacity+1) (any non-candidate is at or below that bound and
+    //    cannot belong above the boundary) — the product runs in
+    //    DECIMAL(38,0) because a Long minf·(capacity+1) wraps past
+    //    ~2.25e15·4096 and would certify garbage at real scale;
+    //  - SHORT result (< topN rows): sound ONLY when nothing was ever
+    //    evicted, which is witnessed by the candidates' exact counts
+    //    summing to the corpus total (counter mass lost to MG eviction
+    //    or merge subtraction makes this strictly smaller). A "sketch
+    //    still full" test is NOT a witness — eviction and partial-merge
+    //    subtraction routinely shrink the sketch below capacity.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val w = Window.orderBy(lit(1))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val minf = min(col("freq")).over(w)
     val nOut = count(lit(1)).over(w)
     val thresholdMiss =
-      (nOut === topN && minf * (capacity + 1) <= nTotal) ||
-        (nOut < topN && lit(sketchFull))
-    exact.select(
+      (nOut === topN &&
+        minf.cast(dec) * lit(capacity + 1).cast(dec) <=
+          lit(nTotal).cast(dec)) ||
+        (nOut < topN && coalesce(col("cand_sum"), lit(0L)) =!= nTotal)
+    exact.crossJoin(broadcast(candTotal)).select(
       col("token"),
       when(thresholdMiss, raise_error(concat(
           lit(s"heavyHitters: top-$topN not certifiable at capacity=" +
@@ -203,11 +234,15 @@ object Corpus {
     val tok = df.select(
       explode(graft.expressions.GraftExpressions.wordNGrams(
         TextAnalysis.normalizeText(col(textCol)), ngram)).as("token"))
+    // explode_OUTER: a sketch whose counters were fully evicted (or an
+    // empty slice) still emits one (NULL token) row so its n_part is
+    // never lost — dropping it would shrink the merge's total N and
+    // falsify the presence guarantee the bound is computed against
     tok.agg(
         graft.expressions.GraftExpressions
           .misraGries(col("token"), capacity).as("sk"),
         count(lit(1)).as("n_part"))
-      .select(explode(col("sk")).as("e"), col("n_part"))
+      .select(explode_outer(col("sk")).as("e"), col("n_part"))
       .select(col("e.item").as("token"), col("e.count_lb").as("count_lb"),
         col("n_part"))
   }
@@ -234,7 +269,10 @@ object Corpus {
   def mergeHeavyHitterSketches(sketches: DataFrame, capacity: Int,
                                sketchIdCol: String = "sketch_id"): DataFrame = {
     require(capacity >= 1, s"capacity=$capacity must be positive")
-    val summed = sketches.groupBy("token")
+    // NULL-token rows are the empty-sketch placeholders: they carry
+    // n_part into the totals below but are not counters
+    val summed = sketches.filter(col("token").isNotNull)
+      .groupBy("token")
       .agg(sum(col("count_lb")).as("count_lb"))
     // N = Σ n_part over DISTINCT sketches (n_part is constant per sketch)
     val totals = sketches.groupBy(col(sketchIdCol))

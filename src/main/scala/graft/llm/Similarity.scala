@@ -710,7 +710,14 @@ object Similarity {
                        seed: String = "rp"): DataFrame = {
     require(outDim > 0 && inDim > 0, s"bad dims $inDim -> $outDim")
     val signs = projectionSigns(seed, outDim, inDim)
-    val v = asDouble(col(vecCol))
+    // length guard: zip_with silently null-pads a mismatched vector and
+    // the fold would emit NULL components (worse: an oracle's list_sum
+    // SKIPS nulls and returns a partial sum) — fail loudly instead
+    val raw = asDouble(col(vecCol))
+    val v = when(size(raw) === inDim, raw)
+      .otherwise(raise_error(concat(
+        lit(s"randomProjection: expected $inDim-dim vector, got "),
+        size(raw).cast("string"))).cast("array<double>"))
     val scale = math.sqrt(outDim.toDouble)
     val comps = signs.map { row =>
       aggregate(

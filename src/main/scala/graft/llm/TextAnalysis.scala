@@ -257,7 +257,9 @@ object TextAnalysis {
   def scriptProfile(text: Column): Column = {
     val latin = charClassCount(text, "[A-Za-z]")
     val digit = charClassCount(text, "[0-9]")
-    val space = charClassCount(text, "\\s")
+    // explicit class, not \s: Java's \s includes vertical tab U+000B,
+    // RE2's does not — the explicit list is identical in both engines
+    val space = charClassCount(text, "[ \\t\\n\\u000B\\f\\r]")
     val han = charClassCount(text, "\\p{IsHan}")
     val ascii = charClassCount(text, "[\\x00-\\x7f]")
     val otherNonAscii = length(text) - ascii - han

@@ -541,6 +541,33 @@ class CorpusSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
     assert(msgs(e).exists(m => m != null && m.contains("raise capacity")),
       s"wrong error: ${e.getMessage}")
+    // SHORT-result soundness: an eviction-shrunk sketch returning fewer
+    // than topN rows must NOT be certified just because the final sketch
+    // sits below capacity — the witness is the candidates' exact counts
+    // summing to N. One doc, one partition → deterministic MG arrival:
+    // "a a b c" at capacity 2 ends with sketch {a:1} (c's arrival
+    // decrements a and evicts b), so cand_sum = freq(a) = 2 ≠ N = 4.
+    val short = intercept[Exception] {
+      Corpus.heavyHitters(Seq("a a b c").toDF("text"), "text",
+        topN = 2, capacity = 2).collect()
+    }
+    assert(msgs(short).exists(m => m != null && m.contains("raise capacity")),
+      s"short result not refused: ${short.getMessage}")
+    // full wipe-out: 13 distinct tokens at capacity 12 — the 13th
+    // arrival evicts every counter; zero candidates over a non-empty
+    // corpus must refuse eagerly (an empty result has no row to carry
+    // an in-plan raise_error)
+    val wiped = intercept[IllegalArgumentException] {
+      Corpus.heavyHitters(
+        Seq((1 to 13).map("t" + _).mkString(" ")).toDF("text"), "text",
+        topN = 12, capacity = 12)
+    }
+    assert(wiped.getMessage.contains("raise capacity"), wiped.getMessage)
+    // empty corpus: typed empty frame, no raise
+    val empty = Corpus.heavyHitters(docs.filter(lit(false)), "text",
+      topN = 5, capacity = 16)
+    assert(empty.schema.fieldNames.toSeq == Seq("token", "freq"))
+    assert(empty.count() == 0)
   }
 
   test("heavyHittersSketch + relational merge keep the MG guarantee " +
@@ -580,6 +607,17 @@ class CorpusSpec extends SparkSpec {
     val direct = tagged.head.select($"token", $"count_lb", $"n_part")
       .as[(String, Long, Long)].collect().toSet
     assert(one == direct)
+    // an EMPTY slice's sketch still carries its n_part (explode_outer
+    // placeholder row) and merging it in changes nothing but the total
+    val emptySketch = Corpus
+      .heavyHittersSketch(docs.filter(lit(false)), "text", capacity = cap)
+      .withColumn("sketch_id", lit(99))
+    assert(emptySketch.count() == 1, "placeholder row expected")
+    val withEmpty = Corpus.mergeHeavyHitterSketches(
+        (tagged :+ emptySketch).reduce(_ unionByName _), cap)
+      .as[(String, Long, Long)].collect()
+    assert(withEmpty.map(r => r._1 -> r._2).toMap == got)
+    assert(withEmpty.forall(_._3 == n))
   }
 
   test("corpusDrift: matches a plain-Scala reference on real data") {

@@ -402,6 +402,16 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("misraGries: non-atomic item types are refused at analysis") {
+    // struct rows compare by reference and arrays mix Generic/Unsafe
+    // representations — as hash-map keys either silently corrupts counts
+    val df = Seq(("a", 1)).toDF("s", "i")
+    val e = intercept[Exception] {
+      df.agg(GraftExpressions.misraGries(struct($"s", $"i"), 8)).collect()
+    }
+    assert(e.getMessage.contains("not atomic"), e.getMessage)
+  }
+
   test("misraGries: small-vocab sketch is exact; output sorted " +
       "(count desc, item); nulls skipped") {
     val df = Seq(Some("b"), Some("a"), Some("b"), None, Some("c"),

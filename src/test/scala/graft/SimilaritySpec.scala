@@ -431,6 +431,16 @@ class SimilaritySpec extends SparkSpec {
       inDim = 64, outDim = 16).as[(Long, Int, Double)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
     assert(again == out)
+    // a mismatched vector length refuses loudly (zip_with would
+    // silently null-pad, and an oracle's list_sum would skip the nulls)
+    val bad = Seq((1L, Seq.fill(63)(0.5))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.randomProjection(bad, inDim = 64, outDim = 4).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("64-dim")),
+      s"wrong error: ${e.getMessage}")
   }
 
   test("randomProjection approximately preserves pairwise distance " +

@@ -317,7 +317,10 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "привет"), // привет — Cyrillic
       (4L, "1234 !?"),
       (5L, "mixed 中文 words here"), // latin-dominant + 2 Han
-      (6L, "")).toDF("doc_id", "text")
+      (6L, ""),
+      // vertical tab between a and b: in the explicit space class
+      // (Java \s and RE2 \s disagree on it — see scriptProfile)
+      (7L, "a\u000Bb")).toDF("doc_id", "text")
     val out = docs.select($"doc_id",
         TextAnalysis.scriptProfile($"text").as("p"))
       .select($"doc_id", $"p.n_latin", $"p.n_digit", $"p.n_space",
@@ -330,6 +333,7 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == ((0, 4, 1, 0, 0, "none")))
     assert(out(5L) == ((14, 0, 3, 2, 0, "latin")))
     assert(out(6L) == ((0, 0, 0, 0, 0, "none")))
+    assert(out(7L) == ((2, 0, 1, 0, 0, "latin")))
     // pure scan-side projection
     val plan = docs.select(TextAnalysis.scriptProfile($"text"))
       .queryExecution.executedPlan.toString
