@@ -44,12 +44,13 @@ object SparkEntry {
   /** Drain an AvailableNow stream through a uniquely-named memory sink
     * and return the collected table — the oracle-gate harness for
     * streaming queries (production streams write files/Kafka). */
-  private def drainStream(df: DataFrame, prefix: String): DataFrame = {
+  private def drainStream(df: DataFrame, prefix: String,
+                          complete: Boolean = false): DataFrame = {
     val qn = prefix + "_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream.format("memory").queryName(qn)
+    val writer = df.writeStream.format("memory").queryName(qn)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val q = (if (complete) writer.outputMode("complete") else writer).start()
     q.awaitTermination()
     df.sparkSession.table(qn)
   }
@@ -1121,6 +1122,18 @@ object SparkEntry {
       // matters most vs a full-domain groupBy
       graft.llm.Corpus.heavyHitters(t(s, dir, "documents"), "text",
         topN = 10, capacity = 4096, ngram = 2)),
+
+    "vocab_sketch_stream" -> ((s, dir) => {
+      // the STREAMING sketch producer under the oracle gate: the same
+      // bounded MG aggregate runs as a complete-mode streaming
+      // aggregation (sketch state lives in the state store, updated per
+      // trigger), drained AvailableNow; exact regime here, so the hash
+      // gate checks real counts
+      val schema = t(s, dir, "documents").schema
+      val sk = graft.llm.Corpus.heavyHittersSketch(
+        streamDocs(s, dir, schema), "text", capacity = 2048)
+      drainStream(sk, "graft_sketch_stream", complete = true)
+    }),
 
     "vocab_sketch_merge" -> ((s, dir) => {
       // incremental corpus stats: per-split sketches merged with the
@@ -2300,6 +2313,17 @@ object SparkEntry {
         |    AS token FROM tk)
         |SELECT token, count(*) AS freq FROM bg
         |GROUP BY token ORDER BY freq DESC, token LIMIT 10""".stripMargin,
+
+    // streaming sketch, exact regime: the complete-mode aggregate over
+    // the full backlog equals the batch sketch equals the exact counts
+    "vocab_sketch_stream" ->
+      """WITH norm AS (SELECT trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM documents),
+        |tok AS (SELECT unnest(string_split(t, ' ')) AS token FROM norm),
+        |tk AS (SELECT token FROM tok WHERE length(token) > 0),
+        |tot AS (SELECT count(*) AS n FROM tk)
+        |SELECT token, count(*) AS count_lb, tot.n AS n_part
+        |FROM tk, tot GROUP BY token, tot.n""".stripMargin,
 
     // the merge's exact regime (capacity ≥ vocabulary): merged counters
     // ARE the exact corpus counts and n_part is the exact token total

@@ -543,6 +543,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming MG sketch (complete mode) equals the batch sketch") {
+    // the bounded TypedImperativeAggregate runs as a streaming
+    // aggregation: sketch state lives in the state store and the
+    // complete-mode output over the drained backlog must equal the
+    // one-shot batch sketch bit-for-bit
+    val dir = java.nio.file.Files.createTempDirectory("graft-sk").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$dir/docs"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/docs/part-0.parquet"))
+    val schema = Tables.load(spark, sf0, "documents").schema
+    val stream = graft.llm.Corpus.heavyHittersSketch(
+      spark.readStream.schema(schema).parquet(s"$dir/docs"),
+      "text", capacity = 512)
+    val got = Streaming.runAvailableNow(stream, "sk_stream_test",
+      s"$dir/ckpt")
+    val want = graft.llm.Corpus.heavyHittersSketch(
+      Tables.load(spark, sf0, "documents"), "text", capacity = 512)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("session_window agrees with the batch sessionization kernel") {
     val ev = Tables.load(spark, sf0, "events")
     // batch session_window (same logical op the streaming variant runs)
