@@ -914,6 +914,22 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"), TA.langId(col("text")).as("lang_pred"))),
 
+    "text_bm25_topk" -> ((s, dir) => {
+      // sparse lexical retrieval: a FIXED 20-query set (every 25th doc
+      // under id 500 — the whole sf0.001 id range, the vec_id<100
+      // convention) against the growing corpus; the first 6 normalized
+      // tokens stand in for a query log. Candidates come from the
+      // inverted postings join, never a query × corpus cross product —
+      // though on THIS corpus (31-token vocabulary, df ≈ 0.77·N) every
+      // query matches most docs, the stop-term worst case by design.
+      val docs = t(s, dir, "documents")
+      val q = docs.filter(col("doc_id") % 25 === 0 && col("doc_id") < 500)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(TA.normalizeText(col("text")), " "),
+            1, 6), " ").as("query_text"))
+      graft.llm.Retrieval.bm25TopK(docs, q, k = 5)
+    }),
+
     "text_script_profile" -> ((s, dir) =>
       // character-class / writing-system profile: codegen'd counting
       // classes inside the scan, zero shuffle
@@ -1041,6 +1057,24 @@ object SparkEntry {
       // plan literals (zero per-row hashing), pure scan-side projection
       Similarity.randomProjection(t(s, dir, "embeddings"),
         inDim = 64, outDim = 16)),
+
+    "emb_scalar_quant" -> ((s, dir) => {
+      // int8 affine quantization (4× embedding compression): codes AND
+      // reconstructions under the gate, per-dim rows — zero shuffle.
+      // code+recon are zipped INSIDE the generator: CollapseProject
+      // inlines outer-projection expressions through the Generate, so a
+      // post-explode recon would re-run array_min/max once per ELEMENT
+      // (measured 0.26 s → 3.9 s at sf0.1); the generator runs once per
+      // vector and the outer select only extracts struct fields
+      val sq = Similarity.scalarQuantize(t(s, dir, "embeddings"))
+      sq.select(col("vec_id"),
+          posexplode(zip_with(col("codes"),
+            Similarity.dequantize(col("codes"), col("lo"), col("scale")),
+            (c, r) => struct(c.as("code"), r.as("recon"))))
+            .as(Seq("dim", "cr")))
+        .select(col("vec_id"), col("dim"),
+          col("cr.code").cast("int").as("code"), col("cr.recon"))
+    }),
 
     "emb_hard_negatives" -> ((s, dir) => {
       // contrastive-training negative mining: top-5 nearest OTHER-label
@@ -2162,6 +2196,23 @@ object SparkEntry {
         |    for j in range(1, 65)]) / sqrt(16.0) AS value
         |FROM e, ks""".stripMargin,
 
+    // affine int8 quantization: pure IEEE subtract/divide/round — codes
+    // and reconstructions are bit-exact cross-engine (n.5 round
+    // boundaries are dyadic-exact doubles, so HALF_UP == half-away)
+    "emb_scalar_quant" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |st AS (SELECT vec_id, v, list_min(v) AS lo,
+        |       (list_max(v) - list_min(v)) / 255.0 AS scale FROM e),
+        |c AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim, lo, scale,
+        |      CASE WHEN scale = 0 THEN -128
+        |           ELSE least(255, greatest(0,
+        |             CAST(round((v[i] - lo) / scale) AS INTEGER))) - 128
+        |      END AS code
+        |      FROM st, (SELECT unnest(range(1, 65)) AS i))
+        |SELECT vec_id, dim, CAST(code AS INTEGER) AS code,
+        |       lo + (CAST(code + 128 AS DOUBLE) * scale) AS recon
+        |FROM c""".stripMargin,
+
     // neighbor ranking in the ann_cosine_topk convention; the vote winner
     // is elected by the same (votes DESC, label ASC) total order
     "emb_knn_vote" ->
@@ -2900,6 +2951,47 @@ object SparkEntry {
         |       ELSE round(CAST(chars - dchars AS DOUBLE) / chars, 6)
         |  END AS dup_char_frac
         |FROM s""".stripMargin,
+
+    // BM25 (Lucene variant): every product/quotient is parenthesized as
+    // the engine groups it, the per-pair sum is a token-ordered list_sum
+    // matching the engine's sorted left fold, and the score is rounded
+    // to 10 dp BEFORE ranking on both sides (ln is an ulp apart between
+    // libm and either JVM log — see Retrieval scaladoc). The k1+1 term
+    // needs CAST(1.2 AS DOUBLE): DuckDB literals are DECIMAL, so
+    // (1.2 + 1.0) would be the EXACT decimal 2.2 while the JVM adds
+    // doubles (2.1999999999999997) — an ulp apart after the multiply.
+    // The other literals (0.5, 0.75, 1.0) are dyadic-exact in both.
+    "text_bm25_topk" ->
+      """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM norm),
+        |tk AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |dfq AS (SELECT token, count(*) AS docfreq FROM tf GROUP BY 1),
+        |st AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |tot AS (SELECT coalesce(sum(dl), 0) AS toklen FROM dl),
+        |qs AS (SELECT doc_id AS query_id,
+        |       array_to_string(list_slice(string_split(t, ' '), 1, 6), ' ') AS qt
+        |       FROM norm WHERE doc_id % 25 = 0 AND doc_id < 500),
+        |qtm AS (SELECT DISTINCT query_id, token FROM
+        |       (SELECT query_id, unnest(string_split(qt, ' ')) AS token FROM qs)
+        |       WHERE length(token) > 0),
+        |w AS (SELECT q.query_id, f.doc_id, f.token,
+        |      ln((st.n - d.docfreq + 0.5) / (d.docfreq + 0.5) + 1.0) *
+        |      ((f.tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
+        |       (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl /
+        |          (CAST(tot.toklen AS DOUBLE) / st.n)))) AS w
+        |      FROM qtm q JOIN dfq d USING (token) JOIN tf f USING (token)
+        |      JOIN dl l ON f.doc_id = l.doc_id, st, tot),
+        |sc AS (SELECT query_id, doc_id,
+        |       round(list_sum(list(w ORDER BY token)), 10) AS score
+        |       FROM w GROUP BY 1, 2),
+        |rk AS (SELECT query_id, doc_id, score,
+        |       row_number() OVER (PARTITION BY query_id
+        |                          ORDER BY score DESC, doc_id) AS rank FROM sc)
+        |SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank, score
+        |FROM rk WHERE rank <= 5""".stripMargin,
 
     "text_langid" ->
       """WITH w AS (SELECT doc_id,

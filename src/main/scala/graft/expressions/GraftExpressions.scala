@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, CollectionGenerator, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, CollectionGenerator, Expression, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -695,6 +695,65 @@ object GraftExpressions {
     override def prettyName: String = "graft_nearest_centroid"
   }
 
+  /** Per-vector affine int8 quantization (compiled single pass — the
+    * built-in `transform`/`array_min` formulation interprets its lambda
+    * per element and re-evaluates through projection collapse; measured
+    * ~15× slower at sf0.1). See [[Kernels.scalarQuantize]] for the
+    * rounding contract. Null vector → null struct (null-propagating);
+    * empty vector → (null, null, empty codes). */
+  case class ScalarQuantizeVec(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("lo", DoubleType, nullable = true),
+      StructField("scale", DoubleType, nullable = true),
+      StructField("codes", ArrayType(ByteType, containsNull = false),
+        nullable = false)))
+    override def nullSafeEval(input: Any): Any =
+      Kernels.scalarQuantize(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.scalarQuantize($c)")
+    override protected def withNewChildInternal(c: Expression): ScalarQuantizeVec =
+      copy(c)
+    override def prettyName: String = "graft_scalar_quantize"
+  }
+
+  /** Dequantize a [[ScalarQuantizeVec]] code array: `lo + (code+128)·scale`
+    * per element, compiled. */
+  case class DequantizeVec(first: Expression, second: Expression,
+                           third: Expression) extends TernaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(codes: Any, lo: Any, scale: Any): Any =
+      Kernels.dequantize(codes.asInstanceOf[ArrayData],
+        lo.asInstanceOf[Double], scale.asInstanceOf[Double])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (c, l, s) => s"$K.dequantize($c, $l, $s)")
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): DequantizeVec =
+      copy(f, s, t)
+    override def prettyName: String = "graft_dequantize"
+  }
+
+  /** Natural log through the platform-intrinsic `java.lang.Math.log` in
+    * BOTH interpreted and codegen paths. Spark's built-in `log` emits
+    * fdlibm `StrictMath.log` under whole-stage codegen — the slow,
+    * portable path; the JIT intrinsic is measurably faster and at least
+    * as accurate. NOTE on reproducibility: `Math.log`, `StrictMath.log`
+    * and glibc/DuckDB `ln` disagree PAIRWISE by one ulp on different
+    * inputs (measured on the BM25 idf domain: df=373 splits Strict from
+    * the other two, df=398 splits Math from the other two), so no choice
+    * here is bit-portable across engines — [[graft.llm.Retrieval]]
+    * quantizes downstream scores instead. Null-propagating, like the
+    * built-in. */
+  case class PlatformLog(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Double.valueOf(java.lang.Math.log(input.asInstanceOf[Double]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"java.lang.Math.log($c)")
+    override protected def withNewChildInternal(c: Expression): PlatformLog =
+      copy(c)
+    override def prettyName: String = "graft_platform_ln"
+  }
+
   // ------------------------------------------------------- Column surface
   private def expr(c: Column): Expression =
     org.apache.spark.sql.graft.ColumnShim.expression(c)
@@ -702,6 +761,12 @@ object GraftExpressions {
     org.apache.spark.sql.graft.ColumnShim.column(e)
 
   def simhash64(shingles: Column): Column = toCol(SimHash64(expr(shingles)))
+  def platformLn(x: Column): Column =
+    toCol(PlatformLog(expr(x.cast("double"))))
+  def scalarQuantizeVec(v: Column): Column =
+    toCol(ScalarQuantizeVec(expr(v)))
+  def dequantizeVec(codes: Column, lo: Column, scale: Column): Column =
+    toCol(DequantizeVec(expr(codes), expr(lo), expr(scale)))
   def minhashSignature(shingles: Column, k: Int): Column =
     toCol(MinHashSignature(expr(shingles), k))
   def cosineSimilarity(a: Column, b: Column): Column =

@@ -419,4 +419,61 @@ object Kernels {
     }
     new GenericArrayData(out)
   }
+
+  /** [[GraftExpressions.ScalarQuantizeVec]] body: per-vector affine int8
+    * quantization → `struct<lo, scale, codes array<tinyint>>`. Rounding
+    * is exact half-away-from-zero on the true double quotient:
+    * `frac = q − floor(q)` is an EXACT subtraction (both operands within
+    * a factor of two), so the `.5` comparison carries no
+    * addition-rounding hazard — bit-agrees with C `round` (the DuckDB
+    * oracle) everywhere, including the dyadic n.5 boundaries where Java
+    * `Math.round`'s `floor(q + 0.5)` can round the wrong way. */
+  def scalarQuantize(v: ArrayData): InternalRow = {
+    val n = v.numElements()
+    if (n == 0)
+      return InternalRow(null, null,
+        new GenericArrayData(Array.empty[Any]))
+    var lo = Double.PositiveInfinity
+    var hi = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val x = v.getDouble(i)
+      if (x < lo) lo = x
+      if (x > hi) hi = x
+      i += 1
+    }
+    val scale = (hi - lo) / 255.0
+    val codes = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      if (scale == 0.0) codes(i) = -128
+      else {
+        val q = (v.getDouble(i) - lo) / scale
+        val f = Math.floor(q)
+        var r = f.toLong
+        if (q - f >= 0.5) r += 1
+        if (r < 0L) r = 0L
+        if (r > 255L) r = 255L
+        codes(i) = (r - 128L).toByte
+      }
+      i += 1
+    }
+    InternalRow(lo, scale,
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(codes))
+  }
+
+  /** [[GraftExpressions.DequantizeVec]] body: `lo + (code + 128)·scale`
+    * per element. */
+  def dequantize(codes: ArrayData, lo: Double, scale: Double): ArrayData = {
+    val n = codes.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = lo + (codes.getByte(i).toInt + 128).toDouble * scale
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
 }

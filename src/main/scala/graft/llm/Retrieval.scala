@@ -1,0 +1,163 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval over a document corpus: BM25 top-k via an
+  * inverted-index postings join.
+  *
+  * The LLM-pipeline use cases are eval-set retrieval baselines, RAG
+  * candidate generation, and lexical hard-negative mining (the sparse
+  * sibling of [[Similarity.hardNegatives]]). The shape is the classic
+  * sparse-retrieval plan: tokenize once, build (doc, token, tf) postings,
+  * join the (small) query-term set against the postings ON TOKEN — the
+  * candidate set per query is the union of its terms' postings lists,
+  * never a query × corpus cross product.
+  *
+  * Cross-engine float discipline: products/quotients are grouped
+  * identically on both sides and the per-(query,doc) term-weight sum is
+  * a token-ordered left fold ([[Similarity.randomProjection]]'s
+  * `list_sum` discipline), so float addition order is pinned. The one
+  * op that CANNOT be pinned bitwise is `ln`: the JVM intrinsic
+  * `Math.log`, fdlibm `StrictMath.log` (what Spark's built-in `log`
+  * emits under codegen), and glibc/DuckDB `ln` disagree pairwise by one
+  * ulp on different parts of the idf domain (measured: df=373 splits
+  * Strict from the other two, df=398 splits Math from the other two).
+  * So scores are QUANTIZED to 10 decimal places before ranking, on both
+  * engines: ulp-level score noise collapses to exact ties, the doc_id
+  * tie-break makes the ranking total-ordered, and ordering differences
+  * below 1e-10 — far under any semantic meaning of a BM25 score — are
+  * the only behavior traded away. Same idiom as the line-stats oracle's
+  * round(x, 6).
+  */
+object Retrieval {
+
+  /** BM25 top-k document retrieval.
+    *
+    * Scoring is the Lucene-variant BM25: per matched term
+    * `idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with
+    * `idf = ln((N − df + 0.5)/(df + 0.5) + 1)`, summed over the query's
+    * DISTINCT terms (the common k3→∞ simplification: query-side term
+    * frequency is ignored). `N` counts all docs (empty ones included) and
+    * `avgdl` averages over all N, so empty documents influence the length
+    * normalization exactly as in Lucene.
+    *
+    * Plan shape, built for the 100 TB corpus / small query-set case:
+    *   - ONE tokenizing scan of the corpus feeds tf, docfreq and doc
+    *     length; docfreq's `count(when(tf > 0, …))` keeps its subtree
+    *     canonically identical to the join branch so AQE stage reuse
+    *     computes the (doc, token) exchange once (the
+    *     [[Corpus.tfidfKeywords]] discipline); doc length re-aggregates
+    *     the tiny post-agg tf frame, not the raw corpus.
+    *   - Query terms join docfreq first (tiny × token-partitioned), then
+    *     expand against the postings on token. Skew lives where it does
+    *     in every inverted index: stop-term postings lists.
+    *     `maxDfRatio` < 1 drops query terms whose docfreq exceeds
+    *     N·ratio — the standard stop-term prune; it changes scores (the
+    *     dropped term contributes nothing), so the default 1.0 is exact
+    *     BM25 and the prune is an explicit caller opt-in.
+    *   - Doc length rides the postings (the Lucene norms-in-the-index
+    *     shape): tf⋈dl joins corpus-sized frames that share one
+    *     aggregate subtree, so the candidate set — queries × postings,
+    *     the big intermediate — is shuffled exactly once (on token) and
+    *     aggregated once, never re-shuffled for norms. dl is NOT
+    *     broadcast: one row per doc is corpus-sized at corpus scale.
+    *   - Final top-k is a row_number window with the deterministic
+    *     (score desc, doc_id) order, map-side rank-pruned
+    *     (WindowGroupLimit, plan-guarded in PlanShapeSpec).
+    *
+    * Output: (query_id, doc_id, rank, score), rank 1..k per query.
+    * Queries with no indexed terms produce no rows.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text",
+               queryIdCol: String = "query_id",
+               queryTextCol: String = "query_text",
+               maxDfRatio: Double = 1.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(maxDfRatio > 0.0 && maxDfRatio <= 1.0,
+      s"maxDfRatio must be in (0, 1], got $maxDfRatio")
+
+    // the isNotNull declaration is load-bearing: the doc-length join
+    // pushes isnotnull(doc_id) into ITS branch's scan, and without the
+    // same filter on the tf branch the two subtrees stop canonicalizing
+    // together — a whole second tokenize scan (the unigramSurprisal
+    // discipline). Semantics: null-id docs don't exist for the index,
+    // consistent with countDistinct(id) already ignoring nulls for N.
+    val base = docs.filter(col(idCol).isNotNull)
+    val toks = base.select(col(idCol).as("doc_id"),
+        explode(split(TextAnalysis.normalizeText(col(textCol)), " "))
+          .as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // docfreq: the conditional count pins the tf column so this subtree
+    // stays canonically equal to the join branch (ReusedExchange; see
+    // tfidfKeywords scaladoc for why count(1)/count(tf) would break it)
+    val dfreq = tf.groupBy("token")
+      .agg(count(when(col("tf") > 0, lit(1))).as("docfreq"))
+    // doc length from the post-agg tf frame (|docs|·|vocab∩doc| rows,
+    // already exchanged) — not a second corpus tokenize
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // N over ALL docs (empty included) + total token count → avgdl;
+    // two scalar rows, broadcast. The id-only scan is genuinely narrow.
+    val ndocs = base.agg(countDistinct(col(idCol)).as("n"))
+    val toklen = dl.agg(coalesce(sum("dl"), lit(0L)).as("toklen"))
+    val stats = ndocs.crossJoin(toklen)
+
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+        explode(split(TextAnalysis.normalizeText(col(queryTextCol)), " "))
+          .as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+
+    // idf per query term (query set × token-partitioned docfreq), with
+    // the optional stop-term prune BEFORE postings expansion
+    val qidf = qterms.join(dfreq, "token")
+      .crossJoin(broadcast(stats))
+      .filter(col("docfreq") <= col("n") * lit(maxDfRatio))
+      .select(col("query_id"), col("token"),
+        // platformLn, not functions.log: Spark's log codegen is
+        // StrictMath (fdlibm), an ulp off libm/DuckDB ln on this domain
+        graft.expressions.GraftExpressions.platformLn(
+          (col("n") - col("docfreq") + lit(0.5)) /
+            (col("docfreq") + lit(0.5)) + lit(1.0)).as("idf"),
+        // avgdl as a scalar double, grouped exactly as the oracle spells
+        // it: CAST(toklen AS DOUBLE) / n
+        (col("toklen").cast("double") / col("n")).as("avgdl"))
+
+    // attach the doc length to the postings BEFORE the query expansion
+    // (the Lucene norms-in-the-index shape): the tf⋈dl join is
+    // corpus-sized and both sides derive from the same tf aggregate
+    // (ReusedExchange), where joining dl AFTER the expansion would
+    // re-shuffle the candidate set — queries × postings rows — a second
+    // time. Measured 11.1 → 7.8 s on the degenerate 31-token corpus.
+    // The per-term weight is grouped (idf * (num/den)) — the oracle
+    // parenthesizes identically.
+    val postings = tf.join(dl, "doc_id")
+    val num = col("tf") * (lit(k1) + lit(1.0))
+    val den = col("tf") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))
+    val weighted = qidf.join(postings, "token")
+      .select(col("query_id"), col("doc_id"), col("token"),
+        (col("idf") * (num / den)).as("w"))
+
+    // deterministic cross-row sum: token-ordered left fold (tokens are
+    // unique per (query, doc) — tf is already grouped — so the struct
+    // sort is a total order); then the 1e-10 quantization that makes
+    // the score engine-portable despite the ln ulp spread (scaladoc)
+    val summed = weighted.groupBy("query_id", "doc_id")
+      .agg(sort_array(collect_list(struct(col("token"), col("w"))))
+        .as("tw"))
+      .select(col("query_id"), col("doc_id"),
+        round(aggregate(col("tw"), lit(0.0),
+          (acc, x) => acc + x.getField("w")), 10).as("score"))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    summed.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
+  }
+}

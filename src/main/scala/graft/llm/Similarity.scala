@@ -728,6 +728,41 @@ object Similarity {
         .as(Seq("k", "value")))
   }
 
+  /** Per-vector affine int8 quantization — 4× embedding compression for
+    * billion-vector stores (the float32→int8 step every production ANN
+    * index applies before PQ even enters the picture).
+    *
+    * Each vector is quantized independently: `lo = min(v)`,
+    * `scale = (max(v) − lo)/255`, `code_i = round((v_i − lo)/scale) − 128`
+    * (shifted into signed tinyint range; the +128 zero-point comes back
+    * at dequantize time). A constant vector (scale = 0) maps every
+    * element to code −128 and dequantizes exactly to `lo`. Null vectors
+    * propagate null. Reconstruction is `lo + (code + 128)·scale`, max
+    * error scale/2 per element.
+    *
+    * Zero shuffle — a pure scan-side projection through the compiled
+    * [[graft.expressions.GraftExpressions.ScalarQuantizeVec]] kernel
+    * (the built-in `transform`/`array_min` formulation interprets its
+    * lambda per element — measured ~15× slower). Every op is
+    * engine-portable IEEE arithmetic (subtract / divide / exact
+    * half-away rounding), so codes AND reconstructions are
+    * bit-identical in the DuckDB oracle — no transcendentals anywhere,
+    * unlike the BM25 ln saga ([[Retrieval]]).
+    *
+    * Output: (id, lo, scale, codes array<tinyint>). */
+  def scalarQuantize(df: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = graft.expressions.GraftExpressions
+      .scalarQuantizeVec(asDouble(col(vecCol)))
+    df.select(col(idCol), q.getField("lo").as("lo"),
+      q.getField("scale").as("scale"), q.getField("codes").as("codes"))
+  }
+
+  /** Dequantized vector for a [[scalarQuantize]] row: per element
+    * `lo + (code + 128)·scale`, compiled single pass. */
+  def dequantize(codes: Column, lo: Column, scale: Column): Column =
+    graft.expressions.GraftExpressions.dequantizeVec(codes, lo, scale)
+
   def hyperplaneSignature(vec: Column, nPlanes: Int = 16, table: Int = 0): Column = {
     val planes = (0 until nPlanes).map { p =>
       val proj = aggregate(

@@ -58,7 +58,12 @@ object ExplainAudit extends App {
       "emb_hard_negatives", "vocab_heavy_bigrams",
       // per-split sketch union + bounded merge (groupBy over ≤ s·cap
       // counter rows, rank window on the aggregated counter set only)
-      "vocab_sketch_merge"))
+      "vocab_sketch_merge",
+      // BM25: one tokenizing corpus scan (tf/docfreq share the exchange),
+      // query-term × postings join on token, map-side WindowGroupLimit
+      "text_bm25_topk",
+      // int8 affine quantization — must stay a zero-exchange projection
+      "emb_scalar_quant"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

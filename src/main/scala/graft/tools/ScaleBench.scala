@@ -91,7 +91,16 @@ object ScaleBench {
     "vocab_heavy_bigrams",
     // three sketch scans + a counter-set merge whose input is ≤ 3·cap
     // rows at ANY corpus size — the merge cost must stay flat
-    "vocab_sketch_merge")
+    "vocab_sketch_merge",
+    // BM25 postings join: candidates = Σ df over query terms. The query
+    // set (doc_id % 25) grows linearly with copies, but the per-copy
+    // translate rotation makes copy vocabularies disjoint, so each
+    // copy's queries probe only that copy's postings — per-query work
+    // stays flat; growth is the index-build stages (tokenize/tf/dfreq),
+    // so expect sublinear wall (the fixed-query-log retrieval shape)
+    "text_bm25_topk",
+    // scan-side int8 quantization: ~linear wall, zero exchange
+    "emb_scalar_quant")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

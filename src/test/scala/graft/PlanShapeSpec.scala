@@ -45,6 +45,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(finalScans(q("text_bigram_surprisal"), "documents") == 2)
   }
 
+  test("text_bm25_topk holds the 3-scan floor (tf/docfreq/doclen share one tokenize)") {
+    // floor = the entry's query-derivation scan + ONE tokenizing corpus
+    // scan (docfreq, doc-length and the postings branch all reuse its
+    // exchange — the source-side isNotNull declaration keeps the three
+    // subtrees canonically identical) + the narrow id-only N scan
+    assert(finalScans(q("text_bm25_topk"), "documents") == 3)
+  }
+
   test("tfidf_keywords holds the 2-scan floor (docfreq reuses the tf exchange)") {
     // one text-tokenizing scan (tf; docfreq reuses its exchange) plus
     // the id-only ndocs scan — the count(tf) column reference keeps the
@@ -188,7 +196,7 @@ class PlanShapeSpec extends SparkSpec {
     // with at least one map-side (Partial) WindowGroupLimit.
     val windowTopK = Seq("tfidf_keywords", "ann_cosine_topk",
       "ann_ivf_topk", "ann_pq_topk", "ann_ivf_pq_topk", "a6_keep_latest",
-      "emb_hard_negatives")
+      "emb_hard_negatives", "text_bm25_topk")
     windowTopK.foreach { name =>
       val df = q(name)
       df.queryExecution.toRdd.foreach(_ => ())

@@ -472,4 +472,53 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"projection shuffled:\n$plan")
   }
+
+  test("scalarQuantize: round-trip error ≤ scale/2, extremes hit the code range") {
+    import spark.implicits._
+    val emb = Tables.load(spark, sf0, "embeddings")
+    val sq = Similarity.scalarQuantize(emb)
+    val joined = sq.join(emb, "vec_id").select(col("vec_id"),
+        col("lo"), col("scale"), col("codes"),
+        col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Double, Double, Seq[Byte], Seq[Double])].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (id, lo, scale, codes, v) =>
+      assert(codes.length == v.length)
+      // per-element reconstruction bound: half a quantization step
+      codes.zip(v).foreach { case (c, x) =>
+        val recon = lo + (c.toInt + 128).toDouble * scale
+        assert(math.abs(recon - x) <= scale / 2 * (1 + 1e-9) + 1e-12,
+          s"vec $id: |$recon - $x| > ${scale / 2}")
+      }
+      // the min element is code -128, the max is 127 (0 / 255 unshifted)
+      assert(codes(v.indexOf(v.min)) == -128.toByte)
+      assert(codes(v.indexOf(v.max)) == 127.toByte)
+    }
+  }
+
+  test("scalarQuantize: constant vector → scale 0, all codes -128, exact recon") {
+    import spark.implicits._
+    val df = Seq((1L, Array.fill(8)(3.25f)), (2L, Array[Float]()))
+      .toDF("vec_id", "embedding")
+    val sq = Similarity.scalarQuantize(df)
+      .select(col("vec_id"), col("lo"), col("scale"),
+        Similarity.dequantize(col("codes"), col("lo"), col("scale"))
+          .as("recon"), col("codes"))
+      .as[(Long, Option[Double], Option[Double], Seq[Double], Seq[Byte])]
+      .collect().sortBy(_._1)
+    val (_, lo, scale, recon, codes) = sq(0)
+    assert(lo.contains(3.25) && scale.contains(0.0))
+    assert(codes.forall(_ == -128.toByte))
+    assert(recon.forall(_ == 3.25))
+    // empty vector: empty codes, null min/max, and recon null-propagates
+    // through the null lo/scale (standard ternary-expression semantics)
+    assert(sq(1)._5.isEmpty && sq(1)._2.isEmpty && sq(1)._4 == null)
+  }
+
+  test("scalarQuantize is a zero-exchange scan-side projection") {
+    val emb = Tables.load(spark, sf0, "embeddings")
+    val plan = Similarity.scalarQuantize(emb)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quantization shuffled:\n$plan")
+  }
 }
