@@ -930,6 +930,23 @@ object SparkEntry {
       graft.llm.Retrieval.bm25TopK(docs, q, k = 5)
     }),
 
+    "text_bm25_incremental" -> ((s, dir) => {
+      // the Against/serving form: the index is built from the BASE
+      // corpus only (doc_id % 500 < 400 — 4/5 of every id block, so the
+      // indexed corpus grows with the data), and TODAY'S batch (fixed
+      // copy-0 tail ids 400–495, every 5th) queries it — idf/avgdl come
+      // from the index stats, exactly the index-once-query-many contract
+      val docs = t(s, dir, "documents")
+      val idx = graft.llm.Retrieval.bm25Index(
+        docs.filter(col("doc_id") % 500 < 400))
+      val q = docs.filter(col("doc_id") >= 400 && col("doc_id") < 500 &&
+          col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(TA.normalizeText(col("text")), " "),
+            1, 6), " ").as("query_text"))
+      graft.llm.Retrieval.bm25TopKAgainst(idx, q, k = 5)
+    }),
+
     "text_script_profile" -> ((s, dir) =>
       // character-class / writing-system profile: codegen'd counting
       // classes inside the scan, zero shuffle
@@ -2974,6 +2991,42 @@ object SparkEntry {
         |qs AS (SELECT doc_id AS query_id,
         |       array_to_string(list_slice(string_split(t, ' '), 1, 6), ' ') AS qt
         |       FROM norm WHERE doc_id % 25 = 0 AND doc_id < 500),
+        |qtm AS (SELECT DISTINCT query_id, token FROM
+        |       (SELECT query_id, unnest(string_split(qt, ' ')) AS token FROM qs)
+        |       WHERE length(token) > 0),
+        |w AS (SELECT q.query_id, f.doc_id, f.token,
+        |      ln((st.n - d.docfreq + 0.5) / (d.docfreq + 0.5) + 1.0) *
+        |      ((f.tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
+        |       (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl /
+        |          (CAST(tot.toklen AS DOUBLE) / st.n)))) AS w
+        |      FROM qtm q JOIN dfq d USING (token) JOIN tf f USING (token)
+        |      JOIN dl l ON f.doc_id = l.doc_id, st, tot),
+        |sc AS (SELECT query_id, doc_id,
+        |       round(list_sum(list(w ORDER BY token)), 10) AS score
+        |       FROM w GROUP BY 1, 2),
+        |rk AS (SELECT query_id, doc_id, score,
+        |       row_number() OVER (PARTITION BY query_id
+        |                          ORDER BY score DESC, doc_id) AS rank FROM sc)
+        |SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank, score
+        |FROM rk WHERE rank <= 5""".stripMargin,
+
+    // the Against form: tf/dfq/dl/N/toklen all come from the BASE slice
+    // (doc_id % 500 < 400) while the query batch is the copy-0 tail —
+    // the engine's index-once-query-many contract, same float discipline
+    "text_bm25_incremental" ->
+      """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM documents),
+        |base AS (SELECT doc_id, t FROM norm WHERE doc_id % 500 < 400),
+        |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM base),
+        |tk AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |dfq AS (SELECT token, count(*) AS docfreq FROM tf GROUP BY 1),
+        |st AS (SELECT count(DISTINCT doc_id) AS n FROM base),
+        |tot AS (SELECT coalesce(sum(dl), 0) AS toklen FROM dl),
+        |qs AS (SELECT doc_id AS query_id,
+        |       array_to_string(list_slice(string_split(t, ' '), 1, 6), ' ') AS qt
+        |       FROM norm WHERE doc_id >= 400 AND doc_id < 500 AND doc_id % 5 = 0),
         |qtm AS (SELECT DISTINCT query_id, token FROM
         |       (SELECT query_id, unnest(string_split(qt, ' ')) AS token FROM qs)
         |       WHERE length(token) > 0),

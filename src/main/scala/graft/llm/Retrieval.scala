@@ -33,59 +33,35 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** BM25 top-k document retrieval.
+  /** A materialized BM25 index: the three frames [[bm25Index]] builds and
+    * [[bm25TopKAgainst]] queries. Each is a plain DataFrame so the index
+    * persists as parquet (postings bucketed by token is the 100 TB
+    * layout) and reloads for the index-once-query-many serving shape —
+    * the Against form of the family, like [[Dedup.exactAgainst]].
     *
-    * Scoring is the Lucene-variant BM25: per matched term
-    * `idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with
-    * `idf = ln((N − df + 0.5)/(df + 0.5) + 1)`, summed over the query's
-    * DISTINCT terms (the common k3→∞ simplification: query-side term
-    * frequency is ignored). `N` counts all docs (empty ones included) and
-    * `avgdl` averages over all N, so empty documents influence the length
-    * normalization exactly as in Lucene.
-    *
-    * Plan shape, built for the 100 TB corpus / small query-set case:
-    *   - ONE tokenizing scan of the corpus feeds tf, docfreq and doc
-    *     length; docfreq's `count(when(tf > 0, …))` keeps its subtree
-    *     canonically identical to the join branch so AQE stage reuse
-    *     computes the (doc, token) exchange once (the
-    *     [[Corpus.tfidfKeywords]] discipline); doc length re-aggregates
-    *     the tiny post-agg tf frame, not the raw corpus.
-    *   - Query terms join docfreq first (tiny × token-partitioned), then
-    *     expand against the postings on token. Skew lives where it does
-    *     in every inverted index: stop-term postings lists.
-    *     `maxDfRatio` < 1 drops query terms whose docfreq exceeds
-    *     N·ratio — the standard stop-term prune; it changes scores (the
-    *     dropped term contributes nothing), so the default 1.0 is exact
-    *     BM25 and the prune is an explicit caller opt-in.
-    *   - Doc length rides the postings (the Lucene norms-in-the-index
-    *     shape): tf⋈dl joins corpus-sized frames that share one
-    *     aggregate subtree, so the candidate set — queries × postings,
-    *     the big intermediate — is shuffled exactly once (on token) and
-    *     aggregated once, never re-shuffled for norms. dl is NOT
-    *     broadcast: one row per doc is corpus-sized at corpus scale.
-    *   - Final top-k is a row_number window with the deterministic
-    *     (score desc, doc_id) order, map-side rank-pruned
-    *     (WindowGroupLimit, plan-guarded in PlanShapeSpec).
-    *
-    * Output: (query_id, doc_id, rank, score), rank 1..k per query.
-    * Queries with no indexed terms produce no rows.
-    */
-  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
-               k1: Double = 1.2, b: Double = 0.75,
-               idCol: String = "doc_id", textCol: String = "text",
-               queryIdCol: String = "query_id",
-               queryTextCol: String = "query_text",
-               maxDfRatio: Double = 1.0): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    require(maxDfRatio > 0.0 && maxDfRatio <= 1.0,
-      s"maxDfRatio must be in (0, 1], got $maxDfRatio")
+    *   - `postings`: (doc_id, token, tf, dl) — doc length denormalized
+    *     onto the postings (the Lucene norms-in-the-index shape), so
+    *     serving needs exactly one join.
+    *   - `docFreq`:  (token, docfreq).
+    *   - `stats`:    one row (n, toklen). */
+  final case class Bm25Index(postings: DataFrame, docFreq: DataFrame,
+                             stats: DataFrame)
 
+  /** Build the [[Bm25Index]] frames from a corpus. Plan shape: ONE
+    * tokenizing scan feeds tf, docfreq and doc length (the docfreq
+    * `count(when(tf > 0, …))` and the source-side isNotNull keep the
+    * subtrees canonically identical → AQE ReusedExchange; see
+    * [[Corpus.tfidfKeywords]]); doc length re-aggregates the post-agg tf
+    * frame, never the raw corpus; `N`/`toklen` count ALL docs (empty
+    * included) so avgdl matches Lucene. Null-id docs don't exist for the
+    * index (consistent with countDistinct(id) ignoring nulls). */
+  def bm25Index(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): Bm25Index = {
     // the isNotNull declaration is load-bearing: the doc-length join
     // pushes isnotnull(doc_id) into ITS branch's scan, and without the
     // same filter on the tf branch the two subtrees stop canonicalizing
     // together — a whole second tokenize scan (the unigramSurprisal
-    // discipline). Semantics: null-id docs don't exist for the index,
-    // consistent with countDistinct(id) already ignoring nulls for N.
+    // discipline)
     val base = docs.filter(col(idCol).isNotNull)
     val toks = base.select(col(idCol).as("doc_id"),
         explode(split(TextAnalysis.normalizeText(col(textCol)), " "))
@@ -104,7 +80,24 @@ object Retrieval {
     // two scalar rows, broadcast. The id-only scan is genuinely narrow.
     val ndocs = base.agg(countDistinct(col(idCol)).as("n"))
     val toklen = dl.agg(coalesce(sum("dl"), lit(0L)).as("toklen"))
-    val stats = ndocs.crossJoin(toklen)
+    Bm25Index(tf.join(dl, "doc_id"), dfreq, ndocs.crossJoin(toklen))
+  }
+
+  /** BM25 top-k against a pre-built (possibly parquet-reloaded)
+    * [[Bm25Index]] — the serving path: query terms ⋈ docFreq (tiny ×
+    * token-partitioned, idf + optional stop-term prune BEFORE the
+    * expansion), then ⋈ postings on token (the one candidate-set
+    * shuffle), token-ordered fold, 1e-10 quantization, map-side
+    * rank-pruned top-k. Semantics and output exactly as [[bm25TopK]] —
+    * which IS this, over [[bm25Index]] of its docs argument. */
+  def bm25TopKAgainst(index: Bm25Index, queries: DataFrame, k: Int = 10,
+                      k1: Double = 1.2, b: Double = 0.75,
+                      queryIdCol: String = "query_id",
+                      queryTextCol: String = "query_text",
+                      maxDfRatio: Double = 1.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(maxDfRatio > 0.0 && maxDfRatio <= 1.0,
+      s"maxDfRatio must be in (0, 1], got $maxDfRatio")
 
     val qterms = queries.select(col(queryIdCol).as("query_id"),
         explode(split(TextAnalysis.normalizeText(col(queryTextCol)), " "))
@@ -114,8 +107,8 @@ object Retrieval {
 
     // idf per query term (query set × token-partitioned docfreq), with
     // the optional stop-term prune BEFORE postings expansion
-    val qidf = qterms.join(dfreq, "token")
-      .crossJoin(broadcast(stats))
+    val qidf = qterms.join(index.docFreq, "token")
+      .crossJoin(broadcast(index.stats))
       .filter(col("docfreq") <= col("n") * lit(maxDfRatio))
       .select(col("query_id"), col("token"),
         // platformLn, not functions.log: Spark's log codegen is
@@ -127,19 +120,12 @@ object Retrieval {
         // it: CAST(toklen AS DOUBLE) / n
         (col("toklen").cast("double") / col("n")).as("avgdl"))
 
-    // attach the doc length to the postings BEFORE the query expansion
-    // (the Lucene norms-in-the-index shape): the tf⋈dl join is
-    // corpus-sized and both sides derive from the same tf aggregate
-    // (ReusedExchange), where joining dl AFTER the expansion would
-    // re-shuffle the candidate set — queries × postings rows — a second
-    // time. Measured 11.1 → 7.8 s on the degenerate 31-token corpus.
-    // The per-term weight is grouped (idf * (num/den)) — the oracle
-    // parenthesizes identically.
-    val postings = tf.join(dl, "doc_id")
+    // the per-term weight is grouped (idf * (num/den)) — the oracle
+    // parenthesizes identically
     val num = col("tf") * (lit(k1) + lit(1.0))
     val den = col("tf") +
       lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))
-    val weighted = qidf.join(postings, "token")
+    val weighted = qidf.join(index.postings, "token")
       .select(col("query_id"), col("doc_id"), col("token"),
         (col("idf") * (num / den)).as("w"))
 
@@ -160,4 +146,33 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
   }
+
+  /** BM25 top-k document retrieval, one-shot form:
+    * [[bm25TopKAgainst]] over [[bm25Index]] of `docs` — the same plan,
+    * with the index subtrees inlined (the 3-scan floor and
+    * WindowGroupLimit are plan-guarded in PlanShapeSpec on THIS form).
+    *
+    * Scoring is the Lucene-variant BM25: per matched term
+    * `idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with
+    * `idf = ln((N − df + 0.5)/(df + 0.5) + 1)`, summed over the query's
+    * DISTINCT terms (the common k3→∞ simplification: query-side term
+    * frequency is ignored). `N` counts all docs (empty ones included) and
+    * `avgdl` averages over all N, so empty documents influence the length
+    * normalization exactly as in Lucene. `maxDfRatio` < 1 drops query
+    * terms whose docfreq exceeds N·ratio — the standard stop-term prune;
+    * it changes scores, so the default 1.0 is exact BM25 and the prune
+    * is an explicit caller opt-in. Skew lives where it does in every
+    * inverted index: stop-term postings lists.
+    *
+    * Output: (query_id, doc_id, rank, score), rank 1..k per query.
+    * Queries with no indexed terms produce no rows.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text",
+               queryIdCol: String = "query_id",
+               queryTextCol: String = "query_text",
+               maxDfRatio: Double = 1.0): DataFrame =
+    bm25TopKAgainst(bm25Index(docs, idCol, textCol), queries, k, k1, b,
+      queryIdCol, queryTextCol, maxDfRatio)
 }

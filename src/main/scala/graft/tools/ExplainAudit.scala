@@ -63,7 +63,9 @@ object ExplainAudit extends App {
       // query-term × postings join on token, map-side WindowGroupLimit
       "text_bm25_topk",
       // int8 affine quantization — must stay a zero-exchange projection
-      "emb_scalar_quant"))
+      "emb_scalar_quant",
+      // the BM25 serving form: index subtrees + one candidate shuffle
+      "text_bm25_incremental"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

@@ -100,7 +100,11 @@ object ScaleBench {
     // so expect sublinear wall (the fixed-query-log retrieval shape)
     "text_bm25_topk",
     // scan-side int8 quantization: ~linear wall, zero exchange
-    "emb_scalar_quant")
+    "emb_scalar_quant",
+    // BM25 serving form: the indexed base (4/5 of every id block) grows
+    // with the corpus, the query batch is fixed copy-0 tail — same
+    // sublinear fixed-query-log shape as text_bm25_topk
+    "text_bm25_incremental")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

@@ -95,6 +95,47 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("bm25Index round-trips through parquet and serves identically") {
+    import graft.llm.Retrieval.Bm25Index
+    val q = Seq((10L, "apple cherry"), (11L, "date banana"))
+      .toDF("query_id", "query_text")
+    val direct = Retrieval.bm25TopK(docs3, q, k = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    val idx = Retrieval.bm25Index(docs3)
+    idx.postings.write.parquet(s"$dir/postings")
+    idx.docFreq.write.parquet(s"$dir/docfreq")
+    idx.stats.write.parquet(s"$dir/stats")
+    val reloaded = Bm25Index(
+      spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/docfreq"),
+      spark.read.parquet(s"$dir/stats"))
+    val served = Retrieval.bm25TopKAgainst(reloaded, q, k = 3)
+    assert(served.exceptAll(direct).isEmpty && direct.exceptAll(served).isEmpty)
+  }
+
+  test("bm25TopKAgainst scores against the INDEX corpus stats only") {
+    // index covers docs 1-2; doc 3 arrives later and is used as a query
+    // — it must never appear as a result, and idf/avgdl must reflect the
+    // 2-doc index (N=2, toklen=8), not any 3-doc view
+    val idx = Retrieval.bm25Index(docs3.filter(col("doc_id") < 3))
+    val q = Seq((30L, "apple date")).toDF("query_id", "query_text")
+    val got = Retrieval.bm25TopKAgainst(idx, q, k = 5)
+      .orderBy("rank").as[(Long, Long, Int, Double)].collect()
+    assert(got.forall(_._2 < 3))
+    // 'date' hits doc 2 only: idf over N=2, df=1; dl=4, avgdl=8/2
+    val idf = math.log((2.0 - 1 + 0.5) / (1 + 0.5) + 1.0)
+    val w = idf * ((1.0 * (1.2 + 1.0)) /
+      (1.0 + 1.2 * (1.0 - 0.75 + 0.75 * 4.0 / (8.0 / 2.0))))
+    val expect = BigDecimal(w).setScale(10,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.exists(r => r._2 == 2L && r._4 > 0))
+    // doc 1 matches only 'apple' (df=1 in the 2-doc index)
+    val d2score = got.find(_._2 == 2L).get._4
+    // doc 2's score is exactly the single 'date' term weight... plus
+    // nothing else ('apple' is not in doc 2) — pin it to the reference
+    assert(d2score == expect, s"$d2score != $expect")
+  }
+
   test("bm25TopK is invariant under repartitioning") {
     val q = Seq((10L, "apple cherry"), (11L, "date banana"))
       .toDF("query_id", "query_text")
