@@ -1160,6 +1160,13 @@ object SparkEntry {
       // over the aggregated vocabulary with a unique (freq, token) order
       graft.llm.Corpus.vocabulary(t(s, dir, "documents"), "text", topN = 20)),
 
+    "vocab_coverage" -> ((s, dir) =>
+      // tokenizer-budget planning: corpus token-mass coverage at four
+      // vocab budgets; total rides the token exchange (ReusedExchange),
+      // ranking touches only the bounded TakeOrdered top-max(ks) set
+      graft.llm.Corpus.vocabCoverage(t(s, dir, "documents"), "text",
+        ks = Seq(5, 10, 20, 1000))),
+
     "vocab_heavy_hitters" -> ((s, dir) =>
       // exact top-N via the 2-pass Misra–Gries plan: pass 1 never
       // shuffles the token domain (bounded-sketch exchange), pass 2
@@ -2359,6 +2366,33 @@ object SparkEntry {
         |tok AS (SELECT unnest(string_split(t, ' ')) AS token FROM norm)
         |SELECT token, count(*) AS freq FROM tok WHERE length(token) > 0
         |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
+
+    // coverage curve: same tokenization, rank + running sum over the
+    // (freq DESC, token) total order, budgets via LEFT theta-join so an
+    // empty corpus still yields its zero-coverage rows
+    "vocab_coverage" ->
+      """WITH norm AS (SELECT trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM documents),
+        |tok AS (SELECT unnest(string_split(t, ' ')) AS token FROM norm),
+        |freq AS (SELECT token, count(*) AS freq FROM tok
+        |         WHERE length(token) > 0 GROUP BY token),
+        |tot AS (SELECT coalesce(sum(freq), 0) AS total FROM freq),
+        |rk AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank,
+        |       sum(freq) OVER (ORDER BY freq DESC, token
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM freq),
+        |cov AS (SELECT ks.k AS k, tot.total AS total,
+        |        coalesce(max(rk.cum), 0) AS covered
+        |        FROM (SELECT unnest([5, 10, 20, 1000]) AS k) ks
+        |        CROSS JOIN tot LEFT JOIN rk ON rk.rank <= ks.k
+        |        GROUP BY 1, 2)
+        |SELECT CAST(k AS INTEGER) AS k,
+        |       CAST(covered AS BIGINT) AS covered_tokens,
+        |       CAST(total AS BIGINT) AS total_tokens,
+        |       CASE WHEN total = 0 THEN 0.0
+        |            ELSE round(CAST(covered AS DOUBLE) / total, 6)
+        |       END AS coverage
+        |FROM cov""".stripMargin,
 
     // the sketch path is exact-or-throw, so its oracle is the plain
     // exact top-N — identical formulation to vocab_top at N=15

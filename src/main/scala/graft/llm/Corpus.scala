@@ -103,6 +103,62 @@ object Corpus {
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token")).limit(topN)
 
+  /** Vocabulary coverage curve — the tokenizer-budget planning table:
+    * for each candidate vocab size `k`, the fraction of ALL corpus token
+    * occurrences covered by the top-`k` tokens (ranked `freq desc,
+    * token` — the [[vocabulary]] order, deterministic at every cut).
+    * OOV rate at budget k is `1 − coverage`.
+    *
+    * Scale shape: the token-count exchange is the one unavoidable cost
+    * (and the corpus total rides it as a ReusedExchange — no second
+    * tokenize); ranking and the running sum then touch ONLY the
+    * TakeOrdered top-`max(ks)` set, a bounded single-partition window in
+    * the quantile-bins class — never the full vocabulary. `max(ks)` past
+    * `maxK` throws with guidance instead of silently materializing a
+    * vocabulary-sized sort on one task.
+    *
+    * Output: (k, covered_tokens, total_tokens, coverage) — the integer
+    * pair is exact; coverage is their round-6 quotient (the
+    * line-stats/dup-frac idiom). `k` larger than the vocabulary
+    * saturates at full coverage; an empty corpus yields coverage 0. */
+  def vocabCoverage(df: DataFrame, textCol: String,
+                    ks: Seq[Int] = Seq(100, 1000, 10000),
+                    maxK: Int = 1000000): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0),
+      s"ks must be positive vocab budgets, got $ks")
+    require(ks.max <= maxK,
+      s"max budget ${ks.max} exceeds maxK=$maxK: the top-k set is " +
+        "collected into one bounded window partition — raise maxK only " +
+        "with executor memory to hold it")
+    val freq = df.select(
+        explode(split(TextAnalysis.normalizeText(col(textCol)), " "))
+          .as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    // the corpus total derives from the SAME token aggregate (one
+    // conditional-free sum — ReusedExchange with the top-k branch)
+    val total = freq.agg(coalesce(sum("freq"), lit(0L)).as("total"))
+    val w = Window.orderBy(col("freq").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = freq
+      .orderBy(col("freq").desc, col("token")).limit(ks.max)
+      .select(col("freq"),
+        row_number().over(Window.orderBy(col("freq").desc, col("token")))
+          .as("rank"),
+        sum("freq").over(w).as("cum"))
+    // one row per budget k: covered = cum at the last rank ≤ k
+    val budgets = total.select(col("total"),
+      explode(array(ks.distinct.sorted.map(lit(_)): _*)).as("k"))
+    budgets.join(ranked, col("rank") <= col("k"), "left")
+      .groupBy("k", "total")
+      .agg(coalesce(max("cum"), lit(0L)).as("covered_tokens"))
+      .select(col("k"), col("covered_tokens"),
+        col("total").as("total_tokens"),
+        when(col("total") === 0, lit(0.0))
+          .otherwise(round(col("covered_tokens").cast("double") /
+            col("total"), 6)).as("coverage"))
+  }
+
   /** EXACT top-`topN` tokens without ever shuffling the token domain:
     * the classic two-pass heavy-hitter plan over a
     * [[graft.expressions.MisraGries]] sketch.

@@ -65,7 +65,9 @@ object ExplainAudit extends App {
       // int8 affine quantization — must stay a zero-exchange projection
       "emb_scalar_quant",
       // the BM25 serving form: index subtrees + one candidate shuffle
-      "text_bm25_incremental"))
+      "text_bm25_incremental",
+      // coverage curve: token exchange + bounded top-max(ks) window only
+      "vocab_coverage"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

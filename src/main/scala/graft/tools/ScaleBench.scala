@@ -104,7 +104,10 @@ object ScaleBench {
     // BM25 serving form: the indexed base (4/5 of every id block) grows
     // with the corpus, the query batch is fixed copy-0 tail — same
     // sublinear fixed-query-log shape as text_bm25_topk
-    "text_bm25_incremental")
+    "text_bm25_incremental",
+    // coverage curve: the token-count exchange grows with the corpus
+    // (translate-rotated vocab), the ranked window stays ≤ max(ks)
+    "vocab_coverage")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

@@ -98,6 +98,34 @@ class CorpusSpec extends SparkSpec {
     assert(v.toSeq == Seq(("x", 1L)))
   }
 
+  test("vocabCoverage: cumulative mass at each budget, ties by token order") {
+    // freqs: a=3, b=2, c=1 (total 6); tie-free cuts
+    val df = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = Corpus.vocabCoverage(df, "text", ks = Seq(1, 2, 5))
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1, 3L, 6L, 0.5),
+      (2, 5L, 6L, 0.833333),
+      (5, 6L, 6L, 1.0)))
+    // tie at the cut: a=2, b=2 → k=1 takes 'a' (freq desc, token asc)
+    val tie = Seq((1L, "a b"), (2L, "b a")).toDF("doc_id", "text")
+    val t1 = Corpus.vocabCoverage(tie, "text", ks = Seq(1))
+      .as[(Int, Long, Long, Double)].head()
+    assert(t1 == ((1, 2L, 4L, 0.5)))
+    // empty corpus: budgets still reported, coverage 0
+    val empty = Seq((1L, "")).toDF("doc_id", "text")
+    val e = Corpus.vocabCoverage(empty, "text", ks = Seq(3))
+      .as[(Int, Long, Long, Double)].head()
+    assert(e == ((3, 0L, 0L, 0.0)))
+    // loud contract failures
+    intercept[IllegalArgumentException] {
+      Corpus.vocabCoverage(df, "text", ks = Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.vocabCoverage(df, "text", ks = Seq(10), maxK = 5)
+    }
+  }
+
   test("replicateByWeight: expected multiplicity per stratum, deterministic") {
     val df = spark.range(0, 4000)
       .select(col("id").as("doc_id"),
