@@ -1206,6 +1206,23 @@ object SparkEntry {
         tagged.reduce(_ unionByName _), capacity = 2048)
     }),
 
+    "vocab_distinct_sketch" -> ((s, dir) => {
+      // incremental distinct counting: per-slice HLL sketches (bounded
+      // binaries), relational hll_union merge; the vocabulary here is
+      // far below the lgK-14 set-mode promotion point, so every
+      // estimate is EXACT and the hash gate checks real counts
+      val docs = t(s, dir, "documents")
+      val sk = graft.llm.Corpus.distinctSketch(docs, "text",
+        col("doc_id") % 3, lgK = 14)
+      val perSlice = sk.select(col("slice").cast("long").as("slice"),
+        hll_sketch_estimate(col("sketch")).as("distinct_tokens"),
+        col("n_tokens"))
+      val merged = graft.llm.Corpus.mergeDistinctSketches(sk)
+        .select(lit(-1L).as("slice"), col("distinct_tokens"),
+          col("n_tokens"))
+      perSlice.unionByName(merged)
+    }),
+
     "corpus_drift" -> ((s, dir) =>
       // top drifted tokens between the en and de slices: one scan, one
       // token-domain exchange with both group counts as conditional
@@ -2437,6 +2454,21 @@ object SparkEntry {
         |tot AS (SELECT count(*) AS n FROM tk)
         |SELECT token, count(*) AS count_lb, tot.n AS n_part
         |FROM tk, tot GROUP BY token, tot.n""".stripMargin,
+
+    // the HLL sketches' exact regime (vocabulary ≪ 2^14 set-mode
+    // promotion): per-slice and merged estimates ARE the exact distinct
+    // counts; slice -1 is the merged total
+    "vocab_distinct_sketch" ->
+      """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM documents),
+        |tok AS (SELECT doc_id % 3 AS slice,
+        |        unnest(string_split(t, ' ')) AS token FROM norm),
+        |tk AS (SELECT slice, token FROM tok WHERE length(token) > 0)
+        |SELECT slice, count(DISTINCT token) AS distinct_tokens,
+        |       count(*) AS n_tokens
+        |FROM tk GROUP BY slice
+        |UNION ALL
+        |SELECT -1 AS slice, count(DISTINCT token), count(*) FROM tk""".stripMargin,
 
     // exact-integer cross-product ranking |freq_a*n_b - freq_b*n_a| in
     // HUGEINT (the decimal's value-equal twin; the rank key is not

@@ -348,6 +348,52 @@ object Corpus {
       .filter(col("count_lb") > 0)
   }
 
+  /** Per-slice HLL distinct-token sketches — the DISTINCT-COUNT sibling
+    * of [[heavyHittersSketch]]: one bounded binary sketch per corpus
+    * slice (day, shard, source), persistable and mergeable with
+    * [[mergeDistinctSketches]] so vocabulary growth tracks
+    * incrementally with no historical rescan. Built on Spark's native
+    * Datasketches HLL aggregate (`hll_sketch_agg`) — codegen'd, ≤ 2^lgK
+    * 4-bit registers per sketch (~16 KB at the default lgK 14) at ANY
+    * corpus size.
+    *
+    * Accuracy contract: the Datasketches HLL is EXACT while in its
+    * LIST/SET promotion stages (it stores hashes exactly until the set
+    * approaches 2^lgK) and ~0.8%-σ approximate beyond — unlike the
+    * exact-or-loud Misra–Gries family, approximation past the
+    * promotion point is the operator's DESIGN (bounded-memory distinct
+    * counting); the oracle pins the exact regime. 64-bit hash
+    * collisions are the only exactness caveat below promotion
+    * (~n²/2⁶⁴ — negligible).
+    *
+    * Output: (slice, sketch binary, n_tokens) — n_tokens is the slice's
+    * total occurrence count, the metadata that pairs with the distinct
+    * estimate for type/token-ratio tracking. Empty slices don't exist
+    * relationally (no tokens → no group), unlike the MG placeholder:
+    * a distinct count has nothing to lose with the row. */
+  def distinctSketch(df: DataFrame, textCol: String, sliceCol: Column,
+                     lgK: Int = 14): DataFrame = {
+    require(lgK >= 4 && lgK <= 21, s"lgK=$lgK outside Datasketches' [4, 21]")
+    df.select(sliceCol.as("slice"),
+        explode(split(TextAnalysis.normalizeText(col(textCol)), " "))
+          .as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("slice")
+      .agg(hll_sketch_agg(col("token"), lgK).as("sketch"),
+        count(lit(1)).as("n_tokens"))
+  }
+
+  /** Merge [[distinctSketch]] frames (any union of slices, any number of
+    * increments) into the corpus-wide distinct estimate: a single
+    * `hll_union_agg` over the bounded sketch binaries — s·16 KB of
+    * input at ANY corpus size — then the estimate. Output: one row
+    * (distinct_tokens, n_tokens). */
+  def mergeDistinctSketches(sketches: DataFrame): DataFrame =
+    sketches.agg(hll_union_agg(col("sketch")).as("merged"),
+        coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))
+      .select(hll_sketch_estimate(col("merged")).as("distinct_tokens"),
+        col("n_tokens"))
+
   /** Distribution drift between two sub-corpora: the `topN` tokens whose
     * unigram frequency differs most between group `a` and group `b` of
     * `groupCol` — the data-mixing diagnostic ("what words make the web

@@ -67,7 +67,9 @@ object ExplainAudit extends App {
       // the BM25 serving form: index subtrees + one candidate shuffle
       "text_bm25_incremental",
       // coverage curve: token exchange + bounded top-max(ks) window only
-      "vocab_coverage"))
+      "vocab_coverage",
+      // HLL distinct sketches: per-slice partial-agg, bounded union
+      "vocab_distinct_sketch"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

@@ -107,7 +107,10 @@ object ScaleBench {
     "text_bm25_incremental",
     // coverage curve: the token-count exchange grows with the corpus
     // (translate-rotated vocab), the ranked window stays ≤ max(ks)
-    "vocab_coverage")
+    "vocab_coverage",
+    // HLL sketches: the slice exchange carries ≤ 16 KB per partial at
+    // any corpus size; growth is the tokenize scan
+    "vocab_distinct_sketch")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

@@ -126,6 +126,36 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("distinctSketch/merge: cross-slice dedup, slicing-invariant, exact in set mode") {
+    // token 'a' lives in BOTH slices: per-slice distincts are 2 and 2,
+    // but the merged count must dedup across sketches → 3
+    val df = Seq((0L, "a b a"), (1L, "a c")).toDF("doc_id", "text")
+    val sk = Corpus.distinctSketch(df, "text", col("doc_id") % 2)
+    val per = sk.select(col("slice"),
+        hll_sketch_estimate(col("sketch")).as("d"), col("n_tokens"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(per.toSeq == Seq((0L, 2L, 3L), (1L, 2L, 2L)))
+    val merged = Corpus.mergeDistinctSketches(sk)
+      .as[(Long, Long)].head()
+    assert(merged == ((3L, 5L)))
+    // slicing-invariance: a different slice key yields the same total
+    val other = Corpus.mergeDistinctSketches(
+      Corpus.distinctSketch(df, "text", col("doc_id") % 5))
+      .as[(Long, Long)].head()
+    assert(other == merged)
+    // set-mode exactness at four-digit cardinality (far below the
+    // lgK-14 promotion point): 1200 unique tokens count exactly
+    val wide = spark.range(0, 1200)
+      .select(col("id").as("doc_id"), concat(lit("tok"), col("id")).as("text"))
+    val wideCount = Corpus.mergeDistinctSketches(
+      Corpus.distinctSketch(wide, "text", col("doc_id") % 4))
+      .as[(Long, Long)].head()
+    assert(wideCount == ((1200L, 1200L)))
+    intercept[IllegalArgumentException] {
+      Corpus.distinctSketch(df, "text", col("doc_id"), lgK = 3)
+    }
+  }
+
   test("replicateByWeight: expected multiplicity per stratum, deterministic") {
     val df = spark.range(0, 4000)
       .select(col("id").as("doc_id"),
