@@ -914,6 +914,27 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"), TA.langId(col("text")).as("lang_pred"))),
 
+    "text_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: the BM25 sparse list fused with a dense
+      // cosine list over the SAME 20 query ids (documents and
+      // embeddings share the id space) via reciprocal-rank fusion —
+      // rank-only, so the incomparable score scales need no calibration
+      val docs = t(s, dir, "documents")
+      val q = docs.filter(col("doc_id") % 25 === 0 && col("doc_id") < 500)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(TA.normalizeText(col("text")), " "),
+            1, 6), " ").as("query_text"))
+      val sparse = graft.llm.Retrieval.bm25TopK(docs, q, k = 5)
+        .select("query_id", "doc_id", "rank")
+      val emb = t(s, dir, "embeddings")
+      val dense = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < 500),
+          k = 5)
+        .select(col("query_id"), col("corpus_id").as("doc_id"),
+          col("rank"))
+      graft.llm.Retrieval.rrfFuse(Seq(sparse, dense), k = 5)
+    }),
+
     "text_bm25_topk" -> ((s, dir) => {
       // sparse lexical retrieval: a FIXED 20-query set (every 25th doc
       // under id 500 — the whole sf0.001 id range, the vec_id<100
@@ -1191,6 +1212,20 @@ object SparkEntry {
       val sk = graft.llm.Corpus.heavyHittersSketch(
         streamDocs(s, dir, schema), "text", capacity = 2048)
       drainStream(sk, "graft_sketch_stream", complete = true)
+    }),
+
+    "vocab_distinct_stream" -> ((s, dir) => {
+      // streaming vocabulary-growth tracking: the per-slice HLL
+      // aggregate as a complete-mode streaming aggregation (sketch
+      // state in the state store), estimates read post-drain — the
+      // streaming sibling of vocab_distinct_sketch's batch build
+      val schema = t(s, dir, "documents").schema
+      val sk = graft.llm.Corpus.distinctSketch(
+        streamDocs(s, dir, schema), "text", col("doc_id") % 3, lgK = 14)
+      drainStream(sk, "graft_distinct_stream", complete = true)
+        .select(col("slice").cast("long").as("slice"),
+          hll_sketch_estimate(col("sketch")).as("distinct_tokens"),
+          col("n_tokens"))
     }),
 
     "vocab_sketch_merge" -> ((s, dir) => {
@@ -2455,6 +2490,18 @@ object SparkEntry {
         |SELECT token, count(*) AS count_lb, tot.n AS n_part
         |FROM tk, tot GROUP BY token, tot.n""".stripMargin,
 
+    // the streaming HLL build in the same exact regime: per-slice rows
+    // only (no merged -1 row — the stream emits slice state)
+    "vocab_distinct_stream" ->
+      """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM documents),
+        |tok AS (SELECT doc_id % 3 AS slice,
+        |        unnest(string_split(t, ' ')) AS token FROM norm),
+        |tk AS (SELECT slice, token FROM tok WHERE length(token) > 0)
+        |SELECT slice, count(DISTINCT token) AS distinct_tokens,
+        |       count(*) AS n_tokens
+        |FROM tk GROUP BY slice""".stripMargin,
+
     // the HLL sketches' exact regime (vocabulary ≪ 2^14 set-mode
     // promotion): per-slice and merged estimates ARE the exact distinct
     // counts; slice -1 is the merged total
@@ -3075,6 +3122,65 @@ object SparkEntry {
         |                          ORDER BY score DESC, doc_id) AS rank FROM sc)
         |SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank, score
         |FROM rk WHERE rank <= 5""".stripMargin,
+
+    // RRF hybrid: the full BM25 twin + the ann_cosine twin, fused on
+    // ranks only — each contribution is one exact division (the 1.0
+    // needs CAST AS DOUBLE: a decimal 1.0/(60+rank) would divide in
+    // DECIMAL), summed in source order, no quantization needed
+    "text_hybrid_rrf" ->
+      """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM norm),
+        |tk AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |dfq AS (SELECT token, count(*) AS docfreq FROM tf GROUP BY 1),
+        |st AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |tot AS (SELECT coalesce(sum(dl), 0) AS toklen FROM dl),
+        |qs AS (SELECT doc_id AS query_id,
+        |       array_to_string(list_slice(string_split(t, ' '), 1, 6), ' ') AS qt
+        |       FROM norm WHERE doc_id % 25 = 0 AND doc_id < 500),
+        |qtm AS (SELECT DISTINCT query_id, token FROM
+        |       (SELECT query_id, unnest(string_split(qt, ' ')) AS token FROM qs)
+        |       WHERE length(token) > 0),
+        |w AS (SELECT q.query_id, f.doc_id, f.token,
+        |      ln((st.n - d.docfreq + 0.5) / (d.docfreq + 0.5) + 1.0) *
+        |      ((f.tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
+        |       (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl /
+        |          (CAST(tot.toklen AS DOUBLE) / st.n)))) AS w
+        |      FROM qtm q JOIN dfq d USING (token) JOIN tf f USING (token)
+        |      JOIN dl l ON f.doc_id = l.doc_id, st, tot),
+        |sc AS (SELECT query_id, doc_id,
+        |       round(list_sum(list(w ORDER BY token)), 10) AS score
+        |       FROM w GROUP BY 1, 2),
+        |rks AS (SELECT query_id, doc_id,
+        |       row_number() OVER (PARTITION BY query_id
+        |                          ORDER BY score DESC, doc_id) AS rank FROM sc),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dq AS (SELECT vec_id, v FROM c WHERE vec_id % 25 = 0 AND vec_id < 500),
+        |ds AS (SELECT dq.vec_id AS query_id, c.vec_id AS doc_id,
+        |        list_sum([dq.v[i] * c.v[i] for i in range(1, 65)]) /
+        |        (sqrt(list_sum([dq.v[i] * dq.v[i] for i in range(1, 65)])) *
+        |         sqrt(list_sum([c.v[i] * c.v[i] for i in range(1, 65)]))) AS sim
+        |      FROM c CROSS JOIN dq WHERE dq.vec_id <> c.vec_id),
+        |dr AS (SELECT query_id, doc_id,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY sim DESC, doc_id) AS rank FROM ds),
+        |un AS (SELECT query_id, doc_id,
+        |        CAST(1.0 AS DOUBLE) / (60 + rank) AS contrib, 0 AS src
+        |        FROM rks WHERE rank <= 5
+        |       UNION ALL
+        |       SELECT query_id, doc_id,
+        |        CAST(1.0 AS DOUBLE) / (60 + rank), 1
+        |        FROM dr WHERE rank <= 5),
+        |fs AS (SELECT query_id, doc_id,
+        |       list_sum(list(contrib ORDER BY src)) AS score
+        |       FROM un GROUP BY 1, 2),
+        |fr AS (SELECT query_id, doc_id, score,
+        |       row_number() OVER (PARTITION BY query_id
+        |                          ORDER BY score DESC, doc_id) AS rank FROM fs)
+        |SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank, score
+        |FROM fr WHERE rank <= 5""".stripMargin,
 
     // the Against form: tf/dfq/dl/N/toklen all come from the BASE slice
     // (doc_id % 500 < 400) while the query batch is the copy-0 tail —

@@ -175,4 +175,45 @@ object Retrieval {
                maxDfRatio: Double = 1.0): DataFrame =
     bm25TopKAgainst(bm25Index(docs, idCol, textCol), queries, k, k1, b,
       queryIdCol, queryTextCol, maxDfRatio)
+
+  /** Reciprocal-rank fusion — the standard sparse+dense hybrid-retrieval
+    * combiner (Cormack et al. 2009; what every hybrid RAG stack runs
+    * over its BM25 and ANN lists): fused score per (query, doc) is
+    * `Σ_sources 1/(rrfK + rank)`, using only RANKS, so incomparable
+    * score scales (BM25 vs cosine) fuse without calibration. A doc
+    * absent from a source simply contributes nothing.
+    *
+    * Each input ranking is (query_id, doc_id, rank) — [[bm25TopK]] and
+    * [[Similarity.bruteForceTopK]]/ivf/pq outputs after a rename. The
+    * contribution sum is folded in source order (sorted struct fold, the
+    * BM25 discipline), and each term is one exact IEEE division of small
+    * integers, so fused scores are bit-exact cross-engine with NO
+    * quantization. Final ranking: (score desc, doc_id), map-side
+    * rank-pruned like every window-top-k here.
+    *
+    * Scale shape: inputs are already top-k lists — |queries|·k·sources
+    * rows — so everything after the source union is small; one
+    * (query, doc) exchange, one bounded window. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 10,
+              rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k > 0 && rrfK >= 0, s"bad k=$k / rrfK=$rrfK")
+    val tagged = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col("query_id"), col("doc_id"),
+        (lit(1.0) / (lit(rrfK) + col("rank"))).as("contrib"),
+        lit(i).as("src"))
+    }
+    val fused = tagged.reduce(_ unionByName _)
+      .groupBy("query_id", "doc_id")
+      .agg(sort_array(collect_list(struct(col("src"), col("contrib"))))
+        .as("cs"))
+      .select(col("query_id"), col("doc_id"),
+        aggregate(col("cs"), lit(0.0),
+          (acc, x) => acc + x.getField("contrib")).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
+  }
 }

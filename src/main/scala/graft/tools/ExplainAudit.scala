@@ -69,7 +69,9 @@ object ExplainAudit extends App {
       // coverage curve: token exchange + bounded top-max(ks) window only
       "vocab_coverage",
       // HLL distinct sketches: per-slice partial-agg, bounded union
-      "vocab_distinct_sketch"))
+      "vocab_distinct_sketch",
+      // RRF: everything post-union is |queries|·k·sources rows
+      "text_hybrid_rrf"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

@@ -110,7 +110,10 @@ object ScaleBench {
     "vocab_coverage",
     // HLL sketches: the slice exchange carries ≤ 16 KB per partial at
     // any corpus size; growth is the tokenize scan
-    "vocab_distinct_sketch")
+    "vocab_distinct_sketch",
+    // hybrid fusion: BM25 (fixed query log, sublinear) + dense cosine
+    // over the growing corpus (broadcast queries) + a fixed-size fuse
+    "text_hybrid_rrf")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

@@ -136,6 +136,29 @@ class RetrievalSpec extends SparkSpec {
     assert(d2score == expect, s"$d2score != $expect")
   }
 
+  test("rrfFuse: hand-computed fusion, single-source docs, determinism") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 13L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 10)
+      .orderBy("rank").as[(Long, Long, Int, Double)].collect()
+    def c(r: Int) = 1.0 / (60 + r)
+    // doc 11: in both lists (ranks 2, 1) → the top fused doc
+    val want = Seq(
+      (11L, c(2) + c(1)), (10L, c(1)), (13L, c(2)), (12L, c(3)))
+      .sortBy { case (d, s) => (-s, d) }
+      .zipWithIndex.map { case ((d, s), i) => (1L, d, i + 1, s) }
+    assert(got.toSeq == want, s"got ${got.toSeq} want $want")
+    assert(got.head._2 == 11L)
+    // single ranking degenerates to its own order
+    val solo = Retrieval.rrfFuse(Seq(a), k = 2)
+      .orderBy("rank").as[(Long, Long, Int, Double)].collect()
+    assert(solo.map(_._2).toSeq == Seq(10L, 11L))
+    intercept[IllegalArgumentException] { Retrieval.rrfFuse(Seq.empty) }
+    intercept[IllegalArgumentException] { Retrieval.rrfFuse(Seq(a), k = 0) }
+  }
+
   test("bm25TopK is invariant under repartitioning") {
     val q = Seq((10L, "apple cherry"), (11L, "date banana"))
       .toDF("query_id", "query_text")

@@ -564,6 +564,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming HLL distinct sketch (complete mode) matches the batch estimates") {
+    // the native hll_sketch_agg runs as a streaming aggregation; the
+    // drained per-slice ESTIMATES (not the binaries — HLL serialization
+    // is insertion-order-sensitive, cardinality is the contract) must
+    // equal the batch build's
+    import org.apache.spark.sql.functions.{col, hll_sketch_estimate}
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$dir/docs"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/docs/part-0.parquet"))
+    val schema = Tables.load(spark, sf0, "documents").schema
+    def estimates(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("slice"),
+        hll_sketch_estimate(col("sketch")).as("d"), col("n_tokens"))
+    val stream = graft.llm.Corpus.distinctSketch(
+      spark.readStream.schema(schema).parquet(s"$dir/docs"),
+      "text", col("doc_id") % 3)
+    val got = estimates(Streaming.runAvailableNow(stream,
+      "hll_stream_test", s"$dir/ckpt"))
+    val want = estimates(graft.llm.Corpus.distinctSketch(
+      Tables.load(spark, sf0, "documents"), "text", col("doc_id") % 3))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("session_window agrees with the batch sessionization kernel") {
     val ev = Tables.load(spark, sf0, "events")
     // batch session_window (same logical op the streaming variant runs)
