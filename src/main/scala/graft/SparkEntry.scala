@@ -935,6 +935,25 @@ object SparkEntry {
       graft.llm.Retrieval.rrfFuse(Seq(sparse, dense), k = 5)
     }),
 
+    "retrieval_metrics" -> ((s, dir) => {
+      // the evaluation side: recall@5 / RR / nDCG@5 of the BM25 run
+      // against a same-source relevance set (20 sources × 25 docs →
+      // n_rel = 25 per query) — everything after the run is
+      // |queries|·k-bounded
+      val docs = t(s, dir, "documents")
+      val q = docs.filter(col("doc_id") % 25 === 0 && col("doc_id") < 500)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(TA.normalizeText(col("text")), " "),
+            1, 6), " ").as("query_text"))
+      val run = graft.llm.Retrieval.bm25TopK(docs, q, k = 5)
+      val truth = docs
+        .filter(col("doc_id") % 25 === 0 && col("doc_id") < 500)
+        .select(col("doc_id").as("query_id"), col("source"))
+        .join(docs.select(col("doc_id"), col("source")), "source")
+        .select("query_id", "doc_id")
+      graft.llm.Retrieval.rankingMetrics(run, truth, k = 5)
+    }),
+
     "text_bm25_topk" -> ((s, dir) => {
       // sparse lexical retrieval: a FIXED 20-query set (every 25th doc
       // under id 500 — the whole sf0.001 id range, the vec_id<100
@@ -3181,6 +3200,62 @@ object SparkEntry {
         |                          ORDER BY score DESC, doc_id) AS rank FROM fs)
         |SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank, score
         |FROM fr WHERE rank <= 5""".stripMargin,
+
+    // retrieval evaluation: the BM25 twin as the run, same-source truth,
+    // integer hits/n_rel + exact 1/first_rel + quantized nDCG (the ln
+    // ulp spread cancels only approximately in the DCG/IDCG ratio)
+    "retrieval_metrics" ->
+      """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM norm),
+        |tk AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |dfq AS (SELECT token, count(*) AS docfreq FROM tf GROUP BY 1),
+        |st AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |tot AS (SELECT coalesce(sum(dl), 0) AS toklen FROM dl),
+        |qs AS (SELECT doc_id AS query_id,
+        |       array_to_string(list_slice(string_split(t, ' '), 1, 6), ' ') AS qt
+        |       FROM norm WHERE doc_id % 25 = 0 AND doc_id < 500),
+        |qtm AS (SELECT DISTINCT query_id, token FROM
+        |       (SELECT query_id, unnest(string_split(qt, ' ')) AS token FROM qs)
+        |       WHERE length(token) > 0),
+        |w AS (SELECT q.query_id, f.doc_id, f.token,
+        |      ln((st.n - d.docfreq + 0.5) / (d.docfreq + 0.5) + 1.0) *
+        |      ((f.tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
+        |       (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl /
+        |          (CAST(tot.toklen AS DOUBLE) / st.n)))) AS w
+        |      FROM qtm q JOIN dfq d USING (token) JOIN tf f USING (token)
+        |      JOIN dl l ON f.doc_id = l.doc_id, st, tot),
+        |sc AS (SELECT query_id, doc_id,
+        |       round(list_sum(list(w ORDER BY token)), 10) AS score
+        |       FROM w GROUP BY 1, 2),
+        |rkk AS (SELECT query_id, doc_id,
+        |       row_number() OVER (PARTITION BY query_id
+        |                          ORDER BY score DESC, doc_id) AS rank FROM sc),
+        |run AS (SELECT query_id, doc_id, rank FROM rkk WHERE rank <= 5),
+        |truth AS (SELECT a.doc_id AS query_id, b.doc_id AS doc_id
+        |          FROM documents a JOIN documents b USING (source)
+        |          WHERE a.doc_id % 25 = 0 AND a.doc_id < 500),
+        |nrel AS (SELECT query_id, count(*) AS n_rel FROM truth GROUP BY 1),
+        |j AS (SELECT r.query_id, r.rank,
+        |      CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+        |      FROM run r LEFT JOIN truth t
+        |      ON r.query_id = t.query_id AND r.doc_id = t.doc_id),
+        |per AS (SELECT query_id, CAST(sum(rel) AS BIGINT) AS hits,
+        |        min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+        |        list(rank ORDER BY rank) FILTER (WHERE rel = 1) AS rel_ranks
+        |        FROM j GROUP BY 1)
+        |SELECT p.query_id, n.n_rel, p.hits,
+        |  round(CAST(p.hits AS DOUBLE) / n.n_rel, 6) AS recall,
+        |  coalesce(CAST(1.0 AS DOUBLE) / p.first_rel, 0.0) AS rr,
+        |  round(
+        |    coalesce(list_sum([ln(2.0) / ln(x + 1.0)
+        |        for x in coalesce(p.rel_ranks, [])]), 0.0) /
+        |    list_sum([ln(2.0) / ln(i + 1.0)
+        |        for i in range(1, least(n.n_rel, 5) + 1)]),
+        |    10) AS ndcg
+        |FROM per p JOIN nrel n USING (query_id)""".stripMargin,
 
     // the Against form: tf/dfq/dl/N/toklen all come from the BASE slice
     // (doc_id % 500 < 400) while the query batch is the copy-0 tail —

@@ -216,4 +216,53 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
   }
+
+  /** Per-query ranking-quality metrics — the evaluation side of the
+    * retrieval family: recall@k, reciprocal rank (MRR's per-query term)
+    * and nDCG@k of a `run` (query_id, doc_id, rank) against a binary
+    * `truth` relevance set (query_id, doc_id).
+    *
+    * Exactness: `hits`/`n_rel` are integers, recall is their round-6
+    * quotient (the dup-frac idiom); `rr = 1/first_rel_rank` is one exact
+    * IEEE division (0.0 when nothing relevant ranked). nDCG needs logs —
+    * gain 1/log2(r+1) is computed as `ln(2)/ln(r+1)` with the platform
+    * ln and the DCG/IDCG sums fold in rank order, then the final
+    * quotient is quantized to 10 dp (the BM25 ln-ulp discipline —
+    * Retrieval scaladoc).
+    *
+    * Queries with an empty truth set have no definable recall/nDCG and
+    * are dropped (inner join on the truth aggregate); a query in truth
+    * but absent from the run scores 0 on everything only if the caller
+    * unions it in — the run frame drives. At scale both inputs are
+    * top-k-sized lists, so every join and window here is
+    * |queries|·max(k, n_rel)-bounded — nothing touches a corpus. */
+  def rankingMetrics(run: DataFrame, truth: DataFrame,
+                     k: Int = 10): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val ln2 = graft.expressions.GraftExpressions.platformLn(lit(2.0))
+    val rel = truth.select(col("query_id"), col("doc_id"), lit(1).as("rel"))
+    val nrel = truth.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val per = run.filter(col("rank") <= k)
+      .join(rel, Seq("query_id", "doc_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("rel"), lit(0))).cast("long").as("hits"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel"),
+        // collect_list drops the nulls of non-relevant ranks; the sort
+        // pins the DCG fold order
+        sort_array(collect_list(when(col("rel") === 1, col("rank"))))
+          .as("rel_ranks"))
+    per.join(nrel, "query_id")
+      .select(col("query_id"), col("n_rel"), col("hits"),
+        round(col("hits").cast("double") / col("n_rel"), 6).as("recall"),
+        coalesce(lit(1.0) / col("first_rel"), lit(0.0)).as("rr"),
+        round(
+          aggregate(col("rel_ranks"), lit(0.0), (acc, r) =>
+            acc + ln2 / graft.expressions.GraftExpressions
+              .platformLn(r + lit(1.0))) /
+          aggregate(sequence(lit(1L), least(col("n_rel"), lit(k.toLong))),
+            lit(0.0), (acc, i) =>
+              acc + ln2 / graft.expressions.GraftExpressions
+                .platformLn(i + lit(1.0))),
+          10).as("ndcg"))
+  }
 }

@@ -71,7 +71,9 @@ object ExplainAudit extends App {
       // HLL distinct sketches: per-slice partial-agg, bounded union
       "vocab_distinct_sketch",
       // RRF: everything post-union is |queries|·k·sources rows
-      "text_hybrid_rrf"))
+      "text_hybrid_rrf",
+      // eval metrics: run + truth joins are |queries|·max(k,n_rel) rows
+      "retrieval_metrics"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

@@ -113,7 +113,10 @@ object ScaleBench {
     "vocab_distinct_sketch",
     // hybrid fusion: BM25 (fixed query log, sublinear) + dense cosine
     // over the growing corpus (broadcast queries) + a fixed-size fuse
-    "text_hybrid_rrf")
+    "text_hybrid_rrf",
+    // eval metrics: the BM25 run grows sublinearly; the same-source
+    // truth join grows with the corpus (25 → 250 docs per source)
+    "retrieval_metrics")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

@@ -159,6 +159,34 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Retrieval.rrfFuse(Seq(a), k = 0) }
   }
 
+  test("rankingMetrics: hand-computed recall/RR/nDCG, edge queries") {
+    val run = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),  // one hit at rank 2
+      (2L, 20L, 1), (2L, 21L, 2),                // no hits
+      (3L, 30L, 1))                              // no truth → dropped
+    .toDF("query_id", "doc_id", "rank")
+    val truth = Seq(
+      (1L, 11L), (1L, 13L), (1L, 14L),
+      (2L, 99L),
+      (4L, 40L))                                 // no run rows → dropped
+    .toDF("query_id", "doc_id")
+    val got = Retrieval.rankingMetrics(run, truth, k = 3)
+      .as[(Long, Long, Long, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    val (q1, q2) = (got(0), got(1))
+    assert(q1._2 == 3L && q1._3 == 1L && q1._4 == 0.333333 && q1._5 == 0.5)
+    val ln2 = math.log(2.0)
+    val dcg = ln2 / math.log(3.0)
+    val idcg = ln2 / math.log(2.0) + ln2 / math.log(3.0) + ln2 / math.log(4.0)
+    val ndcg = BigDecimal(dcg / idcg)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(q1._6 == ndcg, s"${q1._6} != $ndcg")
+    // query 2: relevant doc exists but was not retrieved
+    assert(q2._2 == 1L && q2._3 == 0L && q2._4 == 0.0 &&
+      q2._5 == 0.0 && q2._6 == 0.0)
+  }
+
   test("bm25TopK is invariant under repartitioning") {
     val q = Seq((10L, "apple cherry"), (11L, "date banana"))
       .toDF("query_id", "query_text")
