@@ -732,6 +732,25 @@ object GraftExpressions {
     override def prettyName: String = "graft_dequantize"
   }
 
+  /** Compiled left-fold sum of one double field over an array of
+    * structs — `functions.aggregate`'s semantics (init 0.0, in-order
+    * IEEE adds, bit-identical result) without its per-element
+    * interpreted-lambda cost. Null array → null (null-propagating). */
+  case class StructDoubleFieldSum(child: Expression, numFields: Int,
+                                  fieldIdx: Int) extends UnaryExpression {
+    require(numFields > 0 && fieldIdx >= 0 && fieldIdx < numFields)
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any =
+      Kernels.structDoubleFieldSum(
+        input.asInstanceOf[ArrayData], numFields, fieldIdx)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"$K.structDoubleFieldSum($c, $numFields, $fieldIdx)")
+    override protected def withNewChildInternal(c: Expression): StructDoubleFieldSum =
+      copy(c)
+    override def prettyName: String = "graft_struct_field_sum"
+  }
+
   /** Natural log through the platform-intrinsic `java.lang.Math.log` in
     * BOTH interpreted and codegen paths. Spark's built-in `log` emits
     * fdlibm `StrictMath.log` under whole-stage codegen — the slow,
@@ -765,6 +784,9 @@ object GraftExpressions {
     toCol(PlatformLog(expr(x.cast("double"))))
   def scalarQuantizeVec(v: Column): Column =
     toCol(ScalarQuantizeVec(expr(v)))
+  def structDoubleFieldSum(arr: Column, numFields: Int,
+                           fieldIdx: Int): Column =
+    toCol(StructDoubleFieldSum(expr(arr), numFields, fieldIdx))
   def dequantizeVec(codes: Column, lo: Column, scale: Column): Column =
     toCol(DequantizeVec(expr(codes), expr(lo), expr(scale)))
   def minhashSignature(shingles: Column, k: Int): Column =

@@ -463,6 +463,24 @@ object Kernels {
         .fromPrimitiveArray(codes))
   }
 
+  /** [[GraftExpressions.StructDoubleFieldSum]] body: the left fold
+    * `0.0 + f(0) + f(1) + …` over field `fieldIdx` of an array of
+    * structs — bit-identical to `functions.aggregate`'s interpreted
+    * fold (same init, same order, same IEEE adds) at compiled-loop
+    * cost. The BM25/RRF per-group term sums run this over their
+    * sort_array'd (key, weight) structs. */
+  def structDoubleFieldSum(arr: ArrayData, numFields: Int,
+                           fieldIdx: Int): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      acc += arr.getStruct(i, numFields).getDouble(fieldIdx)
+      i += 1
+    }
+    acc
+  }
+
   /** [[GraftExpressions.DequantizeVec]] body: `lo + (code + 128)·scale`
     * per element. */
   def dequantize(codes: ArrayData, lo: Double, scale: Double): ArrayData = {

@@ -131,14 +131,17 @@ object Retrieval {
 
     // deterministic cross-row sum: token-ordered left fold (tokens are
     // unique per (query, doc) — tf is already grouped — so the struct
-    // sort is a total order); then the 1e-10 quantization that makes
-    // the score engine-portable despite the ln ulp spread (scaladoc)
+    // sort is a total order), through the compiled StructDoubleFieldSum
+    // kernel (functions.aggregate interprets its lambda per element —
+    // at |queries|·|candidates| groups that interpretation dominated
+    // the serving stage); then the 1e-10 quantization that makes the
+    // score engine-portable despite the ln ulp spread (scaladoc)
     val summed = weighted.groupBy("query_id", "doc_id")
       .agg(sort_array(collect_list(struct(col("token"), col("w"))))
         .as("tw"))
       .select(col("query_id"), col("doc_id"),
-        round(aggregate(col("tw"), lit(0.0),
-          (acc, x) => acc + x.getField("w")), 10).as("score"))
+        round(graft.expressions.GraftExpressions
+          .structDoubleFieldSum(col("tw"), 2, 1), 10).as("score"))
 
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id"))
@@ -208,8 +211,8 @@ object Retrieval {
       .agg(sort_array(collect_list(struct(col("src"), col("contrib"))))
         .as("cs"))
       .select(col("query_id"), col("doc_id"),
-        aggregate(col("cs"), lit(0.0),
-          (acc, x) => acc + x.getField("contrib")).as("score"))
+        graft.expressions.GraftExpressions
+          .structDoubleFieldSum(col("cs"), 2, 1).as("score"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id"))
     fused.withColumn("rank", row_number().over(w))
