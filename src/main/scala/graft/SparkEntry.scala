@@ -800,6 +800,15 @@ object SparkEntry {
         .withColumnRenamed("rank", "rk")
     }),
 
+    "ann_sq_topk" -> ((s, dir) => {
+      // asymmetric int8 serving: corpus quantized+dequantized on the
+      // fly (the 4×-smaller-store path), queries full precision —
+      // ann_cosine_topk's conventions otherwise
+      val emb = t(s, dir, "embeddings")
+      Similarity.sqTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .withColumnRenamed("rank", "rk")
+    }),
+
     "ann_pq_topk" -> ((s, dir) => {
       // product-quantized ANN with exact re-rank (deterministic end-to-end:
       // first-N seeds, fixed Lloyd iterations, decimal-exact means, id
@@ -933,6 +942,22 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id").as("doc_id"),
           col("rank"))
       graft.llm.Retrieval.rrfFuse(Seq(sparse, dense), k = 5)
+    }),
+
+    "text_bm25_index_merge" -> ((s, dir) => {
+      // incremental index maintenance: the corpus indexed as two
+      // disjoint halves, merged relationally (integer-exact), then
+      // served — the oracle is the FULL-REBUILD twin (identical SQL to
+      // text_bm25_topk), so the gate proves merge ≡ rebuild bit-for-bit
+      val docs = t(s, dir, "documents")
+      val idx = graft.llm.Retrieval.mergeBm25Indexes(Seq(
+        graft.llm.Retrieval.bm25Index(docs.filter(col("doc_id") % 2 === 0)),
+        graft.llm.Retrieval.bm25Index(docs.filter(col("doc_id") % 2 === 1))))
+      val q = docs.filter(col("doc_id") % 25 === 0 && col("doc_id") < 500)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(TA.normalizeText(col("text")), " "),
+            1, 6), " ").as("query_text"))
+      graft.llm.Retrieval.bm25TopKAgainst(idx, q, k = 5)
     }),
 
     "retrieval_metrics" -> ((s, dir) => {
@@ -1511,7 +1536,43 @@ object SparkEntry {
       s"sqrt(list_sum([$b[k] * $b[k] for k in range(1, 65)])))"
 
   // =====================================================================
+  // shared by text_bm25_topk AND text_bm25_index_merge: the merge path
+  // must serve bit-identically to a full rebuild, so its oracle IS the
+  // rebuild twin
+  private val Bm25TopkOracle: String =
+    """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM documents),
+      |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM norm),
+      |tk AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      |dfq AS (SELECT token, count(*) AS docfreq FROM tf GROUP BY 1),
+      |st AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+      |tot AS (SELECT coalesce(sum(dl), 0) AS toklen FROM dl),
+      |qs AS (SELECT doc_id AS query_id,
+      |       array_to_string(list_slice(string_split(t, ' '), 1, 6), ' ') AS qt
+      |       FROM norm WHERE doc_id % 25 = 0 AND doc_id < 500),
+      |qtm AS (SELECT DISTINCT query_id, token FROM
+      |       (SELECT query_id, unnest(string_split(qt, ' ')) AS token FROM qs)
+      |       WHERE length(token) > 0),
+      |w AS (SELECT q.query_id, f.doc_id, f.token,
+      |      ln((st.n - d.docfreq + 0.5) / (d.docfreq + 0.5) + 1.0) *
+      |      ((f.tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
+      |       (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl /
+      |          (CAST(tot.toklen AS DOUBLE) / st.n)))) AS w
+      |      FROM qtm q JOIN dfq d USING (token) JOIN tf f USING (token)
+      |      JOIN dl l ON f.doc_id = l.doc_id, st, tot),
+      |sc AS (SELECT query_id, doc_id,
+      |       round(list_sum(list(w ORDER BY token)), 10) AS score
+      |       FROM w GROUP BY 1, 2),
+      |rk AS (SELECT query_id, doc_id, score,
+      |       row_number() OVER (PARTITION BY query_id
+      |                          ORDER BY score DESC, doc_id) AS rank FROM sc)
+      |SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank, score
+      |FROM rk WHERE rank <= 5""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "text_bm25_index_merge" -> Bm25TopkOracle,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2007,6 +2068,30 @@ object SparkEntry {
         |      FROM c a CROSS JOIN c b
         |      WHERE a.vec_id % 7 = 0 AND b.vec_id % 7 != 0)
         |SELECT i, j, round(sim, 6) AS sim FROM s WHERE sim >= 0.4""".stripMargin,
+
+    // asymmetric SQ serving: the corpus side re-derives quantize →
+    // dequantize exactly (the emb_scalar_quant pipeline inline), the
+    // query side stays float; cosine/rank as the ann_cosine twin
+    "ann_sq_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |st AS (SELECT vec_id, v, list_min(v) AS lo,
+        |       (list_max(v) - list_min(v)) / 255.0 AS scale FROM e),
+        |r AS (SELECT vec_id, [lo + (CAST((CASE WHEN scale = 0 THEN -128
+        |           ELSE least(255, greatest(0,
+        |             CAST(round((v[i] - lo) / scale) AS INTEGER))) - 128
+        |         END) + 128 AS DOUBLE) * scale) for i in range(1, 65)] AS cv
+        |       FROM st),
+        |q AS (SELECT vec_id, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT q.vec_id AS query_id, r.vec_id AS corpus_id,
+        |        list_sum([r.cv[i] * q.qv[i] for i in range(1, 65)]) /
+        |        (sqrt(list_sum([r.cv[i] * r.cv[i] for i in range(1, 65)])) *
+        |         sqrt(list_sum([q.qv[i] * q.qv[i] for i in range(1, 65)]))) AS sim
+        |      FROM r CROSS JOIN q WHERE q.vec_id <> r.vec_id),
+        |rnk AS (SELECT query_id, corpus_id, sim,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY sim DESC, corpus_id) AS rk FROM s)
+        |SELECT query_id, rk, corpus_id, round(sim, 6) AS sim
+        |FROM rnk WHERE rk <= 10""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -3110,37 +3195,7 @@ object SparkEntry {
     // (1.2 + 1.0) would be the EXACT decimal 2.2 while the JVM adds
     // doubles (2.1999999999999997) — an ulp apart after the multiply.
     // The other literals (0.5, 0.75, 1.0) are dyadic-exact in both.
-    "text_bm25_topk" ->
-      """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
-        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM documents),
-        |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM norm),
-        |tk AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-        |dfq AS (SELECT token, count(*) AS docfreq FROM tf GROUP BY 1),
-        |st AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
-        |tot AS (SELECT coalesce(sum(dl), 0) AS toklen FROM dl),
-        |qs AS (SELECT doc_id AS query_id,
-        |       array_to_string(list_slice(string_split(t, ' '), 1, 6), ' ') AS qt
-        |       FROM norm WHERE doc_id % 25 = 0 AND doc_id < 500),
-        |qtm AS (SELECT DISTINCT query_id, token FROM
-        |       (SELECT query_id, unnest(string_split(qt, ' ')) AS token FROM qs)
-        |       WHERE length(token) > 0),
-        |w AS (SELECT q.query_id, f.doc_id, f.token,
-        |      ln((st.n - d.docfreq + 0.5) / (d.docfreq + 0.5) + 1.0) *
-        |      ((f.tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
-        |       (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl /
-        |          (CAST(tot.toklen AS DOUBLE) / st.n)))) AS w
-        |      FROM qtm q JOIN dfq d USING (token) JOIN tf f USING (token)
-        |      JOIN dl l ON f.doc_id = l.doc_id, st, tot),
-        |sc AS (SELECT query_id, doc_id,
-        |       round(list_sum(list(w ORDER BY token)), 10) AS score
-        |       FROM w GROUP BY 1, 2),
-        |rk AS (SELECT query_id, doc_id, score,
-        |       row_number() OVER (PARTITION BY query_id
-        |                          ORDER BY score DESC, doc_id) AS rank FROM sc)
-        |SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank, score
-        |FROM rk WHERE rank <= 5""".stripMargin,
+    "text_bm25_topk" -> Bm25TopkOracle,
 
     // RRF hybrid: the full BM25 twin + the ann_cosine twin, fused on
     // ranks only — each contribution is one exact division (the 1.0

@@ -83,6 +83,31 @@ object Retrieval {
     Bm25Index(tf.join(dl, "doc_id"), dfreq, ndocs.crossJoin(toklen))
   }
 
+  /** Merge per-slice [[Bm25Index]] parts into the index of their union
+    * — incremental index MAINTENANCE, the retrieval sibling of
+    * [[Corpus.mergeHeavyHitterSketches]]/[[Corpus.mergeDistinctSketches]]:
+    * yesterday's index plus today's batch-index equals a full rebuild,
+    * exactly. Every merged statistic is integer arithmetic (postings
+    * and doc lengths are doc-local → plain union; docfreq sums per
+    * token; N and toklen add), so serving from the merged index is
+    * BIT-IDENTICAL to serving from `bm25Index` of the union — the
+    * oracle for the merge path IS the full-rebuild twin.
+    *
+    * CONTRACT: parts must cover DISJOINT doc-id sets (each doc indexed
+    * by exactly one part). A doc present in two parts double-counts in
+    * docfreq/N/toklen — this is not checkable without a join over the
+    * postings, so it is the caller's invariant (the natural slicing —
+    * by arrival batch — satisfies it by construction). */
+  def mergeBm25Indexes(parts: Seq[Bm25Index]): Bm25Index = {
+    require(parts.nonEmpty, "mergeBm25Indexes needs at least one part")
+    val postings = parts.map(_.postings).reduce(_ unionByName _)
+    val docFreq = parts.map(_.docFreq).reduce(_ unionByName _)
+      .groupBy("token").agg(sum("docfreq").as("docfreq"))
+    val stats = parts.map(_.stats).reduce(_ unionByName _)
+      .agg(sum("n").as("n"), sum("toklen").as("toklen"))
+    Bm25Index(postings, docFreq, stats)
+  }
+
   /** BM25 top-k against a pre-built (possibly parquet-reloaded)
     * [[Bm25Index]] — the serving path: query terms ⋈ docFreq (tiny ×
     * token-partitioned, idf + optional stop-term prune BEFORE the

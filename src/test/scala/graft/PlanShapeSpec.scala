@@ -196,7 +196,8 @@ class PlanShapeSpec extends SparkSpec {
     // with at least one map-side (Partial) WindowGroupLimit.
     val windowTopK = Seq("tfidf_keywords", "ann_cosine_topk",
       "ann_ivf_topk", "ann_pq_topk", "ann_ivf_pq_topk", "a6_keep_latest",
-      "emb_hard_negatives", "text_bm25_topk", "text_hybrid_rrf")
+      "emb_hard_negatives", "text_bm25_topk", "text_hybrid_rrf",
+      "ann_sq_topk", "text_bm25_index_merge")
     windowTopK.foreach { name =>
       val df = q(name)
       df.queryExecution.toRdd.foreach(_ => ())

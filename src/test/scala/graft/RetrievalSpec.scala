@@ -136,6 +136,26 @@ class RetrievalSpec extends SparkSpec {
     assert(d2score == expect, s"$d2score != $expect")
   }
 
+  test("mergeBm25Indexes: merged halves serve bit-identically to a full rebuild") {
+    val docs = docs3.union(Seq((4L, "cherry cherry banana apple"))
+      .toDF("doc_id", "text"))
+    val q = Seq((10L, "apple cherry"), (11L, "banana date"))
+      .toDF("query_id", "query_text")
+    val full = Retrieval.bm25TopK(docs, q, k = 4)
+    val merged = Retrieval.mergeBm25Indexes(Seq(
+      Retrieval.bm25Index(docs.filter(col("doc_id") % 2 === 0)),
+      Retrieval.bm25Index(docs.filter(col("doc_id") % 2 === 1))))
+    val served = Retrieval.bm25TopKAgainst(merged, q, k = 4)
+    assert(served.exceptAll(full).isEmpty && full.exceptAll(served).isEmpty)
+    // single-part merge is the identity
+    val one = Retrieval.bm25TopKAgainst(
+      Retrieval.mergeBm25Indexes(Seq(Retrieval.bm25Index(docs))), q, k = 4)
+    assert(one.exceptAll(full).isEmpty && full.exceptAll(one).isEmpty)
+    intercept[IllegalArgumentException] {
+      Retrieval.mergeBm25Indexes(Seq.empty)
+    }
+  }
+
   test("rrfFuse: hand-computed fusion, single-source docs, determinism") {
     val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
       .toDF("query_id", "doc_id", "rank")

@@ -515,6 +515,24 @@ class SimilaritySpec extends SparkSpec {
     assert(sq(1)._5.isEmpty && sq(1)._2.isEmpty && sq(1)._4 == null)
   }
 
+  test("sqTopK: high agreement with the exact search from 4x less data") {
+    import spark.implicits._
+    val emb = Tables.load(spark, sf0, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 10)
+      .select(col("query_id"), col("corpus_id")).as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sq = Similarity.sqTopK(emb, q, k = 10)
+      .select(col("query_id"), col("corpus_id")).as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(sq.keySet == exact.keySet)
+    val recalls = exact.map { case (qid, want) =>
+      sq(qid).intersect(want).size.toDouble / want.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean SQ recall@10 $mean < 0.9 " +
+      s"(per-query ${recalls.toSeq.sorted.mkString(",")})")
+  }
+
   test("scalarQuantize is a zero-exchange scan-side projection") {
     val emb = Tables.load(spark, sf0, "embeddings")
     val plan = Similarity.scalarQuantize(emb)
