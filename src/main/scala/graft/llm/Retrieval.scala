@@ -268,8 +268,12 @@ object Retrieval {
                      k: Int = 10): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val ln2 = graft.expressions.GraftExpressions.platformLn(lit(2.0))
-    val rel = truth.select(col("query_id"), col("doc_id"), lit(1).as("rel"))
-    val nrel = truth.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    // dedup the truth pairs defensively: a duplicated (query, doc) row
+    // would MULTIPLY the matching run row through the left join (hits
+    // and DCG double-count) and inflate n_rel — relevance is a set
+    val uniq = truth.select(col("query_id"), col("doc_id")).distinct()
+    val rel = uniq.select(col("query_id"), col("doc_id"), lit(1).as("rel"))
+    val nrel = uniq.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
     val per = run.filter(col("rank") <= k)
       .join(rel, Seq("query_id", "doc_id"), "left")
       .groupBy("query_id")

@@ -776,13 +776,21 @@ object Similarity {
     * Accuracy: recon error ≤ scale/2 per element shifts cosines by
     * O(scale/‖v‖) — rank flips only between near-equal neighbors (spec
     * asserts top-k agreement with the exact search on the test
-    * corpus). For pre-quantized stores, pass the index frame through
-    * [[dequantize]] directly instead. */
+    * corpus). */
   def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              idCol: String = "vec_id",
-             vecCol: String = "embedding"): DataFrame = {
-    val sq = scalarQuantize(corpus, idCol, vecCol)
-    val recon = sq.select(col(idCol).as("corpus_id"),
+             vecCol: String = "embedding"): DataFrame =
+    sqTopKAgainst(scalarQuantize(corpus, idCol, vecCol), queries, k,
+      idCol, vecCol)
+
+  /** [[sqTopK]] against a PRE-quantized (possibly parquet-reloaded)
+    * store — the Against/serving form: `quantized` is a
+    * [[scalarQuantize]] output frame (id, lo, scale, codes), quantized
+    * once, served many times. */
+  def sqTopKAgainst(quantized: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val recon = quantized.select(col(idCol).as("corpus_id"),
       dequantize(col("codes"), col("lo"), col("scale")).as("cv"))
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))

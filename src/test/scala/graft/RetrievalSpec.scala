@@ -205,6 +205,13 @@ class RetrievalSpec extends SparkSpec {
     // query 2: relevant doc exists but was not retrieved
     assert(q2._2 == 1L && q2._3 == 0L && q2._4 == 0.0 &&
       q2._5 == 0.0 && q2._6 == 0.0)
+    // duplicated truth pairs are a set, not a multiplier: identical
+    // metrics with the (1,11) judgment repeated
+    val dupTruth = truth.union(Seq((1L, 11L)).toDF("query_id", "doc_id"))
+    val again = Retrieval.rankingMetrics(run, dupTruth, k = 3)
+      .as[(Long, Long, Long, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(again.toSeq == got.toSeq)
   }
 
   test("bm25TopK is invariant under repartitioning") {

@@ -533,6 +533,17 @@ class SimilaritySpec extends SparkSpec {
       s"(per-query ${recalls.toSeq.sorted.mkString(",")})")
   }
 
+  test("sqTopKAgainst: the parquet-reloaded quantized store serves identically") {
+    val emb = Tables.load(spark, sf0, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val direct = Similarity.sqTopK(emb, q, k = 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq").toString
+    Similarity.scalarQuantize(emb).write.parquet(s"$dir/codes")
+    val served = Similarity.sqTopKAgainst(
+      spark.read.parquet(s"$dir/codes"), q, k = 10)
+    assert(served.exceptAll(direct).isEmpty && direct.exceptAll(served).isEmpty)
+  }
+
   test("scalarQuantize is a zero-exchange scan-side projection") {
     val emb = Tables.load(spark, sf0, "embeddings")
     val plan = Similarity.scalarQuantize(emb)
