@@ -873,6 +873,12 @@ object GraftExpressions {
       es => MisraGries(es(0),
         intLit(es(1), "graft_misra_gries", "capacity"))
         .toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_platform_ln",
+      es => PlatformLog(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_scalar_quantize",
+      es => ScalarQuantizeVec(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_dequantize",
+      es => DequantizeVec(es(0), es(1), es(2)), "scala_udf")
   }
 
   /** Fold a literal int argument of a SQL-registered graft function. */

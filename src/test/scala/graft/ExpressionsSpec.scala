@@ -97,6 +97,18 @@ class ExpressionsSpec extends SparkSpec {
         |FROM VALUES ('a'), ('b'), ('a') AS v(t)""".stripMargin).collect()(0)
     assert(r3.getSeq[org.apache.spark.sql.Row](0)
       .map(e => (e.getString(0), e.getLong(1))) == Seq(("a", 2L), ("b", 1L)))
+    // session-4 scalars: intrinsic ln + the quantize/dequantize pair
+    val r4 = spark.sql(
+      """SELECT graft_platform_ln(1.0d) l,
+        |       graft_scalar_quantize(array(0.0d, 1.0d)) q,
+        |       graft_dequantize(
+        |         graft_scalar_quantize(array(0.0d, 255.0d)).codes,
+        |         0.0d, 1.0d) d""".stripMargin).collect()(0)
+    assert(r4.getDouble(0) == 0.0)
+    val qrow = r4.getStruct(1)
+    assert(qrow.getDouble(0) == 0.0 &&
+      qrow.getSeq[Byte](2) == Seq(-128.toByte, 127.toByte))
+    assert(r4.getSeq[Double](2) == Seq(0.0, 255.0))
   }
 
   test("SignatureAgreement matches the zip_with/filter column stack bit-for-bit") {
