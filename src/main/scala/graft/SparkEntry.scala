@@ -1285,6 +1285,18 @@ object SparkEntry {
         tagged.reduce(_ unionByName _), capacity = 2048)
     }),
 
+    "doc_len_quantile_sketch" -> ((s, dir) => {
+      // incremental distribution tracking: per-slice KLL sketches over
+      // doc length, merged relationally, quantiles read INCLUSIVE; at
+      // this scale no compaction fires (n ≤ k) so the quantiles are
+      // EXACT discrete percentiles and the hash gate checks them
+      val docs = t(s, dir, "documents")
+      val sk = graft.llm.Corpus.quantileSketch(docs, "n_chars",
+        col("doc_id") % 3, k = 1024)
+      graft.llm.Corpus.mergeQuantileSketches(sk,
+        qs = Seq(0.25, 0.5, 0.75, 0.9), k = 1024)
+    }),
+
     "vocab_distinct_sketch" -> ((s, dir) => {
       // incremental distinct counting: per-slice HLL sketches (bounded
       // binaries), relational hll_union merge; the vocabulary here is
@@ -2593,6 +2605,22 @@ object SparkEntry {
         |tot AS (SELECT count(*) AS n FROM tk)
         |SELECT token, count(*) AS count_lb, tot.n AS n_part
         |FROM tk, tot GROUP BY token, tot.n""".stripMargin,
+
+    // the KLL exact regime (n ≤ k, no compaction): the INCLUSIVE
+    // quantile — smallest value with cumulative weight ≥ q·N, the q·N
+    // product computed in double on both sides
+    "doc_len_quantile_sketch" ->
+      """WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+        |           WHERE n_chars IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM v),
+        |c AS (SELECT x, count(*) AS cnt FROM v GROUP BY x),
+        |cum AS (SELECT x, sum(cnt) OVER (ORDER BY x) AS cw FROM c),
+        |qs AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |                      CAST(0.75 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS q)
+        |SELECT qs.q AS q,
+        |       (SELECT min(x) FROM cum WHERE cw >= qs.q * n.n) AS value,
+        |       n.n AS n_rows
+        |FROM qs, n""".stripMargin,
 
     // the streaming HLL build in the same exact regime: per-slice rows
     // only (no merged -1 row — the stream emits slice state)

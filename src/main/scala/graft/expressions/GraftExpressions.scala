@@ -850,6 +850,23 @@ object GraftExpressions {
   def misraGries(item: Column, capacity: Int): Column =
     toCol(MisraGries(expr(item), capacity).toAggregateExpression())
 
+  /** KLL quantile sketch aggregate over a DOUBLE column → sketch
+    * binary; see [[KllSketchAgg]]. */
+  def kllSketch(value: Column, k: Int): Column =
+    toCol(KllSketchAgg(expr(value.cast("double")), k)
+      .toAggregateExpression())
+
+  /** Union stored KLL sketch binaries → merged sketch binary. */
+  def kllMerge(sketch: Column, k: Int): Column =
+    toCol(KllMergeAgg(expr(sketch), k).toAggregateExpression())
+
+  /** Quantiles out of a KLL sketch binary (INCLUSIVE semantics). */
+  def kllQuantiles(sketch: Column, qs: Seq[Double]): Column =
+    toCol(KllQuantileValues(expr(sketch), qs))
+
+  /** The item count a KLL sketch has absorbed. */
+  def kllN(sketch: Column): Column = toCol(KllSketchN(expr(sketch)))
+
   /** Register all graft expressions for SQL use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -1,0 +1,198 @@
+package graft.expressions
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** KLL quantile sketch aggregates — the QUANTILE member of the
+  * mergeable-sketch trio ([[MisraGries]] heavy hitters, Datasketches HLL
+  * distinct counts, and this): bounded-memory distribution summaries per
+  * corpus slice, persistable as binary columns and mergeable without
+  * rescanning history. Built on the Datasketches KLL implementation
+  * already on Spark's classpath (Karnin–Lang–Liberty 2016).
+  *
+  * Accuracy contract mirrors the HLL family's: the sketch is EXACT
+  * while its level-0 buffer holds every arrival (n ≤ k — no compaction
+  * has fired), and ~1.65/√k normalized-rank error beyond; approximation
+  * past that point is the operator's design. Quantiles are read with
+  * INCLUSIVE search semantics: the smallest retained value whose
+  * cumulative weight ≥ q·N — in the exact regime that is precisely the
+  * discrete percentile, and the oracle SQL reproduces the same
+  * definition from cumulative counts.
+  */
+object KllQuantiles {
+  def heapify(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+}
+
+/** Aggregate double values into one KLL sketch binary (`k` controls
+  * both the exactness horizon and the compressed error). Nulls skipped;
+  * an empty group yields an empty sketch (deserializable, n = 0). */
+case class KllSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllDoublesSketch] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 8 || k > 65535) {
+      TypeCheckResult.TypeCheckFailure(s"k=$k outside KLL's [8, 65535]")
+    } else if (child.dataType != DoubleType) {
+      TypeCheckResult.TypeCheckFailure(
+        s"expected DOUBLE input, got ${child.dataType.catalogString} — " +
+          "cast the measure column explicitly")
+    } else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buf: KllDoublesSketch,
+                      input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(a: KllDoublesSketch,
+                     b: KllDoublesSketch): KllDoublesSketch = {
+    a.merge(b)
+    a
+  }
+
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+
+  override def serialize(buf: KllDoublesSketch): Array[Byte] =
+    buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllQuantiles.heapify(bytes)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllSketchAgg =
+    copy(child = newChildren(0))
+  override def withNewMutableAggBufferOffset(offset: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = offset)
+  override def prettyName: String = "graft_kll_sketch"
+}
+
+/** Union stored KLL sketch binaries — the relational merge for
+  * slice-sketch frames (the `hll_union_agg` pattern): input is s
+  * bounded binaries regardless of the corpus behind them. `k` sizes
+  * the result sketch; merging a higher-k part into a lower-k target
+  * degrades to the target's accuracy (Datasketches semantics). */
+case class KllMergeAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllDoublesSketch] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 8 || k > 65535) {
+      TypeCheckResult.TypeCheckFailure(s"k=$k outside KLL's [8, 65535]")
+    } else if (child.dataType != BinaryType) {
+      TypeCheckResult.TypeCheckFailure(
+        s"expected a KLL sketch BINARY, got ${child.dataType.catalogString}")
+    } else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buf: KllDoublesSketch,
+                      input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.merge(KllQuantiles.heapify(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(a: KllDoublesSketch,
+                     b: KllDoublesSketch): KllDoublesSketch = {
+    a.merge(b)
+    a
+  }
+
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+
+  override def serialize(buf: KllDoublesSketch): Array[Byte] =
+    buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllQuantiles.heapify(bytes)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllMergeAgg =
+    copy(child = newChildren(0))
+  override def withNewMutableAggBufferOffset(offset: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = offset)
+  override def prettyName: String = "graft_kll_merge"
+}
+
+/** Read quantiles out of a KLL sketch binary: `array<double>` with one
+  * entry per requested rank (INCLUSIVE search — smallest retained value
+  * with cumulative weight ≥ q·N). Empty sketch → null (quantiles of
+  * nothing are undefined; SQL-null beats an exception inside a scan). */
+case class KllQuantileValues(child: Expression, qs: Seq[Double])
+  extends UnaryExpression {
+  require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+    s"ranks must lie in [0, 1], got $qs")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  def read(bytes: Array[Byte]): Any = {
+    val sk = KllQuantiles.heapify(bytes)
+    if (sk.isEmpty) null
+    else new GenericArrayData(qs.map(q =>
+      sk.getQuantile(q, QuantileSearchCriteria.INCLUSIVE)).toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    read(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kllQuantileValues", this)
+    val code = nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |Object r = $ref.read($c);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (${classOf[ArrayData].getName}) r; }
+       """.stripMargin
+    })
+    code
+  }
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(c: Expression): KllQuantileValues =
+    copy(c)
+  override def prettyName: String = "graft_kll_quantiles"
+}
+
+/** The sketch's retained-item count horizon: `n` as recorded by the
+  * sketch itself — pairs with the quantiles for exact-regime checks. */
+case class KllSketchN(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      KllQuantiles.heapify(input.asInstanceOf[Array[Byte]]).getN)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.KllQuantiles.heapify($c).getN();")
+  override protected def withNewChildInternal(c: Expression): KllSketchN =
+    copy(c)
+  override def prettyName: String = "graft_kll_n"
+}

@@ -394,6 +394,46 @@ object Corpus {
       .select(hll_sketch_estimate(col("merged")).as("distinct_tokens"),
         col("n_tokens"))
 
+  /** Per-slice KLL quantile sketches over a numeric measure (document
+    * length, quality score, …) — the QUANTILE member of the mergeable
+    * trio ([[heavyHittersSketch]] frequencies, [[distinctSketch]]
+    * cardinalities, this distributions): one bounded binary per slice,
+    * persistable, merged by [[mergeQuantileSketches]] so distribution
+    * tracking is incremental with no historical rescan.
+    *
+    * Accuracy: exact while a slice's count stays ≤ k (no compaction —
+    * the oracle's regime), ~1.65/√k normalized-rank error beyond.
+    * Output: (slice, sketch binary, n_rows). Null measures are skipped
+    * (the SQL aggregate convention); a slice of only-null measures
+    * still emits its row with an empty sketch. */
+  def quantileSketch(df: DataFrame, valueCol: String, sliceCol: Column,
+                     k: Int = 1024): DataFrame =
+    df.groupBy(sliceCol.as("slice"))
+      .agg(graft.expressions.GraftExpressions
+        .kllSketch(col(valueCol), k).as("sketch"),
+        count(col(valueCol)).as("n_rows"))
+
+  /** Merge [[quantileSketch]] frames and read the requested quantiles:
+    * one row per rank (q, value, n_rows) — INCLUSIVE semantics (the
+    * smallest value whose cumulative weight ≥ q·N). The merge input is
+    * s bounded binaries at ANY corpus size. An all-empty merge yields
+    * no rows (quantiles of nothing are undefined). */
+  def mergeQuantileSketches(sketches: DataFrame,
+                            qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9),
+                            k: Int = 1024): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"ranks must lie in [0, 1], got $qs")
+    val g = graft.expressions.GraftExpressions
+    val merged = sketches.agg(
+      g.kllMerge(col("sketch"), k).as("merged"),
+      coalesce(sum("n_rows"), lit(0L)).as("n_rows"))
+    merged.select(posexplode(g.kllQuantiles(col("merged"), qs))
+        .as(Seq("qi", "value")), col("n_rows"))
+      .select(element_at(
+          array(qs.map(lit(_)): _*), col("qi") + 1).as("q"),
+        col("value"), col("n_rows"))
+  }
+
   /** Distribution drift between two sub-corpora: the `topN` tokens whose
     * unigram frequency differs most between group `a` and group `b` of
     * `groupCol` — the data-mixing diagnostic ("what words make the web

@@ -75,7 +75,9 @@ object ExplainAudit extends App {
       // eval metrics: run + truth joins are |queries|·max(k,n_rel) rows
       "retrieval_metrics",
       // merged-index serving + the int8 asymmetric scan
-      "text_bm25_index_merge", "ann_sq_topk"))
+      "text_bm25_index_merge", "ann_sq_topk",
+      // KLL: slice partial-agg with bounded binaries, bounded merge
+      "doc_len_quantile_sketch"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

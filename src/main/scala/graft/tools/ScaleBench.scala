@@ -121,7 +121,10 @@ object ScaleBench {
     "text_bm25_index_merge",
     // asymmetric SQ scan: broadcast queries over quantized corpus,
     // ~linear like ann_cosine
-    "ann_sq_topk")
+    "ann_sq_topk",
+    // KLL sketches: per-row update cost, bounded exchange (the HLL
+    // shape; compaction amortizes past the exact regime)
+    "doc_len_quantile_sketch")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

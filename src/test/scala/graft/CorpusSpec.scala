@@ -156,6 +156,48 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("quantileSketch/merge: exact in-regime, slicing-invariant, sane beyond") {
+    // 1..10 over two slices: INCLUSIVE quantiles are hand-checkable
+    val df = spark.range(1, 11)
+      .select(col("id").as("doc_id"), col("id").cast("double").as("len"))
+    val sk = Corpus.quantileSketch(df, "len", col("doc_id") % 2)
+    assert(sk.count() == 2)
+    val got = Corpus.mergeQuantileSketches(sk,
+      qs = Seq(0.25, 0.5, 0.9, 1.0))
+      .as[(Double, Double, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0.25, 3.0, 10L), (0.5, 5.0, 10L), (0.9, 9.0, 10L), (1.0, 10.0, 10L)))
+    // a different slicing merges to the same quantiles
+    val other = Corpus.mergeQuantileSketches(
+      Corpus.quantileSketch(df, "len", col("doc_id") % 5),
+      qs = Seq(0.25, 0.5, 0.9, 1.0))
+      .as[(Double, Double, Long)].collect().sortBy(_._1)
+    assert(other.toSeq == got.toSeq)
+    // exact regime at four-digit n (n ≤ k → no compaction): the median
+    // of 1..1000 is exactly 500
+    val wide = spark.range(1, 1001)
+      .select(col("id").as("doc_id"), col("id").cast("double").as("len"))
+    val med = Corpus.mergeQuantileSketches(
+      Corpus.quantileSketch(wide, "len", col("doc_id") % 7, k = 1024),
+      qs = Seq(0.5), k = 1024).as[(Double, Double, Long)].head()
+    assert(med == ((0.5, 500.0, 1000L)))
+    // approximation regime (n ≫ k): rank error bounded (~1.65/√k)
+    val big = spark.range(1, 50001)
+      .select(col("id").as("doc_id"), col("id").cast("double").as("len"))
+    val approx = Corpus.mergeQuantileSketches(
+      Corpus.quantileSketch(big, "len", col("doc_id") % 4, k = 128),
+      qs = Seq(0.5), k = 128).as[(Double, Double, Long)].head()
+    assert(math.abs(approx._2 / 50000.0 - 0.5) < 0.2,
+      s"approx median ${approx._2} too far from 25000")
+    // an all-empty merge has no quantiles
+    val empty = df.filter(col("len").isNull)
+    assert(Corpus.mergeQuantileSketches(
+      Corpus.quantileSketch(empty, "len", col("doc_id") % 2)).isEmpty)
+    intercept[IllegalArgumentException] {
+      Corpus.mergeQuantileSketches(sk, qs = Seq(1.5))
+    }
+  }
+
   test("replicateByWeight: expected multiplicity per stratum, deterministic") {
     val df = spark.range(0, 4000)
       .select(col("id").as("doc_id"),
