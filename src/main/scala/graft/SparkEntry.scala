@@ -1297,6 +1297,19 @@ object SparkEntry {
         qs = Seq(0.25, 0.5, 0.75, 0.9), k = 1024)
     }),
 
+    "doc_len_quantile_stream" -> ((s, dir) => {
+      // the streaming KLL build: per-slice sketch state in the state
+      // store (complete mode, AvailableNow), merged + read post-drain —
+      // same exact regime, same oracle as the batch build
+      val schema = t(s, dir, "documents").schema
+      val sk = graft.llm.Corpus.quantileSketch(
+        streamDocs(s, dir, schema), "n_chars", col("doc_id") % 3,
+        k = 1024)
+      graft.llm.Corpus.mergeQuantileSketches(
+        drainStream(sk, "graft_kll_stream", complete = true),
+        qs = Seq(0.25, 0.5, 0.75, 0.9), k = 1024)
+    }),
+
     "vocab_distinct_sketch" -> ((s, dir) => {
       // incremental distinct counting: per-slice HLL sketches (bounded
       // binaries), relational hll_union merge; the vocabulary here is
@@ -1582,6 +1595,21 @@ object SparkEntry {
       |                          ORDER BY score DESC, doc_id) AS rank FROM sc)
       |SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank, score
       |FROM rk WHERE rank <= 5""".stripMargin
+
+  // shared by the batch and streaming KLL builds: in the exact regime
+  // (n ≤ k, no compaction) quantiles are insertion-order-independent
+  private val KllQuantileOracle: String =
+    """WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+      |           WHERE n_chars IS NOT NULL),
+      |n AS (SELECT count(*) AS n FROM v),
+      |c AS (SELECT x, count(*) AS cnt FROM v GROUP BY x),
+      |cum AS (SELECT x, sum(cnt) OVER (ORDER BY x) AS cw FROM c),
+      |qs AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+      |                      CAST(0.75 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS q)
+      |SELECT qs.q AS q,
+      |       (SELECT min(x) FROM cum WHERE cw >= qs.q * n.n) AS value,
+      |       n.n AS n_rows
+      |FROM qs, n""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "text_bm25_index_merge" -> Bm25TopkOracle,
@@ -2608,19 +2636,10 @@ object SparkEntry {
 
     // the KLL exact regime (n ≤ k, no compaction): the INCLUSIVE
     // quantile — smallest value with cumulative weight ≥ q·N, the q·N
-    // product computed in double on both sides
-    "doc_len_quantile_sketch" ->
-      """WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
-        |           WHERE n_chars IS NOT NULL),
-        |n AS (SELECT count(*) AS n FROM v),
-        |c AS (SELECT x, count(*) AS cnt FROM v GROUP BY x),
-        |cum AS (SELECT x, sum(cnt) OVER (ORDER BY x) AS cw FROM c),
-        |qs AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
-        |                      CAST(0.75 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS q)
-        |SELECT qs.q AS q,
-        |       (SELECT min(x) FROM cum WHERE cw >= qs.q * n.n) AS value,
-        |       n.n AS n_rows
-        |FROM qs, n""".stripMargin,
+    // product computed in double on both sides; the streaming build
+    // shares the twin (exact-regime quantiles are order-independent)
+    "doc_len_quantile_sketch" -> KllQuantileOracle,
+    "doc_len_quantile_stream" -> KllQuantileOracle,
 
     // the streaming HLL build in the same exact regime: per-slice rows
     // only (no merged -1 row — the stream emits slice state)

@@ -589,6 +589,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming KLL quantile sketch (complete mode) matches the batch quantiles") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-kll").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$dir/docs"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/docs/part-0.parquet"))
+    val schema = Tables.load(spark, sf0, "documents").schema
+    val stream = graft.llm.Corpus.quantileSketch(
+      spark.readStream.schema(schema).parquet(s"$dir/docs"),
+      "n_chars", col("doc_id") % 3, k = 1024)
+    val drained = Streaming.runAvailableNow(stream,
+      "kll_stream_test", s"$dir/ckpt")
+    val got = graft.llm.Corpus.mergeQuantileSketches(drained, k = 1024)
+    val want = graft.llm.Corpus.mergeQuantileSketches(
+      graft.llm.Corpus.quantileSketch(
+        Tables.load(spark, sf0, "documents"), "n_chars",
+        col("doc_id") % 3, k = 1024), k = 1024)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("session_window agrees with the batch sessionization kernel") {
     val ev = Tables.load(spark, sf0, "events")
     // batch session_window (same logical op the streaming variant runs)
