@@ -711,6 +711,17 @@ object SparkEntry {
             n = 3, threshold = 0.5))
         .withColumnRenamed("id", "doc_id")),
 
+    "dedup_keep_representative" -> ((s, dir) =>
+      // canonical-doc selection: collapse each transitive near-dup
+      // cluster to its longest member (ties → min id), singletons pass
+      // through as their own comp; the oracle extends the
+      // dedup_components recursive CTE with an argmax + anti-join twin
+      Dedup.keepClusterRepresentative(
+          t(s, dir, "documents"), "doc_id", length(col("text")),
+          Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+            n = 3, threshold = 0.5))
+        .select("doc_id", "comp", "cluster_size")),
+
     "dedup_exact_incremental" -> ((s, dir) => {
       // cross-corpus exact dedup: which "new batch" docs (doc_id % 7 == 0)
       // already exist in the corpus (the rest)? Corpus reduces to one row
@@ -922,6 +933,11 @@ object SparkEntry {
     "text_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"), TA.langId(col("text")).as("lang_pred"))),
+
+    "text_token_stats_by_lang" -> ((s, dir) =>
+      // tokenizer-fertility rollup: integer-exact token/subword/char
+      // sums per predicted language, one bounded-domain exchange
+      TA.tokenStatsByLang(t(s, dir, "documents"), "text")),
 
     "text_hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval: the BM25 sparse list fused with a dense
@@ -2039,6 +2055,40 @@ object SparkEntry {
         |  UNION
         |  SELECT e.i, walk.comp FROM e JOIN walk ON e.j = walk.id)
         |SELECT id AS doc_id, min(comp) AS comp FROM walk GROUP BY id""".stripMargin,
+
+    "dedup_keep_representative" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(words[i:i+2], ' ')
+        |                 for i in range(1, greatest(len(words) - 2, 1) + 1)]) AS s
+        |  FROM w),
+        |inv AS (SELECT doc_id, len(s) AS ssize, unnest(s) AS shingle FROM sh),
+        |p AS (SELECT a.doc_id AS i, b.doc_id AS j, a.ssize AS si, b.ssize AS sj,
+        |        count(*) AS inter
+        |      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2, 3, 4),
+        |pr AS (SELECT i, j FROM p
+        |       WHERE CAST(inter AS DOUBLE) / CAST(si + sj - inter AS DOUBLE) >= 0.5),
+        |e AS (SELECT i, j FROM pr UNION SELECT j AS i, i AS j FROM pr),
+        |nodes AS (SELECT DISTINCT i AS id FROM e),
+        |walk(id, comp) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.i, walk.comp FROM e JOIN walk ON e.j = walk.id),
+        |comps AS (SELECT id AS doc_id, min(comp) AS comp FROM walk GROUP BY id),
+        |sz AS (SELECT comp, count(*) AS cluster_size FROM comps GROUP BY comp),
+        |cl AS (SELECT d.doc_id, c.comp, length(d.text) AS score
+        |       FROM documents d JOIN comps c USING (doc_id)),
+        |best AS (SELECT comp, max(score) AS best FROM cl GROUP BY comp),
+        |rep AS (SELECT cl.comp, min(cl.doc_id) AS doc_id
+        |        FROM cl JOIN best ON cl.comp = best.comp AND cl.score = best.best
+        |        GROUP BY cl.comp)
+        |SELECT r.doc_id, r.comp, sz.cluster_size
+        |FROM rep r JOIN sz USING (comp)
+        |UNION ALL
+        |SELECT d.doc_id, d.doc_id AS comp, CAST(1 AS BIGINT) AS cluster_size
+        |FROM documents d LEFT JOIN comps c USING (doc_id)
+        |WHERE c.comp IS NULL""".stripMargin,
 
     "dedup_exact_incremental" ->
       """SELECT n.doc_id AS i, min(c.doc_id) AS j,
@@ -3411,6 +3461,34 @@ object SparkEntry {
         |      WHEN sfr > 0 AND sfr >= sde AND sfr >= sen AND sfr >= ses THEN 'fr'
         |      ELSE 'und' END AS lang_pred
         |FROM sc""".stripMargin,
+
+    // the langid CASE is text_langid's twin verbatim; the measures are
+    // text_tokens' twin aggregated — integer-exact sums, fertility
+    // derived from them at the end (null when a bucket has no tokens)
+    "text_token_stats_by_lang" ->
+      """WITH w AS (SELECT doc_id, text,
+        |  string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |sc AS (SELECT doc_id, text, words,
+        |  len(list_filter(words, x -> lower(x) IN ('der','die','das','und','ist','nicht','ein','mit'))) AS sde,
+        |  len(list_filter(words, x -> lower(x) IN ('the','and','is','of','to','in','that','it'))) AS sen,
+        |  len(list_filter(words, x -> lower(x) IN ('el','la','los','que','y','es','en','un'))) AS ses,
+        |  len(list_filter(words, x -> lower(x) IN ('le','la','les','et','est','que','des','une'))) AS sfr
+        |  FROM w),
+        |l AS (SELECT doc_id, text, words,
+        | CASE WHEN sde > 0 AND sde >= sen AND sde >= ses AND sde >= sfr THEN 'de'
+        |      WHEN sen > 0 AND sen >= sde AND sen >= ses AND sen >= sfr THEN 'en'
+        |      WHEN ses > 0 AND ses >= sde AND ses >= sen AND ses >= sfr THEN 'es'
+        |      WHEN sfr > 0 AND sfr >= sde AND sfr >= sen AND sfr >= ses THEN 'fr'
+        |      ELSE 'und' END AS lang_pred
+        |FROM sc)
+        |SELECT lang_pred, count(*) AS n_docs,
+        | CAST(sum(len(words)) AS BIGINT) AS n_tokens,
+        | CAST(sum(list_sum([CAST(ceil(length(x) / 4.0) AS BIGINT) for x in words])) AS BIGINT) AS n_subwords,
+        | CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        | CASE WHEN sum(len(words)) > 0 THEN
+        |   round(CAST(sum(list_sum([CAST(ceil(length(x) / 4.0) AS BIGINT) for x in words])) AS DOUBLE)
+        |     / sum(len(words)), 6) END AS fertility
+        |FROM l GROUP BY lang_pred""".stripMargin,
 
     // RE2's \p{Han} ≡ Java's \p{IsHan}; counts by remove-and-diff in
     // code points (both engines' length/regexp_replace are

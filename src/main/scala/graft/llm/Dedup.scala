@@ -1088,6 +1088,56 @@ object Dedup {
       Map("total" -> total, "kept" -> kept, "removed" -> (total - kept)))
   }
 
+  /** Quality-aware canonical-document selection after near-dup clustering:
+    * collapse every transitive duplicate cluster of `pairs` to the single
+    * member with the HIGHEST `score` (ties to the smallest id, so the
+    * result is deterministic under any partitioning), and pass unclustered
+    * documents through untouched. This is the keep-the-best complement to
+    * [[dedupCorpus]]'s keep-the-min-id policy — real pipelines keep the
+    * longest / highest-quality member of a duplicate cluster, not an
+    * arbitrary one (cf. the reference's version dedup keeping the LATEST
+    * row per key, documents.py:61).
+    *
+    * Returns `df`'s columns plus `comp` (the cluster label — min reachable
+    * id, or the doc's own id for singletons) and `cluster_size`.
+    *
+    * Shuffle shape at 100 TB: the component table holds ONLY docs that
+    * appear in a dup pair. Its row count is read off the already-
+    * checkpointed closure result (cheap — no recompute), and below
+    * `broadcastLabelLimit` (default 10M labels ≈ 160 MB) BOTH corpus-side
+    * joins (inner for clustered docs, anti for singletons) get an explicit
+    * broadcast hint — without it the checkpoint leaf has no stats, the
+    * planner picks a sort-merge join, and even AQE's BHJ rescue still
+    * pays a full-corpus shuffle WRITE. Above the limit the hint is
+    * withheld (a pathologically clustered corpus must not OOM the
+    * executors) and the joins co-shuffle on id. The representative choice
+    * shuffles only the clustered slice, on `comp`, and the rank-1 filter
+    * is pushed to the map side as a WindowGroupLimit (plan-guarded in
+    * PlanShapeSpec, like [[graft.llm.Similarity.knnLabelVote]]'s).
+    * Cluster sizes ride the already-tiny (id, comp) table, not the
+    * corpus. */
+  def keepClusterRepresentative(df: DataFrame, idCol: String, score: Column,
+                                pairs: DataFrame, maxIter: Int = 10,
+                                broadcastLabelLimit: Long = 10000000L)
+      : DataFrame = {
+    val comps0 = connectedComponents(pairs, maxIter)
+    val comps =
+      if (comps0.count() <= broadcastLabelLimit) broadcast(comps0) else comps0
+    val sizes = comps.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    val clustered = df.join(comps.withColumnRenamed("id", idCol), Seq(idCol))
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(score.desc, col(idCol).asc)
+    val reps = clustered
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+      .join(sizes, Seq("comp"))
+    val singletons = df
+      .join(comps.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      .withColumn("comp", col(idCol))
+      .withColumn("cluster_size", lit(1L))
+    reps.unionByName(singletons.select(reps.columns.map(col): _*))
+  }
+
   // ------------------------------------------------------------ minhash
   /** Deterministic seed list for the signature hash family. */
   private def seeds(k: Int): Seq[Int] = (0 until k).map(i => 0x9e3779b9 + i * 0x85ebca6b)

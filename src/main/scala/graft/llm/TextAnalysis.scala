@@ -311,6 +311,29 @@ object TextAnalysis {
           .as(Seq("chunk_index", "chunk")))
       .withColumn("n_tokens", tokenCount(col("chunk")).cast("long"))
 
+  /** Per-language corpus token statistics — the tokenizer-fertility table
+    * multilingual corpus reports are built from (docs, whitespace tokens,
+    * BPE-ish subword estimate, characters, and subwords-per-token
+    * fertility for each [[langId]]-predicted language). Integer sums are
+    * exact; the one ratio is computed from them at the end and null when a
+    * language bucket has no tokens at all.
+    *
+    * One scan, one partial-aggregated exchange over the bounded language
+    * domain (|langMarkers|+1 groups) — at 100 TB the map side reduces
+    * every partition to ≤5 rows before anything moves. */
+  def tokenStatsByLang(df: org.apache.spark.sql.DataFrame,
+                       textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    df.groupBy(langId(t).as("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(t).cast("long")).as("n_tokens"),
+        sum(subwordCountEstimate(t)).as("n_subwords"),
+        sum(length(t).cast("long")).as("n_chars"))
+      .withColumn("fertility",
+        when(col("n_tokens") > 0,
+          round(col("n_subwords").cast("double") / col("n_tokens"), 6)))
+  }
+
   // ------------------------------------------------------------ fingerprint
   /** Canonical content fingerprint: md5 over the sorted distinct token bag.
     * Robust to word order and repetition — the standard "fingerprint"

@@ -77,7 +77,12 @@ object ExplainAudit extends App {
       // merged-index serving + the int8 asymmetric scan
       "text_bm25_index_merge", "ann_sq_topk",
       // KLL: slice partial-agg with bounded binaries, bounded merge
-      "doc_len_quantile_sketch"))
+      "doc_len_quantile_sketch",
+      // canonical-per-cluster selection: broadcast label joins against
+      // the corpus, one comp exchange, map-side WindowGroupLimit
+      "dedup_keep_representative",
+      // bounded language-domain rollup — one partial-agg exchange
+      "text_token_stats_by_lang"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

@@ -124,7 +124,15 @@ object ScaleBench {
     "ann_sq_topk",
     // KLL sketches: per-row update cost, bounded exchange (the HLL
     // shape; compaction amortizes past the exact regime)
-    "doc_len_quantile_sketch")
+    "doc_len_quantile_sketch",
+    // canonical-per-cluster: the components subtree tracks
+    // dedup_components (pair-list growth); the selection itself only
+    // shuffles the clustered slice on comp — expect ~the components
+    // ratio, with the rank window flat per cluster
+    "dedup_keep_representative",
+    // bounded-domain (≤5 langs) rollup: partial agg collapses every
+    // partition to ≤5 rows before the exchange — expect ~linear wall
+    "text_token_stats_by_lang")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

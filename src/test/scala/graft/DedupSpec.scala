@@ -368,6 +368,51 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("keepClusterRepresentative keeps the best-scoring member per cluster") {
+    val df = Seq(
+      (1L, "aa"), (2L, "aaaa"), (3L, "aaa"), // cluster {1,2,3} → 2 (longest)
+      (7L, "bb"), (9L, "bb"),                // cluster {7,9} tie → 7 (min id)
+      (5L, "solo")                           // singleton passes through
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("i", "j")
+    val out = Dedup
+      .keepClusterRepresentative(df, "doc_id", length($"text"), pairs)
+      .select("doc_id", "comp", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((2L, 1L, 3L), (7L, 7L, 2L), (5L, 5L, 1L)))
+  }
+
+  test("keepClusterRepresentative ties are deterministic under repartitioning") {
+    // equal scores everywhere: the smallest id must win in every layout
+    val df = (0L until 40L).map(i => (i, "same length text"))
+      .toDF("doc_id", "text")
+    val pairs = (0L until 19L).map(i => (i, i + 1)).toDF("i", "j")
+    val expected = (Set((0L, 0L, 20L)) ++
+      (20L until 40L).map(i => (i, i, 1L))).toSet
+    val plain = Dedup
+      .keepClusterRepresentative(df, "doc_id", length($"text"), pairs)
+      .select("doc_id", "comp", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    val shuffled = Dedup.keepClusterRepresentative(
+        df.repartition(7), "doc_id", length($"text"), pairs.repartition(3))
+      .select("doc_id", "comp", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(plain == expected)
+    assert(shuffled == expected)
+  }
+
+  test("keepClusterRepresentative preserves the corpus schema plus labels") {
+    val df = Seq((1L, "aaaa", "k1"), (2L, "aa", "k2"), (3L, "solo", "k3"))
+      .toDF("doc_id", "text", "extra")
+    val pairs = Seq((1L, 2L)).toDF("i", "j")
+    val out = Dedup.keepClusterRepresentative(df, "doc_id",
+      length($"text"), pairs)
+    assert(out.columns.toSet ==
+      Set("doc_id", "text", "extra", "comp", "cluster_size"))
+    val kept = out.select("doc_id", "extra").as[(Long, String)].collect().toSet
+    assert(kept == Set((1L, "k1"), (3L, "k3")))
+  }
+
   test("dedupCorpus removes transitive near-dup clusters, keeps representatives") {
     val (cleaned, stats) = Dedup.dedupCorpus(docs, "doc_id", "text",
       threshold = 0.5)

@@ -175,6 +175,35 @@ class PlanShapeSpec extends SparkSpec {
       s"mixture predicate must not shuffle:\n$finalSection")
   }
 
+  test("dedup_keep_representative: corpus never shuffles, rank prune is map-side") {
+    // the component table is the only thing small enough to move: both
+    // corpus joins (clustered inner + singleton anti) must broadcast it,
+    // leaving exactly two hash exchanges — the cluster-size aggregate
+    // over the checkpointed labels and the comp window over the
+    // clustered slice — and the rank-1 filter must be pushed to the map
+    // side as a WindowGroupLimit like emb_knn_vote's
+    val df = q("dedup_keep_representative")
+    assert(finalScans(df, "documents") == 2)
+    val finalSection = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val exchanges = finalSection.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$finalSection")
+    assert(finalSection.linesIterator
+      .exists(l => l.contains("WindowGroupLimit") && l.contains("Partial")),
+      s"expected a map-side (Partial) WindowGroupLimit:\n$finalSection")
+  }
+
+  test("text_token_stats_by_lang is one scan, one bounded-domain exchange") {
+    val df = q("text_token_stats_by_lang")
+    assert(finalScans(df, "documents") == 1)
+    val finalSection = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val exchanges = finalSection.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$finalSection")
+  }
+
   test("emb_knn_vote prunes to top-k BEFORE the exchange (WindowGroupLimit)") {
     // Spark's rank-limit pushdown must keep partial WindowGroupLimit on
     // the map side of the neighbor exchange — losing it would shuffle

@@ -56,6 +56,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one[String](TA.langId(col("t")), "xyzzy plugh") == "und")
   }
 
+  test("tokenStatsByLang aggregates exact counts per predicted language") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat is grey"),        // en: 4 tok, 4 subwords, 15 chars
+      (2L, "der hund ist nicht da"),  // de: 5 tok, 6 subwords, 21 chars
+      (3L, "zzz qqq"),                // und: 2 tok, 2 subwords, 7 chars
+      (4L, "")                        // und: blank — 0 everywhere
+    ).toDF("doc_id", "text")
+    val out = TA.tokenStatsByLang(df, "text")
+      .as[(String, Long, Long, Long, Long, Option[Double])].collect().toSet
+    assert(out == Set(
+      ("en", 1L, 4L, 4L, 15L, Some(1.0)),
+      ("de", 1L, 5L, 6L, 21L, Some(1.2)),
+      ("und", 2L, 2L, 2L, 7L, Some(1.0))))
+  }
+
+  test("tokenStatsByLang: fertility is null for a zero-token bucket") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val out = TA.tokenStatsByLang(df, "text")
+      .as[(String, Long, Long, Long, Long, Option[Double])].collect().toSet
+    assert(out == Set(("und", 2L, 0L, 0L, 3L, None)))
+  }
+
   test("fingerprint is invariant under word order and repetition") {
     val a = one[String](TA.fingerprint(col("t")), "alpha beta gamma")
     val b = one[String](TA.fingerprint(col("t")), "gamma alpha beta beta")
