@@ -731,6 +731,26 @@ object SparkEntry {
         docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text")
     }),
 
+    "dedup_exact_bloom" -> ((s, dir) => {
+      // exact incremental dedup served through the mergeable membership
+      // sketch: per-slice Bloom filters over the corpus union
+      // relationally, the new batch is Bloom-routed scan-side, and the
+      // surviving residue goes through the exact hash join — the result
+      // must equal plain exactAgainst (the filter only routes). The
+      // testdata has no exact cross-doc dups, so the "new batch" is a
+      // re-ingest slice with HALF its texts mutated: unmutated docs must
+      // match themselves in the corpus, mutated ones must not.
+      val docs = t(s, dir, "documents")
+      val newB = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" graftnew"))))
+      val sketch = Dedup.mergeMembershipSketches(
+          Dedup.membershipSketch(docs, "text", pmod(col("doc_id"), lit(4)),
+            expectedKeysPerSlice = 100000L))
+        .head().getAs[Array[Byte]]("sketch")
+      Dedup.exactAgainstBloom(newB, docs, "doc_id", "text", sketch)
+    }),
+
     "dedup_jaccard_incremental" -> ((s, dir) => {
       // cross-corpus near-dup via the bipartite inverted index (new docs
       // probe corpus shingle postings; candidate space = new×corpus only)
@@ -2095,6 +2115,18 @@ object SparkEntry {
         | count(*) AS n_corpus_matches
         |FROM documents n JOIN documents c ON md5(n.text) = md5(c.text)
         |WHERE n.doc_id % 7 = 0 AND c.doc_id % 7 != 0
+        |GROUP BY n.doc_id""".stripMargin,
+
+    // the Bloom pre-route must not change the answer: plain exact-hash
+    // twin over the half-mutated re-ingest slice
+    "dedup_exact_bloom" ->
+      """WITH n AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN text
+        |       ELSE text || ' graftnew' END AS text
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT n.doc_id AS i, min(c.doc_id) AS j,
+        | count(*) AS n_corpus_matches
+        |FROM n JOIN documents c ON md5(n.text) = md5(c.text)
         |GROUP BY n.doc_id""".stripMargin,
 
     "dedup_jaccard_incremental" ->

@@ -1,0 +1,107 @@
+package graft.expressions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.{BloomFilter, IncompatibleMergeException}
+
+/** Union of serialized Bloom filters as an aggregate — the relational
+  * merge step of the membership-sketch family
+  * ([[graft.llm.Dedup.membershipSketch]] builds per-slice filters with
+  * Spark's native `BloomFilterAggregate`; this collapses any set of them
+  * into one).
+  *
+  * Bloom union is exact: inserting a key sets a deterministic bit
+  * pattern, so OR-ing the bitsets of per-slice filters is BIT-FOR-BIT
+  * the filter a single pass over the union of the slices would have
+  * built (asserted in DedupSpec) — which is what makes the sketch a
+  * mergeable incremental artifact: per-batch sketches union across
+  * ingests without re-reading any corpus bytes, and the no-false-
+  * negative guarantee survives arbitrary merge trees.
+  *
+  * Filters are only union-able when built with identical (numBits,
+  * numHashFunctions) geometry — i.e. the same (expectedKeys, fpp)
+  * build parameters. A geometry mismatch THROWS with guidance (wrapping
+  * the sketch library's terse [[IncompatibleMergeException]]) instead
+  * of returning a silently wrong filter.
+  *
+  * Buffer is the lazily-created filter itself; null inputs are skipped
+  * (SQL aggregate convention) and an all-null group yields null.
+  */
+case class BloomUnion(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Option[BloomFilter]] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_union expects a BINARY serialized Bloom filter, got " +
+        child.dataType.catalogString)
+
+  override def createAggregationBuffer(): Option[BloomFilter] = None
+
+  private def read(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+
+  private def union(a: BloomFilter, b: BloomFilter): BloomFilter =
+    try a.mergeInPlace(b)
+    catch {
+      case e: IncompatibleMergeException => throw new IllegalArgumentException(
+        "graft_bloom_union: filters have different geometry (numBits / " +
+          "numHashFunctions) and cannot be unioned — build every sketch " +
+          "in a merge set with the SAME (expectedKeys, fpp) parameters",
+        e)
+    }
+
+  override def update(buf: Option[BloomFilter],
+                      input: InternalRow): Option[BloomFilter] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val incoming = read(v.asInstanceOf[Array[Byte]])
+    buf match {
+      case None => Some(incoming) // readFrom returned a fresh owned copy
+      case Some(f) => Some(union(f, incoming))
+    }
+  }
+
+  override def merge(a: Option[BloomFilter],
+                     b: Option[BloomFilter]): Option[BloomFilter] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(union(x, y))
+      case (Some(x), None) => Some(x)
+      case (None, other) => other
+    }
+
+  override def eval(buf: Option[BloomFilter]): Any =
+    buf.map(write).orNull
+
+  private def write(f: BloomFilter): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    f.writeTo(out)
+    out.toByteArray
+  }
+
+  override def serialize(buf: Option[BloomFilter]): Array[Byte] =
+    buf.map(write).getOrElse(Array.emptyByteArray)
+
+  override def deserialize(bytes: Array[Byte]): Option[BloomFilter] =
+    if (bytes.isEmpty) None else Some(read(bytes))
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BloomUnion =
+    copy(child = newChildren(0))
+  override def withNewMutableAggBufferOffset(offset: Int): BloomUnion =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BloomUnion =
+    copy(inputAggBufferOffset = offset)
+  override def prettyName: String = "graft_bloom_union"
+}

@@ -867,6 +867,37 @@ object GraftExpressions {
   /** The item count a KLL sketch has absorbed. */
   def kllN(sketch: Column): Column = toCol(KllSketchN(expr(sketch)))
 
+  /** Bloom membership sketch aggregate over a LONG key column → filter
+    * binary (Spark's native tree-aggregated `BloomFilterAggregate` — the
+    * machinery behind its runtime row-level filtering). Geometry (bits,
+    * hash count) derives deterministically from (expectedKeys, fpp) via
+    * the standard m = −n·ln p / ln²2 formula, so sketches built with the
+    * same parameters are union-compatible; see [[BloomUnion]]. */
+  def bloomSketch(key: Column, expectedKeys: Long, fpp: Double): Column = {
+    require(expectedKeys > 0 && fpp > 0 && fpp < 1,
+      s"bloomSketch: need expectedKeys > 0 and fpp in (0,1), " +
+        s"got ($expectedKeys, $fpp)")
+    val numBits = math.max(64L, math.min(
+      (-expectedKeys * math.log(fpp) / (math.log(2) * math.log(2))).toLong,
+      8L * 1024 * 1024 * 1024))
+    toCol(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(expr(key),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedKeys),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression())
+  }
+
+  /** Union of serialized Bloom filter binaries: see [[BloomUnion]]. */
+  def bloomUnion(sketch: Column): Column =
+    toCol(BloomUnion(expr(sketch)).toAggregateExpression())
+
+  /** Membership probe of a LONG key against a Bloom filter binary
+    * (false ⇒ DEFINITELY absent; true ⇒ present or an fpp-probable
+    * false positive). Codegen'd native expression. */
+  def bloomMightContain(sketch: Column, key: Column): Column =
+    toCol(new org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain(expr(sketch), expr(key)))
+
   /** Register all graft expressions for SQL use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -890,6 +921,8 @@ object GraftExpressions {
       es => MisraGries(es(0),
         intLit(es(1), "graft_misra_gries", "capacity"))
         .toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bloom_union",
+      es => BloomUnion(es.head).toAggregateExpression(), "scala_udf")
     reg.createOrReplaceTempFunction("graft_platform_ln",
       es => PlatformLog(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_scalar_quantize",

@@ -743,6 +743,79 @@ object Dedup {
     nh.join(ch, "__h").select("i", "j", "n_corpus_matches")
   }
 
+  // ------------------------------------------- membership sketches (Bloom)
+  /** Per-slice mergeable Bloom membership sketches over document content
+    * — the bounded artifact that makes EXACT incremental dedup cheap at
+    * lake scale: each ingest batch (or corpus partition) summarizes its
+    * content-hash set into a ~1.2 bytes/key filter, filters union
+    * bit-for-bit ([[mergeMembershipSketches]]), and later batches probe
+    * the union scan-side with zero corpus access
+    * ([[exactAgainstBloom]] / [[dropSketchMembers]]). The membership
+    * counterpart of the corpus-stats sketch trio (Misra–Gries / HLL /
+    * KLL), built on Spark's native tree-aggregated
+    * `BloomFilterAggregate` over `xxhash64(text)` (the key
+    * [[graft.pipelines.Crawl.skipExistingBloom]] also uses).
+    *
+    * Every sketch in a future merge set MUST be built with the same
+    * (`expectedKeysPerSlice`, `fpp`) — geometry is derived from them,
+    * and a mismatched union throws (see
+    * [[graft.expressions.BloomUnion]]). Returns
+    * (slice, sketch BINARY, n_docs). */
+  def membershipSketch(df: DataFrame, textCol: String, sliceCol: Column,
+                       expectedKeysPerSlice: Long = 1000000L,
+                       fpp: Double = 0.01): DataFrame =
+    df.groupBy(sliceCol.as("slice"))
+      .agg(graft.expressions.GraftExpressions
+          .bloomSketch(xxhash64(col(textCol)), expectedKeysPerSlice, fpp)
+          .as("sketch"),
+        count(lit(1)).as("n_docs"))
+
+  /** Union stored membership sketches into one filter. Bloom union is
+    * EXACT — inserting a key sets a deterministic bit pattern, so the
+    * merged filter is bit-for-bit the one a single pass over all slices
+    * would build (asserted in DedupSpec); the no-false-negative
+    * guarantee survives arbitrary merge trees. One bounded-size row
+    * out: (sketch, n_docs). */
+  def mergeMembershipSketches(sketches: DataFrame): DataFrame =
+    sketches.agg(graft.expressions.GraftExpressions
+        .bloomUnion(col("sketch")).as("sketch"),
+      sum(col("n_docs")).as("n_docs"))
+
+  /** [[exactAgainst]] with a broadcast Bloom pre-route — IDENTICAL
+    * result for any `fpp` (the filter only routes rows, it never
+    * decides membership): new documents the filter rejects are
+    * DEFINITELY absent from the corpus and skip the join entirely with
+    * zero shuffle; only the might-contain residue (true dups + the fpp
+    * fraction of false positives) reaches the exact hash join. At lake
+    * scale this is the difference between shuffling today's whole crawl
+    * against the corpus hash table and shuffling just the ~dup-rate
+    * sliver of it. */
+  def exactAgainstBloom(newDf: DataFrame, corpus: DataFrame, idCol: String,
+                        textCol: String, sketch: Array[Byte]): DataFrame = {
+    require(sketch != null && sketch.nonEmpty,
+      "exactAgainstBloom: empty sketch — build one with membershipSketch/" +
+        "mergeMembershipSketches over the corpus first")
+    exactAgainst(
+      newDf.filter(graft.expressions.GraftExpressions
+        .bloomMightContain(lit(sketch), xxhash64(col(textCol)))),
+      corpus, idCol, textCol)
+  }
+
+  /** Serving-mode APPROXIMATE dedup against a reference that is not
+    * available (only its membership sketch is): keep documents whose
+    * content is DEFINITELY not in the reference. Never keeps a true
+    * duplicate (Bloom has no false negatives); drops ~`fpp` of
+    * genuinely-new documents as collateral — the documented trade for
+    * needing zero reference access. Scan-side, zero shuffle. */
+  def dropSketchMembers(df: DataFrame, textCol: String,
+                        sketch: Array[Byte]): DataFrame = {
+    require(sketch != null && sketch.nonEmpty,
+      "dropSketchMembers: empty sketch — build one with membershipSketch/" +
+        "mergeMembershipSketches over the reference first")
+    df.filter(!graft.expressions.GraftExpressions
+      .bloomMightContain(lit(sketch), xxhash64(col(textCol))))
+  }
+
   /** n-gram Jaccard of each NEW document against an EXISTING corpus via a
     * BIPARTITE inverted index: corpus documents post their hashed shingles
     * once, new documents probe the postings — the candidate space is

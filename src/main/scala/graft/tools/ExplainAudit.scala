@@ -82,7 +82,10 @@ object ExplainAudit extends App {
       // the corpus, one comp exchange, map-side WindowGroupLimit
       "dedup_keep_representative",
       // bounded language-domain rollup — one partial-agg exchange
-      "text_token_stats_by_lang"))
+      "text_token_stats_by_lang",
+      // Bloom-routed exact incremental dedup: the audited serve plan is
+      // a scan-side might_contain filter + the reduced exact hash join
+      "dedup_exact_bloom"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

@@ -132,7 +132,11 @@ object ScaleBench {
     "dedup_keep_representative",
     // bounded-domain (≤5 langs) rollup: partial agg collapses every
     // partition to ≤5 rows before the exchange — expect ~linear wall
-    "text_token_stats_by_lang")
+    "text_token_stats_by_lang",
+    // Bloom-routed exact dedup: sketch build is a scan + bounded-binary
+    // exchange; the serve side routes ~half the new batch away from the
+    // join scan-side — expect ~linear wall dominated by the two scans
+    "dedup_exact_bloom")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

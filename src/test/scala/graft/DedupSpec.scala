@@ -413,6 +413,63 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set((1L, "k1"), (3L, "k3")))
   }
 
+  test("membership sketch union ≡ single build, bit-for-bit") {
+    val a = docs.filter($"doc_id" % 2 === 0)
+    val b = docs.filter($"doc_id" % 2 =!= 0)
+    val merged = Dedup.mergeMembershipSketches(
+        Dedup.membershipSketch(docs, "text", $"doc_id" % 2,
+          expectedKeysPerSlice = 10000L))
+      .head()
+    val single = Dedup.membershipSketch(docs, "text", lit(0),
+        expectedKeysPerSlice = 10000L)
+      .head().getAs[Array[Byte]]("sketch")
+    assert(java.util.Arrays.equals(
+      merged.getAs[Array[Byte]]("sketch"), single))
+    assert(merged.getAs[Long]("n_docs") == a.count() + b.count())
+  }
+
+  test("membership sketch has no false negatives; mismatch unions throw") {
+    val sketch = Dedup.mergeMembershipSketches(
+        Dedup.membershipSketch(docs, "text", $"doc_id" % 4,
+          expectedKeysPerSlice = 10000L))
+      .head().getAs[Array[Byte]]("sketch")
+    // every corpus text must probe true — Bloom rejects are definitive
+    val missed = docs.filter(!graft.expressions.GraftExpressions
+      .bloomMightContain(lit(sketch), xxhash64($"text"))).count()
+    assert(missed == 0L)
+    // geometry mismatch: different expectedKeys → different bit count
+    val other = Dedup.membershipSketch(docs, "text", lit(0),
+      expectedKeysPerSlice = 500L).select("sketch", "n_docs")
+    val e = intercept[Exception] {
+      Dedup.mergeMembershipSketches(
+        Dedup.membershipSketch(docs, "text", lit(0),
+          expectedKeysPerSlice = 10000L).select("sketch", "n_docs")
+        .unionByName(other)).head()
+    }
+    assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .take(10).exists(m => Option(m.getMessage)
+        .exists(_.contains("SAME (expectedKeys, fpp)"))),
+      s"expected geometry guidance, got: ${e.getMessage}")
+  }
+
+  test("exactAgainstBloom ≡ exactAgainst; dropSketchMembers keeps no true dup") {
+    val newB = docs.filter($"doc_id" % 7 === 0)
+    val corpus = docs.filter($"doc_id" % 7 =!= 0)
+    val sketch = Dedup.mergeMembershipSketches(
+        Dedup.membershipSketch(corpus, "text", pmod($"doc_id", lit(3)),
+          expectedKeysPerSlice = 10000L))
+      .head().getAs[Array[Byte]]("sketch")
+    val plain = Dedup.exactAgainst(newB, corpus, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    val routed = Dedup
+      .exactAgainstBloom(newB, corpus, "doc_id", "text", sketch)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(routed == plain)
+    // serving mode: anything kept is definitely not in the corpus
+    val kept = Dedup.dropSketchMembers(newB, "text", sketch)
+    assert(Dedup.exactAgainst(kept, corpus, "doc_id", "text").isEmpty)
+  }
+
   test("dedupCorpus removes transitive near-dup clusters, keeps representatives") {
     val (cleaned, stats) = Dedup.dedupCorpus(docs, "doc_id", "text",
       threshold = 0.5)

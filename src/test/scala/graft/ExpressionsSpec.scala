@@ -109,6 +109,20 @@ class ExpressionsSpec extends SparkSpec {
     assert(qrow.getDouble(0) == 0.0 &&
       qrow.getSeq[Byte](2) == Seq(-128.toByte, 127.toByte))
     assert(r4.getSeq[Double](2) == Seq(0.0, 255.0))
+    // session-5: the Bloom union aggregate registers (merged filter must
+    // still contain keys from both input sketches)
+    import graft.expressions.{GraftExpressions => GE}
+    val sk = Seq((0, "alpha"), (1, "beta")).toDF("slice", "t")
+      .groupBy("slice")
+      .agg(GE.bloomSketch(xxhash64($"t"), 100L, 0.01).as("sketch"))
+    sk.createOrReplaceTempView("bloom_slices")
+    val merged = spark.sql(
+      "SELECT graft_bloom_union(sketch) sk FROM bloom_slices")
+      .head().getAs[Array[Byte]](0)
+    val probes = Seq("alpha", "beta", "missing-token").toDF("t")
+      .select(GE.bloomMightContain(lit(merged), xxhash64($"t")))
+      .as[Boolean].collect().toSeq
+    assert(probes(0) && probes(1) && !probes(2))
   }
 
   test("SignatureAgreement matches the zip_with/filter column stack bit-for-bit") {
