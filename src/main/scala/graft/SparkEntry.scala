@@ -1308,6 +1308,31 @@ object SparkEntry {
           col("n_tokens"))
     }),
 
+    "dedup_bloom_stream" -> ((s, dir) => {
+      // the STREAMING membership-sketch producer under the oracle gate:
+      // per-slice Bloom filters build as a complete-mode streaming
+      // aggregation (filter state in the state store, AvailableNow
+      // drain), union relationally, and the merged filter is probed
+      // with every corpus text (must be a member — no false negatives)
+      // and a mutated twin (must not be: the filter is provisioned
+      // ~200× past the corpus, putting the per-probe false-positive
+      // odds at ~1e-17, so a hit would mean a real bug, not bad luck)
+      val d = t(s, dir, "documents")
+      val built = drainStream(
+        Dedup.membershipSketch(streamDocs(s, dir, d.schema), "text",
+          col("doc_id") % 3, expectedKeysPerSlice = 100000L),
+        "graft_bloom_stream", complete = true)
+      val merged = Dedup.mergeMembershipSketches(built)
+        .head().getAs[Array[Byte]]("sketch")
+      import graft.expressions.{GraftExpressions => GE}
+      d.select(col("doc_id"),
+        GE.bloomMightContain(lit(merged), xxhash64(col("text")))
+          .as("is_member"),
+        GE.bloomMightContain(lit(merged),
+            xxhash64(concat(col("text"), lit(" graftnew"))))
+          .as("mutated_member"))
+    }),
+
     "vocab_sketch_merge" -> ((s, dir) => {
       // incremental corpus stats: per-split sketches merged with the
       // relational Agarwal rule; capacity ≥ vocabulary here, so the
@@ -2734,6 +2759,14 @@ object SparkEntry {
         |SELECT slice, count(DISTINCT token) AS distinct_tokens,
         |       count(*) AS n_tokens
         |FROM tk GROUP BY slice""".stripMargin,
+
+    // Bloom membership truth: every corpus text is a member of the
+    // streamed-then-merged filter (false negatives are impossible), no
+    // mutated text is (false positives are ~1e-17-probable at this
+    // provisioning and deterministic given the data)
+    "dedup_bloom_stream" ->
+      """SELECT doc_id, TRUE AS is_member, FALSE AS mutated_member
+        |FROM documents""".stripMargin,
 
     // the HLL sketches' exact regime (vocabulary ≪ 2^14 set-mode
     // promotion): per-slice and merged estimates ARE the exact distinct

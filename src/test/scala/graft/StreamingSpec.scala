@@ -589,6 +589,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming Bloom membership sketch (complete mode) equals the batch build") {
+    // bit-setting is insertion-order-independent, so the streamed
+    // per-slice filters AND their relational union must equal the batch
+    // build bit-for-bit
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$dir/docs"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/docs/part-0.parquet"))
+    val schema = Tables.load(spark, sf0, "documents").schema
+    val stream = graft.llm.Dedup.membershipSketch(
+      spark.readStream.schema(schema).parquet(s"$dir/docs"),
+      "text", col("doc_id") % 3, expectedKeysPerSlice = 10000L)
+    val got = Streaming.runAvailableNow(stream, "bloom_stream_test",
+      s"$dir/ckpt")
+    val want = graft.llm.Dedup.membershipSketch(
+      Tables.load(spark, sf0, "documents"), "text", col("doc_id") % 3,
+      expectedKeysPerSlice = 10000L)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    val gotMerged = graft.llm.Dedup.mergeMembershipSketches(got).head()
+    val wantMerged = graft.llm.Dedup.mergeMembershipSketches(want).head()
+    assert(java.util.Arrays.equals(gotMerged.getAs[Array[Byte]]("sketch"),
+      wantMerged.getAs[Array[Byte]]("sketch")))
+  }
+
   test("streaming KLL quantile sketch (complete mode) matches the batch quantiles") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft-kll").toString
