@@ -872,6 +872,12 @@ object SparkEntry {
         .withColumnRenamed("rank", "rk")
     }),
 
+    "emb_cluster_profile" -> ((s, dir) =>
+      // semantic domain-balance report: population + integer-exact
+      // cohesion stats per nearest-centroid cell (deterministic first-16
+      // quantizer — the IVF oracle mode)
+      Similarity.clusterProfile(t(s, dir, "embeddings"), nClusters = 16)),
+
     // ------------------------------------------------------ text analysis
     "text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -2315,6 +2321,27 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY sim DESC, corpus_id) AS rk FROM s) t
          |WHERE rk <= 10""".stripMargin,
+
+    // assignment fragment is ann_ivf_topk's twin verbatim; cohesion
+    // rides an exact BIGINT sum of 1e-6-quantized sims (float sums
+    // would be partition-order-dependent in both engines)
+    "emb_cluster_profile" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM c ORDER BY vec_id LIMIT 16),
+         |asg AS (SELECT corpus_id, centroid_id, sim FROM (
+         |  SELECT a.vec_id AS corpus_id, ce.centroid_id,
+         |    ${cosSql("a.v", "ce.cv")} AS sim,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${cosSql("a.v", "ce.cv")} DESC, ce.centroid_id) AS rn
+         |  FROM c a CROSS JOIN cents ce) t WHERE rn = 1),
+         |agg AS (SELECT centroid_id, count(*) AS n_members,
+         |  CAST(sum(CAST(round(sim * 1e6) AS BIGINT)) AS BIGINT) AS sum_scaled_sim,
+         |  min(round(sim, 6)) AS min_sim, max(round(sim, 6)) AS max_sim
+         |  FROM asg GROUP BY centroid_id)
+         |SELECT centroid_id, n_members, sum_scaled_sim,
+         |  round(CAST(sum_scaled_sim AS DOUBLE) / 1e6 / n_members, 6) AS mean_sim,
+         |  min_sim, max_sim
+         |FROM agg""".stripMargin,
 
     "text_tokens" ->
       """WITH w AS (SELECT doc_id, text,

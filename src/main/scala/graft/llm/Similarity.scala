@@ -273,6 +273,49 @@ object Similarity {
       .select(col("corpus_id"), col("cv"), col("centroid_id"))
   }
 
+  /** Per-cluster corpus profile — the input a SemDeDup-style semantic
+    * domain-balancing step works from: assign every vector to its
+    * nearest centroid and report each cluster's population and cohesion
+    * (how tight the members sit around the centroid), so over-represented
+    * semantic domains can be downsampled (feed the counts to
+    * [[graft.llm.Corpus.temperatureMixWithReference]]) and diffuse junk
+    * clusters flagged for inspection.
+    *
+    * Returns (centroid_id, n_members, sum_scaled_sim, mean_sim, min_sim,
+    * max_sim). The cohesion mean is derived from an INTEGER sum of
+    * 1e-6-quantized member similarities — float addition is not
+    * associative, so a double sum would make the result depend on
+    * partitioning; the scaled-integer sum is exact and
+    * shuffle-order-proof (the corpus_report discipline).
+    *
+    * Shape at 100 TB: assignment is the baked [[ivfAssign]] kernel (zero
+    * shuffle), the centroid join broadcasts nlist rows, and the rollup
+    * is one partial-aggregated exchange over the bounded nlist domain —
+    * the map side reduces every partition to ≤ nClusters rows.
+    * `trainIters` = 0 uses the deterministic first-N quantizer (the
+    * oracle mode); > 0 Lloyd-refines via [[trainCentroids]]. */
+  def clusterProfile(corpus: DataFrame, nClusters: Int, trainIters: Int = 0,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    import graft.expressions.GraftExpressions.cosineSimilarity
+    val cents =
+      if (trainIters == 0) centroids(corpus, nClusters, idCol, vecCol)
+      else trainCentroids(corpus, nClusters, trainIters, idCol, vecCol)
+    val assigned = ivfAssign(corpus, cents, idCol, vecCol)
+    assigned.join(broadcast(cents), Seq("centroid_id"))
+      .withColumn("sim", cosineSimilarity(col("cv"), col("centroid")))
+      .withColumn("scaled_sim", round(col("sim") * 1e6).cast("long"))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum("scaled_sim").as("sum_scaled_sim"),
+        min(round(col("sim"), 6)).as("min_sim"),
+        max(round(col("sim"), 6)).as("max_sim"))
+      .withColumn("mean_sim",
+        round(col("sum_scaled_sim").cast("double") / 1e6 / col("n_members"), 6))
+      .select("centroid_id", "n_members", "sum_scaled_sim", "mean_sim",
+        "min_sim", "max_sim")
+  }
+
   /** IVF search: probe the `nprobe` nearest centroids per query, then exact
     * cosine within the probed cells only. Approximate; recall grows with
     * nprobe (and with `trainIters`: 0 = the first-N quantizer, the

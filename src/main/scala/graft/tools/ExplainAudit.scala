@@ -85,7 +85,10 @@ object ExplainAudit extends App {
       "text_token_stats_by_lang",
       // Bloom-routed exact incremental dedup: the audited serve plan is
       // a scan-side might_contain filter + the reduced exact hash join
-      "dedup_exact_bloom"))
+      "dedup_exact_bloom",
+      // NearestCentroid-kernel scan + broadcast centroid join + one
+      // bounded nlist-domain rollup exchange
+      "emb_cluster_profile"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

@@ -136,7 +136,10 @@ object ScaleBench {
     // Bloom-routed exact dedup: sketch build is a scan + bounded-binary
     // exchange; the serve side routes ~half the new batch away from the
     // join scan-side — expect ~linear wall dominated by the two scans
-    "dedup_exact_bloom")
+    "dedup_exact_bloom",
+    // baked-kernel assignment scan + one bounded (≤ nlist rows moved)
+    // rollup exchange — expect ~linear wall
+    "emb_cluster_profile")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

@@ -544,6 +544,31 @@ class SimilaritySpec extends SparkSpec {
     assert(served.exceptAll(direct).isEmpty && direct.exceptAll(served).isEmpty)
   }
 
+  test("clusterProfile: populations sum to the corpus, cohesion stats are sane") {
+    val prof = Similarity.clusterProfile(emb, nClusters = 8).cache()
+    val rows = prof.collect()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == emb.count())
+    rows.foreach { r =>
+      val (lo, mean, hi) = (r.getAs[Double]("min_sim"),
+        r.getAs[Double]("mean_sim"), r.getAs[Double]("max_sim"))
+      assert(lo <= mean + 1e-6 && mean <= hi + 1e-6 &&
+        lo >= -1.0 - 1e-6 && hi <= 1.0 + 1e-6, s"bad cohesion row: $r")
+      // each seed centroid IS a corpus vector: its own cell must
+      // contain it at sim 1
+      assert(hi >= 0.999999 || r.getAs[Long]("n_members") > 0L)
+    }
+    // deterministic under repartitioning (integer-sum discipline)
+    val again = Similarity.clusterProfile(emb.repartition(13), nClusters = 8)
+    assert(prof.exceptAll(again).isEmpty && again.exceptAll(prof).isEmpty)
+    prof.unpersist()
+  }
+
+  test("clusterProfile with Lloyd refinement keeps exact populations") {
+    val prof = Similarity.clusterProfile(emb, nClusters = 4, trainIters = 2)
+    assert(prof.agg(sum("n_members")).head().getLong(0) == emb.count())
+    assert(prof.count() <= 4)
+  }
+
   test("scalarQuantize is a zero-exchange scan-side projection") {
     val emb = Tables.load(spark, sf0, "embeddings")
     val plan = Similarity.scalarQuantize(emb)
