@@ -878,6 +878,12 @@ object SparkEntry {
       // quantizer — the IVF oracle mode)
       Similarity.clusterProfile(t(s, dir, "embeddings"), nClusters = 16)),
 
+    "emb_balanced_sample" -> ((s, dir) =>
+      // semantic rebalancing: cap every nearest-centroid cell at 10
+      // members picked in content-independent deterministic hash order
+      Similarity.clusterBalancedSample(t(s, dir, "embeddings"),
+        nClusters = 16, kPerCluster = 10)),
+
     // ------------------------------------------------------ text analysis
     "text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -2342,6 +2348,22 @@ object SparkEntry {
          |  round(CAST(sum_scaled_sim AS DOUBLE) / 1e6 / n_members, 6) AS mean_sim,
          |  min_sim, max_sim
          |FROM agg""".stripMargin,
+
+    // assignment twin + the stratifiedSample hash-order row_number
+    "emb_balanced_sample" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM c ORDER BY vec_id LIMIT 16),
+         |asg AS (SELECT corpus_id, centroid_id FROM (
+         |  SELECT a.vec_id AS corpus_id, ce.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${cosSql("a.v", "ce.cv")} DESC, ce.centroid_id) AS rn
+         |  FROM c a CROSS JOIN cents ce) t WHERE rn = 1)
+         |SELECT centroid_id, rk, corpus_id AS vec_id FROM (
+         |  SELECT centroid_id, corpus_id, row_number() OVER (
+         |    PARTITION BY centroid_id
+         |    ORDER BY md5('cbal:' || CAST(corpus_id AS VARCHAR)), corpus_id) AS rk
+         |  FROM asg) t
+         |WHERE rk <= 10""".stripMargin,
 
     "text_tokens" ->
       """WITH w AS (SELECT doc_id, text,

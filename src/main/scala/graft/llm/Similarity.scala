@@ -316,6 +316,31 @@ object Similarity {
         "min_sim", "max_sim")
   }
 
+  /** Cluster-balanced exact-k subset — the action [[clusterProfile]]'s
+    * report points at: cap every semantic cluster at `kPerCluster`
+    * deterministically-chosen members (SemDeDup-adjacent semantic
+    * rebalancing, where over-represented domains lose mass and rare
+    * domains keep all of theirs). Assignment is the baked zero-shuffle
+    * [[ivfAssign]] kernel; the per-cluster pick is
+    * [[graft.llm.Corpus.stratifiedSample]]'s bounded `TopKByKey`
+    * aggregate over the content-independent `md5(seed + ":" + id)`
+    * order, so the exchange carries O(k · nClusters) rows — never the
+    * corpus — and the result is identical under any partitioning.
+    * Returns (centroid_id, rk, idCol). */
+  def clusterBalancedSample(corpus: DataFrame, nClusters: Int,
+                            kPerCluster: Int, trainIters: Int = 0,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            seed: String = "cbal"): DataFrame = {
+    val cents =
+      if (trainIters == 0) centroids(corpus, nClusters, idCol, vecCol)
+      else trainCentroids(corpus, nClusters, trainIters, idCol, vecCol)
+    val assigned = ivfAssign(corpus, cents, idCol, vecCol)
+      .select(col("corpus_id").as(idCol), col("centroid_id"))
+    graft.llm.Corpus.stratifiedSample(assigned, "centroid_id", idCol,
+      kPerCluster, seed)
+  }
+
   /** IVF search: probe the `nprobe` nearest centroids per query, then exact
     * cosine within the probed cells only. Approximate; recall grows with
     * nprobe (and with `trainIters`: 0 = the first-N quantizer, the

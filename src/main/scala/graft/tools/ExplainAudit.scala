@@ -88,7 +88,9 @@ object ExplainAudit extends App {
       "dedup_exact_bloom",
       // NearestCentroid-kernel scan + broadcast centroid join + one
       // bounded nlist-domain rollup exchange
-      "emb_cluster_profile"))
+      "emb_cluster_profile",
+      // assignment scan + bounded TopKByKey (ObjectHashAggregate) pick
+      "emb_balanced_sample"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

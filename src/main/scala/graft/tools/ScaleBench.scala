@@ -139,7 +139,10 @@ object ScaleBench {
     "dedup_exact_bloom",
     // baked-kernel assignment scan + one bounded (≤ nlist rows moved)
     // rollup exchange — expect ~linear wall
-    "emb_cluster_profile")
+    "emb_cluster_profile",
+    // assignment scan + O(k·nlist) TopKByKey exchange — expect ~linear
+    // wall with flat output
+    "emb_balanced_sample")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

@@ -569,6 +569,31 @@ class SimilaritySpec extends SparkSpec {
     assert(prof.count() <= 4)
   }
 
+  test("clusterBalancedSample caps cells at k, picks real members, deterministic") {
+    val k = 5
+    val sample = Similarity.clusterBalancedSample(emb, nClusters = 8,
+      kPerCluster = k).cache()
+    val perCell = sample.groupBy("centroid_id").count()
+      .as[(Long, Long)].collect()
+    assert(perCell.forall(_._2 <= k))
+    // every sampled id belongs to the cell assignment says it does
+    val cents = Similarity.centroids(emb, 8)
+    val assigned = Similarity.ivfAssign(emb, cents)
+      .select($"corpus_id".as("vec_id"), $"centroid_id")
+    assert(sample.select("vec_id", "centroid_id")
+      .exceptAll(assigned).isEmpty)
+    // full cells take exactly k; small cells keep everything
+    val cellSizes = assigned.groupBy("centroid_id").count()
+      .as[(Long, Long)].collect().toMap
+    perCell.foreach { case (cell, n) =>
+      assert(n == math.min(k.toLong, cellSizes(cell)), s"cell $cell: $n")
+    }
+    val again = Similarity.clusterBalancedSample(emb.repartition(11),
+      nClusters = 8, kPerCluster = k)
+    assert(sample.exceptAll(again).isEmpty && again.exceptAll(sample).isEmpty)
+    sample.unpersist()
+  }
+
   test("scalarQuantize is a zero-exchange scan-side projection") {
     val emb = Tables.load(spark, sf0, "embeddings")
     val plan = Similarity.scalarQuantize(emb)
