@@ -3578,10 +3578,15 @@ object SparkEntry {
 
     // the langid CASE is text_langid's twin verbatim; the measures are
     // text_tokens' twin aggregated — integer-exact sums, fertility
-    // derived from them at the end (null when a bucket has no tokens)
+    // derived from them at the end (null when a bucket has no tokens).
+    // Blank-text guard: DuckDB's string_split_regex('', ...) yields ['']
+    // (1 element) where the engine's tokens() yields [], so the word
+    // list drops empty strings before any counting — a no-op on
+    // non-blank docs, parity-preserving if a regeneration adds blanks
     "text_token_stats_by_lang" ->
       """WITH w AS (SELECT doc_id, text,
-        |  string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |  list_filter(string_split_regex(trim(text), '\s+'),
+        |              x -> x != '') AS words FROM documents),
         |sc AS (SELECT doc_id, text, words,
         |  len(list_filter(words, x -> lower(x) IN ('der','die','das','und','ist','nicht','ein','mit'))) AS sde,
         |  len(list_filter(words, x -> lower(x) IN ('the','and','is','of','to','in','that','it'))) AS sen,
@@ -3597,10 +3602,10 @@ object SparkEntry {
         |FROM sc)
         |SELECT lang_pred, count(*) AS n_docs,
         | CAST(sum(len(words)) AS BIGINT) AS n_tokens,
-        | CAST(sum(list_sum([CAST(ceil(length(x) / 4.0) AS BIGINT) for x in words])) AS BIGINT) AS n_subwords,
+        | CAST(sum(coalesce(list_sum([CAST(ceil(length(x) / 4.0) AS BIGINT) for x in words]), 0)) AS BIGINT) AS n_subwords,
         | CAST(sum(length(text)) AS BIGINT) AS n_chars,
         | CASE WHEN sum(len(words)) > 0 THEN
-        |   round(CAST(sum(list_sum([CAST(ceil(length(x) / 4.0) AS BIGINT) for x in words])) AS DOUBLE)
+        |   round(CAST(sum(coalesce(list_sum([CAST(ceil(length(x) / 4.0) AS BIGINT) for x in words]), 0)) AS DOUBLE)
         |     / sum(len(words)), 6) END AS fertility
         |FROM l GROUP BY lang_pred""".stripMargin,
 

@@ -9,6 +9,92 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.types._
 import org.apache.spark.util.sketch.{BloomFilter, IncompatibleMergeException}
 
+/** Bloom filter BUILD aggregate over a LONG key column with geometry
+  * honored EXACTLY as requested — the reason this exists instead of
+  * Spark's own `BloomFilterAggregate`: that one silently `Math.min`s
+  * both `estimatedNumItems` and `numBits` against the session confs
+  * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default 4M)
+  * and `...maxNumBits` (default 64 Mbit) — reasonable for its runtime
+  * join-filter use, fatal for a membership artifact whose documented
+  * contract is "geometry derives deterministically from (expectedKeys,
+  * fpp)": at lake-scale parameters the filter would silently saturate
+  * (every probe true → [[graft.llm.Dedup.dropSketchMembers]] silently
+  * drops everything), and two batches built under different conf values
+  * would no longer be union-compatible.
+  *
+  * Uses the same `org.apache.spark.util.sketch.BloomFilter` binary
+  * format (update = `putLong`, the bits Spark's native
+  * `BloomFilterMightContain` probes), so built sketches remain
+  * compatible with [[BloomUnion]] and the codegen'd probe expression.
+  * Null keys are skipped; an all-null/empty group yields null. */
+case class BloomBuildAgg(
+    child: Expression,
+    expectedKeys: Long,
+    numBits: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Option[BloomFilter]] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_build expects a BIGINT key (hash the content " +
+          s"first), got ${child.dataType.catalogString}")
+    else if (expectedKeys <= 0 || numBits <= 0)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_build: expectedKeys ($expectedKeys) and numBits " +
+          s"($numBits) must be positive")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): Option[BloomFilter] = None
+
+  override def update(buf: Option[BloomFilter],
+                      input: InternalRow): Option[BloomFilter] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val f = buf.getOrElse(BloomFilter.create(expectedKeys, numBits))
+    f.putLong(v.asInstanceOf[Long])
+    Some(f)
+  }
+
+  override def merge(a: Option[BloomFilter],
+                     b: Option[BloomFilter]): Option[BloomFilter] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(x.mergeInPlace(y))
+      case (Some(x), None) => Some(x)
+      case (None, other) => other
+    }
+
+  override def eval(buf: Option[BloomFilter]): Any =
+    buf.map { f =>
+      val out = new ByteArrayOutputStream()
+      f.writeTo(out)
+      out.toByteArray
+    }.orNull
+
+  override def serialize(buf: Option[BloomFilter]): Array[Byte] =
+    eval(buf) match {
+      case null => Array.emptyByteArray
+      case bytes: Array[Byte] => bytes
+    }
+
+  override def deserialize(bytes: Array[Byte]): Option[BloomFilter] =
+    if (bytes.isEmpty) None
+    else Some(BloomFilter.readFrom(new ByteArrayInputStream(bytes)))
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BloomBuildAgg =
+    copy(child = newChildren(0))
+  override def withNewMutableAggBufferOffset(offset: Int): BloomBuildAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BloomBuildAgg =
+    copy(inputAggBufferOffset = offset)
+  override def prettyName: String = "graft_bloom_build"
+}
+
 /** Union of serialized Bloom filters as an aggregate — the relational
   * merge step of the membership-sketch family
   * ([[graft.llm.Dedup.membershipSketch]] builds per-slice filters with

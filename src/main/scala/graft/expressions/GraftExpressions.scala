@@ -868,22 +868,28 @@ object GraftExpressions {
   def kllN(sketch: Column): Column = toCol(KllSketchN(expr(sketch)))
 
   /** Bloom membership sketch aggregate over a LONG key column → filter
-    * binary (Spark's native tree-aggregated `BloomFilterAggregate` — the
-    * machinery behind its runtime row-level filtering). Geometry (bits,
-    * hash count) derives deterministically from (expectedKeys, fpp) via
-    * the standard m = −n·ln p / ln²2 formula, so sketches built with the
-    * same parameters are union-compatible; see [[BloomUnion]]. */
+    * binary. Geometry (bits, hash count) derives deterministically from
+    * (expectedKeys, fpp) via the standard m = −n·ln p / ln²2 formula, so
+    * sketches built with the same parameters are union-compatible; see
+    * [[BloomUnion]]. Built on [[BloomBuildAgg]], NOT Spark's
+    * `BloomFilterAggregate`, which silently clamps geometry against the
+    * runtime-join-filter session confs (4M items / 64 Mbit by default) —
+    * a saturated membership filter would silently answer "seen" for
+    * everything. A build whose bit array exceeds 8 Gbit (~1 GiB — the
+    * broadcast-sanity ceiling) THROWS: raise `fpp` (the exact confirm
+    * join stays exact) or slice the corpus further. */
   def bloomSketch(key: Column, expectedKeys: Long, fpp: Double): Column = {
     require(expectedKeys > 0 && fpp > 0 && fpp < 1,
       s"bloomSketch: need expectedKeys > 0 and fpp in (0,1), " +
         s"got ($expectedKeys, $fpp)")
-    val numBits = math.max(64L, math.min(
-      (-expectedKeys * math.log(fpp) / (math.log(2) * math.log(2))).toLong,
-      8L * 1024 * 1024 * 1024))
-    toCol(new org.apache.spark.sql.catalyst.expressions.aggregate
-      .BloomFilterAggregate(expr(key),
-        org.apache.spark.sql.catalyst.expressions.Literal(expectedKeys),
-        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+    val numBits = math.max(64L,
+      (-expectedKeys * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    require(numBits <= 8L * 1024 * 1024 * 1024,
+      s"bloomSketch: ($expectedKeys keys, fpp=$fpp) needs $numBits bits " +
+        "(> 8 Gbit ≈ 1 GiB serialized) — raise fpp (membership routing " +
+        "stays exact; only the confirm-join residue grows) or build " +
+        "more, smaller slices")
+    toCol(BloomBuildAgg(expr(key), expectedKeys, numBits)
       .toAggregateExpression())
   }
 

@@ -293,14 +293,14 @@ object Similarity {
     * is one partial-aggregated exchange over the bounded nlist domain —
     * the map side reduces every partition to ≤ nClusters rows.
     * `trainIters` = 0 uses the deterministic first-N quantizer (the
-    * oracle mode); > 0 Lloyd-refines via [[trainCentroids]]. */
+    * oracle mode); > 0 Lloyd-refines via [[trainCentroids]];
+    * `nClusters` ≤ 0 auto-derives the SemDeDup cluster count (the
+    * family convention — never a silently empty result). */
   def clusterProfile(corpus: DataFrame, nClusters: Int, trainIters: Int = 0,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     import graft.expressions.GraftExpressions.cosineSimilarity
-    val cents =
-      if (trainIters == 0) centroids(corpus, nClusters, idCol, vecCol)
-      else trainCentroids(corpus, nClusters, trainIters, idCol, vecCol)
+    val cents = resolvedCentroids(corpus, nClusters, trainIters, idCol, vecCol)
     val assigned = ivfAssign(corpus, cents, idCol, vecCol)
     assigned.join(broadcast(cents), Seq("centroid_id"))
       .withColumn("sim", cosineSimilarity(col("cv"), col("centroid")))
@@ -326,15 +326,14 @@ object Similarity {
     * aggregate over the content-independent `md5(seed + ":" + id)`
     * order, so the exchange carries O(k · nClusters) rows — never the
     * corpus — and the result is identical under any partitioning.
-    * Returns (centroid_id, rk, idCol). */
+    * `nClusters` ≤ 0 auto-derives the SemDeDup cluster count (the
+    * family convention). Returns (centroid_id, rk, idCol). */
   def clusterBalancedSample(corpus: DataFrame, nClusters: Int,
                             kPerCluster: Int, trainIters: Int = 0,
                             idCol: String = "vec_id",
                             vecCol: String = "embedding",
                             seed: String = "cbal"): DataFrame = {
-    val cents =
-      if (trainIters == 0) centroids(corpus, nClusters, idCol, vecCol)
-      else trainCentroids(corpus, nClusters, trainIters, idCol, vecCol)
+    val cents = resolvedCentroids(corpus, nClusters, trainIters, idCol, vecCol)
     val assigned = ivfAssign(corpus, cents, idCol, vecCol)
       .select(col("corpus_id").as(idCol), col("centroid_id"))
     graft.llm.Corpus.stratifiedSample(assigned, "centroid_id", idCol,
@@ -628,6 +627,19 @@ object Similarity {
 
   private def resolveClusters(corpus: DataFrame, nClusters: Int): Int =
     if (nClusters > 0) nClusters else semanticAutoClusters(corpus)
+
+  /** Resolved centroid table shared by the profile/balance family:
+    * `nClusters` ≤ 0 auto-derives the SemDeDup cluster count (so the
+    * convention never yields a silently empty centroid set);
+    * `trainIters` = 0 keeps the deterministic first-N quantizer,
+    * > 0 Lloyd-refines. */
+  private def resolvedCentroids(corpus: DataFrame, nClusters: Int,
+                                trainIters: Int, idCol: String,
+                                vecCol: String): DataFrame = {
+    val k = resolveClusters(corpus, nClusters)
+    if (trainIters == 0) centroids(corpus, k, idCol, vecCol)
+    else trainCentroids(corpus, k, trainIters, idCol, vecCol)
+  }
 
   /** SemDeDup-style semantic near-duplicate PAIRS (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic

@@ -103,30 +103,22 @@ object Crawl {
     * `fpp` — the filter only routes rows, it never decides membership.
     *
     * Everything stays native/codegen (`BloomFilterMightContain` over
-    * `xxhash64(key)` — the same machinery Spark's runtime row-level
-    * filtering injects; no UDF). Size the filter honestly: ~1.2 bytes/key
-    * at fpp=0.01, so 10⁸ archived keys broadcast ~120 MB; beyond that
-    * raise `fpp` (the residue join stays exact) or fall back to
-    * [[skipExisting]]. */
+    * `xxhash64(key)` — the probe Spark's runtime row-level filtering
+    * injects; the build is [[graft.expressions.BloomBuildAgg]], which
+    * honors the requested geometry exactly where Spark's own aggregate
+    * silently clamps it to the runtime-join-filter confs). Size the
+    * filter honestly: ~1.2 bytes/key at fpp=0.01, so 10⁸ archived keys
+    * broadcast ~120 MB; past the 8-Gbit build ceiling raise `fpp` (the
+    * residue join stays exact) or fall back to [[skipExisting]]. */
   def skipExistingBloom(candidates: DataFrame, existing: DataFrame,
                         expectedKeys: Long = 10000000L,
                         fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val shim = org.apache.spark.sql.graft.ColumnShim
-    require(expectedKeys > 0 && fpp > 0 && fpp < 1)
-    // standard bits formula m = -n·ln(p)/ln(2)², clamped to [64 bits, 1 GiB]
-    val numBits = math.max(64L, math.min(
-      (-expectedKeys * math.log(fpp) / (math.log(2) * math.log(2))).toLong,
-      8L * 1024 * 1024 * 1024))
-    def keyHash = XxHash64(Seq(shim.expression(col("key"))), 42L)
-    val agg = new BloomFilterAggregate(keyHash,
-      Literal(expectedKeys), Literal(numBits)).toAggregateExpression()
-    val bytes = existing.select(shim.column(agg).as("bf"))
+    import graft.expressions.{GraftExpressions => GE}
+    val bytes = existing
+      .select(GE.bloomSketch(xxhash64(col("key")), expectedKeys, fpp).as("bf"))
       .head().getAs[Array[Byte]](0)
     if (bytes == null) return candidates // empty existing set: all pass
-    val might = shim.column(new BloomFilterMightContain(
-      Literal(bytes, org.apache.spark.sql.types.BinaryType), keyHash))
+    val might = GE.bloomMightContain(lit(bytes), xxhash64(col("key")))
     candidates.filter(!might) // definitely new — never shuffles
       .unionByName(candidates.filter(might)
         .join(existing.select("key"), Seq("key"), "left_anti"))

@@ -125,6 +125,28 @@ class ExpressionsSpec extends SparkSpec {
     assert(probes(0) && probes(1) && !probes(2))
   }
 
+  test("BloomBuildAgg honors geometry past Spark's runtime-filter clamps") {
+    import graft.expressions.{GraftExpressions => GE}
+    // 10M keys @ 1% → ~95.85M bits — past the 64-Mbit session-conf clamp
+    // Spark's own BloomFilterAggregate silently applies (the clamp that
+    // motivates the custom build aggregate: a saturated membership
+    // filter answers "seen" for everything)
+    val bytes = Seq("a", "b").toDF("t")
+      .agg(GE.bloomSketch(xxhash64($"t"), 10000000L, 0.01))
+      .head().getAs[Array[Byte]](0)
+    val f = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val want = (-10000000L * math.log(0.01) /
+      (math.log(2) * math.log(2))).toLong
+    assert(f.bitSize() >= want && f.bitSize() < want + 64,
+      s"bitSize ${f.bitSize()} != requested ~$want")
+    // past the 8-Gbit broadcast-sanity ceiling: loud, with guidance
+    val e = intercept[IllegalArgumentException] {
+      GE.bloomSketch(xxhash64($"t"), 20000000000L, 0.000001)
+    }
+    assert(e.getMessage.contains("raise fpp"))
+  }
+
   test("SignatureAgreement matches the zip_with/filter column stack bit-for-bit") {
     val sigs = Dedup.minhashSignatures(
       Tables.load(spark, sf0, "documents").limit(100), "doc_id", "text")

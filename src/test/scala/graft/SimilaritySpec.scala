@@ -553,10 +553,20 @@ class SimilaritySpec extends SparkSpec {
         r.getAs[Double]("mean_sim"), r.getAs[Double]("max_sim"))
       assert(lo <= mean + 1e-6 && mean <= hi + 1e-6 &&
         lo >= -1.0 - 1e-6 && hi <= 1.0 + 1e-6, s"bad cohesion row: $r")
-      // each seed centroid IS a corpus vector: its own cell must
-      // contain it at sim 1
-      assert(hi >= 0.999999 || r.getAs[Long]("n_members") > 0L)
     }
+    // each seed centroid IS a corpus vector: every cell the assignment
+    // sends its own seed to must top out at sim ~1
+    val cents = Similarity.centroids(emb, 8)
+    val seedCells = Similarity.ivfAssign(
+        cents.select($"centroid_id".as("vec_id"),
+          $"centroid".as("embedding")), cents)
+      .filter($"corpus_id" === $"centroid_id")
+      .select("centroid_id").as[Long].collect().toSet
+    assert(seedCells.nonEmpty)
+    val selfCells = rows.filter(r => seedCells(r.getAs[Long]("centroid_id")))
+    assert(selfCells.nonEmpty &&
+      selfCells.forall(_.getAs[Double]("max_sim") >= 0.999999),
+      s"seed cells must contain their seed at sim 1: ${selfCells.toSeq}")
     // deterministic under repartitioning (integer-sum discipline)
     val again = Similarity.clusterProfile(emb.repartition(13), nClusters = 8)
     assert(prof.exceptAll(again).isEmpty && again.exceptAll(prof).isEmpty)
