@@ -1131,6 +1131,13 @@ object SparkEntry {
         ks = Map("en" -> 25, "de" -> 10, "fr" -> 5),
         defaultK = 3, seed = "wstrat")),
 
+    "corpus_weighted_sample" -> ((s, dir) =>
+      // Efraimidis–Spirakis weighted sampling without replacement:
+      // inclusion odds scale with n_chars; priorities are scan-side,
+      // top-k is a TakeOrderedAndProject, the rank window orders ≤k rows
+      graft.llm.Corpus.weightedSample(t(s, dir, "documents"), "doc_id",
+        col("n_chars"), k = 50)),
+
     "corpus_report" -> ((s, dir) =>
       // data-card rollup per (source, lang): doc/token/char totals and
       // the langid-agreement count — one partial-agg exchange over a
@@ -2459,6 +2466,19 @@ object SparkEntry {
         |  FROM documents)
         |WHERE rk <= CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 10
         |                      WHEN 'fr' THEN 5 ELSE 3 END""".stripMargin,
+
+    // E–S priority twin: u exact in a double ((h13+1)/(2^52+1)), ln
+    // quantized to 10 dp before ranking (the BM25 ln discipline), id
+    // tie-break
+    "corpus_weighted_sample" ->
+      """WITH p AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+        |  round(ln((('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+        |          / 4503599627370497.0) / n_chars, 10) AS pri
+        |  FROM documents)
+        |SELECT rank, doc_id, weight FROM (
+        |  SELECT doc_id, weight, row_number() OVER (
+        |    ORDER BY pri DESC, doc_id) AS rank FROM p) t
+        |WHERE rank <= 50""".stripMargin,
 
     // the langid CASE is text_langid's oracle verbatim; every rolled-up
     // measure is integer-exact

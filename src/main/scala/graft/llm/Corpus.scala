@@ -761,6 +761,52 @@ object Corpus {
         col("col.payload").as(idCol))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006,
+    * "Weighted random sampling with a reservoir"): keep the k documents
+    * with the largest priority u^(1/w) — equivalently ln(u)/w — where u
+    * is a content-independent uniform derived from `md5(seed + ":" + id)`
+    * and w > 0 is the row's weight, so inclusion probability scales with
+    * weight (the quality-weighted corpus subsample: upweight high-quality
+    * or rare-domain documents without the copy blowup of
+    * [[replicateByWeight]]). Deterministic: same seed, same corpus, same
+    * sample, on any partitioning.
+    *
+    * Float discipline: u = (h13 + 1) / (2^52 + 1) from the first 13 md5
+    * hex digits — exact in a double on both engines; the one
+    * transcendental (ln) goes through the intrinsic
+    * [[graft.expressions.GraftExpressions.platformLn]] and the priority
+    * is quantized to 10 dp BEFORE ranking with an id tie-break (the BM25
+    * ln discipline — no bit-portable ln exists across engines).
+    * Non-positive weights THROW scan-side (E–S is undefined there; a
+    * silent drop would bias the sample).
+    *
+    * Shape at 100 TB: priorities are scan-side expressions; the top-k is
+    * a distributed `TakeOrderedAndProject` (every partition keeps ≤ k
+    * candidates, the driver merges O(partitions · k)); the final rank
+    * window orders the ≤ k survivors only. Returns (rank, idCol,
+    * weight). */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int,
+                     seed: String = "wsamp"): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val h13 = conv(substring(
+      md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), 1, 13),
+      16, 10).cast("double")
+    val u = (h13 + 1.0) / 4503599627370497.0 // 2^52 + 1: u ∈ (0, 1]
+    val w = weight.cast("double")
+    val guarded = when(w > 0, w).otherwise(raise_error(concat(
+      lit("graft weightedSample: non-positive weight for id "),
+      col(idCol).cast("string"),
+      lit(" — Efraimidis-Spirakis needs w > 0; filter or clamp first"))))
+    val pri = round(
+      graft.expressions.GraftExpressions.platformLn(u) / guarded, 10)
+    val top = df.select(col(idCol), w.as("weight"), pri.as("__pri"))
+      .orderBy(col("__pri").desc, col(idCol).asc)
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("__pri").desc, col(idCol).asc)))
+      .select(col("rank"), col(idCol), col("weight"))
+  }
+
   /** WEIGHTED exact-k stratified sample: per-stratum k comes from a
     * weights map — the eval-set builder's real contract ("200 en docs,
     * 50 de, 20 of everything else"), where [[stratifiedSample]] is the

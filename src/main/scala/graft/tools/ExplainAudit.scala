@@ -90,7 +90,9 @@ object ExplainAudit extends App {
       // bounded nlist-domain rollup exchange
       "emb_cluster_profile",
       // assignment scan + bounded TopKByKey (ObjectHashAggregate) pick
-      "emb_balanced_sample"))
+      "emb_balanced_sample",
+      // scan-side priorities + TakeOrderedAndProject (no global sort)
+      "corpus_weighted_sample"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

@@ -142,7 +142,10 @@ object ScaleBench {
     "emb_cluster_profile",
     // assignment scan + O(k·nlist) TopKByKey exchange — expect ~linear
     // wall with flat output
-    "emb_balanced_sample")
+    "emb_balanced_sample",
+    // scan-side E-S priorities + TakeOrdered top-k: ~linear scan wall,
+    // O(partitions·k) merge, flat output
+    "corpus_weighted_sample")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

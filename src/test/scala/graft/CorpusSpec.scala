@@ -579,6 +579,43 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("weightedSample: E-S reference parity, weight bias, loud w<=0, deterministic") {
+    // plain-Scala reference of the same priority formula (platformLn's
+    // eval IS Math.log in both engine paths)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def pri(id: Long, w: Double): BigDecimal = {
+      val h = java.lang.Long.parseLong(md5hex(s"wsamp:$id").take(13), 16)
+      BigDecimal(math.log((h + 1.0) / 4503599627370497.0) / w)
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    }
+    // 50 heavy (w=100) + 150 light (w=1) docs; k=40
+    val rows = (0L until 200L).map(i =>
+      (i, if (i < 50) 100.0 else 1.0))
+    val df = rows.toDF("doc_id", "w")
+    val got = Corpus.weightedSample(df, "doc_id", $"w", k = 40)
+      .select("rank", "doc_id").as[(Int, Long)].collect().toSeq
+    val want = rows.map { case (i, w) => (i, pri(i, w)) }
+      .sortBy { case (i, p) => (-p, i) }.take(40).map(_._1)
+    assert(got.sortBy(_._1).map(_._2) == want)
+    // weight bias: heavy docs are 25% of the corpus but dominate the top
+    val heavy = got.count(_._2 < 50L)
+    assert(heavy > 25, s"expected heavy-weight dominance, got $heavy/40")
+    // deterministic under repartitioning
+    val again = Corpus.weightedSample(df.repartition(7), "doc_id", $"w", 40)
+      .select("rank", "doc_id").as[(Int, Long)].collect().toSet
+    assert(again == got.toSet)
+    // non-positive weight: loud, with guidance
+    val e = intercept[Exception] {
+      Corpus.weightedSample(
+        Seq((1L, 0.0)).toDF("doc_id", "w"), "doc_id", $"w", 5).collect()
+    }
+    assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .take(10).exists(t => Option(t.getMessage)
+        .exists(_.contains("w > 0"))), s"got: ${e.getMessage}")
+  }
+
   test("stratifiedSampleWeighted: window-twin parity, per-stratum ks, defaultK=0 drops") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.load(spark, sf0, "documents")
