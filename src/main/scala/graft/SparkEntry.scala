@@ -1540,6 +1540,18 @@ object SparkEntry {
         .select("doc_id", "n_bpe_tokens")
     }),
 
+    "bpe_roundtrip" -> ((s, dir) => {
+      // tokenizer-integrity gate: decode(encode(text)) must equal the
+      // whitespace-normalized text under a PARTIAL model (200 merges —
+      // mid-training, where boundary bugs would hide); the oracle is
+      // the normalization identity itself
+      val docs = t(s, dir, "documents")
+      val model = graft.llm.Bpe.train(docs, "text", numMerges = 200)
+      graft.llm.Bpe.decode(
+          graft.llm.Bpe.encode(docs, "text", model), "pieces")
+        .select("doc_id", "decoded")
+    }),
+
     "decontam_hits" -> ((s, dir) => {
       // benchmark decontamination (13-gram collision, GPT-3/Llama
       // discipline): benchmark = every 5th doc, training = the rest; the
@@ -3304,6 +3316,16 @@ object SparkEntry {
         |  CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
         |       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
         |  END AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+
+    // the round-trip identity: decode(encode(text)) ≡ the whitespace-
+    // normalized text, independent of merge count (blank-guarded like
+    // text_token_stats_by_lang)
+    "bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  array_to_string(list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x != ''), ' ')
+        |  AS decoded
         |FROM documents""".stripMargin,
 
     "text_quality" ->

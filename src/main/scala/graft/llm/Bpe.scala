@@ -147,6 +147,23 @@ object Bpe {
     df.withColumn(outCol,
       graft.expressions.GraftExpressions.bpeEncode(col(textCol), model.merges))
 
+  /** Lossless inverse of [[encode]]: concatenate each word's pieces (a
+    * word closes at the trained `</w>` end-of-word symbol) and join
+    * words with single spaces — so `decode(encode(text))` equals the
+    * whitespace-normalized text for ANY model, trained or partial
+    * (merges only regroup characters inside a word; they never create
+    * or destroy them). That identity is the tokenizer-integrity gate
+    * the `bpe_roundtrip` oracle checks end-to-end: a merge that leaked
+    * across a word boundary, dropped a character, or misplace the
+    * end-of-word symbol breaks it on some document. Map-only column
+    * work, zero shuffle. (Degenerate caveat, documented: text
+    * containing the literal symbol `</w>` would decode with it
+    * space-replaced.) */
+  def decode(df: DataFrame, piecesCol: String,
+             outCol: String = "decoded"): DataFrame =
+    df.withColumn(outCol,
+      trim(regexp_replace(array_join(col(piecesCol), ""), EndOfWord, " ")))
+
   /** Add `outCol` = the subword token COUNT of `textCol` under the
     * model — the real-token-budget upgrade over
     * [[TextAnalysis.subwordCountEstimate]]. Count-only kernel: the

@@ -92,7 +92,9 @@ object ExplainAudit extends App {
       // assignment scan + bounded TopKByKey (ObjectHashAggregate) pick
       "emb_balanced_sample",
       // scan-side priorities + TakeOrderedAndProject (no global sort)
-      "corpus_weighted_sample"))
+      "corpus_weighted_sample",
+      // encode+decode must stay one map-only projection, zero exchange
+      "bpe_roundtrip"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

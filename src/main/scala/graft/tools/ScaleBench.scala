@@ -145,7 +145,11 @@ object ScaleBench {
     "emb_balanced_sample",
     // scan-side E-S priorities + TakeOrdered top-k: ~linear scan wall,
     // O(partitions·k) merge, flat output
-    "corpus_weighted_sample")
+    "corpus_weighted_sample",
+    // train (word-freq reduce + driver merge loop over the bounded
+    // vocab) + two map-only kernels — train dominates, ~flat with the
+    // rotated-vocab inflation caveat of the bpe_tokens family
+    "bpe_roundtrip")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

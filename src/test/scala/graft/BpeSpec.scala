@@ -62,6 +62,25 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("decode inverts encode at any merge count; blanks decode to empty") {
+    val docs = Tables.load(spark, sf0, "documents")
+      .filter(col("doc_id") < 50)
+    for (n <- Seq(0, 40, 2000)) {
+      val model = Bpe.train(docs, "text", numMerges = n)
+      val rows = Bpe.decode(Bpe.encode(docs, "text", model), "pieces")
+        .select(col("text"), col("decoded")).as[(String, String)].collect()
+      rows.foreach { case (text, decoded) =>
+        assert(decoded == text.trim.split("\\s+").filter(_.nonEmpty)
+          .mkString(" "), s"decode broke at numMerges=$n for: $text")
+      }
+    }
+    val blank = Bpe.decode(
+      Bpe.encode(Seq((1L, ""), (2L, "  ")).toDF("doc_id", "text"),
+        "text", Bpe.Model(Seq.empty)), "pieces")
+      .select("decoded").as[String].collect().toSeq
+    assert(blank == Seq("", ""))
+  }
+
   test("more merges never increase the token count; floor is one piece per word") {
     val docs = Tables.load(spark, sf0, "documents")
       .filter(col("doc_id") < 100)
