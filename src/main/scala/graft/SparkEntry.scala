@@ -583,6 +583,13 @@ object SparkEntry {
         sum("n_chars").cast("long").as("total_chars"),
         countDistinct("lang").as("n_langs"))),
 
+    "a8_table_profile" -> ((s, dir) =>
+      // ANALYZE-style data card over the mixed-type orders table: one
+      // scan, one aggregate row stacked to per-column rows; doubles stay
+      // numeric (engines format double→string differently), timestamps
+      // string-cast (identical 'yyyy-MM-dd HH:mm:ss' form both sides)
+      core.Stats.tableProfile(t(s, dir, "orders"))),
+
     // ----------------------------------------------------------- set ops
     "u1_union_rebuild" -> ((s, dir) => {
       // U1: current ∪ added (documents rebuild first stage)
@@ -2009,6 +2016,31 @@ object SparkEntry {
         | CAST(sum(n_chars) AS BIGINT) AS total_chars,
         | count(DISTINCT lang) AS n_langs
         |FROM documents GROUP BY source""".stripMargin,
+
+    // per-column UNION ALL twin off one aggregate CTE; string/timestamp
+    // min-max compare in binary/ISO form, double min-max stay numeric
+    "a8_table_profile" ->
+      """WITH s AS (SELECT count(*) AS n,
+        | count(o_orderkey) c1, count(DISTINCT o_orderkey) d1,
+        |   round(CAST(min(o_orderkey) AS DOUBLE), 6) mn1, round(CAST(max(o_orderkey) AS DOUBLE), 6) mx1,
+        | count(o_custkey) c2, count(DISTINCT o_custkey) d2,
+        |   round(CAST(min(o_custkey) AS DOUBLE), 6) mn2, round(CAST(max(o_custkey) AS DOUBLE), 6) mx2,
+        | count(o_orderstatus) c3, count(DISTINCT o_orderstatus) d3,
+        |   CAST(min(o_orderstatus) AS VARCHAR) mns3, CAST(max(o_orderstatus) AS VARCHAR) mxs3,
+        | count(o_totalprice) c4, count(DISTINCT o_totalprice) d4,
+        |   round(min(o_totalprice), 6) mn4, round(max(o_totalprice), 6) mx4,
+        | count(o_orderdate) c5, count(DISTINCT o_orderdate) d5,
+        |   CAST(min(o_orderdate) AS VARCHAR) mns5, CAST(max(o_orderdate) AS VARCHAR) mxs5,
+        | count(o_orderpriority) c6, count(DISTINCT o_orderpriority) d6,
+        |   CAST(min(o_orderpriority) AS VARCHAR) mns6, CAST(max(o_orderpriority) AS VARCHAR) mxs6
+        | FROM orders)
+        |SELECT 'o_orderkey' AS col_name, n AS n_rows, n - c1 AS n_nulls, d1 AS n_distinct,
+        |  mn1 AS min_num, mx1 AS max_num, CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM s
+        |UNION ALL SELECT 'o_custkey', n, n - c2, d2, mn2, mx2, NULL, NULL FROM s
+        |UNION ALL SELECT 'o_orderstatus', n, n - c3, d3, NULL, NULL, mns3, mxs3 FROM s
+        |UNION ALL SELECT 'o_totalprice', n, n - c4, d4, mn4, mx4, NULL, NULL FROM s
+        |UNION ALL SELECT 'o_orderdate', n, n - c5, d5, NULL, NULL, mns5, mxs5 FROM s
+        |UNION ALL SELECT 'o_orderpriority', n, n - c6, d6, NULL, NULL, mns6, mxs6 FROM s""".stripMargin,
 
     "u1_union_rebuild" ->
       """SELECT o_orderstatus, count(*) AS n FROM (

@@ -23,6 +23,64 @@ object Stats {
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
+  /** ANALYZE-style per-column table profile — the lake-ops data card:
+    * one row per column with row/null/distinct counts and typed min/max
+    * (numerics in `min_num`/`max_num` rounded to 6 dp; strings,
+    * booleans, dates and timestamps string-cast into
+    * `min_str`/`max_str` — doubles are deliberately NOT string-cast,
+    * engines format them differently). Non-atomic columns (arrays,
+    * structs, maps, binary) profile null counts only — their distinct
+    * and ordering semantics are representation-dependent.
+    *
+    * ONE scan, one aggregate row, stacked to per-column rows driver-free
+    * (the explode works on a 1-row frame). Exact `count(DISTINCT)` per
+    * column makes Spark plan an Expand (one shuffled pass per distinct
+    * column) — correct but costly at 100 TB; `approxDistinct = true`
+    * swaps in single-pass HLL `approx_count_distinct` (default ±5% rsd),
+    * the profile-at-scale mode (spec-asserted, not oracle-gated —
+    * approximation is the point). */
+  def tableProfile(df: DataFrame, approxDistinct: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fields = df.schema.fields.toSeq
+    def numeric(dt: DataType) = dt.isInstanceOf[NumericType]
+    def atomic(dt: DataType) = dt match {
+      case _: NumericType | StringType | BooleanType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    val aggs = Seq(count(lit(1)).as("__n")) ++ fields.flatMap { f =>
+      val c = col(f.name)
+      val nd =
+        if (!atomic(f.dataType)) lit(null).cast("long")
+        else if (approxDistinct) approx_count_distinct(c)
+        else countDistinct(c)
+      val (mnN, mxN, mnS, mxS) =
+        if (numeric(f.dataType))
+          (round(min(c).cast("double"), 6), round(max(c).cast("double"), 6),
+            nullS, nullS)
+        else if (atomic(f.dataType))
+          (nullD, nullD, min(c).cast("string"), max(c).cast("string"))
+        else (nullD, nullD, nullS, nullS)
+      Seq(count(c).as(s"__cnt_${f.name}"), nd.as(s"__nd_${f.name}"),
+        mnN.as(s"__mnn_${f.name}"), mxN.as(s"__mxn_${f.name}"),
+        mnS.as(s"__mns_${f.name}"), mxS.as(s"__mxs_${f.name}"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(fields.map { f => struct(
+        lit(f.name).as("col_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__cnt_${f.name}")).as("n_nulls"),
+        col(s"__nd_${f.name}").cast("long").as("n_distinct"),
+        col(s"__mnn_${f.name}").as("min_num"),
+        col(s"__mxn_${f.name}").as("max_num"),
+        col(s"__mns_${f.name}").as("min_str"),
+        col(s"__mxs_${f.name}").as("max_str"))
+      }: _*)).as("p"))
+      .select("p.*")
+  }
+
   /** Per-FTM-schema document counts derived from mimetypes (A2). */
   def schemaCounts(documents: DataFrame): DataFrame =
     documents

@@ -94,7 +94,9 @@ object ExplainAudit extends App {
       // scan-side priorities + TakeOrderedAndProject (no global sort)
       "corpus_weighted_sample",
       // encode+decode must stay one map-only projection, zero exchange
-      "bpe_roundtrip"))
+      "bpe_roundtrip",
+      // one scan + Expand for the exact distincts + a 1-row stack
+      "a8_table_profile"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

@@ -149,7 +149,10 @@ object ScaleBench {
     // train (word-freq reduce + driver merge loop over the bounded
     // vocab) + two map-only kernels — train dominates, ~flat with the
     // rotated-vocab inflation caveat of the bpe_tokens family
-    "bpe_roundtrip")
+    "bpe_roundtrip",
+    // one scan, 6 exact count-distincts through one Expand exchange,
+    // 6-row stack — wall tracks the Expand (×cols data), ~linear
+    "a8_table_profile")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length
@@ -250,6 +253,16 @@ object ScaleBench {
         .withColumn("l_suppkey", col("l_suppkey") + lit(k * Offset))
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    // orders: id shifts only (the profile probe reads min/max/distincts;
+    // shifted keys scale the distinct domains linearly, everything else
+    // carries through so per-column value ranges stay comparable)
+    val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+    (0 until copies).map { k =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * Offset))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * Offset))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
   }
 
   private def time(f: => Unit): Double = {
@@ -316,10 +329,12 @@ object ScaleBench {
     val spark = graft.GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // customer.parquet is checked too: a workDir synthesized before the
-    // linkage probes existed must be re-synthesized, not half-reused
+    // customer/orders are checked too: a workDir synthesized before the
+    // linkage/profile probes existed must be re-synthesized, not
+    // half-reused
     val alreadySynth = new java.io.File(s"$workDir/documents.parquet").exists() &&
-      new java.io.File(s"$workDir/customer.parquet").exists()
+      new java.io.File(s"$workDir/customer.parquet").exists() &&
+      new java.io.File(s"$workDir/orders.parquet").exists()
     val tSynth =
       if (alreadySynth) 0.0
       else time(synthesize(spark, srcDir, workDir, copies))

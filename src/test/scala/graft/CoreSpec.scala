@@ -80,6 +80,39 @@ class CoreSpec extends SparkSpec {
       .as[Long].head() == 10L)
   }
 
+  test("tableProfile: per-column card on hand-built mixed types") {
+    val df = Seq(
+      (1L, Some("b"), Some(2.5), Seq(1, 2)),
+      (2L, None, Some(0.5), Seq.empty[Int]),
+      (3L, Some("a"), None, Seq(3))
+    ).toDF("id", "s", "x", "arr")
+    val p = Stats.tableProfile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet == Set("id", "s", "x", "arr"))
+    val id = p("id")
+    assert(id.getLong(1) == 3L && id.getLong(2) == 0L &&
+      id.getLong(3) == 3L && id.getDouble(4) == 1.0 &&
+      id.getDouble(5) == 3.0 && id.isNullAt(6) && id.isNullAt(7))
+    val s = p("s")
+    assert(s.getLong(2) == 1L && s.getLong(3) == 2L &&
+      s.isNullAt(4) && s.getString(6) == "a" && s.getString(7) == "b")
+    val x = p("x")
+    assert(x.getLong(2) == 1L && x.getDouble(4) == 0.5 &&
+      x.getDouble(5) == 2.5)
+    // non-atomic: null counts only, no distinct/ordering claims
+    val arr = p("arr")
+    assert(arr.getLong(2) == 0L && arr.isNullAt(3) && arr.isNullAt(4) &&
+      arr.isNullAt(6))
+    // scale mode: approx distinct within the default 5% rsd of exact
+    val docs = Tables.load(spark, sf0, "documents")
+    val exact = Stats.tableProfile(docs.select("doc_id"))
+      .head().getLong(3)
+    val approx = Stats.tableProfile(docs.select("doc_id"),
+      approxDistinct = true).head().getLong(3)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
   test("config.yml parsing: flat keys, nested sections, legacy leakrfc name") {
     val yml =
       """name: test_dataset          # foreign_id
