@@ -50,33 +50,39 @@ object Stats {
     }
     val nullD = lit(null).cast("double")
     val nullS = lit(null).cast("string")
-    val aggs = Seq(count(lit(1)).as("__n")) ++ fields.flatMap { f =>
-      val c = col(f.name)
-      val nd =
-        if (!atomic(f.dataType)) lit(null).cast("long")
-        else if (approxDistinct) approx_count_distinct(c)
-        else countDistinct(c)
-      val (mnN, mxN, mnS, mxS) =
-        if (numeric(f.dataType))
-          (round(min(c).cast("double"), 6), round(max(c).cast("double"), 6),
-            nullS, nullS)
-        else if (atomic(f.dataType))
-          (nullD, nullD, min(c).cast("string"), max(c).cast("string"))
-        else (nullD, nullD, nullS, nullS)
-      Seq(count(c).as(s"__cnt_${f.name}"), nd.as(s"__nd_${f.name}"),
-        mnN.as(s"__mnn_${f.name}"), mxN.as(s"__mxn_${f.name}"),
-        mnS.as(s"__mns_${f.name}"), mxS.as(s"__mxs_${f.name}"))
-    }
+    // source refs backtick-quoted (a dotted column name must profile,
+    // not parse as struct access); internal aliases are index-based so
+    // no user-controlled name ever reaches a generated identifier
+    def src(f: StructField): org.apache.spark.sql.Column =
+      col("`" + f.name.replace("`", "``") + "`")
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      fields.zipWithIndex.flatMap { case (f, i) =>
+        val c = src(f)
+        val nd =
+          if (!atomic(f.dataType)) lit(null).cast("long")
+          else if (approxDistinct) approx_count_distinct(c)
+          else countDistinct(c)
+        val (mnN, mxN, mnS, mxS) =
+          if (numeric(f.dataType))
+            (round(min(c).cast("double"), 6), round(max(c).cast("double"), 6),
+              nullS, nullS)
+          else if (atomic(f.dataType))
+            (nullD, nullD, min(c).cast("string"), max(c).cast("string"))
+          else (nullD, nullD, nullS, nullS)
+        Seq(count(c).as(s"__cnt_$i"), nd.as(s"__nd_$i"),
+          mnN.as(s"__mnn_$i"), mxN.as(s"__mxn_$i"),
+          mnS.as(s"__mns_$i"), mxS.as(s"__mxs_$i"))
+      }
     df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(fields.map { f => struct(
+      .select(explode(array(fields.zipWithIndex.map { case (f, i) => struct(
         lit(f.name).as("col_name"),
         col("__n").as("n_rows"),
-        (col("__n") - col(s"__cnt_${f.name}")).as("n_nulls"),
-        col(s"__nd_${f.name}").cast("long").as("n_distinct"),
-        col(s"__mnn_${f.name}").as("min_num"),
-        col(s"__mxn_${f.name}").as("max_num"),
-        col(s"__mns_${f.name}").as("min_str"),
-        col(s"__mxs_${f.name}").as("max_str"))
+        (col("__n") - col(s"__cnt_$i")).as("n_nulls"),
+        col(s"__nd_$i").cast("long").as("n_distinct"),
+        col(s"__mnn_$i").as("min_num"),
+        col(s"__mxn_$i").as("max_num"),
+        col(s"__mns_$i").as("min_str"),
+        col(s"__mxs_$i").as("max_str"))
       }: _*)).as("p"))
       .select("p.*")
   }

@@ -103,6 +103,11 @@ class CoreSpec extends SparkSpec {
     val arr = p("arr")
     assert(arr.getLong(2) == 0L && arr.isNullAt(3) && arr.isNullAt(4) &&
       arr.isNullAt(6))
+    // dotted column names must profile, not parse as struct access
+    val dotted = Seq((1L, "v")).toDF("user.id", "plain")
+    val dp = Stats.tableProfile(dotted).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(dp == Map("user.id" -> 1L, "plain" -> 1L))
     // scale mode: approx distinct within the default 5% rsd of exact
     val docs = Tables.load(spark, sf0, "documents")
     val exact = Stats.tableProfile(docs.select("doc_id"))
