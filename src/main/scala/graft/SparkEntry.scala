@@ -978,6 +978,12 @@ object SparkEntry {
       // sums per predicted language, one bounded-domain exchange
       TA.tokenStatsByLang(t(s, dir, "documents"), "text")),
 
+    "text_langid_confusion" -> ((s, dir) =>
+      // the heuristic's own eval harness: predictions vs the labeled
+      // lang column, exact counts + per-label shares over the bounded
+      // label×prediction domain
+      TA.langIdConfusion(t(s, dir, "documents"), "text", "lang")),
+
     "text_hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval: the BM25 sparse list fused with a dense
       // cosine list over the SAME 20 query ids (documents and
@@ -3649,6 +3655,30 @@ object SparkEntry {
         |      WHEN sfr > 0 AND sfr >= sde AND sfr >= sen AND sfr >= ses THEN 'fr'
         |      ELSE 'und' END AS lang_pred
         |FROM sc""".stripMargin,
+
+    // langid CASE verbatim again; exact counts, share derived from them
+    // over the bounded label domain
+    "text_langid_confusion" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |  string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |  len(list_filter(words, x -> lower(x) IN ('der','die','das','und','ist','nicht','ein','mit'))) AS sde,
+        |  len(list_filter(words, x -> lower(x) IN ('the','and','is','of','to','in','that','it'))) AS sen,
+        |  len(list_filter(words, x -> lower(x) IN ('el','la','los','que','y','es','en','un'))) AS ses,
+        |  len(list_filter(words, x -> lower(x) IN ('le','la','les','et','est','que','des','une'))) AS sfr
+        |  FROM w),
+        |l AS (SELECT lang AS label,
+        | CASE WHEN sde > 0 AND sde >= sen AND sde >= ses AND sde >= sfr THEN 'de'
+        |      WHEN sen > 0 AND sen >= sde AND sen >= ses AND sen >= sfr THEN 'en'
+        |      WHEN ses > 0 AND ses >= sde AND ses >= sen AND ses >= sfr THEN 'es'
+        |      WHEN sfr > 0 AND sfr >= sde AND sfr >= sen AND sfr >= ses THEN 'fr'
+        |      ELSE 'und' END AS pred
+        |FROM sc),
+        |c AS (SELECT label, pred, count(*) AS n FROM l GROUP BY 1, 2)
+        |SELECT label, pred, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY label), 6)
+        |    AS label_share
+        |FROM c""".stripMargin,
 
     // the langid CASE is text_langid's twin verbatim; the measures are
     // text_tokens' twin aggregated — integer-exact sums, fertility

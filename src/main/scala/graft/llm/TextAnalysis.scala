@@ -334,6 +334,23 @@ object TextAnalysis {
           round(col("n_subwords").cast("double") / col("n_tokens"), 6)))
   }
 
+  /** Confusion matrix of [[langId]] predictions against a ground-truth
+    * label column — the heuristic's own evaluation harness (run it on
+    * any labeled slice before trusting langid gates on a new corpus):
+    * one row per (label, prediction) pair with its count and the row's
+    * share of that label (exact counts, ratio derived at the end).
+    * Single scan, one partial-agg exchange over the bounded
+    * label×prediction domain. */
+  def langIdConfusion(df: org.apache.spark.sql.DataFrame, textCol: String,
+                      labelCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = df
+      .groupBy(col(labelCol).as("label"), langId(col(textCol)).as("pred"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("label")
+    counts.withColumn("label_share",
+      round(col("n").cast("double") / sum("n").over(w), 6))
+  }
+
   // ------------------------------------------------------------ fingerprint
   /** Canonical content fingerprint: md5 over the sorted distinct token bag.
     * Robust to word order and repetition — the standard "fingerprint"

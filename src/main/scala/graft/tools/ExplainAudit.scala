@@ -96,7 +96,9 @@ object ExplainAudit extends App {
       // encode+decode must stay one map-only projection, zero exchange
       "bpe_roundtrip",
       // one scan + Expand for the exact distincts + a 1-row stack
-      "a8_table_profile"))
+      "a8_table_profile",
+      // one partial-agg exchange + a bounded-domain share window
+      "text_langid_confusion"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

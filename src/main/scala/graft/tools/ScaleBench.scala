@@ -152,7 +152,9 @@ object ScaleBench {
     "bpe_roundtrip",
     // one scan, 6 exact count-distincts through one Expand exchange,
     // 6-row stack — wall tracks the Expand (×cols data), ~linear
-    "a8_table_profile")
+    "a8_table_profile",
+    // bounded label×pred domain rollup + a ≤25-row share window
+    "text_langid_confusion")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

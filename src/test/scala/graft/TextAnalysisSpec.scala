@@ -80,6 +80,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Set(("und", 2L, 0L, 0L, 3L, None)))
   }
 
+  test("langIdConfusion: exact counts and per-label shares") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", "the cat is here"), ("en", "the dog and it"),
+      ("en", "zzz qqq"), // an en-labeled doc the heuristic misses
+      ("de", "der hund ist da")
+    ).toDF("lang", "text")
+    val out = TA.langIdConfusion(df, "text", "lang")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(out == Set(
+      ("en", "en", 2L, 0.666667), ("en", "und", 1L, 0.333333),
+      ("de", "de", 1L, 1.0)))
+  }
+
   test("fingerprint is invariant under word order and repetition") {
     val a = one[String](TA.fingerprint(col("t")), "alpha beta gamma")
     val b = one[String](TA.fingerprint(col("t")), "gamma alpha beta beta")
