@@ -459,6 +459,60 @@ object SparkEntry {
           count(lit(1)).as("n_lines"))
     }),
 
+    "q21_waiting_supplier" -> ((s, dir) => {
+      // TPC-H q21's shape on this schema: suppliers who were the ONLY
+      // late shipper on a finished multi-supplier order ("late" adapted
+      // to l_shipdate > o_orderdate + 60 days; the stock schema's
+      // commit/receipt dates don't exist here). The classic form is a
+      // semi-join (EXISTS another supplier on the order) plus an
+      // anti-join (NOT EXISTS another LATE supplier) against the same
+      // fact table — the oracle runs exactly that. The engine instead
+      // pays ONE explicit orderkey repartition of the (3-column) joined
+      // fact and rides it twice: the per-(order,supplier) lateness
+      // aggregate needs only a (orderkey)-subset distribution (no new
+      // exchange), and the per-order EXISTS / NOT-EXISTS pair collapses
+      // to window counts over the same partitioning
+      // (`n_supp > 1 && n_late_supp = 1`) — zero self-joins, a single
+      // lineitem scan, two hash exchanges total (PlanShapeSpec-
+      // asserted). The literal form's two correlated subqueries would
+      // each reshuffle lineitem at 100 TB.
+      val ordF = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val lo = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(ordF, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey", "late")
+        .repartition(col("l_orderkey"))
+      // per-(order, supplier): was this supplier late, how many late
+      // lines — the (l_orderkey) partitioning satisfies the superset
+      // grouping, so this aggregates in place
+      val perOS = lo.groupBy("l_orderkey", "l_suppkey")
+        .agg(max(col("late")).as("late_s"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("n_late_lines"))
+      // per-order supplier / late-supplier counts as windows over the
+      // same partitioning (orders are small groups — the sort is local)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+      val waiting = perOS
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_late_supp",
+          sum(when(col("late_s"), 1L).otherwise(0L)).over(w))
+        .filter(col("late_s") && col("n_supp") > 1 &&
+          col("n_late_supp") === 1)
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+      waiting.groupBy("l_suppkey")
+        .agg(sum("n_late_lines").as("numwait"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select("s_name", "n_name", "numwait")
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
     "q22_idle_customers" -> ((s, dir) => {
       // TPC-H q22's shape on this schema: customers with above-average
       // account balance and NO orders in a window — scalar-subquery
@@ -1925,6 +1979,28 @@ object SparkEntry {
         |    AND l_quantity BETWEEN 10 AND 40)
         |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 10 AND 40
         |    AND l_quantity BETWEEN 20 AND 60)""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      // the LITERAL exists/not-exists form — proving the engine's
+      // one-shuffle aggregate rewrite against the textbook plan
+      """SELECT s_name, n_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name, n_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
 
     "q22_idle_customers" ->
       """SELECT c_mktsegment, count(*) AS numcust,

@@ -98,7 +98,10 @@ object ExplainAudit extends App {
       // one scan + Expand for the exact distincts + a 1-row stack
       "a8_table_profile",
       // one partial-agg exchange + a bounded-domain share window
-      "text_langid_confusion"))
+      "text_langid_confusion",
+      // q21's aggregate rewrite: one lineitem scan, one orderkey
+      // repartition riding the (order,supplier) agg + per-order windows
+      "q21_waiting_supplier"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

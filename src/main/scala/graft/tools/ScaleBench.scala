@@ -154,7 +154,11 @@ object ScaleBench {
     // 6-row stack — wall tracks the Expand (×cols data), ~linear
     "a8_table_profile",
     // bounded label×pred domain rollup + a ≤25-row share window
-    "text_langid_confusion")
+    "text_langid_confusion",
+    // one orderkey repartition of the joined fact (3 cols) that the
+    // (order,supplier) aggregate and the per-order windows both ride —
+    // wall tracks that shuffle, ~linear; output capped at 100
+    "q21_waiting_supplier")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length
@@ -265,6 +269,18 @@ object ScaleBench {
         .withColumn("o_custkey", col("o_custkey") + lit(k * Offset))
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    // supplier: s_suppkey shifts in lockstep with lineitem's l_suppkey
+    // so the q21 supplier join keeps every copy's rows; nation carries
+    // through unchanged (bounded dim — real scale-ups grow facts, not
+    // the nation list)
+    val sup = spark.read.parquet(s"$srcDir/supplier.parquet")
+    (0 until copies).map { k =>
+      sup.withColumn("s_suppkey", col("s_suppkey") + lit(k * Offset))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+    spark.read.parquet(s"$srcDir/nation.parquet")
+      .write.mode("overwrite").parquet(s"$outDir/nation.parquet")
   }
 
   private def time(f: => Unit): Double = {
@@ -336,7 +352,8 @@ object ScaleBench {
     // half-reused
     val alreadySynth = new java.io.File(s"$workDir/documents.parquet").exists() &&
       new java.io.File(s"$workDir/customer.parquet").exists() &&
-      new java.io.File(s"$workDir/orders.parquet").exists()
+      new java.io.File(s"$workDir/orders.parquet").exists() &&
+      new java.io.File(s"$workDir/supplier.parquet").exists()
     val tSynth =
       if (alreadySynth) 0.0
       else time(synthesize(spark, srcDir, workDir, copies))

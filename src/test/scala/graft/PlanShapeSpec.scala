@@ -289,6 +289,20 @@ class PlanShapeSpec extends SparkSpec {
         s"not a join:\n$finalSection")
   }
 
+  test("q21 rides one orderkey repartition: single lineitem scan, 2 exchanges") {
+    // the EXISTS / NOT-EXISTS rewrite must NOT relapse into self-joins:
+    // one lineitem scan, and the only hash exchanges are the explicit
+    // orderkey repartition (shared by the (order,supplier) aggregate and
+    // the per-order windows) plus the final per-supplier rollup
+    val df = q("q21_waiting_supplier")
+    assert(finalScans(df, "lineitem") == 1)
+    val finalSection = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val exchanges = finalSection.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$finalSection")
+  }
+
   test("a deliberate recompute shape IS caught by the counter") {
     // sanity-check the guard itself: the pre-fix bigram formulation
     // (context count re-exploded from the corpus) must count 3 scans
