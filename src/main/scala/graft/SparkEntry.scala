@@ -1380,6 +1380,29 @@ object SparkEntry {
       drainStream(sk, "graft_sketch_stream", complete = true)
     }),
 
+    "vocab_freq_stream" -> ((s, dir) => {
+      // the streaming Count–Min producer under the oracle gate:
+      // per-slice matrices build as a complete-mode streaming
+      // aggregation (cell state in the state store, AvailableNow
+      // drain), merge cellwise post-drain, and estimates are served
+      // for the same top-20 probe set as the batch build — cellwise
+      // addition is order-independent, so the stream shares the batch
+      // twin's full-semantics oracle
+      val docs = t(s, dir, "documents")
+      val sk = graft.llm.Corpus.frequencySketch(
+        streamDocs(s, dir, docs.schema), "text", col("doc_id") % 3,
+        depth = 4, width = 8192)
+      val merged = graft.llm.Corpus.mergeFrequencySketches(
+        drainStream(sk, "graft_freq_stream", complete = true))
+      val tk = docs.select(explode(split(
+          graft.llm.TextAnalysis.normalizeText(col("text")), " "))
+          .as("token"))
+        .filter(length(col("token")) > 0)
+      val probes = tk.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(20)
+      graft.llm.Corpus.estimateFrequencies(merged, probes)
+    }),
+
     "vocab_distinct_stream" -> ((s, dir) => {
       // streaming vocabulary-growth tracking: the per-slice HLL
       // aggregate as a complete-mode streaming aggregation (sketch
@@ -1430,6 +1453,25 @@ object SparkEntry {
           .withColumn("sketch_id", lit(i)))
       graft.llm.Corpus.mergeHeavyHitterSketches(
         tagged.reduce(_ unionByName _), capacity = 2048)
+    }),
+
+    "vocab_freq_sketch" -> ((s, dir) => {
+      // Count–Min point frequencies: per-slice sketches (doc_id % 3)
+      // merged cellwise, estimates served for the top-20 true tokens
+      // alongside their exact counts. The twin recomputes every md5
+      // lane cell in SQL, so the FULL sketch semantics — collisions
+      // included — must match, not just an exact regime.
+      val docs = t(s, dir, "documents")
+      val sk = graft.llm.Corpus.frequencySketch(docs, "text",
+        col("doc_id") % 3, depth = 4, width = 8192)
+      val merged = graft.llm.Corpus.mergeFrequencySketches(sk)
+      val tk = docs.select(explode(split(
+          graft.llm.TextAnalysis.normalizeText(col("text")), " "))
+          .as("token"))
+        .filter(length(col("token")) > 0)
+      val probes = tk.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(20)
+      graft.llm.Corpus.estimateFrequencies(merged, probes)
     }),
 
     "doc_len_quantile_sketch" -> ((s, dir) => {
@@ -1754,6 +1796,27 @@ object SparkEntry {
       |                          ORDER BY score DESC, doc_id) AS rank FROM sc)
       |SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank, score
       |FROM rk WHERE rank <= 5""".stripMargin
+
+  // shared by the batch and streaming Count–Min builds: the twin
+  // replicates the md5-lane cells and the min-over-lanes estimate in
+  // SQL, so the whole sketch — collisions included — is verified
+  private val CountMinOracle: String =
+    """WITH norm AS (SELECT trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM documents),
+      |tok AS (SELECT unnest(string_split(t, ' ')) AS token FROM norm),
+      |tk AS (SELECT token FROM tok WHERE length(token) > 0),
+      |probe AS (SELECT token, count(*) AS cnt FROM tk
+      |          GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20),
+      |lanes AS (SELECT i FROM (VALUES (0),(1),(2),(3)) v(i)),
+      |cells AS (
+      |  SELECT i, ('0x' || substr(md5(token), i*8+1, 8))::BIGINT % 8192 AS cell,
+      |         count(*) AS c
+      |  FROM tk CROSS JOIN lanes GROUP BY 1, 2)
+      |SELECT p.token, p.cnt, min(c.c) AS est
+      |FROM probe p CROSS JOIN lanes l
+      |JOIN cells c ON c.i = l.i
+      | AND c.cell = ('0x' || substr(md5(p.token), l.i*8+1, 8))::BIGINT % 8192
+      |GROUP BY 1, 2""".stripMargin
 
   // shared by the batch and streaming KLL builds: in the exact regime
   // (n ≤ k, no compaction) quantiles are insertion-order-independent
@@ -2935,6 +2998,14 @@ object SparkEntry {
         |tot AS (SELECT count(*) AS n FROM tk)
         |SELECT token, count(*) AS count_lb, tot.n AS n_part
         |FROM tk, tot GROUP BY token, tot.n""".stripMargin,
+
+    // the Count–Min twin re-derives every md5-lane cell in SQL —
+    // cell_i = ('0x'||substr(md5(token), i*8+1, 8))::BIGINT % width —
+    // then the min-over-lanes estimate, so the whole sketch (collisions
+    // included) is verified, not an exact regime; cellwise addition is
+    // order-independent, so the streaming build shares the twin
+    "vocab_freq_sketch" -> CountMinOracle,
+    "vocab_freq_stream" -> CountMinOracle,
 
     // the KLL exact regime (n ≤ k, no compaction): the INCLUSIVE
     // quantile — smallest value with cumulative weight ≥ q·N, the q·N

@@ -904,6 +904,26 @@ object GraftExpressions {
     toCol(new org.apache.spark.sql.catalyst.expressions
       .BloomFilterMightContain(expr(sketch), expr(key)))
 
+  /** Count–Min frequency sketch aggregate over a STRING column →
+    * sketch binary; see [[CountMinAgg]]. md5-lane cell hashing: an
+    * external engine reproduces every cell as
+    * `('0x' || substr(md5(item), i*8+1, 8))::BIGINT % width`. */
+  def countMinSketch(item: Column, depth: Int = 4, width: Int = 8192): Column =
+    toCol(CountMinAgg(expr(item), depth, width).toAggregateExpression())
+
+  /** Union stored Count–Min binaries cellwise (geometry mismatch
+    * throws); see [[CountMinUnion]]. */
+  def countMinUnion(sketch: Column): Column =
+    toCol(CountMinUnion(expr(sketch)).toAggregateExpression())
+
+  /** Point-frequency estimate of an item against a Count–Min binary:
+    * ≥ true count, ≤ true + εN (ε ≈ e/width). Codegen'd. */
+  def countMinEstimate(sketch: Column, item: Column): Column =
+    toCol(CountMinEstimateExpr(expr(sketch), expr(item)))
+
+  /** The total count a Count–Min sketch has absorbed. */
+  def countMinN(sketch: Column): Column = toCol(CountMinTotal(expr(sketch)))
+
   /** Register all graft expressions for SQL use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -929,6 +949,17 @@ object GraftExpressions {
         .toAggregateExpression(), "scala_udf")
     reg.createOrReplaceTempFunction("graft_bloom_union",
       es => BloomUnion(es.head).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_countmin",
+      es => CountMinAgg(es(0),
+        intLit(es(1), "graft_countmin", "depth"),
+        intLit(es(2), "graft_countmin", "width"))
+        .toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_countmin_union",
+      es => CountMinUnion(es.head).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_countmin_est",
+      es => CountMinEstimateExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_countmin_n",
+      es => CountMinTotal(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_platform_ln",
       es => PlatformLog(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_scalar_quantize",

@@ -434,6 +434,49 @@ object Corpus {
         col("value"), col("n_rows"))
   }
 
+  /** Per-slice Count–Min frequency sketches — the POINT-FREQUENCY member
+    * of the mergeable family ([[heavyHittersSketch]] top items,
+    * [[distinctSketch]] cardinalities, [[quantileSketch]] distributions,
+    * this anyone's-count): one depth×width counter matrix per slice
+    * (day, shard, source), persistable and mergeable with
+    * [[mergeFrequencySketches]] so per-token frequency features stay
+    * queryable incrementally — for ANY token, not just the retained
+    * heavy tail MG keeps — without ever shuffling the token domain.
+    *
+    * Estimates OVERcount only: est ≥ true, est ≤ true + εN with
+    * ε ≈ e/width (see [[graft.expressions.CountMinAgg]] — md5-lane
+    * hashing, externally reproducible cell-for-cell). Output:
+    * (slice, sketch binary, n_tokens). */
+  def frequencySketch(df: DataFrame, textCol: String, sliceCol: Column,
+                      depth: Int = 4, width: Int = 8192): DataFrame =
+    df.select(sliceCol.as("slice"),
+        explode(split(TextAnalysis.normalizeText(col(textCol)), " "))
+          .as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("slice")
+      .agg(graft.expressions.GraftExpressions
+          .countMinSketch(col("token"), depth, width).as("sketch"),
+        count(lit(1)).as("n_tokens"))
+
+  /** Merge [[frequencySketch]] frames cellwise (one bounded binary per
+    * input at ANY corpus size; geometry mismatch throws) → one row
+    * (sketch, n_tokens). */
+  def mergeFrequencySketches(sketches: DataFrame): DataFrame =
+    sketches.agg(graft.expressions.GraftExpressions
+        .countMinUnion(col("sketch")).as("sketch"),
+      coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))
+
+  /** Serve point-frequency estimates for a probe frame against a merged
+    * sketch: the one-row sketch broadcasts and the probes stay a
+    * codegen'd scan — zero shuffle, any probe-set size. Output: probes +
+    * `est` (≥ true count, ≤ true + εN). */
+  def estimateFrequencies(merged: DataFrame, probes: DataFrame,
+                          tokenCol: String = "token"): DataFrame =
+    probes.crossJoin(broadcast(merged.select("sketch")))
+      .withColumn("est", graft.expressions.GraftExpressions
+        .countMinEstimate(col("sketch"), col(tokenCol)))
+      .drop("sketch")
+
   /** Distribution drift between two sub-corpora: the `topN` tokens whose
     * unigram frequency differs most between group `a` and group `b` of
     * `groupCol` — the data-mixing diagnostic ("what words make the web

@@ -101,7 +101,10 @@ object ExplainAudit extends App {
       "text_langid_confusion",
       // q21's aggregate rewrite: one lineitem scan, one orderkey
       // repartition riding the (order,supplier) agg + per-order windows
-      "q21_waiting_supplier"))
+      "q21_waiting_supplier",
+      // Count–Min build: one tokenize scan into a bounded-matrix
+      // partial-agg exchange; serving is a broadcast codegen'd scan
+      "vocab_freq_sketch"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

@@ -158,7 +158,11 @@ object ScaleBench {
     // one orderkey repartition of the joined fact (3 cols) that the
     // (order,supplier) aggregate and the per-order windows both ride —
     // wall tracks that shuffle, ~linear; output capped at 100
-    "q21_waiting_supplier")
+    "q21_waiting_supplier",
+    // Count–Min: the matrix exchange carries 256 KiB per partial at ANY
+    // corpus size (the HLL shape); growth is the tokenize scan + one
+    // md5 per occurrence
+    "vocab_freq_sketch")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

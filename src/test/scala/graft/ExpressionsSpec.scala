@@ -471,6 +471,84 @@ class ExpressionsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("b", 3L), ("a", 2L), ("c", 1L)))
   }
 
+  test("countMin: wide sketch is exact on a small vocab; narrow sketch " +
+      "only ever OVERcounts; n tracked; nulls skipped") {
+    val counts = Map("alpha" -> 7L, "beta" -> 3L, "gamma" -> 1L)
+    val rows = counts.toSeq.flatMap { case (t, c) =>
+      Seq.fill(c.toInt)(Option(t)) } :+ (None: Option[String])
+    val df = rows.toDF("t")
+    for (width <- Seq(4, 4096)) {
+      val sk = df.agg(GraftExpressions.countMinSketch($"t", 4, width)
+        .as("sk"))
+      val ests = counts.keys.toSeq.toDF("token")
+        .crossJoin(sk)
+        .select($"token", GraftExpressions.countMinEstimate($"sk", $"token"),
+          GraftExpressions.countMinN($"sk"))
+        .as[(String, Long, Long)].collect()
+      ests.foreach { case (t, est, n) =>
+        assert(n == 11L, s"n=$n (width=$width)")
+        assert(est >= counts(t), s"$t undercounted: $est (width=$width)")
+        if (width == 4096) assert(est == counts(t),
+          s"$t inexact at collision-free width: $est")
+      }
+    }
+  }
+
+  test("countMin: slice merge is bit-for-bit the single-pass build, " +
+      "under any partitioning") {
+    val docs = (1 to 500).map(i => (i % 5, s"tok${i % 37} tok${i % 11}"))
+      .toDF("slice", "text")
+      .selectExpr("slice", "explode(split(text, ' ')) AS t")
+    val single = docs.repartition(1)
+      .agg(GraftExpressions.countMinSketch($"t", 4, 64))
+      .head().getAs[Array[Byte]](0)
+    val shuffled = docs.repartition(7)
+      .agg(GraftExpressions.countMinSketch($"t", 4, 64))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(single, shuffled),
+      "cellwise sums must be partitioning-independent")
+    val merged = docs.groupBy("slice")
+      .agg(GraftExpressions.countMinSketch($"t", 4, 64).as("sk"))
+      .agg(GraftExpressions.countMinUnion($"sk"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(single, merged),
+      "slice union must equal the one-shot build byte-for-byte")
+  }
+
+  test("countMin: union refuses geometry mismatches loudly; bad " +
+      "geometry and non-string items are refused at analysis") {
+    val a = Seq("x").toDF("t")
+      .agg(GraftExpressions.countMinSketch($"t", 4, 64).as("sk"))
+    val b = Seq("y").toDF("t")
+      .agg(GraftExpressions.countMinSketch($"t", 4, 128).as("sk"))
+    val e = intercept[Exception] {
+      a.unionAll(b).agg(GraftExpressions.countMinUnion($"sk")).collect()
+    }
+    assert(e.getMessage.contains("geometry mismatch"), e.getMessage)
+    val e2 = intercept[Exception] {
+      Seq("x").toDF("t")
+        .agg(GraftExpressions.countMinSketch($"t", 5, 64)).collect()
+    }
+    assert(e2.getMessage.contains("md5 has 4"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      Seq(1L).toDF("k")
+        .agg(GraftExpressions.countMinSketch($"k", 4, 64)).collect()
+    }
+    assert(e3.getMessage.contains("must be STRING"), e3.getMessage)
+  }
+
+  test("countMin: SQL-registered (graft_countmin / _union / _est / _n)") {
+    GraftExpressions.registerAll(spark)
+    val r = spark.sql(
+      """WITH sk AS (
+        |  SELECT s, graft_countmin(t, 4, 64) AS sk
+        |  FROM VALUES (0,'a'), (0,'a'), (1,'b') AS v(s, t) GROUP BY s),
+        |m AS (SELECT graft_countmin_union(sk) AS sk FROM sk)
+        |SELECT graft_countmin_est(sk, 'a'), graft_countmin_n(sk)
+        |FROM m""".stripMargin).as[(Long, Long)].head()
+    assert(r == ((2L, 3L)))
+  }
+
   implicit class Tup3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(t => ((t._1, t._2), t._3)).toMap
   }
