@@ -1635,6 +1635,12 @@ object SparkEntry {
       graft.llm.Corpus.unigramSurprisal(
         t(s, dir, "documents"), "doc_id", "text")),
 
+    "text_perplexity_buckets" -> ((s, dir) =>
+      // CCNet head/middle/tail: exact value-thresholds over the
+      // aggregated score domain, scan-side broadcast assignment
+      graft.llm.Corpus.perplexityBuckets(t(s, dir, "documents"),
+        "doc_id", "text", nBuckets = 3)),
+
     "bpe_tokens" -> ((s, dir) => {
       // BPE tokenizer trained to CONVERGENCE on this corpus's (small)
       // vocabulary: at the fixed point every word is one piece, so the
@@ -3424,6 +3430,32 @@ object SparkEntry {
         |  GROUP BY tk.doc_id)
         |SELECT doc_id, n_tokens, sum_info,
         |  CAST(sum_info AS DOUBLE) / n_tokens AS mean_info FROM agg""".stripMargin,
+
+    // CCNet bucket twin: same surprisal CTE, INCLUSIVE value thresholds
+    // in integer tie math (cum*nb >= i*N), ties share buckets
+    "text_perplexity_buckets" ->
+      """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM norm),
+        |tk AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+        |freq AS (SELECT token, count(*) AS freq FROM tk GROUP BY token),
+        |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n_total FROM freq),
+        |s2 AS (
+        |  SELECT tk.doc_id,
+        |    CAST(CAST(sum(n_total // freq) AS BIGINT) AS DOUBLE) / count(*)
+        |      AS mean_info
+        |  FROM tk JOIN freq USING (token) CROSS JOIN tot
+        |  GROUP BY tk.doc_id),
+        |n AS (SELECT count(*) AS n FROM s2),
+        |hist AS (SELECT mean_info, count(*) AS c FROM s2 GROUP BY 1),
+        |cum AS (SELECT mean_info,
+        |        sum(c) OVER (ORDER BY mean_info) AS cum FROM hist),
+        |th AS (SELECT i, min(mean_info) AS t
+        |       FROM cum CROSS JOIN n CROSS JOIN (VALUES (1),(2)) v(i)
+        |       WHERE cum * 3 >= i * n GROUP BY i)
+        |SELECT s2.doc_id, s2.mean_info, count(th.t) AS bucket
+        |FROM s2 LEFT JOIN th ON s2.mean_info > th.t
+        |GROUP BY 1, 2""".stripMargin,
 
     "text_bigram_surprisal" ->
       """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),

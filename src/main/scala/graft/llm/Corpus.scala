@@ -434,6 +434,63 @@ object Corpus {
         col("value"), col("n_rows"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
+    * document by its LM rarity score and split the corpus into
+    * `nBuckets` head/middle/tail slices — the standard recipe for
+    * keeping the most-fluent web text and down-weighting the tail. The
+    * score is [[unigramSurprisal]]'s `mean_info` (integer-rational,
+    * bit-stable across engines; CCNet's 5-gram KenLM perplexity is the
+    * same surface read off a different LM). Buckets are VALUE-threshold
+    * assigned: threshold `t_i` is the smallest score whose cumulative
+    * doc count satisfies `cum·nBuckets ≥ i·N` (integer tie math — the
+    * INCLUSIVE-quantile definition), and a document lands in bucket
+    * `#{i : score > t_i}` — so ties always share a bucket and the
+    * assignment is reproducible from the thresholds alone (CCNet ships
+    * its cutoffs the same way).
+    *
+    * Two threshold modes, the [[graft.core.Stats.tableProfile]] split:
+    * `exact = true` (the oracle's mode) pays one single-partition
+    * cumulative pass over the AGGREGATED distinct-score domain — exact,
+    * fine to ~10⁸ docs; `exact = false` reads the same INCLUSIVE
+    * quantiles from a KLL sketch (bounded mergeable state, ~1.65/√k
+    * rank error — the 100 TB path; boundary docs within that rank error
+    * of a cutoff may shift one bucket, head/tail membership elsewhere
+    * is unaffected). Assignment is scan-side against the broadcast
+    * (nBuckets−1)-row threshold table in both modes — no global sort of
+    * documents, ever. Output: (doc_id, mean_info, bucket) with bucket
+    * 0 = head (most predictable) … nBuckets−1 = tail. */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        nBuckets: Int = 3, exact: Boolean = true,
+                        sketchK: Int = 1024): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets=$nBuckets needs at least 2")
+    val sc = unigramSurprisal(df, idCol, textCol)
+      .select("doc_id", "mean_info")
+    val th: DataFrame =
+      if (exact) {
+        val n = sc.agg(count(lit(1)).as("n"))
+        val hist = sc.groupBy("mean_info").agg(count(lit(1)).as("c"))
+        // the only unpartitioned window in the operator — over the
+        // aggregated score DOMAIN, not documents
+        val cum = hist.withColumn("cum",
+          sum("c").over(Window.orderBy("mean_info")))
+        cum.crossJoin(broadcast(n))
+          .select(col("mean_info"), col("cum"), col("n"),
+            explode(sequence(lit(1), lit(nBuckets - 1))).as("i"))
+          .filter(col("cum") * nBuckets >= col("i") * col("n"))
+          .groupBy("i").agg(min("mean_info").as("t"))
+      } else {
+        val qs = (1 until nBuckets).map(_.toDouble / nBuckets)
+        sc.agg(graft.expressions.GraftExpressions
+            .kllSketch(col("mean_info"), sketchK).as("sk"))
+          .select(posexplode(graft.expressions.GraftExpressions
+            .kllQuantiles(col("sk"), qs)).as(Seq("qi", "t")))
+          .select((col("qi") + 1).as("i"), col("t"))
+      }
+    sc.join(broadcast(th), col("mean_info") > col("t"), "left")
+      .groupBy("doc_id", "mean_info")
+      .agg(count(col("t")).as("bucket"))
+  }
+
   /** Per-slice Count–Min frequency sketches — the POINT-FREQUENCY member
     * of the mergeable family ([[heavyHittersSketch]] top items,
     * [[distinctSketch]] cardinalities, [[quantileSketch]] distributions,

@@ -104,7 +104,10 @@ object ExplainAudit extends App {
       "q21_waiting_supplier",
       // Count–Min build: one tokenize scan into a bounded-matrix
       // partial-agg exchange; serving is a broadcast codegen'd scan
-      "vocab_freq_sketch"))
+      "vocab_freq_sketch",
+      // CCNet buckets: the surprisal subtree + a score-DOMAIN cumulative
+      // window + broadcast threshold assignment (no doc-level sort)
+      "text_perplexity_buckets"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

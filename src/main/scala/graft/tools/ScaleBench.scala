@@ -162,7 +162,11 @@ object ScaleBench {
     // Count–Min: the matrix exchange carries 256 KiB per partial at ANY
     // corpus size (the HLL shape); growth is the tokenize scan + one
     // md5 per occurrence
-    "vocab_freq_sketch")
+    "vocab_freq_sketch",
+    // CCNet buckets: the text_surprisal shape plus a distinct-score
+    // cumulative window (domain grows with docs — the documented exact-
+    // mode cost; KLL mode is the bounded path) + broadcast assignment
+    "text_perplexity_buckets")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

@@ -965,4 +965,41 @@ class CorpusSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxStrata"))
   }
+
+  test("perplexityBuckets: exhaustive, value-monotone, ties share buckets") {
+    val docs = Tables.load(spark, sf0, "documents")
+    val out = Corpus.perplexityBuckets(docs, "doc_id", "text", nBuckets = 3)
+      .select($"doc_id", $"mean_info", $"bucket").as[(Long, Double, Long)]
+      .collect()
+    val scored = Corpus.unigramSurprisal(docs, "doc_id", "text").count()
+    assert(out.length == scored, "every scored doc must land in a bucket")
+    assert(out.forall(r => r._3 >= 0 && r._3 < 3))
+    // value-threshold semantics: bucket ranges are disjoint and ordered,
+    // so equal scores can never split across buckets
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    for (i <- 0 until 2 if byBucket.contains(i) && byBucket.contains(i + 1))
+      assert(byBucket(i).max < byBucket(i + 1).min,
+        s"bucket $i overlaps bucket ${i + 1}")
+    intercept[IllegalArgumentException] {
+      Corpus.perplexityBuckets(docs, "doc_id", "text", nBuckets = 1)
+    }
+  }
+
+  test("perplexityBuckets: KLL-threshold mode matches exact mode in the " +
+      "sketch's exact regime") {
+    // 10 docs with distinct scores — n chosen so the inclusive ranks
+    // avoid the i·N-divisible-by-nBuckets FP boundary (documented ulp
+    // caveat of the sketch mode's double q·N)
+    val docs = (1 to 10).map(i =>
+        (i.toLong, (Seq.fill(11 - i)("common") ++ Seq.fill(i)(s"rare$i"))
+          .mkString(" ")))
+      .toDF("doc_id", "text")
+    val ex = Corpus.perplexityBuckets(docs, "doc_id", "text", nBuckets = 3,
+      exact = true).as[(Long, Double, Long)].collect().sortBy(_._1)
+    val sk = Corpus.perplexityBuckets(docs, "doc_id", "text", nBuckets = 3,
+      exact = false).as[(Long, Double, Long)].collect().sortBy(_._1)
+    assert(ex.sameElements(sk),
+      s"exact ${ex.toSeq} vs sketch ${sk.toSeq}")
+    assert(ex.map(_._3).distinct.sorted.sameElements(Array(0L, 1L, 2L)))
+  }
 }
