@@ -1641,6 +1641,20 @@ object SparkEntry {
       graft.llm.Corpus.perplexityBuckets(t(s, dir, "documents"),
         "doc_id", "text", nBuckets = 3)),
 
+    "graph_pagerank" -> ((s, dir) => {
+      // link-graph centrality over the customer↔supplier purchase
+      // graph (reciprocal edges — no dangling mass): 5 scaled-integer
+      // iterations, every value engine-exact; the twin unrolls the
+      // identical update rule in SQL
+      val ol = t(s, dir, "orders").join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("s"), col("l_suppkey")).as("su"))
+      val edges = ol.select(col("c").as("src"), col("su").as("dst"))
+        .unionAll(ol.select(col("su").as("src"), col("c").as("dst")))
+      graft.llm.Graph.pageRank(edges, "src", "dst", iters = 5)
+    }),
+
     "bpe_tokens" -> ((s, dir) => {
       // BPE tokenizer trained to CONVERGENCE on this corpus's (small)
       // vocabulary: at the fixed point every word is one piece, so the
@@ -1802,6 +1816,33 @@ object SparkEntry {
       |                          ORDER BY score DESC, doc_id) AS rank FROM sc)
       |SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank, score
       |FROM rk WHERE rank <= 5""".stripMargin
+
+  // the PageRank twin unrolls the scaled-integer update rule — every
+  // iteration is r' = base + (85·Σ r DIV outdeg) DIV 100, all integer
+  // ops, so 5 unrolled CTEs reproduce the engine's longs exactly
+  private val PageRankOracle: String = {
+    val head =
+      """WITH ol AS (SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS su
+        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT c AS src, su AS dst FROM ol UNION SELECT su, c FROM ol),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |prm AS (SELECT count(*) AS n FROM nodes),
+        |sc AS (SELECT GREATEST(10000, 100000000000000000 // n) AS s,
+        |              GREATEST(10000, 100000000000000000 // n) * 15 // 100 AS b
+        |       FROM prm),
+        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |it0 AS (SELECT node, (SELECT s FROM sc) AS r FROM nodes)""".stripMargin
+    val iters = (1 to 5).map { i =>
+      s"""it$i AS (SELECT nd.node, (SELECT b FROM sc) + 85 * COALESCE(cb.s, 0) // 100 AS r
+         |        FROM nodes nd LEFT JOIN (
+         |          SELECT e.dst AS node, sum(p.r // od.outdeg) AS s
+         |          FROM it${i - 1} p JOIN od ON p.node = od.src
+         |          JOIN e ON e.src = p.node
+         |          GROUP BY e.dst) cb USING (node))""".stripMargin
+    }
+    (Seq(head) ++ iters).mkString(",\n") +
+      "\nSELECT node, CAST(r AS BIGINT) AS rank_scaled FROM it5"
+  }
 
   // shared by the batch and streaming Count–Min builds: the twin
   // replicates the md5-lane cells and the min-over-lanes estimate in
@@ -3430,6 +3471,8 @@ object SparkEntry {
         |  GROUP BY tk.doc_id)
         |SELECT doc_id, n_tokens, sum_info,
         |  CAST(sum_info AS DOUBLE) / n_tokens AS mean_info FROM agg""".stripMargin,
+
+    "graph_pagerank" -> PageRankOracle,
 
     // CCNet bucket twin: same surprisal CTE, INCLUSIVE value thresholds
     // in integer tie math (cum*nb >= i*N), ties share buckets

@@ -107,7 +107,10 @@ object ExplainAudit extends App {
       "vocab_freq_sketch",
       // CCNet buckets: the surprisal subtree + a score-DOMAIN cumulative
       // window + broadcast threshold assignment (no doc-level sort)
-      "text_perplexity_buckets"))
+      "text_perplexity_buckets",
+      // PageRank: checkpoint-leaf edges, per-iteration join+agg with the
+      // edge exchange reused (no source re-scan — PlanShapeSpec-policed)
+      "graph_pagerank"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

@@ -166,7 +166,10 @@ object ScaleBench {
     // CCNet buckets: the text_surprisal shape plus a distinct-score
     // cumulative window (domain grows with docs — the documented exact-
     // mode cost; KLL mode is the bounded path) + broadcast assignment
-    "text_perplexity_buckets")
+    "text_perplexity_buckets",
+    // PageRank: edge materialization + 5 x (src join + dst agg) over
+    // the checkpointed list — expect ~linear wall in edges
+    "graph_pagerank")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

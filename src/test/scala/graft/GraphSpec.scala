@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: symmetric cycle converges to equal ranks; star center " +
+      "dominates; ranks are deterministic under repartitioning") {
+    // 3-cycle with reciprocal edges: perfect symmetry → identical ranks
+    val cyc = Seq("a" -> "b", "b" -> "c", "c" -> "a",
+      "b" -> "a", "c" -> "b", "a" -> "c").toDF("src", "dst")
+    val r = Graph.pageRank(cyc, "src", "dst", iters = 8)
+      .as[(String, Long)].collect().toMap
+    assert(r.values.toSet.size == 1, s"symmetric ranks differ: $r")
+
+    // star: leaves point at the hub and back — the hub must outrank
+    // every leaf, and all leaves tie
+    val star = Seq("l1" -> "hub", "l2" -> "hub", "l3" -> "hub",
+      "hub" -> "l1", "hub" -> "l2", "hub" -> "l3").toDF("src", "dst")
+    for (parts <- Seq(1, 7)) {
+      val s = Graph.pageRank(star.repartition(parts), "src", "dst",
+        iters = 8).as[(String, Long)].collect().toMap
+      assert(s("hub") > s("l1"), s"hub must dominate: $s")
+      assert(s("l1") == s("l2") && s("l2") == s("l3"),
+        s"leaves must tie: $s")
+      // partitioning must not change a single unit — integer arithmetic
+      // has no order dependence
+      val s1 = Graph.pageRank(star.repartition(1), "src", "dst", iters = 8)
+        .as[(String, Long)].collect().toMap
+      assert(s == s1, "ranks depend on partitioning")
+    }
+  }
+
+  test("pageRank: duplicate edges collapse; dangling sink keeps only " +
+      "the base term's mass flowing back out") {
+    // duplicated edge must not double the contribution
+    val dup = Seq("a" -> "b", "a" -> "b", "b" -> "a").toDF("src", "dst")
+    val single = Seq("a" -> "b", "b" -> "a").toDF("src", "dst")
+    val rd = Graph.pageRank(dup, "src", "dst", iters = 4)
+      .as[(String, Long)].collect().toMap
+    val rs = Graph.pageRank(single, "src", "dst", iters = 4)
+      .as[(String, Long)].collect().toMap
+    assert(rd == rs, s"multi-edge changed ranks: $rd vs $rs")
+
+    // a → sink with no out-edge: sink's absorbed mass is NOT
+    // redistributed (documented variant) — a ends at the bare base
+    // rank, the sink above it
+    val dang = Seq("a" -> "sink").toDF("src", "dst")
+    val rg = Graph.pageRank(dang, "src", "dst", iters = 8)
+      .as[(String, Long)].collect().toMap
+    assert(rg("sink") > rg("a"), s"$rg")
+  }
+
+  test("pageRank: checkpointed deep run matches the lazy plan exactly; " +
+      "loud contract failures") {
+    val e = Seq("a" -> "b", "b" -> "c", "c" -> "a").toDF("src", "dst")
+    val lazyR = Graph.pageRank(e, "src", "dst", iters = 12,
+      checkpointInterval = 0).as[(String, Long)].collect().toMap
+    val ckR = Graph.pageRank(e, "src", "dst", iters = 12,
+      checkpointInterval = 5).as[(String, Long)].collect().toMap
+    assert(lazyR == ckR, "checkpointing changed values")
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(e, "src", "dst", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(e, "src", "dst", iters = 5, dampingPct = 100)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(e.filter(lit(false)), "src", "dst")
+    }
+  }
+}

@@ -303,6 +303,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$finalSection")
   }
 
+  test("graph_pagerank iterates over checkpoint leaves: no source " +
+      "re-scan, edge exchange reused across iterations") {
+    // the node set and outdeg-annotated edges are materialized once —
+    // a lazy relapse re-derives them per iteration (2^iters scans,
+    // measured before the fix); the per-iteration edge-side shuffle
+    // must come back as ReusedExchange after its first execution
+    val df = q("graph_pagerank")
+    assert(finalScans(df, "lineitem") == 0,
+      "iterations must read the checkpointed edge list, not the source")
+    val finalSection = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalSection.linesIterator.count(_.contains("ReusedExchange")) >= 4,
+      s"edge-side exchange must be reused across the 5 iterations:\n" +
+        finalSection)
+  }
+
   test("a deliberate recompute shape IS caught by the counter") {
     // sanity-check the guard itself: the pre-fix bigram formulation
     // (context count re-exploded from the corpus) must count 3 scans
