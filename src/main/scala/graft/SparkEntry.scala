@@ -783,6 +783,28 @@ object SparkEntry {
             n = 3, threshold = 0.5))
         .select("doc_id", "comp", "cluster_size")),
 
+    "dedup_eval" -> ((s, dir) => {
+      // the dedup family's measured-recall harness: plant truth by
+      // mutating every 7th doc (one appended token — long docs stay
+      // above the 0.5 Jaccard threshold, short ones legitimately drop
+      // below it), run the production LSH+verify pair pipeline over
+      // orig∪mutated, and score pair recovery. Precision here reads
+      // against PLANTED truth only (the corpus's own organic near-dup
+      // pairs count as fp — the documented harness contract); recall
+      // is the real signal
+      val d = t(s, dir, "documents")
+      val mut = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" graftmut")).as("text"))
+      val corpus = d.select("doc_id", "text").unionByName(mut)
+      val pred = Dedup.jaccardPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      val truth = d.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("i"),
+          (col("doc_id") + 1000000L).as("j"))
+      Dedup.dedupEval(pred.select("i", "j"), truth)
+    }),
+
     "dedup_exact_incremental" -> ((s, dir) => {
       // cross-corpus exact dedup: which "new batch" docs (doc_id % 7 == 0)
       // already exist in the corpus (the rest)? Corpus reduces to one row
@@ -2332,6 +2354,41 @@ object SparkEntry {
         |  round(CAST(inter AS DOUBLE) / CAST(si + sj - inter AS DOUBLE), 6) AS jaccard
         |FROM p
         |WHERE CAST(inter AS DOUBLE) / CAST(si + sj - inter AS DOUBLE) >= 0.5""".stripMargin,
+
+    // the eval harness twin: the jaccard pair CTEs over orig∪mutated,
+    // planted truth joined back, counts exact, ratios derived last
+    "dedup_eval" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' graftmut' FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM corpus),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(words[i:i+2], ' ')
+        |                 for i in range(1, greatest(len(words) - 2, 1) + 1)]) AS s
+        |  FROM w),
+        |inv AS (SELECT doc_id, len(s) AS ssize, unnest(s) AS shingle FROM sh),
+        |p AS (SELECT a.doc_id AS i, b.doc_id AS j, a.ssize AS si, b.ssize AS sj,
+        |        count(*) AS inter
+        |      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2, 3, 4),
+        |pc AS (SELECT DISTINCT least(i, j) AS a, greatest(i, j) AS b FROM p
+        |       WHERE CAST(inter AS DOUBLE) / CAST(si + sj - inter AS DOUBLE) >= 0.5
+        |         AND i <> j),
+        |truth AS (SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
+        |          WHERE doc_id % 7 = 0),
+        |st AS (SELECT count(*) AS n_pred,
+        |         CAST(sum(CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp
+        |       FROM pc LEFT JOIN truth t USING (a, b)),
+        |nt AS (SELECT count(*) AS n_truth FROM truth)
+        |SELECT n_pred, n_truth, tp,
+        |  n_pred - tp AS fp, n_truth - tp AS fn,
+        |  CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred END AS "precision",
+        |  CASE WHEN n_truth > 0 THEN CAST(tp AS DOUBLE) / n_truth END AS recall,
+        |  CASE WHEN n_pred + n_truth > 0
+        |       THEN CAST(2 * tp AS DOUBLE) / (n_pred + n_truth) END AS f1
+        |FROM st, nt""".stripMargin,
 
     // recursive-CTE reachability twin of the pointer-doubling engine op:
     // same pair list (the dedup_jaccard_pairs CTEs), comp = min reachable id

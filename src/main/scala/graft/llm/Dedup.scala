@@ -1399,4 +1399,54 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Pair-level evaluation of a dedup candidate list against a ground-
+    * truth pair set — the dedup family's own measurement harness (the
+    * [[TextAnalysis.langIdConfusion]] discipline applied to pairs):
+    * one row `(n_pred, n_truth, tp, fp, fn, precision, recall, f1)`.
+    * Both inputs are canonicalized first — `(least, greatest)` order,
+    * self-pairs and null ids dropped, duplicates collapsed — so any
+    * pair orientation convention scores identically. Counts are exact
+    * BIGINTs; the ratios are derived from them in one exact IEEE
+    * division each at the very end (bit-stable across engines), NULL
+    * when their denominator is 0 (an empty prediction list has no
+    * precision — SQL-null beats a fake 0).
+    *
+    * Interpretation contract: `recall` is meaningful whenever `truth`
+    * is a genuine subset of the real duplicate pairs (e.g. planted
+    * mutations — the `dedup_eval` oracle's setup); `precision` is only
+    * meaningful when `truth` is COMPLETE, since real-but-unlisted
+    * duplicates score as false positives.
+    *
+    * Scale shape: one distinct exchange per input (pair-keyed), one
+    * pair-keyed left join counting hits and misses in a single pass
+    * over the predictions, and two 1-row aggregates cross-joined —
+    * nothing here ever exceeds the pair lists themselves. */
+  def dedupEval(pred: DataFrame, truth: DataFrame,
+                iCol: String = "i", jCol: String = "j"): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df.select(
+        least(col(iCol), col(jCol)).as("a"),
+        greatest(col(iCol), col(jCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+    val p = canon(pred)
+    val tr = canon(truth)
+    val stats = p.join(tr.withColumn("__hit", lit(1L)), Seq("a", "b"),
+        "left")
+      .agg(count(lit(1)).as("n_pred"),
+        coalesce(sum("__hit"), lit(0L)).as("tp"))
+    val nt = tr.agg(count(lit(1)).as("n_truth"))
+    stats.crossJoin(nt)
+      .select(col("n_pred"), col("n_truth"), col("tp"),
+        (col("n_pred") - col("tp")).as("fp"),
+        (col("n_truth") - col("tp")).as("fn"),
+        when(col("n_pred") > 0,
+          col("tp").cast("double") / col("n_pred")).as("precision"),
+        when(col("n_truth") > 0,
+          col("tp").cast("double") / col("n_truth")).as("recall"),
+        when(col("n_pred") + col("n_truth") > 0,
+          (col("tp") * 2).cast("double") /
+            (col("n_pred") + col("n_truth"))).as("f1"))
+  }
 }

@@ -110,7 +110,10 @@ object ExplainAudit extends App {
       "text_perplexity_buckets",
       // PageRank: checkpoint-leaf edges, per-iteration join+agg with the
       // edge exchange reused (no source re-scan — PlanShapeSpec-policed)
-      "graph_pagerank"))
+      "graph_pagerank",
+      // eval harness: the jaccard pair subtree + two pair-keyed distincts
+      // + one counting join — nothing exceeds the pair lists
+      "dedup_eval"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

@@ -169,7 +169,10 @@ object ScaleBench {
     "text_perplexity_buckets",
     // PageRank: edge materialization + 5 x (src join + dst agg) over
     // the checkpointed list — expect ~linear wall in edges
-    "graph_pagerank")
+    "graph_pagerank",
+    // eval harness: dominated by the jaccard pair subtree (its ratio);
+    // the scoring layers are pair-list-sized
+    "dedup_eval")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

@@ -859,4 +859,29 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(3L, 4L))
   }
+
+  test("dedupEval: hand vector; orientation/duplicate invariance; " +
+      "null ratios on empty inputs") {
+    import org.apache.spark.sql.functions._
+    val pred = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("i", "j")
+    val truth = Seq((2L, 1L), (3L, 4L), (7L, 8L)).toDF("i", "j")
+    val r = Dedup.dedupEval(pred, truth).collect()(0)
+    // tp = {1,2},{3,4}; fp = {5,6}; fn = {7,8}
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 3L, 2L, 1L, 1L)), r.toString)
+    assert(r.getDouble(5) == 2.0 / 3 && r.getDouble(6) == 2.0 / 3 &&
+      r.getDouble(7) == 2.0 / 3)
+    // flipped orientations + duplicated rows + self-pairs score the same
+    val messy = Seq((2L, 1L), (1L, 2L), (4L, 3L), (6L, 5L), (9L, 9L))
+      .toDF("i", "j")
+    val r2 = Dedup.dedupEval(messy, truth).collect()(0)
+    assert(r2.getLong(0) == 3L && r2.getLong(2) == 2L, r2.toString)
+    // empty predictions: precision/f1-denominator semantics
+    val empty = pred.filter(lit(false))
+    val r3 = Dedup.dedupEval(empty, truth).collect()(0)
+    assert(r3.getLong(0) == 0L && r3.getLong(2) == 0L &&
+      r3.isNullAt(5) && r3.getDouble(6) == 0.0, r3.toString)
+    val r4 = Dedup.dedupEval(pred, empty).collect()(0)
+    assert(r4.getLong(1) == 0L && r4.isNullAt(6), r4.toString)
+  }
 }
