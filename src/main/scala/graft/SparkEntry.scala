@@ -1663,6 +1663,26 @@ object SparkEntry {
       graft.llm.Corpus.perplexityBuckets(t(s, dir, "documents"),
         "doc_id", "text", nBuckets = 3)),
 
+    "graph_label_prop" -> ((s, dir) => {
+      // weak supervision through the purchase graph: every third
+      // supplier seeds its nation; 3 deterministic majority rounds
+      // (ties → smallest label) spread it to customers and the
+      // unseeded suppliers; the twin unrolls the same rounds
+      val ol = t(s, dir, "orders").join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("s"), col("l_suppkey")).as("su"))
+      val edges = ol.select(col("c").as("src"), col("su").as("dst"))
+        .unionAll(ol.select(col("su").as("src"), col("c").as("dst")))
+      val seeds = t(s, dir, "supplier")
+        .filter(col("s_suppkey") % 3 === 0)
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(concat(lit("s"), col("s_suppkey")).as("node"),
+          col("n_name").as("label"))
+      graft.llm.Graph.labelPropagation(edges, seeds, iters = 3)
+    }),
+
     "graph_pagerank" -> ((s, dir) => {
       // link-graph centrality over the customer↔supplier purchase
       // graph (reciprocal edges — no dangling mass): 5 scaled-integer
@@ -1864,6 +1884,38 @@ object SparkEntry {
     }
     (Seq(head) ++ iters).mkString(",\n") +
       "\nSELECT node, CAST(r AS BIGINT) AS rank_scaled FROM it5"
+  }
+
+  // the label-propagation twin unrolls the deterministic majority
+  // rounds (count desc, label asc argmax; seeds pinned; NULLs spread
+  // nothing) over the same reciprocal purchase graph
+  private val LabelPropOracle: String = {
+    val head =
+      """WITH ol AS (SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS su
+        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT c AS src, su AS dst FROM ol UNION SELECT su, c FROM ol),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |sd AS (SELECT DISTINCT 's' || s_suppkey AS node, n_name AS seed_label
+        |       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |       WHERE s_suppkey % 3 = 0),
+        |l0 AS (SELECT n.node, sd.seed_label AS label
+        |       FROM nodes n LEFT JOIN sd USING (node))""".stripMargin
+    val iters = (1 to 3).map { i =>
+      s"""l$i AS (
+         |  SELECT n.node, COALESCE(sd.seed_label, v.vote_label) AS label
+         |  FROM nodes n LEFT JOIN sd USING (node)
+         |  LEFT JOIN (
+         |    SELECT dst AS node, label AS vote_label FROM (
+         |      SELECT e.dst, p.label, count(*) AS cnt,
+         |        row_number() OVER (PARTITION BY e.dst
+         |          ORDER BY count(*) DESC, p.label) AS rn
+         |      FROM l${i - 1} p JOIN e ON p.node = e.src
+         |      WHERE p.label IS NOT NULL
+         |      GROUP BY e.dst, p.label) q
+         |    WHERE rn = 1) v USING (node))""".stripMargin
+    }
+    (Seq(head) ++ iters).mkString(",\n") +
+      "\nSELECT node, label FROM l3"
   }
 
   // shared by the batch and streaming Count–Min builds: the twin
@@ -3530,6 +3582,7 @@ object SparkEntry {
         |  CAST(sum_info AS DOUBLE) / n_tokens AS mean_info FROM agg""".stripMargin,
 
     "graph_pagerank" -> PageRankOracle,
+    "graph_label_prop" -> LabelPropOracle,
 
     // CCNet bucket twin: same surprisal CTE, INCLUSIVE value thresholds
     // in integer tie math (cum*nb >= i*N), ties share buckets

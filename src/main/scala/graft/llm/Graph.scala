@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Link-graph centrality for corpus curation. Web-scale training
@@ -80,5 +81,64 @@ object Graph {
         ranks = ranks.localCheckpoint(true)
     }
     ranks
+  }
+
+  /** Semi-supervised label propagation (Zhu & Ghahramani 2002's hard-
+    * label variant): spread a sparse seed labeling through a directed
+    * edge list — the weak-supervision recipe for labeling a corpus from
+    * a small annotated set when a similarity/link graph exists (near-dup
+    * clusters, citation links, host graphs). Each iteration, every
+    * non-seed node takes the MAJORITY label among its in-neighbors'
+    * current labels, ties broken by the lexicographically smallest
+    * label (deterministic — no RNG, no engine dependence); seed nodes
+    * stay pinned; nodes no label has reached yet stay NULL. Fixed
+    * `iters` rounds, no convergence oracle needed.
+    *
+    * 100 TB shape: the edge list is checkpointed once (the [[pageRank]]
+    * lesson); each iteration is one src-keyed join, one (dst, label)
+    * count aggregate, and a per-dst argmax window whose partitions are
+    * ≤ |label domain| rows AFTER aggregation (bounded — never raw
+    * votes), then a node-keyed join pinning seeds. Output:
+    * (node STRING, label STRING nullable). */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame,
+                       srcCol: String = "src", dstCol: String = "dst",
+                       nodeCol: String = "node", labelCol: String = "label",
+                       iters: Int = 5,
+                       checkpointInterval: Int = 10): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters=$iters outside [1, 100]")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val sd = seeds.select(col(nodeCol).cast("string").as("node"),
+      col(labelCol).cast("string").as("seed_label"))
+      .filter(col("seed_label").isNotNull).distinct()
+    // the node⊳seed join is loop-invariant — materialize it once and
+    // re-join only the per-round votes
+    val base = nodes.join(sd, Seq("node"), "left").localCheckpoint(true)
+    val w = Window.partitionBy("dst")
+      .orderBy(col("cnt").desc, col("label"))
+    var labels = base.select(col("node"), col("seed_label").as("label"))
+    for (i <- 1 to iters) {
+      // the vote aggregate keeps its own (dst, label) exchange so the
+      // raw vote stream map-side combines; the argmax window's input is
+      // the aggregated (≤ |nodes|·|labels|) table, so its dst exchange
+      // moves bounded rows
+      val vote = labels.filter(col("label").isNotNull)
+        .join(e, col("node") === col("src"))
+        .groupBy("dst", "label").agg(count(lit(1)).as("cnt"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("dst").as("node"), col("label").as("vote_label"))
+      labels = base.join(vote, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("seed_label"), col("vote_label")).as("label"))
+      if (checkpointInterval > 0 && i % checkpointInterval == 0 &&
+          i < iters)
+        labels = labels.localCheckpoint(true)
+    }
+    labels
   }
 }

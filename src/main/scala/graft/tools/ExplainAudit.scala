@@ -113,7 +113,10 @@ object ExplainAudit extends App {
       "graph_pagerank",
       // eval harness: the jaccard pair subtree + two pair-keyed distincts
       // + one counting join — nothing exceeds the pair lists
-      "dedup_eval"))
+      "dedup_eval",
+      // label propagation: checkpoint-leaf edges; per-round vote agg +
+      // a bounded (≤ label-domain rows per dst) argmax window
+      "graph_label_prop"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

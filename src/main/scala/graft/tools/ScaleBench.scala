@@ -172,7 +172,10 @@ object ScaleBench {
     "graph_pagerank",
     // eval harness: dominated by the jaccard pair subtree (its ratio);
     // the scoring layers are pair-list-sized
-    "dedup_eval")
+    "dedup_eval",
+    // label propagation: the pageRank shape with a bounded argmax
+    // window per round — expect ~linear wall in edges
+    "graph_label_prop")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

@@ -72,4 +72,46 @@ class GraphSpec extends SparkSpec {
       Graph.pageRank(e.filter(lit(false)), "src", "dst")
     }
   }
+
+  test("labelPropagation: majority wins, ties take the smallest label, " +
+      "seeds stay pinned, unreachable nodes stay NULL") {
+    // votes into t: two X (a1, a2), one Y (b) → X; votes into u: one X,
+    // one Y → tie → X (lexicographically smaller); seed s keeps Z even
+    // though its only in-neighbor says X; island never labeled
+    val edges = Seq(
+      "a1" -> "t", "a2" -> "t", "b" -> "t",
+      "a1" -> "u", "b" -> "u",
+      "a1" -> "s",
+      "i1" -> "island").toDF("src", "dst")
+    val seeds = Seq("a1" -> "X", "a2" -> "X", "b" -> "Y", "s" -> "Z")
+      .toDF("node", "label")
+    val r = Graph.labelPropagation(edges, seeds, iters = 3)
+      .as[(String, Option[String])].collect().toMap
+    assert(r("t").contains("X"), s"majority: $r")
+    assert(r("u").contains("X"), s"tie-break: $r")
+    assert(r("s").contains("Z"), s"seed pin: $r")
+    assert(r("island").isEmpty && r("i1").isEmpty, s"unreachable: $r")
+  }
+
+  test("labelPropagation: multi-hop spread, partitioning determinism, " +
+      "checkpoint parity, loud failures") {
+    val chain = Seq("a" -> "b", "b" -> "c", "c" -> "d").toDF("src", "dst")
+    val seeds = Seq("a" -> "X").toDF("node", "label")
+    // 1 iter reaches b only; 3 iters reach d
+    val r1 = Graph.labelPropagation(chain, seeds, iters = 1)
+      .as[(String, Option[String])].collect().toMap
+    assert(r1("b").contains("X") && r1("c").isEmpty)
+    val r3 = Graph.labelPropagation(chain, seeds, iters = 3)
+      .as[(String, Option[String])].collect().toMap
+    assert(r3("d").contains("X"), s"$r3")
+    val rp = Graph.labelPropagation(chain.repartition(7), seeds, iters = 3)
+      .as[(String, Option[String])].collect().toMap
+    assert(rp == r3, "partitioning changed labels")
+    val rc = Graph.labelPropagation(chain, seeds, iters = 3,
+      checkpointInterval = 1).as[(String, Option[String])].collect().toMap
+    assert(rc == r3, "checkpointing changed labels")
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagation(chain, seeds, iters = 0)
+    }
+  }
 }
