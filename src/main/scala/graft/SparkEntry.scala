@@ -1416,13 +1416,7 @@ object SparkEntry {
         depth = 4, width = 8192)
       val merged = graft.llm.Corpus.mergeFrequencySketches(
         drainStream(sk, "graft_freq_stream", complete = true))
-      val tk = docs.select(explode(split(
-          graft.llm.TextAnalysis.normalizeText(col("text")), " "))
-          .as("token"))
-        .filter(length(col("token")) > 0)
-      val probes = tk.groupBy("token").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("token")).limit(20)
-      graft.llm.Corpus.estimateFrequencies(merged, probes)
+      graft.llm.Corpus.estimateFrequencies(merged, freqProbes(docs))
     }),
 
     "vocab_distinct_stream" -> ((s, dir) => {
@@ -1487,13 +1481,7 @@ object SparkEntry {
       val sk = graft.llm.Corpus.frequencySketch(docs, "text",
         col("doc_id") % 3, depth = 4, width = 8192)
       val merged = graft.llm.Corpus.mergeFrequencySketches(sk)
-      val tk = docs.select(explode(split(
-          graft.llm.TextAnalysis.normalizeText(col("text")), " "))
-          .as("token"))
-        .filter(length(col("token")) > 0)
-      val probes = tk.groupBy("token").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("token")).limit(20)
-      graft.llm.Corpus.estimateFrequencies(merged, probes)
+      graft.llm.Corpus.estimateFrequencies(merged, freqProbes(docs))
     }),
 
     "doc_len_quantile_sketch" -> ((s, dir) => {
@@ -1668,12 +1656,7 @@ object SparkEntry {
       // supplier seeds its nation; 3 deterministic majority rounds
       // (ties → smallest label) spread it to customers and the
       // unseeded suppliers; the twin unrolls the same rounds
-      val ol = t(s, dir, "orders").join(t(s, dir, "lineitem"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("c"),
-          concat(lit("s"), col("l_suppkey")).as("su"))
-      val edges = ol.select(col("c").as("src"), col("su").as("dst"))
-        .unionAll(ol.select(col("su").as("src"), col("c").as("dst")))
+      val edges = purchaseGraphEdges(s, dir)
       val seeds = t(s, dir, "supplier")
         .filter(col("s_suppkey") % 3 === 0)
         .join(broadcast(t(s, dir, "nation")),
@@ -1688,13 +1671,8 @@ object SparkEntry {
       // graph (reciprocal edges — no dangling mass): 5 scaled-integer
       // iterations, every value engine-exact; the twin unrolls the
       // identical update rule in SQL
-      val ol = t(s, dir, "orders").join(t(s, dir, "lineitem"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("c"),
-          concat(lit("s"), col("l_suppkey")).as("su"))
-      val edges = ol.select(col("c").as("src"), col("su").as("dst"))
-        .unionAll(ol.select(col("su").as("src"), col("c").as("dst")))
-      graft.llm.Graph.pageRank(edges, "src", "dst", iters = 5)
+      graft.llm.Graph.pageRank(purchaseGraphEdges(s, dir),
+        "src", "dst", iters = 5)
     }),
 
     "bpe_tokens" -> ((s, dir) => {
@@ -1858,6 +1836,28 @@ object SparkEntry {
       |                          ORDER BY score DESC, doc_id) AS rank FROM sc)
       |SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank, score
       |FROM rk WHERE rank <= 5""".stripMargin
+
+  /** Reciprocal customer↔supplier purchase graph — shared by the two
+    * graph queries so engine-side edge semantics can never drift
+    * between them (the twins restate it by necessity). */
+  private def purchaseGraphEdges(s: SparkSession, dir: String): DataFrame = {
+    val ol = t(s, dir, "orders").join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("c"),
+        concat(lit("s"), col("l_suppkey")).as("su"))
+    ol.select(col("c").as("src"), col("su").as("dst"))
+      .unionAll(ol.select(col("su").as("src"), col("c").as("dst")))
+  }
+
+  /** The Count–Min oracle probe set: the top-20 true tokens with their
+    * exact counts — shared by the batch and streaming sketch queries. */
+  private def freqProbes(docsDf: DataFrame): DataFrame =
+    docsDf.select(explode(split(
+        graft.llm.TextAnalysis.normalizeText(col("text")), " "))
+        .as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(20)
 
   // the PageRank twin unrolls the scaled-integer update rule — every
   // iteration is r' = base + (85·Σ r DIV outdeg) DIV 100, all integer
@@ -2431,7 +2431,7 @@ object SparkEntry {
         |truth AS (SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
         |          WHERE doc_id % 7 = 0),
         |st AS (SELECT count(*) AS n_pred,
-        |         CAST(sum(CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp
+        |         CAST(COALESCE(sum(CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp
         |       FROM pc LEFT JOIN truth t USING (a, b)),
         |nt AS (SELECT count(*) AS n_truth FROM truth)
         |SELECT n_pred, n_truth, tp,

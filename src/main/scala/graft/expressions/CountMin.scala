@@ -61,10 +61,14 @@ object CountMin {
         "frequencies")
     else None
 
-  /** Row-i cell for an item: lane i of md5, mod width. */
-  def cell(md: MessageDigest, item: UTF8String, i: Int, width: Int): Int = {
-    val d = md.digest(item.getBytes)
-    laneCell(d, i, width)
+  /** Per-thread digest for the codegen'd serving path — estimate() runs
+    * once per probe row inside whole-stage codegen, where a per-call
+    * `MessageDigest.getInstance` would pay a JCA provider lookup and an
+    * allocation per row. digest() resets the instance after each call,
+    * so sequential per-thread reuse is safe. */
+  private val threadMd = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
   }
 
   def laneCell(digest: Array[Byte], i: Int, width: Int): Int =
@@ -100,7 +104,7 @@ object CountMin {
   def estimate(bytes: Array[Byte], item: UTF8String): Long = {
     val bb = ByteBuffer.wrap(bytes)
     val depth = bb.getInt; val width = bb.getInt
-    val digest = MessageDigest.getInstance("MD5").digest(item.getBytes)
+    val digest = threadMd.get().digest(item.getBytes)
     var best = Long.MaxValue
     var i = 0
     while (i < depth) {

@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   * negligible ≤ outdeg·|V| units per iteration and keep every value
   * exactly reproducible on any engine), and damping is the integer
   * `(dampingPct · Σ) DIV 100`. The scale formula makes overflow
-  * IMPOSSIBLE by construction: total mass never exceeds |V|·scale ≤
-  * 10¹⁷, so the worst single-node sum times 99 stays under 2⁶³.
+  * impossible by construction FOR |V| ≤ 10¹³ (enforced loudly): total
+  * mass never exceeds |V|·scale ≤ 10¹⁷, so the worst single-node sum
+  * times 99 stays under 2⁶³; past the 10⁴ scale floor the bound would
+  * lapse, so larger graphs are refused rather than silently wrapped.
   */
 object Graph {
 
@@ -63,6 +65,11 @@ object Graph {
       .localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "pageRank: empty edge list")
+    // the overflow-impossibility argument (total mass ≤ |V|·scale ≤
+    // 10¹⁷) needs scale = 10¹⁷ DIV |V|; past 10¹³ nodes the 10⁴ floor
+    // would take over and the bound no longer holds — refuse loudly
+    require(n <= 10000000000000L,
+      s"pageRank: $n nodes exceeds the 10^13 overflow-safety ceiling")
     val scale = math.max(10000L, 100000000000000000L / n)
     val base = scale * (100 - dampingPct) / 100
     val ew = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
@@ -112,9 +119,14 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
+    // conflicting seed rows for one node collapse to the smallest
+    // label (the same deterministic tie rule the votes use) — left as
+    // two rows they would double-count that node's vote in every
+    // neighbor's majority and emit duplicate output rows
     val sd = seeds.select(col(nodeCol).cast("string").as("node"),
       col(labelCol).cast("string").as("seed_label"))
-      .filter(col("seed_label").isNotNull).distinct()
+      .filter(col("seed_label").isNotNull)
+      .groupBy("node").agg(min("seed_label").as("seed_label"))
     // the node⊳seed join is loop-invariant — materialize it once and
     // re-join only the per-round votes
     val base = nodes.join(sd, Seq("node"), "left").localCheckpoint(true)

@@ -370,7 +370,9 @@ object ScaleBench {
     val alreadySynth = new java.io.File(s"$workDir/documents.parquet").exists() &&
       new java.io.File(s"$workDir/customer.parquet").exists() &&
       new java.io.File(s"$workDir/orders.parquet").exists() &&
-      new java.io.File(s"$workDir/supplier.parquet").exists()
+      // nation is written LAST: its presence proves the whole synthesis
+      // completed (a crash mid-run must re-synthesize, not half-reuse)
+      new java.io.File(s"$workDir/nation.parquet").exists()
     val tSynth =
       if (alreadySynth) 0.0
       else time(synthesize(spark, srcDir, workDir, copies))
