@@ -725,6 +725,15 @@ object SparkEntry {
         t(s, dir, "events"), "user_id", "ts", gapSeconds = 1800, "value",
         tieBreak = Seq("event_id"))),
 
+    "ev_funnel" -> ((s, dir) =>
+      // view → click → purchase conversion within 24 h of funnel entry:
+      // greedy-earliest per user, strictly-after step ordering; the
+      // twin chains the same min-after aggregates
+      graft.operators.Funnel.funnel(t(s, dir, "events"),
+        "user_id", "event_type", "ts",
+        steps = Seq("view", "click", "purchase"),
+        withinUs = Some(86400000000L))),
+
     "ev_asof_join" -> ((s, dir) => {
       // as-of join (latest click at or before each purchase, per user):
       // one window exchange over the merged streams — no per-row probe,
@@ -3002,6 +3011,32 @@ object SparkEntry {
         |  WHEN source = 'src1' THEN substring(md5(text), 1, 8) < '40000000'
         |  WHEN source = 'src2' THEN substring(md5(text), 1, 8) < '80000000'
         |  ELSE substring(md5(text), 1, 8) < 'bfffffff' END""".stripMargin,
+
+    // the funnel twin chains the same greedy min-after aggregates with
+    // the entry-anchored 24 h window
+    "ev_funnel" ->
+      """WITH s1 AS (SELECT user_id AS "user", min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS "user", min(e.ts) AS t2
+        |       FROM events e JOIN s1 ON e.user_id = s1."user"
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + to_microseconds(86400000000)
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS "user", min(e.ts) AS t3
+        |       FROM events e JOIN s2 ON e.user_id = s2."user"
+        |       JOIN s1 ON e.user_id = s1."user"
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |         AND e.ts <= s1.t1 + to_microseconds(86400000000)
+        |       GROUP BY 1)
+        |SELECT s1."user",
+        |  CAST(1 + CASE WHEN s2."user" IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN s3."user" IS NOT NULL THEN 1 ELSE 0 END
+        |    AS BIGINT) AS steps_completed,
+        |  s1.t1 AS ts_first,
+        |  COALESCE(s3.t3, s2.t2, s1.t1) AS ts_last
+        |FROM s1
+        |LEFT JOIN s2 ON s1."user" = s2."user"
+        |LEFT JOIN s3 ON s1."user" = s3."user"""".stripMargin,
 
     "ev_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events

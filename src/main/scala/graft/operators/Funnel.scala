@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered multi-step funnel analysis over an event stream — "of the
+  * users who did A, how many went on to do B, then C, within the
+  * conversion window?" — the event-analytics sibling of
+  * [[TemporalJoins]]' as-of/range joins and [[Sessionize]].
+  *
+  * Semantics (greedy-earliest, the standard funnel definition): a user
+  * enters the funnel at their EARLIEST step-1 event (`t1`); step k+1
+  * completes at the earliest step-(k+1) event STRICTLY after step k's
+  * completion time; with a conversion window, every later step must
+  * also land within `withinUs` microseconds of `t1` (anchored at entry
+  * — the usual product-analytics contract). Strictly-after ordering
+  * makes simultaneous events count as ONE step, never two; greedy
+  * choice makes the result deterministic and order-independent.
+  * Output: one row per user who entered the funnel —
+  * (user, steps_completed, ts_first, ts_last), `ts_last` = completion
+  * time of the deepest step reached.
+  *
+  * 100 TB shape: step k is one user-keyed join of the (filtered,
+  * type-pruned) event slice against the funnel-so-far plus a user
+  * rollup that rides the join's partitioning — k−1 bounded joins
+  * total, no self-join of the full stream, no per-user event sorting,
+  * no window over raw events. The step filters push to the scan
+  * (`PushedFilters` on the type column), so each stage reads only its
+  * step's slice. */
+object Funnel {
+
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String],
+             withinUs: Option[Long] = None): DataFrame = {
+    require(steps.size >= 2 && steps.size <= 8,
+      s"funnel: ${steps.size} steps outside [2, 8]")
+    require(steps.distinct.size == steps.size,
+      s"funnel: duplicate step types in $steps — a repeated stage is " +
+        "ambiguous; disambiguate the event types upstream")
+    withinUs.foreach(w => require(w > 0, s"funnel: withinUs=$w must be > 0"))
+    val ev = events.select(col(userCol).as("user"),
+      col(typeCol).as("__etype"), col(tsCol).as("__ts"))
+    var cur = ev.filter(col("__etype") === steps.head)
+      .groupBy("user").agg(min("__ts").as("t1"))
+    val deadline = withinUs.map(w =>
+      expr(s"timestampadd(MICROSECOND, $w, t1)"))
+    for (k <- 2 to steps.size) {
+      val prev = col(s"t${k - 1}")
+      val carried = (1 until k).map(i => col(s"t$i"))
+      val inWindow = deadline.map(col("__ts") <= _).getOrElse(lit(true))
+      cur = cur.join(
+          ev.filter(col("__etype") === steps(k - 1)).drop("__etype"),
+          Seq("user"), "left")
+        .groupBy((col("user") +: carried): _*)
+        .agg(min(when(col("__ts") > prev && inWindow, col("__ts")))
+          .as(s"t$k"))
+    }
+    val ts = (1 to steps.size).map(i => col(s"t$i"))
+    cur.select(col("user"),
+      ts.map(t => when(t.isNotNull, 1L).otherwise(0L))
+        .reduce(_ + _).as("steps_completed"),
+      col("t1").as("ts_first"),
+      coalesce(ts.reverse: _*).as("ts_last"))
+  }
+}

@@ -116,7 +116,10 @@ object ExplainAudit extends App {
       "dedup_eval",
       // label propagation: checkpoint-leaf edges; per-round vote agg +
       // a bounded (≤ label-domain rows per dst) argmax window
-      "graph_label_prop"))
+      "graph_label_prop",
+      // funnel: k−1 user-keyed joins of type-pruned slices (pushed step
+      // filters), rollups riding the join partitioning
+      "ev_funnel"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

@@ -175,7 +175,10 @@ object ScaleBench {
     "dedup_eval",
     // label propagation: the pageRank shape with a bounded argmax
     // window per round — expect ~linear wall in edges
-    "graph_label_prop")
+    "graph_label_prop",
+    // funnel: two user-keyed joins over type-pruned event slices —
+    // expect ~linear wall (per-copy user universes stay disjoint)
+    "ev_funnel")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

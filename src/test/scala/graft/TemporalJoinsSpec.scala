@@ -144,4 +144,51 @@ class TemporalJoinsSpec extends SparkSpec {
       .select("lid", "rid").as[(Long, Long)].collect().toSet
     assert(fast == naive && fast.nonEmpty)
   }
+
+  test("funnel: greedy-earliest entry, strictly-after steps, " +
+      "entry-anchored window, one row per entered user") {
+    import graft.operators.Funnel
+    val ev = Seq(
+      // u1: full A→B→C conversion
+      (1L, "A", ts("2024-01-01 10:00:00")),
+      (1L, "B", ts("2024-01-01 11:00:00")),
+      (1L, "C", ts("2024-01-01 12:00:00")),
+      // u2: B BEFORE A — must not count; stops at 1
+      (2L, "B", ts("2024-01-01 09:00:00")),
+      (2L, "A", ts("2024-01-01 10:00:00")),
+      // u3: B simultaneous with A — strictly-after excludes it
+      (3L, "A", ts("2024-01-01 10:00:00")),
+      (3L, "B", ts("2024-01-01 10:00:00")),
+      // u4: B outside the 2 h window from the EARLIEST A (greedy entry
+      // pins t1 = 09:00 even though a later A at 11:30 would qualify)
+      (4L, "A", ts("2024-01-01 09:00:00")),
+      (4L, "A", ts("2024-01-01 11:30:00")),
+      (4L, "B", ts("2024-01-01 11:59:00")),
+      // u5: no A at all — never enters, no row
+      (5L, "C", ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "etype", "ts")
+    val out = Funnel.funnel(ev, "user_id", "etype", "ts",
+        steps = Seq("A", "B", "C"), withinUs = Some(7200000000L))
+      .select("user", "steps_completed", "ts_last")
+      .as[(Long, Long, Timestamp)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), out.toString)
+    assert(out(1L) == ((3L, ts("2024-01-01 12:00:00"))), out(1L).toString)
+    assert(out(2L)._1 == 1L && out(3L)._1 == 1L && out(4L)._1 == 1L, out.toString)
+    // without a window u4 converts through the 11:59 B
+    val open = Funnel.funnel(ev, "user_id", "etype", "ts",
+        steps = Seq("A", "B"))
+      .select("user", "steps_completed").as[(Long, Long)].collect().toMap
+    assert(open(4L) == 2L, open.toString)
+    intercept[IllegalArgumentException] {
+      Funnel.funnel(ev, "user_id", "etype", "ts", steps = Seq("A"))
+    }
+    intercept[IllegalArgumentException] {
+      Funnel.funnel(ev, "user_id", "etype", "ts", steps = Seq("A", "A"))
+    }
+    intercept[IllegalArgumentException] {
+      Funnel.funnel(ev, "user_id", "etype", "ts", steps = Seq("A", "B"),
+        withinUs = Some(0L))
+    }
+  }
 }
