@@ -954,6 +954,22 @@ object SparkEntry {
         .withColumnRenamed("rank", "rk")
     }),
 
+    "ann_recall" -> ((s, dir) => {
+      // the ANN family's measured-approximation gate: the IVF(nprobe=4)
+      // run scored against brute-force truth with rankingMetrics, so
+      // recall@10 / rr / nDCG of the approximate index are
+      // driver-visible numbers, not a spec-only claim
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      val run = Similarity.ivfTopK(emb, queries, k = 10, nlist = 16,
+          nprobe = 4)
+        .select(col("query_id"), col("corpus_id").as("doc_id"),
+          col("rank"))
+      val truth = Similarity.bruteForceTopK(emb, queries, k = 10)
+        .select(col("query_id"), col("corpus_id").as("doc_id"))
+      graft.llm.Retrieval.rankingMetrics(run, truth, k = 10)
+    }),
+
     "ann_ivf_topk" -> ((s, dir) => {
       // approximate variant (deterministic: centroids = first-16 vectors,
       // explicit tie-breaks throughout → fully oracle-checkable); recall vs
@@ -2663,6 +2679,56 @@ object SparkEntry {
          |JOIN c c1 ON c1.vec_id = a1.corpus_id
          |JOIN c c2 ON c2.vec_id = a2.corpus_id
          |WHERE ${cosSql("c1.v", "c2.v")} >= 0.3""".stripMargin,
+
+    // brute-force truth (the ann_cosine twin) + the IVF run (the
+    // ann_ivf twin) + the retrieval_metrics scoring SQL
+    "ann_recall" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+         |bs AS (SELECT q.query_id, c.vec_id AS doc_id, ${cosSql("c.v", "q.qv")} AS sim
+         |       FROM c CROSS JOIN q WHERE q.query_id <> c.vec_id),
+         |truth AS (SELECT query_id, doc_id FROM (
+         |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY sim DESC, doc_id) AS rk FROM bs) t WHERE rk <= 10),
+         |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM c ORDER BY vec_id LIMIT 16),
+         |asg AS (SELECT corpus_id, centroid_id FROM (
+         |  SELECT a.vec_id AS corpus_id, ce.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${cosSql("a.v", "ce.cv")} DESC, ce.centroid_id) AS rn
+         |  FROM c a CROSS JOIN cents ce) t WHERE rn = 1),
+         |probes AS (SELECT query_id, centroid_id FROM (
+         |  SELECT q.query_id, ce.centroid_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${cosSql("q.qv", "ce.cv")} DESC, ce.centroid_id) AS rn
+         |  FROM q CROSS JOIN cents ce) t WHERE rn <= 4),
+         |iv AS (SELECT p.query_id, a.corpus_id, ${cosSql("cv2.v", "q2.qv")} AS sim
+         |      FROM asg a JOIN probes p USING (centroid_id)
+         |      JOIN q q2 ON q2.query_id = p.query_id
+         |      JOIN c cv2 ON cv2.vec_id = a.corpus_id
+         |      WHERE p.query_id <> a.corpus_id),
+         |run AS (SELECT query_id, corpus_id AS doc_id, rk AS rank FROM (
+         |  SELECT query_id, corpus_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, corpus_id) AS rk FROM iv) t WHERE rk <= 10),
+         |nrel AS (SELECT query_id, count(*) AS n_rel FROM truth GROUP BY 1),
+         |j AS (SELECT r.query_id, r.rank,
+         |      CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         |      FROM run r LEFT JOIN truth t
+         |      ON r.query_id = t.query_id AND r.doc_id = t.doc_id),
+         |per AS (SELECT query_id, CAST(sum(rel) AS BIGINT) AS hits,
+         |        min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+         |        list(rank ORDER BY rank) FILTER (WHERE rel = 1) AS rel_ranks
+         |        FROM j GROUP BY 1)
+         |SELECT p.query_id, n.n_rel, p.hits,
+         |  round(CAST(p.hits AS DOUBLE) / n.n_rel, 6) AS recall,
+         |  coalesce(CAST(1.0 AS DOUBLE) / p.first_rel, 0.0) AS rr,
+         |  round(
+         |    coalesce(list_sum([ln(2.0) / ln(x + 1.0)
+         |        for x in coalesce(p.rel_ranks, [])]), 0.0) /
+         |    list_sum([ln(2.0) / ln(i + 1.0)
+         |        for i in range(1, least(n.n_rel, 10) + 1)]),
+         |    10) AS ndcg
+         |FROM per p JOIN nrel n USING (query_id)""".stripMargin,
 
     "ann_ivf_topk" ->
       s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

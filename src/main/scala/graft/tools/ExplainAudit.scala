@@ -119,7 +119,10 @@ object ExplainAudit extends App {
       "graph_label_prop",
       // funnel: k−1 user-keyed joins of type-pruned slices (pushed step
       // filters), rollups riding the join partitioning
-      "ev_funnel"))
+      "ev_funnel",
+      // ANN recall gate: brute + IVF subtrees + |queries|·k-bounded
+      // metrics joins
+      "ann_recall"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

@@ -178,7 +178,10 @@ object ScaleBench {
     "graph_label_prop",
     // funnel: two user-keyed joins over type-pruned event slices —
     // expect ~linear wall (per-copy user universes stay disjoint)
-    "ev_funnel")
+    "ev_funnel",
+    // ANN recall gate: the brute + IVF scan costs dominate (queries
+    // fixed at copy-0 ids), metrics joins are |queries|·k-bounded
+    "ann_recall")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length
