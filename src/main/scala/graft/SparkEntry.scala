@@ -734,6 +734,15 @@ object SparkEntry {
         steps = Seq("view", "click", "purchase"),
         withinUs = Some(86400000000L))),
 
+    "ev_retention" -> ((s, dir) =>
+      // weekly cohort-retention triangle: cohort = week of first
+      // event, cells = exact distinct-active counts per offset
+      graft.operators.Funnel.retention(t(s, dir, "events"),
+        "user_id", "ts", period = "week")
+        // ISO-string the date for the compare layer (pandas reads
+        // Spark DATE as object, DuckDB DATE as datetime64)
+        .withColumn("cohort", col("cohort").cast("string"))),
+
     "ev_asof_join" -> ((s, dir) => {
       // as-of join (latest click at or before each purchase, per user):
       // one window exchange over the merged streams — no per-row probe,
@@ -3077,6 +3086,24 @@ object SparkEntry {
         |  WHEN source = 'src1' THEN substring(md5(text), 1, 8) < '40000000'
         |  WHEN source = 'src2' THEN substring(md5(text), 1, 8) < '80000000'
         |  ELSE substring(md5(text), 1, 8) < 'bfffffff' END""".stripMargin,
+
+    // the retention twin: same Monday-start week truncation (ISO in
+    // both engines), integer offsets, ratio derived last
+    "ev_retention" ->
+      """WITH ev AS (SELECT user_id AS "user",
+        |            CAST(date_trunc('week', ts) AS DATE) AS p FROM events),
+        |coh AS (SELECT "user", min(p) AS cohort FROM ev GROUP BY 1),
+        |act AS (SELECT DISTINCT "user", p FROM ev),
+        |nc AS (SELECT cohort, count(*) AS n_cohort FROM coh GROUP BY 1),
+        |cell AS (SELECT c.cohort,
+        |           CAST(date_diff('day', c.cohort, a.p) // 7 AS BIGINT)
+        |             AS "offset",
+        |           count(*) AS n_active
+        |         FROM coh c JOIN act a USING ("user") GROUP BY 1, 2)
+        |SELECT CAST(cell.cohort AS VARCHAR) AS cohort, cell."offset",
+        |  cell.n_active, nc.n_cohort,
+        |  round(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention
+        |FROM cell JOIN nc USING (cohort)""".stripMargin,
 
     // the funnel twin chains the same greedy min-after aggregates with
     // the entry-anchored 24 h window

@@ -116,9 +116,10 @@ object Graph {
     val e = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst")).distinct()
       .localCheckpoint(true)
+    // nodes feeds ONLY the checkpointed base below — checkpointing it
+    // separately would buy nothing and cost an extra eager job
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
     // conflicting seed rows for one node collapse to the smallest
     // label (the same deterministic tie rule the votes use) — left as
     // two rows they would double-count that node's vote in every

@@ -62,4 +62,50 @@ object Funnel {
       col("t1").as("ts_first"),
       coalesce(ts.reverse: _*).as("ts_last"))
   }
+
+  /** Cohort retention — the funnel's longitudinal sibling: group users
+    * by the period of their FIRST event (their cohort), then count how
+    * many are active again k periods later, for every (cohort, offset)
+    * cell. The classic product-analytics triangle, all exact integer
+    * counts; `retention` is the one derived ratio, computed last from
+    * the two BIGINTs (the langIdConfusion discipline).
+    *
+    * Periods are `date_trunc(period, ts)` days/weeks/months — calendar
+    * buckets, so the twin's date arithmetic matches exactly; `offset`
+    * counts PERIOD BOUNDARIES crossed (datediff of the truncated
+    * dates), not elapsed duration. Offset 0 is the cohort itself
+    * (retention 1.0 by construction — kept: it carries n_cohort and
+    * anchors the triangle).
+    *
+    * 100 TB shape: one user rollup for cohorts (min over the scan), one
+    * distinct over (user, period) — activity collapses BEFORE any join
+    * so a chatty user costs one row per period, not per event — then a
+    * user-keyed join and a (cohort, offset) rollup whose domain is
+    * periods², bounded by the calendar, not the corpus. */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+                period: String = "day"): DataFrame = {
+    require(Set("day", "week", "month").contains(period),
+      s"retention: period '$period' not in {day, week, month}")
+    val ev = events.select(col(userCol).as("user"),
+      date_trunc(period, col(tsCol)).cast("date").as("p"))
+    val cohorts = ev.groupBy("user").agg(min("p").as("cohort"))
+    val active = ev.distinct()
+    val nc = cohorts.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+    // truncated dates make every offset an exact integer: day/week
+    // differences are multiples of the period length, month starts
+    // give integer-valued months_between
+    val offset = (period match {
+      case "day" => datediff(col("p"), col("cohort"))
+      case "week" => datediff(col("p"), col("cohort")) / 7
+      case "month" => months_between(col("p"), col("cohort"))
+    }).cast("long")
+    cohorts.join(active, "user")
+      .groupBy(col("cohort"), offset.as("offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(nc, "cohort")
+      .select(col("cohort"), col("offset"), col("n_active"),
+        col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort"), 6)
+          .as("retention"))
+  }
 }

@@ -122,7 +122,10 @@ object ExplainAudit extends App {
       "ev_funnel",
       // ANN recall gate: brute + IVF subtrees + |queries|·k-bounded
       // metrics joins
-      "ann_recall"))
+      "ann_recall",
+      // retention: activity collapses to (user, period) BEFORE any join;
+      // the cell rollup's domain is periods², calendar-bounded
+      "ev_retention"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

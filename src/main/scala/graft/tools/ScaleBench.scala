@@ -181,7 +181,10 @@ object ScaleBench {
     "ev_funnel",
     // ANN recall gate: the brute + IVF scan costs dominate (queries
     // fixed at copy-0 ids), metrics joins are |queries|·k-bounded
-    "ann_recall")
+    "ann_recall",
+    // retention: two user rollups + a user join + a calendar-bounded
+    // cell rollup — expect ~linear wall in events
+    "ev_retention")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

@@ -191,4 +191,36 @@ class TemporalJoinsSpec extends SparkSpec {
         withinUs = Some(0L))
     }
   }
+
+  test("retention: weekly cohort triangle — exact cells, chatty users " +
+      "count once per period, month mode uses month arithmetic") {
+    import graft.operators.Funnel
+    // 2024-01-01 is a Monday (week-bucket anchor in both engines)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // u1 cohort W0
+      (1L, ts("2024-01-03 10:00:00")), // same week — must not double
+      (1L, ts("2024-01-02 09:00:00")),
+      (1L, ts("2024-01-08 10:00:00")), // W1: retained
+      (2L, ts("2024-01-02 10:00:00")), // u2 cohort W0, never returns
+      (3L, ts("2024-01-10 10:00:00"))  // u3 cohort W1
+    ).toDF("user_id", "ts")
+    val out = Funnel.retention(ev, "user_id", "ts", period = "week")
+      .select("cohort", "offset", "n_active", "n_cohort", "retention")
+      .as[(java.sql.Date, Long, Long, Long, Double)].collect()
+      .map(r => (r._1.toString, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out(("2024-01-01", 0L)) == ((2L, 2L, 1.0)), out.toString)
+    assert(out(("2024-01-01", 1L)) == ((1L, 2L, 0.5)), out.toString)
+    assert(out(("2024-01-08", 0L)) == ((1L, 1L, 1.0)), out.toString)
+    assert(out.size == 3, out.toString)
+    // month mode: Jan 15 → Feb 20 is month-offset 1 (not 36 DIV 30)
+    val m = Seq((7L, ts("2024-01-15 10:00:00")),
+        (7L, ts("2024-02-20 10:00:00")))
+      .toDF("user_id", "ts")
+    val mo = Funnel.retention(m, "user_id", "ts", period = "month")
+      .select("offset", "n_active").as[(Long, Long)].collect().toMap
+    assert(mo == Map(0L -> 1L, 1L -> 1L), mo.toString)
+    intercept[IllegalArgumentException] {
+      Funnel.retention(ev, "user_id", "ts", period = "quarter")
+    }
+  }
 }
