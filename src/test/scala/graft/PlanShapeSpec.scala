@@ -319,6 +319,19 @@ class PlanShapeSpec extends SparkSpec {
         finalSection)
   }
 
+  test("ev_funnel: step filters reach the parquet scan as PushedFilters") {
+    // each funnel stage must read only its step's slice — a filter
+    // evaluated post-scan would read the full event stream k times
+    val df = q("ev_funnel")
+    val plan = df.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator
+      .filter(l => l.contains("PushedFilters") &&
+        l.contains("events.parquet"))
+      .count(_.contains("EqualTo(event_type,"))
+    assert(pushed >= 3,
+      s"expected the 3 step-type filters pushed to the scans:\n$plan")
+  }
+
   test("a deliberate recompute shape IS caught by the counter") {
     // sanity-check the guard itself: the pre-fix bigram formulation
     // (context count re-exploded from the corpus) must count 3 scans
