@@ -1094,6 +1094,24 @@ object SparkEntry {
       // label×prediction domain
       TA.langIdConfusion(t(s, dir, "documents"), "text", "lang")),
 
+    "text_langid_lines" -> ((s, dir) => {
+      // Dolma-style per-line language mixture: dominant language +
+      // share of disagreeing lines per doc. The corpus is single-line,
+      // so multi-line documents are synthesized IN-QUERY (the
+      // text_strip_html precedent) by stitching 3 consecutive docs —
+      // neighbors mix languages, giving the mixture real signal
+      val d = t(s, dir, "documents")
+      val a = d.select(col("doc_id"), col("text").as("t0"))
+      val b = d.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("t1"))
+      val c = d.select((col("doc_id") - 2).as("doc_id"),
+        col("text").as("t2"))
+      val multi = a.join(b, Seq("doc_id")).join(c, Seq("doc_id"))
+        .select(col("doc_id"),
+          concat_ws("\n", col("t0"), col("t1"), col("t2")).as("text"))
+      graft.llm.TextAnalysis.langIdLines(multi, "doc_id", "text")
+    }),
+
     "text_hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval: the BM25 sparse list fused with a dense
       // cosine list over the SAME 20 query ids (documents and
@@ -4098,6 +4116,43 @@ object SparkEntry {
         |                          ORDER BY score DESC, doc_id) AS rank FROM sc)
         |SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank, score
         |FROM rk WHERE rank <= 5""".stripMargin,
+
+    // the per-line twin: same langid CASE applied per non-blank line,
+    // bounded per-doc argmax + total
+    "text_langid_lines" ->
+      """WITH multi AS (SELECT a.doc_id,
+        |    a.text || chr(10) || b.text || chr(10) || c.text AS text
+        |    FROM documents a
+        |    JOIN documents b ON b.doc_id = a.doc_id + 1
+        |    JOIN documents c ON c.doc_id = a.doc_id + 2),
+        |ln AS (SELECT doc_id, line FROM (
+        |    SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        |    FROM multi) t WHERE length(trim(line)) > 0),
+        |w AS (SELECT doc_id, line,
+        |  string_split_regex(trim(line), '\s+') AS words FROM ln),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(words, x -> lower(x) IN ('der','die','das','und','ist','nicht','ein','mit'))) AS sde,
+        |  len(list_filter(words, x -> lower(x) IN ('the','and','is','of','to','in','that','it'))) AS sen,
+        |  len(list_filter(words, x -> lower(x) IN ('el','la','los','que','y','es','en','un'))) AS ses,
+        |  len(list_filter(words, x -> lower(x) IN ('le','la','les','et','est','que','des','une'))) AS sfr
+        |  FROM w),
+        |pred AS (SELECT doc_id,
+        | CASE WHEN sde > 0 AND sde >= sen AND sde >= ses AND sde >= sfr THEN 'de'
+        |      WHEN sen > 0 AND sen >= sde AND sen >= ses AND sen >= sfr THEN 'en'
+        |      WHEN ses > 0 AND ses >= sde AND ses >= sen AND ses >= sfr THEN 'es'
+        |      WHEN sfr > 0 AND sfr >= sde AND sfr >= sen AND sfr >= ses THEN 'fr'
+        |      ELSE 'und' END AS lang_pred
+        | FROM sc),
+        |pl AS (SELECT doc_id, lang_pred, count(*) AS cnt FROM pred GROUP BY 1, 2),
+        |r AS (SELECT doc_id, lang_pred, cnt,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY cnt DESC, lang_pred) AS rn,
+        |        sum(cnt) OVER (PARTITION BY doc_id) AS n_lines
+        |      FROM pl)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |  lang_pred AS dominant_lang, cnt AS n_dominant,
+        |  round(CAST(n_lines - cnt AS DOUBLE) / n_lines, 6) AS mixed_frac
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "text_langid" ->
       """WITH w AS (SELECT doc_id,

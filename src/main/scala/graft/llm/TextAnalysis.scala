@@ -341,6 +341,42 @@ object TextAnalysis {
     * share of that label (exact counts, ratio derived at the end).
     * Single scan, one partial-agg exchange over the bounded
     * label×prediction domain. */
+  /** Per-LINE language mixture (the Dolma-style refinement of the
+    * doc-level [[langId]]): predict each non-blank line's language and
+    * roll up per document — (n_lines, dominant_lang, n_dominant,
+    * mixed_frac). Web documents routinely interleave languages
+    * (navigation chrome, quotes, code comments); a doc-level vote hides
+    * that, while `mixed_frac` = share of lines disagreeing with the
+    * dominant language is the filter signal monolingual-corpus recipes
+    * cut on. Dominance ties break to the lexicographically smallest
+    * language (deterministic); documents with no non-blank lines carry
+    * no signal and drop (the surprisal empty-doc discipline).
+    *
+    * Scale shape: one scan + line explode, a (doc, lang) partial-agg
+    * exchange, and a per-doc window over ≤ |language domain| aggregated
+    * rows (bounded — never raw lines); the ratio derives from the two
+    * exact counts at the end. */
+  def langIdLines(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    val lines = df.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .filter(length(trim(col("line"))) > 0)
+    val perLang = lines
+      .groupBy(col("doc_id"), langId(col("line")).as("lang_pred"))
+      .agg(count(lit(1)).as("cnt"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    perLang
+      .withColumn("__rn", row_number().over(
+        wDoc.orderBy(col("cnt").desc, col("lang_pred"))))
+      .withColumn("n_lines", sum("cnt").over(wDoc))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("n_lines"),
+        col("lang_pred").as("dominant_lang"),
+        col("cnt").as("n_dominant"),
+        round((col("n_lines") - col("cnt")).cast("double") /
+          col("n_lines"), 6).as("mixed_frac"))
+  }
+
   def langIdConfusion(df: org.apache.spark.sql.DataFrame, textCol: String,
                       labelCol: String): org.apache.spark.sql.DataFrame = {
     val counts = df

@@ -125,7 +125,10 @@ object ExplainAudit extends App {
       "ann_recall",
       // retention: activity collapses to (user, period) BEFORE any join;
       // the cell rollup's domain is periods², calendar-bounded
-      "ev_retention"))
+      "ev_retention",
+      // line-mixture: one scan + line explode, (doc,lang) partial agg,
+      // bounded per-doc window
+      "text_langid_lines"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

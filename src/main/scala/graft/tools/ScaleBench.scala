@@ -184,7 +184,10 @@ object ScaleBench {
     "ann_recall",
     // retention: two user rollups + a user join + a calendar-bounded
     // cell rollup — expect ~linear wall in events
-    "ev_retention")
+    "ev_retention",
+    // line-mixture: synthesis joins + line explode + (doc,lang) agg —
+    // expect ~linear wall in docs
+    "text_langid_lines")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

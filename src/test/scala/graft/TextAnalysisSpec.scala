@@ -377,4 +377,29 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"profile shuffled:\n$plan")
   }
+
+  test("langIdLines: per-line majority, tie to smallest lang, blank " +
+      "lines excluded, all-blank docs drop") {
+    val en = "the cat and the dog is in that house"
+    val de = "der hund und die katze ist nicht ein vogel"
+    val docs = Seq(
+      // 2 en lines + 1 de line + a blank → dominant en, mixed 1/3
+      (1L, s"$en\n$de\n \n$en"),
+      // 1 en + 1 de → tie → de (lexicographically smaller)
+      (2L, s"$en\n$de"),
+      // pure de
+      (3L, de),
+      // only blank lines → drops
+      (4L, " \n ")
+    ).toDF("doc_id", "text")
+    val out = TA.langIdLines(docs, "doc_id", "text")
+      .select("doc_id", "n_lines", "dominant_lang", "n_dominant",
+        "mixed_frac")
+      .as[(Long, Long, String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), out.toString)
+    assert(out(1L) == ((3L, "en", 2L, 0.333333)), out(1L).toString)
+    assert(out(2L) == ((2L, "de", 1L, 0.5)), out(2L).toString)
+    assert(out(3L) == ((1L, "de", 1L, 0.0)), out(3L).toString)
+  }
 }
