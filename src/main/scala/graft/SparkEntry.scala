@@ -3127,7 +3127,8 @@ object SparkEntry {
     // the entry-anchored 24 h window
     "ev_funnel" ->
       """WITH s1 AS (SELECT user_id AS "user", min(ts) AS t1 FROM events
-        |            WHERE event_type = 'view' GROUP BY 1),
+        |            WHERE event_type = 'view' AND ts IS NOT NULL
+        |            GROUP BY 1),
         |s2 AS (SELECT e.user_id AS "user", min(e.ts) AS t2
         |       FROM events e JOIN s1 ON e.user_id = s1."user"
         |       WHERE e.event_type = 'click' AND e.ts > s1.t1

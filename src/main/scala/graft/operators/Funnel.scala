@@ -38,8 +38,12 @@ object Funnel {
       s"funnel: duplicate step types in $steps — a repeated stage is " +
         "ambiguous; disambiguate the event types upstream")
     withinUs.foreach(w => require(w > 0, s"funnel: withinUs=$w must be > 0"))
+    // null-timestamped events cannot participate in temporal ordering —
+    // dropped up front (and in the oracle twin), so an all-null entry
+    // group can never emit a steps_completed = 0 row
     val ev = events.select(col(userCol).as("user"),
       col(typeCol).as("__etype"), col(tsCol).as("__ts"))
+      .filter(col("__ts").isNotNull)
     var cur = ev.filter(col("__etype") === steps.head)
       .groupBy("user").agg(min("__ts").as("t1"))
     val deadline = withinUs.map(w =>
@@ -77,19 +81,26 @@ object Funnel {
     * (retention 1.0 by construction — kept: it carries n_cohort and
     * anchors the triangle).
     *
-    * 100 TB shape: one user rollup for cohorts (min over the scan), one
-    * distinct over (user, period) — activity collapses BEFORE any join
-    * so a chatty user costs one row per period, not per event — then a
-    * user-keyed join and a (cohort, offset) rollup whose domain is
-    * periods², bounded by the calendar, not the corpus. */
+    * 100 TB shape: ONE scan — activity collapses to distinct
+    * (user, period) rows (a chatty user costs one row per period, not
+    * per event) and the cohort rollup derives from that same frame
+    * (min over distinct periods ≡ min over raw events), so both
+    * consumers share the scan and the (user, p) exchange via
+    * ReusedExchange — then a user-keyed join and a (cohort, offset)
+    * rollup whose domain is periods², bounded by the calendar, not
+    * the corpus. */
   def retention(events: DataFrame, userCol: String, tsCol: String,
                 period: String = "day"): DataFrame = {
     require(Set("day", "week", "month").contains(period),
       s"retention: period '$period' not in {day, week, month}")
     val ev = events.select(col(userCol).as("user"),
       date_trunc(period, col(tsCol)).cast("date").as("p"))
-    val cohorts = ev.groupBy("user").agg(min("p").as("cohort"))
+      .filter(col("p").isNotNull)
+    // cohort = min over the DISTINCT (user, period) rows — deriving it
+    // from `active` lets both frames share one scan + one (user, p)
+    // exchange (ReusedExchange) instead of re-reading events
     val active = ev.distinct()
+    val cohorts = active.groupBy("user").agg(min("p").as("cohort"))
     val nc = cohorts.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
     // truncated dates make every offset an exact integer: day/week
     // differences are multiples of the period length, month starts
