@@ -734,6 +734,15 @@ object SparkEntry {
         steps = Seq("view", "click", "purchase"),
         withinUs = Some(86400000000L))),
 
+    "ev_anomaly" -> ((s, dir) =>
+      // robust per-type outlier screen: discrete-median MAD flags over
+      // the right-skewed value column; every statistic is an actual
+      // data value, the twin shares the cum-window definition
+      graft.core.Stats.robustOutliers(t(s, dir, "events"),
+        "event_type", "value", k = 3.0)
+        .select("event_id", "event_type", "value", "med", "mad",
+          "is_outlier")),
+
     "ev_retention" -> ((s, dir) =>
       // weekly cohort-retention triangle: cohort = week of first
       // event, cells = exact distinct-active counts per offset
@@ -3104,6 +3113,33 @@ object SparkEntry {
         |  WHEN source = 'src1' THEN substring(md5(text), 1, 8) < '40000000'
         |  WHEN source = 'src2' THEN substring(md5(text), 1, 8) < '80000000'
         |  ELSE substring(md5(text), 1, 8) < 'bfffffff' END""".stripMargin,
+
+    // the MAD twin: discrete INCLUSIVE medians via cum windows over
+    // the per-type value/deviation domains (no interpolated median —
+    // engines disagree on interpolation, never on data values)
+    "ev_anomaly" ->
+      """WITH h AS (SELECT event_type, value AS v, count(*) AS c
+        |           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |n AS (SELECT event_type, sum(c) AS n FROM h GROUP BY 1),
+        |cum AS (SELECT event_type, v,
+        |        sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum
+        |        FROM h),
+        |med AS (SELECT event_type, min(v) AS med
+        |        FROM cum JOIN n USING (event_type)
+        |        WHERE cum * 2 >= n GROUP BY 1),
+        |d AS (SELECT h.event_type, abs(h.v - med.med) AS dev,
+        |        sum(h.c) AS c
+        |      FROM h JOIN med USING (event_type) GROUP BY 1, 2),
+        |cum2 AS (SELECT event_type, dev,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY dev) AS cum
+        |         FROM d),
+        |mad AS (SELECT event_type, min(dev) AS mad
+        |        FROM cum2 JOIN n USING (event_type)
+        |        WHERE cum * 2 >= n GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value, med.med, mad.mad,
+        |  abs(e.value - med.med) > 3.0 * mad.mad AS is_outlier
+        |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+        |WHERE e.value IS NOT NULL""".stripMargin,
 
     // the retention twin: same Monday-start week truncation (ISO in
     // both engines), integer offsets, ratio derived last

@@ -135,6 +135,63 @@ object Stats {
 
   /** Catalog rollup (A7): per-dataset aggregate row over a multi-dataset
     * documents table carrying a `dataset` column. */
+  /** Robust per-group outlier flagging by median absolute deviation —
+    * the distribution-free anomaly screen (Leys et al. 2013's
+    * median ± k·MAD rule) for event values, quality scores, or any
+    * keyed measure where means/stddevs would be dragged by the very
+    * outliers being hunted. Both statistics are DISCRETE INCLUSIVE
+    * medians (smallest value whose cumulative count satisfies
+    * 2·cum ≥ n — the KLL/doc_len_quantiles definition), so every
+    * number is an actual data value and the cross-engine story needs
+    * no interpolation contract; the flag compare `|x − med| > k·mad`
+    * runs the identical IEEE steps on both engines. Null measures are
+    * excluded (they have no deviation).
+    *
+    * Scale shape: one scan collapses values to the per-group VALUE
+    * DOMAIN histogram; the median and MAD cumulative windows run over
+    * that aggregated domain (per-group, ordered — never raw rows), the
+    * deviation histogram derives from the value histogram (no rescan),
+    * and the per-row flags are a second scan joined against the
+    * per-group stats (one row per group — AQE broadcasts bounded
+    * domains; unbounded ones stay a keyed join). Two scans total, the
+    * surprisal-family floor.
+    *
+    * Output: input rows (null measures dropped) + (med, mad,
+    * is_outlier). */
+  def robustOutliers(df: DataFrame, keyCol: String, valueCol: String,
+                     k: Double = 3.0): DataFrame = {
+    require(k > 0, s"robustOutliers: k=$k must be positive")
+    val rows = df.filter(col(valueCol).isNotNull)
+    val h = rows.groupBy(col(keyCol).as("__k"),
+        col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val n = h.groupBy("__k").agg(sum("__c").as("__n"))
+    val wv = org.apache.spark.sql.expressions.Window.partitionBy("__k")
+      .orderBy("__v")
+    val med = h.withColumn("__cum", sum("__c").over(wv))
+      .join(n, "__k")
+      .filter(col("__cum") * 2 >= col("__n"))
+      .groupBy("__k").agg(min("__v").as("med"))
+    val d = h.join(med, "__k")
+      .groupBy(col("__k"), abs(col("__v") - col("med")).as("__dev"))
+      .agg(sum("__c").as("__c"))
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy("__k")
+      .orderBy("__dev")
+    val mad = d.withColumn("__cum", sum("__c").over(wd))
+      .join(n, "__k")
+      .filter(col("__cum") * 2 >= col("__n"))
+      .groupBy("__k").agg(min("__dev").as("mad"))
+    val stats = med.join(mad, "__k")
+    // no forced broadcast: the stats frame is one row per group —
+    // tiny for bounded domains (AQE broadcasts it), but a genuinely
+    // unbounded key domain degrades to a keyed join instead of a
+    // driver-side OOM
+    rows.join(stats, col(keyCol) === col("__k"))
+      .drop("__k")
+      .withColumn("is_outlier",
+        abs(col(valueCol) - col("med")) > lit(k) * col("mad"))
+  }
+
   def catalog(documents: DataFrame): DataFrame =
     documents
       .groupBy("dataset")

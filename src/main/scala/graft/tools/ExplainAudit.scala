@@ -128,7 +128,10 @@ object ExplainAudit extends App {
       "ev_retention",
       // line-mixture: one scan + line explode, (doc,lang) partial agg,
       // bounded per-doc window
-      "text_langid_lines"))
+      "text_langid_lines",
+      // MAD screen: value-domain histogram + two domain windows + a
+      // per-row stats join — 2-scan floor
+      "ev_anomaly"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

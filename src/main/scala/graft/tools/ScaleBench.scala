@@ -187,7 +187,10 @@ object ScaleBench {
     "ev_retention",
     // line-mixture: synthesis joins + line explode + (doc,lang) agg —
     // expect ~linear wall in docs
-    "text_langid_lines")
+    "text_langid_lines",
+    // MAD screen: the value-domain histogram grows with distinct
+    // values; windows stay domain-sized — expect ~linear wall
+    "ev_anomaly")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

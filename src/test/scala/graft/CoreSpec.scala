@@ -163,4 +163,34 @@ class CoreSpec extends SparkSpec {
       "/root/reference/tests/fixtures/archive/test_dataset/.leakrfc/config.yml")
     assert(cfg.name == "test_dataset")
   }
+
+  test("robustOutliers: inclusive discrete median/MAD hand vector, " +
+      "null exclusion, repartition determinism, loud k") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // values 1,2,3,4,100 → inclusive median = 3 (2·cum ≥ 5 at v=3);
+    // deviations 2,1,0,1,97 → sorted 0,1,1,2,97 → MAD = 1;
+    // k=3 ⇒ only |100−3| = 97 > 3 flags
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "a", 4.0), (5L, "a", 100.0),
+      (6L, "b", 7.0), (7L, "b", Double.NaN)) // NaN is a value, not null
+      .toDF("id", "key", "v")
+      .withColumn("v", when(col("id") === 7L, lit(null)).otherwise(col("v")))
+    for (parts <- Seq(1, 5)) {
+      val out = graft.core.Stats.robustOutliers(
+          df.repartition(parts), "key", "v", k = 3.0)
+        .select("id", "med", "mad", "is_outlier")
+        .as[(Long, Double, Double, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L),
+        s"null v must drop: $out")
+      assert(out(1L) == ((3.0, 1.0, false)), out(1L).toString)
+      assert(out(5L) == ((3.0, 1.0, true)), out(5L).toString)
+      // singleton group: med = the value, mad = 0, never flagged
+      assert(out(6L) == ((7.0, 0.0, false)), out(6L).toString)
+    }
+    intercept[IllegalArgumentException] {
+      graft.core.Stats.robustOutliers(df, "key", "v", k = 0.0)
+    }
+  }
 }
