@@ -1587,6 +1587,19 @@ object SparkEntry {
       perSlice.unionByName(merged)
     }),
 
+    "corpus_drift_sketch" -> ((s, dir) => {
+      // incremental drift: the en and de slices summarized as MG
+      // sketches (capacity >= vocabulary — exact regime), compared
+      // with NO corpus rescan; must equal the scan-based corpus_drift,
+      // so it shares that twin verbatim
+      val docs = t(s, dir, "documents")
+      val skA = graft.llm.Corpus.heavyHittersSketch(
+        docs.filter(col("lang") === "en"), "text", capacity = 4096)
+      val skB = graft.llm.Corpus.heavyHittersSketch(
+        docs.filter(col("lang") === "de"), "text", capacity = 4096)
+      graft.llm.Corpus.driftFromSketches(skA, skB, topN = 20)
+    }),
+
     "corpus_drift" -> ((s, dir) =>
       // top drifted tokens between the en and de slices: one scan, one
       // token-domain exchange with both group counts as conditional
@@ -1978,6 +1991,25 @@ object SparkEntry {
     (Seq(head) ++ iters).mkString(",\n") +
       "\nSELECT node, label FROM l3"
   }
+
+  // shared by the scan-based and sketch-based drift queries: in the MG
+  // exact regime the sketch comparison must reproduce the corpus scan
+  private val CorpusDriftOracle: String =
+    """WITH norm AS (SELECT lang, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents WHERE lang IN ('en', 'de')),
+        |tok AS (SELECT lang, unnest(string_split(t, ' ')) AS token FROM norm),
+        |fr AS (SELECT token,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS freq_a,
+        |    sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS freq_b
+        |  FROM tok WHERE length(token) > 0 GROUP BY token),
+        |tot AS (SELECT sum(freq_a) AS n_a, sum(freq_b) AS n_b FROM fr)
+        |SELECT token, CAST(freq_a AS BIGINT) AS freq_a,
+        |       CAST(freq_b AS BIGINT) AS freq_b
+        |FROM fr, tot
+        |ORDER BY abs(CAST(freq_a AS HUGEINT) * n_b
+        |           - CAST(freq_b AS HUGEINT) * n_a) DESC, token
+        |LIMIT 20""".stripMargin
 
   // shared by the batch and streaming Count–Min builds: the twin
   // replicates the md5-lane cells and the min-over-lanes estimate in
@@ -3391,22 +3423,9 @@ object SparkEntry {
     // exact-integer cross-product ranking |freq_a*n_b - freq_b*n_a| in
     // HUGEINT (the decimal's value-equal twin; the rank key is not
     // output so only the order must agree)
-    "corpus_drift" ->
-      """WITH norm AS (SELECT lang, trim(regexp_replace(regexp_replace(lower(text),
-        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
-        |  FROM documents WHERE lang IN ('en', 'de')),
-        |tok AS (SELECT lang, unnest(string_split(t, ' ')) AS token FROM norm),
-        |fr AS (SELECT token,
-        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS freq_a,
-        |    sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS freq_b
-        |  FROM tok WHERE length(token) > 0 GROUP BY token),
-        |tot AS (SELECT sum(freq_a) AS n_a, sum(freq_b) AS n_b FROM fr)
-        |SELECT token, CAST(freq_a AS BIGINT) AS freq_a,
-        |       CAST(freq_b AS BIGINT) AS freq_b
-        |FROM fr, tot
-        |ORDER BY abs(CAST(freq_a AS HUGEINT) * n_b
-        |           - CAST(freq_b AS HUGEINT) * n_a) DESC, token
-        |LIMIT 20""".stripMargin,
+    // exact-regime sketch drift ≡ the scan-based drift — same twin
+    "corpus_drift_sketch" -> CorpusDriftOracle,
+    "corpus_drift" -> CorpusDriftOracle,
 
     // n-grams per order n via the same slice comprehension as the
     // bigram oracle, generalized with a small n-table cross join

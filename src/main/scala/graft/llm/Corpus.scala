@@ -576,6 +576,47 @@ object Corpus {
       .select(col("token"), col("freq_a"), col("freq_b"))
   }
 
+  /** Distribution drift FROM PERSISTED SKETCHES — the incremental form
+    * of [[corpusDrift]] closing the sketch-family loop: compare two
+    * [[heavyHittersSketch]]/[[mergeHeavyHitterSketches]] frames (one
+    * per corpus slice, era, or source) and rank the tokens whose
+    * frequency shifted most, with NO rescan of either corpus. Same
+    * exact DECIMAL(38,0) cross-product ranking
+    * |count_a·n_b − count_b·n_a| as the scan-based form; totals are
+    * each sketch's own `n_part` (the true summarized token total, which
+    * eviction never touches), so the normalization is exact in every
+    * regime. In the MG exact regime (capacity ≥ vocabulary) the result
+    * EQUALS [[corpusDrift]] on the underlying corpora — the oracle's
+    * check; past it, the ranking covers the retained counters with
+    * their lower-bound semantics (heavy movers are precisely what MG
+    * guarantees to retain). NULL-token placeholder rows contribute
+    * their n_part and nothing else.
+    *
+    * Scale shape: both inputs are ≤ capacity-row frames at ANY corpus
+    * size — one full-outer token join, two 1-row total aggregates, one
+    * bounded TakeOrdered. */
+  def driftFromSketches(a: DataFrame, b: DataFrame,
+                        topN: Int = 20): DataFrame = {
+    require(topN >= 1, s"topN=$topN must be positive")
+    val fa = a.filter(col("token").isNotNull)
+      .select(col("token"), col("count_lb").as("freq_a"))
+    val fb = b.filter(col("token").isNotNull)
+      .select(col("token"), col("count_lb").as("freq_b"))
+    val na = a.agg(max("n_part").as("n_a"))
+    val nb = b.agg(max("n_part").as("n_b"))
+    val freqs = fa.join(fb, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("freq_a"), lit(0L)).as("freq_a"),
+        coalesce(col("freq_b"), lit(0L)).as("freq_b"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d = abs(col("freq_a").cast(dec) * col("n_b").cast(dec) -
+      col("freq_b").cast(dec) * col("n_a").cast(dec))
+    freqs.crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .orderBy(d.desc, col("token"))
+      .limit(topN)
+      .select(col("token"), col("freq_a"), col("freq_b"))
+  }
+
   /** Corpus-level n-gram diversity (the "distinct-n" generation/corpus
     * diversity metric): for each n in 1..`maxN`, the total and distinct
     * n-gram counts over the whole corpus. A corpus of templated

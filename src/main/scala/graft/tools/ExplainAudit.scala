@@ -131,7 +131,10 @@ object ExplainAudit extends App {
       "text_langid_lines",
       // MAD screen: value-domain histogram + two domain windows + a
       // per-row stats join — 2-scan floor
-      "ev_anomaly"))
+      "ev_anomaly",
+      // sketch drift: two bounded sketch subtrees + one capacity-bounded
+      // token join + a TakeOrdered
+      "corpus_drift_sketch"))
   val exec = args.lift(1).contains("exec")
   targets.foreach { n =>
     println(s"=== $n ===")

@@ -190,7 +190,10 @@ object ScaleBench {
     "text_langid_lines",
     // MAD screen: the value-domain histogram grows with distinct
     // values; windows stay domain-sized — expect ~linear wall
-    "ev_anomaly")
+    "ev_anomaly",
+    // sketch drift: growth is the two sketch-build scans; the compare
+    // itself is capacity-bounded at any corpus size
+    "corpus_drift_sketch")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

@@ -966,6 +966,31 @@ class CorpusSpec extends SparkSpec {
     assert(e.getMessage.contains("maxStrata"))
   }
 
+  test("driftFromSketches: exact-regime parity with corpusDrift; " +
+      "empty-slice placeholders keep totals; loud topN") {
+    val docs = Tables.load(spark, sf0, "documents")
+    val skA = Corpus.heavyHittersSketch(
+      docs.filter(col("lang") === "en"), "text", capacity = 4096)
+    val skB = Corpus.heavyHittersSketch(
+      docs.filter(col("lang") === "de"), "text", capacity = 4096)
+    val fromSketch = Corpus.driftFromSketches(skA, skB, topN = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    val fromScan = Corpus.corpusDrift(docs, "text", "lang", "en", "de",
+        topN = 10).as[(String, Long, Long)].collect().toSeq
+    assert(fromSketch == fromScan,
+      s"sketch drift diverged: $fromSketch vs $fromScan")
+    // an all-evicted/empty slice contributes only its placeholder row:
+    // every token drifts toward the non-empty side, totals intact
+    val empty = Corpus.heavyHittersSketch(
+      docs.filter(lit(false)), "text", capacity = 16)
+    val vs = Corpus.driftFromSketches(skA, empty, topN = 5)
+      .as[(String, Long, Long)].collect()
+    assert(vs.length == 5 && vs.forall(_._3 == 0L), vs.toSeq.toString)
+    intercept[IllegalArgumentException] {
+      Corpus.driftFromSketches(skA, skB, topN = 0)
+    }
+  }
+
   test("perplexityBuckets: exhaustive, value-monotone, ties share buckets") {
     val docs = Tables.load(spark, sf0, "documents")
     val out = Corpus.perplexityBuckets(docs, "doc_id", "text", nBuckets = 3)
