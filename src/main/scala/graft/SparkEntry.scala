@@ -1943,8 +1943,8 @@ object SparkEntry {
         |e AS (SELECT c AS src, su AS dst FROM ol UNION SELECT su, c FROM ol),
         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
         |prm AS (SELECT count(*) AS n FROM nodes),
-        |sc AS (SELECT GREATEST(10000, 100000000000000000 // n) AS s,
-        |              GREATEST(10000, 100000000000000000 // n) * 15 // 100 AS b
+        |sc AS (SELECT GREATEST(10000, 90000000000000000 // n) AS s,
+        |              GREATEST(10000, 90000000000000000 // n) * 15 // 100 AS b
         |       FROM prm),
         |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
         |it0 AS (SELECT node, (SELECT s FROM sc) AS r FROM nodes)""".stripMargin
@@ -3039,7 +3039,8 @@ object SparkEntry {
         |       FROM bf GROUP BY 1),
         |tot AS (SELECT sum(c_xy) AS n FROM bf),
         |sc AS (SELECT bigram, c_xy,
-        |         CAST(round(1000000.0 * c_xy * n / (c_x * c_y)) AS BIGINT) AS lift_ppm
+        |         CAST(round(1000000.0 * c_xy * n /
+        |           CAST(CAST(c_x AS HUGEINT) * c_y AS DOUBLE)) AS BIGINT) AS lift_ppm
         |       FROM bf JOIN xf ON split_part(bigram, ' ', 1) = x
         |                JOIN yf ON split_part(bigram, ' ', 2) = y, tot
         |       WHERE c_xy >= 20)

@@ -145,7 +145,10 @@ object Stats {
     * number is an actual data value and the cross-engine story needs
     * no interpolation contract; the flag compare `|x − med| > k·mad`
     * runs the identical IEEE steps on both engines. Null measures are
-    * excluded (they have no deviation).
+    * excluded (they have no deviation); a NULL GROUP KEY is a group
+    * like any other — every key join below is null-safe (`<=>`), so
+    * unkeyed rows get their own median/MAD and flags instead of
+    * silently vanishing at an inner equi-join.
     *
     * Scale shape: one scan collapses values to the per-group VALUE
     * DOMAIN histogram; the median and MAD cumulative windows run over
@@ -165,28 +168,35 @@ object Stats {
     val h = rows.groupBy(col(keyCol).as("__k"),
         col(valueCol).as("__v"))
       .agg(count(lit(1)).as("__c"))
+    // all key joins are NULL-SAFE: groupBy keeps the null-key group,
+    // but a plain equi-join (USING or ===) never matches NULL to NULL,
+    // so that group's rows would silently vanish from the output.
+    // EqualNullSafe is still an equi-join key (hash-joinable).
     val n = h.groupBy("__k").agg(sum("__c").as("__n"))
+      .withColumnRenamed("__k", "__kn")
     val wv = org.apache.spark.sql.expressions.Window.partitionBy("__k")
       .orderBy("__v")
     val med = h.withColumn("__cum", sum("__c").over(wv))
-      .join(n, "__k")
+      .join(n, col("__k") <=> col("__kn")).drop("__kn")
       .filter(col("__cum") * 2 >= col("__n"))
       .groupBy("__k").agg(min("__v").as("med"))
-    val d = h.join(med, "__k")
+    val d = h.join(med.withColumnRenamed("__k", "__km"),
+        col("__k") <=> col("__km"))
       .groupBy(col("__k"), abs(col("__v") - col("med")).as("__dev"))
       .agg(sum("__c").as("__c"))
     val wd = org.apache.spark.sql.expressions.Window.partitionBy("__k")
       .orderBy("__dev")
     val mad = d.withColumn("__cum", sum("__c").over(wd))
-      .join(n, "__k")
+      .join(n, col("__k") <=> col("__kn")).drop("__kn")
       .filter(col("__cum") * 2 >= col("__n"))
       .groupBy("__k").agg(min("__dev").as("mad"))
-    val stats = med.join(mad, "__k")
+    val stats = med.join(mad.withColumnRenamed("__k", "__km"),
+      col("__k") <=> col("__km")).drop("__km")
     // no forced broadcast: the stats frame is one row per group —
     // tiny for bounded domains (AQE broadcasts it), but a genuinely
     // unbounded key domain degrades to a keyed join instead of a
     // driver-side OOM
-    rows.join(stats, col(keyCol) === col("__k"))
+    rows.join(stats, col(keyCol) <=> col("__k"))
       .drop("__k")
       .withColumn("is_outlier",
         abs(col(valueCol) - col("med")) > lit(k) * col("mad"))

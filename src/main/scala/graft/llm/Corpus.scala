@@ -753,9 +753,16 @@ object Corpus {
       .withColumn("__y", substring_index(col("bigram"), " ", -1))
       .join(xfreq, "__x").join(yfreq, "__y")
       .crossJoin(broadcast(total))
+      // the marginal product runs EXACT in DECIMAL(38,0) (the
+      // corpusDrift discipline): a Long×Long product wraps silently past
+      // 2^63 — two ~3·10⁹-count marginals, i.e. exactly the corpus sizes
+      // this module targets — corrupting the ranking; the exact integer
+      // is then converted to double ONCE (correctly rounded, so the
+      // oracle's HUGEINT product divides identically)
       .withColumn("lift_ppm",
         round(lit(1000000.0) * col("c_xy") * col("n_bigrams") /
-          (col("c_x") * col("c_y"))).cast("long"))
+          (col("c_x").cast("decimal(38,0)") *
+            col("c_y").cast("decimal(38,0)")).cast("double")).cast("long"))
     // distributed top-k first (TakeOrderedAndProject — no global-window
     // single-partition sort of the whole scored vocabulary), then rank
     // the k survivors; the final window runs over k rows by construction

@@ -18,10 +18,14 @@ import org.apache.spark.sql.functions._
   * negligible ≤ outdeg·|V| units per iteration and keep every value
   * exactly reproducible on any engine), and damping is the integer
   * `(dampingPct · Σ) DIV 100`. The scale formula makes overflow
-  * impossible by construction FOR |V| ≤ 10¹³ (enforced loudly): total
-  * mass never exceeds |V|·scale ≤ 10¹⁷, so the worst single-node sum
-  * times 99 stays under 2⁶³; past the 10⁴ scale floor the bound would
-  * lapse, so larger graphs are refused rather than silently wrapped.
+  * impossible by construction FOR |V| ≤ 9·10¹² (enforced loudly):
+  * total mass starts at |V|·scale ≤ 9·10¹⁶ and the update rule
+  * preserves that invariant (Σr' ≤ |V|·scale·(100−d)/100 +
+  * d/100·Σcontrib ≤ |V|·scale), so even a star graph concentrating the
+  * ENTIRE mass on one node keeps the damping product
+  * `99 · 9·10¹⁶ = 8.91·10¹⁸` under 2⁶³−1 ≈ 9.22·10¹⁸ for every
+  * dampingPct ≤ 99; past the 10⁴ scale floor the bound would lapse,
+  * so larger graphs are refused rather than silently wrapped.
   */
 object Graph {
 
@@ -66,11 +70,13 @@ object Graph {
     val n = nodes.count()
     require(n > 0, "pageRank: empty edge list")
     // the overflow-impossibility argument (total mass ≤ |V|·scale ≤
-    // 10¹⁷) needs scale = 10¹⁷ DIV |V|; past 10¹³ nodes the 10⁴ floor
-    // would take over and the bound no longer holds — refuse loudly
-    require(n <= 10000000000000L,
-      s"pageRank: $n nodes exceeds the 10^13 overflow-safety ceiling")
-    val scale = math.max(10000L, 100000000000000000L / n)
+    // 9·10¹⁶, so 99·mass < 2⁶³ even if a star graph lands it all on
+    // one node) needs scale = 9·10¹⁶ DIV |V|; past 9·10¹² nodes the
+    // 10⁴ floor would take over and the bound no longer holds — refuse
+    // loudly
+    require(n <= 9000000000000L,
+      s"pageRank: $n nodes exceeds the 9*10^12 overflow-safety ceiling")
+    val scale = math.max(10000L, 90000000000000000L / n)
     val base = scale * (100 - dampingPct) / 100
     val ew = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .localCheckpoint(true)

@@ -193,4 +193,26 @@ class CoreSpec extends SparkSpec {
       graft.core.Stats.robustOutliers(df, "key", "v", k = 0.0)
     }
   }
+
+  test("robustOutliers: a NULL group key is a group like any other — " +
+      "rows keep flowing with their own median/MAD") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // null-key group 1,2,3,4,100 (same hand vector as above) next to a
+    // keyed group; a plain equi-join pipeline would silently drop the
+    // five null-key rows
+    val df = Seq((1L, "x", 1.0), (2L, "x", 2.0), (3L, "x", 3.0),
+      (4L, "x", 4.0), (5L, "x", 100.0), (6L, "a", 7.0))
+      .toDF("id", "key", "v")
+      .withColumn("key", when(col("key") === "x", lit(null)).otherwise(col("key")))
+    val out = graft.core.Stats.robustOutliers(df, "key", "v", k = 3.0)
+      .select("id", "med", "mad", "is_outlier")
+      .as[(Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L),
+      s"null-key rows vanished: ${out.keySet}")
+    assert(out(1L) == ((3.0, 1.0, false)), out(1L).toString)
+    assert(out(5L) == ((3.0, 1.0, true)), out(5L).toString)
+    assert(out(6L) == ((7.0, 0.0, false)), out(6L).toString)
+  }
 }

@@ -73,6 +73,24 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("pageRank: dampingPct=99 star graph stays inside 64-bit — the " +
+      "9e16 scale bound holds where 1e17 would have wrapped") {
+    // 15 leaves all pointing at one hub concentrate nearly the whole
+    // mass on a single node; under the old scale = 1e17 DIV |V| the
+    // damping product 99·s wrapped negative for this shape (s ≈
+    // 1e17·15/16 ⇒ 99·s ≈ 9.3e18 > 2^63−1) — with 9e16 the worst case
+    // is 8.91e18 and every rank stays a genuine non-negative mass
+    val star = (1 to 15).map(i => (s"l$i", "hub")).toDF("src", "dst")
+    val r = Graph.pageRank(star, "src", "dst", iters = 6, dampingPct = 99)
+      .as[(String, Long)].collect().toMap
+    assert(r.values.forall(_ >= 0), s"wrapped rank: $r")
+    val n = r.size
+    val scale = math.max(10000L, 90000000000000000L / n)
+    assert(r.values.map(BigInt(_)).sum <= BigInt(scale) * n,
+      s"mass invariant violated: $r")
+    assert(r("hub") > r("l1"), s"hub must dominate: $r")
+  }
+
   test("labelPropagation: majority wins, ties take the smallest label, " +
       "seeds stay pinned, unreachable nodes stay NULL") {
     // votes into t: two X (a1, a2), one Y (b) → X; votes into u: one X,
