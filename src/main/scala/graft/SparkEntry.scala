@@ -998,6 +998,28 @@ object SparkEntry {
         .withColumnRenamed("rank", "rk")
     }),
 
+    "ann_ivf_incremental" -> ((s, dir) => {
+      // the train-once/serve-many VectorIndex path end-to-end: geometry
+      // trained on the first slice, a second disjoint slice added with
+      // extendVectorIndex (fixed geometry, map-only encode), then IVF
+      // serving for a QUERY slice disjoint from the whole index — the
+      // text_bm25_incremental pattern for the ANN family. The twin
+      // recomputes over the union slice directly, proving
+      // build+extend+serve ≡ a one-shot IVF of the union.
+      // the index covers EVERYTHING except the held-out query slice, so
+      // it keeps growing with the corpus (the scale probe's subject);
+      // the geometry (first-16 ids) sits in the build slice
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.buildVectorIndex(emb.filter(col("vec_id") < 200))
+      val full = Similarity.extendVectorIndex(idx,
+        emb.filter(col("vec_id") >= 200 &&
+          (col("vec_id") < 400 || col("vec_id") >= 410)))
+      Similarity.ivfTopKAgainst(full,
+          emb.filter(col("vec_id") >= 400 && col("vec_id") < 410),
+          k = 10, nprobe = 4)
+        .withColumnRenamed("rank", "rk")
+    }),
+
     "emb_cluster_profile" -> ((s, dir) =>
       // semantic domain-balance report: population + integer-exact
       // cohesion stats per nearest-centroid cell (deterministic first-16
@@ -2807,6 +2829,37 @@ object SparkEntry {
          |      ORDER BY ${cosSql("a.v", "ce.cv")} DESC, ce.centroid_id) AS rn
          |  FROM c a CROSS JOIN cents ce) t WHERE rn = 1),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+         |probes AS (SELECT query_id, centroid_id FROM (
+         |  SELECT q.query_id, ce.centroid_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${cosSql("q.qv", "ce.cv")} DESC, ce.centroid_id) AS rn
+         |  FROM q CROSS JOIN cents ce) t WHERE rn <= 4),
+         |s AS (SELECT p.query_id, a.corpus_id, ${cosSql("cv2.v", "q2.qv")} AS sim
+         |      FROM asg a JOIN probes p USING (centroid_id)
+         |      JOIN q q2 ON q2.query_id = p.query_id
+         |      JOIN c cv2 ON cv2.vec_id = a.corpus_id
+         |      WHERE p.query_id <> a.corpus_id)
+         |SELECT query_id, rk, corpus_id, round(sim, 6) AS sim FROM (
+         |  SELECT query_id, corpus_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, corpus_id) AS rk FROM s) t
+         |WHERE rk <= 10""".stripMargin,
+
+    // ann_ivf_topk's twin over the INDEX slice (vec_id < 400) with a
+    // disjoint query slice — the engine side goes build → extend →
+    // serve, so the hash match proves the incremental index equals a
+    // one-shot rebuild of the union
+    "ann_ivf_incremental" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings WHERE vec_id < 400 OR vec_id >= 410),
+         |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM c ORDER BY vec_id LIMIT 16),
+         |asg AS (SELECT corpus_id, centroid_id FROM (
+         |  SELECT a.vec_id AS corpus_id, ce.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${cosSql("a.v", "ce.cv")} DESC, ce.centroid_id) AS rn
+         |  FROM c a CROSS JOIN cents ce) t WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |      FROM embeddings WHERE vec_id >= 400 AND vec_id < 410),
          |probes AS (SELECT query_id, centroid_id FROM (
          |  SELECT q.query_id, ce.centroid_id,
          |    row_number() OVER (PARTITION BY q.query_id

@@ -886,6 +886,211 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  // ---------------------------------------------------- VectorIndex
+  /** A materialized ANN index: the three frames [[buildVectorIndex]]
+    * trains and [[ivfTopKAgainst]]/[[ivfPqTopKAgainst]] serve — the
+    * train-once/serve-many form of the ANN family, mirroring
+    * [[graft.llm.Retrieval.Bm25Index]] exactly. Each member is a plain
+    * DataFrame so the index persists as parquet (vectors bucketed by
+    * `cell` is the 100 TB layout — a probe then prunes to nprobe/nlist
+    * of the files) and reloads for serving with ZERO training work:
+    * per-call Lloyd + codebook training is the bulk of a one-shot
+    * `ivfPqTopK`'s cost and the wrong steady state when the corpus is
+    * indexed once and queried forever.
+    *
+    *   - `centroids`: (cell LONG 0..nlist−1, centroid ARRAY<DOUBLE>) —
+    *     the coarse quantizer, re-idd in ascending source order (a
+    *     MONOTONE re-map of the one-shot ops' centroid ids, so every
+    *     id tie-break resolves identically).
+    *   - `codebooks`: (sub INT, centroid_id LONG, centroid
+    *     ARRAY<DOUBLE>) — the PQ sub-codebooks ([[pqTrain]] layout).
+    *   - `vectors`: (corpus_id, cell, pq_cell, codes ARRAY<BIGINT>,
+    *     cv ARRAY<DOUBLE>) — one row per indexed vector: `cell` is the
+    *     cosine coarse assignment ([[ivfTopK]] semantics), `pq_cell`
+    *     the L2 coarse assignment ([[ivfPqTopK]] semantics — both are
+    *     computed in the same map-only encode pass, so carrying both
+    *     costs one long per row), `codes` the PQ codes, and `cv` the
+    *     raw vector (the inverted-list payload exact re-ranking needs;
+    *     drop it externally if only ADC-approximate serving is
+    *     wanted). */
+  final case class VectorIndex(centroids: DataFrame, codebooks: DataFrame,
+                               vectors: DataFrame)
+
+  /** Train a [[VectorIndex]]: coarse centroids (first-N deterministic
+    * quantizer at `trainIters` = 0 — the oracle mode — or Lloyd-refined
+    * past it), PQ codebooks ([[pqTrain]] machinery, shared
+    * determinism), then ONE map-only encode pass computing cell,
+    * pq_cell and codes per vector against the driver-constant geometry
+    * (the [[pqEncode]] discipline — the corpus is scanned once and
+    * never shuffled). Serving parity: [[ivfTopKAgainst]] over this
+    * index ≡ [[ivfTopK]] of the same corpus at matching (nlist,
+    * nprobe, trainIters), and [[ivfPqTopKAgainst]] ≡ [[ivfPqTopK]] at
+    * matching params with `trainIters` = 0 (the one-shot IVF-PQ always
+    * uses the first-N coarse quantizer). At 100 TB, pass a hash-sample
+    * as `trainOn` to fit the geometry and the full corpus as `corpus`
+    * — training converges on a sample; encoding is map-only either
+    * way. */
+  def buildVectorIndex(corpus: DataFrame, nlist: Int = 16, m: Int = 8,
+                       codebookSize: Int = 16, iters: Int = 3,
+                       trainIters: Int = 0,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       trainOn: DataFrame = null): VectorIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val train = Option(trainOn).getOrElse(corpus)
+    val centsRaw = if (trainIters > 0)
+      trainCentroids(train, nlist, trainIters, idCol, vecCol)
+    else centroids(train, nlist, idCol, vecCol)
+    val centArr: Array[(Long, Seq[Double])] = centsRaw
+      .select(col("centroid_id").cast("long"), asDouble(col("centroid")))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    require(centArr.nonEmpty, "buildVectorIndex: empty training corpus")
+    val (_, books) = pqTrainArrays(train, m, codebookSize, iters, idCol, vecCol)
+    VectorIndex(
+      centArr.toSeq.toDF("cell", "centroid"),
+      books.toSeq.toDF("sub", "centroid_id", "centroid"),
+      encodeIntoIndex(corpus, centArr, books, idCol, vecCol))
+  }
+
+  /** The shared map-only encode pass: cell (cosine coarse), pq_cell
+    * (L2 coarse — the [[ivfPqTopK]] assignment), codes — all three
+    * from baked driver-constant kernels, zero shuffle. */
+  private def encodeIntoIndex(corpus: DataFrame,
+                              centArr: Array[(Long, Seq[Double])],
+                              books: Array[(Int, Long, Seq[Double])],
+                              idCol: String, vecCol: String): DataFrame = {
+    val ge = graft.expressions.GraftExpressions
+    val coarseBooks = centArr.map { case (cid, v) => (0, cid, v) }.toSeq
+    corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
+      .select(col("corpus_id"),
+        ge.nearestCentroid(col("cv"), centArr.toSeq, "cosine").as("cell"),
+        ge.pqAssign(col("cv"), coarseBooks).getItem(0).as("pq_cell"),
+        ge.pqAssign(col("cv"), books.toSeq).as("codes"),
+        col("cv"))
+  }
+
+  /** Encode a NEW batch with an existing index's geometry and add it —
+    * incremental index MAINTENANCE, the ANN sibling of
+    * [[graft.llm.Retrieval.mergeBm25Indexes]]: yesterday's index plus
+    * today's batch equals one index over the union, with the geometry
+    * (centroids + codebooks) FIXED — so the result is bit-identical to
+    * [[buildVectorIndex]] of the union whenever the union's training
+    * prefix equals the original's (e.g. first-N ids sit in the original
+    * slice), and a valid same-geometry index regardless. The encode is
+    * the same map-only pass as the build (geometry collected
+    * driver-side — nlist·dim + m·k·w doubles, KB at any scale).
+    *
+    * CONTRACT: batches must cover DISJOINT corpus-id sets (each vector
+    * indexed once) — the caller's invariant, as with BM25 parts. */
+  def extendVectorIndex(index: VectorIndex, batch: DataFrame,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): VectorIndex = {
+    val spark = index.vectors.sparkSession
+    import spark.implicits._
+    val centArr = index.centroids
+      .select(col("cell").cast("long"), asDouble(col("centroid")))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val books = index.codebooks
+      .select(col("sub").cast("int"), col("centroid_id").cast("long"),
+        asDouble(col("centroid")))
+      .as[(Int, Long, Seq[Double])].collect()
+    VectorIndex(index.centroids, index.codebooks,
+      index.vectors.unionByName(
+        encodeIntoIndex(batch, centArr, books, idCol, vecCol)))
+  }
+
+  /** Merge same-geometry [[VectorIndex]] parts (disjoint corpus-id
+    * slices, each encoded against IDENTICAL centroids + codebooks —
+    * e.g. via [[extendVectorIndex]] or per-batch
+    * [[buildVectorIndex]] with a shared `trainOn`): vectors union;
+    * geometry is taken from the head. Same caller-invariant stance as
+    * [[graft.llm.Retrieval.mergeBm25Indexes]] — differing geometries
+    * are not detectable without joining the centroid tables, so they
+    * are the caller's contract, not a runtime scan. */
+  def mergeVectorIndexes(parts: Seq[VectorIndex]): VectorIndex = {
+    require(parts.nonEmpty, "mergeVectorIndexes needs at least one part")
+    VectorIndex(parts.head.centroids, parts.head.codebooks,
+      parts.map(_.vectors).reduce(_ unionByName _))
+  }
+
+  /** IVF top-k against a pre-built (possibly parquet-reloaded)
+    * [[VectorIndex]] — the serving path: queries probe their `nprobe`
+    * nearest centroids by cosine (nlist broadcast rows), then exact
+    * cosine ONLY within probed cells, map-side rank-pruned top-k.
+    * Semantics and output exactly as [[ivfTopK]] — which this
+    * reproduces bit-for-bit over `buildVectorIndex` of the same corpus
+    * (monotone cell re-map preserves every tie-break) — but with zero
+    * training or assignment work in the serving plan. */
+  def ivfTopKAgainst(index: VectorIndex, queries: DataFrame, k: Int,
+                     nprobe: Int = 4, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val qprobe = q.crossJoin(broadcast(index.centroids))
+      .select(col("query_id"), col("qv"), col("cell"),
+        cosine(col("qv"), col("centroid")).as("csim"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cell"))
+    val probes = qprobe.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe).select("query_id", "qv", "cell")
+    val scored = index.vectors.join(probes, Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("cv"), col("qv")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** IVF-PQ top-k against a pre-built [[VectorIndex]] — the serving
+    * path of [[ivfPqTopK]]: probe `nprobe` nearest L2 coarse cells,
+    * ADC-score only vectors in those cells against broadcast per-query
+    * lookup tables, keep `rerank·k` candidates, re-score those exactly
+    * by cosine (sims exact; the index only prunes). Bit-identical to
+    * the one-shot [[ivfPqTopK]] over an index built with matching
+    * params and `trainIters` = 0, with zero training stages in the
+    * serving plan. */
+  def ivfPqTopKAgainst(index: VectorIndex, queries: DataFrame, k: Int,
+                       nprobe: Int = 4, rerank: Int = 4,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val spark = index.vectors.sparkSession
+    import spark.implicits._
+    val ge = graft.expressions.GraftExpressions
+    val books = index.codebooks
+      .select(col("sub").cast("int"), col("centroid_id").cast("long"),
+        asDouble(col("centroid")))
+      .as[(Int, Long, Seq[Double])].collect()
+    require(books.nonEmpty, "ivfPqTopKAgainst: empty codebooks")
+    val m = books.map(_._1).max + 1
+    val w = books.head._3.size
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("d2").asc, col("cell"))
+    val probes = q.crossJoin(broadcast(index.centroids))
+      .select(col("query_id"), col("cell"),
+        ge.l2DistanceSq(col("qv"), col("centroid")).as("d2"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cell").as("pq_cell"))
+    val luts = adcLuts(q, index.codebooks, m, w)
+    val approx = index.vectors
+      .join(broadcast(probes), Seq("pq_cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(luts), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "corpus_id")
+      .agg(sum("part").as("approx_dot"))
+    exactRerank(topApprox(approx, k, rerank), index.vectors, q, k,
+      "corpus_id", "cv")
+  }
+
   def hyperplaneSignature(vec: Column, nPlanes: Int = 16, table: Int = 0): Column = {
     val planes = (0 until nPlanes).map { p =>
       val proj = aggregate(

@@ -123,6 +123,10 @@ object ExplainAudit extends App {
       // ANN recall gate: brute + IVF subtrees + |queries|·k-bounded
       // metrics joins
       "ann_recall",
+      // VectorIndex serving: build+extend encodes are map-only baked
+      // kernels; the serving subtree is probe-join + windowed top-k
+      // with zero training stages
+      "ann_ivf_incremental",
       // retention: activity collapses to (user, period) BEFORE any join;
       // the cell rollup's domain is periods², calendar-bounded
       "ev_retention",

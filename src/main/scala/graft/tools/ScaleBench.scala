@@ -182,6 +182,9 @@ object ScaleBench {
     // ANN recall gate: the brute + IVF scan costs dominate (queries
     // fixed at copy-0 ids), metrics joins are |queries|·k-bounded
     "ann_recall",
+    // VectorIndex build+extend+serve: map-only encodes + probe-pruned
+    // serving — expect ~linear wall in corpus vectors
+    "ann_ivf_incremental",
     // retention: two user rollups + a user join + a calendar-bounded
     // cell rollup — expect ~linear wall in events
     "ev_retention",

@@ -544,6 +544,64 @@ class SimilaritySpec extends SparkSpec {
     assert(served.exceptAll(direct).isEmpty && direct.exceptAll(served).isEmpty)
   }
 
+  test("VectorIndex: ivfTopKAgainst / ivfPqTopKAgainst reproduce the " +
+      "one-shot ops bit-for-bit through a parquet round-trip") {
+    val q = emb.filter(col("vec_id") < 5)
+    val idx = Similarity.buildVectorIndex(emb, nlist = 16, m = 8,
+      codebookSize = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-vidx").toString
+    idx.centroids.write.parquet(s"$dir/centroids")
+    idx.codebooks.write.parquet(s"$dir/codebooks")
+    idx.vectors.write.parquet(s"$dir/vectors")
+    // the reloaded index serves with ZERO training work — the frames
+    // below never touch `emb` again
+    val re = Similarity.VectorIndex(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebooks"),
+      spark.read.parquet(s"$dir/vectors"))
+    val ivfDirect = Similarity.ivfTopK(emb, q, k = 10, nlist = 16, nprobe = 4)
+    val ivfServed = Similarity.ivfTopKAgainst(re, q, k = 10, nprobe = 4)
+    assert(ivfServed.exceptAll(ivfDirect).isEmpty &&
+      ivfDirect.exceptAll(ivfServed).isEmpty, "IVF serving parity broken")
+    val pqDirect = Similarity.ivfPqTopK(emb, q, k = 10, nlist = 16,
+      nprobe = 8, m = 8, codebookSize = 16, rerank = 8)
+    val pqServed = Similarity.ivfPqTopKAgainst(re, q, k = 10, nprobe = 8,
+      rerank = 8)
+    assert(pqServed.exceptAll(pqDirect).isEmpty &&
+      pqDirect.exceptAll(pqServed).isEmpty, "IVF-PQ serving parity broken")
+  }
+
+  test("VectorIndex: extendVectorIndex and mergeVectorIndexes equal a " +
+      "fresh build over the union when the training prefix is shared") {
+    // first-16 ids (the whole geometry at trainIters=0) live in slice a,
+    // so extending a's index with b is bit-identical to rebuilding on
+    // the union — the incremental-maintenance contract
+    val a = emb.filter(col("vec_id") < 300)
+    val b = emb.filter(col("vec_id") >= 300)
+    val q = emb.filter(col("vec_id") < 5)
+    val idxA = Similarity.buildVectorIndex(a)
+    val ext = Similarity.extendVectorIndex(idxA, b)
+    val full = Similarity.buildVectorIndex(emb)
+    val sFull = Similarity.ivfTopKAgainst(full, q, k = 10)
+    val sExt = Similarity.ivfTopKAgainst(ext, q, k = 10)
+    assert(sExt.exceptAll(sFull).isEmpty && sFull.exceptAll(sExt).isEmpty,
+      "extended index diverges from the union rebuild")
+    // merge of disjoint same-geometry parts ≡ extend; IVF-PQ path
+    val partB = Similarity.extendVectorIndex(
+      Similarity.VectorIndex(idxA.centroids, idxA.codebooks,
+        idxA.vectors.limit(0)), b)
+    val merged = Similarity.mergeVectorIndexes(Seq(idxA, partB))
+    val mPq = Similarity.ivfPqTopKAgainst(merged, q, k = 10, nprobe = 8,
+      rerank = 8)
+    val ePq = Similarity.ivfPqTopKAgainst(ext, q, k = 10, nprobe = 8,
+      rerank = 8)
+    assert(mPq.exceptAll(ePq).isEmpty && ePq.exceptAll(mPq).isEmpty,
+      "merged parts diverge from the extended index")
+    intercept[IllegalArgumentException] {
+      Similarity.mergeVectorIndexes(Seq.empty)
+    }
+  }
+
   test("clusterProfile: populations sum to the corpus, cohesion stats are sane") {
     val prof = Similarity.clusterProfile(emb, nClusters = 8).cache()
     val rows = prof.collect()
