@@ -78,15 +78,21 @@ object AlephSync {
                     uploadParallelism: Int = 10): AlephSyncStatus = {
     import spark.implicits._
     val versions = DocumentsStore.versions(spark, metaRoot)
-    val doneVersions = Ledger.read(spark, ledgerPath)
-      .filter(col("dataset") === dataset && col("action") === VersionAction)
-      .select("task_key").as[String].collect().toSet
+    // which versions still need replay: the Ledger.pending ANTI-JOIN,
+    // not a driver-resident done-set — the ledger's version history
+    // grows without bound while the pending remainder is exactly the
+    // work this run must drive from the driver anyway
+    val pendingVersions: Set[String] =
+      if (versions.isEmpty) Set.empty
+      else Ledger.pending(versions.toDF("key"),
+          Ledger.read(spark, ledgerPath), dataset, VersionAction)
+        .select("key").as[String].collect().toSet
 
     var replayed = 0L
     var uploadedTotal = 0L
     var foldersTotal = 0L
     versions.zipWithIndex.foreach { case (version, ix) =>
-      if (!doneVersions.contains(version)) {
+      if (pendingVersions.contains(version)) {
         val prev =
           if (ix == 0)
             DocumentsStore.readCsv(spark, s"$metaRoot/versions/__none__")
@@ -127,12 +133,18 @@ object AlephSync {
     // Depth-ordered ancestor set of every prefixed pending key (J6):
     // pathAncestors of `prefix?/a/b/file` is exactly the folder chain
     // `[prefix, prefix/a, prefix/a/b]`, prefix included.
-    val allFolders = Entities.ancestorFolders(
-        pending.select(prefixed.as("key")))
+    val allFoldersDf = Entities.ancestorFolders(
+      pending.select(prefixed.as("key")))
+    val allFolders = allFoldersDf
       .select("folder").as[String].collect().toSeq
-    val createdBefore = ledger
-      .filter(col("dataset") === dataset && col("action") === FolderAction)
-      .select("task_key").as[String].collect().toSet
+    // which of this batch's folders are NEW: anti-join against the
+    // ledger (Ledger.pending), never a collect of every folder EVER
+    // created — that set grows with the dataset's whole history while
+    // the fresh remainder is bounded by this batch's directory count
+    val freshFolders = Ledger.pending(
+        allFoldersDf.select(col("folder").as("key")), ledger, dataset,
+        FolderAction)
+      .select("key").as[String].collect().toSet
     // Depth-LEVEL batched creation: the external API requires a folder's
     // parent to exist first, but folders at the SAME depth are
     // independent — each level runs with bounded parallelism (≤10,
@@ -160,12 +172,10 @@ object AlephSync {
           }
         }
     } finally pool.shutdown()
-    val newFolders = allFolders.count(!createdBefore.contains(_)).toLong
-    if (allFolders.nonEmpty) {
-      val fresh = allFolders.filterNot(createdBefore.contains)
-      if (fresh.nonEmpty)
-        Ledger.append(fresh.toDF("key"), ledgerPath, dataset, FolderAction)
-    }
+    val newFolders = freshFolders.size.toLong
+    if (freshFolders.nonEmpty)
+      Ledger.append(freshFolders.toSeq.toDF("key"), ledgerPath, dataset,
+        FolderAction)
 
     // Executor-side uploads: metadata columns are the reference's
     // (file_name, foreign_id, source_url coalesce — sync/aleph.py:119-125),

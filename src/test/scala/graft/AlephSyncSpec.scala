@@ -83,6 +83,23 @@ class AlephSyncSpec extends SparkSpec {
     assert(AlephRecorder.uploadCalls.isEmpty)
   }
 
+  test("version/folder memoization plans as a LEFT ANTI join against " +
+      "the ledger — never a driver-resident done-set") {
+    import spark.implicits._
+    // the exact frame syncDocuments/uploadBatch now build: candidates
+    // anti-joined against the ledger slice. A 10^8-row ledger must stay
+    // executor-side; only the pending remainder reaches the driver.
+    val root = java.nio.file.Files.createTempDirectory("aleph-anti").toString
+    graft.pipelines.Ledger.append(Seq("v1").toDF("key"), s"$root/ledger",
+      "ds1", "aleph_version")
+    val ledger = graft.pipelines.Ledger.read(spark, s"$root/ledger")
+    val pending = graft.pipelines.Ledger.pending(
+      Seq("v1", "v2").toDF("key"), ledger, "ds1", "aleph_version")
+    val plan = pending.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftAnti"), s"no anti-join in:\n$plan")
+    assert(pending.as[String].collect().toSeq == Seq("v2"))
+  }
+
   test("folder creation is depth-level parallel: parents first, ≤10 concurrent") {
     AlephRecorder.reset()
     val root = java.nio.file.Files.createTempDirectory("aleph").toString
