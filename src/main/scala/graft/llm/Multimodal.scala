@@ -370,6 +370,185 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  val audioFingerprintSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("afp", LongType, nullable = false),
+    StructField("decode_ok", BooleanType, nullable = false)))
+
+  /** 64-bit perceptual audio fingerprint — the audio analog of
+    * [[imageHashes]] (chromaprint's time×frequency sign shape at
+    * postcard scale): an 8×8 energy grid — 8 temporal windows, Goertzel
+    * band power at 8 log-spaced frequencies (200→3200 Hz) per window,
+    * ≤ 2048 contiguous frames streamed at each window (skip-sampled
+    * forward only — bounded work AND O(1) memory per clip regardless of
+    * length) — thresholded at the grid's global mean power. A
+    * multiplicative gain change scales every power and the mean by g²,
+    * so the sign pattern is GAIN-INVARIANT by construction; re-encodes
+    * and mild noise move few bits; distinct content differs in ~32.
+    * Bytes no JDK reader accepts (mp3/ogg/…) return `decode_ok = false`
+    * with `afp = 0`, so corrupt corpora flow and
+    * [[audioNearDupPairs]] excludes them rather than pairing every
+    * undecodable file with every other at hamming 0. */
+  def audioFingerprints(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes =
+          Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        audioFp64(bytes) match {
+          case Some(fp) => Row(id, fp, true)
+          case None => Row(id, 0L, false)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, audioFingerprintSchema)
+  }
+
+  /** Audio near-duplicate candidate pairs within `maxHamming`
+    * fingerprint bits — the audio member of the dedup family
+    * (re-encoded uploads, gain-normalized copies). Pairing is
+    * [[Dedup.simhashNearPairs]]' 4×16-bit chunk banding: pigeonhole-
+    * complete for hamming ≤ 3 and NEVER all-pairs — join work is band
+    * collision volume, not |clips|². Undecodable rows are excluded
+    * (see [[audioFingerprints]]). */
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.simhashNearPairs(
+      audioFingerprints(media).filter(col("decode_ok"))
+        .select(col("media_id").as("id"), col("afp").as("simhash")),
+      maxHamming)
+
+  /** [[audioFingerprints]] kernel: streaming Goertzel band powers over
+    * skip-sampled windows, normalized per-window by count² (EOF-short
+    * tail windows stay comparable), bit i = grid cell i ≥ global mean.
+    * Bands above Nyquist alias deterministically (same bytes → same
+    * bits), which is all a fingerprint needs. */
+  private def audioFp64(bytes: Array[Byte]): Option[Long] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val base = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = base.getFormat
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, fmt.getChannels,
+          2 * fmt.getChannels, fmt.getSampleRate, false)
+        val pcm = if (fmt.matches(target)) base
+          else AudioSystem.getAudioInputStream(target, base)
+        val ch = target.getChannels
+        val frameSize = target.getFrameSize
+        val rate = target.getSampleRate.toDouble
+        val segs = 8
+        val nb = 8
+        val win = 2048
+        val coeffs = Array.tabulate(nb) { b =>
+          val f = 200.0 * math.pow(2.0, 4.0 * b / 7.0)
+          2.0 * math.cos(2.0 * math.Pi * f / rate)
+        }
+        val power = Array.ofDim[Double](segs, nb)
+        val buf = new Array[Byte](frameSize)
+        def readFrame(): Boolean = {
+          var off = 0
+          while (off < frameSize) {
+            val k = pcm.read(buf, off, frameSize - off)
+            if (k < 0) return false
+            off += k
+          }
+          true
+        }
+        def sampleValue(): Double = {
+          var c = 0
+          var mean = 0.0
+          while (c < ch) {
+            val lo = buf(2 * c) & 0xFF
+            val hi = buf(2 * c + 1).toInt
+            mean += ((hi << 8) | lo) / 32768.0
+            c += 1
+          }
+          mean / ch
+        }
+        val frames = pcm.getFrameLength
+        val s1 = new Array[Double](nb)
+        val s2 = new Array[Double](nb)
+        var curBytes = 0L
+        var eof = false
+        def runWindow(seg: Int, count: Long): Unit = {
+          java.util.Arrays.fill(s1, 0.0)
+          java.util.Arrays.fill(s2, 0.0)
+          var i = 0L
+          var n = 0L
+          while (i < count && !eof) {
+            if (readFrame()) {
+              curBytes += frameSize
+              val x = sampleValue()
+              var b = 0
+              while (b < nb) {
+                val s = x + coeffs(b) * s1(b) - s2(b)
+                s2(b) = s1(b)
+                s1(b) = s
+                b += 1
+              }
+              n += 1
+            } else eof = true
+            i += 1
+          }
+          if (n > 0) {
+            var b = 0
+            while (b < nb) {
+              power(seg)(b) = (s1(b) * s1(b) + s2(b) * s2(b) -
+                coeffs(b) * s1(b) * s2(b)) / (n.toDouble * n)
+              b += 1
+            }
+          }
+        }
+        if (frames > 0) {
+          // windows centered in equal segments; forward-only skips with
+          // the decodeOneAudio stall-safe discipline (skip() may
+          // legally return 0 before EOF on conversion streams)
+          val segLen = math.max(1L, frames / segs)
+          val winLen = math.min(win.toLong, segLen)
+          var seg = 0
+          while (seg < segs && !eof) {
+            val start = math.min(frames - 1,
+              seg * segLen + (segLen - winLen) / 2)
+            val targetBytes = start * frameSize
+            var stalled = false
+            while (curBytes < targetBytes && !eof) {
+              if (!stalled) {
+                val k = pcm.skip(targetBytes - curBytes)
+                if (k > 0) curBytes += k else stalled = true
+              } else {
+                val want = math.min(frameSize.toLong,
+                  targetBytes - curBytes).toInt
+                val k = pcm.read(buf, 0, want)
+                if (k > 0) { curBytes += k; stalled = false } else eof = true
+              }
+            }
+            if (!eof) runWindow(seg, winLen)
+            seg += 1
+          }
+        } else {
+          // frame count unknown after conversion (rare): first segs·win
+          // frames sequentially — still bounded
+          var seg = 0
+          while (seg < segs && !eof) {
+            runWindow(seg, win.toLong)
+            seg += 1
+          }
+        }
+        val flat = power.flatten
+        val mean = flat.sum / 64.0
+        var bits = 0L
+        var i = 0
+        while (i < 64) {
+          if (flat(i) >= mean) bits |= (1L << i)
+          i += 1
+        }
+        Some(bits)
+      } finally base.close()
+    } catch { case _: Exception => None }
+  }
+
   /** STUB image decode + feature extraction.
     *
     * Production kernel: decode bytes → HxWxC, pool to an embedding. Here the

@@ -375,6 +375,75 @@ class MultimodalSpec extends SparkSpec {
       s"undecodable rows paired: $pairs")
   }
 
+  /** A two-part test clip: `lo` Hz mixture in the first half, `hi` Hz
+    * in the second — time×frequency structure the 8×8 fingerprint grid
+    * can see. Deterministic noise/gain knobs simulate re-encode and
+    * normalization edits. */
+  private def toneClip(loHz: Seq[Double], hiHz: Seq[Double],
+                       gain: Double = 1.0,
+                       noiseAmp: Int = 0): Array[Short] = {
+    val n = 16000 // 2 s at 8 kHz
+    val rate = 8000.0
+    Array.tabulate(n) { i =>
+      val freqs = if (i < n / 2) loHz else hiHz
+      val x = freqs.map(f =>
+        math.sin(2 * math.Pi * f * i / rate) / freqs.size).sum
+      val noise = if (noiseAmp == 0) 0L
+        else (i * 2654435761L) % (2L * noiseAmp + 1) - noiseAmp
+      val v = math.round(x * 12000 * gain) + noise
+      math.max(Short.MinValue, math.min(Short.MaxValue, v)).toShort
+    }
+  }
+
+  test("audioFingerprints: gain- and noise-stable, far for distinct " +
+      "content, decode_ok=false for undecodable bytes") {
+    val orig = toneClip(Seq(330.0, 990.0), Seq(2200.0))
+    val rows = Seq(
+      (1L, wavBytes(orig)),
+      (2L, wavBytes(toneClip(Seq(330.0, 990.0), Seq(2200.0), gain = 0.5))),
+      (3L, wavBytes(toneClip(Seq(330.0, 990.0), Seq(2200.0), noiseAmp = 120))),
+      (4L, wavBytes(toneClip(Seq(2200.0), Seq(330.0)))), // structure flipped
+      (5L, "definitely not audio".getBytes("UTF-8")))
+    val mm = Multimodal.asMedia(rows.toDF("id", "bin"),
+      "id", "bin", "audio", "audio/wav")
+    val fp = Multimodal.audioFingerprints(mm).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(fp(5L) == ((0L, false)), s"junk bytes decoded: ${fp(5L)}")
+    assert((1L to 4L).forall(fp(_)._2))
+    // gain scales every grid power AND the mean by g² → sign-invariant
+    assert(ham(fp(1L)._1, fp(2L)._1) <= 3,
+      s"gain change moved ${ham(fp(1L)._1, fp(2L)._1)} bits")
+    assert(ham(fp(1L)._1, fp(3L)._1) <= 3,
+      s"noise moved ${ham(fp(1L)._1, fp(3L)._1)} bits")
+    assert(ham(fp(1L)._1, fp(4L)._1) >= 16,
+      s"distinct content only ${ham(fp(1L)._1, fp(4L)._1)} bits apart")
+    // determinism across runs
+    val fp2 = Multimodal.audioFingerprints(mm).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp.map { case (k, v) => k -> v._1 } == fp2)
+  }
+
+  test("audioNearDupPairs finds planted perceptual dups, excludes " +
+      "undecodable rows, never pairs distinct content") {
+    val rows = Seq(
+      (1L, wavBytes(toneClip(Seq(330.0, 990.0), Seq(2200.0)))),
+      (2L, wavBytes(toneClip(Seq(330.0, 990.0), Seq(2200.0), gain = 0.6,
+        noiseAmp = 80))), // re-encoded + renormalized copy of 1
+      (3L, wavBytes(toneClip(Seq(2200.0), Seq(330.0)))), // unrelated
+      (4L, "junk a".getBytes("UTF-8")), // would all collide at afp=0
+      (5L, "junk b".getBytes("UTF-8")))
+    val mm = Multimodal.asMedia(rows.toDF("id", "bin"),
+      "id", "bin", "audio", "audio/wav")
+    val pairs = Multimodal.audioNearDupPairs(mm, maxHamming = 3)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"missed planted near-dup: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated clip paired: $pairs")
+    assert(!pairs.exists(p => p._1 >= 4L || p._2 >= 4L),
+      s"undecodable rows paired: $pairs")
+  }
+
   test("imageHashes on the real fixture corpus: deterministic, " +
       "re-encode-stable") {
     val bytes = fixtureImages.map { case (p, _, _) =>
