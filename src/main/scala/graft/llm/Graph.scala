@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Link-graph centrality for corpus curation. Web-scale training
   * pipelines weight documents by the quality of their source in the
@@ -55,9 +56,24 @@ object Graph {
     * the rank lineage every k iterations for deep runs. A sizing
     * `count()` runs eagerly to fix the scale (the Similarity
     * auto-cluster precedent). */
+  /** WARM START (`ranks0`): pass a previous [[pageRank]] output
+    * (node, rank_scaled) to seed iteration 1 from it instead of the
+    * uniform `scale` — the maintainable form for a GROWING crawl
+    * graph: `warm(coldRun(j), k)` ≡ `coldRun(j + k)` exactly on an
+    * unchanged graph (so a converged state is a fixed point), and on a
+    * grown graph the converged old ranks skip most of the cold
+    * iterations. Nodes absent from `ranks0` seed at `scale` (the cold
+    * value); duplicate warm rows collapse deterministically to min;
+    * negative warm ranks are refused loudly. Because a grown graph
+    * SHRINKS the internal scale, the combined seed mass can exceed the
+    * |V|·scale overflow budget — when it does, every seed is rescaled
+    * by the exact DECIMAL factor (|V|·scale)/Σ (floor, monotone — the
+    * relative ordering warm-starting preserves is untouched), restoring
+    * the mass invariant the overflow-impossibility argument needs. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 10, dampingPct: Int = 85,
-               checkpointInterval: Int = 10): DataFrame = {
+               checkpointInterval: Int = 10,
+               ranks0: DataFrame = null): DataFrame = {
     require(iters >= 1 && iters <= 100, s"iters=$iters outside [1, 100]")
     require(dampingPct >= 1 && dampingPct <= 99,
       s"dampingPct=$dampingPct outside [1, 99]")
@@ -80,7 +96,32 @@ object Graph {
     val base = scale * (100 - dampingPct) / 100
     val ew = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .localCheckpoint(true)
-    var ranks = nodes.withColumn("rank_scaled", lit(scale))
+    var ranks =
+      if (ranks0 == null) nodes.withColumn("rank_scaled", lit(scale))
+      else {
+        val warm = ranks0.select(col("node").cast("string").as("node"),
+            col("rank_scaled").cast("long").as("__warm"))
+          .groupBy("node").agg(min("__warm").as("__warm"))
+        val seeded = nodes.join(warm, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__warm"), lit(scale)).as("rank_scaled"))
+        // one bounded aggregate decides the mass clamp; its min doubles
+        // as the non-negativity gate (a negative warm rank is corrupt
+        // input, not a mass to propagate)
+        val chk = seeded.agg(
+          sum(col("rank_scaled").cast(DecimalType(38, 0))).as("t"),
+          min("rank_scaled").as("mn")).collect()(0)
+        require(chk.getLong(1) >= 0L,
+          s"pageRank: ranks0 contains a negative rank (${chk.getLong(1)})")
+        val total = BigDecimal(chk.getDecimal(0))
+        val cap = BigDecimal(scale) * BigDecimal(n)
+        if (total <= cap) seeded
+        else seeded.withColumn("rank_scaled",
+          floor(col("rank_scaled").cast(DecimalType(38, 0)) *
+            lit(cap.toBigInt.toString).cast(DecimalType(38, 0)) /
+            lit(total.toBigInt.toString).cast(DecimalType(38, 0)))
+            .cast("long"))
+      }
     for (i <- 1 to iters) {
       val contrib = ranks.join(ew, col("node") === col("src"))
         .select(col("dst"), expr("rank_scaled DIV outdeg").as("c"))
@@ -113,11 +154,19 @@ object Graph {
     * ≤ |label domain| rows AFTER aggregation (bounded — never raw
     * votes), then a node-keyed join pinning seeds. Output:
     * (node STRING, label STRING nullable). */
+  /** WARM START (`labels0`): pass a previous [[labelPropagation]]
+    * output (node, label) to seed round 1 from it instead of the bare
+    * seed set — `warm(coldRun(j), k)` ≡ `coldRun(j + k)` exactly on an
+    * unchanged graph (seeds stay pinned and always win over a
+    * conflicting warm label; nodes absent from `labels0` start NULL as
+    * in a cold run), so a converged labeling is a fixed point and a
+    * grown graph re-labels incrementally instead of from scratch. */
   def labelPropagation(edges: DataFrame, seeds: DataFrame,
                        srcCol: String = "src", dstCol: String = "dst",
                        nodeCol: String = "node", labelCol: String = "label",
                        iters: Int = 5,
-                       checkpointInterval: Int = 10): DataFrame = {
+                       checkpointInterval: Int = 10,
+                       labels0: DataFrame = null): DataFrame = {
     require(iters >= 1 && iters <= 100, s"iters=$iters outside [1, 100]")
     val e = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst")).distinct()
@@ -139,7 +188,19 @@ object Graph {
     val base = nodes.join(sd, Seq("node"), "left").localCheckpoint(true)
     val w = Window.partitionBy("dst")
       .orderBy(col("cnt").desc, col("label"))
-    var labels = base.select(col("node"), col("seed_label").as("label"))
+    var labels =
+      if (labels0 == null) base.select(col("node"), col("seed_label").as("label"))
+      else {
+        // duplicate warm rows collapse to min (the seed rule); seeds
+        // pinned over warm labels via coalesce order
+        val warm = labels0.select(col("node").cast("string").as("node"),
+            col("label").cast("string").as("__warm"))
+          .filter(col("__warm").isNotNull)
+          .groupBy("node").agg(min("__warm").as("__warm"))
+        base.join(warm, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("seed_label"), col("__warm")).as("label"))
+      }
     for (i <- 1 to iters) {
       // the vote aggregate keeps its own (dst, label) exchange so the
       // raw vote stream map-side combines; the argmax window's input is

@@ -91,6 +91,71 @@ class GraphSpec extends SparkSpec {
     assert(r("hub") > r("l1"), s"hub must dominate: $r")
   }
 
+  test("pageRank warm start: warm(cold(j), k) ≡ cold(j+k); a converged " +
+      "state is a fixed point; grown graphs clamp mass and stay ordered") {
+    val e = Seq("a" -> "b", "b" -> "c", "c" -> "a",
+      "b" -> "a", "c" -> "b", "a" -> "c").toDF("src", "dst")
+    // continuation: 4 cold iterations then 3 warm ≡ 7 cold
+    val cold4 = Graph.pageRank(e, "src", "dst", iters = 4)
+    val warm7 = Graph.pageRank(e, "src", "dst", iters = 3, ranks0 = cold4)
+      .as[(String, Long)].collect().toMap
+    val cold7 = Graph.pageRank(e, "src", "dst", iters = 7)
+      .as[(String, Long)].collect().toMap
+    assert(warm7 == cold7, s"$warm7 vs $cold7")
+    // fixed point: the integer update converges exactly on this graph
+    val c40 = Graph.pageRank(e, "src", "dst", iters = 40)
+    val c41 = Graph.pageRank(e, "src", "dst", iters = 41)
+      .as[(String, Long)].collect().toMap
+    val m40 = c40.as[(String, Long)].collect().toMap
+    assert(m40 == c41, "40 iterations did not reach the integer fixed point")
+    val warmFix = Graph.pageRank(e, "src", "dst", iters = 1, ranks0 = c40)
+      .as[(String, Long)].collect().toMap
+    assert(warmFix == m40, s"converged state is not a fixed point: $warmFix")
+
+    // grown graph: scale halves (3 → 6 nodes), so converged old mass +
+    // new-node seeds exceed |V|·scale → the DECIMAL clamp must fire,
+    // keep everything non-negative, and preserve the warm ordering
+    val grown = e.union(Seq("d" -> "e", "e" -> "f", "f" -> "d",
+      "a" -> "d").toDF("src", "dst"))
+    val warmGrown = Graph.pageRank(grown, "src", "dst", iters = 2,
+      ranks0 = c40).as[(String, Long)].collect().toMap
+    assert(warmGrown.size == 6 && warmGrown.values.forall(_ >= 0),
+      s"grown warm start broke: $warmGrown")
+    val scale6 = 90000000000000000L / 6
+    assert(warmGrown.values.map(BigInt(_)).sum <= BigInt(scale6) * 6,
+      s"mass invariant violated after clamp: $warmGrown")
+
+    // corrupt warm input is refused loudly
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(e, "src", "dst", iters = 1,
+        ranks0 = Seq(("a", -5L)).toDF("node", "rank_scaled"))
+    }
+  }
+
+  test("labelPropagation warm start: warm(cold(j), k) ≡ cold(j+k); " +
+      "seeds stay pinned over conflicting warm labels") {
+    // chain s → m1 → m2 → m3: the seed label takes one extra hop per
+    // round, so intermediate states genuinely differ per iteration
+    val e = Seq("s" -> "m1", "m1" -> "m2", "m2" -> "m3").toDF("src", "dst")
+    val seeds = Seq(("s", "X")).toDF("node", "label")
+    val cold1 = Graph.labelPropagation(e, seeds, iters = 1)
+    val warm3 = Graph.labelPropagation(e, seeds, iters = 2, labels0 = cold1)
+      .as[(String, Option[String])].collect().toMap
+    val cold3 = Graph.labelPropagation(e, seeds, iters = 3)
+      .as[(String, Option[String])].collect().toMap
+    assert(warm3 == cold3, s"$warm3 vs $cold3")
+    // converged labeling is a fixed point
+    val c4 = Graph.labelPropagation(e, seeds, iters = 4)
+    val warmFix = Graph.labelPropagation(e, seeds, iters = 1, labels0 = c4)
+      .as[(String, Option[String])].collect().toMap
+    assert(warmFix == c4.as[(String, Option[String])].collect().toMap)
+    // a warm label on a seed node never displaces the pinned seed
+    val lying = Seq(("s", "WRONG"), ("m1", "X")).toDF("node", "label")
+    val pinned = Graph.labelPropagation(e, seeds, iters = 1, labels0 = lying)
+      .as[(String, Option[String])].collect().toMap
+    assert(pinned("s").contains("X"), s"seed displaced: $pinned")
+  }
+
   test("labelPropagation: majority wins, ties take the smallest label, " +
       "seeds stay pinned, unreachable nodes stay NULL") {
     // votes into t: two X (a1, a2), one Y (b) → X; votes into u: one X,
