@@ -734,6 +734,15 @@ object SparkEntry {
         steps = Seq("view", "click", "purchase"),
         withinUs = Some(86400000000L))),
 
+    "ev_funnel_calendar" -> ((s, dir) =>
+      // the CALENDAR anchor: conversion must land in the entry's
+      // calendar week (Monday-anchored date_trunc equality — the
+      // ev_retention bucketing), not within an entry-relative duration
+      graft.operators.Funnel.funnel(t(s, dir, "events"),
+        "user_id", "event_type", "ts",
+        steps = Seq("view", "click", "purchase"),
+        withinPeriod = Some("week"))),
+
     "ev_anomaly" -> ((s, dir) =>
       // robust per-type outlier screen: discrete-median MAD flags over
       // the right-skewed value column; every statistic is an actual
@@ -3261,6 +3270,34 @@ object SparkEntry {
         |       JOIN s1 ON e.user_id = s1."user"
         |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
         |         AND e.ts <= s1.t1 + to_microseconds(86400000000)
+        |       GROUP BY 1)
+        |SELECT s1."user",
+        |  CAST(1 + CASE WHEN s2."user" IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN s3."user" IS NOT NULL THEN 1 ELSE 0 END
+        |    AS BIGINT) AS steps_completed,
+        |  s1.t1 AS ts_first,
+        |  COALESCE(s3.t3, s2.t2, s1.t1) AS ts_last
+        |FROM s1
+        |LEFT JOIN s2 ON s1."user" = s2."user"
+        |LEFT JOIN s3 ON s1."user" = s3."user"""".stripMargin,
+
+    // ev_funnel's twin with the duration bound swapped for calendar-week
+    // equality (DuckDB date_trunc('week') is Monday-anchored like
+    // Spark's — the ev_retention precedent)
+    "ev_funnel_calendar" ->
+      """WITH s1 AS (SELECT user_id AS "user", min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' AND ts IS NOT NULL
+        |            GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS "user", min(e.ts) AS t2
+        |       FROM events e JOIN s1 ON e.user_id = s1."user"
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |         AND date_trunc('week', e.ts) = date_trunc('week', s1.t1)
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS "user", min(e.ts) AS t3
+        |       FROM events e JOIN s2 ON e.user_id = s2."user"
+        |       JOIN s1 ON e.user_id = s1."user"
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |         AND date_trunc('week', e.ts) = date_trunc('week', s1.t1)
         |       GROUP BY 1)
         |SELECT s1."user",
         |  CAST(1 + CASE WHEN s2."user" IS NOT NULL THEN 1 ELSE 0 END

@@ -29,15 +29,28 @@ import org.apache.spark.sql.functions._
   * step's slice. */
 object Funnel {
 
+  /** CONVERSION ANCHORS: `withinUs` bounds every later step to an
+    * entry-anchored DURATION (t1 + µs); `withinPeriod` ("day" | "week"
+    * | "month") bounds them to the entry's CALENDAR period instead —
+    * `date_trunc(period, ts) = date_trunc(period, t1)`, the
+    * [[retention]] bucketing (Monday-anchored weeks, identical in the
+    * SQL twin), matching the product-analytics "converted within the
+    * same calendar day/week" contract where a Sunday-23:00 entry gets
+    * one hour, not 24. The two anchors are mutually exclusive. */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
              tsCol: String, steps: Seq[String],
-             withinUs: Option[Long] = None): DataFrame = {
+             withinUs: Option[Long] = None,
+             withinPeriod: Option[String] = None): DataFrame = {
     require(steps.size >= 2 && steps.size <= 8,
       s"funnel: ${steps.size} steps outside [2, 8]")
     require(steps.distinct.size == steps.size,
       s"funnel: duplicate step types in $steps — a repeated stage is " +
         "ambiguous; disambiguate the event types upstream")
     withinUs.foreach(w => require(w > 0, s"funnel: withinUs=$w must be > 0"))
+    withinPeriod.foreach(p => require(Set("day", "week", "month").contains(p),
+      s"funnel: withinPeriod '$p' not in {day, week, month}"))
+    require(withinUs.isEmpty || withinPeriod.isEmpty,
+      "funnel: withinUs and withinPeriod are mutually exclusive anchors")
     // null-timestamped events cannot participate in temporal ordering —
     // dropped up front (and in the oracle twin), so an all-null entry
     // group can never emit a steps_completed = 0 row
@@ -46,12 +59,15 @@ object Funnel {
       .filter(col("__ts").isNotNull)
     var cur = ev.filter(col("__etype") === steps.head)
       .groupBy("user").agg(min("__ts").as("t1"))
-    val deadline = withinUs.map(w =>
-      expr(s"timestampadd(MICROSECOND, $w, t1)"))
+    val inWindow: org.apache.spark.sql.Column =
+      withinUs.map(w =>
+          col("__ts") <= expr(s"timestampadd(MICROSECOND, $w, t1)"))
+        .orElse(withinPeriod.map(p =>
+          date_trunc(p, col("__ts")) === date_trunc(p, col("t1"))))
+        .getOrElse(lit(true))
     for (k <- 2 to steps.size) {
       val prev = col(s"t${k - 1}")
       val carried = (1 until k).map(i => col(s"t$i"))
-      val inWindow = deadline.map(col("__ts") <= _).getOrElse(lit(true))
       cur = cur.join(
           ev.filter(col("__etype") === steps(k - 1)).drop("__etype"),
           Seq("user"), "left")

@@ -120,6 +120,9 @@ object ExplainAudit extends App {
       // funnel: k−1 user-keyed joins of type-pruned slices (pushed step
       // filters), rollups riding the join partitioning
       "ev_funnel",
+      // calendar-anchor variant: same join shape, date_trunc equality
+      // instead of the duration bound
+      "ev_funnel_calendar",
       // ANN recall gate: brute + IVF subtrees + |queries|·k-bounded
       // metrics joins
       "ann_recall",

@@ -179,6 +179,8 @@ object ScaleBench {
     // funnel: two user-keyed joins over type-pruned event slices —
     // expect ~linear wall (per-copy user universes stay disjoint)
     "ev_funnel",
+    // calendar anchor: identical join shape, expect ~ev_funnel
+    "ev_funnel_calendar",
     // ANN recall gate: the brute + IVF scan costs dominate (queries
     // fixed at copy-0 ids), metrics joins are |queries|·k-bounded
     "ann_recall",

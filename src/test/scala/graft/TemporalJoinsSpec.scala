@@ -192,6 +192,47 @@ class TemporalJoinsSpec extends SparkSpec {
     }
   }
 
+  test("funnel calendar anchor: conversion must land in the entry's " +
+      "calendar period — a day boundary cuts what a 24 h window allows") {
+    import graft.operators.Funnel
+    val ev = Seq(
+      // u1: converts inside the entry day
+      (1L, "A", ts("2024-01-01 10:00:00")),
+      (1L, "B", ts("2024-01-01 23:00:00")),
+      // u2: B only 2 h after entry but PAST MIDNIGHT — day mode cuts
+      // it, a 24 h duration window would not
+      (2L, "A", ts("2024-01-01 23:00:00")),
+      (2L, "B", ts("2024-01-02 01:00:00")),
+      // u3: same shape across a WEEK boundary (Sun 2024-01-07 → Mon
+      // 2024-01-08): week mode cuts, day... also cuts; duration passes
+      (3L, "A", ts("2024-01-07 23:00:00")),
+      (3L, "B", ts("2024-01-08 01:00:00"))
+    ).toDF("user_id", "etype", "ts")
+    def steps(p: String): Map[Long, Long] =
+      Funnel.funnel(ev, "user_id", "etype", "ts", steps = Seq("A", "B"),
+          withinPeriod = Some(p))
+        .select("user", "steps_completed").as[(Long, Long)].collect().toMap
+    val day = steps("day")
+    assert(day == Map(1L -> 2L, 2L -> 1L, 3L -> 1L), day.toString)
+    // week mode: u2's Tue 01:00 is still the same Monday-anchored week
+    // as its Mon 23:00 entry → converts; u3 crosses Sun→Mon → cut
+    val week = steps("week")
+    assert(week == Map(1L -> 2L, 2L -> 2L, 3L -> 1L), week.toString)
+    // the duration window passes all three (24 h from entry)
+    val dur = Funnel.funnel(ev, "user_id", "etype", "ts",
+        steps = Seq("A", "B"), withinUs = Some(86400000000L))
+      .select("user", "steps_completed").as[(Long, Long)].collect().toMap
+    assert(dur == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), dur.toString)
+    intercept[IllegalArgumentException] {
+      Funnel.funnel(ev, "user_id", "etype", "ts", steps = Seq("A", "B"),
+        withinPeriod = Some("hour"))
+    }
+    intercept[IllegalArgumentException] {
+      Funnel.funnel(ev, "user_id", "etype", "ts", steps = Seq("A", "B"),
+        withinUs = Some(1L), withinPeriod = Some("day"))
+    }
+  }
+
   test("retention: weekly cohort triangle — exact cells, chatty users " +
       "count once per period, month mode uses month arithmetic") {
     import graft.operators.Funnel
