@@ -27,16 +27,36 @@ import org.apache.spark.sql.SparkSession
   * regressions on unchanged code, absent on re-run). */
 object Bench {
   /** Median calibration-probe seconds on a healthy (uncontended)
-    * local[32] container — measured on the round-8 reference machine.
-    * Hardware-specific by nature, so it is overridable via
-    * `SPARK_GRAFT_CAL_HEALTHY_SEC`: on a slower machine the pinned
-    * value flags every run contended; on a faster one it hides real
-    * contention — measure a quiet run's `calibration_sec` there and
-    * pin that. */
+    * local[32] container. The r10–r12 reference machines all measured
+    * 0.136–0.139 s quiet; the default pin is 0.15 (tight enough that a
+    * genuinely 2× contended run trips the 2.5× wire — the old 0.30
+    * default put the trip at 0.75 s, loose enough to pass one; r12
+    * verdict finding #2). Hardware-specific by nature, so it is
+    * overridable via `SPARK_GRAFT_CAL_HEALTHY_SEC`: on a slower
+    * machine pin a quiet run's own `calibration_sec` (the recorded-run
+    * recipe in docs/ does exactly this); on a faster one the
+    * min-of-probes derivation below tightens past the pin
+    * automatically. */
   val CalibrationHealthySec: Double =
-    sys.env.get("SPARK_GRAFT_CAL_HEALTHY_SEC").map(_.toDouble).getOrElse(0.30)
+    sys.env.get("SPARK_GRAFT_CAL_HEALTHY_SEC").map(_.toDouble).getOrElse(0.15)
   /** Probe slowdown factor beyond which the run is flagged contended. */
   val CalibrationContendedFactor = 2.5
+
+  /** Effective healthy baseline for a run: the TIGHTER of the pinned
+    * value and the best probe observed in the run itself — a
+    * faster-than-pin box tightens the threshold to its own measured
+    * capability (the pin can only ever loosen the wire, never a
+    * contended probe), so "healthy 0.14, contention pushed the second
+    * probe to 0.5" flags even under a conservative pin. */
+  def effectiveHealthySec(probes: Seq[Double],
+                          pin: Double = CalibrationHealthySec): Double =
+    math.min(pin, probes.min)
+
+  /** The contended verdict: any probe beyond
+    * [[CalibrationContendedFactor]] × [[effectiveHealthySec]]. */
+  def contendedVerdict(probes: Seq[Double],
+                       pin: Double = CalibrationHealthySec): Boolean =
+    probes.max > effectiveHealthySec(probes, pin) * CalibrationContendedFactor
 
   /** Fixed CPU-bound probe: 2²⁸ xxhash64 evaluations reduced to one
     * value (bit_xor — full-range hashes overflow an ANSI-mode sum).
@@ -89,8 +109,7 @@ object Bench {
       (name, times(times.length / 2), times.last - times.head)
     }
     val calAfter = calibrate(spark)
-    val contended = math.max(calBefore, calAfter) >
-      CalibrationHealthySec * CalibrationContendedFactor
+    val contended = contendedVerdict(Seq(calBefore, calAfter))
     // RUN-LEVEL NOISE VERDICT: a pass where many queries' run-internal
     // spread exceeds their own median is measuring scheduler jitter, not
     // the engine — the recorded r11 driver run had 7/98 such queries
@@ -105,8 +124,8 @@ object Bench {
     if (contended)
       System.err.println(
         f"WARNING: calibration probe $calBefore%.2fs/$calAfter%.2fs vs " +
-          f"healthy $CalibrationHealthySec%.2fs — container contended; " +
-          "timings below overstate the engine's cost")
+          f"effective healthy ${effectiveHealthySec(Seq(calBefore, calAfter))}%.2fs " +
+          "— container contended; timings below overstate the engine's cost")
     // "queries" stays a flat name->seconds map (the driver contract);
     // per-query dispersion is a SEPARATE parallel map
     val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
