@@ -32,14 +32,18 @@ object SparkEntry {
     * corpus) stream it directly; when it is the generator's single FILE,
     * list the sf dir filtered to that name (a glob filter matches leaf
     * file names only — it would see nothing inside a directory table). */
-  private def streamDocs(s: SparkSession, dir: String,
-                         schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val docsPath = new java.io.File(s"$dir/documents.parquet")
-    if (docsPath.isDirectory)
-      s.readStream.schema(schema).parquet(docsPath.toString)
+  private def streamTable(s: SparkSession, dir: String, name: String,
+                          schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val path = new java.io.File(s"$dir/$name.parquet")
+    if (path.isDirectory)
+      s.readStream.schema(schema).parquet(path.toString)
     else s.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .option("pathGlobFilter", s"$name.parquet").parquet(dir)
   }
+
+  private def streamDocs(s: SparkSession, dir: String,
+                         schema: org.apache.spark.sql.types.StructType): DataFrame =
+    streamTable(s, dir, "documents", schema)
 
   /** Drain an AvailableNow stream through a uniquely-named memory sink
     * and return the collected table — the oracle-gate harness for
@@ -1029,6 +1033,29 @@ object SparkEntry {
         .withColumnRenamed("rank", "rk")
     }),
 
+    "ann_ivf_stream" -> ((s, dir) => {
+      // the STREAMING index-ingestion path under the same gate: the
+      // extend slice arrives as an AvailableNow stream, is encoded
+      // stateless against the fixed geometry (the identical baked
+      // kernels), drained, and served with the batch-built slice — the
+      // twin is ann_ivf_incremental's verbatim, proving stream-encode ≡
+      // batch-extend ≡ one-shot rebuild
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.buildVectorIndex(emb.filter(col("vec_id") < 200))
+      val arrivals = streamTable(s, dir, "embeddings", emb.schema)
+        .filter(col("vec_id") >= 200 &&
+          (col("vec_id") < 400 || col("vec_id") >= 410))
+      val encoded = drainStream(
+        graft.streaming.Streaming.encodeVectorsStream(arrivals, idx),
+        "graft_vidx_stream")
+      val full = Similarity.VectorIndex(idx.centroids, idx.codebooks,
+        idx.vectors.unionByName(encoded))
+      Similarity.ivfTopKAgainst(full,
+          emb.filter(col("vec_id") >= 400 && col("vec_id") < 410),
+          k = 10, nprobe = 4)
+        .withColumnRenamed("rank", "rk")
+    }),
+
     "emb_cluster_profile" -> ((s, dir) =>
       // semantic domain-balance report: population + integer-exact
       // cohesion stats per nearest-centroid cell (deterministic first-16
@@ -1368,6 +1395,16 @@ object SparkEntry {
       // cosine per query vector (broadcast queries, corpus unshuffled)
       val emb = t(s, dir, "embeddings")
       Similarity.labelMargin(emb, emb.filter(col("vec_id") < 200))
+    }),
+
+    "emb_bitext_margin" -> ((s, dir) => {
+      // margin-based parallel-pair mining between two DISJOINT embedding
+      // slices (the CCMatrix/LASER recipe): best target per source by
+      // the ratio margin — raw cosine normalized by both sides' top-k
+      // neighborhood means (integer-quantized sums, 10 dp-ranked)
+      val emb = t(s, dir, "embeddings")
+      Similarity.marginBitext(emb.filter(col("vec_id") < 60),
+        emb.filter(col("vec_id") >= 200), k = 4)
     }),
 
     "emb_random_projection" -> ((s, dir) =>
@@ -1963,6 +2000,37 @@ object SparkEntry {
       .filter(length(col("token")) > 0)
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token")).limit(20)
+
+  // ann_ivf_topk's twin over the INDEX slice (everything but the
+  // held-out queries) — shared verbatim by the batch-extend AND the
+  // stream-encode incremental paths: both must equal a one-shot IVF
+  // rebuild of the union
+  private val AnnIvfIncrementalOracle: String =
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings WHERE vec_id < 400 OR vec_id >= 410),
+       |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM c ORDER BY vec_id LIMIT 16),
+       |asg AS (SELECT corpus_id, centroid_id FROM (
+       |  SELECT a.vec_id AS corpus_id, ce.centroid_id,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${cosSql("a.v", "ce.cv")} DESC, ce.centroid_id) AS rn
+       |  FROM c a CROSS JOIN cents ce) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |      FROM embeddings WHERE vec_id >= 400 AND vec_id < 410),
+       |probes AS (SELECT query_id, centroid_id FROM (
+       |  SELECT q.query_id, ce.centroid_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${cosSql("q.qv", "ce.cv")} DESC, ce.centroid_id) AS rn
+       |  FROM q CROSS JOIN cents ce) t WHERE rn <= 4),
+       |s AS (SELECT p.query_id, a.corpus_id, ${cosSql("cv2.v", "q2.qv")} AS sim
+       |      FROM asg a JOIN probes p USING (centroid_id)
+       |      JOIN q q2 ON q2.query_id = p.query_id
+       |      JOIN c cv2 ON cv2.vec_id = a.corpus_id
+       |      WHERE p.query_id <> a.corpus_id)
+       |SELECT query_id, rk, corpus_id, round(sim, 6) AS sim FROM (
+       |  SELECT query_id, corpus_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, corpus_id) AS rk FROM s) t
+       |WHERE rk <= 10""".stripMargin
 
   // the PageRank twin unrolls the scaled-integer update rule — every
   // iteration is r' = base + (85·Σ r DIV outdeg) DIV 100, all integer
@@ -2856,34 +2924,11 @@ object SparkEntry {
 
     // ann_ivf_topk's twin over the INDEX slice (vec_id < 400) with a
     // disjoint query slice — the engine side goes build → extend →
-    // serve, so the hash match proves the incremental index equals a
-    // one-shot rebuild of the union
-    "ann_ivf_incremental" ->
-      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-         |           FROM embeddings WHERE vec_id < 400 OR vec_id >= 410),
-         |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM c ORDER BY vec_id LIMIT 16),
-         |asg AS (SELECT corpus_id, centroid_id FROM (
-         |  SELECT a.vec_id AS corpus_id, ce.centroid_id,
-         |    row_number() OVER (PARTITION BY a.vec_id
-         |      ORDER BY ${cosSql("a.v", "ce.cv")} DESC, ce.centroid_id) AS rn
-         |  FROM c a CROSS JOIN cents ce) t WHERE rn = 1),
-         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-         |      FROM embeddings WHERE vec_id >= 400 AND vec_id < 410),
-         |probes AS (SELECT query_id, centroid_id FROM (
-         |  SELECT q.query_id, ce.centroid_id,
-         |    row_number() OVER (PARTITION BY q.query_id
-         |      ORDER BY ${cosSql("q.qv", "ce.cv")} DESC, ce.centroid_id) AS rn
-         |  FROM q CROSS JOIN cents ce) t WHERE rn <= 4),
-         |s AS (SELECT p.query_id, a.corpus_id, ${cosSql("cv2.v", "q2.qv")} AS sim
-         |      FROM asg a JOIN probes p USING (centroid_id)
-         |      JOIN q q2 ON q2.query_id = p.query_id
-         |      JOIN c cv2 ON cv2.vec_id = a.corpus_id
-         |      WHERE p.query_id <> a.corpus_id)
-         |SELECT query_id, rk, corpus_id, round(sim, 6) AS sim FROM (
-         |  SELECT query_id, corpus_id, sim,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY sim DESC, corpus_id) AS rk FROM s) t
-         |WHERE rk <= 10""".stripMargin,
+    // serve (batch) or build → stream-encode → serve (stream), so the
+    // hash match proves both incremental paths equal a one-shot
+    // rebuild of the union
+    "ann_ivf_incremental" -> AnnIvfIncrementalOracle,
+    "ann_ivf_stream" -> AnnIvfIncrementalOracle,
 
     // assignment fragment is ann_ivf_topk's twin verbatim; cohesion
     // rides an exact BIGINT sum of 1e-6-quantized sims (float sums
@@ -3110,6 +3155,37 @@ object SparkEntry {
         |  SELECT bigram, c_xy, lift_ppm,
         |    row_number() OVER (ORDER BY lift_ppm DESC, bigram) AS rk FROM sc)
         |WHERE rk <= 25""".stripMargin,
+
+    // both neighborhood means ride exact integer sums of 1e-6-quantized
+    // cosines; the margin expression's association order matches the
+    // engine token-for-token, ranking on the 10 dp quantization
+    "emb_bitext_margin" ->
+      s"""WITH s AS (SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings WHERE vec_id < 60),
+         |t AS (SELECT vec_id AS tid, CAST(embedding AS DOUBLE[]) AS v
+         |      FROM embeddings WHERE vec_id >= 200),
+         |fa AS (SELECT sid, tid, sim, row_number() OVER (PARTITION BY sid
+         |         ORDER BY sim DESC, tid) AS rk
+         |       FROM (SELECT s.sid, t.tid, ${cosSql("t.v", "s.v")} AS sim
+         |             FROM s CROSS JOIN t)),
+         |fwd AS (SELECT sid, tid, sim FROM fa WHERE rk <= 4),
+         |sf AS (SELECT sid, sum(CAST(round(sim * 1e6) AS BIGINT)) AS sf,
+         |              count(*) AS cf FROM fwd GROUP BY 1),
+         |ba AS (SELECT tid, sid, sim, row_number() OVER (PARTITION BY tid
+         |         ORDER BY sim DESC, sid) AS rk
+         |       FROM (SELECT t.tid, s.sid, ${cosSql("s.v", "t.v")} AS sim
+         |             FROM t CROSS JOIN s)),
+         |sb AS (SELECT tid, sum(CAST(round(sim * 1e6) AS BIGINT)) AS sb,
+         |              count(*) AS cb FROM ba WHERE rk <= 4 GROUP BY 1),
+         |m AS (SELECT f.sid, f.tid, f.sim,
+         |        f.sim / ((CAST(sf AS DOUBLE) / (1000000.0 * cf) +
+         |          CAST(sb AS DOUBLE) / (1000000.0 * cb)) * 0.5) AS margin
+         |      FROM fwd f JOIN sf USING (sid) JOIN sb USING (tid))
+         |SELECT sid AS src_id, tid AS tgt_id, round(sim, 6) AS sim,
+         |       round(margin, 6) AS margin
+         |FROM (SELECT *, row_number() OVER (PARTITION BY sid
+         |        ORDER BY round(margin, 10) DESC, tid) AS best FROM m)
+         |WHERE best = 1""".stripMargin,
 
     // the maxes and the winner verdict are decided on UNROUNDED doubles
     // computed in the ann_cosine_topk dot-product convention

@@ -886,6 +886,70 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  // --------------------------------------------------- bitext mining
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019 — the
+    * CCMatrix/LASER recipe): for every SOURCE vector, its best TARGET
+    * by the RATIO margin
+    * `cos(x,y) / ((avgTopK(x→tgt) + avgTopK(y→src)) / 2)` — raw cosine
+    * normalized by how "promiscuous" each side's neighborhood is, which
+    * is what separates a true translation pair from a hub vector that
+    * is everyone's nearest neighbor. The mined pairs (threshold the
+    * margin downstream) are the standard source for parallel/aligned
+    * training corpora from two monolingual embedding spaces.
+    *
+    * Cross-engine discipline: the two top-k neighbor means ride EXACT
+    * integer sums of 1e-6-quantized cosines (float sums are
+    * partition-order-dependent — the corpus_report rule); the margin is
+    * then one fixed-association double expression, quantized to 10 dp
+    * BEFORE ranking with a target-id tie-break (the BM25 ln rule), so
+    * engine and SQL twin rank identically. Published sim/margin are
+    * rounded to 6 for display.
+    *
+    * Shape: two broadcast-queries brute passes (corpus sides never
+    * shuffle; map-side WindowGroupLimit top-k) + two bounded per-id
+    * rollups + one candidate join. At 100 TB route BOTH direction's
+    * top-k through a [[VectorIndex]] (`ivfTopKAgainst`) instead of the
+    * brute scans and feed the same margin tail — the math is identical;
+    * the contract here (and what the oracle pins) is the margin
+    * semantics. Sides must carry DISJOINT id spaces (two corpora — the
+    * Against-family contract); k is capped by each side's size, and
+    * the means divide by the ACTUAL neighbor count. */
+  def marginBitext(src: DataFrame, tgt: DataFrame, k: Int = 4,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= 1000, s"marginBitext: k=$k outside [1, 1000]")
+    def topSims(corpus: DataFrame, queries: DataFrame,
+                qName: String, cName: String): DataFrame = {
+      val c = corpus.select(col(idCol).as(cName), asDouble(col(vecCol)).as("cv"))
+      val q = queries.select(col(idCol).as(qName), asDouble(col(vecCol)).as("qv"))
+      val w = Window.partitionBy(qName)
+        .orderBy(col("sim").desc, col(cName).asc)
+      c.crossJoin(broadcast(q))
+        .select(col(qName), col(cName), cosine(col("cv"), col("qv")).as("sim"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .select(qName, cName, "sim")
+    }
+    val fwd = topSims(tgt, src, "src_id", "tgt_id")
+    val bwd = topSims(src, tgt, "tgt_id", "src_id")
+    val sf = fwd.groupBy("src_id")
+      .agg(sum(round(col("sim") * 1e6).cast("long")).as("sf"),
+        count(lit(1)).as("cf"))
+    val sb = bwd.groupBy("tgt_id")
+      .agg(sum(round(col("sim") * 1e6).cast("long")).as("sb"),
+        count(lit(1)).as("cb"))
+    val scored = fwd.join(sf, "src_id").join(sb, "tgt_id")
+      .withColumn("margin",
+        col("sim") / ((col("sf").cast("double") / (lit(1000000.0) * col("cf")) +
+          col("sb").cast("double") / (lit(1000000.0) * col("cb"))) * 0.5))
+    val wBest = Window.partitionBy("src_id")
+      .orderBy(round(col("margin"), 10).desc, col("tgt_id").asc)
+    scored.withColumn("best", row_number().over(wBest))
+      .filter(col("best") === 1)
+      .select(col("src_id"), col("tgt_id"),
+        round(col("sim"), 6).as("sim"),
+        round(col("margin"), 6).as("margin"))
+  }
+
   // ---------------------------------------------------- VectorIndex
   /** A materialized ANN index: the three frames [[buildVectorIndex]]
     * trains and [[ivfTopKAgainst]]/[[ivfPqTopKAgainst]] serve — the
@@ -956,8 +1020,10 @@ object Similarity {
 
   /** The shared map-only encode pass: cell (cosine coarse), pq_cell
     * (L2 coarse — the [[ivfPqTopK]] assignment), codes — all three
-    * from baked driver-constant kernels, zero shuffle. */
-  private def encodeIntoIndex(corpus: DataFrame,
+    * from baked driver-constant kernels, zero shuffle. Package-visible
+    * so [[graft.streaming.Streaming.encodeVectorsStream]] runs the
+    * IDENTICAL kernels over an arriving stream. */
+  private[graft] def encodeIntoIndex(corpus: DataFrame,
                               centArr: Array[(Long, Seq[Double])],
                               books: Array[(Int, Long, Seq[Double])],
                               idCol: String, vecCol: String): DataFrame = {

@@ -455,6 +455,35 @@ object Streaming {
       .drop("centroid_id", "ref_id", "ref_v", "__v", "__cell")
   }
 
+  /** Streaming index ingestion — the streaming form of
+    * [[graft.llm.Similarity.extendVectorIndex]]: encode ARRIVING
+    * vectors against a FIXED [[graft.llm.Similarity.VectorIndex]]
+    * geometry, producing the index's vectors schema (corpus_id, cell,
+    * pq_cell, codes, cv) as a STATELESS map-only stream —
+    * `writeStream` append onto the persisted vectors directory IS the
+    * incremental index build, so a crawl's embedding stream feeds the
+    * serving index continuously with zero training work per batch.
+    * Centroids + codebooks are collected ONCE at query build (KB-scale
+    * driver constants) and baked into the same compiled kernels the
+    * batch encode uses, so stream and batch encodes are bit-identical
+    * (asserted in StreamingSpec; geometry pinning rules:
+    * docs/sketches.md lifecycle section). */
+  def encodeVectorsStream(stream: DataFrame,
+                          index: graft.llm.Similarity.VectorIndex,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val spark = index.vectors.sparkSession
+    import spark.implicits._
+    val centArr = index.centroids
+      .select(col("cell").cast("long"), col("centroid").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val books = index.codebooks
+      .select(col("sub").cast("int"), col("centroid_id").cast("long"),
+        col("centroid").cast("array<double>"))
+      .as[(Int, Long, Seq[Double])].collect()
+    graft.llm.Similarity.encodeIntoIndex(stream, centArr, books, idCol, vecCol)
+  }
+
   /** Stateless stream-to-static as-of enrichment: each arriving row picks
     * up the carried columns of the LATEST static row with
     * `staticTsCol <= streamTsCol` in its `on` group (dimension-snapshot

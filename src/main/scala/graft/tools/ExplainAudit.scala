@@ -130,6 +130,9 @@ object ExplainAudit extends App {
       // kernels; the serving subtree is probe-join + windowed top-k
       // with zero training stages
       "ann_ivf_incremental",
+      // bitext margin: two broadcast-queries scans + bounded per-id
+      // rollups + candidate join + per-src argmax
+      "emb_bitext_margin",
       // retention: activity collapses to (user, period) BEFORE any join;
       // the cell rollup's domain is periods², calendar-bounded
       "ev_retention",

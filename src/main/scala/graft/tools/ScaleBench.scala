@@ -187,6 +187,9 @@ object ScaleBench {
     // VectorIndex build+extend+serve: map-only encodes + probe-pruned
     // serving — expect ~linear wall in corpus vectors
     "ann_ivf_incremental",
+    // bitext margin: fixed src side, tgt side grows with the corpus —
+    // expect ~linear wall in tgt vectors
+    "emb_bitext_margin",
     // retention: two user rollups + a user join + a calendar-bounded
     // cell rollup — expect ~linear wall in events
     "ev_retention",

@@ -544,6 +544,48 @@ class SimilaritySpec extends SparkSpec {
     assert(served.exceptAll(direct).isEmpty && direct.exceptAll(served).isEmpty)
   }
 
+  test("marginBitext: ratio margin recovers aligned pairs and demotes " +
+      "the hub vector that wins raw cosine") {
+    val src = Seq(
+      (0L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f)),
+      (3L, Array(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f)),
+      (4L, Array(0f, 0f, 0f, 0f, 1f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      // hub: cos 0.5 with EVERY src 0-3 — wins raw cosine against z
+      (10L, Array(0.35f, 0.35f, 0.35f, 0.35f, 0f, 0f, 0f, 0f)),
+      // z: cos ~0.447 with src 0 only — loses cosine, wins margin
+      (11L, Array(0.45f, 0f, 0f, 0f, 0f, 0f, 0f, 0.9f)),
+      (12L, Array(0f, 0f, 0f, 0f, 0f, 1f, 0f, 0f)), // fillers
+      (13L, Array(0f, 0f, 0f, 0f, 0f, 0f, 1f, 0f)),
+      // aligned partner of src 4
+      (14L, Array(0f, 0f, 0f, 0f, 1f, 0f, 0f, 0.01f))
+    ).toDF("vec_id", "embedding")
+    for (parts <- Seq(1, 5)) {
+      val out = Similarity.marginBitext(src.repartition(parts),
+          tgt.repartition(parts), k = 4)
+        .select("src_id", "tgt_id", "margin")
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // the aligned pair is recovered with a dominant margin
+      assert(out(4L)._1 == 14L, s"missed aligned pair: $out")
+      assert(out(4L)._2 > 2.0, s"aligned margin not dominant: $out")
+      // the hub wins raw cosine for src 0 (0.5 > 0.447)...
+      val cosBest = Similarity.bruteForceTopK(tgt,
+          src.filter(col("vec_id") === 0L), k = 1)
+        .select("corpus_id").as[Long].collect().head
+      assert(cosBest == 10L, s"test geometry broken: cos best = $cosBest")
+      // ...but the margin demotes it: z's un-promiscuous neighborhood
+      // beats the hub's inflated one
+      assert(out(0L)._1 == 11L, s"hub not demoted: $out")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.marginBitext(src, tgt, k = 0)
+    }
+  }
+
   test("VectorIndex: ivfTopKAgainst / ivfPqTopKAgainst reproduce the " +
       "one-shot ops bit-for-bit through a parquet round-trip") {
     val q = emb.filter(col("vec_id") < 5)

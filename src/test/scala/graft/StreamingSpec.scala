@@ -464,6 +464,36 @@ class StreamingSpec extends SparkSpec {
     assert(batchKept == kept)
   }
 
+  test("encodeVectorsStream: stream encode is bit-identical to the " +
+      "batch extendVectorIndex over the same arrivals") {
+    val emb = Tables.load(spark, sf0, "embeddings")
+    val idx = graft.llm.Similarity.buildVectorIndex(
+      emb.filter(col("vec_id") < 100))
+    val batchSlice = emb.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+    val drop = java.nio.file.Files.createTempDirectory("vidx-drop")
+    batchSlice.write.parquet(s"$drop/batch0")
+    val stream = spark.readStream.schema(batchSlice.schema)
+      .parquet(s"$drop/*")
+    val outDir = java.nio.file.Files.createTempDirectory("vidx-out").toString
+    val ck = java.nio.file.Files.createTempDirectory("vidx-ck").toString
+    val q = Streaming.encodeVectorsStream(stream, idx)
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", outDir).option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(outDir)
+    assert(streamed.count() === 100)
+    // batch twin: the same arrivals through extendVectorIndex with the
+    // same geometry (the stream must use the IDENTICAL baked kernels)
+    val batchEnc = graft.llm.Similarity.extendVectorIndex(
+      graft.llm.Similarity.VectorIndex(idx.centroids, idx.codebooks,
+        idx.vectors.limit(0)), batchSlice).vectors
+    assert(streamed.exceptAll(batchEnc).isEmpty &&
+      batchEnc.exceptAll(streamed).isEmpty,
+      "stream encode diverged from the batch extend")
+  }
+
   test("decontaminateStream keeps null-text rows (batch-parity)") {
     val leak = (1 to 13).map(i => s"n$i").mkString(" ")
     val bench = Seq(s"head $leak tail").toDF("text")
