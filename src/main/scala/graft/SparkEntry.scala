@@ -812,6 +812,21 @@ object SparkEntry {
             n = 3, threshold = 0.5))
         .withColumnRenamed("id", "doc_id")),
 
+    "dedup_components_incremental" -> ((s, dir) => {
+      // steady-state closure maintenance: yesterday's labels (the
+      // closure of the old-slice pairs, star-compressed to diameter 2)
+      // + only the pairs touching the new slice — the twin is
+      // dedup_components' full-history recursive CTE VERBATIM, so the
+      // hash match proves incremental ≡ full recompute
+      val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id",
+        "text", n = 3, threshold = 0.5)
+      val labels0 = Dedup.connectedComponents(
+        pairs.filter(col("i") < 250 && col("j") < 250))
+      Dedup.connectedComponentsIncremental(
+          pairs.filter(col("i") >= 250 || col("j") >= 250), labels0)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "dedup_keep_representative" -> ((s, dir) =>
       // canonical-doc selection: collapse each transitive near-dup
       // cluster to its longest member (ties → min id), singletons pass
@@ -2001,6 +2016,30 @@ object SparkEntry {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token")).limit(20)
 
+  // the full-history recursive-CTE closure — shared verbatim by the
+  // one-shot AND the star-compressed incremental engine paths: both
+  // must produce the identical partition and min labels
+  private val DedupComponentsOracle: String =
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct([array_to_string(words[i:i+2], ' ')
+      |                 for i in range(1, greatest(len(words) - 2, 1) + 1)]) AS s
+      |  FROM w),
+      |inv AS (SELECT doc_id, len(s) AS ssize, unnest(s) AS shingle FROM sh),
+      |p AS (SELECT a.doc_id AS i, b.doc_id AS j, a.ssize AS si, b.ssize AS sj,
+      |        count(*) AS inter
+      |      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2, 3, 4),
+      |pr AS (SELECT i, j FROM p
+      |       WHERE CAST(inter AS DOUBLE) / CAST(si + sj - inter AS DOUBLE) >= 0.5),
+      |e AS (SELECT i, j FROM pr UNION SELECT j AS i, i AS j FROM pr),
+      |nodes AS (SELECT DISTINCT i AS id FROM e),
+      |walk(id, comp) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.i, walk.comp FROM e JOIN walk ON e.j = walk.id)
+      |SELECT id AS doc_id, min(comp) AS comp FROM walk GROUP BY id""".stripMargin
+
   // ann_ivf_topk's twin over the INDEX slice (everything but the
   // held-out queries) — shared verbatim by the batch-extend AND the
   // stream-encode incremental paths: both must equal a one-shot IVF
@@ -2636,26 +2675,9 @@ object SparkEntry {
 
     // recursive-CTE reachability twin of the pointer-doubling engine op:
     // same pair list (the dedup_jaccard_pairs CTEs), comp = min reachable id
-    "dedup_components" ->
-      """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
-        |sh AS (SELECT doc_id,
-        |  list_distinct([array_to_string(words[i:i+2], ' ')
-        |                 for i in range(1, greatest(len(words) - 2, 1) + 1)]) AS s
-        |  FROM w),
-        |inv AS (SELECT doc_id, len(s) AS ssize, unnest(s) AS shingle FROM sh),
-        |p AS (SELECT a.doc_id AS i, b.doc_id AS j, a.ssize AS si, b.ssize AS sj,
-        |        count(*) AS inter
-        |      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2, 3, 4),
-        |pr AS (SELECT i, j FROM p
-        |       WHERE CAST(inter AS DOUBLE) / CAST(si + sj - inter AS DOUBLE) >= 0.5),
-        |e AS (SELECT i, j FROM pr UNION SELECT j AS i, i AS j FROM pr),
-        |nodes AS (SELECT DISTINCT i AS id FROM e),
-        |walk(id, comp) AS (
-        |  SELECT id, id FROM nodes
-        |  UNION
-        |  SELECT e.i, walk.comp FROM e JOIN walk ON e.j = walk.id)
-        |SELECT id AS doc_id, min(comp) AS comp FROM walk GROUP BY id""".stripMargin,
+    "dedup_components" -> DedupComponentsOracle,
+    // incremental path ≡ full recompute — the twin is shared verbatim
+    "dedup_components_incremental" -> DedupComponentsOracle,
 
     "dedup_keep_representative" ->
       """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),

@@ -1038,6 +1038,31 @@ object Dedup {
     labels
   }
 
+  /** Incremental transitive closure — [[connectedComponents]]'
+    * steady-state form for a growing corpus: compose YESTERDAY's
+    * labels (as star edges id—comp, which compress every old component
+    * to diameter ≤ 2) with only the NEW pair list, so the closure
+    * re-runs over |new pairs| + |old nodes| star edges in O(1)
+    * pointer-doubling rounds instead of re-deriving and re-closing the
+    * full pair history — the same maintenance contract as
+    * [[graft.llm.Graph.pageRank]]'s `ranks0` and
+    * [[graft.llm.Similarity.extendVectorIndex]].
+    *
+    * EXACTNESS: the result equals
+    * `connectedComponents(oldPairs ∪ newPairs)` whenever
+    * `labels0 = connectedComponents(oldPairs)` — star compression
+    * preserves the partition (every old member reaches its hub in one
+    * hop) AND the min-label convention (old comp labels are min ids;
+    * a merged component's min is the min of its parts' mins, reachable
+    * through the hubs). Oracle-proven against the full-history
+    * recursive-CTE twin. */
+  def connectedComponentsIncremental(newPairs: DataFrame,
+                                     labels0: DataFrame,
+                                     maxIter: Int = 10): DataFrame =
+    connectedComponents(
+      newPairs.select(col("i"), col("j")).unionByName(
+        labels0.select(col("id").as("i"), col("comp").as("j"))), maxIter)
+
   /** Diagnostic: pointer-doubling rounds the LAST [[connectedComponents]]
     * call on this JVM ran (driver-side loop, so a plain var suffices for
     * the scale probe's O(log D) round-count evidence; not part of the

@@ -37,7 +37,8 @@ object ExplainAudit extends App {
       // recompute), the scan-side three prove they stay exchange-free —
       // plus the per-group-k weighted sampler (ObjectHashAggregate, no
       // window sort)
-      "dedup_components", "text_strip_html", "text_url_canonical",
+      "dedup_components", "dedup_components_incremental",
+      "text_strip_html", "text_url_canonical",
       "corpus_report", "corpus_stratified_weighted",
       // round-12 session-2 operators: the deletion-variant linkage family
       // (one exchange per side + local pair generation), the relational

@@ -58,7 +58,10 @@ object ScaleBench {
     // operator (checkpointed pair list + O(log D) rounds), the
     // derived-marginal collocation scan, the data-derived mixture cut,
     // and the broadcast label-margin sweep
-    "dedup_substring_incremental", "dedup_components", "text_collocations",
+    "dedup_substring_incremental", "dedup_components",
+    // star-compressed closure maintenance: pair generation dominates;
+    // the incremental closure itself converges in O(1) rounds
+    "dedup_components_incremental", "text_collocations",
     "corpus_temperature_mix", "emb_label_margin", "emb_knn_vote",
     "text_strip_html", "text_url_canonical", "corpus_report",
     // round-12 additions: the r11 probe straggler (its relational

@@ -360,6 +360,34 @@ class DedupSpec extends SparkSpec {
     assert(comp.values.toSet == Set(0L))
   }
 
+  test("connectedComponentsIncremental: star-compressed warm start " +
+      "equals the full recompute — merges, survivors, new nodes") {
+    // old corpus: two components {1,2,3} (comp 1) and {7,9} (comp 7),
+    // plus {20,21} (comp 20)
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (20L, 21L))
+      .toDF("i", "j")
+    val labels0 = Dedup.connectedComponents(oldPairs)
+    // new pairs: merge the two first components through new node 50,
+    // add a brand-new component {100, 101}; {20,21} untouched
+    val newPairs = Seq((3L, 50L), (50L, 7L), (100L, 101L)).toDF("i", "j")
+    val inc = Dedup.connectedComponentsIncremental(newPairs, labels0)
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.connectedComponents(oldPairs.unionByName(newPairs))
+      .as[(Long, Long)].collect().toMap
+    assert(inc == full, s"$inc vs $full")
+    assert(inc(9L) == 1L && inc(50L) == 1L, s"merge missed: $inc")
+    assert(inc(21L) == 20L, s"untouched component moved: $inc")
+    assert(inc(101L) == 100L, s"new component mislabeled: $inc")
+    // a 50-hop OLD chain arrives star-compressed: the incremental
+    // closure converges in ≤ 3 rounds where the cold one needs 7
+    val chain = (0L until 49L).map(i => (i, i + 1)).toDF("i", "j")
+    val chainLabels = Dedup.connectedComponents(chain, maxIter = 7)
+    val inc2 = Dedup.connectedComponentsIncremental(
+        Seq((49L, 60L)).toDF("i", "j"), chainLabels, maxIter = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(inc2.size == 51 && inc2.values.toSet == Set(0L), s"$inc2")
+  }
+
   test("connectedComponents throws loudly when unconverged at maxIter") {
     val pairs = (0L until 49L).map(i => (i, i + 1)).toDF("i", "j")
     val ex = intercept[IllegalArgumentException] {
