@@ -1422,6 +1422,23 @@ object SparkEntry {
         emb.filter(col("vec_id") >= 200), k = 4)
     }),
 
+    "emb_bitext_mutual" -> ((s, dir) => {
+      // the intersection strategy: reciprocal margin-best only — y must
+      // be x's best target AND x must be y's best source (the margin
+      // value is symmetric; only the candidate sets differ)
+      val emb = t(s, dir, "embeddings")
+      Similarity.marginBitext(emb.filter(col("vec_id") < 60),
+        emb.filter(col("vec_id") >= 200), k = 4, mutual = true)
+    }),
+
+    "vocab_growth_curve" -> ((s, dir) =>
+      // Heaps-law curve: cumulative docs/tokens/types at ingest-order
+      // checkpoints; types bucket to checkpoint INDEX scan-side so the
+      // rollup never materializes vocab × checkpoints
+      graft.llm.Corpus.vocabGrowthCurve(t(s, dir, "documents"),
+        "doc_id", "text",
+        checkpoints = Seq(50L, 150L, 300L, 1000000000L))),
+
     "emb_random_projection" -> ((s, dir) =>
       // JL ±1-sign compression 64→16: md5-derived sign matrix baked as
       // plan literals (zero per-row hashing), pure scan-side projection
@@ -3208,6 +3225,63 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (PARTITION BY sid
          |        ORDER BY round(margin, 10) DESC, tid) AS best FROM m)
          |WHERE best = 1""".stripMargin,
+
+    // the forward twin + the backward argmax over the bwd candidate
+    // set, semi-joined — reciprocal best only
+    "emb_bitext_mutual" ->
+      s"""WITH s AS (SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings WHERE vec_id < 60),
+         |t AS (SELECT vec_id AS tid, CAST(embedding AS DOUBLE[]) AS v
+         |      FROM embeddings WHERE vec_id >= 200),
+         |fa AS (SELECT sid, tid, sim, row_number() OVER (PARTITION BY sid
+         |         ORDER BY sim DESC, tid) AS rk
+         |       FROM (SELECT s.sid, t.tid, ${cosSql("t.v", "s.v")} AS sim
+         |             FROM s CROSS JOIN t)),
+         |fwd AS (SELECT sid, tid, sim FROM fa WHERE rk <= 4),
+         |sf AS (SELECT sid, sum(CAST(round(sim * 1e6) AS BIGINT)) AS sf,
+         |              count(*) AS cf FROM fwd GROUP BY 1),
+         |ba AS (SELECT tid, sid, sim, row_number() OVER (PARTITION BY tid
+         |         ORDER BY sim DESC, sid) AS rk
+         |       FROM (SELECT t.tid, s.sid, ${cosSql("s.v", "t.v")} AS sim
+         |             FROM t CROSS JOIN s)),
+         |bwd AS (SELECT tid, sid, sim FROM ba WHERE rk <= 4),
+         |sb AS (SELECT tid, sum(CAST(round(sim * 1e6) AS BIGINT)) AS sb,
+         |              count(*) AS cb FROM bwd GROUP BY 1),
+         |m AS (SELECT f.sid, f.tid, f.sim,
+         |        f.sim / ((CAST(sf AS DOUBLE) / (1000000.0 * cf) +
+         |          CAST(sb AS DOUBLE) / (1000000.0 * cb)) * 0.5) AS margin
+         |      FROM fwd f JOIN sf USING (sid) JOIN sb USING (tid)),
+         |fbest AS (SELECT sid, tid, sim, margin FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY sid
+         |    ORDER BY round(margin, 10) DESC, tid) AS b FROM m) WHERE b = 1),
+         |m2 AS (SELECT w.tid, w.sid,
+         |        w.sim / ((CAST(sf AS DOUBLE) / (1000000.0 * cf) +
+         |          CAST(sb AS DOUBLE) / (1000000.0 * cb)) * 0.5) AS margin
+         |      FROM bwd w JOIN sf USING (sid) JOIN sb USING (tid)),
+         |bbest AS (SELECT tid, sid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY tid
+         |    ORDER BY round(margin, 10) DESC, sid) AS b FROM m2) WHERE b = 1)
+         |SELECT f.sid AS src_id, f.tid AS tgt_id, round(f.sim, 6) AS sim,
+         |       round(f.margin, 6) AS margin
+         |FROM fbest f JOIN bbest b ON f.sid = b.sid AND f.tid = b.tid""".stripMargin,
+
+    // the engine buckets types to checkpoint indexes scan-side; the
+    // twin states the same curve as direct conditional counts — exact
+    // integers agree regardless of method
+    "vocab_growth_curve" ->
+      """WITH ck(c) AS (VALUES (CAST(50 AS BIGINT)), (150), (300), (1000000000)),
+        |norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |tk AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token
+        |       FROM norm WHERE t <> ''),
+        |firsts AS (SELECT token, min(doc_id) AS f FROM tk
+        |           WHERE token <> '' GROUP BY 1)
+        |SELECT c AS checkpoint,
+        |  (SELECT count(*) FROM norm d WHERE d.doc_id <= c) AS n_docs,
+        |  (SELECT count(*) FROM tk t2 WHERE t2.token <> '' AND t2.doc_id <= c) AS n_tokens,
+        |  (SELECT count(*) FROM firsts f2 WHERE f2.f <= c) AS vocab
+        |FROM ck ORDER BY c""".stripMargin,
 
     // the maxes and the winner verdict are decided on UNROUNDED doubles
     // computed in the ann_cosine_topk dot-product convention

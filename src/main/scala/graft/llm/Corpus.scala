@@ -159,6 +159,67 @@ object Corpus {
             col("total"), 6)).as("coverage"))
   }
 
+  /** Heaps-law vocabulary growth curve: cumulative (docs, tokens,
+    * distinct types) at each ingest CHECKPOINT — "how fast is the
+    * vocabulary still growing as the corpus grows", the diagnostic
+    * behind tokenizer-vocab sizing and dedup sanity (a corpus whose
+    * type count keeps growing linearly is full of noise/ids; a
+    * near-saturated curve says the vocab budget is safe). Checkpoints
+    * are doc-id thresholds (ingest order), so the curve is exactly
+    * reproducible and incremental-friendly: appending docs with larger
+    * ids never changes earlier points.
+    *
+    * Shape: ONE tokenizing scan; types collapse to (token,
+    * first_doc_id) on the token exchange and are then bucketed to a
+    * CHECKPOINT INDEX scan-side (`size(filter(...))` over the ≤
+    * |checkpoints| literal array), so the rollup + cumulative window
+    * run over ≤ |checkpoints| rows — never vocab × checkpoints. Doc
+    * and token totals ride the same bucketing off per-doc counts. All
+    * exact integers. */
+  def vocabGrowthCurve(df: DataFrame, idCol: String, textCol: String,
+                       checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty && checkpoints == checkpoints.sorted &&
+      checkpoints.distinct.size == checkpoints.size,
+      s"checkpoints must be distinct and ascending, got $checkpoints")
+    val cks = array(checkpoints.map(lit(_)): _*)
+    // bucket = number of checkpoints strictly BELOW the id: idx i means
+    // "first visible at checkpoint cks(i)"; ids past the last
+    // checkpoint land in bucket |cks| and are excluded from the curve
+    def bucket(c: Column): Column = size(filter(cks, ck => ck < c))
+    // null ids have no position in ingest order — excluded up front
+    // (countDistinct-style), not silently bucketed at checkpoint 0
+    val rows = df.filter(col(idCol).isNotNull)
+    val toks = rows.select(col(idCol).as("__id"),
+        explode(split(TextAnalysis.normalizeText(col(textCol)), " "))
+          .as("token"))
+      .filter(length(col("token")) > 0)
+    val typeBuckets = toks.groupBy("token")
+      .agg(min("__id").as("__first"))
+      .groupBy(bucket(col("__first")).as("__b"))
+      .agg(count(lit(1)).as("new_types"))
+    val docTok = rows.select(bucket(col(idCol)).as("__b"),
+        coalesce(size(filter(
+          split(TextAnalysis.normalizeText(col(textCol)), " "),
+          t => length(t) > 0)), lit(0)).as("__nt"))
+      .groupBy("__b")
+      .agg(count(lit(1)).as("new_docs"), sum("__nt").as("new_tokens"))
+    val base = df.sparkSession.range(checkpoints.size)
+      .select(col("id").cast("int").as("__b"),
+        element_at(cks, col("id").cast("int") + 1).as("checkpoint"))
+    val w = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(typeBuckets, Seq("__b"), "left")
+      .join(docTok, Seq("__b"), "left")
+      .select(col("__b"), col("checkpoint"),
+        coalesce(col("new_docs"), lit(0L)).as("nd"),
+        coalesce(col("new_tokens"), lit(0L)).as("nt"),
+        coalesce(col("new_types"), lit(0L)).as("ny"))
+      .select(col("checkpoint"),
+        sum("nd").over(w).as("n_docs"),
+        sum("nt").over(w).as("n_tokens"),
+        sum("ny").over(w).as("vocab"))
+  }
+
   /** EXACT top-`topN` tokens without ever shuffling the token domain:
     * the classic two-pass heavy-hitter plan over a
     * [[graft.expressions.MisraGries]] sketch.

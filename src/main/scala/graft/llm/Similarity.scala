@@ -914,9 +914,17 @@ object Similarity {
     * semantics. Sides must carry DISJOINT id spaces (two corpora — the
     * Against-family contract); k is capped by each side's size, and
     * the means divide by the ACTUAL neighbor count. */
+  /** `mutual = true` keeps only RECIPROCAL best pairs — Artetxe &
+    * Schwenk's "intersection" strategy: the pair survives when y is
+    * x's margin-best target AND x is y's margin-best source over the
+    * backward candidate set (the margin value itself is symmetric by
+    * construction, so both directions rank with the same scores —
+    * only the candidate sets differ). Higher precision, the standard
+    * mining mode when both sides are large. */
   def marginBitext(src: DataFrame, tgt: DataFrame, k: Int = 4,
                    idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame = {
+                   vecCol: String = "embedding",
+                   mutual: Boolean = false): DataFrame = {
     require(k >= 1 && k <= 1000, s"marginBitext: k=$k outside [1, 1000]")
     def topSims(corpus: DataFrame, queries: DataFrame,
                 qName: String, cName: String): DataFrame = {
@@ -937,17 +945,29 @@ object Similarity {
     val sb = bwd.groupBy("tgt_id")
       .agg(sum(round(col("sim") * 1e6).cast("long")).as("sb"),
         count(lit(1)).as("cb"))
-    val scored = fwd.join(sf, "src_id").join(sb, "tgt_id")
+    def marginOf(cands: DataFrame): DataFrame = cands
+      .join(sf, "src_id").join(sb, "tgt_id")
       .withColumn("margin",
         col("sim") / ((col("sf").cast("double") / (lit(1000000.0) * col("cf")) +
           col("sb").cast("double") / (lit(1000000.0) * col("cb"))) * 0.5))
     val wBest = Window.partitionBy("src_id")
       .orderBy(round(col("margin"), 10).desc, col("tgt_id").asc)
-    scored.withColumn("best", row_number().over(wBest))
+    val fwdBest = marginOf(fwd)
+      .withColumn("best", row_number().over(wBest))
       .filter(col("best") === 1)
       .select(col("src_id"), col("tgt_id"),
         round(col("sim"), 6).as("sim"),
         round(col("margin"), 6).as("margin"))
+    if (!mutual) fwdBest
+    else {
+      val wBack = Window.partitionBy("tgt_id")
+        .orderBy(round(col("margin"), 10).desc, col("src_id").asc)
+      val bwdBest = marginOf(bwd)
+        .withColumn("best", row_number().over(wBack))
+        .filter(col("best") === 1)
+        .select(col("src_id"), col("tgt_id"))
+      fwdBest.join(bwdBest, Seq("src_id", "tgt_id"), "left_semi")
+    }
   }
 
   // ---------------------------------------------------- VectorIndex

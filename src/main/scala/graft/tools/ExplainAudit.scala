@@ -134,6 +134,9 @@ object ExplainAudit extends App {
       // bitext margin: two broadcast-queries scans + bounded per-id
       // rollups + candidate join + per-src argmax
       "emb_bitext_margin",
+      // Heaps curve: one tokenizing scan, token exchange collapses to
+      // checkpoint indexes, windows over ≤|checkpoints| rows
+      "vocab_growth_curve",
       // retention: activity collapses to (user, period) BEFORE any join;
       // the cell rollup's domain is periods², calendar-bounded
       "ev_retention",

@@ -193,6 +193,8 @@ object ScaleBench {
     // bitext margin: fixed src side, tgt side grows with the corpus —
     // expect ~linear wall in tgt vectors
     "emb_bitext_margin",
+    // Heaps curve: scan + token-domain agg — expect ~linear in tokens
+    "vocab_growth_curve",
     // retention: two user rollups + a user join + a calendar-bounded
     // cell rollup — expect ~linear wall in events
     "ev_retention",

@@ -98,6 +98,33 @@ class CorpusSpec extends SparkSpec {
     assert(v.toSeq == Seq(("x", 1L)))
   }
 
+  test("vocabGrowthCurve: cumulative docs/tokens/types at id " +
+      "checkpoints; boundary inclusive; null ids excluded; loud order") {
+    import graft.llm.Corpus
+    val docs = Seq(
+      (Some(1L), "alpha beta"),        // 2 tokens, 2 new types
+      (Some(5L), "alpha gamma gamma"), // 3 tokens, 1 new type
+      (Some(10L), "delta"),            // at the checkpoint boundary
+      (Some(20L), "beta epsilon"),     // past checkpoint 10
+      (None, "zeta zeta")              // null id: excluded entirely
+    ).toDF("doc_id", "text")
+    val out = Corpus.vocabGrowthCurve(docs, "doc_id", "text",
+        checkpoints = Seq(5L, 10L, 100L))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // (checkpoint, n_docs, n_tokens, vocab)
+    assert(out(0) == ((5L, 2L, 5L, 3L)), out(0).toString)
+    assert(out(1) == ((10L, 3L, 6L, 4L)), out(1).toString) // boundary in
+    assert(out(2) == ((100L, 4L, 8L, 5L)), out(2).toString) // zeta absent
+    // monotone by construction
+    assert(out.map(_._4).sameElements(out.map(_._4).sorted))
+    intercept[IllegalArgumentException] {
+      Corpus.vocabGrowthCurve(docs, "doc_id", "text", Seq(10L, 5L))
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.vocabGrowthCurve(docs, "doc_id", "text", Seq.empty)
+    }
+  }
+
   test("vocabCoverage: cumulative mass at each budget, ties by token order") {
     // freqs: a=3, b=2, c=1 (total 6); tie-free cuts
     val df = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")

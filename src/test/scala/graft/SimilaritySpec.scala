@@ -584,6 +584,16 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.marginBitext(src, tgt, k = 0)
     }
+    // mutual mode: only reciprocal bests survive. srcs 1-3 all point
+    // at the hub; the hub's single best SOURCE is src 1 — srcs 1-3 tie
+    // on sim but src 0's richer neighborhood (it also sees z) lowers
+    // its margin, and the 1-3 tie breaks to the smallest id — so
+    // (1,10) is genuinely reciprocal while (2,10)/(3,10) are not, and
+    // (0,11)/(4,14) are reciprocal on both sides
+    val mut = Similarity.marginBitext(src, tgt, k = 4, mutual = true)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toSet
+    assert(mut == Set((0L, 11L), (1L, 10L), (4L, 14L)),
+      s"mutual pairs: $mut")
   }
 
   test("VectorIndex: ivfTopKAgainst / ivfPqTopKAgainst reproduce the " +
@@ -611,6 +621,13 @@ class SimilaritySpec extends SparkSpec {
       rerank = 8)
     assert(pqServed.exceptAll(pqDirect).isEmpty &&
       pqDirect.exceptAll(pqServed).isEmpty, "IVF-PQ serving parity broken")
+    // the vote family serves from the index through the candidates
+    // hook — the last per-call-training consumer gets a steady state
+    val voteIdx = Similarity.knnLabelVote(emb, q, k = 10,
+      candidates = Some(ivfServed.select("query_id", "corpus_id")))
+    val voteIvf = Similarity.knnLabelVote(emb, q, k = 10, strategy = "ivf")
+    assert(voteIdx.exceptAll(voteIvf).isEmpty &&
+      voteIvf.exceptAll(voteIdx).isEmpty, "index-served vote diverged")
   }
 
   test("VectorIndex: extendVectorIndex and mergeVectorIndexes equal a " +
