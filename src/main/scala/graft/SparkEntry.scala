@@ -1900,6 +1900,18 @@ object SparkEntry {
         "doc_id", "text", n = 13)
     }),
 
+    "decontam_by_source" -> ((s, dir) => {
+      // per-benchmark attribution: which benchmark doc leaked into
+      // which training doc, window-position hit counts — the audit
+      // pair report behind "this eval is burned"
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationBySource(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("bench_id", col("doc_id")),
+        "doc_id", "text", "bench_id", n = 13)
+    }),
+
     "decontam_stream" -> ((s, dir) => {
       // the ACTUAL streaming decontamination path under the oracle gate:
       // AvailableNow over the documents parquet, benchmark baked once
@@ -3794,6 +3806,25 @@ object SparkEntry {
         |SELECT d.doc_id, count(*) AS n_collisions,
         |  count(DISTINCT b.bench_id) AS n_benchmark_docs
         |FROM d JOIN b USING (w) GROUP BY d.doc_id""".stripMargin,
+
+    // decontam_overlap's window CTEs with the benchmark id kept on its
+    // (distinct-per-benchmark) side — counts by n-gram TEXT, equal to
+    // the engine's 64-bit hash counts absent collisions
+    "decontam_by_source" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest(
+        |    [array_to_string(toks[i:i+12], ' ') for i in range(1, len(toks) - 11)])
+        |    AS w
+        |  FROM t),
+        |b AS (SELECT DISTINCT doc_id AS bench_id, w FROM w WHERE doc_id % 5 = 0)
+        |SELECT w.doc_id, b.bench_id, count(*) AS n_hits
+        |FROM w JOIN b USING (w) WHERE w.doc_id % 5 <> 0
+        |GROUP BY 1, 2""".stripMargin,
 
     "decontam_overlap" ->
       """WITH t AS (

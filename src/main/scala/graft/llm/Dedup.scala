@@ -456,6 +456,35 @@ object Dedup {
             col("n_windows")).as("overlap_frac"))
   }
 
+  /** Per-benchmark contamination ATTRIBUTION — which benchmark leaked
+    * into which training document: `(doc_id, bench_id, n_hits)` for
+    * every colliding pair, the audit companion to
+    * [[contaminationOverlap]]'s doc-level coverage. Dropping a doc is
+    * a policy call; knowing WHICH eval is burned — and therefore
+    * cannot be reported on for a model trained anyway — needs the
+    * pair. A window shared by two benchmarks attributes to BOTH (each
+    * benchmark's leak report must be complete on its own); a window
+    * repeated inside one benchmark counts once (the DISTINCT-collapsed
+    * benchmark side, [[contaminationOverlap]]'s convention), while
+    * repeated doc-side positions each count (coverage semantics).
+    *
+    * Shape: the same (hash, id) exchanges as [[contaminationHits]]
+    * with the benchmark id riding its side; zero-hit pairs are OMITTED
+    * — the pair domain is |docs|·|benchmarks|, and "clean" is already
+    * said per doc by [[contaminationOverlap]]. */
+  def contaminationBySource(docs: DataFrame, benchmark: DataFrame,
+                            idCol: String, textCol: String,
+                            benchIdCol: String, n: Int = 13): DataFrame = {
+    val ngrams = graft.expressions.GraftExpressions.wordNGrams(col(textCol), n)
+    val docSide = docs.select(col(idCol).as("doc_id"), explode(ngrams).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val benchSide = benchmark
+      .select(col(benchIdCol).as("bench_id"), explode(ngrams).as("w"))
+      .select(col("bench_id"), xxhash64(col("w")).as("h")).distinct()
+    docSide.join(benchSide, "h")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_hits"))
+  }
+
   // ------------------------------------------------ exact substring dedup
   /** Cross-document duplicated-substring statistics — the "exact substring
     * dedup" signal of Lee et al. 2022 (arXiv:2107.06499), computed at

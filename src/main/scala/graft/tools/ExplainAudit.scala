@@ -137,6 +137,9 @@ object ExplainAudit extends App {
       // Heaps curve: one tokenizing scan, token exchange collapses to
       // checkpoint indexes, windows over ≤|checkpoints| rows
       "vocab_growth_curve",
+      // contamination attribution: (hash, id) exchanges only, bench
+      // side DISTINCT-collapsed with its id riding
+      "decontam_by_source",
       // retention: activity collapses to (user, period) BEFORE any join;
       // the cell rollup's domain is periods², calendar-bounded
       "ev_retention",

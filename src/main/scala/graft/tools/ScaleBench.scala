@@ -41,7 +41,10 @@ object ScaleBench {
     "dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_embedding_pairs", "ann_cosine_topk",
     "text_tokens", "text_quality", "text_langid", "text_repetition",
-    "dedup_spans", "decontam_hits", "ann_ivf_pq_topk",
+    "dedup_spans", "decontam_hits",
+    // per-benchmark attribution: same (hash, id) exchange shape as
+    // decontam_hits with bench ids riding — expect ~decontam_hits
+    "decontam_by_source", "ann_ivf_pq_topk",
     "a6_keep_latest", "u2_snapshot_diff",
     "pack_sequences", "vocab_top", "corpus_split", "doc_length_hist",
     "tfidf_keywords", "ev_asof_join", "ev_range_join",

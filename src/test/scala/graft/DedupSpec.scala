@@ -360,6 +360,24 @@ class DedupSpec extends SparkSpec {
     assert(comp.values.toSet == Set(0L))
   }
 
+  test("contaminationBySource: pair attribution — doc positions count, " +
+      "benchmark-internal duplication doesn't, clean docs absent") {
+    val docs = Seq(
+      (1L, "a b c a b c"), // the window "a b c" at TWO positions
+      (2L, "x y z")        // clean
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "a b c"),           // one window
+      (200L, "a b c d a b c")    // "a b c" TWICE inside one benchmark
+    ).toDF("bench_id", "text")
+    val out = Dedup.contaminationBySource(docs, bench, "doc_id", "text",
+        "bench_id", n = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1 hits both benchmarks at its 2 positions; the benchmark's
+    // internal duplicate collapses (distinct side) — 2, not 4
+    assert(out == Set((1L, 100L, 2L), (1L, 200L, 2L)), out.toString)
+  }
+
   test("connectedComponentsIncremental: star-compressed warm start " +
       "equals the full recompute — merges, survivors, new nodes") {
     // old corpus: two components {1,2,3} (comp 1) and {7,9} (comp 7),
