@@ -937,12 +937,22 @@ object Similarity {
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
         .select(qName, cName, "sim")
     }
-    val fwd = topSims(tgt, src, "src_id", "tgt_id")
-    val bwd = topSims(src, tgt, "tgt_id", "src_id")
-    val sf = fwd.groupBy("src_id")
+    // each direction's top-k frame feeds BOTH its mean-sum aggregate
+    // and the candidate join. Reusing one Dataset instance would let
+    // the analyzer's self-join dedup rewrite one side's attribute ids
+    // and break exchange-reuse canonicalization (the
+    // [[Dedup.connectedComponents]] ccRound lesson) — FRESH plan
+    // instances canonicalize identically, so the cross-join + window
+    // exchange executes once and the second read is a ReusedExchange
+    // (plan-asserted in PlanShapeSpec).
+    def fwdF() = topSims(tgt, src, "src_id", "tgt_id")
+    def bwdF() = topSims(src, tgt, "tgt_id", "src_id")
+    val fwd = fwdF()
+    val bwd = bwdF()
+    val sf = fwdF().groupBy("src_id")
       .agg(sum(round(col("sim") * 1e6).cast("long")).as("sf"),
         count(lit(1)).as("cf"))
-    val sb = bwd.groupBy("tgt_id")
+    val sb = bwdF().groupBy("tgt_id")
       .agg(sum(round(col("sim") * 1e6).cast("long")).as("sb"),
         count(lit(1)).as("cb"))
     def marginOf(cands: DataFrame): DataFrame = cands

@@ -332,6 +332,15 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the 3 step-type filters pushed to the scans:\n$plan")
   }
 
+  test("emb_bitext_margin holds the 4-scan floor (each direction's " +
+      "top-k exchange shared by its mean-sum and candidate branches)") {
+    // 2 scans per direction (corpus side + broadcast query side) × 2
+    // directions; the sf/sb aggregates read their direction's window
+    // exchange as a ReusedExchange (fresh plan instances — the ccRound
+    // canonicalization discipline), not a second cross join
+    assert(finalScans(q("emb_bitext_margin"), "embeddings") == 4)
+  }
+
   test("a deliberate recompute shape IS caught by the counter") {
     // sanity-check the guard itself: the pre-fix bigram formulation
     // (context count re-exploded from the corpus) must count 3 scans
