@@ -756,6 +756,21 @@ object SparkEntry {
         .select("event_id", "event_type", "value", "med", "mad",
           "is_outlier")),
 
+    "ev_anomaly_incremental" -> ((s, dir) => {
+      // the anomaly screen's train-once/serve-many split: med/MAD
+      // trained on the even-id reference window, the odd-id batch
+      // flagged against the persisted stats — one scan + one join per
+      // served batch, zero per-batch median recomputation
+      val ev = t(s, dir, "events")
+      val stats = graft.core.Stats.robustStats(
+        ev.filter(col("event_id") % 2 === 0), "event_type", "value")
+      graft.core.Stats.robustOutliersAgainst(
+          ev.filter(col("event_id") % 2 === 1), stats,
+          "event_type", "value", k = 3.0)
+        .select("event_id", "event_type", "value", "med", "mad",
+          "is_outlier")
+    }),
+
     "ev_retention" -> ((s, dir) =>
       // weekly cohort-retention triangle: cohort = week of first
       // event, cells = exact distinct-active counts per offset
@@ -3396,6 +3411,33 @@ object SparkEntry {
     // the MAD twin: discrete INCLUSIVE medians via cum windows over
     // the per-type value/deviation domains (no interpolated median —
     // engines disagree on interpolation, never on data values)
+    // the ev_anomaly twin with the stats CTEs restricted to the
+    // even-id training window and the flag join to the odd-id batch
+    "ev_anomaly_incremental" ->
+      """WITH h AS (SELECT event_type, value AS v, count(*) AS c
+        |           FROM events WHERE value IS NOT NULL
+        |             AND event_id % 2 = 0 GROUP BY 1, 2),
+        |n AS (SELECT event_type, sum(c) AS n FROM h GROUP BY 1),
+        |cum AS (SELECT event_type, v,
+        |        sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum
+        |        FROM h),
+        |med AS (SELECT event_type, min(v) AS med
+        |        FROM cum JOIN n USING (event_type)
+        |        WHERE cum * 2 >= n GROUP BY 1),
+        |d AS (SELECT h.event_type, abs(h.v - med.med) AS dev,
+        |        sum(h.c) AS c
+        |      FROM h JOIN med USING (event_type) GROUP BY 1, 2),
+        |cum2 AS (SELECT event_type, dev,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY dev) AS cum
+        |         FROM d),
+        |mad AS (SELECT event_type, min(dev) AS mad
+        |        FROM cum2 JOIN n USING (event_type)
+        |        WHERE cum * 2 >= n GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value, med.med, mad.mad,
+        |  abs(e.value - med.med) > 3.0 * mad.mad AS is_outlier
+        |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+        |WHERE e.value IS NOT NULL AND e.event_id % 2 = 1""".stripMargin,
+
     "ev_anomaly" ->
       """WITH h AS (SELECT event_type, value AS v, count(*) AS c
         |           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),

@@ -164,6 +164,21 @@ object Stats {
   def robustOutliers(df: DataFrame, keyCol: String, valueCol: String,
                      k: Double = 3.0): DataFrame = {
     require(k > 0, s"robustOutliers: k=$k must be positive")
+    robustOutliersAgainst(df, robustStats(df, keyCol, valueCol),
+      keyCol, valueCol, k)
+  }
+
+  /** The statistics half of [[robustOutliers]] — per-group discrete
+    * inclusive median and MAD as a plain persistable frame
+    * `(<keyCol>, med, mad)`: train once on a reference window, write
+    * parquet, and screen every later batch/stream with
+    * [[robustOutliersAgainst]] — the anomaly screen's
+    * train-once/serve-many split (the [[graft.llm.Retrieval.Bm25Index]]
+    * / VectorIndex lifecycle: geometry = the reference window;
+    * regenerate when the baseline distribution legitimately moves).
+    * Same exchange shape as computing them inline. */
+  def robustStats(df: DataFrame, keyCol: String,
+                  valueCol: String): DataFrame = {
     val rows = df.filter(col(valueCol).isNotNull)
     val h = rows.groupBy(col(keyCol).as("__k"),
         col(valueCol).as("__v"))
@@ -190,13 +205,29 @@ object Stats {
       .join(n, col("__k") <=> col("__kn")).drop("__kn")
       .filter(col("__cum") * 2 >= col("__n"))
       .groupBy("__k").agg(min("__dev").as("mad"))
-    val stats = med.join(mad.withColumnRenamed("__k", "__km"),
-      col("__k") <=> col("__km")).drop("__km")
+    med.join(mad.withColumnRenamed("__k", "__km"),
+        col("__k") <=> col("__km")).drop("__km")
+      .select(col("__k").as(keyCol), col("med"), col("mad"))
+  }
+
+  /** Flag rows against PRE-COMPUTED (possibly parquet-reloaded)
+    * [[robustStats]] — the serving path: one scan + one stats join, no
+    * median/MAD recomputation per batch. Rows whose group has no stats
+    * row are DROPPED (inner join — an unseen group has no baseline to
+    * flag against; union the reference window forward or retrain when
+    * new groups appear). Null measures and null-key handling as in
+    * [[robustOutliers]] (null-safe key join). */
+  def robustOutliersAgainst(df: DataFrame, stats: DataFrame,
+                            keyCol: String, valueCol: String,
+                            k: Double = 3.0): DataFrame = {
+    require(k > 0, s"robustOutliersAgainst: k=$k must be positive")
+    val rows = df.filter(col(valueCol).isNotNull)
+    val st = stats.select(col(keyCol).as("__k"), col("med"), col("mad"))
     // no forced broadcast: the stats frame is one row per group —
     // tiny for bounded domains (AQE broadcasts it), but a genuinely
     // unbounded key domain degrades to a keyed join instead of a
     // driver-side OOM
-    rows.join(stats, col(keyCol) <=> col("__k"))
+    rows.join(st, col(keyCol) <=> col("__k"))
       .drop("__k")
       .withColumn("is_outlier",
         abs(col(valueCol) - col("med")) > lit(k) * col("mad"))

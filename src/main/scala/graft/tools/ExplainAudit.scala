@@ -140,6 +140,9 @@ object ExplainAudit extends App {
       // contamination attribution: (hash, id) exchanges only, bench
       // side DISTINCT-collapsed with its id riding
       "decontam_by_source",
+      // served anomaly screen: stats subtree on the training slice +
+      // ONE scan + one AQE-decided stats join per served batch
+      "ev_anomaly_incremental",
       // retention: activity collapses to (user, period) BEFORE any join;
       // the cell rollup's domain is periods², calendar-bounded
       "ev_retention",

@@ -198,6 +198,8 @@ object ScaleBench {
     "emb_bitext_margin",
     // Heaps curve: scan + token-domain agg — expect ~linear in tokens
     "vocab_growth_curve",
+    // served anomaly screen: stats + flag join — expect ~ev_anomaly
+    "ev_anomaly_incremental",
     // retention: two user rollups + a user join + a calendar-bounded
     // cell rollup — expect ~linear wall in events
     "ev_retention",

@@ -194,6 +194,29 @@ class CoreSpec extends SparkSpec {
     }
   }
 
+  test("robustStats/robustOutliersAgainst: parquet-reloaded stats serve " +
+      "identically; unseen groups drop by contract") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "a", 4.0), (5L, "a", 100.0), (6L, "b", 7.0))
+      .toDF("id", "key", "v")
+    val inline = graft.core.Stats.robustOutliers(df, "key", "v", k = 3.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rs")
+      .toString + "/stats"
+    graft.core.Stats.robustStats(df, "key", "v").write.parquet(dir)
+    val served = graft.core.Stats.robustOutliersAgainst(df,
+      spark.read.parquet(dir), "key", "v", k = 3.0)
+    assert(served.exceptAll(inline).isEmpty &&
+      inline.exceptAll(served).isEmpty, "served flags diverge")
+    // a batch with a group absent from the stats: no baseline → dropped
+    val newBatch = Seq((7L, "a", 50.0), (8L, "zzz", 1.0)).toDF("id", "key", "v")
+    val flags = graft.core.Stats.robustOutliersAgainst(newBatch,
+        spark.read.parquet(dir), "key", "v", k = 3.0)
+      .select("id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(flags == Map(7L -> true), s"unseen-group contract broken: $flags")
+  }
+
   test("robustOutliers: a NULL group key is a group like any other — " +
       "rows keep flowing with their own median/MAD") {
     import org.apache.spark.sql.functions._
