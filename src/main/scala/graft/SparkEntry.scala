@@ -771,6 +771,30 @@ object SparkEntry {
           "is_outlier")
     }),
 
+    "ev_anomaly_stream" -> ((s, dir) => {
+      // the served screen on a LIVE stream: robustOutliersAgainst is a
+      // stateless scan + stream-static join, so the batch serving
+      // operator runs unchanged on a readStream frame — AvailableNow
+      // drain, twin shared with ev_anomaly_incremental verbatim
+      val ev = t(s, dir, "events")
+      val stats = graft.core.Stats.robustStats(
+        ev.filter(col("event_id") % 2 === 0), "event_type", "value")
+      // the screen never touches ts, so the stream reads the raw
+      // parquet schema with ts pruned — no encoding dispatch needed
+      // (Streaming.readEvents handles the drop-directory case)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val arrivals = streamTable(s, dir, "events",
+          s.read.parquet(s"$dir/events.parquet").schema)
+        .select("event_id", "event_type", "value")
+        .filter(col("event_id") % 2 === 1)
+      drainStream(
+        graft.core.Stats.robustOutliersAgainst(arrivals, stats,
+            "event_type", "value", k = 3.0)
+          .select("event_id", "event_type", "value", "med", "mad",
+            "is_outlier"),
+        "graft_anomaly_stream")
+    }),
+
     "ev_retention" -> ((s, dir) =>
       // weekly cohort-retention triangle: cohort = week of first
       // event, cells = exact distinct-active counts per offset
@@ -2059,6 +2083,34 @@ object SparkEntry {
       .filter(length(col("token")) > 0)
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token")).limit(20)
+
+  // the ev_anomaly stats CTEs restricted to the even-id training
+  // window, flags joined to the odd-id batch — shared verbatim by the
+  // batch serve AND the streaming serve (stateless stream-static join)
+  private val EvAnomalyIncrementalOracle: String =
+    """WITH h AS (SELECT event_type, value AS v, count(*) AS c
+      |           FROM events WHERE value IS NOT NULL
+      |             AND event_id % 2 = 0 GROUP BY 1, 2),
+      |n AS (SELECT event_type, sum(c) AS n FROM h GROUP BY 1),
+      |cum AS (SELECT event_type, v,
+      |        sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum
+      |        FROM h),
+      |med AS (SELECT event_type, min(v) AS med
+      |        FROM cum JOIN n USING (event_type)
+      |        WHERE cum * 2 >= n GROUP BY 1),
+      |d AS (SELECT h.event_type, abs(h.v - med.med) AS dev,
+      |        sum(h.c) AS c
+      |      FROM h JOIN med USING (event_type) GROUP BY 1, 2),
+      |cum2 AS (SELECT event_type, dev,
+      |         sum(c) OVER (PARTITION BY event_type ORDER BY dev) AS cum
+      |         FROM d),
+      |mad AS (SELECT event_type, min(dev) AS mad
+      |        FROM cum2 JOIN n USING (event_type)
+      |        WHERE cum * 2 >= n GROUP BY 1)
+      |SELECT e.event_id, e.event_type, e.value, med.med, mad.mad,
+      |  abs(e.value - med.med) > 3.0 * mad.mad AS is_outlier
+      |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+      |WHERE e.value IS NOT NULL AND e.event_id % 2 = 1""".stripMargin
 
   // the full-history recursive-CTE closure — shared verbatim by the
   // one-shot AND the star-compressed incremental engine paths: both
@@ -3412,31 +3464,11 @@ object SparkEntry {
     // the per-type value/deviation domains (no interpolated median —
     // engines disagree on interpolation, never on data values)
     // the ev_anomaly twin with the stats CTEs restricted to the
-    // even-id training window and the flag join to the odd-id batch
-    "ev_anomaly_incremental" ->
-      """WITH h AS (SELECT event_type, value AS v, count(*) AS c
-        |           FROM events WHERE value IS NOT NULL
-        |             AND event_id % 2 = 0 GROUP BY 1, 2),
-        |n AS (SELECT event_type, sum(c) AS n FROM h GROUP BY 1),
-        |cum AS (SELECT event_type, v,
-        |        sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum
-        |        FROM h),
-        |med AS (SELECT event_type, min(v) AS med
-        |        FROM cum JOIN n USING (event_type)
-        |        WHERE cum * 2 >= n GROUP BY 1),
-        |d AS (SELECT h.event_type, abs(h.v - med.med) AS dev,
-        |        sum(h.c) AS c
-        |      FROM h JOIN med USING (event_type) GROUP BY 1, 2),
-        |cum2 AS (SELECT event_type, dev,
-        |         sum(c) OVER (PARTITION BY event_type ORDER BY dev) AS cum
-        |         FROM d),
-        |mad AS (SELECT event_type, min(dev) AS mad
-        |        FROM cum2 JOIN n USING (event_type)
-        |        WHERE cum * 2 >= n GROUP BY 1)
-        |SELECT e.event_id, e.event_type, e.value, med.med, mad.mad,
-        |  abs(e.value - med.med) > 3.0 * mad.mad AS is_outlier
-        |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
-        |WHERE e.value IS NOT NULL AND e.event_id % 2 = 1""".stripMargin,
+    // even-id training window and the flag join to the odd-id batch;
+    // the streaming serve shares it verbatim (stateless stream-static
+    // join — same rows either path)
+    "ev_anomaly_stream" -> EvAnomalyIncrementalOracle,
+    "ev_anomaly_incremental" -> EvAnomalyIncrementalOracle,
 
     "ev_anomaly" ->
       """WITH h AS (SELECT event_type, value AS v, count(*) AS c
