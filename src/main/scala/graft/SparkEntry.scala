@@ -1451,6 +1451,15 @@ object SparkEntry {
       Similarity.labelMargin(emb, emb.filter(col("vec_id") < 200))
     }),
 
+    "emb_label_prototypes" -> ((s, dir) =>
+      // per-label mean embedding (class prototypes / nearest-class-mean
+      // baseline): exact 1e-9-quantized integer sums, ONE
+      // correctly-rounded division; flattened to (label, d, m) rows for
+      // the compare layer
+      Similarity.meanPoolVectors(t(s, dir, "embeddings"), "label")
+        .select(col("label"), col("n_vectors"),
+          posexplode(col("centroid")).as(Seq("d", "m")))),
+
     "emb_bitext_margin" -> ((s, dir) => {
       // margin-based parallel-pair mining between two DISJOINT embedding
       // slices (the CCMatrix/LASER recipe): best target per source by
@@ -3273,6 +3282,20 @@ object SparkEntry {
         |  SELECT bigram, c_xy, lift_ppm,
         |    row_number() OVER (ORDER BY lift_ppm DESC, bigram) AS rk FROM sc)
         |WHERE rk <= 25""".stripMargin,
+
+    // the twin rebuilds the identical 1e-9-quantized integer sums and
+    // performs the same single division — bit-exact doubles
+    "emb_label_prototypes" ->
+      """WITH c AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE embedding IS NOT NULL),
+        |ex AS (SELECT label, i - 1 AS d,
+        |         CAST(round(v[i] * 1000000000) AS BIGINT) AS x
+        |       FROM c, (SELECT unnest(range(1, 65)) AS i) r),
+        |sm AS (SELECT label, d, sum(x) AS s, count(*) AS n
+        |       FROM ex GROUP BY 1, 2)
+        |SELECT label, CAST(n AS BIGINT) AS n_vectors, CAST(d AS INTEGER) AS d,
+        |       CAST(s AS DOUBLE) / (1000000000.0 * n) AS m
+        |FROM sm""".stripMargin,
 
     // both neighborhood means ride exact integer sums of 1e-6-quantized
     // cosines; the margin expression's association order matches the

@@ -886,6 +886,52 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Exact per-group mean vector — the "prototype" primitive behind
+    * nearest-class-mean baselines, chunk→document embedding pooling,
+    * and per-cluster centroid export. Components are quantized to
+    * 1e-9 BEFORE summing (`round(x·10⁹)` longs accumulated in
+    * DECIMAL(38,0) — exact and associative at any corpus size, so the
+    * shuffle order cannot wiggle an ulp and the SQL twin rebuilds the
+    * identical integers; the corpus_report discipline — 1e-9 is far
+    * below embedding noise and the documented contract), then divided
+    * once: `mean = CAST(Σ AS DOUBLE) / (10⁹ · n)` — two exact
+    * integers through one correctly-rounded conversion and one
+    * division, bit-identical cross-engine.
+    *
+    * RAGGED GROUPS THROW: a group mixing vector lengths would silently
+    * mean over different supports per dimension — the plan
+    * `raise_error`s naming the group instead (the heavyHitters
+    * exact-or-loud stance). Null vectors are excluded (no components
+    * to pool). Output: (keyCol, n_vectors, centroid ARRAY<DOUBLE> in
+    * dimension order).
+    *
+    * Shape: one scan, one (group, dim) partial-agg exchange
+    * (|groups|·dim rows — bounded by the label/cluster domain), one
+    * bounded per-group assembly. */
+  def meanPoolVectors(df: DataFrame, keyCol: String,
+                      vecCol: String = "embedding"): DataFrame = {
+    val base = df.select(col(keyCol).as("__g"), asDouble(col(vecCol)).as("__v"))
+      .filter(col("__v").isNotNull)
+    val sums = base
+      .select(col("__g"), posexplode(col("__v")).as(Seq("__d", "__x")))
+      .groupBy("__g", "__d")
+      .agg(sum(round(col("__x") * 1e9).cast("long")
+          .cast(DecimalType(38, 0))).as("__s"),
+        count(lit(1)).as("__n"))
+      .withColumn("__m",
+        col("__s").cast("double") / (lit(1000000000.0) * col("__n")))
+    sums.groupBy("__g")
+      .agg(min("__n").as("__mn"), max("__n").as("__mx"),
+        sort_array(collect_list(struct(col("__d").as("d"),
+          col("__m").as("m")))).as("__dm"))
+      .select(col("__g").as(keyCol),
+        when(col("__mn") =!= col("__mx"),
+          raise_error(concat(lit("meanPoolVectors: ragged vector " +
+            "lengths in group "), col("__g").cast("string"))))
+          .otherwise(col("__mn")).as("n_vectors"),
+        transform(col("__dm"), s => s.getField("m")).as("centroid"))
+  }
+
   // --------------------------------------------------- bitext mining
   /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019 — the
     * CCMatrix/LASER recipe): for every SOURCE vector, its best TARGET

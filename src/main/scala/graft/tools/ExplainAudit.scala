@@ -143,6 +143,9 @@ object ExplainAudit extends App {
       // served anomaly screen: stats subtree on the training slice +
       // ONE scan + one AQE-decided stats join per served batch
       "ev_anomaly_incremental",
+      // prototypes: one scan, one (group, dim) partial-agg exchange,
+      // bounded per-group assembly
+      "emb_label_prototypes",
       // retention: activity collapses to (user, period) BEFORE any join;
       // the cell rollup's domain is periods², calendar-bounded
       "ev_retention",

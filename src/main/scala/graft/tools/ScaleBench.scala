@@ -200,6 +200,8 @@ object ScaleBench {
     "vocab_growth_curve",
     // served anomaly screen: stats + flag join — expect ~ev_anomaly
     "ev_anomaly_incremental",
+    // prototypes: scan + (group, dim) partial agg — expect ~linear
+    "emb_label_prototypes",
     // retention: two user rollups + a user join + a calendar-bounded
     // cell rollup — expect ~linear wall in events
     "ev_retention",

@@ -544,6 +544,28 @@ class SimilaritySpec extends SparkSpec {
     assert(served.exceptAll(direct).isEmpty && direct.exceptAll(served).isEmpty)
   }
 
+  test("meanPoolVectors: exact hand-vector means, partitioning " +
+      "determinism, ragged groups refused loudly") {
+    val df = Seq(
+      ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 4.0f)),
+      ("b", Array(-1.5f, 0.5f))
+    ).toDF("k", "embedding")
+    for (parts <- Seq(1, 5)) {
+      val out = Similarity.meanPoolVectors(df.repartition(parts), "k")
+        .as[(String, Long, Seq[Double])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(out("a") == ((2L, Seq(2.0, 3.0))), out("a").toString)
+      assert(out("b") == ((1L, Seq(-1.5, 0.5))), out("b").toString)
+    }
+    // a group mixing vector lengths must throw, naming the group
+    val ragged = Seq(("a", Array(1.0f, 2.0f)), ("a", Array(1.0f)))
+      .toDF("k", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.meanPoolVectors(ragged, "k").collect()
+    }
+    assert(ex.getMessage.contains("ragged"), ex.getMessage)
+  }
+
   test("marginBitext: ratio margin recovers aligned pairs and demotes " +
       "the hub vector that wins raw cosine") {
     val src = Seq(
