@@ -771,6 +771,14 @@ object SparkEntry {
           "is_outlier")
     }),
 
+    "ev_rank_normalize" -> ((s, dir) =>
+      // per-type empirical-CDF normalization: the rank scale that lets
+      // heterogeneous signals combine; exact integers, one division
+      // per distinct value, inclusive tie semantics
+      graft.core.Stats.rankNormalize(t(s, dir, "events"), "value",
+          "event_type")
+        .select("event_id", "event_type", "value", "pct")),
+
     "ev_anomaly_stream" -> ((s, dir) => {
       // the served screen on a LIVE stream: robustOutliersAgainst is a
       // stateless scan + stream-static join, so the batch serving
@@ -1459,6 +1467,14 @@ object SparkEntry {
       Similarity.meanPoolVectors(t(s, dir, "embeddings"), "label")
         .select(col("label"), col("n_vectors"),
           posexplode(col("centroid")).as(Seq("d", "m")))),
+
+    "emb_prototype_classify" -> ((s, dir) => {
+      // nearest-class-mean baseline: every query takes its most-similar
+      // prototype's label; prototypes exact (emb_label_prototypes),
+      // ranking on bit-exact cosines with a label tie-break
+      val emb = t(s, dir, "embeddings")
+      Similarity.prototypeClassify(emb, emb.filter(col("vec_id") < 200))
+    }),
 
     "emb_bitext_margin" -> ((s, dir) => {
       // margin-based parallel-pair mining between two DISJOINT embedding
@@ -3297,6 +3313,31 @@ object SparkEntry {
         |       CAST(s AS DOUBLE) / (1000000000.0 * n) AS m
         |FROM sm""".stripMargin,
 
+    // prototypes via the emb_label_prototypes integer sums, assembled
+    // in dimension order; argmax on the same cosSql doubles
+    "emb_prototype_classify" ->
+      s"""WITH c AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings
+         |           WHERE embedding IS NOT NULL AND label IS NOT NULL),
+         |ex AS (SELECT label, i - 1 AS d,
+         |         CAST(round(v[i] * 1000000000) AS BIGINT) AS x
+         |       FROM c, (SELECT unnest(range(1, 65)) AS i) r),
+         |pr AS (SELECT label AS pl,
+         |         list(CAST(s AS DOUBLE) / (1000000000.0 * n) ORDER BY d) AS pv
+         |       FROM (SELECT label, d, sum(x) AS s, count(*) AS n
+         |             FROM ex GROUP BY 1, 2)
+         |       GROUP BY label),
+         |q AS (SELECT vec_id AS query_id, label,
+         |        CAST(embedding AS DOUBLE[]) AS qv
+         |      FROM embeddings WHERE vec_id < 200),
+         |sc AS (SELECT q.query_id, q.label, pr.pl,
+         |         ${cosSql("q.qv", "pr.pv")} AS sim
+         |       FROM q CROSS JOIN pr)
+         |SELECT query_id, label, pl AS predicted, pl = label AS correct
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, pl) AS rr FROM sc) t
+         |WHERE rr = 1""".stripMargin,
+
     // both neighborhood means ride exact integer sums of 1e-6-quantized
     // cosines; the margin expression's association order matches the
     // engine token-for-token, ranking on the 10 dp quantization
@@ -3492,6 +3533,20 @@ object SparkEntry {
     // join — same rows either path)
     "ev_anomaly_stream" -> EvAnomalyIncrementalOracle,
     "ev_anomaly_incremental" -> EvAnomalyIncrementalOracle,
+
+    // same value-domain histogram + inclusive cum window, one exact
+    // division per distinct value
+    "ev_rank_normalize" ->
+      """WITH h AS (SELECT event_type, value AS v, count(*) AS c
+        |           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |n AS (SELECT event_type, sum(c) AS n FROM h GROUP BY 1),
+        |p AS (SELECT event_type, v,
+        |        CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v)
+        |          AS DOUBLE) / n AS pct
+        |      FROM h JOIN n USING (event_type))
+        |SELECT e.event_id, e.event_type, e.value, p.pct
+        |FROM events e JOIN p ON e.event_type = p.event_type
+        |  AND e.value = p.v""".stripMargin,
 
     "ev_anomaly" ->
       """WITH h AS (SELECT event_type, value AS v, count(*) AS c

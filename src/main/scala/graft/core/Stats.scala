@@ -233,6 +233,41 @@ object Stats {
         abs(col(valueCol) - col("med")) > lit(k) * col("mad"))
   }
 
+  /** Exact empirical-CDF normalization (inclusive cume_dist):
+    * `pct(x) = #{rows with value ≤ x} / n`, per `keyCol` group when
+    * given — the rank-normalizer that puts heterogeneous quality
+    * signals (perplexity, length, classifier scores) on the common
+    * (0, 1] scale before combining or thresholding them, immune to
+    * each signal's units and tail shape. Computed from the
+    * VALUE-DOMAIN histogram: one cumulative window over the
+    * aggregated per-group domain — never raw rows — then one join
+    * back (the [[robustOutliers]] 2-scan shape, null-safe keys).
+    * Exact integers, one division per DISTINCT value, so the twin
+    * matches bitwise. Null measures are excluded (no rank). Ties
+    * share the inclusive pct by construction. Output: input rows +
+    * `pct`. For CONTINUOUS values the domain approaches the row count
+    * and the per-group window pays an O(domain log domain) sort —
+    * exact CDF's inherent cost; at lake scale read approximate ranks
+    * from [[graft.llm.Corpus.quantileSketch]]'s bounded KLL state
+    * instead (the perplexityBuckets split). */
+  def rankNormalize(df: DataFrame, valueCol: String,
+                    keyCol: String = null): DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull)
+    val gk = Option(keyCol).map(col).getOrElse(lit(0))
+    val h = rows.groupBy(gk.as("__k"), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val n = h.groupBy("__k").agg(sum("__c").as("__n"))
+      .withColumnRenamed("__k", "__kn")
+    val wv = org.apache.spark.sql.expressions.Window.partitionBy("__k")
+      .orderBy("__v")
+    val pct = h.withColumn("__cum", sum("__c").over(wv))
+      .join(n, col("__k") <=> col("__kn")).drop("__kn")
+      .select(col("__k"), col("__v"),
+        (col("__cum").cast("double") / col("__n")).as("pct"))
+    rows.join(pct, gk <=> col("__k") && col(valueCol) <=> col("__v"))
+      .drop("__k", "__v")
+  }
+
   def catalog(documents: DataFrame): DataFrame =
     documents
       .groupBy("dataset")

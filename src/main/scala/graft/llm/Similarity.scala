@@ -932,6 +932,40 @@ object Similarity {
         transform(col("__dm"), s => s.getField("m")).as("centroid"))
   }
 
+  /** Nearest-class-mean classification — the cheapest embedding
+    * classifier baseline (Rocchio / NCM): each query takes the label
+    * of its most-cosine-similar class prototype
+    * ([[meanPoolVectors]] of the labeled corpus). Useful as the
+    * sanity floor under [[knnLabelVote]] and as a drift alarm (NCM
+    * accuracy collapsing on fresh data means the embedding space or
+    * the labels moved). Output: (query_id, label, predicted, correct)
+    * — the [[knnLabelVote]] eval contract.
+    *
+    * Shape: prototypes are a |labels|-row broadcast; the query side
+    * never shuffles (map-side WindowGroupLimit argmax). Ties break on
+    * the smaller label (deterministic); every cosine runs on
+    * bit-exact prototype vectors (see [[meanPoolVectors]]), so the
+    * SQL twin ranks identically. */
+  def prototypeClassify(corpus: DataFrame, queries: DataFrame,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        labelCol: String = "label"): DataFrame = {
+    val protos = meanPoolVectors(corpus.filter(col(labelCol).isNotNull),
+        labelCol, vecCol)
+      .select(col(labelCol).as("__pl"), col("centroid"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"), col(labelCol).as("label"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__sim").desc, col("__pl").asc)
+    q.crossJoin(broadcast(protos))
+      .withColumn("__sim", cosine(col("qv"), col("centroid")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("query_id"), col("label"),
+        col("__pl").as("predicted"),
+        (col("__pl") === col("label")).as("correct"))
+  }
+
   // --------------------------------------------------- bitext mining
   /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019 — the
     * CCMatrix/LASER recipe): for every SOURCE vector, its best TARGET

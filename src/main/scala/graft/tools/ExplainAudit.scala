@@ -146,6 +146,12 @@ object ExplainAudit extends App {
       // prototypes: one scan, one (group, dim) partial-agg exchange,
       // bounded per-group assembly
       "emb_label_prototypes",
+      // NCM classify: |labels|-row broadcast, query side unshuffled,
+      // map-side argmax prune
+      "emb_prototype_classify",
+      // rank normalize: value-domain histogram + cum window over the
+      // aggregated domain + one join back (2-scan floor)
+      "ev_rank_normalize",
       // retention: activity collapses to (user, period) BEFORE any join;
       // the cell rollup's domain is periods², calendar-bounded
       "ev_retention",

@@ -202,6 +202,10 @@ object ScaleBench {
     "ev_anomaly_incremental",
     // prototypes: scan + (group, dim) partial agg — expect ~linear
     "emb_label_prototypes",
+    // NCM classify: prototype subtree + broadcast argmax — ~linear
+    "emb_prototype_classify",
+    // rank normalize: domain histogram + join back — ~linear
+    "ev_rank_normalize",
     // retention: two user rollups + a user join + a calendar-bounded
     // cell rollup — expect ~linear wall in events
     "ev_retention",

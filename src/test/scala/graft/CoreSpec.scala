@@ -217,6 +217,26 @@ class CoreSpec extends SparkSpec {
     assert(flags == Map(7L -> true), s"unseen-group contract broken: $flags")
   }
 
+  test("rankNormalize: inclusive empirical CDF per group, ties share, " +
+      "nulls excluded, global mode") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 20.0),
+      (4L, "a", 30.0), (5L, "b", 5.0), (6L, "b", Double.NaN))
+      .toDF("id", "key", "v")
+      .withColumn("v", when(col("id") === 6L, lit(null)).otherwise(col("v")))
+    val out = graft.core.Stats.rankNormalize(df, "v", "key")
+      .select("id", "pct").as[(Long, Double)].collect().toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L), s"null kept: $out")
+    assert(out(1L) == 0.25 && out(2L) == 0.75 && out(3L) == 0.75 &&
+      out(4L) == 1.0, out.toString)
+    assert(out(5L) == 1.0, out.toString) // singleton group
+    // global mode (no key): 5 non-null values across both groups
+    val g = graft.core.Stats.rankNormalize(df, "v")
+      .select("id", "pct").as[(Long, Double)].collect().toMap
+    assert(g(5L) == 0.2 && g(4L) == 1.0 && g(2L) == 0.8, g.toString)
+  }
+
   test("robustOutliers: a NULL group key is a group like any other — " +
       "rows keep flowing with their own median/MAD") {
     import org.apache.spark.sql.functions._

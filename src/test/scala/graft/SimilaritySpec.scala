@@ -566,6 +566,28 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("ragged"), ex.getMessage)
   }
 
+  test("prototypeClassify: nearest class mean predicts on clean " +
+      "geometry; ties break to the smaller label; output contract") {
+    // two well-separated classes along axes 0/1; one query per class
+    // plus one exactly between them (tie → smaller label "a")
+    val corpus = Seq(
+      ("a", Array(1f, 0f, 0f, 0f)), ("a", Array(0.9f, 0.1f, 0f, 0f)),
+      ("b", Array(0f, 1f, 0f, 0f)), ("b", Array(0.1f, 0.9f, 0f, 0f))
+    ).zipWithIndex.map { case ((l, v), i) => (100L + i, l, v) }
+      .toDF("vec_id", "label", "embedding")
+    val queries = Seq(
+      (1L, "a", Array(1f, 0f, 0f, 0f)),
+      (2L, "a", Array(0f, 1f, 0f, 0f)), // mislabeled on purpose
+      (3L, "b", Array(1f, 1f, 0f, 0f))  // equidistant → tie → "a"
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.prototypeClassify(corpus, queries)
+      .as[(Long, String, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(out(1L) == (("a", true)), out(1L).toString)
+    assert(out(2L) == (("b", false)), out(2L).toString)
+    assert(out(3L) == (("a", false)), s"tie must break to 'a': ${out(3L)}")
+  }
+
   test("marginBitext: ratio margin recovers aligned pairs and demotes " +
       "the hub vector that wins raw cosine") {
     val src = Seq(
