@@ -231,6 +231,19 @@ class TemporalJoinsSpec extends SparkSpec {
       Funnel.funnel(ev, "user_id", "etype", "ts", steps = Seq("A", "B"),
         withinUs = Some(1L), withinPeriod = Some("day"))
     }
+    // month mode: Jan 31 → Feb 1 is cut, Jan 2 → Jan 30 converts —
+    // real month arithmetic, not 30-day division (the retention
+    // month-mode contract)
+    val mev = Seq(
+      (10L, "A", ts("2024-01-31 23:00:00")),
+      (10L, "B", ts("2024-02-01 01:00:00")),
+      (11L, "A", ts("2024-01-02 00:00:00")),
+      (11L, "B", ts("2024-01-30 23:59:59"))
+    ).toDF("user_id", "etype", "ts")
+    val month = Funnel.funnel(mev, "user_id", "etype", "ts",
+        steps = Seq("A", "B"), withinPeriod = Some("month"))
+      .select("user", "steps_completed").as[(Long, Long)].collect().toMap
+    assert(month == Map(10L -> 1L, 11L -> 2L), month.toString)
   }
 
   test("retention: weekly cohort triangle — exact cells, chatty users " +
