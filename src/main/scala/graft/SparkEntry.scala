@@ -859,6 +859,13 @@ object SparkEntry {
             n = 3, threshold = 0.5))
         .withColumnRenamed("id", "doc_id")),
 
+    "dedup_lsh_tuning" -> ((s, dir) =>
+      // the S-curve that configures the LSH dedup family: detection
+      // probability vs jaccard for the default 16×4 banding; every
+      // power a left-associated multiply chain (bit-exact cross-engine
+      // — libm pow is not)
+      Dedup.lshTuningCurve(s)),
+
     "dedup_components_incremental" -> ((s, dir) => {
       // steady-state closure maintenance: yesterday's labels (the
       // closure of the old-slice pairs, star-compressed to diameter 2)
@@ -2799,6 +2806,17 @@ object SparkEntry {
     "dedup_components" -> DedupComponentsOracle,
     // incremental path ≡ full recompute — the twin is shared verbatim
     "dedup_components_incremental" -> DedupComponentsOracle,
+
+    // the same left-associated multiply chains the engine folds —
+    // s^4 as ((s*s)*s)*s, (1-s^4)^16 as a 16-term chain
+    "dedup_lsh_tuning" ->
+      s"""WITH g AS (SELECT CAST(i AS DOUBLE) / 100 AS s
+         |           FROM (SELECT unnest(range(0, 101)) AS i) r),
+         |b AS (SELECT s, s * s * s * s AS pb FROM g),
+         |m AS (SELECT s, pb, (1 - pb) AS q FROM b)
+         |SELECT s, pb AS p_band,
+         |  1 - (${Seq.fill(16)("q").mkString(" * ")}) AS p_detect
+         |FROM m""".stripMargin,
 
     "dedup_keep_representative" ->
       """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),

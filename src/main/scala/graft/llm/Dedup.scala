@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1091,6 +1091,33 @@ object Dedup {
     connectedComponents(
       newPairs.select(col("i"), col("j")).unionByName(
         labels0.select(col("id").as("i"), col("comp").as("j"))), maxIter)
+
+  /** The LSH tuning S-curve — P(candidate | jaccard = s) for a
+    * `bands × rows` MinHash banding: `p_band = s^rows`,
+    * `p_detect = 1 − (1 − s^rows)^bands`. The operator that CONFIGURES
+    * the dedup family (the eval-gates pattern): the detection knee sits
+    * near `(1/bands)^(1/rows)` — ≈ 0.5 for the default 16 × 4 over
+    * k = 64 — so choosing bands/rows is reading this curve against the
+    * intended threshold, not folklore. One range scan, driver-free.
+    *
+    * Cross-engine discipline: every power is a LEFT-ASSOCIATED
+    * multiply chain (libm `pow` differs by ulps between engines — the
+    * PlatformLog lesson; explicit chains are bit-identical), so the
+    * twin hash-matches on raw doubles. */
+  def lshTuningCurve(spark: SparkSession, bands: Int = 16, rows: Int = 4,
+                     gridPoints: Int = 100): DataFrame = {
+    require(bands >= 1 && rows >= 1 && bands * rows <= 4096,
+      s"lshTuningCurve: bands=$bands rows=$rows out of range")
+    require(gridPoints >= 1 && gridPoints <= 100000,
+      s"lshTuningCurve: gridPoints=$gridPoints out of range")
+    val s = col("id").cast("double") / gridPoints
+    val pBand = (1 until rows).foldLeft(s)((acc, _) => acc * s)
+    val q = lit(1.0) - pBand
+    val pMiss = (1 until bands).foldLeft(q)((acc, _) => acc * q)
+    spark.range(0, gridPoints + 1L)
+      .select(s.as("s"), pBand.as("p_band"),
+        (lit(1.0) - pMiss).as("p_detect"))
+  }
 
   /** Diagnostic: pointer-doubling rounds the LAST [[connectedComponents]]
     * call on this JVM ran (driver-side loop, so a plain var suffices for

@@ -360,6 +360,30 @@ class DedupSpec extends SparkSpec {
     assert(comp.values.toSet == Set(0L))
   }
 
+  test("lshTuningCurve: endpoints exact, monotone, knee near " +
+      "(1/bands)^(1/rows), matches the closed form, loud contracts") {
+    val c = Dedup.lshTuningCurve(spark, bands = 16, rows = 4)
+      .as[(Double, Double, Double)].collect().sortBy(_._1)
+    assert(c.length == 101)
+    assert(c.head == ((0.0, 0.0, 0.0)) && c.last == ((1.0, 1.0, 1.0)))
+    assert(c.sliding(2).forall(p => p(1)._3 >= p(0)._3), "not monotone")
+    // closed form within float tolerance (the chain IS the definition;
+    // pow is only the reference here)
+    c.foreach { case (s, _, p) =>
+      assert(math.abs(p - (1 - math.pow(1 - math.pow(s, 4), 16))) < 1e-9,
+        s"curve diverges from closed form at s=$s")
+    }
+    // the 50% knee sits near (1/16)^(1/4) ≈ 0.5
+    val knee = c.find(_._3 >= 0.5).get._1
+    assert(knee >= 0.4 && knee <= 0.6, s"knee at $knee")
+    intercept[IllegalArgumentException] {
+      Dedup.lshTuningCurve(spark, bands = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.lshTuningCurve(spark, gridPoints = 0)
+    }
+  }
+
   test("contaminationBySource: pair attribution — doc positions count, " +
       "benchmark-internal duplication doesn't, clean docs absent") {
     val docs = Seq(
