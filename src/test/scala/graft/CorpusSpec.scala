@@ -123,6 +123,14 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Corpus.vocabGrowthCurve(docs, "doc_id", "text", Seq.empty)
     }
+    // ids PAST the last checkpoint contribute nothing anywhere — the
+    // curve describes exactly the checkpointed prefix (append-only
+    // contract: later arrivals never change recorded points)
+    val clipped = Corpus.vocabGrowthCurve(docs, "doc_id", "text",
+        checkpoints = Seq(5L, 10L))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(clipped(0) == ((5L, 2L, 5L, 3L)) &&
+      clipped(1) == ((10L, 3L, 6L, 4L)), clipped.mkString(","))
   }
 
   test("vocabCoverage: cumulative mass at each budget, ties by token order") {

@@ -424,6 +424,24 @@ class MultimodalSpec extends SparkSpec {
     assert(fp.map { case (k, v) => k -> v._1 } == fp2)
   }
 
+  test("audioFingerprints: stereo clip decodes (channel-meaned) and a " +
+      "mono mixdown of the same content lands near it") {
+    val mono = toneClip(Seq(440.0), Seq(1320.0))
+    // interleave L=R (a "stereo" file of the same program material)
+    val stereo = Array.tabulate(mono.length * 2)(i => mono(i / 2))
+    val rows = Seq(
+      (1L, wavBytes(mono)),
+      (2L, wavBytes(stereo, channels = 2)))
+    val mm = Multimodal.asMedia(rows.toDF("id", "bin"),
+      "id", "bin", "audio", "audio/wav")
+    val fp = Multimodal.audioFingerprints(mm).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(fp(1L)._2 && fp(2L)._2, s"stereo failed to decode: $fp")
+    // channel-mean of L=R reproduces the mono samples exactly
+    assert(java.lang.Long.bitCount(fp(1L)._1 ^ fp(2L)._1) <= 3,
+      s"stereo mixdown moved ${java.lang.Long.bitCount(fp(1L)._1 ^ fp(2L)._1)} bits")
+  }
+
   test("audioNearDupPairs finds planted perceptual dups, excludes " +
       "undecodable rows, never pairs distinct content") {
     val rows = Seq(

@@ -638,6 +638,11 @@ class SimilaritySpec extends SparkSpec {
       .select("src_id", "tgt_id").as[(Long, Long)].collect().toSet
     assert(mut == Set((0L, 11L), (1L, 10L), (4L, 14L)),
       s"mutual pairs: $mut")
+    // k beyond both sides' sizes: means divide by the ACTUAL neighbor
+    // count, one best row per source either way
+    val big = Similarity.marginBitext(src, tgt, k = 50)
+      .select("src_id").as[Long].collect().sorted
+    assert(big.sameElements(Array(0L, 1L, 2L, 3L, 4L)), big.mkString(","))
   }
 
   test("VectorIndex: ivfTopKAgainst / ivfPqTopKAgainst reproduce the " +
