@@ -341,6 +341,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(finalScans(q("emb_bitext_margin"), "embeddings") == 4)
   }
 
+  test("vocab_growth_curve holds the 2-scan floor (type buckets + " +
+      "per-doc totals; both collapse to checkpoint indexes)") {
+    assert(finalScans(q("vocab_growth_curve"), "documents") == 2)
+  }
+
+  test("ev_rank_normalize holds the 2-scan floor (value-domain " +
+      "histogram + per-row join back — the robustOutliers shape)") {
+    assert(finalScans(q("ev_rank_normalize"), "events") == 2)
+  }
+
+  test("ev_anomaly_incremental serves with 2 event scans (stats " +
+      "subtree + the flagged batch)") {
+    assert(finalScans(q("ev_anomaly_incremental"), "events") == 2)
+  }
+
   test("a deliberate recompute shape IS caught by the counter") {
     // sanity-check the guard itself: the pre-fix bigram formulation
     // (context count re-exploded from the corpus) must count 3 scans
