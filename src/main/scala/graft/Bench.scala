@@ -92,35 +92,74 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    val calBefore = calibrate(spark)
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
-    // per query: (median, spread = max - min over the passes). The spread
+    val noisyThreshold = math.max(3, names.size / 20)
+
+    // one full measurement attempt: probe, timed passes, probe, verdicts.
+    // Per query: (median, spread = max - min over the passes). The spread
     // rides along in the JSON so a recorded regression can be read against
     // the run's own dispersion instead of a cross-round guess — ±17%
     // judge-to-judge total swings with healthy calibration were the r9
     // round signal's largest error bar.
-    val results = names.map { name =>
-      val times = (1 to passes).map { _ =>
-        val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      (name, times(times.length / 2), times.last - times.head)
+    final case class Attempt(results: Seq[(String, Double, Double)],
+                             calBefore: Double, calAfter: Double) {
+      val contended: Boolean = contendedVerdict(Seq(calBefore, calAfter))
+      // RUN-LEVEL NOISE VERDICT: a pass where many queries' run-internal
+      // spread exceeds their own median is measuring scheduler jitter, not
+      // the engine — the recorded r11 driver run had 7/98 such queries
+      // (q4: median 0.94 s, spread 2.06 s) and, tail-truncated, read as a
+      // phantom 3× regression. The threshold scales with suite size
+      // (>max(3, 5%) of queries) so a couple of intrinsically-variable
+      // queries on a clean run don't trip it: the r11 builder run (3/98)
+      // and judge re-run (4/98) stay clean, the driver's 7/98 flags.
+      val noisyCount: Int = results.count { case (_, med, sp) => sp > med }
+      val noisy: Boolean = noisyCount > noisyThreshold
+      def flagged: Boolean = contended || noisy
     }
-    val calAfter = calibrate(spark)
-    val contended = contendedVerdict(Seq(calBefore, calAfter))
-    // RUN-LEVEL NOISE VERDICT: a pass where many queries' run-internal
-    // spread exceeds their own median is measuring scheduler jitter, not
-    // the engine — the recorded r11 driver run had 7/98 such queries
-    // (q4: median 0.94 s, spread 2.06 s) and, tail-truncated, read as a
-    // phantom 3× regression. The threshold scales with suite size
-    // (>max(3, 5%) of queries) so a couple of intrinsically-variable
-    // queries on a clean run don't trip it: the r11 builder run (3/98)
-    // and judge re-run (4/98) stay clean, the driver's 7/98 flags.
-    val noisyCount = results.count { case (_, med, sp) => sp > med }
-    val noisyThreshold = math.max(3, names.size / 20)
-    val noisy = noisyCount > noisyThreshold
+    def measure(): Attempt = {
+      val calBefore = calibrate(spark)
+      val results = names.map { name =>
+        val times = (1 to passes).map { _ =>
+          val t0 = System.nanoTime()
+          try SparkEntry.queries(name)(spark, sfDir).count()
+          catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        (name, times(times.length / 2), times.last - times.head)
+      }
+      Attempt(results, calBefore, calibrate(spark))
+    }
+
+    // RETRY-ONCE-IF-FLAGGED: the r12/r13 driver recordings both
+    // self-stamped noisy while builder/judge runs on the same HEAD were
+    // clean — the flag machinery worked, but two consecutive unusable
+    // artifacts of record mean transient contention should get ONE more
+    // chance inside the same invocation before the round records a
+    // flagged number. If the first attempt is noisy or contended, measure
+    // once more and keep the cleaner attempt (fewer flags, then fewer
+    // noisy queries, then lower worst probe); `attempts` in the JSON says
+    // which path produced the record. Opt out: SPARK_GRAFT_BENCH_RETRY=0.
+    val retry = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY", "1") != "0"
+    val first = measure()
+    val (att, attempts) =
+      if (!retry || !first.flagged) (first, 1)
+      else {
+        System.err.println(
+          s"WARNING: attempt 1 flagged (noisy=${first.noisy} " +
+            s"contended=${first.contended}) — retrying once")
+        val second = measure()
+        def score(a: Attempt) =
+          ((if (a.contended) 1 else 0) + (if (a.noisy) 1 else 0),
+            a.noisyCount, math.max(a.calBefore, a.calAfter))
+        (if (Ordering[(Int, Int, Double)].lteq(score(second), score(first)))
+          second else first, 2)
+      }
+    val results = att.results
+    val calBefore = att.calBefore
+    val calAfter = att.calAfter
+    val contended = att.contended
+    val noisyCount = att.noisyCount
+    val noisy = att.noisy
     if (contended)
       System.err.println(
         f"WARNING: calibration probe $calBefore%.2fs/$calAfter%.2fs vs " +
@@ -134,7 +173,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"passes":$passes,"sf":"$sfDir","calibration_sec":[$calBefore,$calAfter],"contended":$contended,"noisy":$noisy,"noisy_count":$noisyCount}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"passes":$passes,"sf":"$sfDir","calibration_sec":[$calBefore,$calAfter],"contended":$contended,"noisy":$noisy,"noisy_count":$noisyCount,"attempts":$attempts}"""
     println(json)
     // Also self-record to a file: the driver captures a bounded stdout
     // tail, and an 84-query JSON line can outgrow it (the r8 artifact
@@ -156,7 +195,7 @@ object Bench {
     // full line above and in bench_out.json.
     val sPerQ = if (names.nonEmpty) total / names.size else 0.0
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","s_per_q":$sPerQ,"n_queries":${names.size},"noisy":$noisy,"noisy_count":$noisyCount,"contended":$contended,"summary":true}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","s_per_q":$sPerQ,"n_queries":${names.size},"noisy":$noisy,"noisy_count":$noisyCount,"contended":$contended,"attempts":$attempts,"summary":true}""")
     spark.stop()
   }
 }

@@ -729,6 +729,24 @@ object SparkEntry {
         t(s, dir, "events"), "user_id", "ts", gapSeconds = 1800, "value",
         tieBreak = Seq("event_id"))),
 
+    "st_sessionize_incremental" -> ((s, dir) => {
+      // sessionization's steady state: open-session state carried from
+      // the pre-split history (one (last_ts, last_session) row per
+      // user), the post-split batch tagged against it — one state join
+      // + one batch-sized window, zero history rescan. Twin =
+      // full-history lag+cumsum restricted to the batch rows, proving
+      // the incremental ids ARE the full recompute's.
+      val ev = t(s, dir, "events")
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      val state = graft.operators.Sessionize.sessionState(
+        ev.filter(col("ts") < split), "user_id", "ts", gapSeconds = 1800,
+        tieBreak = Seq("event_id"))
+      graft.operators.Sessionize.withSessionIdsIncremental(
+          state, ev.filter(col("ts") >= split), "user_id", "ts",
+          gapSeconds = 1800, tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("session_id"))
+    }),
+
     "ev_funnel" -> ((s, dir) =>
       // view → click → purchase conversion within 24 h of funnel entry:
       // greedy-earliest per user, strictly-after step ordering; the
@@ -779,6 +797,42 @@ object SparkEntry {
           "event_type")
         .select("event_id", "event_type", "value", "pct")),
 
+    "ev_rank_normalize_incremental" -> ((s, dir) => {
+      // the rank normalizer's train-once/serve-many split: the CDF
+      // trained on the even-id reference window (a persistable
+      // (key, value, pct) frame), the odd-id batch normalized against
+      // it — one scan + one join per served batch, zero histogram
+      // recomputation; batch values outside the reference domain drop
+      // (inner join — no defined empirical rank)
+      val ev = t(s, dir, "events")
+      val stats = graft.core.Stats.rankStats(
+        ev.filter(col("event_id") % 2 === 0), "value", "event_type")
+      graft.core.Stats.rankNormalizeAgainst(
+          ev.filter(col("event_id") % 2 === 1), stats,
+          "value", "event_type")
+        .select("event_id", "event_type", "value", "pct")
+    }),
+
+    "ev_rank_normalize_stream" -> ((s, dir) => {
+      // the served CDF on a LIVE stream: rankNormalizeAgainst is a
+      // stateless scan + stream-static join, so the batch serving
+      // operator runs unchanged on a readStream frame — AvailableNow
+      // drain, twin shared with ev_rank_normalize_incremental verbatim
+      val ev = t(s, dir, "events")
+      val stats = graft.core.Stats.rankStats(
+        ev.filter(col("event_id") % 2 === 0), "value", "event_type")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val arrivals = streamTable(s, dir, "events",
+          s.read.parquet(s"$dir/events.parquet").schema)
+        .select("event_id", "event_type", "value")
+        .filter(col("event_id") % 2 === 1)
+      drainStream(
+        graft.core.Stats.rankNormalizeAgainst(arrivals, stats,
+            "value", "event_type")
+          .select("event_id", "event_type", "value", "pct"),
+        "graft_rank_stream")
+    }),
+
     "ev_anomaly_stream" -> ((s, dir) => {
       // the served screen on a LIVE stream: robustOutliersAgainst is a
       // stateless scan + stream-static join, so the batch serving
@@ -810,6 +864,45 @@ object SparkEntry {
         "user_id", "ts", period = "week")
         // ISO-string the date for the compare layer (pandas reads
         // Spark DATE as object, DuckDB DATE as datetime64)
+        .withColumn("cohort", col("cohort").cast("string"))),
+
+    "ev_retention_incremental" -> ((s, dir) => {
+      // retention's steady state: the persisted (user, period) activity
+      // frame built from the even-id history, extended with the odd-id
+      // batch (union + distinct — append-incremental by construction,
+      // no ordering contract), then the triangle served from the frame.
+      // Twin = ev_retention's verbatim: incremental ≡ full recompute.
+      val ev = t(s, dir, "events")
+      val act = graft.operators.Funnel.activityFrame(
+        ev.filter(col("event_id") % 2 === 0), "user_id", "ts", "week")
+      graft.operators.Funnel.retentionFromActivity(
+          graft.operators.Funnel.extendActivity(act,
+            ev.filter(col("event_id") % 2 === 1), "user_id", "ts", "week"),
+          "week")
+        .withColumn("cohort", col("cohort").cast("string"))
+    }),
+
+    "ev_retention_quarter" -> ((s, dir) =>
+      // the QUARTER calendar rung with real structure: the testdata
+      // spans one month, so quarters are synthesized by spreading each
+      // event event_id%12 months forward (a deterministic derived
+      // timestamp both engines compute identically) — cohorts land in
+      // 4+ quarters and offsets exercise months_between/3 ≡
+      // date_diff('quarter') on quarter-start dates
+      graft.operators.Funnel.retention(
+          t(s, dir, "events").withColumn("ts2",
+            expr("timestampadd(MONTH, CAST(event_id % 12 AS INT), ts)")),
+          "user_id", "ts2", period = "quarter")
+        .withColumn("cohort", col("cohort").cast("string"))),
+
+    "ev_retention_year" -> ((s, dir) =>
+      // the YEAR rung: events spread event_id%36 months forward → 3
+      // calendar years of cohorts, offsets via months_between/12 ≡
+      // date_diff('year') on year-start dates
+      graft.operators.Funnel.retention(
+          t(s, dir, "events").withColumn("ts2",
+            expr("timestampadd(MONTH, CAST(event_id % 36 AS INT), ts)")),
+          "user_id", "ts2", period = "year")
         .withColumn("cohort", col("cohort").cast("string"))),
 
     "ev_asof_join" -> ((s, dir) => {
@@ -2144,6 +2237,65 @@ object SparkEntry {
       |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
       |WHERE e.value IS NOT NULL AND e.event_id % 2 = 1""".stripMargin
 
+  // the ev_rank_normalize CDF CTEs restricted to the even-id training
+  // window, the join serving the odd-id batch — shared verbatim by the
+  // batch serve AND the streaming serve (stateless stream-static join)
+  private val EvRankNormalizeIncrementalOracle: String =
+    """WITH h AS (SELECT event_type, value AS v, count(*) AS c
+      |           FROM events WHERE value IS NOT NULL
+      |             AND event_id % 2 = 0 GROUP BY 1, 2),
+      |n AS (SELECT event_type, sum(c) AS n FROM h GROUP BY 1),
+      |p AS (SELECT event_type, v,
+      |        CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v)
+      |          AS DOUBLE) / n AS pct
+      |      FROM h JOIN n USING (event_type))
+      |SELECT e.event_id, e.event_type, e.value, p.pct
+      |FROM events e JOIN p ON e.event_type = p.event_type
+      |  AND e.value = p.v
+      |WHERE e.event_id % 2 = 1""".stripMargin
+
+  // the retention twin: same Monday-start week truncation (ISO in both
+  // engines), integer offsets, ratio derived last — shared VERBATIM by
+  // the one-shot AND the activity-frame incremental paths (the hash
+  // match proves extend+serve ≡ full recompute)
+  private val EvRetentionOracle: String =
+    """WITH ev AS (SELECT user_id AS "user",
+      |            CAST(date_trunc('week', ts) AS DATE) AS p FROM events),
+      |coh AS (SELECT "user", min(p) AS cohort FROM ev GROUP BY 1),
+      |act AS (SELECT DISTINCT "user", p FROM ev),
+      |nc AS (SELECT cohort, count(*) AS n_cohort FROM coh GROUP BY 1),
+      |cell AS (SELECT c.cohort,
+      |           CAST(date_diff('day', c.cohort, a.p) // 7 AS BIGINT)
+      |             AS "offset",
+      |           count(*) AS n_active
+      |         FROM coh c JOIN act a USING ("user") GROUP BY 1, 2)
+      |SELECT CAST(cell.cohort AS VARCHAR) AS cohort, cell."offset",
+      |  cell.n_active, nc.n_cohort,
+      |  round(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention
+      |FROM cell JOIN nc USING (cohort)""".stripMargin
+
+  /** The quarter/year retention twin: the testdata's one-month span is
+    * spread `event_id % spreadMonths` months forward on both engines,
+    * then bucketed at `period` with boundary-counting offsets. */
+  private def retentionPeriodOracle(period: String,
+                                    spreadMonths: Int): String =
+    s"""WITH ev AS (SELECT user_id AS "user",
+       |            CAST(date_trunc('$period',
+       |              ts + to_months(CAST(event_id % $spreadMonths AS INT)))
+       |              AS DATE) AS p FROM events),
+       |coh AS (SELECT "user", min(p) AS cohort FROM ev GROUP BY 1),
+       |act AS (SELECT DISTINCT "user", p FROM ev),
+       |nc AS (SELECT cohort, count(*) AS n_cohort FROM coh GROUP BY 1),
+       |cell AS (SELECT c.cohort,
+       |           CAST(date_diff('$period', c.cohort, a.p) AS BIGINT)
+       |             AS "offset",
+       |           count(*) AS n_active
+       |         FROM coh c JOIN act a USING ("user") GROUP BY 1, 2)
+       |SELECT CAST(cell.cohort AS VARCHAR) AS cohort, cell."offset",
+       |  cell.n_active, nc.n_cohort,
+       |  round(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention
+       |FROM cell JOIN nc USING (cohort)""".stripMargin
+
   // the full-history recursive-CTE closure — shared verbatim by the
   // one-shot AND the star-compressed incremental engine paths: both
   // must produce the identical partition and min labels
@@ -2744,6 +2896,26 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    // the incremental twin: full-history lag+cumsum (the st_sessionize
+    // tagging CTEs) RESTRICTED to the post-split batch rows — the hash
+    // match proves carried-state tagging ≡ the full recompute's ids
+    "st_sessionize_incremental" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT) -
+        |              CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM tagged)
+        |SELECT event_id, user_id, session_id
+        |FROM sess WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
@@ -3590,23 +3762,19 @@ object SparkEntry {
         |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
         |WHERE e.value IS NOT NULL""".stripMargin,
 
-    // the retention twin: same Monday-start week truncation (ISO in
-    // both engines), integer offsets, ratio derived last
-    "ev_retention" ->
-      """WITH ev AS (SELECT user_id AS "user",
-        |            CAST(date_trunc('week', ts) AS DATE) AS p FROM events),
-        |coh AS (SELECT "user", min(p) AS cohort FROM ev GROUP BY 1),
-        |act AS (SELECT DISTINCT "user", p FROM ev),
-        |nc AS (SELECT cohort, count(*) AS n_cohort FROM coh GROUP BY 1),
-        |cell AS (SELECT c.cohort,
-        |           CAST(date_diff('day', c.cohort, a.p) // 7 AS BIGINT)
-        |             AS "offset",
-        |           count(*) AS n_active
-        |         FROM coh c JOIN act a USING ("user") GROUP BY 1, 2)
-        |SELECT CAST(cell.cohort AS VARCHAR) AS cohort, cell."offset",
-        |  cell.n_active, nc.n_cohort,
-        |  round(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention
-        |FROM cell JOIN nc USING (cohort)""".stripMargin,
+    "ev_retention" -> EvRetentionOracle,
+    // the incremental path shares the one-shot twin VERBATIM: the hash
+    // match proves activityFrame+extendActivity+retentionFromActivity
+    // ≡ a full-history recompute
+    "ev_retention_incremental" -> EvRetentionOracle,
+    // the quarter/year calendar rungs over the month-spread timestamps
+    "ev_retention_quarter" -> retentionPeriodOracle("quarter", 12),
+    "ev_retention_year" -> retentionPeriodOracle("year", 36),
+
+    // CDF trained on the even-id window, odd-id batch served — shared
+    // verbatim with the streaming serve
+    "ev_rank_normalize_incremental" -> EvRankNormalizeIncrementalOracle,
+    "ev_rank_normalize_stream" -> EvRankNormalizeIncrementalOracle,
 
     // the funnel twin chains the same greedy min-after aggregates with
     // the entry-anchored 24 h window

@@ -249,9 +249,28 @@ object Stats {
     * and the per-group window pays an O(domain log domain) sort —
     * exact CDF's inherent cost; at lake scale read approximate ranks
     * from [[graft.llm.Corpus.quantileSketch]]'s bounded KLL state
-    * instead (the perplexityBuckets split). */
+    * instead (the perplexityBuckets split). One-shot composition of
+    * [[rankStats]] (train) + [[rankNormalizeAgainst]] (serve). */
   def rankNormalize(df: DataFrame, valueCol: String,
-                    keyCol: String = null): DataFrame = {
+                    keyCol: String = null): DataFrame =
+    rankNormalizeAgainst(df, rankStats(df, valueCol, keyCol),
+      valueCol, keyCol)
+
+  /** The CDF half of [[rankNormalize]] — the per-group empirical
+    * distribution as a plain persistable frame `(__k, __v, pct)`
+    * (when `keyCol` is null, `__k` is the constant 0 all-rows group):
+    * train once on a reference window, write parquet, and normalize
+    * every later batch/stream with [[rankNormalizeAgainst]] — the
+    * rank-normalizer's train-once/serve-many split, exactly the
+    * [[robustStats]]/[[robustOutliersAgainst]] lifecycle (geometry =
+    * the reference window's value domain; regenerate when the baseline
+    * distribution legitimately moves). Same exchange shape as
+    * computing the CDF inline. For CONTINUOUS value domains the frame
+    * approaches the reference row count — persist the bounded KLL
+    * state from [[graft.llm.Corpus.quantileSketch]] instead and serve
+    * approximate ranks from it (the perplexityBuckets split). */
+  def rankStats(df: DataFrame, valueCol: String,
+                keyCol: String = null): DataFrame = {
     val rows = df.filter(col(valueCol).isNotNull)
     val gk = Option(keyCol).map(col).getOrElse(lit(0))
     val h = rows.groupBy(gk.as("__k"), col(valueCol).as("__v"))
@@ -260,11 +279,27 @@ object Stats {
       .withColumnRenamed("__k", "__kn")
     val wv = org.apache.spark.sql.expressions.Window.partitionBy("__k")
       .orderBy("__v")
-    val pct = h.withColumn("__cum", sum("__c").over(wv))
+    h.withColumn("__cum", sum("__c").over(wv))
       .join(n, col("__k") <=> col("__kn")).drop("__kn")
       .select(col("__k"), col("__v"),
         (col("__cum").cast("double") / col("__n")).as("pct"))
-    rows.join(pct, gk <=> col("__k") && col(valueCol) <=> col("__v"))
+  }
+
+  /** Normalize rows against a PRE-COMPUTED (possibly parquet-reloaded)
+    * [[rankStats]] CDF — the serving path: one scan + one stats join,
+    * zero histogram recomputation per batch. Stateless and
+    * stream-static, so it runs unchanged on a readStream frame. Rows
+    * whose exact (key, value) has no CDF row are DROPPED (inner join —
+    * a value outside the reference domain has no defined empirical
+    * rank; union the reference window forward or retrain when the
+    * domain grows). Null measures and null keys as in
+    * [[rankNormalize]] (null-safe joins). */
+  def rankNormalizeAgainst(df: DataFrame, stats: DataFrame,
+                           valueCol: String,
+                           keyCol: String = null): DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull)
+    val gk = Option(keyCol).map(col).getOrElse(lit(0))
+    rows.join(stats, gk <=> col("__k") && col(valueCol) <=> col("__v"))
       .drop("__k", "__v")
   }
 

@@ -14,7 +14,7 @@ import org.apache.spark.sql.types.DecimalType
   * Everything runs in SCALED-INTEGER arithmetic: float PageRank sums
   * are partition-order-dependent (the corpus_report lesson — IEEE
   * addition does not associate), so ranks are maintained as longs in
-  * units of `scale = max(10⁴, 10¹⁷ DIV |V|)`, contributions use
+  * units of `scale = max(10⁴, 9·10¹⁶ DIV |V|)`, contributions use
   * integer division (`rank DIV outdeg` — dropped remainders leak a
   * negligible ≤ outdeg·|V| units per iteration and keep every value
   * exactly reproducible on any engine), and damping is the integer

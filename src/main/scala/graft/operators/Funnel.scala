@@ -29,14 +29,22 @@ import org.apache.spark.sql.functions._
   * step's slice. */
 object Funnel {
 
+  /** The calendar rungs [[funnel]]'s `withinPeriod` and [[retention]]'s
+    * `period` accept — every `date_trunc` bucket with a cross-engine
+    * contract (Monday-anchored weeks, month/quarter/year starts,
+    * identical in DuckDB). */
+  val CalendarPeriods: Set[String] =
+    Set("day", "week", "month", "quarter", "year")
+
   /** CONVERSION ANCHORS: `withinUs` bounds every later step to an
-    * entry-anchored DURATION (t1 + µs); `withinPeriod` ("day" | "week"
-    * | "month") bounds them to the entry's CALENDAR period instead —
-    * `date_trunc(period, ts) = date_trunc(period, t1)`, the
-    * [[retention]] bucketing (Monday-anchored weeks, identical in the
-    * SQL twin), matching the product-analytics "converted within the
-    * same calendar day/week" contract where a Sunday-23:00 entry gets
-    * one hour, not 24. The two anchors are mutually exclusive. */
+    * entry-anchored DURATION (t1 + µs); `withinPeriod` (a
+    * [[CalendarPeriods]] rung) bounds them to the entry's CALENDAR
+    * period instead — `date_trunc(period, ts) = date_trunc(period,
+    * t1)`, the [[retention]] bucketing (Monday-anchored weeks,
+    * identical in the SQL twin), matching the product-analytics
+    * "converted within the same calendar day/week/quarter" contract
+    * where a Sunday-23:00 entry gets one hour, not 24. The two anchors
+    * are mutually exclusive. */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
              tsCol: String, steps: Seq[String],
              withinUs: Option[Long] = None,
@@ -47,8 +55,8 @@ object Funnel {
       s"funnel: duplicate step types in $steps — a repeated stage is " +
         "ambiguous; disambiguate the event types upstream")
     withinUs.foreach(w => require(w > 0, s"funnel: withinUs=$w must be > 0"))
-    withinPeriod.foreach(p => require(Set("day", "week", "month").contains(p),
-      s"funnel: withinPeriod '$p' not in {day, week, month}"))
+    withinPeriod.foreach(p => require(CalendarPeriods.contains(p),
+      s"funnel: withinPeriod '$p' not in $CalendarPeriods"))
     require(withinUs.isEmpty || withinPeriod.isEmpty,
       "funnel: withinUs and withinPeriod are mutually exclusive anchors")
     // null-timestamped events cannot participate in temporal ordering —
@@ -90,10 +98,11 @@ object Funnel {
     * counts; `retention` is the one derived ratio, computed last from
     * the two BIGINTs (the langIdConfusion discipline).
     *
-    * Periods are `date_trunc(period, ts)` days/weeks/months — calendar
-    * buckets, so the twin's date arithmetic matches exactly; `offset`
-    * counts PERIOD BOUNDARIES crossed (datediff of the truncated
-    * dates), not elapsed duration. Offset 0 is the cohort itself
+    * Periods are `date_trunc(period, ts)` [[CalendarPeriods]] buckets
+    * (day/week/month/quarter/year), so the twin's date arithmetic
+    * matches exactly; `offset` counts PERIOD BOUNDARIES crossed
+    * (datediff of the truncated dates), not elapsed duration. Offset 0
+    * is the cohort itself
     * (retention 1.0 by construction — kept: it carries n_cohort and
     * anchors the triangle).
     *
@@ -106,25 +115,66 @@ object Funnel {
     * rollup whose domain is periods², bounded by the calendar, not
     * the corpus. */
   def retention(events: DataFrame, userCol: String, tsCol: String,
-                period: String = "day"): DataFrame = {
-    require(Set("day", "week", "month").contains(period),
-      s"retention: period '$period' not in {day, week, month}")
-    val ev = events.select(col(userCol).as("user"),
-      date_trunc(period, col(tsCol)).cast("date").as("p"))
+                period: String = "day"): DataFrame =
+    retentionFromActivity(activityFrame(events, userCol, tsCol, period),
+      period)
+
+  /** The persisted frame behind [[retention]]'s steady state: the
+    * DISTINCT `(user, p)` activity rows at `period` granularity — a
+    * chatty user costs one row per period, not per event, so the frame
+    * is |users|·|periods|-bounded and APPEND-INCREMENTAL by
+    * construction: new events can only add rows, never change or
+    * remove one, so [[extendActivity]] with each day's batch keeps it
+    * exactly equal to recomputing it over the full history (min-cohort
+    * over a distinct union is order-free — no append-order contract
+    * needed, unlike sessionization). Train-once/serve-many lifecycle:
+    * write parquet partitioned by `p` (new batches touch only recent
+    * partitions), rebuild only when the period definition changes. */
+  def activityFrame(events: DataFrame, userCol: String, tsCol: String,
+                    period: String = "day"): DataFrame = {
+    require(CalendarPeriods.contains(period),
+      s"activityFrame: period '$period' not in $CalendarPeriods")
+    events.select(col(userCol).as("user"),
+        date_trunc(period, col(tsCol)).cast("date").as("p"))
       .filter(col("p").isNotNull)
-    // cohort = min over the DISTINCT (user, period) rows — deriving it
-    // from `active` lets both frames share one scan + one (user, p)
-    // exchange (ReusedExchange) instead of re-reading events
-    val active = ev.distinct()
+      .distinct()
+  }
+
+  /** Fold a new event batch into a persisted [[activityFrame]]:
+    * union + distinct — the whole increment. The distinct re-shuffles
+    * only (user, p) rows; at scale the persisted side is parquet
+    * partitioned by `p` and a date-bounded batch prunes to the
+    * partitions it can touch. Result ≡ [[activityFrame]] of the full
+    * history, exactly (set union of sets). */
+  def extendActivity(activity: DataFrame, events: DataFrame,
+                     userCol: String, tsCol: String,
+                     period: String = "day"): DataFrame =
+    activity.select(col("user"), col("p"))
+      .unionByName(activityFrame(events, userCol, tsCol, period))
+      .distinct()
+
+  /** The retention triangle from a (persisted or freshly-built)
+    * [[activityFrame]] — the serving half: cohort = min over the
+    * distinct (user, period) rows (≡ min over raw events), so both
+    * consumers share the one frame and its (user, p) exchange via
+    * ReusedExchange — then a user-keyed join and a (cohort, offset)
+    * rollup whose domain is periods², bounded by the calendar, not the
+    * corpus. Truncated dates make every offset an exact integer:
+    * day/week differences are multiples of the period length;
+    * month/quarter/year starts give integer-valued months_between
+    * (÷1, ÷3, ÷12). */
+  def retentionFromActivity(active: DataFrame,
+                            period: String = "day"): DataFrame = {
+    require(CalendarPeriods.contains(period),
+      s"retentionFromActivity: period '$period' not in $CalendarPeriods")
     val cohorts = active.groupBy("user").agg(min("p").as("cohort"))
     val nc = cohorts.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
-    // truncated dates make every offset an exact integer: day/week
-    // differences are multiples of the period length, month starts
-    // give integer-valued months_between
     val offset = (period match {
       case "day" => datediff(col("p"), col("cohort"))
       case "week" => datediff(col("p"), col("cohort")) / 7
       case "month" => months_between(col("p"), col("cohort"))
+      case "quarter" => months_between(col("p"), col("cohort")) / 3
+      case "year" => months_between(col("p"), col("cohort")) / 12
     }).cast("long")
     cohorts.join(active, "user")
       .groupBy(col("cohort"), offset.as("offset"))

@@ -237,6 +237,39 @@ class CoreSpec extends SparkSpec {
     assert(g(5L) == 0.2 && g(4L) == 1.0 && g(2L) == 0.8, g.toString)
   }
 
+  test("rankStats/rankNormalizeAgainst: parquet-reloaded CDF serves " +
+      "identically; out-of-domain values drop by contract") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 20.0),
+      (4L, "a", 30.0), (5L, "b", 5.0)).toDF("id", "key", "v")
+    val inline = graft.core.Stats.rankNormalize(df, "v", "key")
+    val dir = java.nio.file.Files.createTempDirectory("graft-rn")
+      .toString + "/cdf"
+    graft.core.Stats.rankStats(df, "v", "key").write.parquet(dir)
+    val served = graft.core.Stats.rankNormalizeAgainst(df,
+      spark.read.parquet(dir), "v", "key")
+    assert(served.exceptAll(inline).isEmpty &&
+      inline.exceptAll(served).isEmpty, "served CDF diverged from inline")
+    // a batch with values/keys outside the reference domain: an exact
+    // empirical rank is undefined there → dropped (inner join); known
+    // (key, value) pairs keep the REFERENCE pct, not a recomputed one
+    val batch = Seq((7L, "a", 20.0), (8L, "a", 999.0), (9L, "zzz", 1.0))
+      .toDF("id", "key", "v")
+    val pcts = graft.core.Stats.rankNormalizeAgainst(batch,
+        spark.read.parquet(dir), "v", "key")
+      .select("id", "pct").as[(Long, Double)].collect().toMap
+    assert(pcts == Map(7L -> 0.75), s"out-of-domain contract broken: $pcts")
+    // global (keyless) mode serves through the same split
+    val gdir = java.nio.file.Files.createTempDirectory("graft-rn")
+      .toString + "/cdf_g"
+    graft.core.Stats.rankStats(df, "v").write.parquet(gdir)
+    val g = graft.core.Stats.rankNormalizeAgainst(df,
+        spark.read.parquet(gdir), "v")
+      .select("id", "pct").as[(Long, Double)].collect().toMap
+    assert(g(5L) == 0.2 && g(4L) == 1.0, g.toString)
+  }
+
   test("robustOutliers: a NULL group key is a group like any other — " +
       "rows keep flowing with their own median/MAD") {
     import org.apache.spark.sql.functions._

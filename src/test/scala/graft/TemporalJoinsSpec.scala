@@ -274,7 +274,134 @@ class TemporalJoinsSpec extends SparkSpec {
       .select("offset", "n_active").as[(Long, Long)].collect().toMap
     assert(mo == Map(0L -> 1L, 1L -> 1L), mo.toString)
     intercept[IllegalArgumentException] {
-      Funnel.retention(ev, "user_id", "ts", period = "quarter")
+      Funnel.retention(ev, "user_id", "ts", period = "hour")
     }
+  }
+
+  test("retention quarter/year rungs: quarter-start cohorts, " +
+      "boundary-counting offsets via exact month arithmetic") {
+    import graft.operators.Funnel
+    val ev = Seq(
+      (1L, ts("2024-02-10 10:00:00")), // cohort 2024-Q1
+      (1L, ts("2024-11-05 10:00:00")), // Q4 → quarter offset 3
+      (2L, ts("2024-05-01 00:00:00")), // cohort 2024-Q2 (boundary day)
+      (2L, ts("2025-04-02 00:00:00")), // 2025-Q2 → quarter offset 4
+      (3L, ts("2026-12-31 23:59:59"))  // cohort 2026-Q4, never returns
+    ).toDF("user_id", "ts")
+    val q = Funnel.retention(ev, "user_id", "ts", period = "quarter")
+      .select("cohort", "offset", "n_active")
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map(r => (r._1.toString, r._2) -> r._3).toMap
+    assert(q == Map(("2024-01-01", 0L) -> 1L, ("2024-01-01", 3L) -> 1L,
+      ("2024-04-01", 0L) -> 1L, ("2024-04-01", 4L) -> 1L,
+      ("2026-10-01", 0L) -> 1L), q.toString)
+    val y = Funnel.retention(ev, "user_id", "ts", period = "year")
+      .select("cohort", "offset", "n_active")
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map(r => (r._1.toString, r._2) -> r._3).toMap
+    assert(y == Map(("2024-01-01", 0L) -> 2L, ("2024-01-01", 1L) -> 1L,
+      ("2026-01-01", 0L) -> 1L), y.toString)
+  }
+
+  test("retention steady state: activityFrame + extendActivity + " +
+      "retentionFromActivity ≡ full-history recompute, batch order free") {
+    import graft.operators.Funnel
+    val all = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-08 10:00:00")),
+      (1L, ts("2024-01-15 10:00:00")), (2L, ts("2024-01-02 10:00:00")),
+      (2L, ts("2024-01-16 10:00:00")), (3L, ts("2024-01-10 10:00:00")),
+      (3L, ts("2024-01-10 11:00:00"))
+    ).toDF("user_id", "ts")
+    val full = Funnel.retention(all, "user_id", "ts", period = "week")
+    // split does NOT respect time order — the activity frame needs no
+    // append contract (min-cohort over a distinct union is order-free);
+    // round-trip the persisted frame through parquet like a real run
+    val oldB = all.filter($"user_id" =!= 2L)
+    val newB = all.filter($"user_id" === 2L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-act")
+      .toString + "/activity"
+    Funnel.activityFrame(oldB, "user_id", "ts", "week").write.parquet(dir)
+    val inc = Funnel.retentionFromActivity(
+      Funnel.extendActivity(spark.read.parquet(dir), newB,
+        "user_id", "ts", "week"), "week")
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+      "incremental retention diverged from full recompute")
+  }
+
+  test("funnel quarter/year calendar anchors: a quarter boundary cuts " +
+      "what a 90-day window allows; year mode spans it") {
+    import graft.operators.Funnel
+    val ev = Seq(
+      // u1: B two hours after A but PAST the quarter boundary
+      // (Q1→Q2 2024) — quarter mode cuts, year mode converts
+      (1L, "A", ts("2024-03-31 23:00:00")),
+      (1L, "B", ts("2024-04-01 01:00:00")),
+      // u2: same shape across the YEAR boundary — both modes cut
+      (2L, "A", ts("2024-12-31 23:00:00")),
+      (2L, "B", ts("2025-01-01 01:00:00")),
+      // u3: converts inside one quarter
+      (3L, "A", ts("2024-05-01 10:00:00")),
+      (3L, "B", ts("2024-06-20 10:00:00"))
+    ).toDF("user_id", "etype", "ts")
+    def steps(p: String): Map[Long, Long] =
+      Funnel.funnel(ev, "user_id", "etype", "ts", steps = Seq("A", "B"),
+          withinPeriod = Some(p))
+        .select("user", "steps_completed").as[(Long, Long)].collect().toMap
+    assert(steps("quarter") == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+    assert(steps("year") == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("sessionize steady state: carried open-session state tags a new " +
+      "batch exactly as the full recompute; violations raise") {
+    import graft.operators.Sessionize
+    val hist = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), "u1 s1"),
+      (1L, 11L, ts("2024-01-01 10:10:00"), "u1 s1"),
+      (1L, 12L, ts("2024-01-01 12:00:00"), "u1 s2"),
+      (2L, 20L, ts("2024-01-01 09:00:00"), "u2 s1")
+    ).toDF("user_id", "event_id", "ts", "note")
+    val batch = Seq(
+      // u1: 10 min after the last history event — CONTINUES session 2
+      (1L, 13L, ts("2024-01-01 12:10:00"), "u1 s2 cont"),
+      // then a >30 min gap inside the batch — opens session 3
+      (1L, 14L, ts("2024-01-01 13:00:00"), "u1 s3"),
+      // u2: 5 h gap from history — opens session 2
+      (2L, 21L, ts("2024-01-01 14:00:00"), "u2 s2"),
+      // u3: unseen key — starts at session 1
+      (3L, 30L, ts("2024-01-01 10:00:00"), "u3 s1")
+    ).toDF("user_id", "event_id", "ts", "note")
+    val full = Sessionize.withSessionIds(hist.unionByName(batch),
+        "user_id", "ts", gapSeconds = 1800, tieBreak = Seq("event_id"))
+      .filter($"event_id".isin(13L, 14L, 21L, 30L))
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    // parquet round-trip the state like a real steady-state run
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess")
+      .toString + "/state"
+    Sessionize.sessionState(hist, "user_id", "ts", 1800,
+      tieBreak = Seq("event_id")).write.parquet(dir)
+    val state = spark.read.parquet(dir)
+    val inc = Sessionize.withSessionIdsIncremental(state, batch,
+        "user_id", "ts", gapSeconds = 1800, tieBreak = Seq("event_id"))
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(inc == full, s"incremental $inc vs full $full")
+    assert(inc == Map(13L -> 2L, 14L -> 3L, 21L -> 2L, 30L -> 1L), inc.toString)
+    // folding the batch back: extendSessionState ≡ sessionState(union)
+    val extended = Sessionize.extendSessionState(state, batch,
+      "user_id", "ts", 1800, tieBreak = Seq("event_id"))
+    val rebuilt = Sessionize.sessionState(hist.unionByName(batch),
+      "user_id", "ts", 1800, tieBreak = Seq("event_id"))
+    assert(extended.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(extended).isEmpty, "state fold diverged")
+    // append contract violated (batch event BEFORE the carried state's
+    // last event): raises loudly instead of mis-tagging
+    val stale = Seq((1L, 99L, ts("2024-01-01 09:00:00"), "late"))
+      .toDF("user_id", "event_id", "ts", "note")
+    val err = intercept[Exception] {
+      Sessionize.withSessionIdsIncremental(state, stale,
+        "user_id", "ts", 1800, tieBreak = Seq("event_id")).collect()
+    }
+    assert(err.getMessage != null &&
+      err.getMessage.contains("append-only contract"),
+      s"wrong error: ${err.getMessage}")
   }
 }
