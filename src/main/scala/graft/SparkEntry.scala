@@ -1163,6 +1163,18 @@ object SparkEntry {
       graft.llm.Retrieval.rankingMetrics(run, truth, k = 10)
     }),
 
+    "ann_certify" -> ((s, dir) => {
+      // the index lifecycle's certification op as a driver-visible
+      // gate: recall/rr/nDCG of the SERVING path (ivfTopKAgainst, the
+      // path production queries take) against brute-force truth, on
+      // the md5-ordered deterministic sample — the reusable form of
+      // ann_recall wired to docs/sketches.md's "certification failure
+      // → regenerate" trigger
+      val emb = t(s, dir, "embeddings")
+      Similarity.certifyVectorIndex(Similarity.buildVectorIndex(emb),
+        k = 10, nprobe = 4, sampleN = 8)
+    }),
+
     "ann_ivf_topk" -> ((s, dir) => {
       // approximate variant (deterministic: centroids = first-16 vectors,
       // explicit tie-breaks throughout → fully oracle-checkable); recall vs
@@ -1376,6 +1388,24 @@ object SparkEntry {
           array_join(slice(split(TA.normalizeText(col("text")), " "),
             1, 6), " ").as("query_text"))
       graft.llm.Retrieval.bm25TopKAgainst(idx, q, k = 5)
+    }),
+
+    "text_bm25_certify" -> ((s, dir) => {
+      // certification with teeth behind the merge contract: the
+      // two-half merged index certified against a from-scratch rebuild
+      // on the standard query set — every query must agree EXACTLY
+      // (doc set, ranks, quantized scores); the twin derives the same
+      // counts from the rebuild top-k with certified = true, so any
+      // divergence (overlap, lost batch, corruption) hash-mismatches
+      val docs = t(s, dir, "documents")
+      val idx = graft.llm.Retrieval.mergeBm25Indexes(Seq(
+        graft.llm.Retrieval.bm25Index(docs.filter(col("doc_id") % 2 === 0)),
+        graft.llm.Retrieval.bm25Index(docs.filter(col("doc_id") % 2 === 1))))
+      val q = docs.filter(col("doc_id") % 25 === 0 && col("doc_id") < 500)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(TA.normalizeText(col("text")), " "),
+            1, 6), " ").as("query_text"))
+      graft.llm.Retrieval.certifyBm25Index(idx, docs, q, k = 5)
     }),
 
     "retrieval_metrics" -> ((s, dir) => {
@@ -2155,6 +2185,59 @@ object SparkEntry {
   // shared by text_bm25_topk AND text_bm25_index_merge: the merge path
   // must serve bit-identically to a full rebuild, so its oracle IS the
   // rebuild twin
+  /** Brute-force truth (the ann_cosine twin) + the IVF run (the
+    * ann_ivf twin) + the retrieval_metrics scoring SQL, parameterized
+    * by the query-sample CTE body — shared by ann_recall (the fixed
+    * vec_id < 5 set) and ann_certify (the md5-ordered deterministic
+    * certification sample). */
+  private def annRecallOracle(qCte: String): String =
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS ($qCte),
+       |bs AS (SELECT q.query_id, c.vec_id AS doc_id, ${cosSql("c.v", "q.qv")} AS sim
+       |       FROM c CROSS JOIN q WHERE q.query_id <> c.vec_id),
+       |truth AS (SELECT query_id, doc_id FROM (
+       |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY sim DESC, doc_id) AS rk FROM bs) t WHERE rk <= 10),
+       |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM c ORDER BY vec_id LIMIT 16),
+       |asg AS (SELECT corpus_id, centroid_id FROM (
+       |  SELECT a.vec_id AS corpus_id, ce.centroid_id,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${cosSql("a.v", "ce.cv")} DESC, ce.centroid_id) AS rn
+       |  FROM c a CROSS JOIN cents ce) t WHERE rn = 1),
+       |probes AS (SELECT query_id, centroid_id FROM (
+       |  SELECT q.query_id, ce.centroid_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${cosSql("q.qv", "ce.cv")} DESC, ce.centroid_id) AS rn
+       |  FROM q CROSS JOIN cents ce) t WHERE rn <= 4),
+       |iv AS (SELECT p.query_id, a.corpus_id, ${cosSql("cv2.v", "q2.qv")} AS sim
+       |      FROM asg a JOIN probes p USING (centroid_id)
+       |      JOIN q q2 ON q2.query_id = p.query_id
+       |      JOIN c cv2 ON cv2.vec_id = a.corpus_id
+       |      WHERE p.query_id <> a.corpus_id),
+       |run AS (SELECT query_id, corpus_id AS doc_id, rk AS rank FROM (
+       |  SELECT query_id, corpus_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, corpus_id) AS rk FROM iv) t WHERE rk <= 10),
+       |nrel AS (SELECT query_id, count(*) AS n_rel FROM truth GROUP BY 1),
+       |j AS (SELECT r.query_id, r.rank,
+       |      CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+       |      FROM run r LEFT JOIN truth t
+       |      ON r.query_id = t.query_id AND r.doc_id = t.doc_id),
+       |per AS (SELECT query_id, CAST(sum(rel) AS BIGINT) AS hits,
+       |        min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+       |        list(rank ORDER BY rank) FILTER (WHERE rel = 1) AS rel_ranks
+       |        FROM j GROUP BY 1)
+       |SELECT p.query_id, n.n_rel, p.hits,
+       |  round(CAST(p.hits AS DOUBLE) / n.n_rel, 6) AS recall,
+       |  coalesce(CAST(1.0 AS DOUBLE) / p.first_rel, 0.0) AS rr,
+       |  round(
+       |    coalesce(list_sum([ln(2.0) / ln(x + 1.0)
+       |        for x in coalesce(p.rel_ranks, [])]), 0.0) /
+       |    list_sum([ln(2.0) / ln(i + 1.0)
+       |        for i in range(1, least(n.n_rel, 10) + 1)]),
+       |    10) AS ndcg
+       |FROM per p JOIN nrel n USING (query_id)""".stripMargin
+
   private val Bm25TopkOracle: String =
     """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
       |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM documents),
@@ -2467,6 +2550,15 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "text_bm25_index_merge" -> Bm25TopkOracle,
+
+    // certification twin: the rebuild top-k's per-query counts with
+    // certified = true — merge ≡ rebuild is bit-exact, so the Spark
+    // side's exact-agreement audit must land on full agreement; any
+    // divergence (overlapping parts, lost batch) hash-mismatches here
+    "text_bm25_certify" ->
+      s"""SELECT query_id, count(*) AS n_served, count(*) AS n_rebuilt,
+         |  count(*) AS n_agree, true AS certified
+         |FROM ($Bm25TopkOracle) t GROUP BY query_id""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3183,52 +3275,14 @@ object SparkEntry {
     // brute-force truth (the ann_cosine twin) + the IVF run (the
     // ann_ivf twin) + the retrieval_metrics scoring SQL
     "ann_recall" ->
-      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
-         |bs AS (SELECT q.query_id, c.vec_id AS doc_id, ${cosSql("c.v", "q.qv")} AS sim
-         |       FROM c CROSS JOIN q WHERE q.query_id <> c.vec_id),
-         |truth AS (SELECT query_id, doc_id FROM (
-         |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
-         |         ORDER BY sim DESC, doc_id) AS rk FROM bs) t WHERE rk <= 10),
-         |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM c ORDER BY vec_id LIMIT 16),
-         |asg AS (SELECT corpus_id, centroid_id FROM (
-         |  SELECT a.vec_id AS corpus_id, ce.centroid_id,
-         |    row_number() OVER (PARTITION BY a.vec_id
-         |      ORDER BY ${cosSql("a.v", "ce.cv")} DESC, ce.centroid_id) AS rn
-         |  FROM c a CROSS JOIN cents ce) t WHERE rn = 1),
-         |probes AS (SELECT query_id, centroid_id FROM (
-         |  SELECT q.query_id, ce.centroid_id,
-         |    row_number() OVER (PARTITION BY q.query_id
-         |      ORDER BY ${cosSql("q.qv", "ce.cv")} DESC, ce.centroid_id) AS rn
-         |  FROM q CROSS JOIN cents ce) t WHERE rn <= 4),
-         |iv AS (SELECT p.query_id, a.corpus_id, ${cosSql("cv2.v", "q2.qv")} AS sim
-         |      FROM asg a JOIN probes p USING (centroid_id)
-         |      JOIN q q2 ON q2.query_id = p.query_id
-         |      JOIN c cv2 ON cv2.vec_id = a.corpus_id
-         |      WHERE p.query_id <> a.corpus_id),
-         |run AS (SELECT query_id, corpus_id AS doc_id, rk AS rank FROM (
-         |  SELECT query_id, corpus_id, sim,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY sim DESC, corpus_id) AS rk FROM iv) t WHERE rk <= 10),
-         |nrel AS (SELECT query_id, count(*) AS n_rel FROM truth GROUP BY 1),
-         |j AS (SELECT r.query_id, r.rank,
-         |      CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
-         |      FROM run r LEFT JOIN truth t
-         |      ON r.query_id = t.query_id AND r.doc_id = t.doc_id),
-         |per AS (SELECT query_id, CAST(sum(rel) AS BIGINT) AS hits,
-         |        min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
-         |        list(rank ORDER BY rank) FILTER (WHERE rel = 1) AS rel_ranks
-         |        FROM j GROUP BY 1)
-         |SELECT p.query_id, n.n_rel, p.hits,
-         |  round(CAST(p.hits AS DOUBLE) / n.n_rel, 6) AS recall,
-         |  coalesce(CAST(1.0 AS DOUBLE) / p.first_rel, 0.0) AS rr,
-         |  round(
-         |    coalesce(list_sum([ln(2.0) / ln(x + 1.0)
-         |        for x in coalesce(p.rel_ranks, [])]), 0.0) /
-         |    list_sum([ln(2.0) / ln(i + 1.0)
-         |        for i in range(1, least(n.n_rel, 10) + 1)]),
-         |    10) AS ndcg
-         |FROM per p JOIN nrel n USING (query_id)""".stripMargin,
+      annRecallOracle("SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5"),
+
+    // the certification op: the SAME recall pipeline over the
+    // md5-ordered deterministic sample certifyVectorIndex draws — the
+    // reproducible certificate of the serving path's quality
+    "ann_certify" ->
+      annRecallOracle("SELECT vec_id AS query_id, v AS qv FROM c " +
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8"),
 
     "ann_ivf_topk" ->
       s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

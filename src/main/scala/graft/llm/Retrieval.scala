@@ -47,6 +47,42 @@ object Retrieval {
   final case class Bm25Index(postings: DataFrame, docFreq: DataFrame,
                              stats: DataFrame)
 
+  /** The analyzer contract a [[Bm25Index]] is built under — the BM25
+    * analog of the ANN family's geometry: postings only mean what the
+    * tokenizer that produced them means, so an index built by one
+    * analyzer version must never be merged with, or served by, another
+    * (query terms would tokenize into a different vocabulary than the
+    * postings — silently wrong scores, the classic Lucene
+    * analyzer-mismatch bug). BUMP THE CONTRACT STRING whenever
+    * [[TextAnalysis.normalizeText]]'s semantics change. */
+  private val AnalyzerContract: String =
+    "graft-bm25 analyzer v1: lowercase; [^a-z0-9\\s] -> space; " +
+      "collapse whitespace; trim; split on single space; drop empties"
+
+  /** 64-bit fingerprint of [[AnalyzerContract]] — stamped into every
+    * index's `stats` frame as `analyzer_fp` (one BIGINT on a 1-row
+    * frame: free to carry, survives parquet), verified in-plan at
+    * merge (all parts must agree) and at serve (the index must match
+    * the library version tokenizing the queries). Splitmix-style fold
+    * over the contract bytes. */
+  val AnalyzerFingerprint: Long = {
+    var h = 0x616E616C797A6572L // "analyzer"
+    AnalyzerContract.getBytes("UTF-8").foreach { b =>
+      h = (h ^ (b & 0xFFL)) * 0x9E3779B97F4A7C15L
+      h ^= (h >>> 32)
+    }
+    h
+  }
+
+  /** Normalize a stats frame to carry `analyzer_fp`: frames persisted
+    * before the stamp existed are assumed built by the CURRENT
+    * analyzer (the only one that has ever existed pre-stamp) — once a
+    * v2 analyzer ships, unstamped frames should be treated as v1 and
+    * this default flipped to a loud error. */
+  private def statsWithFp(stats: DataFrame): DataFrame =
+    if (stats.columns.contains("analyzer_fp")) stats
+    else stats.withColumn("analyzer_fp", lit(AnalyzerFingerprint))
+
   /** Build the [[Bm25Index]] frames from a corpus. Plan shape: ONE
     * tokenizing scan feeds tf, docfreq and doc length (the docfreq
     * `count(when(tf > 0, …))` and the source-side isNotNull keep the
@@ -80,7 +116,9 @@ object Retrieval {
     // two scalar rows, broadcast. The id-only scan is genuinely narrow.
     val ndocs = base.agg(countDistinct(col(idCol)).as("n"))
     val toklen = dl.agg(coalesce(sum("dl"), lit(0L)).as("toklen"))
-    Bm25Index(tf.join(dl, "doc_id"), dfreq, ndocs.crossJoin(toklen))
+    Bm25Index(tf.join(dl, "doc_id"), dfreq,
+      ndocs.crossJoin(toklen)
+        .withColumn("analyzer_fp", lit(AnalyzerFingerprint)))
   }
 
   /** Merge per-slice [[Bm25Index]] parts into the index of their union
@@ -97,14 +135,28 @@ object Retrieval {
     * by exactly one part). A doc present in two parts double-counts in
     * docfreq/N/toklen — this is not checkable without a join over the
     * postings, so it is the caller's invariant (the natural slicing —
-    * by arrival batch — satisfies it by construction). */
+    * by arrival batch — satisfies it by construction). ANALYZER
+    * equality, by contrast, IS verified: the parts' `analyzer_fp`
+    * stamps are compared in-plan (a min/max over the 1-row stats union
+    * — zero extra scans) and a mismatch raises naming both
+    * fingerprints, instead of silently merging two vocabularies. */
   def mergeBm25Indexes(parts: Seq[Bm25Index]): Bm25Index = {
     require(parts.nonEmpty, "mergeBm25Indexes needs at least one part")
     val postings = parts.map(_.postings).reduce(_ unionByName _)
     val docFreq = parts.map(_.docFreq).reduce(_ unionByName _)
       .groupBy("token").agg(sum("docfreq").as("docfreq"))
-    val stats = parts.map(_.stats).reduce(_ unionByName _)
-      .agg(sum("n").as("n"), sum("toklen").as("toklen"))
+    val stats = parts.map(p => statsWithFp(p.stats)).reduce(_ unionByName _)
+      .agg(sum("n").as("n"), sum("toklen").as("toklen"),
+        min("analyzer_fp").as("__fmin"), max("analyzer_fp").as("__fmax"))
+      .select(col("n"), col("toklen"),
+        when(col("__fmin") === col("__fmax"), col("__fmin"))
+          .otherwise(raise_error(concat(
+            lit("mergeBm25Indexes: analyzer fingerprint mismatch across " +
+              "parts ("), col("__fmin").cast("string"), lit(" vs "),
+            col("__fmax").cast("string"),
+            lit(") — indexes built by different analyzer versions " +
+              "cannot merge; rebuild the older parts"))).cast("long"))
+          .as("analyzer_fp"))
     Bm25Index(postings, docFreq, stats)
   }
 
@@ -130,10 +182,24 @@ object Retrieval {
       .filter(length(col("token")) > 0)
       .distinct()
 
+    // the serve-side analyzer guard, in-plan on the 1-row stats frame
+    // (zero extra scans): an index built by a different analyzer
+    // version than the one tokenizing these queries raises instead of
+    // scoring a mismatched vocabulary
+    val stats = statsWithFp(index.stats).filter(
+      when(!(col("analyzer_fp") <=> lit(AnalyzerFingerprint)),
+        raise_error(concat(
+          lit("bm25TopKAgainst: index analyzer fingerprint "),
+          col("analyzer_fp").cast("string"),
+          lit(s" does not match this library's $AnalyzerFingerprint — " +
+            "the index was built by a different analyzer version; " +
+            "rebuild it before serving"))))
+        .otherwise(lit(true)))
+
     // idf per query term (query set × token-partitioned docfreq), with
     // the optional stop-term prune BEFORE postings expansion
     val qidf = qterms.join(index.docFreq, "token")
-      .crossJoin(broadcast(index.stats))
+      .crossJoin(broadcast(stats))
       .filter(col("docfreq") <= col("n") * lit(maxDfRatio))
       .select(col("query_id"), col("token"),
         // platformLn, not functions.log: Spark's log codegen is
@@ -203,6 +269,51 @@ object Retrieval {
                maxDfRatio: Double = 1.0): DataFrame =
     bm25TopKAgainst(bm25Index(docs, idCol, textCol), queries, k, k1, b,
       queryIdCol, queryTextCol, maxDfRatio)
+
+  /** Certify a (typically merged or long-lived) [[Bm25Index]] against a
+    * from-scratch rebuild over the docs it claims to cover — the BM25
+    * member of the docs/sketches.md "certification failure →
+    * regenerate" lifecycle, and the teeth behind
+    * [[mergeBm25Indexes]]' disjointness contract (the one invariant a
+    * fingerprint CANNOT check): serve `queries` from the index and
+    * from `bm25Index(docs)`, then compare the two top-k lists exactly
+    * — rank and quantized score both, since merge ≡ rebuild is
+    * bit-exact by construction, so ANY divergence (overlapping parts,
+    * a lost batch, postings corruption) shows as `certified = false`.
+    *
+    * Output: one row per query —
+    * (query_id, n_served, n_rebuilt, n_agree, certified), where
+    * `n_agree` counts (doc_id, rank, score)-identical rows and
+    * `certified` ⇔ all three counts coincide. Queries absent from both
+    * runs (no indexed terms) produce no row — they certify nothing
+    * either way. Cost: one rebuild of the index (the point: a
+    * certification is a paid audit, run on a sampled query set at a
+    * cadence, not per serve) plus |queries|·k-bounded comparison. */
+  def certifyBm25Index(index: Bm25Index, docs: DataFrame,
+                       queries: DataFrame, k: Int = 10,
+                       k1: Double = 1.2, b: Double = 0.75,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       queryIdCol: String = "query_id",
+                       queryTextCol: String = "query_text"): DataFrame = {
+    val served = bm25TopKAgainst(index, queries, k, k1, b,
+      queryIdCol, queryTextCol)
+    val rebuilt = bm25TopKAgainst(bm25Index(docs, idCol, textCol),
+      queries, k, k1, b, queryIdCol, queryTextCol)
+    val ns = served.groupBy("query_id").agg(count(lit(1)).as("n_served"))
+    val nr = rebuilt.groupBy("query_id").agg(count(lit(1)).as("n_rebuilt"))
+    val na = served.join(rebuilt,
+        Seq("query_id", "doc_id", "rank", "score"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_agree"))
+    ns.join(nr, Seq("query_id"), "full")
+      .join(na, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_served"), lit(0L)).as("n_served"),
+        coalesce(col("n_rebuilt"), lit(0L)).as("n_rebuilt"),
+        coalesce(col("n_agree"), lit(0L)).as("n_agree"))
+      .withColumn("certified",
+        col("n_served") === col("n_agree") &&
+          col("n_rebuilt") === col("n_agree"))
+  }
 
   /** Reciprocal-rank fusion — the standard sparse+dense hybrid-retrieval
     * combiner (Cormack et al. 2009; what every hybrid RAG stack runs

@@ -1079,16 +1079,87 @@ object Similarity {
     *   - `codebooks`: (sub INT, centroid_id LONG, centroid
     *     ARRAY<DOUBLE>) — the PQ sub-codebooks ([[pqTrain]] layout).
     *   - `vectors`: (corpus_id, cell, pq_cell, codes ARRAY<BIGINT>,
-    *     cv ARRAY<DOUBLE>) — one row per indexed vector: `cell` is the
-    *     cosine coarse assignment ([[ivfTopK]] semantics), `pq_cell`
-    *     the L2 coarse assignment ([[ivfPqTopK]] semantics — both are
-    *     computed in the same map-only encode pass, so carrying both
-    *     costs one long per row), `codes` the PQ codes, and `cv` the
-    *     raw vector (the inverted-list payload exact re-ranking needs;
-    *     drop it externally if only ADC-approximate serving is
-    *     wanted). */
+    *     cv ARRAY<DOUBLE>, geo_fp BIGINT) — one row per indexed
+    *     vector: `cell` is the cosine coarse assignment ([[ivfTopK]]
+    *     semantics), `pq_cell` the L2 coarse assignment ([[ivfPqTopK]]
+    *     semantics — both are computed in the same map-only encode
+    *     pass, so carrying both costs one long per row), `codes` the
+    *     PQ codes, `cv` the raw vector (the inverted-list payload
+    *     exact re-ranking needs; drop it externally if only
+    *     ADC-approximate serving is wanted), and `geo_fp` the
+    *     [[geometryFingerprint]] of the centroids+codebooks the row
+    *     was encoded under — the pinned-geometry stamp
+    *     (docs/sketches.md lifecycle) that merge and serve VERIFY, so
+    *     a mixed-geometry index is a loud error, never a silently
+    *     wrong answer. */
   final case class VectorIndex(centroids: DataFrame, codebooks: DataFrame,
                                vectors: DataFrame)
+
+  /** Content fingerprint of a [[VectorIndex]]'s GEOMETRY — the
+    * centroids and PQ codebooks, i.e. everything an encoded row's
+    * meaning depends on: a 64-bit splitmix-style fold over the sorted
+    * (cell, dims) and (sub, centroid_id, dims) tuples, on the raw
+    * IEEE bits (no rounding — geometry equality is bit equality).
+    * O(geometry) to compute: the frames are nlist·dim + m·k·w doubles
+    * — KB at any corpus scale — collected driver-side exactly like the
+    * serving kernels already do. Two indexes with equal fingerprints
+    * encode vectors identically; [[mergeVectorIndexes]] and the
+    * serving paths REQUIRE equality instead of taking it on faith. */
+  def geometryFingerprint(index: VectorIndex): Long = {
+    val spark = index.vectors.sparkSession
+    import spark.implicits._
+    val centArr = index.centroids
+      .select(col("cell").cast("long"), asDouble(col("centroid")))
+      .as[(Long, Seq[Double])].collect()
+    val books = index.codebooks
+      .select(col("sub").cast("int"), col("centroid_id").cast("long"),
+        asDouble(col("centroid")))
+      .as[(Int, Long, Seq[Double])].collect()
+    geometryFpArrays(centArr, books)
+  }
+
+  /** splitmix64-style accumulate: order-sensitive, avalanching. */
+  private def fpMix(h0: Long, v: Long): Long = {
+    var h = (h0 ^ v) * 0x9E3779B97F4A7C15L
+    h ^= (h >>> 32)
+    h * 0xBF58476D1CE4E5B9L ^ (h >>> 29)
+  }
+
+  private[graft] def geometryFpArrays(
+      centArr: Array[(Long, Seq[Double])],
+      books: Array[(Int, Long, Seq[Double])]): Long = {
+    var h = 0x67656F6D65747279L // "geometry"
+    centArr.sortBy(_._1).foreach { case (cid, v) =>
+      h = fpMix(h, cid)
+      v.foreach(d => h = fpMix(h, java.lang.Double.doubleToLongBits(d)))
+    }
+    books.sortBy(b => (b._1, b._2)).foreach { case (sub, cid, v) =>
+      h = fpMix(h, sub.toLong)
+      h = fpMix(h, cid)
+      v.foreach(d => h = fpMix(h, java.lang.Double.doubleToLongBits(d)))
+    }
+    h
+  }
+
+  /** Plan-side geometry guard for the serving paths: when the vectors
+    * frame carries the `geo_fp` stamp, every served row is checked
+    * against the serving geometry's fingerprint INSIDE the scan it
+    * already pays (zero extra passes) — a vector encoded under a
+    * different geometry raises mid-query naming both fingerprints.
+    * Stamp-less frames (pre-stamp parquet) pass unchecked, documented
+    * as the caller's contract. Null-safe: an unexpectedly-null stamp
+    * fails the check rather than slipping through. */
+  private def guardGeometry(vectors: DataFrame, expected: Long,
+                            where: String): DataFrame =
+    if (!vectors.columns.contains("geo_fp")) vectors
+    else vectors.filter(
+      when(!(col("geo_fp") <=> lit(expected)),
+        raise_error(concat(
+          lit(s"$where: VectorIndex geometry mismatch — vectors encoded " +
+            "under fingerprint "), col("geo_fp").cast("string"),
+          lit(s" but the serving geometry fingerprints to $expected; " +
+            "re-encode the vectors or serve with the matching index"))))
+        .otherwise(lit(true)))
 
   /** Train a [[VectorIndex]]: coarse centroids (first-N deterministic
     * quantizer at `trainIters` = 0 — the oracle mode — or Lloyd-refined
@@ -1144,7 +1215,11 @@ object Similarity {
         ge.nearestCentroid(col("cv"), centArr.toSeq, "cosine").as("cell"),
         ge.pqAssign(col("cv"), coarseBooks).getItem(0).as("pq_cell"),
         ge.pqAssign(col("cv"), books.toSeq).as("codes"),
-        col("cv"))
+        col("cv"),
+        // the pinned-geometry stamp: a constant per encode pass, so it
+        // costs one long per row, survives parquet, and lets merge and
+        // serve verify geometry instead of trusting the caller
+        lit(geometryFpArrays(centArr, books)).as("geo_fp"))
   }
 
   /** Encode a NEW batch with an existing index's geometry and add it —
@@ -1172,8 +1247,14 @@ object Similarity {
       .select(col("sub").cast("int"), col("centroid_id").cast("long"),
         asDouble(col("centroid")))
       .as[(Int, Long, Seq[Double])].collect()
+    // plan-side stamp check on the EXISTING rows (zero extra passes):
+    // extending a hand-assembled index whose vectors were encoded under
+    // a different geometry raises when the union is consumed, instead
+    // of quietly mixing two coordinate systems
+    val guarded = guardGeometry(index.vectors,
+      geometryFpArrays(centArr, books), "extendVectorIndex")
     VectorIndex(index.centroids, index.codebooks,
-      index.vectors.unionByName(
+      guarded.unionByName(
         encodeIntoIndex(batch, centArr, books, idCol, vecCol)))
   }
 
@@ -1181,12 +1262,24 @@ object Similarity {
     * slices, each encoded against IDENTICAL centroids + codebooks —
     * e.g. via [[extendVectorIndex]] or per-batch
     * [[buildVectorIndex]] with a shared `trainOn`): vectors union;
-    * geometry is taken from the head. Same caller-invariant stance as
-    * [[graft.llm.Retrieval.mergeBm25Indexes]] — differing geometries
-    * are not detectable without joining the centroid tables, so they
-    * are the caller's contract, not a runtime scan. */
+    * geometry is taken from the head. Geometry equality is VERIFIED,
+    * not trusted: every part's [[geometryFingerprint]] is recomputed
+    * (O(geometry) — KB-scale driver collects, no data-plane work) and
+    * a mismatch throws naming the offending parts, turning what used
+    * to be a silent wrong-answer merge into a loud error
+    * (docs/sketches.md geometry pinning, enforced). Disjointness of
+    * the corpus-id slices remains the caller's contract (checking it
+    * IS a data-plane join). */
   def mergeVectorIndexes(parts: Seq[VectorIndex]): VectorIndex = {
     require(parts.nonEmpty, "mergeVectorIndexes needs at least one part")
+    val fps = parts.map(geometryFingerprint)
+    val bad = fps.zipWithIndex.filter(_._1 != fps.head)
+    require(bad.isEmpty,
+      s"mergeVectorIndexes: geometry fingerprint mismatch — part 0 has " +
+        s"${fps.head} but " +
+        bad.map { case (fp, i) => s"part $i has $fp" }.mkString(", ") +
+        "; parts must be encoded under identical centroids+codebooks " +
+        "(extendVectorIndex or a shared trainOn)")
     VectorIndex(parts.head.centroids, parts.head.codebooks,
       parts.map(_.vectors).reduce(_ unionByName _))
   }
@@ -1198,10 +1291,15 @@ object Similarity {
     * Semantics and output exactly as [[ivfTopK]] — which this
     * reproduces bit-for-bit over `buildVectorIndex` of the same corpus
     * (monotone cell re-map preserves every tie-break) — but with zero
-    * training or assignment work in the serving plan. */
+    * training or assignment work in the serving plan. Geometry is
+    * verified in-plan via the `geo_fp` stamp (see
+    * [[geometryFingerprint]]): a vectors frame encoded under different
+    * centroids raises mid-query instead of scoring wrong cells. */
   def ivfTopKAgainst(index: VectorIndex, queries: DataFrame, k: Int,
                      nprobe: Int = 4, idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
+    val vectors = guardGeometry(index.vectors,
+      geometryFingerprint(index), "ivfTopKAgainst")
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
     val qprobe = q.crossJoin(broadcast(index.centroids))
@@ -1211,7 +1309,7 @@ object Similarity {
       .orderBy(col("csim").desc, col("cell"))
     val probes = qprobe.withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nprobe).select("query_id", "qv", "cell")
-    val scored = index.vectors.join(probes, Seq("cell"))
+    val scored = vectors.join(probes, Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         cosine(col("cv"), col("qv")).as("sim"))
@@ -1243,6 +1341,11 @@ object Similarity {
         asDouble(col("centroid")))
       .as[(Int, Long, Seq[Double])].collect()
     require(books.nonEmpty, "ivfPqTopKAgainst: empty codebooks")
+    val centArr = index.centroids
+      .select(col("cell").cast("long"), asDouble(col("centroid")))
+      .as[(Long, Seq[Double])].collect()
+    val vectors = guardGeometry(index.vectors,
+      geometryFpArrays(centArr, books), "ivfPqTopKAgainst")
     val m = books.map(_._1).max + 1
     val w = books.head._3.size
     val q = queries.select(col(idCol).as("query_id"),
@@ -1255,7 +1358,7 @@ object Similarity {
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
       .select(col("query_id"), col("cell").as("pq_cell"))
     val luts = adcLuts(q, index.codebooks, m, w)
-    val approx = index.vectors
+    val approx = vectors
       .join(broadcast(probes), Seq("pq_cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
@@ -1265,6 +1368,42 @@ object Similarity {
       .agg(sum("part").as("approx_dot"))
     exactRerank(topApprox(approx, k, rerank), index.vectors, q, k,
       "corpus_id", "cv")
+  }
+
+  /** Certify a [[VectorIndex]]'s serving quality — the
+    * docs/sketches.md lifecycle's "certification failure → regenerate"
+    * trigger as a reusable, driver-visible operator: recall@k /
+    * reciprocal rank / nDCG of the IVF SERVING path
+    * ([[ivfTopKAgainst]], the path production queries take) against
+    * brute-force cosine truth over the index's own vectors, on a
+    * HASH-DETERMINISTIC query sample (ordered by md5 of the id —
+    * engine-portable, content-independent, so the certificate is
+    * reproducible and twin-checkable, never a random() draw). One row
+    * per sampled query ([[graft.llm.Retrieval.rankingMetrics]]
+    * schema); gate on `min(recall)` or `avg(recall)` against the
+    * deployment's floor and retrain below it.
+    *
+    * Scale shape: the sample is `sampleN` rows (TakeOrderedAndProject
+    * — never a full sort materialization); truth is one broadcast
+    * sample × vectors scan; the serving run is the normal probed-cells
+    * path. Everything downstream is |sample|·k-bounded. */
+  def certifyVectorIndex(index: VectorIndex, k: Int = 10,
+                         nprobe: Int = 4, sampleN: Int = 16): DataFrame = {
+    require(k > 0 && nprobe > 0 && sampleN > 0,
+      s"certifyVectorIndex: bad k=$k / nprobe=$nprobe / sampleN=$sampleN")
+    val sample = index.vectors
+      .orderBy(md5(col("corpus_id").cast("string").cast("binary")),
+        col("corpus_id"))
+      .limit(sampleN)
+      .select(col("corpus_id").as("vec_id"), col("cv").as("embedding"))
+    val run = ivfTopKAgainst(index, sample, k, nprobe)
+      .select(col("query_id"), col("corpus_id").as("doc_id"), col("rank"))
+    val truth = bruteForceTopK(
+        index.vectors.select(col("corpus_id").as("vec_id"),
+          col("cv").as("embedding")),
+        sample, k)
+      .select(col("query_id"), col("corpus_id").as("doc_id"))
+    graft.llm.Retrieval.rankingMetrics(run, truth, k)
   }
 
   def hyperplaneSignature(vec: Column, nPlanes: Int = 16, table: Int = 0): Column = {

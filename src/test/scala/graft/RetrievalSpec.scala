@@ -113,6 +113,56 @@ class RetrievalSpec extends SparkSpec {
     assert(served.exceptAll(direct).isEmpty && direct.exceptAll(served).isEmpty)
   }
 
+  test("Bm25 analyzer fingerprint: stamped through parquet, legacy " +
+      "frames pass, forged stamps refuse to merge or serve; " +
+      "certifyBm25Index has teeth") {
+    import graft.llm.Retrieval.Bm25Index
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val q = Seq((10L, "apple cherry"), (11L, "date banana"))
+      .toDF("query_id", "query_text")
+    val idx = Retrieval.bm25Index(docs3)
+    val direct = Retrieval.bm25TopKAgainst(idx, q, k = 3)
+    // the stamp is on the 1-row stats frame
+    assert(idx.stats.select("analyzer_fp").as[Long].collect().toSeq ==
+      Seq(Retrieval.AnalyzerFingerprint))
+    // a pre-stamp (legacy) stats frame is assumed current and serves
+    val legacy = Bm25Index(idx.postings, idx.docFreq,
+      idx.stats.drop("analyzer_fp"))
+    val servedLegacy = Retrieval.bm25TopKAgainst(legacy, q, k = 3)
+    assert(servedLegacy.exceptAll(direct).isEmpty &&
+      direct.exceptAll(servedLegacy).isEmpty)
+    // a FORGED stamp (an index from a different analyzer version):
+    // serving raises naming both fingerprints instead of scoring a
+    // mismatched vocabulary
+    val forged = Bm25Index(idx.postings, idx.docFreq,
+      idx.stats.withColumn("analyzer_fp", lit(42L)))
+    val e = intercept[Exception] {
+      Retrieval.bm25TopKAgainst(forged, q, k = 3).collect()
+    }
+    assert(chain(e).contains("analyzer fingerprint"), chain(e))
+    // ...and merging it with a current-version part raises too
+    val e2 = intercept[Exception] {
+      Retrieval.mergeBm25Indexes(Seq(idx, forged)).stats.collect()
+    }
+    assert(chain(e2).contains("analyzer fingerprint mismatch"), chain(e2))
+    // certification with teeth: the merged halves certify fully...
+    val even = Retrieval.bm25Index(docs3.filter(col("doc_id") % 2 === 0))
+    val odd = Retrieval.bm25Index(docs3.filter(col("doc_id") % 2 === 1))
+    val merged = Retrieval.mergeBm25Indexes(Seq(even, odd))
+    val cert = Retrieval.certifyBm25Index(merged, docs3, q, k = 3)
+      .select("query_id", "certified").as[(Long, Boolean)].collect().toMap
+    assert(cert == Map(10L -> true, 11L -> true), cert.toString)
+    // ...while an index that LOST a batch (claims docs3, indexed only
+    // the even half) fails certification — the divergence a fingerprint
+    // cannot catch, caught by the rebuild audit
+    val lost = Retrieval.certifyBm25Index(even, docs3, q, k = 3)
+      .select("query_id", "certified").as[(Long, Boolean)].collect().toMap
+    assert(lost.values.exists(_ == false),
+      s"lost-batch index must fail certification: $lost")
+  }
+
   test("bm25TopKAgainst scores against the INDEX corpus stats only") {
     // index covers docs 1-2; doc 3 arrives later and is used as a query
     // — it must never appear as a result, and idf/avgdl must reflect the

@@ -710,6 +710,76 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("VectorIndex geometry fingerprints: stamped through parquet, " +
+      "mismatched merges and serves raise loudly; certification is " +
+      "deterministic and perfect when serving is exhaustive") {
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val q = emb.filter(col("vec_id") < 5)
+    val idxA = Similarity.buildVectorIndex(emb.filter(col("vec_id") < 300))
+    // a DIFFERENT first-N training slice → different geometry → fp differs
+    val idxB = Similarity.buildVectorIndex(emb.filter(col("vec_id") >= 100))
+    val fpA = Similarity.geometryFingerprint(idxA)
+    assert(fpA != Similarity.geometryFingerprint(idxB),
+      "distinct geometries must fingerprint differently")
+    // independent build over a different slice with a SHARED trainOn:
+    // same geometry, same fingerprint — the mergeable case
+    val shared = Similarity.buildVectorIndex(
+      emb.filter(col("vec_id") >= 300),
+      trainOn = emb.filter(col("vec_id") < 300))
+    assert(fpA == Similarity.geometryFingerprint(shared),
+      "shared-trainOn builds must fingerprint identically")
+    assert(Similarity.mergeVectorIndexes(Seq(idxA, shared))
+      .vectors.count() > 0)
+    // the stamp is a literal column: survives parquet, one value
+    val dir = java.nio.file.Files.createTempDirectory("graft-geofp")
+      .toString + "/vectors"
+    idxA.vectors.write.parquet(dir)
+    val stamps = spark.read.parquet(dir).select("geo_fp")
+      .distinct().as[Long].collect()
+    assert(stamps.toSeq == Seq(fpA), s"stamp lost in parquet: ${stamps.toSeq}")
+    // mismatched-geometry merge: throws naming the offending part
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mergeVectorIndexes(Seq(idxA, idxB))
+    }
+    assert(e.getMessage.contains("geometry fingerprint mismatch") &&
+      e.getMessage.contains("part 1"), e.getMessage)
+    // mismatched serve: A's vectors under B's geometry raises in-plan
+    // (both IVF and IVF-PQ serving paths), never a silent wrong answer
+    val franken = Similarity.VectorIndex(idxB.centroids, idxB.codebooks,
+      idxA.vectors)
+    val e2 = intercept[Exception] {
+      Similarity.ivfTopKAgainst(franken, q, k = 5).collect()
+    }
+    assert(chain(e2).contains("geometry mismatch"), chain(e2))
+    val e3 = intercept[Exception] {
+      Similarity.ivfPqTopKAgainst(franken, q, k = 5).collect()
+    }
+    assert(chain(e3).contains("geometry mismatch"), chain(e3))
+    // extending a hand-assembled mismatched index raises on consumption
+    val e4 = intercept[Exception] {
+      Similarity.extendVectorIndex(franken,
+        emb.filter(col("vec_id") >= 300)).vectors.count()
+    }
+    assert(chain(e4).contains("geometry mismatch"), chain(e4))
+    // certification: hash-deterministic sample (same rows every run) and
+    // perfect recall when nprobe = nlist makes serving exhaustive
+    val c1 = Similarity.certifyVectorIndex(idxA, k = 5, nprobe = 16,
+      sampleN = 4).select("query_id", "recall", "rr")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(c1.length == 4 && c1.forall(r => r._2 == 1.0 && r._3 == 1.0),
+      s"exhaustive serving must certify perfectly: ${c1.toSeq}")
+    val c2 = Similarity.certifyVectorIndex(idxA, k = 5, nprobe = 16,
+      sampleN = 4).select("query_id", "recall", "rr")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(c1.toSeq == c2.toSeq, "certification sample must be deterministic")
+    // approximate serving still certifies with recall in [0, 1]
+    val c3 = Similarity.certifyVectorIndex(idxA, k = 5, nprobe = 2,
+      sampleN = 4).select("recall").as[Double].collect()
+    assert(c3.nonEmpty && c3.forall(r => r >= 0.0 && r <= 1.0), c3.toSeq)
+  }
+
   test("clusterProfile: populations sum to the corpus, cohesion stats are sane") {
     val prof = Similarity.clusterProfile(emb, nClusters = 8).cache()
     val rows = prof.collect()
