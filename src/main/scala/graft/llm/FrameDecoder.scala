@@ -22,6 +22,19 @@ trait FrameDecoder {
   /** Decode up to `n` evenly-spaced frames of `bytes`, or `None` when
     * this decoder does not handle the container. */
   def decodeFrames(bytes: Array[Byte], n: Int): Option[Seq[FrameDecoder.Frame]]
+
+  /** Optional richer hook for [[Multimodal.videoFingerprints]]: `n`
+    * evenly-spaced frames, each reduced to `bands` top-to-bottom mean
+    * luminance bands in [0, 1] (the clip fingerprint's spatial axis).
+    * Default `None`: existing luminance-only decoders keep working
+    * unchanged, and fingerprinting falls back to the built-in imageio
+    * container path (or the stub for codecs nobody decodes). Return
+    * `None` also when the container is not yours. Implementations must
+    * return exactly `n` frames of `bands` values each — anything else
+    * is ignored as malformed and falls through. */
+  def decodeFrameBands(bytes: Array[Byte], n: Int,
+                       bands: Int): Option[Seq[FrameDecoder.FrameBands]] =
+    None
 }
 
 object FrameDecoder {
@@ -29,6 +42,11 @@ object FrameDecoder {
   /** One sampled frame: the container's total frame count, this frame's
     * index, and its mean luminance in [0, 1]. */
   final case class Frame(frameCount: Int, frameIndex: Int, luminance: Float)
+
+  /** One sampled frame with its spatial luminance profile: `bands`
+    * top-to-bottom mean-luminance values in [0, 1]. */
+  final case class FrameBands(frameCount: Int, frameIndex: Int,
+                              bands: Array[Float])
 
   /** Registered decoders, loaded once per JVM (executor-side — the
     * object is re-initialized there, never shipped).

@@ -549,6 +549,95 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  val videoFingerprintSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("vfp", LongType, nullable = false),
+    StructField("decode_ok", BooleanType, nullable = false)))
+
+  /** 64-bit clip-level perceptual VIDEO fingerprint — the third and
+    * last member of the modality-dedup family, completing the
+    * [[imageHashes]] / [[audioFingerprints]] symmetry with the exact
+    * same recipe one modality over: an 8×8 TIME×SPACE sign grid —
+    * 8 frames sampled evenly across the container (the
+    * [[sampleFrames]] decode machinery: [[FrameDecoder]] SPI decoders
+    * consulted first through their `decodeFrameBands` hook, then any
+    * multi-frame `javax.imageio` container, animated GIF foremost),
+    * 8 top-to-bottom mean-luminance bands per sampled frame on the
+    * bounded 32×32 pixel grid — thresholded at the grid's global mean.
+    *
+    * Invariances by construction: a uniform brightness/contrast change
+    * scales every cell and the mean together (the audioFp64 gain
+    * argument), the fixed 32×32 sample grid makes re-encodes and
+    * RESCALES land on the same bands, and even temporal sampling makes
+    * frame-rate changes (each frame doubled, pulldown) pick the same
+    * content instants — the three edits a re-uploaded video actually
+    * has. Distinct content differs in ~32 bits. Bytes nothing decodes
+    * (true mp4/webm with no registered codec, junk) return
+    * `decode_ok = false` with `vfp = 0`, so corrupt corpora flow and
+    * [[videoNearDupPairs]] excludes them rather than pairing every
+    * undecodable file at hamming 0. Work per row is bounded: 8 decoded
+    * frames × the fixed grid, regardless of clip length or
+    * resolution. */
+  def videoFingerprints(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "content").rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val spi = FrameDecoder.registered
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes =
+          Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        videoFp64(bytes, spi) match {
+          case Some(fp) => Row(id, fp, true)
+          case None => Row(id, 0L, false)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, videoFingerprintSchema)
+  }
+
+  /** Video near-duplicate candidate pairs within `maxHamming`
+    * fingerprint bits — the video member of the dedup family
+    * (re-encoded/re-scaled/rate-changed uploads, the most common
+    * large-blob duplicate after images). Pairing is
+    * [[Dedup.simhashNearPairs]]' 4×16-bit chunk banding:
+    * pigeonhole-complete for hamming ≤ 3 and NEVER all-pairs — join
+    * work is band collision volume, not |clips|². Undecodable rows are
+    * excluded (see [[videoFingerprints]]). */
+  def videoNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.simhashNearPairs(
+      videoFingerprints(media).filter(col("decode_ok"))
+        .select(col("media_id").as("id"), col("vfp").as("simhash")),
+      maxHamming)
+
+  /** [[videoFingerprints]] kernel: SPI `decodeFrameBands` first
+    * (malformed shapes ignored), then the built-in imageio container
+    * path; 8 frames × 8 bands → bit i (frame-major) set when cell i's
+    * luminance is at least the grid's global mean. */
+  private def videoFp64(bytes: Array[Byte],
+                        spi: Seq[FrameDecoder]): Option[Long] = {
+    val segs = 8
+    val nb = 8
+    val viaSpi =
+      if (spi.isEmpty || bytes.isEmpty) None
+      else spi.iterator.map(_.decodeFrameBands(bytes, segs, nb))
+        .collectFirst { case Some(f)
+          if f.size == segs && f.forall(_.bands.length == nb) =>
+            f.map(_.bands) }
+    viaSpi.orElse(containerFrameBands(bytes, segs, nb).map(_.map(_._3)))
+      .map { frames =>
+        val flat = frames.flatten
+        val mean = flat.map(_.toDouble).sum / flat.size
+        var bits = 0L
+        var i = 0
+        while (i < 64 && i < flat.size) {
+          if (flat(i) >= mean) bits |= (1L << i)
+          i += 1
+        }
+        bits
+      }
+  }
+
   /** STUB image decode + feature extraction.
     *
     * Production kernel: decode bytes → HxWxC, pool to an embedding. Here the
@@ -656,11 +745,21 @@ object Multimodal {
 
   /** Decode `n` evenly-spaced frames of an imageio-readable container:
     * Some((frameCount, frameIndex, meanLuminance) × n) or None when no
-    * JDK reader accepts the bytes. `getNumImages(true)` walks the whole
+    * JDK reader accepts the bytes. */
+  private def decodeContainerFrames(bytes: Array[Byte],
+                                    n: Int): Option[Seq[(Int, Int, Float)]] =
+    containerFrameBands(bytes, n, 1)
+      .map(_.map { case (fc, fi, b) => (fc, fi, b(0)) })
+
+  /** The shared container-decode kernel behind [[sampleFrames]] and
+    * [[videoFingerprints]]: `n` evenly-spaced frames, each reduced to
+    * `bands` top-to-bottom luminance bands —
+    * Some((frameCount, frameIndex, bands) × n) or None when no JDK
+    * reader accepts the bytes. `getNumImages(true)` walks the whole
     * container once (bounded by the byte array already in memory);
     * random-access reads then decode only the sampled frames. */
-  private def decodeContainerFrames(bytes: Array[Byte],
-                                    n: Int): Option[Seq[(Int, Int, Float)]] = {
+  private def containerFrameBands(bytes: Array[Byte], n: Int,
+      bands: Int): Option[Seq[(Int, Int, Array[Float])]] = {
     if (bytes.isEmpty) return None
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -675,8 +774,7 @@ object Multimodal {
           if (fc <= 0) return None
           Some((0 until n).map { i =>
             val fi = (i.toLong * fc / n).toInt
-            val lum = meanLuminanceBands(reader.read(fi), 1)(0)
-            (fc, fi, lum)
+            (fc, fi, meanLuminanceBands(reader.read(fi), bands))
           })
         } finally reader.dispose()
       } finally iis.close()

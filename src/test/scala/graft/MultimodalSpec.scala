@@ -375,6 +375,116 @@ class MultimodalSpec extends SparkSpec {
       s"undecodable rows paired: $pairs")
   }
 
+  // ------------------------------------------- perceptual video dedup
+  private def gifAnim(
+      frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f => writer.writeToSequence(
+      new javax.imageio.IIOImage(f, null, null), null))
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** Frame of 8 horizontal stripes, each uniformly dark or bright by a
+    * hash of (temporal segment, stripe) — time×space structure whose
+    * band means sit FAR from the fingerprint's global-mean threshold
+    * (the blocks() discipline, one dimension swapped for time). */
+  private def stripeFrame(w: Int, h: Int, seg: Int,
+                          invert: Boolean = false,
+                          brightness: Int = 0): java.awt.image.BufferedImage = {
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val band = y * 8 / h
+      val bright = ((seg * 8 + band) * 2654435761L % 97) < 48
+      var v = if (bright ^ invert) 215 else 40
+      v = (v + brightness).max(0).min(255)
+      var x = 0
+      while (x < w) {
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    im
+  }
+
+  /** 8-temporal-segment animated GIF: one stripe pattern per segment,
+    * each repeated `rate` frames — `rate` models a frame-rate change
+    * (the same content instants at 2× the frames). */
+  private def clip(w: Int, h: Int, rate: Int = 1, invert: Boolean = false,
+                   brightness: Int = 0): Array[Byte] =
+    gifAnim((0 until 8).flatMap(seg =>
+      Seq.fill(rate)(stripeFrame(w, h, seg, invert, brightness))))
+
+  test("videoFingerprints: stable under re-encode/rescale/brightness/" +
+      "frame-rate changes, far for distinct content, decode_ok=false " +
+      "for junk; SPI bands hook honored") {
+    val rows = Seq(
+      (1L, clip(64, 64)),
+      (2L, clip(96, 96)), // same content, other resolution
+      (3L, clip(64, 64, brightness = 12)), // uniform brightness shift
+      (4L, clip(64, 64, rate = 2)), // frame-rate doubled (16 frames)
+      (5L, clip(64, 64, invert = true)), // different content
+      (6L, "definitely not a video".getBytes("UTF-8")))
+    val mm = Multimodal.asMedia(rows.toDF("id", "bin"),
+      "id", "bin", "video", "image/gif")
+    val fps = Multimodal.videoFingerprints(mm).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(fps(6L) == ((0L, false)), fps(6L).toString)
+    assert((1L to 5L).forall(fps(_)._2), fps.toString)
+    assert(ham(fps(1L)._1, fps(2L)._1) <= 3,
+      s"rescale moved ${ham(fps(1L)._1, fps(2L)._1)} bits")
+    assert(ham(fps(1L)._1, fps(3L)._1) <= 3,
+      s"brightness shift moved ${ham(fps(1L)._1, fps(3L)._1)} bits")
+    assert(ham(fps(1L)._1, fps(4L)._1) <= 3,
+      s"frame-rate change moved ${ham(fps(1L)._1, fps(4L)._1)} bits")
+    // inverted stripes flip (nearly) every threshold decision
+    assert(ham(fps(1L)._1, fps(5L)._1) >= 32,
+      s"distinct clips only ${ham(fps(1L)._1, fps(5L)._1)} bits apart")
+    // SPI path: the registered FakeVideoDecoder's decodeFrameBands hook
+    // fingerprints the GRAFTVID container (no imageio reader accepts it)
+    val spiBytes = "GRAFTVID".getBytes("US-ASCII") ++
+      Array(8.toByte) ++ Array.fill(32)(7.toByte)
+    val spiRows = Multimodal.asMedia(
+      Seq((10L, spiBytes), (11L, spiBytes)).toDF("id", "bin"),
+      "id", "bin", "video", "video/x-graftvid")
+    val spiFps = Multimodal.videoFingerprints(spiRows).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(spiFps(10L)._2 && spiFps(10L) == spiFps(11L),
+      s"SPI fingerprint not deterministic: $spiFps")
+  }
+
+  test("videoNearDupPairs finds planted re-encodes, excludes " +
+      "undecodable rows, never pairs distinct content") {
+    val rows = Seq(
+      (1L, clip(64, 64)),
+      (2L, clip(96, 96, brightness = 6)), // near-dup: rescaled + shifted
+      (3L, clip(64, 64, rate = 2)), // near-dup: frame-rate doubled
+      (4L, clip(64, 64, invert = true)), // unrelated content
+      (5L, "junk one".getBytes("UTF-8")), // would all collide at vfp=0
+      (6L, "junk two".getBytes("UTF-8")))
+    val mm = Multimodal.asMedia(rows.toDF("id", "bin"),
+      "id", "bin", "video", "image/gif")
+    val pairs = Multimodal.videoNearDupPairs(mm, maxHamming = 3)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)),
+      s"missed planted near-dups: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated clip paired: $pairs")
+    assert(!pairs.exists(p => p._1 >= 5L || p._2 >= 5L),
+      s"undecodable rows paired: $pairs")
+  }
+
   /** A two-part test clip: `lo` Hz mixture in the first half, `hi` Hz
     * in the second — time×frequency structure the 8×8 fingerprint grid
     * can see. Deterministic noise/gain knobs simulate re-encode and

@@ -52,6 +52,35 @@ class VideoCodecIntegrationSpec extends SparkSpec {
       "frame_count must match the decoder's own report")
   }
 
+  test("videoFingerprints through the real mp4 codec plugin: a rescaled " +
+      "re-encode pairs, time-reversed content lands far") {
+    import spark.implicits._
+    def mp4(grays: Seq[Int], w: Int, h: Int): Array[Byte] = {
+      val p = java.nio.file.Files.createTempFile("graft-vfp", ".mp4")
+      graft.examples.Mp4MjpegFixture.write(p, grays, w, h)
+      java.nio.file.Files.readAllBytes(p)
+    }
+    val grays = Seq(30, 60, 90, 120, 150, 180, 210, 240)
+    val rows = Seq(
+      (1L, mp4(grays, 64, 48)),
+      (2L, mp4(grays, 128, 96)), // same content, re-encoded at 2× size
+      (3L, mp4(grays.reverse, 64, 48))) // time-reversed: distinct
+    val mm = Multimodal.asMedia(rows.toDF("id", "bin"),
+      "id", "bin", "video", "video/mp4")
+    val fps = Multimodal.videoFingerprints(mm).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert((1L to 3L).forall(fps(_)._2),
+      s"plugin must fingerprint real mp4: $fps")
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(1L)._1, fps(2L)._1) <= 3,
+      s"rescaled mp4 moved ${ham(fps(1L)._1, fps(2L)._1)} bits")
+    assert(ham(fps(1L)._1, fps(3L)._1) >= 16,
+      s"reversed mp4 only ${ham(fps(1L)._1, fps(3L)._1)} bits apart")
+    val pairs = Multimodal.videoNearDupPairs(mm, maxHamming = 3)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"expected exactly (1,2): $pairs")
+  }
+
   test("Mp4MjpegFrameDecoder parses the ISO-BMFF sample tables directly") {
     val p = java.nio.file.Files.createTempFile("graft-mp4-direct", ".mp4")
     graft.examples.Mp4MjpegFixture.write(p,

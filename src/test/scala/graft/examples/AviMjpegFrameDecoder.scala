@@ -102,6 +102,49 @@ class AviMjpegFrameDecoder extends FrameDecoder {
       case _: Exception => None
     }
   }
+
+  /** The clip-fingerprint hook: same chunk walk as [[decodeFrames]],
+    * top-to-bottom luminance bands per frame instead of one mean (the
+    * 32×32-grid kernel mirrored from the built-in imageio path). */
+  override def decodeFrameBands(bytes: Array[Byte], n: Int, bands: Int)
+      : Option[Seq[FrameDecoder.FrameBands]] = {
+    if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+        fourcc(bytes, 8) != "AVI ") return None
+    try {
+      val riffEnd = math.min(bytes.length.toLong, 8L + u32(bytes, 4)).toInt
+      val frames = frameChunks(bytes, 12, riffEnd, inMovi = false)
+      if (frames.isEmpty) return None
+      val fc = frames.length
+      Some((0 until n).map { i =>
+        val fi = (i.toLong * fc / n).toInt
+        val (off, len) = frames(fi)
+        val im = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes, off, len))
+        if (im == null)
+          throw new java.io.IOException(s"frame $fi: not ImageIO-decodable")
+        val grid = 32
+        val sums = new Array[Double](bands)
+        val counts = new Array[Int](bands)
+        var gy = 0
+        while (gy < grid) {
+          val y = (gy.toLong * im.getHeight / grid).toInt
+          val band = math.min(bands - 1, gy * bands / grid)
+          var gx = 0
+          while (gx < grid) {
+            val x = (gx.toLong * im.getWidth / grid).toInt
+            val rgb = im.getRGB(x, y)
+            sums(band) += (0.299 * ((rgb >> 16) & 0xFF) +
+              0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)) / 255.0
+            counts(band) += 1
+            gx += 1
+          }
+          gy += 1
+        }
+        FrameDecoder.FrameBands(fc, fi, Array.tabulate(bands)(b =>
+          if (counts(b) == 0) 0f else (sums(b) / counts(b)).toFloat))
+      })
+    } catch { case _: Exception => None }
+  }
 }
 
 /** Minimal MJPEG-AVI writer for fixtures: real `RIFF/AVI ` structure

@@ -84,6 +84,54 @@ class Mp4MjpegFrameDecoder extends FrameDecoder {
     (sum / (grid * grid)).toFloat
   }
 
+  /** Top-to-bottom mean-luminance bands on the same bounded 32×32 grid
+    * — the spatial axis of the clip fingerprint (mirrors the built-in
+    * imageio path so plugin rows are grid-comparable). */
+  private def luminanceBands(im: java.awt.image.BufferedImage,
+                             n: Int): Array[Float] = {
+    val grid = 32
+    val sums = new Array[Double](n)
+    val counts = new Array[Int](n)
+    var gy = 0
+    while (gy < grid) {
+      val y = (gy.toLong * im.getHeight / grid).toInt
+      val band = math.min(n - 1, gy * n / grid)
+      var gx = 0
+      while (gx < grid) {
+        val x = (gx.toLong * im.getWidth / grid).toInt
+        val rgb = im.getRGB(x, y)
+        sums(band) += (0.299 * ((rgb >> 16) & 0xFF) +
+          0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)) / 255.0
+        counts(band) += 1
+        gx += 1
+      }
+      gy += 1
+    }
+    Array.tabulate(n)(i =>
+      if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
+  }
+
+  /** The clip-fingerprint hook: same sample walk as [[decodeFrames]],
+    * spatial bands instead of one mean — real mp4 uploads flow into
+    * [[graft.llm.Multimodal.videoFingerprints]] with `decode_ok=true`. */
+  override def decodeFrameBands(bytes: Array[Byte], n: Int, bands: Int)
+      : Option[Seq[FrameDecoder.FrameBands]] = {
+    if (bytes.length < 16) return None
+    try {
+      val frames = mjpegSamples(bytes).getOrElse(return None)
+      val fc = frames.length
+      Some((0 until n).map { i =>
+        val fi = (i.toLong * fc / n).toInt
+        val (off, len) = frames(fi)
+        val im = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes, off.toInt, len.toInt))
+        if (im == null)
+          throw new java.io.IOException(s"sample $fi: not ImageIO-decodable")
+        FrameDecoder.FrameBands(fc, fi, luminanceBands(im, bands))
+      })
+    } catch { case _: Exception => None }
+  }
+
   /** (offset, size) of every sample in the first MJPEG video trak. */
   private def mjpegSamples(b: Array[Byte]): Option[Vector[(Long, Long)]] = {
     val top = boxes(b, 0, b.length)
