@@ -154,21 +154,24 @@ object Funnel {
       .distinct()
 
   /** The retention triangle from a (persisted or freshly-built)
-    * [[activityFrame]] — the serving half: cohort = min over the
-    * distinct (user, period) rows (≡ min over raw events), so both
-    * consumers share the one frame and its (user, p) exchange via
-    * ReusedExchange — then a user-keyed join and a (cohort, offset)
-    * rollup whose domain is periods², bounded by the calendar, not the
-    * corpus. Truncated dates make every offset an exact integer:
-    * day/week differences are multiples of the period length;
-    * month/quarter/year starts give integer-valued months_between
-    * (÷1, ÷3, ÷12). */
+    * [[activityFrame]] — the serving half. Cohort = min over the
+    * distinct (user, period) rows (≡ min over raw events), attached as
+    * a PER-USER WINDOW instead of a groupBy+self-join: ONE user
+    * exchange feeds both the cell rollup and the cohort-size rollup
+    * (the n_cohort branch counts the rows where `p = cohort` — exactly
+    * one per user — so it needs no distinct-user pass), and the shared
+    * windowed subtree is one ReusedExchange. Domains stay
+    * calendar-bounded (periods² cells). Truncated dates make every
+    * offset an exact integer: day/week differences are multiples of
+    * the period length; month/quarter/year starts give integer-valued
+    * months_between (÷1, ÷3, ÷12). */
   def retentionFromActivity(active: DataFrame,
                             period: String = "day"): DataFrame = {
     require(CalendarPeriods.contains(period),
       s"retentionFromActivity: period '$period' not in $CalendarPeriods")
-    val cohorts = active.groupBy("user").agg(min("p").as("cohort"))
-    val nc = cohorts.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user")
+    val withCohort = active.select(col("user"), col("p"))
+      .withColumn("cohort", min(col("p")).over(w))
     val offset = (period match {
       case "day" => datediff(col("p"), col("cohort"))
       case "week" => datediff(col("p"), col("cohort")) / 7
@@ -176,10 +179,14 @@ object Funnel {
       case "quarter" => months_between(col("p"), col("cohort")) / 3
       case "year" => months_between(col("p"), col("cohort")) / 12
     }).cast("long")
-    cohorts.join(active, "user")
+    val cells = withCohort
       .groupBy(col("cohort"), offset.as("offset"))
       .agg(count(lit(1)).as("n_active"))
-      .join(nc, "cohort")
+    // one row per user has p = cohort (its first period) — counting
+    // those IS the cohort size, off the same windowed frame
+    val nc = withCohort.filter(col("p") === col("cohort"))
+      .groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+    cells.join(nc, "cohort")
       .select(col("cohort"), col("offset"), col("n_active"),
         col("n_cohort"),
         round(col("n_active").cast("double") / col("n_cohort"), 6)

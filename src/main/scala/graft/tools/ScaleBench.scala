@@ -217,7 +217,25 @@ object ScaleBench {
     "ev_anomaly",
     // sketch drift: growth is the two sketch-build scans; the compare
     // itself is capacity-bounded at any corpus size
-    "corpus_drift_sketch")
+    "corpus_drift_sketch",
+    // round-14 additions: the steady-state splits (each gate contains
+    // its own full-recompute baseline by construction — read ratios
+    // against the one-shot siblings), the certification audits, and
+    // the quarter rung's month-spread retention.
+    // CDF trained on the even-id half + serve join — ~ev_rank_normalize
+    "ev_rank_normalize_incremental",
+    // activity union+distinct + triangle — ~ev_retention
+    "ev_retention_incremental",
+    // month-spread quarter cohorts — ~ev_retention (domain stays
+    // calendar-bounded)
+    "ev_retention_quarter",
+    // |keys|-sized state rollup + batch-sized window — both user-keyed
+    // exchanges over disjoint per-copy user universes, expect ~linear
+    "st_sessionize_incremental",
+    // certification audits: brute truth scan + probed serve over a
+    // FIXED 8-query md5 sample — ~ann_recall; serve + rebuild = two
+    // index subtrees — ~2× text_bm25_index_merge
+    "ann_certify", "text_bm25_certify")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

@@ -356,6 +356,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(finalScans(q("ev_anomaly_incremental"), "events") == 2)
   }
 
+  test("ev_rank_normalize_incremental serves with 2 event scans (CDF " +
+      "subtree + the normalized batch — zero histogram recompute)") {
+    assert(finalScans(q("ev_rank_normalize_incremental"), "events") == 2)
+  }
+
+  test("st_sessionize_incremental serves with 2 event scans (the " +
+      "|keys|-sized state subtree + the batch window)") {
+    assert(finalScans(q("st_sessionize_incremental"), "events") == 2)
+  }
+
+  test("ev_retention holds the 1-scan floor (windowed cohort: cells " +
+      "and cohort sizes share one user exchange)") {
+    assert(finalScans(q("ev_retention"), "events") == 1)
+  }
+
+  test("ev_retention_incremental holds the 2-scan floor (one per " +
+      "activity half; the triangle reuses the union exchange)") {
+    assert(finalScans(q("ev_retention_incremental"), "events") == 2)
+  }
+
   test("a deliberate recompute shape IS caught by the counter") {
     // sanity-check the guard itself: the pre-fix bigram formulation
     // (context count re-exploded from the corpus) must count 3 scans
