@@ -729,6 +729,27 @@ object SparkEntry {
         t(s, dir, "events"), "user_id", "ts", gapSeconds = 1800, "value",
         tieBreak = Seq("event_id"))),
 
+    "st_sessions_incremental" -> ((s, dir) => {
+      // the ROLLUP form of the sessionize steady state: bootstrap emits
+      // the history's provably-closed sessions + carries per-key open
+      // partials; the batch is merged decimal-exact and emits ITS
+      // closures; the still-open tail is finalized — the three unioned
+      // here so the twin is st_sessionize's SQL VERBATIM, proving
+      // boot.closed ∪ inc.closed ∪ finalize(state') ≡ sessions(full)
+      // bit-for-bit (including the one double cast at emit)
+      val ev = t(s, dir, "events")
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      val boot = graft.operators.Sessionize.sessionsBootstrap(
+        ev.filter(col("ts") < split), "user_id", "ts",
+        gapSeconds = 1800, "value", tieBreak = Seq("event_id"))
+      val led = graft.operators.Sessionize.sessionsIncremental(
+        boot.state, ev.filter(col("ts") >= split), "user_id", "ts",
+        gapSeconds = 1800, "value", tieBreak = Seq("event_id"))
+      boot.closed.unionByName(led.closed).unionByName(
+        graft.operators.Sessionize.finalizeSessionState(led.state,
+          "user_id"))
+    }),
+
     "st_sessionize_incremental" -> ((s, dir) => {
       // sessionization's steady state: open-session state carried from
       // the pre-split history (one (last_ts, last_session) row per
@@ -2238,6 +2259,29 @@ object SparkEntry {
        |    10) AS ndcg
        |FROM per p JOIN nrel n USING (query_id)""".stripMargin
 
+  // lag+cumsum session tagging + per-session rollup — shared VERBATIM
+  // by the one-shot st_sessionize and the incremental rollup ledger
+  // (closed ∪ finalized state must equal this exactly)
+  private val StSessionizeOracle: String =
+    """WITH tagged AS (
+      |  SELECT user_id, ts, value, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR CAST(floor(epoch(ts)) AS BIGINT) -
+      |              CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM tagged)
+      |SELECT user_id, session_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM sess GROUP BY user_id, session_id""".stripMargin
+
   private val Bm25TopkOracle: String =
     """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
       |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM documents),
@@ -2969,25 +3013,11 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
-    "st_sessionize" ->
-      """WITH tagged AS (
-        |  SELECT user_id, ts, value, event_id,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR CAST(floor(epoch(ts)) AS BIGINT) -
-        |              CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
-        |         THEN 1 ELSE 0 END AS new_session
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (
-        |  SELECT user_id, ts, value,
-        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |  FROM tagged)
-        |SELECT user_id, session_id,
-        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-        |  count(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "st_sessionize" -> StSessionizeOracle,
+    // the rollup steady state shares the one-shot twin VERBATIM: the
+    // hash match proves state-merge + closed-emit + finalize ≡ a
+    // full-history sessions() recompute, decimal partials included
+    "st_sessions_incremental" -> StSessionizeOracle,
 
     // the incremental twin: full-history lag+cumsum (the st_sessionize
     // tagging CTEs) RESTRICTED to the post-split batch rows — the hash

@@ -1374,8 +1374,9 @@ object Similarity {
     * docs/sketches.md lifecycle's "certification failure → regenerate"
     * trigger as a reusable, driver-visible operator: recall@k /
     * reciprocal rank / nDCG of the IVF SERVING path
-    * ([[ivfTopKAgainst]], the path production queries take) against
-    * brute-force cosine truth over the index's own vectors, on a
+    * ([[ivfTopKAgainst]], or [[ivfPqTopKAgainst]] with
+    * `strategy = "ivfpq"` — whichever path production queries take)
+    * against brute-force cosine truth over the index's own vectors, on a
     * HASH-DETERMINISTIC query sample (ordered by md5 of the id —
     * engine-portable, content-independent, so the certificate is
     * reproducible and twin-checkable, never a random() draw). One row
@@ -1388,15 +1389,22 @@ object Similarity {
     * sample × vectors scan; the serving run is the normal probed-cells
     * path. Everything downstream is |sample|·k-bounded. */
   def certifyVectorIndex(index: VectorIndex, k: Int = 10,
-                         nprobe: Int = 4, sampleN: Int = 16): DataFrame = {
+                         nprobe: Int = 4, sampleN: Int = 16,
+                         strategy: String = "ivf",
+                         rerank: Int = 4): DataFrame = {
     require(k > 0 && nprobe > 0 && sampleN > 0,
       s"certifyVectorIndex: bad k=$k / nprobe=$nprobe / sampleN=$sampleN")
+    require(Set("ivf", "ivfpq").contains(strategy),
+      s"certifyVectorIndex: strategy '$strategy' not in {ivf, ivfpq}")
     val sample = index.vectors
       .orderBy(md5(col("corpus_id").cast("string").cast("binary")),
         col("corpus_id"))
       .limit(sampleN)
       .select(col("corpus_id").as("vec_id"), col("cv").as("embedding"))
-    val run = ivfTopKAgainst(index, sample, k, nprobe)
+    val served =
+      if (strategy == "ivf") ivfTopKAgainst(index, sample, k, nprobe)
+      else ivfPqTopKAgainst(index, sample, k, nprobe, rerank)
+    val run = served
       .select(col("query_id"), col("corpus_id").as("doc_id"), col("rank"))
     val truth = bruteForceTopK(
         index.vectors.select(col("corpus_id").as("vec_id"),

@@ -113,6 +113,146 @@ object Sessionize {
       .drop("__new_session", "__last_ts_unix", "__last_session")
   }
 
+  /** The incremental per-session ROLLUP ledger: sessions provably
+    * CLOSED by this batch (a later session now exists for the key)
+    * plus the carried open-session state — see
+    * [[sessionsIncremental]]. */
+  final case class SessionLedger(closed: DataFrame, state: DataFrame)
+
+  /** [[sessionState]] plus the LAST (open) session's partial rollup —
+    * the state [[sessionsIncremental]] carries: one row per key with
+    * `(keyCol, last_ts_unix, last_session, open_start TIMESTAMP,
+    * open_n, open_value DECIMAL(38,2))`. The value partial stays
+    * DECIMAL so cross-batch accumulation is exact; it is cast to
+    * double ONCE at finalize, exactly like [[sessions]]' Exact.dsum.
+    * Equal to `sessionsBootstrap(...).state` — use the bootstrap when
+    * the history's own closed sessions should be emitted too. */
+  def sessionRollupState(events: DataFrame, keyCol: String, tsCol: String,
+                         gapSeconds: Long, valueCol: String,
+                         tieBreak: Seq[String] = Nil): DataFrame =
+    sessionsBootstrap(events, keyCol, tsCol, gapSeconds, valueCol,
+      tieBreak).state
+
+  /** Day-0 of the rollup ledger: sessionize the history once, emit
+    * every session that already has a later sibling for its key as
+    * CLOSED ([[sessions]] schema), carry each key's last session as
+    * the open state. `bootstrap.closed ∪ (increments' closed) ∪
+    * finalize(last state)` ≡ [[sessions]] of everything, exactly. */
+  def sessionsBootstrap(events: DataFrame, keyCol: String, tsCol: String,
+                        gapSeconds: Long, valueCol: String,
+                        tieBreak: Seq[String] = Nil): SessionLedger = {
+    val tagged = withSessionIds(events, keyCol, tsCol, gapSeconds, tieBreak)
+    val roll = tagged.groupBy(col(keyCol), col("session_id"))
+      .agg(min(col(tsCol)).as("__start"),
+        max(unix_timestamp(col(tsCol))).as("__last"),
+        count(lit(1)).as("__n"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 2))
+          .as("__value"))
+      .withColumnRenamed(keyCol, "__key")
+    splitLedger(roll, keyCol)
+  }
+
+  /** Split a normalized per-session rollup frame
+    * (__key, session_id, __start, __last, __n, __value) into closed
+    * emits + open state: one key-partitioned max window — a session is
+    * provably over iff a later session exists for its key. */
+  private def splitLedger(roll: DataFrame, keyCol: String): SessionLedger = {
+    val wk = Window.partitionBy(col("__key"))
+    val ranked = roll.withColumn("__max_s", max(col("session_id")).over(wk))
+    val closed = ranked.filter(col("session_id") < col("__max_s"))
+      .select(col("__key").as(keyCol), col("session_id"),
+        date_format(col("__start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(from_unixtime(col("__last")), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("__n").as("n_events"),
+        col("__value").cast("double").as("total_value"))
+    val open = ranked.filter(col("session_id") === col("__max_s"))
+      .select(col("__key").as(keyCol), col("__last").as("last_ts_unix"),
+        col("session_id").as("last_session"),
+        col("__start").as("open_start"), col("__n").as("open_n"),
+        col("__value").as("open_value"))
+    SessionLedger(closed, open)
+  }
+
+  /** Incremental [[sessions]] — the rollup form of the steady state: a
+    * batch is tagged against the carried [[sessionRollupState]], its
+    * per-session partials are merged with the state's open-session
+    * partial (decimal-exact), and every session that now has a LATER
+    * session for its key is emitted as CLOSED in the [[sessions]]
+    * output schema; each key's last session stays open in the returned
+    * state (a session is only provably over when a later one starts —
+    * emitting it early would double-emit when the next batch continues
+    * it). Keys untouched by the batch pass through the state
+    * unchanged.
+    *
+    * EXACTNESS (spec'd + oracled): for any append-ordered split,
+    * `closed ∪ finalizeSessionState(state') ≡ sessions(full history)`
+    * — bit-for-bit, including the double cast (decimal partials add
+    * associatively; the cast happens once at emit). Cost per batch:
+    * one state join + one batch window + |keys ∩ batch| merges — the
+    * history is never rescanned. */
+  def sessionsIncremental(state: DataFrame, events: DataFrame,
+                          keyCol: String, tsCol: String, gapSeconds: Long,
+                          valueCol: String,
+                          tieBreak: Seq[String] = Nil): SessionLedger = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 2)
+    val idState =
+      state.select(col(keyCol), col("last_ts_unix"), col("last_session"))
+    val tagged = withSessionIdsIncremental(idState, events, keyCol, tsCol,
+      gapSeconds, tieBreak)
+    val broll = tagged.groupBy(col(keyCol), col("session_id"))
+      .agg(min(col(tsCol)).as("b_start"),
+        max(unix_timestamp(col(tsCol))).as("b_last"),
+        count(lit(1)).as("b_n"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(dec38).as("b_value"))
+    // the state's open partial joins its own session id; keys whose
+    // open session receives no batch rows but DO appear in the batch
+    // (the gap closed it) surface through the full-outer side
+    val touchedKeys = broll.select(col(keyCol).as("__tk")).distinct()
+    val st = state.join(touchedKeys, col(keyCol) <=> col("__tk"), "left_semi")
+      .select(col(keyCol).as("__k"), col("last_session").as("__ls"),
+        col("open_start"), col("last_ts_unix"), col("open_n"),
+        col("open_value"))
+    val merged = broll.join(st,
+        col(keyCol) <=> col("__k") && col("session_id") === col("__ls"),
+        "full_outer")
+      .select(
+        coalesce(col(keyCol), col("__k")).as("__key"),
+        coalesce(col("session_id"), col("__ls")).as("session_id"),
+        coalesce(col("open_start"), col("b_start")).as("__start"),
+        coalesce(col("b_last"), col("last_ts_unix")).as("__last"),
+        (coalesce(col("open_n"), lit(0L)) + coalesce(col("b_n"), lit(0L)))
+          .as("__n"),
+        // sum-of-union null semantics: all-null partials merge to NULL
+        // (what sessions() emits for an all-null-value session), a
+        // single non-null side carries through, both add exactly
+        when(col("open_value").isNull && col("b_value").isNull,
+            lit(null).cast(dec38))
+          .otherwise((coalesce(col("open_value"), lit(0).cast(dec38)) +
+            coalesce(col("b_value"), lit(0).cast(dec38))).cast(dec38))
+          .as("__value"))
+    val led = splitLedger(merged, keyCol)
+    val untouched = state.join(touchedKeys, col(keyCol) <=> col("__tk"),
+      "left_anti")
+    SessionLedger(led.closed, untouched.unionByName(led.state))
+  }
+
+  /** Close out a state frame (end of history / final drain): the open
+    * sessions as [[sessions]]-schema rows. `closed ∪ finalize(state)`
+    * after any chain of [[sessionsIncremental]] batches equals
+    * [[sessions]] over the full history exactly. */
+  def finalizeSessionState(state: DataFrame, keyCol: String): DataFrame =
+    state.select(col(keyCol), col("last_session").as("session_id"),
+      date_format(col("open_start"), "yyyy-MM-dd HH:mm:ss")
+        .as("session_start"),
+      date_format(from_unixtime(col("last_ts_unix")), "yyyy-MM-dd HH:mm:ss")
+        .as("session_end"),
+      col("open_n").as("n_events"),
+      col("open_value").cast("double").as("total_value"))
+
   /** Fold a tagged batch back into the state:
     * `extendSessionState(sessionState(old), batch) ≡
     * sessionState(old ∪ batch)` exactly, under the append contract

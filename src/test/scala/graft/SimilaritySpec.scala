@@ -778,6 +778,17 @@ class SimilaritySpec extends SparkSpec {
     val c3 = Similarity.certifyVectorIndex(idxA, k = 5, nprobe = 2,
       sampleN = 4).select("recall").as[Double].collect()
     assert(c3.nonEmpty && c3.forall(r => r >= 0.0 && r <= 1.0), c3.toSeq)
+    // the IVF-PQ serving path certifies through the same op: exhaustive
+    // probes + full rerank = the ADC index only prunes, rerank is exact
+    // cosine → perfect recall
+    val cpq = Similarity.certifyVectorIndex(idxA, k = 5, nprobe = 16,
+        sampleN = 4, strategy = "ivfpq", rerank = 64)
+      .select("recall").as[Double].collect()
+    assert(cpq.length == 4 && cpq.forall(_ == 1.0),
+      s"exhaustive IVF-PQ must certify perfectly: ${cpq.toSeq}")
+    intercept[IllegalArgumentException] {
+      Similarity.certifyVectorIndex(idxA, strategy = "bogus")
+    }
   }
 
   test("clusterProfile: populations sum to the corpus, cohesion stats are sane") {

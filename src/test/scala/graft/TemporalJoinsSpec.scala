@@ -404,4 +404,69 @@ class TemporalJoinsSpec extends SparkSpec {
       err.getMessage.contains("append-only contract"),
       s"wrong error: ${err.getMessage}")
   }
+
+  test("sessionsIncremental ledger: closed + finalized state equals a " +
+      "full sessions() recompute across a two-batch chain, decimal " +
+      "partials and null-value sessions included") {
+    import graft.operators.Sessionize
+    def ev(rows: (Long, Long, String, java.lang.Double)*) =
+      rows.toDF("user_id", "event_id", "ts_s", "value")
+        .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    // u1: session crossing BOTH batch boundaries (the merge case);
+    // u2: all-null values (total_value must stay NULL, not 0);
+    // u3: history-only key with TWO sessions — the first is provably
+    // closed at bootstrap and must be emitted there, the second stays
+    // open in untouched state through both increments
+    val hist = ev(
+      (1L, 1L, "2024-01-01 10:00:00", 1.5), (1L, 2L, "2024-01-01 10:10:00", 2.5),
+      (2L, 20L, "2024-01-01 09:00:00", null),
+      (3L, 30L, "2024-01-01 06:00:00", 2.0), // u3 s1 — closes at boot
+      (3L, 31L, "2024-01-01 08:00:00", 7.0)) // u3 s2 — open forever
+    val b1 = ev(
+      (1L, 3L, "2024-01-01 10:20:00", 3.0), // continues u1 s1
+      (1L, 4L, "2024-01-01 12:00:00", 10.0), // opens u1 s2 → closes s1
+      (2L, 21L, "2024-01-01 09:10:00", null)) // continues u2 s1, still null
+    val b2 = ev(
+      (1L, 5L, "2024-01-01 12:10:00", 0.5), // continues u1 s2
+      (2L, 22L, "2024-01-01 15:00:00", 4.0), // opens u2 s2 → closes s1
+      (4L, 40L, "2024-01-01 11:00:00", 9.0)) // brand-new key
+    val full = Sessionize.sessions(
+      hist.unionByName(b1).unionByName(b2),
+      "user_id", "ts", gapSeconds = 1800, "value",
+      tieBreak = Seq("event_id"))
+    // boot → increment → increment, state parquet round-tripped
+    val dir = java.nio.file.Files.createTempDirectory("graft-sled").toString
+    val boot = Sessionize.sessionsBootstrap(hist, "user_id", "ts", 1800,
+      "value", tieBreak = Seq("event_id"))
+    boot.state.write.parquet(s"$dir/s0")
+    val led1 = Sessionize.sessionsIncremental(
+      spark.read.parquet(s"$dir/s0"), b1, "user_id", "ts", 1800, "value",
+      tieBreak = Seq("event_id"))
+    led1.state.write.parquet(s"$dir/s1")
+    val led2 = Sessionize.sessionsIncremental(
+      spark.read.parquet(s"$dir/s1"), b2, "user_id", "ts", 1800, "value",
+      tieBreak = Seq("event_id"))
+    // the boot-closed emit: u3's first session, exactly once
+    val bc = boot.closed.select("user_id", "session_id")
+      .as[(Long, Long)].collect().toSet
+    assert(bc == Set((3L, 1L)), bc.toString)
+    val replayed = boot.closed.unionByName(led1.closed)
+      .unionByName(led2.closed).unionByName(
+        Sessionize.finalizeSessionState(led2.state, "user_id"))
+    assert(replayed.exceptAll(full).isEmpty && full.exceptAll(replayed).isEmpty,
+      s"ledger diverged:\nfull=${full.collect().toSeq}\n" +
+        s"replayed=${replayed.collect().toSeq}")
+    // a session is only emitted once it is provably over: u1 s1 closes
+    // in batch 1; u2 s1 not until batch 2; u3 never closes (finalize only)
+    val c1 = led1.closed.select("user_id", "session_id")
+      .as[(Long, Long)].collect().toSet
+    assert(c1 == Set((1L, 1L)), c1.toString)
+    val c2 = led2.closed.select("user_id", "session_id")
+      .as[(Long, Long)].collect().toSet
+    assert(c2 == Set((2L, 1L)), c2.toString)
+    // the closed u2 s1 rollup kept NULL total_value through the merge
+    val u2v = led2.closed.filter($"user_id" === 2L)
+      .select("total_value").collect().head
+    assert(u2v.isNullAt(0), s"all-null session got a value: $u2v")
+  }
 }
