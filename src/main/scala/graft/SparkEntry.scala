@@ -59,6 +59,31 @@ object SparkEntry {
     df.sparkSession.table(qn)
   }
 
+  /** Write each slice as ONE parquet file into a fresh source directory
+    * with strictly increasing modification times and return an
+    * AvailableNow-ready file-source stream over it (`maxFilesPerTrigger
+    * = 1`): the file source dispatches oldest-mtime first, so
+    * micro-batch order = slice order — the ledger streams' order
+    * contract, arranged here exactly as a production drop-directory
+    * would arrange it (arrival files postdate their predecessors). */
+  private def sliceStream(s: SparkSession, slices: Seq[DataFrame]): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ledger-src")
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-slice")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"sliceStream: no part file under $tmp"))
+      val dst = new java.io.File(dir.toFile, f"arrival-$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      require(dst.setLastModified(1700000000000L + i * 60000L),
+        s"sliceStream: cannot order $dst by mtime")
+    }
+    s.readStream.schema(slices.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+  }
+
   /** documents + synthesized archive key `source/lang/<doc_id>.txt` and
     * lang-derived mimetype — maps the testdata documents table onto the
     * reference's file-metadata shape so every ftm-datalake operator has a
@@ -785,6 +810,88 @@ object SparkEntry {
         "user_id", "event_type", "ts",
         steps = Seq("view", "click", "purchase"),
         withinPeriod = Some("week"))),
+
+    "ev_funnel_incremental" -> ((s, dir) => {
+      // the funnel's steady state: per-user (stage, entry, last-step,
+      // watermark) state carried from the pre-split history, the
+      // post-split batch chased against it — K user-keyed joins of
+      // BATCH slices, zero history rescan. Twin = ev_funnel's
+      // VERBATIM: state + chase ≡ the full-history greedy funnel.
+      val ev = t(s, dir, "events")
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      val steps = Seq("view", "click", "purchase")
+      val state = graft.operators.Funnel.funnelState(
+        ev.filter(col("ts") < split), "user_id", "event_type", "ts",
+        steps, withinUs = Some(86400000000L))
+      graft.operators.Funnel.funnelFromState(
+        graft.operators.Funnel.funnelIncremental(state,
+          ev.filter(col("ts") >= split), "user_id", "event_type", "ts",
+          steps, withinUs = Some(86400000000L)))
+    }),
+
+    "ev_funnel_stream" -> ((s, dir) => {
+      // the funnel LEDGER on a live stream: foldLedgerStream folds one
+      // funnelIncremental chase per micro-batch (AvailableNow,
+      // maxFilesPerTrigger=1 over ts-ordered arrival files — batch
+      // order = event-time order, the append contract), versioned
+      // state keyed by micro-batch id, then serves. Twin = ev_funnel's
+      // VERBATIM: the streamed ledger ≡ the full-history greedy funnel.
+      val ev = t(s, dir, "events")
+      val s1 = lit("2024-01-11 00:00:00").cast("timestamp")
+      val s2 = lit("2024-01-21 00:00:00").cast("timestamp")
+      val steps = Seq("view", "click", "purchase")
+      val w = Some(86400000000L)
+      val state0 = graft.operators.Funnel.funnelState(
+        ev.filter(col("ts") < s1), "user_id", "event_type", "ts",
+        steps, withinUs = w)
+      // arrival files carry only the funnel's columns — the slice
+      // rewrite and the stream never pay for props/value
+      val slim = ev.select("user_id", "event_type", "ts")
+      val arrivals = sliceStream(s, Seq(
+        slim.filter(col("ts") >= s1 && col("ts") < s2),
+        slim.filter(col("ts") >= s2)))
+      val led = graft.streaming.Streaming.foldLedgerStream(
+        arrivals, state0,
+        java.nio.file.Files.createTempDirectory("graft-funnel-led").toString,
+        (st, b) => graft.streaming.Streaming.StreamLedger(None,
+          graft.operators.Funnel.funnelIncremental(st, b,
+            "user_id", "event_type", "ts", steps, withinUs = w)))
+      graft.operators.Funnel.funnelFromState(led.state)
+    }),
+
+    "st_sessions_stream" -> ((s, dir) => {
+      // the session-rollup LEDGER on a live stream: each micro-batch
+      // EMITS its provably-closed sessions (append-only, batch-id-keyed)
+      // and replaces the open-partial state; the still-open tail is
+      // finalized after the drain. Twin = st_sessionize's VERBATIM:
+      // boot.closed ∪ streamed closed ∪ finalize(state″) ≡
+      // sessions(full history) bit-for-bit.
+      val ev = t(s, dir, "events")
+      val s1 = lit("2024-01-11 00:00:00").cast("timestamp")
+      val s2 = lit("2024-01-21 00:00:00").cast("timestamp")
+      val boot = graft.operators.Sessionize.sessionsBootstrap(
+        ev.filter(col("ts") < s1), "user_id", "ts",
+        gapSeconds = 1800, "value", tieBreak = Seq("event_id"))
+      // arrival files carry only the rollup's columns (props pruned)
+      val slim = ev.select("user_id", "ts", "value", "event_id")
+      val arrivals = sliceStream(s, Seq(
+        slim.filter(col("ts") >= s1 && col("ts") < s2),
+        slim.filter(col("ts") >= s2)))
+      val led = graft.streaming.Streaming.foldLedgerStream(
+        arrivals, boot.state,
+        java.nio.file.Files.createTempDirectory("graft-sess-led").toString,
+        (st, b) => {
+          val l = graft.operators.Sessionize.sessionsIncremental(st, b,
+            "user_id", "ts", gapSeconds = 1800, "value",
+            tieBreak = Seq("event_id"))
+          graft.streaming.Streaming.StreamLedger(Some(l.closed), l.state)
+        })
+      boot.closed
+        .unionByName(led.emitted.getOrElse(sys.error(
+          "st_sessions_stream: no closed sessions emitted")))
+        .unionByName(graft.operators.Sessionize.finalizeSessionState(
+          led.state, "user_id"))
+    }),
 
     "ev_anomaly" -> ((s, dir) =>
       // robust per-type outlier screen: discrete-median MAD flags over
@@ -2385,6 +2492,35 @@ object SparkEntry {
   // engines), integer offsets, ratio derived last — shared VERBATIM by
   // the one-shot AND the activity-frame incremental paths (the hash
   // match proves extend+serve ≡ full recompute)
+  /** The funnel twin — chains the same greedy min-after aggregates
+    * with the entry-anchored 24 h window. Shared VERBATIM by
+    * `ev_funnel` and `ev_funnel_incremental`: the hash match proves
+    * state + batch-chase ≡ the full-history greedy funnel. */
+  private val EvFunnelOracle: String =
+    """WITH s1 AS (SELECT user_id AS "user", min(ts) AS t1 FROM events
+      |            WHERE event_type = 'view' AND ts IS NOT NULL
+      |            GROUP BY 1),
+      |s2 AS (SELECT e.user_id AS "user", min(e.ts) AS t2
+      |       FROM events e JOIN s1 ON e.user_id = s1."user"
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |         AND e.ts <= s1.t1 + to_microseconds(86400000000)
+      |       GROUP BY 1),
+      |s3 AS (SELECT e.user_id AS "user", min(e.ts) AS t3
+      |       FROM events e JOIN s2 ON e.user_id = s2."user"
+      |       JOIN s1 ON e.user_id = s1."user"
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |         AND e.ts <= s1.t1 + to_microseconds(86400000000)
+      |       GROUP BY 1)
+      |SELECT s1."user",
+      |  CAST(1 + CASE WHEN s2."user" IS NOT NULL THEN 1 ELSE 0 END
+      |         + CASE WHEN s3."user" IS NOT NULL THEN 1 ELSE 0 END
+      |    AS BIGINT) AS steps_completed,
+      |  s1.t1 AS ts_first,
+      |  COALESCE(s3.t3, s2.t2, s1.t1) AS ts_last
+      |FROM s1
+      |LEFT JOIN s2 ON s1."user" = s2."user"
+      |LEFT JOIN s3 ON s1."user" = s3."user"""".stripMargin
+
   private val EvRetentionOracle: String =
     """WITH ev AS (SELECT user_id AS "user",
       |            CAST(date_trunc('week', ts) AS DATE) AS p FROM events),
@@ -3018,6 +3154,9 @@ object SparkEntry {
     // hash match proves state-merge + closed-emit + finalize ≡ a
     // full-history sessions() recompute, decimal partials included
     "st_sessions_incremental" -> StSessionizeOracle,
+    // and the STREAMED ledger under the same twin again: per-micro-batch
+    // closed emits ∪ finalized tail ≡ the full-history recompute
+    "st_sessions_stream" -> StSessionizeOracle,
 
     // the incremental twin: full-history lag+cumsum (the st_sessionize
     // tagging CTEs) RESTRICTED to the post-split batch rows — the hash
@@ -3860,32 +3999,13 @@ object SparkEntry {
     "ev_rank_normalize_incremental" -> EvRankNormalizeIncrementalOracle,
     "ev_rank_normalize_stream" -> EvRankNormalizeIncrementalOracle,
 
-    // the funnel twin chains the same greedy min-after aggregates with
-    // the entry-anchored 24 h window
-    "ev_funnel" ->
-      """WITH s1 AS (SELECT user_id AS "user", min(ts) AS t1 FROM events
-        |            WHERE event_type = 'view' AND ts IS NOT NULL
-        |            GROUP BY 1),
-        |s2 AS (SELECT e.user_id AS "user", min(e.ts) AS t2
-        |       FROM events e JOIN s1 ON e.user_id = s1."user"
-        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
-        |         AND e.ts <= s1.t1 + to_microseconds(86400000000)
-        |       GROUP BY 1),
-        |s3 AS (SELECT e.user_id AS "user", min(e.ts) AS t3
-        |       FROM events e JOIN s2 ON e.user_id = s2."user"
-        |       JOIN s1 ON e.user_id = s1."user"
-        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
-        |         AND e.ts <= s1.t1 + to_microseconds(86400000000)
-        |       GROUP BY 1)
-        |SELECT s1."user",
-        |  CAST(1 + CASE WHEN s2."user" IS NOT NULL THEN 1 ELSE 0 END
-        |         + CASE WHEN s3."user" IS NOT NULL THEN 1 ELSE 0 END
-        |    AS BIGINT) AS steps_completed,
-        |  s1.t1 AS ts_first,
-        |  COALESCE(s3.t3, s2.t2, s1.t1) AS ts_last
-        |FROM s1
-        |LEFT JOIN s2 ON s1."user" = s2."user"
-        |LEFT JOIN s3 ON s1."user" = s3."user"""".stripMargin,
+    "ev_funnel" -> EvFunnelOracle,
+    // the funnel's steady state under the SAME twin: state + chase ≡
+    // full-history recompute
+    "ev_funnel_incremental" -> EvFunnelOracle,
+    // and the STREAMED ledger under the same twin again: the
+    // foreachBatch fold of the same chase ≡ full-history recompute
+    "ev_funnel_stream" -> EvFunnelOracle,
 
     // ev_funnel's twin with the duration bound swapped for calendar-week
     // equality (DuckDB date_trunc('week') is Monday-anchored like

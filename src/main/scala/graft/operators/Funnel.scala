@@ -49,6 +49,19 @@ object Funnel {
              tsCol: String, steps: Seq[String],
              withinUs: Option[Long] = None,
              withinPeriod: Option[String] = None): DataFrame = {
+    validate(steps, withinUs, withinPeriod)
+    val cur = chain(normalized(events, userCol, typeCol, tsCol),
+      steps, withinUs, withinPeriod)
+    val ts = (1 to steps.size).map(i => col(s"t$i"))
+    cur.select(col("user"),
+      ts.map(t => when(t.isNotNull, 1L).otherwise(0L))
+        .reduce(_ + _).as("steps_completed"),
+      col("t1").as("ts_first"),
+      coalesce(ts.reverse: _*).as("ts_last"))
+  }
+
+  private def validate(steps: Seq[String], withinUs: Option[Long],
+                       withinPeriod: Option[String]): Unit = {
     require(steps.size >= 2 && steps.size <= 8,
       s"funnel: ${steps.size} steps outside [2, 8]")
     require(steps.distinct.size == steps.size,
@@ -59,20 +72,39 @@ object Funnel {
       s"funnel: withinPeriod '$p' not in $CalendarPeriods"))
     require(withinUs.isEmpty || withinPeriod.isEmpty,
       "funnel: withinUs and withinPeriod are mutually exclusive anchors")
-    // null-timestamped events cannot participate in temporal ordering —
-    // dropped up front (and in the oracle twin), so an all-null entry
-    // group can never emit a steps_completed = 0 row
-    val ev = events.select(col(userCol).as("user"),
-      col(typeCol).as("__etype"), col(tsCol).as("__ts"))
+  }
+
+  /** Normalized event frame `(user, __etype, __ts)`. Null-timestamped
+    * events cannot participate in temporal ordering — dropped up front
+    * (and in the oracle twin), so an all-null entry group can never
+    * emit a steps_completed = 0 row. */
+  private def normalized(events: DataFrame, userCol: String,
+                         typeCol: String, tsCol: String): DataFrame =
+    events.select(col(userCol).as("user"),
+        col(typeCol).as("__etype"), col(tsCol).as("__ts"))
       .filter(col("__ts").isNotNull)
+
+  /** The conversion-anchor predicate over a candidate `__ts` and the
+    * entry time `t1` (whichever frame those columns live in). */
+  private def anchorCond(withinUs: Option[Long],
+                         withinPeriod: Option[String])
+      : org.apache.spark.sql.Column =
+    withinUs.map(w =>
+        col("__ts") <= expr(s"timestampadd(MICROSECOND, $w, t1)"))
+      .orElse(withinPeriod.map(p =>
+        date_trunc(p, col("__ts")) === date_trunc(p, col("t1"))))
+      .getOrElse(lit(true))
+
+  /** The greedy step chain: `(user, t1..tK)`, one row per user with a
+    * step-1 event. Step k is one user-keyed join of the type-pruned
+    * slice against the funnel-so-far (null users group at entry but —
+    * like the SQL twin's equi-joins — never match later steps). */
+  private def chain(ev: DataFrame, steps: Seq[String],
+                    withinUs: Option[Long],
+                    withinPeriod: Option[String]): DataFrame = {
     var cur = ev.filter(col("__etype") === steps.head)
       .groupBy("user").agg(min("__ts").as("t1"))
-    val inWindow: org.apache.spark.sql.Column =
-      withinUs.map(w =>
-          col("__ts") <= expr(s"timestampadd(MICROSECOND, $w, t1)"))
-        .orElse(withinPeriod.map(p =>
-          date_trunc(p, col("__ts")) === date_trunc(p, col("t1"))))
-        .getOrElse(lit(true))
+    val inWindow = anchorCond(withinUs, withinPeriod)
     for (k <- 2 to steps.size) {
       val prev = col(s"t${k - 1}")
       val carried = (1 until k).map(i => col(s"t$i"))
@@ -83,13 +115,132 @@ object Funnel {
         .agg(min(when(col("__ts") > prev && inWindow, col("__ts")))
           .as(s"t$k"))
     }
-    val ts = (1 to steps.size).map(i => col(s"t$i"))
-    cur.select(col("user"),
-      ts.map(t => when(t.isNotNull, 1L).otherwise(0L))
-        .reduce(_ + _).as("steps_completed"),
-      col("t1").as("ts_first"),
-      coalesce(ts.reverse: _*).as("ts_last"))
+    cur
   }
+
+  // ------------------------------------------------ incremental form
+  // The funnel's steady state for a growing event log: greedy-earliest
+  // funnel progress is APPEND-MERGEABLE — once a user's first j steps
+  // are pinned, no later event can change them (greedy takes the
+  // earliest candidate, and every carried completion time beat all
+  // history), so a persisted per-user (stage, entry, last-step,
+  // watermark) row plus a chase through each day's batch reproduces
+  // the full-history funnel exactly. The contract is the sessionize
+  // one: batches arrive append-only per user (enforced with a
+  // mid-query raise, never a silent wrong stage). Cost per batch: K
+  // user-keyed joins of BATCH slices against the |users|-sized state —
+  // the history is never rescanned.
+
+  /** The carried state behind [[funnel]]'s steady state: one row per
+    * user with ≥1 step-typed (non-null-ts) event —
+    * `(user, steps_completed, ts_first, ts_last, max_ts)` — from a
+    * full-history pass here (the bootstrap; an EMPTY state frame with
+    * this schema is also a valid day-0) or from [[funnelIncremental]]
+    * thereafter. `max_ts` is the latest step-typed event seen for the
+    * user (the append-only watermark the increment enforces);
+    * `steps_completed = 0` rows (funnel-relevant activity but no entry
+    * yet) are carried so a late out-of-order batch for such a user
+    * raises instead of silently re-entering history. The state is
+    * parameterized by `(steps, anchor)` — serve each configured funnel
+    * from its own persisted frame. Persist as parquet; |users| rows at
+    * any history length. */
+  def funnelState(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, steps: Seq[String],
+                  withinUs: Option[Long] = None,
+                  withinPeriod: Option[String] = None): DataFrame = {
+    validate(steps, withinUs, withinPeriod)
+    val ev = normalized(events, userCol, typeCol, tsCol)
+      .filter(col("__etype").isin(steps: _*))
+    val cur = chain(ev, steps, withinUs, withinPeriod)
+    val ts = (1 to steps.size).map(i => col(s"t$i"))
+    val progressed = cur.select(col("user").as("__cu"),
+      ts.map(t => when(t.isNotNull, 1L).otherwise(0L))
+        .reduce(_ + _).as("__j"),
+      col("t1").as("__t1"),
+      coalesce(ts.reverse: _*).as("__tl"))
+    // watermark rollup over the same type-pruned slice; null-safe join
+    // (a null user is a user group like any other — entry is a groupBy)
+    ev.groupBy("user").agg(max(col("__ts")).as("max_ts"))
+      .join(progressed, col("user") <=> col("__cu"), "left")
+      .select(col("user"),
+        coalesce(col("__j"), lit(0L)).as("steps_completed"),
+        col("__t1").as("ts_first"), col("__tl").as("ts_last"),
+        col("max_ts"))
+  }
+
+  /** Chase a NEW batch through the funnel against carried
+    * [[funnelState]] — the serving path: the state and the batch's
+    * per-user rollup meet in one full-outer join, then each step's
+    * type-pruned BATCH slice joins once (a user at stage j−1 takes the
+    * earliest in-window slice event strictly after their last step —
+    * exactly what the full-history greedy chain would pick, since every
+    * batch event postdates every history event). Returns the NEW state
+    * (≡ [[funnelState]] of the full history, spec'd + oracled); users
+    * untouched by the batch pass through, users entering mid-batch can
+    * advance multiple stages in one call. The append-only contract is
+    * enforced LOUDLY: a batch event strictly earlier than its user's
+    * watermark raises mid-query rather than silently mis-staging —
+    * out-of-order arrivals need a state rebuild, not an increment. */
+  def funnelIncremental(state: DataFrame, events: DataFrame,
+                        userCol: String, typeCol: String, tsCol: String,
+                        steps: Seq[String],
+                        withinUs: Option[Long] = None,
+                        withinPeriod: Option[String] = None): DataFrame = {
+    validate(steps, withinUs, withinPeriod)
+    val ev = normalized(events, userCol, typeCol, tsCol)
+      .filter(col("__etype").isin(steps: _*))
+    val broll = ev.groupBy("user")
+      .agg(min(col("__ts")).as("__bmin"), max(col("__ts")).as("__bmax"))
+    val st = state.select(col("user").as("__su"),
+      col("steps_completed").as("__j0"), col("ts_first").as("__t10"),
+      col("ts_last").as("__tl0"), col("max_ts").as("__mx0"))
+    var cur = broll.join(st, col("user") <=> col("__su"), "full_outer")
+      .select(coalesce(col("user"), col("__su")).as("user"),
+        when(col("__bmin") < col("__mx0"), raise_error(lit(
+            "funnelIncremental: batch event earlier than the carried " +
+              "funnel watermark — append-only contract violated; " +
+              "rebuild the state from full history instead"))
+          .cast("timestamp"))
+          .otherwise(greatest(col("__bmax"), col("__mx0"))).as("max_ts"),
+        coalesce(col("__j0"), lit(0L)).as("__j"),
+        col("__t10").as("t1"), col("__tl0").as("__tlast"))
+    val inWindow = anchorCond(withinUs, withinPeriod)
+    for (k <- 1 to steps.size) {
+      val slice = ev.filter(col("__etype") === steps(k - 1))
+        .select(col("user").as("__eu"), col("__ts"))
+      // entry pools null users (the chain's groupBy semantics); later
+      // steps equi-join (the chain's — and the twin's — join semantics)
+      val jc = if (k == 1) col("user") <=> col("__eu")
+               else col("user") === col("__eu")
+      val cond = if (k == 1) col("__j") === 0
+                 else col("__j") === (k - 1) &&
+                   col("__ts") > col("__tlast") && inWindow
+      cur = cur.join(slice, jc, "left")
+        .groupBy(col("user"), col("max_ts"), col("__j"), col("t1"),
+          col("__tlast"))
+        .agg(min(when(cond, col("__ts"))).as("__n"))
+        .select(col("user"), col("max_ts"),
+          when(col("__n").isNotNull, lit(k.toLong)).otherwise(col("__j"))
+            .as("__j"),
+          (if (k == 1) coalesce(col("t1"), col("__n")) else col("t1"))
+            .as("t1"),
+          coalesce(col("__n"), col("__tlast")).as("__tlast"))
+    }
+    cur.select(col("user"), col("__j").as("steps_completed"),
+      col("t1").as("ts_first"), col("__tlast").as("ts_last"),
+      col("max_ts"))
+  }
+
+  /** The [[funnel]] output from a (persisted or freshly-extended)
+    * [[funnelState]] — a projection: the users who entered, with the
+    * watermark dropped. `funnelFromState(funnelState(h)) ≡ funnel(h)`,
+    * and under the append contract
+    * `funnelFromState(funnelIncremental(funnelState(h), b)) ≡
+    * funnel(h ∪ b)` exactly. */
+  def funnelFromState(state: DataFrame): DataFrame =
+    state.filter(col("ts_first").isNotNull)
+      .select(col("user"), col("steps_completed"), col("ts_first"),
+        col("ts_last"))
 
   /** Cohort retention — the funnel's longitudinal sibling: group users
     * by the period of their FIRST event (their cohort), then count how

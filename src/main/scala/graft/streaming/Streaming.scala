@@ -537,6 +537,72 @@ object Streaming {
     df.sparkSession.table(queryName)
   }
 
+  // --------------------------------------------------------- ledger folds
+
+  /** One step of a streamed batch-increment ledger: optionally emitted
+    * (append-only, never revised) rows plus the replacement carried
+    * state. */
+  final case class StreamLedger(emitted: Option[DataFrame], state: DataFrame)
+
+  /** Drive a batch-increment LEDGER from a stream — the streaming form
+    * of the carried-state operators ([[graft.operators.Funnel.funnelIncremental]],
+    * [[graft.operators.Sessionize.sessionsIncremental]],
+    * [[graft.operators.Sessionize.withSessionIdsIncremental]]): each
+    * micro-batch folds `step(state, batch)` inside `foreachBatch`,
+    * emitted rows land append-only, and the new state replaces the old.
+    *
+    * Exactly-once by construction, not by luck: state versions are
+    * KEYED BY MICRO-BATCH ID (batch `i` reads `state/i`, overwrites
+    * `state/i+1` and `emitted/i`), so a replayed batch — Structured
+    * Streaming's at-least-once `foreachBatch` contract after a crash —
+    * rewrites exactly its own outputs and nothing else. `state/i`
+    * depends only on batches < i, hence is always the correct input on
+    * replay. The checkpoint under `workDir/ckpt` carries the source
+    * offsets; the state directory carries the ledger.
+    *
+    * ORDER CONTRACT: the ledger operators assume per-key append-only
+    * batches (their carried watermark raises loudly on violation —
+    * never a silent wrong state). With a file source, write arrival
+    * files in event-time order and read with `maxFilesPerTrigger=1`:
+    * the file source dispatches oldest-modification-time first, making
+    * micro-batch order equal file order.
+    *
+    * 100 TB shape: each fold is the ledger operator's own plan (state
+    * join + batch-sized work, zero history rescan); the stream adds
+    * only offset bookkeeping. State IO is one parquet write of |keys|
+    * rows per batch — partition it by bucketing the write if |keys|
+    * is lake-scale. */
+  def foldLedgerStream(stream: DataFrame, state0: DataFrame,
+                       workDir: String,
+                       step: (DataFrame, DataFrame) => StreamLedger)
+      : StreamLedger = {
+    val spark = state0.sparkSession
+    val base = workDir.stripSuffix("/")
+    state0.write.mode("overwrite").parquet(s"$base/state/0")
+    val emittedDirs = scala.collection.mutable.LinkedHashSet.empty[String]
+    var lastVersion = 0L
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val st = spark.read.parquet(s"$base/state/$id")
+        val out = step(st, batch)
+        out.emitted.foreach { e =>
+          val dir = s"$base/emitted/$id"
+          e.write.mode("overwrite").parquet(dir)
+          emittedDirs += dir
+        }
+        out.state.write.mode("overwrite").parquet(s"$base/state/${id + 1}")
+        lastVersion = math.max(lastVersion, id + 1)
+      }
+      .start()
+    q.awaitTermination()
+    StreamLedger(
+      if (emittedDirs.isEmpty) None
+      else Some(spark.read.parquet(emittedDirs.toSeq: _*)),
+      spark.read.parquet(s"$base/state/$lastVersion"))
+  }
+
   // ---------------------------------------------------------------- state
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(count: Long, total: Double)

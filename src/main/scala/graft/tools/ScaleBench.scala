@@ -235,7 +235,13 @@ object ScaleBench {
     // certification audits: brute truth scan + probed serve over a
     // FIXED 8-query md5 sample — ~ann_recall; serve + rebuild = two
     // index subtrees — ~2× text_bm25_index_merge
-    "ann_certify", "text_bm25_certify")
+    "ann_certify", "text_bm25_certify",
+    // the rollup ledger: bootstrap rollup + state join + batch window
+    // + per-key max windows, all user-keyed — expect ~st_sessionize
+    "st_sessions_incremental",
+    // the funnel steady state: 8 pruned slices (4 per half) + K
+    // user-keyed chase joins — expect ~2× ev_funnel
+    "ev_funnel_incremental")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

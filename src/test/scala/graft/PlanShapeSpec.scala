@@ -332,6 +332,25 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the 3 step-type filters pushed to the scans:\n$plan")
   }
 
+  test("ev_funnel_incremental: every scan is a pruned slice — type " +
+      "filters pushed on all step slices, 8-scan ceiling") {
+    // state subtree: 3 step slices + the watermark rollup (4); chase:
+    // the batch rollup + 3 batch step slices (4). Each is type- and/or
+    // split-pruned at the scan — the history is never read whole.
+    val df = q("ev_funnel_incremental")
+    assert(finalScans(df, "events") == 8)
+    // both halves prefilter with isin(steps), so the scan-level prune
+    // is In(event_type, …) — the per-step EqualTo sits past the plan
+    // string's truncation point on these deep scans
+    val plan = df.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator
+      .filter(l => l.contains("PushedFilters") &&
+        l.contains("events.parquet"))
+      .count(_.contains("In(event_type,"))
+    assert(pushed >= 8,
+      s"expected the step-type prune pushed on both halves:\n$plan")
+  }
+
   test("emb_bitext_margin holds the 4-scan floor (each direction's " +
       "top-k exchange shared by its mean-sum and candidate branches)") {
     // 2 scans per direction (corpus side + broadcast query side) × 2

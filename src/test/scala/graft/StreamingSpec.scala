@@ -709,4 +709,133 @@ class StreamingSpec extends SparkSpec {
     val p4 = Ledger.pending(candidates, Ledger.read(spark, path), "ds", "make")
     assert(p4.count() == 3)
   }
+
+  test("foldLedgerStream: the streamed funnel ledger equals the one-shot " +
+      "state; versions are batch-id-keyed; order violations raise") {
+    import graft.operators.Funnel
+    def tstamp(s: String) = java.sql.Timestamp.valueOf(s)
+    val K = Seq("A", "B")
+    val all = Seq(
+      (1L, "A", tstamp("2024-01-01 10:00:00")), // enters in slice 0
+      (1L, "B", tstamp("2024-01-02 06:00:00")), // converts in slice 1
+      (2L, "A", tstamp("2024-01-03 01:00:00")), // enters in slice 2
+      (3L, "B", tstamp("2024-01-01 05:00:00"))  // stage-0 row from slice 0
+    ).toDF("user_id", "etype", "ts")
+    val slices = Seq(
+      all.filter($"ts" < lit(tstamp("2024-01-02 00:00:00"))),
+      all.filter($"ts" >= lit(tstamp("2024-01-02 00:00:00")) &&
+        $"ts" < lit(tstamp("2024-01-03 00:00:00"))),
+      all.filter($"ts" >= lit(tstamp("2024-01-03 00:00:00"))))
+    val src = java.nio.file.Files.createTempDirectory("graft-fls-src")
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-fls-sl")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src.toFile, f"arrival-$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val work = java.nio.file.Files.createTempDirectory("graft-fls").toString
+    // bootstrap from EMPTY state (day-0): slice the schema off a
+    // zero-row funnelState
+    val state0 = Funnel.funnelState(all.limit(0), "user_id", "etype",
+      "ts", K)
+    val led = Streaming.foldLedgerStream(stream, state0, work,
+      (st, b) => Streaming.StreamLedger(None,
+        Funnel.funnelIncremental(st, b, "user_id", "etype", "ts", K)))
+    assert(led.emitted.isEmpty)
+    // streamed fold ≡ one-shot state over everything
+    val want = Funnel.funnelState(all, "user_id", "etype", "ts", K)
+    assert(led.state.exceptAll(want).isEmpty &&
+      want.exceptAll(led.state).isEmpty,
+      s"streamed ledger diverged: ${led.state.collect().toSeq}")
+    // one state version per micro-batch + the bootstrap: 0..3, each
+    // keyed by the micro-batch id that WROTE it (idempotent replays)
+    val versions = new java.io.File(s"$work/state").listFiles()
+      .filter(_.isDirectory).map(_.getName.toInt).sorted.toSeq
+    assert(versions == Seq(0, 1, 2, 3), versions.toString)
+    // a NEW out-of-order arrival (older than u1's watermark) raises
+    // through the stream instead of mis-staging
+    val stale = Seq((1L, "B", tstamp("2024-01-01 11:00:00")))
+      .toDF("user_id", "etype", "ts")
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-fls-sl")
+    stale.coalesce(1).write.mode("overwrite").parquet(tmp2.toString)
+    val part2 = new java.io.File(tmp2.toString).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst2 = new java.io.File(src.toFile, "arrival-900.parquet")
+    java.nio.file.Files.move(part2.toPath, dst2.toPath)
+    assert(dst2.setLastModified(1700000000000L + 900 * 60000L))
+    val err = intercept[Exception] {
+      Streaming.foldLedgerStream(
+        spark.readStream.schema(all.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src.toString),
+        led.state, s"$work-2",
+        (st, b) => Streaming.StreamLedger(None,
+          Funnel.funnelIncremental(st, b, "user_id", "etype", "ts", K)))
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq.reverse
+        .flatMap(c => Option(c.getMessage)) :+ "").mkString(" | ")
+    assert(rootMsg(err).contains("append-only contract"), rootMsg(err))
+  }
+
+  test("foldLedgerStream: the streamed session-rollup ledger emits " +
+      "closed sessions append-only and equals the full recompute") {
+    import graft.operators.Sessionize
+    def tstamp(s: String) = java.sql.Timestamp.valueOf(s)
+    val all = Seq(
+      // u1: session 1 (2 events) closed by session 2 arriving in slice 1
+      (1L, tstamp("2024-01-01 10:00:00"), 1.0, 1L),
+      (1L, tstamp("2024-01-01 10:10:00"), 2.0, 2L),
+      (1L, tstamp("2024-01-02 09:00:00"), 4.0, 3L),
+      // u2: one long session spanning the slice boundary (merged partial)
+      (2L, tstamp("2024-01-01 23:50:00"), 1.5, 4L),
+      (2L, tstamp("2024-01-02 00:10:00"), 2.5, 5L),
+      // u3: appears only in slice 2
+      (3L, tstamp("2024-01-03 08:00:00"), 7.0, 6L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val cut1 = lit(tstamp("2024-01-02 00:00:00"))
+    val cut2 = lit(tstamp("2024-01-03 00:00:00"))
+    val slices = Seq(all.filter($"ts" < cut1),
+      all.filter($"ts" >= cut1 && $"ts" < cut2),
+      all.filter($"ts" >= cut2))
+    val src = java.nio.file.Files.createTempDirectory("graft-sls-src")
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sls-sl")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src.toFile, f"arrival-$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val boot = Sessionize.sessionsBootstrap(all.limit(0), "user_id", "ts",
+      gapSeconds = 1800, "value", tieBreak = Seq("event_id"))
+    val work = java.nio.file.Files.createTempDirectory("graft-sls").toString
+    val led = Streaming.foldLedgerStream(
+      spark.readStream.schema(all.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString),
+      boot.state, work,
+      (st, b) => {
+        val l = Sessionize.sessionsIncremental(st, b, "user_id", "ts",
+          gapSeconds = 1800, "value", tieBreak = Seq("event_id"))
+        Streaming.StreamLedger(Some(l.closed), l.state)
+      })
+    val got = boot.closed
+      .unionByName(led.emitted.get)
+      .unionByName(Sessionize.finalizeSessionState(led.state, "user_id"))
+    val want = Sessionize.sessions(all, "user_id", "ts",
+      gapSeconds = 1800, "value", tieBreak = Seq("event_id"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"streamed rollup diverged:\n got ${got.collect().toSeq}\n" +
+        s"want ${want.collect().toSeq}")
+    // u1's first session closed DURING the stream (emitted), u2's
+    // boundary-spanning session merged across slices and still open at
+    // finalize together with u3's
+    assert(led.emitted.get.filter($"user_id" === 1L).count() == 1)
+    assert(led.emitted.get.filter($"user_id" === 2L).count() == 0)
+  }
 }

@@ -351,6 +351,111 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(steps("year") == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("funnel steady state: state + batch chase ≡ the full-history " +
+      "funnel across a two-batch chain; violations raise") {
+    import graft.operators.Funnel
+    val K = Seq("A", "B", "C")
+    val w = Some(86400000000L) // 24 h entry-anchored
+    val all = Seq(
+      // u1 enters in b1, advances TWO stages inside b2
+      (1L, "A", ts("2024-01-01 10:00:00")),
+      (1L, "B", ts("2024-01-02 06:00:00")),
+      (1L, "C", ts("2024-01-02 07:00:00")),
+      // u2 fully converts pre-split — pure passthrough
+      (2L, "A", ts("2024-01-01 01:00:00")),
+      (2L, "B", ts("2024-01-01 02:00:00")),
+      (2L, "C", ts("2024-01-01 03:00:00")),
+      // u3 has only a C pre-split (stage-0 state row), enters and
+      // advances post-split
+      (3L, "C", ts("2024-01-01 07:00:00")),
+      (3L, "A", ts("2024-01-02 07:00:00")),
+      (3L, "B", ts("2024-01-02 08:00:00")),
+      // u4 enters pre-split; post-split B lands OUTSIDE the 24 h
+      // window — stuck at stage 1
+      (4L, "A", ts("2024-01-01 04:00:00")),
+      (4L, "B", ts("2024-01-02 23:00:00")),
+      // u5 appears only post-split; simultaneous B excluded
+      // (strictly-after), later B converts
+      (5L, "A", ts("2024-01-02 09:00:00")),
+      (5L, "B", ts("2024-01-02 09:00:00")),
+      (5L, "B", ts("2024-01-02 10:00:00")),
+      // u6: B before A INSIDE b2 — within-batch order freedom
+      (6L, "B", ts("2024-01-02 02:00:00")),
+      (6L, "A", ts("2024-01-02 03:00:00")),
+      // u7: third batch only — enters after two increments
+      (7L, "A", ts("2024-01-03 05:00:00")),
+      (7L, "B", ts("2024-01-03 06:00:00"))
+    ).toDF("user_id", "etype", "ts")
+    val b1 = all.filter($"ts" < lit(ts("2024-01-02 00:00:00")))
+    val b2 = all.filter($"ts" >= lit(ts("2024-01-02 00:00:00")) &&
+      $"ts" < lit(ts("2024-01-03 00:00:00")))
+    val b3 = all.filter($"ts" >= lit(ts("2024-01-03 00:00:00")))
+    // bootstrap → increment → increment, state parquet round-tripped
+    val dir = java.nio.file.Files.createTempDirectory("graft-fun").toString
+    Funnel.funnelState(b1, "user_id", "etype", "ts", K, withinUs = w)
+      .write.parquet(s"$dir/s1")
+    Funnel.funnelIncremental(spark.read.parquet(s"$dir/s1"), b2,
+        "user_id", "etype", "ts", K, withinUs = w)
+      .write.parquet(s"$dir/s2")
+    val st3 = Funnel.funnelIncremental(spark.read.parquet(s"$dir/s2"), b3,
+      "user_id", "etype", "ts", K, withinUs = w)
+    // the chained state IS the full-history state, watermark included
+    val rebuilt = Funnel.funnelState(all, "user_id", "etype", "ts", K,
+      withinUs = w)
+    assert(st3.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(st3).isEmpty,
+      s"state diverged: ${st3.collect().toSeq} vs ${rebuilt.collect().toSeq}")
+    // and the served output IS the full-history funnel
+    val out = Funnel.funnelFromState(st3)
+      .select("user", "steps_completed").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 2L, 4L -> 1L, 5L -> 2L,
+      6L -> 1L, 7L -> 2L), out.toString)
+    val direct = Funnel.funnel(all, "user_id", "etype", "ts", K,
+      withinUs = w)
+    assert(Funnel.funnelFromState(st3).exceptAll(direct).isEmpty &&
+      direct.exceptAll(Funnel.funnelFromState(st3)).isEmpty,
+      "served output diverged from the one-shot funnel")
+    // u3's stage-0 state row exists (funnel-relevant activity, no entry)
+    val j0 = spark.read.parquet(s"$dir/s1")
+      .filter($"user" === 3L)
+      .select("steps_completed", "ts_first").as[(Long, Option[Timestamp])]
+      .collect()
+    assert(j0.toSeq == Seq((0L, None)), j0.toSeq.toString)
+    // append contract violated (batch event BEFORE the carried
+    // watermark): raises loudly instead of silently re-staging
+    val stale = Seq((2L, "B", ts("2024-01-01 02:30:00")))
+      .toDF("user_id", "etype", "ts")
+    val err = intercept[Exception] {
+      Funnel.funnelIncremental(spark.read.parquet(s"$dir/s2"), stale,
+        "user_id", "etype", "ts", K, withinUs = w).collect()
+    }
+    assert(err.getMessage != null &&
+      err.getMessage.contains("append-only contract"),
+      s"wrong error: ${err.getMessage}")
+    // non-step-typed events are invisible to the funnel — and to the
+    // watermark (no spurious raise)
+    val noise = Seq((2L, "Z", ts("2024-01-01 00:30:00")))
+      .toDF("user_id", "etype", "ts")
+    val same = Funnel.funnelIncremental(spark.read.parquet(s"$dir/s2"),
+      noise, "user_id", "etype", "ts", K, withinUs = w)
+    val prev = spark.read.parquet(s"$dir/s2")
+    assert(same.exceptAll(prev).isEmpty && prev.exceptAll(same).isEmpty,
+      "noise batch changed the state")
+    // calendar anchor variant: u2 enters Sun 23:00, batch B lands
+    // Mon 01:00 — week mode cuts it incrementally exactly as one-shot
+    val ch = Seq((8L, "A", ts("2024-01-07 23:00:00")))
+      .toDF("user_id", "etype", "ts")
+    val cb = Seq((8L, "B", ts("2024-01-08 01:00:00")))
+      .toDF("user_id", "etype", "ts")
+    val cst = Funnel.funnelIncremental(
+      Funnel.funnelState(ch, "user_id", "etype", "ts", Seq("A", "B"),
+        withinPeriod = Some("week")),
+      cb, "user_id", "etype", "ts", Seq("A", "B"),
+      withinPeriod = Some("week"))
+    val cOut = Funnel.funnelFromState(cst)
+      .select("user", "steps_completed").as[(Long, Long)].collect().toMap
+    assert(cOut == Map(8L -> 1L), cOut.toString)
+  }
+
   test("sessionize steady state: carried open-session state tags a new " +
       "batch exactly as the full recompute; violations raise") {
     import graft.operators.Sessionize
