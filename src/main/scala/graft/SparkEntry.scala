@@ -829,6 +829,41 @@ object SparkEntry {
           steps, withinUs = Some(86400000000L)))
     }),
 
+    "ev_funnel_summary" -> ((s, dir) =>
+      // the step-level conversion report: exact BIGINT users-at-stage-≥k
+      // suffix sums (one ≤K-group aggregation), the two classic ratios
+      // divided LAST from the integer counts — K-row windows only
+      graft.operators.Funnel.conversionSummary(
+        graft.operators.Funnel.funnel(t(s, dir, "events"),
+          "user_id", "event_type", "ts",
+          steps = Seq("view", "click", "purchase"),
+          withinUs = Some(86400000000L)),
+        nSteps = 3)),
+
+    "ev_funnel_conversions" -> ((s, dir) => {
+      // the append-only conversion FEED off the funnel ledger: greedy
+      // progress is write-once, so each user surfaces in exactly one
+      // per-batch delta; bootstrap ∪ the two batch deltas must equal
+      // the one-shot funnel's fully-converted rows (the twin filtered
+      // to steps_completed = K)
+      val ev = t(s, dir, "events")
+      val s1 = lit("2024-01-11 00:00:00").cast("timestamp")
+      val s2 = lit("2024-01-21 00:00:00").cast("timestamp")
+      val steps = Seq("view", "click", "purchase")
+      val w = Some(86400000000L)
+      val F = graft.operators.Funnel
+      val st0 = F.funnelState(ev.filter(col("ts") < s1),
+        "user_id", "event_type", "ts", steps, withinUs = w)
+      val st1 = F.funnelIncremental(st0,
+        ev.filter(col("ts") >= s1 && col("ts") < s2),
+        "user_id", "event_type", "ts", steps, withinUs = w)
+      val st2 = F.funnelIncremental(st1, ev.filter(col("ts") >= s2),
+        "user_id", "event_type", "ts", steps, withinUs = w)
+      F.conversions(st0.limit(0), st0, 3)
+        .unionByName(F.conversions(st0, st1, 3))
+        .unionByName(F.conversions(st1, st2, 3))
+    }),
+
     "ev_funnel_stream" -> ((s, dir) => {
       // the funnel LEDGER on a live stream: foldLedgerStream folds one
       // funnelIncremental chase per micro-batch (AvailableNow,
@@ -4006,6 +4041,32 @@ object SparkEntry {
     // and the STREAMED ledger under the same twin again: the
     // foreachBatch fold of the same chase ≡ full-history recompute
     "ev_funnel_stream" -> EvFunnelOracle,
+
+    // the step-level conversion report over the funnel twin: exact
+    // BIGINT suffix-sum user counts per stage, ratios divided LAST
+    // from the integer counts (sum() windows cast back from HUGEINT)
+    "ev_funnel_summary" ->
+      s"""WITH byst AS (SELECT steps_completed AS sc, count(*) AS n
+         |             FROM ( $EvFunnelOracle ) f GROUP BY 1),
+         |st AS (SELECT CAST(i AS BIGINT) AS step FROM range(1, 4) t(i)),
+         |c AS (SELECT step,
+         |        CAST(sum(coalesce(n, 0)) OVER (ORDER BY step DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS BIGINT) AS users
+         |      FROM st LEFT JOIN byst ON step = sc)
+         |SELECT step, users,
+         |  CAST(users AS DOUBLE) / first_value(users) OVER (ORDER BY step
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS conv_from_entry,
+         |  CAST(users AS DOUBLE) / lag(users, 1) OVER (ORDER BY step)
+         |    AS conv_from_prev
+         |FROM c""".stripMargin,
+
+    // the conversion feed: bootstrap ∪ per-batch write-once deltas ≡
+    // the one-shot funnel's fully-converted rows
+    "ev_funnel_conversions" ->
+      s"""SELECT * FROM ( $EvFunnelOracle ) f
+         |WHERE steps_completed = 3""".stripMargin,
 
     // ev_funnel's twin with the duration bound swapped for calendar-week
     // equality (DuckDB date_trunc('week') is Monday-anchored like

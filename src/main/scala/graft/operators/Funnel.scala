@@ -242,6 +242,66 @@ object Funnel {
       .select(col("user"), col("steps_completed"), col("ts_first"),
         col("ts_last"))
 
+  /** The step-level rollup of a [[funnel]] (or [[funnelFromState]])
+    * frame: one row per stage with the user count that reached AT
+    * LEAST that stage, plus the two classic conversion ratios. Counts
+    * are exact BIGINTs from one |users|→|K| aggregation; the ratios
+    * are the only derived doubles, divided LAST from the two integer
+    * counts (the retention discipline) so both engines compute the
+    * same IEEE quotient. `nSteps` pins the report height — stages no
+    * user reached still appear with count 0 (a report that silently
+    * drops its empty tail misreads as a shorter funnel).
+    *
+    * 100 TB shape: one map-side-combined count aggregation (≤ K+1
+    * groups) + a K-row cumulative sum — the single-partition window
+    * is over the K-row rollup, never over users. */
+  def conversionSummary(funnelOut: DataFrame, nSteps: Int): DataFrame = {
+    require(nSteps >= 2 && nSteps <= 8,
+      s"conversionSummary: $nSteps steps outside [2, 8]")
+    val spark = funnelOut.sparkSession
+    val byStage = funnelOut.groupBy(col("steps_completed").as("__sc"))
+      .agg(count(lit(1)).as("__n"))
+    val stages = spark.range(1, nSteps + 1).select(col("id").as("step"))
+    // users at stage ≥ k = suffix sum of the per-stage exact counts
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("step").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val counts = stages.join(byStage, col("step") === col("__sc"), "left")
+      .select(col("step"), coalesce(col("__n"), lit(0L)).as("__exact"))
+      .withColumn("users", sum(col("__exact")).over(w))
+      .drop("__exact")
+    val entered = counts.orderBy(col("step"))
+    entered.select(col("step"), col("users"),
+      (col("users").cast("double") /
+        first(col("users")).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("step"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .as("conv_from_entry"),
+      (col("users").cast("double") /
+        lag(col("users"), 1).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("step"))))
+        .as("conv_from_prev"))
+  }
+
+  /** The conversion DELTA between two funnel states: users fully
+    * converted (stage = nSteps) in `after` but not yet in `before` —
+    * [[funnel]]-schema rows. Greedy progress is write-once, so across
+    * a chain of [[funnelIncremental]] states each user appears in
+    * EXACTLY ONE delta: the per-batch deltas form an append-only
+    * conversion feed (the natural `emitted` of a
+    * [[graft.streaming.Streaming.foldLedgerStream]] fold), and
+    * `conversions(bootstrap) ∪ per-batch deltas ≡ the one-shot
+    * funnel's fully-converted rows` exactly. */
+  def conversions(before: DataFrame, after: DataFrame,
+                  nSteps: Int): DataFrame = {
+    val done = funnelFromState(after)
+      .filter(col("steps_completed") === nSteps)
+    val prior = before.filter(col("steps_completed") === nSteps)
+      .select(col("user").as("__pu"))
+    done.join(prior, col("user") <=> col("__pu"), "left_anti")
+  }
+
   /** Cohort retention — the funnel's longitudinal sibling: group users
     * by the period of their FIRST event (their cohort), then count how
     * many are active again k periods later, for every (cohort, offset)

@@ -456,6 +456,56 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(cOut == Map(8L -> 1L), cOut.toString)
   }
 
+  test("conversionSummary: exact suffix-sum counts, ratios divided last, " +
+      "empty tail stages kept; conversions deltas are write-once") {
+    import graft.operators.Funnel
+    val K = Seq("A", "B", "C")
+    val all = Seq(
+      (1L, "A", ts("2024-01-01 10:00:00")),
+      (1L, "B", ts("2024-01-01 11:00:00")),
+      (2L, "A", ts("2024-01-01 10:00:00")),
+      (2L, "B", ts("2024-01-02 01:00:00")),
+      (3L, "A", ts("2024-01-02 02:00:00")),
+      (4L, "A", ts("2024-01-01 01:00:00")),
+      (4L, "B", ts("2024-01-01 02:00:00")),
+      (4L, "C", ts("2024-01-02 03:00:00"))
+    ).toDF("user_id", "etype", "ts")
+    // no window: 4 enter, 3 reach B, 1 reaches C
+    val sum = Funnel.conversionSummary(
+        Funnel.funnel(all, "user_id", "etype", "ts", K), nSteps = 3)
+      .orderBy("step")
+      .select("step", "users", "conv_from_entry", "conv_from_prev")
+      .as[(Long, Long, Double, Option[Double])].collect().toSeq
+    assert(sum == Seq(
+      (1L, 4L, 1.0, None),
+      (2L, 3L, 0.75, Some(0.75)),
+      (3L, 1L, 0.25, Some(1.0 / 3.0))), sum.toString)
+    // a funnel nobody finishes keeps its zero tail (0/positive = 0.0)
+    val short = Funnel.conversionSummary(
+        Funnel.funnel(all.filter($"etype" =!= "C"), "user_id", "etype",
+          "ts", K), nSteps = 3)
+      .orderBy("step").select("step", "users", "conv_from_entry")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(short == Seq((1L, 4L, 1.0), (2L, 3L, 0.75), (3L, 0L, 0.0)),
+      short.toString)
+    // write-once conversion deltas across an incremental chain: u4
+    // converts in batch 2, ONLY there; the bootstrap delta is empty
+    val cut1 = lit(ts("2024-01-02 00:00:00"))
+    val cut2 = lit(ts("2024-01-02 02:30:00"))
+    val st0 = Funnel.funnelState(all.filter($"ts" < cut1),
+      "user_id", "etype", "ts", K)
+    val st1 = Funnel.funnelIncremental(st0,
+      all.filter($"ts" >= cut1 && $"ts" < cut2),
+      "user_id", "etype", "ts", K)
+    val st2 = Funnel.funnelIncremental(st1, all.filter($"ts" >= cut2),
+      "user_id", "etype", "ts", K)
+    assert(Funnel.conversions(st0.limit(0), st0, 3).count() == 0)
+    assert(Funnel.conversions(st0, st1, 3).count() == 0)
+    val d2 = Funnel.conversions(st1, st2, 3)
+      .select("user").as[Long].collect().toSeq
+    assert(d2 == Seq(4L), d2.toString)
+  }
+
   test("sessionize steady state: carried open-session state tags a new " +
       "batch exactly as the full recompute; violations raise") {
     import graft.operators.Sessionize
