@@ -680,6 +680,46 @@ class StreamingSpec extends SparkSpec {
     assert(viaWindow == viaKernel)
   }
 
+  test("session_window STREAMED in append mode emits exactly the " +
+      "watermark-closed sessions, engine state-store merged") {
+    def tstamp(s: String) = java.sql.Timestamp.valueOf(s)
+    val slices = Seq(
+      // sessions A (u1 ×2) and C (u2) open in slice 0
+      Seq((1L, tstamp("2024-01-01 10:00:00"), 1.0, 1L),
+        (1L, tstamp("2024-01-01 10:10:00"), 2.0, 2L),
+        (2L, tstamp("2024-01-01 10:05:00"), 3.0, 3L)),
+      // u1's session B — and a watermark push to 12:00 that closes A+C
+      Seq((1L, tstamp("2024-01-01 13:00:00"), 4.0, 4L)),
+      // u3's clock-pushing arrival: watermark 17:00 closes B; u3's own
+      // session stays open (end+gap 18:30 > watermark)
+      Seq((3L, tstamp("2024-01-01 18:00:00"), 5.0, 5L)))
+      .map(_.toDF("user_id", "ts", "value", "event_id"))
+    val src = java.nio.file.Files.createTempDirectory("graft-sw-src")
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sw-sl")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src.toFile, f"arrival-$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sw-ck").toString
+    val emitted = Streaming.runAvailableNow(
+      Streaming.sessionCounts(
+        spark.readStream.schema(slices.head.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src.toString),
+        gap = "30 minutes", watermark = "1 hour"),
+      "sw_append_test", ckpt,
+      outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+      .select("user_id", "n_events", "total_value")
+      .as[(Long, Long, Double)].collect().toSet
+    // A (u1 ×2, 3.0) and C (u2 ×1, 3.0) close under the 12:00 watermark;
+    // B (u1 ×1, 4.0) under 17:00; u3's open session is NOT emitted
+    assert(emitted == Set((1L, 2L, 3.0), (2L, 1L, 3.0), (1L, 1L, 4.0)),
+      emitted.toString)
+  }
+
   test("stateful per-user totals match a batch aggregate") {
     val ev = Tables.load(spark, sf0, "events")
     val out = Streaming.statefulUserTotals(ev)
