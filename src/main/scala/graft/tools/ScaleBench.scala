@@ -241,7 +241,11 @@ object ScaleBench {
     "st_sessions_incremental",
     // the funnel steady state: 8 pruned slices (4 per half) + K
     // user-keyed chase joins — expect ~2× ev_funnel
-    "ev_funnel_incremental")
+    "ev_funnel_incremental",
+    // the conversion report: the funnel plan + K-row windows — expect
+    // ~ev_funnel flat; the feed gate: a 3-state chain with two deltas —
+    // expect ~2-3× ev_funnel_incremental by construction
+    "ev_funnel_summary", "ev_funnel_conversions")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length
