@@ -840,6 +840,17 @@ object SparkEntry {
           withinUs = Some(86400000000L)),
         nSteps = 3)),
 
+    "ev_funnel_latency" -> ((s, dir) =>
+      // time-to-convert percentiles: exact order statistics (actual
+      // second values) over fully-converted users, the lengthQuantiles
+      // rational-threshold kernel on the latency domain
+      graft.operators.Funnel.conversionLatency(
+        graft.operators.Funnel.funnel(t(s, dir, "events"),
+          "user_id", "event_type", "ts",
+          steps = Seq("view", "click", "purchase"),
+          withinUs = Some(86400000000L)),
+        nSteps = 3)),
+
     "ev_funnel_conversions" -> ((s, dir) => {
       // the append-only conversion FEED off the funnel ledger: greedy
       // progress is write-once, so each user surfaces in exactly one
@@ -4067,6 +4078,22 @@ object SparkEntry {
     "ev_funnel_conversions" ->
       s"""SELECT * FROM ( $EvFunnelOracle ) f
          |WHERE steps_completed = 3""".stripMargin,
+
+    // time-to-convert: the doc_len_quantiles rational-threshold
+    // percentile_disc over whole-second latencies of full conversions
+    "ev_funnel_latency" ->
+      s"""WITH lat AS (SELECT CAST(floor(epoch(ts_last)) AS BIGINT) -
+         |               CAST(floor(epoch(ts_first)) AS BIGINT) AS len
+         |             FROM ( $EvFunnelOracle ) f
+         |             WHERE steps_completed = 3),
+         |c AS (SELECT len, count(*) AS cnt FROM lat GROUP BY 1),
+         |cum AS (SELECT len, CAST(sum(cnt) OVER (ORDER BY len
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM c),
+         |tot AS (SELECT count(*) AS n FROM lat),
+         |qs(q, num, den) AS (VALUES ('p10', 1, 10), ('p25', 1, 4),
+         |  ('p50', 1, 2), ('p75', 3, 4), ('p90', 9, 10))
+         |SELECT q, min(len) AS value FROM qs, cum, tot
+         |WHERE cum >= (num * n + den - 1) // den GROUP BY q""".stripMargin,
 
     // ev_funnel's twin with the duration bound swapped for calendar-week
     // equality (DuckDB date_trunc('week') is Monday-anchored like

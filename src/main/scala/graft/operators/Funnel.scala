@@ -302,6 +302,24 @@ object Funnel {
     done.join(prior, col("user") <=> col("__pu"), "left_anti")
   }
 
+  /** Time-to-convert distribution: exact DISCRETE percentiles (actual
+    * data values via rational-threshold percentile_disc — the
+    * [[graft.llm.Corpus.lengthQuantiles]] kernel, so the integer-math
+    * rank discipline is shared, not reimplemented) of
+    * `ts_last − ts_first` in whole seconds over FULLY-converted users
+    * (stage = nSteps). Returns `(q, value)` rows.
+    *
+    * 100 TB shape: the funnel rollup is user-sized; the quantile ride
+    * is over the DISTINCT latency domain (seconds within the
+    * conversion window — bounded by the window, not the corpus),
+    * guarded by the kernel's domain ceiling. */
+  def conversionLatency(funnelOut: DataFrame, nSteps: Int): DataFrame =
+    graft.llm.Corpus.lengthQuantiles(
+      funnelOut.filter(col("steps_completed") === nSteps)
+        .select((unix_timestamp(col("ts_last")) -
+          unix_timestamp(col("ts_first"))).as("latency_s")),
+      "latency_s")
+
   /** Cohort retention — the funnel's longitudinal sibling: group users
     * by the period of their FIRST event (their cohort), then count how
     * many are active again k periods later, for every (cohort, offset)

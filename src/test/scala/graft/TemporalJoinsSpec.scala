@@ -506,6 +506,30 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(d2 == Seq(4L), d2.toString)
   }
 
+  test("conversionLatency: exact order-statistic percentiles over " +
+      "full conversions only") {
+    import graft.operators.Funnel
+    // latencies 60 s, 120 s, 600 s for the three converted users; the
+    // stage-1 straggler must not enter the distribution
+    val all = Seq(
+      (1L, "A", ts("2024-01-01 10:00:00")),
+      (1L, "B", ts("2024-01-01 10:01:00")),
+      (2L, "A", ts("2024-01-01 10:00:00")),
+      (2L, "B", ts("2024-01-01 10:02:00")),
+      (3L, "A", ts("2024-01-01 10:00:00")),
+      (3L, "B", ts("2024-01-01 10:10:00")),
+      (4L, "A", ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "etype", "ts")
+    val q = Funnel.conversionLatency(
+        Funnel.funnel(all, "user_id", "etype", "ts", Seq("A", "B")),
+        nSteps = 2)
+      .as[(String, Long)].collect().toMap
+    // ceil-rank discipline on n=3: p10/p25 → 1st value, p50 → 2nd,
+    // p75/p90 → 3rd — every value an ACTUAL latency
+    assert(q == Map("p10" -> 60L, "p25" -> 60L, "p50" -> 120L,
+      "p75" -> 600L, "p90" -> 600L), q.toString)
+  }
+
   test("sessionize steady state: carried open-session state tags a new " +
       "batch exactly as the full recompute; violations raise") {
     import graft.operators.Sessionize
