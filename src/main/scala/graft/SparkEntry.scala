@@ -1548,6 +1548,30 @@ object SparkEntry {
       graft.llm.Retrieval.rrfFuse(Seq(sparse, dense), k = 5)
     }),
 
+    "text_hybrid_against" -> ((s, dir) => {
+      // the hybrid steady state: BOTH lists served from persisted
+      // indexes — the BM25 inverted index and the VectorIndex, probed
+      // EXHAUSTIVELY (nprobe = nlist ⇒ the IVF serve IS brute force:
+      // same candidates, same cosine, same tie-break), so the twin is
+      // text_hybrid_rrf's VERBATIM — index-served fusion ≡ recompute
+      val docs = t(s, dir, "documents")
+      val q = docs.filter(col("doc_id") % 25 === 0 && col("doc_id") < 500)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(TA.normalizeText(col("text")), " "),
+            1, 6), " ").as("query_text"))
+      val sparse = graft.llm.Retrieval.bm25TopKAgainst(
+          graft.llm.Retrieval.bm25Index(docs), q, k = 5)
+        .select("query_id", "doc_id", "rank")
+      val emb = t(s, dir, "embeddings")
+      val vidx = Similarity.buildVectorIndex(emb)
+      val dense = Similarity.ivfTopKAgainst(vidx,
+          emb.filter(col("vec_id") % 25 === 0 && col("vec_id") < 500),
+          k = 5, nprobe = 16)
+        .select(col("query_id"), col("corpus_id").as("doc_id"),
+          col("rank"))
+      graft.llm.Retrieval.rrfFuse(Seq(sparse, dense), k = 5)
+    }),
+
     "text_bm25_index_merge" -> ((s, dir) => {
       // incremental index maintenance: the corpus indexed as two
       // disjoint halves, merged relationally (integer-exact), then
@@ -2538,6 +2562,66 @@ object SparkEntry {
   // engines), integer offsets, ratio derived last — shared VERBATIM by
   // the one-shot AND the activity-frame incremental paths (the hash
   // match proves extend+serve ≡ full recompute)
+  /** The hybrid-retrieval twin — BM25 + dense cosine lists fused by
+    * reciprocal rank. Shared VERBATIM by `text_hybrid_rrf` and
+    * `text_hybrid_against`: the hash match proves index-served fusion
+    * (persisted BM25 index + exhaustively-probed VectorIndex) ≡ the
+    * from-scratch recompute. */
+  private val TextHybridRrfOracle: String =
+    """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM norm),
+        |tk AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |dfq AS (SELECT token, count(*) AS docfreq FROM tf GROUP BY 1),
+        |st AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |tot AS (SELECT coalesce(sum(dl), 0) AS toklen FROM dl),
+        |qs AS (SELECT doc_id AS query_id,
+        |       array_to_string(list_slice(string_split(t, ' '), 1, 6), ' ') AS qt
+        |       FROM norm WHERE doc_id % 25 = 0 AND doc_id < 500),
+        |qtm AS (SELECT DISTINCT query_id, token FROM
+        |       (SELECT query_id, unnest(string_split(qt, ' ')) AS token FROM qs)
+        |       WHERE length(token) > 0),
+        |w AS (SELECT q.query_id, f.doc_id, f.token,
+        |      ln((st.n - d.docfreq + 0.5) / (d.docfreq + 0.5) + 1.0) *
+        |      ((f.tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
+        |       (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl /
+        |          (CAST(tot.toklen AS DOUBLE) / st.n)))) AS w
+        |      FROM qtm q JOIN dfq d USING (token) JOIN tf f USING (token)
+        |      JOIN dl l ON f.doc_id = l.doc_id, st, tot),
+        |sc AS (SELECT query_id, doc_id,
+        |       round(list_sum(list(w ORDER BY token)), 10) AS score
+        |       FROM w GROUP BY 1, 2),
+        |rks AS (SELECT query_id, doc_id,
+        |       row_number() OVER (PARTITION BY query_id
+        |                          ORDER BY score DESC, doc_id) AS rank FROM sc),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dq AS (SELECT vec_id, v FROM c WHERE vec_id % 25 = 0 AND vec_id < 500),
+        |ds AS (SELECT dq.vec_id AS query_id, c.vec_id AS doc_id,
+        |        list_sum([dq.v[i] * c.v[i] for i in range(1, 65)]) /
+        |        (sqrt(list_sum([dq.v[i] * dq.v[i] for i in range(1, 65)])) *
+        |         sqrt(list_sum([c.v[i] * c.v[i] for i in range(1, 65)]))) AS sim
+        |      FROM c CROSS JOIN dq WHERE dq.vec_id <> c.vec_id),
+        |dr AS (SELECT query_id, doc_id,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY sim DESC, doc_id) AS rank FROM ds),
+        |un AS (SELECT query_id, doc_id,
+        |        CAST(1.0 AS DOUBLE) / (60 + rank) AS contrib, 0 AS src
+        |        FROM rks WHERE rank <= 5
+        |       UNION ALL
+        |       SELECT query_id, doc_id,
+        |        CAST(1.0 AS DOUBLE) / (60 + rank), 1
+        |        FROM dr WHERE rank <= 5),
+        |fs AS (SELECT query_id, doc_id,
+        |       list_sum(list(contrib ORDER BY src)) AS score
+        |       FROM un GROUP BY 1, 2),
+        |fr AS (SELECT query_id, doc_id, score,
+        |       row_number() OVER (PARTITION BY query_id
+        |                          ORDER BY score DESC, doc_id) AS rank FROM fs)
+        |SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank, score
+        |FROM fr WHERE rank <= 5""".stripMargin
+
   /** The funnel twin — chains the same greedy min-after aggregates
     * with the entry-anchored 24 h window. Shared VERBATIM by
     * `ev_funnel` and `ev_funnel_incremental`: the hash match proves
@@ -4950,60 +5034,10 @@ object SparkEntry {
     // ranks only — each contribution is one exact division (the 1.0
     // needs CAST AS DOUBLE: a decimal 1.0/(60+rank) would divide in
     // DECIMAL), summed in source order, no quantization needed
-    "text_hybrid_rrf" ->
-      """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
-        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM documents),
-        |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM norm),
-        |tk AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-        |dfq AS (SELECT token, count(*) AS docfreq FROM tf GROUP BY 1),
-        |st AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
-        |tot AS (SELECT coalesce(sum(dl), 0) AS toklen FROM dl),
-        |qs AS (SELECT doc_id AS query_id,
-        |       array_to_string(list_slice(string_split(t, ' '), 1, 6), ' ') AS qt
-        |       FROM norm WHERE doc_id % 25 = 0 AND doc_id < 500),
-        |qtm AS (SELECT DISTINCT query_id, token FROM
-        |       (SELECT query_id, unnest(string_split(qt, ' ')) AS token FROM qs)
-        |       WHERE length(token) > 0),
-        |w AS (SELECT q.query_id, f.doc_id, f.token,
-        |      ln((st.n - d.docfreq + 0.5) / (d.docfreq + 0.5) + 1.0) *
-        |      ((f.tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
-        |       (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl /
-        |          (CAST(tot.toklen AS DOUBLE) / st.n)))) AS w
-        |      FROM qtm q JOIN dfq d USING (token) JOIN tf f USING (token)
-        |      JOIN dl l ON f.doc_id = l.doc_id, st, tot),
-        |sc AS (SELECT query_id, doc_id,
-        |       round(list_sum(list(w ORDER BY token)), 10) AS score
-        |       FROM w GROUP BY 1, 2),
-        |rks AS (SELECT query_id, doc_id,
-        |       row_number() OVER (PARTITION BY query_id
-        |                          ORDER BY score DESC, doc_id) AS rank FROM sc),
-        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |dq AS (SELECT vec_id, v FROM c WHERE vec_id % 25 = 0 AND vec_id < 500),
-        |ds AS (SELECT dq.vec_id AS query_id, c.vec_id AS doc_id,
-        |        list_sum([dq.v[i] * c.v[i] for i in range(1, 65)]) /
-        |        (sqrt(list_sum([dq.v[i] * dq.v[i] for i in range(1, 65)])) *
-        |         sqrt(list_sum([c.v[i] * c.v[i] for i in range(1, 65)]))) AS sim
-        |      FROM c CROSS JOIN dq WHERE dq.vec_id <> c.vec_id),
-        |dr AS (SELECT query_id, doc_id,
-        |        row_number() OVER (PARTITION BY query_id
-        |          ORDER BY sim DESC, doc_id) AS rank FROM ds),
-        |un AS (SELECT query_id, doc_id,
-        |        CAST(1.0 AS DOUBLE) / (60 + rank) AS contrib, 0 AS src
-        |        FROM rks WHERE rank <= 5
-        |       UNION ALL
-        |       SELECT query_id, doc_id,
-        |        CAST(1.0 AS DOUBLE) / (60 + rank), 1
-        |        FROM dr WHERE rank <= 5),
-        |fs AS (SELECT query_id, doc_id,
-        |       list_sum(list(contrib ORDER BY src)) AS score
-        |       FROM un GROUP BY 1, 2),
-        |fr AS (SELECT query_id, doc_id, score,
-        |       row_number() OVER (PARTITION BY query_id
-        |                          ORDER BY score DESC, doc_id) AS rank FROM fs)
-        |SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank, score
-        |FROM fr WHERE rank <= 5""".stripMargin,
+    "text_hybrid_rrf" -> TextHybridRrfOracle,
+    // the hybrid steady state under the SAME twin: both lists served
+    // from persisted indexes (nprobe = nlist makes the IVF serve exact)
+    "text_hybrid_against" -> TextHybridRrfOracle,
 
     // retrieval evaluation: the BM25 twin as the run, same-source truth,
     // integer hits/n_rel + exact 1/first_rel + quantized nDCG (the ln
