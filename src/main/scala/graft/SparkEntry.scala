@@ -875,6 +875,62 @@ object SparkEntry {
         .unionByName(F.conversions(st1, st2, 3))
     }),
 
+    "ev_retention_stream" -> ((s, dir) => {
+      // retention's activity frame folded from a LIVE stream:
+      // extendActivity is union+distinct — ORDER-FREE (min-cohort over
+      // a set union needs no append contract), so the ledger fold takes
+      // arrivals in any arrangement; the triangle is served from the
+      // drained frame. Twin = ev_retention's VERBATIM.
+      val ev = t(s, dir, "events")
+      val s1 = lit("2024-01-11 00:00:00").cast("timestamp")
+      val s2 = lit("2024-01-21 00:00:00").cast("timestamp")
+      val act0 = graft.operators.Funnel.activityFrame(
+        ev.filter(col("ts") < s1), "user_id", "ts", "week")
+      val slim = ev.select("user_id", "ts")
+      val arrivals = sliceStream(s, Seq(
+        slim.filter(col("ts") >= s1 && col("ts") < s2),
+        slim.filter(col("ts") >= s2)))
+      val led = graft.streaming.Streaming.foldLedgerStream(
+        arrivals, act0,
+        java.nio.file.Files.createTempDirectory("graft-ret-led").toString,
+        (st, b) => graft.streaming.Streaming.StreamLedger(None,
+          graft.operators.Funnel.extendActivity(st, b, "user_id", "ts",
+            "week")))
+      graft.operators.Funnel.retentionFromActivity(led.state, "week")
+        .withColumn("cohort", col("cohort").cast("string"))
+    }),
+
+    "st_sessionize_stream" -> ((s, dir) => {
+      // the id-tagging ledger on a LIVE stream: each micro-batch's rows
+      // are EMITTED with their session ids (one state join + one
+      // batch-sized window), the open-session state extended; the
+      // emitted union ≡ the full recompute's ids restricted to the
+      // streamed rows. Twin = st_sessionize_incremental's VERBATIM.
+      val ev = t(s, dir, "events")
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val mid = lit("2024-01-23 00:00:00").cast("timestamp")
+      val st0 = graft.operators.Sessionize.sessionState(
+        ev.filter(col("ts") < cut), "user_id", "ts", gapSeconds = 1800,
+        tieBreak = Seq("event_id"))
+      val slim = ev.select("user_id", "ts", "event_id")
+      val arrivals = sliceStream(s, Seq(
+        slim.filter(col("ts") >= cut && col("ts") < mid),
+        slim.filter(col("ts") >= mid)))
+      val led = graft.streaming.Streaming.foldLedgerStream(
+        arrivals, st0,
+        java.nio.file.Files.createTempDirectory("graft-sid-led").toString,
+        (st, b) => graft.streaming.Streaming.StreamLedger(
+          Some(graft.operators.Sessionize.withSessionIdsIncremental(
+              st, b, "user_id", "ts", gapSeconds = 1800,
+              tieBreak = Seq("event_id"))
+            .select(col("event_id"), col("user_id"), col("session_id"))),
+          graft.operators.Sessionize.extendSessionState(st, b,
+            "user_id", "ts", gapSeconds = 1800,
+            tieBreak = Seq("event_id"))))
+      led.emitted.getOrElse(sys.error(
+        "st_sessionize_stream: no tagged rows emitted"))
+    }),
+
     "ev_funnel_stream" -> ((s, dir) => {
       // the funnel LEDGER on a live stream: foldLedgerStream folds one
       // funnelIncremental chase per micro-batch (AvailableNow,
@@ -2622,6 +2678,28 @@ object SparkEntry {
         |SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank, score
         |FROM fr WHERE rank <= 5""".stripMargin
 
+  /** The id-tagging twin: full-history lag+cumsum session ids
+    * RESTRICTED to the post-split rows. Shared VERBATIM by
+    * `st_sessionize_incremental` and `st_sessionize_stream` — the hash
+    * match proves carried-state tagging (batch or streamed fold) ≡ the
+    * full recompute's ids. */
+  private val StSessionizeIncrementalOracle: String =
+    """WITH tagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT) -
+        |              CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM tagged)
+        |SELECT event_id, user_id, session_id
+        |FROM sess WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'""".stripMargin
+
   /** The funnel twin — chains the same greedy min-after aggregates
     * with the entry-anchored 24 h window. Shared VERBATIM by
     * `ev_funnel` and `ev_funnel_incremental`: the hash match proves
@@ -3288,25 +3366,11 @@ object SparkEntry {
     // closed emits ∪ finalized tail ≡ the full-history recompute
     "st_sessions_stream" -> StSessionizeOracle,
 
-    // the incremental twin: full-history lag+cumsum (the st_sessionize
-    // tagging CTEs) RESTRICTED to the post-split batch rows — the hash
-    // match proves carried-state tagging ≡ the full recompute's ids
-    "st_sessionize_incremental" ->
-      """WITH tagged AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR CAST(floor(epoch(ts)) AS BIGINT) -
-        |              CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
-        |         THEN 1 ELSE 0 END AS new_session
-        |  FROM events WHERE ts IS NOT NULL
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (
-        |  SELECT user_id, ts, event_id,
-        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |  FROM tagged)
-        |SELECT event_id, user_id, session_id
-        |FROM sess WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'""".stripMargin,
+    // the incremental twin: full-history lag+cumsum tagging RESTRICTED
+    // to the post-split rows — shared by the batch increment and the
+    // streamed ledger (whose emitted union covers the same rows)
+    "st_sessionize_incremental" -> StSessionizeIncrementalOracle,
+    "st_sessionize_stream" -> StSessionizeIncrementalOracle,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
@@ -4120,6 +4184,9 @@ object SparkEntry {
     // match proves activityFrame+extendActivity+retentionFromActivity
     // ≡ a full-history recompute
     "ev_retention_incremental" -> EvRetentionOracle,
+    // and the STREAMED activity fold under the same twin (order-free
+    // union+distinct — no arrival contract needed)
+    "ev_retention_stream" -> EvRetentionOracle,
     // the quarter/year calendar rungs over the month-spread timestamps
     "ev_retention_quarter" -> retentionPeriodOracle("quarter", 12),
     "ev_retention_year" -> retentionPeriodOracle("year", 36),
