@@ -1112,6 +1112,16 @@ object SparkEntry {
         .withColumn("cohort", col("cohort").cast("string"))
     }),
 
+    "ev_growth_accounting" -> ((s, dir) =>
+      // the growth ledger off the SAME persisted activity frame as
+      // retention: weekly new/retained/resurrected/churned exact
+      // counts, churn attributed forward and clipped at the last
+      // observed week
+      graft.operators.Funnel.growthAccounting(
+        graft.operators.Funnel.activityFrame(t(s, dir, "events"),
+          "user_id", "ts", "week"), "week")
+        .withColumn("p", col("p").cast("string"))),
+
     "ev_retention_quarter" -> ((s, dir) =>
       // the QUARTER calendar rung with real structure: the testdata
       // spans one month, so quarters are synthesized by spreading each
@@ -4187,6 +4197,31 @@ object SparkEntry {
     // and the STREAMED activity fold under the same twin (order-free
     // union+distinct — no arrival contract needed)
     "ev_retention_stream" -> EvRetentionOracle,
+
+    // growth accounting: the same distinct-activity frame decomposed by
+    // lag/lead — churn attributed one period FORWARD, clipped at the
+    // last observed week
+    "ev_growth_accounting" ->
+      """WITH act AS (SELECT DISTINCT user_id AS u,
+        |         CAST(date_trunc('week', ts) AS DATE) AS p
+        |       FROM events WHERE ts IS NOT NULL),
+        |lagd AS (SELECT u, p, lag(p) OVER w AS prev, lead(p) OVER w AS nxt
+        |         FROM act WINDOW w AS (PARTITION BY u ORDER BY p)),
+        |st AS (SELECT p, CASE WHEN prev IS NULL THEN 'new'
+        |         WHEN date_diff('day', prev, p) // 7 = 1 THEN 'retained'
+        |         ELSE 'resurrected' END AS status
+        |       FROM lagd
+        |       UNION ALL
+        |       SELECT CAST(p + INTERVAL 7 DAY AS DATE) AS p, 'churned'
+        |       FROM lagd, (SELECT max(p) AS mx FROM act) t
+        |       WHERE (nxt IS NULL OR date_diff('day', p, nxt) // 7 > 1)
+        |         AND CAST(p + INTERVAL 7 DAY AS DATE) <= t.mx)
+        |SELECT CAST(p AS VARCHAR) AS p,
+        |  CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |  CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+        |  CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS resurrected,
+        |  CAST(sum(CASE WHEN status = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS churned
+        |FROM st GROUP BY 1""".stripMargin,
     // the quarter/year calendar rungs over the month-spread timestamps
     "ev_retention_quarter" -> retentionPeriodOracle("quarter", 12),
     "ev_retention_year" -> retentionPeriodOracle("year", 36),

@@ -394,6 +394,74 @@ object Funnel {
     * offset an exact integer: day/week differences are multiples of
     * the period length; month/quarter/year starts give integer-valued
     * months_between (÷1, ÷3, ÷12). */
+  /** Growth accounting — the new/retained/resurrected/churned
+    * decomposition of each period's active users (the standard
+    * product-growth ledger), served from the SAME persisted
+    * [[activityFrame]] as [[retentionFromActivity]]: one state frame,
+    * two reports, and the steady state comes free via
+    * [[extendActivity]].
+    *
+    * Per (user, period) row: `new` if it is the user's first period,
+    * `retained` if the user was active exactly one period earlier,
+    * `resurrected` otherwise; a user inactive in the period after an
+    * active one is `churned` INTO that following period (attributed
+    * forward, the growth-accounting convention), with churn rows
+    * clipped at the frame's last observed period (whether the final
+    * period's actives churn is not yet knowable). By construction
+    * `new + retained + resurrected = actives(p)` — spec-asserted.
+    * All counts exact BIGINTs; no derived ratios (quick ratio etc.
+    * divide two of these — the caller's one-liner).
+    *
+    * 100 TB shape: lag and lead ride ONE user-keyed window pass over
+    * the |user×period| activity frame, then one period-keyed
+    * aggregation; both exchanges bounded by the frame, never the raw
+    * event log. */
+  def growthAccounting(active: DataFrame,
+                       period: String = "day"): DataFrame = {
+    require(CalendarPeriods.contains(period),
+      s"growthAccounting: period '$period' not in $CalendarPeriods")
+    val wu = org.apache.spark.sql.expressions.Window
+      .partitionBy("user").orderBy("p")
+    def units(a: org.apache.spark.sql.Column,
+              b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (period match {
+        case "day" => datediff(a, b)
+        case "week" => datediff(a, b) / 7
+        case "month" => months_between(a, b)
+        case "quarter" => months_between(a, b) / 3
+        case "year" => months_between(a, b) / 12
+      }).cast("long")
+    def nextPeriod(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      period match {
+        case "day" => date_add(p, 1)
+        case "week" => date_add(p, 7)
+        case "month" => add_months(p, 1)
+        case "quarter" => add_months(p, 3)
+        case "year" => add_months(p, 12)
+      }
+    val lagged = active.select(col("user"), col("p"))
+      .withColumn("__prev", lag(col("p"), 1).over(wu))
+      .withColumn("__next", lead(col("p"), 1).over(wu))
+    val status = lagged.select(col("p"),
+      when(col("__prev").isNull, lit("new"))
+        .when(units(col("p"), col("__prev")) === 1L, lit("retained"))
+        .otherwise(lit("resurrected")).as("status"))
+    val maxP = active.agg(max(col("p")).as("__maxp"))
+    val churn = lagged
+      .filter(col("__next").isNull || units(col("__next"), col("p")) > 1L)
+      .select(nextPeriod(col("p")).as("p"))
+      .crossJoin(broadcast(maxP))
+      .filter(col("p") <= col("__maxp"))
+      .select(col("p"), lit("churned").as("status"))
+    status.unionByName(churn)
+      .groupBy(col("p"))
+      .agg(
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L)).as("retained"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L)).as("resurrected"),
+        sum(when(col("status") === "churned", 1L).otherwise(0L)).as("churned"))
+  }
+
   def retentionFromActivity(active: DataFrame,
                             period: String = "day"): DataFrame = {
     require(CalendarPeriods.contains(period),

@@ -506,6 +506,38 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(d2 == Seq(4L), d2.toString)
   }
 
+  test("growthAccounting: new/retained/resurrected/churned decomposition " +
+      "with forward-attributed clipped churn; actives invariant holds") {
+    import graft.operators.Funnel
+    val ev = Seq(
+      // u1: W1, W2, gap, W4 — new, retained, churned into W3, resurrected
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-08 10:00:00")),
+      (1L, ts("2024-01-22 10:00:00")),
+      // u2: W1 only — new, churned into W2
+      (2L, ts("2024-01-01 11:00:00")),
+      // u3: W3, W4 — new, retained; final-week churn NOT knowable (clip)
+      (3L, ts("2024-01-15 09:00:00")), (3L, ts("2024-01-16 09:00:00")),
+      (3L, ts("2024-01-22 09:00:00"))
+    ).toDF("user_id", "ts")
+    val act = Funnel.activityFrame(ev, "user_id", "ts", "week")
+    val got = Funnel.growthAccounting(act, "week")
+      .orderBy("p")
+      .select(col("p").cast("string"), col("new_users"), col("retained"),
+        col("resurrected"), col("churned"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("2024-01-01", 2L, 0L, 0L, 0L),
+      ("2024-01-08", 0L, 1L, 0L, 1L),
+      ("2024-01-15", 1L, 0L, 0L, 1L),
+      ("2024-01-22", 0L, 1L, 1L, 0L)), got.toString)
+    // the decomposition identity: new + retained + resurrected = actives
+    val actives = act.groupBy("p").count()
+      .select(col("p").cast("string"), col("count"))
+      .as[(String, Long)].collect().toMap
+    got.foreach { case (p, nw, re, rs, _) =>
+      assert(nw + re + rs == actives(p), s"invariant broken at $p") }
+  }
+
   test("conversionLatency: exact order-statistic percentiles over " +
       "full conversions only") {
     import graft.operators.Funnel
