@@ -245,7 +245,14 @@ object ScaleBench {
     // the conversion report: the funnel plan + K-row windows — expect
     // ~ev_funnel flat; the feed gate: a 3-state chain with two deltas —
     // expect ~2-3× ev_funnel_incremental by construction
-    "ev_funnel_summary", "ev_funnel_conversions")
+    "ev_funnel_summary", "ev_funnel_conversions",
+    // latency quantiles: the funnel plan + a latency-domain ride —
+    // expect ~ev_funnel; growth accounting: one user-keyed window over
+    // the |user×period| frame — expect ~ev_retention flat; hybrid
+    // against: BM25 index build + EXHAUSTIVE (oracle-mode) dense serve —
+    // expect ~text_bm25_topk + linear dense growth (production serves
+    // prune with nprobe ≪ nlist)
+    "ev_funnel_latency", "ev_growth_accounting", "text_hybrid_against")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length
