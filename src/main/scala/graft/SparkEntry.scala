@@ -1122,6 +1122,24 @@ object SparkEntry {
           "user_id", "ts", "week"), "week")
         .withColumn("p", col("p").cast("string"))),
 
+    "ev_stickiness" -> ((s, dir) =>
+      // DAU/WAU engagement off the day-level activity frame: exact
+      // integer ingredients per week, the one derived ratio divided
+      // last — the third report from the same persisted frame
+      graft.operators.Funnel.stickiness(
+        graft.operators.Funnel.activityFrame(t(s, dir, "events"),
+          "user_id", "ts", "day"), "week")
+        .withColumn("pp", col("pp").cast("string"))),
+
+    "st_session_durations" -> ((s, dir) =>
+      // session-length distribution: exact order-statistic percentiles
+      // of last−first seconds per session (single-event sessions count
+      // as duration 0), the lengthQuantiles kernel on the gap-bounded
+      // duration domain
+      graft.operators.Sessionize.durationQuantiles(
+        t(s, dir, "events"), "user_id", "ts", gapSeconds = 1800,
+        tieBreak = Seq("event_id"))),
+
     "ev_retention_quarter" -> ((s, dir) =>
       // the QUARTER calendar rung with real structure: the testdata
       // spans one month, so quarters are synthesized by spreading each
@@ -4197,6 +4215,50 @@ object SparkEntry {
     // and the STREAMED activity fold under the same twin (order-free
     // union+distinct — no arrival contract needed)
     "ev_retention_stream" -> EvRetentionOracle,
+
+    // stickiness: the day-level activity frame rolled to weeks — exact
+    // integer ingredients, the ratio divided last from the integers
+    "ev_stickiness" ->
+      """WITH act AS (SELECT DISTINCT user_id AS u,
+        |         CAST(date_trunc('day', ts) AS DATE) AS p
+        |       FROM events WHERE ts IS NOT NULL),
+        |b AS (SELECT CAST(date_trunc('week', p) AS DATE) AS pp, u, p FROM act)
+        |SELECT CAST(pp AS VARCHAR) AS pp,
+        |  count(*) AS sum_daily_actives,
+        |  CAST(count(DISTINCT p) AS BIGINT) AS n_days,
+        |  CAST(count(DISTINCT u) AS BIGINT) AS actives,
+        |  round(CAST(count(*) AS DOUBLE) /
+        |        (count(DISTINCT p) * count(DISTINCT u)), 6) AS stickiness
+        |FROM b GROUP BY 1""".stripMargin,
+
+    // session durations: the sessionize tagging CTEs rolled to
+    // last−first seconds per session, then the rational-threshold
+    // percentile_disc (single-event sessions are duration 0)
+    "st_session_durations" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT) -
+        |              CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM tagged),
+        |dur AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) -
+        |               CAST(floor(epoch(min(ts))) AS BIGINT) AS len
+        |        FROM sess GROUP BY user_id, sid),
+        |c AS (SELECT len, count(*) AS cnt FROM dur GROUP BY 1),
+        |cum AS (SELECT len, CAST(sum(cnt) OVER (ORDER BY len
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM c),
+        |tot AS (SELECT count(*) AS n FROM dur),
+        |qs(q, num, den) AS (VALUES ('p10', 1, 10), ('p25', 1, 4),
+        |  ('p50', 1, 2), ('p75', 3, 4), ('p90', 9, 10))
+        |SELECT q, min(len) AS value FROM qs, cum, tot
+        |WHERE cum >= (num * n + den - 1) // den GROUP BY q""".stripMargin,
 
     // growth accounting: the same distinct-activity frame decomposed by
     // lag/lead — churn attributed one period FORWARD, clipped at the

@@ -462,6 +462,34 @@ object Funnel {
         sum(when(col("status") === "churned", 1L).otherwise(0L)).as("churned"))
   }
 
+  /** Stickiness — the DAU/WAU-style engagement ratio, the third report
+    * off the persisted DAY-level [[activityFrame]]: for each coarser
+    * `period` bucket, the exact BIGINT ingredients (sum of daily
+    * active counts, observed days, period actives) plus the one
+    * derived ratio `sum_daily / (n_days · actives)` — mean daily
+    * actives over period actives — divided LAST from the integers
+    * (the retention discipline) and rounded to 6 places.
+    *
+    * 100 TB shape: one period-keyed aggregation over the
+    * |user×day| frame (count-distinct expansion bounded by the frame,
+    * never the event log); output is |periods| rows. */
+  def stickiness(activeDaily: DataFrame,
+                 period: String = "week"): DataFrame = {
+    require(CalendarPeriods.contains(period) && period != "day",
+      s"stickiness: period '$period' must be a coarser-than-day rung " +
+        s"of $CalendarPeriods")
+    activeDaily.select(col("user"), col("p"),
+        date_trunc(period, col("p")).cast("date").as("pp"))
+      .groupBy("pp")
+      .agg(count(lit(1)).as("sum_daily_actives"),
+        countDistinct(col("p")).as("n_days"),
+        countDistinct(col("user")).as("actives"))
+      .select(col("pp"), col("sum_daily_actives"), col("n_days"),
+        col("actives"),
+        round(col("sum_daily_actives").cast("double") /
+          (col("n_days") * col("actives")), 6).as("stickiness"))
+  }
+
   def retentionFromActivity(active: DataFrame,
                             period: String = "day"): DataFrame = {
     require(CalendarPeriods.contains(period),

@@ -259,6 +259,26 @@ object Sessionize {
     * (spec'd). Keys untouched by the batch keep their row; touched
     * keys take the batch's last epoch/ordinal (which already carries
     * the old state through [[withSessionIdsIncremental]]). */
+  /** Session-duration distribution: exact DISCRETE percentiles (whole
+    * seconds, actual data values — the
+    * [[graft.llm.Corpus.lengthQuantiles]] kernel, shared with the
+    * funnel's conversion latency) over `last − first` of every
+    * session. Single-event sessions contribute duration 0 — they are
+    * sessions, not noise (the bounce-rate population).
+    *
+    * 100 TB shape: the per-session rollup is the [[sessions]] exchange;
+    * the quantile ride is over the DISTINCT duration domain (gap-bounded
+    * seconds), guarded by the kernel's domain ceiling. */
+  def durationQuantiles(events: DataFrame, keyCol: String, tsCol: String,
+                        gapSeconds: Long,
+                        tieBreak: Seq[String] = Nil): DataFrame =
+    graft.llm.Corpus.lengthQuantiles(
+      withSessionIds(events, keyCol, tsCol, gapSeconds, tieBreak)
+        .groupBy(col(keyCol), col("session_id"))
+        .agg((max(unix_timestamp(col(tsCol))) -
+          min(unix_timestamp(col(tsCol)))).as("duration_s")),
+      "duration_s")
+
   def extendSessionState(state: DataFrame, events: DataFrame,
                          keyCol: String, tsCol: String, gapSeconds: Long,
                          tieBreak: Seq[String] = Nil): DataFrame = {

@@ -538,6 +538,41 @@ class TemporalJoinsSpec extends SparkSpec {
       assert(nw + re + rs == actives(p), s"invariant broken at $p") }
   }
 
+  test("stickiness: integer ingredients with the ratio divided last; " +
+      "durationQuantiles counts single-event sessions as 0") {
+    import graft.operators.{Funnel, Sessionize}
+    // week of 2024-01-01: u1 active Mon+Tue, u2 active Mon → 3 daily
+    // actives over 2 observed days, 2 weekly actives → 3/(2·2) = 0.75
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-02 10:00:00"), 2L),
+      (2L, ts("2024-01-01 11:00:00"), 3L)
+    ).toDF("user_id", "ts", "event_id")
+    val st = Funnel.stickiness(
+        Funnel.activityFrame(ev, "user_id", "ts", "day"), "week")
+      .select(col("pp").cast("string"), col("sum_daily_actives"),
+        col("n_days"), col("actives"), col("stickiness"))
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(st == Seq(("2024-01-01", 3L, 2L, 2L, 0.75)), st.toString)
+    intercept[IllegalArgumentException] {
+      Funnel.stickiness(Funnel.activityFrame(ev, "user_id", "ts", "day"),
+        "day")
+    }
+    // durations: u1 has a 600 s session and a lone event (0 s); u2 a
+    // lone event (0 s) → values {0, 0, 600}
+    val sev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:10:00"), 2L),
+      (1L, ts("2024-01-01 12:00:00"), 3L),
+      (2L, ts("2024-01-01 11:00:00"), 4L)
+    ).toDF("user_id", "ts", "event_id")
+    val q = Sessionize.durationQuantiles(sev, "user_id", "ts",
+        gapSeconds = 1800, tieBreak = Seq("event_id"))
+      .as[(String, Long)].collect().toMap
+    assert(q == Map("p10" -> 0L, "p25" -> 0L, "p50" -> 0L,
+      "p75" -> 600L, "p90" -> 600L), q.toString)
+  }
+
   test("conversionLatency: exact order-statistic percentiles over " +
       "full conversions only") {
     import graft.operators.Funnel
