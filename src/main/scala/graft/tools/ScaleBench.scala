@@ -252,7 +252,11 @@ object ScaleBench {
     // against: BM25 index build + EXHAUSTIVE (oracle-mode) dense serve —
     // expect ~text_bm25_topk + linear dense growth (production serves
     // prune with nprobe ≪ nlist)
-    "ev_funnel_latency", "ev_growth_accounting", "text_hybrid_against")
+    "ev_funnel_latency", "ev_growth_accounting", "text_hybrid_against",
+    // the activity frame's third report (one period rollup — flat) and
+    // the session-length ride (the st_sessionize exchange + a
+    // gap-bounded domain window)
+    "ev_stickiness", "st_session_durations")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length
