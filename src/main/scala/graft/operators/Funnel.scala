@@ -439,27 +439,42 @@ object Funnel {
         case "quarter" => add_months(p, 3)
         case "year" => add_months(p, 12)
       }
-    val lagged = active.select(col("user"), col("p"))
+    // ONE pass: each windowed row emits its own status cell plus (when
+    // its successor gap proves a churn) the forward churn cell — a
+    // 1-or-2 element explode instead of a union that would rescan the
+    // frame, and no separate max-scan for the clip (the last observed
+    // period is recovered from the K-row AGGREGATED report: it is the
+    // latest period with any actives, since every frame row is an
+    // active). Plan-guarded to a single frame scan.
+    val cellType = "struct<p:date,status:string>"
+    val cells = active.select(col("user"), col("p"))
       .withColumn("__prev", lag(col("p"), 1).over(wu))
       .withColumn("__next", lead(col("p"), 1).over(wu))
-    val status = lagged.select(col("p"),
-      when(col("__prev").isNull, lit("new"))
-        .when(units(col("p"), col("__prev")) === 1L, lit("retained"))
-        .otherwise(lit("resurrected")).as("status"))
-    val maxP = active.agg(max(col("p")).as("__maxp"))
-    val churn = lagged
-      .filter(col("__next").isNull || units(col("__next"), col("p")) > 1L)
-      .select(nextPeriod(col("p")).as("p"))
-      .crossJoin(broadcast(maxP))
-      .filter(col("p") <= col("__maxp"))
-      .select(col("p"), lit("churned").as("status"))
-    status.unionByName(churn)
-      .groupBy(col("p"))
+      .select(explode(filter(array(
+        struct(col("p").as("p"),
+          when(col("__prev").isNull, lit("new"))
+            .when(units(col("p"), col("__prev")) === 1L, lit("retained"))
+            .otherwise(lit("resurrected")).as("status")),
+        when(col("__next").isNull || units(col("__next"), col("p")) > 1L,
+            struct(nextPeriod(col("p")).as("p"),
+              lit("churned").as("status")))
+          .otherwise(lit(null).cast(cellType))),
+        e => e.isNotNull)).as("e"))
+      .select(col("e.p").as("p"), col("e.status").as("status"))
+    val counts = cells.groupBy(col("p"))
       .agg(
         sum(when(col("status") === "new", 1L).otherwise(0L)).as("new_users"),
         sum(when(col("status") === "retained", 1L).otherwise(0L)).as("retained"),
         sum(when(col("status") === "resurrected", 1L).otherwise(0L)).as("resurrected"),
         sum(when(col("status") === "churned", 1L).otherwise(0L)).as("churned"))
+    // the clip window runs over the |periods|-row report (calendar-
+    // bounded at any corpus size), never the frame
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    counts.withColumn("__maxp",
+        max(when(col("new_users") + col("retained") +
+          col("resurrected") > 0, col("p"))).over(wAll))
+      .filter(col("p") <= col("__maxp"))
+      .drop("__maxp")
   }
 
   /** Stickiness — the DAU/WAU-style engagement ratio, the third report

@@ -332,6 +332,11 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the 3 step-type filters pushed to the scans:\n$plan")
   }
 
+  test("ev_growth_accounting holds the 1-scan floor (status and churn " +
+      "cells explode off one windowed pass; the clip window is K-row)") {
+    assert(finalScans(q("ev_growth_accounting"), "events") == 1)
+  }
+
   test("ev_funnel_incremental: every scan is a pruned slice — type " +
       "filters pushed on all step slices, 8-scan ceiling") {
     // state subtree: 3 step slices + the watermark rollup (4); chase:
