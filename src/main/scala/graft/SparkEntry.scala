@@ -931,6 +931,32 @@ object SparkEntry {
         "st_sessionize_stream: no tagged rows emitted"))
     }),
 
+    "ev_growth_accounting_stream" -> ((s, dir) => {
+      // the SAME streamed activity fold as ev_retention_stream, served
+      // through the other report: one carried frame, many reports,
+      // batch or streamed. Twin = ev_growth_accounting's VERBATIM.
+      val ev = t(s, dir, "events")
+      val s1 = lit("2024-01-11 00:00:00").cast("timestamp")
+      val s2 = lit("2024-01-21 00:00:00").cast("timestamp")
+      val act0 = graft.operators.Funnel.activityFrame(
+        ev.filter(col("ts") < s1), "user_id", "ts", "day")
+      val slim = ev.select("user_id", "ts")
+      val arrivals = sliceStream(s, Seq(
+        slim.filter(col("ts") >= s1 && col("ts") < s2),
+        slim.filter(col("ts") >= s2)))
+      val led = graft.streaming.Streaming.foldLedgerStream(
+        arrivals, act0,
+        java.nio.file.Files.createTempDirectory("graft-ga-led").toString,
+        (st, b) => graft.streaming.Streaming.StreamLedger(None,
+          graft.operators.Funnel.extendActivity(st, b, "user_id", "ts",
+            "day")))
+      graft.operators.Funnel.growthAccounting(
+          led.state
+            .select(col("user"), date_trunc("week", col("p"))
+              .cast("date").as("p")).distinct(), "week")
+        .withColumn("p", col("p").cast("string"))
+    }),
+
     "ev_funnel_stream" -> ((s, dir) => {
       // the funnel LEDGER on a live stream: foldLedgerStream folds one
       // funnelIncremental chase per micro-batch (AvailableNow,
@@ -2728,6 +2754,31 @@ object SparkEntry {
         |SELECT event_id, user_id, session_id
         |FROM sess WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'""".stripMargin
 
+  /** The growth-accounting twin: DISTINCT weekly activity decomposed
+    * by lag/lead with forward-attributed clipped churn. Shared VERBATIM
+    * by `ev_growth_accounting` and `ev_growth_accounting_stream`. */
+  private val EvGrowthAccountingOracle: String =
+    """WITH act AS (SELECT DISTINCT user_id AS u,
+        |         CAST(date_trunc('week', ts) AS DATE) AS p
+        |       FROM events WHERE ts IS NOT NULL),
+        |lagd AS (SELECT u, p, lag(p) OVER w AS prev, lead(p) OVER w AS nxt
+        |         FROM act WINDOW w AS (PARTITION BY u ORDER BY p)),
+        |st AS (SELECT p, CASE WHEN prev IS NULL THEN 'new'
+        |         WHEN date_diff('day', prev, p) // 7 = 1 THEN 'retained'
+        |         ELSE 'resurrected' END AS status
+        |       FROM lagd
+        |       UNION ALL
+        |       SELECT CAST(p + INTERVAL 7 DAY AS DATE) AS p, 'churned'
+        |       FROM lagd, (SELECT max(p) AS mx FROM act) t
+        |       WHERE (nxt IS NULL OR date_diff('day', p, nxt) // 7 > 1)
+        |         AND CAST(p + INTERVAL 7 DAY AS DATE) <= t.mx)
+        |SELECT CAST(p AS VARCHAR) AS p,
+        |  CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |  CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+        |  CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS resurrected,
+        |  CAST(sum(CASE WHEN status = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS churned
+        |FROM st GROUP BY 1""".stripMargin
+
   /** The funnel twin — chains the same greedy min-after aggregates
     * with the entry-anchored 24 h window. Shared VERBATIM by
     * `ev_funnel` and `ev_funnel_incremental`: the hash match proves
@@ -4263,27 +4314,9 @@ object SparkEntry {
     // growth accounting: the same distinct-activity frame decomposed by
     // lag/lead — churn attributed one period FORWARD, clipped at the
     // last observed week
-    "ev_growth_accounting" ->
-      """WITH act AS (SELECT DISTINCT user_id AS u,
-        |         CAST(date_trunc('week', ts) AS DATE) AS p
-        |       FROM events WHERE ts IS NOT NULL),
-        |lagd AS (SELECT u, p, lag(p) OVER w AS prev, lead(p) OVER w AS nxt
-        |         FROM act WINDOW w AS (PARTITION BY u ORDER BY p)),
-        |st AS (SELECT p, CASE WHEN prev IS NULL THEN 'new'
-        |         WHEN date_diff('day', prev, p) // 7 = 1 THEN 'retained'
-        |         ELSE 'resurrected' END AS status
-        |       FROM lagd
-        |       UNION ALL
-        |       SELECT CAST(p + INTERVAL 7 DAY AS DATE) AS p, 'churned'
-        |       FROM lagd, (SELECT max(p) AS mx FROM act) t
-        |       WHERE (nxt IS NULL OR date_diff('day', p, nxt) // 7 > 1)
-        |         AND CAST(p + INTERVAL 7 DAY AS DATE) <= t.mx)
-        |SELECT CAST(p AS VARCHAR) AS p,
-        |  CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
-        |  CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS retained,
-        |  CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS resurrected,
-        |  CAST(sum(CASE WHEN status = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS churned
-        |FROM st GROUP BY 1""".stripMargin,
+    "ev_growth_accounting" -> EvGrowthAccountingOracle,
+    // and the STREAMED activity fold served through the same report
+    "ev_growth_accounting_stream" -> EvGrowthAccountingOracle,
     // the quarter/year calendar rungs over the month-spread timestamps
     "ev_retention_quarter" -> retentionPeriodOracle("quarter", 12),
     "ev_retention_year" -> retentionPeriodOracle("year", 36),
