@@ -1166,6 +1166,13 @@ object SparkEntry {
         t(s, dir, "events"), "user_id", "ts", gapSeconds = 1800,
         tieBreak = Seq("event_id"))),
 
+    "ev_engagement_hist" -> ((s, dir) =>
+      // the power-user curve: users by exact number of active weeks —
+      // the fourth report off the same persisted activity frame
+      graft.operators.Funnel.engagementHistogram(
+        graft.operators.Funnel.activityFrame(t(s, dir, "events"),
+          "user_id", "ts", "week"))),
+
     "ev_retention_quarter" -> ((s, dir) =>
       // the QUARTER calendar rung with real structure: the testdata
       // spans one month, so quarters are synthesized by spreading each
@@ -4266,6 +4273,15 @@ object SparkEntry {
     // and the STREAMED activity fold under the same twin (order-free
     // union+distinct — no arrival contract needed)
     "ev_retention_stream" -> EvRetentionOracle,
+
+    // the power-user curve: users by exact active-week count
+    "ev_engagement_hist" ->
+      """WITH act AS (SELECT DISTINCT user_id AS u,
+        |         CAST(date_trunc('week', ts) AS DATE) AS p
+        |       FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT u, count(*) AS n_periods FROM act GROUP BY 1)
+        |SELECT n_periods, CAST(count(*) AS BIGINT) AS n_users
+        |FROM c GROUP BY 1""".stripMargin,
 
     // stickiness: the day-level activity frame rolled to weeks — exact
     // integer ingredients, the ratio divided last from the integers

@@ -505,6 +505,18 @@ object Funnel {
           (col("n_days") * col("actives")), 6).as("stickiness"))
   }
 
+  /** Engagement histogram — the power-user curve, the fourth report
+    * off the persisted [[activityFrame]]: how many users were active
+    * in exactly n periods. Exact BIGINTs end to end: one user-keyed
+    * count (map-side combined) then a ≤|periods|-group rollup.
+    * The classic casual-to-power-user shape check (and the input to
+    * any L28-style engagement gate). */
+  def engagementHistogram(active: DataFrame): DataFrame =
+    active.groupBy(col("user"))
+      .agg(count(lit(1)).as("n_periods"))
+      .groupBy(col("n_periods"))
+      .agg(count(lit(1)).as("n_users"))
+
   def retentionFromActivity(active: DataFrame,
                             period: String = "day"): DataFrame = {
     require(CalendarPeriods.contains(period),

@@ -256,7 +256,7 @@ object ScaleBench {
     // the activity frame's third report (one period rollup — flat) and
     // the session-length ride (the st_sessionize exchange + a
     // gap-bounded domain window)
-    "ev_stickiness", "st_session_durations")
+    "ev_stickiness", "st_session_durations", "ev_engagement_hist")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

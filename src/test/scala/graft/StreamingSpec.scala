@@ -822,6 +822,65 @@ class StreamingSpec extends SparkSpec {
     assert(rootMsg(err).contains("append-only contract"), rootMsg(err))
   }
 
+  test("foldLedgerStream replays are idempotent: re-running a batch id " +
+      "rewrites byte-identical outputs and the serve is unchanged") {
+    import graft.operators.Sessionize
+    def tstamp(s: String) = java.sql.Timestamp.valueOf(s)
+    val all = Seq(
+      (1L, tstamp("2024-01-01 10:00:00"), 1.0, 1L),
+      (1L, tstamp("2024-01-02 09:00:00"), 2.0, 2L),
+      (2L, tstamp("2024-01-02 10:00:00"), 3.0, 3L),
+      (1L, tstamp("2024-01-03 08:00:00"), 4.0, 4L))
+      .toDF("user_id", "ts", "value", "event_id")
+    val cut = lit(tstamp("2024-01-03 00:00:00"))
+    val slices = Seq(all.filter($"ts" < cut), all.filter($"ts" >= cut))
+    val src = java.nio.file.Files.createTempDirectory("graft-rep-src")
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-rep-sl")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src.toFile, f"arrival-$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val boot = Sessionize.sessionsBootstrap(all.limit(0), "user_id", "ts",
+      gapSeconds = 1800, "value", tieBreak = Seq("event_id"))
+    def step(st: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame) = {
+      val l = Sessionize.sessionsIncremental(st, b, "user_id", "ts",
+        gapSeconds = 1800, "value", tieBreak = Seq("event_id"))
+      Streaming.StreamLedger(Some(l.closed), l.state)
+    }
+    val work = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    val led = Streaming.foldLedgerStream(
+      spark.readStream.schema(all.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString),
+      boot.state, work, step)
+    def snap(dir: String) = spark.read.parquet(dir).collect()
+      .map(_.toString).sorted.toSeq
+    val state1 = snap(s"$work/state/1")
+    val em0 = snap(s"$work/emitted/0")
+    val serveBefore = boot.closed.unionByName(led.emitted.get)
+      .unionByName(Sessionize.finalizeSessionState(led.state, "user_id"))
+      .collect().map(_.toString).sorted.toSeq
+    // REPLAY batch 0 by hand — exactly what a crashed-and-recovered
+    // foreachBatch does: same input version, overwrite its own outputs
+    val replay = step(spark.read.parquet(s"$work/state/0"),
+      spark.read.parquet(s"$src/arrival-000.parquet"))
+    replay.emitted.get.write.mode("overwrite").parquet(s"$work/emitted/0")
+    replay.state.write.mode("overwrite").parquet(s"$work/state/1")
+    assert(snap(s"$work/state/1") == state1, "replayed state/1 diverged")
+    assert(snap(s"$work/emitted/0") == em0, "replayed emitted/0 diverged")
+    val serveAfter = boot.closed
+      .unionByName(spark.read.parquet(s"$work/emitted/0")
+        .unionByName(spark.read.parquet(s"$work/emitted/1")))
+      .unionByName(Sessionize.finalizeSessionState(
+        spark.read.parquet(s"$work/state/2"), "user_id"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(serveAfter == serveBefore, "serve changed after replay")
+  }
+
   test("foldLedgerStream: the streamed session-rollup ledger emits " +
       "closed sessions append-only and equals the full recompute") {
     import graft.operators.Sessionize
