@@ -262,10 +262,12 @@ object Funnel {
     val byStage = funnelOut.groupBy(col("steps_completed").as("__sc"))
       .agg(count(lit(1)).as("__n"))
     val stages = spark.range(1, nSteps + 1).select(col("id").as("step"))
-    // users at stage ≥ k = suffix sum of the per-stage exact counts
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("step").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // users at stage ≥ k = suffix sum of the per-stage exact counts;
+    // all three windows run over the K-row report (single explicit
+    // partition — bounded by construction, never user-sized)
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(lit(1)).orderBy(col("step").desc)
+      .rowsBetween(W.unboundedPreceding, 0)
     val counts = stages.join(byStage, col("step") === col("__sc"), "left")
       .select(col("step"), coalesce(col("__n"), lit(0L)).as("__exact"))
       .withColumn("users", sum(col("__exact")).over(w))
@@ -274,13 +276,12 @@ object Funnel {
     entered.select(col("step"), col("users"),
       (col("users").cast("double") /
         first(col("users")).over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("step"))
-            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          W.partitionBy(lit(1)).orderBy(col("step"))
+            .rowsBetween(W.unboundedPreceding, 0)))
         .as("conv_from_entry"),
       (col("users").cast("double") /
         lag(col("users"), 1).over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("step"))))
+          W.partitionBy(lit(1)).orderBy(col("step"))))
         .as("conv_from_prev"))
   }
 
