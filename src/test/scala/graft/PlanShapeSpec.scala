@@ -337,6 +337,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(finalScans(q("ev_growth_accounting"), "events") == 1)
   }
 
+  test("the other activity-frame reports hold the 1-scan floor too") {
+    assert(finalScans(q("ev_stickiness"), "events") == 1)
+    assert(finalScans(q("ev_engagement_hist"), "events") == 1)
+  }
+
   test("ev_funnel_incremental: every scan is a pruned slice — type " +
       "filters pushed on all step slices, 8-scan ceiling") {
     // state subtree: 3 step slices + the watermark rollup (4); chase:
