@@ -829,6 +829,15 @@ object SparkEntry {
           steps, withinUs = Some(86400000000L)))
     }),
 
+    "ev_funnel_steps" -> ((s, dir) =>
+      // the uncollapsed funnel: every greedy step time per entered
+      // user — the frame per-stage latency questions need; the twin is
+      // the funnel CTEs projected to (user, t1, t2, t3)
+      graft.operators.Funnel.funnelSteps(t(s, dir, "events"),
+        "user_id", "event_type", "ts",
+        steps = Seq("view", "click", "purchase"),
+        withinUs = Some(86400000000L))),
+
     "ev_funnel_summary" -> ((s, dir) =>
       // the step-level conversion report: exact BIGINT users-at-stage-≥k
       // suffix sums (one ≤K-group aggregation), the two classic ratios
@@ -2789,8 +2798,10 @@ object SparkEntry {
   /** The funnel twin — chains the same greedy min-after aggregates
     * with the entry-anchored 24 h window. Shared VERBATIM by
     * `ev_funnel` and `ev_funnel_incremental`: the hash match proves
-    * state + batch-chase ≡ the full-history greedy funnel. */
-  private val EvFunnelOracle: String =
+    * state + batch-chase ≡ the full-history greedy funnel. The CTE
+    * prefix (s1/s2/s3 greedy min-after steps) is shared with the
+    * uncollapsed `ev_funnel_steps` projection. */
+  private val EvFunnelCtes: String =
     """WITH s1 AS (SELECT user_id AS "user", min(ts) AS t1 FROM events
       |            WHERE event_type = 'view' AND ts IS NOT NULL
       |            GROUP BY 1),
@@ -2804,7 +2815,10 @@ object SparkEntry {
       |       JOIN s1 ON e.user_id = s1."user"
       |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
       |         AND e.ts <= s1.t1 + to_microseconds(86400000000)
-      |       GROUP BY 1)
+      |       GROUP BY 1)""".stripMargin
+
+  private val EvFunnelOracle: String =
+    s"""$EvFunnelCtes
       |SELECT s1."user",
       |  CAST(1 + CASE WHEN s2."user" IS NOT NULL THEN 1 ELSE 0 END
       |         + CASE WHEN s3."user" IS NOT NULL THEN 1 ELSE 0 END
@@ -4349,6 +4363,14 @@ object SparkEntry {
     // and the STREAMED ledger under the same twin again: the
     // foreachBatch fold of the same chase ≡ full-history recompute
     "ev_funnel_stream" -> EvFunnelOracle,
+
+    // the uncollapsed form: the same CTEs projected to raw step times
+    "ev_funnel_steps" ->
+      s"""$EvFunnelCtes
+         |SELECT s1."user", s1.t1 AS t1, s2.t2 AS t2, s3.t3 AS t3
+         |FROM s1
+         |LEFT JOIN s2 ON s1."user" = s2."user"
+         |LEFT JOIN s3 ON s1."user" = s3."user"""".stripMargin,
 
     // the step-level conversion report over the funnel twin: exact
     // BIGINT suffix-sum user counts per stage, ratios divided LAST

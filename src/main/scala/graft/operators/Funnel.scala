@@ -242,6 +242,22 @@ object Funnel {
       .select(col("user"), col("steps_completed"), col("ts_first"),
         col("ts_last"))
 
+  /** The UNCOLLAPSED funnel: one row per entered user with every
+    * greedy step time `(user, t1 … tK)` — nulls from the first
+    * unreached step on. [[funnel]] is a projection of this frame;
+    * keep this form when per-stage timing questions ("median view →
+    * click latency") need the intermediate anchors the collapsed
+    * output drops. Same plan as [[funnel]]: K−1 user-keyed joins of
+    * type-pruned slices. */
+  def funnelSteps(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, steps: Seq[String],
+                  withinUs: Option[Long] = None,
+                  withinPeriod: Option[String] = None): DataFrame = {
+    validate(steps, withinUs, withinPeriod)
+    chain(normalized(events, userCol, typeCol, tsCol),
+      steps, withinUs, withinPeriod)
+  }
+
   /** The step-level rollup of a [[funnel]] (or [[funnelFromState]])
     * frame: one row per stage with the user count that reached AT
     * LEAST that stage, plus the two classic conversion ratios. Counts
