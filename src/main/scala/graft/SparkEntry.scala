@@ -928,14 +928,19 @@ object SparkEntry {
       val led = graft.streaming.Streaming.foldLedgerStream(
         arrivals, st0,
         java.nio.file.Files.createTempDirectory("graft-sid-led").toString,
-        (st, b) => graft.streaming.Streaming.StreamLedger(
-          Some(graft.operators.Sessionize.withSessionIdsIncremental(
-              st, b, "user_id", "ts", gapSeconds = 1800,
-              tieBreak = Seq("event_id"))
-            .select(col("event_id"), col("user_id"), col("session_id"))),
-          graft.operators.Sessionize.extendSessionState(st, b,
-            "user_id", "ts", gapSeconds = 1800,
-            tieBreak = Seq("event_id"))))
+        (st, b) => {
+          // tag ONCE: the emit and the state fold share the persisted
+          // tagged batch (the driver unpersists after both writes)
+          val tagged = graft.operators.Sessionize.withSessionIdsIncremental(
+            st, b, "user_id", "ts", gapSeconds = 1800,
+            tieBreak = Seq("event_id")).persist()
+          graft.streaming.Streaming.StreamLedger(
+            Some(tagged.select(col("event_id"), col("user_id"),
+              col("session_id"))),
+            graft.operators.Sessionize.extendSessionStateFromTagged(
+              st, tagged, "user_id", "ts"),
+            shared = Seq(tagged))
+        })
       led.emitted.getOrElse(sys.error(
         "st_sessionize_stream: no tagged rows emitted"))
     }),

@@ -266,7 +266,10 @@ object Funnel {
     * counts (the retention discipline) so both engines compute the
     * same IEEE quotient. `nSteps` pins the report height — stages no
     * user reached still appear with count 0 (a report that silently
-    * drops its empty tail misreads as a shorter funnel).
+    * drops its empty tail misreads as a shorter funnel), and stages
+    * BEYOND the height clamp into the top row (the counts are
+    * users-at-stage-≥k, so a 4-step funnel summarized at height 3
+    * counts its stage-4 users in every bucket, never drops them).
     *
     * 100 TB shape: one map-side-combined count aggregation (≤ K+1
     * groups) + a K-row cumulative sum — the single-partition window
@@ -275,7 +278,9 @@ object Funnel {
     require(nSteps >= 2 && nSteps <= 8,
       s"conversionSummary: $nSteps steps outside [2, 8]")
     val spark = funnelOut.sparkSession
-    val byStage = funnelOut.groupBy(col("steps_completed").as("__sc"))
+    val byStage = funnelOut
+      .select(least(col("steps_completed"), lit(nSteps.toLong)).as("__sc"))
+      .groupBy(col("__sc"))
       .agg(count(lit(1)).as("__n"))
     val stages = spark.range(1, nSteps + 1).select(col("id").as("step"))
     // users at stage ≥ k = suffix sum of the per-stage exact counts;
@@ -284,11 +289,10 @@ object Funnel {
     val W = org.apache.spark.sql.expressions.Window
     val w = W.partitionBy(lit(1)).orderBy(col("step").desc)
       .rowsBetween(W.unboundedPreceding, 0)
-    val counts = stages.join(byStage, col("step") === col("__sc"), "left")
+    val entered = stages.join(byStage, col("step") === col("__sc"), "left")
       .select(col("step"), coalesce(col("__n"), lit(0L)).as("__exact"))
       .withColumn("users", sum(col("__exact")).over(w))
       .drop("__exact")
-    val entered = counts.orderBy(col("step"))
     entered.select(col("step"), col("users"),
       (col("users").cast("double") /
         first(col("users")).over(
@@ -399,18 +403,6 @@ object Funnel {
       .unionByName(activityFrame(events, userCol, tsCol, period))
       .distinct()
 
-  /** The retention triangle from a (persisted or freshly-built)
-    * [[activityFrame]] — the serving half. Cohort = min over the
-    * distinct (user, period) rows (≡ min over raw events), attached as
-    * a PER-USER WINDOW instead of a groupBy+self-join: ONE user
-    * exchange feeds both the cell rollup and the cohort-size rollup
-    * (the n_cohort branch counts the rows where `p = cohort` — exactly
-    * one per user — so it needs no distinct-user pass), and the shared
-    * windowed subtree is one ReusedExchange. Domains stay
-    * calendar-bounded (periods² cells). Truncated dates make every
-    * offset an exact integer: day/week differences are multiples of
-    * the period length; month/quarter/year starts give integer-valued
-    * months_between (÷1, ÷3, ÷12). */
   /** Growth accounting — the new/retained/resurrected/churned
     * decomposition of each period's active users (the standard
     * product-growth ledger), served from the SAME persisted
@@ -534,6 +526,18 @@ object Funnel {
       .groupBy(col("n_periods"))
       .agg(count(lit(1)).as("n_users"))
 
+  /** The retention triangle from a (persisted or freshly-built)
+    * [[activityFrame]] — the serving half. Cohort = min over the
+    * distinct (user, period) rows (≡ min over raw events), attached as
+    * a PER-USER WINDOW instead of a groupBy+self-join: ONE user
+    * exchange feeds both the cell rollup and the cohort-size rollup
+    * (the n_cohort branch counts the rows where `p = cohort` — exactly
+    * one per user — so it needs no distinct-user pass), and the shared
+    * windowed subtree is one ReusedExchange. Domains stay
+    * calendar-bounded (periods² cells). Truncated dates make every
+    * offset an exact integer: day/week differences are multiples of
+    * the period length; month/quarter/year starts give integer-valued
+    * months_between (÷1, ÷3, ÷12). */
   def retentionFromActivity(active: DataFrame,
                             period: String = "day"): DataFrame = {
     require(CalendarPeriods.contains(period),

@@ -253,12 +253,6 @@ object Sessionize {
       col("open_n").as("n_events"),
       col("open_value").cast("double").as("total_value"))
 
-  /** Fold a tagged batch back into the state:
-    * `extendSessionState(sessionState(old), batch) ≡
-    * sessionState(old ∪ batch)` exactly, under the append contract
-    * (spec'd). Keys untouched by the batch keep their row; touched
-    * keys take the batch's last epoch/ordinal (which already carries
-    * the old state through [[withSessionIdsIncremental]]). */
   /** Session-duration distribution: exact DISCRETE percentiles (whole
     * seconds, actual data values — the
     * [[graft.llm.Corpus.lengthQuantiles]] kernel, shared with the
@@ -279,15 +273,30 @@ object Sessionize {
           min(unix_timestamp(col(tsCol)))).as("duration_s")),
       "duration_s")
 
+  /** Fold a tagged batch back into the state:
+    * `extendSessionState(sessionState(old), batch) ≡
+    * sessionState(old ∪ batch)` exactly, under the append contract
+    * (spec'd). Keys untouched by the batch keep their row; touched
+    * keys take the batch's last epoch/ordinal (which already carries
+    * the old state through [[withSessionIdsIncremental]]). */
   def extendSessionState(state: DataFrame, events: DataFrame,
                          keyCol: String, tsCol: String, gapSeconds: Long,
-                         tieBreak: Seq[String] = Nil): DataFrame = {
-    val updated =
+                         tieBreak: Seq[String] = Nil): DataFrame =
+    extendSessionStateFromTagged(state,
       withSessionIdsIncremental(state, events, keyCol, tsCol, gapSeconds,
-          tieBreak)
-        .groupBy(col(keyCol))
-        .agg(max(unix_timestamp(col(tsCol))).as("last_ts_unix"),
-          max(col("session_id")).as("last_session"))
+        tieBreak), keyCol, tsCol)
+
+  /** [[extendSessionState]] when the caller ALREADY holds the tagged
+    * batch (e.g. a streamed ledger that emits the tagged rows AND
+    * folds the state — tagging once, ideally behind a persist(), is
+    * half the per-batch work of tagging in both branches). */
+  def extendSessionStateFromTagged(state: DataFrame, tagged: DataFrame,
+                                   keyCol: String,
+                                   tsCol: String): DataFrame = {
+    val updated = tagged
+      .groupBy(col(keyCol))
+      .agg(max(unix_timestamp(col(tsCol))).as("last_ts_unix"),
+        max(col("session_id")).as("last_session"))
     val untouched = state.join(
       updated.select(col(keyCol).as("__uk")),
       col(keyCol) <=> col("__uk"), "left_anti")

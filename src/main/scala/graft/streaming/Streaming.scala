@@ -541,8 +541,12 @@ object Streaming {
 
   /** One step of a streamed batch-increment ledger: optionally emitted
     * (append-only, never revised) rows plus the replacement carried
-    * state. */
-  final case class StreamLedger(emitted: Option[DataFrame], state: DataFrame)
+    * state. `shared` lists frames the step persist()ed so both outputs
+    * could reuse one computation — the driver unpersists them after
+    * the batch's writes complete (never across batches). */
+  final case class StreamLedger(emitted: Option[DataFrame],
+                                state: DataFrame,
+                                shared: Seq[DataFrame] = Nil)
 
   /** Drive a batch-increment LEDGER from a stream — the streaming form
     * of the carried-state operators ([[graft.operators.Funnel.funnelIncremental]],
@@ -558,7 +562,12 @@ object Streaming {
     * rewrites exactly its own outputs and nothing else. `state/i`
     * depends only on batches < i, hence is always the correct input on
     * replay. The checkpoint under `workDir/ckpt` carries the source
-    * offsets; the state directory carries the ledger.
+    * offsets; the state directory carries the ledger. Calling again
+    * with the SAME workDir resumes: committed batches are skipped by
+    * the checkpoint, the day-0 bootstrap write is skipped when
+    * `state/0` exists, and the returned ledger is recovered from the
+    * DIRECTORIES (the full folded history), never from the resumed
+    * invocation's own batches.
     *
     * ORDER CONTRACT: the ledger operators assume per-key append-only
     * batches (their carried watermark raises loudly on violation —
@@ -578,28 +587,43 @@ object Streaming {
       : StreamLedger = {
     val spark = state0.sparkSession
     val base = workDir.stripSuffix("/")
-    state0.write.mode("overwrite").parquet(s"$base/state/0")
-    val emittedDirs = scala.collection.mutable.LinkedHashSet.empty[String]
-    var lastVersion = 0L
+    // day-0 only: a RESUME against an existing workDir must keep the
+    // folded state, not clobber it back to the bootstrap
+    val hconf = spark.sessionState.newHadoopConf()
+    val stateRoot = new org.apache.hadoop.fs.Path(s"$base/state")
+    val fs = stateRoot.getFileSystem(hconf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$base/state/0")))
+      state0.write.mode("overwrite").parquet(s"$base/state/0")
     val q = stream.writeStream
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val st = spark.read.parquet(s"$base/state/$id")
         val out = step(st, batch)
-        out.emitted.foreach { e =>
-          val dir = s"$base/emitted/$id"
-          e.write.mode("overwrite").parquet(dir)
-          emittedDirs += dir
-        }
+        out.emitted.foreach(
+          _.write.mode("overwrite").parquet(s"$base/emitted/$id"))
         out.state.write.mode("overwrite").parquet(s"$base/state/${id + 1}")
-        lastVersion = math.max(lastVersion, id + 1)
+        out.shared.foreach(_.unpersist())
       }
       .start()
     q.awaitTermination()
+    // recover the ledger from DISK, not this invocation's memory: a
+    // resume (same workDir + ckpt after a crash or a later backlog
+    // drain) replays only the missing batches, so in-memory tracking
+    // would see a suffix of history — the directories carry all of it
+    def numbered(dir: String): Seq[(Long, String)] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption
+          .map(_ -> s.getPath.toString))
+        .sortBy(_._1)
+    }
+    val emittedAll = numbered(s"$base/emitted").map(_._2)
+    val lastVersion = numbered(s"$base/state").map(_._1).max
     StreamLedger(
-      if (emittedDirs.isEmpty) None
-      else Some(spark.read.parquet(emittedDirs.toSeq: _*)),
+      if (emittedAll.isEmpty) None
+      else Some(spark.read.parquet(emittedAll: _*)),
       spark.read.parquet(s"$base/state/$lastVersion"))
   }
 

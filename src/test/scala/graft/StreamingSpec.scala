@@ -7,6 +7,40 @@ import graft.streaming.Streaming
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Stage one slice as a single mtime-ordered arrival file — the
+    * SparkEntry.sliceStream recipe (file-source dispatch order =
+    * arrival index). */
+  private def appendArrival(dir: java.io.File,
+                            df: org.apache.spark.sql.DataFrame,
+                            i: Int): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-arr-slice")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file under $tmp"))
+    val dst = new java.io.File(dir, f"arrival-$i%03d.parquet")
+    java.nio.file.Files.move(part.toPath, dst.toPath)
+    require(dst.setLastModified(1700000000000L + i * 60000L),
+      s"cannot order $dst by mtime")
+  }
+
+  /** Write every slice into a fresh arrival directory and return it. */
+  private def arrivalDir(
+      slices: Seq[org.apache.spark.sql.DataFrame]): java.io.File = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-arrivals")
+    slices.zipWithIndex.foreach { case (df, i) =>
+      appendArrival(dir.toFile, df, i) }
+    dir.toFile
+  }
+
+  /** One-file-per-micro-batch stream over an arrival directory. */
+  private def arrivalStream(dir: java.io.File,
+                            schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+
   test("incremental streaming crawl: drop-dir files publish exactly once") {
     val drop = java.nio.file.Files.createTempDirectory("graft-drop")
     def put(rel: String, content: String): Unit = {
@@ -694,21 +728,11 @@ class StreamingSpec extends SparkSpec {
       // session stays open (end+gap 18:30 > watermark)
       Seq((3L, tstamp("2024-01-01 18:00:00"), 5.0, 5L)))
       .map(_.toDF("user_id", "ts", "value", "event_id"))
-    val src = java.nio.file.Files.createTempDirectory("graft-sw-src")
-    slices.zipWithIndex.foreach { case (df, i) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sw-sl")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = new java.io.File(tmp.toString).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(src.toFile, f"arrival-$i%03d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      assert(dst.setLastModified(1700000000000L + i * 60000L))
-    }
+    val src = arrivalDir(slices)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-sw-ck").toString
     val emitted = Streaming.runAvailableNow(
       Streaming.sessionCounts(
-        spark.readStream.schema(slices.head.schema)
-          .option("maxFilesPerTrigger", "1").parquet(src.toString),
+        arrivalStream(src, slices.head.schema),
         gap = "30 minutes", watermark = "1 hour"),
       "sw_append_test", ckpt,
       outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
@@ -766,18 +790,8 @@ class StreamingSpec extends SparkSpec {
       all.filter($"ts" >= lit(tstamp("2024-01-02 00:00:00")) &&
         $"ts" < lit(tstamp("2024-01-03 00:00:00"))),
       all.filter($"ts" >= lit(tstamp("2024-01-03 00:00:00"))))
-    val src = java.nio.file.Files.createTempDirectory("graft-fls-src")
-    slices.zipWithIndex.foreach { case (df, i) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft-fls-sl")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = new java.io.File(tmp.toString).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(src.toFile, f"arrival-$i%03d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      assert(dst.setLastModified(1700000000000L + i * 60000L))
-    }
-    val stream = spark.readStream.schema(all.schema)
-      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val src = arrivalDir(slices)
+    val stream = arrivalStream(src, all.schema)
     val work = java.nio.file.Files.createTempDirectory("graft-fls").toString
     // bootstrap from EMPTY state (day-0): slice the schema off a
     // zero-row funnelState
@@ -801,18 +815,10 @@ class StreamingSpec extends SparkSpec {
     // through the stream instead of mis-staging
     val stale = Seq((1L, "B", tstamp("2024-01-01 11:00:00")))
       .toDF("user_id", "etype", "ts")
-    val tmp2 = java.nio.file.Files.createTempDirectory("graft-fls-sl")
-    stale.coalesce(1).write.mode("overwrite").parquet(tmp2.toString)
-    val part2 = new java.io.File(tmp2.toString).listFiles()
-      .find(_.getName.endsWith(".parquet")).get
-    val dst2 = new java.io.File(src.toFile, "arrival-900.parquet")
-    java.nio.file.Files.move(part2.toPath, dst2.toPath)
-    assert(dst2.setLastModified(1700000000000L + 900 * 60000L))
+    appendArrival(src, stale, 900)
     val err = intercept[Exception] {
       Streaming.foldLedgerStream(
-        spark.readStream.schema(all.schema)
-          .option("maxFilesPerTrigger", "1").parquet(src.toString),
-        led.state, s"$work-2",
+        arrivalStream(src, all.schema), led.state, s"$work-2",
         (st, b) => Streaming.StreamLedger(None,
           Funnel.funnelIncremental(st, b, "user_id", "etype", "ts", K)))
     }
@@ -834,16 +840,7 @@ class StreamingSpec extends SparkSpec {
       .toDF("user_id", "ts", "value", "event_id")
     val cut = lit(tstamp("2024-01-03 00:00:00"))
     val slices = Seq(all.filter($"ts" < cut), all.filter($"ts" >= cut))
-    val src = java.nio.file.Files.createTempDirectory("graft-rep-src")
-    slices.zipWithIndex.foreach { case (df, i) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft-rep-sl")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = new java.io.File(tmp.toString).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(src.toFile, f"arrival-$i%03d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      assert(dst.setLastModified(1700000000000L + i * 60000L))
-    }
+    val src = arrivalDir(slices)
     val boot = Sessionize.sessionsBootstrap(all.limit(0), "user_id", "ts",
       gapSeconds = 1800, "value", tieBreak = Seq("event_id"))
     def step(st: org.apache.spark.sql.DataFrame,
@@ -854,9 +851,7 @@ class StreamingSpec extends SparkSpec {
     }
     val work = java.nio.file.Files.createTempDirectory("graft-rep").toString
     val led = Streaming.foldLedgerStream(
-      spark.readStream.schema(all.schema)
-        .option("maxFilesPerTrigger", "1").parquet(src.toString),
-      boot.state, work, step)
+      arrivalStream(src, all.schema), boot.state, work, step)
     def snap(dir: String) = spark.read.parquet(dir).collect()
       .map(_.toString).sorted.toSeq
     val state1 = snap(s"$work/state/1")
@@ -879,6 +874,18 @@ class StreamingSpec extends SparkSpec {
         spark.read.parquet(s"$work/state/2"), "user_id"))
       .collect().map(_.toString).sorted.toSeq
     assert(serveAfter == serveBefore, "serve changed after replay")
+    // RESUME against the same workDir with no new arrivals: the
+    // checkpoint replays nothing, the bootstrap write is skipped, and
+    // the returned ledger is recovered from DISK — full emitted
+    // history and the FOLDED state, never the day-0 bootstrap
+    val resumed = Streaming.foldLedgerStream(
+      arrivalStream(src, all.schema), boot.state, work, step)
+    assert(resumed.state.collect().map(_.toString).sorted.toSeq ==
+      snap(s"$work/state/2"), "resume did not return the folded state")
+    assert(resumed.emitted.isDefined &&
+      resumed.emitted.get.collect().map(_.toString).sorted.toSeq ==
+        (snap(s"$work/emitted/0") ++ snap(s"$work/emitted/1")).sorted,
+      "resume did not recover the full emitted history")
   }
 
   test("foldLedgerStream: the streamed session-rollup ledger emits " +
@@ -901,23 +908,12 @@ class StreamingSpec extends SparkSpec {
     val slices = Seq(all.filter($"ts" < cut1),
       all.filter($"ts" >= cut1 && $"ts" < cut2),
       all.filter($"ts" >= cut2))
-    val src = java.nio.file.Files.createTempDirectory("graft-sls-src")
-    slices.zipWithIndex.foreach { case (df, i) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sls-sl")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = new java.io.File(tmp.toString).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(src.toFile, f"arrival-$i%03d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      assert(dst.setLastModified(1700000000000L + i * 60000L))
-    }
+    val src = arrivalDir(slices)
     val boot = Sessionize.sessionsBootstrap(all.limit(0), "user_id", "ts",
       gapSeconds = 1800, "value", tieBreak = Seq("event_id"))
     val work = java.nio.file.Files.createTempDirectory("graft-sls").toString
     val led = Streaming.foldLedgerStream(
-      spark.readStream.schema(all.schema)
-        .option("maxFilesPerTrigger", "1").parquet(src.toString),
-      boot.state, work,
+      arrivalStream(src, all.schema), boot.state, work,
       (st, b) => {
         val l = Sessionize.sessionsIncremental(st, b, "user_id", "ts",
           gapSeconds = 1800, "value", tieBreak = Seq("event_id"))

@@ -480,6 +480,13 @@ class TemporalJoinsSpec extends SparkSpec {
       (1L, 4L, 1.0, None),
       (2L, 3L, 0.75, Some(0.75)),
       (3L, 1L, 0.25, Some(1.0 / 3.0))), sum.toString)
+    // a TALLER funnel summarized at a lower height clamps converted
+    // users into the top row instead of dropping them from every count
+    val clamped = Funnel.conversionSummary(
+        Funnel.funnel(all, "user_id", "etype", "ts", K), nSteps = 2)
+      .orderBy("step").select("step", "users")
+      .as[(Long, Long)].collect().toSeq
+    assert(clamped == Seq((1L, 4L), (2L, 3L)), clamped.toString)
     // a funnel nobody finishes keeps its zero tail (0/positive = 0.0)
     val short = Funnel.conversionSummary(
         Funnel.funnel(all.filter($"etype" =!= "C"), "user_id", "etype",
