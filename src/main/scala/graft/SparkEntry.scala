@@ -1001,6 +1001,43 @@ object SparkEntry {
       graft.operators.Funnel.funnelFromState(led.state)
     }),
 
+    "ev_funnel_conversions_stream" -> ((s, dir) => {
+      // the write-once conversion FEED on a live stream: each
+      // micro-batch folds one funnelIncremental chase and EMITS its
+      // conversion delta (users newly at the final stage — greedy
+      // progress is write-once, so every user surfaces in exactly one
+      // batch's delta, append-only by construction); the bootstrap's
+      // own conversions union in front. Twin = ev_funnel_conversions's
+      // VERBATIM: streamed feed ≡ batch deltas ≡ the one-shot funnel's
+      // fully-converted rows.
+      val ev = t(s, dir, "events")
+      val s1 = lit("2024-01-11 00:00:00").cast("timestamp")
+      val s2 = lit("2024-01-21 00:00:00").cast("timestamp")
+      val steps = Seq("view", "click", "purchase")
+      val w = Some(86400000000L)
+      val F = graft.operators.Funnel
+      val state0 = F.funnelState(ev.filter(col("ts") < s1),
+        "user_id", "event_type", "ts", steps, withinUs = w)
+      val slim = ev.select("user_id", "event_type", "ts")
+      val arrivals = sliceStream(s, Seq(
+        slim.filter(col("ts") >= s1 && col("ts") < s2),
+        slim.filter(col("ts") >= s2)))
+      val led = graft.streaming.Streaming.foldLedgerStream(
+        arrivals, state0,
+        java.nio.file.Files.createTempDirectory("graft-conv-led").toString,
+        (st, b) => {
+          // chase ONCE: the delta and the state replacement share the
+          // persisted new state (the st_sessionize_stream discipline)
+          val next = F.funnelIncremental(st, b, "user_id", "event_type",
+            "ts", steps, withinUs = w).persist()
+          graft.streaming.Streaming.StreamLedger(
+            Some(F.conversions(st, next, 3)), next, shared = Seq(next))
+        })
+      F.conversions(state0.limit(0), state0, 3)
+        .unionByName(led.emitted.getOrElse(sys.error(
+          "ev_funnel_conversions_stream: no conversion deltas emitted")))
+    }),
+
     "st_sessions_stream" -> ((s, dir) => {
       // the session-rollup LEDGER on a live stream: each micro-batch
       // EMITS its provably-closed sessions (append-only, batch-id-keyed)
@@ -1313,12 +1350,19 @@ object SparkEntry {
     }),
 
     "dedup_exact_incremental" -> ((s, dir) => {
-      // cross-corpus exact dedup: which "new batch" docs (doc_id % 7 == 0)
-      // already exist in the corpus (the rest)? Corpus reduces to one row
-      // per distinct hash BEFORE the join; corpus×corpus never pairs.
+      // cross-corpus exact dedup on the half-mutated re-ingest slice
+      // (dedup_exact_bloom's fixture, shared so this gate is NON-vacuous:
+      // unmutated re-ingested docs MUST match themselves in the corpus,
+      // mutated ones must not — the testdata has no organic cross-doc
+      // dups, so the old disjoint-slice fixture passed on zero rows).
+      // Corpus reduces to one row per distinct hash BEFORE the join;
+      // corpus×corpus never pairs. Twin shared VERBATIM with
+      // dedup_exact_bloom: the Bloom pre-route must not change the answer.
       val docs = t(s, dir, "documents")
-      Dedup.exactAgainst(docs.filter(col("doc_id") % 7 === 0),
-        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text")
+      val newB = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" graftnew"))))
+      Dedup.exactAgainst(newB, docs, "doc_id", "text")
     }),
 
     "dedup_exact_bloom" -> ((s, dir) => {
@@ -3584,11 +3628,18 @@ object SparkEntry {
         |FROM documents d LEFT JOIN comps c USING (doc_id)
         |WHERE c.comp IS NULL""".stripMargin,
 
+    // the half-mutated re-ingest fixture, shared VERBATIM with
+    // dedup_exact_bloom: plain exactAgainst and the Bloom-routed form
+    // must both equal this exact-hash twin (non-vacuous — the unmutated
+    // half of the slice matches itself in the corpus)
     "dedup_exact_incremental" ->
-      """SELECT n.doc_id AS i, min(c.doc_id) AS j,
+      """WITH n AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN text
+        |       ELSE text || ' graftnew' END AS text
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT n.doc_id AS i, min(c.doc_id) AS j,
         | count(*) AS n_corpus_matches
-        |FROM documents n JOIN documents c ON md5(n.text) = md5(c.text)
-        |WHERE n.doc_id % 7 = 0 AND c.doc_id % 7 != 0
+        |FROM n JOIN documents c ON md5(n.text) = md5(c.text)
         |GROUP BY n.doc_id""".stripMargin,
 
     // the Bloom pre-route must not change the answer: plain exact-hash
@@ -4400,6 +4451,13 @@ object SparkEntry {
     // the conversion feed: bootstrap ∪ per-batch write-once deltas ≡
     // the one-shot funnel's fully-converted rows
     "ev_funnel_conversions" ->
+      s"""SELECT * FROM ( $EvFunnelOracle ) f
+         |WHERE steps_completed = 3""".stripMargin,
+
+    // the streamed feed shares the batch feed's twin verbatim: the
+    // foldLedgerStream-driven per-batch deltas must union to exactly
+    // the one-shot funnel's fully-converted rows
+    "ev_funnel_conversions_stream" ->
       s"""SELECT * FROM ( $EvFunnelOracle ) f
          |WHERE steps_completed = 3""".stripMargin,
 
