@@ -141,8 +141,8 @@ object Bench {
     // which path produced the record. Opt out: SPARK_GRAFT_BENCH_RETRY=0.
     val retry = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY", "1") != "0"
     val first = measure()
-    val (att, attempts) =
-      if (!retry || !first.flagged) (first, 1)
+    val (att, allAttempts) =
+      if (!retry || !first.flagged) (first, Seq(first))
       else {
         System.err.println(
           s"WARNING: attempt 1 flagged (noisy=${first.noisy} " +
@@ -152,8 +152,9 @@ object Bench {
           ((if (a.contended) 1 else 0) + (if (a.noisy) 1 else 0),
             a.noisyCount, math.max(a.calBefore, a.calAfter))
         (if (Ordering[(Int, Int, Double)].lteq(score(second), score(first)))
-          second else first, 2)
+          second else first, Seq(first, second))
       }
+    val attempts = allAttempts.size
     val results = att.results
     val calBefore = att.calBefore
     val calAfter = att.calAfter
@@ -172,8 +173,18 @@ object Bench {
     val spreads = results.map { case (k, _, sp) => "\"" + k + "\":" + sp }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // EVERY attempt's verdict rides along (not just the kept one): a
+    // reviewer of a retried run can see what the discarded attempt
+    // looked like instead of trusting the selection — the recorded
+    // answer to retry-once's mild keep-the-cleaner bias
+    val attemptLog = allAttempts.map { a =>
+      s"""{"calibration_sec":[${a.calBefore},${a.calAfter}],""" +
+        s""""noisy":${a.noisy},"noisy_count":${a.noisyCount},""" +
+        s""""contended":${a.contended},"kept":${a eq att},""" +
+        s""""total":${a.results.map(_._2).sum}}"""
+    }.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"passes":$passes,"sf":"$sfDir","calibration_sec":[$calBefore,$calAfter],"contended":$contended,"noisy":$noisy,"noisy_count":$noisyCount,"attempts":$attempts}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"passes":$passes,"sf":"$sfDir","calibration_sec":[$calBefore,$calAfter],"contended":$contended,"noisy":$noisy,"noisy_count":$noisyCount,"attempts":$attempts,"attempt_log":$attemptLog}"""
     println(json)
     // Also self-record to a file: the driver captures a bounded stdout
     // tail, and an 84-query JSON line can outgrow it (the r8 artifact

@@ -1140,6 +1140,45 @@ object SparkEntry {
         "graft_rank_stream")
     }),
 
+    "ev_rank_normalize_sketch" -> ((s, dir) => {
+      // CONTINUOUS-DOMAIN rank normalization from bounded KLL state:
+      // per-type sketches trained on the even-id reference window
+      // (k = 16384 pins the exact regime at oracle SFs — the sketch
+      // family's contract: bit-equal to the inclusive CDF until
+      // compaction, ~1.65/√k rank error beyond), the odd-id batch
+      // served through the compiled rank kernel. Every probe gets a
+      // DEFINED rank — out-of-reference values interpolate into the
+      // CDF instead of dropping (the exact path's limitation on
+      // drifting domains); the twin spells the same inclusive-CDF-at-
+      // arbitrary-probe definition with an ASOF join
+      val ev = t(s, dir, "events")
+      val stats = graft.core.Stats.rankStatsApprox(
+        ev.filter(col("event_id") % 2 === 0), "value", "event_type",
+        k = 16384)
+      graft.core.Stats.rankNormalizeSketch(
+          ev.filter(col("event_id") % 2 === 1), stats, "value",
+          "event_type")
+        .select("event_id", "event_type", "value", "pct")
+    }),
+
+    "ev_rank_normalize_sketch_served" -> ((s, dir) => {
+      // the same serve from PERSISTED state: the sketch frame
+      // round-trips parquet (binary column and all) and the reloaded
+      // frame serves the identical batch — twin shared verbatim, so
+      // the hash match proves serve-from-persisted ≡ inline
+      val ev = t(s, dir, "events")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-rank-sketch").toString
+      graft.core.Stats.rankStatsApprox(
+          ev.filter(col("event_id") % 2 === 0), "value", "event_type",
+          k = 16384)
+        .write.mode("overwrite").parquet(tmp)
+      graft.core.Stats.rankNormalizeSketch(
+          ev.filter(col("event_id") % 2 === 1), s.read.parquet(tmp),
+          "value", "event_type")
+        .select("event_id", "event_type", "value", "pct")
+    }),
+
     "ev_anomaly_stream" -> ((s, dir) => {
       // the served screen on a LIVE stream: robustOutliersAgainst is a
       // stateless scan + stream-static join, so the batch serving
@@ -1524,6 +1563,25 @@ object SparkEntry {
         k = 10, nprobe = 4, sampleN = 8)
     }),
 
+    "ann_maintain" -> ((s, dir) => {
+      // the certify→regenerate loop wired shut: geometry trained on the
+      // first slice, the rest arrives as a batch, and maintainVectorIndex
+      // extends → certifies → (recall < floor ? rebuilds from the full
+      // corpus : keeps the extension) → returns the FINAL certificate.
+      // The twin is ann_certify's VERBATIM, and it is correct on BOTH
+      // branches by construction: the slice's first-16 ids ARE the
+      // corpus's first-16 ids, so extended and rebuilt indexes share the
+      // IVF centroids, the md5 sample, and hence the certificate — the
+      // gate's decision changes the serving geometry generation, never
+      // the certified numbers (PQ codebooks differ, but the "ivf"
+      // strategy never reads them)
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.buildVectorIndex(emb.filter(col("vec_id") < 200))
+      Similarity.maintainVectorIndex(idx,
+        emb.filter(col("vec_id") >= 200), emb, minRecall = 0.9,
+        k = 10, nprobe = 4, sampleN = 8).certificate
+    }),
+
     "ann_ivf_topk" -> ((s, dir) => {
       // approximate variant (deterministic: centroids = first-16 vectors,
       // explicit tie-breaks throughout → fully oracle-checkable); recall vs
@@ -1779,6 +1837,23 @@ object SparkEntry {
           array_join(slice(split(TA.normalizeText(col("text")), " "),
             1, 6), " ").as("query_text"))
       graft.llm.Retrieval.certifyBm25Index(idx, docs, q, k = 5)
+    }),
+
+    "text_bm25_maintain" -> ((s, dir) => {
+      // the BM25 certify→regenerate loop end-to-end: serving index =
+      // even half, the odd half arrives as the batch, maintainBm25Index
+      // merges → certifies against the full-corpus rebuild → keeps the
+      // merge (bit-exact under the disjointness contract, so the
+      // trigger must NOT fire here) and returns the all-green
+      // certificate — text_bm25_certify's twin verbatim
+      val docs = t(s, dir, "documents")
+      val q = docs.filter(col("doc_id") % 25 === 0 && col("doc_id") < 500)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(TA.normalizeText(col("text")), " "),
+            1, 6), " ").as("query_text"))
+      graft.llm.Retrieval.maintainBm25Index(
+        graft.llm.Retrieval.bm25Index(docs.filter(col("doc_id") % 2 === 0)),
+        docs.filter(col("doc_id") % 2 === 1), docs, q, k = 5).certificate
     }),
 
     "retrieval_metrics" -> ((s, dir) => {
@@ -2733,6 +2808,31 @@ object SparkEntry {
       |  AND e.value = p.v
       |WHERE e.event_id % 2 = 1""".stripMargin
 
+  // the continuous-domain rank twin: the reference CDF read AT AN
+  // ARBITRARY PROBE — greatest reference value ≤ the probe via an ASOF
+  // join (below-domain probes coalesce to rank 0) — exactly what the
+  // KLL rank kernel computes in its exact regime; the group semi-join
+  // mirrors the engine's group-must-have-a-baseline contract. Shared
+  // VERBATIM by the inline and the persisted-parquet serve: the hash
+  // match proves serve-from-persisted ≡ inline.
+  private val EvRankNormalizeSketchOracle: String =
+    """WITH h AS (SELECT event_type, value AS v, count(*) AS c
+      |           FROM events WHERE value IS NOT NULL
+      |             AND event_id % 2 = 0 GROUP BY 1, 2),
+      |n AS (SELECT event_type, sum(c) AS n FROM h GROUP BY 1),
+      |p AS (SELECT event_type, v,
+      |        CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v)
+      |          AS DOUBLE) / n AS pct
+      |      FROM h JOIN n USING (event_type)),
+      |b AS (SELECT e.event_id, e.event_type, e.value
+      |      FROM events e JOIN (SELECT DISTINCT event_type FROM h) g
+      |        USING (event_type)
+      |      WHERE e.value IS NOT NULL AND e.event_id % 2 = 1)
+      |SELECT b.event_id, b.event_type, b.value,
+      |  coalesce(p.pct, 0.0) AS pct
+      |FROM b ASOF LEFT JOIN p ON b.event_type = p.event_type
+      |  AND b.value >= p.v""".stripMargin
+
   // the retention twin: same Monday-start week truncation (ISO in both
   // engines), integer offsets, ratio derived last — shared VERBATIM by
   // the one-shot AND the activity-frame incremental paths (the hash
@@ -3093,6 +3193,14 @@ object SparkEntry {
     // side's exact-agreement audit must land on full agreement; any
     // divergence (overlapping parts, lost batch) hash-mismatches here
     "text_bm25_certify" ->
+      s"""SELECT query_id, count(*) AS n_served, count(*) AS n_rebuilt,
+         |  count(*) AS n_agree, true AS certified
+         |FROM ($Bm25TopkOracle) t GROUP BY query_id""".stripMargin,
+
+    // the maintenance loop's certificate: merge ≡ rebuild is bit-exact
+    // under the disjointness contract, so maintainBm25Index must keep
+    // the merge and certify all-green — text_bm25_certify's twin
+    "text_bm25_maintain" ->
       s"""SELECT query_id, count(*) AS n_served, count(*) AS n_rebuilt,
          |  count(*) AS n_agree, true AS certified
          |FROM ($Bm25TopkOracle) t GROUP BY query_id""".stripMargin,
@@ -3803,6 +3911,13 @@ object SparkEntry {
       annRecallOracle("SELECT vec_id AS query_id, v AS qv FROM c " +
         "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8"),
 
+    // the maintenance loop's certificate — ann_certify's twin verbatim:
+    // extended and rebuilt indexes share the first-16-id IVF centroids
+    // and the md5 sample, so the certificate is branch-independent
+    "ann_maintain" ->
+      annRecallOracle("SELECT vec_id AS query_id, v AS qv FROM c " +
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8"),
+
     "ann_ivf_topk" ->
       s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM c ORDER BY vec_id LIMIT 16),
@@ -4411,6 +4526,8 @@ object SparkEntry {
     // verbatim with the streaming serve
     "ev_rank_normalize_incremental" -> EvRankNormalizeIncrementalOracle,
     "ev_rank_normalize_stream" -> EvRankNormalizeIncrementalOracle,
+    "ev_rank_normalize_sketch" -> EvRankNormalizeSketchOracle,
+    "ev_rank_normalize_sketch_served" -> EvRankNormalizeSketchOracle,
 
     "ev_funnel" -> EvFunnelOracle,
     // the funnel's steady state under the SAME twin: state + chase ≡

@@ -289,18 +289,85 @@ object Stats {
     * [[rankStats]] CDF — the serving path: one scan + one stats join,
     * zero histogram recomputation per batch. Stateless and
     * stream-static, so it runs unchanged on a readStream frame. Rows
-    * whose exact (key, value) has no CDF row are DROPPED (inner join —
-    * a value outside the reference domain has no defined empirical
-    * rank; union the reference window forward or retrain when the
-    * domain grows). Null measures and null keys as in
-    * [[rankNormalize]] (null-safe joins). */
+    * whose exact (key, value) has no CDF row are DROPPED by default
+    * (inner join — a value outside the reference domain has no defined
+    * empirical rank; union the reference window forward or retrain
+    * when the domain grows). For a CONTINUOUS or drifting value domain
+    * that silent shrinkage is a sharp failure mode — most of a batch
+    * can vanish with no signal — so `keepUnmatched = true` switches to
+    * a left join emitting NULL `pct` for out-of-domain rows: the
+    * caller counts the nulls (`count(*) - count(pct)`) and gates
+    * retraining on the observed out-of-domain volume instead of
+    * discovering a short frame downstream. The lake-scale answer for
+    * such domains is [[rankStatsApprox]] + [[rankNormalizeSketch]],
+    * which DEFINES a rank for every probe. Null measures and null keys
+    * as in [[rankNormalize]] (null-safe joins). */
   def rankNormalizeAgainst(df: DataFrame, stats: DataFrame,
                            valueCol: String,
-                           keyCol: String = null): DataFrame = {
+                           keyCol: String = null,
+                           keepUnmatched: Boolean = false): DataFrame = {
     val rows = df.filter(col(valueCol).isNotNull)
     val gk = Option(keyCol).map(col).getOrElse(lit(0))
-    rows.join(stats, gk <=> col("__k") && col(valueCol) <=> col("__v"))
+    rows.join(stats, gk <=> col("__k") && col(valueCol) <=> col("__v"),
+        if (keepUnmatched) "left" else "inner")
       .drop("__k", "__v")
+  }
+
+  /** The CONTINUOUS-DOMAIN rank baseline: per-group KLL quantile
+    * sketches of the reference window —
+    * `(<keyCol>, sketch BINARY, n BIGINT)`, one bounded row per group
+    * — for value domains where the exact [[rankStats]] CDF frame would
+    * approach the reference row count (raw-float model scores,
+    * unrounded perplexities: the model-scored-corpus common case).
+    * Train once, persist as parquet, serve every later batch or stream
+    * with [[rankNormalizeSketch]] — the
+    * [[robustStats]]/[[rankStats]] lifecycle with O(groups·k) state
+    * instead of O(groups·|domain|), and the implemented form of the
+    * perplexityBuckets "read approximate ranks from bounded KLL state"
+    * split. Built on the same deterministic KLL aggregate the oracled
+    * sketch family uses ([[graft.llm.Corpus.quantileSketch]] /
+    * mergeQuantileSketches — cross-engine determinism proven there).
+    *
+    * Accuracy contract (the sketch family's): EXACT — bit-equal to the
+    * inclusive empirical CDF — while a group's count stays ≤ k (no
+    * compaction), ~1.65/√k normalized-rank error beyond; approximation
+    * past the horizon is the operator's design, never a silent drop.
+    * Null measures are skipped; a null key is a group like any other.
+    * ONE scan, one map-side-combined aggregation. */
+  def rankStatsApprox(df: DataFrame, valueCol: String,
+                      keyCol: String = null,
+                      k: Int = 4096): DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull)
+    val gk = Option(keyCol).map(col).getOrElse(lit(0))
+    rows.groupBy(gk.as("__k"))
+      .agg(graft.expressions.GraftExpressions
+        .kllSketch(col(valueCol), k).as("__sketch"),
+        count(col(valueCol)).as("__n"))
+  }
+
+  /** Normalize rows against PRE-COMPUTED (possibly parquet-reloaded)
+    * [[rankStatsApprox]] sketches — the continuous-domain serving
+    * path: one scan + one |groups|-row join (AQE broadcasts bounded
+    * group domains), then the compiled [[graft.expressions.KllRankValue]]
+    * kernel reads `pct = #{ref ≤ v}/n` per row. EVERY in-group probe
+    * gets a rank — out-of-reference values interpolate into the CDF
+    * (below-domain 0.0, above-domain 1.0) instead of dropping, the
+    * property the exact path cannot offer on a drifting domain. Rows
+    * whose GROUP has no sketch are dropped (no baseline exists at
+    * all — the [[robustOutliersAgainst]] contract). Stateless and
+    * stream-static: runs unchanged on a readStream frame. In the
+    * sketch's exact regime the output is bit-equal to the exact
+    * inclusive CDF (oracled); past it, ranks carry the documented
+    * ~1.65/√k error. */
+  def rankNormalizeSketch(df: DataFrame, stats: DataFrame,
+                          valueCol: String,
+                          keyCol: String = null): DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull)
+    val gk = Option(keyCol).map(col).getOrElse(lit(0))
+    rows.join(stats, gk <=> col("__k"))
+      .withColumn("pct", graft.expressions.GraftExpressions
+        .kllRank(col("__sketch"), col(valueCol)))
+      .drop("__k", "__sketch", "__n")
   }
 
   def catalog(documents: DataFrame): DataFrame =

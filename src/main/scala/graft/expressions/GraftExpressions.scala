@@ -867,6 +867,12 @@ object GraftExpressions {
   /** The item count a KLL sketch has absorbed. */
   def kllN(sketch: Column): Column = toCol(KllSketchN(expr(sketch)))
 
+  /** Normalized INCLUSIVE rank of a DOUBLE probe in a KLL sketch
+    * binary — `#{x ≤ v}/n`, exact in the no-compaction regime; see
+    * [[KllRankValue]]. */
+  def kllRank(sketch: Column, value: Column): Column =
+    toCol(KllRankValue(expr(sketch), expr(value.cast("double"))))
+
   /** Bloom membership sketch aggregate over a LONG key column → filter
     * binary. Geometry (bits, hash count) derives deterministically from
     * (expectedKeys, fpp) via the standard m = −n·ln p / ln²2 formula, so

@@ -7,7 +7,7 @@ import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -180,6 +180,59 @@ case class KllQuantileValues(child: Expression, qs: Seq[Double])
   override protected def withNewChildInternal(c: Expression): KllQuantileValues =
     copy(c)
   override def prettyName: String = "graft_kll_quantiles"
+}
+
+/** Normalized INCLUSIVE rank of a value in a KLL sketch binary —
+  * `#{x ≤ v} / n` over the sketched population: the CDF read the
+  * quantile read inverts, and the serving kernel behind
+  * [[graft.core.Stats.rankNormalizeSketch]]'s lake-scale rank
+  * normalization. In the sketch's exact regime (no compaction) the
+  * result is EXACTLY the inclusive empirical CDF — one IEEE division
+  * of the cumulative count by n, the same arithmetic the exact
+  * [[graft.core.Stats.rankStats]] path and the SQL twin perform — and
+  * ~1.65/√k normalized-rank error beyond (the operator's design).
+  * Defined for ANY probe value: below-domain probes rank 0.0,
+  * above-domain 1.0 — out-of-reference values get a rank instead of
+  * being dropped (the inner-join exact path's documented limitation).
+  * Empty sketch → null (rank against nothing is undefined). */
+case class KllRankValue(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType) {
+      TypeCheckResult.TypeCheckFailure(
+        s"expected a KLL sketch BINARY, got ${left.dataType.catalogString}")
+    } else if (right.dataType != DoubleType) {
+      TypeCheckResult.TypeCheckFailure(
+        s"expected DOUBLE probe, got ${right.dataType.catalogString} — " +
+          "cast the measure column explicitly")
+    } else TypeCheckResult.TypeCheckSuccess
+
+  def read(bytes: Array[Byte], v: Double): Any = {
+    val sk = KllQuantiles.heapify(bytes)
+    if (sk.isEmpty) null
+    else java.lang.Double.valueOf(
+      sk.getRank(v, QuantileSearchCriteria.INCLUSIVE))
+  }
+
+  override def nullSafeEval(sketch: Any, v: Any): Any =
+    read(sketch.asInstanceOf[Array[Byte]], v.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kllRankValue", this)
+    nullSafeCodeGen(ctx, ev, (s, v) =>
+      s"""
+         |Object r = $ref.read($s, $v);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) r).doubleValue(); }
+       """.stripMargin)
+  }
+  override def nullable: Boolean = true
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllRankValue =
+    copy(newLeft, newRight)
+  override def prettyName: String = "graft_kll_rank"
 }
 
 /** The sketch's retained-item count horizon: `n` as recorded by the

@@ -315,6 +315,87 @@ object Retrieval {
           col("n_rebuilt") === col("n_agree"))
   }
 
+  /** Materialize a [[Bm25Index]] to parquet and reload it — index
+    * COMPACTION, the missing step between daily [[mergeBm25Indexes]]
+    * calls and a long-lived serving index: a merge is a lazy union of
+    * its parts' lineage, so N days of merges means N postings subtrees
+    * re-scanned (and the docfreq re-aggregated) on EVERY serve.
+    * Compacting writes the three frames once — postings REPARTITIONED
+    * BY TOKEN (each token's postings list lands contiguously: the
+    * Lucene segment-merge layout, and exactly the join key
+    * [[bm25TopKAgainst]] shuffles on), docfreq pre-aggregated, stats
+    * (with its `analyzer_fp` stamp) as one row — and returns the index
+    * reading flat parquet, serving-identical to the union it replaced
+    * (spec'd: compact(merge) ≡ rebuild, which merge already equals
+    * bit-for-bit). Run it at the same maintenance cadence as
+    * [[certifyBm25Index]]; at 100 TB the postings write is the one
+    * data-sized job (|docs|·|vocab∩doc| rows, one shuffle), the other
+    * two are token- and row-bounded. */
+  def compactBm25Index(index: Bm25Index, path: String): Bm25Index = {
+    val base = path.stripSuffix("/")
+    index.postings.repartition(col("token"))
+      .write.mode("overwrite").parquet(s"$base/postings")
+    index.docFreq.write.mode("overwrite").parquet(s"$base/docfreq")
+    statsWithFp(index.stats).write.mode("overwrite").parquet(s"$base/stats")
+    loadBm25Index(index.postings.sparkSession, base)
+  }
+
+  /** Reload a [[compactBm25Index]]-materialized index from parquet —
+    * the serve-side half of the compaction lifecycle. */
+  def loadBm25Index(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Bm25Index = {
+    val base = path.stripSuffix("/")
+    Bm25Index(spark.read.parquet(s"$base/postings"),
+      spark.read.parquet(s"$base/docfreq"),
+      spark.read.parquet(s"$base/stats"))
+  }
+
+  /** The outcome of one [[maintainBm25Index]] cycle: the index to serve
+    * from, its (re-)certification frame ([[certifyBm25Index]] schema),
+    * and whether the regenerate path fired. */
+  final case class Bm25Maintenance(index: Bm25Index,
+                                   certificate: DataFrame,
+                                   rebuilt: Boolean)
+
+  /** The BM25 certify→regenerate maintenance LOOP — the sparse sibling
+    * of [[Similarity.maintainVectorIndex]], wiring
+    * [[certifyBm25Index]]'s audit numbers to an action: merge today's
+    * batch-index into the serving index ([[mergeBm25Indexes]] —
+    * analyzer fingerprints verified in-plan), certify the merged index
+    * against a from-scratch rebuild over the docs it claims to cover,
+    * and when ANY sampled query fails to certify — the disjointness
+    * violations, lost batches, and postings corruption a fingerprint
+    * cannot catch — REBUILD from `docs` and re-certify (trivially green:
+    * the rebuild is its own twin; returned so the caller's gate reads
+    * one schema either way). Merge ≡ rebuild is bit-exact under the
+    * contract, so a fired trigger always means a real integrity breach,
+    * never float noise. Cost: certification already pays one rebuild
+    * (the audit's price — run at a maintenance cadence on a sampled
+    * query set); the trigger path pays nothing further beyond the
+    * re-certify's bounded comparison. */
+  def maintainBm25Index(index: Bm25Index, batch: DataFrame,
+                        docs: DataFrame, queries: DataFrame, k: Int = 10,
+                        k1: Double = 1.2, b: Double = 0.75,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        queryIdCol: String = "query_id",
+                        queryTextCol: String = "query_text"): Bm25Maintenance = {
+    val merged = mergeBm25Indexes(Seq(index,
+      bm25Index(batch, idCol, textCol)))
+    val cert = certifyBm25Index(merged, docs, queries, k, k1, b,
+      idCol, textCol, queryIdCol, queryTextCol)
+    val allGreen = cert.agg(
+      coalesce(min(col("certified")), lit(true)).as("ok"))
+      .head().getBoolean(0)
+    if (allGreen) Bm25Maintenance(merged, cert, rebuilt = false)
+    else {
+      val regenerated = bm25Index(docs, idCol, textCol)
+      Bm25Maintenance(regenerated,
+        certifyBm25Index(regenerated, docs, queries, k, k1, b,
+          idCol, textCol, queryIdCol, queryTextCol),
+        rebuilt = true)
+    }
+  }
+
   /** Reciprocal-rank fusion — the standard sparse+dense hybrid-retrieval
     * combiner (Cormack et al. 2009; what every hybrid RAG stack runs
     * over its BM25 and ANN lists): fused score per (query, doc) is
@@ -354,6 +435,52 @@ object Retrieval {
     fused.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
+  }
+
+  /** RECALL-GATED hybrid serving at deployment nprobe — the steady-state
+    * form of the hybrid stack: BM25 from the persisted inverted index,
+    * dense from the persisted [[Similarity.VectorIndex]] probed at
+    * `nprobe` ≪ nlist (the real serving cost — the exhaustive-probe
+    * hybrid is the oracle twin, not the deployment), fused by
+    * [[rrfFuse]]. The approximation is NOT taken on faith: the vector
+    * index is first certified at THIS nprobe on the hash-deterministic
+    * sample ([[Similarity.certifyVectorIndex]] — |sample|·k-bounded,
+    * amortized across the query batch), and an average recall below
+    * `minRecall` RAISES naming both numbers (the library's loud-failure
+    * discipline) instead of silently fusing a degraded dense list —
+    * the caller escalates nprobe or runs
+    * [[Similarity.maintainVectorIndex]] to regenerate the geometry.
+    *
+    * `queries` carries BOTH modalities per row: `queryTextCol` for the
+    * sparse leg, `vecCol` for the dense leg. Scale shape: one bounded
+    * certification + the two serving plans (each the documented
+    * index-serve shape) + a |queries|·k·2-bounded fusion. */
+  def hybridTopKAgainst(index: Bm25Index,
+                        vecIndex: Similarity.VectorIndex,
+                        queries: DataFrame, k: Int = 10,
+                        nprobe: Int = 4, minRecall: Double = 0.9,
+                        sampleN: Int = 16, rrfK: Int = 60,
+                        queryIdCol: String = "query_id",
+                        queryTextCol: String = "query_text",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(minRecall >= 0.0 && minRecall <= 1.0,
+      s"hybridTopKAgainst: minRecall=$minRecall outside [0, 1]")
+    val cert = Similarity.certifyVectorIndex(vecIndex, k, nprobe, sampleN)
+      .agg(avg("recall")).head()
+    val recall = if (cert.isNullAt(0)) 0.0 else cert.getDouble(0)
+    require(recall >= minRecall,
+      f"hybridTopKAgainst: IVF serving at nprobe=$nprobe certifies " +
+        f"recall@$k = $recall%.4f < floor $minRecall%.4f on the " +
+        "deterministic sample — escalate nprobe or regenerate the " +
+        "index (maintainVectorIndex) before serving this hybrid")
+    val sparse = bm25TopKAgainst(index, queries, k,
+      queryIdCol = queryIdCol, queryTextCol = queryTextCol)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val dense = Similarity.ivfTopKAgainst(vecIndex,
+        queries.select(col(queryIdCol), col(vecCol)), k, nprobe,
+        idCol = queryIdCol, vecCol = vecCol)
+      .select(col("query_id"), col("corpus_id").as("doc_id"), col("rank"))
+    rrfFuse(Seq(sparse, dense), k, rrfK)
   }
 
   /** Per-query ranking-quality metrics — the evaluation side of the

@@ -1093,7 +1093,16 @@ object Similarity {
     *     a mixed-geometry index is a loud error, never a silently
     *     wrong answer. */
   final case class VectorIndex(centroids: DataFrame, codebooks: DataFrame,
-                               vectors: DataFrame)
+                               vectors: DataFrame) {
+    /** Memoized [[geometryFingerprint]]: the geometry is immutable for
+      * a given index (extend/merge never mutate it — they build NEW
+      * indexes), so repeated serves against the same instance pay the
+      * O(geometry) driver collect once instead of twice per
+      * [[ivfTopKAgainst]] call on the hot serving path. A parquet
+      * reload constructs a fresh instance and re-derives it — the
+      * memo can never go stale. */
+    lazy val geometryFp: Long = geometryFingerprint(this)
+  }
 
   /** Content fingerprint of a [[VectorIndex]]'s GEOMETRY — the
     * centroids and PQ codebooks, i.e. everything an encoded row's
@@ -1272,7 +1281,7 @@ object Similarity {
     * IS a data-plane join). */
   def mergeVectorIndexes(parts: Seq[VectorIndex]): VectorIndex = {
     require(parts.nonEmpty, "mergeVectorIndexes needs at least one part")
-    val fps = parts.map(geometryFingerprint)
+    val fps = parts.map(_.geometryFp)
     val bad = fps.zipWithIndex.filter(_._1 != fps.head)
     require(bad.isEmpty,
       s"mergeVectorIndexes: geometry fingerprint mismatch — part 0 has " +
@@ -1299,7 +1308,7 @@ object Similarity {
                      nprobe: Int = 4, idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     val vectors = guardGeometry(index.vectors,
-      geometryFingerprint(index), "ivfTopKAgainst")
+      index.geometryFp, "ivfTopKAgainst")
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
     val qprobe = q.crossJoin(broadcast(index.centroids))
@@ -1412,6 +1421,80 @@ object Similarity {
         sample, k)
       .select(col("query_id"), col("corpus_id").as("doc_id"))
     graft.llm.Retrieval.rankingMetrics(run, truth, k)
+  }
+
+  /** The outcome of one [[maintainVectorIndex]] cycle: the index to
+    * serve from, its (re-)certification frame
+    * ([[graft.llm.Retrieval.rankingMetrics]] schema over the
+    * deterministic sample), whether the regenerate path fired, and the
+    * two gate readings (avg recall of the extended index, avg recall
+    * of the returned index — equal when no rebuild happened). */
+  final case class VectorMaintenance(index: VectorIndex,
+                                     certificate: DataFrame,
+                                     rebuilt: Boolean,
+                                     extendedRecall: Double,
+                                     finalRecall: Double)
+
+  private def avgRecall(cert: DataFrame): Double = {
+    val r = cert.agg(avg("recall")).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** The certify→regenerate maintenance LOOP, wired shut — the
+    * docs/sketches.md lifecycle trigger as one operator instead of a
+    * runbook: extend the serving index with today's batch (fixed
+    * geometry, map-only encode), certify the extended index on the
+    * hash-deterministic sample ([[certifyVectorIndex]]), and when
+    * `avg(recall@k) < minRecall` — the centroid-drift failure repeated
+    * [[extendVectorIndex]] accumulates, exactly what the docs name —
+    * REBUILD from the full corpus (fresh geometry: nlist/m/codebookSize
+    * derived from the old index, `trainIters` Lloyd rounds over
+    * `trainOn` — pass a hash-sample at 100 TB; the geometry-training
+    * discipline of [[buildVectorIndex]]) and re-certify. Returns the
+    * index that PASSED (or the rebuilt one with its honest certificate
+    * if even a rebuild cannot reach the floor — the caller's signal
+    * that k/nprobe, not the geometry, is the problem), never a
+    * silently-degraded extension.
+    *
+    * Batch-vs-index disjointness stays the extend contract; the
+    * gate itself costs one |sample|-bounded certify (plus one full
+    * re-encode scan ONLY when the trigger fires — the paid
+    * regeneration, by design a rare event at a maintenance cadence). */
+  def maintainVectorIndex(index: VectorIndex, batch: DataFrame,
+                          corpus: DataFrame, minRecall: Double,
+                          k: Int = 10, nprobe: Int = 4,
+                          sampleN: Int = 16, strategy: String = "ivf",
+                          rerank: Int = 4, iters: Int = 3,
+                          trainIters: Int = 0,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          trainOn: DataFrame = null): VectorMaintenance = {
+    require(minRecall >= 0.0 && minRecall <= 1.0,
+      s"maintainVectorIndex: minRecall=$minRecall outside [0, 1]")
+    val spark = index.vectors.sparkSession
+    import spark.implicits._
+    val extended = extendVectorIndex(index, batch, idCol, vecCol)
+    val cert = certifyVectorIndex(extended, k, nprobe, sampleN, strategy,
+      rerank)
+    val extRecall = avgRecall(cert)
+    if (extRecall >= minRecall)
+      VectorMaintenance(extended, cert, rebuilt = false, extRecall,
+        extRecall)
+    else {
+      // geometry shape derives from the OLD index (KB-scale driver
+      // reads); the retrain itself sees the full corpus (or trainOn)
+      val nlist = index.centroids.count().toInt
+      val books = index.codebooks
+        .select(col("sub").cast("int")).as[Int].collect()
+      val m = books.max + 1
+      val codebookSize = books.length / m
+      val regenerated = buildVectorIndex(corpus, nlist, m, codebookSize,
+        iters, trainIters, idCol, vecCol, trainOn)
+      val recert = certifyVectorIndex(regenerated, k, nprobe, sampleN,
+        strategy, rerank)
+      VectorMaintenance(regenerated, recert, rebuilt = true, extRecall,
+        avgRecall(recert))
+    }
   }
 
   def hyperplaneSignature(vec: Column, nPlanes: Int = 16, table: Int = 0): Column = {

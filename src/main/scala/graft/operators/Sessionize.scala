@@ -12,16 +12,54 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
+  /** HOT-KEY GUARD for the per-key windows below: a celebrity key
+    * concentrates its entire event slice into ONE window partition, and
+    * AQE's skew handling cannot split a window the way it splits a join
+    * — the partition must sort and fold sequentially, so one hot key
+    * sets the stage's wall clock (and, past executor memory, spills or
+    * OOMs). `maxEventsPerKey > 0` adds a per-key count that RIDES THE
+    * SAME key exchange (a second window over the identical
+    * partitioning — no extra shuffle, no extra scan) and raises loudly
+    * naming the key and its count when the ceiling is crossed — the
+    * library's established discipline: a bound violation is an error
+    * with guidance, never a silent 10-hour straggler. Remedies in the
+    * message: shard the key upstream (sessionizing a bot/service
+    * account rarely means anything), or batch more often so per-batch
+    * slices stay bounded ([[withSessionIdsIncremental]] only ever
+    * windows THE BATCH — its ceiling is per-batch, which daily
+    * batching keeps small no matter how long the full history grows).
+    * Default 0 = off (small corpora, specs). */
+  private def guardHotKeys(events: DataFrame, keyCol: String,
+                           maxEventsPerKey: Long,
+                           where: String): DataFrame =
+    if (maxEventsPerKey <= 0) events
+    else {
+      val wk = Window.partitionBy(col(keyCol))
+      events.withColumn("__key_n", count(lit(1)).over(wk))
+        .filter(when(col("__key_n") > maxEventsPerKey, raise_error(concat(
+            lit(s"$where: key "), col(keyCol).cast("string"),
+            lit(" carries "), col("__key_n").cast("string"),
+            lit(s" events in this slice — above the hot-key ceiling " +
+              s"maxEventsPerKey=$maxEventsPerKey. One key's events fold " +
+              "sequentially in a single window partition (AQE cannot " +
+              "split windows); shard or drop the key upstream, or batch " +
+              "more often so per-batch slices stay bounded"))))
+          .otherwise(lit(true)))
+        .drop("__key_n")
+    }
+
   /** Tag every event with its session ordinal per key (1-based).
-    * `tieBreak` columns pin a total order under equal timestamps. */
+    * `tieBreak` columns pin a total order under equal timestamps.
+    * `maxEventsPerKey` (0 = off) raises on hot keys — [[guardHotKeys]]. */
   def withSessionIds(events: DataFrame, keyCol: String, tsCol: String,
-                     gapSeconds: Long, tieBreak: Seq[String] = Nil): DataFrame = {
+                     gapSeconds: Long, tieBreak: Seq[String] = Nil,
+                     maxEventsPerKey: Long = 0L): DataFrame = {
     val order = col(tsCol) +: tieBreak.map(col)
     val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
     // whole-second gap (floor of epoch) — portable across engines
     val gap = unix_timestamp(col(tsCol)) -
       unix_timestamp(lag(col(tsCol), 1).over(w))
-    events
+    guardHotKeys(events, keyCol, maxEventsPerKey, "withSessionIds")
       .withColumn("__new_session",
         when(gap.isNull || gap > gapSeconds, 1L).otherwise(0L))
       .withColumn("session_id", sum(col("__new_session"))
@@ -84,13 +122,18 @@ object Sessionize {
   def withSessionIdsIncremental(state: DataFrame, events: DataFrame,
                                 keyCol: String, tsCol: String,
                                 gapSeconds: Long,
-                                tieBreak: Seq[String] = Nil): DataFrame = {
+                                tieBreak: Seq[String] = Nil,
+                                maxEventsPerKey: Long = 0L): DataFrame = {
     val st = state.select(col(keyCol).as("__sk"),
       col("last_ts_unix").as("__last_ts_unix"),
       col("last_session").as("__last_session"))
     // null-safe key join: a null key is a session key like any other
-    // (the robustStats discipline)
-    val ev = events.join(st, col(keyCol) <=> col("__sk"), "left")
+    // (the robustStats discipline). The hot-key ceiling is PER BATCH —
+    // the window only ever sorts the batch slice, so frequent batching
+    // bounds it regardless of history length (guardHotKeys scaladoc).
+    val ev = guardHotKeys(events, keyCol, maxEventsPerKey,
+        "withSessionIdsIncremental")
+      .join(st, col(keyCol) <=> col("__sk"), "left")
       .drop("__sk")
     val order = col(tsCol) +: tieBreak.map(col)
     val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)

@@ -588,11 +588,14 @@ object Streaming {
     val spark = state0.sparkSession
     val base = workDir.stripSuffix("/")
     // day-0 only: a RESUME against an existing workDir must keep the
-    // folded state, not clobber it back to the bootstrap
+    // folded state, not clobber it back to the bootstrap. The probe is
+    // "any numbered state version exists", NOT "state/0 exists" —
+    // pruning deletes old versions, and a resume against a pruned
+    // ledger must not re-write the bootstrap under the live fold.
     val hconf = spark.sessionState.newHadoopConf()
     val stateRoot = new org.apache.hadoop.fs.Path(s"$base/state")
     val fs = stateRoot.getFileSystem(hconf)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$base/state/0")))
+    if (numbered(fs, s"$base/state").isEmpty)
       state0.write.mode("overwrite").parquet(s"$base/state/0")
     val q = stream.writeStream
       .option("checkpointLocation", s"$base/ckpt")
@@ -604,6 +607,19 @@ object Streaming {
           _.write.mode("overwrite").parquet(s"$base/emitted/$id"))
         out.state.write.mode("overwrite").parquet(s"$base/state/${id + 1}")
         out.shared.foreach(_.unpersist())
+        // RETENTION: replay correctness needs state/id (this batch may
+        // re-run until the checkpoint commits it) and state/id+1 (the
+        // next batch's input); id−1 is kept as one version of margin
+        // (a restart only ever re-runs the newest uncommitted batch,
+        // but the margin costs one |keys| write and tolerates a crash
+        // straddling the commit-log append). Everything older is dead
+        // weight that would otherwise grow storage as batches × |keys|
+        // forever — deleted only AFTER this batch's own writes land,
+        // so a crash anywhere leaves a replayable suffix.
+        numbered(fs, s"$base/state").foreach { case (v, p) =>
+          if (v < id - 1)
+            fs.delete(new org.apache.hadoop.fs.Path(p), true)
+        }
       }
       .start()
     q.awaitTermination()
@@ -611,20 +627,60 @@ object Streaming {
     // resume (same workDir + ckpt after a crash or a later backlog
     // drain) replays only the missing batches, so in-memory tracking
     // would see a suffix of history — the directories carry all of it
-    def numbered(dir: String): Seq[(Long, String)] = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      if (!fs.exists(p)) Nil
-      else fs.listStatus(p).toSeq.filter(_.isDirectory)
-        .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption
-          .map(_ -> s.getPath.toString))
-        .sortBy(_._1)
-    }
-    val emittedAll = numbered(s"$base/emitted").map(_._2)
-    val lastVersion = numbered(s"$base/state").map(_._1).max
+    val emittedAll = numbered(fs, s"$base/emitted").map(_._2)
+    val lastVersion = numbered(fs, s"$base/state").map(_._1).max
     StreamLedger(
       if (emittedAll.isEmpty) None
       else Some(spark.read.parquet(emittedAll: _*)),
       spark.read.parquet(s"$base/state/$lastVersion"))
+  }
+
+  /** Numbered child directories of a ledger dir, ascending. */
+  private def numbered(fs: org.apache.hadoop.fs.FileSystem,
+                       dir: String): Seq[(Long, String)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption
+        .map(_ -> s.getPath.toString))
+      .sortBy(_._1)
+  }
+
+  /** POST-DRAIN ledger maintenance for [[foldLedgerStream]] workdirs:
+    * coalesce the append-only `emitted/<id>` directories (one per
+    * micro-batch — a year of daily batches is 365 small-file dirs,
+    * the classic lake small-files tax) into a single `emitted/0`, and
+    * drop every state version below the latest. The emitted FEED is
+    * unchanged as a dataset — compaction rewrites layout, never rows —
+    * and the next resume reads the compacted dir plus whatever new
+    * batches append after it (new micro-batch ids continue strictly
+    * above the old ones under the same checkpoint, so the compacted
+    * `0` dir can never collide with a future batch's write).
+    *
+    * CONTRACT: run BETWEEN drains, never under a live query —
+    * `Trigger.AvailableNow` returns only after every batch commits, so
+    * post-return there are no pending replays; compacting mid-crash-
+    * recovery could instead double rows a replayed batch rewrites.
+    * The day-N loop's cadence: drain → compact → next drain. */
+  def compactLedger(spark: SparkSession, workDir: String): Unit = {
+    val base = workDir.stripSuffix("/")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val emitted = numbered(fs, s"$base/emitted")
+    if (emitted.nonEmpty &&
+        (emitted.size > 1 || emitted.head._1 != 0L)) {
+      val tmp = s"$base/emitted_compacting"
+      spark.read.parquet(emitted.map(_._2): _*)
+        .write.mode("overwrite").parquet(tmp)
+      emitted.foreach { case (_, p) =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true) }
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(s"$base/emitted/0")),
+        s"compactLedger: rename $tmp -> $base/emitted/0 failed")
+    }
+    val states = numbered(fs, s"$base/state")
+    states.dropRight(1).foreach { case (_, p) =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true) }
   }
 
   // ---------------------------------------------------------------- state

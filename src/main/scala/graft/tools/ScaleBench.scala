@@ -417,7 +417,67 @@ object ScaleBench {
           emb.filter(org.apache.spark.sql.functions.col("vec_id") % 7 === 0),
           emb.filter(org.apache.spark.sql.functions.col("vec_id") % 7 =!= 0),
           threshold = 0.3, trainIters = 0)
+      }),
+      // STEADY-STATE serve probes: the index is built + compacted ONCE
+      // per corpus dir (the warmup pass pays it — exactly the daily
+      // maintenance cadence) and the TIMED runs measure serving from
+      // the persisted artifact, which is what a deployment repeats.
+      // text_bm25_index_merge times build+merge+serve each run (its
+      // >2× ratio is index-build growth); this row isolates the serve.
+      "text_bm25_compacted_serve" -> ((s, dir) => {
+        val idx = compactedBm25.computeIfAbsent(dir, _ => {
+          val docs = graft.Tables.load(s, dir, "documents")
+          val c = org.apache.spark.sql.functions.col("doc_id")
+          graft.llm.Retrieval.compactBm25Index(
+            graft.llm.Retrieval.mergeBm25Indexes(Seq(
+              graft.llm.Retrieval.bm25Index(docs.filter(c % 2 === 0)),
+              graft.llm.Retrieval.bm25Index(docs.filter(c % 2 === 1)))),
+            java.nio.file.Files.createTempDirectory("graft-bm25-compact")
+              .toString)
+        })
+        graft.llm.Retrieval.bm25TopKAgainst(idx, probeQueries(s, dir), k = 5)
+      }),
+      // the deployment-shaped hybrid: BOTH indexes persisted (warmup
+      // builds them), dense probed at nprobe=4 ≪ nlist=16 behind the
+      // per-serve certification gate — the timed cost is gate +
+      // serve + fuse, the real steady state (text_hybrid_against's
+      // exhaustive probe is the oracle twin, not the deployment)
+      "text_hybrid_real_nprobe" -> ((s, dir) => {
+        val f = org.apache.spark.sql.functions
+        val (bidx, vidx) = hybridIdx.computeIfAbsent(dir, _ => {
+          val docs = graft.Tables.load(s, dir, "documents")
+          val c = f.col("doc_id")
+          (graft.llm.Retrieval.compactBm25Index(
+            graft.llm.Retrieval.bm25Index(docs),
+            java.nio.file.Files.createTempDirectory("graft-hyb-bm25")
+              .toString),
+            graft.llm.Similarity.buildVectorIndex(
+              graft.Tables.load(s, dir, "embeddings")))
+        })
+        val emb = graft.Tables.load(s, dir, "embeddings")
+        val q = probeQueries(s, dir).join(
+          emb.select(f.col("vec_id").as("query_id"), f.col("embedding")),
+          "query_id")
+        graft.llm.Retrieval.hybridTopKAgainst(bidx, vidx, q, k = 5,
+          nprobe = 4, minRecall = 0.2, sampleN = 8)
       }))
+
+  private val compactedBm25 =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.llm.Retrieval.Bm25Index]()
+  private val hybridIdx =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (graft.llm.Retrieval.Bm25Index, graft.llm.Similarity.VectorIndex)]()
+
+  /** The standard fixed 20-query probe log (the text_bm25_topk set). */
+  private def probeQueries(s: SparkSession, dir: String) = {
+    val f = org.apache.spark.sql.functions
+    val docs = graft.Tables.load(s, dir, "documents")
+    docs.filter(f.col("doc_id") % 25 === 0 && f.col("doc_id") < 500)
+      .select(f.col("doc_id").as("query_id"),
+        f.array_join(f.slice(f.split(
+          graft.llm.TextAnalysis.normalizeText(f.col("text")), " "),
+          1, 6), " ").as("query_text"))
+  }
 
   def allProbes: Seq[String] = ProbeQueries ++ pinned.keys.toSeq.sorted
 

@@ -270,6 +270,69 @@ class CoreSpec extends SparkSpec {
     assert(g(5L) == 0.2 && g(4L) == 1.0, g.toString)
   }
 
+  test("rankNormalizeAgainst keepUnmatched: out-of-domain rows surface " +
+      "with NULL pct instead of silently shrinking the batch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ref = Seq((1L, "a", 10.0), (2L, "a", 20.0)).toDF("id", "key", "v")
+    val stats = graft.core.Stats.rankStats(ref, "v", "key")
+    val batch = Seq((7L, "a", 20.0), (8L, "a", 999.0), (9L, "zzz", 1.0))
+      .toDF("id", "key", "v")
+    val out = graft.core.Stats.rankNormalizeAgainst(batch, stats, "v",
+        "key", keepUnmatched = true)
+      .select("id", "pct").as[(Long, Option[Double])].collect().toMap
+    assert(out.keySet == Set(7L, 8L, 9L), s"rows dropped: $out")
+    assert(out(7L).contains(1.0) && out(8L).isEmpty && out(9L).isEmpty,
+      out.toString)
+    // the observable retraining signal: 2 of 3 rows out of domain
+    val served = graft.core.Stats.rankNormalizeAgainst(batch, stats,
+      "v", "key", keepUnmatched = true)
+    val (n, matched) = served.agg(count(lit(1)), count(col("pct")))
+      .as[(Long, Long)].head()
+    assert(n == 3 && matched == 1, s"drop counter wrong: $n/$matched")
+  }
+
+  test("rankStatsApprox/rankNormalizeSketch: exact-regime parity with " +
+      "the exact CDF, defined ranks for out-of-domain probes, " +
+      "parquet round-trip, groupless rows drop") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ref = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 20.0),
+      (4L, "a", 30.0), (5L, "b", 5.0)).toDF("id", "key", "v")
+    val stats = graft.core.Stats.rankStatsApprox(ref, "v", "key", k = 64)
+    // exact-regime parity: serving the reference itself equals the
+    // exact inclusive CDF bit-for-bit
+    val inline = graft.core.Stats.rankNormalize(ref, "v", "key")
+    val sketchServed = graft.core.Stats.rankNormalizeSketch(ref, stats,
+      "v", "key")
+    assert(sketchServed.exceptAll(inline).isEmpty &&
+      inline.exceptAll(sketchServed).isEmpty,
+      "sketch serve diverged from the exact CDF in the exact regime")
+    // out-of-domain probes get DEFINED ranks: between-values probes
+    // read the inclusive CDF, below-domain 0, above-domain 1; a
+    // groupless row still drops (no baseline exists at all)
+    val batch = Seq((7L, "a", 25.0), (8L, "a", -1.0), (9L, "a", 999.0),
+      (10L, "zzz", 1.0)).toDF("id", "key", "v")
+    val pcts = graft.core.Stats.rankNormalizeSketch(batch, stats, "v",
+        "key")
+      .select("id", "pct").as[(Long, Double)].collect().toMap
+    assert(pcts == Map(7L -> 0.75, 8L -> 0.0, 9L -> 1.0),
+      s"probe ranks wrong: $pcts")
+    // persisted state serves identically (binary column round-trips)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rns")
+      .toString + "/sketch"
+    stats.write.parquet(dir)
+    val fromDisk = graft.core.Stats.rankNormalizeSketch(batch,
+        spark.read.parquet(dir), "v", "key")
+      .select("id", "pct").as[(Long, Double)].collect().toMap
+    assert(fromDisk == pcts, s"parquet-reloaded sketch diverged: $fromDisk")
+    // keyless (global) mode
+    val g = graft.core.Stats.rankNormalizeSketch(ref,
+        graft.core.Stats.rankStatsApprox(ref, "v", k = 64), "v")
+      .select("id", "pct").as[(Long, Double)].collect().toMap
+    assert(g(5L) == 0.2 && g(4L) == 1.0, g.toString)
+  }
+
   test("robustOutliers: a NULL group key is a group like any other — " +
       "rows keep flowing with their own median/MAD") {
     import org.apache.spark.sql.functions._

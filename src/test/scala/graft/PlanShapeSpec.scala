@@ -390,6 +390,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(finalScans(q("ev_rank_normalize_incremental"), "events") == 2)
   }
 
+  test("ev_rank_normalize_sketch serves with 2 event scans (the " +
+      "bounded sketch subtree + the served batch — the continuous-" +
+      "domain path keeps the exact path's scan floor)") {
+    assert(finalScans(q("ev_rank_normalize_sketch"), "events") == 2)
+  }
+
   test("st_sessionize_incremental serves with 2 event scans (the " +
       "|keys|-sized state subtree + the batch window)") {
     assert(finalScans(q("st_sessionize_incremental"), "events") == 2)

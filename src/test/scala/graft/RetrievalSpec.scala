@@ -206,6 +206,119 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("compactBm25Index: the materialized merge serves bit-identically " +
+      "to a full rebuild and drops the union lineage") {
+    val docs = docs3.union(Seq((4L, "cherry cherry banana apple"))
+      .toDF("doc_id", "text"))
+    val q = Seq((10L, "apple cherry"), (11L, "banana date"))
+      .toDF("query_id", "query_text")
+    val merged = Retrieval.mergeBm25Indexes(Seq(
+      Retrieval.bm25Index(docs.filter(col("doc_id") % 2 === 0)),
+      Retrieval.bm25Index(docs.filter(col("doc_id") % 2 === 1))))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25c")
+      .toString + "/idx"
+    val compacted = Retrieval.compactBm25Index(merged, dir)
+    val full = Retrieval.bm25TopK(docs, q, k = 4)
+    val served = Retrieval.bm25TopKAgainst(compacted, q, k = 4)
+    assert(served.exceptAll(full).isEmpty && full.exceptAll(served).isEmpty,
+      "compact(merge) must serve the rebuild's exact results")
+    // the compacted index is flat parquet: its postings plan reads ONE
+    // relation, not the merge's union of per-part tokenize subtrees
+    val plan = compacted.postings.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Union"), s"lineage survived compaction:\n$plan")
+    // a fresh session-independent reload serves identically too
+    val reloaded = Retrieval.loadBm25Index(spark, dir)
+    val served2 = Retrieval.bm25TopKAgainst(reloaded, q, k = 4)
+    assert(served2.exceptAll(full).isEmpty && full.exceptAll(served2).isEmpty)
+    // the analyzer stamp survives the round-trip
+    assert(reloaded.stats.select("analyzer_fp").as[Long].head() ==
+      Retrieval.AnalyzerFingerprint)
+  }
+
+  test("maintainBm25Index: a clean batch merges and certifies green; a " +
+      "disjointness violation trips the gate and the rebuild recovers") {
+    val docs = docs3.union(Seq((4L, "cherry cherry banana apple"))
+      .toDF("doc_id", "text"))
+    val q = Seq((10L, "apple cherry"), (11L, "banana date"))
+      .toDF("query_id", "query_text")
+    val idx = Retrieval.bm25Index(docs.filter(col("doc_id") % 2 === 0))
+    // clean path: the disjoint odd half merges in, merge ≡ rebuild is
+    // bit-exact, every query certifies — the serving index is the merge
+    val clean = Retrieval.maintainBm25Index(idx,
+      docs.filter(col("doc_id") % 2 === 1), docs, q, k = 4)
+    assert(!clean.rebuilt, "clean merge must not trigger a rebuild")
+    assert(clean.certificate.filter(!col("certified")).isEmpty)
+    val full = Retrieval.bm25TopK(docs, q, k = 4)
+    val served = Retrieval.bm25TopKAgainst(clean.index, q, k = 4)
+    assert(served.exceptAll(full).isEmpty && full.exceptAll(served).isEmpty)
+    // violation path: the "batch" re-indexes doc 2, which the serving
+    // index already covers — docfreq/N/toklen double-count, scores
+    // shift, certification fails, and the loop rebuilds from docs
+    val overlap = Retrieval.maintainBm25Index(idx,
+      docs.filter(col("doc_id") =!= 1L), docs, q, k = 4)
+    assert(overlap.rebuilt,
+      "an overlapping batch must fail certification and rebuild")
+    assert(overlap.certificate.filter(!col("certified")).isEmpty,
+      "the rebuilt index must re-certify green")
+    val served2 = Retrieval.bm25TopKAgainst(overlap.index, q, k = 4)
+    assert(served2.exceptAll(full).isEmpty && full.exceptAll(served2).isEmpty,
+      "the rebuilt index must serve the true corpus scores")
+  }
+
+  test("hybridTopKAgainst: exhaustive-probe parity with separate-leg " +
+      "fusion; a degraded index fails the recall gate loudly") {
+    import graft.llm.Similarity
+    val docs = docs3.union(Seq((4L, "cherry cherry banana apple"))
+      .toDF("doc_id", "text"))
+    def v(x: Double, y: Double, z: Double, w: Double) =
+      Array(x.toFloat, y.toFloat, z.toFloat, w.toFloat)
+    val emb = Seq(
+      (1L, v(1, 0.1, 0, 0)), (2L, v(0.9, 0.2, 0.1, 0)),
+      (3L, v(0, 0.1, 1, 0)), (4L, v(0.1, 0, 0.9, 0.2))
+    ).toDF("vec_id", "embedding")
+    val q = Seq((1L, "apple cherry"), (3L, "banana date"))
+      .toDF("query_id", "query_text")
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding")),
+        "query_id")
+    val bidx = Retrieval.bm25Index(docs)
+    val vidx = Similarity.buildVectorIndex(emb, nlist = 2, m = 2,
+      codebookSize = 2)
+    // nprobe = nlist ⇒ the dense leg is exhaustive: the gate certifies
+    // 1.0 and the fusion equals the separately-computed legs exactly
+    val hybrid = Retrieval.hybridTopKAgainst(bidx, vidx, q, k = 3,
+      nprobe = 2, minRecall = 1.0, sampleN = 4)
+    val sparse = Retrieval.bm25TopKAgainst(bidx, q, k = 3)
+      .select("query_id", "doc_id", "rank")
+    val dense = Similarity.ivfTopKAgainst(vidx,
+        q.select(col("query_id"), col("embedding")), k = 3, nprobe = 2,
+        idCol = "query_id")
+      .select(col("query_id"), col("corpus_id").as("doc_id"), col("rank"))
+    val expected = Retrieval.rrfFuse(Seq(sparse, dense), k = 3)
+    assert(hybrid.exceptAll(expected).isEmpty &&
+      expected.exceptAll(hybrid).isEmpty,
+      "gated hybrid must equal separate-leg fusion when probes are " +
+        "exhaustive")
+    // degraded index: geometry trained before a drifted cluster arrived
+    // (the maintainVectorIndex fixture) — nprobe = 1 splits every true
+    // neighborhood across cells, the certificate misses the floor, and
+    // the serve refuses with both numbers in the message
+    val seed = Seq((0L, v(1, 0, 0, 0)), (1L, v(0, 0, 1, 0)))
+      .toDF("vec_id", "embedding")
+    val drift = (0 until 30).map { i =>
+      (100L + i, v(((i * 37) % 7 - 3) * 0.001, 1.0,
+        ((i * 53) % 7 - 3) * 0.001, 0.0))
+    }.toDF("vec_id", "embedding")
+    val degraded = Similarity.extendVectorIndex(
+      Similarity.buildVectorIndex(seed, nlist = 2, m = 2,
+        codebookSize = 2), drift)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.hybridTopKAgainst(bidx, degraded, q, k = 10,
+        nprobe = 1, minRecall = 0.8, sampleN = 8)
+    }
+    assert(e.getMessage.contains("escalate nprobe") &&
+      e.getMessage.contains("floor 0.8"), e.getMessage)
+  }
+
   test("rrfFuse: hand-computed fusion, single-source docs, determinism") {
     val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
       .toDF("query_id", "doc_id", "rank")

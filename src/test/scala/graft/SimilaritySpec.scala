@@ -791,6 +791,58 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("maintainVectorIndex: a drifted batch trips the recall gate, the " +
+      "rebuild regenerates geometry and certifies above the floor; a " +
+      "healthy batch keeps the extension") {
+    // seed corpus: two orthogonal single-vector clusters (ids 0, 1) —
+    // nlist = 2 pins the centroids to exactly e1 and e3
+    def v(x: Double, y: Double, z: Double, w: Double) =
+      Array(x.toFloat, y.toFloat, z.toFloat, w.toFloat)
+    val seed = Seq(
+      (0L, v(1, 0, 0, 0)), (1L, v(0, 0, 1, 0))
+    ).toDF("vec_id", "embedding")
+    // drifted batch: a tight 30-vector cluster around e2 with tiny
+    // deterministic jitter in the e1/e3 components — under the OLD
+    // geometry the jitter signs scatter the cluster across both cells,
+    // so nprobe = 1 serving misses ~half of every query's true top-k
+    val drift = (0 until 30).map { i =>
+      (100L + i, v(((i * 37) % 7 - 3) * 0.001, 1.0,
+        ((i * 53) % 7 - 3) * 0.001, 0.0))
+    }.toDF("vec_id", "embedding")
+    val idx = Similarity.buildVectorIndex(seed, nlist = 2, m = 2,
+      codebookSize = 2)
+    val union = seed.unionByName(drift)
+    val m1 = Similarity.maintainVectorIndex(idx, drift, union,
+      minRecall = 0.8, k = 10, nprobe = 1, sampleN = 8, trainIters = 2)
+    assert(m1.rebuilt, s"drift must trip the gate " +
+      s"(extended recall ${m1.extendedRecall})")
+    assert(m1.extendedRecall < 0.8,
+      s"fixture broken: extended recall ${m1.extendedRecall} not degraded")
+    assert(m1.finalRecall >= 0.8 && m1.finalRecall > m1.extendedRecall,
+      s"rebuild must certify above the floor: ${m1.finalRecall} vs " +
+        s"extended ${m1.extendedRecall}")
+    // the certificate frame is the rebuilt index's, not the extension's
+    val certAvg = m1.certificate.agg(avg("recall")).as[Double].head()
+    assert(math.abs(certAvg - m1.finalRecall) < 1e-12)
+    // the regenerated geometry is a NEW generation: fingerprints differ
+    assert(idx.geometryFp != m1.index.geometryFp,
+      "rebuild must regenerate geometry")
+    // healthy path: same batch against an index whose geometry was
+    // trained on the full mixed corpus — recall holds, extension kept
+    val healthyIdx = Similarity.buildVectorIndex(seed, nlist = 2, m = 2,
+      codebookSize = 2, trainIters = 2, trainOn = union)
+    val m2 = Similarity.maintainVectorIndex(healthyIdx, drift, union,
+      minRecall = 0.8, k = 10, nprobe = 1, sampleN = 8, trainIters = 2)
+    assert(!m2.rebuilt && m2.finalRecall >= 0.8,
+      s"healthy extension must pass: rebuilt=${m2.rebuilt} " +
+        s"recall=${m2.finalRecall}")
+    assert(m2.index.geometryFp == healthyIdx.geometryFp,
+      "healthy path must keep the serving geometry")
+    intercept[IllegalArgumentException] {
+      Similarity.maintainVectorIndex(idx, drift, union, minRecall = 1.5)
+    }
+  }
+
   test("clusterProfile: populations sum to the corpus, cohesion stats are sane") {
     val prof = Similarity.clusterProfile(emb, nClusters = 8).cache()
     val rows = prof.collect()

@@ -806,11 +806,13 @@ class StreamingSpec extends SparkSpec {
     assert(led.state.exceptAll(want).isEmpty &&
       want.exceptAll(led.state).isEmpty,
       s"streamed ledger diverged: ${led.state.collect().toSeq}")
-    // one state version per micro-batch + the bootstrap: 0..3, each
-    // keyed by the micro-batch id that WROTE it (idempotent replays)
+    // versions are keyed by the micro-batch id that WROTE them
+    // (idempotent replays), and RETENTION prunes below {i−1, i, i+1}:
+    // after batches 0..2 the surviving versions are 1..3 — the
+    // bootstrap is dead weight once batch 1 commits
     val versions = new java.io.File(s"$work/state").listFiles()
       .filter(_.isDirectory).map(_.getName.toInt).sorted.toSeq
-    assert(versions == Seq(0, 1, 2, 3), versions.toString)
+    assert(versions == Seq(1, 2, 3), versions.toString)
     // a NEW out-of-order arrival (older than u1's watermark) raises
     // through the stream instead of mis-staging
     val stale = Seq((1L, "B", tstamp("2024-01-01 11:00:00")))
@@ -886,6 +888,62 @@ class StreamingSpec extends SparkSpec {
       resumed.emitted.get.collect().map(_.toString).sorted.toSeq ==
         (snap(s"$work/emitted/0") ++ snap(s"$work/emitted/1")).sorted,
       "resume did not recover the full emitted history")
+  }
+
+  test("foldLedgerStream retention + compactLedger: old state versions " +
+      "prune in-stream, post-drain compaction coalesces the emitted " +
+      "feed, and a resume after both serves the full history") {
+    import graft.operators.Sessionize
+    def tstamp(s: String) = java.sql.Timestamp.valueOf(s)
+    // 5 one-event days for one user, >30 min apart → every batch closes
+    // the previous session (a nonempty emitted dir per batch)
+    def day(d: Int) = Seq((1L, tstamp(f"2024-01-0${d}%d 10:00:00"),
+      d.toDouble, d.toLong)).toDF("user_id", "ts", "value", "event_id")
+    val first4 = (1 to 4).map(day)
+    val all5 = (1 to 5).map(day).reduce(_ unionByName _)
+    val src = arrivalDir(first4)
+    val boot = Sessionize.sessionsBootstrap(all5.limit(0), "user_id",
+      "ts", gapSeconds = 1800, "value", tieBreak = Seq("event_id"))
+    def step(st: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame) = {
+      val l = Sessionize.sessionsIncremental(st, b, "user_id", "ts",
+        gapSeconds = 1800, "value", tieBreak = Seq("event_id"))
+      Streaming.StreamLedger(Some(l.closed), l.state)
+    }
+    val work = java.nio.file.Files.createTempDirectory("graft-prune")
+      .toString
+    Streaming.foldLedgerStream(arrivalStream(src, day(1).schema),
+      boot.state, work, step)
+    def versions(sub: String) = new java.io.File(s"$work/$sub")
+      .listFiles().filter(_.isDirectory).map(_.getName.toLong).sorted.toSeq
+    // 4 batches (ids 0–3): retention keeps {id−1, id, id+1} = {2, 3, 4}
+    assert(versions("state") == Seq(2L, 3L, 4L),
+      s"stale state versions survived: ${versions("state")}")
+    assert(versions("emitted") == Seq(0L, 1L, 2L, 3L),
+      s"emitted dirs before compaction: ${versions("emitted")}")
+    // post-drain compaction: one emitted dir, one state version, and
+    // the feed's ROWS are untouched
+    val feedBefore = spark.read.parquet(s"$work/emitted/0",
+        s"$work/emitted/1", s"$work/emitted/2", s"$work/emitted/3")
+      .collect().map(_.toString).sorted.toSeq
+    Streaming.compactLedger(spark, work)
+    assert(versions("state") == Seq(4L), versions("state").toString)
+    assert(versions("emitted") == Seq(0L), versions("emitted").toString)
+    assert(spark.read.parquet(s"$work/emitted/0").collect()
+      .map(_.toString).sorted.toSeq == feedBefore,
+      "compaction changed the emitted rows")
+    // resume with day 5: the new batch id continues above the old ones,
+    // lands beside the compacted feed, and the served union still
+    // equals the full-history recompute
+    appendArrival(new java.io.File(src.toString), day(5), 4)
+    val led = Streaming.foldLedgerStream(arrivalStream(src, day(1).schema),
+      boot.state, work, step)
+    val served = boot.closed.unionByName(led.emitted.get)
+      .unionByName(Sessionize.finalizeSessionState(led.state, "user_id"))
+    val full = Sessionize.sessions(all5, "user_id", "ts",
+      gapSeconds = 1800, "value", tieBreak = Seq("event_id"))
+    assert(served.exceptAll(full).isEmpty && full.exceptAll(served).isEmpty,
+      "post-compaction resume diverged from the full recompute")
   }
 
   test("foldLedgerStream: the streamed session-rollup ledger emits " +

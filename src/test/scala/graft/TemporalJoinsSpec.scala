@@ -658,6 +658,56 @@ class TemporalJoinsSpec extends SparkSpec {
       s"wrong error: ${err.getMessage}")
   }
 
+  test("hot-key guard: a key past maxEventsPerKey raises naming key and " +
+      "count, bounded keys pass unchanged, guard rides the key window") {
+    import graft.operators.Sessionize
+    // one celebrity key (20 events) next to a normal one (3)
+    val hot = (0 until 20).map(i =>
+      (7L, 100L + i, ts(f"2024-01-01 10:${i}%02d:00"))) ++
+      (0 until 3).map(i => (8L, 200L + i, ts(f"2024-01-01 10:${i}%02d:00")))
+    val ev = hot.toDF("user_id", "event_id", "ts")
+    val err = intercept[Exception] {
+      Sessionize.withSessionIds(ev, "user_id", "ts", 1800,
+        tieBreak = Seq("event_id"), maxEventsPerKey = 10L).collect()
+    }
+    assert(err.getMessage != null &&
+      err.getMessage.contains("hot-key ceiling") &&
+      err.getMessage.contains("key 7 carries 20 events"),
+      s"wrong error: ${err.getMessage}")
+    // under the ceiling: identical output to the unguarded op (the
+    // guard is a pass-through filter, never a row-dropper)
+    val unguarded = Sessionize.withSessionIds(ev, "user_id", "ts", 1800,
+      tieBreak = Seq("event_id"))
+    val guarded = Sessionize.withSessionIds(ev, "user_id", "ts", 1800,
+      tieBreak = Seq("event_id"), maxEventsPerKey = 100L)
+    assert(guarded.exceptAll(unguarded).isEmpty &&
+      unguarded.exceptAll(guarded).isEmpty)
+    // the incremental form guards THE BATCH slice (per-batch ceiling)
+    val state = Sessionize.sessionState(ev.filter($"event_id" < 110),
+      "user_id", "ts", 1800, tieBreak = Seq("event_id"))
+    val err2 = intercept[Exception] {
+      Sessionize.withSessionIdsIncremental(state,
+        ev.filter($"event_id" >= 110), "user_id", "ts", 1800,
+        tieBreak = Seq("event_id"), maxEventsPerKey = 5L).collect()
+    }
+    assert(err2.getMessage != null &&
+      err2.getMessage.contains("hot-key ceiling"), s"${err2.getMessage}")
+    val incOk = Sessionize.withSessionIdsIncremental(state,
+      ev.filter($"event_id" >= 110), "user_id", "ts", 1800,
+      tieBreak = Seq("event_id"), maxEventsPerKey = 50L)
+    val incPlain = Sessionize.withSessionIdsIncremental(state,
+      ev.filter($"event_id" >= 110), "user_id", "ts", 1800,
+      tieBreak = Seq("event_id"))
+    assert(incOk.exceptAll(incPlain).isEmpty &&
+      incPlain.exceptAll(incOk).isEmpty)
+    // plan shape: the guard adds NO exchange — one shuffle on the key
+    // serves both the guard count and the session window
+    val plan = guarded.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"guard must ride the key exchange:\n$plan")
+  }
+
   test("sessionsIncremental ledger: closed + finalized state equals a " +
       "full sessions() recompute across a two-batch chain, decimal " +
       "partials and null-value sessions included") {
