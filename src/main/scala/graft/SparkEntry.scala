@@ -1179,6 +1179,26 @@ object SparkEntry {
         .select("event_id", "event_type", "value", "pct")
     }),
 
+    "ev_rank_normalize_sketch_merged" -> ((s, dir) => {
+      // the sketch baseline's day-N increment: the even-id reference
+      // window arrives as TWO disjoint slices, the second folded into
+      // the first's persisted state with extendRankStats (one bounded
+      // KLL union per group — the exact path has no such increment);
+      // in the exact regime merge ≡ one-shot build bit-for-bit, so the
+      // serve shares the inline twin VERBATIM
+      val ev = t(s, dir, "events")
+      val s0 = graft.core.Stats.rankStatsApprox(
+        ev.filter(col("event_id") % 4 === 0), "value", "event_type",
+        k = 16384)
+      val merged = graft.core.Stats.extendRankStats(s0,
+        ev.filter(col("event_id") % 4 === 2), "value", "event_type",
+        k = 16384)
+      graft.core.Stats.rankNormalizeSketch(
+          ev.filter(col("event_id") % 2 === 1), merged, "value",
+          "event_type")
+        .select("event_id", "event_type", "value", "pct")
+    }),
+
     "ev_anomaly_stream" -> ((s, dir) => {
       // the served screen on a LIVE stream: robustOutliersAgainst is a
       // stateless scan + stream-static join, so the batch serving
@@ -4528,6 +4548,7 @@ object SparkEntry {
     "ev_rank_normalize_stream" -> EvRankNormalizeIncrementalOracle,
     "ev_rank_normalize_sketch" -> EvRankNormalizeSketchOracle,
     "ev_rank_normalize_sketch_served" -> EvRankNormalizeSketchOracle,
+    "ev_rank_normalize_sketch_merged" -> EvRankNormalizeSketchOracle,
 
     "ev_funnel" -> EvFunnelOracle,
     // the funnel's steady state under the SAME twin: state + chase ≡

@@ -345,6 +345,35 @@ object Stats {
         count(col(valueCol)).as("__n"))
   }
 
+  /** Merge [[rankStatsApprox]] frames (disjoint reference slices) into
+    * the baseline of their union — the rank normalizer's day-N
+    * INCREMENT, which the exact path deliberately lacks (medians and
+    * exact CDFs don't merge; docs/incremental.md): per group one
+    * relational KLL union over s bounded binaries, counts add. In the
+    * exact regime (union count ≤ k per group) the merge is bit-equal
+    * to [[rankStatsApprox]] of the concatenated slices (KLL keeps
+    * every item until compaction and rank reads sort-view — insertion
+    * order never matters); beyond it the ~1.65/√k contract applies.
+    * Groups appearing in only some parts carry through. */
+  def mergeRankStats(parts: Seq[DataFrame], k: Int = 4096): DataFrame = {
+    require(parts.nonEmpty, "mergeRankStats needs at least one part")
+    parts.reduce(_ unionByName _)
+      .groupBy("__k")
+      .agg(graft.expressions.GraftExpressions
+        .kllMerge(col("__sketch"), k).as("__sketch"),
+        sum("__n").as("__n"))
+  }
+
+  /** Fold a new reference batch into a persisted [[rankStatsApprox]]
+    * baseline: sketch the batch, merge per group — the whole
+    * increment. `extendRankStats(rankStatsApprox(h), b) ≡
+    * rankStatsApprox(h ∪ b)` in the exact regime (spec'd + oracled via
+    * the shared serving twin); state stays O(groups·k) forever. */
+  def extendRankStats(stats: DataFrame, df: DataFrame, valueCol: String,
+                      keyCol: String = null,
+                      k: Int = 4096): DataFrame =
+    mergeRankStats(Seq(stats, rankStatsApprox(df, valueCol, keyCol, k)), k)
+
   /** Normalize rows against PRE-COMPUTED (possibly parquet-reloaded)
     * [[rankStatsApprox]] sketches — the continuous-domain serving
     * path: one scan + one |groups|-row join (AQE broadcasts bounded

@@ -331,6 +331,30 @@ class CoreSpec extends SparkSpec {
         graft.core.Stats.rankStatsApprox(ref, "v", k = 64), "v")
       .select("id", "pct").as[(Long, Double)].collect().toMap
     assert(g(5L) == 0.2 && g(4L) == 1.0, g.toString)
+    // the day-N increment: folding a second disjoint slice into the
+    // persisted state ≡ one-shot build over the union (exact regime) —
+    // including a group ("c") the original baseline never saw
+    val batch2 = Seq((10L, "a", 40.0), (11L, "c", 7.0))
+      .toDF("id", "key", "v")
+    val extended = graft.core.Stats.extendRankStats(stats, batch2, "v",
+      "key", k = 64)
+    val oneShot = graft.core.Stats.rankStatsApprox(
+      ref.unionByName(batch2), "v", "key", k = 64)
+    val probeAll = Seq((20L, "a", 25.0), (21L, "c", 7.0), (22L, "b", 9.0))
+      .toDF("id", "key", "v")
+    val viaExtend = graft.core.Stats.rankNormalizeSketch(probeAll,
+        extended, "v", "key")
+      .select("id", "pct").as[(Long, Double)].collect().toMap
+    val viaOneShot = graft.core.Stats.rankNormalizeSketch(probeAll,
+        oneShot, "v", "key")
+      .select("id", "pct").as[(Long, Double)].collect().toMap
+    assert(viaExtend == viaOneShot,
+      s"merge diverged from one-shot: $viaExtend vs $viaOneShot")
+    assert(viaExtend(20L) == 0.6 && viaExtend(21L) == 1.0 &&
+      viaExtend(22L) == 1.0, viaExtend.toString)
+    intercept[IllegalArgumentException] {
+      graft.core.Stats.mergeRankStats(Seq.empty)
+    }
   }
 
   test("robustOutliers: a NULL group key is a group like any other — " +
