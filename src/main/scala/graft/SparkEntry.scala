@@ -1179,6 +1179,27 @@ object SparkEntry {
         .select("event_id", "event_type", "value", "pct")
     }),
 
+    "ev_anomaly_sketch" -> ((s, dir) => {
+      // the anomaly screen served from the SAME bounded sketch state as
+      // the rank normalizer: med/MAD read out of the per-type KLL
+      // sketches (the compiled joint-walk kernel — exact in the
+      // no-compaction regime, the oracle's), then the odd-id batch
+      // flagged through the unchanged robustOutliersAgainst join. One
+      // persisted frame, two screens, and the baseline gains the day-N
+      // sketch-merge increment the exact medians cannot have. Twin =
+      // ev_anomaly_incremental's VERBATIM.
+      val ev = t(s, dir, "events")
+      val sketch = graft.core.Stats.rankStatsApprox(
+        ev.filter(col("event_id") % 2 === 0), "value", "event_type",
+        k = 16384)
+      graft.core.Stats.robustOutliersAgainst(
+          ev.filter(col("event_id") % 2 === 1),
+          graft.core.Stats.robustStatsFromSketch(sketch, "event_type"),
+          "event_type", "value", k = 3.0)
+        .select("event_id", "event_type", "value", "med", "mad",
+          "is_outlier")
+    }),
+
     "ev_rank_normalize_sketch_merged" -> ((s, dir) => {
       // the sketch baseline's day-N increment: the even-id reference
       // window arrives as TWO disjoint slices, the second folded into
@@ -4431,6 +4452,10 @@ object SparkEntry {
     // join — same rows either path)
     "ev_anomaly_stream" -> EvAnomalyIncrementalOracle,
     "ev_anomaly_incremental" -> EvAnomalyIncrementalOracle,
+    // med/MAD read from the bounded KLL state: bit-equal to the exact
+    // inclusive medians in the no-compaction regime — the shared twin
+    // proves sketch-served ≡ exact-served
+    "ev_anomaly_sketch" -> EvAnomalyIncrementalOracle,
 
     // same value-domain histogram + inclusive cum window, one exact
     // division per distinct value

@@ -374,6 +374,32 @@ object Stats {
                       k: Int = 4096): DataFrame =
     mergeRankStats(Seq(stats, rankStatsApprox(df, valueCol, keyCol, k)), k)
 
+  /** Read the robust anomaly baseline — discrete inclusive median +
+    * MAD per group — out of a [[rankStatsApprox]] sketch frame: ONE
+    * persisted KLL sketch row per group now serves BOTH the rank
+    * normalizer ([[rankNormalizeSketch]]) and the anomaly screen
+    * (this + [[robustOutliersAgainst]]), and gains the day-N increment
+    * the exact [[robustStats]] deliberately lacks (medians don't
+    * merge; docs/incremental.md) via the same
+    * [[extendRankStats]]/[[mergeRankStats]] fold. The MAD is
+    * recoverable because the sketch retains the JOINT (item, weight)
+    * pairs: the compiled [[graft.expressions.KllRobustStats]] kernel
+    * walks the sorted view for the median, materializes |item − med|
+    * deviations from the same retained pairs, and applies the
+    * identical doubled-cumulative-weight rule — bit-equal to
+    * [[robustStats]] in the no-compaction regime (oracled), ~1.65/√k
+    * rank error beyond, approximation by design. Output
+    * `(<keyCol>, med, mad)` — exactly [[robustStats]]' schema, so
+    * [[robustOutliersAgainst]] serves from it unchanged. Cost: one
+    * scan of the |groups|-row sketch frame; zero corpus access. */
+  def robustStatsFromSketch(stats: DataFrame,
+                            keyCol: String): DataFrame =
+    stats.select(col("__k").as(keyCol),
+        graft.expressions.GraftExpressions
+          .kllRobustStats(col("__sketch")).as("__rs"))
+      .select(col(keyCol), col("__rs.med").as("med"),
+        col("__rs.mad").as("mad"))
+
   /** Normalize rows against PRE-COMPUTED (possibly parquet-reloaded)
     * [[rankStatsApprox]] sketches — the continuous-domain serving
     * path: one scan + one |groups|-row join (AQE broadcasts bounded

@@ -873,6 +873,12 @@ object GraftExpressions {
   def kllRank(sketch: Column, value: Column): Column =
     toCol(KllRankValue(expr(sketch), expr(value.cast("double"))))
 
+  /** Discrete inclusive median + MAD from one KLL sketch binary —
+    * `struct<med, mad>`, exact in the no-compaction regime; see
+    * [[KllRobustStats]]. */
+  def kllRobustStats(sketch: Column): Column =
+    toCol(KllRobustStats(expr(sketch)))
+
   /** Bloom membership sketch aggregate over a LONG key column → filter
     * binary. Geometry (bits, hash count) derives deterministically from
     * (expectedKeys, fpp) via the standard m = −n·ln p / ln²2 formula, so

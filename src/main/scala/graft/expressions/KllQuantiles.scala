@@ -235,6 +235,87 @@ case class KllRankValue(left: Expression, right: Expression)
   override def prettyName: String = "graft_kll_rank"
 }
 
+/** Discrete inclusive median AND median-absolute-deviation read from
+  * ONE KLL sketch binary — `struct<med double, mad double>`: the
+  * robust-statistics pair behind
+  * [[graft.core.Stats.robustStatsFromSketch]]'s mergeable anomaly
+  * baseline. Both statistics use the library's discrete INCLUSIVE
+  * definition (smallest value whose doubled cumulative weight ≥ n —
+  * `core.Stats.robustStats`'s exact contract), computed over the
+  * sketch's retained items: the median walks the sorted view; the
+  * deviation distribution is then MATERIALIZED from the same retained
+  * (item, weight) pairs (|item − med|, re-sorted, re-cumulated) — the
+  * joint information plain quantile reads cannot give. In the exact
+  * regime (no compaction — every arrival retained at weight 1) the
+  * result is bit-equal to the exact med/MAD; beyond it both carry the
+  * family's ~1.65/√k normalized-rank error, approximation by design.
+  * O(retained · log retained) per read on ≤ k items — driver- or
+  * executor-cheap at any corpus size. Empty sketch → null. */
+case class KllRobustStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("med", DoubleType, nullable = false),
+    StructField("mad", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType) {
+      TypeCheckResult.TypeCheckFailure(
+        s"expected a KLL sketch BINARY, got ${child.dataType.catalogString}")
+    } else TypeCheckResult.TypeCheckSuccess
+
+  /** Smallest value whose doubled cumulative weight ≥ n, over sorted
+    * (value, weight) pairs — the discrete inclusive median rule. */
+  private def inclusiveMedian(sorted: Array[(Double, Long)],
+                              n: Long): Double = {
+    var cum = 0L
+    var i = 0
+    while (i < sorted.length) {
+      cum += sorted(i)._2
+      if (cum * 2 >= n) return sorted(i)._1
+      i += 1
+    }
+    sorted.last._1
+  }
+
+  def read(bytes: Array[Byte]): Any = {
+    val sk = KllQuantiles.heapify(bytes)
+    if (sk.isEmpty) return null
+    val view = sk.getSortedView
+    val items = view.getQuantiles
+    val weights = view.getCumulativeWeights // cumulative, INCLUSIVE
+    val n = sk.getN
+    val pairs = new Array[(Double, Long)](items.length)
+    var prev = 0L
+    var i = 0
+    while (i < items.length) {
+      pairs(i) = (items(i), weights(i) - prev)
+      prev = weights(i)
+      i += 1
+    }
+    val med = inclusiveMedian(pairs, n)
+    val dev = pairs.map { case (v, w) => (math.abs(v - med), w) }
+      .sortBy(_._1)
+    val mad = inclusiveMedian(dev, n)
+    org.apache.spark.sql.catalyst.InternalRow(med, mad)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    read(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kllRobustStats", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |Object r = $ref.read($c);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (${classOf[InternalRow].getName}) r; }
+       """.stripMargin)
+  }
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(c: Expression): KllRobustStats =
+    copy(c)
+  override def prettyName: String = "graft_kll_robust_stats"
+}
+
 /** The sketch's retained-item count horizon: `n` as recorded by the
   * sketch itself — pairs with the quantiles for exact-regime checks. */
 case class KllSketchN(child: Expression) extends UnaryExpression {

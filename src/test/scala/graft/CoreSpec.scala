@@ -357,6 +357,57 @@ class CoreSpec extends SparkSpec {
     }
   }
 
+  test("robustStatsFromSketch: med/MAD read from the shared KLL state " +
+      "equals exact robustStats in the exact regime, merges, and " +
+      "degrades gracefully past the horizon") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the robustOutliers hand vector (1,2,3,4,100 → med 3, mad 1) next
+    // to a second group, split into two disjoint slices to exercise
+    // the day-N merge
+    val s1 = Seq((1L, "x", 1.0), (2L, "x", 2.0), (3L, "x", 3.0),
+      (6L, "y", 7.0)).toDF("id", "key", "v")
+    val s2 = Seq((4L, "x", 4.0), (5L, "x", 100.0), (7L, "y", 9.0))
+      .toDF("id", "key", "v")
+    val both = s1.unionByName(s2)
+    val exact = graft.core.Stats.robustStats(both, "key", "v")
+      .as[(String, Double, Double)].collect().sortBy(_._1).toSeq
+    val viaSketch = graft.core.Stats.robustStatsFromSketch(
+        graft.core.Stats.rankStatsApprox(both, "v", "key", k = 64), "key")
+      .as[(String, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(viaSketch == exact, s"sketch read diverged: $viaSketch vs $exact")
+    assert(viaSketch == Seq(("x", 3.0, 1.0), ("y", 7.0, 0.0)), viaSketch)
+    // merged day-N state reads identically (exact regime: merge keeps
+    // every item)
+    val merged = graft.core.Stats.extendRankStats(
+      graft.core.Stats.rankStatsApprox(s1, "v", "key", k = 64), s2, "v",
+      "key", k = 64)
+    val viaMerged = graft.core.Stats.robustStatsFromSketch(merged, "key")
+      .as[(String, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(viaMerged == exact, s"merged-state read diverged: $viaMerged")
+    // the full serve path: flags equal the exact incremental screen
+    val batch = Seq((10L, "x", 3.5), (11L, "x", 50.0), (12L, "y", 7.0))
+      .toDF("id", "key", "v")
+    val viaExact = graft.core.Stats.robustOutliersAgainst(batch,
+        graft.core.Stats.robustStats(both, "key", "v"), "key", "v")
+      .select("id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    val viaState = graft.core.Stats.robustOutliersAgainst(batch,
+        graft.core.Stats.robustStatsFromSketch(merged, "key"), "key", "v")
+      .select("id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(viaState == viaExact && viaState ==
+      Map(10L -> false, 11L -> true, 12L -> false), viaState.toString)
+    // past the exactness horizon (n ≫ k): still a sane robust pair —
+    // the approximate regime is the design, not a failure
+    val big = spark.range(10000).select(lit("z").as("key"),
+      (col("id") % 1000).cast("double").as("v"))
+    val approx = graft.core.Stats.robustStatsFromSketch(
+        graft.core.Stats.rankStatsApprox(big, "v", "key", k = 64), "key")
+      .as[(String, Double, Double)].head()
+    assert(math.abs(approx._2 - 499.5) < 100 &&
+      math.abs(approx._3 - 249.5) < 100,
+      s"approximate med/mad far off: $approx")
+  }
+
   test("robustOutliers: a NULL group key is a group like any other — " +
       "rows keep flowing with their own median/MAD") {
     import org.apache.spark.sql.functions._
