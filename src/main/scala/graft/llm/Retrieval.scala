@@ -381,17 +381,22 @@ object Retrieval {
                         queryTextCol: String = "query_text"): Bm25Maintenance = {
     val merged = mergeBm25Indexes(Seq(index,
       bm25Index(batch, idCol, textCol)))
+    // persisted: the gate's collect executes the full audit plan (two
+    // serves + the agreement joins — it pays a rebuild by design), and
+    // the caller consumes the SAME frame; without the persist the
+    // audit runs twice per cycle. |queries| rows: bounded, deliberate.
     val cert = certifyBm25Index(merged, docs, queries, k, k1, b,
-      idCol, textCol, queryIdCol, queryTextCol)
+      idCol, textCol, queryIdCol, queryTextCol).persist()
     val allGreen = cert.agg(
       coalesce(min(col("certified")), lit(true)).as("ok"))
       .head().getBoolean(0)
     if (allGreen) Bm25Maintenance(merged, cert, rebuilt = false)
     else {
+      cert.unpersist()
       val regenerated = bm25Index(docs, idCol, textCol)
       Bm25Maintenance(regenerated,
         certifyBm25Index(regenerated, docs, queries, k, k1, b,
-          idCol, textCol, queryIdCol, queryTextCol),
+          idCol, textCol, queryIdCol, queryTextCol).persist(),
         rebuilt = true)
     }
   }

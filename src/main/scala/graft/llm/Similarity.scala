@@ -1474,8 +1474,13 @@ object Similarity {
     val spark = index.vectors.sparkSession
     import spark.implicits._
     val extended = extendVectorIndex(index, batch, idCol, vecCol)
+    // persisted: the gate's collect below executes the full certify
+    // plan (serve + truth + metrics), and the caller consumes the
+    // SAME frame — without the persist the audit runs twice per
+    // cycle. |sample| rows: bounded, deliberate, never unpersisted
+    // (re-certification builds a new frame each cycle).
     val cert = certifyVectorIndex(extended, k, nprobe, sampleN, strategy,
-      rerank)
+      rerank).persist()
     val extRecall = avgRecall(cert)
     if (extRecall >= minRecall)
       VectorMaintenance(extended, cert, rebuilt = false, extRecall,
@@ -1491,7 +1496,8 @@ object Similarity {
       val regenerated = buildVectorIndex(corpus, nlist, m, codebookSize,
         iters, trainIters, idCol, vecCol, trainOn)
       val recert = certifyVectorIndex(regenerated, k, nprobe, sampleN,
-        strategy, rerank)
+        strategy, rerank).persist()
+      cert.unpersist()
       VectorMaintenance(regenerated, recert, rebuilt = true, extRecall,
         avgRecall(recert))
     }
