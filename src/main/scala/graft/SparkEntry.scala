@@ -1179,6 +1179,29 @@ object SparkEntry {
         .select("event_id", "event_type", "value", "pct")
     }),
 
+    "ev_rank_normalize_sketch_stream" -> ((s, dir) => {
+      // the sketch-served rank normalizer on a LIVE stream: the serve
+      // is one stream-static join + the compiled rank kernel — no
+      // state, no watermark — so the batch operator runs unchanged on
+      // a readStream frame (the ev_rank_normalize_stream symmetry for
+      // the continuous-domain path); twin shared with the inline and
+      // persisted serves verbatim
+      val ev = t(s, dir, "events")
+      val stats = graft.core.Stats.rankStatsApprox(
+        ev.filter(col("event_id") % 2 === 0), "value", "event_type",
+        k = 16384)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val arrivals = streamTable(s, dir, "events",
+          s.read.parquet(s"$dir/events.parquet").schema)
+        .select("event_id", "event_type", "value")
+        .filter(col("event_id") % 2 === 1)
+      drainStream(
+        graft.core.Stats.rankNormalizeSketch(arrivals, stats, "value",
+            "event_type")
+          .select("event_id", "event_type", "value", "pct"),
+        "graft_rank_sketch_stream")
+    }),
+
     "ev_anomaly_sketch" -> ((s, dir) => {
       // the anomaly screen served from the SAME bounded sketch state as
       // the rank normalizer: med/MAD read out of the per-type KLL
@@ -4574,6 +4597,7 @@ object SparkEntry {
     "ev_rank_normalize_sketch" -> EvRankNormalizeSketchOracle,
     "ev_rank_normalize_sketch_served" -> EvRankNormalizeSketchOracle,
     "ev_rank_normalize_sketch_merged" -> EvRankNormalizeSketchOracle,
+    "ev_rank_normalize_sketch_stream" -> EvRankNormalizeSketchOracle,
 
     "ev_funnel" -> EvFunnelOracle,
     // the funnel's steady state under the SAME twin: state + chase ≡
