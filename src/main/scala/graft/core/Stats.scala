@@ -400,29 +400,57 @@ object Stats {
       .select(col(keyCol), col("__rs.med").as("med"),
         col("__rs.mad").as("mad"))
 
+  /** Explode a [[rankStatsApprox]] sketch frame into its per-group
+    * sorted CDF view — `(<__k>, __items, __cumw, __sn)`: the SERVING
+    * form of the baseline. Computed once per group row (O(groups ·
+    * retained) total, bounded), it is what [[rankNormalizeSketch]]
+    * actually joins: every probe then binary-searches the arrays in
+    * place instead of re-deserializing the sketch binary per row —
+    * the difference between O(rows · retained) and O(rows · log
+    * retained) serve cost, which is the difference between a serve
+    * that survives 100 TB and one that does not. Persist THIS frame
+    * when a baseline is trained rarely and served hot (it parquets as
+    * plain arrays); persist the sketch frame when it must keep
+    * merging ([[extendRankStats]] needs the binaries). Empty-sketch
+    * groups carry null arrays (their probes get null pct — rank
+    * against nothing is undefined). */
+  def sketchCdf(stats: DataFrame): DataFrame =
+    stats.select(col("__k"), graft.expressions.GraftExpressions
+        .kllCdf(col("__sketch")).as("__cdf"))
+      .select(col("__k"), col("__cdf.items").as("__items"),
+        col("__cdf.cumw").as("__cumw"), col("__cdf.n").as("__sn"))
+
   /** Normalize rows against PRE-COMPUTED (possibly parquet-reloaded)
     * [[rankStatsApprox]] sketches — the continuous-domain serving
     * path: one scan + one |groups|-row join (AQE broadcasts bounded
-    * group domains), then the compiled [[graft.expressions.KllRankValue]]
-    * kernel reads `pct = #{ref ≤ v}/n` per row. EVERY in-group probe
-    * gets a rank — out-of-reference values interpolate into the CDF
-    * (below-domain 0.0, above-domain 1.0) instead of dropping, the
-    * property the exact path cannot offer on a drifting domain. Rows
-    * whose GROUP has no sketch are dropped (no baseline exists at
-    * all — the [[robustOutliersAgainst]] contract). Stateless and
-    * stream-static: runs unchanged on a readStream frame. In the
-    * sketch's exact regime the output is bit-equal to the exact
-    * inclusive CDF (oracled); past it, ranks carry the documented
-    * ~1.65/√k error. */
+    * group domains), then the compiled
+    * [[graft.expressions.SortedCdfRank]] kernel reads
+    * `pct = #{ref ≤ v}/n` per row by binary search over the group's
+    * [[sketchCdf]] view — O(log retained) per probe, no per-row
+    * deserialization, inside whole-stage codegen (the view is exploded
+    * once per GROUP on the bounded stats side, never per row). EVERY
+    * in-group probe gets a rank — out-of-reference values interpolate
+    * into the CDF (below-domain 0.0, above-domain 1.0) instead of
+    * dropping, the property the exact path cannot offer on a drifting
+    * domain. Rows whose GROUP has no sketch are dropped (no baseline
+    * exists at all — the [[robustOutliersAgainst]] contract).
+    * Stateless and stream-static: runs unchanged on a readStream
+    * frame. Accepts either the sketch frame or an already-exploded
+    * [[sketchCdf]] frame. In the sketch's exact regime the output is
+    * bit-equal to the exact inclusive CDF (oracled); past it, ranks
+    * carry the documented ~1.65/√k error. */
   def rankNormalizeSketch(df: DataFrame, stats: DataFrame,
                           valueCol: String,
                           keyCol: String = null): DataFrame = {
     val rows = df.filter(col(valueCol).isNotNull)
     val gk = Option(keyCol).map(col).getOrElse(lit(0))
-    rows.join(stats, gk <=> col("__k"))
+    val cdf = if (stats.columns.contains("__items")) stats
+              else sketchCdf(stats)
+    rows.join(cdf, gk <=> col("__k"))
       .withColumn("pct", graft.expressions.GraftExpressions
-        .kllRank(col("__sketch"), col(valueCol)))
-      .drop("__k", "__sketch", "__n")
+        .cdfRank(col("__items"), col("__cumw"), col("__sn"),
+          col(valueCol)))
+      .drop("__k", "__items", "__cumw", "__sn")
   }
 
   def catalog(documents: DataFrame): DataFrame =

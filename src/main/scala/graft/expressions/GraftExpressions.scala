@@ -879,6 +879,20 @@ object GraftExpressions {
   def kllRobustStats(sketch: Column): Column =
     toCol(KllRobustStats(expr(sketch)))
 
+  /** Explode a KLL sketch binary into its sorted CDF view —
+    * `struct<items array<double>, cumw array<bigint>, n bigint>`:
+    * the train→serve split for rank serving (compute once per group,
+    * binary-search per probe); see [[KllCdfView]]. */
+  def kllCdf(sketch: Column): Column = toCol(KllCdfView(expr(sketch)))
+
+  /** Normalized INCLUSIVE rank of a probe against a [[kllCdf]] view —
+    * in-place binary search, O(log retained) per row, bit-equal to
+    * [[kllRank]] on the originating sketch; see [[SortedCdfRank]]. */
+  def cdfRank(items: Column, cumw: Column, n: Column,
+              value: Column): Column =
+    toCol(SortedCdfRank(expr(items), expr(cumw), expr(n),
+      expr(value.cast("double"))))
+
   /** Bloom membership sketch aggregate over a LONG key column → filter
     * binary. Geometry (bits, hash count) derives deterministically from
     * (expectedKeys, fpp) via the standard m = −n·ln p / ln²2 formula, so

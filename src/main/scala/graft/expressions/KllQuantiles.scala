@@ -7,7 +7,7 @@ import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -31,6 +31,27 @@ import org.apache.spark.sql.types._
 object KllQuantiles {
   def heapify(bytes: Array[Byte]): KllDoublesSketch =
     KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  /** Normalized INCLUSIVE rank of `v` against a pre-exploded sorted CDF
+    * view — the serving half of [[KllCdfView]]: rightmost retained item
+    * ≤ v by binary search, its cumulative weight over n (the identical
+    * arithmetic Datasketches' `getRank(v, INCLUSIVE)` performs on the
+    * same sorted view, so the two reads are bit-equal). Reads the
+    * [[ArrayData]] accessors in place — no per-row copy, no per-row
+    * sketch deserialization: O(log retained) per probe. Called from
+    * generated code ([[SortedCdfRank]]). */
+  def cdfRank(items: ArrayData, cumw: ArrayData, n: Long,
+              v: Double): Double = {
+    var lo = 0
+    var hi = items.numElements() - 1
+    var idx = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (items.getDouble(mid) <= v) { idx = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    if (idx < 0) 0.0 else cumw.getLong(idx).toDouble / n
+  }
 }
 
 /** Aggregate double values into one KLL sketch binary (`k` controls
@@ -233,6 +254,116 @@ case class KllRankValue(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): KllRankValue =
     copy(newLeft, newRight)
   override def prettyName: String = "graft_kll_rank"
+}
+
+/** Explode a KLL sketch binary into its sorted CDF view —
+  * `struct<items array<double>, cumw array<bigint>, n bigint>`: the
+  * retained items ascending, their INCLUSIVE cumulative weights, and
+  * the sketched population count, exactly as Datasketches'
+  * `getSortedView` reports them. This is the TRAIN→SERVE split for
+  * rank serving at scale: [[KllRankValue]] re-heapifies the whole
+  * binary for EVERY probe row — O(retained) work and a fresh
+  * allocation per row, which turns a 100 TB serve into
+  * O(rows · retained) — whereas this view is computed ONCE per group
+  * row on the bounded stats frame (O(groups · retained) total) and
+  * every probe then binary-searches it in place via [[SortedCdfRank]]
+  * (O(log retained)/row, zero per-row deserialization, inside
+  * whole-stage codegen). Same numbers, different plan shape: the rank
+  * read off this view is bit-equal to `getRank(v, INCLUSIVE)` on the
+  * binary (spec'd). Empty sketch → null (rank against nothing is
+  * undefined — the [[KllRankValue]] contract). */
+case class KllCdfView(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("items", ArrayType(DoubleType, containsNull = false),
+      nullable = false),
+    StructField("cumw", ArrayType(LongType, containsNull = false),
+      nullable = false),
+    StructField("n", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType) {
+      TypeCheckResult.TypeCheckFailure(
+        s"expected a KLL sketch BINARY, got ${child.dataType.catalogString}")
+    } else TypeCheckResult.TypeCheckSuccess
+
+  def read(bytes: Array[Byte]): Any = {
+    val sk = KllQuantiles.heapify(bytes)
+    if (sk.isEmpty) null
+    else {
+      val view = sk.getSortedView
+      InternalRow(new GenericArrayData(view.getQuantiles),
+        new GenericArrayData(view.getCumulativeWeights), sk.getN)
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    read(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kllCdfView", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |Object r = $ref.read($c);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (${classOf[InternalRow].getName}) r; }
+       """.stripMargin)
+  }
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(c: Expression): KllCdfView =
+    copy(c)
+  override def prettyName: String = "graft_kll_cdf"
+}
+
+/** Normalized INCLUSIVE rank of a DOUBLE probe against a [[KllCdfView]]
+  * sorted CDF — `#{x ≤ v}/n` by in-place binary search over the array
+  * columns: the HOT serving kernel behind
+  * [[graft.core.Stats.rankNormalizeSketch]]. Per row: O(log retained)
+  * comparisons against [[org.apache.spark.sql.catalyst.util.ArrayData]]
+  * accessors — no copy, no allocation, no sketch deserialization — so
+  * the serve cost is independent of sketch size for all practical
+  * purposes (14 probes into a 16k-item view). Bit-equal to
+  * Datasketches' `getRank(v, INCLUSIVE)` on the originating sketch:
+  * same rightmost-item-≤-v search, same cumulative-weight-over-n IEEE
+  * division (spec'd against [[KllRankValue]] on random data).
+  * Below-domain probes rank 0.0, above-domain 1.0 — every probe gets a
+  * DEFINED rank. Any null input (a null CDF = empty sketch) → null. */
+case class SortedCdfRank(first: Expression, second: Expression,
+                         third: Expression, fourth: Expression)
+  extends QuaternaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType != ArrayType(DoubleType, containsNull = false) &&
+        first.dataType != ArrayType(DoubleType, containsNull = true)) {
+      TypeCheckResult.TypeCheckFailure(
+        s"expected ARRAY<DOUBLE> items, got ${first.dataType.catalogString}")
+    } else if (!second.dataType.isInstanceOf[ArrayType] ||
+        second.dataType.asInstanceOf[ArrayType].elementType != LongType) {
+      TypeCheckResult.TypeCheckFailure(
+        s"expected ARRAY<BIGINT> cumulative weights, got " +
+          second.dataType.catalogString)
+    } else if (third.dataType != LongType) {
+      TypeCheckResult.TypeCheckFailure(
+        s"expected BIGINT n, got ${third.dataType.catalogString}")
+    } else if (fourth.dataType != DoubleType) {
+      TypeCheckResult.TypeCheckFailure(
+        s"expected DOUBLE probe, got ${fourth.dataType.catalogString} — " +
+          "cast the measure column explicitly")
+    } else TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(items: Any, cumw: Any, n: Any, v: Any): Any =
+    KllQuantiles.cdfRank(items.asInstanceOf[ArrayData],
+      cumw.asInstanceOf[ArrayData], n.asInstanceOf[Long],
+      v.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (items, cumw, n, v) =>
+      s"graft.expressions.KllQuantiles.cdfRank($items, $cumw, $n, $v)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression,
+      q: Expression): SortedCdfRank = copy(f, s, t, q)
+  override def prettyName: String = "graft_cdf_rank"
 }
 
 /** Discrete inclusive median AND median-absolute-deviation read from

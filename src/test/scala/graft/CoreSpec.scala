@@ -357,6 +357,53 @@ class CoreSpec extends SparkSpec {
     }
   }
 
+  test("sketchCdf serving: bit-equal to the per-row sketch read (past " +
+      "the compaction horizon too), and a pre-exploded CDF frame " +
+      "serves identically") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // deterministic pseudo-random doubles, n ≫ k so compaction HAS
+    // fired: the serve must still read the identical sorted view the
+    // binary would give — same search, same division, bit-for-bit
+    val ref = spark.range(5000).select(
+      (col("id") % 3).cast("string").as("key"),
+      (sin(col("id").cast("double")) * 1e6).as("v"))
+    // PIN the trained state: past the horizon the binary depends on
+    // partition-merge order, so both serves must read the SAME train
+    // artifact (exactly how production serves work — train once,
+    // persist, serve many)
+    val statsDir = java.nio.file.Files.createTempDirectory("graft-cdfeq")
+      .toString + "/stats"
+    graft.core.Stats.rankStatsApprox(ref, "v", "key", k = 64)
+      .write.parquet(statsDir)
+    val stats = spark.read.parquet(statsDir)
+    val probes = spark.range(400).select(col("id"),
+      (col("id") % 3).cast("string").as("key"),
+      (sin(col("id").cast("double") + 0.5) * 2e6).as("v"))
+    val viaCdf = graft.core.Stats.rankNormalizeSketch(probes, stats,
+        "v", "key")
+      .select("id", "pct").as[(Long, Double)].collect().toMap
+    // the reference read: join the binary and rank per row (the old
+    // serve shape — correct, just O(retained) per row)
+    val g = graft.expressions.GraftExpressions
+    val viaBinary = probes.join(stats, col("key") === col("__k"))
+      .select(col("id"), g.kllRank(col("__sketch"), col("v")).as("pct"))
+      .as[(Long, Double)].collect().toMap
+    assert(viaCdf == viaBinary,
+      s"CDF serve diverged from the binary read: " +
+        s"${viaCdf.toSeq.sortBy(_._1).take(5)} vs " +
+        s"${viaBinary.toSeq.sortBy(_._1).take(5)}")
+    // a persisted-then-reloaded CDF frame (plain arrays in parquet)
+    // serves identically — the hot-serve persistence form
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdf")
+      .toString + "/cdf"
+    graft.core.Stats.sketchCdf(stats).write.parquet(dir)
+    val viaDisk = graft.core.Stats.rankNormalizeSketch(probes,
+        spark.read.parquet(dir), "v", "key")
+      .select("id", "pct").as[(Long, Double)].collect().toMap
+    assert(viaDisk == viaCdf, "parquet-reloaded CDF frame diverged")
+  }
+
   test("robustStatsFromSketch: med/MAD read from the shared KLL state " +
       "equals exact robustStats in the exact regime, merges, and " +
       "degrades gracefully past the horizon") {
