@@ -1243,6 +1243,50 @@ object SparkEntry {
         .select("event_id", "event_type", "value", "pct")
     }),
 
+    "ev_bucketize_sketch" -> ((s, dir) => {
+      // equal-mass quantile buckets served from the SAME persisted KLL
+      // state as the rank normalizer: bucket = clamp(ceil(pct·8), 1, 8)
+      // over the inclusive sketch CDF — the lake-scale form of
+      // perplexity-bucket mixing (the exact NTILE alternative globally
+      // sorts the corpus per serve). The twin extends the shared rank
+      // twin's ASOF-join CDF with the identical clamp arithmetic, so
+      // the hash match proves the bucket boundaries agree bit-for-bit
+      val ev = t(s, dir, "events")
+      val stats = graft.core.Stats.rankStatsApprox(
+        ev.filter(col("event_id") % 2 === 0), "value", "event_type",
+        k = 16384)
+      graft.core.Stats.bucketizeSketch(
+          ev.filter(col("event_id") % 2 === 1), stats, "value",
+          "event_type", buckets = 8)
+        .select("event_id", "event_type", "value", "pct", "bucket")
+    }),
+
+    "ev_anomaly_sketch_stream" -> ((s, dir) => {
+      // the sketch-served anomaly screen on a LIVE stream: med/MAD
+      // read once from the bounded KLL state, then the same stateless
+      // stream-static flag join as ev_anomaly_stream — every serve in
+      // the shared-sketch-state family now has a streamed form. Twin =
+      // ev_anomaly_incremental's VERBATIM (the sketch read is exact in
+      // the no-compaction regime)
+      val ev = t(s, dir, "events")
+      val sketch = graft.core.Stats.rankStatsApprox(
+        ev.filter(col("event_id") % 2 === 0), "value", "event_type",
+        k = 16384)
+      val stats = graft.core.Stats.robustStatsFromSketch(sketch,
+        "event_type")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val arrivals = streamTable(s, dir, "events",
+          s.read.parquet(s"$dir/events.parquet").schema)
+        .select("event_id", "event_type", "value")
+        .filter(col("event_id") % 2 === 1)
+      drainStream(
+        graft.core.Stats.robustOutliersAgainst(arrivals, stats,
+            "event_type", "value", k = 3.0)
+          .select("event_id", "event_type", "value", "med", "mad",
+            "is_outlier"),
+        "graft_anomaly_sketch_stream")
+    }),
+
     "ev_anomaly_stream" -> ((s, dir) => {
       // the served screen on a LIVE stream: robustOutliersAgainst is a
       // stateless scan + stream-static join, so the batch serving
@@ -2897,6 +2941,30 @@ object SparkEntry {
       |FROM b ASOF LEFT JOIN p ON b.event_type = p.event_type
       |  AND b.value >= p.v""".stripMargin
 
+  // the bucketize twin: the rank twin's CDF read plus the identical
+  // clamp(ceil(pct·8), 1, 8) arithmetic — one double multiply, one
+  // ceil, two integer clamps in BOTH engines, so the bucket boundary
+  // assignment is bit-determined by the already-proven pct
+  private val EvBucketizeSketchOracle: String =
+    """WITH h AS (SELECT event_type, value AS v, count(*) AS c
+      |           FROM events WHERE value IS NOT NULL
+      |             AND event_id % 2 = 0 GROUP BY 1, 2),
+      |n AS (SELECT event_type, sum(c) AS n FROM h GROUP BY 1),
+      |p AS (SELECT event_type, v,
+      |        CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v)
+      |          AS DOUBLE) / n AS pct
+      |      FROM h JOIN n USING (event_type)),
+      |b AS (SELECT e.event_id, e.event_type, e.value
+      |      FROM events e JOIN (SELECT DISTINCT event_type FROM h) g
+      |        USING (event_type)
+      |      WHERE e.value IS NOT NULL AND e.event_id % 2 = 1)
+      |SELECT b.event_id, b.event_type, b.value,
+      |  coalesce(p.pct, 0.0) AS pct,
+      |  CAST(least(8, greatest(1,
+      |    ceil(coalesce(p.pct, 0.0) * 8))) AS BIGINT) AS bucket
+      |FROM b ASOF LEFT JOIN p ON b.event_type = p.event_type
+      |  AND b.value >= p.v""".stripMargin
+
   // the retention twin: same Monday-start week truncation (ISO in both
   // engines), integer offsets, ratio derived last — shared VERBATIM by
   // the one-shot AND the activity-frame incremental paths (the hash
@@ -4479,6 +4547,12 @@ object SparkEntry {
     // inclusive medians in the no-compaction regime — the shared twin
     // proves sketch-served ≡ exact-served
     "ev_anomaly_sketch" -> EvAnomalyIncrementalOracle,
+    // the sketch-served screen on a live stream: same twin again — the
+    // stream-static serve must reproduce the batch screen bit-for-bit
+    "ev_anomaly_sketch_stream" -> EvAnomalyIncrementalOracle,
+    // equal-mass buckets from the sketch CDF: the rank twin's ASOF
+    // read + the identical clamp arithmetic
+    "ev_bucketize_sketch" -> EvBucketizeSketchOracle,
 
     // same value-domain histogram + inclusive cum window, one exact
     // division per distinct value

@@ -453,6 +453,28 @@ object Stats {
       .drop("__k", "__items", "__cumw", "__sn")
   }
 
+  /** Equal-mass quantile-bucket assignment served from the SAME
+    * persisted [[rankStatsApprox]] state as the rank normalizer:
+    * `bucket = clamp(ceil(pct · B), 1, B)` over the inclusive sketch
+    * CDF — each bucket holds ~1/B of the REFERENCE mass, so bucketing
+    * a later batch measures drift as mass imbalance and bucket-mixing
+    * (take equal rows per bucket) flattens a skewed score
+    * distribution. This is the implemented lake-scale form of
+    * perplexity-bucket mixing: the exact NTILE alternative globally
+    * sorts the corpus per serve; this is the [[rankNormalizeSketch]]
+    * plan (bounded broadcast join + log-time kernel) plus one integer
+    * clamp, stream-static like its parent. Probes in groups without a
+    * baseline drop; empty-sketch groups carry null pct/bucket. Output
+    * = input + `pct` + `bucket` (1-based). */
+  def bucketizeSketch(df: DataFrame, stats: DataFrame, valueCol: String,
+                      keyCol: String = null,
+                      buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"buckets must be ≥ 1, got $buckets")
+    rankNormalizeSketch(df, stats, valueCol, keyCol)
+      .withColumn("bucket", least(lit(buckets.toLong),
+        greatest(lit(1L), ceil(col("pct") * buckets))))
+  }
+
   def catalog(documents: DataFrame): DataFrame =
     documents
       .groupBy("dataset")

@@ -404,6 +404,35 @@ class CoreSpec extends SparkSpec {
     assert(viaDisk == viaCdf, "parquet-reloaded CDF frame diverged")
   }
 
+  test("bucketizeSketch: equal-mass buckets off the shared KLL state — " +
+      "clamped edges, equal reference mass, groupless rows drop") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 100 uniform values → with B = 4 each bucket holds exactly 25 of
+    // the reference rows (the equal-mass contract in the exact regime)
+    val ref = spark.range(1, 101).select(lit("a").as("key"),
+      col("id").cast("double").as("v"))
+    val stats = graft.core.Stats.rankStatsApprox(ref, "v", "key", k = 256)
+    val refBuckets = graft.core.Stats.bucketizeSketch(ref, stats, "v",
+        "key", buckets = 4)
+      .groupBy("bucket").count().as[(Long, Long)].collect().toMap
+    assert(refBuckets == Map(1L -> 25, 2L -> 25, 3L -> 25, 4L -> 25),
+      s"reference mass not equal: $refBuckets")
+    // edges: below-domain → bucket 1 (pct 0 clamps), above-domain →
+    // bucket B (pct 1), boundary value 25 → pct .25 → ceil → bucket 1;
+    // a groupless probe drops
+    val probes = Seq((1L, "a", -5.0), (2L, "a", 1e9), (3L, "a", 25.0),
+      (4L, "zzz", 7.0)).toDF("id", "key", "v")
+    val got = graft.core.Stats.bucketizeSketch(probes, stats, "v",
+        "key", buckets = 4)
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1, 2L -> 4, 3L -> 1), s"edges wrong: $got")
+    intercept[IllegalArgumentException] {
+      graft.core.Stats.bucketizeSketch(probes, stats, "v", "key",
+        buckets = 0)
+    }
+  }
+
   test("robustStatsFromSketch: med/MAD read from the shared KLL state " +
       "equals exact robustStats in the exact regime, merges, and " +
       "degrades gracefully past the horizon") {
