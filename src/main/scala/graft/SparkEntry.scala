@@ -1261,6 +1261,44 @@ object SparkEntry {
         .select("event_id", "event_type", "value", "pct", "bucket")
     }),
 
+    "layout_zvalue" -> ((s, dir) => {
+      // the Morton lake-layout key itself, oracled: per-column min-max
+      // quantization (8 bits over each column's own observed domain)
+      // then bit interleave — IEEE double scaling + integer bit
+      // arithmetic both engines reproduce exactly, so the clustering
+      // key a 100 TB table would be laid out by is hash-checked
+      // bit-for-bit against an independent implementation
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      graft.core.Layout.zValue(ev.select("event_id", "value"),
+          Seq("value", "event_id"), bits = 8, zCol = "z")
+        .select("event_id", "z")
+    }),
+
+    "layout_zorder_scan" -> ((s, dir) => {
+      // layout invariance end-to-end: z-order-cluster the events, WRITE
+      // the layout to parquet, scan it back through a 2-D predicate box
+      // and aggregate — the twin runs the same box over the RAW table.
+      // The hash match proves the layout moves rows without changing
+      // them; the box predicate reaches the clustered parquet as pushed
+      // row-group filters (the pruning itself is spec'd in LayoutSpec)
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      val dirOut = java.nio.file.Files
+        .createTempDirectory("graft-zorder").toString + "/events"
+      graft.core.Layout.zorder(
+          ev.select("event_id", "event_type", "value"),
+          Seq("value", "event_id"), bits = 8, partitions = 8)
+        .write.parquet(dirOut)
+      s.read.parquet(dirOut)
+        .filter(col("value").between(20.0, 60.0) &&
+          col("event_id").between(2000L, 4000L))
+        .groupBy("event_type")
+        // decimal sum: order-independent across the reordered layout
+        // (a double sum's low bits depend on row order by design)
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    }),
+
     "ev_anomaly_sketch_stream" -> ((s, dir) => {
       // the sketch-served anomaly screen on a LIVE stream: med/MAD
       // read once from the bounded KLL state, then the same stateless
@@ -4553,6 +4591,40 @@ object SparkEntry {
     // equal-mass buckets from the sketch CDF: the rank twin's ASOF
     // read + the identical clamp arithmetic
     "ev_bucketize_sketch" -> EvBucketizeSketchOracle,
+
+    // the Morton layout key: identical min-max quantization (floor of
+    // the same IEEE scaling, clamped) and the bit interleave unrolled
+    // as a sum over bit positions — integer-exact in both engines
+    "layout_zvalue" ->
+      """WITH s AS (SELECT min(value) AS mn0, max(value) AS mx0,
+        |             min(CAST(event_id AS DOUBLE)) AS mn1,
+        |             max(CAST(event_id AS DOUBLE)) AS mx1
+        |           FROM events WHERE value IS NOT NULL),
+        |q AS (SELECT event_id,
+        |        CASE WHEN mx0 <= mn0 THEN 0 ELSE CAST(least(255,
+        |          greatest(0, floor((value - mn0)/(mx0 - mn0)*256)))
+        |          AS BIGINT) END AS q0,
+        |        CASE WHEN mx1 <= mn1 THEN 0 ELSE CAST(least(255,
+        |          greatest(0, floor((CAST(event_id AS DOUBLE) - mn1)
+        |            /(mx1 - mn1)*256))) AS BIGINT) END AS q1
+        |      FROM events, s WHERE value IS NOT NULL)
+        |SELECT event_id,
+        |  CAST(sum(((q0 >> b) & 1) * (CAST(1 AS BIGINT) << (2*b + 1)) +
+        |           ((q1 >> b) & 1) * (CAST(1 AS BIGINT) << (2*b)))
+        |    AS BIGINT) AS z
+        |FROM q, range(0, 8) t(b)
+        |GROUP BY event_id""".stripMargin,
+
+    // layout invariance: the raw-table box aggregate — the engine side
+    // answers off its z-ordered parquet layout; matching hashes prove
+    // the layout changes placement, not content
+    "layout_zorder_scan" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE value IS NOT NULL AND value BETWEEN 20.0 AND 60.0
+        |  AND event_id BETWEEN 2000 AND 4000
+        |GROUP BY event_type""".stripMargin,
 
     // same value-domain histogram + inclusive cum window, one exact
     // division per distinct value

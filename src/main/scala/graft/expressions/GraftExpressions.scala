@@ -893,6 +893,12 @@ object GraftExpressions {
     toCol(SortedCdfRank(expr(items), expr(cumw), expr(n),
       expr(value.cast("double"))))
 
+  /** Morton (Z-order) bit-interleave of k quantized BIGINT cells —
+    * the multi-dimensional lake-layout key; see [[InterleaveBits]]
+    * and [[graft.core.Layout]]. */
+  def interleaveBits(cells: Seq[Column], bits: Int): Column =
+    toCol(InterleaveBits(cells.map(expr), bits))
+
   /** Bloom membership sketch aggregate over a LONG key column → filter
     * binary. Geometry (bits, hash count) derives deterministically from
     * (expectedKeys, fpp) via the standard m = −n·ln p / ln²2 formula, so

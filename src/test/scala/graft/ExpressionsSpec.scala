@@ -315,6 +315,19 @@ class ExpressionsSpec extends SparkSpec {
       } yield (s, i.toLong, sv.slice(s * (pqDim / 4), (s + 1) * (pqDim / 4)): Seq[Double])
       codegenLine(embD.select(
         GraftExpressions.pqAssign($"v", pqBooks).as("codes")), "graft_pq_assign")
+      // the lake-layout Morton key: inline integer bit arithmetic
+      codegenLine(docs.select(GraftExpressions.interleaveBits(
+        Seq($"doc_id", ($"doc_id" * 7L) % 100L), 8).as("z")),
+        "graft_interleave_bits")
+      // the CDF rank serve: explode once, binary-search per row
+      val sk = docs.agg(GraftExpressions.kllSketch(
+        org.apache.spark.sql.functions.length($"text").cast("double"),
+        64).as("s"))
+      codegenLine(docs.crossJoin(org.apache.spark.sql.functions
+          .broadcast(sk.select(GraftExpressions.kllCdf($"s").as("c"))))
+        .select(GraftExpressions.cdfRank($"c.items", $"c.cumw", $"c.n",
+          org.apache.spark.sql.functions.lit(5.0)).as("r")),
+        "graft_cdf_rank")
       // the generator: the Generate node itself carries the codegen star
       // (CollectionGenerator path — same machinery as explode/inline)
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Z-order lake layout: Morton key arithmetic, content invariance, and
+  * the actual pruning property — fewer files intersect a
+  * multi-dimensional predicate box than under a single-column sort. */
+class LayoutSpec extends SparkSpec {
+
+  test("interleaveBits: hand vector, null propagation, geometry guards") {
+    import spark.implicits._
+    val g = graft.expressions.GraftExpressions
+    // q0 = 0b10, q1 = 0b01, 2 bits → MSB round-robin: (1,0),(0,1) = 0b1001
+    val df = Seq((2L, 1L)).toDF("a", "b")
+    assert(df.select(g.interleaveBits(Seq(col("a"), col("b")), 2))
+      .as[Long].head() == 9L)
+    // identity: one column, its own bits
+    assert(df.select(g.interleaveBits(Seq(col("a")), 2))
+      .as[Long].head() == 2L)
+    // null propagates
+    val withNull = Seq((Some(2L), Option.empty[Long])).toDF("a", "b")
+    assert(withNull.select(g.interleaveBits(Seq(col("a"), col("b")), 2))
+      .as[Option[Long]].head().isEmpty)
+    // geometry guards: k·bits over 63, empty column list
+    intercept[IllegalArgumentException] {
+      g.interleaveBits(Seq(col("a"), col("b")), 32)
+    }
+    intercept[IllegalArgumentException] {
+      g.interleaveBits(Seq.empty, 8)
+    }
+  }
+
+  test("zValue: min-max cells, nulls and constant columns to cell 0, " +
+      "monotone in each dimension") {
+    import spark.implicits._
+    val df = Seq((0.0, 10L), (50.0, 20L), (100.0, 30L))
+      .toDF("x", "y")
+    val z = graft.core.Layout.zValue(df, Seq("x", "y"), bits = 2)
+      .select("x", "__z").as[(Double, Long)].collect().toMap
+    // x: domain [0,100] → cells 0, 2, 3 (max clamps into the top cell);
+    // y: domain [10,30] → cells 0, 2, 3; interleaved pairwise
+    assert(z(0.0) == 0L && z(100.0) == 15L, z.toString)
+    // a null measure lands in cell 0, not dropped, not null
+    val withNull = Seq((Some(1.0), 1L), (None, 2L)).toDF("x", "y")
+    val zs = graft.core.Layout.zValue(withNull, Seq("x", "y"), bits = 2)
+      .select("__z").as[Long].collect()
+    assert(zs.length == 2 && zs.forall(_ >= 0L))
+    // constant column: degenerate domain → cell 0 for every row
+    val const = Seq((7.0, 1L), (7.0, 2L)).toDF("x", "y")
+    assert(graft.core.Layout.zValue(const, Seq("x"), bits = 4)
+      .select("__z").as[Long].collect().forall(_ == 0L))
+  }
+
+  test("zorder: content invariant, and a 2-D box intersects strictly " +
+      "fewer files than under a single-column sort") {
+    import spark.implicits._
+    // 200×200 uniform grid — the layout's home turf
+    val grid = spark.range(40000).select(
+      (col("id") % 200).cast("double").as("x"),
+      (col("id") / 200).cast("double").as("y"))
+    // content invariance: the layout moves rows, never changes them
+    val zed = graft.core.Layout.zorder(grid, Seq("x", "y"), bits = 8,
+      partitions = 64)
+    assert(zed.exceptAll(grid).isEmpty && grid.exceptAll(zed).isEmpty,
+      "zorder changed the data")
+    assert(zed.columns.toSeq == Seq("x", "y"), "key column leaked")
+
+    // write both layouts, read per-file bounding boxes
+    def filesIntersecting(df: org.apache.spark.sql.DataFrame): Long = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-layout")
+        .toString + "/t"
+      df.write.parquet(dir)
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min("x").as("mnx"), max("x").as("mxx"),
+          min("y").as("mny"), max("y").as("mxy"))
+        // the 2-D predicate box: 20×20 of a 200×200 domain (1% mass)
+        .filter(col("mnx") <= 60 && col("mxx") >= 40 &&
+          col("mny") <= 60 && col("mxy") >= 40)
+        .count()
+    }
+    val zFiles = filesIntersecting(
+      graft.core.Layout.zorder(grid, Seq("x", "y"), bits = 8,
+        partitions = 64))
+    val linearFiles = filesIntersecting(
+      grid.repartitionByRange(64, col("x")).sortWithinPartitions("x"))
+    assert(zFiles < linearFiles,
+      s"z-order pruning no better than linear: $zFiles vs $linearFiles " +
+        "files intersect the box")
+    // and the absolute number is small: the box covers ~1% of the
+    // space, so far fewer than half the 64 files may intersect
+    assert(zFiles <= 16, s"z-order boxes too loose: $zFiles of 64")
+  }
+}
