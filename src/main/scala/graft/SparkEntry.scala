@@ -1299,6 +1299,31 @@ object SparkEntry {
             .as("sum_value"))
     }),
 
+    "layout_pruned_scan" -> ((s, dir) => {
+      // the manifest-driven scan: write the z-ordered layout + its
+      // per-file min/max manifest, resolve the 2-D box against the
+      // MANIFEST (a file-count-sized read), read only the kept files,
+      // re-apply the predicate — twin shared VERBATIM with
+      // layout_zorder_scan, so the hash match proves manifest-pruned ≡
+      // full scan ≡ raw table (the skip rate itself is spec'd)
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      val dirOut = java.nio.file.Files
+        .createTempDirectory("graft-zpruned").toString + "/events"
+      graft.core.Layout.zorder(
+          ev.select("event_id", "event_type", "value"),
+          Seq("value", "event_id"), bits = 8, partitions = 8)
+        .write.parquet(dirOut)
+      graft.core.Layout.writeManifest(s, dirOut,
+        Seq("value", "event_id"))
+      graft.core.Layout.prunedScan(s, dirOut,
+          Seq(("value", lit(20.0), lit(60.0)),
+            ("event_id", lit(2000L), lit(4000L))))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    }),
+
     "ev_anomaly_sketch_stream" -> ((s, dir) => {
       // the sketch-served anomaly screen on a LIVE stream: med/MAD
       // read once from the bounded KLL state, then the same stateless
@@ -2979,6 +3004,21 @@ object SparkEntry {
       |FROM b ASOF LEFT JOIN p ON b.event_type = p.event_type
       |  AND b.value >= p.v""".stripMargin
 
+  // the layout-invariance twin: the raw-table 2-D box aggregate.
+  // Shared VERBATIM by layout_zorder_scan (answers off the z-ordered
+  // parquet layout) and layout_pruned_scan (answers off the
+  // manifest-pruned file subset of that layout): the hash matches
+  // prove relayout and file skipping change placement, never content.
+  // Sums ride DECIMAL then cast — a double sum's low bits depend on
+  // row order, which is exactly what a relayout changes
+  private val LayoutBoxScanOracle: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE value IS NOT NULL AND value BETWEEN 20.0 AND 60.0
+      |  AND event_id BETWEEN 2000 AND 4000
+      |GROUP BY event_type""".stripMargin
+
   // the bucketize twin: the rank twin's CDF read plus the identical
   // clamp(ceil(pct·8), 1, 8) arithmetic — one double multiply, one
   // ceil, two integer clamps in BOTH engines, so the bucket boundary
@@ -4618,13 +4658,10 @@ object SparkEntry {
     // layout invariance: the raw-table box aggregate — the engine side
     // answers off its z-ordered parquet layout; matching hashes prove
     // the layout changes placement, not content
-    "layout_zorder_scan" ->
-      """SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events
-        |WHERE value IS NOT NULL AND value BETWEEN 20.0 AND 60.0
-        |  AND event_id BETWEEN 2000 AND 4000
-        |GROUP BY event_type""".stripMargin,
+    "layout_zorder_scan" -> LayoutBoxScanOracle,
+    // the manifest-pruned scan shares the SAME twin verbatim: pruned ≡
+    // full ≡ raw — file skipping is a performance structure only
+    "layout_pruned_scan" -> LayoutBoxScanOracle,
 
     // same value-domain histogram + inclusive cum window, one exact
     // division per distinct value

@@ -91,4 +91,52 @@ class LayoutSpec extends SparkSpec {
     // space, so far fewer than half the 64 files may intersect
     assert(zFiles <= 16, s"z-order boxes too loose: $zFiles of 64")
   }
+
+  test("manifest + prunedScan: skips most files on a z-ordered layout, " +
+      "equals the full scan exactly, survives all-null and empty-box " +
+      "edges") {
+    import spark.implicits._
+    val grid = spark.range(40000).select(
+      (col("id") % 200).cast("double").as("x"),
+      (col("id") / 200).cast("double").as("y"),
+      col("id").as("payload"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest")
+      .toString + "/t"
+    graft.core.Layout.zorder(grid, Seq("x", "y"), bits = 8,
+      partitions = 64).write.parquet(dir)
+    val mPath = graft.core.Layout.writeManifest(spark, dir, Seq("x", "y"))
+    val manifest = spark.read.parquet(mPath)
+    assert(manifest.count() == 64 &&
+      manifest.agg(sum("__rows")).as[Long].head() == 40000)
+    // the box: 20×20 of 200×200 (1% mass) — pruning earns > 3/4 skipped
+    val box = Seq(("x", lit(40.0), lit(60.0)), ("y", lit(40.0), lit(60.0)))
+    val kept = graft.core.Layout.pruneFiles(manifest, box).count()
+    assert(kept < 16, s"pruned scan kept $kept of 64 files")
+    // exactness: pruned ≡ full-scan filter, bit-for-bit
+    val pruned = graft.core.Layout.prunedScan(spark, dir, box)
+    val full = spark.read.parquet(dir)
+      .filter(col("x").between(40.0, 60.0) && col("y").between(40.0, 60.0))
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty,
+      "pruned scan diverged from the full scan")
+    // y = id/200 is FRACTIONAL, so y ∈ [40,60] spans ids [8000,12000]:
+    // 20 full x-centuries × 21 in-box x values (id 12000 has x = 0)
+    assert(pruned.count() == 20L * 21L, "box row count wrong")
+    // a box nothing satisfies → empty frame, full schema, no crash
+    val none = graft.core.Layout.prunedScan(spark, dir,
+      Seq(("x", lit(1e9), lit(2e9))))
+    assert(none.count() == 0 && none.columns.toSeq ==
+      Seq("x", "y", "payload"))
+    // an all-null stats column prunes soundly: BETWEEN never matches
+    // nulls, so the all-null file is skippable, and the scan result
+    // (empty) still equals the full-scan filter
+    val withNull = Seq((Option.empty[Double], 1L), (None, 2L))
+      .toDF("x", "payload")
+    val nDir = java.nio.file.Files.createTempDirectory("graft-mnull")
+      .toString + "/t"
+    withNull.coalesce(1).write.parquet(nDir)
+    graft.core.Layout.writeManifest(spark, nDir, Seq("x"))
+    val nScan = graft.core.Layout.prunedScan(spark, nDir,
+      Seq(("x", lit(0.0), lit(10.0))))
+    assert(nScan.count() == 0)
+  }
 }
