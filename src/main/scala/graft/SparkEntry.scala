@@ -1324,6 +1324,34 @@ object SparkEntry {
             .as("sum_value"))
     }),
 
+    "layout_maintain" -> ((s, dir) => {
+      // the layout's certify→regenerate loop end-to-end: lay out the
+      // even-id half, append the odd-id batch (second generation —
+      // manifest-read point cost ~2), maintain with a 1.5 threshold so
+      // the rebuild FIRES (one-generation layout again), then answer
+      // the box aggregate off the manifest-pruned scan. Twin shared
+      // VERBATIM with layout_zorder_scan/_pruned_scan: append +
+      // rebuild + prune ≡ the raw table
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-zmaint").toString + "/events"
+      graft.core.Layout.zorder(ev.filter(col("event_id") % 2 === 0),
+          Seq("value", "event_id"), bits = 8, partitions = 8)
+        .write.parquet(root)
+      graft.core.Layout.writeManifest(s, root, Seq("value", "event_id"))
+      graft.core.Layout.maintainLayout(s, root,
+        ev.filter(col("event_id") % 2 === 1), Seq("value", "event_id"),
+        bits = 8, partitions = 8, maxPointCost = 1.5)
+      graft.core.Layout.prunedScan(s, root,
+          Seq(("value", lit(20.0), lit(60.0)),
+            ("event_id", lit(2000L), lit(4000L))))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    }),
+
     "ev_anomaly_sketch_stream" -> ((s, dir) => {
       // the sketch-served anomaly screen on a LIVE stream: med/MAD
       // read once from the bounded KLL state, then the same stateless
@@ -4662,6 +4690,9 @@ object SparkEntry {
     // the manifest-pruned scan shares the SAME twin verbatim: pruned ≡
     // full ≡ raw — file skipping is a performance structure only
     "layout_pruned_scan" -> LayoutBoxScanOracle,
+    // append → health-triggered rebuild → pruned scan, same twin: the
+    // maintenance loop changes placement generations, never content
+    "layout_maintain" -> LayoutBoxScanOracle,
 
     // same value-domain histogram + inclusive cum window, one exact
     // division per distinct value

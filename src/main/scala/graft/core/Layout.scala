@@ -138,6 +138,108 @@ object Layout {
     else spark.read.schema(full.schema).parquet(kept: _*).filter(pred)
   }
 
+  /** Clustering health of a laid-out table, read from its manifest
+    * alone (never the data): `pointCost` is the expected number of
+    * files a uniformly-placed POINT predicate touches — the sum over
+    * files of each file's normalized box volume (Π per-column
+    * width / global domain width). A fresh [[zorder]] layout tiles the
+    * space once: cost is a small constant regardless of file count
+    * (~1.3–1.8 in practice — equal-frequency curve slices aren't
+    * quad-aligned, so boxes overlap modestly; never anywhere near the
+    * file count). Every appended batch tiles the space AGAIN with its
+    * own files, adding ≈ one fresh-layout cost — so the measure
+    * counts, in expectation, how many generations of files every scan
+    * must touch, which is exactly the degradation appends cause and a
+    * re-layout repairs. All-null-stat files contribute nothing (a
+    * range predicate can never touch them); a degenerate global domain
+    * counts each file as spanning it. Manifest-sized arithmetic. */
+  final case class LayoutHealth(files: Long, pointCost: Double)
+
+  def layoutHealth(manifest: DataFrame, cols: Seq[String]): LayoutHealth = {
+    require(cols.nonEmpty, "layoutHealth needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(s"__min_$c").cast("double")).as(s"__lo_$c"),
+      max(col(s"__max_$c").cast("double")).as(s"__hi_$c")))
+    val domain = manifest.agg(aggs.head, aggs.tail: _*)
+    val vol = cols.map { c =>
+      when(col(s"__hi_$c") <= col(s"__lo_$c"), lit(1.0))
+        .otherwise((col(s"__max_$c").cast("double") -
+          col(s"__min_$c").cast("double")) /
+          (col(s"__hi_$c") - col(s"__lo_$c")))
+    }.reduce(_ * _)
+    val row = manifest.crossJoin(broadcast(domain))
+      .agg(count(lit(1)), coalesce(sum(vol), lit(0.0))).head()
+    LayoutHealth(row.getLong(0), row.getDouble(1))
+  }
+
+  private def dataFiles(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).toSet
+  }
+
+  /** Append a new batch to an existing layout WITHOUT touching the
+    * resident data: the batch is z-ordered over its own observed
+    * domain (each new file still covers a tight box — cross-batch key
+    * compatibility is irrelevant, per-file min/max is what prunes),
+    * written alongside, and the manifest extended with JUST the new
+    * files' stats (manifest dirs are append-friendly parquet). The
+    * incremental cost is one pass over the BATCH — the 100 TB history
+    * is never rescanned. Appends degrade [[layoutHealth]] by ≈ 1 per
+    * batch (each generation tiles the space again);
+    * [[maintainLayout]] is the measured repair loop. */
+  def appendZordered(spark: org.apache.spark.sql.SparkSession,
+                     path: String, batch: DataFrame, cols: Seq[String],
+                     bits: Int = 12, partitions: Int = 0): Unit = {
+    val before = dataFiles(spark, path)
+    zorder(batch, cols, bits, partitions)
+      .write.mode("append").parquet(path)
+    val fresh = (dataFiles(spark, path) -- before).toSeq
+    if (fresh.nonEmpty)
+      statsManifest(spark.read.parquet(fresh: _*), cols)
+        .coalesce(1).write.mode("append").parquet(s"${path}_manifest")
+  }
+
+  /** The layout's certify→regenerate loop (the
+    * [[graft.llm.Similarity.maintainVectorIndex]] discipline applied
+    * to storage): append the batch ([[appendZordered]]), READ the
+    * health off the manifest, and when the point cost exceeds
+    * `maxPointCost` re-layout the WHOLE table ([[zorder]] rewrite via
+    * a staging dir, swapped in, manifest rebuilt). Returns true when
+    * the rebuild fired. The threshold is generations-of-files: a
+    * fresh layout costs ≈ 1 and each append adds ≈ 1, so
+    * `maxPointCost = 3` re-layouts after roughly two appends — tune
+    * to the append cadence vs the rewrite budget (the rewrite is the
+    * one full-table pass; everything else here is batch- or
+    * manifest-sized). */
+  def maintainLayout(spark: org.apache.spark.sql.SparkSession,
+                     path: String, batch: DataFrame, cols: Seq[String],
+                     bits: Int = 12, partitions: Int = 0,
+                     maxPointCost: Double = 3.0): Boolean = {
+    appendZordered(spark, path, batch, cols, bits, partitions)
+    val health = layoutHealth(
+      spark.read.parquet(s"${path}_manifest"), cols)
+    if (health.pointCost <= maxPointCost) false
+    else {
+      val staged = s"${path}_rebuild"
+      zorder(spark.read.parquet(path), cols, bits, partitions)
+        .write.mode("overwrite").parquet(staged)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(staged),
+        new org.apache.hadoop.fs.Path(path)),
+        s"maintainLayout: rename $staged -> $path failed")
+      writeManifest(spark, path, cols)
+      true
+    }
+  }
+
   /** Z-order-cluster `df` for writing: Morton key → ONE range exchange
     * into `partitions` output slices → intra-partition sort → key
     * dropped. Write the result straight to parquet; each output file

@@ -139,4 +139,64 @@ class LayoutSpec extends SparkSpec {
       Seq(("x", lit(0.0), lit(10.0))))
     assert(nScan.count() == 0)
   }
+
+  test("layoutHealth + appendZordered + maintainLayout: appends degrade " +
+      "the measured point cost by ~1 per generation, the loop rebuilds " +
+      "past the threshold, content survives everything") {
+    import spark.implicits._
+    val L = graft.core.Layout
+    // independent 100×100 grid per generation (x and y must not be
+    // functions of each other, or the "space" is a 1-D curve and the
+    // tiling argument is void); seeds rotate y and disjoint payloads
+    def grid(seed: Long) = spark.range(10000).select(
+      (col("id") % 100).cast("double").as("x"),
+      ((col("id") / 100 + seed) % 100).cast("double").as("y"),
+      (col("id") + seed * 100000).as("payload"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-maint")
+      .toString + "/t"
+    L.zorder(grid(0), Seq("x", "y"), bits = 8, partitions = 16)
+      .write.parquet(dir)
+    L.writeManifest(spark, dir, Seq("x", "y"))
+    val h0 = L.layoutHealth(spark.read.parquet(s"${dir}_manifest"),
+      Seq("x", "y"))
+    // a fresh layout costs a small constant (equal-frequency curve
+    // slices aren't quad-aligned, so boxes overlap modestly — ~1.3-1.8
+    // here, never near the file count)
+    assert(h0.files == 16 && h0.pointCost < 2.0,
+      s"fresh layout unhealthy: $h0")
+    // one append: a second generation of files tiles the space again —
+    // the manifest-read cost adds ≈ one fresh-layout cost without
+    // touching the data
+    L.appendZordered(spark, dir, grid(1), Seq("x", "y"), bits = 8,
+      partitions = 16)
+    val h1 = L.layoutHealth(spark.read.parquet(s"${dir}_manifest"),
+      Seq("x", "y"))
+    assert(h1.files == 32 && h1.pointCost > h0.pointCost + 0.6 &&
+      h1.pointCost < 2.2 * h0.pointCost + 0.2,
+      s"appended health off: $h1 vs fresh $h0")
+    // pruned scans stay EXACT against the appended union
+    val box = Seq(("x", lit(10.0), lit(30.0)), ("y", lit(10.0), lit(30.0)))
+    val full = spark.read.parquet(dir).filter(
+      col("x").between(10.0, 30.0) && col("y").between(10.0, 30.0))
+    val pruned = L.prunedScan(spark, dir, box)
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    // below threshold: no rebuild, third generation lands
+    assert(!L.maintainLayout(spark, dir, grid(2), Seq("x", "y"),
+      bits = 8, partitions = 16, maxPointCost = 10.0))
+    // past threshold (set just above one generation's cost): the loop
+    // rewrites the whole table and health returns to one generation
+    assert(L.maintainLayout(spark, dir, grid(3), Seq("x", "y"),
+      bits = 8, partitions = 16, maxPointCost = h0.pointCost + 0.5))
+    val h2 = L.layoutHealth(spark.read.parquet(s"${dir}_manifest"),
+      Seq("x", "y"))
+    assert(h2.files == 16 && h2.pointCost < h0.pointCost + 0.5,
+      s"rebuilt layout unhealthy: $h2 vs fresh $h0")
+    // all four generations' content survived the rebuild
+    assert(spark.read.parquet(dir).count() == 40000)
+    val expect = grid(0).unionByName(grid(1)).unionByName(grid(2))
+      .unionByName(grid(3))
+    assert(spark.read.parquet(dir).exceptAll(expect).isEmpty &&
+      expect.exceptAll(spark.read.parquet(dir)).isEmpty,
+      "rebuild lost or changed rows")
+  }
 }
