@@ -60,6 +60,11 @@ object Cli {
       |               [--min-quality Q] [--langs a,b] [--strip-spans]
       |               [--gopher] [--budget N] [--format parquet|json]
       |                                   build + shard a training corpus
+      |  layout --src <parquet> -o <dir> --cols a,b [--bits N]
+      |         [--partitions N]          Z-order-cluster + write manifest
+      |  layout -o <dir> --cols a,b --append <parquet>
+      |         [--max-point-cost C]      append a generation; rebuild when
+      |                                   the measured health crosses C
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -94,6 +99,15 @@ object Cli {
       case (_, "corpus-build" :: cmdArgs) =>
         // archive-independent: reads/writes parquet paths directly
         try corpusBuild(spark, cmdArgs, out)
+        catch {
+          case e: IllegalArgumentException =>
+            out.println(s"error: ${e.getMessage}"); 2
+          case e: Exception =>
+            out.println(s"error: ${e.getMessage}"); 1
+        }
+      case (_, "layout" :: cmdArgs) =>
+        // archive-independent: Z-order layout lifecycle over parquet paths
+        try layoutCmd(spark, cmdArgs, out)
         catch {
           case e: IllegalArgumentException =>
             out.println(s"error: ${e.getMessage}"); 2
@@ -208,6 +222,62 @@ object Cli {
     val statsJson = stats.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${jsonEscape(k)}":$v""" }.mkString(",")
     out.println(s"""{$statsJson,"packed":$packedRows,"out":"${jsonEscape(outDir)}"}""")
+    0
+  }
+
+  /** The Z-order layout lifecycle as a runnable artifact
+    * ([[graft.core.Layout]]): `--src` lays out a table fresh (cluster +
+    * manifest), `--append` lands a generation through
+    * [[graft.core.Layout.maintainLayout]] (manifest-measured health,
+    * rebuild past `--max-point-cost`). One JSON line with the
+    * post-operation health either way. */
+  private def layoutCmd(spark: SparkSession, args: List[String],
+                        out: PrintStream): Int = {
+    val valueOpts = Set("--src", "-o", "--out", "--cols", "--bits",
+      "--partitions", "--append", "--max-point-cost")
+    val kv = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    val a = args.toArray
+    while (i < a.length) {
+      a(i) match {
+        case k if valueOpts(k) && i + 1 < a.length => kv(k) = a(i + 1); i += 2
+        case k if valueOpts(k) =>
+          throw new IllegalArgumentException(s"missing value for $k")
+        case other =>
+          throw new IllegalArgumentException(s"unknown option: $other")
+      }
+      ()
+    }
+    val outDir = kv.getOrElse("-o", kv.getOrElse("--out",
+      throw new IllegalArgumentException("layout requires -o <dir>")))
+    val cols = kv.getOrElse("--cols",
+        throw new IllegalArgumentException("layout requires --cols a,b"))
+      .split(",").toSeq.filter(_.nonEmpty)
+    val bits = kv.get("--bits").map(_.toInt).getOrElse(12)
+    val partitions = kv.get("--partitions").map(_.toInt).getOrElse(0)
+    val rebuilt = (kv.get("--src"), kv.get("--append")) match {
+      case (Some(_), Some(_)) =>
+        throw new IllegalArgumentException(
+          "layout takes --src (fresh) OR --append (increment), not both")
+      case (Some(src), None) =>
+        graft.core.Layout.zorder(spark.read.parquet(src), cols, bits,
+            partitions)
+          .write.parquet(outDir)
+        graft.core.Layout.writeManifest(spark, outDir, cols)
+        false
+      case (None, Some(batch)) =>
+        graft.core.Layout.maintainLayout(spark, outDir,
+          spark.read.parquet(batch), cols, bits, partitions,
+          maxPointCost =
+            kv.get("--max-point-cost").map(_.toDouble).getOrElse(3.0))
+      case (None, None) =>
+        throw new IllegalArgumentException(
+          "layout requires --src <parquet> or --append <parquet>")
+    }
+    val health = graft.core.Layout.layoutHealth(
+      spark.read.parquet(s"${outDir}_manifest"), cols)
+    out.println(s"""{"out":"${jsonEscape(outDir)}","files":${health.files},""" +
+      s""""point_cost":${health.pointCost},"rebuilt":$rebuilt}""")
     0
   }
 

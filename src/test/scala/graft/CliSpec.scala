@@ -168,6 +168,53 @@ class CliSpec extends SparkSpec {
     assert(gout.contains("\"input\":60") && gout.contains("\"packed\":0"))
   }
 
+  test("layout lays out, appends, and rebuilds through the CLI " +
+      "(archive-independent)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("cli-layout")
+    val srcPath = s"$work/src.parquet"
+    val outDir = s"$work/laid"
+    spark.range(5000).select(
+        (col("id") % 100).cast("double").as("x"),
+        (col("id") / 100).cast("double").as("y"))
+      .write.parquet(srcPath)
+    // fresh layout: manifest written, one-generation health reported
+    val (c0, j0) = cli("layout", "--src", srcPath, "-o", outDir,
+      "--cols", "x,y", "--bits", "6", "--partitions", "8")
+    assert(c0 == 0, j0)
+    assert(j0.contains("\"files\":8") && j0.contains("\"rebuilt\":false"), j0)
+    assert(spark.read.parquet(s"${outDir}_manifest").count() == 8)
+    // thresholds RELATIVE to the measured fresh cost (absolute box
+    // tightness varies with range-sampling): a generation's own cost is
+    // bounded by its file count, so fresh + 9 can never trip on one
+    // 8-file append, while fresh + 0.5 always does (a full-domain
+    // generation adds ≥ ~1)
+    val h0 = "\"point_cost\":([0-9.]+)".r
+      .findFirstMatchIn(j0).get.group(1).toDouble
+    val (c1, j1) = cli("layout", "-o", outDir, "--cols", "x,y",
+      "--bits", "6", "--partitions", "8", "--append", srcPath,
+      "--max-point-cost", (h0 + 9.0).toString)
+    assert(c1 == 0 && j1.contains("\"files\":16") &&
+      j1.contains("\"rebuilt\":false"), j1)
+    // append past a tight threshold: the rebuild fires, content doubles
+    val (c2, j2) = cli("layout", "-o", outDir, "--cols", "x,y",
+      "--bits", "6", "--partitions", "8", "--append", srcPath,
+      "--max-point-cost", (h0 + 0.5).toString)
+    assert(c2 == 0 && j2.contains("\"rebuilt\":true") &&
+      j2.contains("\"files\":8"), j2)
+    assert(spark.read.parquet(outDir).count() == 15000)
+    // both modes or neither → usage errors; typos loud
+    val (b1, e1) = cli("layout", "-o", outDir, "--cols", "x,y")
+    assert(b1 == 2 && e1.contains("error:"), e1)
+    val (b2, e2) = cli("layout", "--src", srcPath, "-o", outDir,
+      "--cols", "x,y", "--append", srcPath)
+    assert(b2 == 2 && e2.contains("not both"), e2)
+    val (b3, e3) = cli("layout", "--src", srcPath, "-o", outDir,
+      "--cols", "x,y", "--bots", "6")
+    assert(b3 == 2 && e3.contains("unknown option: --bots"), e3)
+  }
+
   test("config prints archive and dataset configuration (cli.py:97-108)") {
     // golden output against the reference fixture's own config.yml
     val archive = "/root/reference/tests/fixtures/archive"
