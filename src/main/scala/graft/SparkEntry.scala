@@ -1352,6 +1352,38 @@ object SparkEntry {
             .as("sum_value"))
     }),
 
+    "layout_stream" -> ((s, dir) => {
+      // streamed lake ingestion: the even-id half laid out as the base
+      // table, the odd-id half arriving through readStream and landing
+      // as exactly-once z-ordered GENERATIONS (micro-batch-id-keyed
+      // file names — the ledger discipline applied to table files),
+      // then the box aggregate answered off the manifest-pruned scan.
+      // Twin shared VERBATIM with the other layout scans: streamed
+      // ingestion changes placement generations, never content
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-zstream").toString + "/events"
+      graft.core.Layout.zorder(ev.filter(col("event_id") % 2 === 0),
+          Seq("value", "event_id"), bits = 8, partitions = 8)
+        .write.parquet(root)
+      graft.core.Layout.writeManifest(s, root, Seq("value", "event_id"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val arrivals = streamTable(s, dir, "events",
+          s.read.parquet(s"$dir/events.parquet").schema)
+        .select("event_id", "event_type", "value")
+        .filter(col("value").isNotNull && col("event_id") % 2 === 1)
+      graft.core.Layout.appendZorderedStream(arrivals, root,
+        Seq("value", "event_id"), bits = 8, partitions = 8)
+      graft.core.Layout.prunedScan(s, root,
+          Seq(("value", lit(20.0), lit(60.0)),
+            ("event_id", lit(2000L), lit(4000L))))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    }),
+
     "ev_anomaly_sketch_stream" -> ((s, dir) => {
       // the sketch-served anomaly screen on a LIVE stream: med/MAD
       // read once from the bounded KLL state, then the same stateless
@@ -4693,6 +4725,8 @@ object SparkEntry {
     // append → health-triggered rebuild → pruned scan, same twin: the
     // maintenance loop changes placement generations, never content
     "layout_maintain" -> LayoutBoxScanOracle,
+    // streamed exactly-once generation ingestion, same twin again
+    "layout_stream" -> LayoutBoxScanOracle,
 
     // same value-domain histogram + inclusive cum window, one exact
     // division per distinct value

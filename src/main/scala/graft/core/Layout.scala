@@ -150,7 +150,12 @@ object Layout {
     * own files, adding ≈ one fresh-layout cost — so the measure
     * counts, in expectation, how many generations of files every scan
     * must touch, which is exactly the degradation appends cause and a
-    * re-layout repairs. All-null-stat files contribute nothing (a
+    * re-layout repairs. Appends whose values occupy NEW domain
+    * (time-banded arrivals — the common ingest shape) tile fresh space
+    * instead of re-tiling old space and correctly do NOT degrade the
+    * measure (spec'd): the metric tells overlapping appends apart from
+    * banded ones, which a rebuild-on-schedule policy cannot.
+    * All-null-stat files contribute nothing (a
     * range predicate can never touch them); a degenerate global domain
     * counts each file as spanning it. Manifest-sized arithmetic. */
   final case class LayoutHealth(files: Long, pointCost: Double)
@@ -203,6 +208,88 @@ object Layout {
     if (fresh.nonEmpty)
       statsManifest(spark.read.parquet(fresh: _*), cols)
         .coalesce(1).write.mode("append").parquet(s"${path}_manifest")
+  }
+
+  /** Idempotent per-generation append — the exactly-once building
+    * block under [[appendZorderedStream]], usable directly for any
+    * at-least-once delivery (a replayed call with the same `gen`
+    * rewrites EXACTLY its own files and manifest slice, nothing else —
+    * the [[graft.streaming.Streaming.foldLedgerStream]] discipline
+    * applied to table files): the batch is z-ordered into a staging
+    * dir, any previous `gen<id>-*` data files are deleted (the replay
+    * case), the staged parts move in under DETERMINISTIC names
+    * (`gen<id>-part<k>`), and the generation's manifest slice lands as
+    * one deterministically-named file (`gen<id>.parquet`) in the
+    * manifest dir, replacing its own previous version. Works against
+    * an empty `path` too — streamed ingestion can create the table. */
+  def appendGeneration(spark: org.apache.spark.sql.SparkSession,
+                       path: String, batch: DataFrame,
+                       cols: Seq[String], bits: Int = 12,
+                       partitions: Int = 0, gen: Long = 0L): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    val staging = s"${path}_incoming/gen$gen"
+    zorder(batch, cols, bits, partitions)
+      .write.mode("overwrite").parquet(staging)
+    if (fs.exists(root))
+      fs.listStatus(root)
+        .filter(_.getPath.getName.startsWith(s"gen$gen-"))
+        .foreach(s => fs.delete(s.getPath, false))
+    else fs.mkdirs(root)
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
+    staged.zipWithIndex.foreach { case (p, k) =>
+      val dst = new org.apache.hadoop.fs.Path(root,
+        f"gen$gen-part$k%05d.parquet")
+      require(fs.rename(p, dst), s"appendGeneration: $p -> $dst failed")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    val mDir = new org.apache.hadoop.fs.Path(s"${path}_manifest")
+    fs.mkdirs(mDir)
+    val mFile = new org.apache.hadoop.fs.Path(mDir, s"gen$gen.parquet")
+    if (fs.exists(mFile)) fs.delete(mFile, false)
+    val genFiles = fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith(s"gen$gen-"))
+      .map(_.getPath.toString)
+    if (genFiles.nonEmpty) {
+      val tmp = s"${path}_incoming/manifest$gen"
+      statsManifest(spark.read.parquet(genFiles: _*), cols)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .filter(_.getPath.getName.startsWith("part-")).head.getPath
+      require(fs.rename(part, mFile),
+        s"appendGeneration: manifest $part -> $mFile failed")
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+  }
+
+  /** Streamed lake ingestion with the layout maintained: each
+    * micro-batch lands as one z-ordered GENERATION through
+    * [[appendGeneration]], keyed by the micro-batch id — so
+    * `foreachBatch`'s at-least-once replay contract becomes
+    * exactly-once by construction (a replayed batch rewrites exactly
+    * its own `gen<id>-*` files and manifest slice; the checkpoint
+    * under `<path>_ckpt` carries the source offsets). AvailableNow
+    * drain: returns when every available input is committed. Health
+    * degrades by ≈ one generation per micro-batch like any append —
+    * run [[maintainLayout]]'s rebuild (or [[layoutHealth]] + a manual
+    * [[zorder]] rewrite) BETWEEN drains, never under a live query
+    * (the [[graft.streaming.Streaming.compactLedger]] contract). */
+  def appendZorderedStream(stream: DataFrame, path: String,
+                           cols: Seq[String], bits: Int = 12,
+                           partitions: Int = 0): Unit = {
+    val spark = stream.sparkSession
+    val q = stream.writeStream
+      .option("checkpointLocation", s"${path}_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendGeneration(spark, path, batch, cols, bits, partitions, id)
+      }
+      .start()
+    q.awaitTermination()
   }
 
   /** The layout's certify→regenerate loop (the

@@ -199,4 +199,67 @@ class LayoutSpec extends SparkSpec {
       expect.exceptAll(spark.read.parquet(dir)).isEmpty,
       "rebuild lost or changed rows")
   }
+
+  test("appendGeneration is replay-idempotent; appendZorderedStream " +
+      "drains micro-batches into exactly-once generations") {
+    import org.apache.spark.sql.functions._
+    val L = graft.core.Layout
+    val base = spark.range(2000).select(
+      (col("id") % 50).cast("double").as("x"),
+      (col("id") / 50).cast("double").as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-lstream")
+      .toString + "/t"
+    L.zorder(base, Seq("x", "y"), bits = 6, partitions = 4)
+      .write.parquet(dir)
+    L.writeManifest(spark, dir, Seq("x", "y"))
+    // the at-least-once case: the SAME generation applied twice lands
+    // once — files and manifest slice are rewritten, never duplicated
+    val gen = spark.range(2000, 3000).select(
+      (col("id") % 50).cast("double").as("x"),
+      (col("id") / 50).cast("double").as("y"))
+    L.appendGeneration(spark, dir, gen, Seq("x", "y"), bits = 6,
+      partitions = 2, gen = 7L)
+    val afterOnce = spark.read.parquet(dir).count()
+    val manOnce = spark.read.parquet(s"${dir}_manifest").count()
+    L.appendGeneration(spark, dir, gen, Seq("x", "y"), bits = 6,
+      partitions = 2, gen = 7L) // the replay
+    assert(spark.read.parquet(dir).count() == afterOnce &&
+      spark.read.parquet(s"${dir}_manifest").count() == manOnce,
+      "replayed generation duplicated rows or manifest entries")
+    assert(afterOnce == 3000)
+    // streamed ingestion: two arrival files drain as two generations,
+    // pruned scans stay exact against the full union
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-lsrc")
+    Seq(3000, 4000).foreach { start =>
+      spark.range(start, start + 1000).select(
+          (col("id") % 50).cast("double").as("x"),
+          (col("id") / 50).cast("double").as("y"))
+        .coalesce(1).write.parquet(s"$srcDir/arrival$start")
+    }
+    val arrivals = spark.readStream
+      .schema(base.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/arrival*")
+    L.appendZorderedStream(arrivals, dir, Seq("x", "y"), bits = 6,
+      partitions = 2)
+    assert(spark.read.parquet(dir).count() == 5000,
+      "streamed generations missing rows")
+    val box = Seq(("x", lit(5.0), lit(25.0)), ("y", lit(10.0), lit(60.0)))
+    val pruned = L.prunedScan(spark, dir, box)
+    val full = spark.read.parquet(dir).filter(
+      col("x").between(5.0, 25.0) && col("y").between(10.0, 60.0))
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty,
+      "pruned scan diverged after streamed appends")
+    // these generations occupy DISJOINT y bands (arriving data is
+    // time-ordered), so they tile NEW domain instead of re-tiling old
+    // space — and the health metric correctly stays near one
+    // generation: banded appends don't degrade pruning, which is why
+    // the maintenance loop measures instead of rebuilding on a
+    // schedule (the OVERLAPPING-append degradation is pinned in the
+    // maintainLayout test above)
+    val h = L.layoutHealth(spark.read.parquet(s"${dir}_manifest"),
+      Seq("x", "y"))
+    assert(h.files == 10 && h.pointCost < 2.0,
+      s"banded appends should stay healthy: $h")
+  }
 }
