@@ -1261,6 +1261,28 @@ object SparkEntry {
         .select("event_id", "event_type", "value", "pct", "bucket")
     }),
 
+    "ev_bucketize_sketch_stream" -> ((s, dir) => {
+      // equal-mass bucketing on a LIVE stream: the serve is the
+      // stateless CDF join + two compiled kernels (rank + clamp), so
+      // the batch operator runs unchanged on a readStream frame —
+      // every sketch-state serve (rank, bucket, anomaly) now has a
+      // streamed form. Twin shared with ev_bucketize_sketch verbatim
+      val ev = t(s, dir, "events")
+      val stats = graft.core.Stats.rankStatsApprox(
+        ev.filter(col("event_id") % 2 === 0), "value", "event_type",
+        k = 16384)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val arrivals = streamTable(s, dir, "events",
+          s.read.parquet(s"$dir/events.parquet").schema)
+        .select("event_id", "event_type", "value")
+        .filter(col("event_id") % 2 === 1)
+      drainStream(
+        graft.core.Stats.bucketizeSketch(arrivals, stats, "value",
+            "event_type", buckets = 8)
+          .select("event_id", "event_type", "value", "pct", "bucket"),
+        "graft_bucketize_stream")
+    }),
+
     "layout_zvalue" -> ((s, dir) => {
       // the Morton lake-layout key itself, oracled: per-column min-max
       // quantization (8 bits over each column's own observed domain)
@@ -4691,6 +4713,8 @@ object SparkEntry {
     // equal-mass buckets from the sketch CDF: the rank twin's ASOF
     // read + the identical clamp arithmetic
     "ev_bucketize_sketch" -> EvBucketizeSketchOracle,
+    // the streamed serve shares the twin verbatim: stream ≡ batch
+    "ev_bucketize_sketch_stream" -> EvBucketizeSketchOracle,
 
     // the Morton layout key: identical min-max quantization (floor of
     // the same IEEE scaling, clamped) and the bit interleave unrolled
