@@ -65,6 +65,14 @@ object Cli {
       |  layout -o <dir> --cols a,b --append <parquet>
       |         [--max-point-cost C]      append a generation; rebuild when
       |                                   the measured health crosses C
+      |  layout -o <dir> --cols a,b --delete-where <sqlExpr>
+      |                                   tombstone matching rows (merge-on-read)
+      |  layout -o <dir> --cols a,b --delete-keys <parquet> --key <col>
+      |                                   tombstone rows by retraction key list
+      |  layout -o <dir> --cols a,b --compact [--target-bytes N]
+      |                                   fold tombstones in; bin-pack files
+      |  layout -o <dir> --cols a,b --rollback <gen>
+      |                                   drop generations + deletes after <gen>
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -234,12 +242,16 @@ object Cli {
   private def layoutCmd(spark: SparkSession, args: List[String],
                         out: PrintStream): Int = {
     val valueOpts = Set("--src", "-o", "--out", "--cols", "--bits",
-      "--partitions", "--append", "--max-point-cost")
+      "--partitions", "--append", "--max-point-cost",
+      "--delete-where", "--delete-keys", "--key", "--rollback",
+      "--target-bytes")
+    val flagOpts = Set("--compact")
     val kv = scala.collection.mutable.Map.empty[String, String]
     var i = 0
     val a = args.toArray
     while (i < a.length) {
       a(i) match {
+        case k if flagOpts(k) => kv(k) = "true"; i += 1
         case k if valueOpts(k) && i + 1 < a.length => kv(k) = a(i + 1); i += 2
         case k if valueOpts(k) =>
           throw new IllegalArgumentException(s"missing value for $k")
@@ -255,29 +267,56 @@ object Cli {
       .split(",").toSeq.filter(_.nonEmpty)
     val bits = kv.get("--bits").map(_.toInt).getOrElse(12)
     val partitions = kv.get("--partitions").map(_.toInt).getOrElse(0)
-    val rebuilt = (kv.get("--src"), kv.get("--append")) match {
-      case (Some(_), Some(_)) =>
-        throw new IllegalArgumentException(
-          "layout takes --src (fresh) OR --append (increment), not both")
-      case (Some(src), None) =>
-        graft.core.Layout.zorder(spark.read.parquet(src), cols, bits,
-            partitions)
+    val verbs = Seq("--src", "--append", "--delete-where",
+      "--delete-keys", "--compact", "--rollback").filter(kv.contains)
+    if (verbs.size > 1)
+      throw new IllegalArgumentException(
+        s"layout takes ONE of ${verbs.mkString(" / ")}, not both")
+    var deleted = -1L
+    val rebuilt = verbs.headOption match {
+      case Some("--src") =>
+        graft.core.Layout.zorder(spark.read.parquet(kv("--src")), cols,
+            bits, partitions)
           .write.parquet(outDir)
         graft.core.Layout.writeManifest(spark, outDir, cols)
         false
-      case (None, Some(batch)) =>
+      case Some("--append") =>
         graft.core.Layout.maintainLayout(spark, outDir,
-          spark.read.parquet(batch), cols, bits, partitions,
+          spark.read.parquet(kv("--append")), cols, bits, partitions,
           maxPointCost =
             kv.get("--max-point-cost").map(_.toDouble).getOrElse(3.0))
-      case (None, None) =>
+      case Some("--delete-where") =>
+        deleted = graft.core.Lakehouse.deleteWhere(spark, outDir,
+          org.apache.spark.sql.functions.expr(kv("--delete-where")))
+        false
+      case Some("--delete-keys") =>
+        val key = kv.getOrElse("--key", throw new IllegalArgumentException(
+          "--delete-keys requires --key <col>"))
+        deleted = graft.core.Lakehouse.deleteMatching(spark, outDir,
+          spark.read.parquet(kv("--delete-keys")), key)
+        false
+      case Some("--compact") =>
+        graft.core.Lakehouse.compact(spark, outDir, cols, bits,
+          partitions,
+          targetBytes = kv.get("--target-bytes").map(_.toLong)
+            .getOrElse(0L))
+        true
+      case Some("--rollback") =>
+        graft.core.Lakehouse.rollback(spark, outDir,
+          kv("--rollback").toLong)
+        false
+      case _ =>
         throw new IllegalArgumentException(
-          "layout requires --src <parquet> or --append <parquet>")
+          "layout requires --src <parquet>, --append <parquet>, " +
+            "--delete-where/--delete-keys, --compact, or --rollback")
     }
     val health = graft.core.Layout.layoutHealth(
       spark.read.parquet(s"${outDir}_manifest"), cols)
+    val debt = graft.core.Lakehouse.deleteDebt(spark, outDir)
     out.println(s"""{"out":"${jsonEscape(outDir)}","files":${health.files},""" +
-      s""""point_cost":${health.pointCost},"rebuilt":$rebuilt}""")
+      s""""point_cost":${health.pointCost},"rebuilt":$rebuilt,""" +
+      s""""delete_debt":$debt""" +
+      (if (deleted >= 0) s""","deleted":$deleted""" else "") + "}")
     0
   }
 

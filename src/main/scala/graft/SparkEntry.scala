@@ -1406,6 +1406,178 @@ object SparkEntry {
             .as("sum_value"))
     }),
 
+    "layout_delete_scan" -> ((s, dir) => {
+      // the takedown path, merge-on-read: write the layout, tombstone
+      // the rows a predicate matched ((file, row_index) positional
+      // delete vectors off Spark's hidden _metadata address — one pass
+      // over the table, never a rewrite), scan LIVE rows and aggregate.
+      // The twin answers the complement predicate over the raw table:
+      // the hash match proves scan-minus-tombstones ≡ rows that were
+      // never deleted, bit-for-bit
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-zdelete").toString + "/events"
+      graft.core.Layout.zorder(ev, Seq("value", "event_id"), bits = 8,
+          partitions = 8)
+        .write.parquet(root)
+      graft.core.Lakehouse.deleteWhere(s, root,
+        col("value").between(20.0, 60.0))
+      graft.core.Lakehouse.scan(s, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    }),
+
+    "layout_takedown" -> ((s, dir) => {
+      // the bulk retraction-list path: deletes keyed by a FRAME of ids
+      // (the right-to-be-forgotten / licensing-retraction shape — a
+      // list too big for a predicate literal), left-semi joined to
+      // address the doomed rows, then the live scan. Twin: the raw
+      // table minus those keys
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ztake").toString + "/events"
+      graft.core.Layout.zorder(ev, Seq("value", "event_id"), bits = 8,
+          partitions = 8)
+        .write.parquet(root)
+      graft.core.Lakehouse.deleteMatching(s, root,
+        ev.filter(col("event_id") % 7 === 0).select("event_id"),
+        "event_id")
+      graft.core.Lakehouse.scan(s, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    }),
+
+    "layout_compact" -> ((s, dir) => {
+      // physical apply: the layout_delete_scan pipeline plus a
+      // compaction — live rows rewritten as a fresh z-ordered layout,
+      // tombstone directory cleared, manifest rebuilt. Twin shared
+      // VERBATIM with layout_delete_scan: the hash match proves
+      // merge-on-read ≡ physically applied, and the raw post-compact
+      // files carry no deleted row (spec'd)
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-zcompact").toString + "/events"
+      graft.core.Layout.zorder(ev, Seq("value", "event_id"), bits = 8,
+          partitions = 8)
+        .write.parquet(root)
+      graft.core.Lakehouse.deleteWhere(s, root,
+        col("value").between(20.0, 60.0))
+      graft.core.Lakehouse.compact(s, root, Seq("value", "event_id"),
+        bits = 8, partitions = 4)
+      graft.core.Lakehouse.scan(s, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    }),
+
+    "layout_upsert" -> ((s, dir) => {
+      // keyed last-writer-wins merge, merge-on-read: the %5 slice of
+      // orders re-arrives with a changed price, upsertByKey tombstones
+      // the old versions and lands the batch as a new generation —
+      // history never rewritten. The twin computes the merged table
+      // directly with a CASE: the hash match proves
+      // delete-plus-append ≡ keyed merge over the whole table
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-zupsert").toString + "/orders"
+      graft.core.Layout.zorder(base, Seq("o_custkey", "o_totalprice"),
+          bits = 8, partitions = 8)
+        .write.parquet(root)
+      val updates = base.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      graft.core.Lakehouse.upsertByKey(s, root, updates, "o_orderkey",
+        Seq("o_custkey", "o_totalprice"), bits = 8, partitions = 4)
+      graft.core.Lakehouse.scan(s, root)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    "layout_time_travel" -> ((s, dir) => {
+      // generation snapshots: even-id events land as generation 0,
+      // odd-id as generation 1, then a delete is issued against the
+      // live (gen-1) table. scanAsOf(0) must see the first generation
+      // ONLY — neither the later files nor the later tombstones. Twin:
+      // the even-id half of the raw table, untouched by the delete
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-zasof").toString + "/events"
+      graft.core.Layout.appendGeneration(s, root,
+        ev.filter(col("event_id") % 2 === 0), Seq("value", "event_id"),
+        bits = 8, partitions = 4, gen = 0L)
+      graft.core.Layout.appendGeneration(s, root,
+        ev.filter(col("event_id") % 2 === 1), Seq("value", "event_id"),
+        bits = 8, partitions = 4, gen = 1L)
+      graft.core.Lakehouse.deleteWhere(s, root,
+        col("value").between(20.0, 60.0))
+      graft.core.Lakehouse.scanAsOf(s, root, 0L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    }),
+
+    "layout_rollback" -> ((s, dir) => {
+      // rollback = a snapshot made permanent: same two generations and
+      // the same late delete as layout_time_travel, then rollback(0)
+      // deletes the later files, manifest slices, and tombstones —
+      // file-system arithmetic, never a data pass — and the LIVE scan
+      // answers. Twin shared VERBATIM with layout_time_travel
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-zroll").toString + "/events"
+      graft.core.Layout.appendGeneration(s, root,
+        ev.filter(col("event_id") % 2 === 0), Seq("value", "event_id"),
+        bits = 8, partitions = 4, gen = 0L)
+      graft.core.Layout.appendGeneration(s, root,
+        ev.filter(col("event_id") % 2 === 1), Seq("value", "event_id"),
+        bits = 8, partitions = 4, gen = 1L)
+      graft.core.Lakehouse.deleteWhere(s, root,
+        col("value").between(20.0, 60.0))
+      graft.core.Lakehouse.rollback(s, root, 0L)
+      graft.core.Lakehouse.scan(s, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    }),
+
+    "layout_takedown_stream" -> ((s, dir) => {
+      // the takedown feed as a LIVE stream: retraction keys arrive
+      // through readStream and land as tombstones per micro-batch —
+      // at-least-once replays are safe because deletes are
+      // content-idempotent (a replayed batch anti-joins the recorded
+      // tombstones and records nothing). Twin shared VERBATIM with
+      // layout_takedown: streamed retraction ≡ one-shot retraction
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ztakestream").toString + "/events"
+      graft.core.Layout.zorder(ev, Seq("value", "event_id"), bits = 8,
+          partitions = 8)
+        .write.parquet(root)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val keys = streamTable(s, dir, "events",
+          s.read.parquet(s"$dir/events.parquet").schema)
+        .filter(col("value").isNotNull && col("event_id") % 7 === 0)
+        .select("event_id")
+      graft.core.Lakehouse.deleteMatchingStream(keys, root, "event_id")
+      graft.core.Lakehouse.scan(s, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    }),
+
     "ev_anomaly_sketch_stream" -> ((s, dir) => {
       // the sketch-served anomaly screen on a LIVE stream: med/MAD
       // read once from the bounded KLL state, then the same stateless
@@ -3101,6 +3273,40 @@ object SparkEntry {
       |  AND event_id BETWEEN 2000 AND 4000
       |GROUP BY event_type""".stripMargin
 
+  // the takedown twin: the COMPLEMENT predicate over the raw table —
+  // what a merge-on-read scan must equal after the matched rows were
+  // tombstoned. Shared VERBATIM by layout_delete_scan (tombstones
+  // subtracted at read) and layout_compact (tombstones folded into a
+  // physical rewrite): the matching hashes prove the two forms equal
+  private val LayoutDeleteScanOracle: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE value IS NOT NULL AND NOT (value BETWEEN 20.0 AND 60.0)
+      |GROUP BY event_type""".stripMargin
+
+  // the retraction twin: the raw table minus the %7 key list. Shared
+  // VERBATIM by layout_takedown (one-shot key-list delete) and
+  // layout_takedown_stream (the same keys arriving as micro-batches):
+  // streamed retraction ≡ one-shot retraction, bit-for-bit
+  private val LayoutTakedownOracle: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE value IS NOT NULL AND event_id % 7 <> 0
+      |GROUP BY event_type""".stripMargin
+
+  // the snapshot twin: generation 0 alone (the even-id half), untouched
+  // by the delete issued later at generation 1. Shared VERBATIM by
+  // layout_time_travel (a read of the past) and layout_rollback (the
+  // past made permanent)
+  private val LayoutEvenHalfOracle: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE value IS NOT NULL AND event_id % 2 = 0
+      |GROUP BY event_type""".stripMargin
+
   // the bucketize twin: the rank twin's CDF read plus the identical
   // clamp(ceil(pct·8), 1, 8) arithmetic — one double multiply, one
   // ceil, two integer clamps in BOTH engines, so the bucket boundary
@@ -4751,6 +4957,31 @@ object SparkEntry {
     "layout_maintain" -> LayoutBoxScanOracle,
     // streamed exactly-once generation ingestion, same twin again
     "layout_stream" -> LayoutBoxScanOracle,
+
+    // merge-on-read deletes: live scan ≡ the complement predicate over
+    // the raw table — positional tombstones subtract exactly the
+    // matched rows, bit-for-bit
+    "layout_delete_scan" -> LayoutDeleteScanOracle,
+    // bulk takedown by key list: live scan ≡ raw table minus the keys
+    "layout_takedown" -> LayoutTakedownOracle,
+    // the same retraction arriving as a STREAM of key batches — shared
+    // twin verbatim: streamed takedown ≡ one-shot takedown
+    "layout_takedown_stream" -> LayoutTakedownOracle,
+    // compaction shares the delete twin VERBATIM: physically folding
+    // the tombstones into a rewritten layout changes placement and
+    // clears the debt, never content
+    "layout_compact" -> LayoutDeleteScanOracle,
+    // keyed last-writer-wins upsert ≡ a CASE merge over the raw table
+    "layout_upsert" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders""".stripMargin,
+    // generation snapshot: asOf(0) sees the first generation only —
+    // neither the gen-1 files nor the tombstones stamped at gen 1
+    "layout_time_travel" -> LayoutEvenHalfOracle,
+    // rollback(0) makes that snapshot permanent — live scan, same twin
+    "layout_rollback" -> LayoutEvenHalfOracle,
 
     // same value-domain histogram + inclusive cum window, one exact
     // division per distinct value

@@ -1,0 +1,389 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The MUTATION half of the [[Layout]] lake table: row-level deletes,
+  * keyed upserts, generation time travel, rollback, and the compaction
+  * that applies it all physically — without ever rewriting resident
+  * data on the write path.
+  *
+  * Why this exists at 100 TB: a training-data lake is append-mostly,
+  * but takedowns are not optional — a right-to-be-forgotten request,
+  * a licensing retraction, or a contamination finding must remove
+  * specific ROWS from a table whose rewrite costs a full 100 TB pass.
+  * The lakehouse answer (Iceberg/Delta positional delete vectors) is
+  * merge-on-read: record `(file, row_index)` tombstones in a side
+  * directory, subtract them at scan time, and fold them into the data
+  * only when a scheduled compaction rewrites the table anyway.
+  *
+  * The mechanics are Spark-native: every file-source row already
+  * carries its physical address as the hidden `_metadata.file_path` /
+  * `_metadata.row_index` columns, so a tombstone is just that pair
+  * projected from the rows a predicate matched. Files are immutable
+  * (appends create new files; [[compact]] swaps whole directories), so
+  * a recorded position stays valid until the file itself is replaced —
+  * and replacement ([[compact]], [[Layout.maintainLayout]]'s rebuild)
+  * clears the tombstone set it folded in.
+  *
+  * Scan cost model: tombstones name their FILES, so [[scan]] splits
+  * the read — files with no tombstones stream through UNTOUCHED (no
+  * metadata columns, no join; at 100 TB this is almost all of them),
+  * and only the touched files pay a broadcast anti-join probe (the
+  * tombstone set is broadcast while its on-disk size stays under
+  * [[broadcastTombstoneBytes]]; past that the join falls back to a
+  * shuffle and [[deleteDebt]] says it is compaction time). The split
+  * file list passes through the driver — FILE-count-bounded, the same
+  * bound [[Layout.prunedScan]] already rides.
+  *
+  * Snapshot model: generation-managed layouts ([[Layout.appendGeneration]]
+  * / [[Layout.appendZorderedStream]]) get time travel for free — data
+  * files carry their generation in the name, and each tombstone is
+  * stamped with the table's max generation at delete time. A snapshot
+  * at generation g is "data files with gen ≤ g minus tombstones
+  * stamped ≤ g" ([[scanAsOf]]); [[rollback]] makes a snapshot
+  * permanent by deleting everything stamped later. Snapshot
+  * granularity is the generation: deletes issued while the table sat
+  * at generation g fold into g's snapshot. Base files written before
+  * any generation (plain `part-*`) belong to every snapshot.
+  */
+object Lakehouse {
+
+  /** Tombstone columns: data-file NAME (not full path — the layout dir
+    * is flat and relocatable), row index within it, and the table
+    * generation the delete folded into. */
+  val FileCol = "__file"
+  val PosCol = "__pos"
+  val GenCol = "__gen"
+
+  /** Tombstone sets at or under this on-disk size are broadcast into
+    * the scan's anti-join (a per-row hash probe, no shuffle of the
+    * data side). Past it the anti-join shuffles both sides — correct,
+    * but a signal the debt should be compacted away. */
+  val broadcastTombstoneBytes: Long = 64L << 20
+
+  def deletesDir(path: String): String = s"${path}_deletes"
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def parquetFiles(spark: SparkSession, path: String): Seq[Path] = {
+    val p = new Path(path)
+    val f = fs(spark, path)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+  }
+
+  /** Generation of a data file: `gen<g>-…` names carry it; base files
+    * from a plain [[Layout.zorder]] write are generation −1 (present
+    * in every snapshot). */
+  private[core] def genOf(name: String): Long =
+    if (name.startsWith("gen")) {
+      val dash = name.indexOf('-')
+      if (dash > 3) {
+        val digits = name.substring(3, dash)
+        if (digits.nonEmpty && digits.forall(_.isDigit)) digits.toLong
+        else -1L
+      } else -1L
+    } else -1L
+
+  /** Max generation among the table's data files; −1 for a table with
+    * only base files. New tombstones are stamped with this. */
+  def currentGen(spark: SparkSession, path: String): Long = {
+    val gens = parquetFiles(spark, path).map(p => genOf(p.getName))
+    if (gens.isEmpty) -1L else gens.max
+  }
+
+  private def tombstoneFrame(spark: SparkSession, path: String,
+                             maxGen: Long = Long.MaxValue): Option[DataFrame] = {
+    val files = parquetFiles(spark, deletesDir(path))
+      .filter(p => maxGen == Long.MaxValue || delGenOf(p.getName) <= maxGen)
+      .map(_.toString)
+    if (files.isEmpty) None
+    else Some(spark.read.parquet(files: _*)
+      .filter(col(GenCol) <= maxGen)
+      .select(FileCol, PosCol))
+  }
+
+  /** Generation stamp in a tombstone file name `del<g>-<seq>.parquet`;
+    * −1 base-gen deletes are written as `del-1-<seq>` and parse back. */
+  private[core] def delGenOf(name: String): Long = {
+    val body = name.stripPrefix("del").stripSuffix(".parquet")
+    val dash = body.lastIndexOf('-')
+    if (dash <= 0) -1L else body.substring(0, dash).toLong
+  }
+
+  /** Rows the delete side has recorded against live files — the
+    * merge-on-read debt every [[scan]] pays and [[compact]] clears.
+    * Tombstone storage is debt-row-bounded, never table-bounded. */
+  def deleteDebt(spark: SparkSession, path: String): Long =
+    tombstoneFrame(spark, path).map(_.count()).getOrElse(0L)
+
+  private def tombstoneBytes(spark: SparkSession, path: String): Long =
+    parquetFiles(spark, deletesDir(path))
+      .map(p => fs(spark, path).getFileStatus(p).getLen).sum
+
+  /** Read `files` minus `tombstones`, with the clean-file split: files
+    * no tombstone names are read bare (no metadata, no join); touched
+    * files ride a left-anti join on (file, pos), broadcast while the
+    * debt is small. Empty `files` → empty frame with `schema`. */
+  private def readMinus(spark: SparkSession, files: Seq[String],
+                        schema: org.apache.spark.sql.types.StructType,
+                        tombstones: Option[DataFrame],
+                        broadcastable: Boolean): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    tombstones match {
+      case None => spark.read.schema(schema).parquet(files: _*)
+      case Some(ts) =>
+        // file-count-bounded driver list: which files have debt at all
+        val touchedNames = ts.select(FileCol).distinct()
+          .collect().map(_.getString(0)).toSet
+        val (touched, clean) =
+          files.partition(f => touchedNames.contains(fileName(f)))
+        val cleanDf =
+          if (clean.isEmpty) None
+          else Some(spark.read.schema(schema).parquet(clean: _*))
+        val touchedDf =
+          if (touched.isEmpty) None
+          else {
+            val keyed = spark.read.schema(schema).parquet(touched: _*)
+              .withColumn(FileCol,
+                element_at(split(col("_metadata.file_path"), "/"), -1))
+              .withColumn(PosCol, col("_metadata.row_index"))
+            val side = if (broadcastable) broadcast(ts) else ts
+            Some(keyed.join(side, Seq(FileCol, PosCol), "left_anti")
+              .drop(FileCol, PosCol))
+          }
+        (cleanDf, touchedDf) match {
+          case (Some(c), Some(t)) => c.unionByName(t)
+          case (Some(c), None) => c
+          case (None, Some(t)) => t
+          case (None, None) =>
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        }
+    }
+  }
+
+  private def fileName(path: String): String = {
+    val i = path.lastIndexOf('/')
+    if (i < 0) path else path.substring(i + 1)
+  }
+
+  /** The table's LIVE rows: every data file minus the recorded
+    * tombstones (merge-on-read). With no delete debt this is a plain
+    * parquet scan — the read path costs nothing until a delete exists,
+    * and after one it costs a broadcast probe on only the files the
+    * debt names. */
+  def scan(spark: SparkSession, path: String): DataFrame = {
+    val files = parquetFiles(spark, path).map(_.toString)
+    val schema = spark.read.parquet(path).schema
+    readMinus(spark, files, schema, tombstoneFrame(spark, path),
+      tombstoneBytes(spark, path) <= broadcastTombstoneBytes)
+  }
+
+  /** [[Layout.prunedScan]] with the delete debt applied: resolve the
+    * box against the manifest (file-count-sized), subtract tombstones
+    * from only the kept files, re-apply the predicate. Manifest stats
+    * are write-time stats — a file whose live rows no longer reach the
+    * recorded min/max still prunes soundly (over-selection only). */
+  def prunedScan(spark: SparkSession, path: String,
+                 box: Seq[(String, Column, Column)]): DataFrame = {
+    require(box.nonEmpty, "prunedScan needs a box predicate")
+    val manifest = spark.read.parquet(s"${path}_manifest")
+    val kept = Layout.pruneFiles(manifest, box)
+      .select("__file").collect().map(r => r.getString(0))
+    val schema = spark.read.parquet(path).schema
+    val pred = box.map { case (c, lo, hi) => col(c).between(lo, hi) }
+      .reduce(_ && _)
+    readMinus(spark, kept.toSeq, schema, tombstoneFrame(spark, path),
+      tombstoneBytes(spark, path) <= broadcastTombstoneBytes)
+      .filter(pred)
+  }
+
+  /** Tombstone every LIVE row matching `cond`; returns how many rows
+    * were newly tombstoned. One pass over the table (filter + project
+    * of the hidden address columns — at 100 TB, schedule takedowns in
+    * batches so many requests share the pass); rows already tombstoned
+    * are skipped, so re-running the same predicate is a no-op writing
+    * nothing. The tombstone lands as ONE deterministic-named
+    * generation-stamped file (`del<g>-<seq>.parquet`). */
+  def deleteWhere(spark: SparkSession, path: String, cond: Column): Long = {
+    val hits = spark.read.parquet(path).filter(cond)
+      .select(element_at(split(col("_metadata.file_path"), "/"), -1)
+        .as(FileCol),
+        col("_metadata.row_index").as(PosCol))
+    writeTombstones(spark, path, hits)
+  }
+
+  /** Tombstone live rows whose `keyCol` appears in `keys` — the bulk
+    * takedown path (a checksum/id retraction list joined, not a
+    * predicate). `keys` may be any size: the join is a left-semi on
+    * the key, planned like any other join (broadcast when small). */
+  def deleteMatching(spark: SparkSession, path: String,
+                     keys: DataFrame, keyCol: String): Long = {
+    val addressed = spark.read.parquet(path)
+      .select(col(keyCol),
+        element_at(split(col("_metadata.file_path"), "/"), -1).as(FileCol),
+        col("_metadata.row_index").as(PosCol))
+    val hits = addressed
+      .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+      .select(FileCol, PosCol)
+    writeTombstones(spark, path, hits)
+  }
+
+  /** Stage `hits` minus already-recorded tombstones, land them under a
+    * deterministic name via the [[Layout.appendGeneration]]
+    * staging-then-rename discipline, return the count (read off the
+    * written file — never a second job over the table). */
+  private def writeTombstones(spark: SparkSession, path: String,
+                              hits: DataFrame): Long = {
+    val gen = currentGen(spark, path)
+    val fresh = tombstoneFrame(spark, path) match {
+      case Some(ts) => hits.join(ts, Seq(FileCol, PosCol), "left_anti")
+      case None => hits
+    }
+    val dDir = deletesDir(path)
+    val f = fs(spark, path)
+    val seq = parquetFiles(spark, dDir)
+      .map(_.getName).filter(_.startsWith(s"del$gen-"))
+      .map(n => n.stripPrefix(s"del$gen-").stripSuffix(".parquet").toLong)
+      .foldLeft(-1L)(math.max) + 1
+    val staging = s"${path}_incoming/del$gen-$seq"
+    fresh.withColumn(GenCol, lit(gen))
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = f.listStatus(new Path(staging))
+      .filter(_.getPath.getName.startsWith("part-")).head.getPath
+    val written = spark.read.parquet(part.toString)
+    val n = written.count()
+    if (n > 0) {
+      f.mkdirs(new Path(dDir))
+      val dst = new Path(dDir, s"del$gen-$seq.parquet")
+      require(f.rename(part, dst), s"deleteWhere: $part -> $dst failed")
+    }
+    f.delete(new Path(s"${path}_incoming/del$gen-$seq"), true)
+    n
+  }
+
+  /** Streamed takedown feed: retraction keys arriving through
+    * `readStream` land as tombstones per micro-batch (AvailableNow
+    * drain — returns when every available request is recorded).
+    * `foreachBatch`'s at-least-once replay contract is safe WITHOUT
+    * generation-keyed files here because deletes are content-idempotent
+    * by construction: [[deleteMatching]] anti-joins the already-recorded
+    * tombstones, so a replayed batch records nothing (spec'd) — the
+    * effect, not the file set, is exactly-once. Each batch costs one
+    * pass over the table's key column; batch takedown cadences
+    * accordingly (the checkpoint under `<path>_del_ckpt` carries
+    * offsets, so a slow cadence never re-reads old requests). */
+  def deleteMatchingStream(keys: DataFrame, path: String,
+                           keyCol: String): Unit = {
+    val spark = keys.sparkSession
+    val q = keys.writeStream
+      .option("checkpointLocation", s"${path}_del_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        deleteMatching(spark, path, batch, keyCol); ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Keyed last-writer-wins merge, merge-on-read: tombstone the live
+    * rows whose key appears in `updates`, then land `updates` as a new
+    * z-ordered generation — history is never rewritten, one pass over
+    * the table (the delete) plus one over the batch (the append).
+    * `updates` must be key-unique (raises otherwise — two versions of
+    * a key in one batch have no defined winner). On a
+    * generation-managed table the batch lands as generation
+    * max+1 (snapshot-addressable); otherwise as a plain append. */
+  def upsertByKey(spark: SparkSession, path: String, updates: DataFrame,
+                  keyCol: String, cols: Seq[String], bits: Int = 12,
+                  partitions: Int = 0): Unit = {
+    val dup = updates.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"upsertByKey: updates carry duplicate $keyCol=${dup.headOption
+        .map(_.get(0)).orNull} — last-writer-wins needs one row per key")
+    deleteMatching(spark, path, updates.select(keyCol), keyCol)
+    val gen = currentGen(spark, path)
+    if (gen >= 0)
+      Layout.appendGeneration(spark, path, updates, cols, bits,
+        partitions, gen + 1)
+    else Layout.appendZordered(spark, path, updates, cols, bits, partitions)
+  }
+
+  /** The table as of generation `gen`: data files born at or before it,
+    * minus tombstones stamped at or before it. Requires a
+    * generation-managed layout ([[Layout.appendGeneration]] names carry
+    * the generation); base `part-*` files count as generation −1 so
+    * `scanAsOf(-1)` is the pre-append base. A manifest is not consulted
+    * — snapshots are for audits and diffs, not hot serving. */
+  def scanAsOf(spark: SparkSession, path: String, gen: Long): DataFrame = {
+    val files = parquetFiles(spark, path)
+      .filter(p => genOf(p.getName) <= gen).map(_.toString)
+    val schema = spark.read.parquet(path).schema
+    readMinus(spark, files, schema, tombstoneFrame(spark, path, gen),
+      tombstoneBytes(spark, path) <= broadcastTombstoneBytes)
+  }
+
+  /** Make the `gen` snapshot permanent: delete data files, manifest
+    * slices, and tombstone files stamped AFTER it. File-system
+    * arithmetic only — never a data pass. The next
+    * [[Layout.appendGeneration]] may reuse the rolled-back ids (each
+    * rewrites exactly its own files, so reuse is safe). */
+  def rollback(spark: SparkSession, path: String, gen: Long): Unit = {
+    val f = fs(spark, path)
+    parquetFiles(spark, path)
+      .filter(p => genOf(p.getName) > gen)
+      .foreach(p => f.delete(p, false))
+    parquetFiles(spark, s"${path}_manifest")
+      .filter { p =>
+        val digits = p.getName.stripPrefix("gen").stripSuffix(".parquet")
+        p.getName.startsWith("gen") && digits.nonEmpty &&
+          digits.forall(_.isDigit) && digits.toLong > gen
+      }
+      .foreach(p => f.delete(p, false))
+    parquetFiles(spark, deletesDir(path))
+      .filter(p => delGenOf(p.getName) > gen)
+      .foreach(p => f.delete(p, false))
+  }
+
+  /** Fold the debt in: rewrite the LIVE rows as one fresh z-ordered
+    * layout (staging dir, swapped in — the [[Layout.maintainLayout]]
+    * rebuild discipline), clear the tombstone directory, rebuild the
+    * manifest. THE one full-table pass in the lifecycle — schedule it
+    * by [[deleteDebt]] ratio or small-file count, not per delete.
+    * Doubles as small-file bin-packing: `targetBytes` sizes the output
+    * partitioning from the table's current on-disk bytes (an upper
+    * bound on live bytes — debt only shrinks it). Generation history
+    * collapses: the compacted table is a fresh base (snapshot
+    * addresses before the compaction are gone, like any lakehouse
+    * snapshot expiration). */
+  def compact(spark: SparkSession, path: String, cols: Seq[String],
+              bits: Int = 12, partitions: Int = 0,
+              targetBytes: Long = 0L): Unit = {
+    val f = fs(spark, path)
+    val parts =
+      if (partitions > 0) partitions
+      else if (targetBytes > 0L) {
+        val bytes = parquetFiles(spark, path)
+          .map(p => f.getFileStatus(p).getLen).sum
+        math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      } else 0
+    val staged = s"${path}_rebuild"
+    Layout.zorder(scan(spark, path), cols, bits, parts)
+      .write.mode("overwrite").parquet(staged)
+    f.delete(new Path(path), true)
+    require(f.rename(new Path(staged), new Path(path)),
+      s"compact: rename $staged -> $path failed")
+    f.delete(new Path(deletesDir(path)), true)
+    f.delete(new Path(s"${path}_manifest"), true)
+    Layout.writeManifest(spark, path, cols)
+  }
+}

@@ -256,7 +256,15 @@ object ScaleBench {
     // the activity frame's third report (one period rollup — flat) and
     // the session-length ride (the st_sessionize exchange + a
     // gap-bounded domain window)
-    "ev_stickiness", "st_session_durations", "ev_engagement_hist")
+    "ev_stickiness", "st_session_durations", "ev_engagement_hist",
+    // round-15 session-4: the mutation half of the lake layout. Each
+    // gate pays the full write-layout-then-mutate-then-scan cycle by
+    // construction (like layout_zorder_scan): expect ~linear wall in
+    // events — the delete is one table pass, the live scan splits so
+    // only tombstoned files join. layout_upsert rides orders (key
+    // uniqueness); the snapshot/rollback gates build two generations
+    "layout_delete_scan", "layout_takedown", "layout_upsert",
+    "layout_time_travel", "layout_rollback")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length
@@ -460,6 +468,36 @@ object ScaleBench {
           "query_id")
         graft.llm.Retrieval.hybridTopKAgainst(bidx, vidx, q, k = 5,
           nprobe = 4, minRecall = 0.2, sampleN = 8)
+      }),
+      // STEADY-STATE merge-on-read scan: the layout is written and a
+      // ~1.4% takedown recorded ONCE per corpus dir (warmup pays it —
+      // the takedown cadence); the timed runs pay what every reader
+      // pays FOREVER after a delete: the split scan where clean files
+      // stream through join-free and only tombstoned files ride the
+      // broadcast anti-join. The oracle-mode layout_delete_scan gate
+      // times the whole write+delete cycle; this row isolates the
+      // serving cost, which must stay ~linear in the data and FLAT in
+      // the debt
+      "lakehouse_live_scan" -> ((s, dir) => {
+        val f = org.apache.spark.sql.functions
+        val root = lakehouseDir.computeIfAbsent(dir, _ => {
+          val ev = graft.Tables.load(s, dir, "events")
+            .filter(f.col("value").isNotNull)
+            .select("event_id", "event_type", "value")
+          val path = java.nio.file.Files
+            .createTempDirectory("graft-lake-live").toString + "/events"
+          graft.core.Layout.zorder(ev, Seq("value", "event_id"),
+              bits = 8, partitions = 16)
+            .write.parquet(path)
+          graft.core.Lakehouse.deleteWhere(s, path,
+            f.col("event_id") % 71 === 0)
+          path
+        })
+        graft.core.Lakehouse.scan(s, root)
+          .groupBy("event_type")
+          .agg(f.count(f.lit(1)).as("n"),
+            f.sum(f.col("value").cast("decimal(18,2)")).cast("double")
+              .as("sum_value"))
       }))
 
   private val compactedBm25 =
@@ -467,6 +505,8 @@ object ScaleBench {
   private val hybridIdx =
     new java.util.concurrent.ConcurrentHashMap[String,
       (graft.llm.Retrieval.Bm25Index, graft.llm.Similarity.VectorIndex)]()
+  private val lakehouseDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The standard fixed 20-query probe log (the text_bm25_topk set). */
   private def probeQueries(s: SparkSession, dir: String) = {

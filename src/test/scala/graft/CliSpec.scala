@@ -215,6 +215,51 @@ class CliSpec extends SparkSpec {
     assert(b3 == 2 && e3.contains("unknown option: --bots"), e3)
   }
 
+  test("layout mutation verbs: delete-where, delete-keys, compact, " +
+      "and the loud option errors") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("cli-lake")
+    val srcPath = s"$work/src.parquet"
+    val outDir = s"$work/laid"
+    spark.range(5000).select(col("id"),
+        (col("id") % 100).cast("double").as("x"),
+        (col("id") / 100).cast("double").as("y"))
+      .write.parquet(srcPath)
+    val (c0, j0) = cli("layout", "--src", srcPath, "-o", outDir,
+      "--cols", "x,y", "--bits", "6", "--partitions", "8")
+    assert(c0 == 0 && j0.contains("\"delete_debt\":0"), j0)
+    // predicate takedown: 500 rows tombstoned, debt visible
+    val (c1, j1) = cli("layout", "-o", outDir, "--cols", "x,y",
+      "--delete-where", "x >= 90.0")
+    assert(c1 == 0, j1)
+    assert(j1.contains("\"deleted\":500") &&
+      j1.contains("\"delete_debt\":500"), j1)
+    // key-list takedown on top; replayed list deletes nothing new
+    val keysPath = s"$work/keys.parquet"
+    spark.range(3).select((col("id") * 1000).as("id"))
+      .write.parquet(keysPath)
+    val (c2, j2) = cli("layout", "-o", outDir, "--cols", "x,y",
+      "--delete-keys", keysPath, "--key", "id")
+    assert(c2 == 0 && j2.contains("\"deleted\":3") &&
+      j2.contains("\"delete_debt\":503"), j2)
+    val (c3, j3) = cli("layout", "-o", outDir, "--cols", "x,y",
+      "--delete-keys", keysPath, "--key", "id")
+    assert(c3 == 0 && j3.contains("\"deleted\":0"), j3)
+    // compact folds the debt in and bin-packs
+    val (c4, j4) = cli("layout", "-o", outDir, "--cols", "x,y",
+      "--compact", "--partitions", "2")
+    assert(c4 == 0 && j4.contains("\"rebuilt\":true") &&
+      j4.contains("\"delete_debt\":0") && j4.contains("\"files\":2"), j4)
+    assert(spark.read.parquet(outDir).count() == 4497)
+    // loud errors: two verbs at once, delete-keys without --key
+    val (b1, e1) = cli("layout", "-o", outDir, "--cols", "x,y",
+      "--compact", "--rollback", "0")
+    assert(b1 == 2 && e1.contains("not both"), e1)
+    val (b2, e2) = cli("layout", "-o", outDir, "--cols", "x,y",
+      "--delete-keys", keysPath)
+    assert(b2 == 2 && e2.contains("--key"), e2)
+  }
+
   test("config prints archive and dataset configuration (cli.py:97-108)") {
     // golden output against the reference fixture's own config.yml
     val archive = "/root/reference/tests/fixtures/archive"

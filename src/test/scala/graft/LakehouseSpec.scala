@@ -1,0 +1,259 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Lakehouse, Layout}
+
+/** The layout's mutation half: positional tombstones, merge-on-read
+  * scans with the clean-file split, keyed upserts, generation time
+  * travel, rollback, and the compaction that folds the debt in. */
+class LakehouseSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  /** 1000 rows over a 2-D grid, laid out z-ordered across 8 files. */
+  private def freshTable(path: String): Unit = {
+    val df = spark.range(1000).select(
+      col("id"),
+      (col("id") % 100).cast("double").as("x"),
+      (col("id") / 100).cast("double").as("y"))
+    Layout.zorder(df, Seq("x", "y"), bits = 6, partitions = 8)
+      .write.parquet(path)
+    Layout.writeManifest(spark, path, Seq("x", "y"))
+  }
+
+  test("deleteWhere: scan excludes exactly the matched rows; " +
+      "re-running the same predicate is a no-op; debt is counted") {
+    val path = tmp("lake-del")
+    freshTable(path)
+    val n = Lakehouse.deleteWhere(spark, path, col("x") >= 40.0)
+    assert(n == 600L) // ids with id%100 in [40,100)
+    assert(Lakehouse.deleteDebt(spark, path) == 600L)
+    val live = Lakehouse.scan(spark, path)
+    assert(live.count() == 400L)
+    assert(live.filter(col("x") >= 40.0).count() == 0L)
+    // idempotent: same predicate again records nothing new
+    assert(Lakehouse.deleteWhere(spark, path, col("x") >= 40.0) == 0L)
+    assert(Lakehouse.deleteDebt(spark, path) == 600L)
+    // a second, overlapping predicate records only the fresh rows
+    assert(Lakehouse.deleteWhere(spark, path, col("x") >= 30.0) == 100L)
+    assert(Lakehouse.scan(spark, path).count() == 300L)
+  }
+
+  test("deleteWhere with no matches writes nothing") {
+    val path = tmp("lake-del0")
+    freshTable(path)
+    assert(Lakehouse.deleteWhere(spark, path, col("x") > 1e9) == 0L)
+    assert(Lakehouse.deleteDebt(spark, path) == 0L)
+    assert(!new java.io.File(Lakehouse.deletesDir(path)).exists())
+    assert(Lakehouse.scan(spark, path).count() == 1000L)
+  }
+
+  test("scan without any delete debt is a plain parquet read (no join)") {
+    val path = tmp("lake-clean")
+    freshTable(path)
+    val plan = Lakehouse.scan(spark, path)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("scan with small debt broadcasts the anti-join and leaves " +
+      "untouched files out of the join entirely") {
+    val path = tmp("lake-split")
+    freshTable(path)
+    // tombstone rows from ONE corner of the grid — z-order keeps that
+    // corner in a minority of the 8 files
+    assert(Lakehouse.deleteWhere(spark, path,
+      col("x") < 10.0 && col("y") < 1.0) > 0L)
+    val live = Lakehouse.scan(spark, path)
+    val plan = live.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan)
+    // the clean-file split: two parquet scans, only one under the join
+    assert(plan.contains("Union"), plan)
+    assert(live.count() == 1000L -
+      spark.read.parquet(path)
+        .filter(col("x") < 10.0 && col("y") < 1.0).count())
+  }
+
+  test("deleteMatching: bulk takedown by key list") {
+    val path = tmp("lake-take")
+    freshTable(path)
+    import spark.implicits._
+    val keys = Seq(1L, 5L, 7L, 999L, 5000L).toDF("id") // 5000 absent
+    assert(Lakehouse.deleteMatching(spark, path, keys, "id") == 4L)
+    val live = Lakehouse.scan(spark, path)
+    assert(live.count() == 996L)
+    assert(live.filter(col("id").isin(1L, 5L, 7L, 999L)).count() == 0L)
+    // replay of the same list: nothing fresh
+    assert(Lakehouse.deleteMatching(spark, path, keys, "id") == 0L)
+  }
+
+  test("prunedScan composes manifest pruning with the delete debt") {
+    val path = tmp("lake-pruned")
+    freshTable(path)
+    Lakehouse.deleteWhere(spark, path, col("y") < 2.0 && col("x") < 50.0)
+    val got = Lakehouse.prunedScan(spark, path,
+        Seq(("x", lit(0.0), lit(60.0)), ("y", lit(0.0), lit(3.0))))
+      .select("id").collect().map(_.getLong(0)).sorted
+    val want = spark.range(1000).select(col("id"),
+        (col("id") % 100).cast("double").as("x"),
+        (col("id") / 100).cast("double").as("y"))
+      .filter(col("x").between(0.0, 60.0) && col("y").between(0.0, 3.0) &&
+        !(col("y") < 2.0 && col("x") < 50.0))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("upsertByKey: updates win, inserts land, base survives; " +
+      "duplicate-key batches raise") {
+    val path = tmp("lake-upsert")
+    freshTable(path)
+    import spark.implicits._
+    val updates = Seq(
+      (3L, -1.0, -1.0),   // update
+      (999L, -2.0, -2.0), // update
+      (5000L, 9.0, 9.0)   // insert (new key)
+    ).toDF("id", "x", "y")
+    Lakehouse.upsertByKey(spark, path, updates, "id", Seq("x", "y"),
+      bits = 6, partitions = 2)
+    val live = Lakehouse.scan(spark, path)
+    assert(live.count() == 1001L)
+    assert(live.filter(col("id") === 3L).select("x")
+      .head().getDouble(0) == -1.0)
+    assert(live.filter(col("id") === 5000L).count() == 1L)
+    assert(live.filter(col("id") === 4L).select("x")
+      .head().getDouble(0) == 4.0) // untouched
+    val dup = Seq((1L, 0.0, 0.0), (1L, 1.0, 1.0)).toDF("id", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.upsertByKey(spark, path, dup, "id", Seq("x", "y"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("compact folds the debt in: content invariant, tombstones " +
+      "cleared, manifest rebuilt, files bin-packed") {
+    val path = tmp("lake-compact")
+    freshTable(path)
+    Lakehouse.deleteWhere(spark, path, col("x") >= 50.0)
+    val before = Lakehouse.scan(spark, path)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    Lakehouse.compact(spark, path, Seq("x", "y"), bits = 6, partitions = 2)
+    assert(Lakehouse.deleteDebt(spark, path) == 0L)
+    assert(!new java.io.File(Lakehouse.deletesDir(path)).exists())
+    val after = Lakehouse.scan(spark, path)
+    assert(after.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == before)
+    // physically applied: the raw read no longer contains deleted rows
+    assert(spark.read.parquet(path).filter(col("x") >= 50.0).count() == 0L)
+    // bin-packed to the asked partitioning
+    assert(new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet")) == 2)
+    // manifest agrees with the rewritten files
+    val manifest = spark.read.parquet(s"${path}_manifest")
+    assert(manifest.count() == 2L)
+    val health = Layout.layoutHealth(manifest, Seq("x", "y"))
+    assert(health.files == 2L)
+  }
+
+  test("compact with targetBytes sizes the output from on-disk bytes") {
+    val path = tmp("lake-target")
+    freshTable(path)
+    val bytes = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    // target = half the table → 2 output files
+    Lakehouse.compact(spark, path, Seq("x", "y"), bits = 6,
+      targetBytes = (bytes + 1) / 2)
+    assert(new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 2)
+    assert(Lakehouse.scan(spark, path).count() == 1000L)
+  }
+
+  test("scanAsOf: generation snapshots, deletes folded into the " +
+      "generation they were issued under") {
+    val path = tmp("lake-asof")
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi).select(
+      col("id"), (col("id") % 100).cast("double").as("x"),
+      (col("id") / 100).cast("double").as("y"))
+    Layout.appendGeneration(spark, path, mk(0L, 500L), Seq("x", "y"),
+      bits = 6, partitions = 2, gen = 0L)
+    Layout.appendGeneration(spark, path, mk(500L, 1000L), Seq("x", "y"),
+      bits = 6, partitions = 2, gen = 1L)
+    assert(Lakehouse.currentGen(spark, path) == 1L)
+    // a delete issued while the table sits at generation 1
+    Lakehouse.deleteWhere(spark, path, col("id") < 10L)
+    assert(Lakehouse.scan(spark, path).count() == 990L)
+    // gen-0 snapshot: second generation AND the later delete invisible
+    val asOf0 = Lakehouse.scanAsOf(spark, path, 0L)
+    assert(asOf0.count() == 500L)
+    assert(asOf0.filter(col("id") < 10L).count() == 10L)
+    // gen-1 snapshot = live
+    assert(Lakehouse.scanAsOf(spark, path, 1L).count() == 990L)
+  }
+
+  test("rollback makes a snapshot permanent and appends keep working") {
+    val path = tmp("lake-roll")
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi).select(
+      col("id"), (col("id") % 100).cast("double").as("x"),
+      (col("id") / 100).cast("double").as("y"))
+    Layout.appendGeneration(spark, path, mk(0L, 500L), Seq("x", "y"),
+      bits = 6, partitions = 2, gen = 0L)
+    Layout.appendGeneration(spark, path, mk(500L, 1000L), Seq("x", "y"),
+      bits = 6, partitions = 2, gen = 1L)
+    Lakehouse.deleteWhere(spark, path, col("id") < 10L) // stamped gen 1
+    Lakehouse.rollback(spark, path, 0L)
+    assert(Lakehouse.currentGen(spark, path) == 0L)
+    assert(Lakehouse.scan(spark, path).count() == 500L)
+    assert(Lakehouse.deleteDebt(spark, path) == 0L)
+    // manifest slices past the snapshot are gone too
+    assert(spark.read.parquet(s"${path}_manifest").count() == 2L)
+    // life goes on: the freed generation id is reusable
+    Layout.appendGeneration(spark, path, mk(500L, 600L), Seq("x", "y"),
+      bits = 6, partitions = 1, gen = 1L)
+    assert(Lakehouse.scan(spark, path).count() == 600L)
+  }
+
+  test("deleteMatchingStream: key batches drain as tombstones; a " +
+      "second drain picks up only new requests (offsets carried)") {
+    val path = tmp("lake-delstream")
+    freshTable(path)
+    val reqDir = java.nio.file.Files
+      .createTempDirectory("lake-requests").toString
+    spark.range(0, 5).select(col("id"))
+      .coalesce(1).write.parquet(s"$reqDir/b0")
+    spark.range(5, 9).select(col("id"))
+      .coalesce(1).write.parquet(s"$reqDir/b1")
+    def drain(): Unit = graft.core.Lakehouse.deleteMatchingStream(
+      spark.readStream.schema("id LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$reqDir/*/"),
+      path, "id")
+    drain()
+    assert(graft.core.Lakehouse.deleteDebt(spark, path) == 9L)
+    assert(graft.core.Lakehouse.scan(spark, path).count() == 991L)
+    // a third request file arrives; the checkpoint skips the old ones
+    spark.range(9, 12).select(col("id"))
+      .coalesce(1).write.parquet(s"$reqDir/b2")
+    drain()
+    assert(graft.core.Lakehouse.deleteDebt(spark, path) == 12L)
+    assert(graft.core.Lakehouse.scan(spark, path).count() == 988L)
+  }
+
+  test("delete debt survives an appendGeneration replay: positions " +
+      "reference only files the replay does not touch") {
+    val path = tmp("lake-replay")
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi).select(
+      col("id"), (col("id") % 100).cast("double").as("x"),
+      (col("id") / 100).cast("double").as("y"))
+    Layout.appendGeneration(spark, path, mk(0L, 500L), Seq("x", "y"),
+      bits = 6, partitions = 2, gen = 0L)
+    Layout.appendGeneration(spark, path, mk(500L, 1000L), Seq("x", "y"),
+      bits = 6, partitions = 2, gen = 1L)
+    // tombstones land only in generation-0 files
+    Lakehouse.deleteWhere(spark, path, col("id") < 10L)
+    // generation 1 replays (at-least-once delivery) — same batch
+    Layout.appendGeneration(spark, path, mk(500L, 1000L), Seq("x", "y"),
+      bits = 6, partitions = 2, gen = 1L)
+    assert(Lakehouse.scan(spark, path).count() == 990L)
+  }
+}
