@@ -1578,6 +1578,30 @@ object SparkEntry {
             .as("sum_value"))
     }),
 
+    "layout_point_lookup" -> ((s, dir) => {
+      // point lookup through the Bloom membership manifest: min/max
+      // stats cannot prune a high-cardinality point predicate (every
+      // file's id range spans the domain unless the layout is keyed on
+      // it), so the manifest answers "which files COULD hold these
+      // keys" per-file-sketch-probe, only those files are read, the
+      // delete debt applies, and the exact IN predicate re-applies
+      // (Bloom over-selection harmless). Twin: the raw table under the
+      // same IN + complement-of-delete predicate
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-zpoint").toString + "/events"
+      graft.core.Layout.zorder(ev, Seq("event_id"), bits = 8,
+          partitions = 8)
+        .write.parquet(root)
+      graft.core.Layout.writeBloomManifest(s, root, "event_id",
+        expectedKeysPerFile = 1L << 16, fpp = 0.001)
+      graft.core.Lakehouse.deleteWhere(s, root,
+        col("value").between(20.0, 60.0))
+      graft.core.Lakehouse.pointLookup(s, root, "event_id",
+        Seq(3L, 97L, 310L, 555L, 808L, 999L))
+    }),
+
     "ev_anomaly_sketch_stream" -> ((s, dir) => {
       // the sketch-served anomaly screen on a LIVE stream: med/MAD
       // read once from the bounded KLL state, then the same stateless
@@ -4977,6 +5001,14 @@ object SparkEntry {
         |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
         |       ELSE o_totalprice END AS o_totalprice
         |FROM orders""".stripMargin,
+    // Bloom-manifest point lookup: files resolved by membership sketch,
+    // tombstones subtracted, exact IN re-applied — ≡ the raw table under
+    // the same IN plus the complement of the delete
+    "layout_point_lookup" ->
+      """SELECT event_id, event_type, value
+        |FROM events
+        |WHERE value IS NOT NULL AND NOT (value BETWEEN 20.0 AND 60.0)
+        |  AND event_id IN (3, 97, 310, 555, 808, 999)""".stripMargin,
     // generation snapshot: asOf(0) sees the first generation only —
     // neither the gen-1 files nor the tombstones stamped at gen 1
     "layout_time_travel" -> LayoutEvenHalfOracle,

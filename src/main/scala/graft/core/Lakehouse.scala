@@ -270,6 +270,47 @@ object Lakehouse {
     n
   }
 
+  /** Point lookup through the Bloom membership manifest
+    * ([[Layout.writeBloomManifest]]): resolve which files COULD hold
+    * any of `values` (a manifest-sized read probing each file's sketch
+    * — "false ⇒ definitely absent", so skipped files are provably
+    * clean), read only those minus the delete debt, and RE-APPLY the
+    * exact `IN` predicate — over-selection from Bloom false positives
+    * is harmless. Files absent from the manifest (appended after it
+    * was built) are treated as KEPT: staleness degrades the skip rate,
+    * never results. This is the takedown-verification primitive at
+    * 100 TB — "which files still hold these checksums" costs a
+    * manifest read plus the few files that might, not a table pass.
+    * `values` is a literal handful (each adds one probe per manifest
+    * row); for retraction-list scale use [[deleteMatching]]'s join. */
+  def pointLookup(spark: SparkSession, path: String, keyCol: String,
+                  values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "pointLookup needs at least one value")
+    val bDir = s"${path}_bloom_$keyCol"
+    require(fs(spark, path).exists(new Path(bDir)),
+      s"pointLookup: no Bloom manifest at $bDir — run " +
+        s"Layout.writeBloomManifest(spark, path, \"$keyCol\") first")
+    val bm = spark.read.parquet(bDir)
+    // probe hashes computed THROUGH Spark's own xxhash64 (one 1-row
+    // job) so any literal type hashes exactly as the build side did
+    val hashes = spark.range(1)
+      .select(values.map(v => xxhash64(lit(v))): _*)
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val might = graft.expressions.GraftExpressions
+      .bloomMightContainAny(col("__bloom"), hashes)
+    val manifested = bm.select("__file").collect().map(_.getString(0))
+      .map(fileName).toSet
+    val kept = bm.filter(might).select("__file")
+      .collect().map(r => fileName(r.getString(0))).toSet
+    val files = parquetFiles(spark, path).map(_.toString)
+      .filter(f => kept.contains(fileName(f)) ||
+        !manifested.contains(fileName(f)))
+    val schema = spark.read.parquet(path).schema
+    readMinus(spark, files, schema, tombstoneFrame(spark, path),
+      tombstoneBytes(spark, path) <= broadcastTombstoneBytes)
+      .filter(col(keyCol).isin(values: _*))
+  }
+
   /** Streamed takedown feed: retraction keys arriving through
     * `readStream` land as tombstones per micro-batch (AvailableNow
     * drain — returns when every available request is recorded).
@@ -385,5 +426,17 @@ object Lakehouse {
     f.delete(new Path(deletesDir(path)), true)
     f.delete(new Path(s"${path}_manifest"), true)
     Layout.writeManifest(spark, path, cols)
+    // Bloom manifests reference the files the rewrite just replaced —
+    // rebuild each one found (default geometry) so point lookups keep
+    // their skip rate instead of falling back to stale-safe full keeps
+    val parent = new Path(path).getParent
+    val prefix = s"${new Path(path).getName}_bloom_"
+    if (parent != null && f.exists(parent))
+      f.listStatus(parent).map(_.getPath)
+        .filter(p => p.getName.startsWith(prefix))
+        .foreach { p =>
+          Layout.writeBloomManifest(spark, path,
+            p.getName.stripPrefix(prefix))
+        }
   }
 }

@@ -102,6 +102,47 @@ object Layout {
     mPath
   }
 
+  /** Per-file Bloom MEMBERSHIP manifest over `keyCol` — the
+    * data-skipping structure for POINT predicates on high-cardinality
+    * columns, where min/max spans are useless (a checksum's range
+    * covers the domain in every file; its membership does not). One
+    * row per file: `(__file, __bloom)`, the key hashed to a LONG via
+    * `xxhash64` (the probe side must hash identically —
+    * [[graft.core.Lakehouse.pointLookup]] does). Size the geometry at
+    * the FILE grain: `expectedKeysPerFile` ≈ rows per output file
+    * (1 GB parquet ≈ a few million keys; fpp 0.01 ≈ 1.2 MB per file —
+    * manifest bytes stay file-count-bounded like the min/max stats).
+    * A file whose key column is all null carries a null sketch —
+    * a point probe can never match a null key, so skipping it is
+    * sound. Probes answer "false ⇒ DEFINITELY not in this file"; a
+    * true is fpp-probably wrong, which only over-selects — the scan
+    * re-applies the predicate ([[Lakehouse.pointLookup]]), so the
+    * structure is performance-only, never correctness. */
+  def bloomManifest(df: DataFrame, keyCol: String,
+                    expectedKeysPerFile: Long = 1L << 21,
+                    fpp: Double = 0.01): DataFrame =
+    df.groupBy(input_file_name().as("__file"))
+      .agg(graft.expressions.GraftExpressions.bloomSketch(
+        xxhash64(col(keyCol)), expectedKeysPerFile, fpp).as("__bloom"))
+
+  /** Build and persist the Bloom membership manifest for `keyCol` at
+    * `<path>_bloom_<keyCol>`; returns the manifest path. Files written
+    * AFTER this (appends) are simply absent from it —
+    * [[graft.core.Lakehouse.pointLookup]] treats unmanifested files as
+    * kept, so staleness degrades pruning, never results; re-run here
+    * (or let [[graft.core.Lakehouse.compact]] do it — it rebuilds every
+    * `_bloom_*` manifest it finds) to restore the skip rate. */
+  def writeBloomManifest(spark: org.apache.spark.sql.SparkSession,
+                         path: String, keyCol: String,
+                         expectedKeysPerFile: Long = 1L << 21,
+                         fpp: Double = 0.01): String = {
+    val bPath = s"${path}_bloom_$keyCol"
+    bloomManifest(spark.read.parquet(path), keyCol, expectedKeysPerFile,
+        fpp)
+      .coalesce(1).write.mode("overwrite").parquet(bPath)
+    bPath
+  }
+
   /** The files of a manifest that a conjunctive inclusive box
     * predicate (`col BETWEEN lo AND hi` for every entry) could touch:
     * interval-overlap on the per-file min/max, all-null files out.

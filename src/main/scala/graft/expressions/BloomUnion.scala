@@ -191,3 +191,60 @@ case class BloomUnion(
     copy(inputAggBufferOffset = offset)
   override def prettyName: String = "graft_bloom_union"
 }
+
+/** Static probe helper shared by [[BloomMightContainAny]]'s interpreted
+  * and generated paths. */
+object BloomProbe {
+  def mightContainAny(
+      bytes: Array[Byte],
+      keys: org.apache.spark.sql.catalyst.util.ArrayData): Boolean = {
+    val bf = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+    var i = 0
+    while (i < keys.numElements()) {
+      if (bf.mightContainLong(keys.getLong(i))) return true
+      i += 1
+    }
+    false
+  }
+}
+
+/** Disjunctive membership probe of a hash LIST against a PER-ROW Bloom
+  * binary — the per-file manifest probe Spark's native `might_contain`
+  * refuses (it requires a constant sketch, the runtime-join-filter
+  * shape; a data-skipping manifest has one sketch per FILE row).
+  * `true` when ANY key might be present (fpp-probably wrong — callers
+  * re-apply the exact predicate); `false` ⇒ every key definitely
+  * absent. Deserializes the blob per row — sound at manifest grain,
+  * where input is file-count-bounded, NOT a per-data-row expression.
+  * Null sketch (all-null-key file) → null → filtered out, which is
+  * sound: a point probe cannot match a null key. Codegen'd. */
+case class BloomMightContainAny(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_any expects (sketch BINARY, keys ARRAY<BIGINT>), " +
+          s"got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(sketch: Any, keys: Any): Any =
+    java.lang.Boolean.valueOf(BloomProbe.mightContainAny(
+      sketch.asInstanceOf[Array[Byte]],
+      keys.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, k) =>
+      s"${ev.value} = graft.expressions.BloomProbe.mightContainAny($s, $k);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): BloomMightContainAny = copy(l, r)
+  override def prettyName: String = "graft_bloom_any"
+}

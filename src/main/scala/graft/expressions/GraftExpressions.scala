@@ -936,6 +936,17 @@ object GraftExpressions {
     toCol(new org.apache.spark.sql.catalyst.expressions
       .BloomFilterMightContain(expr(sketch), expr(key)))
 
+  /** Disjunctive membership probe of literal hash keys against a
+    * PER-ROW Bloom binary (the per-file data-skipping manifest probe —
+    * Spark's native `might_contain` requires a constant sketch); see
+    * [[BloomMightContainAny]]. Keys must be the SAME hash the sketch
+    * was built over (xxhash64 for [[graft.core.Layout.bloomManifest]]). */
+  def bloomMightContainAny(sketch: Column, keys: Seq[Long]): Column =
+    toCol(BloomMightContainAny(expr(sketch),
+      org.apache.spark.sql.catalyst.expressions.CreateArray(
+        keys.map(k => org.apache.spark.sql.catalyst.expressions
+          .Literal(k, org.apache.spark.sql.types.LongType)))))
+
   /** Count–Min frequency sketch aggregate over a STRING column →
     * sketch binary; see [[CountMinAgg]]. md5-lane cell hashing: an
     * external engine reproduces every cell as

@@ -264,7 +264,13 @@ object ScaleBench {
     // only tombstoned files join. layout_upsert rides orders (key
     // uniqueness); the snapshot/rollback gates build two generations
     "layout_delete_scan", "layout_takedown", "layout_upsert",
-    "layout_time_travel", "layout_rollback")
+    "layout_time_travel", "layout_rollback",
+    // bloom-manifest point lookup: the gate pays layout write + bloom
+    // manifest build + delete + probe; the probe itself is
+    // manifest-sized (one sketch row per file) and the data read is
+    // the kept files only — expect the build stages ~linear, the
+    // lookup flat
+    "layout_point_lookup")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

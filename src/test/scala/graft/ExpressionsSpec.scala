@@ -319,6 +319,15 @@ class ExpressionsSpec extends SparkSpec {
       codegenLine(docs.select(GraftExpressions.interleaveBits(
         Seq($"doc_id", ($"doc_id" * 7L) % 100L), 8).as("z")),
         "graft_interleave_bits")
+      // the per-file Bloom manifest probe: per-ROW sketch, literal keys
+      val bmRows = docs.groupBy(($"doc_id" % 4).as("g"))
+        .agg(GraftExpressions.bloomSketch(
+          org.apache.spark.sql.functions.xxhash64($"doc_id"),
+          1000L, 0.01).as("b"))
+        .repartition(2) // barrier: keep the probe out of the agg's
+                        // result projection so its own span is visible
+      codegenLine(bmRows.select(GraftExpressions.bloomMightContainAny(
+        $"b", Seq(1L, 2L, 3L)).as("m")), "graft_bloom_any")
       // the CDF rank serve: explode once, binary-search per row
       val sk = docs.agg(GraftExpressions.kllSketch(
         org.apache.spark.sql.functions.length($"text").cast("double"),

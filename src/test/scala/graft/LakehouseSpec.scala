@@ -239,6 +239,66 @@ class LakehouseSpec extends SparkSpec {
     assert(graft.core.Lakehouse.scan(spark, path).count() == 988L)
   }
 
+  test("pointLookup: bloom manifest skips most files, result equals " +
+      "the direct filter, tombstones apply, misses raise") {
+    val path = tmp("lake-bloom")
+    // 64 files, ids range-clustered so each id lives in exactly 1 file
+    val df = spark.range(64000).select(col("id"),
+      (col("id") % 100).cast("double").as("x"))
+    Layout.zorder(df, Seq("id"), bits = 8, partitions = 64)
+      .write.parquet(path)
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.pointLookup(spark, path, "id", Seq(7L))
+    }
+    assert(e.getMessage.contains("writeBloomManifest"))
+    Layout.writeBloomManifest(spark, path, "id",
+      expectedKeysPerFile = 2000L, fpp = 0.001)
+    // the skip property: 3 point keys touch a handful of the 64 files
+    val bm = spark.read.parquet(s"${path}_bloom_id")
+    assert(bm.count() == 64L)
+    val probes = Seq(7L, 31000L, 63999L)
+    val hashes = spark.range(1)
+      .select(probes.map(v => xxhash64(lit(v))): _*)
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val keptFiles = bm.filter(graft.expressions.GraftExpressions
+      .bloomMightContainAny(col("__bloom"), hashes)).count()
+    assert(keptFiles <= 8L, s"bloom kept $keptFiles of 64 files")
+    val got = Lakehouse.pointLookup(spark, path, "id", probes)
+    assert(got.count() == 3L)
+    assert(got.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == probes.sorted)
+    // a tombstoned row disappears from the lookup
+    Lakehouse.deleteWhere(spark, path, col("id") === 31000L)
+    assert(Lakehouse.pointLookup(spark, path, "id", probes)
+      .count() == 2L)
+  }
+
+  test("pointLookup keeps unmanifested files (stale-safe appends) and " +
+      "compact rebuilds the bloom manifest") {
+    val path = tmp("lake-bloomstale")
+    val df = spark.range(1000).select(col("id"),
+      (col("id") % 100).cast("double").as("x"))
+    Layout.zorder(df, Seq("id"), bits = 6, partitions = 4)
+      .write.parquet(path)
+    Layout.writeManifest(spark, path, Seq("id", "x"))
+    Layout.writeBloomManifest(spark, path, "id",
+      expectedKeysPerFile = 2000L, fpp = 0.001)
+    // a key that arrives AFTER the bloom manifest was built
+    val late = spark.range(50000, 50001).select(col("id"),
+      lit(5.0).as("x"))
+    Layout.appendZordered(spark, path, late, Seq("id", "x"), bits = 6,
+      partitions = 1)
+    val got = Lakehouse.pointLookup(spark, path, "id", Seq(50000L, 7L))
+    assert(got.count() == 2L, "stale bloom manifest must not hide appends")
+    // compact rewrites every file AND rebuilds the bloom manifest
+    Lakehouse.compact(spark, path, Seq("id", "x"), bits = 6,
+      partitions = 2)
+    assert(Lakehouse.pointLookup(spark, path, "id", Seq(50000L, 7L))
+      .count() == 2L)
+    val bm = spark.read.parquet(s"${path}_bloom_id")
+    assert(bm.count() == 2L, "bloom manifest must track the rewrite")
+  }
+
   test("delete debt survives an appendGeneration replay: positions " +
       "reference only files the replay does not touch") {
     val path = tmp("lake-replay")
