@@ -1578,6 +1578,32 @@ object SparkEntry {
             .as("sum_value"))
     }),
 
+    "layout_changes" -> ((s, dir) => {
+      // the change data feed: even-id events land as generation 0,
+      // odd-id as generation 1, a delete (the value box) is issued at
+      // generation 1 hitting BOTH generations. changesBetween(0, 1)
+      // must emit net window deltas — inserts: gen-1 rows still alive
+      // (odd ∧ ¬box); deletes: pre-window rows the window tombstoned
+      // (even ∧ box); rows born AND deleted inside the window appear
+      // as neither. Twin: the two slices tagged and unioned — the
+      // hash match proves feed ≡ what a replica must apply
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-zcdf").toString + "/events"
+      graft.core.Layout.appendGeneration(s, root,
+        ev.filter(col("event_id") % 2 === 0), Seq("value", "event_id"),
+        bits = 8, partitions = 4, gen = 0L)
+      graft.core.Layout.appendGeneration(s, root,
+        ev.filter(col("event_id") % 2 === 1), Seq("value", "event_id"),
+        bits = 8, partitions = 4, gen = 1L)
+      graft.core.Lakehouse.deleteWhere(s, root,
+        col("value").between(20.0, 60.0))
+      graft.core.Lakehouse.changesBetween(s, root, 0L, 1L)
+        .select(col("__op").as("op"), col("event_id"),
+          col("event_type"), col("value"))
+    }),
+
     "layout_point_lookup" -> ((s, dir) => {
       // point lookup through the Bloom membership manifest: min/max
       // stats cannot prune a high-cardinality point predicate (every
@@ -5001,6 +5027,19 @@ object SparkEntry {
         |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
         |       ELSE o_totalprice END AS o_totalprice
         |FROM orders""".stripMargin,
+    // change data feed (0,1]: inserts = window births still alive,
+    // deletes = pre-window rows the window tombstoned, net inside the
+    // window — exactly what a downstream replica applies
+    "layout_changes" ->
+      """SELECT 'insert' AS op, event_id, event_type, value
+        |FROM events
+        |WHERE value IS NOT NULL AND event_id % 2 = 1
+        |  AND NOT (value BETWEEN 20.0 AND 60.0)
+        |UNION ALL
+        |SELECT 'delete' AS op, event_id, event_type, value
+        |FROM events
+        |WHERE value IS NOT NULL AND event_id % 2 = 0
+        |  AND value BETWEEN 20.0 AND 60.0""".stripMargin,
     // Bloom-manifest point lookup: files resolved by membership sketch,
     // tombstones subtracted, exact IN re-applied — ≡ the raw table under
     // the same IN plus the complement of the delete

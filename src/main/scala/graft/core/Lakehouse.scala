@@ -373,6 +373,73 @@ object Lakehouse {
       tombstoneBytes(spark, path) <= broadcastTombstoneBytes)
   }
 
+  /** Change data feed between two snapshots — `(fromGen, toGen]`, net
+    * semantics: one frame of the table's rows tagged `__op =
+    * insert | delete`, such that applying it to the `fromGen` snapshot
+    * reproduces the `toGen` snapshot exactly (spec'd as set equality).
+    * This is the incremental-sync primitive: a downstream replica
+    * applies the delta instead of re-reading the table.
+    *
+    * Cost is WINDOW-sized, never table-sized: inserts are the rows of
+    * files born in the window minus tombstones stamped at or before
+    * `toGen` (an older file's rows can never BECOME live later, so old
+    * files are never read); deletes are the window's tombstones that
+    * address PRE-window files, joined back to their row content (only
+    * those files are read — and a (file, pos) lives in at most one
+    * tombstone file by construction, so "was it already dead at
+    * fromGen" needs no second pass). A row both born and deleted
+    * inside the window appears as neither — net, like any replica
+    * would want. Requires a generation-managed layout; compaction
+    * collapses history, so feed windows must not span a compact. */
+  def changesBetween(spark: SparkSession, path: String,
+                     fromGen: Long, toGen: Long): DataFrame = {
+    require(fromGen <= toGen,
+      s"changesBetween: need fromGen <= toGen, got ($fromGen, $toGen]")
+    val schema = spark.read.parquet(path).schema
+    val bc = tombstoneBytes(spark, path) <= broadcastTombstoneBytes
+    val newFiles = parquetFiles(spark, path)
+      .filter(p => genOf(p.getName) > fromGen && genOf(p.getName) <= toGen)
+      .map(_.toString)
+    val inserts = readMinus(spark, newFiles, schema,
+      tombstoneFrame(spark, path, toGen), bc)
+    val windowTs = {
+      val files = parquetFiles(spark, deletesDir(path))
+        .filter { p =>
+          val g = delGenOf(p.getName)
+          g > fromGen && g <= toGen
+        }.map(_.toString)
+      if (files.isEmpty) None
+      else Some(spark.read.parquet(files: _*)
+        .filter(col(GenCol) > fromGen && col(GenCol) <= toGen)
+        .select(FileCol, PosCol))
+    }
+    val oldFiles = parquetFiles(spark, path)
+      .filter(p => genOf(p.getName) <= fromGen).map(_.toString)
+    val deletes = windowTs match {
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case Some(ts) =>
+        val touched = ts.select(FileCol).distinct()
+          .collect().map(_.getString(0)).toSet
+        val hit = oldFiles.filter(f => touched.contains(fileName(f)))
+        if (hit.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else {
+          val keyed = spark.read.schema(schema).parquet(hit: _*)
+            .withColumn(FileCol,
+              element_at(split(col("_metadata.file_path"), "/"), -1))
+            .withColumn(PosCol, col("_metadata.row_index"))
+          val side = if (bc) broadcast(ts) else ts
+          keyed.join(side, Seq(FileCol, PosCol), "left_semi")
+            .drop(FileCol, PosCol)
+        }
+    }
+    inserts.withColumn("__op", lit("insert"))
+      .unionByName(deletes.withColumn("__op", lit("delete")))
+  }
+
   /** Make the `gen` snapshot permanent: delete data files, manifest
     * slices, and tombstone files stamped AFTER it. File-system
     * arithmetic only — never a data pass. The next

@@ -270,7 +270,11 @@ object ScaleBench {
     // manifest-sized (one sketch row per file) and the data read is
     // the kept files only — expect the build stages ~linear, the
     // lookup flat
-    "layout_point_lookup")
+    "layout_point_lookup",
+    // change data feed: two generation builds + a delete + the
+    // (0,1]-window feed — feed cost is window-sized (here the window
+    // IS half the table, so expect ~the other layout gates)
+    "layout_changes")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

@@ -299,6 +299,42 @@ class LakehouseSpec extends SparkSpec {
     assert(bm.count() == 2L, "bloom manifest must track the rewrite")
   }
 
+  test("changesBetween: applying the feed to the fromGen snapshot " +
+      "reproduces the toGen snapshot; in-window births+deaths net out") {
+    val path = tmp("lake-cdf")
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi).select(
+      col("id"), (col("id") % 100).cast("double").as("x"))
+    Layout.appendGeneration(spark, path, mk(0L, 400L), Seq("x", "id"),
+      bits = 6, partitions = 2, gen = 0L)
+    Layout.appendGeneration(spark, path, mk(400L, 800L), Seq("x", "id"),
+      bits = 6, partitions = 2, gen = 1L)
+    // a delete at gen 1 hitting BOTH generations: x in [90, 100)
+    Lakehouse.deleteWhere(spark, path, col("x") >= 90.0)
+    Layout.appendGeneration(spark, path, mk(800L, 1000L), Seq("x", "id"),
+      bits = 6, partitions = 2, gen = 2L)
+    // a delete at gen 2 hitting all three generations: x < 5
+    Lakehouse.deleteWhere(spark, path, col("x") < 5.0)
+    val feed = Lakehouse.changesBetween(spark, path, 0L, 2L)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    val inserts = ids(feed.filter(col("__op") === "insert"))
+    val deletes = ids(feed.filter(col("__op") === "delete"))
+    // net: rows born at gen 1/2 and deleted inside the window appear
+    // as NEITHER — e.g. id 495 (gen 1, x=95, deleted at gen 1)
+    assert(!inserts.contains(495L) && !deletes.contains(495L))
+    // a gen-0 row deleted in the window IS a delete — e.g. id 95
+    assert(deletes.contains(95L))
+    // a gen-1 row alive at the end IS an insert — e.g. id 450
+    assert(inserts.contains(450L))
+    // the replica law: asOf(0) minus deletes plus inserts == asOf(2)
+    val replica = (ids(Lakehouse.scanAsOf(spark, path, 0L)) -- deletes)
+      .union(inserts)
+    assert(replica == ids(Lakehouse.scanAsOf(spark, path, 2L)))
+    // disjointness and an empty window
+    assert((inserts & deletes).isEmpty)
+    assert(Lakehouse.changesBetween(spark, path, 2L, 2L).count() == 0L)
+  }
+
   test("delete debt survives an appendGeneration replay: positions " +
       "reference only files the replay does not touch") {
     val path = tmp("lake-replay")
