@@ -1604,6 +1604,26 @@ object SparkEntry {
           col("event_type"), col("value"))
     }),
 
+    "doc_takedown_rollup" -> ((s, dir) => {
+      // the takedown story on the TRAINING CORPUS itself: documents
+      // laid out as a lake table, a licensing-retraction id list
+      // tombstoned (deleteMatching — one pass), and a downstream
+      // corpus rollup answered off the LIVE scan — the deleted docs
+      // are gone from every consumer without a table rewrite. Twin:
+      // the raw corpus minus the list
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-doctake").toString + "/documents"
+      graft.core.Layout.zorder(docs, Seq("n_chars", "doc_id"), bits = 8,
+          partitions = 8)
+        .write.parquet(root)
+      graft.core.Lakehouse.deleteMatching(s, root,
+        docs.filter(col("doc_id") % 13 === 0).select("doc_id"), "doc_id")
+      graft.core.Lakehouse.scan(s, root)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+    }),
+
     "layout_point_lookup" -> ((s, dir) => {
       // point lookup through the Bloom membership manifest: min/max
       // stats cannot prune a high-cardinality point predicate (every
@@ -5027,6 +5047,14 @@ object SparkEntry {
         |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
         |       ELSE o_totalprice END AS o_totalprice
         |FROM orders""".stripMargin,
+    // the corpus takedown composition: retraction list tombstoned on
+    // the documents lake table, downstream rollup off the live scan
+    "doc_takedown_rollup" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE doc_id % 13 <> 0
+        |GROUP BY lang""".stripMargin,
     // change data feed (0,1]: inserts = window births still alive,
     // deletes = pre-window rows the window tombstoned, net inside the
     // window — exactly what a downstream replica applies

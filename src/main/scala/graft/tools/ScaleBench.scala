@@ -274,7 +274,11 @@ object ScaleBench {
     // change data feed: two generation builds + a delete + the
     // (0,1]-window feed — feed cost is window-sized (here the window
     // IS half the table, so expect ~the other layout gates)
-    "layout_changes")
+    "layout_changes",
+    // the corpus takedown composition: documents laid out, retraction
+    // list tombstoned, downstream lang rollup off the live scan —
+    // expect ~linear in docs (layout write + one delete pass + scan)
+    "doc_takedown_rollup")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length
