@@ -296,12 +296,15 @@ object Lakehouse {
     val hashes = spark.range(1)
       .select(values.map(v => xxhash64(lit(v))): _*)
       .head().toSeq.map(_.asInstanceOf[Long])
-    val might = graft.expressions.GraftExpressions
-      .bloomMightContainAny(col("__bloom"), hashes)
-    val manifested = bm.select("__file").collect().map(_.getString(0))
-      .map(fileName).toSet
-    val kept = bm.filter(might).select("__file")
-      .collect().map(r => fileName(r.getString(0))).toSet
+    // ONE manifest-sized job answers both "which files are manifested"
+    // and "which might hold a probed key"
+    val probed = bm.select(col("__file"),
+        graft.expressions.GraftExpressions
+          .bloomMightContainAny(col("__bloom"), hashes).as("__might"))
+      .collect()
+    val manifested = probed.map(r => fileName(r.getString(0))).toSet
+    val kept = probed.filter(r => r.getAs[Any]("__might") == true)
+      .map(r => fileName(r.getString(0))).toSet
     val files = parquetFiles(spark, path).map(_.toString)
       .filter(f => kept.contains(fileName(f)) ||
         !manifested.contains(fileName(f)))
@@ -494,16 +497,24 @@ object Lakehouse {
     f.delete(new Path(s"${path}_manifest"), true)
     Layout.writeManifest(spark, path, cols)
     // Bloom manifests reference the files the rewrite just replaced —
-    // rebuild each one found (default geometry) so point lookups keep
-    // their skip rate instead of falling back to stale-safe full keeps
+    // rebuild each one found, under ITS OWN recorded geometry, so point
+    // lookups keep their skip rate instead of falling back to
+    // stale-safe full keeps
     val parent = new Path(path).getParent
     val prefix = s"${new Path(path).getName}_bloom_"
     if (parent != null && f.exists(parent))
       f.listStatus(parent).map(_.getPath)
         .filter(p => p.getName.startsWith(prefix))
         .foreach { p =>
+          val old = spark.read.parquet(p.toString)
+          val geom =
+            if (old.columns.contains("__keys"))
+              old.select("__keys", "__fpp").take(1).headOption
+            else None
+          val (keys, fpp) = geom.map(r => (r.getLong(0), r.getDouble(1)))
+            .getOrElse((1L << 21, 0.01))
           Layout.writeBloomManifest(spark, path,
-            p.getName.stripPrefix(prefix))
+            p.getName.stripPrefix(prefix), keys, fpp)
         }
   }
 }

@@ -123,7 +123,11 @@ object Layout {
                     fpp: Double = 0.01): DataFrame =
     df.groupBy(input_file_name().as("__file"))
       .agg(graft.expressions.GraftExpressions.bloomSketch(
-        xxhash64(col(keyCol)), expectedKeysPerFile, fpp).as("__bloom"))
+          xxhash64(col(keyCol)), expectedKeysPerFile, fpp).as("__bloom"))
+      // geometry rides along so a rebuild (compaction) reproduces the
+      // SAME sizing the caller chose, not a default
+      .withColumn("__keys", lit(expectedKeysPerFile))
+      .withColumn("__fpp", lit(fpp))
 
   /** Build and persist the Bloom membership manifest for `keyCol` at
     * `<path>_bloom_<keyCol>`; returns the manifest path. Files written
@@ -218,6 +222,32 @@ object Layout {
     LayoutHealth(row.getLong(0), row.getDouble(1))
   }
 
+  /** Loud schema-drift guard for appends: a batch whose columns differ
+    * from the resident table's would otherwise land SILENTLY — parquet
+    * is name-addressed, so scans would null-fill the discrepancy or
+    * pick an arbitrary footer, a corruption that surfaces far from its
+    * cause. Name→type equality enforced (order-insensitive; parquet
+    * doesn't care about order), naming every extra / missing / retyped
+    * column. Evolution is a rewrite decision, not an append default. */
+  private[core] def requireSameSchema(
+      resident: org.apache.spark.sql.types.StructType,
+      batch: org.apache.spark.sql.types.StructType,
+      what: String): Unit = {
+    val r = resident.fields.map(f => f.name -> f.dataType).toMap
+    val b = batch.fields.map(f => f.name -> f.dataType).toMap
+    val extra = b.keySet -- r.keySet
+    val missing = r.keySet -- b.keySet
+    val retyped = (r.keySet & b.keySet).filter(k => r(k) != b(k))
+    require(extra.isEmpty && missing.isEmpty && retyped.isEmpty,
+      s"$what: batch schema drifts from the resident table's — " +
+        s"extra: ${extra.toSeq.sorted.mkString("[", ",", "]")}, " +
+        s"missing: ${missing.toSeq.sorted.mkString("[", ",", "]")}, " +
+        s"retyped: ${retyped.toSeq.sorted
+          .map(k => s"$k ${r(k).simpleString}->${b(k).simpleString}")
+          .mkString("[", ",", "]")}. Schema evolution is a rewrite " +
+        "(zorder the unioned frame), not an append")
+  }
+
   private def dataFiles(spark: org.apache.spark.sql.SparkSession,
                         path: String): Set[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -243,6 +273,9 @@ object Layout {
                      path: String, batch: DataFrame, cols: Seq[String],
                      bits: Int = 12, partitions: Int = 0): Unit = {
     val before = dataFiles(spark, path)
+    if (before.nonEmpty)
+      requireSameSchema(spark.read.parquet(path).schema, batch.schema,
+        "appendZordered")
     zorder(batch, cols, bits, partitions)
       .write.mode("append").parquet(path)
     val fresh = (dataFiles(spark, path) -- before).toSeq
@@ -270,6 +303,11 @@ object Layout {
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
+    if (dataFiles(spark, path).nonEmpty ||
+        (fs.exists(root) && fs.listStatus(root)
+          .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))))
+      requireSameSchema(spark.read.parquet(path).schema, batch.schema,
+        "appendGeneration")
     val staging = s"${path}_incoming/gen$gen"
     zorder(batch, cols, bits, partitions)
       .write.mode("overwrite").parquet(staging)

@@ -335,6 +335,36 @@ class LakehouseSpec extends SparkSpec {
     assert(Lakehouse.changesBetween(spark, path, 2L, 2L).count() == 0L)
   }
 
+  test("appends raise loudly on schema drift instead of landing a " +
+      "silently null-filled generation") {
+    val path = tmp("lake-drift")
+    freshTable(path)
+    val drifted = spark.range(10).select(col("id"),
+      (col("id") % 100).cast("double").as("x"),
+      (col("id") / 100).cast("double").as("y"),
+      lit("en").as("lang")) // extra column
+    val e = intercept[IllegalArgumentException] {
+      Layout.appendZordered(spark, path, drifted, Seq("x", "y"),
+        bits = 6, partitions = 1)
+    }
+    assert(e.getMessage.contains("extra: [lang]"), e.getMessage)
+    val retyped = spark.range(10).select(col("id"),
+      (col("id") % 100).cast("float").as("x"), // double -> float
+      (col("id") / 100).cast("double").as("y"))
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.appendGeneration(spark, path, retyped, Seq("x", "y"),
+        bits = 6, partitions = 1, gen = 1L)
+    }
+    assert(e2.getMessage.contains("x double->float"), e2.getMessage)
+    // the matching batch still lands
+    Layout.appendZordered(spark, path,
+      spark.range(2000, 2010).select(col("id"),
+        (col("id") % 100).cast("double").as("x"),
+        (col("id") / 100).cast("double").as("y")),
+      Seq("x", "y"), bits = 6, partitions = 1)
+    assert(Lakehouse.scan(spark, path).count() == 1010L)
+  }
+
   test("delete debt survives an appendGeneration replay: positions " +
       "reference only files the replay does not touch") {
     val path = tmp("lake-replay")
