@@ -365,6 +365,35 @@ class LakehouseSpec extends SparkSpec {
     assert(Lakehouse.scan(spark, path).count() == 1010L)
   }
 
+  test("read-set audits: changesBetween touches only the window's " +
+      "files, pointLookup only the bloom-kept handful") {
+    val path = tmp("lake-readset")
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi).select(
+      col("id"), (col("id") % 100).cast("double").as("x"))
+    Layout.appendGeneration(spark, path, mk(0L, 400L), Seq("x", "id"),
+      bits = 6, partitions = 2, gen = 0L)
+    Layout.appendGeneration(spark, path, mk(400L, 800L), Seq("x", "id"),
+      bits = 6, partitions = 2, gen = 1L)
+    Layout.appendGeneration(spark, path, mk(800L, 1200L), Seq("x", "id"),
+      bits = 6, partitions = 2, gen = 2L)
+    def names(files: Array[String]): Set[String] =
+      files.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    // no deletes in the window: the (1,2] feed reads gen-2 files ONLY
+    val feedInputs = names(
+      Lakehouse.changesBetween(spark, path, 1L, 2L).inputFiles)
+    assert(feedInputs.nonEmpty &&
+      feedInputs.forall(_.startsWith("gen2-")), feedInputs.toString)
+    // a lookup reads only the files its bloom manifest keeps
+    Layout.writeBloomManifest(spark, path, "id",
+      expectedKeysPerFile = 2000L, fpp = 0.001)
+    val lookupInputs = names(
+      Lakehouse.pointLookup(spark, path, "id", Seq(7L)).inputFiles)
+      .filter(_.contains("gen")) // data files, not the manifest read
+    assert(lookupInputs.size <= 2,
+      s"pointLookup read ${lookupInputs.size} of 6 data files: " +
+        lookupInputs.toString)
+  }
+
   test("delete debt survives an appendGeneration replay: positions " +
       "reference only files the replay does not touch") {
     val path = tmp("lake-replay")
