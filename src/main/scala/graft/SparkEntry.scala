@@ -1500,6 +1500,33 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_totalprice")
     }),
 
+    "layout_upsert_stream" -> ((s, dir) => {
+      // the CDC-consumption form: the same %5 price-change batch
+      // arriving through readStream, landed by upsertByKeyStream —
+      // delete half content-idempotent and own-generation-excluded,
+      // append half generation-keyed, so at-least-once replays are
+      // exactly-once. Twin shared VERBATIM with layout_upsert:
+      // streamed keyed merge ≡ one-shot keyed merge
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-zupstream").toString + "/orders"
+      graft.core.Layout.appendGeneration(s, root, base,
+        Seq("o_custkey", "o_totalprice"), bits = 8, partitions = 8,
+        gen = 0L)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val updates = streamTable(s, dir, "orders",
+          s.read.parquet(s"$dir/orders.parquet").schema)
+        .filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + lit(1000.0)).as("o_totalprice"))
+      graft.core.Lakehouse.upsertByKeyStream(updates, root,
+        "o_orderkey", Seq("o_custkey", "o_totalprice"), bits = 8,
+        partitions = 4)
+      graft.core.Lakehouse.scan(s, root)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
     "layout_time_travel" -> ((s, dir) => {
       // generation snapshots: even-id events land as generation 0,
       // odd-id as generation 1, then a delete is issued against the
@@ -3355,6 +3382,16 @@ object SparkEntry {
       |WHERE value IS NOT NULL AND NOT (value BETWEEN 20.0 AND 60.0)
       |GROUP BY event_type""".stripMargin
 
+  // the keyed-merge twin: a CASE merge over the raw table. Shared
+  // VERBATIM by layout_upsert (one-shot delete+append) and
+  // layout_upsert_stream (the same updates as micro-batches through
+  // the exactly-once generation fold)
+  private val LayoutUpsertOracle: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders""".stripMargin
+
   // the retraction twin: the raw table minus the %7 key list. Shared
   // VERBATIM by layout_takedown (one-shot key-list delete) and
   // layout_takedown_stream (the same keys arriving as micro-batches):
@@ -5042,11 +5079,10 @@ object SparkEntry {
     // clears the debt, never content
     "layout_compact" -> LayoutDeleteScanOracle,
     // keyed last-writer-wins upsert ≡ a CASE merge over the raw table
-    "layout_upsert" ->
-      """SELECT o_orderkey, o_custkey,
-        |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
-        |       ELSE o_totalprice END AS o_totalprice
-        |FROM orders""".stripMargin,
+    "layout_upsert" -> LayoutUpsertOracle,
+    // the same merge arriving as a STREAM of update batches — shared
+    // twin verbatim: streamed keyed merge ≡ one-shot keyed merge
+    "layout_upsert_stream" -> LayoutUpsertOracle,
     // the corpus takedown composition: retraction list tombstoned on
     // the documents lake table, downstream rollup off the live scan
     "doc_takedown_rollup" ->

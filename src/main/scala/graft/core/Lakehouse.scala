@@ -226,8 +226,21 @@ object Lakehouse {
     * predicate). `keys` may be any size: the join is a left-semi on
     * the key, planned like any other join (broadcast when small). */
   def deleteMatching(spark: SparkSession, path: String,
-                     keys: DataFrame, keyCol: String): Long = {
-    val addressed = spark.read.parquet(path)
+                     keys: DataFrame, keyCol: String): Long =
+    deleteMatchingIn(spark, path,
+      parquetFiles(spark, path).map(_.toString), keys, keyCol)
+
+  /** [[deleteMatching]] over an explicit file subset — the building
+    * block [[upsertByKeyStream]] needs: a REPLAYED upsert batch must
+    * not tombstone the rows its own first attempt landed (its
+    * generation's files are rewritten under the same deterministic
+    * names, so stale positions would kill rewritten rows). */
+  private def deleteMatchingIn(spark: SparkSession, path: String,
+                               files: Seq[String], keys: DataFrame,
+                               keyCol: String): Long = {
+    if (files.isEmpty) return 0L
+    val schema = spark.read.parquet(path).schema
+    val addressed = spark.read.schema(schema).parquet(files: _*)
       .select(col(keyCol),
         element_at(split(col("_metadata.file_path"), "/"), -1).as(FileCol),
         col("_metadata.row_index").as(PosCol))
@@ -362,6 +375,67 @@ object Lakehouse {
     else Layout.appendZordered(spark, path, updates, cols, bits, partitions)
   }
 
+  /** Streamed keyed upserts — the CDC-consumption form: each
+    * micro-batch of key-unique updates tombstones the prior versions
+    * and lands as ONE generation, exactly-once under `foreachBatch`'s
+    * at-least-once replays because both halves are replay-safe — the
+    * delete half is content-idempotent AND excludes the batch's own
+    * generation files (a replay must not tombstone what its first
+    * attempt landed: those files are rewritten under the same
+    * deterministic names), and the append half is
+    * [[Layout.appendGeneration]]'s rewrite-your-own-files discipline.
+    * Generations are `base + micro-batch id`, with `base` pinned to a
+    * file under the checkpoint on first use so restarts map replayed
+    * ids to the SAME generations. AvailableNow drain. */
+  def upsertByKeyStream(updates: DataFrame, path: String, keyCol: String,
+                        cols: Seq[String], bits: Int = 12,
+                        partitions: Int = 0): Unit = {
+    val spark = updates.sparkSession
+    val ckpt = s"${path}_upsert_ckpt"
+    val f = fs(spark, path)
+    val baseFile = new Path(ckpt, "graft_gen_base")
+    val base: Long =
+      if (f.exists(baseFile)) {
+        val in = f.open(baseFile)
+        try in.readLong() finally in.close()
+      } else {
+        val b = currentGen(spark, path) + 1
+        f.mkdirs(new Path(ckpt))
+        val out = f.create(baseFile, false)
+        try out.writeLong(b) finally out.close()
+        b
+      }
+    val q = updates.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        upsertBatch(spark, path, batch, keyCol, cols, bits, partitions,
+          base + id)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One upsert micro-batch at a pinned generation — the replay-safe
+    * body under [[upsertByKeyStream]] (exposed for direct redelivery
+    * testing): tombstone prior versions from every file EXCEPT the
+    * target generation's own, then land the batch as that generation. */
+  private[graft] def upsertBatch(spark: SparkSession, path: String,
+                                 batch: DataFrame, keyCol: String,
+                                 cols: Seq[String], bits: Int,
+                                 partitions: Int, gen: Long): Unit = {
+    val dup = batch.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"upsertBatch: generation $gen carries duplicate " +
+        s"$keyCol=${dup.headOption.map(_.get(0)).orNull}")
+    val older = parquetFiles(spark, path)
+      .filter(p => genOf(p.getName) != gen).map(_.toString)
+    deleteMatchingIn(spark, path, older, batch.select(keyCol), keyCol)
+    Layout.appendGeneration(spark, path, batch, cols, bits, partitions,
+      gen)
+  }
+
   /** The table as of generation `gen`: data files born at or before it,
     * minus tombstones stamped at or before it. Requires a
     * generation-managed layout ([[Layout.appendGeneration]] names carry
@@ -490,9 +564,17 @@ object Lakehouse {
     val staged = s"${path}_rebuild"
     Layout.zorder(scan(spark, path), cols, bits, parts)
       .write.mode("overwrite").parquet(staged)
-    f.delete(new Path(path), true)
+    // two-rename swap, never delete-then-rename: a crash between the
+    // renames leaves the table recoverable (rename <path>_pre_compact
+    // back), not gone
+    val old = new Path(s"${path}_pre_compact")
+    if (f.exists(old)) f.delete(old, true) // a prior crashed swap's leftover
+    require(f.rename(new Path(path), old),
+      s"compact: rename $path -> $old failed")
     require(f.rename(new Path(staged), new Path(path)),
-      s"compact: rename $staged -> $path failed")
+      s"compact: rename $staged -> $path failed " +
+        s"(recover by renaming $old back to $path)")
+    f.delete(old, true)
     f.delete(new Path(deletesDir(path)), true)
     f.delete(new Path(s"${path}_manifest"), true)
     Layout.writeManifest(spark, path, cols)

@@ -397,10 +397,18 @@ object Layout {
         .write.mode("overwrite").parquet(staged)
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      // two-rename swap (the Lakehouse.compact discipline): a crash
+      // between the renames leaves <path>_pre_rebuild recoverable,
+      // never a deleted table
+      val old = new org.apache.hadoop.fs.Path(s"${path}_pre_rebuild")
+      if (fs.exists(old)) fs.delete(old, true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(path), old),
+        s"maintainLayout: rename $path -> $old failed")
       require(fs.rename(new org.apache.hadoop.fs.Path(staged),
         new org.apache.hadoop.fs.Path(path)),
-        s"maintainLayout: rename $staged -> $path failed")
+        s"maintainLayout: rename $staged -> $path failed " +
+          s"(recover by renaming $old back to $path)")
+      fs.delete(old, true)
       writeManifest(spark, path, cols)
       true
     }

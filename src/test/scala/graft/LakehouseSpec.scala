@@ -394,6 +394,54 @@ class LakehouseSpec extends SparkSpec {
         lookupInputs.toString)
   }
 
+  test("upsertByKeyStream: update batches drain exactly-once; a " +
+      "replayed batch body neither double-tombstones nor self-kills") {
+    val path = tmp("lake-upstream")
+    val mk = (lo: Long, hi: Long, bump: Double) =>
+      spark.range(lo, hi).select(col("id"),
+        ((col("id") % 100).cast("double") + lit(bump)).as("x"))
+    Layout.appendGeneration(spark, path, mk(0L, 1000L, 0.0),
+      Seq("x", "id"), bits = 6, partitions = 2, gen = 0L)
+    val reqDir = java.nio.file.Files
+      .createTempDirectory("lake-upserts").toString
+    mk(0L, 10L, 1000.0).coalesce(1).write.parquet(s"$reqDir/b0")
+    mk(5L, 15L, 2000.0).coalesce(1).write.parquet(s"$reqDir/b1")
+    def drain(): Unit = graft.core.Lakehouse.upsertByKeyStream(
+      spark.readStream.schema("id LONG, x DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$reqDir/*/"),
+      path, "id", Seq("x", "id"), bits = 6, partitions = 1)
+    drain()
+    val live = Lakehouse.scan(spark, path)
+    assert(live.count() == 1000L)
+    def xOf(id: Long): Double = live.filter(col("id") === id)
+      .select("x").head().getDouble(0)
+    // id 3: updated only by batch 0; id 7: batch 1 wins (later batch)
+    assert(xOf(3L) == 1003.0 && xOf(7L) == 2007.0 && xOf(20L) == 20.0)
+    // the replay hazard, driven directly: redelivering the FULL batch
+    // body (delete half + append half) at the SAME generation must not
+    // tombstone the rows its first attempt landed
+    val gen = Lakehouse.currentGen(spark, path)
+    val replay = mk(5L, 15L, 2000.0)
+    val before = Lakehouse.deleteDebt(spark, path)
+    Lakehouse.upsertBatch(spark, path, replay, "id", Seq("x", "id"),
+      bits = 6, partitions = 1, gen = gen)
+    val after = Lakehouse.scan(spark, path)
+    assert(after.count() == 1000L)
+    assert(after.filter(col("id") === 7L).select("x").head()
+      .getDouble(0) == 2007.0)
+    assert(Lakehouse.deleteDebt(spark, path) == before)
+    // a restart with a NEW request file continues from the checkpoint
+    mk(500L, 501L, 3000.0).coalesce(1).write.parquet(s"$reqDir/b2")
+    drain()
+    val live2 = Lakehouse.scan(spark, path)
+    assert(live2.count() == 1000L)
+    assert(live2.filter(col("id") === 500L).select("x").head()
+      .getDouble(0) == 3000.0) // 500 % 100 = 0, bumped by 3000
+    assert(live2.filter(col("id") === 7L).select("x").head()
+      .getDouble(0) == 2007.0)
+  }
+
   test("delete debt survives an appendGeneration replay: positions " +
       "reference only files the replay does not touch") {
     val path = tmp("lake-replay")
