@@ -73,6 +73,8 @@ object Cli {
       |                                   fold tombstones in; bin-pack files
       |  layout -o <dir> --cols a,b --rollback <gen>
       |                                   drop generations + deletes after <gen>
+      |  layout -o <dir> --cols a,b --changes <from>,<to> --feed-out <dir>
+      |                                   write the (from,to] change feed
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -244,7 +246,7 @@ object Cli {
     val valueOpts = Set("--src", "-o", "--out", "--cols", "--bits",
       "--partitions", "--append", "--max-point-cost",
       "--delete-where", "--delete-keys", "--key", "--rollback",
-      "--target-bytes")
+      "--target-bytes", "--changes", "--feed-out")
     val flagOpts = Set("--compact")
     val kv = scala.collection.mutable.Map.empty[String, String]
     var i = 0
@@ -268,7 +270,8 @@ object Cli {
     val bits = kv.get("--bits").map(_.toInt).getOrElse(12)
     val partitions = kv.get("--partitions").map(_.toInt).getOrElse(0)
     val verbs = Seq("--src", "--append", "--delete-where",
-      "--delete-keys", "--compact", "--rollback").filter(kv.contains)
+      "--delete-keys", "--compact", "--rollback", "--changes")
+      .filter(kv.contains)
     if (verbs.size > 1)
       throw new IllegalArgumentException(
         s"layout takes ONE of ${verbs.mkString(" / ")}, not both")
@@ -304,6 +307,18 @@ object Cli {
       case Some("--rollback") =>
         graft.core.Lakehouse.rollback(spark, outDir,
           kv("--rollback").toLong)
+        false
+      case Some("--changes") =>
+        val (from, to) = kv("--changes").split(",").map(_.trim) match {
+          case Array(f, t) => (f.toLong, t.toLong)
+          case _ => throw new IllegalArgumentException(
+            "--changes wants <fromGen>,<toGen>")
+        }
+        val feedOut = kv.getOrElse("--feed-out",
+          throw new IllegalArgumentException(
+            "--changes requires --feed-out <dir>"))
+        graft.core.Lakehouse.changesBetween(spark, outDir, from, to)
+          .write.mode("overwrite").parquet(feedOut)
         false
       case _ =>
         throw new IllegalArgumentException(

@@ -260,6 +260,33 @@ class CliSpec extends SparkSpec {
     assert(b2 == 2 && e2.contains("--key"), e2)
   }
 
+  test("layout --changes writes the generation change feed to parquet") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("cli-cdf")
+    val outDir = s"$work/laid"
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi).select(
+      col("id"), (col("id") % 100).cast("double").as("x"))
+    graft.core.Layout.appendGeneration(spark, outDir, mk(0L, 100L),
+      Seq("x", "id"), bits = 6, partitions = 1, gen = 0L)
+    graft.core.Layout.appendGeneration(spark, outDir, mk(100L, 200L),
+      Seq("x", "id"), bits = 6, partitions = 1, gen = 1L)
+    graft.core.Lakehouse.deleteWhere(spark, outDir, col("id") < 10L)
+    val feedOut = s"$work/feed"
+    val (c0, j0) = cli("layout", "-o", outDir, "--cols", "x,id",
+      "--changes", "0,1", "--feed-out", feedOut)
+    assert(c0 == 0, j0)
+    val feed = spark.read.parquet(feedOut)
+    assert(feed.filter(col("__op") === "insert").count() == 100L)
+    assert(feed.filter(col("__op") === "delete").count() == 10L)
+    // malformed window and missing --feed-out are loud
+    val (b0, e0) = cli("layout", "-o", outDir, "--cols", "x,id",
+      "--changes", "7", "--feed-out", feedOut)
+    assert(b0 == 2 && e0.contains("<fromGen>,<toGen>"), e0)
+    val (b1, e1) = cli("layout", "-o", outDir, "--cols", "x,id",
+      "--changes", "0,1")
+    assert(b1 == 2 && e1.contains("--feed-out"), e1)
+  }
+
   test("config prints archive and dataset configuration (cli.py:97-108)") {
     // golden output against the reference fixture's own config.yml
     val archive = "/root/reference/tests/fixtures/archive"
