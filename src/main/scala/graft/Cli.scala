@@ -70,11 +70,15 @@ object Cli {
       |  layout -o <dir> --cols a,b --delete-keys <parquet> --key <col>
       |                                   tombstone rows by retraction key list
       |  layout -o <dir> --cols a,b --compact [--target-bytes N]
-      |                                   fold tombstones in; bin-pack files
-      |  layout -o <dir> --cols a,b --rollback <gen>
+      |         [--retain-after G]        fold tombstones in; bin-pack files
+      |                                   (--retain-after keeps snapshots > G
+      |                                   addressable: floor rises, epoch stays)
+      |  layout -o <dir> --cols a,b --rollback <gen> [--epoch E]
       |                                   drop generations + deletes after <gen>
       |  layout -o <dir> --cols a,b --changes <from>,<to> --feed-out <dir>
-      |                                   write the (from,to] change feed
+      |         [--epoch E]               write the (from,to] change feed; E =
+      |                                   the epoch captured with <from> (raises
+      |                                   if a compact landed in between)
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -246,7 +250,8 @@ object Cli {
     val valueOpts = Set("--src", "-o", "--out", "--cols", "--bits",
       "--partitions", "--append", "--max-point-cost",
       "--delete-where", "--delete-keys", "--key", "--rollback",
-      "--target-bytes", "--changes", "--feed-out")
+      "--target-bytes", "--changes", "--feed-out", "--retain-after",
+      "--epoch")
     val flagOpts = Set("--compact")
     val kv = scala.collection.mutable.Map.empty[String, String]
     var i = 0
@@ -299,14 +304,23 @@ object Cli {
           spark.read.parquet(kv("--delete-keys")), key)
         false
       case Some("--compact") =>
-        graft.core.Lakehouse.compact(spark, outDir, cols, bits,
-          partitions,
-          targetBytes = kv.get("--target-bytes").map(_.toLong)
-            .getOrElse(0L))
+        kv.get("--retain-after") match {
+          case Some(g) =>
+            // retention-preserving: fold debt at or below generation g,
+            // keep later snapshots addressable (floor rises, epoch stays)
+            graft.core.Lakehouse.compactRetaining(spark, outDir, cols,
+              g.toLong, bits, partitions)
+          case None =>
+            graft.core.Lakehouse.compact(spark, outDir, cols, bits,
+              partitions,
+              targetBytes = kv.get("--target-bytes").map(_.toLong)
+                .getOrElse(0L))
+        }
         true
       case Some("--rollback") =>
         graft.core.Lakehouse.rollback(spark, outDir,
-          kv("--rollback").toLong)
+          kv("--rollback").toLong,
+          asOfEpoch = kv.get("--epoch").map(_.toLong).getOrElse(-1L))
         false
       case Some("--changes") =>
         val (from, to) = kv("--changes").split(",").map(_.trim) match {
@@ -317,7 +331,11 @@ object Cli {
         val feedOut = kv.getOrElse("--feed-out",
           throw new IllegalArgumentException(
             "--changes requires --feed-out <dir>"))
-        graft.core.Lakehouse.changesBetween(spark, outDir, from, to)
+        // a replica passes the epoch it captured with fromGen; a
+        // compaction in between then raises instead of serving wrong
+        // deltas off reused generation ids
+        graft.core.Lakehouse.changesBetween(spark, outDir, from, to,
+            asOfEpoch = kv.get("--epoch").map(_.toLong).getOrElse(-1L))
           .write.mode("overwrite").parquet(feedOut)
         false
       case _ =>
@@ -325,12 +343,25 @@ object Cli {
           "layout requires --src <parquet>, --append <parquet>, " +
             "--delete-where/--delete-keys, --compact, or --rollback")
     }
-    val health = graft.core.Layout.layoutHealth(
-      spark.read.parquet(s"${outDir}_manifest"), cols)
+    // the health line must not fail a mutation that already succeeded:
+    // a rollback can empty the manifest dir, and a mutation verb may
+    // run against a table that never had one — report files:0 /
+    // point_cost:null instead of dying on schema inference
+    val mDir = new org.apache.hadoop.fs.Path(s"${outDir}_manifest")
+    val mFs = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasManifest = mFs.exists(mDir) && mFs.listStatus(mDir)
+      .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val healthJson =
+      if (hasManifest) {
+        val h = graft.core.Layout.layoutHealth(
+          spark.read.parquet(s"${outDir}_manifest"), cols)
+        s""""files":${h.files},"point_cost":${h.pointCost}"""
+      } else """"files":0,"point_cost":null"""
     val debt = graft.core.Lakehouse.deleteDebt(spark, outDir)
-    out.println(s"""{"out":"${jsonEscape(outDir)}","files":${health.files},""" +
-      s""""point_cost":${health.pointCost},"rebuilt":$rebuilt,""" +
-      s""""delete_debt":$debt""" +
+    val (epoch, floor) = graft.core.Lakehouse.epochAndFloor(spark, outDir)
+    out.println(s"""{"out":"${jsonEscape(outDir)}",$healthJson,""" +
+      s""""rebuilt":$rebuilt,"delete_debt":$debt,""" +
+      s""""epoch":$epoch,"floor":$floor""" +
       (if (deleted >= 0) s""","deleted":$deleted""" else "") + "}")
     0
   }

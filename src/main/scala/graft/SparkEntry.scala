@@ -1675,6 +1675,137 @@ object SparkEntry {
         Seq(3L, 97L, 310L, 555L, 808L, 999L))
     }),
 
+    "layout_point_lookup_typed" -> ((s, dir) => {
+      // the SAME lookup with probes typed Int against the LONG key:
+      // each literal is cast to the key column's type before hashing
+      // (xxhash64 is type-sensitive — an uncast Int 3 would miss every
+      // manifested file and silently return empty). Twin shared
+      // VERBATIM with layout_point_lookup: probe typing can never
+      // split the answers
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-zpointtyped").toString + "/events"
+      graft.core.Layout.zorder(ev, Seq("event_id"), bits = 8,
+          partitions = 8)
+        .write.parquet(root)
+      graft.core.Layout.writeBloomManifest(s, root, "event_id",
+        expectedKeysPerFile = 1L << 16, fpp = 0.001)
+      graft.core.Lakehouse.deleteWhere(s, root,
+        col("value").between(20.0, 60.0))
+      graft.core.Lakehouse.pointLookup(s, root, "event_id",
+        Seq(3, 97, 310, 555, 808, 999))
+    }),
+
+    "layout_zorder_eqfreq" -> ((s, dir) => {
+      // the equal-frequency layout end-to-end: every column quantized
+      // through its own KLL CDF (each cell ~equal MASS — the layout
+      // for heavy-tailed domains, where equal-width cells collapse),
+      // written, scanned back through the same 2-D box. Twin shared
+      // VERBATIM with layout_zorder_scan: rank-quantization changes
+      // placement, never content (the out-pruning itself is spec'd on
+      // a zipfian fixture in LayoutSpec)
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      val dirOut = java.nio.file.Files
+        .createTempDirectory("graft-zeqfreq").toString + "/events"
+      graft.core.Layout.zorderByQuantile(
+          ev.select("event_id", "event_type", "value"),
+          Seq("value", "event_id"), bits = 8, partitions = 8)
+        .write.parquet(dirOut)
+      s.read.parquet(dirOut)
+        .filter(col("value").between(20.0, 60.0) &&
+          col("event_id").between(2000L, 4000L))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    }),
+
+    "layout_compact_retain_asof" -> ((s, dir) => {
+      // retention-preserving compaction, the snapshot half: gens 0/1,
+      // a delete at gen 1 hitting both, then compactRetaining(0) —
+      // gen-0's files fold into a fresh base, the delete's gen-0
+      // victims are rewritten into per-stamp doom files with REMAPPED
+      // tombstones. scanAsOf(0) must still see exactly generation 0,
+      // untouched by the later delete. Twin shared VERBATIM with
+      // layout_time_travel: folding history below the floor preserves
+      // every retained snapshot bit-for-bit
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-zretainasof").toString + "/events"
+      graft.core.Layout.appendGeneration(s, root,
+        ev.filter(col("event_id") % 2 === 0), Seq("value", "event_id"),
+        bits = 8, partitions = 4, gen = 0L)
+      graft.core.Layout.appendGeneration(s, root,
+        ev.filter(col("event_id") % 2 === 1), Seq("value", "event_id"),
+        bits = 8, partitions = 4, gen = 1L)
+      graft.core.Lakehouse.deleteWhere(s, root,
+        col("value").between(20.0, 60.0))
+      graft.core.Lakehouse.compactRetaining(s, root,
+        Seq("value", "event_id"), retainAfter = 0L, bits = 8,
+        partitions = 4)
+      graft.core.Lakehouse.scanAsOf(s, root, 0L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    }),
+
+    "layout_compact_retain_live" -> ((s, dir) => {
+      // retention-preserving compaction, the live half: the SAME
+      // pipeline, answered at scanAsOf(1) ≡ the live table — the
+      // later delete applies in full (remapped over the folded base,
+      // carried verbatim over the kept generation). Twin shared
+      // VERBATIM with layout_delete_scan: retention folding ≡
+      // merge-on-read ≡ physically applied
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-zretainlive").toString + "/events"
+      graft.core.Layout.appendGeneration(s, root,
+        ev.filter(col("event_id") % 2 === 0), Seq("value", "event_id"),
+        bits = 8, partitions = 4, gen = 0L)
+      graft.core.Layout.appendGeneration(s, root,
+        ev.filter(col("event_id") % 2 === 1), Seq("value", "event_id"),
+        bits = 8, partitions = 4, gen = 1L)
+      graft.core.Lakehouse.deleteWhere(s, root,
+        col("value").between(20.0, 60.0))
+      graft.core.Lakehouse.compactRetaining(s, root,
+        Seq("value", "event_id"), retainAfter = 0L, bits = 8,
+        partitions = 4)
+      graft.core.Lakehouse.scanAsOf(s, root, 1L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    }),
+
+    "layout_changes_epoch" -> ((s, dir) => {
+      // the change feed under the epoch contract: the replica captures
+      // the compact epoch alongside its window and passes it back —
+      // the guarded read answers identically while no compaction
+      // landed (and raises loudly when one did, spec'd). Twin shared
+      // VERBATIM with layout_changes
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-zcdfepoch").toString + "/events"
+      graft.core.Layout.appendGeneration(s, root,
+        ev.filter(col("event_id") % 2 === 0), Seq("value", "event_id"),
+        bits = 8, partitions = 4, gen = 0L)
+      val epoch = graft.core.Lakehouse.compactEpoch(s, root)
+      graft.core.Layout.appendGeneration(s, root,
+        ev.filter(col("event_id") % 2 === 1), Seq("value", "event_id"),
+        bits = 8, partitions = 4, gen = 1L)
+      graft.core.Lakehouse.deleteWhere(s, root,
+        col("value").between(20.0, 60.0))
+      graft.core.Lakehouse.changesBetween(s, root, 0L, 1L,
+          asOfEpoch = epoch)
+        .select(col("__op").as("op"), col("event_id"),
+          col("event_type"), col("value"))
+    }),
+
     "ev_anomaly_sketch_stream" -> ((s, dir) => {
       // the sketch-served anomaly screen on a LIVE stream: med/MAD
       // read once from the bounded KLL state, then the same stateless
@@ -5112,11 +5243,42 @@ object SparkEntry {
         |FROM events
         |WHERE value IS NOT NULL AND NOT (value BETWEEN 20.0 AND 60.0)
         |  AND event_id IN (3, 97, 310, 555, 808, 999)""".stripMargin,
+    // the same lookup probed with Int literals against the LONG key —
+    // shared twin verbatim: probe typing never splits the answers
+    "layout_point_lookup_typed" ->
+      """SELECT event_id, event_type, value
+        |FROM events
+        |WHERE value IS NOT NULL AND NOT (value BETWEEN 20.0 AND 60.0)
+        |  AND event_id IN (3, 97, 310, 555, 808, 999)""".stripMargin,
+    // the equal-frequency (KLL-CDF-quantized) layout shares the
+    // equal-width layout's twin verbatim: rank quantization changes
+    // placement, never content
+    "layout_zorder_eqfreq" -> LayoutBoxScanOracle,
     // generation snapshot: asOf(0) sees the first generation only —
     // neither the gen-1 files nor the tombstones stamped at gen 1
     "layout_time_travel" -> LayoutEvenHalfOracle,
     // rollback(0) makes that snapshot permanent — live scan, same twin
     "layout_rollback" -> LayoutEvenHalfOracle,
+    // retention-preserving compaction: scanAsOf(0) after
+    // compactRetaining(0) shares the time-travel twin verbatim
+    // (folding below the floor preserves retained snapshots) …
+    "layout_compact_retain_asof" -> LayoutEvenHalfOracle,
+    // … and scanAsOf(1) ≡ live shares the delete twin verbatim (the
+    // later delete applies in full across remapped + carried halves)
+    "layout_compact_retain_live" -> LayoutDeleteScanOracle,
+    // the epoch-guarded change feed shares layout_changes' twin
+    // verbatim: passing the captured epoch changes nothing while no
+    // compact landed (the raise on a stale epoch is spec'd)
+    "layout_changes_epoch" ->
+      """SELECT 'insert' AS op, event_id, event_type, value
+        |FROM events
+        |WHERE value IS NOT NULL AND event_id % 2 = 1
+        |  AND NOT (value BETWEEN 20.0 AND 60.0)
+        |UNION ALL
+        |SELECT 'delete' AS op, event_id, event_type, value
+        |FROM events
+        |WHERE value IS NOT NULL AND event_id % 2 = 0
+        |  AND value BETWEEN 20.0 AND 60.0""".stripMargin,
 
     // same value-domain histogram + inclusive cum window, one exact
     // division per distinct value

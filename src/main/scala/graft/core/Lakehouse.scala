@@ -63,7 +63,157 @@ object Lakehouse {
     * but a signal the debt should be compacted away. */
   val broadcastTombstoneBytes: Long = 64L << 20
 
+  /** Tombstone files are sharded past this many rows per output file
+    * (a bulk retraction matching ~10⁹ rows must not funnel one write
+    * task); takedown-sized deletes still land as one file. */
+  val tombstoneRowsPerFile: Long = 1L << 24
+
   def deletesDir(path: String): String = s"${path}_deletes"
+
+  // ------------------------------------------------------------------
+  // Writer concurrency: the mutation surface (deleteWhere /
+  // deleteMatching / upsertByKey / compact / rollback and the streamed
+  // forms' per-batch bodies) is SINGLE-WRITER per table. The mechanics
+  // are racy without it: two writers that both read [[currentGen]]
+  // land the SAME generation, and [[Layout.appendGeneration]]'s
+  // replay-delete (correct under a single stream's redeliveries) then
+  // silently destroys the other writer's freshly landed rows. Every
+  // public mutator therefore serializes through [[withTableLock]] — a
+  // best-effort lease file under `<path>_lock`. Best-effort means: on
+  // a filesystem with atomic create-if-absent (HDFS, local) two
+  // in-flight writers serialize or the loser raises loudly after
+  // `waitMs`; on an eventually-consistent object store the
+  // token-readback narrows but cannot close the race window — there,
+  // front the table with a real coordination service and treat the
+  // lease as defense in depth (docs/layout.md#concurrency). Readers
+  // never take the lock.
+  // ------------------------------------------------------------------
+
+  /** Run `body` holding the table's writer lease. Acquisition creates
+    * `<path>_lock/lease` with create-if-absent, writes a fresh token,
+    * reads it back, and proceeds only if its own token won (the
+    * readback closes most of the check-then-create window on local
+    * filesystems). A lease older than `leaseMs` is presumed crashed
+    * and taken over (stale-lease takeover — a writer that dies without
+    * releasing never wedges the table). Raises after `waitMs` without
+    * acquisition instead of mutating unlocked. NOT reentrant: lock
+    * only at the public mutator grain. */
+  def withTableLock[T](spark: SparkSession, path: String,
+                       leaseMs: Long = 15L * 60 * 1000,
+                       waitMs: Long = 10L * 60 * 1000)(body: => T): T = {
+    val f = fs(spark, path)
+    val dir = new Path(s"${path}_lock")
+    val lease = new Path(dir, "lease")
+    val token = java.util.UUID.randomUUID().toString
+    val deadline = System.currentTimeMillis() + waitMs
+    var acquired = false
+    while (!acquired) {
+      if (f.exists(lease) && System.currentTimeMillis() -
+          f.getFileStatus(lease).getModificationTime > leaseMs)
+        f.delete(lease, false) // stale-lease takeover
+      f.mkdirs(dir)
+      val created =
+        try {
+          val out = f.create(lease, false) // fails if a writer holds it
+          try out.write(token.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (created) {
+        // double-check: create-if-absent is not atomic on every
+        // FileSystem; proceed only if OUR token survived the race
+        val in = f.open(lease)
+        val won = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) == token
+        finally in.close()
+        acquired = won
+      }
+      if (!acquired) {
+        require(System.currentTimeMillis() < deadline,
+          s"withTableLock: could not acquire the writer lease at $dir " +
+            s"within ${waitMs}ms — another writer holds the table " +
+            "(mutations are single-writer; retry, or remove a dead " +
+            "writer's stale lease by waiting out its lease window)")
+        Thread.sleep(100L)
+      }
+    }
+    try body finally f.delete(lease, false)
+  }
+
+  // ------------------------------------------------------------------
+  // Compaction epochs + the snapshot floor: one tiny `<path>_epoch`
+  // marker holding (epoch, floor). [[compact]] (and the
+  // [[Layout.maintainLayout]] rebuild, which IS a compact) bumps the
+  // epoch — generation ids are reused afterwards, so any window a
+  // replica captured before it is meaningless; [[changesBetween]] /
+  // [[scanAsOf]] / [[rollback]] raise on an epoch mismatch instead of
+  // silently serving wrong deltas. [[compactRetaining]] keeps the
+  // epoch (post-floor generations stay addressable) and raises the
+  // FLOOR instead: snapshots below it are expired and raise
+  // unconditionally. The marker is written BEFORE the destructive
+  // swap — a crash between the two leaves replicas raising spuriously
+  // (loud, recoverable), never reading wrong data.
+  // ------------------------------------------------------------------
+
+  private def epochPath(path: String) = new Path(s"${path}_epoch")
+
+  /** (compact epoch, snapshot floor) — (0, −1) for a table never
+    * compacted. Replicas capture the epoch alongside their `fromGen`
+    * and pass it back to [[changesBetween]]. */
+  def epochAndFloor(spark: SparkSession, path: String): (Long, Long) = {
+    val f = fs(spark, path)
+    val p = epochPath(path)
+    if (!f.exists(p)) (0L, -1L)
+    else {
+      val in = f.open(p)
+      try (in.readLong(), in.readLong()) finally in.close()
+    }
+  }
+
+  /** The table's compaction epoch; bumped by every history-collapsing
+    * rewrite. See [[epochAndFloor]]. */
+  def compactEpoch(spark: SparkSession, path: String): Long =
+    epochAndFloor(spark, path)._1
+
+  /** The oldest still-addressable snapshot generation; raised by
+    * [[compactRetaining]]. See [[epochAndFloor]]. */
+  def snapshotFloor(spark: SparkSession, path: String): Long =
+    epochAndFloor(spark, path)._2
+
+  private def writeEpochFloor(spark: SparkSession, path: String,
+                              epoch: Long, floor: Long): Unit = {
+    val f = fs(spark, path)
+    val tmp = new Path(s"${path}_epoch_tmp")
+    val out = f.create(tmp, true)
+    try { out.writeLong(epoch); out.writeLong(floor) } finally out.close()
+    f.delete(epochPath(path), false)
+    require(f.rename(tmp, epochPath(path)),
+      s"writeEpochFloor: rename $tmp -> ${epochPath(path)} failed")
+  }
+
+  private def requireEpoch(spark: SparkSession, path: String,
+                           asOfEpoch: Long, what: String): Unit =
+    if (asOfEpoch >= 0) {
+      val cur = compactEpoch(spark, path)
+      require(asOfEpoch == cur,
+        s"$what: the caller's window was captured at compact epoch " +
+          s"$asOfEpoch but the table is at epoch $cur — a compaction " +
+          "collapsed the generation history in between (ids are " +
+          "reused), so the window no longer addresses what it did. " +
+          "Re-sync the replica from a full scan and re-capture the " +
+          "epoch (Lakehouse.compactEpoch)")
+    }
+
+  private def requireAboveFloor(spark: SparkSession, path: String,
+                                gen: Long, what: String): Unit = {
+    val floor = snapshotFloor(spark, path)
+    require(gen >= floor,
+      s"$what: generation $gen predates the snapshot floor $floor — " +
+        "a retention-preserving compaction expired that history " +
+        "(Lakehouse.compactRetaining); only snapshots at or after the " +
+        "floor remain addressable")
+  }
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -212,23 +362,32 @@ object Lakehouse {
     * batches so many requests share the pass); rows already tombstoned
     * are skipped, so re-running the same predicate is a no-op writing
     * nothing. The tombstone lands as ONE deterministic-named
-    * generation-stamped file (`del<g>-<seq>.parquet`). */
-  def deleteWhere(spark: SparkSession, path: String, cond: Column): Long = {
-    val hits = spark.read.parquet(path).filter(cond)
-      .select(element_at(split(col("_metadata.file_path"), "/"), -1)
-        .as(FileCol),
-        col("_metadata.row_index").as(PosCol))
-    writeTombstones(spark, path, hits)
-  }
+    * generation-stamped file (`del<g>-<seq>.parquet`; sharded past
+    * [[tombstoneRowsPerFile]] rows). Single-writer: serialized through
+    * [[withTableLock]]. */
+  def deleteWhere(spark: SparkSession, path: String, cond: Column,
+                  rowsPerFile: Long = tombstoneRowsPerFile): Long =
+    withTableLock(spark, path) {
+      val hits = spark.read.parquet(path).filter(cond)
+        .select(element_at(split(col("_metadata.file_path"), "/"), -1)
+          .as(FileCol),
+          col("_metadata.row_index").as(PosCol))
+      writeTombstones(spark, path, hits, rowsPerFile)
+    }
 
   /** Tombstone live rows whose `keyCol` appears in `keys` — the bulk
     * takedown path (a checksum/id retraction list joined, not a
     * predicate). `keys` may be any size: the join is a left-semi on
-    * the key, planned like any other join (broadcast when small). */
+    * the key, planned like any other join (broadcast when small).
+    * Single-writer: serialized through [[withTableLock]]. */
   def deleteMatching(spark: SparkSession, path: String,
-                     keys: DataFrame, keyCol: String): Long =
-    deleteMatchingIn(spark, path,
-      parquetFiles(spark, path).map(_.toString), keys, keyCol)
+                     keys: DataFrame, keyCol: String,
+                     rowsPerFile: Long = tombstoneRowsPerFile): Long =
+    withTableLock(spark, path) {
+      deleteMatchingIn(spark, path,
+        parquetFiles(spark, path).map(_.toString), keys, keyCol,
+        rowsPerFile)
+    }
 
   /** [[deleteMatching]] over an explicit file subset — the building
     * block [[upsertByKeyStream]] needs: a REPLAYED upsert batch must
@@ -237,7 +396,9 @@ object Lakehouse {
     * names, so stale positions would kill rewritten rows). */
   private def deleteMatchingIn(spark: SparkSession, path: String,
                                files: Seq[String], keys: DataFrame,
-                               keyCol: String): Long = {
+                               keyCol: String,
+                               rowsPerFile: Long = tombstoneRowsPerFile)
+      : Long = {
     if (files.isEmpty) return 0L
     val schema = spark.read.parquet(path).schema
     val addressed = spark.read.schema(schema).parquet(files: _*)
@@ -247,15 +408,23 @@ object Lakehouse {
     val hits = addressed
       .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
       .select(FileCol, PosCol)
-    writeTombstones(spark, path, hits)
+    writeTombstones(spark, path, hits, rowsPerFile)
   }
 
-  /** Stage `hits` minus already-recorded tombstones, land them under a
-    * deterministic name via the [[Layout.appendGeneration]]
-    * staging-then-rename discipline, return the count (read off the
-    * written file — never a second job over the table). */
+  /** Stage `hits` minus already-recorded tombstones (natural
+    * partitioning — the table pass never funnels one task), count the
+    * staged rows (a tombstone-sized read, never a second job over the
+    * table), normalize into `ceil(n / rowsPerFile)` shards, and land
+    * each under a deterministic generation-stamped name
+    * (`del<g>-<seq+k>.parquet`) via the [[Layout.appendGeneration]]
+    * staging-then-rename discipline. Takedown-sized deletes land as
+    * one file; a ~10⁹-row retraction shards instead of funneling. */
   private def writeTombstones(spark: SparkSession, path: String,
-                              hits: DataFrame): Long = {
+                              hits: DataFrame,
+                              rowsPerFile: Long = tombstoneRowsPerFile)
+      : Long = {
+    require(rowsPerFile > 0, s"writeTombstones: rowsPerFile must be " +
+      s"positive, got $rowsPerFile")
     val gen = currentGen(spark, path)
     val fresh = tombstoneFrame(spark, path) match {
       case Some(ts) => hits.join(ts, Seq(FileCol, PosCol), "left_anti")
@@ -267,19 +436,27 @@ object Lakehouse {
       .map(_.getName).filter(_.startsWith(s"del$gen-"))
       .map(n => n.stripPrefix(s"del$gen-").stripSuffix(".parquet").toLong)
       .foldLeft(-1L)(math.max) + 1
-    val staging = s"${path}_incoming/del$gen-$seq"
+    val raw = s"${path}_incoming/del$gen-$seq-raw"
     fresh.withColumn(GenCol, lit(gen))
-      .coalesce(1).write.mode("overwrite").parquet(staging)
-    val part = f.listStatus(new Path(staging))
-      .filter(_.getPath.getName.startsWith("part-")).head.getPath
-    val written = spark.read.parquet(part.toString)
-    val n = written.count()
+      .write.mode("overwrite").parquet(raw)
+    val n = spark.read.parquet(raw).count()
     if (n > 0) {
+      val shards = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
+      val staging = s"${path}_incoming/del$gen-$seq"
+      spark.read.parquet(raw).repartition(shards)
+        .write.mode("overwrite").parquet(staging)
+      val parts = f.listStatus(new Path(staging))
+        .filter(_.getPath.getName.startsWith("part-"))
+        .map(_.getPath).sortBy(_.getName)
       f.mkdirs(new Path(dDir))
-      val dst = new Path(dDir, s"del$gen-$seq.parquet")
-      require(f.rename(part, dst), s"deleteWhere: $part -> $dst failed")
+      parts.zipWithIndex.foreach { case (p, k) =>
+        val dst = new Path(dDir, s"del$gen-${seq + k}.parquet")
+        require(f.rename(p, dst),
+          s"writeTombstones: $p -> $dst failed")
+      }
+      f.delete(new Path(staging), true)
     }
-    f.delete(new Path(s"${path}_incoming/del$gen-$seq"), true)
+    f.delete(new Path(raw), true)
     n
   }
 
@@ -304,10 +481,15 @@ object Lakehouse {
       s"pointLookup: no Bloom manifest at $bDir — run " +
         s"Layout.writeBloomManifest(spark, path, \"$keyCol\") first")
     val bm = spark.read.parquet(bDir)
+    val schema = spark.read.parquet(path).schema
     // probe hashes computed THROUGH Spark's own xxhash64 (one 1-row
-    // job) so any literal type hashes exactly as the build side did
+    // job), each literal CAST to the key column's type first — the
+    // build side hashed xxhash64(col(keyCol)), and xxhash64 is
+    // type-sensitive (an Int 3 and a Long 3 hash differently), so an
+    // uncast probe would miss every file and silently return empty
+    val typed = values.map(v => lit(v).cast(schema(keyCol).dataType))
     val hashes = spark.range(1)
-      .select(values.map(v => xxhash64(lit(v))): _*)
+      .select(typed.map(xxhash64(_)): _*)
       .head().toSeq.map(_.asInstanceOf[Long])
     // ONE manifest-sized job answers both "which files are manifested"
     // and "which might hold a probed key"
@@ -321,10 +503,11 @@ object Lakehouse {
     val files = parquetFiles(spark, path).map(_.toString)
       .filter(f => kept.contains(fileName(f)) ||
         !manifested.contains(fileName(f)))
-    val schema = spark.read.parquet(path).schema
     readMinus(spark, files, schema, tombstoneFrame(spark, path),
       tombstoneBytes(spark, path) <= broadcastTombstoneBytes)
-      .filter(col(keyCol).isin(values: _*))
+      // the re-applied exact predicate uses the SAME casts the hashes
+      // rode, so probe typing can never split the two answers
+      .filter(col(keyCol).isin(typed: _*))
   }
 
   /** Streamed takedown feed: retraction keys arriving through
@@ -358,22 +541,31 @@ object Lakehouse {
     * `updates` must be key-unique (raises otherwise — two versions of
     * a key in one batch have no defined winner). On a
     * generation-managed table the batch lands as generation
-    * max+1 (snapshot-addressable); otherwise as a plain append. */
+    * max+1 (snapshot-addressable); otherwise as a plain append.
+    * Single-writer: the whole delete+append rides ONE
+    * [[withTableLock]] hold, so two concurrent upserts serialize —
+    * each reads [[currentGen]] after the other's append landed and
+    * claims its own generation, instead of both landing the same id
+    * and the replay-delete destroying one batch. */
   def upsertByKey(spark: SparkSession, path: String, updates: DataFrame,
                   keyCol: String, cols: Seq[String], bits: Int = 12,
-                  partitions: Int = 0): Unit = {
-    val dup = updates.groupBy(col(keyCol)).count()
-      .filter(col("count") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"upsertByKey: updates carry duplicate $keyCol=${dup.headOption
-        .map(_.get(0)).orNull} — last-writer-wins needs one row per key")
-    deleteMatching(spark, path, updates.select(keyCol), keyCol)
-    val gen = currentGen(spark, path)
-    if (gen >= 0)
-      Layout.appendGeneration(spark, path, updates, cols, bits,
-        partitions, gen + 1)
-    else Layout.appendZordered(spark, path, updates, cols, bits, partitions)
-  }
+                  partitions: Int = 0): Unit =
+    withTableLock(spark, path) {
+      val dup = updates.groupBy(col(keyCol)).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"upsertByKey: updates carry duplicate $keyCol=${dup.headOption
+          .map(_.get(0)).orNull} — last-writer-wins needs one row per key")
+      deleteMatchingIn(spark, path,
+        parquetFiles(spark, path).map(_.toString),
+        updates.select(keyCol), keyCol)
+      val gen = currentGen(spark, path)
+      if (gen >= 0)
+        Layout.appendGeneration(spark, path, updates, cols, bits,
+          partitions, gen + 1)
+      else Layout.appendZordered(spark, path, updates, cols, bits,
+        partitions)
+    }
 
   /** Streamed keyed upserts — the CDC-consumption form: each
     * micro-batch of key-unique updates tombstones the prior versions
@@ -423,26 +615,35 @@ object Lakehouse {
   private[graft] def upsertBatch(spark: SparkSession, path: String,
                                  batch: DataFrame, keyCol: String,
                                  cols: Seq[String], bits: Int,
-                                 partitions: Int, gen: Long): Unit = {
-    val dup = batch.groupBy(col(keyCol)).count()
-      .filter(col("count") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"upsertBatch: generation $gen carries duplicate " +
-        s"$keyCol=${dup.headOption.map(_.get(0)).orNull}")
-    val older = parquetFiles(spark, path)
-      .filter(p => genOf(p.getName) != gen).map(_.toString)
-    deleteMatchingIn(spark, path, older, batch.select(keyCol), keyCol)
-    Layout.appendGeneration(spark, path, batch, cols, bits, partitions,
-      gen)
-  }
+                                 partitions: Int, gen: Long): Unit =
+    withTableLock(spark, path) {
+      val dup = batch.groupBy(col(keyCol)).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"upsertBatch: generation $gen carries duplicate " +
+          s"$keyCol=${dup.headOption.map(_.get(0)).orNull}")
+      val older = parquetFiles(spark, path)
+        .filter(p => genOf(p.getName) != gen).map(_.toString)
+      deleteMatchingIn(spark, path, older, batch.select(keyCol), keyCol)
+      Layout.appendGeneration(spark, path, batch, cols, bits, partitions,
+        gen)
+    }
 
   /** The table as of generation `gen`: data files born at or before it,
     * minus tombstones stamped at or before it. Requires a
     * generation-managed layout ([[Layout.appendGeneration]] names carry
     * the generation); base `part-*` files count as generation −1 so
     * `scanAsOf(-1)` is the pre-append base. A manifest is not consulted
-    * — snapshots are for audits and diffs, not hot serving. */
-  def scanAsOf(spark: SparkSession, path: String, gen: Long): DataFrame = {
+    * — snapshots are for audits and diffs, not hot serving.
+    * Raises when `gen` predates the [[snapshotFloor]] (that history
+    * was expired by [[compactRetaining]]); pass the epoch captured
+    * with the generation as `asOfEpoch` to also raise when a full
+    * [[compact]] collapsed the namespace in between (−1 skips the
+    * epoch check — the generation floor still applies). */
+  def scanAsOf(spark: SparkSession, path: String, gen: Long,
+               asOfEpoch: Long = -1L): DataFrame = {
+    requireEpoch(spark, path, asOfEpoch, "scanAsOf")
+    requireAboveFloor(spark, path, gen, "scanAsOf")
     val files = parquetFiles(spark, path)
       .filter(p => genOf(p.getName) <= gen).map(_.toString)
     val schema = spark.read.parquet(path).schema
@@ -466,12 +667,23 @@ object Lakehouse {
     * tombstone file by construction, so "was it already dead at
     * fromGen" needs no second pass). A row both born and deleted
     * inside the window appears as neither — net, like any replica
-    * would want. Requires a generation-managed layout; compaction
-    * collapses history, so feed windows must not span a compact. */
+    * would want. Requires a generation-managed layout.
+    *
+    * Feed windows must not span a compaction — generation ids are
+    * reused after one, so a stale window would silently address the
+    * WRONG data. The contract is enforced, not honor-system: a window
+    * reaching below the [[snapshotFloor]] raises unconditionally, and
+    * a replica that captured the [[compactEpoch]] alongside its
+    * `fromGen` passes it as `asOfEpoch` to be told LOUDLY when a full
+    * [[compact]] landed in between (−1 skips the epoch check for
+    * same-process callers that know no compact ran). */
   def changesBetween(spark: SparkSession, path: String,
-                     fromGen: Long, toGen: Long): DataFrame = {
+                     fromGen: Long, toGen: Long,
+                     asOfEpoch: Long = -1L): DataFrame = {
     require(fromGen <= toGen,
       s"changesBetween: need fromGen <= toGen, got ($fromGen, $toGen]")
+    requireEpoch(spark, path, asOfEpoch, "changesBetween")
+    requireAboveFloor(spark, path, fromGen, "changesBetween")
     val schema = spark.read.parquet(path).schema
     val bc = tombstoneBytes(spark, path) <= broadcastTombstoneBytes
     val newFiles = parquetFiles(spark, path)
@@ -518,25 +730,47 @@ object Lakehouse {
   }
 
   /** Make the `gen` snapshot permanent: delete data files, manifest
-    * slices, and tombstone files stamped AFTER it. File-system
-    * arithmetic only — never a data pass. The next
+    * slices (min/max AND Bloom), and tombstone files stamped AFTER it.
+    * File-system arithmetic only — never a data pass. The next
     * [[Layout.appendGeneration]] may reuse the rolled-back ids (each
-    * rewrites exactly its own files, so reuse is safe). */
-  def rollback(spark: SparkSession, path: String, gen: Long): Unit = {
+    * rewrites exactly its own files, so reuse is safe). Single-writer
+    * ([[withTableLock]]); raises below the [[snapshotFloor]], and on
+    * an `asOfEpoch` mismatch when the caller passes the epoch its
+    * target generation was captured at. */
+  def rollback(spark: SparkSession, path: String, gen: Long,
+               asOfEpoch: Long = -1L): Unit =
+    withTableLock(spark, path) {
+      requireEpoch(spark, path, asOfEpoch, "rollback")
+      requireAboveFloor(spark, path, gen, "rollback")
+      val f = fs(spark, path)
+      def genSlicesAfter(dir: String): Seq[Path] =
+        parquetFiles(spark, dir).filter { p =>
+          val digits = p.getName.stripPrefix("gen").stripSuffix(".parquet")
+          p.getName.startsWith("gen") && digits.nonEmpty &&
+            digits.forall(_.isDigit) && digits.toLong > gen
+        }
+      parquetFiles(spark, path)
+        .filter(p => genOf(p.getName) > gen)
+        .foreach(p => f.delete(p, false))
+      genSlicesAfter(s"${path}_manifest").foreach(p => f.delete(p, false))
+      bloomDirsOf(spark, path)
+        .foreach(b => genSlicesAfter(b.toString)
+          .foreach(p => f.delete(p, false)))
+      parquetFiles(spark, deletesDir(path))
+        .filter(p => delGenOf(p.getName) > gen)
+        .foreach(p => f.delete(p, false))
+    }
+
+  /** The table's Bloom membership manifest directories
+    * (`<path>_bloom_<keyCol>`), with their key column names. */
+  private[core] def bloomDirsOf(spark: SparkSession,
+                                path: String): Seq[Path] = {
     val f = fs(spark, path)
-    parquetFiles(spark, path)
-      .filter(p => genOf(p.getName) > gen)
-      .foreach(p => f.delete(p, false))
-    parquetFiles(spark, s"${path}_manifest")
-      .filter { p =>
-        val digits = p.getName.stripPrefix("gen").stripSuffix(".parquet")
-        p.getName.startsWith("gen") && digits.nonEmpty &&
-          digits.forall(_.isDigit) && digits.toLong > gen
-      }
-      .foreach(p => f.delete(p, false))
-    parquetFiles(spark, deletesDir(path))
-      .filter(p => delGenOf(p.getName) > gen)
-      .foreach(p => f.delete(p, false))
+    val parent = new Path(path).getParent
+    val prefix = s"${new Path(path).getName}_bloom_"
+    if (parent == null || !f.exists(parent)) Seq.empty
+    else f.listStatus(parent).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith(prefix))
   }
 
   /** Fold the debt in: rewrite the LIVE rows as one fresh z-ordered
@@ -552,7 +786,14 @@ object Lakehouse {
     * snapshot expiration). */
   def compact(spark: SparkSession, path: String, cols: Seq[String],
               bits: Int = 12, partitions: Int = 0,
-              targetBytes: Long = 0L): Unit = {
+              targetBytes: Long = 0L): Unit =
+    withTableLock(spark, path) {
+      compactBody(spark, path, cols, bits, partitions, targetBytes)
+    }
+
+  private def compactBody(spark: SparkSession, path: String,
+                          cols: Seq[String], bits: Int,
+                          partitions: Int, targetBytes: Long): Unit = {
     val f = fs(spark, path)
     val parts =
       if (partitions > 0) partitions
@@ -564,39 +805,251 @@ object Lakehouse {
     val staged = s"${path}_rebuild"
     Layout.zorder(scan(spark, path), cols, bits, parts)
       .write.mode("overwrite").parquet(staged)
-    // two-rename swap, never delete-then-rename: a crash between the
-    // renames leaves the table recoverable (rename <path>_pre_compact
-    // back), not gone
+    // the epoch bumps BEFORE the destructive swap: a crash between the
+    // two leaves epoch-checking replicas raising spuriously (loud,
+    // recoverable) instead of silently reading reused generation ids
+    val (epoch, _) = epochAndFloor(spark, path)
+    writeEpochFloor(spark, path, epoch + 1, -1L)
+    // rename swap, never delete-then-rename, with the TOMBSTONE DIR
+    // riding the same swap (a crash must never leave the new table
+    // with the old table's stale tombstones still at <path>_deletes —
+    // their file names would match nothing, but deleteDebt would
+    // report phantom debt forever). Crash recovery: rename
+    // <path>_pre_compact/data back to <path> and (if present)
+    // <path>_pre_compact/deletes back to <path>_deletes
     val old = new Path(s"${path}_pre_compact")
     if (f.exists(old)) f.delete(old, true) // a prior crashed swap's leftover
-    require(f.rename(new Path(path), old),
-      s"compact: rename $path -> $old failed")
+    f.mkdirs(old)
+    require(f.rename(new Path(path), new Path(old, "data")),
+      s"compact: rename $path -> $old/data failed")
+    val dDir = new Path(deletesDir(path))
+    if (f.exists(dDir))
+      require(f.rename(dDir, new Path(old, "deletes")),
+        s"compact: rename $dDir -> $old/deletes failed " +
+          s"(recover by renaming $old/data back to $path)")
     require(f.rename(new Path(staged), new Path(path)),
       s"compact: rename $staged -> $path failed " +
-        s"(recover by renaming $old back to $path)")
+        s"(recover by renaming $old/data back to $path and " +
+        s"$old/deletes back to $dDir)")
     f.delete(old, true)
-    f.delete(new Path(deletesDir(path)), true)
     f.delete(new Path(s"${path}_manifest"), true)
     Layout.writeManifest(spark, path, cols)
-    // Bloom manifests reference the files the rewrite just replaced —
-    // rebuild each one found, under ITS OWN recorded geometry, so point
-    // lookups keep their skip rate instead of falling back to
-    // stale-safe full keeps
-    val parent = new Path(path).getParent
-    val prefix = s"${new Path(path).getName}_bloom_"
-    if (parent != null && f.exists(parent))
-      f.listStatus(parent).map(_.getPath)
-        .filter(p => p.getName.startsWith(prefix))
-        .foreach { p =>
-          val old = spark.read.parquet(p.toString)
-          val geom =
-            if (old.columns.contains("__keys"))
-              old.select("__keys", "__fpp").take(1).headOption
-            else None
-          val (keys, fpp) = geom.map(r => (r.getLong(0), r.getDouble(1)))
-            .getOrElse((1L << 21, 0.01))
-          Layout.writeBloomManifest(spark, path,
-            p.getName.stripPrefix(prefix), keys, fpp)
+    rebuildBloomManifests(spark, path)
+  }
+
+  /** Rebuild every `<path>_bloom_*` manifest found, each under ITS OWN
+    * recorded geometry, so point lookups keep their skip rate after a
+    * rewrite instead of falling back to stale-safe full keeps. */
+  private def rebuildBloomManifests(spark: SparkSession,
+                                    path: String): Unit =
+    bloomDirsOf(spark, path).foreach { p =>
+      val prefix = s"${new Path(path).getName}_bloom_"
+      val old = spark.read.parquet(p.toString)
+      val geom =
+        if (old.columns.contains("__keys"))
+          old.select("__keys", "__fpp").take(1).headOption
+        else None
+      val (keys, fpp) = geom.map(r => (r.getLong(0), r.getDouble(1)))
+        .getOrElse((1L << 21, 0.01))
+      Layout.writeBloomManifest(spark, path,
+        p.getName.stripPrefix(prefix), keys, fpp)
+    }
+
+  /** Retention-preserving compaction: fold the delete debt and small
+    * files of everything at or below generation `retainAfter` into a
+    * fresh z-ordered BASE, while every LATER generation stays
+    * byte-identical and snapshot-addressable — debt-folding and time
+    * travel coexist, the standard lakehouse retention policy that
+    * [[compact]] (full snapshot expiration) cannot offer.
+    *
+    * What must survive, and how: a tombstone stamped AFTER the floor
+    * may address a row in a FOLDED file (live at `retainAfter`, dead
+    * later). Dropping it would resurrect the row in later snapshots;
+    * keeping it verbatim would address a vanished file name. So the
+    * rows those tombstones address are rewritten into their own
+    * per-stamp base files (`doom<stamp>-…parquet` — every row in one
+    * dies at that one stamp), and the tombstones are REMAPPED to
+    * positions 0‥n−1 of those files with their original stamps.
+    * `scanAsOf(g ≥ retainAfter)` then reads: new base (live-forever
+    * rows) + doom files (dead-at-stamp>g rows excluded by the
+    * remapped tombstones) + untouched later generations — exactly the
+    * pre-compaction snapshot (oracled against [[scanAsOf]]'s twins).
+    *
+    * The [[snapshotFloor]] rises to `retainAfter` BEFORE the swap —
+    * expired windows raise loudly — while the [[compactEpoch]] stays,
+    * because every window at or above the floor remains valid (a
+    * replica's feed continues uninterrupted). Later generations are
+    * byte-copied into the staging table (driver-side, bounded by the
+    * retention tail a policy deliberately keeps small) so the live
+    * table stays intact until the single directory swap; recovery
+    * mirrors [[compact]]'s. Cost: one pass over the rows live at
+    * `retainAfter` plus that tail copy. Single-writer. */
+  def compactRetaining(spark: SparkSession, path: String,
+                       cols: Seq[String], retainAfter: Long,
+                       bits: Int = 12, partitions: Int = 0): Unit =
+    withTableLock(spark, path) {
+      val f = fs(spark, path)
+      val all = parquetFiles(spark, path)
+      val fold = all.filter(p => genOf(p.getName) <= retainAfter)
+      val keep = all.filter(p => genOf(p.getName) > retainAfter)
+      if (keep.isEmpty)
+        // nothing newer than the floor: this IS a full compact
+        compactBody(spark, path, cols, bits, partitions, 0L)
+      else if (fold.nonEmpty)
+        compactRetainingBody(spark, path, cols, retainAfter, bits,
+          partitions, fold, keep)
+      // else: nothing at or below the floor to fold — a no-op
+    }
+
+  private def compactRetainingBody(spark: SparkSession, path: String,
+                                   cols: Seq[String], retainAfter: Long,
+                                   bits: Int, partitions: Int,
+                                   fold: Seq[Path],
+                                   keep: Seq[Path]): Unit = {
+      val f = fs(spark, path)
+      val schema = spark.read.parquet(path).schema
+      val foldPaths = fold.map(_.toString)
+      val keepNames = keep.map(_.getName)
+      // later tombstones (stamp > floor), still meaningful afterwards
+      val laterDelFiles = parquetFiles(spark, deletesDir(path))
+        .filter(p => delGenOf(p.getName) > retainAfter).map(_.toString)
+      val laterTs =
+        if (laterDelFiles.isEmpty) None
+        else Some(spark.read.parquet(laterDelFiles: _*)
+          .filter(col(GenCol) > retainAfter)
+          .select(FileCol, PosCol, GenCol).cache())
+      // rows of folded files that survive EVERY tombstone, any stamp:
+      // the new base
+      val baseLive = readMinus(spark, foldPaths, schema,
+        tombstoneFrame(spark, path),
+        tombstoneBytes(spark, path) <= broadcastTombstoneBytes)
+      val staging = s"${path}_retain_rebuild"
+      f.delete(new Path(staging), true)
+      Layout.zorder(baseLive, cols, bits, partitions)
+        .write.mode("overwrite").parquet(staging)
+      // rows of folded files a LATER stamp dooms: live now, dead at
+      // their stamp — rewritten per stamp, tombstones remapped
+      val stagedDeletes = s"${path}_retain_deletes"
+      f.delete(new Path(stagedDeletes), true)
+      f.mkdirs(new Path(stagedDeletes))
+      laterTs.foreach { ts =>
+        val keyedFold = spark.read.schema(schema).parquet(foldPaths: _*)
+          .withColumn(FileCol,
+            element_at(split(col("_metadata.file_path"), "/"), -1))
+          .withColumn(PosCol, col("_metadata.row_index"))
+        val doomed = keyedFold.join(broadcast(ts), Seq(FileCol, PosCol))
+          .drop(FileCol, PosCol)
+        // stamps present — debt-bounded driver list
+        val stamps = doomed.select(GenCol).distinct()
+          .collect().map(_.getLong(0)).sorted
+        stamps.foreach { s =>
+          val rows = doomed.filter(col(GenCol) === s).drop(GenCol)
+          val tmp = s"${path}_incoming/doom$s"
+          rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = f.listStatus(new Path(tmp))
+            .filter(_.getPath.getName.startsWith("part-")).head.getPath
+          val doomName = s"doom$s-0.parquet"
+          val n = spark.read.parquet(part.toString).count()
+          require(f.rename(part, new Path(staging, doomName)),
+            s"compactRetaining: $part -> $staging/$doomName failed")
+          f.delete(new Path(tmp), true)
+          // the remapped tombstone: the WHOLE doom file dies at s, so
+          // its positions are simply 0‥n−1 — no second addressing pass
+          val remapped = spark.range(n)
+            .select(lit(doomName).as(FileCol), col("id").as(PosCol),
+              lit(s).as(GenCol))
+          val dTmp = s"${path}_incoming/doomdel$s"
+          remapped.coalesce(1).write.mode("overwrite").parquet(dTmp)
+          val dPart = f.listStatus(new Path(dTmp))
+            .filter(_.getPath.getName.startsWith("part-")).head.getPath
+          require(f.rename(dPart,
+            new Path(stagedDeletes, s"del$s-0.parquet")),
+            s"compactRetaining: remapped tombstone for stamp $s failed")
+          f.delete(new Path(dTmp), true)
         }
+        // later tombstones addressing KEPT files carry over verbatim
+        // (their files are untouched); one deterministic file per stamp
+        val keepNamesDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(keepNames.map(
+            org.apache.spark.sql.Row(_)), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(FileCol,
+              org.apache.spark.sql.types.StringType))))
+        val onKept = ts.join(broadcast(keepNamesDf), Seq(FileCol))
+        val keptStamps = onKept.select(GenCol).distinct()
+          .collect().map(_.getLong(0)).sorted
+        keptStamps.foreach { s =>
+          val tmp = s"${path}_incoming/keepdel$s"
+          onKept.filter(col(GenCol) === s)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = f.listStatus(new Path(tmp))
+            .filter(_.getPath.getName.startsWith("part-")).head.getPath
+          require(f.rename(part,
+            new Path(stagedDeletes, s"del$s-1.parquet")),
+            s"compactRetaining: carried tombstone for stamp $s failed")
+          f.delete(new Path(tmp), true)
+        }
+        ts.unpersist()
+        ()
+      }
+      // later generations ride into the staging table byte-identical,
+      // SAME names (their positions are addressed by carried
+      // tombstones and their manifest slices stay valid)
+      keep.foreach { p =>
+        require(org.apache.hadoop.fs.FileUtil.copy(f, p, f,
+          new Path(staging, p.getName), false, true,
+          spark.sessionState.newHadoopConf()),
+          s"compactRetaining: copy $p into staging failed")
+      }
+      // the floor rises BEFORE the destructive swap (loud-safe crash
+      // ordering, like compact's epoch bump); the EPOCH stays — every
+      // window at or above the floor remains valid
+      val (epoch, _) = epochAndFloor(spark, path)
+      writeEpochFloor(spark, path, epoch, retainAfter)
+      val old = new Path(s"${path}_pre_compact")
+      if (f.exists(old)) f.delete(old, true)
+      f.mkdirs(old)
+      require(f.rename(new Path(path), new Path(old, "data")),
+        s"compactRetaining: rename $path -> $old/data failed")
+      val dDir = new Path(deletesDir(path))
+      if (f.exists(dDir))
+        require(f.rename(dDir, new Path(old, "deletes")),
+          s"compactRetaining: rename $dDir -> $old/deletes failed " +
+            s"(recover by renaming $old/data back to $path)")
+      require(f.rename(new Path(staging), new Path(path)),
+        s"compactRetaining: rename $staging -> $path failed " +
+          s"(recover by renaming $old/data back to $path and " +
+          s"$old/deletes back to $dDir)")
+      require(f.rename(new Path(stagedDeletes), dDir),
+        s"compactRetaining: rename $stagedDeletes -> $dDir failed")
+      f.delete(old, true)
+      // manifest: drop folded slices (old base part-*/base.parquet and
+      // gen ≤ floor), keep later gen slices (their files moved
+      // path-for-path), land the new base's slice deterministically
+      val mDir = s"${path}_manifest"
+      if (f.exists(new Path(mDir))) {
+        parquetFiles(spark, mDir).foreach { p =>
+          val digits = p.getName.stripPrefix("gen").stripSuffix(".parquet")
+          val isKeptSlice = p.getName.startsWith("gen") &&
+            digits.nonEmpty && digits.forall(_.isDigit) &&
+            digits.toLong > retainAfter
+          if (!isKeptSlice) f.delete(p, false)
+        }
+        val baseFiles = parquetFiles(spark, path)
+          .filter(p => genOf(p.getName) <= retainAfter).map(_.toString)
+        if (baseFiles.nonEmpty) {
+          val tmp = s"${path}_incoming/manifestbase"
+          Layout.statsManifest(spark.read.parquet(baseFiles: _*), cols)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = f.listStatus(new Path(tmp))
+            .filter(_.getPath.getName.startsWith("part-")).head.getPath
+          val dst = new Path(mDir, "base.parquet")
+          if (f.exists(dst)) f.delete(dst, false)
+          require(f.rename(part, dst),
+            s"compactRetaining: base manifest slice failed")
+          f.delete(new Path(tmp), true)
+        }
+      }
+      rebuildBloomManifests(spark, path)
   }
 }

@@ -70,6 +70,62 @@ object Layout {
       .drop(cols.indices.flatMap(i => Seq(s"__mn$i", s"__mx$i")): _*)
   }
 
+  /** [[zValue]]'s EQUAL-FREQUENCY sibling: each column quantized
+    * through its own KLL quantile sketch CDF instead of min-max
+    * scaling, so every cell holds ~1/2^bits of the column's MASS.
+    * Why: equal-width quantization collapses a heavy-tailed domain
+    * (zipfian ids, log-normal sizes — common corpus shapes) into a
+    * few cells, degrading the Z-curve toward a single-column sort and
+    * the per-file boxes toward the whole domain; rank-quantization
+    * spreads exactly-as-many rows per cell regardless of the value
+    * distribution (spec'd: a zipfian fixture prunes strictly fewer
+    * files than equal-width; content invariance oracled).
+    *
+    * Plan shape matches [[zValue]]: one map-side-combined sketch
+    * aggregate (k columns, ONE row), the CDF views broadcast, then a
+    * per-row O(log retained) binary-search rank
+    * ([[graft.expressions.SortedCdfRank]] — codegen'd, the same
+    * kernel the sketch-serving family rides) and the bit interleave.
+    * `k` is the sketch accuracy (exact below k values per column,
+    * ~1.65/√k rank error beyond — rank error only MOVES cell
+    * boundaries, never rows' contents). All-null / empty columns map
+    * to cell 0 like [[zValue]]'s nulls. */
+  def zValueByQuantile(df: DataFrame, cols: Seq[String], bits: Int = 12,
+                       k: Int = 4096, zCol: String = "__z"): DataFrame = {
+    require(cols.nonEmpty, "zValueByQuantile needs at least one column")
+    require(bits >= 1 && cols.size * bits <= 63,
+      s"k·bits must fit a signed LONG: got ${cols.size} cols × $bits bits")
+    val cells = 1L << bits
+    val sketchAggs = cols.zipWithIndex.map { case (c, i) =>
+      graft.expressions.GraftExpressions
+        .kllSketch(col(c).cast("double"), k).as(s"__s$i")
+    }
+    val cdfs = df.agg(sketchAggs.head, sketchAggs.tail: _*)
+      .select(cols.indices.map(i => graft.expressions.GraftExpressions
+        .kllCdf(col(s"__s$i")).as(s"__cdf$i")): _*)
+    // ONE CDF row joined to every row — Spark broadcasts a 1-row side
+    val withStats = df.crossJoin(broadcast(cdfs))
+    val cellCols = cols.zipWithIndex.map { case (c, i) =>
+      val pct = graft.expressions.GraftExpressions.cdfRank(
+        col(s"__cdf$i.items"), col(s"__cdf$i.cumw"), col(s"__cdf$i.n"),
+        col(c).cast("double"))
+      when(col(c).isNull || pct.isNull, lit(0L))
+        .otherwise(least(lit(cells - 1), floor(pct * cells).cast("long")))
+    }
+    withStats
+      .withColumn(zCol,
+        graft.expressions.GraftExpressions.interleaveBits(cellCols, bits))
+      .drop(cols.indices.map(i => s"__cdf$i"): _*)
+  }
+
+  /** [[zorder]] over the equal-frequency key: cluster `df` by
+    * [[zValueByQuantile]] for writing — the layout for heavy-tailed
+    * domains, where equal-width cells would leave most files spanning
+    * the dense region. Same single-exchange plan as [[zorder]]. */
+  def zorderByQuantile(df: DataFrame, cols: Seq[String], bits: Int = 12,
+                       partitions: Int = 0, k: Int = 4096): DataFrame =
+    rangeByZ(zValueByQuantile(df, cols, bits, k), partitions)
+
   /** Per-file min/max statistics of `cols` — the data-skipping
     * manifest a pruned scan consults instead of listing-and-reading
     * every file (the Iceberg/Delta manifest pattern, as one plain
@@ -122,8 +178,13 @@ object Layout {
                     expectedKeysPerFile: Long = 1L << 21,
                     fpp: Double = 0.01): DataFrame =
     df.groupBy(input_file_name().as("__file"))
+      // null keys are SKIPPED, not hashed: xxhash64(null) is the seed
+      // (a real long), so feeding it would both pollute the sketch and
+      // break the all-null-file null-sketch contract the point
+      // lookup's skip-soundness argument rides on
       .agg(graft.expressions.GraftExpressions.bloomSketch(
-          xxhash64(col(keyCol)), expectedKeysPerFile, fpp).as("__bloom"))
+          when(col(keyCol).isNotNull, xxhash64(col(keyCol))),
+          expectedKeysPerFile, fpp).as("__bloom"))
       // geometry rides along so a rebuild (compaction) reproduces the
       // SAME sizing the caller chose, not a default
       .withColumn("__keys", lit(expectedKeysPerFile))
@@ -279,9 +340,33 @@ object Layout {
     zorder(batch, cols, bits, partitions)
       .write.mode("append").parquet(path)
     val fresh = (dataFiles(spark, path) -- before).toSeq
-    if (fresh.nonEmpty)
+    if (fresh.nonEmpty) {
       statsManifest(spark.read.parquet(fresh: _*), cols)
         .coalesce(1).write.mode("append").parquet(s"${path}_manifest")
+      // Bloom manifests extend at append time too (the min/max one
+      // just did): without the new files' sketches every appended
+      // row's lookup degrades to a stale-safe full keep until a
+      // compact. Sized under each manifest's own recorded geometry.
+      graft.core.Lakehouse.bloomDirsOf(spark, path).foreach { bDir =>
+        val key = bDir.getName.stripPrefix(
+          s"${new org.apache.hadoop.fs.Path(path).getName}_bloom_")
+        val (keys, fpp) = bloomGeometry(spark, bDir.toString)
+        bloomManifest(spark.read.parquet(fresh: _*), key, keys, fpp)
+          .coalesce(1).write.mode("append").parquet(bDir.toString)
+      }
+    }
+  }
+
+  /** A Bloom manifest's recorded (expectedKeysPerFile, fpp) geometry —
+    * the sizing its extension slices and rebuilds must reproduce. */
+  private def bloomGeometry(spark: org.apache.spark.sql.SparkSession,
+                            bDir: String): (Long, Double) = {
+    val df = spark.read.parquet(bDir)
+    val geom =
+      if (df.columns.contains("__keys"))
+        df.select("__keys", "__fpp").take(1).headOption
+      else None
+    geom.map(r => (r.getLong(0), r.getDouble(1))).getOrElse((1L << 21, 0.01))
   }
 
   /** Idempotent per-generation append — the exactly-once building
@@ -342,6 +427,26 @@ object Layout {
       require(fs.rename(part, mFile),
         s"appendGeneration: manifest $part -> $mFile failed")
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      // Bloom manifests get the generation's slice under the SAME
+      // replace-your-own-slice discipline (a replay rewrites exactly
+      // its own gen<id>.parquet), so point lookups keep pruning
+      // appended generations instead of stale-safe full-keeping them
+      graft.core.Lakehouse.bloomDirsOf(spark, path).foreach { bDir =>
+        val key = bDir.getName.stripPrefix(
+          s"${root.getName}_bloom_")
+        val (keys, fpp) = bloomGeometry(spark, bDir.toString)
+        val bTmp = s"${path}_incoming/bloom$gen-$key"
+        bloomManifest(spark.read.parquet(genFiles: _*), key, keys, fpp)
+          .coalesce(1).write.mode("overwrite").parquet(bTmp)
+        val bPart = fs.listStatus(new org.apache.hadoop.fs.Path(bTmp))
+          .filter(_.getPath.getName.startsWith("part-")).head.getPath
+        val bFile = new org.apache.hadoop.fs.Path(bDir,
+          s"gen$gen.parquet")
+        if (fs.exists(bFile)) fs.delete(bFile, false)
+        require(fs.rename(bPart, bFile),
+          s"appendGeneration: bloom slice $bPart -> $bFile failed")
+        fs.delete(new org.apache.hadoop.fs.Path(bTmp), true)
+      }
     }
   }
 
@@ -392,24 +497,14 @@ object Layout {
       spark.read.parquet(s"${path}_manifest"), cols)
     if (health.pointCost <= maxPointCost) false
     else {
-      val staged = s"${path}_rebuild"
-      zorder(spark.read.parquet(path), cols, bits, partitions)
-        .write.mode("overwrite").parquet(staged)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      // two-rename swap (the Lakehouse.compact discipline): a crash
-      // between the renames leaves <path>_pre_rebuild recoverable,
-      // never a deleted table
-      val old = new org.apache.hadoop.fs.Path(s"${path}_pre_rebuild")
-      if (fs.exists(old)) fs.delete(old, true)
-      require(fs.rename(new org.apache.hadoop.fs.Path(path), old),
-        s"maintainLayout: rename $path -> $old failed")
-      require(fs.rename(new org.apache.hadoop.fs.Path(staged),
-        new org.apache.hadoop.fs.Path(path)),
-        s"maintainLayout: rename $staged -> $path failed " +
-          s"(recover by renaming $old back to $path)")
-      fs.delete(old, true)
-      writeManifest(spark, path, cols)
+      // the rebuild IS a compaction, and runs as one: rewriting from
+      // Lakehouse.scan (LIVE rows only) and clearing the folded
+      // tombstone directory inside the same crash-safe swap — a
+      // rebuild that read the raw parquet would RESURRECT every
+      // tombstoned row and leave stale tombstones addressing vanished
+      // file names. Bloom manifests rebuild, the compact epoch bumps
+      // (generation history collapses), recovery mirrors compact's.
+      Lakehouse.compact(spark, path, cols, bits, partitions)
       true
     }
   }
@@ -423,8 +518,13 @@ object Layout {
     * single-column sort of the same data). Content is untouched —
     * every query over the result is bit-identical (oracled). */
   def zorder(df: DataFrame, cols: Seq[String], bits: Int = 12,
-             partitions: Int = 0): DataFrame = {
-    val keyed = zValue(df, cols, bits)
+             partitions: Int = 0): DataFrame =
+    rangeByZ(zValue(df, cols, bits), partitions)
+
+  /** The shared clustering tail: ONE range exchange on the Morton key
+    * into `partitions` output slices, intra-partition sort, key
+    * dropped. */
+  private def rangeByZ(keyed: DataFrame, partitions: Int): DataFrame = {
     val ranged =
       if (partitions > 0) keyed.repartitionByRange(partitions, col("__z"))
       else keyed.repartitionByRange(col("__z"))

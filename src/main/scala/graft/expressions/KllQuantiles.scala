@@ -188,11 +188,12 @@ case class KllQuantileValues(child: Expression, qs: Seq[Double])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("kllQuantileValues", this)
+    val r = ctx.freshName("r")
     val code = nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |Object r = $ref.read($c);
-         |if (r == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = (${classOf[ArrayData].getName}) r; }
+         |Object $r = $ref.read($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (${classOf[ArrayData].getName}) $r; }
        """.stripMargin
     })
     code
@@ -242,11 +243,12 @@ case class KllRankValue(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("kllRankValue", this)
+    val r = ctx.freshName("r")
     nullSafeCodeGen(ctx, ev, (s, v) =>
       s"""
-         |Object r = $ref.read($s, $v);
-         |if (r == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = ((java.lang.Double) r).doubleValue(); }
+         |Object $r = $ref.read($s, $v);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) $r).doubleValue(); }
        """.stripMargin)
   }
   override def nullable: Boolean = true
@@ -301,11 +303,12 @@ case class KllCdfView(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("kllCdfView", this)
+    val r = ctx.freshName("r")
     nullSafeCodeGen(ctx, ev, c =>
       s"""
-         |Object r = $ref.read($c);
-         |if (r == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = (${classOf[InternalRow].getName}) r; }
+         |Object $r = $ref.read($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (${classOf[InternalRow].getName}) $r; }
        """.stripMargin)
   }
   override def nullable: Boolean = true
@@ -434,11 +437,12 @@ case class KllRobustStats(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("kllRobustStats", this)
+    val r = ctx.freshName("r")
     nullSafeCodeGen(ctx, ev, c =>
       s"""
-         |Object r = $ref.read($c);
-         |if (r == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = (${classOf[InternalRow].getName}) r; }
+         |Object $r = $ref.read($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (${classOf[InternalRow].getName}) $r; }
        """.stripMargin)
   }
   override def nullable: Boolean = true

@@ -278,7 +278,14 @@ object ScaleBench {
     // the corpus takedown composition: documents laid out, retraction
     // list tombstoned, downstream lang rollup off the live scan —
     // expect ~linear in docs (layout write + one delete pass + scan)
-    "doc_takedown_rollup")
+    "doc_takedown_rollup",
+    // round-16: the equal-frequency layout (one KLL sketch aggregate +
+    // broadcast CDF + log-time rank per row — expect ~the equal-width
+    // gate layout_zorder_scan) and retention-preserving compaction
+    // (two generation builds + delete + fold: base rewrite is one pass
+    // over the sub-floor rows, kept generations byte-copy — expect
+    // ~the other two-generation gates)
+    "layout_zorder_eqfreq", "layout_compact_retain_live")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

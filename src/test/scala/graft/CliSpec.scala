@@ -287,6 +287,93 @@ class CliSpec extends SparkSpec {
     assert(b1 == 2 && e1.contains("--feed-out"), e1)
   }
 
+  test("day-N runbook: generation ingest → takedown → epoch-guarded " +
+      "change feed to a replica → retention compact → full compact, " +
+      "each operator step the CLI verb") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("cli-runbook")
+    val outDir = s"$work/lake"
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi).select(
+      col("id"), (col("id") % 100).cast("double").as("x"))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    // day 0: the first generation lands (the streamed-ingest form of
+    // this step is spec'd in LayoutSpec; a drain ≡ one generation)
+    graft.core.Layout.appendGeneration(spark, outDir, mk(0L, 1000L),
+      Seq("x", "id"), bits = 6, partitions = 2, gen = 0L)
+    // the replica bootstraps from the (-1, 0] feed and captures the
+    // epoch the CLI reports alongside it
+    val (c0, j0) = cli("layout", "-o", outDir, "--cols", "x,id",
+      "--changes", "-1,0", "--feed-out", s"$work/bootstrap")
+    assert(c0 == 0, j0)
+    assert(j0.contains("\"epoch\":0") && j0.contains("\"floor\":-1"), j0)
+    var replica = ids(spark.read.parquet(s"$work/bootstrap")
+      .filter(col("__op") === "insert"))
+    assert(replica.size == 1000)
+    // day 1: the next generation arrives, then a takedown list lands
+    // (stamped into generation 1's snapshot)
+    graft.core.Layout.appendGeneration(spark, outDir, mk(1000L, 2000L),
+      Seq("x", "id"), bits = 6, partitions = 2, gen = 1L)
+    val keysPath = s"$work/takedown.parquet"
+    spark.range(10).select(col("id")).write.parquet(keysPath)
+    val (c1, j1) = cli("layout", "-o", outDir, "--cols", "x,id",
+      "--delete-keys", keysPath, "--key", "id")
+    assert(c1 == 0 && j1.contains("\"deleted\":10"), j1)
+    // the replica pulls (0, 1] WITH its captured epoch and applies it
+    def pullAndApply(): Unit = {
+      val (c, j) = cli("layout", "-o", outDir, "--cols", "x,id",
+        "--changes", "0,1", "--feed-out", s"$work/feed", "--epoch", "0")
+      assert(c == 0, j)
+      val feed = spark.read.parquet(s"$work/feed")
+      replica = (replica -- ids(feed.filter(col("__op") === "delete"))) ++
+        ids(feed.filter(col("__op") === "insert"))
+    }
+    pullAndApply()
+    assert(replica == ids(graft.core.Lakehouse.scan(spark, outDir)),
+      "replica diverged from the live table")
+    // scheduled maintenance: retention compact folds the sub-floor
+    // debt while the replica's window STAYS valid (epoch unchanged)
+    val (c2, j2) = cli("layout", "-o", outDir, "--cols", "x,id",
+      "--compact", "--retain-after", "0")
+    assert(c2 == 0, j2)
+    assert(j2.contains("\"epoch\":0") && j2.contains("\"floor\":0") &&
+      j2.contains("\"rebuilt\":true"), j2)
+    pullAndApply() // the same pull still answers, identically
+    assert(replica == ids(graft.core.Lakehouse.scan(spark, outDir)))
+    // deeper maintenance: the FULL compact collapses history and
+    // bumps the epoch — the replica's next pull raises loudly instead
+    // of reading reused generation ids
+    val (c3, j3) = cli("layout", "-o", outDir, "--cols", "x,id",
+      "--compact")
+    assert(c3 == 0 && j3.contains("\"epoch\":1") &&
+      j3.contains("\"delete_debt\":0"), j3)
+    val (c4, e4) = cli("layout", "-o", outDir, "--cols", "x,id",
+      "--changes", "0,1", "--feed-out", s"$work/feed", "--epoch", "0")
+    assert(c4 != 0 && e4.contains("epoch"), e4)
+    // the replica re-syncs from a full scan at the new epoch
+    replica = ids(graft.core.Lakehouse.scan(spark, outDir))
+    assert(replica.size == 1990)
+  }
+
+  test("layout health line survives an empty manifest: a rollback " +
+      "that drops every generation still reports its success") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("cli-healthguard")
+    val outDir = s"$work/lake"
+    graft.core.Layout.appendGeneration(spark, outDir,
+      spark.range(100).select(col("id"),
+        (col("id") % 10).cast("double").as("x")),
+      Seq("x", "id"), bits = 6, partitions = 1, gen = 0L)
+    // rollback(-1) empties the table AND its manifest dir; the verb
+    // already succeeded, so the health line must degrade to
+    // files:0/point_cost:null instead of dying on schema inference
+    val (c0, j0) = cli("layout", "-o", outDir, "--cols", "x,id",
+      "--rollback", "-1")
+    assert(c0 == 0, j0)
+    assert(j0.contains("\"files\":0") &&
+      j0.contains("\"point_cost\":null"), j0)
+  }
+
   test("config prints archive and dataset configuration (cli.py:97-108)") {
     // golden output against the reference fixture's own config.yml
     val archive = "/root/reference/tests/fixtures/archive"

@@ -337,6 +337,22 @@ class ExpressionsSpec extends SparkSpec {
         .select(GraftExpressions.cdfRank($"c.items", $"c.cumw", $"c.n",
           org.apache.spark.sql.functions.lit(5.0)).as("r")),
         "graft_cdf_rank")
+      // TWO kllCdf instances in ONE projection (the zValueByQuantile
+      // shape): each instance's generated locals must be fresh-named —
+      // a fixed name collides in janino and silently falls back
+      val sk2 = docs.agg(
+        GraftExpressions.kllSketch(
+          org.apache.spark.sql.functions.length($"text").cast("double"),
+          64).as("s0"),
+        GraftExpressions.kllSketch($"doc_id".cast("double"), 64).as("s1"))
+        .repartition(2) // barrier: keep the probe out of the agg's
+                        // result projection so its own span is visible
+      codegenLine(sk2.select(GraftExpressions.kllCdf($"s0").as("c0"),
+        GraftExpressions.kllCdf($"s1").as("c1")), "graft_kll_cdf")
+      // the full equal-frequency Morton key rides the same kernels
+      codegenLine(graft.core.Layout.zValueByQuantile(
+        docs.select($"doc_id", $"n_chars"), Seq("doc_id", "n_chars"),
+        bits = 6, k = 64), "graft_interleave_bits")
       // the generator: the Generate node itself carries the codegen star
       // (CollectionGenerator path — same machinery as explode/inline)
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,

@@ -442,6 +442,281 @@ class LakehouseSpec extends SparkSpec {
       .getDouble(0) == 2007.0)
   }
 
+  test("a health-triggered maintainLayout rebuild is a compaction: " +
+      "deleted rows stay gone, the tombstone dir folds in") {
+    val path = tmp("lake-maintdel")
+    freshTable(path)
+    Lakehouse.deleteWhere(spark, path, col("x") >= 50.0)
+    assert(Lakehouse.scan(spark, path).count() == 500L)
+    // an append that RE-TILES the whole base domain (same x/y box) so
+    // the measured point cost crosses the threshold → rebuild
+    val batch = spark.range(1000, 2000).select(col("id"),
+      (col("id") % 100).cast("double").as("x"),
+      ((col("id") % 1000) / 100).cast("double").as("y"))
+    val rebuilt = Layout.maintainLayout(spark, path, batch, Seq("x", "y"),
+      bits = 6, partitions = 4, maxPointCost = 1.5)
+    assert(rebuilt, "fixture must trigger the rebuild")
+    // the rebuild must NOT resurrect the tombstoned rows...
+    val live = spark.read.parquet(path)
+    assert(live.filter(col("x") >= 50.0 && col("id") < 1000L)
+      .count() == 0L, "rebuild resurrected deleted rows")
+    assert(live.count() == 1500L) // 500 survivors + 1000 appended
+    // ...and must clear the folded tombstone set (no phantom debt)
+    assert(Lakehouse.deleteDebt(spark, path) == 0L)
+    assert(!new java.io.File(Lakehouse.deletesDir(path)).exists())
+  }
+
+  test("pointLookup hashes probes AS the key column's type: an Int " +
+      "probe on a LONG key still finds its rows") {
+    val path = tmp("lake-typed")
+    val df = spark.range(4000).select(col("id"),
+      (col("id") % 100).cast("double").as("x"))
+    Layout.zorder(df, Seq("id"), bits = 6, partitions = 8)
+      .write.parquet(path)
+    Layout.writeBloomManifest(spark, path, "id",
+      expectedKeysPerFile = 1000L, fpp = 0.001)
+    // probes typed Int — the build side hashed LONGs; uncast these
+    // would probe false everywhere and silently return empty
+    val got = Lakehouse.pointLookup(spark, path, "id",
+      Seq(7, 1234, 3999))
+    assert(got.count() == 3L)
+    assert(got.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(7L, 1234L, 3999L))
+  }
+
+  test("an all-null key file carries a NULL bloom sketch and is " +
+      "skipped soundly") {
+    val path = tmp("lake-nullkey")
+    spark.range(100).select(col("id"), lit("a").as("tag"))
+      .coalesce(1).write.parquet(path)
+    spark.range(100).select(lit(null).cast("long").as("id"),
+        lit("b").as("tag"))
+      .coalesce(1).write.mode("append").parquet(path)
+    val bm = Layout.bloomManifest(spark.read.parquet(path), "id",
+      expectedKeysPerFile = 1000L, fpp = 0.001)
+    val rows = bm.select("__file", "__bloom").collect()
+    assert(rows.length == 2)
+    assert(rows.count(_.isNullAt(1)) == 1,
+      "the all-null-key file must carry a null sketch")
+    bm.write.mode("overwrite")
+      .parquet(s"${path}_bloom_id") // persist for the lookup
+    val got = Lakehouse.pointLookup(spark, path, "id", Seq(42L))
+    assert(got.count() == 1L && got.select("tag").head().getString(0) == "a")
+  }
+
+  test("concurrent upsertByKey writers serialize through the table " +
+      "lock: neither batch is lost, generations are distinct") {
+    val path = tmp("lake-race")
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi).select(
+      col("id"), (col("id") % 100).cast("double").as("x"))
+    Layout.appendGeneration(spark, path, mk(0L, 1000L), Seq("x", "id"),
+      bits = 6, partitions = 2, gen = 0L)
+    val updA = mk(0L, 50L).withColumn("x", col("x") + lit(1000.0))
+    val updB = mk(500L, 550L).withColumn("x", col("x") + lit(2000.0))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(Lakehouse.upsertByKey(spark, path, updA, "id",
+      Seq("x", "id"), bits = 6, partitions = 1))
+    val fb = Future(Lakehouse.upsertByKey(spark, path, updB, "id",
+      Seq("x", "id"), bits = 6, partitions = 1))
+    Await.result(fa, 5.minutes); Await.result(fb, 5.minutes)
+    val live = Lakehouse.scan(spark, path)
+    assert(live.count() == 1000L, "a writer's batch was lost")
+    def xOf(id: Long): Double = live.filter(col("id") === id)
+      .select("x").head().getDouble(0)
+    assert(xOf(3L) == 1003.0, "writer A's update lost")
+    assert(xOf(510L) == 2010.0, "writer B's update lost")
+    // serialized: the two batches landed as DISTINCT generations 1, 2
+    assert(Lakehouse.currentGen(spark, path) == 2L)
+  }
+
+  test("withTableLock: a held lease makes a second writer raise after " +
+      "waitMs; a stale lease is taken over") {
+    val path = tmp("lake-lock")
+    freshTable(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val lease = new org.apache.hadoop.fs.Path(s"${path}_lock/lease")
+    val f = lease.getFileSystem(conf)
+    f.mkdirs(lease.getParent)
+    val out = f.create(lease, false)
+    out.write("someone-else".getBytes); out.close()
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.withTableLock(spark, path, waitMs = 300L) { fail("ran") }
+    }
+    assert(e.getMessage.contains("writer lease"), e.getMessage)
+    // stale-lease takeover: age the lease past its window
+    f.setTimes(lease, System.currentTimeMillis() - 1000L, -1L)
+    val ran = Lakehouse.withTableLock(spark, path, leaseMs = 500L) { 42 }
+    assert(ran == 42)
+    assert(!f.exists(lease), "lock released after the body")
+  }
+
+  test("compact bumps the epoch: a replica's stale-epoch window " +
+      "raises loudly instead of reading reused generation ids") {
+    val path = tmp("lake-epoch")
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi).select(
+      col("id"), (col("id") % 100).cast("double").as("x"))
+    Layout.appendGeneration(spark, path, mk(0L, 500L), Seq("x", "id"),
+      bits = 6, partitions = 2, gen = 0L)
+    Layout.appendGeneration(spark, path, mk(500L, 1000L), Seq("x", "id"),
+      bits = 6, partitions = 2, gen = 1L)
+    val replicaEpoch = Lakehouse.compactEpoch(spark, path)
+    // same-epoch feeds work
+    assert(Lakehouse.changesBetween(spark, path, 0L, 1L,
+      asOfEpoch = replicaEpoch).count() == 500L)
+    Lakehouse.compact(spark, path, Seq("x", "id"), bits = 6,
+      partitions = 2)
+    assert(Lakehouse.compactEpoch(spark, path) == replicaEpoch + 1)
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.changesBetween(spark, path, 0L, 1L,
+        asOfEpoch = replicaEpoch)
+    }
+    assert(e.getMessage.contains("epoch"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Lakehouse.scanAsOf(spark, path, 0L, asOfEpoch = replicaEpoch)
+    }
+    assert(e2.getMessage.contains("epoch"), e2.getMessage)
+    // a maintainLayout rebuild is a compact: it bumps too
+    Layout.maintainLayout(spark, path,
+      mk(1000L, 1500L), Seq("x", "id"), bits = 6, partitions = 2,
+      maxPointCost = 0.0)
+    assert(Lakehouse.compactEpoch(spark, path) == replicaEpoch + 2)
+  }
+
+  test("compactRetaining: debt folds below the floor, every later " +
+      "snapshot and the change feed stay byte-correct") {
+    val path = tmp("lake-retain")
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi).select(
+      col("id"), (col("id") % 100).cast("double").as("x"))
+    Layout.appendGeneration(spark, path, mk(0L, 400L), Seq("x", "id"),
+      bits = 6, partitions = 2, gen = 0L)
+    // a delete at gen 0 — folds away entirely
+    Lakehouse.deleteWhere(spark, path, col("id") < 20L)
+    Layout.appendGeneration(spark, path, mk(400L, 800L), Seq("x", "id"),
+      bits = 6, partitions = 2, gen = 1L)
+    // a delete at gen 1 hitting BOTH generations — its gen-0 victims
+    // must be remapped, its gen-1 victims carried verbatim
+    Lakehouse.deleteWhere(spark, path, col("x") >= 90.0)
+    Layout.appendGeneration(spark, path, mk(800L, 1200L), Seq("x", "id"),
+      bits = 6, partitions = 2, gen = 2L)
+    // a delete at gen 2 hitting everything
+    Lakehouse.deleteWhere(spark, path, col("x") < 5.0)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    val asOf0 = ids(Lakehouse.scanAsOf(spark, path, 0L))
+    val asOf1 = ids(Lakehouse.scanAsOf(spark, path, 1L))
+    val asOf2 = ids(Lakehouse.scanAsOf(spark, path, 2L))
+    val feed12 = Lakehouse.changesBetween(spark, path, 1L, 2L)
+    val feedIns = ids(feed12.filter(col("__op") === "insert"))
+    val feedDel = ids(feed12.filter(col("__op") === "delete"))
+    val epoch = Lakehouse.compactEpoch(spark, path)
+    Lakehouse.compactRetaining(spark, path, Seq("x", "id"),
+      retainAfter = 0L, bits = 6, partitions = 2)
+    // the epoch did NOT move (later windows stay valid); the floor did
+    assert(Lakehouse.compactEpoch(spark, path) == epoch)
+    assert(Lakehouse.snapshotFloor(spark, path) == 0L)
+    // every retained snapshot is unchanged
+    assert(ids(Lakehouse.scanAsOf(spark, path, 0L, asOfEpoch = epoch))
+      == asOf0)
+    assert(ids(Lakehouse.scanAsOf(spark, path, 1L)) == asOf1)
+    assert(ids(Lakehouse.scanAsOf(spark, path, 2L)) == asOf2)
+    assert(ids(Lakehouse.scan(spark, path)) == asOf2)
+    // the replica's feed is unchanged across the retention compaction
+    val feed12b = Lakehouse.changesBetween(spark, path, 1L, 2L,
+      asOfEpoch = epoch)
+    assert(ids(feed12b.filter(col("__op") === "insert")) == feedIns)
+    assert(ids(feed12b.filter(col("__op") === "delete")) == feedDel)
+    // the folded debt is gone: only post-floor tombstones remain
+    // (gen-1 box: remapped + carried; gen-2 box: untouched)
+    val delFiles = new java.io.File(Lakehouse.deletesDir(path))
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).sorted
+    assert(delFiles.forall(n => n.startsWith("del1-") ||
+      n.startsWith("del2-")), delFiles.mkString(","))
+    // expired history raises loudly
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.scanAsOf(spark, path, -1L)
+    }
+    assert(e.getMessage.contains("floor"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Lakehouse.changesBetween(spark, path, -1L, 2L)
+    }
+    assert(e2.getMessage.contains("floor"), e2.getMessage)
+    // life goes on: appends, deletes, rollback above the floor
+    Layout.appendGeneration(spark, path, mk(1200L, 1300L), Seq("x", "id"),
+      bits = 6, partitions = 1, gen = 3L)
+    assert(ids(Lakehouse.scan(spark, path)) == asOf2 ++ (1200L until 1300L))
+    Lakehouse.rollback(spark, path, 2L)
+    assert(ids(Lakehouse.scan(spark, path)) == asOf2)
+  }
+
+  test("bulk retractions shard their tombstone files past rowsPerFile " +
+      "and replays still record nothing") {
+    val path = tmp("lake-shard")
+    freshTable(path)
+    val n = Lakehouse.deleteWhere(spark, path, col("x") >= 40.0,
+      rowsPerFile = 100L)
+    assert(n == 600L)
+    val delFiles = new java.io.File(Lakehouse.deletesDir(path))
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+    assert(delFiles.length == 6, delFiles.mkString(","))
+    assert(delFiles.forall(_.startsWith("del-1-")), delFiles.mkString(","))
+    assert(Lakehouse.deleteDebt(spark, path) == 600L)
+    assert(Lakehouse.scan(spark, path).count() == 400L)
+    // replay: content-idempotent across the sharded layout
+    assert(Lakehouse.deleteWhere(spark, path, col("x") >= 40.0,
+      rowsPerFile = 100L) == 0L)
+    assert(Lakehouse.deleteDebt(spark, path) == 600L)
+  }
+
+  test("appends extend the bloom manifests: lookups on appended " +
+      "generations stay file-bounded instead of full-keeping") {
+    val path = tmp("lake-bloomappend")
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi).select(
+      col("id"), (col("id") % 100).cast("double").as("x"))
+    Layout.appendGeneration(spark, path, mk(0L, 8000L), Seq("id"),
+      bits = 6, partitions = 8, gen = 0L)
+    Layout.writeBloomManifest(spark, path, "id",
+      expectedKeysPerFile = 2000L, fpp = 0.001)
+    // a generation appended AFTER the manifest was built gets a slice
+    Layout.appendGeneration(spark, path, mk(8000L, 16000L), Seq("id"),
+      bits = 6, partitions = 8, gen = 1L)
+    assert(new java.io.File(s"${path}_bloom_id/gen1.parquet").exists(),
+      "appendGeneration must land its bloom slice")
+    def readSet(probe: Long): Set[String] =
+      Lakehouse.pointLookup(spark, path, "id", Seq(probe)).inputFiles
+        .map(f => f.substring(f.lastIndexOf('/') + 1))
+        .filter(_.startsWith("gen")).toSet
+    // a gen-1 key's lookup reads a handful of files, NOT all 8 gen-1
+    // files (which a stale manifest would full-keep)
+    val rs = readSet(12345L)
+    assert(rs.nonEmpty && rs.size <= 3, rs.toString)
+    // the replayed generation rewrites its own slice and stays pruned
+    Layout.appendGeneration(spark, path, mk(8000L, 16000L), Seq("id"),
+      bits = 6, partitions = 8, gen = 1L)
+    assert(Lakehouse.pointLookup(spark, path, "id", Seq(12345L))
+      .count() == 1L)
+    assert(readSet(12345L).size <= 3)
+    // appendZordered (non-generation append) extends manifests too
+    val path2 = tmp("lake-bloomappend2")
+    Layout.zorder(mk(0L, 4000L), Seq("id"), bits = 6, partitions = 4)
+      .write.parquet(path2)
+    Layout.writeManifest(spark, path2, Seq("id"))
+    Layout.writeBloomManifest(spark, path2, "id",
+      expectedKeysPerFile = 2000L, fpp = 0.001)
+    Layout.appendZordered(spark, path2, mk(4000L, 8000L), Seq("id"),
+      bits = 6, partitions = 4)
+    val rs2 = Lakehouse.pointLookup(spark, path2, "id", Seq(6000L))
+      .inputFiles.map(f => f.substring(f.lastIndexOf('/') + 1))
+      .filter(_.startsWith("part-")).toSet
+    assert(rs2.nonEmpty && rs2.size <= 3, rs2.toString)
+    // rollback drops the rolled-back generations' bloom slices
+    Lakehouse.rollback(spark, path, 0L)
+    assert(!new java.io.File(s"${path}_bloom_id/gen1.parquet").exists(),
+      "rollback must drop the rolled-back bloom slice")
+    assert(Lakehouse.pointLookup(spark, path, "id", Seq(7L)).count() == 1L)
+  }
+
   test("delete debt survives an appendGeneration replay: positions " +
       "reference only files the replay does not touch") {
     val path = tmp("lake-replay")

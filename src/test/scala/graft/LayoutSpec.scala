@@ -262,4 +262,49 @@ class LayoutSpec extends SparkSpec {
     assert(h.files == 10 && h.pointCost < 2.0,
       s"banded appends should stay healthy: $h")
   }
+
+  test("zorderByQuantile: a heavy-tailed domain prunes strictly fewer " +
+      "files than equal-width; content is invariant") {
+    import org.apache.spark.sql.functions._
+    val L = graft.core.Layout
+    // both columns heavy-tailed (x⁸ over a 100-value grid): under
+    // equal-width quantization ~59% of each column's rows collapse
+    // into cell 0, so the files of the dense corner all span it and a
+    // dense-region box keeps them all; equal-frequency cells hold
+    // equal MASS, so the same box touches ~its own mass in files
+    val df = spark.range(10000).select(
+      col("id"),
+      pow(col("id") % 100, 8.0).as("a"),
+      pow((col("id") / 100) % 100, 8.0).as("b"))
+    val work = java.nio.file.Files.createTempDirectory("graft-zq")
+    val eqw = s"$work/eqw"
+    val eqf = s"$work/eqf"
+    L.zorder(df, Seq("a", "b"), bits = 6, partitions = 16)
+      .write.parquet(eqw)
+    L.writeManifest(spark, eqw, Seq("a", "b"))
+    L.zorderByQuantile(df, Seq("a", "b"), bits = 6, partitions = 16)
+      .write.parquet(eqf)
+    L.writeManifest(spark, eqf, Seq("a", "b"))
+    // the dense-region box: values ≤ 21⁸ ≈ the first 21% of MASS per
+    // dimension but only ~0.004% of the VALUE domain
+    val hi = math.pow(21.0, 8.0)
+    val box = Seq(("a", lit(0.0), lit(hi)), ("b", lit(0.0), lit(hi)))
+    val keptEqw = L.pruneFiles(
+      spark.read.parquet(s"${eqw}_manifest"), box).count()
+    val keptEqf = L.pruneFiles(
+      spark.read.parquet(s"${eqf}_manifest"), box).count()
+    assert(keptEqf < keptEqw,
+      s"equal-frequency must out-prune equal-width on a heavy tail: " +
+        s"eqf kept $keptEqf vs eqw $keptEqw of 16")
+    // the layout changes placement, never content
+    val got = L.prunedScan(spark, eqf, box)
+    val want = df.filter(col("a") <= hi && col("b") <= hi)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(spark.read.parquet(eqf).count() == 10000)
+    // all-null and constant columns still get a total order (cell 0)
+    val weird = spark.range(100).select(col("id"),
+      lit(null).cast("double").as("a"), lit(7.0).as("b"))
+    assert(L.zValueByQuantile(weird, Seq("a", "b"), bits = 6)
+      .select("__z").distinct().count() >= 1L)
+  }
 }
