@@ -1806,6 +1806,40 @@ object SparkEntry {
           col("event_type"), col("value"))
     }),
 
+    "layout_replica_apply" -> ((s, dir) => {
+      // the CDC loop CLOSED: a replica bootstrapped at generation 0
+      // consumes the (0,1] feed through applyChangesByKey (deletes
+      // retract keys, inserts land as a generation — never a source
+      // read) and must equal a direct scan of the source's gen-1
+      // snapshot. Twin shared VERBATIM with layout_delete_scan: the
+      // source's live state, reproduced entirely from the feed
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-zreplica").toString
+      val src = s"$base/src"
+      val rep = s"$base/replica"
+      graft.core.Layout.appendGeneration(s, src,
+        ev.filter(col("event_id") % 2 === 0), Seq("value", "event_id"),
+        bits = 8, partitions = 4, gen = 0L)
+      graft.core.Layout.appendGeneration(s, rep,
+        ev.filter(col("event_id") % 2 === 0), Seq("value", "event_id"),
+        bits = 8, partitions = 4, gen = 0L)
+      graft.core.Layout.appendGeneration(s, src,
+        ev.filter(col("event_id") % 2 === 1), Seq("value", "event_id"),
+        bits = 8, partitions = 4, gen = 1L)
+      graft.core.Lakehouse.deleteWhere(s, src,
+        col("value").between(20.0, 60.0))
+      graft.core.Lakehouse.applyChangesByKey(s, rep,
+        graft.core.Lakehouse.changesBetween(s, src, 0L, 1L),
+        "event_id", Seq("value", "event_id"), bits = 8, partitions = 4)
+      graft.core.Lakehouse.scan(s, rep)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    }),
+
     "ev_anomaly_sketch_stream" -> ((s, dir) => {
       // the sketch-served anomaly screen on a LIVE stream: med/MAD
       // read once from the bounded KLL state, then the same stateless
@@ -5266,6 +5300,10 @@ object SparkEntry {
     // … and scanAsOf(1) ≡ live shares the delete twin verbatim (the
     // later delete applies in full across remapped + carried halves)
     "layout_compact_retain_live" -> LayoutDeleteScanOracle,
+    // the CDC consumer: a replica bootstrapped at gen 0 + the (0,1]
+    // feed applied by key ≡ the source's live (gen-1) state — the
+    // delete twin verbatim, reproduced without ever reading the source
+    "layout_replica_apply" -> LayoutDeleteScanOracle,
     // the epoch-guarded change feed shares layout_changes' twin
     // verbatim: passing the captured epoch changes nothing while no
     // compact landed (the raise on a stale epoch is spec'd)

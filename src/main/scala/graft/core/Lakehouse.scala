@@ -95,9 +95,17 @@ object Lakehouse {
     * readback closes most of the check-then-create window on local
     * filesystems). A lease older than `leaseMs` is presumed crashed
     * and taken over (stale-lease takeover — a writer that dies without
-    * releasing never wedges the table). Raises after `waitMs` without
-    * acquisition instead of mutating unlocked. NOT reentrant: lock
-    * only at the public mutator grain. */
+    * releasing never wedges the table); a LIVE holder keeps its lease
+    * fresh with a daemon heartbeat touching the file every
+    * `leaseMs / 3`, so a legitimately long mutation (a 100 TB compact
+    * runs hours) is never usurped mid-write just for outliving the
+    * window. Raises after `waitMs` without acquisition instead of
+    * mutating unlocked. If the heartbeat ever finds the lease carrying
+    * someone else's token (this process was paused past the whole
+    * window and usurped), the call RAISES after the body instead of
+    * reporting clean success — the two writers' files may have
+    * interleaved and the table should be health-checked/compacted.
+    * NOT reentrant: lock only at the public mutator grain. */
   def withTableLock[T](spark: SparkSession, path: String,
                        leaseMs: Long = 15L * 60 * 1000,
                        waitMs: Long = 10L * 60 * 1000)(body: => T): T = {
@@ -105,6 +113,14 @@ object Lakehouse {
     val dir = new Path(s"${path}_lock")
     val lease = new Path(dir, "lease")
     val token = java.util.UUID.randomUUID().toString
+    val tokenBytes = token.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def leaseToken(): String =
+      try {
+        val in = f.open(lease)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      } catch { case _: java.io.IOException => "" }
     val deadline = System.currentTimeMillis() + waitMs
     var acquired = false
     while (!acquired) {
@@ -115,20 +131,12 @@ object Lakehouse {
       val created =
         try {
           val out = f.create(lease, false) // fails if a writer holds it
-          try out.write(token.getBytes(
-            java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
+          try out.write(tokenBytes) finally out.close()
           true
         } catch { case _: java.io.IOException => false }
-      if (created) {
-        // double-check: create-if-absent is not atomic on every
-        // FileSystem; proceed only if OUR token survived the race
-        val in = f.open(lease)
-        val won = try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8) == token
-        finally in.close()
-        acquired = won
-      }
+      // double-check: create-if-absent is not atomic on every
+      // FileSystem; proceed only if OUR token survived the race
+      acquired = created && leaseToken() == token
       if (!acquired) {
         require(System.currentTimeMillis() < deadline,
           s"withTableLock: could not acquire the writer lease at $dir " +
@@ -138,7 +146,36 @@ object Lakehouse {
         Thread.sleep(100L)
       }
     }
-    try body finally f.delete(lease, false)
+    val usurped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val stop = new java.util.concurrent.CountDownLatch(1)
+    val beat = new Thread(() => {
+      while (!stop.await(math.max(1L, leaseMs / 3),
+          java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        try {
+          if (leaseToken() == token)
+            f.setTimes(lease, System.currentTimeMillis(), -1L)
+          else usurped.set(true)
+        } catch { case _: java.io.IOException => () }
+      }
+    }, s"graft-lease-heartbeat-${new Path(path).getName}")
+    beat.setDaemon(true)
+    beat.start()
+    val result = try body finally {
+      stop.countDown()
+      beat.join(1000L)
+      // release only OUR lease — after a usurpation the file is the
+      // new owner's, and deleting it would cascade the race
+      if (!usurped.get() && leaseToken() == token) f.delete(lease, false)
+    }
+    // raised only on a CLEAN body (a body failure already propagated)
+    require(!usurped.get(),
+      s"withTableLock: the writer lease at $dir was taken over " +
+        s"mid-mutation (this process stalled past ${leaseMs}ms and a " +
+        "contender presumed it dead) — the mutation DID run, but " +
+        "another writer may have interleaved: health-check the " +
+        "table (Layout.layoutHealth, Lakehouse.deleteDebt) and " +
+        "compact before trusting further snapshots")
+    result
   }
 
   // ------------------------------------------------------------------
@@ -669,6 +706,19 @@ object Lakehouse {
     * inside the window appears as neither — net, like any replica
     * would want. Requires a generation-managed layout.
     *
+    * THE OPEN-WINDOW RULE (the consume contract): deletes are stamped
+    * with the table's CURRENT generation, so the window ending at the
+    * open (latest) generation can still accumulate deletes after a
+    * replica read it; every window ending at a CLOSED generation
+    * (toGen < currentGen) is final. A replica therefore either
+    * consumes closed windows only, or re-pulls its last window after
+    * it closes — safe, because feeds are replay-idempotent through
+    * [[applyChangesByKey]] (retractions anti-join what the replica
+    * already recorded). [[upsertByKey]] keeps the discipline
+    * automatically: its delete (stamped g) and its append (landing
+    * g+1, which CLOSES g) are one lock-held mutation, so any
+    * quiescent read of a closed window sees both halves.
+    *
     * Feed windows must not span a compaction — generation ids are
     * reused after one, so a stale window would silently address the
     * WRONG data. The contract is enforced, not honor-system: a window
@@ -728,6 +778,48 @@ object Lakehouse {
     inserts.withColumn("__op", lit("insert"))
       .unionByName(deletes.withColumn("__op", lit("delete")))
   }
+
+  /** Apply a [[changesBetween]] feed to a KEYED replica table — the
+    * consumer half of the CDC loop, as one operator: the feed's
+    * `delete` rows retract their keys (content-idempotent — a replayed
+    * feed retracts nothing new), the `insert` rows land as one new
+    * generation (the replica IS a lakehouse table, so scans, point
+    * lookups, snapshots, and compaction all compose on it). Keys must
+    * be unique in the source — the replica enforces it per feed with a
+    * loud raise, like [[upsertByKey]]. A key UPDATED across the window
+    * arrives as delete(old)+insert(new) of the same key; the delete
+    * half applies first, so last-writer-wins holds. Cost: one pass
+    * over the replica's key column (the retraction join) plus one over
+    * the feed — never over the source table; that is the entire point
+    * of consuming the feed. Single-writer on the replica. Oracled:
+    * bootstrap + feed ≡ a direct scan of the source's target snapshot,
+    * hash-for-hash. */
+  def applyChangesByKey(spark: SparkSession, replicaPath: String,
+                        feed: DataFrame, keyCol: String,
+                        cols: Seq[String], bits: Int = 12,
+                        partitions: Int = 0): Unit =
+    withTableLock(spark, replicaPath) {
+      val cached = feed.cache()
+      try {
+        val inserts = cached.filter(col("__op") === "insert").drop("__op")
+        val dup = inserts.groupBy(col(keyCol)).count()
+          .filter(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"applyChangesByKey: the feed's inserts carry duplicate " +
+            s"$keyCol=${dup.headOption.map(_.get(0)).orNull} — a keyed " +
+            "replica needs a key-unique source")
+        deleteMatchingIn(spark, replicaPath,
+          parquetFiles(spark, replicaPath).map(_.toString),
+          cached.filter(col("__op") === "delete").select(col(keyCol)),
+          keyCol)
+        val gen = currentGen(spark, replicaPath)
+        if (gen >= 0)
+          Layout.appendGeneration(spark, replicaPath, inserts, cols,
+            bits, partitions, gen + 1)
+        else Layout.appendZordered(spark, replicaPath, inserts, cols,
+          bits, partitions)
+      } finally { cached.unpersist(); () }
+    }
 
   /** Make the `gen` snapshot permanent: delete data files, manifest
     * slices (min/max AND Bloom), and tombstone files stamped AFTER it.

@@ -717,6 +717,80 @@ class LakehouseSpec extends SparkSpec {
     assert(Lakehouse.pointLookup(spark, path, "id", Seq(7L)).count() == 1L)
   }
 
+  test("the lease heartbeat keeps a LONG mutation's lock fresh: a " +
+      "contender cannot usurp a live holder that outlives leaseMs") {
+    val path = tmp("lake-beat")
+    freshTable(path)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val holderDone = new java.util.concurrent.CountDownLatch(1)
+    // a holder whose body outlives its own lease window 3×: without
+    // the heartbeat the contender below would take the lease over and
+    // both would mutate concurrently
+    val holder = Future(Lakehouse.withTableLock(spark, path,
+      leaseMs = 400L) {
+      Thread.sleep(1200L); holderDone.countDown(); "held"
+    })
+    Thread.sleep(150L) // let the holder acquire
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.withTableLock(spark, path, leaseMs = 400L,
+        waitMs = 900L) { fail("usurped a live holder") }
+    }
+    assert(e.getMessage.contains("writer lease"), e.getMessage)
+    assert(Await.result(holder, 1.minute) == "held")
+    assert(holderDone.getCount == 0)
+    // released cleanly: the next writer acquires immediately
+    assert(Lakehouse.withTableLock(spark, path, waitMs = 500L) { 1 } == 1)
+  }
+
+  test("applyChangesByKey: a replica reproduces the source snapshot " +
+      "from the feed alone; replayed feeds are no-ops; updates win") {
+    val path = tmp("lake-replsrc")
+    val rep = tmp("lake-repldst")
+    val mk = (lo: Long, hi: Long, bump: Double) =>
+      spark.range(lo, hi).select(col("id"),
+        ((col("id") % 100).cast("double") + lit(bump)).as("x"))
+    Layout.appendGeneration(spark, path, mk(0L, 500L, 0.0),
+      Seq("x", "id"), bits = 6, partitions = 2, gen = 0L)
+    Layout.appendGeneration(spark, rep, mk(0L, 500L, 0.0),
+      Seq("x", "id"), bits = 6, partitions = 2, gen = 0L)
+    // the window (0, 2]: new rows land as generation 1, then a
+    // takedown (stamped 1 — generation 0 is closed, so the stamp
+    // falls inside the window), then an UPDATE of ids 0-4 through
+    // upsertByKey (delete stamped 1 + re-insert as generation 2 —
+    // the same key on both sides of the feed)
+    Layout.appendGeneration(spark, path, mk(500L, 600L, 0.0),
+      Seq("x", "id"), bits = 6, partitions = 2, gen = 1L)
+    Lakehouse.deleteMatching(spark, path,
+      spark.range(400, 450).select(col("id")), "id")
+    Lakehouse.upsertByKey(spark, path, mk(0L, 5L, 9000.0), "id",
+      Seq("x", "id"), bits = 6, partitions = 1)
+    val feed = Lakehouse.changesBetween(spark, path, 0L, 2L)
+    Lakehouse.applyChangesByKey(spark, rep, feed, "id", Seq("x", "id"),
+      bits = 6, partitions = 2)
+    def state(p: String): Set[(Long, Double)] =
+      Lakehouse.scan(spark, p).select("id", "x").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(state(rep) == state(path), "replica diverged from source")
+    // the updated keys carry the NEW values
+    assert(state(rep).contains((3L, 9003.0)))
+    // a replayed feed changes nothing: deletes are content-idempotent,
+    // inserts land at the replica's next generation with the same rows
+    Lakehouse.applyChangesByKey(spark, rep, feed, "id", Seq("x", "id"),
+      bits = 6, partitions = 2)
+    assert(state(rep) == state(path), "feed replay must be a no-op")
+    // duplicate-key inserts raise loudly
+    import spark.implicits._
+    val badFeed = Seq((1L, 1.0, "insert"), (1L, 2.0, "insert"))
+      .toDF("id", "x", "__op")
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.applyChangesByKey(spark, rep, badFeed, "id",
+        Seq("x", "id"))
+    }
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+  }
+
   test("delete debt survives an appendGeneration replay: positions " +
       "reference only files the replay does not touch") {
     val path = tmp("lake-replay")
