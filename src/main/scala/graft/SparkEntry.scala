@@ -1840,6 +1840,46 @@ object SparkEntry {
             .as("sum_value"))
     }),
 
+    "layout_replica_apply_stream" -> ((s, dir) => {
+      // the replica's LIVE consumption form: the same produced feed
+      // arriving through readStream, applied per micro-batch with the
+      // pinned-generation exactly-once discipline (insert half
+      // rewrites its own generation on replay, retraction half
+      // excludes it). Twin shared VERBATIM with layout_replica_apply:
+      // streamed consumption ≡ one-shot consumption ≡ the source's
+      // live state
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-zrepstream").toString
+      val src = s"$base/src"
+      val rep = s"$base/replica"
+      graft.core.Layout.appendGeneration(s, src,
+        ev.filter(col("event_id") % 2 === 0), Seq("value", "event_id"),
+        bits = 8, partitions = 4, gen = 0L)
+      graft.core.Layout.appendGeneration(s, rep,
+        ev.filter(col("event_id") % 2 === 0), Seq("value", "event_id"),
+        bits = 8, partitions = 4, gen = 0L)
+      graft.core.Layout.appendGeneration(s, src,
+        ev.filter(col("event_id") % 2 === 1), Seq("value", "event_id"),
+        bits = 8, partitions = 4, gen = 1L)
+      graft.core.Lakehouse.deleteWhere(s, src,
+        col("value").between(20.0, 60.0))
+      val feedDir = s"$base/feed"
+      graft.core.Lakehouse.changesBetween(s, src, 0L, 1L)
+        .coalesce(1).write.parquet(s"$feedDir/pull0")
+      val schema = s.read.parquet(s"$feedDir/pull0").schema
+      graft.core.Lakehouse.applyChangesByKeyStream(
+        s.readStream.schema(schema).parquet(s"$feedDir/*/"),
+        rep, "event_id", Seq("value", "event_id"), bits = 8,
+        partitions = 4)
+      graft.core.Lakehouse.scan(s, rep)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    }),
+
     "ev_anomaly_sketch_stream" -> ((s, dir) => {
       // the sketch-served anomaly screen on a LIVE stream: med/MAD
       // read once from the bounded KLL state, then the same stateless
@@ -5304,6 +5344,9 @@ object SparkEntry {
     // feed applied by key ≡ the source's live (gen-1) state — the
     // delete twin verbatim, reproduced without ever reading the source
     "layout_replica_apply" -> LayoutDeleteScanOracle,
+    // the same feed consumed as a STREAM of micro-batches — shared
+    // twin verbatim: streamed consumption ≡ one-shot consumption
+    "layout_replica_apply_stream" -> LayoutDeleteScanOracle,
     // the epoch-guarded change feed shares layout_changes' twin
     // verbatim: passing the captured epoch changes nothing while no
     // compact landed (the raise on a stale epoch is spec'd)

@@ -787,13 +787,19 @@ object Lakehouse {
     * lookups, snapshots, and compaction all compose on it). Keys must
     * be unique in the source — the replica enforces it per feed with a
     * loud raise, like [[upsertByKey]]. A key UPDATED across the window
-    * arrives as delete(old)+insert(new) of the same key; the delete
-    * half applies first, so last-writer-wins holds. Cost: one pass
-    * over the replica's key column (the retraction join) plus one over
-    * the feed — never over the source table; that is the entire point
-    * of consuming the feed. Single-writer on the replica. Oracled:
-    * bootstrap + feed ≡ a direct scan of the source's target snapshot,
-    * hash-for-hash. */
+    * arrives as delete(old)+insert(new) of the same key; the
+    * retraction half applies first, so last-writer-wins holds. The
+    * retraction covers the feed's delete keys AND its insert keys
+    * (an upsert, not a blind append) — that is what makes the apply
+    * REPLAY-IDEMPOTENT in effect: re-applying the same feed retracts
+    * the first application's landed rows and lands them again, so
+    * counts never double, and re-pulling a still-open window (the
+    * open-window rule on [[changesBetween]]) refreshes rather than
+    * duplicates. Cost: one pass over the replica's key column (the
+    * retraction join) plus one over the feed — never over the source
+    * table; that is the entire point of consuming the feed.
+    * Single-writer on the replica. Oracled: bootstrap + feed ≡ a
+    * direct scan of the source's target snapshot, hash-for-hash. */
   def applyChangesByKey(spark: SparkSession, replicaPath: String,
                         feed: DataFrame, keyCol: String,
                         cols: Seq[String], bits: Int = 12,
@@ -810,8 +816,7 @@ object Lakehouse {
             "replica needs a key-unique source")
         deleteMatchingIn(spark, replicaPath,
           parquetFiles(spark, replicaPath).map(_.toString),
-          cached.filter(col("__op") === "delete").select(col(keyCol)),
-          keyCol)
+          cached.select(col(keyCol)), keyCol)
         val gen = currentGen(spark, replicaPath)
         if (gen >= 0)
           Layout.appendGeneration(spark, replicaPath, inserts, cols,
@@ -819,6 +824,76 @@ object Lakehouse {
         else Layout.appendZordered(spark, replicaPath, inserts, cols,
           bits, partitions)
       } finally { cached.unpersist(); () }
+    }
+
+  /** Streamed [[applyChangesByKey]] — the replica's live consumption
+    * form: feed batches (tagged `__op` rows, e.g. the parquet dirs a
+    * producer's [[changesBetween]] lands) arrive through `readStream`
+    * and each micro-batch applies as one retract+land. Exactly-once
+    * under `foreachBatch`'s at-least-once replays by the
+    * [[upsertByKeyStream]] discipline: the insert half rides
+    * generation `base + micro-batch id` (base pinned under the
+    * checkpoint at `<replicaPath>_apply_ckpt`, so restarts map
+    * replayed ids to the SAME generations and rewrite exactly their
+    * own files), and the delete half is content-idempotent AND
+    * excludes the batch's own generation files — a replayed update
+    * batch must not tombstone the very rows its first attempt landed.
+    * AvailableNow drain. */
+  def applyChangesByKeyStream(feed: DataFrame, replicaPath: String,
+                              keyCol: String, cols: Seq[String],
+                              bits: Int = 12,
+                              partitions: Int = 0): Unit = {
+    val spark = feed.sparkSession
+    val ckpt = s"${replicaPath}_apply_ckpt"
+    val f = fs(spark, replicaPath)
+    val baseFile = new Path(ckpt, "graft_gen_base")
+    val base: Long =
+      if (f.exists(baseFile)) {
+        val in = f.open(baseFile)
+        try in.readLong() finally in.close()
+      } else {
+        val b = currentGen(spark, replicaPath) + 1
+        f.mkdirs(new Path(ckpt))
+        val out = f.create(baseFile, false)
+        try out.writeLong(b) finally out.close()
+        b
+      }
+    val q = feed.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyBatch(spark, replicaPath, batch, keyCol, cols, bits,
+          partitions, base + id)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One feed micro-batch at a pinned generation — the replay-safe
+    * body under [[applyChangesByKeyStream]] (exposed for direct
+    * redelivery testing). */
+  private[graft] def applyBatch(spark: SparkSession, replicaPath: String,
+                                batch: DataFrame, keyCol: String,
+                                cols: Seq[String], bits: Int,
+                                partitions: Int, gen: Long): Unit =
+    withTableLock(spark, replicaPath) {
+      val inserts = batch.filter(col("__op") === "insert").drop("__op")
+      val dup = inserts.groupBy(col(keyCol)).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"applyBatch: generation $gen's feed inserts carry duplicate " +
+          s"$keyCol=${dup.headOption.map(_.get(0)).orNull} — a keyed " +
+          "replica needs a key-unique source")
+      // retract delete keys AND insert keys (the upsert treatment,
+      // like the one-shot form) from every file EXCEPT the pinned
+      // generation's own — a replay must not tombstone what its first
+      // attempt landed (those files are rewritten in place)
+      val older = parquetFiles(spark, replicaPath)
+        .filter(p => genOf(p.getName) != gen).map(_.toString)
+      deleteMatchingIn(spark, replicaPath, older,
+        batch.select(col(keyCol)), keyCol)
+      Layout.appendGeneration(spark, replicaPath, inserts, cols, bits,
+        partitions, gen)
     }
 
   /** Make the `gen` snapshot permanent: delete data files, manifest

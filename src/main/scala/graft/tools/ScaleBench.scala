@@ -285,7 +285,12 @@ object ScaleBench {
     // (two generation builds + delete + fold: base rewrite is one pass
     // over the sub-floor rows, kept generations byte-copy — expect
     // ~the other two-generation gates)
-    "layout_zorder_eqfreq", "layout_compact_retain_live")
+    "layout_zorder_eqfreq", "layout_compact_retain_live",
+    // CDC consumption: source build (two generations + delete) + feed
+    // + replica bootstrap + keyed apply — the apply itself is one
+    // replica-key pass + one feed pass; growth is the by-construction
+    // builds (~the other two-generation gates)
+    "layout_replica_apply")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length

@@ -773,13 +773,19 @@ class LakehouseSpec extends SparkSpec {
       Lakehouse.scan(spark, p).select("id", "x").collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(state(rep) == state(path), "replica diverged from source")
+    assert(Lakehouse.scan(spark, rep).count() ==
+      Lakehouse.scan(spark, path).count())
     // the updated keys carry the NEW values
     assert(state(rep).contains((3L, 9003.0)))
-    // a replayed feed changes nothing: deletes are content-idempotent,
-    // inserts land at the replica's next generation with the same rows
+    // a replayed feed is effect-idempotent: the upsert-style
+    // retraction covers the insert keys too, so re-landing the same
+    // rows never doubles COUNTS (a set compare alone would mask that)
     Lakehouse.applyChangesByKey(spark, rep, feed, "id", Seq("x", "id"),
       bits = 6, partitions = 2)
     assert(state(rep) == state(path), "feed replay must be a no-op")
+    assert(Lakehouse.scan(spark, rep).count() ==
+      Lakehouse.scan(spark, path).count(),
+      "feed replay duplicated rows")
     // duplicate-key inserts raise loudly
     import spark.implicits._
     val badFeed = Seq((1L, 1.0, "insert"), (1L, 2.0, "insert"))
@@ -789,6 +795,61 @@ class LakehouseSpec extends SparkSpec {
         Seq("x", "id"))
     }
     assert(e.getMessage.contains("duplicate"), e.getMessage)
+  }
+
+  test("applyChangesByKeyStream: feed batches drain exactly-once into " +
+      "the replica; a replayed batch body neither doubles nor " +
+      "self-kills") {
+    val path = tmp("lake-repstreamsrc")
+    val rep = tmp("lake-repstreamdst")
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi).select(
+      col("id"), (col("id") % 100).cast("double").as("x"))
+    Layout.appendGeneration(spark, path, mk(0L, 500L), Seq("x", "id"),
+      bits = 6, partitions = 2, gen = 0L)
+    Layout.appendGeneration(spark, rep, mk(0L, 500L), Seq("x", "id"),
+      bits = 6, partitions = 2, gen = 0L)
+    Layout.appendGeneration(spark, path, mk(500L, 600L), Seq("x", "id"),
+      bits = 6, partitions = 2, gen = 1L)
+    Lakehouse.deleteMatching(spark, path,
+      spark.range(400, 450).select(col("id")), "id")
+    val feedDir = java.nio.file.Files
+      .createTempDirectory("lake-repfeed").toString
+    Lakehouse.changesBetween(spark, path, 0L, 1L)
+      .coalesce(1).write.parquet(s"$feedDir/pull0")
+    val schema = spark.read.parquet(s"$feedDir/pull0").schema
+    def drain(): Unit = Lakehouse.applyChangesByKeyStream(
+      spark.readStream.schema(schema).parquet(s"$feedDir/*/"),
+      rep, "id", Seq("x", "id"), bits = 6, partitions = 1)
+    drain()
+    def ids(p: String): Set[Long] =
+      Lakehouse.scan(spark, p).select("id").collect()
+        .map(_.getLong(0)).toSet
+    assert(ids(rep) == ids(path), "replica diverged after drain")
+    assert(Lakehouse.scan(spark, rep).count() ==
+      Lakehouse.scan(spark, path).count())
+    // the replay hazard, driven directly: redeliver the FULL batch
+    // body at the SAME generation — it must rewrite its own files,
+    // not double them, and not tombstone its own landed rows
+    val gen = Lakehouse.currentGen(spark, rep)
+    Lakehouse.applyBatch(spark, rep,
+      spark.read.parquet(s"$feedDir/pull0"), "id", Seq("x", "id"),
+      bits = 6, partitions = 1, gen = gen)
+    assert(ids(rep) == ids(path), "batch replay diverged the replica")
+    assert(Lakehouse.scan(spark, rep).count() ==
+      Lakehouse.scan(spark, path).count(), "batch replay doubled rows")
+    // a second pull lands through the same checkpoint: only new files
+    // (the disciplined producer: gen 2 closes gen 1 BEFORE the next
+    // takedown, so the takedown stamps 2 and rides the (1,2] window)
+    Layout.appendGeneration(spark, path, mk(600L, 650L), Seq("x", "id"),
+      bits = 6, partitions = 1, gen = 2L)
+    Lakehouse.deleteMatching(spark, path,
+      spark.range(0, 5).select(col("id")), "id")
+    Lakehouse.changesBetween(spark, path, 1L, 2L)
+      .coalesce(1).write.parquet(s"$feedDir/pull1")
+    drain()
+    assert(ids(rep) == ids(path), "replica diverged after second pull")
+    assert(Lakehouse.scan(spark, rep).count() ==
+      Lakehouse.scan(spark, path).count())
   }
 
   test("delete debt survives an appendGeneration replay: positions " +
