@@ -79,6 +79,11 @@ object Cli {
       |         [--epoch E]               write the (from,to] change feed; E =
       |                                   the epoch captured with <from> (raises
       |                                   if a compact landed in between)
+      |  layout -o <dir> --cols a,b --apply-feed <feedDir> --key <col>
+      |                                   consume a feed into this replica table
+      |  layout -o <dir> --cols a,b --recover
+      |                                   finish/undo a crashed swap; clean
+      |                                   staging leftovers and stale leases
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -251,8 +256,8 @@ object Cli {
       "--partitions", "--append", "--max-point-cost",
       "--delete-where", "--delete-keys", "--key", "--rollback",
       "--target-bytes", "--changes", "--feed-out", "--retain-after",
-      "--epoch")
-    val flagOpts = Set("--compact")
+      "--epoch", "--apply-feed")
+    val flagOpts = Set("--compact", "--recover")
     val kv = scala.collection.mutable.Map.empty[String, String]
     var i = 0
     val a = args.toArray
@@ -275,7 +280,8 @@ object Cli {
     val bits = kv.get("--bits").map(_.toInt).getOrElse(12)
     val partitions = kv.get("--partitions").map(_.toInt).getOrElse(0)
     val verbs = Seq("--src", "--append", "--delete-where",
-      "--delete-keys", "--compact", "--rollback", "--changes")
+      "--delete-keys", "--compact", "--rollback", "--changes",
+      "--apply-feed", "--recover")
       .filter(kv.contains)
     if (verbs.size > 1)
       throw new IllegalArgumentException(
@@ -338,10 +344,27 @@ object Cli {
             asOfEpoch = kv.get("--epoch").map(_.toLong).getOrElse(-1L))
           .write.mode("overwrite").parquet(feedOut)
         false
+      case Some("--apply-feed") =>
+        // the replica side of the CDC loop: consume a produced feed
+        // dir (tagged __op rows) into this table by key
+        val key = kv.getOrElse("--key", throw new IllegalArgumentException(
+          "--apply-feed requires --key <col>"))
+        graft.core.Lakehouse.applyChangesByKey(spark, outDir,
+          spark.read.parquet(kv("--apply-feed")), key, cols, bits,
+          partitions)
+        false
+      case Some("--recover") =>
+        // finish or undo whatever a crashed swap left behind; the
+        // action log rides the JSON line
+        val acts = graft.core.Lakehouse.recover(spark, outDir)
+        out.println(s"""{"recovered":[${acts.map(a =>
+          s""""${jsonEscape(a)}"""").mkString(",")}]}""")
+        false
       case _ =>
         throw new IllegalArgumentException(
           "layout requires --src <parquet>, --append <parquet>, " +
-            "--delete-where/--delete-keys, --compact, or --rollback")
+            "--delete-where/--delete-keys, --compact, --rollback, " +
+            "--apply-feed, or --recover")
     }
     // the health line must not fail a mutation that already succeeded:
     // a rollback can empty the manifest dir, and a mutation verb may

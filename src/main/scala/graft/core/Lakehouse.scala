@@ -1004,6 +1004,82 @@ object Lakehouse {
     rebuildBloomManifests(spark, path)
   }
 
+  /** The executable form of every swap's documented crash recovery:
+    * inspect the table's on-disk state and FINISH or UNDO whatever a
+    * crashed [[compact]] / [[compactRetaining]] / rebuild left behind.
+    * Idempotent; safe on a healthy table (a no-op). Returns a short
+    * action log (empty = nothing to do).
+    *
+    * Cases, in the order the swaps create them:
+    *  - table dir MISSING but `<path>_pre_compact/data` present: the
+    *    crash hit between the move-out and the move-in — the old table
+    *    (and its tombstone dir, if it was moved) renames BACK; the
+    *    staged rewrite under `<path>_rebuild` / `_retain_rebuild` is
+    *    discarded (it may be incomplete).
+    *  - table dir PRESENT and `<path>_pre_compact` lingers: the swap
+    *    completed but the cleanup didn't — the leftover (old data +
+    *    old tombstones) deletes, matching what the successful path
+    *    would have done.
+    *  - orphaned staging (`_incoming`, `_rebuild`, `_retain_rebuild`,
+    *    `_retain_deletes`) with the table present: discarded — every
+    *    writer stages fresh under `mode("overwrite")`, so leftovers
+    *    are dead bytes.
+    *  - a lease under `<path>_lock` older than `staleLockMs`:
+    *    removed (the holder heartbeats every third of its window, so
+    *    a day-old lease is a crashed writer).
+    * Single-writer: takes the table lock itself (run it when no
+    * mutation is in flight — the lock enforces that). */
+  def recover(spark: SparkSession, path: String,
+              staleLockMs: Long = 24L * 60 * 60 * 1000): Seq[String] = {
+    val f = fs(spark, path)
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    val root = new Path(path)
+    val pre = new Path(s"${path}_pre_compact")
+    // phase 1, WITHOUT the lock: an interrupted swap left no table, so
+    // a lock wait would be pointless — and the lease of the crashed
+    // writer is exactly what stale takeover handles
+    if (!f.exists(root) && f.exists(new Path(pre, "data"))) {
+      require(f.rename(new Path(pre, "data"), root),
+        s"recover: rename $pre/data back to $path failed")
+      actions += s"restored $path from $pre/data"
+      val movedDeletes = new Path(pre, "deletes")
+      if (f.exists(movedDeletes)) {
+        val dDir = new Path(deletesDir(path))
+        if (f.exists(dDir)) f.delete(dDir, true)
+        require(f.rename(movedDeletes, dDir),
+          s"recover: rename $pre/deletes back to $dDir failed")
+        actions += s"restored $dDir from $pre/deletes"
+      }
+      f.delete(pre, true)
+    }
+    withTableLock(spark, path, waitMs = 60 * 1000L) {
+      if (f.exists(root) && f.exists(pre)) {
+        f.delete(pre, true)
+        actions += s"dropped completed-swap leftover $pre"
+      }
+      Seq("_incoming", "_rebuild", "_retain_rebuild", "_retain_deletes",
+          "_pre_rebuild")
+        .map(s => new Path(s"$path$s"))
+        .filter(f.exists)
+        .foreach { p =>
+          // an EMPTY staging parent is normal residue of a completed
+          // write (stagers delete their subdir, not the parent) —
+          // clean it silently; only content is a crash orphan
+          val orphaned = f.listStatus(p).nonEmpty
+          f.delete(p, true)
+          if (orphaned) actions += s"discarded orphaned staging $p"
+        }
+      ()
+    }
+    val lease = new Path(s"${path}_lock/lease")
+    if (f.exists(lease) && System.currentTimeMillis() -
+        f.getFileStatus(lease).getModificationTime > staleLockMs) {
+      f.delete(lease, false)
+      actions += s"removed stale writer lease $lease"
+    }
+    actions.toSeq
+  }
+
   /** Rebuild every `<path>_bloom_*` manifest found, each under ITS OWN
     * recorded geometry, so point lookups keep their skip rate after a
     * rewrite instead of falling back to stale-safe full keeps. */

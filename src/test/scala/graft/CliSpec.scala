@@ -307,9 +307,12 @@ class CliSpec extends SparkSpec {
       "--changes", "-1,0", "--feed-out", s"$work/bootstrap")
     assert(c0 == 0, j0)
     assert(j0.contains("\"epoch\":0") && j0.contains("\"floor\":-1"), j0)
-    var replica = ids(spark.read.parquet(s"$work/bootstrap")
-      .filter(col("__op") === "insert"))
-    assert(replica.size == 1000)
+    assert(ids(spark.read.parquet(s"$work/bootstrap")
+      .filter(col("__op") === "insert")).size == 1000)
+    // the replica is a REAL lake table, bootstrapped at generation 0
+    val repDir = s"$work/replica"
+    graft.core.Layout.appendGeneration(spark, repDir, mk(0L, 1000L),
+      Seq("x", "id"), bits = 6, partitions = 2, gen = 0L)
     // day 1: the next generation arrives, then a takedown list lands
     // (stamped into generation 1's snapshot)
     graft.core.Layout.appendGeneration(spark, outDir, mk(1000L, 2000L),
@@ -319,17 +322,24 @@ class CliSpec extends SparkSpec {
     val (c1, j1) = cli("layout", "-o", outDir, "--cols", "x,id",
       "--delete-keys", keysPath, "--key", "id")
     assert(c1 == 0 && j1.contains("\"deleted\":10"), j1)
-    // the replica pulls (0, 1] WITH its captured epoch and applies it
+    // the replica pulls (0, 1] WITH its captured epoch and consumes
+    // it through the CLI verb pair: --changes on the source,
+    // --apply-feed on the replica
+    var pull = 0
     def pullAndApply(): Unit = {
+      pull += 1
+      val feedDir = s"$work/feed$pull"
       val (c, j) = cli("layout", "-o", outDir, "--cols", "x,id",
-        "--changes", "0,1", "--feed-out", s"$work/feed", "--epoch", "0")
+        "--changes", "0,1", "--feed-out", feedDir, "--epoch", "0")
       assert(c == 0, j)
-      val feed = spark.read.parquet(s"$work/feed")
-      replica = (replica -- ids(feed.filter(col("__op") === "delete"))) ++
-        ids(feed.filter(col("__op") === "insert"))
+      val (ca, ja) = cli("layout", "-o", repDir, "--cols", "x,id",
+        "--apply-feed", feedDir, "--key", "id")
+      assert(ca == 0, ja)
     }
+    def replicaIds: Set[Long] =
+      ids(graft.core.Lakehouse.scan(spark, repDir))
     pullAndApply()
-    assert(replica == ids(graft.core.Lakehouse.scan(spark, outDir)),
+    assert(replicaIds == ids(graft.core.Lakehouse.scan(spark, outDir)),
       "replica diverged from the live table")
     // scheduled maintenance: retention compact folds the sub-floor
     // debt while the replica's window STAYS valid (epoch unchanged)
@@ -338,8 +348,10 @@ class CliSpec extends SparkSpec {
     assert(c2 == 0, j2)
     assert(j2.contains("\"epoch\":0") && j2.contains("\"floor\":0") &&
       j2.contains("\"rebuilt\":true"), j2)
-    pullAndApply() // the same pull still answers, identically
-    assert(replica == ids(graft.core.Lakehouse.scan(spark, outDir)))
+    pullAndApply() // the same pull re-applies, idempotently
+    assert(replicaIds == ids(graft.core.Lakehouse.scan(spark, outDir)))
+    assert(graft.core.Lakehouse.scan(spark, repDir).count() == 1990L,
+      "re-applied feed must not duplicate replica rows")
     // deeper maintenance: the FULL compact collapses history and
     // bumps the epoch — the replica's next pull raises loudly instead
     // of reading reused generation ids
@@ -348,11 +360,15 @@ class CliSpec extends SparkSpec {
     assert(c3 == 0 && j3.contains("\"epoch\":1") &&
       j3.contains("\"delete_debt\":0"), j3)
     val (c4, e4) = cli("layout", "-o", outDir, "--cols", "x,id",
-      "--changes", "0,1", "--feed-out", s"$work/feed", "--epoch", "0")
+      "--changes", "0,1", "--feed-out", s"$work/feedX", "--epoch", "0")
     assert(c4 != 0 && e4.contains("epoch"), e4)
     // the replica re-syncs from a full scan at the new epoch
-    replica = ids(graft.core.Lakehouse.scan(spark, outDir))
-    assert(replica.size == 1990)
+    assert(ids(graft.core.Lakehouse.scan(spark, outDir)).size == 1990)
+    // crash tooling closes the runbook: --recover on a healthy table
+    // reports nothing to do
+    val (c5, j5) = cli("layout", "-o", outDir, "--cols", "x,id",
+      "--recover")
+    assert(c5 == 0 && j5.contains("\"recovered\":[]"), j5)
   }
 
   test("layout health line survives an empty manifest: a rollback " +

@@ -852,6 +852,49 @@ class LakehouseSpec extends SparkSpec {
       Lakehouse.scan(spark, path).count())
   }
 
+  test("recover: every documented crash window is executable — an " +
+      "interrupted swap restores, a completed one cleans up, staging " +
+      "orphans drop, a healthy table is a no-op") {
+    val path = tmp("lake-recover")
+    freshTable(path)
+    Lakehouse.deleteWhere(spark, path, col("x") >= 90.0)
+    val before = Lakehouse.scan(spark, path)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val conf = spark.sessionState.newHadoopConf()
+    val f = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // healthy table: recover does nothing
+    assert(Lakehouse.recover(spark, path).isEmpty)
+    // CRASH WINDOW 1 (between move-out and move-in): table and its
+    // tombstones sit under _pre_compact, an incomplete rewrite staged
+    f.mkdirs(p(s"${path}_pre_compact"))
+    assert(f.rename(p(path), p(s"${path}_pre_compact/data")))
+    assert(f.rename(p(Lakehouse.deletesDir(path)),
+      p(s"${path}_pre_compact/deletes")))
+    f.mkdirs(p(s"${path}_rebuild"))
+    val acts1 = Lakehouse.recover(spark, path)
+    assert(acts1.exists(_.contains("restored")), acts1.mkString("; "))
+    assert(Lakehouse.scan(spark, path)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == before,
+      "recovery must restore the table WITH its delete debt")
+    assert(Lakehouse.deleteDebt(spark, path) == 100L)
+    assert(!f.exists(p(s"${path}_rebuild")))
+    assert(!f.exists(p(s"${path}_pre_compact")))
+    // CRASH WINDOW 2 (after move-in, before cleanup): a leftover
+    // pre_compact with the OLD data must drop, the new table stays
+    f.mkdirs(p(s"${path}_pre_compact/data"))
+    f.mkdirs(p(s"${path}_incoming/gen9"))
+    val acts2 = Lakehouse.recover(spark, path)
+    assert(acts2.exists(_.contains("leftover")) &&
+      acts2.exists(_.contains("orphaned")), acts2.mkString("; "))
+    assert(!f.exists(p(s"${path}_pre_compact")))
+    assert(!f.exists(p(s"${path}_incoming")))
+    assert(Lakehouse.scan(spark, path)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == before)
+    // and the table still mutates normally afterwards
+    assert(Lakehouse.deleteWhere(spark, path, col("x") >= 80.0) == 100L)
+  }
+
   test("delete debt survives an appendGeneration replay: positions " +
       "reference only files the replay does not touch") {
     val path = tmp("lake-replay")
