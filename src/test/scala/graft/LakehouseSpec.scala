@@ -725,17 +725,25 @@ class LakehouseSpec extends SparkSpec {
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val holderDone = new java.util.concurrent.CountDownLatch(1)
-    // a holder whose body outlives its own lease window 3×: without
+    // a holder whose body outlives its own lease window 2.5×: without
     // the heartbeat the contender below would take the lease over and
     // both would mutate concurrently
     val holder = Future(Lakehouse.withTableLock(spark, path,
-      leaseMs = 400L) {
-      Thread.sleep(1200L); holderDone.countDown(); "held"
+      leaseMs = 1000L) {
+      Thread.sleep(2500L); holderDone.countDown(); "held"
     })
-    Thread.sleep(150L) // let the holder acquire
+    // wait until the holder has actually ACQUIRED (polling the lease
+    // file beats a fixed sleep on a loaded container)
+    val lease2 = new org.apache.hadoop.fs.Path(s"${path}_lock/lease")
+    val f2 = lease2.getFileSystem(spark.sessionState.newHadoopConf())
+    val acquireDeadline = System.currentTimeMillis() + 10000L
+    while (!f2.exists(lease2) &&
+        System.currentTimeMillis() < acquireDeadline)
+      Thread.sleep(20L)
+    assert(f2.exists(lease2), "holder never acquired")
     val e = intercept[IllegalArgumentException] {
-      Lakehouse.withTableLock(spark, path, leaseMs = 400L,
-        waitMs = 900L) { fail("usurped a live holder") }
+      Lakehouse.withTableLock(spark, path, leaseMs = 1000L,
+        waitMs = 1800L) { fail("usurped a live holder") }
     }
     assert(e.getMessage.contains("writer lease"), e.getMessage)
     assert(Await.result(holder, 1.minute) == "held")
