@@ -411,6 +411,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(finalScans(q("ev_retention_incremental"), "events") == 2)
   }
 
+  test("zorderByQuantile holds the zorder plan floor: one sketch pass " +
+      "+ one data pass, exactly one range exchange, CDF broadcast") {
+    // the equal-frequency layout must not cost more PLAN than the
+    // equal-width one: a stats subtree (here the KLL sketch aggregate
+    // instead of min/max — same 1-row broadcast), the per-row quantize
+    // (the log-time rank kernel, codegen-pinned in ExpressionsSpec),
+    // and the ONE range exchange that IS the layout
+    import org.apache.spark.sql.functions._
+    spark.catalog.clearCache()
+    val df = Tables.load(spark, sf0, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val laid = graft.core.Layout.zorderByQuantile(df,
+      Seq("doc_id", "n_chars"), bits = 6, partitions = 4, k = 64)
+    laid.queryExecution.toRdd.foreach(_ => ())
+    val plan = laid.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("documents.parquet")) == 2,
+      s"expected the 2-scan join-back floor:\n$plan")
+    assert(plan.linesIterator.count(
+      _.contains("Exchange rangepartitioning")) == 1,
+      s"expected exactly ONE range exchange (the layout):\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"the 1-row CDF side must broadcast:\n$plan")
+    // no other full-data shuffle: every shuffle line is either the
+    // layout's range exchange or the stats subtree's 1-row collapse
+    val shuffles = plan.linesIterator
+      .filter(l => l.contains("Exchange ") &&
+        !l.contains("BroadcastExchange")).toSeq
+    assert(shuffles.size == 2 &&
+      shuffles.count(_.contains("SinglePartition")) == 1,
+      s"unexpected shuffles:\n${shuffles.mkString("\n")}")
+  }
+
   test("a deliberate recompute shape IS caught by the counter") {
     // sanity-check the guard itself: the pre-fix bigram formulation
     // (context count re-exploded from the corpus) must count 3 scans
