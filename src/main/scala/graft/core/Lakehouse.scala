@@ -1053,6 +1053,31 @@ object Lakehouse {
       f.delete(pre, true)
     }
     withTableLock(spark, path, waitMs = 60 * 1000L) {
+      // a RETENTION swap that crashed between its data rename and its
+      // tombstone install (new data live, `_retain_rebuild` consumed,
+      // `_retain_deletes` still staged) must be FINISHED, not cleaned:
+      // the staged remapped tombstones are the ONLY valid debt for the
+      // folded table — discarding them would permanently resurrect
+      // every row a later stamp doomed
+      val retainDeletes = new Path(s"${path}_retain_deletes")
+      if (f.exists(root) && f.exists(retainDeletes) &&
+          !f.exists(new Path(s"${path}_retain_rebuild"))) {
+        val dDir = new Path(deletesDir(path))
+        if (f.exists(dDir)) f.delete(dDir, true)
+        require(f.rename(retainDeletes, dDir),
+          s"recover: install $retainDeletes -> $dDir failed")
+        actions += s"finished retention swap: installed $dDir"
+        // manifests predate the fold and would name vanished files —
+        // drop them (performance structures: scans stay correct, a
+        // pruned/point scan raises loudly until rebuilt) and say so
+        (Seq(new Path(s"${path}_manifest")) ++ bloomDirsOf(spark, path))
+          .filter(f.exists)
+          .foreach { m =>
+            f.delete(m, true)
+            actions += s"dropped pre-fold manifest $m — rebuild with " +
+              "Layout.writeManifest / writeBloomManifest"
+          }
+      }
       if (f.exists(root) && f.exists(pre)) {
         f.delete(pre, true)
         actions += s"dropped completed-swap leftover $pre"

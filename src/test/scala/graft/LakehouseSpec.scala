@@ -903,6 +903,50 @@ class LakehouseSpec extends SparkSpec {
     assert(Lakehouse.deleteWhere(spark, path, col("x") >= 80.0) == 100L)
   }
 
+  test("recover FINISHES a retention swap that crashed before its " +
+      "tombstone install — the staged remapped tombstones are the " +
+      "folded table's only valid debt, never a discardable orphan") {
+    val path = tmp("lake-retaincrash")
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi).select(
+      col("id"), (col("id") % 100).cast("double").as("x"))
+    Layout.appendGeneration(spark, path, mk(0L, 500L), Seq("x", "id"),
+      bits = 6, partitions = 2, gen = 0L)
+    Layout.appendGeneration(spark, path, mk(500L, 1000L), Seq("x", "id"),
+      bits = 6, partitions = 2, gen = 1L)
+    // a delete stamped 1 hitting gen-0 rows → remapped at the fold
+    Lakehouse.deleteMatching(spark, path,
+      spark.range(0, 10).select(col("id")), "id")
+    Lakehouse.compactRetaining(spark, path, Seq("x", "id"),
+      retainAfter = 0L, bits = 6, partitions = 2)
+    def ids(g: Option[Long]): Set[Long] =
+      (g match {
+        case Some(gen) => Lakehouse.scanAsOf(spark, path, gen)
+        case None => Lakehouse.scan(spark, path)
+      }).select("id").collect().map(_.getLong(0)).toSet
+    val wantLive = ids(None)
+    val wantAsOf0 = ids(Some(0L))
+    assert(wantLive.size == 990 && wantAsOf0.size == 500)
+    // simulate the crash window: the staged tombstones not yet
+    // installed, the old table still parked under _pre_compact
+    val conf = spark.sessionState.newHadoopConf()
+    val f = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    assert(f.rename(p(Lakehouse.deletesDir(path)),
+      p(s"${path}_retain_deletes")))
+    f.mkdirs(p(s"${path}_pre_compact/data"))
+    val acts = Lakehouse.recover(spark, path)
+    assert(acts.exists(_.contains("finished retention swap")),
+      acts.mkString("; "))
+    assert(!f.exists(p(s"${path}_retain_deletes")))
+    assert(!f.exists(p(s"${path}_pre_compact")))
+    assert(ids(None) == wantLive, "doomed rows resurrected")
+    assert(ids(Some(0L)) == wantAsOf0, "retained snapshot diverged")
+    assert(Lakehouse.deleteDebt(spark, path) == 10L)
+    // pre-fold manifests were dropped loudly, not left naming the
+    // folded files
+    assert(!f.exists(p(s"${path}_manifest")))
+  }
+
   test("delete debt survives an appendGeneration replay: positions " +
       "reference only files the replay does not touch") {
     val path = tmp("lake-replay")
