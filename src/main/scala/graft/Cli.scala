@@ -61,7 +61,10 @@ object Cli {
       |               [--gopher] [--budget N] [--format parquet|json]
       |                                   build + shard a training corpus
       |  layout --src <parquet> -o <dir> --cols a,b [--bits N]
-      |         [--partitions N]          Z-order-cluster + write manifest
+      |         [--partitions N] [--quantile]
+      |                                   Z-order-cluster + write manifest
+      |                                   (--quantile: equal-frequency cells
+      |                                   for heavy-tailed columns)
       |  layout -o <dir> --cols a,b --append <parquet>
       |         [--max-point-cost C]      append a generation; rebuild when
       |                                   the measured health crosses C
@@ -257,7 +260,7 @@ object Cli {
       "--delete-where", "--delete-keys", "--key", "--rollback",
       "--target-bytes", "--changes", "--feed-out", "--retain-after",
       "--epoch", "--apply-feed")
-    val flagOpts = Set("--compact", "--recover")
+    val flagOpts = Set("--compact", "--recover", "--quantile")
     val kv = scala.collection.mutable.Map.empty[String, String]
     var i = 0
     val a = args.toArray
@@ -289,9 +292,15 @@ object Cli {
     var deleted = -1L
     val rebuilt = verbs.headOption match {
       case Some("--src") =>
-        graft.core.Layout.zorder(spark.read.parquet(kv("--src")), cols,
-            bits, partitions)
-          .write.parquet(outDir)
+        // --quantile clusters by equal-frequency (KLL CDF) cells — the
+        // layout for heavy-tailed columns
+        val laid =
+          if (kv.contains("--quantile"))
+            graft.core.Layout.zorderByQuantile(
+              spark.read.parquet(kv("--src")), cols, bits, partitions)
+          else graft.core.Layout.zorder(
+            spark.read.parquet(kv("--src")), cols, bits, partitions)
+        laid.write.parquet(outDir)
         graft.core.Layout.writeManifest(spark, outDir, cols)
         false
       case Some("--append") =>

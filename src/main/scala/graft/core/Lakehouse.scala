@@ -1082,6 +1082,27 @@ object Lakehouse {
         f.delete(pre, true)
         actions += s"dropped completed-swap leftover $pre"
       }
+      // a rewrite that crashed after its swap but before its manifest
+      // rebuild leaves manifests naming vanished files — pruned/point
+      // scans would fail loudly on them forever. Detect (file-count-
+      // bounded read) and drop, telling the operator to rebuild.
+      if (f.exists(root)) {
+        val live = parquetFiles(spark, path).map(_.getName).toSet
+        (Seq(new Path(s"${path}_manifest")) ++ bloomDirsOf(spark, path))
+          .filter(m => f.exists(m) &&
+            parquetFiles(spark, m.toString).nonEmpty)
+          .foreach { m =>
+            val named = spark.read.parquet(m.toString)
+              .select("__file").distinct().collect()
+              .map(r => fileName(r.getString(0)))
+            if (named.exists(n => !live.contains(n))) {
+              f.delete(m, true)
+              actions += s"dropped dangling manifest $m (named vanished " +
+                "files) — rebuild with Layout.writeManifest / " +
+                "writeBloomManifest"
+            }
+          }
+      }
       Seq("_incoming", "_rebuild", "_retain_rebuild", "_retain_deletes",
           "_pre_rebuild")
         .map(s => new Path(s"$path$s"))

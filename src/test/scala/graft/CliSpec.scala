@@ -204,6 +204,13 @@ class CliSpec extends SparkSpec {
     assert(c2 == 0 && j2.contains("\"rebuilt\":true") &&
       j2.contains("\"files\":8"), j2)
     assert(spark.read.parquet(outDir).count() == 15000)
+    // the heavy-tail layout: --quantile clusters by equal-frequency
+    // cells through the same verb (content invariant, manifest written)
+    val qDir = s"$work/laidq"
+    val (cq, jq) = cli("layout", "--src", srcPath, "-o", qDir,
+      "--cols", "x,y", "--bits", "6", "--partitions", "4", "--quantile")
+    assert(cq == 0 && jq.contains("\"files\":4"), jq)
+    assert(spark.read.parquet(qDir).count() == 5000)
     // both modes or neither → usage errors; typos loud
     val (b1, e1) = cli("layout", "-o", outDir, "--cols", "x,y")
     assert(b1 == 2 && e1.contains("error:"), e1)

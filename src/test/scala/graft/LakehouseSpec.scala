@@ -945,6 +945,25 @@ class LakehouseSpec extends SparkSpec {
     // pre-fold manifests were dropped loudly, not left naming the
     // folded files
     assert(!f.exists(p(s"${path}_manifest")))
+    // the generic heal: a manifest naming vanished files (any rewrite
+    // crashed after its swap, before its manifest rebuild) is detected
+    // and dropped; a HEALTHY manifest is left alone
+    Layout.writeManifest(spark, path, Seq("x", "id"))
+    assert(Lakehouse.recover(spark, path).isEmpty,
+      "a healthy manifest must survive recover")
+    val manifestPart = f.listStatus(p(s"${path}_manifest"))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    // corrupt the addressing: rename a DATA file so the manifest's
+    // entry for it dangles
+    val victim = f.listStatus(p(path)).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(f.rename(victim,
+      p(s"$path/renamed-${victim.getName}")))
+    val acts2 = Lakehouse.recover(spark, path)
+    assert(acts2.exists(_.contains("dangling manifest")),
+      acts2.mkString("; "))
+    assert(!f.exists(p(s"${path}_manifest")))
+    assert(f.exists(manifestPart) == false)
   }
 
   test("delete debt survives an appendGeneration replay: positions " +
