@@ -1175,7 +1175,8 @@ object Lakehouse {
     * `retainAfter` plus that tail copy. Single-writer. */
   def compactRetaining(spark: SparkSession, path: String,
                        cols: Seq[String], retainAfter: Long,
-                       bits: Int = 12, partitions: Int = 0): Unit =
+                       bits: Int = 12, partitions: Int = 0,
+                       rowsPerFile: Long = tombstoneRowsPerFile): Unit =
     withTableLock(spark, path) {
       val f = fs(spark, path)
       val all = parquetFiles(spark, path)
@@ -1186,15 +1187,15 @@ object Lakehouse {
         compactBody(spark, path, cols, bits, partitions, 0L)
       else if (fold.nonEmpty)
         compactRetainingBody(spark, path, cols, retainAfter, bits,
-          partitions, fold, keep)
+          partitions, fold, keep, rowsPerFile)
       // else: nothing at or below the floor to fold — a no-op
     }
 
   private def compactRetainingBody(spark: SparkSession, path: String,
                                    cols: Seq[String], retainAfter: Long,
                                    bits: Int, partitions: Int,
-                                   fold: Seq[Path],
-                                   keep: Seq[Path]): Unit = {
+                                   fold: Seq[Path], keep: Seq[Path],
+                                   rowsPerFile: Long): Unit = {
       val f = fs(spark, path)
       val schema = spark.read.parquet(path).schema
       val foldPaths = fold.map(_.toString)
@@ -1221,43 +1222,82 @@ object Lakehouse {
       val stagedDeletes = s"${path}_retain_deletes"
       f.delete(new Path(stagedDeletes), true)
       f.mkdirs(new Path(stagedDeletes))
+      // per-stamp index where carried tombstone shards start (after
+      // that stamp's remapped shards — shared numeric namespace)
+      val carriedFirstIdx = scala.collection.mutable.Map.empty[Long, Int]
+      // stage a frame into size-bounded files under DETERMINISTIC
+      // names (`<prefix><k>.parquet`, k = 0‥shards−1) — the
+      // writeTombstones discipline: never a single-task funnel, shard
+      // count derived from the staged row count. Returns the landed
+      // file names.
+      def stageSharded(df: DataFrame, destDir: String, prefix: String,
+                       firstIdx: Int): Seq[String] = {
+        val raw = s"${path}_incoming/$prefix-raw"
+        df.write.mode("overwrite").parquet(raw)
+        val n = spark.read.parquet(raw).count()
+        if (n == 0) { f.delete(new Path(raw), true); Seq.empty }
+        else {
+          val shards = math.max(1L,
+            (n + rowsPerFile - 1) / rowsPerFile).toInt
+          val tmp = s"${path}_incoming/$prefix-norm"
+          spark.read.parquet(raw).repartition(shards)
+            .write.mode("overwrite").parquet(tmp)
+          f.delete(new Path(raw), true)
+          val parts = f.listStatus(new Path(tmp))
+            .filter(_.getPath.getName.startsWith("part-"))
+            .map(_.getPath).sortBy(_.getName)
+          val names = parts.zipWithIndex.map { case (p0, k) =>
+            val name = s"$prefix${firstIdx + k}.parquet"
+            require(f.rename(p0, new Path(destDir, name)),
+              s"compactRetaining: $p0 -> $destDir/$name failed")
+            name
+          }
+          f.delete(new Path(tmp), true)
+          names.toSeq
+        }
+      }
       laterTs.foreach { ts =>
+        // the later debt can be retraction-sized: broadcast only while
+        // its on-disk bytes stay under the scan path's same ceiling
+        val tsBytes = laterDelFiles
+          .map(d => f.getFileStatus(new Path(d)).getLen).sum
+        def side(df: DataFrame): DataFrame =
+          if (tsBytes <= broadcastTombstoneBytes) broadcast(df) else df
         val keyedFold = spark.read.schema(schema).parquet(foldPaths: _*)
           .withColumn(FileCol,
             element_at(split(col("_metadata.file_path"), "/"), -1))
           .withColumn(PosCol, col("_metadata.row_index"))
-        val doomed = keyedFold.join(broadcast(ts), Seq(FileCol, PosCol))
-          .drop(FileCol, PosCol)
+        // debt-sized and read once per stamp below — cache the join
+        // so the fold-file pass runs once, not once per stamp
+        val doomed = keyedFold.join(side(ts), Seq(FileCol, PosCol))
+          .drop(FileCol, PosCol).cache()
         // stamps present — debt-bounded driver list
         val stamps = doomed.select(GenCol).distinct()
           .collect().map(_.getLong(0)).sorted
         stamps.foreach { s =>
           val rows = doomed.filter(col(GenCol) === s).drop(GenCol)
-          val tmp = s"${path}_incoming/doom$s"
-          rows.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = f.listStatus(new Path(tmp))
-            .filter(_.getPath.getName.startsWith("part-")).head.getPath
-          val doomName = s"doom$s-0.parquet"
-          val n = spark.read.parquet(part.toString).count()
-          require(f.rename(part, new Path(staging, doomName)),
-            s"compactRetaining: $part -> $staging/$doomName failed")
-          f.delete(new Path(tmp), true)
-          // the remapped tombstone: the WHOLE doom file dies at s, so
-          // its positions are simply 0‥n−1 — no second addressing pass
-          val remapped = spark.range(n)
-            .select(lit(doomName).as(FileCol), col("id").as(PosCol),
-              lit(s).as(GenCol))
-          val dTmp = s"${path}_incoming/doomdel$s"
-          remapped.coalesce(1).write.mode("overwrite").parquet(dTmp)
-          val dPart = f.listStatus(new Path(dTmp))
-            .filter(_.getPath.getName.startsWith("part-")).head.getPath
-          require(f.rename(dPart,
-            new Path(stagedDeletes, s"del$s-0.parquet")),
-            s"compactRetaining: remapped tombstone for stamp $s failed")
-          f.delete(new Path(dTmp), true)
+          val doomNames = stageSharded(rows, staging, s"doom$s-", 0)
+          // the remapped tombstones: every doom file dies WHOLE at
+          // stamp s, so its positions are read straight off the staged
+          // files' own _metadata — one pass over doom bytes, exact at
+          // any shard count
+          if (doomNames.nonEmpty) {
+            val remapped = spark.read
+              .parquet(doomNames.map(n => s"$staging/$n"): _*)
+              .select(element_at(split(col("_metadata.file_path"), "/"),
+                  -1).as(FileCol),
+                col("_metadata.row_index").as(PosCol),
+                lit(s).as(GenCol))
+            val landed = stageSharded(remapped, stagedDeletes,
+              s"del$s-", 0)
+            // carried tombstones for the SAME stamp get the next
+            // indices — numeric suffixes keep writeTombstones' later
+            // seq arithmetic parseable
+            carriedFirstIdx(s) = landed.size
+          }
         }
         // later tombstones addressing KEPT files carry over verbatim
-        // (their files are untouched); one deterministic file per stamp
+        // (their files are untouched), sharded under the same naming
         val keepNamesDf = spark.createDataFrame(
           spark.sparkContext.parallelize(keepNames.map(
             org.apache.spark.sql.Row(_)), 1),
@@ -1268,16 +1308,11 @@ object Lakehouse {
         val keptStamps = onKept.select(GenCol).distinct()
           .collect().map(_.getLong(0)).sorted
         keptStamps.foreach { s =>
-          val tmp = s"${path}_incoming/keepdel$s"
-          onKept.filter(col(GenCol) === s)
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = f.listStatus(new Path(tmp))
-            .filter(_.getPath.getName.startsWith("part-")).head.getPath
-          require(f.rename(part,
-            new Path(stagedDeletes, s"del$s-1.parquet")),
-            s"compactRetaining: carried tombstone for stamp $s failed")
-          f.delete(new Path(tmp), true)
+          stageSharded(onKept.filter(col(GenCol) === s), stagedDeletes,
+            s"del$s-", carriedFirstIdx.getOrElse(s, 0))
+          ()
         }
+        doomed.unpersist()
         ts.unpersist()
         ()
       }

@@ -650,6 +650,36 @@ class LakehouseSpec extends SparkSpec {
     assert(ids(Lakehouse.scan(spark, path)) == asOf2)
   }
 
+  test("compactRetaining shards bulky doomed rows and their remapped " +
+      "tombstones past rowsPerFile — never a single-task funnel") {
+    val path = tmp("lake-retainshard")
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi).select(
+      col("id"), (col("id") % 100).cast("double").as("x"))
+    Layout.appendGeneration(spark, path, mk(0L, 1000L), Seq("x", "id"),
+      bits = 6, partitions = 2, gen = 0L)
+    Layout.appendGeneration(spark, path, mk(1000L, 1100L), Seq("x", "id"),
+      bits = 6, partitions = 1, gen = 1L)
+    // a bulky retraction stamped 1 hitting 500 gen-0 rows
+    Lakehouse.deleteMatching(spark, path,
+      spark.range(0, 500).select(col("id")), "id")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    val wantLive = ids(Lakehouse.scan(spark, path))
+    val wantAsOf0 = ids(Lakehouse.scanAsOf(spark, path, 0L))
+    Lakehouse.compactRetaining(spark, path, Seq("x", "id"),
+      retainAfter = 0L, bits = 6, partitions = 2, rowsPerFile = 100L)
+    val files = new java.io.File(path).listFiles().map(_.getName)
+    val doomFiles = files.filter(_.startsWith("doom1-"))
+    assert(doomFiles.length == 5, doomFiles.mkString(","))
+    val delFiles = new java.io.File(Lakehouse.deletesDir(path))
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+    assert(delFiles.count(_.startsWith("del1-")) == 5,
+      delFiles.mkString(","))
+    assert(ids(Lakehouse.scan(spark, path)) == wantLive)
+    assert(ids(Lakehouse.scanAsOf(spark, path, 0L)) == wantAsOf0)
+    assert(Lakehouse.deleteDebt(spark, path) == 500L)
+  }
+
   test("bulk retractions shard their tombstone files past rowsPerFile " +
       "and replays still record nothing") {
     val path = tmp("lake-shard")
