@@ -289,8 +289,9 @@ object ScaleBench {
     // CDC consumption: source build (two generations + delete) + feed
     // + replica bootstrap + keyed apply — the apply itself is one
     // replica-key pass + one feed pass; growth is the by-construction
-    // builds (~the other two-generation gates)
-    "layout_replica_apply")
+    // builds (~the other two-generation gates). The streamed form adds
+    // the drain machinery (checkpoint + one micro-batch) on top
+    "layout_replica_apply", "layout_replica_apply_stream")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length
