@@ -199,13 +199,28 @@ object Lakehouse {
     * compacted. Replicas capture the epoch alongside their `fromGen`
     * and pass it back to [[changesBetween]]. */
   def epochAndFloor(spark: SparkSession, path: String): (Long, Long) = {
+    // a pointered table's epoch/floor ride its commit (one atomic
+    // marker for data + deletes + epoch + floor); the standalone
+    // `_epoch` file is the legacy (never-compacted) form
+    readCommit(spark, path) match {
+      case Some(c) => return (c.epoch, c.floor)
+      case None => ()
+    }
     val f = fs(spark, path)
-    val p = epochPath(path)
-    if (!f.exists(p)) (0L, -1L)
-    else {
+    def readMarker(p: Path): (Long, Long) = {
       val in = f.open(p)
       try (in.readLong(), in.readLong()) finally in.close()
     }
+    // `_epoch_next` is the in-flight update's fully-written new value
+    // (landed by an atomic rename) — prefer it: reading the NEW marker
+    // early is the safe direction (a spurious loud raise at worst,
+    // never a silently-served expired window), and a crash between the
+    // old marker's delete and the final rename must NOT revert the
+    // table to (0, −1)
+    val next = new Path(s"${path}_epoch_next")
+    if (f.exists(next)) readMarker(next)
+    else if (f.exists(epochPath(path))) readMarker(epochPath(path))
+    else (0L, -1L)
   }
 
   /** The table's compaction epoch; bumped by every history-collapsing
@@ -218,15 +233,34 @@ object Lakehouse {
   def snapshotFloor(spark: SparkSession, path: String): Long =
     epochAndFloor(spark, path)._2
 
+  /** Crash-atomic marker update: the new value lands COMPLETE at
+    * `_epoch_next` by rename before the old marker is touched, and
+    * [[epochAndFloor]] prefers `_epoch_next` — so no crash point
+    * reverts the table to (0, −1) (which would silently stop expired
+    * windows from raising). A lingering `_epoch_next` is finished by
+    * the next update or by [[recover]]. */
   private def writeEpochFloor(spark: SparkSession, path: String,
                               epoch: Long, floor: Long): Unit = {
     val f = fs(spark, path)
     val tmp = new Path(s"${path}_epoch_tmp")
+    val next = new Path(s"${path}_epoch_next")
+    // FINISH a prior crashed update first (never delete its `_epoch_next`
+    // outright: between that delete and our own rename a reader would
+    // find NO marker at all — the exact revert this method exists to
+    // prevent)
+    if (f.exists(next)) {
+      f.delete(epochPath(path), false)
+      require(f.rename(next, epochPath(path)),
+        s"writeEpochFloor: finishing stale $next failed")
+    }
     val out = f.create(tmp, true)
     try { out.writeLong(epoch); out.writeLong(floor) } finally out.close()
+    require(f.rename(tmp, next),
+      s"writeEpochFloor: rename $tmp -> $next failed")
+    // from here the NEW value is what readers see, whatever happens
     f.delete(epochPath(path), false)
-    require(f.rename(tmp, epochPath(path)),
-      s"writeEpochFloor: rename $tmp -> ${epochPath(path)} failed")
+    require(f.rename(next, epochPath(path)),
+      s"writeEpochFloor: rename $next -> ${epochPath(path)} failed")
   }
 
   private def requireEpoch(spark: SparkSession, path: String,
@@ -255,6 +289,146 @@ object Lakehouse {
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
+  // ------------------------------------------------------------------
+  // Version-pointer commits: once a table is COMPACTED (or its schema
+  // evolved), its live state is named by a tiny commit marker under
+  // `<path>_commit/v<NNN>.json` — the live data file names, the live
+  // tombstone file names, the epoch/floor, and the table schema, all
+  // swapped by ONE atomic rename (the Delta/Iceberg log pattern at its
+  // minimum). Files themselves never move after they land: a compact
+  // writes its fresh base ALONGSIDE the old files and flips the
+  // pointer, so a long-running scan that resolved the old file list
+  // keeps reading files that still exist — replaced files are removed
+  // by [[vacuum]] after a grace window, never at commit time. Readers
+  // resolve max-version; a half-written commit is impossible (marker
+  // files land complete, by rename). Tables never compacted have no
+  // marker and keep the plain directory-listing contract — nothing is
+  // pointered until the first operation that needs it.
+  // ------------------------------------------------------------------
+
+  /** One committed table version: live file NAMES (relocatable, like
+    * tombstone addresses), the compaction epoch and snapshot floor,
+    * and the table schema as Spark schema-JSON (the scan schema —
+    * additive evolution widens it while resident files null-fill). */
+  final case class TableCommit(version: Long, data: Seq[String],
+                               deletes: Seq[String], epoch: Long,
+                               floor: Long, schemaJson: Option[String])
+
+  def commitDir(path: String): String = s"${path}_commit"
+
+  private def commitVersionOf(name: String): Long = {
+    val body = name.stripPrefix("v").stripSuffix(".json")
+    if (name.startsWith("v") && name.endsWith(".json") &&
+        body.nonEmpty && body.forall(_.isDigit)) body.toLong
+    else -1L
+  }
+
+  /** The table's current commit — max version under `<path>_commit` —
+    * or None for a never-pointered (plain-directory) table. */
+  def readCommit(spark: SparkSession, path: String): Option[TableCommit] = {
+    val f = fs(spark, path)
+    val dir = new Path(commitDir(path))
+    if (!f.exists(dir)) return None
+    val markers = f.listStatus(dir).toSeq
+      .filter(s => s.isFile && commitVersionOf(s.getPath.getName) >= 0)
+      .map(_.getPath)
+    if (markers.isEmpty) return None
+    val latest = markers.maxBy(p => commitVersionOf(p.getName))
+    val in = f.open(latest)
+    val body = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val m = MiniJson.parse(body)
+    def names(k: String): Seq[String] = MiniJson.field(m, k) match {
+      case Some(xs: List[_]) => xs.map(_.toString)
+      case _ => Seq.empty
+    }
+    def num(k: String, dflt: Long): Long = MiniJson.field(m, k) match {
+      case Some(d: Double) => d.toLong
+      case _ => dflt
+    }
+    Some(TableCommit(commitVersionOf(latest.getName), names("data"),
+      names("deletes"), num("epoch", 0L), num("floor", -1L),
+      MiniJson.field(m, "schema").collect { case s: String => s }))
+  }
+
+  /** Land commit `version` atomically: the marker is fully written to
+    * a tmp name and RENAMED in — readers can never observe a partial
+    * commit, and the rename fails loudly if the version already exists
+    * (the single-writer lock makes that a bug, not a race to resolve).
+    * Callers hold the table lock. */
+  private[core] def commitWrite(spark: SparkSession, path: String,
+                                version: Long, data: Seq[String],
+                                deletes: Seq[String], epoch: Long,
+                                floor: Long,
+                                schemaJson: Option[String]): Unit = {
+    val f = fs(spark, path)
+    val dir = new Path(commitDir(path))
+    f.mkdirs(dir)
+    val body = MiniJson.write(Map(
+      "version" -> version, "data" -> data.sorted,
+      "deletes" -> deletes.sorted, "epoch" -> epoch, "floor" -> floor,
+      "schema" -> schemaJson.orNull))
+    val tmp = new Path(dir, f"tmp-v$version%020d.json")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new Path(dir, f"v$version%020d.json")
+    require(f.rename(tmp, dst),
+      s"commitWrite: rename $tmp -> $dst failed — version $version " +
+        "already exists? Commits are single-writer under the table lock")
+  }
+
+  /** Pointerize a legacy table: snapshot its directory-listing state
+    * (on-disk data + tombstone files, the legacy epoch/floor marker,
+    * the current schema) as commit v1. Idempotent-ish: returns the
+    * existing commit when one is already present. Lock-holding callers
+    * only. */
+  private[core] def migrateToCommit(spark: SparkSession,
+                                    path: String): TableCommit =
+    readCommit(spark, path).getOrElse {
+      val data = parquetFiles(spark, path).map(_.getName)
+      val dels = parquetFiles(spark, deletesDir(path)).map(_.getName)
+      val (epoch, floor) = epochAndFloor(spark, path)
+      val schemaJson =
+        if (data.isEmpty) None
+        else Some(spark.read.parquet(path).schema.json)
+      commitWrite(spark, path, 1L, data, dels, epoch, floor, schemaJson)
+      TableCommit(1L, data, dels, epoch, floor, schemaJson)
+    }
+
+  /** The table's LIVE data files: the commit's named set for a
+    * pointered table (dead files may sit alongside until [[vacuum]]),
+    * the plain directory listing otherwise. */
+  private[core] def dataFilePaths(spark: SparkSession,
+                                  path: String): Seq[Path] =
+    readCommit(spark, path) match {
+      case Some(c) => c.data.map(n => new Path(path, n))
+      case None => parquetFiles(spark, path)
+    }
+
+  /** The table's LIVE tombstone files — commit-resolved like
+    * [[dataFilePaths]]. */
+  private[core] def deleteFilePaths(spark: SparkSession,
+                                    path: String): Seq[Path] =
+    readCommit(spark, path) match {
+      case Some(c) => c.deletes.map(n => new Path(deletesDir(path), n))
+      case None => parquetFiles(spark, deletesDir(path))
+    }
+
+  /** The table's SCAN schema: the committed schema-JSON when recorded
+    * (survives additive evolution and answers even a zero-file table),
+    * else inferred from the live files. */
+  def tableSchema(spark: SparkSession,
+                  path: String): org.apache.spark.sql.types.StructType =
+    readCommit(spark, path) match {
+      case Some(c) if c.schemaJson.isDefined =>
+        org.apache.spark.sql.types.DataType.fromJson(c.schemaJson.get)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      case Some(c) =>
+        spark.read.parquet(c.data.map(n => s"$path/$n"): _*).schema
+      case None => spark.read.parquet(path).schema
+    }
+
   private def parquetFiles(spark: SparkSession, path: String): Seq[Path] = {
     val p = new Path(path)
     val f = fs(spark, path)
@@ -280,13 +454,13 @@ object Lakehouse {
   /** Max generation among the table's data files; −1 for a table with
     * only base files. New tombstones are stamped with this. */
   def currentGen(spark: SparkSession, path: String): Long = {
-    val gens = parquetFiles(spark, path).map(p => genOf(p.getName))
+    val gens = dataFilePaths(spark, path).map(p => genOf(p.getName))
     if (gens.isEmpty) -1L else gens.max
   }
 
   private def tombstoneFrame(spark: SparkSession, path: String,
                              maxGen: Long = Long.MaxValue): Option[DataFrame] = {
-    val files = parquetFiles(spark, deletesDir(path))
+    val files = deleteFilePaths(spark, path)
       .filter(p => maxGen == Long.MaxValue || delGenOf(p.getName) <= maxGen)
       .map(_.toString)
     if (files.isEmpty) None
@@ -310,7 +484,7 @@ object Lakehouse {
     tombstoneFrame(spark, path).map(_.count()).getOrElse(0L)
 
   private def tombstoneBytes(spark: SparkSession, path: String): Long =
-    parquetFiles(spark, deletesDir(path))
+    deleteFilePaths(spark, path)
       .map(p => fs(spark, path).getFileStatus(p).getLen).sum
 
   /** Read `files` minus `tombstones`, with the clean-file split: files
@@ -368,8 +542,8 @@ object Lakehouse {
     * and after one it costs a broadcast probe on only the files the
     * debt names. */
   def scan(spark: SparkSession, path: String): DataFrame = {
-    val files = parquetFiles(spark, path).map(_.toString)
-    val schema = spark.read.parquet(path).schema
+    val files = dataFilePaths(spark, path).map(_.toString)
+    val schema = tableSchema(spark, path)
     readMinus(spark, files, schema, tombstoneFrame(spark, path),
       tombstoneBytes(spark, path) <= broadcastTombstoneBytes)
   }
@@ -520,14 +694,23 @@ object Lakehouse {
     val bm = spark.read.parquet(bDir)
     val schema = spark.read.parquet(path).schema
     // probe hashes computed THROUGH Spark's own xxhash64 (one 1-row
-    // job), each literal CAST to the key column's type first — the
+    // job), each literal TRY_CAST to the key column's type first — the
     // build side hashed xxhash64(col(keyCol)), and xxhash64 is
     // type-sensitive (an Int 3 and a Long 3 hash differently), so an
-    // uncast probe would miss every file and silently return empty
-    val typed = values.map(v => lit(v).cast(schema(keyCol).dataType))
-    val hashes = spark.range(1)
-      .select(typed.map(xxhash64(_)): _*)
-      .head().toSeq.map(_.asInstanceOf[Long])
+    // uncast probe would miss every file and silently return empty.
+    // try_cast, not cast: a probe the key's type cannot REPRESENT
+    // (a Long 2^40 against an Int key) can never be present — it
+    // drops, instead of raising CAST_OVERFLOW under ANSI or silently
+    // wrapping to match the WRONG rows with ANSI off
+    val casted = values.map(v => lit(v).try_cast(schema(keyCol).dataType))
+    val probeRow = spark.range(1)
+      .select(casted.flatMap(c => Seq(c, xxhash64(c))): _*).head()
+    val surviving = values.indices.filter(i => !probeRow.isNullAt(2 * i))
+    if (surviving.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val typed = surviving.map(i => casted(i))
+    val hashes = surviving.map(i => probeRow.getLong(2 * i + 1))
     // ONE manifest-sized job answers both "which files are manifested"
     // and "which might hold a probed key"
     val probed = bm.select(col("__file"),
@@ -570,6 +753,33 @@ object Lakehouse {
       .start()
     q.awaitTermination()
   }
+
+  /** The LOCKED public append surface — [[Layout.appendZordered]]
+    * serialized through [[withTableLock]] like every other mutator.
+    * The unlocked Layout form stays for lock-HOLDING callers (the
+    * lease is not reentrant): two unlocked appends racing can read the
+    * same before-listing and mis-slice the manifest, and an unlocked
+    * append racing a locked [[deleteWhere]] can tombstone rows in
+    * files a replay then rewrites. Route concurrent ingest here. */
+  def append(spark: SparkSession, path: String, batch: DataFrame,
+             cols: Seq[String], bits: Int = 12,
+             partitions: Int = 0): Unit =
+    withTableLock(spark, path) {
+      Layout.appendZordered(spark, path, batch, cols, bits, partitions)
+    }
+
+  /** The LOCKED generation append — [[Layout.appendGeneration]] under
+    * the table lease. Two concurrent unlocked generation appends that
+    * both read [[currentGen]] land the SAME id, and the replay-delete
+    * silently destroys the other writer's rows; the lock is what makes
+    * that impossible. See [[append]] for the discipline. */
+  def appendAt(spark: SparkSession, path: String, batch: DataFrame,
+               cols: Seq[String], gen: Long, bits: Int = 12,
+               partitions: Int = 0): Unit =
+    withTableLock(spark, path) {
+      Layout.appendGeneration(spark, path, batch, cols, bits,
+        partitions, gen)
+    }
 
   /** Keyed last-writer-wins merge, merge-on-read: tombstone the live
     * rows whose key appears in `updates`, then land `updates` as a new
@@ -900,7 +1110,12 @@ object Lakehouse {
     * slices (min/max AND Bloom), and tombstone files stamped AFTER it.
     * File-system arithmetic only — never a data pass. The next
     * [[Layout.appendGeneration]] may reuse the rolled-back ids (each
-    * rewrites exactly its own files, so reuse is safe). Single-writer
+    * rewrites exactly its own files, so reuse is safe) — which makes a
+    * rollback as HISTORY-COLLAPSING as a [[compact]]: any window a
+    * replica captured before it would silently address the re-appended
+    * data under the reused ids, so the [[compactEpoch]] bumps here too
+    * (BEFORE the deletions — a crash leaves replicas raising
+    * spuriously, never reading wrong deltas). Single-writer
     * ([[withTableLock]]); raises below the [[snapshotFloor]], and on
     * an `asOfEpoch` mismatch when the caller passes the epoch its
     * target generation was captured at. */
@@ -909,6 +1124,8 @@ object Lakehouse {
     withTableLock(spark, path) {
       requireEpoch(spark, path, asOfEpoch, "rollback")
       requireAboveFloor(spark, path, gen, "rollback")
+      val (epoch, floor) = epochAndFloor(spark, path)
+      writeEpochFloor(spark, path, epoch + 1, floor)
       val f = fs(spark, path)
       def genSlicesAfter(dir: String): Seq[Path] =
         parquetFiles(spark, dir).filter { p =>
@@ -1030,15 +1247,27 @@ object Lakehouse {
     * Single-writer: takes the table lock itself (run it when no
     * mutation is in flight — the lock enforces that). */
   def recover(spark: SparkSession, path: String,
-              staleLockMs: Long = 24L * 60 * 60 * 1000): Seq[String] = {
+              staleLockMs: Long = 24L * 60 * 60 * 1000,
+              leaseMs: Long = 15L * 60 * 1000): Seq[String] = {
     val f = fs(spark, path)
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
     val root = new Path(path)
     val pre = new Path(s"${path}_pre_compact")
     // phase 1, WITHOUT the lock: an interrupted swap left no table, so
-    // a lock wait would be pointless — and the lease of the crashed
-    // writer is exactly what stale takeover handles
+    // a lock wait would be pointless. But mid-swap-looking state under
+    // a FRESH lease is a LIVE compactor inside its two-rename window,
+    // not a crash — restoring under it would rename the old table back
+    // while the compact's staged move-in is in flight. Only a stale or
+    // absent lease (holders heartbeat every leaseMs/3) marks a
+    // genuinely dead writer.
     if (!f.exists(root) && f.exists(new Path(pre, "data"))) {
+      val lease = new Path(s"${path}_lock/lease")
+      require(!f.exists(lease) || System.currentTimeMillis() -
+          f.getFileStatus(lease).getModificationTime > leaseMs,
+        s"recover: $path looks mid-swap but a LIVE writer lease sits " +
+          s"at $lease — a compactor may be inside its swap window " +
+          "right now, and restoring would race it. Wait out the " +
+          s"lease window (${leaseMs}ms without a heartbeat) and re-run")
       require(f.rename(new Path(pre, "data"), root),
         s"recover: rename $pre/data back to $path failed")
       actions += s"restored $path from $pre/data"
@@ -1052,7 +1281,7 @@ object Lakehouse {
       }
       f.delete(pre, true)
     }
-    withTableLock(spark, path, waitMs = 60 * 1000L) {
+    withTableLock(spark, path, leaseMs = leaseMs, waitMs = 60 * 1000L) {
       // a RETENTION swap that crashed between its data rename and its
       // tombstone install (new data live, `_retain_rebuild` consumed,
       // `_retain_deletes` still staged) must be FINISHED, not cleaned:
@@ -1115,6 +1344,17 @@ object Lakehouse {
           f.delete(p, true)
           if (orphaned) actions += s"discarded orphaned staging $p"
         }
+      // finish a crashed epoch/floor marker update: `_epoch_next` holds
+      // the complete NEW value (readers already prefer it) — install it
+      val next = new Path(s"${path}_epoch_next")
+      if (f.exists(next)) {
+        f.delete(epochPath(path), false)
+        require(f.rename(next, epochPath(path)),
+          s"recover: finishing $next -> ${epochPath(path)} failed")
+        actions += s"finished epoch/floor marker update at " +
+          s"${epochPath(path)}"
+      }
+      f.delete(new Path(s"${path}_epoch_tmp"), false)
       ()
     }
     val lease = new Path(s"${path}_lock/lease")

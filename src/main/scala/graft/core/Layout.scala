@@ -329,7 +329,14 @@ object Layout {
     * incremental cost is one pass over the BATCH — the 100 TB history
     * is never rescanned. Appends degrade [[layoutHealth]] by ≈ 1 per
     * batch (each generation tiles the space again);
-    * [[maintainLayout]] is the measured repair loop. */
+    * [[maintainLayout]] is the measured repair loop.
+    *
+    * UNLOCKED internal form: the table's mutation surface is
+    * single-writer, and this does not take the (non-reentrant) lease —
+    * it exists for callers already HOLDING it ([[graft.core.Lakehouse
+    * .upsertByKey]]'s append half, the streamed bodies). Concurrent
+    * ingest goes through [[graft.core.Lakehouse.append]], which wraps
+    * exactly this under [[graft.core.Lakehouse.withTableLock]]. */
   def appendZordered(spark: org.apache.spark.sql.SparkSession,
                      path: String, batch: DataFrame, cols: Seq[String],
                      bits: Int = 12, partitions: Int = 0): Unit = {
@@ -380,7 +387,14 @@ object Layout {
     * (`gen<id>-part<k>`), and the generation's manifest slice lands as
     * one deterministically-named file (`gen<id>.parquet`) in the
     * manifest dir, replacing its own previous version. Works against
-    * an empty `path` too — streamed ingestion can create the table. */
+    * an empty `path` too — streamed ingestion can create the table.
+    *
+    * UNLOCKED internal form (see [[appendZordered]]'s discipline):
+    * lock-holding callers ([[graft.core.Lakehouse.upsertByKey]], the
+    * streamed per-batch bodies) call this directly; everyone else
+    * goes through [[graft.core.Lakehouse.appendAt]] — two unlocked
+    * writers landing the same generation id would have the
+    * replay-delete destroy each other's rows. */
   def appendGeneration(spark: org.apache.spark.sql.SparkSession,
                        path: String, batch: DataFrame,
                        cols: Seq[String], bits: Int = 12,
@@ -470,7 +484,14 @@ object Layout {
       .option("checkpointLocation", s"${path}_ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        appendGeneration(spark, path, batch, cols, bits, partitions, id)
+        // each micro-batch body holds the table lease, like the
+        // streamed upsert/apply forms — the stream is one writer, but
+        // the lock keeps an out-of-band mutator (a takedown, a
+        // compact) from interleaving mid-batch
+        Lakehouse.withTableLock(spark, path) {
+          appendGeneration(spark, path, batch, cols, bits, partitions,
+            id)
+        }
       }
       .start()
     q.awaitTermination()
@@ -492,7 +513,9 @@ object Layout {
                      path: String, batch: DataFrame, cols: Seq[String],
                      bits: Int = 12, partitions: Int = 0,
                      maxPointCost: Double = 3.0): Boolean = {
-    appendZordered(spark, path, batch, cols, bits, partitions)
+    // the append rides the table lease (released before the rebuild —
+    // Lakehouse.compact takes its own hold; the lease is not reentrant)
+    Lakehouse.append(spark, path, batch, cols, bits, partitions)
     val health = layoutHealth(
       spark.read.parquet(s"${path}_manifest"), cols)
     if (health.pointCost <= maxPointCost) false

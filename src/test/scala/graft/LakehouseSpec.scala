@@ -996,6 +996,133 @@ class LakehouseSpec extends SparkSpec {
     assert(f.exists(manifestPart) == false)
   }
 
+  test("pointLookup drops a probe the key type cannot represent " +
+      "instead of raising or wrapping: a Long 2^40 against an Int key") {
+    val path = tmp("lake-trycast")
+    spark.range(1000).select(col("id").cast("int").as("id"),
+        (col("id") % 100).cast("double").as("x"))
+      .repartition(8).write.parquet(path)
+    Layout.writeBloomManifest(spark, path, "id", 256L)
+    // an overflowing probe alone: empty, never CAST_OVERFLOW (ANSI) or
+    // a wrapped value matching the WRONG rows (non-ANSI)
+    assert(Lakehouse.pointLookup(spark, path, "id",
+      Seq(1L << 40)).count() == 0L)
+    // mixed with representable probes: survivors still answer
+    val got = Lakehouse.pointLookup(spark, path, "id",
+      Seq(7L, 1L << 40, 13L))
+    assert(got.select("id").collect().map(_.getInt(0)).toSet ==
+      Set(7, 13))
+  }
+
+  test("rollback bumps the compact epoch: a pre-rollback window " +
+      "raises loudly instead of addressing re-appended reused ids") {
+    val path = tmp("lake-rbepoch")
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi).select(
+      col("id"), (col("id") % 100).cast("double").as("x"))
+    Layout.appendGeneration(spark, path, mk(0L, 500L), Seq("x", "id"),
+      bits = 6, partitions = 2, gen = 0L)
+    Layout.appendGeneration(spark, path, mk(500L, 1000L), Seq("x", "id"),
+      bits = 6, partitions = 2, gen = 1L)
+    val replicaEpoch = Lakehouse.compactEpoch(spark, path)
+    Lakehouse.rollback(spark, path, 0L)
+    assert(Lakehouse.compactEpoch(spark, path) == replicaEpoch + 1)
+    // gen 1 is re-appended with DIFFERENT rows under the reused id —
+    // exactly what a stale window must not silently address
+    Layout.appendGeneration(spark, path, mk(2000L, 2500L), Seq("x", "id"),
+      bits = 6, partitions = 2, gen = 1L)
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.changesBetween(spark, path, 0L, 1L,
+        asOfEpoch = replicaEpoch)
+    }
+    assert(e.getMessage.contains("epoch"), e.getMessage)
+    // a fresh capture works and reads the NEW gen-1 rows
+    val fresh = Lakehouse.changesBetween(spark, path, 0L, 1L,
+      asOfEpoch = Lakehouse.compactEpoch(spark, path))
+    assert(fresh.filter(col("__op") === "insert").count() == 500L)
+  }
+
+  test("the epoch/floor marker update is crash-atomic: a lingering " +
+      "_epoch_next is preferred by readers and finished by recover") {
+    val path = tmp("lake-epochnext")
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi).select(
+      col("id"), (col("id") % 100).cast("double").as("x"))
+    Layout.appendGeneration(spark, path, mk(0L, 200L), Seq("x", "id"),
+      bits = 6, partitions = 1, gen = 0L)
+    Lakehouse.compact(spark, path, Seq("x", "id"), bits = 6,
+      partitions = 1)
+    val (epoch, floor) = Lakehouse.epochAndFloor(spark, path)
+    assert(epoch == 1L)
+    // simulate the crash window: the new marker landed at _epoch_next,
+    // the old marker was already deleted — the value must NOT revert
+    // to (0, -1), which would silently stop expired windows raising
+    val conf = spark.sessionState.newHadoopConf()
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val f = p(path).getFileSystem(conf)
+    assert(f.rename(p(s"${path}_epoch"), p(s"${path}_epoch_next")))
+    assert(Lakehouse.epochAndFloor(spark, path) == ((epoch, floor)))
+    val actions = Lakehouse.recover(spark, path)
+    assert(actions.exists(_.contains("epoch/floor")), actions.toString)
+    assert(f.exists(p(s"${path}_epoch")))
+    assert(!f.exists(p(s"${path}_epoch_next")))
+    assert(Lakehouse.epochAndFloor(spark, path) == ((epoch, floor)))
+  }
+
+  test("recover refuses the unlocked mid-swap restore under a LIVE " +
+      "writer lease — only a stale or absent lease marks a dead writer") {
+    val path = tmp("lake-recoverlease")
+    freshTable(path)
+    val conf = spark.sessionState.newHadoopConf()
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val f = p(path).getFileSystem(conf)
+    // manufacture the mid-swap state WITH a fresh lease: a live
+    // compactor inside its two-rename window
+    f.mkdirs(p(s"${path}_pre_compact"))
+    assert(f.rename(p(path), p(s"${path}_pre_compact/data")))
+    f.mkdirs(p(s"${path}_lock"))
+    val out = f.create(p(s"${path}_lock/lease"), false)
+    out.write("live-compactor".getBytes); out.close()
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.recover(spark, path)
+    }
+    assert(e.getMessage.contains("LIVE writer lease"), e.getMessage)
+    assert(f.exists(p(s"${path}_pre_compact/data")),
+      "the mid-swap state must be untouched under a live lease")
+    // age the lease past the window: now it IS a crashed writer
+    f.setTimes(p(s"${path}_lock/lease"),
+      System.currentTimeMillis() - 1000L, -1L)
+    val actions = Lakehouse.recover(spark, path, leaseMs = 500L)
+    assert(actions.exists(_.contains("restored")), actions.toString)
+    assert(Lakehouse.scan(spark, path).count() == 1000L)
+  }
+
+  test("Lakehouse.append serializes concurrent ingest through the " +
+      "lease: both batches land with their manifest slices intact") {
+    val path = tmp("lake-lockedappend")
+    freshTable(path)
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi).select(
+      col("id"), (col("id") % 100).cast("double").as("x"),
+      (col("id") / 100).cast("double").as("y"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = Seq(mk(5000L, 5400L), mk(6000L, 6400L)).map { b =>
+      new Thread(() =>
+        try Lakehouse.append(spark, path, b, Seq("x", "y"), bits = 6,
+          partitions = 2)
+        catch { case t: Throwable => errs.add(t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000L))
+    assert(errs.isEmpty, errs.toString)
+    assert(Lakehouse.scan(spark, path).count() == 1800L)
+    // the manifest covers EVERY data file — the mis-sliced-manifest
+    // hazard of two unlocked appends diffing the same before-listing
+    val manifested = spark.read.parquet(s"${path}_manifest")
+      .select("__file").collect()
+      .map(r => r.getString(0).split('/').last).toSet
+    val onDisk = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(onDisk.subsetOf(manifested),
+      s"unmanifested: ${(onDisk -- manifested).mkString(",")}")
+  }
+
   test("delete debt survives an appendGeneration replay: positions " +
       "reference only files the replay does not touch") {
     val path = tmp("lake-replay")
