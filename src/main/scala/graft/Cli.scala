@@ -259,7 +259,7 @@ object Cli {
       "--partitions", "--append", "--max-point-cost",
       "--delete-where", "--delete-keys", "--key", "--rollback",
       "--target-bytes", "--changes", "--feed-out", "--retain-after",
-      "--epoch", "--apply-feed")
+      "--epoch", "--apply-feed", "--vacuum")
     val flagOpts = Set("--compact", "--recover", "--quantile")
     val kv = scala.collection.mutable.Map.empty[String, String]
     var i = 0
@@ -284,12 +284,13 @@ object Cli {
     val partitions = kv.get("--partitions").map(_.toInt).getOrElse(0)
     val verbs = Seq("--src", "--append", "--delete-where",
       "--delete-keys", "--compact", "--rollback", "--changes",
-      "--apply-feed", "--recover")
+      "--apply-feed", "--recover", "--vacuum")
       .filter(kv.contains)
     if (verbs.size > 1)
       throw new IllegalArgumentException(
         s"layout takes ONE of ${verbs.mkString(" / ")}, not both")
     var deleted = -1L
+    var vacuumed = -1L
     val rebuilt = verbs.headOption match {
       case Some("--src") =>
         // --quantile clusters by equal-frequency (KLL CDF) cells — the
@@ -362,6 +363,13 @@ object Cli {
           spark.read.parquet(kv("--apply-feed")), key, cols, bits,
           partitions)
         false
+      case Some("--vacuum") =>
+        // remove files a past commit replaced, once older than the
+        // grace window (ms) — the second half of the pointer-commit
+        // contract (commits replace, vacuum destroys)
+        vacuumed = graft.core.Lakehouse.vacuum(spark, outDir,
+          kv("--vacuum").toLong).size.toLong
+        false
       case Some("--recover") =>
         // finish or undo whatever a crashed swap left behind; the
         // action log rides the JSON line
@@ -373,7 +381,7 @@ object Cli {
         throw new IllegalArgumentException(
           "layout requires --src <parquet>, --append <parquet>, " +
             "--delete-where/--delete-keys, --compact, --rollback, " +
-            "--apply-feed, or --recover")
+            "--apply-feed, --vacuum <graceMs>, or --recover")
     }
     // the health line must not fail a mutation that already succeeded:
     // a rollback can empty the manifest dir, and a mutation verb may
@@ -394,7 +402,8 @@ object Cli {
     out.println(s"""{"out":"${jsonEscape(outDir)}",$healthJson,""" +
       s""""rebuilt":$rebuilt,"delete_debt":$debt,""" +
       s""""epoch":$epoch,"floor":$floor""" +
-      (if (deleted >= 0) s""","deleted":$deleted""" else "") + "}")
+      (if (deleted >= 0) s""","deleted":$deleted""" else "") +
+      (if (vacuumed >= 0) s""","vacuumed":$vacuumed""" else "") + "}")
     0
   }
 

@@ -1880,6 +1880,105 @@ object SparkEntry {
             .as("sum_value"))
     }),
 
+    "layout_scan_under_compact" -> ((s, dir) => {
+      // the version-pointer guarantee as an oracle: a scan PLANNED
+      // before a concurrent compact completes against the pre-compact
+      // version — the commit flip replaces files, the grace vacuum
+      // destroys them later, so the in-flight plan's file list stays
+      // readable (the old two-rename swap killed exactly this reader
+      // mid-job). Twin shared VERBATIM with layout_delete_scan: the
+      // old plan still answers exactly the pre-compact live content
+      // AFTER the compact landed
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-zunderc").toString + "/events"
+      graft.core.Layout.zorder(ev, Seq("value", "event_id"), bits = 8,
+          partitions = 8)
+        .write.parquet(root)
+      graft.core.Lakehouse.deleteWhere(s, root,
+        col("value").between(20.0, 60.0))
+      val inflight = graft.core.Lakehouse.scan(s, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+      graft.core.Lakehouse.compact(s, root, Seq("value", "event_id"),
+        bits = 8, partitions = 4)
+      inflight
+    }),
+
+    "layout_vacuum" -> ((s, dir) => {
+      // the destructive half of the pointer protocol: a zero-grace
+      // vacuum after a compact removes every replaced data file, dead
+      // tombstone, and superseded commit — and the live answer is
+      // untouched. Twin shared VERBATIM with layout_delete_scan
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-zvacuum").toString + "/events"
+      graft.core.Layout.zorder(ev, Seq("value", "event_id"), bits = 8,
+          partitions = 8)
+        .write.parquet(root)
+      graft.core.Lakehouse.deleteWhere(s, root,
+        col("value").between(20.0, 60.0))
+      graft.core.Lakehouse.compact(s, root, Seq("value", "event_id"),
+        bits = 8, partitions = 4)
+      graft.core.Lakehouse.vacuum(s, root, graceMs = 0L)
+      graft.core.Lakehouse.scan(s, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    }),
+
+    "layout_takedown_bloom" -> ((s, dir) => {
+      // the Bloom-bounded retraction: with a membership manifest on
+      // the key, a lookup-sized takedown list addresses only the files
+      // that might hold its keys instead of paying a full key-column
+      // pass (the CDC micro-batch shape). The twin is the same
+      // complement the unbounded takedown answers — narrowing is
+      // performance, never semantics
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ztakebloom").toString + "/events"
+      graft.core.Layout.zorder(ev, Seq("value", "event_id"), bits = 8,
+          partitions = 8)
+        .write.parquet(root)
+      graft.core.Layout.writeBloomManifest(s, root, "event_id", 1L << 14)
+      graft.core.Lakehouse.deleteMatching(s, root,
+        ev.filter(col("event_id") % 211 === 0).select("event_id"),
+        "event_id")
+      graft.core.Lakehouse.scan(s, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    }),
+
+    "layout_evolve_scan" -> ((s, dir) => {
+      // additive schema evolution: the table widens by an explicit
+      // opt-in (a metadata-only commit), resident files null-fill the
+      // new column at scan, and the evolved-shape batch appends
+      // normally. Twin: the raw union with the null fill written out —
+      // the hash match proves evolve-then-append ≡ rewrite-with-nulls
+      // without the rewrite
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-zevolve").toString + "/events"
+      graft.core.Layout.zorder(ev.filter(col("event_id") % 3 =!= 0),
+          Seq("value", "event_id"), bits = 8, partitions = 8)
+        .write.parquet(root)
+      val widened = ev.filter(col("event_id") % 3 === 0)
+        .withColumn("boost", col("value") * 0.5)
+      graft.core.Lakehouse.appendEvolving(s, root, widened,
+        Seq("value", "event_id"), bits = 8, partitions = 4)
+      graft.core.Lakehouse.scan(s, root)
+        .select("event_id", "event_type", "value", "boost")
+    }),
+
     "ev_anomaly_sketch_stream" -> ((s, dir) => {
       // the sketch-served anomaly screen on a LIVE stream: med/MAD
       // read once from the bounded KLL state, then the same stateless
@@ -5347,6 +5446,30 @@ object SparkEntry {
     // the same feed consumed as a STREAM of micro-batches — shared
     // twin verbatim: streamed consumption ≡ one-shot consumption
     "layout_replica_apply_stream" -> LayoutDeleteScanOracle,
+
+    // the in-flight pre-compact plan answers the pre-compact live
+    // content — twin shared VERBATIM with layout_delete_scan
+    "layout_scan_under_compact" -> LayoutDeleteScanOracle,
+
+    // compact + zero-grace vacuum: live answer untouched — twin
+    // shared VERBATIM with layout_delete_scan
+    "layout_vacuum" -> LayoutDeleteScanOracle,
+
+    // bloom-narrowed retraction ≡ the plain complement
+    "layout_takedown_bloom" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE value IS NOT NULL AND event_id % 211 <> 0
+        |GROUP BY event_type""".stripMargin,
+
+    // evolve-then-append ≡ rewrite-with-nulls, without the rewrite
+    "layout_evolve_scan" ->
+      """SELECT event_id, event_type, value, NULL AS boost
+        |FROM events WHERE value IS NOT NULL AND event_id % 3 <> 0
+        |UNION ALL
+        |SELECT event_id, event_type, value, value * 0.5 AS boost
+        |FROM events WHERE value IS NOT NULL AND event_id % 3 = 0""".stripMargin,
     // the epoch-guarded change feed shares layout_changes' twin
     // verbatim: passing the captured epoch changes nothing while no
     // compact landed (the raise on a stale epoch is spec'd)

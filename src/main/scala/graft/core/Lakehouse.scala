@@ -424,6 +424,8 @@ object Lakehouse {
       case Some(c) if c.schemaJson.isDefined =>
         org.apache.spark.sql.types.DataType.fromJson(c.schemaJson.get)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
+      case Some(c) if c.data.isEmpty =>
+        new org.apache.spark.sql.types.StructType()
       case Some(c) =>
         spark.read.parquet(c.data.map(n => s"$path/$n"): _*).schema
       case None => spark.read.parquet(path).schema
@@ -559,7 +561,23 @@ object Lakehouse {
     val manifest = spark.read.parquet(s"${path}_manifest")
     val kept = Layout.pruneFiles(manifest, box)
       .select("__file").collect().map(r => r.getString(0))
-    val schema = spark.read.parquet(path).schema
+    // on a pointered table the manifest must name EXACTLY the live
+    // files: replaced files linger on disk until vacuum, so a stale
+    // manifest (a crash between a commit and its manifest rebuild)
+    // would silently serve dead data — raise instead. File-name
+    // comparison (manifests record build-time paths; tables relocate).
+    readCommit(spark, path).foreach { c =>
+      val live = c.data.toSet
+      val manifested = manifest.select("__file").collect()
+        .map(r => fileName(r.getString(0))).toSet
+      require(manifested == live,
+        s"prunedScan: the manifest at ${path}_manifest names " +
+          s"${(manifested -- live).size} dead and misses " +
+          s"${(live -- manifested).size} live files — it predates the " +
+          "table's current commit (a crashed rewrite?). Run " +
+          "Lakehouse.recover and rebuild with Layout.writeManifest")
+    }
+    val schema = tableSchema(spark, path)
     val pred = box.map { case (c, lo, hi) => col(c).between(lo, hi) }
       .reduce(_ && _)
     readMinus(spark, kept.toSeq, schema, tombstoneFrame(spark, path),
@@ -579,11 +597,16 @@ object Lakehouse {
   def deleteWhere(spark: SparkSession, path: String, cond: Column,
                   rowsPerFile: Long = tombstoneRowsPerFile): Long =
     withTableLock(spark, path) {
-      val hits = spark.read.parquet(path).filter(cond)
-        .select(element_at(split(col("_metadata.file_path"), "/"), -1)
-          .as(FileCol),
-          col("_metadata.row_index").as(PosCol))
-      writeTombstones(spark, path, hits, rowsPerFile)
+      val live = dataFilePaths(spark, path).map(_.toString)
+      if (live.isEmpty) 0L
+      else {
+        val hits = spark.read.schema(tableSchema(spark, path))
+          .parquet(live: _*).filter(cond)
+          .select(element_at(split(col("_metadata.file_path"), "/"), -1)
+            .as(FileCol),
+            col("_metadata.row_index").as(PosCol))
+        writeTombstones(spark, path, hits, rowsPerFile)
+      }
     }
 
   /** Tombstone live rows whose `keyCol` appears in `keys` — the bulk
@@ -596,23 +619,74 @@ object Lakehouse {
                      rowsPerFile: Long = tombstoneRowsPerFile): Long =
     withTableLock(spark, path) {
       deleteMatchingIn(spark, path,
-        parquetFiles(spark, path).map(_.toString), keys, keyCol,
+        dataFilePaths(spark, path).map(_.toString), keys, keyCol,
         rowsPerFile)
     }
+
+  /** A retraction batch at or under this many distinct keys probes the
+    * Bloom membership manifest (when one exists) to bound its table
+    * pass to the files that might hold a batch key — the CDC upsert
+    * case, where a small update batch must not pay a full key-column
+    * pass per micro-batch. Past it the pass stays full (the probe is
+    * per-key per-manifest-row; a retraction-list join beats it). */
+  val bloomRetractionMaxKeys: Int = 4096
+
+  /** Narrow a retraction's file set through `<path>_bloom_<keyCol>`:
+    * keep files whose sketch might hold ANY batch key, plus files
+    * absent from the manifest (appended after it — staleness degrades
+    * the skip, never correctness, exactly [[pointLookup]]'s contract).
+    * Applies only when the manifest exists, the batch key expression
+    * has EXACTLY the key column's type (no join-coercion ambiguity to
+    * reason about), and the batch is lookup-sized
+    * ([[bloomRetractionMaxKeys]] — the key sample is k-bounded driver
+    * work); otherwise returns `files` unchanged. */
+  private[graft] def bloomNarrow(spark: SparkSession, path: String,
+                                 files: Seq[String], keys: DataFrame,
+                                 keyCol: String): Seq[String] = {
+    val bDir = s"${path}_bloom_$keyCol"
+    if (files.isEmpty || !fs(spark, path).exists(new Path(bDir)))
+      return files
+    val kt = tableSchema(spark, path)(keyCol).dataType
+    if (keys.schema(keyCol).dataType != kt) return files
+    val sample = keys.select(col(keyCol)).filter(col(keyCol).isNotNull)
+      .distinct().limit(bloomRetractionMaxKeys + 1)
+      .collect().map(_.get(0))
+    if (sample.length > bloomRetractionMaxKeys) return files
+    if (sample.isEmpty) return Seq.empty
+    // hashes through Spark's own xxhash64 at the key's exact type —
+    // the build side hashed xxhash64(col(keyCol))
+    val hashes = spark.range(1)
+      .select(sample.toSeq.map(v => xxhash64(lit(v).cast(kt))): _*)
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val probed = spark.read.parquet(bDir)
+      .select(col("__file"),
+        graft.expressions.GraftExpressions
+          .bloomMightContainAny(col("__bloom"), hashes).as("__might"))
+      .collect()
+    val manifested = probed.map(r => fileName(r.getString(0))).toSet
+    val kept = probed.filter(r => r.getAs[Any]("__might") == true)
+      .map(r => fileName(r.getString(0))).toSet
+    files.filter(fp => kept.contains(fileName(fp)) ||
+      !manifested.contains(fileName(fp)))
+  }
 
   /** [[deleteMatching]] over an explicit file subset — the building
     * block [[upsertByKeyStream]] needs: a REPLAYED upsert batch must
     * not tombstone the rows its own first attempt landed (its
     * generation's files are rewritten under the same deterministic
-    * names, so stale positions would kill rewritten rows). */
+    * names, so stale positions would kill rewritten rows). The pass is
+    * [[bloomNarrow]]-bounded: with a Bloom manifest present and a
+    * lookup-sized batch, only files that might hold a batch key are
+    * read — a CDC micro-batch's cost stops tracking the table size. */
   private def deleteMatchingIn(spark: SparkSession, path: String,
                                files: Seq[String], keys: DataFrame,
                                keyCol: String,
                                rowsPerFile: Long = tombstoneRowsPerFile)
       : Long = {
-    if (files.isEmpty) return 0L
-    val schema = spark.read.parquet(path).schema
-    val addressed = spark.read.schema(schema).parquet(files: _*)
+    val narrowed = bloomNarrow(spark, path, files, keys, keyCol)
+    if (narrowed.isEmpty) return 0L
+    val schema = tableSchema(spark, path)
+    val addressed = spark.read.schema(schema).parquet(narrowed: _*)
       .select(col(keyCol),
         element_at(split(col("_metadata.file_path"), "/"), -1).as(FileCol),
         col("_metadata.row_index").as(PosCol))
@@ -660,12 +734,18 @@ object Lakehouse {
         .filter(_.getPath.getName.startsWith("part-"))
         .map(_.getPath).sortBy(_.getName)
       f.mkdirs(new Path(dDir))
-      parts.zipWithIndex.foreach { case (p, k) =>
+      val landed = parts.zipWithIndex.map { case (p, k) =>
         val dst = new Path(dDir, s"del$gen-${seq + k}.parquet")
         require(f.rename(p, dst),
           s"writeTombstones: $p -> $dst failed")
+        dst.getName
       }
       f.delete(new Path(staging), true)
+      // a pointered table's live tombstone set advances by commit
+      readCommit(spark, path).foreach { c =>
+        commitWrite(spark, path, c.version + 1, c.data,
+          c.deletes ++ landed, c.epoch, c.floor, c.schemaJson)
+      }
     }
     f.delete(new Path(raw), true)
     n
@@ -692,7 +772,7 @@ object Lakehouse {
       s"pointLookup: no Bloom manifest at $bDir — run " +
         s"Layout.writeBloomManifest(spark, path, \"$keyCol\") first")
     val bm = spark.read.parquet(bDir)
-    val schema = spark.read.parquet(path).schema
+    val schema = tableSchema(spark, path)
     // probe hashes computed THROUGH Spark's own xxhash64 (one 1-row
     // job), each literal TRY_CAST to the key column's type first — the
     // build side hashed xxhash64(col(keyCol)), and xxhash64 is
@@ -720,7 +800,7 @@ object Lakehouse {
     val manifested = probed.map(r => fileName(r.getString(0))).toSet
     val kept = probed.filter(r => r.getAs[Any]("__might") == true)
       .map(r => fileName(r.getString(0))).toSet
-    val files = parquetFiles(spark, path).map(_.toString)
+    val files = dataFilePaths(spark, path).map(_.toString)
       .filter(f => kept.contains(fileName(f)) ||
         !manifested.contains(fileName(f)))
     readMinus(spark, files, schema, tombstoneFrame(spark, path),
@@ -781,6 +861,46 @@ object Lakehouse {
         partitions, gen)
     }
 
+  /** Additive schema evolution — the EXPLICIT opt-in the append-time
+    * drift guard points at: widen the table's committed schema to
+    * `wider` (a superset of the resident schema; drops and retypes
+    * still raise). Metadata-only — no data pass, no rewrite: parquet
+    * is name-addressed and every scan reads with the committed schema,
+    * so resident files null-fill the new columns from the next query
+    * on, and old-generation snapshots and the change feed answer with
+    * the evolved shape too (oracled). Pointerizes a legacy table (the
+    * schema has to live somewhere atomic). Single-writer. */
+  def evolveSchema(spark: SparkSession, path: String,
+                   wider: org.apache.spark.sql.types.StructType): Unit =
+    withTableLock(spark, path) {
+      migrateToCommit(spark, path)
+      val resident = tableSchema(spark, path)
+      Layout.requireSameSchema(resident, wider, "evolveSchema",
+        allowAdditive = true)
+      val have = resident.fieldNames.toSet
+      val added = wider.fields.filterNot(f => have.contains(f.name))
+      if (added.nonEmpty) {
+        val evolved = org.apache.spark.sql.types.StructType(
+          resident.fields ++ added)
+        val c = readCommit(spark, path).get
+        commitWrite(spark, path, c.version + 1, c.data, c.deletes,
+          c.epoch, c.floor, Some(evolved.json))
+      }
+    }
+
+  /** [[append]] with additive evolution in one call: widen the schema
+    * to the batch's (raises on drops/retypes like [[evolveSchema]]),
+    * then land the batch. Two lock holds (the lease is not
+    * reentrant) — the window between them is only ever another
+    * writer's complete mutation. Generation-managed tables evolve the
+    * same way: [[evolveSchema]] then [[appendAt]]. */
+  def appendEvolving(spark: SparkSession, path: String,
+                     batch: DataFrame, cols: Seq[String],
+                     bits: Int = 12, partitions: Int = 0): Unit = {
+    evolveSchema(spark, path, batch.schema)
+    append(spark, path, batch, cols, bits, partitions)
+  }
+
   /** Keyed last-writer-wins merge, merge-on-read: tombstone the live
     * rows whose key appears in `updates`, then land `updates` as a new
     * z-ordered generation — history is never rewritten, one pass over
@@ -804,7 +924,7 @@ object Lakehouse {
         s"upsertByKey: updates carry duplicate $keyCol=${dup.headOption
           .map(_.get(0)).orNull} — last-writer-wins needs one row per key")
       deleteMatchingIn(spark, path,
-        parquetFiles(spark, path).map(_.toString),
+        dataFilePaths(spark, path).map(_.toString),
         updates.select(keyCol), keyCol)
       val gen = currentGen(spark, path)
       if (gen >= 0)
@@ -869,7 +989,7 @@ object Lakehouse {
       require(dup.isEmpty,
         s"upsertBatch: generation $gen carries duplicate " +
           s"$keyCol=${dup.headOption.map(_.get(0)).orNull}")
-      val older = parquetFiles(spark, path)
+      val older = dataFilePaths(spark, path)
         .filter(p => genOf(p.getName) != gen).map(_.toString)
       deleteMatchingIn(spark, path, older, batch.select(keyCol), keyCol)
       Layout.appendGeneration(spark, path, batch, cols, bits, partitions,
@@ -891,9 +1011,9 @@ object Lakehouse {
                asOfEpoch: Long = -1L): DataFrame = {
     requireEpoch(spark, path, asOfEpoch, "scanAsOf")
     requireAboveFloor(spark, path, gen, "scanAsOf")
-    val files = parquetFiles(spark, path)
+    val files = dataFilePaths(spark, path)
       .filter(p => genOf(p.getName) <= gen).map(_.toString)
-    val schema = spark.read.parquet(path).schema
+    val schema = tableSchema(spark, path)
     readMinus(spark, files, schema, tombstoneFrame(spark, path, gen),
       tombstoneBytes(spark, path) <= broadcastTombstoneBytes)
   }
@@ -944,15 +1064,16 @@ object Lakehouse {
       s"changesBetween: need fromGen <= toGen, got ($fromGen, $toGen]")
     requireEpoch(spark, path, asOfEpoch, "changesBetween")
     requireAboveFloor(spark, path, fromGen, "changesBetween")
-    val schema = spark.read.parquet(path).schema
+    val schema = tableSchema(spark, path)
     val bc = tombstoneBytes(spark, path) <= broadcastTombstoneBytes
-    val newFiles = parquetFiles(spark, path)
+    val allData = dataFilePaths(spark, path)
+    val newFiles = allData
       .filter(p => genOf(p.getName) > fromGen && genOf(p.getName) <= toGen)
       .map(_.toString)
     val inserts = readMinus(spark, newFiles, schema,
       tombstoneFrame(spark, path, toGen), bc)
     val windowTs = {
-      val files = parquetFiles(spark, deletesDir(path))
+      val files = deleteFilePaths(spark, path)
         .filter { p =>
           val g = delGenOf(p.getName)
           g > fromGen && g <= toGen
@@ -962,7 +1083,7 @@ object Lakehouse {
         .filter(col(GenCol) > fromGen && col(GenCol) <= toGen)
         .select(FileCol, PosCol))
     }
-    val oldFiles = parquetFiles(spark, path)
+    val oldFiles = allData
       .filter(p => genOf(p.getName) <= fromGen).map(_.toString)
     val deletes = windowTs match {
       case None =>
@@ -1025,7 +1146,7 @@ object Lakehouse {
             s"$keyCol=${dup.headOption.map(_.get(0)).orNull} — a keyed " +
             "replica needs a key-unique source")
         deleteMatchingIn(spark, replicaPath,
-          parquetFiles(spark, replicaPath).map(_.toString),
+          dataFilePaths(spark, replicaPath).map(_.toString),
           cached.select(col(keyCol)), keyCol)
         val gen = currentGen(spark, replicaPath)
         if (gen >= 0)
@@ -1098,7 +1219,7 @@ object Lakehouse {
       // like the one-shot form) from every file EXCEPT the pinned
       // generation's own — a replay must not tombstone what its first
       // attempt landed (those files are rewritten in place)
-      val older = parquetFiles(spark, replicaPath)
+      val older = dataFilePaths(spark, replicaPath)
         .filter(p => genOf(p.getName) != gen).map(_.toString)
       deleteMatchingIn(spark, replicaPath, older,
         batch.select(col(keyCol)), keyCol)
@@ -1124,25 +1245,43 @@ object Lakehouse {
     withTableLock(spark, path) {
       requireEpoch(spark, path, asOfEpoch, "rollback")
       requireAboveFloor(spark, path, gen, "rollback")
-      val (epoch, floor) = epochAndFloor(spark, path)
-      writeEpochFloor(spark, path, epoch + 1, floor)
       val f = fs(spark, path)
+      // the epoch bump and the live-set shrink ride ONE commit on a
+      // pointered table; legacy tables keep the marker + physical form.
+      // Rolled-back files are deleted IMMEDIATELY either way (no grace
+      // window): their generation ids are reused by the very next
+      // append under the same deterministic names, so leaving them for
+      // vacuum would collide with the re-append's rename-in
+      readCommit(spark, path) match {
+        case Some(c) =>
+          commitWrite(spark, path, c.version + 1,
+            c.data.filter(n => genOf(n) <= gen),
+            c.deletes.filter(n => delGenOf(n) <= gen),
+            c.epoch + 1, c.floor, c.schemaJson)
+          c.data.filter(n => genOf(n) > gen)
+            .foreach(n => f.delete(new Path(path, n), false))
+          c.deletes.filter(n => delGenOf(n) > gen)
+            .foreach(n => f.delete(new Path(deletesDir(path), n), false))
+        case None =>
+          val (epoch, floor) = epochAndFloor(spark, path)
+          writeEpochFloor(spark, path, epoch + 1, floor)
+          parquetFiles(spark, path)
+            .filter(p => genOf(p.getName) > gen)
+            .foreach(p => f.delete(p, false))
+          parquetFiles(spark, deletesDir(path))
+            .filter(p => delGenOf(p.getName) > gen)
+            .foreach(p => f.delete(p, false))
+      }
       def genSlicesAfter(dir: String): Seq[Path] =
         parquetFiles(spark, dir).filter { p =>
           val digits = p.getName.stripPrefix("gen").stripSuffix(".parquet")
           p.getName.startsWith("gen") && digits.nonEmpty &&
             digits.forall(_.isDigit) && digits.toLong > gen
         }
-      parquetFiles(spark, path)
-        .filter(p => genOf(p.getName) > gen)
-        .foreach(p => f.delete(p, false))
       genSlicesAfter(s"${path}_manifest").foreach(p => f.delete(p, false))
       bloomDirsOf(spark, path)
         .foreach(b => genSlicesAfter(b.toString)
           .foreach(p => f.delete(p, false)))
-      parquetFiles(spark, deletesDir(path))
-        .filter(p => delGenOf(p.getName) > gen)
-        .foreach(p => f.delete(p, false))
     }
 
   /** The table's Bloom membership manifest directories
@@ -1158,16 +1297,23 @@ object Lakehouse {
   }
 
   /** Fold the debt in: rewrite the LIVE rows as one fresh z-ordered
-    * layout (staging dir, swapped in — the [[Layout.maintainLayout]]
-    * rebuild discipline), clear the tombstone directory, rebuild the
-    * manifest. THE one full-table pass in the lifecycle — schedule it
-    * by [[deleteDebt]] ratio or small-file count, not per delete.
-    * Doubles as small-file bin-packing: `targetBytes` sizes the output
-    * partitioning from the table's current on-disk bytes (an upper
-    * bound on live bytes — debt only shrinks it). Generation history
-    * collapses: the compacted table is a fresh base (snapshot
-    * addresses before the compaction are gone, like any lakehouse
-    * snapshot expiration). */
+    * BASE alongside the old files, then flip the table's version
+    * pointer in ONE atomic commit (data set, empty tombstone set,
+    * epoch+1) — never a directory swap. THE one full-table pass in
+    * the lifecycle — schedule it by [[deleteDebt]] ratio or
+    * small-file count, not per delete. Doubles as small-file
+    * bin-packing: `targetBytes` sizes the output partitioning from
+    * the LIVE files' on-disk bytes. Generation history collapses:
+    * the compacted table is a fresh base (snapshot addresses before
+    * the compaction are gone, like any lakehouse snapshot expiration).
+    *
+    * Concurrent readers SURVIVE the compact: the replaced files stay
+    * on disk until a [[vacuum]] older than its grace window removes
+    * them, so a long-running scan that resolved the old file list
+    * (a 30-minute query racing a scheduled compact is routine at
+    * 100 TB) completes against the pre-compact version instead of
+    * dying mid-job on vanished paths (spec'd). A legacy
+    * (never-compacted) table is pointerized by its first compact. */
   def compact(spark: SparkSession, path: String, cols: Seq[String],
               bits: Int = 12, partitions: Int = 0,
               targetBytes: Long = 0L): Unit =
@@ -1179,47 +1325,103 @@ object Lakehouse {
                           cols: Seq[String], bits: Int,
                           partitions: Int, targetBytes: Long): Unit = {
     val f = fs(spark, path)
+    val cur = migrateToCommit(spark, path)
     val parts =
       if (partitions > 0) partitions
       else if (targetBytes > 0L) {
-        val bytes = parquetFiles(spark, path)
+        val bytes = dataFilePaths(spark, path)
           .map(p => f.getFileStatus(p).getLen).sum
         math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       } else 0
+    val schemaJson = cur.schemaJson
+      .getOrElse(tableSchema(spark, path).json)
+    // the fresh base lands ALONGSIDE the old files under names no
+    // other commit can claim (the next version is ours — the lock
+    // serializes writers), so nothing is destroyed before the commit
     val staged = s"${path}_rebuild"
     Layout.zorder(scan(spark, path), cols, bits, parts)
       .write.mode("overwrite").parquet(staged)
-    // the epoch bumps BEFORE the destructive swap: a crash between the
-    // two leaves epoch-checking replicas raising spuriously (loud,
-    // recoverable) instead of silently reading reused generation ids
-    val (epoch, _) = epochAndFloor(spark, path)
-    writeEpochFloor(spark, path, epoch + 1, -1L)
-    // rename swap, never delete-then-rename, with the TOMBSTONE DIR
-    // riding the same swap (a crash must never leave the new table
-    // with the old table's stale tombstones still at <path>_deletes —
-    // their file names would match nothing, but deleteDebt would
-    // report phantom debt forever). Crash recovery: rename
-    // <path>_pre_compact/data back to <path> and (if present)
-    // <path>_pre_compact/deletes back to <path>_deletes
-    val old = new Path(s"${path}_pre_compact")
-    if (f.exists(old)) f.delete(old, true) // a prior crashed swap's leftover
-    f.mkdirs(old)
-    require(f.rename(new Path(path), new Path(old, "data")),
-      s"compact: rename $path -> $old/data failed")
-    val dDir = new Path(deletesDir(path))
-    if (f.exists(dDir))
-      require(f.rename(dDir, new Path(old, "deletes")),
-        s"compact: rename $dDir -> $old/deletes failed " +
-          s"(recover by renaming $old/data back to $path)")
-    require(f.rename(new Path(staged), new Path(path)),
-      s"compact: rename $staged -> $path failed " +
-        s"(recover by renaming $old/data back to $path and " +
-        s"$old/deletes back to $dDir)")
-    f.delete(old, true)
-    f.delete(new Path(s"${path}_manifest"), true)
-    Layout.writeManifest(spark, path, cols)
+    val next = cur.version + 1
+    val stagedParts = f.listStatus(new Path(staged)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
+    val newNames = stagedParts.zipWithIndex.map { case (p, k) =>
+      val name = f"base$next-part$k%05d.parquet"
+      val dst = new Path(path, name)
+      if (f.exists(dst)) f.delete(dst, false) // a crashed attempt's orphan
+      require(f.rename(p, dst), s"compact: rename $p -> $dst failed")
+      name
+    }
+    f.delete(new Path(staged), true)
+    // THE commit: new data set, zero tombstones, epoch+1, floor reset —
+    // one atomic marker rename. A crash before this line leaves only
+    // orphaned base files (vacuum's job); after it, only stale
+    // manifests (recover drops them, prunedScan raises on them)
+    commitWrite(spark, path, next, newNames, Seq.empty,
+      cur.epoch + 1, -1L, Some(schemaJson))
+    writeManifestFromLive(spark, path, cols)
     rebuildBloomManifests(spark, path)
   }
+
+  /** Rebuild the min/max manifest from the table's LIVE files — the
+    * directory may hold vacuum-pending dead files a raw-path rebuild
+    * would wrongly include. */
+  private def writeManifestFromLive(spark: SparkSession, path: String,
+                                    cols: Seq[String]): Unit = {
+    val f = fs(spark, path)
+    val live = dataFilePaths(spark, path).map(_.toString)
+    f.delete(new Path(s"${path}_manifest"), true)
+    if (live.nonEmpty)
+      Layout.statsManifest(spark.read.parquet(live: _*), cols)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${path}_manifest")
+  }
+
+  /** Remove files a past commit replaced, once they are older than
+    * `graceMs` — the second half of the pointer-commit contract: a
+    * commit never destroys what a concurrent reader may still be
+    * reading; vacuum does, after every reasonable query has finished.
+    * Sweeps dead data files, dead tombstone files, and superseded
+    * commit markers; crash orphans (staged files never committed) age
+    * into the same sweep. File-count-bounded driver work; takes the
+    * table lock so a mid-land writer's uncommitted files are never
+    * candidates. No-op on a never-pointered table. Returns the
+    * removed paths. */
+  def vacuum(spark: SparkSession, path: String,
+             graceMs: Long = 7L * 24 * 60 * 60 * 1000): Seq[String] =
+    withTableLock(spark, path) {
+      readCommit(spark, path) match {
+        case None => Seq.empty
+        case Some(c) =>
+          val f = fs(spark, path)
+          val cutoff = System.currentTimeMillis() - graceMs
+          def sweep(dir: String, live: Set[String]): Seq[String] =
+            parquetFiles(spark, dir)
+              .filter(p => !live.contains(p.getName) &&
+                f.getFileStatus(p).getModificationTime <= cutoff)
+              .map { p => f.delete(p, false); p.toString }
+          val deadData = sweep(path, c.data.toSet)
+          val deadDels = sweep(deletesDir(path), c.deletes.toSet)
+          // a fully-swept tombstone dir disappears with its last file
+          // (a debt-free table should look debt-free on disk too)
+          val dPath = new Path(deletesDir(path))
+          if (c.deletes.isEmpty && f.exists(dPath) &&
+              f.listStatus(dPath).isEmpty)
+            f.delete(dPath, true)
+          val cDir = new Path(commitDir(path))
+          val oldCommits =
+            if (!f.exists(cDir)) Seq.empty
+            else f.listStatus(cDir).toSeq
+              .filter { s =>
+                val v = commitVersionOf(s.getPath.getName)
+                s.isFile && v >= 0 && v < c.version &&
+                  s.getModificationTime <= cutoff
+              }
+              .map { s => f.delete(s.getPath, false); s.getPath.toString }
+          deadData ++ deadDels ++ oldCommits
+      }
+    }
 
   /** The executable form of every swap's documented crash recovery:
     * inspect the table's on-disk state and FINISH or UNDO whatever a
@@ -1316,7 +1518,10 @@ object Lakehouse {
       // scans would fail loudly on them forever. Detect (file-count-
       // bounded read) and drop, telling the operator to rebuild.
       if (f.exists(root)) {
-        val live = parquetFiles(spark, path).map(_.getName).toSet
+        // LIVE names (commit-resolved): on a pointered table a
+        // manifest naming a vacuum-pending dead file is just as
+        // dangling as one naming a vanished file
+        val live = dataFilePaths(spark, path).map(_.getName).toSet
         (Seq(new Path(s"${path}_manifest")) ++ bloomDirsOf(spark, path))
           .filter(m => f.exists(m) &&
             parquetFiles(spark, m.toString).nonEmpty)
@@ -1344,6 +1549,17 @@ object Lakehouse {
           f.delete(p, true)
           if (orphaned) actions += s"discarded orphaned staging $p"
         }
+      // a commit marker's tmp file is a crashed commitWrite mid-stage:
+      // the version never became visible (the rename is the commit),
+      // so it is a plain orphan
+      val cDir = new Path(commitDir(path))
+      if (f.exists(cDir))
+        f.listStatus(cDir).toSeq
+          .filter(s => s.isFile && s.getPath.getName.startsWith("tmp-"))
+          .foreach { s =>
+            f.delete(s.getPath, false)
+            actions += s"discarded uncommitted marker ${s.getPath}"
+          }
       // finish a crashed epoch/floor marker update: `_epoch_next` holds
       // the complete NEW value (readers already prefer it) — install it
       val next = new Path(s"${path}_epoch_next")
@@ -1404,22 +1620,24 @@ object Lakehouse {
     * remapped tombstones) + untouched later generations — exactly the
     * pre-compaction snapshot (oracled against [[scanAsOf]]'s twins).
     *
-    * The [[snapshotFloor]] rises to `retainAfter` BEFORE the swap —
-    * expired windows raise loudly — while the [[compactEpoch]] stays,
-    * because every window at or above the floor remains valid (a
-    * replica's feed continues uninterrupted). Later generations are
-    * byte-copied into the staging table (driver-side, bounded by the
-    * retention tail a policy deliberately keeps small) so the live
-    * table stays intact until the single directory swap; recovery
-    * mirrors [[compact]]'s. Cost: one pass over the rows live at
-    * `retainAfter` plus that tail copy. Single-writer. */
+    * The [[snapshotFloor]] rises to `retainAfter` in the SAME atomic
+    * commit that flips the data and tombstone sets — expired windows
+    * raise loudly from the instant the fold is visible — while the
+    * [[compactEpoch]] stays, because every window at or above the
+    * floor remains valid (a replica's feed continues uninterrupted).
+    * Later generations are NOT touched at all: their files stay in
+    * place and simply carry over into the new commit's live set (the
+    * version-pointer protocol removed the old tail copy entirely).
+    * Replaced files await [[vacuum]] like any compact's. Cost: one
+    * pass over the rows live at `retainAfter`. Single-writer; a
+    * legacy table is pointerized first. */
   def compactRetaining(spark: SparkSession, path: String,
                        cols: Seq[String], retainAfter: Long,
                        bits: Int = 12, partitions: Int = 0,
                        rowsPerFile: Long = tombstoneRowsPerFile): Unit =
     withTableLock(spark, path) {
-      val f = fs(spark, path)
-      val all = parquetFiles(spark, path)
+      migrateToCommit(spark, path)
+      val all = dataFilePaths(spark, path)
       val fold = all.filter(p => genOf(p.getName) <= retainAfter)
       val keep = all.filter(p => genOf(p.getName) > retainAfter)
       if (keep.isEmpty)
@@ -1431,17 +1649,31 @@ object Lakehouse {
       // else: nothing at or below the floor to fold — a no-op
     }
 
+  /** First free numeric suffix for `prefix<k>.parquet` names in `dir`,
+    * scanned ON-DISK (live and vacuum-pending files both occupy their
+    * names until removed). */
+  private def nextIndexFor(spark: SparkSession, dir: String,
+                           prefix: String): Int =
+    parquetFiles(spark, dir).map(_.getName)
+      .filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix).stripSuffix(".parquet"))
+      .filter(b => b.nonEmpty && b.forall(_.isDigit)).map(_.toInt)
+      .foldLeft(-1)(math.max) + 1
+
   private def compactRetainingBody(spark: SparkSession, path: String,
                                    cols: Seq[String], retainAfter: Long,
                                    bits: Int, partitions: Int,
                                    fold: Seq[Path], keep: Seq[Path],
                                    rowsPerFile: Long): Unit = {
       val f = fs(spark, path)
-      val schema = spark.read.parquet(path).schema
+      val cur = readCommit(spark, path).get // the wrapper migrated
+      val next = cur.version + 1
+      val schema = tableSchema(spark, path)
       val foldPaths = fold.map(_.toString)
       val keepNames = keep.map(_.getName)
+      val dDir = deletesDir(path)
       // later tombstones (stamp > floor), still meaningful afterwards
-      val laterDelFiles = parquetFiles(spark, deletesDir(path))
+      val laterDelFiles = deleteFilePaths(spark, path)
         .filter(p => delGenOf(p.getName) > retainAfter).map(_.toString)
       val laterTs =
         if (laterDelFiles.isEmpty) None
@@ -1449,7 +1681,8 @@ object Lakehouse {
           .filter(col(GenCol) > retainAfter)
           .select(FileCol, PosCol, GenCol).cache())
       // rows of folded files that survive EVERY tombstone, any stamp:
-      // the new base
+      // the new base — staged, then renamed in ALONGSIDE the old files
+      // (nothing is destroyed before the commit; vacuum cleans later)
       val baseLive = readMinus(spark, foldPaths, schema,
         tombstoneFrame(spark, path),
         tombstoneBytes(spark, path) <= broadcastTombstoneBytes)
@@ -1457,21 +1690,26 @@ object Lakehouse {
       f.delete(new Path(staging), true)
       Layout.zorder(baseLive, cols, bits, partitions)
         .write.mode("overwrite").parquet(staging)
-      // rows of folded files a LATER stamp dooms: live now, dead at
-      // their stamp — rewritten per stamp, tombstones remapped
-      val stagedDeletes = s"${path}_retain_deletes"
-      f.delete(new Path(stagedDeletes), true)
-      f.mkdirs(new Path(stagedDeletes))
-      // per-stamp index where carried tombstone shards start (after
-      // that stamp's remapped shards — shared numeric namespace)
-      val carriedFirstIdx = scala.collection.mutable.Map.empty[Long, Int]
+      val baseNames = f.listStatus(new Path(staging)).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
+          s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath).sortBy(_.getName).zipWithIndex
+        .map { case (p0, k) =>
+          val name = f"base$next-part$k%05d.parquet"
+          val dst = new Path(path, name)
+          if (f.exists(dst)) f.delete(dst, false) // crashed attempt
+          require(f.rename(p0, dst),
+            s"compactRetaining: rename $p0 -> $dst failed")
+          name
+        }
+      f.delete(new Path(staging), true)
       // stage a frame into size-bounded files under DETERMINISTIC
-      // names (`<prefix><k>.parquet`, k = 0‥shards−1) — the
-      // writeTombstones discipline: never a single-task funnel, shard
-      // count derived from the staged row count. Returns the landed
-      // file names.
-      def stageSharded(df: DataFrame, destDir: String, prefix: String,
-                       firstIdx: Int): Seq[String] = {
+      // names (`<prefix><k>.parquet`, k past any on-disk sibling) —
+      // the writeTombstones discipline: never a single-task funnel,
+      // shard count derived from the staged row count. Returns the
+      // landed file names.
+      def stageSharded(df: DataFrame, destDir: String,
+                       prefix: String): Seq[String] = {
         val raw = s"${path}_incoming/$prefix-raw"
         df.write.mode("overwrite").parquet(raw)
         val n = spark.read.parquet(raw).count()
@@ -1486,6 +1724,8 @@ object Lakehouse {
           val parts = f.listStatus(new Path(tmp))
             .filter(_.getPath.getName.startsWith("part-"))
             .map(_.getPath).sortBy(_.getName)
+          val firstIdx = nextIndexFor(spark, destDir, prefix)
+          f.mkdirs(new Path(destDir))
           val names = parts.zipWithIndex.map { case (p0, k) =>
             val name = s"$prefix${firstIdx + k}.parquet"
             require(f.rename(p0, new Path(destDir, name)),
@@ -1496,6 +1736,8 @@ object Lakehouse {
           names.toSeq
         }
       }
+      val doomNames = scala.collection.mutable.ArrayBuffer.empty[String]
+      val delNames = scala.collection.mutable.ArrayBuffer.empty[String]
       laterTs.foreach { ts =>
         // the later debt can be retraction-sized: broadcast only while
         // its on-disk bytes stay under the scan path's same ceiling
@@ -1514,30 +1756,27 @@ object Lakehouse {
         // stamps present — debt-bounded driver list
         val stamps = doomed.select(GenCol).distinct()
           .collect().map(_.getLong(0)).sorted
-        stamps.foreach { s =>
-          val rows = doomed.filter(col(GenCol) === s).drop(GenCol)
-          val doomNames = stageSharded(rows, staging, s"doom$s-", 0)
+        stamps.foreach { st =>
+          val rows = doomed.filter(col(GenCol) === st).drop(GenCol)
+          val landedDoom = stageSharded(rows, path, s"doom$st-")
+          doomNames ++= landedDoom
           // the remapped tombstones: every doom file dies WHOLE at
-          // stamp s, so its positions are read straight off the staged
-          // files' own _metadata — one pass over doom bytes, exact at
-          // any shard count
-          if (doomNames.nonEmpty) {
+          // stamp st, so its positions are read straight off the
+          // landed files' own _metadata — one pass over doom bytes,
+          // exact at any shard count
+          if (landedDoom.nonEmpty) {
             val remapped = spark.read
-              .parquet(doomNames.map(n => s"$staging/$n"): _*)
+              .parquet(landedDoom.map(n => s"$path/$n"): _*)
               .select(element_at(split(col("_metadata.file_path"), "/"),
                   -1).as(FileCol),
                 col("_metadata.row_index").as(PosCol),
-                lit(s).as(GenCol))
-            val landed = stageSharded(remapped, stagedDeletes,
-              s"del$s-", 0)
-            // carried tombstones for the SAME stamp get the next
-            // indices — numeric suffixes keep writeTombstones' later
-            // seq arithmetic parseable
-            carriedFirstIdx(s) = landed.size
+                lit(st).as(GenCol))
+            delNames ++= stageSharded(remapped, dDir, s"del$st-")
           }
         }
         // later tombstones addressing KEPT files carry over verbatim
-        // (their files are untouched), sharded under the same naming
+        // (their files are untouched), re-landed under fresh names so
+        // the old tombstone files can be vacuumed with the fold
         val keepNamesDf = spark.createDataFrame(
           spark.sparkContext.parallelize(keepNames.map(
             org.apache.spark.sql.Row(_)), 1),
@@ -1547,49 +1786,26 @@ object Lakehouse {
         val onKept = ts.join(broadcast(keepNamesDf), Seq(FileCol))
         val keptStamps = onKept.select(GenCol).distinct()
           .collect().map(_.getLong(0)).sorted
-        keptStamps.foreach { s =>
-          stageSharded(onKept.filter(col(GenCol) === s), stagedDeletes,
-            s"del$s-", carriedFirstIdx.getOrElse(s, 0))
-          ()
+        keptStamps.foreach { st =>
+          delNames ++= stageSharded(onKept.filter(col(GenCol) === st),
+            dDir, s"del$st-")
         }
         doomed.unpersist()
         ts.unpersist()
         ()
       }
-      // later generations ride into the staging table byte-identical,
-      // SAME names (their positions are addressed by carried
-      // tombstones and their manifest slices stay valid)
-      keep.foreach { p =>
-        require(org.apache.hadoop.fs.FileUtil.copy(f, p, f,
-          new Path(staging, p.getName), false, true,
-          spark.sessionState.newHadoopConf()),
-          s"compactRetaining: copy $p into staging failed")
-      }
-      // the floor rises BEFORE the destructive swap (loud-safe crash
-      // ordering, like compact's epoch bump); the EPOCH stays — every
-      // window at or above the floor remains valid
-      val (epoch, _) = epochAndFloor(spark, path)
-      writeEpochFloor(spark, path, epoch, retainAfter)
-      val old = new Path(s"${path}_pre_compact")
-      if (f.exists(old)) f.delete(old, true)
-      f.mkdirs(old)
-      require(f.rename(new Path(path), new Path(old, "data")),
-        s"compactRetaining: rename $path -> $old/data failed")
-      val dDir = new Path(deletesDir(path))
-      if (f.exists(dDir))
-        require(f.rename(dDir, new Path(old, "deletes")),
-          s"compactRetaining: rename $dDir -> $old/deletes failed " +
-            s"(recover by renaming $old/data back to $path)")
-      require(f.rename(new Path(staging), new Path(path)),
-        s"compactRetaining: rename $staging -> $path failed " +
-          s"(recover by renaming $old/data back to $path and " +
-          s"$old/deletes back to $dDir)")
-      require(f.rename(new Path(stagedDeletes), dDir),
-        s"compactRetaining: rename $stagedDeletes -> $dDir failed")
-      f.delete(old, true)
+      // THE commit: new base + doom files + the untouched kept tail as
+      // the data set, the remapped + carried tombstones as the delete
+      // set, the floor at `retainAfter`, the epoch unchanged — one
+      // atomic marker rename. Everything before this line was additive
+      // (orphans at worst); everything after is manifest hygiene.
+      commitWrite(spark, path, next,
+        baseNames ++ doomNames ++ keepNames, delNames.toSeq,
+        cur.epoch, retainAfter,
+        cur.schemaJson.orElse(Some(schema.json)))
       // manifest: drop folded slices (old base part-*/base.parquet and
-      // gen ≤ floor), keep later gen slices (their files moved
-      // path-for-path), land the new base's slice deterministically
+      // gen <= floor), keep later gen slices (their files never
+      // moved), land the new base's slice deterministically
       val mDir = s"${path}_manifest"
       if (f.exists(new Path(mDir))) {
         parquetFiles(spark, mDir).foreach { p =>
@@ -1599,7 +1815,7 @@ object Lakehouse {
             digits.toLong > retainAfter
           if (!isKeptSlice) f.delete(p, false)
         }
-        val baseFiles = parquetFiles(spark, path)
+        val baseFiles = dataFilePaths(spark, path)
           .filter(p => genOf(p.getName) <= retainAfter).map(_.toString)
         if (baseFiles.nonEmpty) {
           val tmp = s"${path}_incoming/manifestbase"

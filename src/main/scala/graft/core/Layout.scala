@@ -153,7 +153,11 @@ object Layout {
   def writeManifest(spark: org.apache.spark.sql.SparkSession,
                     path: String, cols: Seq[String]): String = {
     val mPath = s"${path}_manifest"
-    statsManifest(spark.read.parquet(path), cols)
+    // LIVE files (commit-resolved on a pointered table — the directory
+    // may hold vacuum-pending dead files); identical to the plain
+    // directory listing otherwise
+    val live = Lakehouse.dataFilePaths(spark, path).map(_.toString)
+    statsManifest(spark.read.parquet(live: _*), cols)
       .coalesce(1).write.mode("overwrite").parquet(mPath)
     mPath
   }
@@ -202,8 +206,9 @@ object Layout {
                          expectedKeysPerFile: Long = 1L << 21,
                          fpp: Double = 0.01): String = {
     val bPath = s"${path}_bloom_$keyCol"
-    bloomManifest(spark.read.parquet(path), keyCol, expectedKeysPerFile,
-        fpp)
+    val live = Lakehouse.dataFilePaths(spark, path).map(_.toString)
+    bloomManifest(spark.read.parquet(live: _*), keyCol,
+        expectedKeysPerFile, fpp)
       .coalesce(1).write.mode("overwrite").parquet(bPath)
     bPath
   }
@@ -289,14 +294,20 @@ object Layout {
     * pick an arbitrary footer, a corruption that surfaces far from its
     * cause. Name→type equality enforced (order-insensitive; parquet
     * doesn't care about order), naming every extra / missing / retyped
-    * column. Evolution is a rewrite decision, not an append default. */
+    * column. Evolution is an EXPLICIT decision, never an append
+    * default: `allowAdditive = true` (set by the opt-in surfaces —
+    * [[graft.core.Lakehouse.evolveSchema]] and the evolving append
+    * wrappers) permits a batch that is a SUPERSET of the resident
+    * schema (new columns; resident files null-fill them at scan —
+    * parquet is name-addressed); drops and retypes still raise
+    * unconditionally, additive or not. */
   private[core] def requireSameSchema(
       resident: org.apache.spark.sql.types.StructType,
       batch: org.apache.spark.sql.types.StructType,
-      what: String): Unit = {
+      what: String, allowAdditive: Boolean = false): Unit = {
     val r = resident.fields.map(f => f.name -> f.dataType).toMap
     val b = batch.fields.map(f => f.name -> f.dataType).toMap
-    val extra = b.keySet -- r.keySet
+    val extra = if (allowAdditive) Set.empty[String] else b.keySet -- r.keySet
     val missing = r.keySet -- b.keySet
     val retyped = (r.keySet & b.keySet).filter(k => r(k) != b(k))
     require(extra.isEmpty && missing.isEmpty && retyped.isEmpty,
@@ -305,8 +316,9 @@ object Layout {
         s"missing: ${missing.toSeq.sorted.mkString("[", ",", "]")}, " +
         s"retyped: ${retyped.toSeq.sorted
           .map(k => s"$k ${r(k).simpleString}->${b(k).simpleString}")
-          .mkString("[", ",", "]")}. Schema evolution is a rewrite " +
-        "(zorder the unioned frame), not an append")
+          .mkString("[", ",", "]")}. Additive evolution is an explicit " +
+        "opt-in (Lakehouse.evolveSchema / appendEvolving); anything " +
+        "else is a rewrite (zorder the unioned frame)")
   }
 
   private def dataFiles(spark: org.apache.spark.sql.SparkSession,
@@ -341,12 +353,21 @@ object Layout {
                      path: String, batch: DataFrame, cols: Seq[String],
                      bits: Int = 12, partitions: Int = 0): Unit = {
     val before = dataFiles(spark, path)
-    if (before.nonEmpty)
-      requireSameSchema(spark.read.parquet(path).schema, batch.schema,
+    val cur = Lakehouse.readCommit(spark, path)
+    if (cur.exists(_.data.nonEmpty) || before.nonEmpty)
+      requireSameSchema(Lakehouse.tableSchema(spark, path), batch.schema,
         "appendZordered")
     zorder(batch, cols, bits, partitions)
       .write.mode("append").parquet(path)
     val fresh = (dataFiles(spark, path) -- before).toSeq
+    // a pointered table's live set advances by commit — files in the
+    // directory are invisible to readers until this lands
+    cur.foreach { c =>
+      val freshNames = fresh.map(p => p.substring(p.lastIndexOf('/') + 1))
+      Lakehouse.commitWrite(spark, path, c.version + 1,
+        c.data ++ freshNames, c.deletes, c.epoch, c.floor,
+        c.schemaJson.orElse(Some(batch.schema.json)))
+    }
     if (fresh.nonEmpty) {
       statsManifest(spark.read.parquet(fresh: _*), cols)
         .coalesce(1).write.mode("append").parquet(s"${path}_manifest")
@@ -402,10 +423,13 @@ object Layout {
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
-    if (dataFiles(spark, path).nonEmpty ||
-        (fs.exists(root) && fs.listStatus(root)
-          .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))))
-      requireSameSchema(spark.read.parquet(path).schema, batch.schema,
+    val cur = Lakehouse.readCommit(spark, path)
+    if (cur.exists(_.data.nonEmpty) ||
+        (cur.isEmpty && (dataFiles(spark, path).nonEmpty ||
+          (fs.exists(root) && fs.listStatus(root)
+            .exists(s => s.isFile &&
+              s.getPath.getName.endsWith(".parquet"))))))
+      requireSameSchema(Lakehouse.tableSchema(spark, path), batch.schema,
         "appendGeneration")
     val staging = s"${path}_incoming/gen$gen"
     zorder(batch, cols, bits, partitions)
@@ -419,12 +443,21 @@ object Layout {
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
         s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath).sortBy(_.getName)
-    staged.zipWithIndex.foreach { case (p, k) =>
+    val mine = staged.zipWithIndex.map { case (p, k) =>
       val dst = new org.apache.hadoop.fs.Path(root,
         f"gen$gen-part$k%05d.parquet")
       require(fs.rename(p, dst), s"appendGeneration: $p -> $dst failed")
+      dst.getName
     }
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    // pointered: the generation replaces exactly its own names in the
+    // live set (the replay case drops the prior attempt's entries)
+    cur.foreach { c =>
+      Lakehouse.commitWrite(spark, path, c.version + 1,
+        c.data.filterNot(_.startsWith(s"gen$gen-")) ++ mine,
+        c.deletes, c.epoch, c.floor,
+        c.schemaJson.orElse(Some(batch.schema.json)))
+    }
     val mDir = new org.apache.hadoop.fs.Path(s"${path}_manifest")
     fs.mkdirs(mDir)
     val mFile = new org.apache.hadoop.fs.Path(mDir, s"gen$gen.parquet")

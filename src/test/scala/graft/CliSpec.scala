@@ -203,6 +203,11 @@ class CliSpec extends SparkSpec {
       "--max-point-cost", (h0 + 0.5).toString)
     assert(c2 == 0 && j2.contains("\"rebuilt\":true") &&
       j2.contains("\"files\":8"), j2)
+    // the rebuild is a pointer-commit compact: sweep the replaced
+    // files (zero grace) so the raw-dir read sees the live set only
+    val (cv, jv) = cli("layout", "-o", outDir, "--cols", "x,y",
+      "--vacuum", "0")
+    assert(cv == 0 && jv.contains("\"vacuumed\":"), jv)
     assert(spark.read.parquet(outDir).count() == 15000)
     // the heavy-tail layout: --quantile clusters by equal-frequency
     // cells through the same verb (content invariant, manifest written)
@@ -257,6 +262,9 @@ class CliSpec extends SparkSpec {
       "--compact", "--partitions", "2")
     assert(c4 == 0 && j4.contains("\"rebuilt\":true") &&
       j4.contains("\"delete_debt\":0") && j4.contains("\"files\":2"), j4)
+    val (cv, jv) = cli("layout", "-o", outDir, "--cols", "x,y",
+      "--vacuum", "0")
+    assert(cv == 0, jv)
     assert(spark.read.parquet(outDir).count() == 4497)
     // loud errors: two verbs at once, delete-keys without --key
     val (b1, e1) = cli("layout", "-o", outDir, "--cols", "x,y",

@@ -1,0 +1,348 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Lakehouse, Layout}
+
+/** The version-pointer commit protocol: atomic pointer flips instead
+  * of directory swaps, concurrent readers surviving a compact, the
+  * grace-period vacuum, and commit-carried epoch/floor/schema. */
+class LakehousePointerSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  private def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+    col("id"), (col("id") % 100).cast("double").as("x"),
+    (col("id") / 100).cast("double").as("y"))
+
+  test("a long-running scan SURVIVES a concurrent compact: the plan " +
+      "resolved before the pointer flip completes against the " +
+      "pre-compact version, and replaced files wait for vacuum") {
+    val path = tmp("lake-ptr-scan")
+    Layout.zorder(mk(0L, 1000L), Seq("x", "y"), bits = 6, partitions = 8)
+      .write.parquet(path)
+    Layout.writeManifest(spark, path, Seq("x", "y"))
+    Lakehouse.deleteWhere(spark, path, col("x") >= 50.0)
+    // the long-running reader: file list resolved NOW (1000 raw rows,
+    // 500 live), execution deferred until after the compact
+    val inflight = Lakehouse.scan(spark, path)
+    Lakehouse.compact(spark, path, Seq("x", "y"), bits = 6,
+      partitions = 2)
+    // the compacted table answers through the new commit...
+    assert(Lakehouse.scan(spark, path).count() == 500L)
+    // ...and the in-flight pre-compact plan still COMPLETES — its
+    // files were replaced, not destroyed (the old two-rename swap
+    // killed exactly this reader mid-job)
+    assert(inflight.count() == 500L)
+    assert(inflight.filter(col("x") >= 50.0).count() == 0L)
+    // the replaced files are vacuum's to remove, inside grace: nothing
+    val spared = Lakehouse.vacuum(spark, path,
+      graceMs = 24L * 60 * 60 * 1000)
+    assert(spared.isEmpty, spared.mkString(","))
+    assert(inflight.count() == 500L, "grace window must protect readers")
+    // past grace: dead data files, dead tombstones, old commits go
+    val swept = Lakehouse.vacuum(spark, path, graceMs = 0L)
+    assert(swept.nonEmpty)
+    assert(new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 2)
+    assert(!new java.io.File(Lakehouse.deletesDir(path)).exists())
+    assert(Lakehouse.scan(spark, path).count() == 500L)
+  }
+
+  test("the pointer flip is ONE atomic commit: data set, tombstone " +
+      "set, epoch and floor all move together, and every mutator " +
+      "advances the version") {
+    val path = tmp("lake-ptr-commit")
+    Layout.appendGeneration(spark, path, mk(0L, 400L), Seq("x", "y"),
+      bits = 6, partitions = 2, gen = 0L)
+    assert(Lakehouse.readCommit(spark, path).isEmpty,
+      "no commit until the first compact pointerizes the table")
+    Lakehouse.compact(spark, path, Seq("x", "y"), bits = 6,
+      partitions = 2)
+    val c1 = Lakehouse.readCommit(spark, path).get
+    assert(c1.epoch == 1L && c1.floor == -1L && c1.deletes.isEmpty)
+    assert(c1.data.size == 2 && c1.data.forall(_.startsWith("base")))
+    assert(c1.schemaJson.isDefined)
+    // a delete advances the commit with its tombstone names
+    Lakehouse.deleteWhere(spark, path, col("x") < 10.0)
+    val c2 = Lakehouse.readCommit(spark, path).get
+    assert(c2.version > c1.version && c2.deletes.size == 1)
+    assert(c2.data == c1.data)
+    // an append advances it with the generation's names
+    Lakehouse.appendAt(spark, path, mk(400L, 500L), Seq("x", "y"),
+      gen = Lakehouse.currentGen(spark, path) + 1, bits = 6,
+      partitions = 1)
+    val c3 = Lakehouse.readCommit(spark, path).get
+    assert(c3.data.toSet -- c2.data.toSet ==
+      c3.data.filter(_.startsWith("gen")).toSet)
+    // scans resolve THROUGH the commit: a junk parquet file planted in
+    // the directory is invisible (the directory is no longer the truth)
+    mk(9000L, 9100L).coalesce(1).write.mode("overwrite")
+      .parquet(s"${path}_junkstage")
+    val junk = new java.io.File(s"${path}_junkstage").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(junk.toPath,
+      java.nio.file.Paths.get(path, "zzz-junk.parquet"))
+    assert(Lakehouse.scan(spark, path).count() == 460L,
+      "uncommitted files must be invisible to commit-resolved scans")
+    assert(Lakehouse.scan(spark, path)
+      .filter(col("id") >= 9000L).count() == 0L)
+  }
+
+  test("retention compaction under the pointer: the kept tail never " +
+      "moves (no copy), and the fold is one atomic commit") {
+    val path = tmp("lake-ptr-retain")
+    Layout.appendGeneration(spark, path, mk(0L, 400L), Seq("x", "y"),
+      bits = 6, partitions = 2, gen = 0L)
+    Lakehouse.deleteWhere(spark, path, col("id") < 20L)
+    Layout.appendGeneration(spark, path, mk(400L, 800L), Seq("x", "y"),
+      bits = 6, partitions = 2, gen = 1L)
+    Lakehouse.deleteWhere(spark, path, col("x") >= 90.0)
+    val keptBefore = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("gen1-"))
+      .map(f => (f.getName, f.lastModified(), f.length())).sorted.toSeq
+    val asOf0 = Lakehouse.scanAsOf(spark, path, 0L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val live = Lakehouse.scan(spark, path)
+      .select("id").collect().map(_.getLong(0)).toSet
+    Lakehouse.compactRetaining(spark, path, Seq("x", "y"),
+      retainAfter = 0L, bits = 6, partitions = 2)
+    // kept generation files: byte-identical, same inode-level files —
+    // the pointer protocol removed the driver-side tail copy entirely
+    val keptAfter = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("gen1-"))
+      .map(f => (f.getName, f.lastModified(), f.length())).sorted.toSeq
+    assert(keptAfter == keptBefore, "the kept tail must not be touched")
+    assert(Lakehouse.scanAsOf(spark, path, 0L)
+      .select("id").collect().map(_.getLong(0)).toSet == asOf0)
+    assert(Lakehouse.scan(spark, path)
+      .select("id").collect().map(_.getLong(0)).toSet == live)
+    val c = Lakehouse.readCommit(spark, path).get
+    assert(c.floor == 0L)
+    assert(c.data.exists(_.startsWith("gen1-")), "kept tail committed")
+  }
+
+  test("a crash between landing files and the commit changes NOTHING: " +
+      "the orphans age into vacuum and recover reports cleanly") {
+    val path = tmp("lake-ptr-orphan")
+    Layout.zorder(mk(0L, 500L), Seq("x", "y"), bits = 6, partitions = 2)
+      .write.parquet(path)
+    Layout.writeManifest(spark, path, Seq("x", "y"))
+    Lakehouse.compact(spark, path, Seq("x", "y"), bits = 6,
+      partitions = 2)
+    val c = Lakehouse.readCommit(spark, path).get
+    // simulate a compact that crashed mid-land: an orphan base file of
+    // the NEXT version sits in the directory, no commit ever landed
+    mk(8000L, 8100L).coalesce(1).write.mode("overwrite")
+      .parquet(s"${path}_orphanstage")
+    val part = new java.io.File(s"${path}_orphanstage").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(path,
+        f"base${c.version + 1}%d-part00000.parquet"))
+    assert(Lakehouse.scan(spark, path).count() == 500L,
+      "an uncommitted base file must be invisible")
+    assert(Lakehouse.readCommit(spark, path).get.version == c.version)
+    // vacuum sweeps the aged orphan
+    val swept = Lakehouse.vacuum(spark, path, graceMs = 0L)
+    assert(swept.exists(_.contains(f"base${c.version + 1}%d")),
+      swept.mkString(","))
+    // and the next compact lands fine at that version name
+    Lakehouse.deleteWhere(spark, path, col("x") < 5.0)
+    Lakehouse.compact(spark, path, Seq("x", "y"), bits = 6,
+      partitions = 2)
+    assert(Lakehouse.scan(spark, path).count() == 475L)
+  }
+
+  test("prunedScan raises LOUDLY on a manifest that predates the " +
+      "commit instead of silently serving dead files") {
+    val path = tmp("lake-ptr-stalemanifest")
+    Layout.zorder(mk(0L, 500L), Seq("x", "y"), bits = 6, partitions = 4)
+      .write.parquet(path)
+    Layout.writeManifest(spark, path, Seq("x", "y"))
+    Lakehouse.compact(spark, path, Seq("x", "y"), bits = 6,
+      partitions = 2)
+    // sanity: the rebuilt manifest serves
+    assert(Lakehouse.prunedScan(spark, path,
+      Seq(("x", lit(0.0), lit(30.0)))).count() ==
+      Lakehouse.scan(spark, path).filter(col("x").between(0.0, 30.0))
+        .count())
+    // regress the manifest to the pre-compact one (the crash window:
+    // commit landed, manifest rebuild did not)
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    f.delete(new org.apache.hadoop.fs.Path(s"${path}_manifest"), true)
+    val deadFiles = new java.io.File(path).listFiles()
+      .filter(x => x.getName.endsWith(".parquet") &&
+        !x.getName.startsWith("base"))
+      .map(_.getAbsolutePath)
+    assert(deadFiles.nonEmpty, "vacuum-pending dead files expected")
+    Layout.statsManifest(spark.read.parquet(deadFiles.toSeq: _*),
+        Seq("x", "y"))
+      .coalesce(1).write.parquet(s"${path}_manifest")
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.prunedScan(spark, path,
+        Seq(("x", lit(0.0), lit(30.0)))).count()
+    }
+    assert(e.getMessage.contains("predates"), e.getMessage)
+    // recover drops it (dangling by the LIVE set, even though every
+    // named file still exists on disk awaiting vacuum)
+    val acts = Lakehouse.recover(spark, path)
+    assert(acts.exists(_.contains("dangling manifest")),
+      acts.mkString("; "))
+    Layout.writeManifest(spark, path, Seq("x", "y"))
+    assert(Lakehouse.prunedScan(spark, path,
+      Seq(("x", lit(0.0), lit(30.0)))).count() > 0L)
+  }
+
+  test("additive schema evolution: resident files null-fill the new " +
+      "column at scan, old snapshots and the change feed answer with " +
+      "the evolved shape, drops and retypes still raise") {
+    import org.apache.spark.sql.types._
+    val path = tmp("lake-ptr-evolve")
+    Layout.appendGeneration(spark, path, mk(0L, 300L), Seq("x", "y"),
+      bits = 6, partitions = 2, gen = 0L)
+    val resident = Lakehouse.tableSchema(spark, path)
+    // the guard still refuses an implicit widening append
+    val drift = intercept[IllegalArgumentException] {
+      Layout.appendGeneration(spark, path,
+        mk(300L, 400L).withColumn("lang", lit("en")), Seq("x", "y"),
+        bits = 6, partitions = 1, gen = 1L)
+    }
+    assert(drift.getMessage.contains("extra"), drift.getMessage)
+    // the explicit opt-in widens the committed schema; metadata-only
+    Lakehouse.evolveSchema(spark, path,
+      StructType(resident.fields :+ StructField("lang", StringType)))
+    assert(Lakehouse.tableSchema(spark, path).fieldNames.toSeq ==
+      Seq("id", "x", "y", "lang"))
+    // resident rows null-fill from the next query on
+    val live0 = Lakehouse.scan(spark, path)
+    assert(live0.schema.fieldNames.contains("lang"))
+    assert(live0.filter(col("lang").isNull).count() == 300L)
+    // the evolved-shape batch now lands normally
+    Lakehouse.appendAt(spark, path,
+      mk(300L, 400L).withColumn("lang", lit("en")), Seq("x", "y"),
+      gen = 1L, bits = 6, partitions = 1)
+    val live = Lakehouse.scan(spark, path)
+    assert(live.count() == 400L)
+    assert(live.filter(col("lang") === "en").count() == 100L)
+    // OLD-generation snapshots and the feed answer with the evolved
+    // shape (null-filled), not the write-time shape
+    val asOf0 = Lakehouse.scanAsOf(spark, path, 0L)
+    assert(asOf0.schema.fieldNames.contains("lang") &&
+      asOf0.count() == 300L &&
+      asOf0.filter(col("lang").isNull).count() == 300L)
+    val feed = Lakehouse.changesBetween(spark, path, 0L, 1L)
+    assert(feed.schema.fieldNames.contains("lang") &&
+      feed.filter(col("__op") === "insert").count() == 100L)
+    // mutation paths accept the evolved shape end-to-end
+    Lakehouse.upsertByKey(spark, path,
+      mk(50L, 60L).withColumn("lang", lit("de")), "id",
+      Seq("x", "y"), bits = 6, partitions = 1)
+    assert(Lakehouse.scan(spark, path)
+      .filter(col("lang") === "de").count() == 10L)
+    // a retype is NEVER additive
+    val retype = intercept[IllegalArgumentException] {
+      Lakehouse.evolveSchema(spark, path, StructType(Seq(
+        StructField("id", LongType), StructField("x", StringType),
+        StructField("y", DoubleType), StructField("lang", StringType))))
+    }
+    assert(retype.getMessage.contains("retyped"), retype.getMessage)
+    // a drop is NEVER additive
+    val dropped = intercept[IllegalArgumentException] {
+      Lakehouse.evolveSchema(spark, path, StructType(Seq(
+        StructField("id", LongType), StructField("x", DoubleType))))
+    }
+    assert(dropped.getMessage.contains("missing"), dropped.getMessage)
+    // appendEvolving: widen + land in one call
+    Lakehouse.compact(spark, path, Seq("x", "y"), bits = 6,
+      partitions = 2)
+    Lakehouse.appendEvolving(spark, path,
+      mk(400L, 450L).withColumn("lang", lit("fr"))
+        .withColumn("score", col("x") * 2.0),
+      Seq("x", "y"), bits = 6, partitions = 1)
+    val wide = Lakehouse.scan(spark, path)
+    assert(wide.schema.fieldNames.contains("score"))
+    assert(wide.filter(col("score").isNotNull).count() == 50L)
+    assert(wide.count() == 450L)
+  }
+
+  test("a Bloom manifest bounds the retraction pass: an upsert's " +
+      "delete half reads only files that might hold a batch key") {
+    val path = tmp("lake-ptr-bloomdel")
+    // 16 disjoint id-range generations, bloom-manifested
+    (0 until 4).foreach { g =>
+      Layout.appendGeneration(spark, path,
+        mk(g * 1000L, g * 1000L + 1000L), Seq("x", "y"), bits = 6,
+        partitions = 4, gen = g.toLong)
+    }
+    Layout.writeBloomManifest(spark, path, "id", 1024L)
+    val allFiles = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(allFiles.length >= 16)
+    // READ-SET AUDIT, directly on the narrowing: keys from one
+    // generation's disjoint id range must keep a file-bounded subset,
+    // never the whole table (the per-micro-batch full key-column pass
+    // this exists to remove)
+    val narrowed = Lakehouse.bloomNarrow(spark, path, allFiles.toSeq,
+      spark.range(100L, 150L).select(col("id")), "id")
+    assert(narrowed.nonEmpty && narrowed.size < allFiles.length / 2,
+      s"narrowed ${narrowed.size} of ${allFiles.length}")
+    // keys matching NOTHING: every manifested file is provably clean
+    assert(Lakehouse.bloomNarrow(spark, path, allFiles.toSeq,
+      spark.range(900000L, 900010L).select(col("id")), "id").isEmpty)
+    // past the size threshold the pass stays full (no narrow)
+    assert(Lakehouse.bloomNarrow(spark, path, allFiles.toSeq,
+      spark.range(0L, Lakehouse.bloomRetractionMaxKeys + 10L)
+        .select(col("id")), "id").toSet == allFiles.toSet)
+    // a type-mismatched key expression disables the narrow (join
+    // coercion is the semi-join's business, not the sketch's)
+    assert(Lakehouse.bloomNarrow(spark, path, allFiles.toSeq,
+      spark.range(100L, 150L).select(col("id").cast("int").as("id")),
+      "id").toSet == allFiles.toSet)
+    // end-to-end through the narrowed pass: delete, replay, upsert
+    val n = Lakehouse.deleteMatching(spark, path,
+      spark.range(100L, 150L).select(col("id")), "id")
+    assert(n == 50L)
+    assert(Lakehouse.scan(spark, path).count() == 3950L)
+    assert(Lakehouse.deleteMatching(spark, path,
+      spark.range(100L, 150L).select(col("id")), "id") == 0L)
+    Lakehouse.upsertByKey(spark, path,
+      mk(2000L, 2050L).withColumn("x", col("x") + lit(5000.0)),
+      "id", Seq("x", "y"), bits = 6, partitions = 1)
+    assert(Lakehouse.scan(spark, path)
+      .filter(col("x") >= 5000.0).count() == 50L)
+    assert(Lakehouse.scan(spark, path).count() == 3950L)
+  }
+
+  test("the CDC loop rides commits untouched: feeds, snapshots and " +
+      "point lookups answer identically across pointerization") {
+    val path = tmp("lake-ptr-cdc")
+    Layout.appendGeneration(spark, path, mk(0L, 300L), Seq("x", "y"),
+      bits = 6, partitions = 2, gen = 0L)
+    Layout.writeBloomManifest(spark, path, "id", 1024L)
+    Layout.appendGeneration(spark, path, mk(300L, 600L), Seq("x", "y"),
+      bits = 6, partitions = 2, gen = 1L)
+    Lakehouse.deleteWhere(spark, path, col("id") === 42L)
+    val feed01 = Lakehouse.changesBetween(spark, path, 0L, 1L)
+      .select("id", "__op").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val probe = Lakehouse.pointLookup(spark, path, "id", Seq(7L, 301L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    // pointerize via a retention fold that keeps gen 1 addressable
+    Lakehouse.compactRetaining(spark, path, Seq("x", "y"),
+      retainAfter = 0L, bits = 6, partitions = 2)
+    assert(Lakehouse.changesBetween(spark, path, 0L, 1L)
+      .select("id", "__op").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == feed01)
+    assert(Lakehouse.pointLookup(spark, path, "id", Seq(7L, 301L))
+      .select("id").collect().map(_.getLong(0)).toSet == probe)
+    // and the live upsert path keeps committing
+    Lakehouse.upsertByKey(spark, path,
+      mk(100L, 120L).withColumn("x", col("x") + lit(1000.0)),
+      "id", Seq("x", "y"), bits = 6, partitions = 1)
+    assert(Lakehouse.scan(spark, path)
+      .filter(col("x") >= 1000.0).count() == 20L)
+    assert(Lakehouse.readCommit(spark, path).get.floor == 0L)
+  }
+}

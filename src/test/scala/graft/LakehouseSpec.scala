@@ -140,6 +140,9 @@ class LakehouseSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     Lakehouse.compact(spark, path, Seq("x", "y"), bits = 6, partitions = 2)
     assert(Lakehouse.deleteDebt(spark, path) == 0L)
+    // replaced files await the grace vacuum; sweep with zero grace so
+    // the physical assertions below see only the committed live set
+    Lakehouse.vacuum(spark, path, 0L)
     assert(!new java.io.File(Lakehouse.deletesDir(path)).exists())
     val after = Lakehouse.scan(spark, path)
     assert(after.select("id").collect().map(_.getLong(0)).sorted.toSeq
@@ -164,6 +167,7 @@ class LakehouseSpec extends SparkSpec {
     // target = half the table → 2 output files
     Lakehouse.compact(spark, path, Seq("x", "y"), bits = 6,
       targetBytes = (bytes + 1) / 2)
+    Lakehouse.vacuum(spark, path, 0L)
     assert(new java.io.File(path).listFiles()
       .count(_.getName.endsWith(".parquet")) == 2)
     assert(Lakehouse.scan(spark, path).count() == 1000L)
@@ -456,6 +460,7 @@ class LakehouseSpec extends SparkSpec {
     val rebuilt = Layout.maintainLayout(spark, path, batch, Seq("x", "y"),
       bits = 6, partitions = 4, maxPointCost = 1.5)
     assert(rebuilt, "fixture must trigger the rebuild")
+    Lakehouse.vacuum(spark, path, 0L)
     // the rebuild must NOT resurrect the tombstoned rows...
     val live = spark.read.parquet(path)
     assert(live.filter(col("x") >= 50.0 && col("id") < 1000L)
@@ -629,6 +634,7 @@ class LakehouseSpec extends SparkSpec {
     assert(ids(feed12b.filter(col("__op") === "delete")) == feedDel)
     // the folded debt is gone: only post-floor tombstones remain
     // (gen-1 box: remapped + carried; gen-2 box: untouched)
+    Lakehouse.vacuum(spark, path, 0L)
     val delFiles = new java.io.File(Lakehouse.deletesDir(path))
       .listFiles().map(_.getName).filter(_.endsWith(".parquet")).sorted
     assert(delFiles.forall(n => n.startsWith("del1-") ||
@@ -668,6 +674,7 @@ class LakehouseSpec extends SparkSpec {
     val wantAsOf0 = ids(Lakehouse.scanAsOf(spark, path, 0L))
     Lakehouse.compactRetaining(spark, path, Seq("x", "id"),
       retainAfter = 0L, bits = 6, partitions = 2, rowsPerFile = 100L)
+    Lakehouse.vacuum(spark, path, 0L)
     val files = new java.io.File(path).listFiles().map(_.getName)
     val doomFiles = files.filter(_.startsWith("doom1-"))
     assert(doomFiles.length == 5, doomFiles.mkString(","))
@@ -933,9 +940,12 @@ class LakehouseSpec extends SparkSpec {
     assert(Lakehouse.deleteWhere(spark, path, col("x") >= 80.0) == 100L)
   }
 
-  test("recover FINISHES a retention swap that crashed before its " +
-      "tombstone install — the staged remapped tombstones are the " +
+  test("recover FINISHES a LEGACY retention swap that crashed before " +
+      "its tombstone install — the staged remapped tombstones are the " +
       "folded table's only valid debt, never a discardable orphan") {
+    // the pointer protocol has no such window (data + tombstones +
+    // floor flip in ONE commit) — this exercises recover's handling of
+    // the PRE-pointer on-disk state an old deployment may still carry
     val path = tmp("lake-retaincrash")
     val mk = (lo: Long, hi: Long) => spark.range(lo, hi).select(
       col("id"), (col("id") % 100).cast("double").as("x"))
@@ -943,21 +953,19 @@ class LakehouseSpec extends SparkSpec {
       bits = 6, partitions = 2, gen = 0L)
     Layout.appendGeneration(spark, path, mk(500L, 1000L), Seq("x", "id"),
       bits = 6, partitions = 2, gen = 1L)
-    // a delete stamped 1 hitting gen-0 rows → remapped at the fold
+    // a delete stamped 1: the debt whose staged install crashed
     Lakehouse.deleteMatching(spark, path,
       spark.range(0, 10).select(col("id")), "id")
-    Lakehouse.compactRetaining(spark, path, Seq("x", "id"),
-      retainAfter = 0L, bits = 6, partitions = 2)
     def ids(g: Option[Long]): Set[Long] =
       (g match {
         case Some(gen) => Lakehouse.scanAsOf(spark, path, gen)
         case None => Lakehouse.scan(spark, path)
       }).select("id").collect().map(_.getLong(0)).toSet
     val wantLive = ids(None)
-    val wantAsOf0 = ids(Some(0L))
-    assert(wantLive.size == 990 && wantAsOf0.size == 500)
-    // simulate the crash window: the staged tombstones not yet
-    // installed, the old table still parked under _pre_compact
+    assert(wantLive.size == 990)
+    // simulate the legacy crash window: tombstones staged at
+    // _retain_deletes (not yet installed), the old table parked under
+    // _pre_compact, the staged rebuild already consumed
     val conf = spark.sessionState.newHadoopConf()
     val f = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -970,7 +978,6 @@ class LakehouseSpec extends SparkSpec {
     assert(!f.exists(p(s"${path}_retain_deletes")))
     assert(!f.exists(p(s"${path}_pre_compact")))
     assert(ids(None) == wantLive, "doomed rows resurrected")
-    assert(ids(Some(0L)) == wantAsOf0, "retained snapshot diverged")
     assert(Lakehouse.deleteDebt(spark, path) == 10L)
     // pre-fold manifests were dropped loudly, not left naming the
     // folded files
@@ -1043,13 +1050,17 @@ class LakehouseSpec extends SparkSpec {
 
   test("the epoch/floor marker update is crash-atomic: a lingering " +
       "_epoch_next is preferred by readers and finished by recover") {
+    // the standalone marker is the LEGACY (never-pointered) form —
+    // rollback on a plain generation table writes it; pointered tables
+    // carry epoch/floor inside their atomic commit instead
     val path = tmp("lake-epochnext")
     val mk = (lo: Long, hi: Long) => spark.range(lo, hi).select(
       col("id"), (col("id") % 100).cast("double").as("x"))
     Layout.appendGeneration(spark, path, mk(0L, 200L), Seq("x", "id"),
       bits = 6, partitions = 1, gen = 0L)
-    Lakehouse.compact(spark, path, Seq("x", "id"), bits = 6,
-      partitions = 1)
+    Layout.appendGeneration(spark, path, mk(200L, 400L), Seq("x", "id"),
+      bits = 6, partitions = 1, gen = 1L)
+    Lakehouse.rollback(spark, path, 0L)
     val (epoch, floor) = Lakehouse.epochAndFloor(spark, path)
     assert(epoch == 1L)
     // simulate the crash window: the new marker landed at _epoch_next,

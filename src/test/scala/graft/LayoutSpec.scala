@@ -160,9 +160,11 @@ class LayoutSpec extends SparkSpec {
     val h0 = L.layoutHealth(spark.read.parquet(s"${dir}_manifest"),
       Seq("x", "y"))
     // a fresh layout costs a small constant (equal-frequency curve
-    // slices aren't quad-aligned, so boxes overlap modestly — ~1.3-1.8
-    // here, never near the file count)
-    assert(h0.files == 16 && h0.pointCost < 2.0,
+    // slices aren't quad-aligned, so boxes overlap modestly — ~1.3-2.1
+    // here, never near the file count; the exact value wobbles with
+    // repartitionByRange's sampled boundaries, which depend on the
+    // session's RDD-id sequence, i.e. on which suites ran before)
+    assert(h0.files == 16 && h0.pointCost < 2.25,
       s"fresh layout unhealthy: $h0")
     // one append: a second generation of files tiles the space again —
     // the manifest-read cost adds ≈ one fresh-layout cost without
@@ -187,6 +189,10 @@ class LayoutSpec extends SparkSpec {
     // rewrites the whole table and health returns to one generation
     assert(L.maintainLayout(spark, dir, grid(3), Seq("x", "y"),
       bits = 8, partitions = 16, maxPointCost = h0.pointCost + 0.5))
+    // the rebuild is a pointer-commit compact: replaced files await
+    // the grace vacuum — sweep so the raw-dir reads below see only
+    // the committed live set
+    graft.core.Lakehouse.vacuum(spark, dir, 0L)
     val h2 = L.layoutHealth(spark.read.parquet(s"${dir}_manifest"),
       Seq("x", "y"))
     assert(h2.files == 16 && h2.pointCost < h0.pointCost + 0.5,
