@@ -2440,6 +2440,41 @@ object SparkEntry {
         .withColumnRenamed("rank", "rk")
     }),
 
+    "ann_feed_maintain" -> ((s, dir) => {
+      // FEED-DRIVEN VectorIndex maintenance over a mutating lakehouse
+      // corpus: bootstrap from the gen-0 snapshot (junk vectors
+      // included), then consume the (0,1] change feed — the appended
+      // slice encodes against the pinned geometry, the junk takedown
+      // retracts by anti-join — never re-reading the corpus. The
+      // geometry trains on the same first-200 slice as
+      // ann_ivf_incremental, so the twin is shared VERBATIM:
+      // bootstrap + feed ≡ the one-shot index of the live corpus,
+      // serve-for-serve
+      val emb = t(s, dir, "embeddings")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-annfeed").toString + "/emb"
+      val junk = emb.filter(col("vec_id") < 50)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      graft.core.Layout.appendGeneration(s, root,
+        emb.filter(col("vec_id") < 300 || col("vec_id") >= 410)
+          .unionByName(junk),
+        Seq("vec_id"), bits = 8, partitions = 4, gen = 0L)
+      val idx0 = Similarity.buildVectorIndex(
+        graft.core.Lakehouse.scanAsOf(s, root, 0L),
+        trainOn = emb.filter(col("vec_id") < 200))
+      graft.core.Layout.appendGeneration(s, root,
+        emb.filter(col("vec_id") >= 300 && col("vec_id") < 400),
+        Seq("vec_id"), bits = 8, partitions = 2, gen = 1L)
+      graft.core.Lakehouse.deleteMatching(s, root,
+        junk.select("vec_id"), "vec_id")
+      val feed = graft.core.Lakehouse.changesBetween(s, root, 0L, 1L)
+      val maintained = Similarity.applyFeedToVectorIndex(idx0, feed)
+      Similarity.ivfTopKAgainst(maintained,
+          emb.filter(col("vec_id") >= 400 && col("vec_id") < 410),
+          k = 10, nprobe = 4)
+        .withColumnRenamed("rank", "rk")
+    }),
+
     "ann_ivf_stream" -> ((s, dir) => {
       // the STREAMING index-ingestion path under the same gate: the
       // extend slice arrives as an AvailableNow stream, is encoded
@@ -2732,6 +2767,42 @@ object SparkEntry {
           array_join(slice(split(TA.normalizeText(col("text")), " "),
             1, 6), " ").as("query_text"))
       graft.llm.Retrieval.bm25TopKAgainst(idx, q, k = 5)
+    }),
+
+    "text_bm25_feed_maintain" -> ((s, dir) => {
+      // FEED-DRIVEN BM25 maintenance over a mutating lakehouse corpus:
+      // bootstrap the index from the gen-0 snapshot (which includes
+      // junk docs a takedown later removes), then consume the (0,1]
+      // change feed — inserts merge as a batch index, deletes subtract
+      // their exact tokenized contributions — never re-reading the
+      // corpus. Twin shared VERBATIM with text_bm25_incremental:
+      // bootstrap + feed ≡ the from-scratch index of the live corpus,
+      // score-for-score
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bm25feed").toString + "/docs"
+      val junk = docs.filter(col("doc_id") % 500 < 50)
+        .withColumn("doc_id", col("doc_id") + 1000000000L)
+      graft.core.Layout.appendGeneration(s, root,
+        docs.filter(col("doc_id") % 500 < 300).unionByName(junk),
+        Seq("doc_id"), bits = 8, partitions = 4, gen = 0L)
+      val idx0 = graft.llm.Retrieval.bm25Index(
+        graft.core.Lakehouse.scanAsOf(s, root, 0L))
+      graft.core.Layout.appendGeneration(s, root,
+        docs.filter(col("doc_id") % 500 >= 300 &&
+          col("doc_id") % 500 < 400),
+        Seq("doc_id"), bits = 8, partitions = 2, gen = 1L)
+      graft.core.Lakehouse.deleteMatching(s, root,
+        junk.select("doc_id"), "doc_id")
+      val feed = graft.core.Lakehouse.changesBetween(s, root, 0L, 1L)
+      val maintained = graft.llm.Retrieval.applyFeedToBm25Index(idx0,
+        feed)
+      val q = docs.filter(col("doc_id") >= 400 && col("doc_id") < 500 &&
+          col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(TA.normalizeText(col("text")), " "),
+            1, 6), " ").as("query_text"))
+      graft.llm.Retrieval.bm25TopKAgainst(maintained, q, k = 5)
     }),
 
     "text_script_profile" -> ((s, dir) =>
@@ -3666,6 +3737,44 @@ object SparkEntry {
   // prove relayout and file skipping change placement, never content.
   // Sums ride DECIMAL then cast — a double sum's low bits depend on
   // row order, which is exactly what a relayout changes
+  // the BM25 index-once-serve-many twin over the %500<400 corpus with
+  // the copy-0 tail as queries. Shared VERBATIM by
+  // text_bm25_incremental (build once, serve) and
+  // text_bm25_feed_maintain (bootstrap + change-feed-maintained index,
+  // proving feed application is bit-identical to the rebuild)
+  private val Bm25IncrementalOracle: String =
+    """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM documents),
+        |base AS (SELECT doc_id, t FROM norm WHERE doc_id % 500 < 400),
+        |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM base),
+        |tk AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |dfq AS (SELECT token, count(*) AS docfreq FROM tf GROUP BY 1),
+        |st AS (SELECT count(DISTINCT doc_id) AS n FROM base),
+        |tot AS (SELECT coalesce(sum(dl), 0) AS toklen FROM dl),
+        |qs AS (SELECT doc_id AS query_id,
+        |       array_to_string(list_slice(string_split(t, ' '), 1, 6), ' ') AS qt
+        |       FROM norm WHERE doc_id >= 400 AND doc_id < 500 AND doc_id % 5 = 0),
+        |qtm AS (SELECT DISTINCT query_id, token FROM
+        |       (SELECT query_id, unnest(string_split(qt, ' ')) AS token FROM qs)
+        |       WHERE length(token) > 0),
+        |w AS (SELECT q.query_id, f.doc_id, f.token,
+        |      ln((st.n - d.docfreq + 0.5) / (d.docfreq + 0.5) + 1.0) *
+        |      ((f.tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
+        |       (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl /
+        |          (CAST(tot.toklen AS DOUBLE) / st.n)))) AS w
+        |      FROM qtm q JOIN dfq d USING (token) JOIN tf f USING (token)
+        |      JOIN dl l ON f.doc_id = l.doc_id, st, tot),
+        |sc AS (SELECT query_id, doc_id,
+        |       round(list_sum(list(w ORDER BY token)), 10) AS score
+        |       FROM w GROUP BY 1, 2),
+        |rk AS (SELECT query_id, doc_id, score,
+        |       row_number() OVER (PARTITION BY query_id
+        |                          ORDER BY score DESC, doc_id) AS rank FROM sc)
+        |SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank, score
+        |FROM rk WHERE rank <= 5""".stripMargin
+
   private val LayoutBoxScanOracle: String =
     """SELECT event_type, count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -4859,6 +4968,10 @@ object SparkEntry {
     // rebuild of the union
     "ann_ivf_incremental" -> AnnIvfIncrementalOracle,
     "ann_ivf_stream" -> AnnIvfIncrementalOracle,
+
+    // feed-maintained VectorIndex serves identically to the one-shot
+    // index of the live corpus — twin shared VERBATIM
+    "ann_feed_maintain" -> AnnIvfIncrementalOracle,
 
     // assignment fragment is ann_ivf_topk's twin verbatim; cohesion
     // rides an exact BIGINT sum of 1e-6-quantized sims (float sums
@@ -6587,38 +6700,10 @@ object SparkEntry {
     // the Against form: tf/dfq/dl/N/toklen all come from the BASE slice
     // (doc_id % 500 < 400) while the query batch is the copy-0 tail —
     // the engine's index-once-query-many contract, same float discipline
-    "text_bm25_incremental" ->
-      """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
-        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t FROM documents),
-        |base AS (SELECT doc_id, t FROM norm WHERE doc_id % 500 < 400),
-        |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM base),
-        |tk AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-        |dfq AS (SELECT token, count(*) AS docfreq FROM tf GROUP BY 1),
-        |st AS (SELECT count(DISTINCT doc_id) AS n FROM base),
-        |tot AS (SELECT coalesce(sum(dl), 0) AS toklen FROM dl),
-        |qs AS (SELECT doc_id AS query_id,
-        |       array_to_string(list_slice(string_split(t, ' '), 1, 6), ' ') AS qt
-        |       FROM norm WHERE doc_id >= 400 AND doc_id < 500 AND doc_id % 5 = 0),
-        |qtm AS (SELECT DISTINCT query_id, token FROM
-        |       (SELECT query_id, unnest(string_split(qt, ' ')) AS token FROM qs)
-        |       WHERE length(token) > 0),
-        |w AS (SELECT q.query_id, f.doc_id, f.token,
-        |      ln((st.n - d.docfreq + 0.5) / (d.docfreq + 0.5) + 1.0) *
-        |      ((f.tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
-        |       (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl /
-        |          (CAST(tot.toklen AS DOUBLE) / st.n)))) AS w
-        |      FROM qtm q JOIN dfq d USING (token) JOIN tf f USING (token)
-        |      JOIN dl l ON f.doc_id = l.doc_id, st, tot),
-        |sc AS (SELECT query_id, doc_id,
-        |       round(list_sum(list(w ORDER BY token)), 10) AS score
-        |       FROM w GROUP BY 1, 2),
-        |rk AS (SELECT query_id, doc_id, score,
-        |       row_number() OVER (PARTITION BY query_id
-        |                          ORDER BY score DESC, doc_id) AS rank FROM sc)
-        |SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank, score
-        |FROM rk WHERE rank <= 5""".stripMargin,
+    "text_bm25_incremental" -> Bm25IncrementalOracle,
+
+    // feed-maintained BM25 serves bit-identically to the rebuild
+    "text_bm25_feed_maintain" -> Bm25IncrementalOracle,
 
     // the per-line twin: same langid CASE applied per non-blank line,
     // bounded per-doc argmax + total

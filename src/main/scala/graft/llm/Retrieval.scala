@@ -401,6 +401,63 @@ object Retrieval {
     }
   }
 
+  /** Consume a [[graft.core.Lakehouse.changesBetween]] feed into a
+    * [[Bm25Index]] — the sparse sibling of
+    * [[Similarity.applyFeedToVectorIndex]]: the index tracks a
+    * mutating lakehouse corpus by window deltas, never a corpus
+    * re-tokenize. BM25's global statistics make removal arithmetic,
+    * not just filtering: the feed's DELETE rows carry the full doc
+    * text, so their exact contributions (per-token docfreq, doc count,
+    * token count — empty docs included, Lucene-parity) come from
+    * tokenizing the FEED (feed-sized work) and subtracting
+    * integer-exactly; postings drop by one anti-join over the index's
+    * own postings; tokens whose docfreq reaches zero drop (rebuild
+    * parity); the insert rows then merge as a batch index
+    * ([[mergeBm25Indexes]] — analyzer fingerprints verified in-plan on
+    * BOTH the subtraction and the merge). Apply windows IN ORDER,
+    * EXACTLY ONCE — an update arrives as delete(old)+insert(new), so
+    * integer subtraction is exact, but a replayed window would
+    * double-subtract (track (epoch, gen) like any feed consumer;
+    * [[graft.core.Lakehouse.changesBetween]] raises on expired and
+    * cross-compaction windows). Serving from the maintained index is
+    * BIT-IDENTICAL to a from-scratch [[bm25Index]] of the live corpus
+    * (oracled, twin shared verbatim). */
+  def applyFeedToBm25Index(index: Bm25Index, feed: DataFrame,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): Bm25Index = {
+    val dels = feed.filter(col("__op") === "delete")
+      .select(col(idCol), col(textCol))
+    val ins = feed.filter(col("__op") === "insert")
+      .select(col(idCol), col(textCol))
+    val delIx = bm25Index(dels, idCol, textCol)
+    val delKeys = dels.select(col(idCol).as("doc_id")).distinct()
+    val postings = index.postings.join(delKeys, Seq("doc_id"), "left_anti")
+    val docFreq = index.docFreq
+      .join(delIx.docFreq.withColumnRenamed("docfreq", "__sub"),
+        Seq("token"), "left")
+      .select(col("token"),
+        (col("docfreq") - coalesce(col("__sub"), lit(0L))).as("docfreq"))
+      .filter(col("docfreq") > 0)
+    // subtract n/toklen on the 1-row stats frames, with the same
+    // in-plan analyzer equality the merge path enforces — subtracting
+    // a v2-analyzer delta from a v1 index would corrupt silently
+    val stats = statsWithFp(index.stats).crossJoin(
+        delIx.stats.select(col("n").as("__dn"),
+          col("toklen").as("__dt"), col("analyzer_fp").as("__dfp")))
+      .select((col("n") - col("__dn")).as("n"),
+        (col("toklen") - col("__dt")).as("toklen"),
+        when(col("analyzer_fp") === col("__dfp"), col("analyzer_fp"))
+          .otherwise(raise_error(concat(
+            lit("applyFeedToBm25Index: analyzer fingerprint mismatch ("),
+            col("analyzer_fp").cast("string"), lit(" vs "),
+            col("__dfp").cast("string"),
+            lit(") — the index was built by a different analyzer " +
+              "version; rebuild it"))).cast("long"))
+          .as("analyzer_fp"))
+    mergeBm25Indexes(Seq(Bm25Index(postings, docFreq, stats),
+      bm25Index(ins, idCol, textCol)))
+  }
+
   /** Reciprocal-rank fusion — the standard sparse+dense hybrid-retrieval
     * combiner (Cormack et al. 2009; what every hybrid RAG stack runs
     * over its BM25 and ANN lists): fused score per (query, doc) is

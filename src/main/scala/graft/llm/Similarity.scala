@@ -1267,6 +1267,45 @@ object Similarity {
         encodeIntoIndex(batch, centArr, books, idCol, vecCol)))
   }
 
+  /** Consume a [[graft.core.Lakehouse.changesBetween]] feed into a
+    * [[VectorIndex]] — FEED-DRIVEN index maintenance: the index tracks
+    * a mutating lakehouse corpus by applying window deltas instead of
+    * re-encoding (or even re-reading) the corpus. The feed's keys
+    * (delete AND insert — the upsert treatment, like
+    * [[graft.core.Lakehouse.applyChangesByKey]], so re-applying a
+    * re-pulled open window refreshes rather than duplicates) retract
+    * their vectors with one anti-join over the index's OWN vectors
+    * frame, and the insert rows encode against the index's pinned
+    * geometry (the [[extendVectorIndex]] map-only pass — the
+    * geometry-drift gate stays [[maintainVectorIndex]]'s certify job,
+    * at its own cadence). Cost: one pass over the index plus one over
+    * the feed — the SOURCE table is never read; that is the point of
+    * consuming the feed. Epoch/floor discipline rides the feed
+    * itself: [[graft.core.Lakehouse.changesBetween]] already raises on
+    * expired or cross-compaction windows. Oracled: bootstrap + feed ≡
+    * the one-shot index of the live corpus, serve-for-serve. */
+  def applyFeedToVectorIndex(index: VectorIndex, feed: DataFrame,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): VectorIndex = {
+    val spark = index.vectors.sparkSession
+    import spark.implicits._
+    val centArr = index.centroids
+      .select(col("cell").cast("long"), asDouble(col("centroid")))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val books = index.codebooks
+      .select(col("sub").cast("int"), col("centroid_id").cast("long"),
+        asDouble(col("centroid")))
+      .as[(Int, Long, Seq[Double])].collect()
+    val keys = feed.select(col(idCol).as("corpus_id")).distinct()
+    val kept = guardGeometry(index.vectors,
+        geometryFpArrays(centArr, books), "applyFeedToVectorIndex")
+      .join(keys, Seq("corpus_id"), "left_anti")
+    val inserts = feed.filter(col("__op") === "insert")
+    VectorIndex(index.centroids, index.codebooks,
+      kept.unionByName(
+        encodeIntoIndex(inserts, centArr, books, idCol, vecCol)))
+  }
+
   /** Merge same-geometry [[VectorIndex]] parts (disjoint corpus-id
     * slices, each encoded against IDENTICAL centroids + codebooks —
     * e.g. via [[extendVectorIndex]] or per-batch

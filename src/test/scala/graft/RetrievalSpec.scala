@@ -319,6 +319,56 @@ class RetrievalSpec extends SparkSpec {
       e.getMessage.contains("floor 0.8"), e.getMessage)
   }
 
+  test("applyFeedToBm25Index: deltas subtract and merge bit-exactly — " +
+      "updates, empty-doc deletes, vanished tokens, analyzer guard") {
+    val base = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana cherry cherry date"),
+      (3L, "apple date"),
+      (4L, ""), // an EMPTY doc: counts in N/avgdl, has no postings
+      (5L, "quince quince")
+    ).toDF("doc_id", "text")
+    val idx0 = Retrieval.bm25Index(base)
+    // the window: doc 2 UPDATED (delete old + insert new), doc 4
+    // (empty) and doc 5 (sole holder of "quince") DELETED, doc 6 born
+    val feed = Seq(
+      (2L, "banana cherry cherry date", "delete"),
+      (4L, "", "delete"),
+      (5L, "quince quince", "delete"),
+      (2L, "banana banana fig", "insert"),
+      (6L, "cherry fig", "insert")
+    ).toDF("doc_id", "text", "__op")
+    val maintained = Retrieval.applyFeedToBm25Index(idx0, feed)
+    val rebuilt = Retrieval.bm25Index(Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana banana fig"),
+      (3L, "apple date"),
+      (6L, "cherry fig")
+    ).toDF("doc_id", "text"))
+    // frame-for-frame equality — postings, docfreq (the quince row
+    // must VANISH, not linger at zero), and the global stats
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(sortedRows(maintained.postings) == sortedRows(rebuilt.postings))
+    assert(sortedRows(maintained.docFreq) == sortedRows(rebuilt.docFreq))
+    assert(sortedRows(maintained.stats) == sortedRows(rebuilt.stats))
+    assert(maintained.docFreq.filter(col("token") === "quince")
+      .count() == 0L, "a token whose last holder left must vanish")
+    // serving equality on top (the oracle's claim, unit-sized)
+    val q = Seq((10L, "banana fig"), (11L, "apple cherry"))
+      .toDF("query_id", "query_text")
+    assert(sortedRows(Retrieval.bm25TopKAgainst(maintained, q, k = 3)) ==
+      sortedRows(Retrieval.bm25TopKAgainst(rebuilt, q, k = 3)))
+    // analyzer guard: a stats frame stamped by a different analyzer
+    // raises in-plan instead of silently subtracting
+    val foreign = graft.llm.Retrieval.Bm25Index(idx0.postings,
+      idx0.docFreq, idx0.stats.withColumn("analyzer_fp", lit(42L)))
+    val e = intercept[Exception] {
+      Retrieval.applyFeedToBm25Index(foreign, feed).stats.collect()
+    }
+    assert(e.getMessage.contains("analyzer"), e.getMessage)
+  }
+
   test("rrfFuse: hand-computed fusion, single-source docs, determinism") {
     val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
       .toDF("query_id", "doc_id", "rank")

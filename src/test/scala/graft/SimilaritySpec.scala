@@ -872,6 +872,42 @@ class SimilaritySpec extends SparkSpec {
     prof.unpersist()
   }
 
+  test("applyFeedToVectorIndex: retract + encode equals the one-shot " +
+      "index; re-applying a re-pulled window refreshes, not duplicates") {
+    import graft.llm.Similarity
+    def vecs(ids: Seq[Long]) = ids.map(i =>
+      (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    val base = vecs(0L until 40L)
+    val idx0 = Similarity.buildVectorIndex(base, nlist = 4, m = 4,
+      trainOn = base)
+    // window: ids 10-14 updated (shifted embeddings), 35-39 deleted,
+    // 40-44 born
+    val updated = vecs(10L until 15L)
+      .withColumn("embedding", org.apache.spark.sql.functions.transform(
+        col("embedding"), x => x + lit(1.0f)))
+    val feed = vecs(35L until 40L).withColumn("__op", lit("delete"))
+      .unionByName(vecs(10L until 15L).withColumn("__op", lit("delete")))
+      .unionByName(updated.withColumn("__op", lit("insert")))
+      .unionByName(vecs(40L until 45L).withColumn("__op", lit("insert")))
+    val maintained = Similarity.applyFeedToVectorIndex(idx0, feed)
+    val live = vecs((0L until 10L) ++ (15L until 35L))
+      .unionByName(updated).unionByName(vecs(40L until 45L))
+    val oneShot = Similarity.buildVectorIndex(live, nlist = 4, m = 4,
+      trainOn = base)
+    def state(ix: Similarity.VectorIndex) =
+      ix.vectors.select("corpus_id", "cell", "codes")
+        .collect().map(_.toString).sorted.toSeq
+    assert(state(maintained) == state(oneShot))
+    assert(maintained.vectors.count() == 40L)
+    // the upsert treatment: re-applying the SAME window (the re-pulled
+    // open-window case) retracts its own first application — counts
+    // and content stay fixed
+    val again = Similarity.applyFeedToVectorIndex(maintained, feed)
+    assert(state(again) == state(oneShot))
+    assert(again.vectors.count() == 40L)
+  }
+
   test("clusterProfile with Lloyd refinement keeps exact populations") {
     val prof = Similarity.clusterProfile(emb, nClusters = 4, trainIters = 2)
     assert(prof.agg(sum("n_members")).head().getLong(0) == emb.count())
