@@ -87,6 +87,12 @@ object Cli {
       |  layout -o <dir> --cols a,b --recover
       |                                   finish/undo a crashed swap; clean
       |                                   staging leftovers and stale leases
+      |  layout -o <dir> --cols a,b --vacuum <graceMs>
+      |                                   remove files a past commit replaced,
+      |                                   once older than the grace window
+      |  lake-catalog <root>              one JSON line per lakehouse table
+      |                                   under <root>: version, epoch, floor,
+      |                                   generation, files, debt, health
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -131,6 +137,38 @@ object Cli {
         // archive-independent: Z-order layout lifecycle over parquet paths
         try layoutCmd(spark, cmdArgs, out)
         catch {
+          case e: IllegalArgumentException =>
+            out.println(s"error: ${e.getMessage}"); 2
+          case e: Exception =>
+            out.println(s"error: ${e.getMessage}"); 1
+        }
+      case (_, "lake-catalog" :: cmdArgs) =>
+        // archive-independent: discover and describe the lakehouse
+        // tables under a root — day-N operates by discovery, not by
+        // remembering raw paths
+        try {
+          val root = cmdArgs.headOption.getOrElse(
+            throw new IllegalArgumentException(
+              "lake-catalog requires <root-dir>"))
+          val it = graft.core.Lakehouse.describeTables(spark, root)
+            .orderBy("table").toLocalIterator()
+          while (it.hasNext) {
+            val r = it.next()
+            out.println(s"""{"table":"${jsonEscape(r.getString(0))}",""" +
+              s""""path":"${jsonEscape(r.getString(1))}",""" +
+              s""""version":${r.getLong(2)},"epoch":${r.getLong(3)},""" +
+              s""""floor":${r.getLong(4)},"current_gen":${r.getLong(5)},""" +
+              s""""data_files":${r.getLong(6)},""" +
+              s""""delete_files":${r.getLong(7)},""" +
+              s""""delete_debt":${r.getLong(8)},""" +
+              s""""data_bytes":${r.getLong(9)},""" +
+              s""""manifest_files":${if (r.isNullAt(10)) "null"
+                else r.getLong(10).toString},""" +
+              s""""point_cost":${if (r.isNullAt(11)) "null"
+                else r.getDouble(11).toString}}""")
+          }
+          0
+        } catch {
           case e: IllegalArgumentException =>
             out.println(s"error: ${e.getMessage}"); 2
           case e: Exception =>

@@ -1957,6 +1957,39 @@ object SparkEntry {
             .as("sum_value"))
     }),
 
+    "layout_catalog" -> ((s, dir) => {
+      // the discovery surface: two lakehouse tables under one root —
+      // a merge-on-read events table carrying live delete debt and a
+      // two-generation orders table — described without being named.
+      // The twin derives every asserted number independently from the
+      // raw data (the debt IS the predicate's match count) plus the
+      // construction's deterministic constants
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-lakecat").toString
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      graft.core.Layout.zorder(ev, Seq("value", "event_id"), bits = 8,
+          partitions = 8)
+        .write.parquet(s"$root/evs")
+      graft.core.Layout.writeManifest(s, s"$root/evs",
+        Seq("value", "event_id"))
+      graft.core.Lakehouse.deleteWhere(s, s"$root/evs",
+        col("value").between(20.0, 60.0))
+      val ords = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      graft.core.Layout.appendGeneration(s, s"$root/ords",
+        ords.filter(col("o_orderkey") % 2 === 0),
+        Seq("o_custkey", "o_totalprice"), bits = 8, partitions = 4,
+        gen = 0L)
+      graft.core.Layout.appendGeneration(s, s"$root/ords",
+        ords.filter(col("o_orderkey") % 2 =!= 0),
+        Seq("o_custkey", "o_totalprice"), bits = 8, partitions = 2,
+        gen = 1L)
+      graft.core.Lakehouse.describeTables(s, root)
+        .select("table", "epoch", "floor", "current_gen", "data_files",
+          "delete_debt")
+    }),
+
     "layout_evolve_scan" -> ((s, dir) => {
       // additive schema evolution: the table widens by an explicit
       // opt-in (a metadata-only commit), resident files null-fill the
@@ -5575,6 +5608,19 @@ object SparkEntry {
         |FROM events
         |WHERE value IS NOT NULL AND event_id % 211 <> 0
         |GROUP BY event_type""".stripMargin,
+
+    // the catalog's numbers derived independently: the events table's
+    // debt is the takedown predicate's raw match count; everything
+    // else is the construction's deterministic shape
+    "layout_catalog" ->
+      """SELECT 'evs' AS "table", CAST(0 AS BIGINT) AS epoch,
+        |  CAST(-1 AS BIGINT) AS floor, CAST(-1 AS BIGINT) AS current_gen,
+        |  CAST(8 AS BIGINT) AS data_files,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events
+        |   WHERE value IS NOT NULL AND value BETWEEN 20.0 AND 60.0)
+        |    AS delete_debt
+        |UNION ALL
+        |SELECT 'ords', 0, -1, 1, 6, 0""".stripMargin,
 
     // evolve-then-append ≡ rewrite-with-nulls, without the rewrite
     "layout_evolve_scan" ->

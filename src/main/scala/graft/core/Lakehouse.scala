@@ -108,41 +108,95 @@ object Lakehouse {
     * NOT reentrant: lock only at the public mutator grain. */
   def withTableLock[T](spark: SparkSession, path: String,
                        leaseMs: Long = 15L * 60 * 1000,
-                       waitMs: Long = 10L * 60 * 1000)(body: => T): T = {
-    val f = fs(spark, path)
-    val dir = new Path(s"${path}_lock")
-    val lease = new Path(dir, "lease")
-    val token = java.util.UUID.randomUUID().toString
-    val tokenBytes = token.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    def leaseToken(): String =
+                       waitMs: Long = 10L * 60 * 1000)(body: => T): T =
+    withTableLock(new FsLeaseBackend(fs(spark, path),
+      new Path(s"${path}_lock")), leaseMs, waitMs)(body)
+
+  /** The lease PRIMITIVE [[withTableLock]] rides — a seam, because the
+    * soundness of the default file-based lease is exactly as good as
+    * the store's create-if-absent: near-atomic on HDFS/local (where
+    * the token readback closes the remaining window), best-effort on
+    * an eventually-consistent object store. A deployment with a real
+    * coordination primitive (an object store's conditional-put /
+    * if-none-match, a lock service, a database row) implements these
+    * five operations and every mutator's serialization — takeover,
+    * heartbeat, usurpation detection included — runs through it
+    * unchanged. Implementations must be cheap to call repeatedly
+    * (acquisition polls) and tolerate concurrent callers. */
+  trait LeaseBackend {
+    /** Try to create the lease holding `token`; false when held.
+      * Need not be atomic — [[withTableLock]] re-reads the holder and
+      * proceeds only if its own token survived. */
+    def tryAcquire(token: String): Boolean
+    /** The current holder's token; "" when absent or unreadable. */
+    def holderToken(): String
+    /** Milliseconds since the lease was last refreshed;
+      * `Long.MaxValue` when absent. */
+    def ageMs(): Long
+    /** Refresh the lease's freshness (the holder's heartbeat). */
+    def refresh(): Unit
+    /** Remove the lease (release, or stale takeover). */
+    def release(): Unit
+    /** Where the lease lives — for error messages. */
+    def describe: String
+  }
+
+  /** The default backend: a lease FILE under `<path>_lock`, created
+    * with create-if-absent, aged by modification time. */
+  final class FsLeaseBackend(f: FileSystem, dir: Path)
+      extends LeaseBackend {
+    private val lease = new Path(dir, "lease")
+    def tryAcquire(token: String): Boolean =
+      try {
+        f.mkdirs(dir)
+        val out = f.create(lease, false) // fails if a writer holds it
+        try out.write(token.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    def holderToken(): String =
       try {
         val in = f.open(lease)
         try new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
       } catch { case _: java.io.IOException => "" }
+    def ageMs(): Long =
+      try {
+        if (!f.exists(lease)) Long.MaxValue
+        else System.currentTimeMillis() -
+          f.getFileStatus(lease).getModificationTime
+      } catch { case _: java.io.IOException => Long.MaxValue }
+    def refresh(): Unit = f.setTimes(lease, System.currentTimeMillis(), -1L)
+    def release(): Unit = { f.delete(lease, false); () }
+    def describe: String = dir.toString
+  }
+
+  /** [[withTableLock]] over an explicit [[LeaseBackend]] — the form a
+    * deployment with a sound coordination primitive calls (the path
+    * form wraps exactly this over [[FsLeaseBackend]], and the race
+    * specs exercise the mechanics through the interface). */
+  def withTableLock[T](backend: LeaseBackend, leaseMs: Long,
+                       waitMs: Long)(body: => T): T = {
+    val token = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + waitMs
     var acquired = false
     while (!acquired) {
-      if (f.exists(lease) && System.currentTimeMillis() -
-          f.getFileStatus(lease).getModificationTime > leaseMs)
-        f.delete(lease, false) // stale-lease takeover
-      f.mkdirs(dir)
-      val created =
-        try {
-          val out = f.create(lease, false) // fails if a writer holds it
-          try out.write(tokenBytes) finally out.close()
-          true
-        } catch { case _: java.io.IOException => false }
-      // double-check: create-if-absent is not atomic on every
-      // FileSystem; proceed only if OUR token survived the race
-      acquired = created && leaseToken() == token
+      val age = backend.ageMs()
+      if (age != Long.MaxValue && age > leaseMs)
+        backend.release() // stale-lease takeover
+      // double-check: the acquire need not be atomic; proceed only if
+      // OUR token survived the race
+      acquired = backend.tryAcquire(token) &&
+        backend.holderToken() == token
       if (!acquired) {
         require(System.currentTimeMillis() < deadline,
-          s"withTableLock: could not acquire the writer lease at $dir " +
-            s"within ${waitMs}ms — another writer holds the table " +
-            "(mutations are single-writer; retry, or remove a dead " +
-            "writer's stale lease by waiting out its lease window)")
+          s"withTableLock: could not acquire the writer lease at " +
+            s"${backend.describe} within ${waitMs}ms — another writer " +
+            "holds the table (mutations are single-writer; retry, or " +
+            "remove a dead writer's stale lease by waiting out its " +
+            "lease window)")
         Thread.sleep(100L)
       }
     }
@@ -152,29 +206,30 @@ object Lakehouse {
       while (!stop.await(math.max(1L, leaseMs / 3),
           java.util.concurrent.TimeUnit.MILLISECONDS)) {
         try {
-          if (leaseToken() == token)
-            f.setTimes(lease, System.currentTimeMillis(), -1L)
+          if (backend.holderToken() == token) backend.refresh()
           else usurped.set(true)
         } catch { case _: java.io.IOException => () }
       }
-    }, s"graft-lease-heartbeat-${new Path(path).getName}")
+    }, s"graft-lease-heartbeat-${backend.describe.hashCode}")
     beat.setDaemon(true)
     beat.start()
     val result = try body finally {
       stop.countDown()
       beat.join(1000L)
-      // release only OUR lease — after a usurpation the file is the
-      // new owner's, and deleting it would cascade the race
-      if (!usurped.get() && leaseToken() == token) f.delete(lease, false)
+      // release only OUR lease — after a usurpation the lease is the
+      // new owner's, and releasing it would cascade the race
+      if (!usurped.get() && backend.holderToken() == token)
+        backend.release()
     }
     // raised only on a CLEAN body (a body failure already propagated)
     require(!usurped.get(),
-      s"withTableLock: the writer lease at $dir was taken over " +
-        s"mid-mutation (this process stalled past ${leaseMs}ms and a " +
-        "contender presumed it dead) — the mutation DID run, but " +
-        "another writer may have interleaved: health-check the " +
-        "table (Layout.layoutHealth, Lakehouse.deleteDebt) and " +
-        "compact before trusting further snapshots")
+      s"withTableLock: the writer lease at ${backend.describe} was " +
+        s"taken over mid-mutation (this process stalled past " +
+        s"${leaseMs}ms and a contender presumed it dead) — the " +
+        "mutation DID run, but another writer may have interleaved: " +
+        "health-check the table (Layout.layoutHealth, " +
+        "Lakehouse.deleteDebt) and compact before trusting further " +
+        "snapshots")
     result
   }
 
@@ -860,6 +915,72 @@ object Lakehouse {
       Layout.appendGeneration(spark, path, batch, cols, bits,
         partitions, gen)
     }
+
+  /** Sidecar suffixes a lakehouse table hangs off its path — used to
+    * tell tables from their own metadata dirs during discovery. */
+  private val sidecarSuffixes = Seq("_deletes", "_manifest", "_commit",
+    "_lock", "_incoming", "_rebuild", "_retain_rebuild",
+    "_retain_deletes", "_pre_compact", "_pre_rebuild", "_del_ckpt",
+    "_upsert_ckpt", "_apply_ckpt", "_ckpt", "_epoch", "_epoch_next",
+    "_epoch_tmp")
+
+  /** The CATALOG surface: one row per lakehouse table found directly
+    * under `root` — path, commit version (−1 for a legacy table),
+    * epoch, snapshot floor, current generation, live file/byte counts,
+    * delete debt, and the manifest-read layout health (null without a
+    * manifest; its columns are recovered from the manifest's own
+    * `__min_<col>` schema, so no cols argument is needed). A directory
+    * is a table when it is not itself a sidecar and carries at least
+    * one lakehouse sidecar (`_commit`, `_manifest`, `_deletes`,
+    * `_epoch`, `_lock`, or a `_bloom_*`); plain parquet dirs stay out.
+    * Day-N at fleet scale operates tables by DISCOVERY, not by
+    * remembering raw paths — this is the list verb's engine (CLI
+    * `lake-catalog <root>`). Cost: table-count-bounded driver listing
+    * plus one debt-sized count per table. */
+  def describeTables(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, root)
+    val rp = new Path(root)
+    val dirs =
+      if (!f.exists(rp)) Seq.empty[Path]
+      else f.listStatus(rp).toSeq.filter(_.isDirectory).map(_.getPath)
+    val names = dirs.map(_.getName).toSet
+    val tables = dirs.filter { p =>
+      val n = p.getName
+      val isSidecar = sidecarSuffixes.exists(sfx => n.endsWith(sfx) &&
+        names.contains(n.stripSuffix(sfx))) || n.contains("_bloom_")
+      val hasSidecar = sidecarSuffixes.exists(sfx =>
+        names.contains(n + sfx)) ||
+        names.exists(m => m.startsWith(n + "_bloom_"))
+      !isSidecar && hasSidecar
+    }
+    val rows = tables.map { p =>
+      val path = p.toString
+      val (epoch, floor) = epochAndFloor(spark, path)
+      val data = dataFilePaths(spark, path)
+      val dels = deleteFilePaths(spark, path)
+      val bytes = data.map(x => f.getFileStatus(x).getLen).sum
+      val mDir = s"${path}_manifest"
+      val health: Option[Layout.LayoutHealth] =
+        if (!f.exists(new Path(mDir)) ||
+            parquetFiles(spark, mDir).isEmpty) None
+        else {
+          val m = spark.read.parquet(mDir)
+          val cols = m.columns.filter(_.startsWith("__min_"))
+            .map(_.stripPrefix("__min_")).toSeq
+          if (cols.isEmpty) None
+          else Some(Layout.layoutHealth(m, cols))
+        }
+      (p.getName, path,
+        readCommit(spark, path).map(_.version).getOrElse(-1L),
+        epoch, floor, currentGen(spark, path), data.size.toLong,
+        dels.size.toLong, deleteDebt(spark, path), bytes,
+        health.map(_.files), health.map(_.pointCost))
+    }
+    rows.toDF("table", "path", "version", "epoch", "floor",
+      "current_gen", "data_files", "delete_files", "delete_debt",
+      "data_bytes", "manifest_files", "point_cost")
+  }
 
   /** Additive schema evolution — the EXPLICIT opt-in the append-time
     * drift guard points at: widen the table's committed schema to

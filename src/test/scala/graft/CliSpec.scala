@@ -275,6 +275,41 @@ class CliSpec extends SparkSpec {
     assert(b2 == 2 && e2.contains("--key"), e2)
   }
 
+  test("lake-catalog discovers and describes the tables under a root") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("cli-lakecat")
+      .toString
+    val df = spark.range(1000).select(col("id"),
+      (col("id") % 100).cast("double").as("x"),
+      (col("id") / 100).cast("double").as("y"))
+    graft.core.Layout.zorder(df, Seq("x", "y"), bits = 6, partitions = 4)
+      .write.parquet(s"$root/t1")
+    graft.core.Layout.writeManifest(spark, s"$root/t1", Seq("x", "y"))
+    graft.core.Lakehouse.deleteWhere(spark, s"$root/t1",
+      col("x") >= 90.0)
+    graft.core.Layout.appendGeneration(spark, s"$root/t2", df,
+      Seq("x", "y"), bits = 6, partitions = 2, gen = 0L)
+    graft.core.Lakehouse.compact(spark, s"$root/t2", Seq("x", "y"),
+      bits = 6, partitions = 2)
+    // a PLAIN parquet dir (no sidecars) must stay out of the catalog
+    df.limit(10).write.parquet(s"$root/scratch")
+    val (code, outTxt) = cli("lake-catalog", root)
+    assert(code == 0, outTxt)
+    val lines = outTxt.linesIterator.toSeq
+    assert(lines.size == 2, outTxt)
+    assert(lines.head.contains("\"table\":\"t1\"") &&
+      lines.head.contains("\"delete_debt\":100") &&
+      lines.head.contains("\"data_files\":4") &&
+      lines.head.contains("\"version\":-1"), lines.head)
+    assert(lines(1).contains("\"table\":\"t2\"") &&
+      lines(1).contains("\"epoch\":1") &&
+      lines(1).contains("\"delete_debt\":0") &&
+      lines(1).contains("\"version\":2"), lines(1))
+    // usage error without a root
+    val (bad, err) = cli("lake-catalog")
+    assert(bad == 2 && err.contains("root"), err)
+  }
+
   test("layout --changes writes the generation change feed to parquet") {
     import org.apache.spark.sql.functions._
     val work = java.nio.file.Files.createTempDirectory("cli-cdf")

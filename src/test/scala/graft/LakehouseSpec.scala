@@ -557,6 +557,52 @@ class LakehouseSpec extends SparkSpec {
     assert(!f.exists(lease), "lock released after the body")
   }
 
+  test("withTableLock runs unchanged over a CUSTOM LeaseBackend: " +
+      "acquisition, stale takeover, and usurpation all ride the seam") {
+    // a deployment with a sound coordination primitive (conditional
+    // put, a lock service) implements five operations; the mechanics
+    // must not depend on the file-based default
+    final class MemLease extends Lakehouse.LeaseBackend {
+      @volatile var holder: String = ""
+      @volatile var touched: Long = 0L
+      def tryAcquire(token: String): Boolean = synchronized {
+        if (holder.nonEmpty) false
+        else { holder = token; touched = System.currentTimeMillis(); true }
+      }
+      def holderToken(): String = holder
+      def ageMs(): Long =
+        if (holder.isEmpty) Long.MaxValue
+        else System.currentTimeMillis() - touched
+      def refresh(): Unit = touched = System.currentTimeMillis()
+      def release(): Unit = holder = ""
+      def describe: String = "mem://lease"
+    }
+    val backend = new MemLease
+    // plain acquisition + release
+    assert(Lakehouse.withTableLock(backend, 60000L, 1000L) { 7 } == 7)
+    assert(backend.holder.isEmpty, "released after the body")
+    // a held lease blocks a second writer until waitMs
+    backend.holder = "someone-else"
+    backend.touched = System.currentTimeMillis()
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.withTableLock(backend, 60000L, 300L) { fail("ran") }
+    }
+    assert(e.getMessage.contains("mem://lease"), e.getMessage)
+    // a STALE lease is taken over
+    backend.touched = System.currentTimeMillis() - 10000L
+    assert(Lakehouse.withTableLock(backend, 500L, 1000L) { 42 } == 42)
+    // usurpation mid-body raises after a clean body
+    val e2 = intercept[IllegalArgumentException] {
+      Lakehouse.withTableLock(backend, 90L, 1000L) {
+        backend.holder = "usurper" // someone stole the lease
+        Thread.sleep(400L) // let the heartbeat observe it
+      }
+    }
+    assert(e2.getMessage.contains("taken over"), e2.getMessage)
+    assert(backend.holder == "usurper",
+      "the loser must not release the new owner's lease")
+  }
+
   test("compact bumps the epoch: a replica's stale-epoch window " +
       "raises loudly instead of reading reused generation ids") {
     val path = tmp("lake-epoch")
