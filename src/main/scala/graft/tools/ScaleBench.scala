@@ -291,7 +291,23 @@ object ScaleBench {
     // replica-key pass + one feed pass; growth is the by-construction
     // builds (~the other two-generation gates). The streamed form adds
     // the drain machinery (checkpoint + one micro-batch) on top
-    "layout_replica_apply", "layout_replica_apply_stream")
+    "layout_replica_apply", "layout_replica_apply_stream",
+    // round-17: the version-pointer protocol. scan_under_compact and
+    // vacuum pay the same build+delete+compact cycle as layout_compact
+    // plus the pointer flip (commit IO is file-count-bounded) and, for
+    // vacuum, the zero-grace sweep (driver file ops) — expect ~the
+    // layout_compact shape. takedown_bloom pays the build + manifest
+    // + the NARROWED delete (the delete half reads only kept files;
+    // growth is the by-construction build — the isolated delete-only
+    // evidence is graft.tools.MaintenanceProbe's). evolve_scan is two
+    // generation builds + a metadata-only commit + the union scan
+    "layout_scan_under_compact", "layout_vacuum",
+    "layout_takedown_bloom", "layout_evolve_scan",
+    // feed-driven index maintenance gates: by-construction source
+    // builds dominate (two generations + takedown + feed); the apply
+    // itself is one index pass + one feed pass — the isolated
+    // 1%-delta evidence is MaintenanceProbe's
+    "ann_feed_maintain", "text_bm25_feed_maintain")
 
   private def rotate(s: String, k: Int): String = {
     val n = ((k % s.length) + s.length) % s.length
