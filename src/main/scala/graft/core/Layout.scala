@@ -240,13 +240,32 @@ object Layout {
                  box: Seq[(String, Column, Column)]): DataFrame = {
     require(box.nonEmpty, "prunedScan needs a box predicate")
     val manifest = spark.read.parquet(s"${path}_manifest")
+    // on a POINTERED table the manifest must name exactly the live
+    // files — replaced files linger on disk until vacuum, so a stale
+    // manifest would silently serve dead data (the same guard
+    // Lakehouse.prunedScan carries; plain directory-listing tables
+    // have no dead-file hazard and skip the check)
+    Lakehouse.readCommit(spark, path).foreach { c =>
+      val live = c.data.toSet
+      val manifested = manifest.select("__file").collect()
+        .map(r => r.getString(0).split('/').last).toSet
+      require(manifested == live,
+        s"prunedScan: the manifest at ${path}_manifest names " +
+          s"${(manifested -- live).size} dead and misses " +
+          s"${(live -- manifested).size} live files — it predates the " +
+          "table's current commit (a crashed rewrite?). Run " +
+          "Lakehouse.recover and rebuild with Layout.writeManifest")
+    }
     val kept = pruneFiles(manifest, box)
       .select("__file").collect().map(_.getString(0))
-    val full = spark.read.parquet(path)
+    val schema = Lakehouse.tableSchema(spark, path)
     val pred = box.map { case (c, lo, hi) => col(c).between(lo, hi) }
       .reduce(_ && _)
-    if (kept.isEmpty) full.filter(lit(false))
-    else spark.read.schema(full.schema).parquet(kept: _*).filter(pred)
+    if (kept.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .filter(lit(false))
+    else spark.read.schema(schema).parquet(kept.toSeq: _*).filter(pred)
   }
 
   /** Clustering health of a laid-out table, read from its manifest
