@@ -414,6 +414,24 @@ class CliSpec extends SparkSpec {
     assert(c4 != 0 && e4.contains("epoch"), e4)
     // the replica re-syncs from a full scan at the new epoch
     assert(ids(graft.core.Lakehouse.scan(spark, outDir)).size == 1990)
+    // storage hygiene closes the maintenance arc: the full compact's
+    // replaced files awaited their grace window — the zero-grace
+    // vacuum removes them and the live answer is untouched
+    val (c6, j6) = cli("layout", "-o", outDir, "--cols", "x,id",
+      "--vacuum", "0")
+    assert(c6 == 0 && "\"vacuumed\":(\\d+)".r.findFirstMatchIn(j6)
+      .exists(_.group(1).toLong > 0), j6)
+    assert(ids(graft.core.Lakehouse.scan(spark, outDir)).size == 1990)
+    // fleet discovery: both tables (source and replica) surface in the
+    // catalog with their operational numbers — day N operates by
+    // discovery, not by remembering raw paths
+    val (c7, j7) = cli("lake-catalog", work.toString)
+    assert(c7 == 0, j7)
+    val catLines = j7.linesIterator.toSeq
+    assert(catLines.size == 2, j7)
+    assert(catLines.exists(l => l.contains("\"table\":\"lake\"") &&
+      l.contains("\"epoch\":1") && l.contains("\"delete_debt\":0")), j7)
+    assert(catLines.exists(l => l.contains("\"table\":\"replica\"")), j7)
     // crash tooling closes the runbook: --recover on a healthy table
     // reports nothing to do
     val (c5, j5) = cli("layout", "-o", outDir, "--cols", "x,id",
