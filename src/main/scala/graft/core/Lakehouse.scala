@@ -470,6 +470,18 @@ object Lakehouse {
       case None => parquetFiles(spark, deletesDir(path))
     }
 
+  /** True when the table carries a schema CONTRACT a batch must honor
+    * — resident data files, or a committed schema (possibly evolved,
+    * possibly on a still-empty table). The keyed mutators check drift
+    * against it BEFORE their retraction half, so a drifted batch
+    * raises without having mutated anything. */
+  private def hasSchemaContract(spark: SparkSession,
+                                path: String): Boolean =
+    readCommit(spark, path) match {
+      case Some(c) => c.data.nonEmpty || c.schemaJson.isDefined
+      case None => parquetFiles(spark, path).nonEmpty
+    }
+
   /** The table's SCAN schema: the committed schema-JSON when recorded
     * (survives additive evolution and answers even a zero-file table),
     * else inferred from the live files. */
@@ -1039,6 +1051,10 @@ object Lakehouse {
                   keyCol: String, cols: Seq[String], bits: Int = 12,
                   partitions: Int = 0): Unit =
     withTableLock(spark, path) {
+      // schema drift raises BEFORE the retraction half mutates
+      if (hasSchemaContract(spark, path))
+        Layout.requireSameSchema(tableSchema(spark, path),
+          updates.schema, "upsertByKey")
       val dup = updates.groupBy(col(keyCol)).count()
         .filter(col("count") > 1).limit(1).collect()
       require(dup.isEmpty,
@@ -1105,6 +1121,9 @@ object Lakehouse {
                                  cols: Seq[String], bits: Int,
                                  partitions: Int, gen: Long): Unit =
     withTableLock(spark, path) {
+      if (hasSchemaContract(spark, path))
+        Layout.requireSameSchema(tableSchema(spark, path),
+          batch.schema, "upsertBatch")
       val dup = batch.groupBy(col(keyCol)).count()
         .filter(col("count") > 1).limit(1).collect()
       require(dup.isEmpty,
@@ -1260,6 +1279,9 @@ object Lakehouse {
       val cached = feed.cache()
       try {
         val inserts = cached.filter(col("__op") === "insert").drop("__op")
+        if (hasSchemaContract(spark, replicaPath))
+          Layout.requireSameSchema(tableSchema(spark, replicaPath),
+            inserts.schema, "applyChangesByKey")
         val dup = inserts.groupBy(col(keyCol)).count()
           .filter(col("count") > 1).limit(1).collect()
         require(dup.isEmpty,
@@ -1330,6 +1352,9 @@ object Lakehouse {
                                 partitions: Int, gen: Long): Unit =
     withTableLock(spark, replicaPath) {
       val inserts = batch.filter(col("__op") === "insert").drop("__op")
+      if (hasSchemaContract(spark, replicaPath))
+        Layout.requireSameSchema(tableSchema(spark, replicaPath),
+          inserts.schema, "applyBatch")
       val dup = inserts.groupBy(col(keyCol)).count()
         .filter(col("count") > 1).limit(1).collect()
       require(dup.isEmpty,

@@ -373,7 +373,11 @@ object Layout {
                      bits: Int = 12, partitions: Int = 0): Unit = {
     val before = dataFiles(spark, path)
     val cur = Lakehouse.readCommit(spark, path)
-    if (cur.exists(_.data.nonEmpty) || before.nonEmpty)
+    // the drift guard also fires against a COMMITTED schema with no
+    // resident files yet (an evolveSchema'd empty table): the commit
+    // is the contract the first batch must honor too
+    if (cur.exists(c => c.data.nonEmpty || c.schemaJson.isDefined) ||
+        before.nonEmpty)
       requireSameSchema(Lakehouse.tableSchema(spark, path), batch.schema,
         "appendZordered")
     zorder(batch, cols, bits, partitions)
@@ -443,7 +447,7 @@ object Layout {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
     val cur = Lakehouse.readCommit(spark, path)
-    if (cur.exists(_.data.nonEmpty) ||
+    if (cur.exists(c => c.data.nonEmpty || c.schemaJson.isDefined) ||
         (cur.isEmpty && (dataFiles(spark, path).nonEmpty ||
           (fs.exists(root) && fs.listStatus(root)
             .exists(s => s.isFile &&

@@ -267,6 +267,60 @@ class LakehousePointerSpec extends SparkSpec {
     assert(wide.count() == 450L)
   }
 
+  test("evolution meets the CDC loop: an evolved source's feed raises " +
+      "on an unevolved replica and applies after the replica evolves; " +
+      "an evolved EMPTY table still guards its first batch") {
+    import org.apache.spark.sql.types._
+    val src = tmp("lake-ptr-evcdc") + "-src"
+    val rep = tmp("lake-ptr-evcdc") + "-rep"
+    Layout.appendGeneration(spark, src, mk(0L, 200L), Seq("x", "y"),
+      bits = 6, partitions = 2, gen = 0L)
+    Layout.appendGeneration(spark, rep, mk(0L, 200L), Seq("x", "y"),
+      bits = 6, partitions = 2, gen = 0L)
+    // the source evolves and lands an evolved-shape generation
+    Lakehouse.evolveSchema(spark, src, StructType(
+      Lakehouse.tableSchema(spark, src).fields :+
+        StructField("lang", StringType)))
+    Lakehouse.appendAt(spark, src,
+      mk(200L, 300L).withColumn("lang", lit("en")), Seq("x", "y"),
+      gen = 1L, bits = 6, partitions = 1)
+    val feed = Lakehouse.changesBetween(spark, src, 0L, 1L)
+    // the unevolved replica REFUSES the widened feed loudly
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.applyChangesByKey(spark, rep, feed, "id", Seq("x", "y"),
+        bits = 6, partitions = 1)
+    }
+    assert(e.getMessage.contains("extra") &&
+      e.getMessage.contains("evolveSchema"), e.getMessage)
+    // after evolving the replica, the same feed applies and both
+    // tables answer identically (old rows null-filled on both sides)
+    Lakehouse.evolveSchema(spark, rep, StructType(
+      Lakehouse.tableSchema(spark, rep).fields :+
+        StructField("lang", StringType)))
+    Lakehouse.applyChangesByKey(spark, rep, feed, "id", Seq("x", "y"),
+      bits = 6, partitions = 1)
+    def state(p: String) = Lakehouse.scan(spark, p)
+      .select("id", "x", "lang").collect().map(_.toString).sorted.toSeq
+    assert(state(rep) == state(src))
+    // an evolveSchema'd EMPTY table guards its FIRST batch against the
+    // committed schema — landing the unevolved shape would silently
+    // null-fill forever
+    val fresh = tmp("lake-ptr-evempty")
+    new java.io.File(fresh).mkdirs()
+    Lakehouse.evolveSchema(spark, fresh, StructType(Seq(
+      StructField("id", LongType), StructField("x", DoubleType),
+      StructField("y", DoubleType), StructField("lang", StringType))))
+    val e2 = intercept[IllegalArgumentException] {
+      Lakehouse.appendAt(spark, fresh, mk(0L, 10L), Seq("x", "y"),
+        gen = 0L, bits = 6, partitions = 1)
+    }
+    assert(e2.getMessage.contains("missing"), e2.getMessage)
+    Lakehouse.appendAt(spark, fresh,
+      mk(0L, 10L).withColumn("lang", lit("de")), Seq("x", "y"),
+      gen = 0L, bits = 6, partitions = 1)
+    assert(Lakehouse.scan(spark, fresh).count() == 10L)
+  }
+
   test("a Bloom manifest bounds the retraction pass: an upsert's " +
       "delete half reads only files that might hold a batch key") {
     val path = tmp("lake-ptr-bloomdel")
