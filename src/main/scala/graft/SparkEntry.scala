@@ -2500,7 +2500,12 @@ object SparkEntry {
         Seq("vec_id"), bits = 8, partitions = 2, gen = 1L)
       graft.core.Lakehouse.deleteMatching(s, root,
         junk.select("vec_id"), "vec_id")
-      val feed = graft.core.Lakehouse.changesBetween(s, root, 0L, 1L)
+      // the pulled window LANDS before consumption (the replica
+      // discipline): the feed is read once off disk instead of the
+      // changesBetween subtree re-evaluating under every index frame
+      graft.core.Lakehouse.changesBetween(s, root, 0L, 1L)
+        .write.parquet(s"$root-feed")
+      val feed = s.read.parquet(s"$root-feed")
       val maintained = Similarity.applyFeedToVectorIndex(idx0, feed)
       Similarity.ivfTopKAgainst(maintained,
           emb.filter(col("vec_id") >= 400 && col("vec_id") < 410),
@@ -2827,7 +2832,12 @@ object SparkEntry {
         Seq("doc_id"), bits = 8, partitions = 2, gen = 1L)
       graft.core.Lakehouse.deleteMatching(s, root,
         junk.select("doc_id"), "doc_id")
-      val feed = graft.core.Lakehouse.changesBetween(s, root, 0L, 1L)
+      // landed-before-consumption, like the ANN gate: the BM25 apply
+      // derives THREE frames from the feed (delete-index, keys,
+      // insert-index) — each would re-run the window scan otherwise
+      graft.core.Lakehouse.changesBetween(s, root, 0L, 1L)
+        .write.parquet(s"$root-feed")
+      val feed = s.read.parquet(s"$root-feed")
       val maintained = graft.llm.Retrieval.applyFeedToBm25Index(idx0,
         feed)
       val q = docs.filter(col("doc_id") >= 400 && col("doc_id") < 500 &&
