@@ -346,19 +346,36 @@ object Lakehouse {
 
   // ------------------------------------------------------------------
   // Version-pointer commits: once a table is COMPACTED (or its schema
-  // evolved), its live state is named by a tiny commit marker under
-  // `<path>_commit/v<NNN>.json` — the live data file names, the live
-  // tombstone file names, the epoch/floor, and the table schema, all
-  // swapped by ONE atomic rename (the Delta/Iceberg log pattern at its
-  // minimum). Files themselves never move after they land: a compact
-  // writes its fresh base ALONGSIDE the old files and flips the
-  // pointer, so a long-running scan that resolved the old file list
-  // keeps reading files that still exist — replaced files are removed
-  // by [[vacuum]] after a grace window, never at commit time. Readers
-  // resolve max-version; a half-written commit is impossible (marker
-  // files land complete, by rename). Tables never compacted have no
-  // marker and keep the plain directory-listing contract — nothing is
-  // pointered until the first operation that needs it.
+  // evolved), its live state is named by a commit LOG under
+  // `<path>_commit/` — the Delta/Iceberg log pattern, both halves:
+  //
+  //  - CHECKPOINT markers `v<NNN>.json` carry the FULL live state
+  //    (every data file name, every tombstone file name, epoch/floor,
+  //    schema). The first commit (v1) and every compact/retention
+  //    rewrite land one, plus every [[CommitCheckpointEvery]]-th
+  //    version, so the replay tail stays bounded.
+  //  - DELTA markers `v<NNN>.delta.json` carry only the ACTIONS of one
+  //    commit — added/removed data names, added/removed tombstone
+  //    names — plus the (tiny, scalar) epoch/floor/schema. A
+  //    tombstone write, append, or CDC micro-batch therefore commits
+  //    O(its own files), never O(table): at 100 TB / 10⁵ live files a
+  //    minutes-cadence consumer no longer rewrites a multi-MB file
+  //    list per mutation.
+  //
+  // Each marker is fully written to a tmp name and swapped in by ONE
+  // atomic rename. Readers resolve max-version by replaying the
+  // latest checkpoint plus its contiguous delta tail (≤
+  // [[CommitCheckpointEvery]] small reads); a missing tail marker is a
+  // LOUD raise, never a silent partial state — and [[vacuum]] only
+  // sweeps markers strictly BELOW the newest checkpoint, so the tail
+  // a reader needs is never collectible. Files themselves never move
+  // after they land: a compact writes its fresh base ALONGSIDE the
+  // old files and flips the pointer, so a long-running scan that
+  // resolved the old file list keeps reading files that still exist —
+  // replaced files are removed by [[vacuum]] after a grace window,
+  // never at commit time. Tables never compacted have no marker and
+  // keep the plain directory-listing contract — nothing is pointered
+  // until the first operation that needs it.
   // ------------------------------------------------------------------
 
   /** One committed table version: live file NAMES (relocatable, like
@@ -371,15 +388,52 @@ object Lakehouse {
 
   def commitDir(path: String): String = s"${path}_commit"
 
+  /** Checkpoint cadence: every Nth version lands as a full marker so
+    * the reader's delta-replay tail never exceeds N−1 small files.
+    * Compacts/retention rewrites checkpoint unconditionally (their
+    * "delta" would BE the full state). */
+  private[core] val CommitCheckpointEvery = 8L
+
   private def commitVersionOf(name: String): Long = {
-    val body = name.stripPrefix("v").stripSuffix(".json")
-    if (name.startsWith("v") && name.endsWith(".json") &&
-        body.nonEmpty && body.forall(_.isDigit)) body.toLong
+    val core =
+      if (name.endsWith(".delta.json")) name.stripSuffix(".delta.json")
+      else if (name.endsWith(".json")) name.stripSuffix(".json")
+      else return -1L
+    val body = core.stripPrefix("v")
+    if (core.startsWith("v") && body.nonEmpty &&
+        body.forall(_.isDigit)) body.toLong
     else -1L
   }
 
-  /** The table's current commit — max version under `<path>_commit` —
-    * or None for a never-pointered (plain-directory) table. */
+  private def isDeltaMarker(name: String): Boolean =
+    name.endsWith(".delta.json")
+
+  private def readMarkerJson(f: FileSystem, p: Path): Map[String, Any] = {
+    val in = f.open(p)
+    val body = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    MiniJson.parse(body).asInstanceOf[Map[String, Any]]
+  }
+
+  private def markerNames(m: Map[String, Any], k: String): Seq[String] =
+    MiniJson.field(m, k) match {
+      case Some(xs: List[_]) => xs.map(_.toString)
+      case _ => Seq.empty
+    }
+
+  private def markerNum(m: Map[String, Any], k: String,
+                        dflt: Long): Long =
+    MiniJson.field(m, k) match {
+      case Some(d: Double) => d.toLong
+      case _ => dflt
+    }
+
+  /** The table's current commit — the latest checkpoint marker plus
+    * its contiguous delta tail replayed in version order — or None for
+    * a never-pointered (plain-directory) table. ≤
+    * [[CommitCheckpointEvery]] small marker reads; a gap in the tail
+    * (an over-swept or corrupted log) raises loudly rather than
+    * resolving a partial state. */
   def readCommit(spark: SparkSession, path: String): Option[TableCommit] = {
     val f = fs(spark, path)
     val dir = new Path(commitDir(path))
@@ -388,49 +442,113 @@ object Lakehouse {
       .filter(s => s.isFile && commitVersionOf(s.getPath.getName) >= 0)
       .map(_.getPath)
     if (markers.isEmpty) return None
-    val latest = markers.maxBy(p => commitVersionOf(p.getName))
-    val in = f.open(latest)
-    val body = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    val m = MiniJson.parse(body)
-    def names(k: String): Seq[String] = MiniJson.field(m, k) match {
-      case Some(xs: List[_]) => xs.map(_.toString)
-      case _ => Seq.empty
+    val byVersion = markers.map(p => commitVersionOf(p.getName) -> p)
+      .sortBy(_._1)
+    val (latestV, _) = byVersion.last
+    val checkpoints = byVersion.filterNot(x => isDeltaMarker(x._2.getName))
+    require(checkpoints.nonEmpty,
+      s"readCommit: ${dir} holds only delta markers — the checkpoint " +
+        "they replay over is gone (over-vacuumed or corrupted log)")
+    val (baseV, basePath) = checkpoints.last
+    val base = readMarkerJson(f, basePath)
+    var data = markerNames(base, "data").toSet
+    var dels = markerNames(base, "deletes").toSet
+    var latest = base
+    val tail = byVersion.filter(x => x._1 > baseV).toMap
+    var v = baseV + 1
+    while (v <= latestV) {
+      val p = tail.getOrElse(v, throw new IllegalStateException(
+        s"readCommit: delta tail gap — version $v missing between " +
+          s"checkpoint $baseV and head $latestV under $dir"))
+      val m = readMarkerJson(f, p)
+      data = data -- markerNames(m, "removeData") ++
+        markerNames(m, "addData")
+      dels = dels -- markerNames(m, "removeDeletes") ++
+        markerNames(m, "addDeletes")
+      latest = m
+      v += 1
     }
-    def num(k: String, dflt: Long): Long = MiniJson.field(m, k) match {
-      case Some(d: Double) => d.toLong
-      case _ => dflt
-    }
-    Some(TableCommit(commitVersionOf(latest.getName), names("data"),
-      names("deletes"), num("epoch", 0L), num("floor", -1L),
-      MiniJson.field(m, "schema").collect { case s: String => s }))
+    Some(TableCommit(latestV, data.toSeq.sorted, dels.toSeq.sorted,
+      markerNum(latest, "epoch", 0L), markerNum(latest, "floor", -1L),
+      MiniJson.field(latest, "schema").collect { case s: String => s }))
   }
 
-  /** Land commit `version` atomically: the marker is fully written to
-    * a tmp name and RENAMED in — readers can never observe a partial
+  /** Stage-and-rename a marker body in atomically: fully written to a
+    * tmp name and RENAMED — readers can never observe a partial
     * commit, and the rename fails loudly if the version already exists
-    * (the single-writer lock makes that a bug, not a race to resolve).
-    * Callers hold the table lock. */
+    * (the single-writer lock makes that a bug, not a race to resolve). */
+  private def markerRenameIn(f: FileSystem, dir: Path, version: Long,
+                             suffix: String, body: String): Unit = {
+    f.mkdirs(dir)
+    val tmp = new Path(dir, f"tmp-v$version%020d$suffix")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new Path(dir, f"v$version%020d$suffix")
+    require(f.rename(tmp, dst),
+      s"commit: rename $tmp -> $dst failed — version $version " +
+        "already exists? Commits are single-writer under the table lock")
+  }
+
+  /** Land a CHECKPOINT marker for `version`: the FULL live state.
+    * Compacts and retention rewrites call this directly (their data
+    * set changes wholesale); incremental mutators go through
+    * [[commitAdvance]], which lands O(actions) delta markers and only
+    * checkpoints on cadence. Callers hold the table lock. */
   private[core] def commitWrite(spark: SparkSession, path: String,
                                 version: Long, data: Seq[String],
                                 deletes: Seq[String], epoch: Long,
                                 floor: Long,
                                 schemaJson: Option[String]): Unit = {
-    val f = fs(spark, path)
-    val dir = new Path(commitDir(path))
-    f.mkdirs(dir)
     val body = MiniJson.write(Map(
       "version" -> version, "data" -> data.sorted,
       "deletes" -> deletes.sorted, "epoch" -> epoch, "floor" -> floor,
       "schema" -> schemaJson.orNull))
-    val tmp = new Path(dir, f"tmp-v$version%020d.json")
-    val out = f.create(tmp, true)
-    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val dst = new Path(dir, f"v$version%020d.json")
-    require(f.rename(tmp, dst),
-      s"commitWrite: rename $tmp -> $dst failed — version $version " +
-        "already exists? Commits are single-writer under the table lock")
+    markerRenameIn(fs(spark, path), new Path(commitDir(path)), version,
+      ".json", body)
+  }
+
+  /** Advance a pointered table by ONE commit, landing a marker sized
+    * by the commit's ACTIONS, not the table: added/removed data names,
+    * added/removed tombstone names, plus the scalar epoch/floor/schema
+    * (every marker carries those in full, so the reader never chases
+    * scalars through the tail). Writes a delta marker unless the
+    * version hits the [[CommitCheckpointEvery]] cadence — then a full
+    * checkpoint (the writer holds the resolved state in hand, so a
+    * checkpoint costs no extra pass). Returns the resolved new commit
+    * for callers that keep mutating. Lock-holding callers only. */
+  private[core] def commitAdvance(spark: SparkSession, path: String,
+                                  prior: TableCommit,
+                                  addData: Seq[String] = Seq.empty,
+                                  removeData: Seq[String] = Seq.empty,
+                                  addDeletes: Seq[String] = Seq.empty,
+                                  removeDeletes: Seq[String] = Seq.empty,
+                                  epoch: Long = -1L, floor: Long = -2L,
+                                  schemaJson: Option[String] = None)
+      : TableCommit = {
+    val version = prior.version + 1
+    val newEpoch = if (epoch >= 0L) epoch else prior.epoch
+    val newFloor = if (floor >= -1L) floor else prior.floor
+    val newSchema = schemaJson.orElse(prior.schemaJson)
+    val data = ((prior.data.toSet -- removeData) ++ addData).toSeq.sorted
+    val dels =
+      ((prior.deletes.toSet -- removeDeletes) ++ addDeletes).toSeq.sorted
+    if (version % CommitCheckpointEvery == 0L)
+      commitWrite(spark, path, version, data, dels, newEpoch, newFloor,
+        newSchema)
+    else {
+      val body = MiniJson.write(Map(
+        "version" -> version,
+        "addData" -> addData.sorted,
+        "removeData" -> removeData.sorted,
+        "addDeletes" -> addDeletes.sorted,
+        "removeDeletes" -> removeDeletes.sorted,
+        "epoch" -> newEpoch, "floor" -> newFloor,
+        "schema" -> newSchema.orNull))
+      markerRenameIn(fs(spark, path), new Path(commitDir(path)), version,
+        ".delta.json", body)
+    }
+    TableCommit(version, data, dels, newEpoch, newFloor, newSchema)
   }
 
   /** Pointerize a legacy table: snapshot its directory-listing state
@@ -808,10 +926,10 @@ object Lakehouse {
         dst.getName
       }
       f.delete(new Path(staging), true)
-      // a pointered table's live tombstone set advances by commit
+      // a pointered table's live tombstone set advances by commit —
+      // an O(landed-files) delta marker, not a full-state rewrite
       readCommit(spark, path).foreach { c =>
-        commitWrite(spark, path, c.version + 1, c.data,
-          c.deletes ++ landed, c.epoch, c.floor, c.schemaJson)
+        commitAdvance(spark, path, c, addDeletes = landed.toSeq)
       }
     }
     f.delete(new Path(raw), true)
@@ -1016,8 +1134,7 @@ object Lakehouse {
         val evolved = org.apache.spark.sql.types.StructType(
           resident.fields ++ added)
         val c = readCommit(spark, path).get
-        commitWrite(spark, path, c.version + 1, c.data, c.deletes,
-          c.epoch, c.floor, Some(evolved.json))
+        commitAdvance(spark, path, c, schemaJson = Some(evolved.json))
       }
     }
 
@@ -1393,21 +1510,21 @@ object Lakehouse {
       requireAboveFloor(spark, path, gen, "rollback")
       val f = fs(spark, path)
       // the epoch bump and the live-set shrink ride ONE commit on a
-      // pointered table; legacy tables keep the marker + physical form.
-      // Rolled-back files are deleted IMMEDIATELY either way (no grace
-      // window): their generation ids are reused by the very next
-      // append under the same deterministic names, so leaving them for
-      // vacuum would collide with the re-append's rename-in
+      // pointered table — and the rolled-back files STAY on disk for
+      // [[vacuum]]'s grace window (a scan that resolved the
+      // pre-rollback commit finishes unharmed): a pointered re-append
+      // of the same generation lands under commit-version-salted
+      // names ([[Layout.appendGeneration]]), so the dead files never
+      // collide with the replacement's rename-in. Legacy tables keep
+      // the immediate-delete form — their generation names ARE
+      // deterministic, so leaving dead files would collide
       readCommit(spark, path) match {
         case Some(c) =>
-          commitWrite(spark, path, c.version + 1,
-            c.data.filter(n => genOf(n) <= gen),
-            c.deletes.filter(n => delGenOf(n) <= gen),
-            c.epoch + 1, c.floor, c.schemaJson)
-          c.data.filter(n => genOf(n) > gen)
-            .foreach(n => f.delete(new Path(path, n), false))
-          c.deletes.filter(n => delGenOf(n) > gen)
-            .foreach(n => f.delete(new Path(deletesDir(path), n), false))
+          commitAdvance(spark, path, c,
+            removeData = c.data.filter(n => genOf(n) > gen),
+            removeDeletes = c.deletes.filter(n => delGenOf(n) > gen),
+            epoch = c.epoch + 1)
+          ()
         case None =>
           val (epoch, floor) = epochAndFloor(spark, path)
           writeEpochFloor(spark, path, epoch + 1, floor)
@@ -1555,16 +1672,24 @@ object Lakehouse {
           if (c.deletes.isEmpty && f.exists(dPath) &&
               f.listStatus(dPath).isEmpty)
             f.delete(dPath, true)
+          // markers at or above the newest CHECKPOINT are the
+          // readable log (checkpoint + replay tail) — only the
+          // consumed tail strictly below it is sweepable
           val cDir = new Path(commitDir(path))
           val oldCommits =
             if (!f.exists(cDir)) Seq.empty
-            else f.listStatus(cDir).toSeq
-              .filter { s =>
-                val v = commitVersionOf(s.getPath.getName)
-                s.isFile && v >= 0 && v < c.version &&
+            else {
+              val all = f.listStatus(cDir).toSeq.filter(s =>
+                s.isFile && commitVersionOf(s.getPath.getName) >= 0)
+              val ckpt = all
+                .filterNot(s => isDeltaMarker(s.getPath.getName))
+                .map(s => commitVersionOf(s.getPath.getName))
+                .foldLeft(-1L)(math.max)
+              all.filter { s =>
+                commitVersionOf(s.getPath.getName) < ckpt &&
                   s.getModificationTime <= cutoff
-              }
-              .map { s => f.delete(s.getPath, false); s.getPath.toString }
+              }.map { s => f.delete(s.getPath, false); s.getPath.toString }
+            }
           deadData ++ deadDels ++ oldCommits
       }
     }

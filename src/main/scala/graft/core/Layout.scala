@@ -387,9 +387,9 @@ object Layout {
     // directory are invisible to readers until this lands
     cur.foreach { c =>
       val freshNames = fresh.map(p => p.substring(p.lastIndexOf('/') + 1))
-      Lakehouse.commitWrite(spark, path, c.version + 1,
-        c.data ++ freshNames, c.deletes, c.epoch, c.floor,
-        c.schemaJson.orElse(Some(batch.schema.json)))
+      Lakehouse.commitAdvance(spark, path, c, addData = freshNames,
+        schemaJson = c.schemaJson.orElse(Some(batch.schema.json)))
+      ()
     }
     if (fresh.nonEmpty) {
       statsManifest(spark.read.parquet(fresh: _*), cols)
@@ -457,37 +457,57 @@ object Layout {
     val staging = s"${path}_incoming/gen$gen"
     zorder(batch, cols, bits, partitions)
       .write.mode("overwrite").parquet(staging)
-    if (fs.exists(root))
-      fs.listStatus(root)
-        .filter(_.getPath.getName.startsWith(s"gen$gen-"))
-        .foreach(s => fs.delete(s.getPath, false))
-    else fs.mkdirs(root)
+    // legacy (directory-listed) tables: a replay physically replaces
+    // its own prior attempt under the SAME deterministic names, so
+    // the prior files delete first. Pointered tables NEVER delete
+    // here — the replacement lands under commit-version-SALTED names
+    // (`gen<g>-v<version>-part<k>`), the commit drops the prior
+    // attempt's entries from the live set, and the dead files ride
+    // [[graft.core.Lakehouse.vacuum]]'s grace window — a reader that
+    // resolved the pre-replay commit keeps reading files that exist
+    if (fs.exists(root)) {
+      if (cur.isEmpty)
+        fs.listStatus(root)
+          .filter(_.getPath.getName.startsWith(s"gen$gen-"))
+          .foreach(s => fs.delete(s.getPath, false))
+    } else fs.mkdirs(root)
+    val salt = cur.map(c => s"v${c.version + 1}-").getOrElse("")
     val staged = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
         s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath).sortBy(_.getName)
     val mine = staged.zipWithIndex.map { case (p, k) =>
       val dst = new org.apache.hadoop.fs.Path(root,
-        f"gen$gen-part$k%05d.parquet")
+        f"gen$gen-${salt}part$k%05d.parquet")
+      // a CRASHED same-version attempt's orphan (its commit never
+      // landed, so the name is provably not in any readable live set)
+      if (fs.exists(dst)) fs.delete(dst, false)
       require(fs.rename(p, dst), s"appendGeneration: $p -> $dst failed")
       dst.getName
     }
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     // pointered: the generation replaces exactly its own names in the
-    // live set (the replay case drops the prior attempt's entries)
+    // live set (the replay case drops the prior attempt's entries) —
+    // an O(generation) delta marker, not a full-state rewrite
     cur.foreach { c =>
-      Lakehouse.commitWrite(spark, path, c.version + 1,
-        c.data.filterNot(_.startsWith(s"gen$gen-")) ++ mine,
-        c.deletes, c.epoch, c.floor,
-        c.schemaJson.orElse(Some(batch.schema.json)))
+      Lakehouse.commitAdvance(spark, path, c,
+        addData = mine.toSeq,
+        removeData = c.data.filter(_.startsWith(s"gen$gen-")),
+        schemaJson = c.schemaJson.orElse(Some(batch.schema.json)))
+      ()
     }
     val mDir = new org.apache.hadoop.fs.Path(s"${path}_manifest")
     fs.mkdirs(mDir)
     val mFile = new org.apache.hadoop.fs.Path(mDir, s"gen$gen.parquet")
     if (fs.exists(mFile)) fs.delete(mFile, false)
-    val genFiles = fs.listStatus(root)
-      .filter(_.getPath.getName.startsWith(s"gen$gen-"))
-      .map(_.getPath.toString)
+    // the slice covers THIS attempt's files, not a raw-dir glob — a
+    // pointered replay's dead prior attempt may still sit alongside
+    val genFiles: Array[String] =
+      if (cur.isDefined)
+        mine.map(n => new org.apache.hadoop.fs.Path(root, n).toString)
+      else fs.listStatus(root)
+        .filter(_.getPath.getName.startsWith(s"gen$gen-"))
+        .map(_.getPath.toString)
     if (genFiles.nonEmpty) {
       val tmp = s"${path}_incoming/manifest$gen"
       statsManifest(spark.read.parquet(genFiles: _*), cols)

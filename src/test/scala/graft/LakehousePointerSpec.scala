@@ -399,4 +399,125 @@ class LakehousePointerSpec extends SparkSpec {
       .filter(col("x") >= 1000.0).count() == 20L)
     assert(Lakehouse.readCommit(spark, path).get.floor == 0L)
   }
+
+  test("the commit log is a DELTA log: incremental mutations land " +
+      "O(actions) markers whose bytes do not grow with the table, " +
+      "and a full checkpoint lands on cadence") {
+    val path = tmp("lake-ptr-deltalog")
+    Layout.zorder(mk(0L, 200L), Seq("x", "y"), bits = 6, partitions = 2)
+      .write.parquet(path)
+    Lakehouse.compact(spark, path, Seq("x", "y"), bits = 6,
+      partitions = 2) // pointerizes: v1 (migrate) + v2 (compact), full
+    val cDir = new java.io.File(Lakehouse.commitDir(path))
+    def markers = cDir.listFiles().filter(_.getName.startsWith("v"))
+      .sortBy(_.getName).toSeq
+    // 12 single-file appends: versions 3..14 — deltas except v8
+    (0 until 12).foreach { k =>
+      Lakehouse.appendAt(spark, path, mk(200L + k * 10, 210L + k * 10),
+        Seq("x", "y"), gen = k.toLong, bits = 6, partitions = 1)
+    }
+    val deltas = markers.filter(_.getName.endsWith(".delta.json"))
+    val fulls = markers.filterNot(_.getName.endsWith(".delta.json"))
+    assert(fulls.map(_.getName).exists(_.contains("00000000000000000008")),
+      "version 8 must checkpoint (every-8 cadence): " +
+        fulls.map(_.getName).mkString(","))
+    assert(deltas.size == 11 && fulls.size == 3,
+      markers.map(_.getName).mkString(","))
+    // the load-bearing scale property: a delta marker's size is the
+    // COMMIT's, not the table's — the 11th append's marker is no
+    // bigger than the 1st's (±digits), while the live set grew 12 files
+    val sizes = deltas.map(_.length())
+    assert(sizes.max - sizes.min <= 64L,
+      s"delta markers must not grow with the table: ${sizes.mkString(",")}")
+    // the checkpoints DO grow with the live set (full state is their
+    // job); the deltas tracking the same mutations stay flat — the
+    // constant schema JSON both carry is the only shared bulk
+    val fullSizes = fulls.sortBy(_.getName).map(_.length())
+    assert(fullSizes.last > fullSizes.head + 64L,
+      s"checkpoints carry the growing full state: ${fullSizes.mkString(",")}")
+    assert(sizes.max < fullSizes.last,
+      "a delta must be smaller than the state it avoids rewriting")
+    val c = Lakehouse.readCommit(spark, path).get
+    assert(c.version == 14L && c.data.size == 14)
+    assert(Lakehouse.scan(spark, path).count() == 320L)
+    // tombstone writes ride deltas too
+    Lakehouse.deleteWhere(spark, path, col("id") < 10L)
+    val c2 = Lakehouse.readCommit(spark, path).get
+    assert(c2.version == 15L && c2.deletes.size == 1 &&
+      c2.data == c.data)
+    assert(Lakehouse.scan(spark, path).count() == 310L)
+  }
+
+  test("vacuum sweeps only the CONSUMED tail below the newest " +
+      "checkpoint — the readable log survives, and a manufactured " +
+      "gap raises loudly instead of resolving a partial state") {
+    val path = tmp("lake-ptr-logsweep")
+    Layout.zorder(mk(0L, 100L), Seq("x", "y"), bits = 6, partitions = 1)
+      .write.parquet(path)
+    Lakehouse.compact(spark, path, Seq("x", "y"), bits = 6,
+      partitions = 1) // v1+v2 full
+    (0 until 9).foreach { k => // v3..v11: deltas except v8
+      Lakehouse.appendAt(spark, path, mk(100L + k * 10, 110L + k * 10),
+        Seq("x", "y"), gen = k.toLong, bits = 6, partitions = 1)
+    }
+    Lakehouse.vacuum(spark, path, graceMs = 0L)
+    val cDir = new java.io.File(Lakehouse.commitDir(path))
+    val left = cDir.listFiles().filter(_.getName.startsWith("v"))
+      .map(_.getName).sorted.toSeq
+    // v1..v7 swept; the checkpoint v8 and its tail v9..v11 MUST stay
+    assert(left.head.contains("00000000000000000008") &&
+      !left.head.endsWith(".delta.json"), left.mkString(","))
+    assert(left.size == 4, left.mkString(","))
+    assert(Lakehouse.readCommit(spark, path).get.version == 11L)
+    assert(Lakehouse.scan(spark, path).count() == 190L)
+    // a gap in the tail (an over-swept or corrupted log) is LOUD
+    assert(new java.io.File(cDir,
+      "v00000000000000000010.delta.json").delete())
+    val gap = intercept[IllegalStateException] {
+      Lakehouse.readCommit(spark, path)
+    }
+    assert(gap.getMessage.contains("delta tail gap"))
+    // and a log whose checkpoint is gone raises too — deltas alone
+    // have nothing to replay over
+    assert(new java.io.File(cDir, "v00000000000000000008.json").delete())
+    val noBase = intercept[IllegalArgumentException] {
+      Lakehouse.readCommit(spark, path)
+    }
+    assert(noBase.getMessage.contains("only delta markers"))
+  }
+
+  test("an in-flight scan SURVIVES a concurrent rollback: rolled-back " +
+      "files wait for vacuum, and a re-append of the same generation " +
+      "lands under version-salted names with no collision") {
+    val path = tmp("lake-ptr-rollback")
+    Layout.zorder(mk(0L, 1000L), Seq("x", "y"), bits = 6, partitions = 2)
+      .write.parquet(path)
+    Lakehouse.compact(spark, path, Seq("x", "y"), bits = 6,
+      partitions = 2)
+    Seq(0L, 1L, 2L).foreach { g =>
+      Lakehouse.appendAt(spark, path,
+        mk(1000L + g * 100, 1100L + g * 100), Seq("x", "y"), gen = g,
+        bits = 6, partitions = 1)
+    }
+    assert(new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("gen")).forall(_.matches("gen\\d+-v\\d+-part\\d+\\.parquet")),
+      "pointered generations land under commit-version-salted names")
+    val inflight = Lakehouse.scan(spark, path) // resolves gens 0..2
+    Lakehouse.rollback(spark, path, gen = 1L)
+    // the pre-rollback plan completes: its files were de-committed,
+    // not destroyed (the immediate-delete form killed this reader)
+    assert(inflight.count() == 1300L)
+    assert(Lakehouse.scan(spark, path).count() == 1200L)
+    // same-generation re-append: the salt (a NEW commit version)
+    // keeps it clear of the dead attempt still on disk
+    Lakehouse.appendAt(spark, path, mk(5000L, 5050L), Seq("x", "y"),
+      gen = 2L, bits = 6, partitions = 1)
+    assert(Lakehouse.scan(spark, path).count() == 1250L)
+    assert(Lakehouse.scan(spark, path)
+      .filter(col("id") >= 5000L).count() == 50L)
+    // the rolled-back attempt's files age into the grace sweep
+    val swept = Lakehouse.vacuum(spark, path, graceMs = 0L)
+    assert(swept.exists(_.contains("gen2-")), swept.mkString(","))
+    assert(Lakehouse.scan(spark, path).count() == 1250L)
+  }
 }
