@@ -2513,6 +2513,51 @@ object SparkEntry {
         .withColumnRenamed("rank", "rk")
     }),
 
+    "ann_feed_tracked" -> ((s, dir) => {
+      // the CHECKPOINTED dense consumer: a TRACKED VectorIndex
+      // bootstrapped at the gen-0 watermark consumes (0,1] and (1,2]
+      // through FeedConsumer (atomic marker+state flips, landed
+      // feeds), with a trailing replayed call that must no-op. Twin
+      // shared VERBATIM with ann_ivf_incremental / ann_feed_maintain:
+      // multi-window tracked consumption ≡ the one-shot index of the
+      // live corpus, serve-for-serve
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-anntrk").toString
+      val root = s"$tmp/emb"
+      val junk = emb.filter(col("vec_id") < 50)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      graft.core.Layout.appendGeneration(s, root,
+        emb.filter(col("vec_id") < 300 || col("vec_id") >= 410)
+          .unionByName(junk),
+        Seq("vec_id"), bits = 8, partitions = 4, gen = 0L)
+      graft.llm.FeedConsumer.initTrackedVectorIndex(s, s"$tmp/index",
+        Similarity.buildVectorIndex(
+          graft.core.Lakehouse.scanAsOf(s, root, 0L),
+          trainOn = emb.filter(col("vec_id") < 200)),
+        root, asOfGen = 0L)
+      graft.core.Layout.appendGeneration(s, root,
+        emb.filter(col("vec_id") >= 300 && col("vec_id") < 350),
+        Seq("vec_id"), bits = 8, partitions = 2, gen = 1L)
+      graft.llm.FeedConsumer.applyFeedToVectorIndexTracked(s,
+        s"$tmp/index", root, toGen = 1L)
+      graft.core.Layout.appendGeneration(s, root,
+        emb.filter(col("vec_id") >= 350 && col("vec_id") < 400),
+        Seq("vec_id"), bits = 8, partitions = 2, gen = 2L)
+      graft.core.Lakehouse.deleteMatching(s, root,
+        junk.select("vec_id"), "vec_id")
+      graft.llm.FeedConsumer.applyFeedToVectorIndexTracked(s,
+        s"$tmp/index", root, toGen = 2L)
+      val (maintained, off) = graft.llm.FeedConsumer
+        .applyFeedToVectorIndexTracked(s, s"$tmp/index", root, toGen = 2L)
+      require(off.gen == 2L && off.version == 3L,
+        s"tracked replay must no-op at the watermark, got $off")
+      Similarity.ivfTopKAgainst(maintained,
+          emb.filter(col("vec_id") >= 400 && col("vec_id") < 410),
+          k = 10, nprobe = 4)
+        .withColumnRenamed("rank", "rk")
+    }),
+
     "ann_ivf_stream" -> ((s, dir) => {
       // the STREAMING index-ingestion path under the same gate: the
       // extend slice arrives as an AvailableNow stream, is encoded
@@ -2840,6 +2885,58 @@ object SparkEntry {
       val feed = s.read.parquet(s"$root-feed")
       val maintained = graft.llm.Retrieval.applyFeedToBm25Index(idx0,
         feed)
+      val q = docs.filter(col("doc_id") >= 400 && col("doc_id") < 500 &&
+          col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(TA.normalizeText(col("text")), " "),
+            1, 6), " ").as("query_text"))
+      graft.llm.Retrieval.bm25TopKAgainst(maintained, q, k = 5)
+    }),
+
+    "text_bm25_feed_tracked" -> ((s, dir) => {
+      // the CHECKPOINTED consumer over the same mutating corpus:
+      // bootstrap a TRACKED index at the gen-0 watermark, then let
+      // FeedConsumer pull TWO successive windows itself — (0,1] and
+      // (1,2] with the junk takedown stamping gen 2 — each applied
+      // exactly-once (landed feed, atomic marker+state flip), plus a
+      // replayed call that must no-op. Twin shared VERBATIM with
+      // text_bm25_incremental / text_bm25_feed_maintain: multi-window
+      // tracked consumption ≡ the one-shot apply ≡ the from-scratch
+      // index of the live corpus, score-for-score
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-bm25trk").toString
+      val root = s"$tmp/docs"
+      val junk = docs.filter(col("doc_id") % 500 < 50)
+        .withColumn("doc_id", col("doc_id") + 1000000000L)
+      graft.core.Layout.appendGeneration(s, root,
+        docs.filter(col("doc_id") % 500 < 300).unionByName(junk),
+        Seq("doc_id"), bits = 8, partitions = 4, gen = 0L)
+      graft.llm.FeedConsumer.initTrackedBm25Index(s, s"$tmp/index",
+        graft.llm.Retrieval.bm25Index(
+          graft.core.Lakehouse.scanAsOf(s, root, 0L)),
+        root, asOfGen = 0L)
+      graft.core.Layout.appendGeneration(s, root,
+        docs.filter(col("doc_id") % 500 >= 300 &&
+          col("doc_id") % 500 < 350),
+        Seq("doc_id"), bits = 8, partitions = 2, gen = 1L)
+      // the source is quiesced between builds, so each pull may name
+      // the open generation explicitly (default stops at closed gens)
+      graft.llm.FeedConsumer.applyFeedToBm25IndexTracked(s,
+        s"$tmp/index", root, toGen = 1L)
+      graft.core.Layout.appendGeneration(s, root,
+        docs.filter(col("doc_id") % 500 >= 350 &&
+          col("doc_id") % 500 < 400),
+        Seq("doc_id"), bits = 8, partitions = 2, gen = 2L)
+      graft.core.Lakehouse.deleteMatching(s, root,
+        junk.select("doc_id"), "doc_id")
+      graft.llm.FeedConsumer.applyFeedToBm25IndexTracked(s,
+        s"$tmp/index", root, toGen = 2L)
+      // the replay: no new generations — MUST no-op, not re-subtract
+      val (maintained, off) = graft.llm.FeedConsumer
+        .applyFeedToBm25IndexTracked(s, s"$tmp/index", root, toGen = 2L)
+      require(off.gen == 2L && off.version == 3L,
+        s"tracked replay must no-op at the watermark, got $off")
       val q = docs.filter(col("doc_id") >= 400 && col("doc_id") < 500 &&
           col("doc_id") % 5 === 0)
         .select(col("doc_id").as("query_id"),
@@ -5015,6 +5112,7 @@ object SparkEntry {
     // feed-maintained VectorIndex serves identically to the one-shot
     // index of the live corpus — twin shared VERBATIM
     "ann_feed_maintain" -> AnnIvfIncrementalOracle,
+    "ann_feed_tracked" -> AnnIvfIncrementalOracle,
 
     // assignment fragment is ann_ivf_topk's twin verbatim; cohesion
     // rides an exact BIGINT sum of 1e-6-quantized sims (float sums
@@ -6760,6 +6858,7 @@ object SparkEntry {
 
     // feed-maintained BM25 serves bit-identically to the rebuild
     "text_bm25_feed_maintain" -> Bm25IncrementalOracle,
+    "text_bm25_feed_tracked" -> Bm25IncrementalOracle,
 
     // the per-line twin: same langid CASE applied per non-blank line,
     // bounded per-doc argmax + total

@@ -299,17 +299,25 @@ object Retrieval {
       queryIdCol, queryTextCol)
     val rebuilt = bm25TopKAgainst(bm25Index(docs, idCol, textCol),
       queries, k, k1, b, queryIdCol, queryTextCol)
-    val ns = served.groupBy("query_id").agg(count(lit(1)).as("n_served"))
-    val nr = rebuilt.groupBy("query_id").agg(count(lit(1)).as("n_rebuilt"))
-    val na = served.join(rebuilt,
-        Seq("query_id", "doc_id", "rank", "score"))
-      .groupBy("query_id").agg(count(lit(1)).as("n_agree"))
-    ns.join(nr, Seq("query_id"), "full")
-      .join(na, Seq("query_id"), "left")
-      .select(col("query_id"),
-        coalesce(col("n_served"), lit(0L)).as("n_served"),
-        coalesce(col("n_rebuilt"), lit(0L)).as("n_rebuilt"),
-        coalesce(col("n_agree"), lit(0L)).as("n_agree"))
+    // ONE full-outer join + ONE aggregation, each serve subtree
+    // referenced exactly once: (query_id, rank) is unique per side
+    // (a row_number), so matching on the full tuple is 1:1 and the
+    // per-query counts fall out of a single pass. The earlier
+    // three-frame shape (two per-side counts + an agreement join)
+    // referenced each UNPERSISTED serve twice — whether the run paid
+    // 2 serves + 2 rebuilds or 1 + 1 depended on AQE happening to
+    // reuse the duplicated exchanges, the measured whole-run 6×
+    // bimodality on this audit (r17 finding #1)
+    val s1 = served.select(col("query_id"), col("doc_id"), col("rank"),
+      col("score"), lit(1L).as("__served"))
+    val r1 = rebuilt.select(col("query_id"), col("doc_id"), col("rank"),
+      col("score"), lit(1L).as("__rebuilt"))
+    s1.join(r1, Seq("query_id", "doc_id", "rank", "score"), "full")
+      .groupBy("query_id").agg(
+        sum(coalesce(col("__served"), lit(0L))).as("n_served"),
+        sum(coalesce(col("__rebuilt"), lit(0L))).as("n_rebuilt"),
+        sum(when(col("__served").isNotNull &&
+          col("__rebuilt").isNotNull, 1L).otherwise(0L)).as("n_agree"))
       .withColumn("certified",
         col("n_served") === col("n_agree") &&
           col("n_rebuilt") === col("n_agree"))
@@ -381,25 +389,39 @@ object Retrieval {
                         queryTextCol: String = "query_text"): Bm25Maintenance = {
     val merged = mergeBm25Indexes(Seq(index,
       bm25Index(batch, idCol, textCol)))
-    // persisted: the gate's collect executes the full audit plan (two
-    // serves + the agreement joins — it pays a rebuild by design), and
-    // the caller consumes the SAME frame; without the persist the
-    // audit runs twice per cycle. |queries| rows: bounded, deliberate.
-    val cert = certifyBm25Index(merged, docs, queries, k, k1, b,
-      idCol, textCol, queryIdCol, queryTextCol).persist()
+    // materialized ONCE, driver-side (|queries| rows — bounded,
+    // deliberate): the gate below and the caller consume the same
+    // already-executed audit instead of re-running it. NOT persist():
+    // a leaked cache entry outlives the cycle and the CacheManager
+    // substitutes it into ANY later plan that canonicalizes equal —
+    // the r17 bench bimodality was exactly that (a retried suite's
+    // second attempt served certify from the first attempt's leaked
+    // cert cache, reporting a 6× phantom speedup on the audit).
+    val cert = materializeBounded(certifyBm25Index(merged, docs,
+      queries, k, k1, b, idCol, textCol, queryIdCol, queryTextCol))
     val allGreen = cert.agg(
       coalesce(min(col("certified")), lit(true)).as("ok"))
       .head().getBoolean(0)
     if (allGreen) Bm25Maintenance(merged, cert, rebuilt = false)
     else {
-      cert.unpersist()
       val regenerated = bm25Index(docs, idCol, textCol)
       Bm25Maintenance(regenerated,
-        certifyBm25Index(regenerated, docs, queries, k, k1, b,
-          idCol, textCol, queryIdCol, queryTextCol).persist(),
+        materializeBounded(certifyBm25Index(regenerated, docs, queries,
+          k, k1, b, idCol, textCol, queryIdCol, queryTextCol)),
         rebuilt = true)
     }
   }
+
+  /** Execute a BOUNDED audit frame once and hand it back as a local
+    * relation: the caller can consume it repeatedly without
+    * re-execution, and — unlike `persist()` — nothing enters the
+    * CacheManager, so no later query whose plan canonicalizes equal
+    * can silently serve from a leaked cache entry. Only for frames
+    * bounded by construction (certificates: one row per sampled
+    * query). */
+  private[llm] def materializeBounded(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
 
   /** Consume a [[graft.core.Lakehouse.changesBetween]] feed into a
     * [[Bm25Index]] — the sparse sibling of

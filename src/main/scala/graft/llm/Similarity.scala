@@ -1267,6 +1267,32 @@ object Similarity {
         encodeIntoIndex(batch, centArr, books, idCol, vecCol)))
   }
 
+  /** Materialize a [[VectorIndex]] to parquet — the serving-side
+    * lifecycle [[graft.llm.Retrieval.compactBm25Index]] gives the
+    * sparse family: three frames under one root, `vectors`
+    * repartitioned by coarse cell so each inverted list lands
+    * contiguously (the probe join's access pattern). Returns the
+    * reloaded (flat-lineage) index. At 100 TB the vectors write is
+    * the one data-sized job; centroids/codebooks are geometry-sized
+    * (KBs). */
+  def saveVectorIndex(index: VectorIndex, path: String): VectorIndex = {
+    val base = path.stripSuffix("/")
+    index.centroids.write.mode("overwrite").parquet(s"$base/centroids")
+    index.codebooks.write.mode("overwrite").parquet(s"$base/codebooks")
+    index.vectors.repartition(col("cell"))
+      .write.mode("overwrite").parquet(s"$base/vectors")
+    loadVectorIndex(index.vectors.sparkSession, base)
+  }
+
+  /** Reload a [[saveVectorIndex]]-materialized index from parquet. */
+  def loadVectorIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): VectorIndex = {
+    val base = path.stripSuffix("/")
+    VectorIndex(spark.read.parquet(s"$base/centroids"),
+      spark.read.parquet(s"$base/codebooks"),
+      spark.read.parquet(s"$base/vectors"))
+  }
+
   /** Consume a [[graft.core.Lakehouse.changesBetween]] feed into a
     * [[VectorIndex]] — FEED-DRIVEN index maintenance: the index tracks
     * a mutating lakehouse corpus by applying window deltas instead of
@@ -1513,13 +1539,14 @@ object Similarity {
     val spark = index.vectors.sparkSession
     import spark.implicits._
     val extended = extendVectorIndex(index, batch, idCol, vecCol)
-    // persisted: the gate's collect below executes the full certify
-    // plan (serve + truth + metrics), and the caller consumes the
-    // SAME frame — without the persist the audit runs twice per
-    // cycle. |sample| rows: bounded, deliberate, never unpersisted
-    // (re-certification builds a new frame each cycle).
-    val cert = certifyVectorIndex(extended, k, nprobe, sampleN, strategy,
-      rerank).persist()
+    // materialized once driver-side (|sample| rows — bounded): the
+    // gate below and the caller consume the same executed audit. NOT
+    // persist() — a leaked cache entry would substitute into any
+    // later canonically-equal plan (the r17 bench bimodality; see
+    // [[graft.llm.Retrieval.materializeBounded]]).
+    val cert = Retrieval.materializeBounded(
+      certifyVectorIndex(extended, k, nprobe, sampleN, strategy,
+        rerank))
     val extRecall = avgRecall(cert)
     if (extRecall >= minRecall)
       VectorMaintenance(extended, cert, rebuilt = false, extRecall,
@@ -1534,9 +1561,9 @@ object Similarity {
       val codebookSize = books.length / m
       val regenerated = buildVectorIndex(corpus, nlist, m, codebookSize,
         iters, trainIters, idCol, vecCol, trainOn)
-      val recert = certifyVectorIndex(regenerated, k, nprobe, sampleN,
-        strategy, rerank).persist()
-      cert.unpersist()
+      val recert = Retrieval.materializeBounded(
+        certifyVectorIndex(regenerated, k, nprobe, sampleN, strategy,
+          rerank))
       VectorMaintenance(regenerated, recert, rebuilt = true, extRecall,
         avgRecall(recert))
     }
