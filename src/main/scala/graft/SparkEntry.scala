@@ -1840,6 +1840,54 @@ object SparkEntry {
             .as("sum_value"))
     }),
 
+    "layout_replica_evolve" -> ((s, dir) => {
+      // ADDITIVE EVOLUTION THROUGH THE CDC APPLY: the source widens
+      // mid-stream (gen 1 lands an evolved shape with a `flag`
+      // column) and an UNEVOLVED replica follows it in ONE
+      // applyChangesByKey(evolve = true) call — the replica widens
+      // before the retraction half, its gen-0 rows null-fill, and no
+      // operator touches it. The twin derives the same grouped state
+      // from raw events: live-row n/sum (layout_replica_apply's
+      // filter verbatim) plus flagged counts that exist ONLY on the
+      // evolved generation's survivors — a replica that missed the
+      // evolution, double-applied, or null-filled wrongly
+      // hash-mismatches
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-zrepev").toString
+      val src = s"$base/src"
+      val rep = s"$base/replica"
+      graft.core.Layout.appendGeneration(s, src,
+        ev.filter(col("event_id") % 2 === 0), Seq("value", "event_id"),
+        bits = 8, partitions = 4, gen = 0L)
+      graft.core.Layout.appendGeneration(s, rep,
+        ev.filter(col("event_id") % 2 === 0), Seq("value", "event_id"),
+        bits = 8, partitions = 4, gen = 0L)
+      graft.core.Lakehouse.evolveSchema(s, src,
+        org.apache.spark.sql.types.StructType(
+          graft.core.Lakehouse.tableSchema(s, src).fields :+
+            org.apache.spark.sql.types.StructField("flag",
+              org.apache.spark.sql.types.LongType)))
+      graft.core.Lakehouse.appendAt(s, src,
+        ev.filter(col("event_id") % 2 === 1)
+          .withColumn("flag", col("event_id") % 7),
+        Seq("value", "event_id"), gen = 1L, bits = 8, partitions = 4)
+      graft.core.Lakehouse.deleteWhere(s, src,
+        col("value").between(20.0, 60.0))
+      graft.core.Lakehouse.applyChangesByKey(s, rep,
+        graft.core.Lakehouse.changesBetween(s, src, 0L, 1L),
+        "event_id", Seq("value", "event_id"), bits = 8, partitions = 4,
+        evolve = true)
+      graft.core.Lakehouse.scan(s, rep)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"),
+          count(col("flag")).as("n_flagged"),
+          sum(col("flag")).as("sum_flag"))
+    }),
+
     "layout_replica_apply_stream" -> ((s, dir) => {
       // the replica's LIVE consumption form: the same produced feed
       // arriving through readStream, applied per micro-batch with the
@@ -5697,6 +5745,17 @@ object SparkEntry {
     // feed applied by key ≡ the source's live (gen-1) state — the
     // delete twin verbatim, reproduced without ever reading the source
     "layout_replica_apply" -> LayoutDeleteScanOracle,
+    // layout_replica_apply's live-state filter verbatim, widened by
+    // the evolved column's counts (gen-1 survivors = odd event_ids)
+    "layout_replica_evolve" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_flagged,
+        |  CAST(sum(CASE WHEN event_id % 2 = 1
+        |    THEN event_id % 7 END) AS BIGINT) AS sum_flag
+        |FROM events
+        |WHERE value IS NOT NULL AND NOT (value BETWEEN 20.0 AND 60.0)
+        |GROUP BY event_type""".stripMargin,
     // the same feed consumed as a STREAM of micro-batches — shared
     // twin verbatim: streamed consumption ≡ one-shot consumption
     "layout_replica_apply_stream" -> LayoutDeleteScanOracle,

@@ -1124,19 +1124,28 @@ object Lakehouse {
   def evolveSchema(spark: SparkSession, path: String,
                    wider: org.apache.spark.sql.types.StructType): Unit =
     withTableLock(spark, path) {
-      migrateToCommit(spark, path)
-      val resident = tableSchema(spark, path)
-      Layout.requireSameSchema(resident, wider, "evolveSchema",
-        allowAdditive = true)
-      val have = resident.fieldNames.toSet
-      val added = wider.fields.filterNot(f => have.contains(f.name))
-      if (added.nonEmpty) {
-        val evolved = org.apache.spark.sql.types.StructType(
-          resident.fields ++ added)
-        val c = readCommit(spark, path).get
-        commitAdvance(spark, path, c, schemaJson = Some(evolved.json))
-      }
+      evolveSchemaBody(spark, path, wider)
     }
+
+  /** UNLOCKED internal form of [[evolveSchema]] for callers already
+    * holding the (non-reentrant) table lock — [[applyChangesByKey]]'s
+    * opt-in auto-evolve rides this inside its own hold. */
+  private[core] def evolveSchemaBody(spark: SparkSession, path: String,
+      wider: org.apache.spark.sql.types.StructType): Unit = {
+    migrateToCommit(spark, path)
+    val resident = tableSchema(spark, path)
+    Layout.requireSameSchema(resident, wider, "evolveSchema",
+      allowAdditive = true)
+    val have = resident.fieldNames.toSet
+    val added = wider.fields.filterNot(f => have.contains(f.name))
+    if (added.nonEmpty) {
+      val evolved = org.apache.spark.sql.types.StructType(
+        resident.fields ++ added)
+      val c = readCommit(spark, path).get
+      commitAdvance(spark, path, c, schemaJson = Some(evolved.json))
+      ()
+    }
+  }
 
   /** [[append]] with additive evolution in one call: widen the schema
     * to the batch's (raises on drops/retypes like [[evolveSchema]]),
@@ -1391,14 +1400,24 @@ object Lakehouse {
   def applyChangesByKey(spark: SparkSession, replicaPath: String,
                         feed: DataFrame, keyCol: String,
                         cols: Seq[String], bits: Int = 12,
-                        partitions: Int = 0): Unit =
+                        partitions: Int = 0,
+                        evolve: Boolean = false): Unit =
     withTableLock(spark, replicaPath) {
       val cached = feed.cache()
       try {
         val inserts = cached.filter(col("__op") === "insert").drop("__op")
-        if (hasSchemaContract(spark, replicaPath))
-          Layout.requireSameSchema(tableSchema(spark, replicaPath),
-            inserts.schema, "applyChangesByKey")
+        // `evolve = true`: FOLLOW an additively-evolved source without
+        // operator intervention — widen the replica to the feed's
+        // shape first (drops/retypes still raise, and the evolution
+        // commits BEFORE the retraction half, so a refused feed has
+        // mutated nothing). Default stays the loud drift raise.
+        if (hasSchemaContract(spark, replicaPath)) {
+          if (evolve)
+            evolveSchemaBody(spark, replicaPath, inserts.schema)
+          else
+            Layout.requireSameSchema(tableSchema(spark, replicaPath),
+              inserts.schema, "applyChangesByKey")
+        }
         val dup = inserts.groupBy(col(keyCol)).count()
           .filter(col("count") > 1).limit(1).collect()
         require(dup.isEmpty,
@@ -1433,7 +1452,8 @@ object Lakehouse {
   def applyChangesByKeyStream(feed: DataFrame, replicaPath: String,
                               keyCol: String, cols: Seq[String],
                               bits: Int = 12,
-                              partitions: Int = 0): Unit = {
+                              partitions: Int = 0,
+                              evolve: Boolean = false): Unit = {
     val spark = feed.sparkSession
     val ckpt = s"${replicaPath}_apply_ckpt"
     val f = fs(spark, replicaPath)
@@ -1454,7 +1474,7 @@ object Lakehouse {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         applyBatch(spark, replicaPath, batch, keyCol, cols, bits,
-          partitions, base + id)
+          partitions, base + id, evolve)
       }
       .start()
     q.awaitTermination()
@@ -1466,12 +1486,15 @@ object Lakehouse {
   private[graft] def applyBatch(spark: SparkSession, replicaPath: String,
                                 batch: DataFrame, keyCol: String,
                                 cols: Seq[String], bits: Int,
-                                partitions: Int, gen: Long): Unit =
+                                partitions: Int, gen: Long,
+                                evolve: Boolean = false): Unit =
     withTableLock(spark, replicaPath) {
       val inserts = batch.filter(col("__op") === "insert").drop("__op")
-      if (hasSchemaContract(spark, replicaPath))
-        Layout.requireSameSchema(tableSchema(spark, replicaPath),
+      if (hasSchemaContract(spark, replicaPath)) {
+        if (evolve) evolveSchemaBody(spark, replicaPath, inserts.schema)
+        else Layout.requireSameSchema(tableSchema(spark, replicaPath),
           inserts.schema, "applyBatch")
+      }
       val dup = inserts.groupBy(col(keyCol)).count()
         .filter(col("count") > 1).limit(1).collect()
       require(dup.isEmpty,

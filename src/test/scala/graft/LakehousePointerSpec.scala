@@ -302,6 +302,26 @@ class LakehousePointerSpec extends SparkSpec {
     def state(p: String) = Lakehouse.scan(spark, p)
       .select("id", "x", "lang").collect().map(_.toString).sorted.toSeq
     assert(state(rep) == state(src))
+    // the OPT-IN path: a second unevolved replica FOLLOWS the evolved
+    // source in one call — evolve = true widens it to the feed's
+    // shape before the retraction half, no operator intervention
+    val rep2 = tmp("lake-ptr-evcdc") + "-rep2"
+    Layout.appendGeneration(spark, rep2, mk(0L, 200L), Seq("x", "y"),
+      bits = 6, partitions = 2, gen = 0L)
+    Lakehouse.applyChangesByKey(spark, rep2, feed, "id", Seq("x", "y"),
+      bits = 6, partitions = 1, evolve = true)
+    assert(state(rep2) == state(src))
+    assert(Lakehouse.tableSchema(spark, rep2).fieldNames
+      .contains("lang"))
+    // evolve = true is ADDITIVE only: a feed that drops a replica
+    // column still raises, before anything mutates
+    val narrow = feed.drop("y")
+    val eN = intercept[IllegalArgumentException] {
+      Lakehouse.applyChangesByKey(spark, rep2, narrow, "id", Seq("x"),
+        bits = 6, partitions = 1, evolve = true)
+    }
+    assert(eN.getMessage.contains("missing"), eN.getMessage)
+    assert(state(rep2) == state(src), "a refused feed mutates nothing")
     // an evolveSchema'd EMPTY table guards its FIRST batch against the
     // committed schema — landing the unevolved shape would silently
     // null-fill forever
