@@ -137,6 +137,19 @@ object Lakehouse {
     def refresh(): Unit
     /** Remove the lease (release, or stale takeover). */
     def release(): Unit
+    /** Remove the lease ONLY if it still carries `expectedToken` —
+      * compare-and-delete; returns whether it was removed. The
+      * default is read-then-delete, exactly as sound as the store's
+      * point reads (on [[FsLeaseBackend]] a residual window remains:
+      * the holder can change between the read and the delete — the
+      * documented FS honesty level). A backend with a real CAS
+      * primitive ([[CasLeaseBackend]], an object store's
+      * conditional delete) overrides this ATOMICALLY, which makes the
+      * stale-lease takeover sound: two contenders that both observed
+      * the same stale token cannot each delete a successor's fresh
+      * lease — only the first compare-and-delete fires. */
+    def releaseIf(expectedToken: String): Boolean =
+      if (holderToken() == expectedToken) { release(); true } else false
     /** Where the lease lives — for error messages. */
     def describe: String
   }
@@ -173,6 +186,63 @@ object Lakehouse {
     def describe: String = dir.toString
   }
 
+  /** A SOUND reference backend over a true compare-and-set primitive —
+    * here a process-wide atomic registry, which is exactly sound for
+    * any single-process deployment (a `local[k]` engine: every writer
+    * thread shares the JVM). A distributed deployment keeps the SAME
+    * four transitions and maps them onto its store's conditional ops:
+    *
+    *  - `tryAcquire`  → S3 `PutObject` + `If-None-Match: *` / GCS
+    *    `x-goog-if-generation-match: 0` / an etcd create-txn — create
+    *    iff absent, atomically.
+    *  - `refresh`     → conditional put with `If-Match: <read etag>` /
+    *    generation-match on the holder's own object.
+    *  - `releaseIf`   → conditional `DeleteObject` (`If-Match` /
+    *    generation-match) — delete iff the content still carries the
+    *    observed token.
+    *  - `holderToken` / `ageMs` → a point read (+ LastModified).
+    *
+    * Every transition here is atomic on the (token, mtime) pair, so
+    * the takeover interleaving [[FsLeaseBackend]] documents (two
+    * contenders both observing a stale lease, the second deleting the
+    * first's FRESH successor) cannot happen: the loser's
+    * compare-and-delete finds the successor token and fails. `clock`
+    * is injectable so the stale-takeover paths are testable without
+    * real waits. */
+  final class CasLeaseBackend(scope: String,
+                              clock: () => Long = () =>
+                                System.currentTimeMillis())
+      extends LeaseBackend {
+    import CasLeaseBackend._
+    def tryAcquire(token: String): Boolean =
+      registry.putIfAbsent(scope, Entry(token, clock())) == null
+    def holderToken(): String =
+      Option(registry.get(scope)).map(_.token).getOrElse("")
+    def ageMs(): Long =
+      Option(registry.get(scope)).map(e => clock() - e.mtime)
+        .getOrElse(Long.MaxValue)
+    def refresh(): Unit = {
+      registry.computeIfPresent(scope,
+        (_, e) => Entry(e.token, clock()))
+      ()
+    }
+    def release(): Unit = { registry.remove(scope); () }
+    override def releaseIf(expectedToken: String): Boolean = {
+      val removed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      registry.computeIfPresent(scope, (_, e) =>
+        if (e.token == expectedToken) { removed.set(true); null }
+        else e)
+      removed.get()
+    }
+    def describe: String = s"cas:$scope"
+  }
+
+  object CasLeaseBackend {
+    private final case class Entry(token: String, mtime: Long)
+    private val registry =
+      new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+  }
+
   /** [[withTableLock]] over an explicit [[LeaseBackend]] — the form a
     * deployment with a sound coordination primitive calls (the path
     * form wraps exactly this over [[FsLeaseBackend]], and the race
@@ -183,9 +253,21 @@ object Lakehouse {
     val deadline = System.currentTimeMillis() + waitMs
     var acquired = false
     while (!acquired) {
+      // stale-lease takeover by COMPARE-AND-DELETE: read the holder we
+      // believe dead FIRST, then remove only that exact lease — on a
+      // CAS backend two contenders that both observed the stale token
+      // cannot each delete the other's fresh successor (the loser's
+      // conditional delete finds the new token and fails); on the FS
+      // backend the same call narrows the window to the store's
+      // read-then-delete honesty level (documented residual)
+      val stale = backend.holderToken()
       val age = backend.ageMs()
-      if (age != Long.MaxValue && age > leaseMs)
-        backend.release() // stale-lease takeover
+      if (age != Long.MaxValue && age > leaseMs) {
+        if (stale.nonEmpty) backend.releaseIf(stale)
+        else backend.release() // token-less stale lease: a writer
+        // crashed between creating the file and writing its token —
+        // nothing to compare against, and nothing fresh to protect
+      }
       // double-check: the acquire need not be atomic; proceed only if
       // OUR token survived the race
       acquired = backend.tryAcquire(token) &&
@@ -217,9 +299,9 @@ object Lakehouse {
       stop.countDown()
       beat.join(1000L)
       // release only OUR lease — after a usurpation the lease is the
-      // new owner's, and releasing it would cascade the race
-      if (!usurped.get() && backend.holderToken() == token)
-        backend.release()
+      // new owner's, and releasing it would cascade the race; the
+      // compare-and-delete makes this atomic on a CAS backend
+      if (!usurped.get()) backend.releaseIf(token)
     }
     // raised only on a CLEAN body (a body failure already propagated)
     require(!usurped.get(),

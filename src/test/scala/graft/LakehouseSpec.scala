@@ -603,6 +603,69 @@ class LakehouseSpec extends SparkSpec {
       "the loser must not release the new owner's lease")
   }
 
+  test("CasLeaseBackend: the full race family over the sound " +
+      "compare-and-set reference — and the double-takeover " +
+      "interleaving the FS backend documents CANNOT happen here") {
+    @volatile var nowMs = 1000000L
+    val scope = s"cas-spec-${System.nanoTime()}"
+    val b = new Lakehouse.CasLeaseBackend(scope, () => nowMs)
+    // plain acquisition + release through withTableLock
+    assert(Lakehouse.withTableLock(b, 60000L, 1000L) { 7 } == 7)
+    assert(b.holderToken().isEmpty, "released after the body")
+    // a held lease blocks a second writer until waitMs
+    assert(b.tryAcquire("someone-else"))
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.withTableLock(b, 60000L, 300L) { fail("ran") }
+    }
+    assert(e.getMessage.contains(s"cas:$scope"), e.getMessage)
+    // a STALE lease is taken over (clock-injected staleness)
+    nowMs += 10000L
+    assert(Lakehouse.withTableLock(b, 500L, 1000L) { 42 } == 42)
+    assert(b.holderToken().isEmpty)
+    // THE ADVICE INTERLEAVING, closed: contenders A and B both
+    // observe the same stale token; B compare-and-deletes it and
+    // acquires; A's later compare-and-delete finds B's FRESH token
+    // and FAILS — A can neither delete B's lease nor acquire
+    assert(b.tryAcquire("dead-writer"))
+    nowMs += 10000L // dead-writer is stale
+    val observedByA = b.holderToken()
+    val observedByB = b.holderToken()
+    assert(b.releaseIf(observedByB), "B's takeover fires first")
+    assert(b.tryAcquire("B-fresh"))
+    assert(!b.releaseIf(observedByA),
+      "A's conditional delete must fail against B's fresh lease")
+    assert(b.holderToken() == "B-fresh",
+      "B's critical section stays exclusive")
+    assert(!b.tryAcquire("A-late"))
+    b.release()
+    // usurpation mid-body still raises after a clean body
+    val e2 = intercept[IllegalArgumentException] {
+      Lakehouse.withTableLock(b, 90L, 1000L) {
+        b.release(); assert(b.tryAcquire("usurper"))
+        Thread.sleep(400L) // let the heartbeat observe it
+      }
+    }
+    assert(e2.getMessage.contains("taken over"), e2.getMessage)
+    assert(b.holderToken() == "usurper",
+      "the loser must not release the new owner's lease")
+    b.release()
+    // and real concurrent writers serialize: two threads, one table
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val overlap = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val inBody = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ts = (1 to 2).map { _ =>
+      new Thread(() => Lakehouse.withTableLock(b, 60000L, 10000L) {
+        if (!inBody.compareAndSet(false, true)) overlap.set(true)
+        hits.incrementAndGet()
+        Thread.sleep(150L)
+        inBody.set(false)
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join(20000L))
+    assert(hits.get() == 2 && !overlap.get(),
+      s"both bodies ran, never overlapping (hits=${hits.get()})")
+  }
+
   test("compact bumps the epoch: a replica's stale-epoch window " +
       "raises loudly instead of reading reused generation ids") {
     val path = tmp("lake-epoch")
