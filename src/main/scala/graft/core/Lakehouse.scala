@@ -1159,8 +1159,13 @@ object Lakehouse {
     val names = dirs.map(_.getName).toSet
     val tables = dirs.filter { p =>
       val n = p.getName
+      // a dir is a bloom SIDECAR only when some existing sibling is
+      // its base table (the same discipline as the suffix sidecars) —
+      // a genuine table merely NAMED like one (`accounts_bloom_test`)
+      // stays a table
       val isSidecar = sidecarSuffixes.exists(sfx => n.endsWith(sfx) &&
-        names.contains(n.stripSuffix(sfx))) || n.contains("_bloom_")
+        names.contains(n.stripSuffix(sfx))) ||
+        names.exists(m => m != n && n.startsWith(m + "_bloom_"))
       val hasSidecar = sidecarSuffixes.exists(sfx =>
         names.contains(n + sfx)) ||
         names.exists(m => m.startsWith(n + "_bloom_"))

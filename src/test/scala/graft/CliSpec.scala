@@ -293,18 +293,27 @@ class CliSpec extends SparkSpec {
       bits = 6, partitions = 2)
     // a PLAIN parquet dir (no sidecars) must stay out of the catalog
     df.limit(10).write.parquet(s"$root/scratch")
+    // a genuine table NAMED like a bloom sidecar is still a table —
+    // only a dir whose base-table sibling exists is a sidecar
+    graft.core.Layout.zorder(df.limit(100), Seq("x"), bits = 6,
+        partitions = 1)
+      .write.parquet(s"$root/acc_bloom_test")
+    graft.core.Layout.writeManifest(spark, s"$root/acc_bloom_test",
+      Seq("x"))
     val (code, outTxt) = cli("lake-catalog", root)
     assert(code == 0, outTxt)
     val lines = outTxt.linesIterator.toSeq
-    assert(lines.size == 2, outTxt)
-    assert(lines.head.contains("\"table\":\"t1\"") &&
-      lines.head.contains("\"delete_debt\":100") &&
-      lines.head.contains("\"data_files\":4") &&
-      lines.head.contains("\"version\":-1"), lines.head)
-    assert(lines(1).contains("\"table\":\"t2\"") &&
-      lines(1).contains("\"epoch\":1") &&
-      lines(1).contains("\"delete_debt\":0") &&
-      lines(1).contains("\"version\":2"), lines(1))
+    assert(lines.size == 3, outTxt)
+    assert(lines.exists(_.contains("\"table\":\"acc_bloom_test\"")),
+      outTxt)
+    val l1 = lines.find(_.contains("\"table\":\"t1\"")).get
+    assert(l1.contains("\"delete_debt\":100") &&
+      l1.contains("\"data_files\":4") &&
+      l1.contains("\"version\":-1"), l1)
+    val l2 = lines.find(_.contains("\"table\":\"t2\"")).get
+    assert(l2.contains("\"epoch\":1") &&
+      l2.contains("\"delete_debt\":0") &&
+      l2.contains("\"version\":2"), l2)
     // usage error without a root
     val (bad, err) = cli("lake-catalog")
     assert(bad == 2 && err.contains("root"), err)
