@@ -497,6 +497,36 @@ object Lakehouse {
     MiniJson.parse(body).asInstanceOf[Map[String, Any]]
   }
 
+  /** Parsed-marker cache. A landed marker is IMMUTABLE by
+    * construction — version-named, renamed in with fail-if-exists,
+    * never rewritten — so its parsed body caches process-wide; the
+    * key carries (mtime, length) from the listing the resolver
+    * already holds, so even an out-of-band drop-and-recreate of a
+    * whole table at the same path cannot serve a stale body.
+    * [[readCommit]] still LISTS the log each resolve (the single
+    * metadata op through which new commits become visible); warm
+    * content reads cost zero further IO, so a checkpoint+tail
+    * resolve is one listing instead of up to
+    * [[CommitCheckpointEvery]] point reads per plan on an object
+    * store. The size cap is protective only (bodies are KB-scale). */
+  private val markerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Any]]()
+
+  private def readMarkerCached(f: FileSystem,
+                               s: org.apache.hadoop.fs.FileStatus)
+      : Map[String, Any] = {
+    val key =
+      s"${s.getPath}@${s.getModificationTime}:${s.getLen}"
+    val hit = markerCache.get(key)
+    if (hit != null) hit
+    else {
+      val m = readMarkerJson(f, s.getPath)
+      if (markerCache.size > 8192) markerCache.clear()
+      markerCache.put(key, m)
+      m
+    }
+  }
+
   private def markerNames(m: Map[String, Any], k: String): Seq[String] =
     MiniJson.field(m, k) match {
       case Some(xs: List[_]) => xs.map(_.toString)
@@ -522,17 +552,18 @@ object Lakehouse {
     if (!f.exists(dir)) return None
     val markers = f.listStatus(dir).toSeq
       .filter(s => s.isFile && commitVersionOf(s.getPath.getName) >= 0)
-      .map(_.getPath)
     if (markers.isEmpty) return None
-    val byVersion = markers.map(p => commitVersionOf(p.getName) -> p)
+    val byVersion = markers
+      .map(s => commitVersionOf(s.getPath.getName) -> s)
       .sortBy(_._1)
     val (latestV, _) = byVersion.last
-    val checkpoints = byVersion.filterNot(x => isDeltaMarker(x._2.getName))
+    val checkpoints =
+      byVersion.filterNot(x => isDeltaMarker(x._2.getPath.getName))
     require(checkpoints.nonEmpty,
       s"readCommit: ${dir} holds only delta markers — the checkpoint " +
         "they replay over is gone (over-vacuumed or corrupted log)")
-    val (baseV, basePath) = checkpoints.last
-    val base = readMarkerJson(f, basePath)
+    val (baseV, baseStatus) = checkpoints.last
+    val base = readMarkerCached(f, baseStatus)
     var data = markerNames(base, "data").toSet
     var dels = markerNames(base, "deletes").toSet
     var latest = base
@@ -542,7 +573,7 @@ object Lakehouse {
       val p = tail.getOrElse(v, throw new IllegalStateException(
         s"readCommit: delta tail gap — version $v missing between " +
           s"checkpoint $baseV and head $latestV under $dir"))
-      val m = readMarkerJson(f, p)
+      val m = readMarkerCached(f, p)
       data = data -- markerNames(m, "removeData") ++
         markerNames(m, "addData")
       dels = dels -- markerNames(m, "removeDeletes") ++
