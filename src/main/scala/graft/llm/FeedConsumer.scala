@@ -33,14 +33,17 @@ import Similarity.VectorIndex
   *    through [[graft.core.Lakehouse.changesBetween]]'s own epoch
   *    guard: cross-epoch windows are unanswerable, rebuild the index.
   *
-  * Single-writer per index root (one maintenance job owns an index —
-  * the lakehouse table's mutation lock is the upstream serializer);
-  * concurrent READERS are safe throughout: state dirs never mutate
-  * after their marker lands, and the previous version survives one
-  * more cycle before pruning, so a serve that resolved the old marker
-  * finishes against files that still exist. At 100 TB each apply
-  * costs one index pass + one feed pass (never a corpus read), and
-  * marker/state bookkeeping is O(1) driver-side file work. */
+  * Single-writer per index root, ENFORCED: init and apply run under
+  * the same writer lease the lakehouse mutators use
+  * ([[graft.core.Lakehouse.withTableLock]] on `<root>_lock`), so two
+  * maintenance jobs racing one index serialize instead of splitting
+  * the version sequence. Concurrent READERS are safe throughout and
+  * never take the lock: state dirs never mutate after their marker
+  * lands, and the previous version survives one more cycle before
+  * pruning, so a serve that resolved the old marker finishes against
+  * files that still exist. At 100 TB each apply costs one index pass
+  * + one feed pass (never a corpus read), and marker/state
+  * bookkeeping is O(1) driver-side file work. */
 object FeedConsumer {
 
   /** A tracked index's consumed position: marker `version`, the state
@@ -178,13 +181,14 @@ object FeedConsumer {
     * v1 and stamp the watermark at (`source epoch`, `asOfGen`). */
   def initTrackedBm25Index(spark: SparkSession, root: String,
                            index: Bm25Index, sourcePath: String,
-                           asOfGen: Long): FeedOffset = {
-    val (epoch, _) = Lakehouse.epochAndFloor(spark, sourcePath)
-    Retrieval.compactBm25Index(index, s"${root.stripSuffix("/")}/v1")
-    val off = FeedOffset(1L, "v1", epoch, asOfGen)
-    writeOffset(spark, root, off)
-    off
-  }
+                           asOfGen: Long): FeedOffset =
+    Lakehouse.withTableLock(spark, root.stripSuffix("/")) {
+      val (epoch, _) = Lakehouse.epochAndFloor(spark, sourcePath)
+      Retrieval.compactBm25Index(index, s"${root.stripSuffix("/")}/v1")
+      val off = FeedOffset(1L, "v1", epoch, asOfGen)
+      writeOffset(spark, root, off)
+      off
+    }
 
   /** The tracked index's current serving state. */
   def loadTrackedBm25Index(spark: SparkSession,
@@ -208,25 +212,26 @@ object FeedConsumer {
                                   sourcePath: String, toGen: Long = -1L,
                                   idCol: String = "doc_id",
                                   textCol: String = "text")
-      : (Bm25Index, FeedOffset) = {
-    val (idx, off) = loadTrackedBm25Index(spark, root)
-    resolveWindow(spark, sourcePath, off, toGen,
-        "applyFeedToBm25IndexTracked") match {
-      case None => (idx, off)
-      case Some(cur) =>
-        val feed = landWindow(spark, root, sourcePath, off, cur)
-        val next = Retrieval.applyFeedToBm25Index(idx, feed, idCol,
-          textCol)
-        val v = off.version + 1
-        val state = s"v$v"
-        val compacted = Retrieval.compactBm25Index(next,
-          s"${root.stripSuffix("/")}/$state")
-        val newOff = FeedOffset(v, state, off.epoch, cur)
-        writeOffset(spark, root, newOff)
-        prune(spark, root, v)
-        (compacted, newOff)
+      : (Bm25Index, FeedOffset) =
+    Lakehouse.withTableLock(spark, root.stripSuffix("/")) {
+      val (idx, off) = loadTrackedBm25Index(spark, root)
+      resolveWindow(spark, sourcePath, off, toGen,
+          "applyFeedToBm25IndexTracked") match {
+        case None => (idx, off)
+        case Some(cur) =>
+          val feed = landWindow(spark, root, sourcePath, off, cur)
+          val next = Retrieval.applyFeedToBm25Index(idx, feed, idCol,
+            textCol)
+          val v = off.version + 1
+          val state = s"v$v"
+          val compacted = Retrieval.compactBm25Index(next,
+            s"${root.stripSuffix("/")}/$state")
+          val newOff = FeedOffset(v, state, off.epoch, cur)
+          writeOffset(spark, root, newOff)
+          prune(spark, root, v)
+          (compacted, newOff)
+      }
     }
-  }
 
   // ------------------------------------------------------------------
   // Vector
@@ -236,13 +241,14 @@ object FeedConsumer {
     * [[initTrackedBm25Index]]. */
   def initTrackedVectorIndex(spark: SparkSession, root: String,
                              index: VectorIndex, sourcePath: String,
-                             asOfGen: Long): FeedOffset = {
-    val (epoch, _) = Lakehouse.epochAndFloor(spark, sourcePath)
-    Similarity.saveVectorIndex(index, s"${root.stripSuffix("/")}/v1")
-    val off = FeedOffset(1L, "v1", epoch, asOfGen)
-    writeOffset(spark, root, off)
-    off
-  }
+                             asOfGen: Long): FeedOffset =
+    Lakehouse.withTableLock(spark, root.stripSuffix("/")) {
+      val (epoch, _) = Lakehouse.epochAndFloor(spark, sourcePath)
+      Similarity.saveVectorIndex(index, s"${root.stripSuffix("/")}/v1")
+      val off = FeedOffset(1L, "v1", epoch, asOfGen)
+      writeOffset(spark, root, off)
+      off
+    }
 
   /** The tracked index's current serving state. */
   def loadTrackedVectorIndex(spark: SparkSession,
@@ -263,23 +269,24 @@ object FeedConsumer {
                                     toGen: Long = -1L,
                                     idCol: String = "vec_id",
                                     vecCol: String = "embedding")
-      : (VectorIndex, FeedOffset) = {
-    val (idx, off) = loadTrackedVectorIndex(spark, root)
-    resolveWindow(spark, sourcePath, off, toGen,
-        "applyFeedToVectorIndexTracked") match {
-      case None => (idx, off)
-      case Some(cur) =>
-        val feed = landWindow(spark, root, sourcePath, off, cur)
-        val next = Similarity.applyFeedToVectorIndex(idx, feed, idCol,
-          vecCol)
-        val v = off.version + 1
-        val state = s"v$v"
-        val saved = Similarity.saveVectorIndex(next,
-          s"${root.stripSuffix("/")}/$state")
-        val newOff = FeedOffset(v, state, off.epoch, cur)
-        writeOffset(spark, root, newOff)
-        prune(spark, root, v)
-        (saved, newOff)
+      : (VectorIndex, FeedOffset) =
+    Lakehouse.withTableLock(spark, root.stripSuffix("/")) {
+      val (idx, off) = loadTrackedVectorIndex(spark, root)
+      resolveWindow(spark, sourcePath, off, toGen,
+          "applyFeedToVectorIndexTracked") match {
+        case None => (idx, off)
+        case Some(cur) =>
+          val feed = landWindow(spark, root, sourcePath, off, cur)
+          val next = Similarity.applyFeedToVectorIndex(idx, feed, idCol,
+            vecCol)
+          val v = off.version + 1
+          val state = s"v$v"
+          val saved = Similarity.saveVectorIndex(next,
+            s"${root.stripSuffix("/")}/$state")
+          val newOff = FeedOffset(v, state, off.epoch, cur)
+          writeOffset(spark, root, newOff)
+          prune(spark, root, v)
+          (saved, newOff)
+      }
     }
-  }
 }
