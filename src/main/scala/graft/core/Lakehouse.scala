@@ -473,8 +473,23 @@ object Lakehouse {
   /** Checkpoint cadence: every Nth version lands as a full marker so
     * the reader's delta-replay tail never exceeds N−1 small files.
     * Compacts/retention rewrites checkpoint unconditionally (their
-    * "delta" would BE the full state). */
+    * "delta" would BE the full state). Overridable per session via
+    * `spark.graft.commit.checkpointEvery` (≥ 2) — a minutes-cadence
+    * CDC table may prefer a longer tail (fewer O(live-files)
+    * checkpoint writes) while a read-heavy one prefers a shorter
+    * resolve. Changing the cadence mid-table is safe: readers resolve
+    * whatever checkpoint/tail structure the log holds, and vacuum
+    * keys off the markers present, not the setting. */
   private[core] val CommitCheckpointEvery = 8L
+
+  private def checkpointEvery(spark: SparkSession): Long = {
+    val v = spark.conf.getOption("spark.graft.commit.checkpointEvery")
+      .map(_.toLong).getOrElse(CommitCheckpointEvery)
+    require(v >= 2L,
+      s"spark.graft.commit.checkpointEvery must be >= 2, got $v — " +
+        "1 would checkpoint every commit (use compact for that shape)")
+    v
+  }
 
   private def commitVersionOf(name: String): Long = {
     val core =
@@ -646,7 +661,7 @@ object Lakehouse {
     val data = ((prior.data.toSet -- removeData) ++ addData).toSeq.sorted
     val dels =
       ((prior.deletes.toSet -- removeDeletes) ++ addDeletes).toSeq.sorted
-    if (version % CommitCheckpointEvery == 0L)
+    if (version % checkpointEvery(spark) == 0L)
       commitWrite(spark, path, version, data, dels, newEpoch, newFloor,
         newSchema)
     else {

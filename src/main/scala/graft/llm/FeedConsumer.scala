@@ -109,12 +109,18 @@ object FeedConsumer {
         "indexes are single-writer; two maintainers raced")
   }
 
-  /** Drop state dirs and markers more than one version behind — the
-    * previous version survives exactly one cycle so in-flight serves
-    * against the old marker finish; anything older is dead. */
+  /** Drop state dirs and markers more than one version behind AND
+    * older than `graceMs` — the previous version always survives one
+    * full cycle (an in-flight serve against the old marker finishes),
+    * and with a real grace window anything a long-running serve
+    * resolved stays readable until every reasonable query has
+    * finished, the [[graft.core.Lakehouse.vacuum]] contract applied
+    * to index states. Default grace 0 keeps rapid-cycle tests tidy;
+    * production maintenance loops should pass their query SLA. */
   private def prune(spark: SparkSession, root: String,
-                    current: Long): Unit = {
+                    current: Long, graceMs: Long): Unit = {
     val f = fsOf(spark, root)
+    val cutoff = System.currentTimeMillis() - graceMs
     val base = new Path(root.stripSuffix("/"))
     if (f.exists(base))
       f.listStatus(base).toSeq
@@ -122,7 +128,8 @@ object FeedConsumer {
           val n = s.getPath.getName
           val body = n.stripPrefix("v")
           s.isDirectory && n.startsWith("v") && body.nonEmpty &&
-            body.forall(_.isDigit) && body.toLong < current - 1
+            body.forall(_.isDigit) && body.toLong < current - 1 &&
+            s.getModificationTime <= cutoff
         }
         .foreach(s => f.delete(s.getPath, true))
     val pd = new Path(ptrDir(root))
@@ -130,7 +137,8 @@ object FeedConsumer {
       f.listStatus(pd).toSeq
         .filter { s =>
           val v = versionOf(s.getPath.getName)
-          s.isFile && v >= 0 && v < current - 1
+          s.isFile && v >= 0 && v < current - 1 &&
+            s.getModificationTime <= cutoff
         }
         .foreach(s => f.delete(s.getPath, false))
   }
@@ -211,7 +219,8 @@ object FeedConsumer {
   def applyFeedToBm25IndexTracked(spark: SparkSession, root: String,
                                   sourcePath: String, toGen: Long = -1L,
                                   idCol: String = "doc_id",
-                                  textCol: String = "text")
+                                  textCol: String = "text",
+                                  pruneGraceMs: Long = 0L)
       : (Bm25Index, FeedOffset) =
     Lakehouse.withTableLock(spark, root.stripSuffix("/")) {
       val (idx, off) = loadTrackedBm25Index(spark, root)
@@ -228,7 +237,7 @@ object FeedConsumer {
             s"${root.stripSuffix("/")}/$state")
           val newOff = FeedOffset(v, state, off.epoch, cur)
           writeOffset(spark, root, newOff)
-          prune(spark, root, v)
+          prune(spark, root, v, pruneGraceMs)
           (compacted, newOff)
       }
     }
@@ -268,7 +277,8 @@ object FeedConsumer {
                                     sourcePath: String,
                                     toGen: Long = -1L,
                                     idCol: String = "vec_id",
-                                    vecCol: String = "embedding")
+                                    vecCol: String = "embedding",
+                                    pruneGraceMs: Long = 0L)
       : (VectorIndex, FeedOffset) =
     Lakehouse.withTableLock(spark, root.stripSuffix("/")) {
       val (idx, off) = loadTrackedVectorIndex(spark, root)
@@ -285,7 +295,7 @@ object FeedConsumer {
             s"${root.stripSuffix("/")}/$state")
           val newOff = FeedOffset(v, state, off.epoch, cur)
           writeOffset(spark, root, newOff)
-          prune(spark, root, v)
+          prune(spark, root, v, pruneGraceMs)
           (saved, newOff)
       }
     }

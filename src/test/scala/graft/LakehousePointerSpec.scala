@@ -468,6 +468,39 @@ class LakehousePointerSpec extends SparkSpec {
     assert(Lakehouse.scan(spark, path).count() == 310L)
   }
 
+  test("the checkpoint cadence is session-configurable: a shorter " +
+      "spark.graft.commit.checkpointEvery lands more full markers, " +
+      "resolution and the sweep follow the log's actual structure") {
+    val path = tmp("lake-ptr-cadence")
+    spark.conf.set("spark.graft.commit.checkpointEvery", "4")
+    try {
+      Layout.zorder(mk(0L, 100L), Seq("x", "y"), bits = 6,
+        partitions = 1).write.parquet(path)
+      Lakehouse.compact(spark, path, Seq("x", "y"), bits = 6,
+        partitions = 1) // v1+v2 full
+      (0 until 7).foreach { k => // v3..v9: deltas except v4 AND v8
+        Lakehouse.appendAt(spark, path, mk(100L + k * 10, 110L + k * 10),
+          Seq("x", "y"), gen = k.toLong, bits = 6, partitions = 1)
+      }
+      val names = new java.io.File(Lakehouse.commitDir(path)).listFiles()
+        .map(_.getName).filter(_.startsWith("v")).sorted.toSeq
+      val fulls = names.filterNot(_.endsWith(".delta.json"))
+      assert(fulls.exists(_.contains("00000000000000000004")) &&
+        fulls.exists(_.contains("00000000000000000008")),
+        fulls.mkString(","))
+      assert(Lakehouse.readCommit(spark, path).get.version == 9L)
+      assert(Lakehouse.scan(spark, path).count() == 170L)
+      // a cadence of 1 is a config error, loudly
+      spark.conf.set("spark.graft.commit.checkpointEvery", "1")
+      val e = intercept[IllegalArgumentException] {
+        Lakehouse.appendAt(spark, path, mk(900L, 910L), Seq("x", "y"),
+          gen = 7L, bits = 6, partitions = 1)
+      }
+      assert(e.getMessage.contains("checkpointEvery"), e.getMessage)
+    } finally
+      spark.conf.unset("spark.graft.commit.checkpointEvery")
+  }
+
   test("vacuum sweeps only the CONSUMED tail below the newest " +
       "checkpoint — the readable log survives, and a manufactured " +
       "gap raises loudly instead of resolving a partial state") {

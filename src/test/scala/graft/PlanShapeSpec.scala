@@ -217,6 +217,39 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a map-side (Partial) WindowGroupLimit:\n$finalSection")
   }
 
+  test("text_bm25_certify references each serve subtree exactly once " +
+      "(single-pass audit — no duplicated serve/rebuild subtrees)") {
+    // the r17 bimodality fix: the audit is ONE full-outer join over the
+    // two serves, so the plan carries exactly TWO top-k windows (served
+    // + rebuilt) and a FIXED corpus-scan count — the old three-frame
+    // shape re-scanned each unpersisted serve twice whenever AQE did
+    // not reuse the duplicated exchanges (scan count then depended on
+    // reuse luck, and the cost flipped 6×)
+    val df = q("text_bm25_certify")
+    df.queryExecution.toRdd.foreach(_ => ())
+    val finalSection = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val windows = finalSection.linesIterator
+      .count(_.contains("WindowGroupLimit"))
+    // WindowGroupLimit appears as a (Partial, Final) pair per serve →
+    // 2 serves = at most 4 lines, and at least 2 (one per serve);
+    // the load-bearing bound is the UPPER one: a third serve subtree
+    // would add another pair
+    assert(windows >= 2 && windows <= 4,
+      s"expected the two serves' WindowGroupLimit pairs only, got " +
+        s"$windows:\n$finalSection")
+    val scans = finalSection.linesIterator
+      .count(l => l.contains("FileScan") && l.contains("documents.parquet"))
+    // measured single-reference floor: 8 (1 query-derivation scan +
+    // tokenize/N scans across the two merge halves and the rebuild,
+    // with one pair not exchange-reused). A DUPLICATED serve subtree
+    // re-scans its index's corpus inputs — at least +2 — so the pin
+    // is the measured count, not a derivation
+    assert(scans <= 8,
+      s"certify must not re-scan a duplicated serve subtree " +
+        s"($scans documents scans):\n$finalSection")
+  }
+
   test("every window-top-k site keeps the map-side WindowGroupLimit rank pruning") {
     // the row_number+filter → WindowGroupLimit pushdown is Spark-version-
     // sensitive; a silent fallback to a full-window sort would shuffle
