@@ -1840,6 +1840,64 @@ object SparkEntry {
             .as("sum_value"))
     }),
 
+    "layout_feed_relay" -> ((s, dir) => {
+      // the streaming CDC relay END TO END, both halves tracked: the
+      // PRODUCER (landChangesTracked) lands the (0,1] and (1,2]
+      // windows under its own watermark — the first by the
+      // closed-generation default once gen 2 exists, the second by a
+      // quiesced explicit pull taking the gen-2 delete — and the
+      // CONSUMER streams the landed windows into the replica with the
+      // pinned-generation exactly-once discipline. A replayed
+      // producer call no-ops in the middle. Twin shared VERBATIM with
+      // layout_replica_apply: relay ≡ one-shot ≡ the source's live
+      // state
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-zrelay").toString
+      val src = s"$base/src"
+      val rep = s"$base/replica"
+      val out = s"$base/feed"
+      graft.core.Layout.appendGeneration(s, src,
+        ev.filter(col("event_id") % 2 === 0), Seq("value", "event_id"),
+        bits = 8, partitions = 4, gen = 0L)
+      graft.core.Layout.appendGeneration(s, rep,
+        ev.filter(col("event_id") % 2 === 0), Seq("value", "event_id"),
+        bits = 8, partitions = 4, gen = 0L)
+      graft.core.Lakehouse.landChangesTracked(s, src, out,
+        initFromGen = 0L)
+      graft.core.Layout.appendGeneration(s, src,
+        ev.filter(col("event_id") % 4 === 1), Seq("value", "event_id"),
+        bits = 8, partitions = 2, gen = 1L)
+      graft.core.Layout.appendGeneration(s, src,
+        ev.filter(col("event_id") % 4 === 3), Seq("value", "event_id"),
+        bits = 8, partitions = 2, gen = 2L)
+      // gen 2 closed gen 1 → the DEFAULT lands exactly (0,1]; the
+      // relay loop applies EACH window before landing the next (the
+      // one-window-per-drain contract: windows must apply in order —
+      // a %4==1 row born in window 1 and deleted in window 2 nets to
+      // absence only if the delete applies AFTER the insert)
+      def applyWin(w: Option[(Long, Long)]): Unit = w.foreach {
+        case (from, to) =>
+          graft.core.Lakehouse.applyChangesByKey(s, rep,
+            s.read.parquet(s"$out/win${from}_$to"), "event_id",
+            Seq("value", "event_id"), bits = 8, partitions = 4)
+      }
+      applyWin(graft.core.Lakehouse.landChangesTracked(s, src, out))
+      // the delete stamps gen 2 (current); replay no-ops; the
+      // quiesced explicit pull takes (1,2] with the delete inside
+      graft.core.Lakehouse.deleteWhere(s, src,
+        col("value").between(20.0, 60.0))
+      applyWin(graft.core.Lakehouse.landChangesTracked(s, src, out))
+      applyWin(graft.core.Lakehouse.landChangesTracked(s, src, out,
+        toGen = 2L))
+      graft.core.Lakehouse.scan(s, rep)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    }),
+
     "layout_replica_evolve" -> ((s, dir) => {
       // ADDITIVE EVOLUTION THROUGH THE CDC APPLY: the source widens
       // mid-stream (gen 1 lands an evolved shape with a `flag`
@@ -5745,6 +5803,7 @@ object SparkEntry {
     // feed applied by key ≡ the source's live (gen-1) state — the
     // delete twin verbatim, reproduced without ever reading the source
     "layout_replica_apply" -> LayoutDeleteScanOracle,
+    "layout_feed_relay" -> LayoutDeleteScanOracle,
     // layout_replica_apply's live-state filter verbatim, widened by
     // the evolved column's counts (gen-1 survivors = odd event_ids)
     "layout_replica_evolve" ->

@@ -1530,6 +1530,118 @@ object Lakehouse {
     * table; that is the entire point of consuming the feed.
     * Single-writer on the replica. Oracled: bootstrap + feed ≡ a
     * direct scan of the source's target snapshot, hash-for-hash. */
+  private def feedPtrDir(outDir: String) =
+    s"${outDir.stripSuffix("/")}/_ptr"
+
+  private def readFeedMarker(f: FileSystem,
+                             dir: Path): Option[(Long, Long, Long)] = {
+    if (!f.exists(dir)) return None
+    val markers = f.listStatus(dir).toSeq.filter { s =>
+      val n = s.getPath.getName
+      val body = n.stripPrefix("v").stripSuffix(".json")
+      s.isFile && n.startsWith("v") && n.endsWith(".json") &&
+        body.nonEmpty && body.forall(_.isDigit)
+    }
+    if (markers.isEmpty) return None
+    val latest = markers.maxBy(s =>
+      s.getPath.getName.stripPrefix("v").stripSuffix(".json").toLong)
+    val m = readMarkerJson(f, latest.getPath)
+    Some((latest.getPath.getName.stripPrefix("v").stripSuffix(".json")
+      .toLong, markerNum(m, "epoch", 0L), markerNum(m, "gen", -1L)))
+  }
+
+  /** The PRODUCER half of the streaming CDC relay — the watermarked,
+    * exactly-once twin of what the runbook did by hand with
+    * `--changes from,to --feed-out dir`: land every newly CLOSED
+    * generation window of `path`'s change feed as one parquet dir
+    * `outDir/win<from>_<to>` and advance a tiny watermark marker
+    * (`outDir/_ptr/v<N>.json`, carrying the consumed (epoch, gen)),
+    * so a cron-driven producer loop needs no memory of its own.
+    * Consumers stream the landed windows with
+    * `spark.readStream.schema(s).parquet(s"$outDir/win*")` into
+    * [[applyChangesByKeyStream]] / [[graft.llm.FeedConsumer]] — the
+    * relay is exactly-once END TO END.
+    *
+    * ONE WINDOW PER DRAIN: windows must APPLY in order. The feed rows
+    * carry no ordering stamp, so a consumer that lets a file stream
+    * merge several backlogged windows into one micro-batch loses
+    * cross-window key ordering — a key inserted in window N and
+    * deleted in window N+1 would re-land (the batch's insert row wins
+    * under the upsert treatment, and the shape is indistinguishable
+    * from a legitimate single-window update, which is ALSO
+    * delete+insert of one key — no loud guard can tell them apart).
+    * Run the relay as land → drain (AvailableNow) → land → drain, or
+    * apply each landed window one-shot ([[applyChangesByKey]] on
+    * `win<from>_<to>`); the oracle gate `layout_feed_relay` pins the
+    * per-window loop. (A `__gen`-stamped feed making merged drains
+    * order-aware is the documented follow-up.)
+    *
+    * Semantics mirror the tracked index consumers:
+    *  - default `toGen` stops at the newest CLOSED generation
+    *    (tombstones stamp the open one — landing it early would
+    *    freeze a window late deletes still mutate); an explicit
+    *    `toGen` may name the open gen on a quiesced source.
+    *  - the first call passes `initFromGen` (the generation consumers
+    *    bootstrapped their snapshot at) and writes the init marker —
+    *    later calls need nothing.
+    *  - a replayed call (nothing new closed) returns None; a window
+    *    ending below the watermark raises.
+    *  - the window STAGES and renames in atomically under a
+    *    DETERMINISTIC name; a crash between the rename and the
+    *    marker is healed on replay by reusing the landed dir (its
+    *    content is a pure function of (epoch, window)) and just
+    *    advancing the marker — consumers can never observe a
+    *    half-written or duplicated window.
+    *  - a source compact/rollback since the init epoch raises through
+    *    [[changesBetween]]'s epoch guard — cross-epoch windows are
+    *    unanswerable; re-bootstrap the relay.
+    * Producer-side single-writer on `outDir` (the table lease on
+    * `<outDir>_lock`); the SOURCE table is only read, never locked.
+    * Cost per call: one window-sized [[changesBetween]] write plus
+    * O(1) marker IO — at 100 TB the landed window is delta-sized,
+    * never table-sized. Returns the landed (fromGen, toGen]. */
+  def landChangesTracked(spark: SparkSession, path: String,
+                         outDir: String, toGen: Long = -1L,
+                         initFromGen: Long = Long.MinValue)
+      : Option[(Long, Long)] =
+    withTableLock(spark, outDir.stripSuffix("/")) {
+      val f = fs(spark, outDir)
+      val pd = new Path(feedPtrDir(outDir))
+      val (epoch, from, nextVersion) = readFeedMarker(f, pd) match {
+        case Some((v, e, g)) => (e, g, v + 1)
+        case None =>
+          require(initFromGen >= -1L,
+            s"landChangesTracked: $outDir has no watermark yet — the " +
+              "first call must pass initFromGen (the generation " +
+              "consumers bootstrapped their snapshot at)")
+          val (e, _) = epochAndFloor(spark, path)
+          markerRenameIn(f, pd, 1L, ".json", MiniJson.write(Map(
+            "version" -> 1L, "epoch" -> e, "gen" -> initFromGen)))
+          (e, initFromGen, 2L)
+      }
+      val cur =
+        if (toGen >= 0L) toGen
+        else math.max(from, currentGen(spark, path) - 1)
+      if (cur == from) None
+      else {
+        require(cur > from,
+          s"landChangesTracked: window through gen $cur is OUT OF " +
+            s"ORDER — the relay already landed through gen $from")
+        val base = outDir.stripSuffix("/")
+        val dst = new Path(s"$base/win${from}_$cur")
+        if (!f.exists(dst)) {
+          val staging = s"$base/_staging/win${from}_$cur"
+          changesBetween(spark, path, from, cur, asOfEpoch = epoch)
+            .write.mode("overwrite").parquet(staging)
+          require(f.rename(new Path(staging), dst),
+            s"landChangesTracked: $staging -> $dst failed")
+        }
+        markerRenameIn(f, pd, nextVersion, ".json", MiniJson.write(Map(
+          "version" -> nextVersion, "epoch" -> epoch, "gen" -> cur)))
+        Some((from, cur))
+      }
+    }
+
   def applyChangesByKey(spark: SparkSession, replicaPath: String,
                         feed: DataFrame, keyCol: String,
                         cols: Seq[String], bits: Int = 12,

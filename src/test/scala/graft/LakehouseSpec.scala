@@ -1260,4 +1260,83 @@ class LakehouseSpec extends SparkSpec {
       bits = 6, partitions = 2, gen = 1L)
     assert(Lakehouse.scan(spark, path).count() == 990L)
   }
+
+  test("landChangesTracked: the watermarked producer lands only newly " +
+      "CLOSED windows exactly once — replays no-op, a rename/marker " +
+      "crash heals, and the relayed replica equals the source") {
+    val base = java.nio.file.Files
+      .createTempDirectory("lake-relay").toString
+    val src = s"$base/src"
+    val rep = s"$base/replica"
+    val out = s"$base/feed"
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"), (col("id") % 100).cast("double").as("x"),
+      (col("id") / 100).cast("double").as("y"))
+    Layout.appendGeneration(spark, src, mk(0L, 400L), Seq("x", "y"),
+      bits = 6, partitions = 2, gen = 0L)
+    Layout.appendGeneration(spark, rep, mk(0L, 400L), Seq("x", "y"),
+      bits = 6, partitions = 2, gen = 0L)
+    // first call MUST name the bootstrap generation; then: nothing
+    // closed yet -> None, but the watermark marker is down
+    val e0 = intercept[IllegalArgumentException] {
+      Lakehouse.landChangesTracked(spark, src, out)
+    }
+    assert(e0.getMessage.contains("initFromGen"), e0.getMessage)
+    assert(Lakehouse.landChangesTracked(spark, src, out,
+      initFromGen = 0L).isEmpty)
+    // gen 1 lands; still OPEN (no gen 2) -> the default refuses it
+    Layout.appendGeneration(spark, src, mk(400L, 500L), Seq("x", "y"),
+      bits = 6, partitions = 1, gen = 1L)
+    assert(Lakehouse.landChangesTracked(spark, src, out).isEmpty,
+      "an open generation must not land by default")
+    // gen 2 closes gen 1: the default lands exactly (0,1]
+    Layout.appendGeneration(spark, src, mk(500L, 560L), Seq("x", "y"),
+      bits = 6, partitions = 1, gen = 2L)
+    assert(Lakehouse.landChangesTracked(spark, src, out)
+      .contains((0L, 1L)))
+    // deletes stamp gen 2 (current); a quiesced explicit pull takes
+    // it — including the CROSS-WINDOW conflict rows 400..409, born in
+    // window 1's insert set and deleted here (the one-window-per-
+    // drain contract is what makes their net absence reachable)
+    Lakehouse.deleteWhere(spark, src, col("id") < 50L)
+    Lakehouse.deleteWhere(spark, src, col("id").between(400L, 409L))
+    assert(Lakehouse.landChangesTracked(spark, src, out, toGen = 2L)
+      .contains((1L, 2L)))
+    // replay -> None; out-of-order -> raise
+    assert(Lakehouse.landChangesTracked(spark, src, out,
+      toGen = 2L).isEmpty)
+    val oo = intercept[IllegalArgumentException] {
+      Lakehouse.landChangesTracked(spark, src, out, toGen = 1L)
+    }
+    assert(oo.getMessage.contains("OUT OF ORDER"))
+    // crash between the window rename and the marker: drop the newest
+    // marker -> the replay reuses the landed dir and re-advances
+    val ptr = new java.io.File(s"$out/_ptr")
+    val newest = ptr.listFiles().map(_.getName).filter(_.startsWith("v"))
+      .sorted.last
+    assert(new java.io.File(ptr, newest).delete())
+    assert(Lakehouse.landChangesTracked(spark, src, out, toGen = 2L)
+      .contains((1L, 2L)), "the healed replay re-advances the marker")
+    assert(new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("win1_")) == 1,
+      "the healed replay must not duplicate the window")
+    // the consumer side: apply each landed window IN ORDER (the
+    // documented one-window-per-drain contract — a merged multi-
+    // window batch would re-land the 400..409 rows their window-2
+    // delete retracts, and the shape is indistinguishable from a
+    // legitimate single-window update)
+    Seq("win0_1", "win1_2").foreach { w =>
+      Lakehouse.applyChangesByKey(spark, rep,
+        spark.read.parquet(s"$out/$w"), "id", Seq("x", "y"),
+        bits = 6, partitions = 1)
+    }
+    assert(Lakehouse.scan(spark, rep).select("id").collect()
+      .map(_.getLong(0)).toSet ==
+      Lakehouse.scan(spark, src).select("id").collect()
+        .map(_.getLong(0)).toSet)
+    assert(Lakehouse.scan(spark, rep)
+      .filter(col("id").between(400L, 409L)).count() == 0L,
+      "a window-1 insert deleted in window 2 nets to absence")
+    assert(Lakehouse.scan(spark, rep).count() == 500L)
+  }
 }
