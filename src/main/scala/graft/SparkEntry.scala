@@ -3018,9 +3018,10 @@ object SparkEntry {
       graft.core.Layout.appendGeneration(s, root,
         docs.filter(col("doc_id") % 500 < 300).unionByName(junk),
         Seq("doc_id"), bits = 8, partitions = 4, gen = 0L)
-      graft.llm.FeedConsumer.initTrackedBm25Index(s, s"$tmp/index",
-        graft.llm.Retrieval.bm25Index(
-          graft.core.Lakehouse.scanAsOf(s, root, 0L)),
+      // the docs-based init: tokenize lineage evaluated once instead of
+      // once per frame write (serving-identical; same oracle twin)
+      graft.llm.FeedConsumer.initTrackedBm25IndexOver(s, s"$tmp/index",
+        graft.core.Lakehouse.scanAsOf(s, root, 0L),
         root, asOfGen = 0L)
       graft.core.Layout.appendGeneration(s, root,
         docs.filter(col("doc_id") % 500 >= 300 &&

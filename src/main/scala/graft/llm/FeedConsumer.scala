@@ -151,10 +151,13 @@ object FeedConsumer {
                          sourcePath: String, off: FeedOffset,
                          toGen: Long): DataFrame = {
     val staged = s"${root.stripSuffix("/")}/_staging/feed"
-    Lakehouse.changesBetween(spark, sourcePath, off.gen, toGen,
-        asOfEpoch = off.epoch)
-      .write.mode("overwrite").parquet(staged)
-    spark.read.parquet(staged)
+    val window = Lakehouse.changesBetween(spark, sourcePath, off.gen,
+      toGen, asOfEpoch = off.epoch)
+    // the schema is in hand pre-write — the read-back skips the
+    // footer-inference job every landed window used to pay
+    val schema = window.schema
+    window.write.mode("overwrite").parquet(staged)
+    spark.read.schema(schema).parquet(staged)
   }
 
   /** The window's upper bound. The DEFAULT stops at the newest CLOSED
@@ -198,6 +201,25 @@ object FeedConsumer {
       off
     }
 
+  /** [[initTrackedBm25Index]] building the bootstrap index from `docs`
+    * directly — the minimal-pass form: the tokenize lineage runs once
+    * ([[Retrieval.buildCompactedBm25Index]]) instead of once per frame
+    * write, serving-identically. Prefer this when the bootstrap corpus
+    * frame is in hand (the usual case: `scanAsOf` of the source at the
+    * watermark). */
+  def initTrackedBm25IndexOver(spark: SparkSession, root: String,
+                               docs: DataFrame, sourcePath: String,
+                               asOfGen: Long, idCol: String = "doc_id",
+                               textCol: String = "text"): FeedOffset =
+    Lakehouse.withTableLock(spark, root.stripSuffix("/")) {
+      val (epoch, _) = Lakehouse.epochAndFloor(spark, sourcePath)
+      Retrieval.buildCompactedBm25Index(docs,
+        s"${root.stripSuffix("/")}/v1", idCol, textCol)
+      val off = FeedOffset(1L, "v1", epoch, asOfGen)
+      writeOffset(spark, root, off)
+      off
+    }
+
   /** The tracked index's current serving state. */
   def loadTrackedBm25Index(spark: SparkSession,
                            root: String): (Bm25Index, FeedOffset) = {
@@ -229,12 +251,15 @@ object FeedConsumer {
         case None => (idx, off)
         case Some(cur) =>
           val feed = landWindow(spark, root, sourcePath, off, cur)
-          val next = Retrieval.applyFeedToBm25Index(idx, feed, idCol,
-            textCol)
           val v = off.version + 1
           val state = s"v$v"
-          val compacted = Retrieval.compactBm25Index(next,
-            s"${root.stripSuffix("/")}/$state")
+          // the FUSED apply+compact: one insert tokenize, zero delete
+          // tokenize, docfreq/toklen derived from the landed postings
+          // (the unfused applyFeedToBm25Index ∘ compactBm25Index pair
+          // re-evaluated the whole feed lineage once per frame write;
+          // spec'd frame-identical)
+          val compacted = Retrieval.applyFeedToBm25IndexCompacted(idx,
+            feed, s"${root.stripSuffix("/")}/$state", idCol, textCol)
           val newOff = FeedOffset(v, state, off.epoch, cur)
           writeOffset(spark, root, newOff)
           prune(spark, root, v, pruneGraceMs)
@@ -291,7 +316,12 @@ object FeedConsumer {
             vecCol)
           val v = off.version + 1
           val state = s"v$v"
-          val saved = Similarity.saveVectorIndex(next,
+          // the apply preserves geometry by construction and `idx` IS a
+          // load of the previous immutable state dir, so centroids /
+          // codebooks copy file-level (zero Spark jobs) instead of
+          // round-tripping through two more write actions
+          val saved = Similarity.saveVectorIndexFrom(next,
+            s"${root.stripSuffix("/")}/${off.state}",
             s"${root.stripSuffix("/")}/$state")
           val newOff = FeedOffset(v, state, off.epoch, cur)
           writeOffset(spark, root, newOff)

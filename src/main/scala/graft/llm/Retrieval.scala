@@ -358,6 +358,119 @@ object Retrieval {
       spark.read.parquet(s"$base/stats"))
   }
 
+  /** Land an index state at `path` with docfreq and toklen DERIVED from
+    * the landed postings instead of re-evaluating the index's own
+    * lineage per frame — the minimal-pass compaction: [[compactBm25Index]]
+    * runs THREE independent write actions over one lazy index, so a
+    * tokenize-backed lineage (a fresh [[bm25Index]], or an
+    * [[applyFeedToBm25Index]] union) is re-evaluated once per frame
+    * (cross-action exchange reuse does not exist). Here the full lineage
+    * is evaluated exactly once (the postings write); `docfreq` is one
+    * count-per-token aggregation and `toklen` one sum(tf) over the
+    * LANDED parquet, and `n`/`analyzer_fp` arrive as the caller's 1-row
+    * `nFp` frame. Sound under the family invariant every index built,
+    * merged, applied or compacted by this object maintains: `docFreq`
+    * equals the per-token doc counts of `postings`, and `toklen` equals
+    * sum(tf) (empty docs hold no postings and contribute 0 to both, so
+    * only `n` needs the corpus-side count). Reloads ride explicit
+    * schemas — zero footer-inference jobs. */
+  private[llm] def landBm25IndexDerived(postings: DataFrame,
+                                        nFp: DataFrame,
+                                        path: String): Bm25Index = {
+    val spark = postings.sparkSession
+    val base = path.stripSuffix("/")
+    val pSchema = postings.schema
+    postings.repartition(col("token"))
+      .write.mode("overwrite").parquet(s"$base/postings")
+    val landed = spark.read.schema(pSchema).parquet(s"$base/postings")
+    val dfreq = landed.groupBy("token")
+      .agg(count(lit(1)).as("docfreq"))
+    val dfSchema = dfreq.schema
+    dfreq.write.mode("overwrite").parquet(s"$base/docfreq")
+    val stats = nFp.crossJoin(
+        landed.agg(coalesce(sum("tf"), lit(0L)).as("toklen")))
+      .select(col("n"), col("toklen"), col("analyzer_fp"))
+    val sSchema = stats.schema
+    stats.write.mode("overwrite").parquet(s"$base/stats")
+    Bm25Index(landed,
+      spark.read.schema(dfSchema).parquet(s"$base/docfreq"),
+      spark.read.schema(sSchema).parquet(s"$base/stats"))
+  }
+
+  /** Build AND land the [[Bm25Index]] of `docs` at `path` in the minimal
+    * number of passes — serving-identical to
+    * `compactBm25Index(bm25Index(docs), path)` (spec'd frame-for-frame)
+    * but the tokenize lineage runs ONCE (inside the postings write)
+    * instead of once per frame write: docfreq/toklen derive from the
+    * landed postings ([[landBm25IndexDerived]]), and `n` is one id-only
+    * corpus scan (the empty-doc-inclusive count the postings cannot
+    * carry). The bootstrap path of the tracked-index lifecycle. */
+  def buildCompactedBm25Index(docs: DataFrame, path: String,
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): Bm25Index = {
+    val ix = bm25Index(docs, idCol, textCol)
+    val nFp = docs.filter(col(idCol).isNotNull)
+      .agg(countDistinct(col(idCol)).as("n"))
+      .withColumn("analyzer_fp", lit(AnalyzerFingerprint))
+    landBm25IndexDerived(ix.postings, nFp, path)
+  }
+
+  /** Consume a LANDED [[graft.core.Lakehouse.changesBetween]] window into
+    * a compacted index and land the next state at `path` — the fusion of
+    * [[applyFeedToBm25Index]] + [[compactBm25Index]] the checkpointed
+    * consumer runs every cycle, in the minimal number of passes.
+    * Equivalence (spec'd frame-for-frame against the unfused pair, and
+    * oracled through the tracked gate's verbatim-shared twin):
+    *
+    *  - postings′ = (postings ∖ deleted docs) ∪ insert postings — the
+    *    same anti-join + union, evaluated ONCE (the insert tokenize ran
+    *    3× under the unfused pair: once per frame write).
+    *  - docfreq′: the unfused path subtracts the delete batch's
+    *    tokenized per-token doc counts and merges the insert batch's;
+    *    under the family invariant (docFreq ≡ per-token doc counts of
+    *    postings; delete rows carry the indexed text verbatim — the CDC
+    *    feed contract the oracle pins) that equals counting the landed
+    *    postings′ directly — zero delete-side tokenize at all.
+    *  - toklen′ likewise: sum(tf) over postings′ ≡ toklen − deleted
+    *    docs' tokens + inserted docs' tokens.
+    *  - n′ = n − |distinct delete ids| + |distinct insert ids| — the
+    *    merge path's integer sums, as 1-row arithmetic over the feed
+    *    (an id-only scan, no tokenize); the analyzer fingerprint
+    *    equality check rides the same row exactly as before.
+    *
+    * Same window discipline as [[applyFeedToBm25Index]]: in-order,
+    * exactly-once, update = delete(old)+insert(new). */
+  def applyFeedToBm25IndexCompacted(index: Bm25Index, feed: DataFrame,
+                                    path: String,
+                                    idCol: String = "doc_id",
+                                    textCol: String = "text"): Bm25Index = {
+    val delKeys = feed.filter(col("__op") === "delete")
+      .select(col(idCol).as("doc_id")).distinct()
+    val ins = feed.filter(col("__op") === "insert")
+      .select(col(idCol), col(textCol))
+    val postings = index.postings
+      .join(delKeys, Seq("doc_id"), "left_anti")
+      .unionByName(bm25Index(ins, idCol, textCol).postings)
+    val deltas = feed.agg(
+      count_distinct(when(col("__op") === "delete", col(idCol)))
+        .as("__dn"),
+      count_distinct(when(col("__op") === "insert", col(idCol)))
+        .as("__in"))
+    val nFp = statsWithFp(index.stats).crossJoin(deltas)
+      .select((col("n") - col("__dn") + col("__in")).as("n"),
+        when(col("analyzer_fp") === lit(AnalyzerFingerprint),
+          col("analyzer_fp"))
+          .otherwise(raise_error(concat(
+            lit("applyFeedToBm25IndexCompacted: analyzer fingerprint " +
+              "mismatch ("),
+            col("analyzer_fp").cast("string"),
+            lit(s" vs $AnalyzerFingerprint"),
+            lit(") — the index was built by a different analyzer " +
+              "version; rebuild it"))).cast("long"))
+          .as("analyzer_fp"))
+    landBm25IndexDerived(postings, nFp, path)
+  }
+
   /** The outcome of one [[maintainBm25Index]] cycle: the index to serve
     * from, its (re-)certification frame ([[certifyBm25Index]] schema),
     * and whether the regenerate path fired. */

@@ -1293,6 +1293,46 @@ object Similarity {
       spark.read.parquet(s"$base/vectors"))
   }
 
+  /** [[saveVectorIndex]] for an index whose GEOMETRY frames are the ones
+    * already materialized at `fromPath` — the feed-apply / extend
+    * lifecycle shape ([[applyFeedToVectorIndex]] and
+    * [[extendVectorIndex]] return the input index's `centroids` /
+    * `codebooks` references untouched, and a tracked consumer's input
+    * index IS a load of the previous immutable state dir). Centroids and
+    * codebooks are copied FILE-LEVEL from `fromPath` (byte-identical
+    * parquet, zero Spark jobs instead of two read→shuffle-free→write
+    * cycles per maintenance tick); only the vectors frame — the one
+    * data-sized job — is written. CONTRACT: `index.centroids` /
+    * `index.codebooks` must be (or be value-equal to) the frames
+    * persisted under `fromPath`; callers that mutated geometry must use
+    * [[saveVectorIndex]]. Reloads ride explicit schemas — zero
+    * footer-inference jobs. */
+  def saveVectorIndexFrom(index: VectorIndex, fromPath: String,
+                          path: String): VectorIndex = {
+    val spark = index.vectors.sparkSession
+    val base = path.stripSuffix("/")
+    val from = fromPath.stripSuffix("/")
+    val hconf = spark.sessionState.newHadoopConf()
+    Seq("centroids", "codebooks").foreach { part =>
+      val src = new org.apache.hadoop.fs.Path(s"$from/$part")
+      val dst = new org.apache.hadoop.fs.Path(s"$base/$part")
+      val fs = src.getFileSystem(hconf)
+      if (fs.exists(dst)) fs.delete(dst, true)
+      require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
+        false, hconf),
+        s"saveVectorIndexFrom: copy $src -> $dst failed")
+    }
+    val vSchema = index.vectors.schema
+    index.vectors.repartition(col("cell"))
+      .write.mode("overwrite").parquet(s"$base/vectors")
+    VectorIndex(
+      spark.read.schema(index.centroids.schema)
+        .parquet(s"$base/centroids"),
+      spark.read.schema(index.codebooks.schema)
+        .parquet(s"$base/codebooks"),
+      spark.read.schema(vSchema).parquet(s"$base/vectors"))
+  }
+
   /** Consume a [[graft.core.Lakehouse.changesBetween]] feed into a
     * [[VectorIndex]] — FEED-DRIVEN index maintenance: the index tracks
     * a mutating lakehouse corpus by applying window deltas instead of
