@@ -57,6 +57,19 @@ object Lakehouse {
   val PosCol = "__pos"
   val GenCol = "__gen"
 
+  /** Tombstone files carry exactly (__file, __pos, __gen) — a fixed
+    * schema, so every debt read passes it explicitly and skips the
+    * footer-inference job (tombstone frames are resolved on every
+    * scan/changesBetween/deleteDebt; at many-small-files debt the
+    * inference listing is pure overhead). */
+  private val TombstoneSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField(FileCol,
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField(PosCol,
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField(GenCol,
+      org.apache.spark.sql.types.LongType)))
+
   /** Tombstone sets at or under this on-disk size are broadcast into
     * the scan's anti-join (a per-row hash probe, no shuffle of the
     * data side). Past it the anti-join shuffles both sides — correct,
@@ -423,6 +436,15 @@ object Lakehouse {
         "floor remain addressable")
   }
 
+  /** The schema with every field nullable — what a parquet round-trip
+    * reads back; passing it explicitly to a re-read of our own write
+    * skips the footer-inference job without risking a false
+    * non-nullable promise. */
+  private[graft] def nullableCopy(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      s.fields.map(_.copy(nullable = true)))
+
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -740,8 +762,13 @@ object Lakehouse {
       case Some(c) if c.data.isEmpty =>
         new org.apache.spark.sql.types.StructType()
       case Some(c) =>
-        spark.read.parquet(c.data.map(n => s"$path/$n"): _*).schema
-      case None => spark.read.parquet(path).schema
+        // same-schema is append-enforced, so ONE footer carries the
+        // table schema — no need to index every live file for inference
+        spark.read.parquet(s"$path/${c.data.head}").schema
+      case None =>
+        val files = parquetFiles(spark, path)
+        if (files.isEmpty) spark.read.parquet(path).schema // loud, as before
+        else spark.read.parquet(files.head.toString).schema
     }
 
   private def parquetFiles(spark: SparkSession, path: String): Seq[Path] = {
@@ -779,7 +806,7 @@ object Lakehouse {
       .filter(p => maxGen == Long.MaxValue || delGenOf(p.getName) <= maxGen)
       .map(_.toString)
     if (files.isEmpty) None
-    else Some(spark.read.parquet(files: _*)
+    else Some(spark.read.schema(TombstoneSchema).parquet(files: _*)
       .filter(col(GenCol) <= maxGen)
       .select(FileCol, PosCol))
   }
@@ -994,11 +1021,16 @@ object Lakehouse {
   private def deleteMatchingIn(spark: SparkSession, path: String,
                                files: Seq[String], keys: DataFrame,
                                keyCol: String,
-                               rowsPerFile: Long = tombstoneRowsPerFile)
+                               rowsPerFile: Long = tombstoneRowsPerFile,
+                               schemaHint: Option[org.apache.spark.sql
+                                 .types.StructType] = None)
       : Long = {
     val narrowed = bloomNarrow(spark, path, files, keys, keyCol)
     if (narrowed.isEmpty) return 0L
-    val schema = tableSchema(spark, path)
+    // callers that just drift-checked the table pass the schema they
+    // proved — skipping the footer-inference job an unpointered
+    // table's tableSchema pays per resolve
+    val schema = schemaHint.getOrElse(tableSchema(spark, path))
     val addressed = spark.read.schema(schema).parquet(narrowed: _*)
       .select(col(keyCol),
         element_at(split(col("_metadata.file_path"), "/"), -1).as(FileCol),
@@ -1035,17 +1067,34 @@ object Lakehouse {
       .map(n => n.stripPrefix(s"del$gen-").stripSuffix(".parquet").toLong)
       .foldLeft(-1L)(math.max) + 1
     val raw = s"${path}_incoming/del$gen-$seq-raw"
-    fresh.withColumn(GenCol, lit(gen))
-      .write.mode("overwrite").parquet(raw)
-    val n = spark.read.parquet(raw).count()
+    val stamped = fresh.withColumn(GenCol, lit(gen))
+    stamped.write.mode("overwrite").parquet(raw)
+    // the schema is in hand — re-reads of the staged debt skip footer
+    // inference
+    val rawDf = spark.read.schema(nullableCopy(stamped.schema)).parquet(raw)
+    val n = rawDf.count()
     if (n > 0) {
       val shards = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
-      val staging = s"${path}_incoming/del$gen-$seq"
-      spark.read.parquet(raw).repartition(shards)
-        .write.mode("overwrite").parquet(staging)
-      val parts = f.listStatus(new Path(staging))
-        .filter(_.getPath.getName.startsWith("part-"))
+      val rawParts = f.listStatus(new Path(raw))
+        .filter(s => s.getPath.getName.startsWith("part-") &&
+          s.getPath.getName.endsWith(".parquet"))
         .map(_.getPath).sortBy(_.getName)
+      // the staged write usually already holds the right shard count
+      // (AQE coalesces a takedown-sized debt to one file) — then the
+      // parts rename in directly, skipping a full second
+      // read→shuffle→write of the debt; only a mismatched layout pays
+      // the normalizing reshard
+      val parts: Array[Path] =
+        if (rawParts.length == shards) rawParts
+        else {
+          val staging = s"${path}_incoming/del$gen-$seq"
+          rawDf.repartition(shards)
+            .write.mode("overwrite").parquet(staging)
+          val ps = f.listStatus(new Path(staging))
+            .filter(_.getPath.getName.startsWith("part-"))
+            .map(_.getPath).sortBy(_.getName)
+          ps
+        }
       f.mkdirs(new Path(dDir))
       val landed = parts.zipWithIndex.map { case (p, k) =>
         val dst = new Path(dDir, s"del$gen-${seq + k}.parquet")
@@ -1053,7 +1102,7 @@ object Lakehouse {
           s"writeTombstones: $p -> $dst failed")
         dst.getName
       }
-      f.delete(new Path(staging), true)
+      f.delete(new Path(s"${path}_incoming/del$gen-$seq"), true)
       // a pointered table's live tombstone set advances by commit —
       // an O(landed-files) delta marker, not a full-state rewrite
       readCommit(spark, path).foreach { c =>
@@ -1310,10 +1359,13 @@ object Lakehouse {
                   keyCol: String, cols: Seq[String], bits: Int = 12,
                   partitions: Int = 0): Unit =
     withTableLock(spark, path) {
-      // schema drift raises BEFORE the retraction half mutates
-      if (hasSchemaContract(spark, path))
-        Layout.requireSameSchema(tableSchema(spark, path),
-          updates.schema, "upsertByKey")
+      // schema drift raises BEFORE the retraction half mutates; the
+      // proven schema rides into the retraction so it never re-infers
+      val tSchema =
+        if (hasSchemaContract(spark, path)) Some(tableSchema(spark, path))
+        else None
+      tSchema.foreach(Layout.requireSameSchema(_, updates.schema,
+        "upsertByKey"))
       val dup = updates.groupBy(col(keyCol)).count()
         .filter(col("count") > 1).limit(1).collect()
       require(dup.isEmpty,
@@ -1321,7 +1373,7 @@ object Lakehouse {
           .map(_.get(0)).orNull} — last-writer-wins needs one row per key")
       deleteMatchingIn(spark, path,
         dataFilePaths(spark, path).map(_.toString),
-        updates.select(keyCol), keyCol)
+        updates.select(keyCol), keyCol, schemaHint = tSchema)
       val gen = currentGen(spark, path)
       if (gen >= 0)
         Layout.appendGeneration(spark, path, updates, cols, bits,
@@ -1380,9 +1432,11 @@ object Lakehouse {
                                  cols: Seq[String], bits: Int,
                                  partitions: Int, gen: Long): Unit =
     withTableLock(spark, path) {
-      if (hasSchemaContract(spark, path))
-        Layout.requireSameSchema(tableSchema(spark, path),
-          batch.schema, "upsertBatch")
+      val tSchema =
+        if (hasSchemaContract(spark, path)) Some(tableSchema(spark, path))
+        else None
+      tSchema.foreach(Layout.requireSameSchema(_, batch.schema,
+        "upsertBatch"))
       val dup = batch.groupBy(col(keyCol)).count()
         .filter(col("count") > 1).limit(1).collect()
       require(dup.isEmpty,
@@ -1390,7 +1444,8 @@ object Lakehouse {
           s"$keyCol=${dup.headOption.map(_.get(0)).orNull}")
       val older = dataFilePaths(spark, path)
         .filter(p => genOf(p.getName) != gen).map(_.toString)
-      deleteMatchingIn(spark, path, older, batch.select(keyCol), keyCol)
+      deleteMatchingIn(spark, path, older, batch.select(keyCol), keyCol,
+        schemaHint = tSchema)
       Layout.appendGeneration(spark, path, batch, cols, bits, partitions,
         gen)
     }
@@ -1478,7 +1533,7 @@ object Lakehouse {
           g > fromGen && g <= toGen
         }.map(_.toString)
       if (files.isEmpty) None
-      else Some(spark.read.parquet(files: _*)
+      else Some(spark.read.schema(TombstoneSchema).parquet(files: _*)
         .filter(col(GenCol) > fromGen && col(GenCol) <= toGen)
         .select(FileCol, PosCol))
     }
@@ -1656,13 +1711,20 @@ object Lakehouse {
         // shape first (drops/retypes still raise, and the evolution
         // commits BEFORE the retraction half, so a refused feed has
         // mutated nothing). Default stays the loud drift raise.
-        if (hasSchemaContract(spark, replicaPath)) {
-          if (evolve)
-            evolveSchemaBody(spark, replicaPath, inserts.schema)
-          else
-            Layout.requireSameSchema(tableSchema(spark, replicaPath),
-              inserts.schema, "applyChangesByKey")
-        }
+        val tSchema: Option[org.apache.spark.sql.types.StructType] =
+          if (hasSchemaContract(spark, replicaPath)) {
+            if (evolve) {
+              evolveSchemaBody(spark, replicaPath, inserts.schema)
+              // post-evolution the commit carries the widened schema —
+              // resolving it is a marker read, not a footer job
+              Some(tableSchema(spark, replicaPath))
+            } else {
+              val s = tableSchema(spark, replicaPath)
+              Layout.requireSameSchema(s, inserts.schema,
+                "applyChangesByKey")
+              Some(s)
+            }
+          } else None
         val dup = inserts.groupBy(col(keyCol)).count()
           .filter(col("count") > 1).limit(1).collect()
         require(dup.isEmpty,
@@ -1671,7 +1733,7 @@ object Lakehouse {
             "replica needs a key-unique source")
         deleteMatchingIn(spark, replicaPath,
           dataFilePaths(spark, replicaPath).map(_.toString),
-          cached.select(col(keyCol)), keyCol)
+          cached.select(col(keyCol)), keyCol, schemaHint = tSchema)
         val gen = currentGen(spark, replicaPath)
         if (gen >= 0)
           Layout.appendGeneration(spark, replicaPath, inserts, cols,
@@ -2216,7 +2278,8 @@ object Lakehouse {
         .filter(p => delGenOf(p.getName) > retainAfter).map(_.toString)
       val laterTs =
         if (laterDelFiles.isEmpty) None
-        else Some(spark.read.parquet(laterDelFiles: _*)
+        else Some(spark.read.schema(TombstoneSchema)
+          .parquet(laterDelFiles: _*)
           .filter(col(GenCol) > retainAfter)
           .select(FileCol, PosCol, GenCol).cache())
       // rows of folded files that survive EVERY tombstone, any stamp:
@@ -2251,18 +2314,30 @@ object Lakehouse {
                        prefix: String): Seq[String] = {
         val raw = s"${path}_incoming/$prefix-raw"
         df.write.mode("overwrite").parquet(raw)
-        val n = spark.read.parquet(raw).count()
+        // schema in hand; and when the staged layout already holds the
+        // right shard count the parts rename in directly instead of a
+        // second read->shuffle->write of the frame (the writeTombstones
+        // discipline, r18)
+        val rawDf = spark.read.schema(nullableCopy(df.schema)).parquet(raw)
+        val n = rawDf.count()
         if (n == 0) { f.delete(new Path(raw), true); Seq.empty }
         else {
           val shards = math.max(1L,
             (n + rowsPerFile - 1) / rowsPerFile).toInt
-          val tmp = s"${path}_incoming/$prefix-norm"
-          spark.read.parquet(raw).repartition(shards)
-            .write.mode("overwrite").parquet(tmp)
-          f.delete(new Path(raw), true)
-          val parts = f.listStatus(new Path(tmp))
-            .filter(_.getPath.getName.startsWith("part-"))
+          val rawParts = f.listStatus(new Path(raw))
+            .filter(st => st.getPath.getName.startsWith("part-") &&
+              st.getPath.getName.endsWith(".parquet"))
             .map(_.getPath).sortBy(_.getName)
+          val tmp = s"${path}_incoming/$prefix-norm"
+          val parts: Array[Path] =
+            if (rawParts.length == shards) rawParts
+            else {
+              rawDf.repartition(shards)
+                .write.mode("overwrite").parquet(tmp)
+              f.listStatus(new Path(tmp))
+                .filter(_.getPath.getName.startsWith("part-"))
+                .map(_.getPath).sortBy(_.getName)
+            }
           val firstIdx = nextIndexFor(spark, destDir, prefix)
           f.mkdirs(new Path(destDir))
           val names = parts.zipWithIndex.map { case (p0, k) =>
@@ -2272,6 +2347,7 @@ object Lakehouse {
             name
           }
           f.delete(new Path(tmp), true)
+          f.delete(new Path(raw), true)
           names.toSeq
         }
       }

@@ -392,7 +392,11 @@ object Layout {
       ()
     }
     if (fresh.nonEmpty) {
-      statsManifest(spark.read.parquet(fresh: _*), cols)
+      // the just-written files carry the batch's schema — manifest
+      // passes skip the footer-inference job
+      val freshDf = spark.read.schema(Lakehouse.nullableCopy(batch.schema))
+        .parquet(fresh: _*)
+      statsManifest(freshDf, cols)
         .coalesce(1).write.mode("append").parquet(s"${path}_manifest")
       // Bloom manifests extend at append time too (the min/max one
       // just did): without the new files' sketches every appended
@@ -402,7 +406,7 @@ object Layout {
         val key = bDir.getName.stripPrefix(
           s"${new org.apache.hadoop.fs.Path(path).getName}_bloom_")
         val (keys, fpp) = bloomGeometry(spark, bDir.toString)
-        bloomManifest(spark.read.parquet(fresh: _*), key, keys, fpp)
+        bloomManifest(freshDf, key, keys, fpp)
           .coalesce(1).write.mode("append").parquet(bDir.toString)
       }
     }
@@ -510,7 +514,9 @@ object Layout {
         .map(_.getPath.toString)
     if (genFiles.nonEmpty) {
       val tmp = s"${path}_incoming/manifest$gen"
-      statsManifest(spark.read.parquet(genFiles: _*), cols)
+      val genDf = spark.read.schema(Lakehouse.nullableCopy(batch.schema))
+        .parquet(genFiles: _*)
+      statsManifest(genDf, cols)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
         .filter(_.getPath.getName.startsWith("part-")).head.getPath
@@ -526,7 +532,7 @@ object Layout {
           s"${root.getName}_bloom_")
         val (keys, fpp) = bloomGeometry(spark, bDir.toString)
         val bTmp = s"${path}_incoming/bloom$gen-$key"
-        bloomManifest(spark.read.parquet(genFiles: _*), key, keys, fpp)
+        bloomManifest(genDf, key, keys, fpp)
           .coalesce(1).write.mode("overwrite").parquet(bTmp)
         val bPart = fs.listStatus(new org.apache.hadoop.fs.Path(bTmp))
           .filter(_.getPath.getName.startsWith("part-")).head.getPath

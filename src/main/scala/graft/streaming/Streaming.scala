@@ -597,11 +597,15 @@ object Streaming {
     val fs = stateRoot.getFileSystem(hconf)
     if (numbered(fs, s"$base/state").isEmpty)
       state0.write.mode("overwrite").parquet(s"$base/state/0")
+    // state versions all carry the bootstrap's schema (the fold's
+    // output contract) — explicit-schema reads skip the per-batch
+    // footer-inference job
+    val stSchema = graft.core.Lakehouse.nullableCopy(state0.schema)
     val q = stream.writeStream
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val st = spark.read.parquet(s"$base/state/$id")
+        val st = spark.read.schema(stSchema).parquet(s"$base/state/$id")
         val out = step(st, batch)
         out.emitted.foreach(
           _.write.mode("overwrite").parquet(s"$base/emitted/$id"))
@@ -632,7 +636,7 @@ object Streaming {
     StreamLedger(
       if (emittedAll.isEmpty) None
       else Some(spark.read.parquet(emittedAll: _*)),
-      spark.read.parquet(s"$base/state/$lastVersion"))
+      spark.read.schema(stSchema).parquet(s"$base/state/$lastVersion"))
   }
 
   /** Numbered child directories of a ledger dir, ascending. */
