@@ -38,6 +38,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  /** Schema cache for the STATIC testdata tables: one footer-inference
+    * job per (dir, table) per JVM instead of one per query evaluation —
+    * the metadata a catalog would hold (schemas only; every query still
+    * scans the parquet data itself on every invocation). Keyed by the
+    * resolved path; testdata files are immutable inputs. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
   /** events.parquet's `ts` encoding has varied across testdata
     * generations — TIMESTAMP(NANOS) (which Spark's vectorized reader
     * rejects; `nanosAsLong` reads it as int64 ns, converted ns → µs with
@@ -48,7 +56,10 @@ object Tables {
     * so the NTZ cast preserves the wall-clock instant DuckDB reads. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    val df = spark.read.schema(schema).parquet(path)
     if (name == "events")
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
