@@ -96,13 +96,19 @@ object Bench {
     val noisyThreshold = math.max(3, names.size / 20)
 
     // one full measurement attempt: probe, timed passes, probe, verdicts.
-    // Per query: (median, spread = max - min over the passes). The spread
-    // rides along in the JSON so a recorded regression can be read against
-    // the run's own dispersion instead of a cross-round guess — ±17%
-    // judge-to-judge total swings with healthy calibration were the r9
-    // round signal's largest error bar.
-    final case class Attempt(results: Seq[(String, Double, Double)],
-                             calBefore: Double, calAfter: Double) {
+    // Per query: (median, spread = max - min over the passes, err). The
+    // spread rides along in the JSON so a recorded regression can be read
+    // against the run's own dispersion instead of a cross-round guess —
+    // ±17% judge-to-judge total swings with healthy calibration were the
+    // r9 round signal's largest error bar. A query that THROWS during a
+    // timed pass is recorded with its error (class: message) instead of
+    // silently contributing a fast phantom time: errored queries are
+    // excluded from the total and counted loudly (r18 verdict finding #5
+    // — correctness is Verify's job, but the bench must not reward a
+    // crash with a speedup).
+    final case class Attempt(
+        results: Seq[(String, Double, Double, Option[String])],
+        calBefore: Double, calAfter: Double) {
       val contended: Boolean = contendedVerdict(Seq(calBefore, calAfter))
       // RUN-LEVEL NOISE VERDICT: a pass where many queries' run-internal
       // spread exceeds their own median is measuring scheduler jitter, not
@@ -112,20 +118,27 @@ object Bench {
       // (>max(3, 5%) of queries) so a couple of intrinsically-variable
       // queries on a clean run don't trip it: the r11 builder run (3/98)
       // and judge re-run (4/98) stay clean, the driver's 7/98 flags.
-      val noisyCount: Int = results.count { case (_, med, sp) => sp > med }
+      val noisyCount: Int =
+        results.count { case (_, med, sp, _) => sp > med }
       val noisy: Boolean = noisyCount > noisyThreshold
       def flagged: Boolean = contended || noisy
     }
     def measure(): Attempt = {
       val calBefore = calibrate(spark)
       val results = names.map { name =>
+        var err: Option[String] = None
         val times = (1 to passes).map { _ =>
           val t0 = System.nanoTime()
           try SparkEntry.queries(name)(spark, sfDir).count()
-          catch { case _: Throwable => () }
+          catch { case e: Throwable =>
+            if (err.isEmpty) {
+              val msg = Option(e.getMessage).getOrElse("").take(160)
+              err = Some(s"${e.getClass.getSimpleName}: $msg")
+            }
+          }
           (System.nanoTime() - t0) / 1e9
         }.sorted
-        (name, times(times.length / 2), times.last - times.head)
+        (name, times(times.length / 2), times.last - times.head, err)
       }
       Attempt(results, calBefore, calibrate(spark))
     }
@@ -166,47 +179,72 @@ object Bench {
         f"WARNING: calibration probe $calBefore%.2fs/$calAfter%.2fs vs " +
           f"effective healthy ${effectiveHealthySec(Seq(calBefore, calAfter))}%.2fs " +
           "— container contended; timings below overstate the engine's cost")
+    // 3-decimal rounding: ms resolution is well inside every recorded
+    // number's own run-internal spread, and it roughly HALVES the full
+    // JSON line — 18 rounds of BENCH_r* carried `parsed: null` because
+    // the unrounded ~232-query line outgrew the driver's bounded stdout
+    // window (r18 verdict finding #1)
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
     // "queries" stays a flat name->seconds map (the driver contract);
     // per-query dispersion is a SEPARATE parallel map
-    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + r3(med) }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, sp) => "\"" + k + "\":" + sp }
+    val spreads = results.map { case (k, _, sp, _) => "\"" + k + "\":" + r3(sp) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // errored queries: excluded from the total (a crash must not record
+    // as a speedup), carried in a parallel `errors` map plus a loud count
+    val errored = results.collect { case (k, _, _, Some(e)) => (k, e) }
+    val total = results.collect { case (_, med, _, None) => med }.sum
+    if (errored.nonEmpty) {
+      System.err.println(
+        s"ERROR: ${errored.size} quer${if (errored.size == 1) "y" else "ies"} " +
+          s"FAILED during timed passes (excluded from total): " +
+          errored.map(_._1).mkString(", "))
+      errored.foreach { case (k, e) => System.err.println(s"  $k: $e") }
+    }
+    val errJson = errored.map { case (k, e) =>
+      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", " ") + "\""
+    }.mkString("{", ",", "}")
     // EVERY attempt's verdict rides along (not just the kept one): a
     // reviewer of a retried run can see what the discarded attempt
     // looked like instead of trusting the selection — the recorded
     // answer to retry-once's mild keep-the-cleaner bias
     val attemptLog = allAttempts.map { a =>
-      s"""{"calibration_sec":[${a.calBefore},${a.calAfter}],""" +
+      s"""{"calibration_sec":[${r3(a.calBefore)},${r3(a.calAfter)}],""" +
         s""""noisy":${a.noisy},"noisy_count":${a.noisyCount},""" +
         s""""contended":${a.contended},"kept":${a eq att},""" +
-        s""""total":${a.results.map(_._2).sum}}"""
+        s""""total":${r3(a.results.collect {
+          case (_, med, _, None) => med }.sum)}}"""
     }.mkString("[", ",", "]")
+    // field order inside the object: the big maps FIRST, the contract
+    // scalars (`metric`/`value`/`unit`) LAST — a JSON parser is order-
+    // blind, but a bounded stdout TAIL truncates from the front, and
+    // the r8 artifact lost its head including the total; this way any
+    // tail window ends with `..."metric":"total","unit":"sec","value":N}`
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"passes":$passes,"sf":"$sfDir","calibration_sec":[$calBefore,$calAfter],"contended":$contended,"noisy":$noisy,"noisy_count":$noisyCount,"attempts":$attempts,"attempt_log":$attemptLog}"""
-    println(json)
-    // Also self-record to a file: the driver captures a bounded stdout
-    // tail, and an 84-query JSON line can outgrow it (the r8 artifact
-    // lost its head, including the total). Overridable target path;
-    // best-effort — a read-only cwd must not fail the bench itself.
+      s"""{"queries":$qs,"spread":$spreads,"errors":$errJson,"attempt_log":$attemptLog,"passes":$passes,"sf":"$sfDir","calibration_sec":[${r3(calBefore)},${r3(calAfter)}],"contended":$contended,"noisy":$noisy,"noisy_count":$noisyCount,"attempts":$attempts,"n_errors":${errored.size},"n_queries":${names.size},"metric":"total","unit":"sec","value":${r3(total)}}"""
+    // Self-record to a file first — best-effort; a read-only cwd must
+    // not fail the bench itself.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"WARNING: could not write $outPath: ${e.getMessage}")
     }
-    // Compact self-qualifying summary printed LAST: the driver records a
-    // bounded stdout TAIL, and on a ~100-query suite the full JSON line
-    // is truncated from the FRONT — the r11 artifact kept only the
-    // `spread` map, which read as 3× regressions until debunked. This
-    // line is (a) short enough to always survive the tail, (b) valid
-    // JSON carrying the driver-contract fields (`metric`/`value`/
-    // `unit`), so even a parser that grabs the last JSON line gets the
-    // true total plus the noise verdict. Per-query medians live in the
-    // full line above and in bench_out.json.
+    // Compact self-qualifying summary BEFORE the full line: short enough
+    // to survive any stdout window, valid JSON carrying the
+    // driver-contract scalars (`metric`/`value`/`unit`) plus the noise
+    // verdict — the human-readable TL;DR.
     val sPerQ = if (names.nonEmpty) total / names.size else 0.0
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","s_per_q":$sPerQ,"n_queries":${names.size},"noisy":$noisy,"noisy_count":$noisyCount,"contended":$contended,"attempts":$attempts,"summary":true}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","s_per_q":${r3(sPerQ)},"n_queries":${names.size},"n_errors":${errored.size},"noisy":$noisy,"noisy_count":$noisyCount,"contended":$contended,"attempts":$attempts,"summary":true}""")
+    // The FULL per-query JSON is the FINAL stdout line: the driver reads
+    // a bounded stdout tail and had parsed `null` for 18 rounds because
+    // this line used to print BEFORE the summary (and unrounded) — last
+    // + 3-decimal rounding keeps the whole per-query map inside the
+    // driver's window (r18 verdict "Next round" item 1). bench_out.json
+    // carries the identical line as the file-side record.
+    println(json)
     spark.stop()
   }
 }
