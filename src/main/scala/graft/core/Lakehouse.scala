@@ -945,7 +945,7 @@ object Lakehouse {
           .select(element_at(split(col("_metadata.file_path"), "/"), -1)
             .as(FileCol),
             col("_metadata.row_index").as(PosCol))
-        writeTombstones(spark, path, hits, rowsPerFile)
+        writeTombstones(spark, path, hits, rowsPerFile)._1
       }
     }
 
@@ -960,7 +960,7 @@ object Lakehouse {
     withTableLock(spark, path) {
       deleteMatchingIn(spark, path,
         dataFilePaths(spark, path).map(_.toString), keys, keyCol,
-        rowsPerFile)
+        rowsPerFile)._1
     }
 
   /** A retraction batch at or under this many distinct keys probes the
@@ -1023,10 +1023,11 @@ object Lakehouse {
                                keyCol: String,
                                rowsPerFile: Long = tombstoneRowsPerFile,
                                schemaHint: Option[org.apache.spark.sql
-                                 .types.StructType] = None)
-      : Long = {
+                                 .types.StructType] = None,
+                               commit: Boolean = true)
+      : (Long, Seq[String]) = {
     val narrowed = bloomNarrow(spark, path, files, keys, keyCol)
-    if (narrowed.isEmpty) return 0L
+    if (narrowed.isEmpty) return (0L, Seq.empty)
     // callers that just drift-checked the table pass the schema they
     // proved — skipping the footer-inference job an unpointered
     // table's tableSchema pays per resolve
@@ -1038,7 +1039,7 @@ object Lakehouse {
     val hits = addressed
       .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
       .select(FileCol, PosCol)
-    writeTombstones(spark, path, hits, rowsPerFile)
+    writeTombstones(spark, path, hits, rowsPerFile, commit)
   }
 
   /** Stage `hits` minus already-recorded tombstones (natural
@@ -1048,11 +1049,20 @@ object Lakehouse {
     * each under a deterministic generation-stamped name
     * (`del<g>-<seq+k>.parquet`) via the [[Layout.appendGeneration]]
     * staging-then-rename discipline. Takedown-sized deletes land as
-    * one file; a ~10⁹-row retraction shards instead of funneling. */
+    * one file; a ~10⁹-row retraction shards instead of funneling.
+    *
+    * `commit = false` DEFERS the pointer advance: the landed names are
+    * returned for the caller to fold into ITS commit (the upsert/CDC
+    * paths land one delta marker per mutation instead of two). Until
+    * that commit, the files are invisible to every commit-resolved
+    * reader; a crash in between leaves them as plain orphans that age
+    * into [[vacuum]]'s sweep, and the mutation as a whole is ATOMIC —
+    * a replay recomputes the same hits against the un-advanced state. */
   private def writeTombstones(spark: SparkSession, path: String,
                               hits: DataFrame,
-                              rowsPerFile: Long = tombstoneRowsPerFile)
-      : Long = {
+                              rowsPerFile: Long = tombstoneRowsPerFile,
+                              commit: Boolean = true)
+      : (Long, Seq[String]) = {
     require(rowsPerFile > 0, s"writeTombstones: rowsPerFile must be " +
       s"positive, got $rowsPerFile")
     val gen = currentGen(spark, path)
@@ -1062,6 +1072,7 @@ object Lakehouse {
     }
     val dDir = deletesDir(path)
     val f = fs(spark, path)
+    var landedNames: Seq[String] = Seq.empty
     val seq = parquetFiles(spark, dDir)
       .map(_.getName).filter(_.startsWith(s"del$gen-"))
       .map(n => n.stripPrefix(s"del$gen-").stripSuffix(".parquet").toLong)
@@ -1103,14 +1114,17 @@ object Lakehouse {
         dst.getName
       }
       f.delete(new Path(s"${path}_incoming/del$gen-$seq"), true)
+      landedNames = landed.toSeq
       // a pointered table's live tombstone set advances by commit —
-      // an O(landed-files) delta marker, not a full-state rewrite
-      readCommit(spark, path).foreach { c =>
-        commitAdvance(spark, path, c, addDeletes = landed.toSeq)
-      }
+      // an O(landed-files) delta marker, not a full-state rewrite —
+      // unless the caller asked to fold the names into its OWN commit
+      if (commit)
+        readCommit(spark, path).foreach { c =>
+          commitAdvance(spark, path, c, addDeletes = landedNames)
+        }
     }
     f.delete(new Path(raw), true)
-    n
+    (n, landedNames)
   }
 
   /** Point lookup through the Bloom membership manifest
@@ -1371,15 +1385,20 @@ object Lakehouse {
       require(dup.isEmpty,
         s"upsertByKey: updates carry duplicate $keyCol=${dup.headOption
           .map(_.get(0)).orNull} — last-writer-wins needs one row per key")
-      deleteMatchingIn(spark, path,
+      // the retraction DEFERS its commit: the landed tombstone names
+      // ride the append's delta marker — ONE commit per upsert (and an
+      // atomic one: a crash between the halves leaves only vacuum-aged
+      // orphans, never a deleted-but-not-replaced visible state)
+      val (_, landedDels) = deleteMatchingIn(spark, path,
         dataFilePaths(spark, path).map(_.toString),
-        updates.select(keyCol), keyCol, schemaHint = tSchema)
+        updates.select(keyCol), keyCol, schemaHint = tSchema,
+        commit = false)
       val gen = currentGen(spark, path)
       if (gen >= 0)
         Layout.appendGeneration(spark, path, updates, cols, bits,
-          partitions, gen + 1)
+          partitions, gen + 1, extraAddDeletes = landedDels)
       else Layout.appendZordered(spark, path, updates, cols, bits,
-        partitions)
+        partitions, extraAddDeletes = landedDels)
     }
 
   /** Streamed keyed upserts — the CDC-consumption form: each
@@ -1444,10 +1463,13 @@ object Lakehouse {
           s"$keyCol=${dup.headOption.map(_.get(0)).orNull}")
       val older = dataFilePaths(spark, path)
         .filter(p => genOf(p.getName) != gen).map(_.toString)
-      deleteMatchingIn(spark, path, older, batch.select(keyCol), keyCol,
-        schemaHint = tSchema)
+      // deferred-commit fusion: one delta marker per micro-batch
+      // carrying both the tombstone adds and the data adds
+      val (_, landedDels) = deleteMatchingIn(spark, path, older,
+        batch.select(keyCol), keyCol, schemaHint = tSchema,
+        commit = false)
       Layout.appendGeneration(spark, path, batch, cols, bits, partitions,
-        gen)
+        gen, extraAddDeletes = landedDels)
     }
 
   /** The table as of generation `gen`: data files born at or before it,
@@ -1731,15 +1753,18 @@ object Lakehouse {
           s"applyChangesByKey: the feed's inserts carry duplicate " +
             s"$keyCol=${dup.headOption.map(_.get(0)).orNull} — a keyed " +
             "replica needs a key-unique source")
-        deleteMatchingIn(spark, replicaPath,
+        // deferred-commit fusion (see [[upsertByKey]]): the retraction's
+        // tombstone names ride the append's marker — one atomic commit
+        val (_, landedDels) = deleteMatchingIn(spark, replicaPath,
           dataFilePaths(spark, replicaPath).map(_.toString),
-          cached.select(col(keyCol)), keyCol, schemaHint = tSchema)
+          cached.select(col(keyCol)), keyCol, schemaHint = tSchema,
+          commit = false)
         val gen = currentGen(spark, replicaPath)
         if (gen >= 0)
           Layout.appendGeneration(spark, replicaPath, inserts, cols,
-            bits, partitions, gen + 1)
+            bits, partitions, gen + 1, extraAddDeletes = landedDels)
         else Layout.appendZordered(spark, replicaPath, inserts, cols,
-          bits, partitions)
+          bits, partitions, extraAddDeletes = landedDels)
       } finally { cached.unpersist(); () }
     }
 
@@ -1814,10 +1839,11 @@ object Lakehouse {
       // attempt landed (those files are rewritten in place)
       val older = dataFilePaths(spark, replicaPath)
         .filter(p => genOf(p.getName) != gen).map(_.toString)
-      deleteMatchingIn(spark, replicaPath, older,
-        batch.select(col(keyCol)), keyCol)
+      // deferred-commit fusion: one delta marker per micro-batch
+      val (_, landedDels) = deleteMatchingIn(spark, replicaPath, older,
+        batch.select(col(keyCol)), keyCol, commit = false)
       Layout.appendGeneration(spark, replicaPath, inserts, cols, bits,
-        partitions, gen)
+        partitions, gen, extraAddDeletes = landedDels)
     }
 
   /** Make the `gen` snapshot permanent: delete data files, manifest

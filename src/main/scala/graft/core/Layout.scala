@@ -370,7 +370,8 @@ object Layout {
     * exactly this under [[graft.core.Lakehouse.withTableLock]]. */
   def appendZordered(spark: org.apache.spark.sql.SparkSession,
                      path: String, batch: DataFrame, cols: Seq[String],
-                     bits: Int = 12, partitions: Int = 0): Unit = {
+                     bits: Int = 12, partitions: Int = 0,
+                     extraAddDeletes: Seq[String] = Seq.empty): Unit = {
     val before = dataFiles(spark, path)
     val cur = Lakehouse.readCommit(spark, path)
     // the drift guard also fires against a COMMITTED schema with no
@@ -387,7 +388,11 @@ object Layout {
     // directory are invisible to readers until this lands
     cur.foreach { c =>
       val freshNames = fresh.map(p => p.substring(p.lastIndexOf('/') + 1))
+      // `extraAddDeletes`: a lock-holding upsert's DEFERRED tombstone
+      // names ride the append's marker — one commit per mutation, not
+      // two (see [[graft.core.Lakehouse.upsertByKey]])
       Lakehouse.commitAdvance(spark, path, c, addData = freshNames,
+        addDeletes = extraAddDeletes,
         schemaJson = c.schemaJson.orElse(Some(batch.schema.json)))
       ()
     }
@@ -446,7 +451,8 @@ object Layout {
   def appendGeneration(spark: org.apache.spark.sql.SparkSession,
                        path: String, batch: DataFrame,
                        cols: Seq[String], bits: Int = 12,
-                       partitions: Int = 0, gen: Long = 0L): Unit = {
+                       partitions: Int = 0, gen: Long = 0L,
+                       extraAddDeletes: Seq[String] = Seq.empty): Unit = {
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
@@ -494,9 +500,13 @@ object Layout {
     // live set (the replay case drops the prior attempt's entries) —
     // an O(generation) delta marker, not a full-state rewrite
     cur.foreach { c =>
+      // `extraAddDeletes`: a lock-holding upsert/CDC-apply's DEFERRED
+      // tombstone names ride this marker too — ONE delta commit per
+      // micro-batch (tombstone adds + data adds), not two
       Lakehouse.commitAdvance(spark, path, c,
         addData = mine.toSeq,
         removeData = c.data.filter(_.startsWith(s"gen$gen-")),
+        addDeletes = extraAddDeletes,
         schemaJson = c.schemaJson.orElse(Some(batch.schema.json)))
       ()
     }

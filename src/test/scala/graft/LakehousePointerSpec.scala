@@ -573,4 +573,67 @@ class LakehousePointerSpec extends SparkSpec {
     assert(swept.exists(_.contains("gen2-")), swept.mkString(","))
     assert(Lakehouse.scan(spark, path).count() == 1250L)
   }
+
+  test("fused upsert commit: ONE delta marker carries both the " +
+      "tombstone adds and the data adds, a crash-orphaned uncommitted " +
+      "tombstone is invisible and replay-safe, and vacuum sweeps it") {
+    val path = tmp("lake-ptr-fused")
+    Layout.appendGeneration(spark, path, mk(0L, 400L), Seq("x", "y"),
+      bits = 6, partitions = 2, gen = 0L)
+    Lakehouse.compact(spark, path, Seq("x", "y"), bits = 6,
+      partitions = 2) // pointerize
+    val c0 = Lakehouse.readCommit(spark, path).get
+    // one upsert micro-batch: replace keys 0..49 — the retraction half
+    // and the append half must land as ONE commit (version +1, both
+    // action kinds in the same resolved state), not two
+    Lakehouse.upsertBatch(spark, path, mk(0L, 50L), "id", Seq("x", "y"),
+      bits = 6, partitions = 1,
+      gen = Lakehouse.currentGen(spark, path) + 1)
+    val c1 = Lakehouse.readCommit(spark, path).get
+    assert(c1.version == c0.version + 1,
+      s"upsert must advance the commit by exactly ONE version " +
+        s"(fused marker), got ${c0.version} -> ${c1.version}")
+    assert(c1.deletes.nonEmpty && c1.deletes.forall(_.startsWith("del")))
+    assert((c1.data.toSet -- c0.data.toSet).nonEmpty &&
+      (c1.data.toSet -- c0.data.toSet).forall(_.startsWith("gen")))
+    assert(Lakehouse.scan(spark, path).count() == 400L)
+    val liveIds = Lakehouse.scan(spark, path)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // CRASH WINDOW of the deferred tombstone commit: debt landed in
+    // the deletes dir but the fused commit never happened. Fabricate
+    // exactly that state — a tombstone addressing LIVE rows of a base
+    // file, never named by any marker — and require it invisible
+    val victim = c1.data.filter(_.startsWith("base")).head
+    val orphan = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(victim, 0L, 99L),
+        org.apache.spark.sql.Row(victim, 1L, 99L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__file",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__pos",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__gen",
+          org.apache.spark.sql.types.LongType))))
+    orphan.coalesce(1).write.mode("overwrite")
+      .parquet(s"${path}_orphanstage")
+    val part = new java.io.File(s"${path}_orphanstage").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(
+      Lakehouse.deletesDir(path), "del99-0.parquet"))
+    assert(Lakehouse.scan(spark, path).count() == 400L,
+      "an uncommitted (crash-orphaned) tombstone must be invisible " +
+        "to commit-resolved readers")
+    // a REPLAY of the same micro-batch against that state converges to
+    // the clean run's content (the orphan never contaminates it)
+    Lakehouse.upsertBatch(spark, path, mk(0L, 50L), "id", Seq("x", "y"),
+      bits = 6, partitions = 1, gen = Lakehouse.currentGen(spark, path))
+    assert(Lakehouse.scan(spark, path)
+      .select("id").collect().map(_.getLong(0)).toSet == liveIds)
+    // and the orphan ages into vacuum's ordinary sweep
+    val swept = Lakehouse.vacuum(spark, path, graceMs = 0L)
+    assert(swept.exists(_.endsWith("del99-0.parquet")),
+      swept.mkString(","))
+    assert(Lakehouse.scan(spark, path).count() == 400L)
+  }
 }
